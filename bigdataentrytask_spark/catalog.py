@@ -1,0 +1,174 @@
+"""Typed catalog of the fixture tables.
+
+The reference declares every schema as DDL and never infers
+(/root/reference/doc/temp.md:293-303, 639-648). We keep that stance:
+each table has an explicit StructType matching the parquet physical
+schema; loaders attach derived event-time columns in one canonical
+place so every query buckets time identically (SURVEY.md §7 risk 3).
+
+At 100 TB these tables would be directory-partitioned (e.g.
+``events/dt=2024-01-01/``) and the loaders pick up partition pruning
+for free — the fixture is a single file per table, so the code path
+is identical, just with one partition.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Physical schemas (what the parquet footers declare). `events.ts` is
+# TIMESTAMP(NANOS) on disk — read as int64 nanos (see session.py) and
+# converted to a microsecond timestamp by load_table.
+SCHEMAS: dict[str, StructType] = {
+    "region": StructType(
+        [
+            StructField("r_regionkey", IntegerType()),
+            StructField("r_name", StringType()),
+        ]
+    ),
+    "nation": StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+        ]
+    ),
+    "customer": StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_nationkey", IntegerType()),
+            StructField("c_acctbal", DoubleType()),
+            StructField("c_mktsegment", StringType()),
+        ]
+    ),
+    "supplier": StructType(
+        [
+            StructField("s_suppkey", LongType()),
+            StructField("s_name", StringType()),
+            StructField("s_nationkey", IntegerType()),
+            StructField("s_acctbal", DoubleType()),
+        ]
+    ),
+    "part": StructType(
+        [
+            StructField("p_partkey", LongType()),
+            StructField("p_name", StringType()),
+            StructField("p_brand", StringType()),
+            StructField("p_type", StringType()),
+            StructField("p_size", IntegerType()),
+            StructField("p_retailprice", DoubleType()),
+        ]
+    ),
+    "orders": StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", TimestampNTZType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    ),
+    "lineitem": StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("l_partkey", LongType()),
+            StructField("l_suppkey", LongType()),
+            StructField("l_linenumber", IntegerType()),
+            StructField("l_quantity", DoubleType()),
+            StructField("l_extendedprice", DoubleType()),
+            StructField("l_discount", DoubleType()),
+            StructField("l_tax", DoubleType()),
+            StructField("l_returnflag", StringType()),
+            StructField("l_linestatus", StringType()),
+            StructField("l_shipdate", TimestampNTZType()),
+        ]
+    ),
+    "events": StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),  # epoch NANOSECONDS on disk
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    ),
+    "documents": StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    ),
+    "embeddings": StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    ),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table with its canonical derived columns.
+
+    ``events`` mirrors the reference's `user_behavior` dynamic table
+    (/root/reference/doc/temp.md:293-303): the raw epoch column is
+    turned into an event-time TIMESTAMP computed column at the scan,
+    exactly like the Flink DDL's
+    ``ts AS TO_TIMESTAMP(FROM_UNIXTIME(order_time))``. Disk carries
+    nanos; `ts div 1000` is exact integer division to micros, which
+    matches DuckDB/pyarrow truncation semantics bit-for-bit.
+    """
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = (
+            df.withColumnRenamed("ts", "ts_nanos")
+            .withColumn("ts", F.expr("timestamp_micros(ts_nanos div 1000)"))
+            .withColumn("order_time", F.expr("ts_nanos div 1000000000"))
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view — the SQL surface
+    of the engine (reference keeps both surfaces too: temp views at
+    /root/reference/doc/temp.md:456, Cumulative.java:54)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

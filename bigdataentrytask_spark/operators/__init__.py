@@ -1,0 +1,41 @@
+"""Operator library: every named query is `(spark, sf_dir) -> DataFrame`.
+
+`REGISTRY` maps operator name -> callable; `ORACLES` maps the same
+names -> equivalent DuckDB SQL (the differential-correctness spec,
+SURVEY.md §5). Operators without SQL-expressible semantics appear in
+REGISTRY only — the harness then runs a weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def operator(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query operator and (optionally) its DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so REGISTRY is fully populated."""
+    from bigdataentrytask_spark.operators import (  # noqa: F401
+        dedup,
+        reference_batch,
+        similarity,
+        star,
+        text_analysis,
+    )
