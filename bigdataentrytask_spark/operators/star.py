@@ -1,1 +1,356 @@
-"""Placeholder — filled in later this round."""
+"""Star-schema operators: joins, top-k, set ops, windows, approx aggs.
+
+The reference contains zero joins (single fact table; dimension
+modeling listed as missing at /root/reference/doc/temp.md:929).
+SURVEY.md §2.4/§2.5 mandates the engine ship them anyway: dimension
+enrichment is the canonical next query on a user_behavior-style fact,
+and the driver's correctness harness provides a TPC-H-ish star schema
+(FIXTURES.md §2).
+
+Join strategy (100 TB posture):
+* region/nation (and other tiny dims) are explicitly `broadcast()` —
+  zero shuffle on the fact side, every executor holds the dim.
+* customer at true scale is NOT broadcastable → plain equi-join, which
+  Catalyst plans as a shuffled hash/sort-merge join; AQE converts it
+  back to broadcast when runtime stats show it's small.
+* fact-fact (lineitem ⋈ orders) is the shuffle we cannot avoid; on a
+  real deployment both sides would be bucketed by orderkey at write
+  time (`bucketBy`) making it shuffle-free. AQE handles skew splits.
+* top-k per group uses `row_number` over a partitioned window — the
+  shuffle is on the (low-cardinality) group key but state per group is
+  O(1); never `orderBy().limit()` per group driver-side.
+* exact COUNT(DISTINCT) at 100 TB is replaced by HLL
+  (`approx_count_distinct`) — see approx_distinct_users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdataentrytask_spark.catalog import load_table
+from bigdataentrytask_spark.operators import operator
+from bigdataentrytask_spark.session import ensure_session_confs
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary: the canonical wide-agg scan. Filter is
+# pushed to the parquet scan (row-group skipping); single shuffle on the
+# 6-value group key; all aggregates map-side partial first.
+# --------------------------------------------------------------------------
+SHIP_CUTOFF = "2000-12-01 00:00:00"
+
+
+@operator(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                    AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                               AS avg_price,
+           ROUND(AVG(l_discount), 6)                                    AS avg_disc,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(SHIP_CUTOFF).cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Dimension-enrichment join chain: orders → customer → nation → region.
+# nation/region broadcast (tiny forever); customer joins by key.
+# --------------------------------------------------------------------------
+@operator(
+    "regional_revenue",
+    oracle="""
+    SELECT r.r_name                       AS region,
+           n.n_name                       AS nation,
+           COUNT(*)                       AS order_cnt,
+           ROUND(SUM(o.o_totalprice), 2)  AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    ORDER BY region, nation
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fact-fact join: lineitem ⋈ orders on orderkey. The big shuffle; at
+# deployment scale both sides bucketed by orderkey → shuffle-free.
+# --------------------------------------------------------------------------
+@operator(
+    "priority_revenue",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*)          AS line_cnt,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY priority
+    """,
+)
+def priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("priority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins — existence predicates without row multiplication.
+# --------------------------------------------------------------------------
+@operator(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_mktsegment AS segment, COUNT(*) AS cust_cnt
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1 ORDER BY segment
+    """,
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("cust_cnt"))
+        .orderBy("segment")
+    )
+
+
+@operator(
+    "customers_without_urgent_orders",
+    oracle="""
+    SELECT c_mktsegment AS segment, COUNT(*) AS cust_cnt
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1 ORDER BY segment
+    """,
+)
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("cust_cnt"))
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-k per group: row_number over (segment, price desc). Deterministic
+# tiebreak on o_orderkey so Spark and the oracle agree on rank edges.
+# --------------------------------------------------------------------------
+@operator(
+    "topk_orders_per_segment",
+    oracle="""
+    SELECT segment, rnk, o_orderkey, o_totalprice
+    FROM (
+      SELECT c.c_mktsegment AS segment,
+             o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rnk <= 3
+    ORDER BY segment, rnk
+    """,
+)
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("segment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"), "o_orderkey", "o_totalprice"
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("segment", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("segment", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations: UNION / INTERSECT / EXCEPT over customer-key sets.
+# --------------------------------------------------------------------------
+@operator(
+    "setops_urgent_low",
+    oracle="""
+    WITH urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         low    AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+    SELECT 'union' AS op, COUNT(*) AS cnt FROM (SELECT * FROM urgent UNION SELECT * FROM low)
+    UNION ALL
+    SELECT 'intersect', COUNT(*) FROM (SELECT * FROM urgent INTERSECT SELECT * FROM low)
+    UNION ALL
+    SELECT 'except', COUNT(*) FROM (SELECT * FROM urgent EXCEPT SELECT * FROM low)
+    ORDER BY op
+    """,
+)
+def setops_urgent_low(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey").distinct()
+    rows = [
+        urgent.union(low).distinct().agg(
+            F.lit("union").alias("op"), F.count(F.lit(1)).alias("cnt")
+        ),
+        urgent.intersect(low).agg(
+            F.lit("intersect").alias("op"), F.count(F.lit(1)).alias("cnt")
+        ),
+        urgent.subtract(low).agg(
+            F.lit("except").alias("op"), F.count(F.lit(1)).alias("cnt")
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("op")
+
+
+# --------------------------------------------------------------------------
+# Windowed running total — the Q1 cumulative idea generalized to the star
+# schema: running revenue per customer across their order history.
+# --------------------------------------------------------------------------
+@operator(
+    "running_revenue_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_revenue
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# HLL approximate distinct — the 100 TB-safe form of Q1's COUNT(DISTINCT).
+# Sketches merge associatively (map-side partial → tiny final merge), vs
+# exact distinct's full shuffle of every key. No SQL oracle: DuckDB's
+# approx_count_distinct uses a different HLL — driver runs rows-only check;
+# tests assert bounded relative error against the exact count instead.
+# --------------------------------------------------------------------------
+@operator("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_uv"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("channel")
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped dim stats: MIN/MAX/AVG breadth over the join (completes the agg
+# function surface beyond the reference's SUM/COUNT/MAX — SURVEY §2.3).
+# --------------------------------------------------------------------------
+@operator(
+    "nation_customer_stats",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS cust_cnt,
+           ROUND(MIN(c.c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c.c_acctbal), 2) AS max_bal,
+           ROUND(AVG(c.c_acctbal), 6) AS avg_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1 ORDER BY nation
+    """,
+)
+def nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("cust_cnt"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        )
+        .orderBy("nation")
+    )
