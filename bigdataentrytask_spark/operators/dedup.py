@@ -1,1 +1,353 @@
-"""Placeholder — filled in later this round."""
+"""Deduplication operators over `documents` (north-star layer,
+SURVEY.md §2.8): exact, token-Jaccard, MinHash+LSH, SimHash.
+
+Everything is deterministic integer math on md5-derived token hashes
+(functions/text.py), so even the sketch-based operators have *exact*
+DuckDB oracles — the oracle SQL is generated from the same hash
+constants the Spark plan uses.
+
+Scale posture (the whole point of these operators):
+* exact dedup: one hash-shuffle on the fingerprint — optimal.
+* jaccard_pairs: the token self-join is quadratic in per-token doc
+  frequency; it is the CORRECTNESS baseline. At 100 TB you never run
+  it raw — you run minhash_dedup, whose banding bounds the join to
+  docs sharing a band bucket (candidates ≈ true near-dups for real
+  corpora). Frequency-capping hot tokens (stopword removal) is the
+  standard extra guard; omitted here so the oracle stays exact.
+* minhash: signatures are ONE pass (explode + 32 mins in a single
+  grouped agg — not 32 passes); bands shuffle only (band, sig) keys.
+* simhash: 60-bit signature in one grouped agg; candidate pairs via
+  the 4-chunk pigeonhole (hamming <= 3 ⇒ at least one 15-bit chunk
+  equal), so the pair join touches only chunk-equal docs — the full
+  O(n^2) comparison exists only in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataentrytask_spark.catalog import load_table
+from bigdataentrytask_spark.functions.text import (
+    LSH_BANDS,
+    MERSENNE_P,
+    MINHASH_A,
+    MINHASH_B,
+    NUM_HASHES,
+    normalize_text,
+    sql_normalize_text,
+    sql_token_hash,
+    sql_tokens,
+    token_hash,
+    tokens,
+)
+from bigdataentrytask_spark.operators import operator
+from bigdataentrytask_spark.session import ensure_session_confs
+
+JACCARD_THRESHOLD = 0.8
+MINHASH_THRESHOLD = 0.7
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4  # 4 x 15 bits; hamming<=3 ⇒ one chunk equal
+SIMHASH_MAX_HAMMING = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: canonical-form fingerprint, keep lowest doc_id per group.
+# --------------------------------------------------------------------------
+@operator(
+    "dedup_exact",
+    oracle=f"""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_cnt
+    FROM (SELECT doc_id, md5({sql_normalize_text('text')}) AS fp FROM documents)
+    GROUP BY fp ORDER BY doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(normalize_text("text")).alias("fp")
+    )
+    return (
+        d.groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_cnt"))
+        .select("doc_id", "dup_cnt")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-set Jaccard near-dup pairs (exact; the quadratic baseline).
+# --------------------------------------------------------------------------
+@operator(
+    "jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_distinct({sql_tokens('text')})) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(i / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i")).cast("double")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding. Signature = K affine-min sketches of the
+# distinct-token-hash set; candidates share >= 1 of LSH_BANDS band
+# signatures; est_sim = matching-minhash fraction.
+# --------------------------------------------------------------------------
+_ROWS_PER_BAND = NUM_HASHES // LSH_BANDS
+
+
+def _sql_minhash_cols() -> str:
+    return ",\n             ".join(
+        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MERSENNE_P}) AS mh{i}"
+        for i in range(NUM_HASHES)
+    )
+
+
+def _sql_band_eq(i: int) -> str:
+    cols = range(i * _ROWS_PER_BAND, (i + 1) * _ROWS_PER_BAND)
+    return "(" + " AND ".join(f"a.mh{c} = b.mh{c}" for c in cols) + ")"
+
+
+def _sql_match_frac() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES)
+    )
+    return f"(({terms}) / {float(NUM_HASHES)})"
+
+
+@operator(
+    "minhash_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_distinct({sql_tokens('text')})) AS tok
+      FROM documents
+    ),
+    hashes AS (SELECT doc_id, {sql_token_hash('tok')} AS h FROM toks),
+    mh AS (
+      SELECT doc_id,
+             {_sql_minhash_cols()}
+      FROM hashes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND({_sql_match_frac()}, 4) AS est_sim
+    FROM mh a JOIN mh b ON a.doc_id < b.doc_id
+    WHERE ({" OR ".join(_sql_band_eq(i) for i in range(LSH_BANDS))})
+      AND {_sql_match_frac()} >= {MINHASH_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    hashes = toks.select("doc_id", token_hash("tok").alias("h"))
+    # one grouped agg computes all K sketches in a single pass
+    mh = hashes.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MERSENNE_P).alias(
+                f"mh{i}"
+            )
+            for i in range(NUM_HASHES)
+        ]
+    )
+    # LSH: explode each doc into its band signatures, join on equality
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        *[
+                            F.col(f"mh{c}").alias(f"s{j}")
+                            for j, c in enumerate(
+                                range(i * _ROWS_PER_BAND, (i + 1) * _ROWS_PER_BAND)
+                            )
+                        ],
+                    )
+                    for i in range(LSH_BANDS)
+                ]
+            )
+        ).alias("sig"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = mh.alias("a")
+    b = mh.alias("b")
+    match_frac = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    ) / F.lit(float(NUM_HASHES))
+    return (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, F.col("doc_b") == F.col("b.doc_id"))
+        .filter(match_frac >= MINHASH_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(match_frac, 4).alias("est_sim"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs: 60-bit weighted signature, hamming <= 3.
+# --------------------------------------------------------------------------
+def _sql_simhash_expr() -> str:
+    """DuckDB: build the signature from 60 weighted bit-sums."""
+    bit_sums = ",\n             ".join(
+        f"SUM(cnt * (2 * ((h >> {i}) & 1) - 1)) AS s{i}" for i in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return bit_sums, sig
+
+
+@operator(
+    "simhash_pairs",
+    oracle=(lambda bit_sums_sig: f"""
+    WITH toks AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt
+      FROM (SELECT doc_id, UNNEST({sql_tokens('text')}) AS tok FROM documents)
+      GROUP BY 1, 2
+    ),
+    hashes AS (
+      SELECT doc_id, cnt,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      FROM toks
+    ),
+    bitsums AS (
+      SELECT doc_id,
+             {bit_sums_sig[0]}
+      FROM hashes GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {bit_sums_sig[1]} AS sig FROM bitsums)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """)(_sql_simhash_expr()),
+)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hashes = toks.select(
+        "doc_id",
+        "cnt",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    bitsums = hashes.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("cnt") * (2 * F.shiftright("h", i).bitwiseAND(F.lit(1)) - 1)
+            ).alias(f"s{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sig = sum(
+        F.when(F.col(f"s{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(SIMHASH_BITS)
+    )
+    sigs = bitsums.select("doc_id", sig.alias("sig"))
+    # candidate generation: hamming<=3 over 4 chunks ⇒ >=1 chunk equal
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright("sig", c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("v"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("chunk"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.filter(hamming <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )

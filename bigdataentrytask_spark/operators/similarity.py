@@ -1,1 +1,243 @@
-"""Placeholder — filled in later this round."""
+"""Similarity search over `embeddings` (north-star layer, SURVEY.md
+§2.8): brute-force cosine top-k as the correctness baseline, an
+IVF-style partitioned variant (coarse cells = `label`), and a
+random-hyperplane LSH variant for the billion-vector scale path.
+
+All vector math is pure Column expressions (functions/vector.py) in
+double precision — no UDFs, no Python in the hot path.
+
+Scale posture:
+* brute-force is O(Q x N) — correct, and fine when Q is small and the
+  candidate side is broadcast; it is the oracle for recall tests.
+* IVF: search only the query's coarse cell — the candidate join key is
+  the cell id, so the shuffle is bounded by cell population, not N.
+* LSH: 8 signed hyperplane projections -> 256 buckets; neighbor search
+  joins on bucket equality. Recall tested against brute force.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdataentrytask_spark.catalog import load_table
+from bigdataentrytask_spark.functions.vector import cosine, norm
+from bigdataentrytask_spark.operators import operator
+from bigdataentrytask_spark.session import ensure_session_confs
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+EMB_DIM = 64
+# Multi-table LSH: L independent tables of B sign-bits each. One table
+# of many bits has near-zero recall on weakly-correlated vectors; the
+# union of L small-bucket tables trades candidate volume for recall
+# (candidates ≈ L * N / 2^B per query).
+LSH_TABLES = 6
+LSH_BITS = 5
+_rng = random.Random(20240814)
+HYPERPLANES = [
+    [[_rng.gauss(0.0, 1.0) for _ in range(EMB_DIM)] for _ in range(LSH_BITS)]
+    for _ in range(LSH_TABLES)
+]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# Shared oracle scaffolding: element-wise double math via DuckDB's
+# positional-zip UNNEST, same accumulation order as Spark's aggregate().
+_SQL_NORMS = """
+    norms AS (
+      SELECT vec_id,
+             sqrt((SELECT SUM(e * e) FROM
+                   (SELECT UNNEST(embedding::DOUBLE[]) AS e) u)) AS nrm
+      FROM embeddings
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-vector norms — the scalar surface of the vector layer.
+# --------------------------------------------------------------------------
+@operator(
+    "embedding_norms",
+    oracle=f"""
+    WITH {_SQL_NORMS}
+    SELECT vec_id, len(embedding) AS dim, ROUND(nrm, 6) AS l2_norm
+    FROM embeddings JOIN norms USING (vec_id)
+    ORDER BY vec_id
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(norm("embedding"), 6).alias("l2_norm"),
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k: query side (10 vectors) broadcast against
+# every candidate; rank with a deterministic tiebreak.
+# --------------------------------------------------------------------------
+@operator(
+    "knn_bruteforce",
+    oracle=f"""
+    WITH {_SQL_NORMS},
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             (SELECT SUM(z.qe * z.ce) FROM
+              (SELECT UNNEST(q.embedding::DOUBLE[]) AS qe,
+                      UNNEST(c.embedding::DOUBLE[]) AS ce) z) AS d
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             d / (nq.nrm * nc.nrm) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d / (nq.nrm * nc.nrm) DESC,
+                                         neighbor_id) AS rnk
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, rnk, neighbor_id, ROUND(sim, 6) AS cosine
+    FROM sims WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    sim = cosine("q_emb", "c_emb")
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "neighbor_id", F.round("sim", 6).alias("cosine"))
+        .orderBy("query_id", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN: `label` is the coarse-quantizer cell (inverted file);
+# search only the query's own cell. Join key = cell id -> shuffle bounded
+# by cell population, never O(N) per query.
+# --------------------------------------------------------------------------
+@operator(
+    "knn_ivf_label",
+    oracle=f"""
+    WITH {_SQL_NORMS},
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             (SELECT SUM(z.qe * z.ce) FROM
+              (SELECT UNNEST(q.embedding::DOUBLE[]) AS qe,
+                      UNNEST(c.embedding::DOUBLE[]) AS ce) z) AS d
+      FROM embeddings q JOIN embeddings c
+        ON q.label = c.label AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             d / (nq.nrm * nc.nrm) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d / (nq.nrm * nc.nrm) DESC,
+                                         neighbor_id) AS rnk
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, rnk, neighbor_id, ROUND(sim, 6) AS cosine
+    FROM sims WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+)
+def knn_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        q.join(c, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine("q_emb", "c_emb"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "neighbor_id", F.round("sim", 6).alias("cosine"))
+        .orderBy("query_id", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH ANN — the billion-vector scale path. Each vector
+# explodes into LSH_TABLES bucket keys (table_id, sign-bit code);
+# candidates are the union of same-bucket matches across tables, then
+# exact-cosine re-ranked. No SQL oracle (the plane constants would make
+# the oracle its own implementation); driver runs rows-only, tests
+# assert recall vs brute force.
+# --------------------------------------------------------------------------
+def _bucket_keys(emb_col: str):
+    """Array of LSH_TABLES (table_id, code) structs for one vector."""
+    keys = []
+    for t, planes in enumerate(HYPERPLANES):
+        bits = []
+        for i, plane in enumerate(planes):
+            arr = F.array(*[F.lit(wv) for wv in plane])
+            proj = F.aggregate(
+                F.zip_with(F.col(emb_col), arr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        keys.append(F.struct(F.lit(t).alias("t"), sum(bits).alias("code")))
+    return F.array(*keys)
+
+
+@operator("knn_lsh")
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(_bucket_keys("embedding")).alias("bucket"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.explode(_bucket_keys("embedding")).alias("bucket"),
+    )
+    cand = (
+        q.join(c, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "neighbor_id", "c_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        cand.withColumn("sim", cosine("q_emb", "c_emb"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "neighbor_id", F.round("sim", 6).alias("cosine"))
+        .orderBy("query_id", "rnk")
+    )

@@ -1,0 +1,59 @@
+"""Differential tests for the north-star layer: text analysis, dedup,
+similarity search."""
+
+import pytest
+
+from bigdataentrytask_spark.operators import ORACLES, REGISTRY, load_all
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+load_all()
+
+ORACLE_BACKED = [
+    "text_token_stats",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "jaccard_pairs",
+    "minhash_dedup",
+    "simhash_pairs",
+    "embedding_norms",
+    "knn_bruteforce",
+    "knn_ivf_label",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_BACKED)
+def test_oracle_match(spark, duck, name):
+    df = REGISTRY[name](spark, SF_DIR)
+    assert_matches_oracle(df, duck, ORACLES[name], name)
+
+
+def test_minhash_estimates_jaccard(spark):
+    """MinHash est_sim must track exact Jaccard on the pairs both find."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["jaccard_pairs"](spark, SF_DIR).collect()
+    }
+    est = {
+        (r.doc_a, r.doc_b): r.est_sim
+        for r in REGISTRY["minhash_dedup"](spark, SF_DIR).collect()
+    }
+    common = exact.keys() & est.keys()
+    assert common, "no overlapping pairs between exact jaccard and minhash"
+    for pair in common:
+        assert abs(exact[pair] - est[pair]) < 0.35, (pair, exact[pair], est[pair])
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """LSH top-k must recall a sane fraction of the true top-k."""
+    bf = {}
+    for r in REGISTRY["knn_bruteforce"](spark, SF_DIR).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    lsh = {}
+    for r in REGISTRY["knn_lsh"](spark, SF_DIR).collect():
+        lsh.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(bf[q] & lsh.get(q, set())) / len(bf[q]) for q in bf
+    ]
+    assert sum(recalls) / len(recalls) > 0.2, recalls
