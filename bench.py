@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the `noop` sink (distributed
+execution, no driver collect) — the honest analog of writing results
+to a downstream table, which is what the reference pipeline does
+(MySQL sinks, /root/reference/doc/temp.md:477-485).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdataentrytask_spark.operators import REGISTRY, load_all
+from bigdataentrytask_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The headline set: reference-parity core + star-schema joins + the
+# north-star scale paths. (jaccard_pairs is deliberately absent: it is
+# the quadratic correctness baseline; minhash_dedup is its scale path.)
+HEADLINE = [
+    "b1_hourly_uv",
+    "q1_cumulative_minute",
+    "q2_tumble_minute",
+    "q3_user_payment",
+    "scalar_time_exprs",
+    "pricing_summary",
+    "regional_revenue",
+    "priority_revenue",
+    "topk_orders_per_segment",
+    "running_revenue_per_customer",
+    "dedup_exact",
+    "text_quality",
+    "minhash_dedup",
+    "simhash_pairs",
+    "knn_bruteforce",
+    "knn_lsh",
+]
+
+
+def main() -> None:
+    load_all()
+    spark = get_spark("bigdataentrytask-bench")
+    # JVM + codegen warmup so the first measured query isn't paying
+    # session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

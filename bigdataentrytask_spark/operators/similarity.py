@@ -219,23 +219,29 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
         F.explode(_bucket_keys("embedding")).alias("bucket"),
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
         F.explode(_bucket_keys("embedding")).alias("bucket"),
     )
+    # dedupe bare id pairs first; re-attach vectors afterwards so the
+    # distinct never shuffles embedding payloads
     cand = (
         q.join(c, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "q_emb", "neighbor_id", "c_emb")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
-        cand.withColumn("sim", cosine("q_emb", "c_emb"))
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("sim", cosine("q_emb", "c_emb"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "rnk", "neighbor_id", F.round("sim", 6).alias("cosine"))

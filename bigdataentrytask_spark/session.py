@@ -39,9 +39,13 @@ def get_spark(
     ``spark-submit``; every other conf below carries over unchanged.
     """
     cpus = default_parallelism()
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        # local mode: the driver JVM hosts all executor threads — the
+        # 1g default would OOM any real shuffle at local[32]
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
