@@ -34,8 +34,10 @@ def load_all() -> None:
     """Import every operator module so REGISTRY is fully populated."""
     from bigdataentrytask_spark.operators import (  # noqa: F401
         dedup,
+        multimodal,
         reference_batch,
         similarity,
         star,
+        streaming_bridge,
         text_analysis,
     )

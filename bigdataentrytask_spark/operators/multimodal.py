@@ -1,0 +1,122 @@
+"""Multimodal column plumbing (north-star layer, SURVEY.md §2.8).
+
+Media assets are opaque `binary` columns plus typed metadata structs —
+the layout a 100 TB training-data lake uses (parquet binary chunks,
+partition-pruned by metadata, lazily decoded). The fixture has no real
+media, so `documents.text` is encoded to bytes as a stand-in payload;
+the Spark-side plumbing — binary schema, Arrow batch shape, mapInPandas
+decode signature, metadata projection — is real and differentially
+tested.
+
+The actual codec step is STUBBED: `decode_image_stub` produces
+deterministic pseudo-features from the bytes (the container has no
+image/audio libraries). Swapping in a real decoder changes only the
+function body — batch shape and schema stay identical — as marked by
+NotImplementedError in `decode_image_real`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataentrytask_spark.catalog import load_table
+from bigdataentrytask_spark.operators import operator
+from bigdataentrytask_spark.session import ensure_session_confs
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, payload binary, meta struct) — the
+    canonical multimodal layout."""
+    ensure_session_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("source").alias("origin"),
+            F.length("text").alias("raw_chars"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """Real codec slot. Body intentionally unimplemented here."""
+    raise NotImplementedError(
+        "no media codecs in this environment; plug Pillow/ffmpeg here — "
+        "callers only depend on the returned dict shape"
+    )
+
+
+def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: Arrow batches in, feature rows out. The stub
+    'decode' derives deterministic pseudo-features from the payload
+    (byte length, 8-byte header fingerprint, fake WxH from two header
+    bytes) — every piece of which is also SQL-expressible, giving the
+    plumbing an exact oracle."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": payloads.map(len),
+                "header_hex": payloads.map(lambda b: b[:8].hex()),
+                "fake_width": payloads.map(lambda b: 1 + b[0] if len(b) else 0),
+                "fake_height": payloads.map(
+                    lambda b: 1 + b[1] if len(b) > 1 else 0
+                ),
+            }
+        )
+
+
+@operator(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))               AS byte_len,
+           lower(hex(encode(substr(text, 1, 8))))   AS header_hex,
+           1 + ord(substr(text, 1, 1))              AS fake_width,
+           1 + ord(substr(text, 2, 1))              AS fake_height
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payloads through the Arrow decode path; metadata column
+    pruned before the UDF so only (doc_id, payload) crosses into
+    Python."""
+    media = media_table(spark, sf_dir).select("doc_id", "payload")
+    out = media.mapInPandas(
+        decode_batches,
+        "doc_id long, byte_len long, header_hex string, "
+        "fake_width long, fake_height long",
+    )
+    return out.orderBy("doc_id")
+
+
+@operator(
+    "multimodal_meta_stats",
+    oracle="""
+    SELECT 'text/plain' AS mime, source AS origin,
+           COUNT(*) AS n, SUM(octet_length(encode(text))) AS total_bytes
+    FROM documents GROUP BY 2 ORDER BY origin
+    """,
+)
+def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation: the binary payload column must be
+    pruned from the scan entirely (the 100 TB point of the layout)."""
+    m = media_table(spark, sf_dir)
+    return (
+        m.groupBy(
+            F.col("meta.mime").alias("mime"), F.col("meta.origin").alias("origin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+        )
+        .orderBy("origin")
+    )

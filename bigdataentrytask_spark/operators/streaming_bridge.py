@@ -1,0 +1,64 @@
+"""Bridge: streaming replays exposed as registry operators.
+
+Each entry executes a real Structured Streaming job (file-source
+replay, availableNow trigger, checkpointed) and returns the
+materialized result — so the driver's differential harness exercises
+the streaming path itself, not just its batch twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdataentrytask_spark.operators import operator
+from bigdataentrytask_spark.streaming import jobs
+
+
+# Q2 streamed: same agg as q2_tumble_minute, but through the streaming
+# engine. Append mode withholds windows the watermark hasn't closed, so
+# the oracle cuts at max(ts) - 5s (the reference's watermark bound,
+# /root/reference/doc/temp.md:303).
+@operator(
+    "stream_tumble_minute",
+    oracle="""
+    SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS buy_cnt
+    FROM events
+    WHERE date_trunc('minute', ts) + INTERVAL 1 MINUTE
+          <= (SELECT MAX(ts) FROM events) - INTERVAL 5 SECOND
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+)
+def stream_tumble_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.run_tumble_minute_replay(spark, sf_dir)
+
+
+# Q3 streamed through the keyed-upsert sink; final sink state must equal
+# the batch group-sum (same oracle as q3_user_payment).
+@operator(
+    "stream_user_totals",
+    oracle="""
+    SELECT user_id, ROUND(SUM(value),2) AS payment
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.run_user_totals_replay(spark, sf_dir)
+
+
+# Q1 streamed: COUNT(DISTINCT) via the two-stage decomposition.
+@operator(
+    "stream_daily_uv",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS date_str,
+           MAX(strftime(ts, '%H:%M')) AS time_str,
+           COUNT(DISTINCT user_id)    AS uv,
+           ROUND(SUM(value),2)        AS payment
+    FROM events
+    GROUP BY 1
+    ORDER BY date_str
+    """,
+)
+def stream_daily_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.run_daily_uv_replay(spark, sf_dir)

@@ -1,0 +1,162 @@
+"""Streaming jobs: the reference's four Flink queries (Q1-Q4,
+/root/reference/doc/temp.md:377-411) as Structured Streaming, each
+runnable deterministically with an availableNow trigger.
+
+| Job | Reference | Mode | Notes |
+|---|---|---|---|
+| tumble_minute      | Q2 :391-394 | append | watermarked 1-min tumble |
+| user_totals        | Q3 :399-402 | update | keyed upsert via foreachBatch |
+| channel_totals     | Q4 :407-410 | update | same shape, event_type key |
+| daily_uv_payment   | Q1 :377-386 | foreachBatch | streaming COUNT(DISTINCT) |
+
+Q1 is the documented hard part (SURVEY.md §7 risk 1): update-mode
+streaming aggregation cannot contain COUNT(DISTINCT). The engine
+follows the standard two-stage decomposition — the *stream* maintains
+per-(date, user) partial aggregates (a supported keyed running agg);
+the *sink* re-aggregates distinct users per date inside foreachBatch,
+merging into the upsert target. State size is O(active keys), the same
+bound Flink's changelog operator needs for the original query.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from bigdataentrytask_spark.functions.time import day_bucket, minute_bucket
+from bigdataentrytask_spark.sinks import KeyedUpsertSink
+from bigdataentrytask_spark.streaming.replay import events_file_stream
+
+
+def tumble_minute(events: DataFrame) -> DataFrame:
+    """Q2: COUNT(*) per 1-minute tumble (append mode plan)."""
+    return (
+        events.groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("buy_cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "buy_cnt",
+        )
+    )
+
+
+def user_totals(events: DataFrame) -> DataFrame:
+    """Q3: unbounded running SUM per user (update mode plan)."""
+    return events.groupBy("user_id").agg(
+        F.round(F.sum("value"), 2).alias("payment")
+    )
+
+
+def channel_totals(events: DataFrame) -> DataFrame:
+    """Q4: unbounded running SUM per channel (update mode plan)."""
+    return events.groupBy(F.col("event_type").alias("channel")).agg(
+        F.round(F.sum("value"), 2).alias("payment"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def daily_user_partials(events: DataFrame) -> DataFrame:
+    """Q1 stage 1: streaming-legal keyed partial agg per (date, user)."""
+    return (
+        events.select(
+            day_bucket("ts").alias("date_str"),
+            minute_bucket("ts").alias("time_str"),
+            "user_id",
+            "value",
+        )
+        .groupBy("date_str", "user_id")
+        .agg(F.max("time_str").alias("time_str"), F.sum("value").alias("payment"))
+    )
+
+
+def reaggregate_daily(partials_sink: KeyedUpsertSink, spark: SparkSession) -> DataFrame:
+    """Q1 stage 2: distinct users / payment per date from the upserted
+    per-(date,user) state — run per micro-batch or on demand."""
+    rows = partials_sink.snapshot()
+    if not rows:
+        return spark.createDataFrame(
+            [], "date_str string, time_str string, uv long, payment double"
+        )
+    df = spark.createDataFrame(
+        rows, "date_str string, user_id long, time_str string, payment double"
+    )
+    return (
+        df.groupBy("date_str")
+        .agg(
+            F.max("time_str").alias("time_str"),
+            F.count("user_id").alias("uv"),
+            F.round(F.sum("payment"), 2).alias("payment"),
+        )
+        .orderBy("date_str")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic replay runners (availableNow): process the whole fixture
+# as micro-batches, then stop. Used by tests and the queries() bridge.
+# ---------------------------------------------------------------------------
+def _run(query: StreamingQuery, timeout_s: int = 300) -> None:
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError("streaming query did not finish replay in time")
+
+
+def run_tumble_minute_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay Q2 end-to-end; returns the emitted (finalized) windows.
+
+    Append mode only emits windows whose end the watermark has passed,
+    so the final (max_ts - 5s) partial window is withheld — mirrored in
+    the oracle's cutoff predicate.
+    """
+    events = events_file_stream(spark, sf_dir)
+    name = f"tumble_replay_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumble_minute(events)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_tumble_"))
+        .start()
+    )
+    _run(q)
+    return spark.table(name).orderBy("window_start")
+
+
+def run_user_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay Q3 through the keyed upsert sink; returns final state —
+    the exact content the reference's MySQL table would hold."""
+    sink = KeyedUpsertSink(["user_id"])
+    events = events_file_stream(spark, sf_dir)
+    q = (
+        user_totals(events)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink.upsert_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_user_"))
+        .start()
+    )
+    _run(q)
+    rows = sink.snapshot()
+    return spark.createDataFrame(rows, "user_id long, payment double").orderBy(
+        "user_id"
+    )
+
+
+def run_daily_uv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay Q1 (streaming distinct via two-stage decomposition)."""
+    sink = KeyedUpsertSink(["date_str", "user_id"])
+    events = events_file_stream(spark, sf_dir)
+    q = (
+        daily_user_partials(events)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink.upsert_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_daily_"))
+        .start()
+    )
+    _run(q)
+    return reaggregate_daily(sink, spark)
