@@ -20,6 +20,7 @@ same posture:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -56,6 +57,13 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
+        # managed tables (bucketed writers) land in tmp, not the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", tempfile.mkdtemp(prefix="spark_wh_")
+            ),
+        )
     )
     spark = builder.getOrCreate()
     # Session-level confs in case an outer harness built the session

@@ -1,0 +1,82 @@
+"""Batch/stream writers: the reference's landing patterns made native.
+
+Reference patterns covered (SURVEY.md §2.1):
+* S9  Hive ORC transactional table, bucketed by order_id into 2 buckets
+  (/root/reference/doc/temp.md:639-648, loaded by Flume :676-705) →
+  `write_bucketed` — a bucketed, sorted table whose bucket key makes
+  subsequent joins/aggs on that key shuffle-free.
+* S10 Flink→HDFS file landing read back by Spark (doc/temp.md:103) →
+  `land_stream_to_parquet` — checkpointed Structured Streaming file
+  sink (exactly-once, replacing Flume's at-least-once memory channel).
+* Date partitioning (the 100 TB posture from SURVEY.md §4): fact
+  tables land as dt=yyyy-MM-dd directories so time-bucket predicates
+  (P3/P4) become partition pruning, not row filtering.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataentrytask_spark.functions.time import day_bucket
+
+
+def write_partitioned_events(
+    events: DataFrame, path: str, fmt: str = "parquet"
+) -> None:
+    """Land the events fact partitioned by event date. At 100 TB the
+    dt= layout turns every trailing-window query (B2) into a partition-
+    pruned scan."""
+    (
+        events.withColumn("dt", day_bucket("ts"))
+        .repartition("dt")  # one writer task per partition dir, no tiny files
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .format(fmt)
+        .save(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 2,
+    fmt: str = "orc",
+) -> None:
+    """Bucketed + sorted managed table — the native analog of the
+    reference's `CLUSTERED BY (order_id) INTO 2 BUCKETS` ORC table
+    (/root/reference/doc/temp.md:648). Joins/aggregations keyed on
+    `bucket_col` between tables bucketed the same way plan with zero
+    exchanges."""
+    (
+        df.write.mode("overwrite")
+        .format(fmt)
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
+
+
+def land_stream_to_parquet(
+    stream: DataFrame, path: str, checkpoint: str | None = None
+):
+    """Checkpointed streaming file sink (S10): exactly-once landing,
+    micro-batch durability without Flume's channel/txn knobs
+    (doc/temp.md:695-700 → ST7)."""
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="ck_land_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_landed(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    return spark.read.format(fmt).load(path)
