@@ -37,6 +37,7 @@ def load_all() -> None:
         multimodal,
         reference_batch,
         similarity,
+        sql_surface,
         star,
         streaming_bridge,
         text_analysis,

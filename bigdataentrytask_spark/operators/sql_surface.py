@@ -1,0 +1,351 @@
+"""Extended SQL surface: the function families a complete engine owes
+its users beyond the reference's minimal set (SURVEY.md §2.2 notes the
+reference uses no JSON/regex/conditional expressions — its JSON
+parsing happens in the connector; `props` gives us the same need in
+batch form).
+
+Includes two operators Spark has no native relational form for —
+as-of join and value-range join — implemented with scale-safe plans
+(window scan, equi-join + residual) rather than O(n^2) theta joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdataentrytask_spark.catalog import load_table
+from bigdataentrytask_spark.operators import operator
+from bigdataentrytask_spark.session import ensure_session_confs
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# JSON extraction — the connector-level JSON of the reference
+# (doc/temp.md:310) as a scalar surface over events.props.
+# --------------------------------------------------------------------------
+@operator(
+    "props_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1 ORDER BY k_bucket
+    """,
+)
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP with grouping flags — subtotal hierarchies (region → nation).
+# --------------------------------------------------------------------------
+@operator(
+    "rollup_revenue",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           GROUPING(r.r_name) AS g_region, GROUPING(n.n_name) AS g_nation,
+           COUNT(*) AS order_cnt, ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    ORDER BY region NULLS FIRST, nation NULLS FIRST
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "o_totalprice",
+        )
+    )
+    return (
+        joined.rollup("region", "nation")
+        .agg(
+            F.grouping("region").alias("g_region"),
+            F.grouping("nation").alias("g_nation"),
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy(F.col("region").asc_nulls_first(), F.col("nation").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (interpolated) per group.
+# --------------------------------------------------------------------------
+@operator(
+    "segment_percentiles",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           ROUND(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+           ROUND(quantile_cont(c_acctbal, 0.9), 6) AS p90,
+           COUNT(*) AS n
+    FROM customer GROUP BY 1 ORDER BY segment
+    """,
+)
+def segment_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(c_acctbal, 0.9)"), 6).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# String-function breadth over part.
+# --------------------------------------------------------------------------
+@operator(
+    "part_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                                   AS brand_u,
+           concat_ws('|', p_brand, p_type)                  AS brand_type,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')            AS size_pad,
+           regexp_extract(p_name, '^([a-z]+)', 1)           AS first_word,
+           length(p_name)                                   AS name_len,
+           replace(p_type, ' ', '_')                        AS type_snake,
+           len(string_split(p_name, ' '))                   AS name_words
+    FROM part ORDER BY p_partkey
+    """,
+)
+def part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.size(F.split("p_name", " ", -1)).alias("name_words"),
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# Conditional expressions: CASE banding + coalesce/nullif.
+# --------------------------------------------------------------------------
+@operator(
+    "order_value_bands",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 1000 THEN 'small'
+                WHEN o_totalprice < 10000 THEN 'mid'
+                ELSE 'large' END AS band,
+           o_orderstatus AS status,
+           COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(nullif(o_orderpriority, '4-NOT SPECIFIED')) AS specified_cnt
+    FROM orders
+    GROUP BY 1, 2 ORDER BY band, status
+    """,
+)
+def order_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 1000, "small")
+        .when(F.col("o_totalprice") < 10000, "mid")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(band.alias("band"), F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.nullif("o_orderpriority", F.lit("4-NOT SPECIFIED"))).alias(
+                "specified_cnt"
+            ),
+        )
+        .orderBy("band", "status")
+    )
+
+
+# --------------------------------------------------------------------------
+# AS-OF join (attribution): each purchase matched to the user's latest
+# view at-or-before it. Spark has no ASOF JOIN; a theta join explodes,
+# so the scale-safe plan is the tagged-union window scan: one shuffle
+# on user_id, running last-view state, O(n log n) total.
+# --------------------------------------------------------------------------
+@operator(
+    "asof_purchase_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           v.event_id AS view_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY purchase_id
+    """,
+)
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    # views sort before purchases at identical timestamps (ASOF >=)
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("prio"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "prio", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("event_id")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("view_id"),
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("view_ts"),
+    )
+    return (
+        attributed.filter(
+            (F.col("event_type") == "purchase") & F.col("view_id").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "view_id",
+            (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Session windows: 30-minute-gap sessionization per user. Spark's
+# F.session_window vs the oracle's gaps-and-islands formulation.
+# --------------------------------------------------------------------------
+@operator(
+    "user_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM sess
+    GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+        )
+        .select("user_id", "session_start", "n_events", "duration_us")
+        .orderBy("user_id", "session_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# Value-range (interval) join: purchases within 5 minutes after a
+# signup by the same user. Equi-join on user_id carries the bulk;
+# the range predicate is a residual filter — no theta-join blowup.
+# --------------------------------------------------------------------------
+@operator(
+    "signup_purchase_within_5m",
+    oracle="""
+    SELECT s.user_id,
+           s.event_id AS signup_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(s.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = s.user_id
+     AND p.ts > s.ts
+     AND p.ts <= s.ts + INTERVAL 5 MINUTE
+    ORDER BY s.user_id, signup_id, purchase_id
+    """,
+)
+def signup_purchase_within_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        s.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") > F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select(
+            "user_id",
+            "signup_id",
+            "purchase_id",
+            (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("gap_us"),
+        )
+        .orderBy("user_id", "signup_id", "purchase_id")
+    )

@@ -1,0 +1,25 @@
+"""Differential tests for the extended SQL-surface operators."""
+
+import pytest
+
+from bigdataentrytask_spark.operators import ORACLES, REGISTRY, load_all
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+load_all()
+
+SURFACE = [
+    "props_json_extract",
+    "rollup_revenue",
+    "segment_percentiles",
+    "part_string_funcs",
+    "order_value_bands",
+    "asof_purchase_attribution",
+    "user_sessions",
+    "signup_purchase_within_5m",
+]
+
+
+@pytest.mark.parametrize("name", SURFACE)
+def test_oracle_match(spark, duck, name):
+    df = REGISTRY[name](spark, SF_DIR)
+    assert_matches_oracle(df, duck, ORACLES[name], name)
