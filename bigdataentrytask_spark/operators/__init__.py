@@ -41,4 +41,5 @@ def load_all() -> None:
         star,
         streaming_bridge,
         text_analysis,
+        windows_pivot,
     )

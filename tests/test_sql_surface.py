@@ -23,3 +23,16 @@ SURFACE = [
 def test_oracle_match(spark, duck, name):
     df = REGISTRY[name](spark, SF_DIR)
     assert_matches_oracle(df, duck, ORACLES[name], name)
+
+
+WINDOWS_PIVOT = [
+    "order_window_functions",
+    "daily_channel_pivot",
+    "cube_status_priority",
+]
+
+
+@pytest.mark.parametrize("name", WINDOWS_PIVOT)
+def test_windows_pivot_oracle_match(spark, duck, name):
+    df = REGISTRY[name](spark, SF_DIR)
+    assert_matches_oracle(df, duck, ORACLES[name], name)
