@@ -42,15 +42,28 @@ def pushed_filters(df: DataFrame) -> str:
     return " ; ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)))
 
 
+def _final_plan(df: DataFrame) -> str:
+    """Executed plan, truncated to AQE's final section (the string
+    otherwise repeats the initial plan and double-counts operators)."""
+    plan = executed_plan(df)
+    marker = "== Initial Plan =="
+    return plan.split(marker)[0] if marker in plan else plan
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Shuffle count in the executed plan (AQE-final where available)."""
-    plan = executed_plan(df)
-    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
+    return len(
+        re.findall(
+            r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)",
+            _final_plan(df),
+        )
+    )
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in executed_plan(df)
+    return "BroadcastHashJoin" in _final_plan(df)
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", executed_plan(df))))
+    """Whole-stage-codegen spans, marked `*(N)` in plan strings."""
+    return len(set(re.findall(r"\*\((\d+)\)", _final_plan(df))))

@@ -1,0 +1,73 @@
+"""JDBC sources/sinks — the reference's MySQL/Hive-over-JDBC edges
+(SURVEY.md §2.1 S4/S5/S7/S8) in native Spark form.
+
+No database exists in this container, so these are the production
+shapes (tested for plan construction only where possible):
+
+* S4 `read_jdbc_table` — partitioned parallel read: WHERE-clause
+  splitting on a numeric column, the scalable form of the reference's
+  single-connection read (/root/reference/doc/temp.md:446-453).
+* S5 Hive: the reference detours through HiveServer2 JDBC plus a
+  custom dialect to un-quote identifiers (Cumulative.java:37-44,
+  97-109). Native Spark reads Hive tables through the catalog
+  (`spark.read.table`), which makes both the detour and the dialect
+  hack disappear — nothing to implement, documented here for parity.
+* S7/S8 `write_jdbc_table` — overwrite/append batch sink
+  (doc/temp.md:477-485; Cumulative.java:84-90).
+* S6 upsert lives in sinks.jdbc_upsert_batch (foreachBatch merge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Parallel JDBC scan. With a partition column, Spark issues
+    `num_partitions` range-split queries — one connection per task —
+    instead of the reference's single-threaded read."""
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
+def write_jdbc_table(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+    batch_size: int = 10_000,
+) -> None:
+    """Batch JDBC write, S7 (overwrite) / S8 (append). rewriteBatched
+    inserts beat the reference's row-at-a-time flush pattern
+    (datagenkafka.py:24) by orders of magnitude."""
+    writer = (
+        df.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
