@@ -1,0 +1,115 @@
+"""Randomized differential testing: generate seeded random
+filter/group/aggregate queries, build the SAME spec as both a Spark
+DataFrame plan and DuckDB SQL, require exact agreement. Catches
+operator-semantics drift the hand-written suite doesn't reach."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataentrytask_spark.catalog import load_table
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+# (table, numeric cols, categorical cols (low cardinality), key col)
+TABLES = {
+    "orders": (
+        ["o_totalprice"],
+        ["o_orderstatus", "o_orderpriority"],
+        "o_orderkey",
+    ),
+    "lineitem": (
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        ["l_returnflag", "l_linestatus"],
+        "l_orderkey",
+    ),
+    "customer": (
+        ["c_acctbal"],
+        ["c_mktsegment"],
+        "c_custkey",
+    ),
+}
+
+# numeric aggs cast the input to double on BOTH sides: Spark keeps
+# SUM(bigint) as long while DuckDB's ROUND promotes to double — the
+# exact kind of type drift this suite exists to keep out of oracles
+def _d(c):
+    return F.col(c).cast("double")
+
+
+AGGS = [
+    ("count", lambda c: F.count(F.lit(1)), lambda c: "COUNT(*)"),
+    ("sum", lambda c: F.round(F.sum(_d(c)), 2), lambda c: f"ROUND(SUM(CAST({c} AS DOUBLE)), 2)"),
+    ("min", lambda c: F.round(F.min(_d(c)), 2), lambda c: f"ROUND(MIN(CAST({c} AS DOUBLE)), 2)"),
+    ("max", lambda c: F.round(F.max(_d(c)), 2), lambda c: f"ROUND(MAX(CAST({c} AS DOUBLE)), 2)"),
+    ("avg", lambda c: F.round(F.avg(_d(c)), 4), lambda c: f"ROUND(AVG(CAST({c} AS DOUBLE)), 4)"),
+    (
+        "cntd",
+        lambda c: F.countDistinct(c),
+        lambda c: f"COUNT(DISTINCT {c})",
+    ),
+]
+
+OPS = [
+    (">", lambda c, v: F.col(c) > v),
+    ("<=", lambda c, v: F.col(c) <= v),
+]
+
+
+def build(seed: int, spark, duck):
+    rng = random.Random(seed)
+    tname = rng.choice(sorted(TABLES))
+    nums, cats, key = TABLES[tname]
+    df = load_table(spark, SF_DIR, tname)
+
+    where_sql = []
+    # numeric range filter at a quantile-ish cutoff drawn from data
+    ncol = rng.choice(nums)
+    q = rng.choice([0.25, 0.5, 0.75])
+    cutoff = round(
+        duck.execute(f"SELECT quantile_cont({ncol}, {q}) FROM {tname}").fetchone()[0], 3
+    )
+    op_s, op_f = rng.choice(OPS)
+    df = df.filter(op_f(ncol, cutoff))
+    where_sql.append(f"{ncol} {op_s} {cutoff}")
+    # optional categorical filter
+    if rng.random() < 0.5:
+        ccol = rng.choice(cats)
+        vals = [
+            r[0]
+            for r in duck.execute(
+                f"SELECT DISTINCT {ccol} FROM {tname} ORDER BY 1"
+            ).fetchall()
+        ]
+        pick = rng.sample(vals, k=min(len(vals), rng.randint(1, 2)))
+        df = df.filter(F.col(ccol).isin(pick))
+        quoted = ", ".join(f"'{v}'" for v in pick)
+        where_sql.append(f"{ccol} IN ({quoted})")
+
+    group_cols = rng.sample(cats, k=rng.randint(0, min(2, len(cats))))
+    n_aggs = rng.randint(1, 3)
+    aggs = rng.sample(AGGS, k=n_aggs)
+    acol = rng.choice(nums + [key])
+
+    spark_aggs = [fn(acol).alias(f"a_{name}") for name, fn, _ in aggs]
+    sql_aggs = ", ".join(f"{sql(acol)} AS a_{name}" for name, _, sql in aggs)
+
+    if group_cols:
+        out = df.groupBy(*group_cols).agg(*spark_aggs).orderBy(*group_cols)
+        sql = (
+            f"SELECT {', '.join(group_cols)}, {sql_aggs} FROM {tname} "
+            f"WHERE {' AND '.join(where_sql)} "
+            f"GROUP BY {', '.join(group_cols)} ORDER BY {', '.join(group_cols)}"
+        )
+    else:
+        out = df.agg(*spark_aggs)
+        sql = f"SELECT {sql_aggs} FROM {tname} WHERE {' AND '.join(where_sql)}"
+    return out, sql
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_random_query(spark, duck, seed):
+    df, sql = build(seed, spark, duck)
+    assert_matches_oracle(df, duck, sql, f"seed{seed}: {sql}")
