@@ -41,10 +41,15 @@ HEADLINE = [
     "running_revenue_per_customer",
     "dedup_exact",
     "text_quality",
+    "tfidf_top_term",
     "minhash_dedup",
     "simhash_pairs",
     "knn_bruteforce",
     "knn_lsh",
+    "asof_purchase_attribution",
+    "user_sessions",
+    "order_window_functions",
+    "rollup_revenue",
 ]
 
 

@@ -11,7 +11,7 @@ final tiny agg.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdataentrytask_spark.catalog import load_table
@@ -232,5 +232,92 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
         .select("doc_id", F.md5(normalize_text("text")).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Top bigrams: corpus-wide 2-gram frequencies with deterministic top-k.
+# Bigram lists are built inside codegen (transform over index sequence);
+# only the exploded (bigram) column shuffles to the count agg.
+# --------------------------------------------------------------------------
+@operator(
+    "top_bigrams",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    bigrams AS (
+      SELECT z[1] || ' ' || z[2] AS bigram
+      FROM (SELECT UNNEST(list_zip(toks, toks[2:])) AS z FROM toks)
+      WHERE z[2] IS NOT NULL
+    ),
+    counted AS (
+      SELECT bigram, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rnk
+      FROM bigrams GROUP BY bigram
+    )
+    SELECT rnk, bigram, cnt FROM counted WHERE rnk <= 20 ORDER BY rnk
+    """,
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn("toks", tokens("text"))
+    bigrams = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(toks) - 2, -1)),"
+                " i -> concat(toks[i], ' ', toks[i + 1]))"
+            )
+        ).alias("bigram")
+    )
+    counted = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    # take the top-20 with TakeOrdered (no global sort of the full
+    # vocabulary), then rank just those 20 rows
+    top = counted.orderBy(F.col("cnt").desc(), "bigram").limit(20)
+    w = Window.orderBy(F.col("cnt").desc(), "bigram")
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .select("rnk", "bigram", "cnt")
+        .orderBy("rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF: classic relevance scoring — term frequency per doc, document
+# frequency over the corpus, top term per doc by tf*idf. Two shuffles
+# (doc-term agg, df agg) + one broadcast-sized join on term.
+# --------------------------------------------------------------------------
+@operator(
+    "tfidf_top_term",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({sql_tokens('text')}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(n.n / df.df), 6) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                 ORDER BY tf.tf * ln(n.n / df.df) DESC, tf.term) AS rnk
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term AS top_term, tfidf FROM scored WHERE rnk = 1
+    ORDER BY doc_id
+    """,
+)
+def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()  # corpus size: one scalar, computed once
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), F.round("score", 6).alias("tfidf"))
         .orderBy("doc_id")
     )

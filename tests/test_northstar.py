@@ -13,6 +13,8 @@ ORACLE_BACKED = [
     "text_quality",
     "lang_id",
     "doc_fingerprint",
+    "top_bigrams",
+    "tfidf_top_term",
     "dedup_exact",
     "jaccard_pairs",
     "minhash_dedup",

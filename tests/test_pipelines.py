@@ -1,0 +1,72 @@
+"""End-to-end topology tests: both reference architectures replayed."""
+
+from bigdataentrytask_spark import pipelines
+from bigdataentrytask_spark.operators import REGISTRY, load_all
+from tests.conftest import SF_DIR_SMALL
+
+load_all()
+
+
+def test_offline_topology_matches_direct_query(spark, tmp_path):
+    """stream → landing → batch agg → publish must equal the direct
+    b1_hourly_uv over the fixture."""
+    via_pipeline = [
+        tuple(r)
+        for r in pipelines.offline_topology(
+            spark, SF_DIR_SMALL, str(tmp_path / "out")
+        ).collect()
+    ]
+    direct = [tuple(r) for r in REGISTRY["b1_hourly_uv"](spark, SF_DIR_SMALL).collect()]
+    assert via_pipeline == direct
+
+
+def test_realtime_topology_all_four_queries(spark):
+    """Four concurrent streaming queries; each sink's final state must
+    match its batch twin."""
+    sinks = pipelines.realtime_topology(spark, SF_DIR_SMALL)
+
+    users = {
+        r["user_id"]: r["payment"] for r in sinks["payment_user_list"].snapshot()
+    }
+    batch_users = {
+        r.user_id: r.payment
+        for r in REGISTRY["q3_user_payment"](spark, SF_DIR_SMALL).collect()
+    }
+    assert users == batch_users
+
+    channels = {
+        r["channel"]: (r["payment"], r["cnt"])
+        for r in sinks["payment_channels_list"].snapshot()
+    }
+    batch_channels = {
+        r.channel: (r.payment, r.cnt)
+        for r in REGISTRY["q4_channel_payment"](spark, SF_DIR_SMALL).collect()
+    }
+    assert channels == batch_channels
+
+    # tumble sink: subset of batch windows (watermark withholds the tail)
+    tumble = {
+        r["window_start"]: r["buy_cnt"] for r in sinks["buy_cnt_per_min"].snapshot()
+    }
+    batch_tumble = {
+        r.window_start: r.buy_cnt
+        for r in REGISTRY["q2_tumble_minute"](spark, SF_DIR_SMALL).collect()
+    }
+    assert set(tumble) <= set(batch_tumble)
+    assert len(batch_tumble) - len(tumble) <= 2
+    assert all(batch_tumble[k] == v for k, v in tumble.items())
+
+    # daily partials re-aggregate to the Q1 batch result
+    from bigdataentrytask_spark.streaming.jobs import reaggregate_daily
+
+    daily = [
+        (r.date_str, r.uv, r.payment)
+        for r in reaggregate_daily(
+            sinks["cumulative_payment_uv_partials"], spark
+        ).collect()
+    ]
+    batch_daily = [
+        (r.date_str, r.uv, r.payment)
+        for r in REGISTRY["q1_daily_uv_payment"](spark, SF_DIR_SMALL).collect()
+    ]
+    assert daily == batch_daily
