@@ -349,3 +349,23 @@ def signup_purchase_within_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "signup_id", "purchase_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate percentiles — the sketch form (KLL/GK-style) of
+# segment_percentiles for the 100 TB path: mergeable sketches, no sort.
+# No SQL oracle (algorithm-specific); tests bound the error against the
+# exact quantiles.
+# --------------------------------------------------------------------------
+@operator("segment_percentiles_approx")
+def segment_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.percentile_approx("c_acctbal", 0.5, 1000).alias("p50"),
+            F.percentile_approx("c_acctbal", 0.9, 1000).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("segment")
+    )

@@ -106,3 +106,40 @@ def test_orc_roundtrip(spark, tmp_path):
     back = spark.read.format("orc").load(path)
     assert back.count() == ev.count()
     assert set(back.columns) == {"event_id", "user_id", "value"}
+
+
+def test_mock_generator_deterministic_and_in_range(spark):
+    """S1/S2 parity: distributed generator is reproducible and obeys
+    the reference's distributions."""
+    from bigdataentrytask_spark.sources.generator import mock_orders
+
+    a = mock_orders(spark, 1000, num_partitions=8).collect()
+    b = mock_orders(spark, 1000, num_partitions=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # partition-invariant
+    for r in a:
+        assert 1 <= r.user_id <= 5000
+        assert 1 <= r.amount <= 10000
+        assert 0 <= r.channel_id <= 200
+        assert r.order_tz == "beijing" and r.currency == "rmb"
+        assert 10**14 <= r.order_id < 10**15
+
+
+def test_approx_percentile_bounded_error(spark, duck):
+    from bigdataentrytask_spark.operators import REGISTRY
+    from tests.conftest import SF_DIR
+
+    approx = {
+        r.segment: (r.p50, r.p90)
+        for r in REGISTRY["segment_percentiles_approx"](spark, SF_DIR).collect()
+    }
+    exact = {
+        s: (p50, p90)
+        for s, p50, p90 in duck.execute(
+            "SELECT c_mktsegment, quantile_cont(c_acctbal, 0.5), "
+            "quantile_cont(c_acctbal, 0.9) FROM customer GROUP BY 1"
+        ).fetchall()
+    }
+    for seg in exact:
+        for i in (0, 1):
+            spread = abs(exact[seg][i]) + 1
+            assert abs(approx[seg][i] - exact[seg][i]) / spread < 0.05
