@@ -369,3 +369,110 @@ def segment_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# Datetime arithmetic breadth: truncation, extraction, diffs, offsets.
+# (Spark dayofweek is 1-based Sunday-first; the oracle normalizes.)
+# --------------------------------------------------------------------------
+@operator(
+    "order_date_exprs",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(date_trunc('week',  o_orderdate), '%Y-%m-%d') AS week_start,
+           dayofweek(o_orderdate)                                 AS dow,
+           dayofyear(o_orderdate)                                 AS doy,
+           weekofyear(o_orderdate)                                AS week,
+           datediff('day', o_orderdate, TIMESTAMP '2002-01-01')   AS days_to_2002,
+           strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d')    AS due_90d,
+           strftime(last_day(o_orderdate), '%Y-%m-%d')            AS month_end
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def order_date_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_trunc("week", d), "yyyy-MM-dd").alias("week_start"),
+        (F.dayofweek(d) - 1).alias("dow"),  # Spark: 1=Sun; oracle: 0=Sun
+        F.dayofyear(d).alias("doy"),
+        F.weekofyear(d).alias("week"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp_ntz"), d).alias(
+            "days_to_2002"
+        ),
+        F.date_format(F.date_add(d.cast("date"), 90), "yyyy-MM-dd").alias("due_90d"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Unpivot (melt): the inverse of daily_channel_pivot — wide metric
+# columns back to (date, channel, value) long form.
+# --------------------------------------------------------------------------
+@operator(
+    "daily_channel_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS date_str,
+             ROUND(COALESCE(SUM(CASE WHEN event_type = 'click'    THEN value END), 0.0), 2) AS click,
+             ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0.0), 2) AS purchase,
+             ROUND(COALESCE(SUM(CASE WHEN event_type = 'view'     THEN value END), 0.0), 2) AS view
+      FROM events GROUP BY 1
+    )
+    SELECT date_str, channel, amount FROM (
+      SELECT date_str, 'click' AS channel, click AS amount FROM wide
+      UNION ALL SELECT date_str, 'purchase', purchase FROM wide
+      UNION ALL SELECT date_str, 'view', view FROM wide
+    ) ORDER BY date_str, channel
+    """,
+)
+def daily_channel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    chans = ["click", "purchase", "view"]
+    wide = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date_str"))
+        .pivot("event_type", chans)
+        .agg(F.sum("value"))
+        .select(
+            "date_str",
+            *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 2).alias(c) for c in chans],
+        )
+    )
+    return wide.unpivot(
+        "date_str", chans, "channel", "amount"
+    ).orderBy("date_str", "channel")
+
+
+# --------------------------------------------------------------------------
+# Salted two-phase aggregation — identical semantics to q3_user_payment,
+# restated for hot-key skew: phase 1 aggregates on (key, salt) spreading
+# any hot user over SALT_BUCKETS reducers, phase 2 merges partials. The
+# oracle is the plain group-by (semantic equivalence IS the test).
+# --------------------------------------------------------------------------
+SALT_BUCKETS = 16
+
+
+@operator(
+    "salted_user_payment",
+    oracle="""
+    SELECT user_id, ROUND(SUM(value),2) AS payment
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def salted_user_payment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    phase1 = (
+        ev.withColumn(
+            "salt", (F.abs(F.xxhash64("event_id")) % SALT_BUCKETS)
+        )
+        .groupBy("user_id", "salt")
+        .agg(F.sum("value").alias("partial"))
+    )
+    return (
+        phase1.groupBy("user_id")
+        .agg(F.round(F.sum("partial"), 2).alias("payment"))
+        .orderBy("user_id")
+    )

@@ -29,6 +29,9 @@ WINDOWS_PIVOT = [
     "order_window_functions",
     "daily_channel_pivot",
     "cube_status_priority",
+    "order_date_exprs",
+    "daily_channel_unpivot",
+    "salted_user_payment",
 ]
 
 
