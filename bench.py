@@ -63,12 +63,18 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
 
+    # best-of-2: the first execution of a plan pays whole-stage-codegen
+    # compilation (hundreds of ms to seconds); steady-state throughput
+    # is what a long-running cluster job sees.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -191,6 +191,9 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into ONE array column: the signature table is (doc_id, 32 longs) —
     # tiny relative to the corpus, so it broadcasts and the candidate
     # verification join never shuffles wide rows.
+    # NOT cached: measured slower through the block cache than
+    # recomputing — the band-explode fuses into the agg's codegen when
+    # the lineage stays live, and the signature pipeline is cheap
     mh = hashes.groupBy("doc_id").agg(
         F.array(
             *[
@@ -327,22 +330,24 @@ def _sql_simhash_expr() -> str:
     """)(_sql_simhash_expr()),
 )
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = (
+    # weight = occurrence count, summed implicitly: one ±1 contribution
+    # per token OCCURRENCE is identical to cnt * ±1 per distinct token,
+    # and drops the (doc_id, tok) pre-aggregation shuffle entirely —
+    # the only shuffle left is the per-doc bit-sum agg (map-side
+    # partials over the exploded stream).
+    hashes = (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    hashes = toks.select(
-        "doc_id",
-        "cnt",
-        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
     )
     bitsums = hashes.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.col("cnt") * (2 * F.shiftright("h", i).bitwiseAND(F.lit(1)) - 1)
-            ).alias(f"s{i}")
+            F.sum(2 * F.shiftright("h", i).bitwiseAND(F.lit(1)) - 1).alias(f"s{i}")
             for i in range(SIMHASH_BITS)
         ]
     )

@@ -217,14 +217,15 @@ def _bucket_keys(emb_col: str):
 @operator("knn_lsh")
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(_bucket_keys("embedding")).alias("bucket"),
+    # bucket every vector ONCE (cached) — the query side is a filter of
+    # the same bucketed frame, not a second 30-projection pass
+    bucketed = e.select(
+        "vec_id", F.explode(_bucket_keys("embedding")).alias("bucket")
+    ).cache()
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "bucket"
     )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.explode(_bucket_keys("embedding")).alias("bucket"),
-    )
+    c = bucketed.select(F.col("vec_id").alias("neighbor_id"), "bucket")
     # dedupe bare id pairs first; re-attach vectors afterwards so the
     # distinct never shuffles embedding payloads
     cand = (
