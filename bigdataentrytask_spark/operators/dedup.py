@@ -398,3 +398,59 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup resolution: near-dup PAIRS -> KEEP/DROP decision. Connected
+# components over the minhash pair graph by iterative min-label
+# propagation (each round: label[d] = min(label[d], labels of
+# neighbors)); the component's minimum doc_id is the canonical keeper.
+# Iterative -> not SQL-expressible -> rows-only for the driver; the
+# pytest twin recomputes components with union-find and asserts
+# equality. Scale: each round is one join + one agg on the pair
+# edge list; rounds needed = graph diameter (tiny for dup clusters).
+# --------------------------------------------------------------------------
+MAX_CC_ITERS = 20
+
+
+@operator("dedup_resolve")
+def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    # undirected edge list, both directions
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    for _ in range(MAX_CC_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("component"),
+        (F.col("doc_id") == F.col("label")).alias("keep"),
+    ).orderBy("doc_id")

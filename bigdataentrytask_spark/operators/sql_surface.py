@@ -476,3 +476,67 @@ def salted_user_payment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("partial"), 2).alias("payment"))
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Data profiling: per-column null/distinct/min/max in ONE pass (multi
+# countDistinct plans as a single expand + aggregate; min/max stringified
+# for a uniform row schema), then stacked to long form.
+# --------------------------------------------------------------------------
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+)
+
+
+@operator(
+    "profile_orders",
+    oracle=f"""
+    WITH wide AS (
+      SELECT COUNT(*) AS n_rows,
+             {", ".join(
+                 f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_{c}, "
+                 f"COUNT(DISTINCT {c}) AS dist_{c}, "
+                 f"CAST(MIN({c}) AS VARCHAR) AS min_{c}, "
+                 f"CAST(MAX({c}) AS VARCHAR) AS max_{c}"
+                 for c in _PROFILE_COLS
+             )}
+      FROM orders
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, n_rows, null_{c} AS n_null, "
+        f"dist_{c} AS n_distinct, min_{c} AS min_value, max_{c} AS max_value "
+        f"FROM wide"
+        for c in _PROFILE_COLS
+    )}
+    ORDER BY column_name
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}"),
+            F.countDistinct(c).alias(f"dist_{c}"),
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
+    )
+    return (
+        wide.selectExpr(
+            "n_rows",
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_null, n_distinct, min_value, max_value)",
+        )
+        .select(
+            "column_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value"
+        )
+        .orderBy("column_name")
+    )

@@ -59,3 +59,44 @@ def test_lsh_recall_vs_bruteforce(spark):
         len(bf[q] & lsh.get(q, set())) / len(bf[q]) for q in bf
     ]
     assert sum(recalls) / len(recalls) > 0.2, recalls
+
+
+def test_dedup_resolve_matches_union_find(spark):
+    """Iterative CC labels must equal a driver-side union-find over the
+    same minhash pairs; keepers are the component minima."""
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["minhash_dedup"](spark, SF_DIR).collect()
+    ]
+    resolved = {
+        r.doc_id: (r.component, r.keep)
+        for r in REGISTRY["dedup_resolve"](spark, SF_DIR).collect()
+    }
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    for d in resolved:
+        find(d)  # ensure registered
+    # canonical min-label per component
+    comp_min: dict = {}
+    for d in resolved:
+        root = find(d)
+        comp_min.setdefault(root, d)
+        comp_min[root] = min(comp_min[root], d)
+    for d, (component, keep) in resolved.items():
+        expected = comp_min[find(d)]
+        assert component == expected, (d, component, expected)
+        assert keep == (d == expected)

@@ -32,6 +32,7 @@ WINDOWS_PIVOT = [
     "order_date_exprs",
     "daily_channel_unpivot",
     "salted_user_payment",
+    "profile_orders",
 ]
 
 
