@@ -321,3 +321,66 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("term").alias("top_term"), F.round("score", 6).alias("tfidf"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Quality filter: the composed pre-training gate — keep documents that
+# clear length, quality-score, and language thresholds. The operators
+# above produce the signals; this is the decision an LLM data pipeline
+# actually ships. Predicates are pushable; at 100 TB this is a single
+# filtered scan.
+# --------------------------------------------------------------------------
+MIN_CHARS = 100
+MIN_QUALITY = 0.40
+KEEP_LANGS = ("en", "es", "fr")
+
+
+@operator(
+    "quality_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             ROUND(
+               0.5 * ((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                      / CAST(GREATEST(length(text), 1) AS DOUBLE))
+             + 0.5 * (CASE WHEN len({sql_tokens('text')}) = 0 THEN 0.0
+                      ELSE len(list_filter({sql_tokens('text')},
+                           x -> list_contains({_SW_LIST_SQL}, x)))
+                           / CAST(len({sql_tokens('text')}) AS DOUBLE) END), 4)
+               AS quality_score
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, quality_score
+    FROM scored
+    WHERE n_chars >= {MIN_CHARS}
+      AND quality_score >= {MIN_QUALITY}
+      AND lang IN {KEEP_LANGS}
+    ORDER BY doc_id
+    """,
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = tokens("text")
+    sw_array = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_toks = F.size(toks)
+    sw_n = F.size(F.filter(toks, lambda x: F.array_contains(sw_array, x))).cast(
+        "double"
+    )
+    len_d = F.greatest(F.length("text"), F.lit(1)).cast("double")
+    alpha_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
+    ).cast("double") / len_d
+    stopword_ratio = F.when(n_toks == 0, F.lit(0.0)).otherwise(
+        sw_n / n_toks.cast("double")
+    )
+    score = F.round(0.5 * alpha_ratio + 0.5 * stopword_ratio, 4)
+    return (
+        d.withColumn("quality_score", score)
+        .filter(
+            (F.col("n_chars") >= MIN_CHARS)
+            & (F.col("quality_score") >= MIN_QUALITY)
+            & F.col("lang").isin(*KEEP_LANGS)
+        )
+        .select("doc_id", "lang", "n_chars", "quality_score")
+        .orderBy("doc_id")
+    )

@@ -100,3 +100,12 @@ def test_dedup_resolve_matches_union_find(spark):
         expected = comp_min[find(d)]
         assert component == expected, (d, component, expected)
         assert keep == (d == expected)
+
+
+def test_quality_filter_oracle(spark, duck):
+    assert_matches_oracle(
+        REGISTRY["quality_filter"](spark, SF_DIR),
+        duck,
+        ORACLES["quality_filter"],
+        "quality_filter",
+    )
