@@ -160,3 +160,59 @@ def run_daily_uv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run(q)
     return reaggregate_daily(sink, spark)
+
+
+def stream_stream_attribution(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: purchases joined to same-user
+    signups within the preceding 5 minutes — the streaming form of the
+    batch `signup_purchase_within_5m` range join. Both sides carry the
+    source watermark; the time-range condition bounds join state, so
+    Spark can evict buffered rows once the watermark passes
+    (state-size-safe for unbounded streams)."""
+    s = events.select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
+        "event_type",
+    ).filter(F.col("event_type") == "signup")
+    p = events.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "event_type",
+    ).filter(F.col("event_type") == "purchase")
+    return (
+        s.join(
+            p,
+            (F.col("s_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select(
+            F.col("s_user").alias("user_id"),
+            "signup_id",
+            "purchase_id",
+            (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("gap_us"),
+        )
+    )
+
+
+def run_stream_stream_attribution_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic replay of the stream-stream join."""
+    import uuid
+
+    events = events_file_stream(spark, sf_dir)
+    name = f"ss_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_stream_attribution(events)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_ssj_"))
+        .start()
+    )
+    _run(q)
+    return spark.table(name).orderBy("user_id", "signup_id", "purchase_id")

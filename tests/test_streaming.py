@@ -83,3 +83,50 @@ def test_stateful_sessionizer_matches_batch(spark):
     }
     extra = got - batch_all
     assert not extra, f"extra {len(extra)}: {sorted(extra)[:3]}"
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Inner stream-stream interval join over a fully-replayed source
+    must equal the batch range join exactly."""
+    from bigdataentrytask_spark.streaming.jobs import (
+        run_stream_stream_attribution_replay,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in run_stream_stream_attribution_replay(spark, SF_DIR).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["signup_purchase_within_5m"](spark, SF_DIR).collect()
+    )
+    assert got == want
+
+
+def test_from_json_malformed_rows_are_permissive(spark):
+    """Connector-format JSON robustness: malformed payloads must yield
+    NULL-field rows (PERMISSIVE), never fail the stream."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", LongType())]
+    )
+    df = spark.createDataFrame(
+        [
+            ('{"k": 1, "v": 2}',),
+            ("not json at all",),
+            ('{"k": "wrong-type"}',),
+            (None,),
+            ('{"k": 3}',),
+        ],
+        "payload string",
+    ).select(F.from_json("payload", schema).alias("j"))
+    rows = df.select("j.k", "j.v").collect()
+    assert [tuple(r) for r in rows] == [
+        (1, 2),
+        (None, None),
+        (None, None),
+        (None, None),
+        (3, None),
+    ]
