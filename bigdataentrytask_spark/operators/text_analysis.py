@@ -384,3 +384,123 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars", "quality_score")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/validation split: md5-hash bucketing on doc_id —
+# reproducible on any cluster size, no RNG state, stable under
+# re-partitioning (the property random() splits lack).
+# --------------------------------------------------------------------------
+TRAIN_PERMILLE = 900  # 90/10 split
+
+
+@operator(
+    "train_test_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))::BIGINT
+                     % 1000 < {TRAIN_PERMILLE}
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return d.select(
+        "doc_id",
+        F.when(bucket < TRAIN_PERMILLE, "train").otherwise("val").alias("split"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# LLM token estimation: BPE-ish regex segmentation (letter runs, single
+# digits, punctuation marks) — the standard cheap proxy for tokenizer
+# cost before the real tokenizer runs.
+# --------------------------------------------------------------------------
+_BPEISH_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+@operator(
+    "llm_token_estimate",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{_BPEISH_RE}')) AS est_tokens,
+           length(text) AS n_chars,
+           ROUND(length(text) /
+                 GREATEST(len(regexp_extract_all(lower(text), '{_BPEISH_RE}')), 1),
+                 4) AS chars_per_token
+    FROM documents ORDER BY doc_id
+    """,
+)
+def llm_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    est = F.regexp_count(F.lower("text"), F.lit(_BPEISH_RE))
+    return d.select(
+        "doc_id",
+        est.alias("est_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(
+            F.length("text") / F.greatest(est, F.lit(1)).cast("double"), 4
+        ).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Dataset mixing: per-source sampling weights applied via deterministic
+# hash thresholds — the corpus-mixture step of a pre-training pipeline
+# (e.g. upweight clean sources, downsample crawl). Reproducible, no RNG.
+# --------------------------------------------------------------------------
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}  # others: 0.1
+_MIX_DEFAULT = 0.1
+
+
+def _mix_case_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {int(w * 1000)}" for s, w in _MIX_WEIGHTS.items()
+    )
+    return f"CASE {cases} ELSE {int(_MIX_DEFAULT * 1000)} END"
+
+
+@operator(
+    "dataset_mix",
+    oracle=f"""
+    SELECT source, COUNT(*) AS kept
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT
+          % 1000 < {_mix_case_sql()}
+    GROUP BY source ORDER BY source
+    """,
+)
+def dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    threshold = F.lit(int(_MIX_DEFAULT * 1000))
+    for s, w in reversed(list(_MIX_WEIGHTS.items())):
+        threshold = F.when(F.col("source") == s, int(w * 1000)).otherwise(threshold)
+    return (
+        d.filter(bucket < threshold)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .orderBy("source")
+    )

@@ -15,6 +15,10 @@ ORACLE_BACKED = [
     "doc_fingerprint",
     "top_bigrams",
     "tfidf_top_term",
+    "train_test_split",
+    "llm_token_estimate",
+    "dataset_mix",
+    "quality_filter",
     "dedup_exact",
     "jaccard_pairs",
     "minhash_dedup",
