@@ -120,3 +120,58 @@ def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("origin")
     )
+
+
+# --------------------------------------------------------------------------
+# Frame sampling: fixed-size chunking of the binary payload (stand-in
+# for video frames) + every-k-th selection + per-frame feature — the
+# decode-free plumbing of a video pipeline. Pure column expressions:
+# chunk indices come from `sequence`, features from byte arithmetic.
+# --------------------------------------------------------------------------
+FRAME_BYTES = 64
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+@operator(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id,
+             i AS frame_idx,
+             length(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_len,
+             ord(substr(text, i * {FRAME_BYTES} + 1, 1)) AS first_byte
+      FROM documents,
+           UNNEST(range(0, CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT))) t(i)
+      WHERE i % {FRAME_STRIDE} = 0
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_sampled_frames,
+           SUM(frame_len) AS sampled_bytes,
+           SUM(first_byte) AS feature_sum
+    FROM frames GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    frames = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(length(text) / {FRAME_BYTES}.0) AS INT) - 1),"
+                f" i -> named_struct("
+                f"   'frame_idx', i,"
+                f"   'frame_len', length(substring(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})),"
+                f"   'first_byte', ascii(substring(text, i * {FRAME_BYTES} + 1, 1))))"
+            )
+        ).alias("f"),
+    ).filter(F.col("f.frame_idx") % FRAME_STRIDE == 0)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled_frames"),
+            F.sum("f.frame_len").alias("sampled_bytes"),
+            F.sum("f.first_byte").alias("feature_sum"),
+        )
+        .orderBy("doc_id")
+    )

@@ -504,3 +504,50 @@ def dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("kept"))
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing: email/phone/ssn-shaped substrings replaced by typed
+# placeholder tags — the redaction pass of a training-data pipeline.
+# Patterns kept RE2-compatible (no backrefs/lookaround) so Spark (Java
+# regex) and the DuckDB oracle (RE2) agree byte-for-byte.
+# --------------------------------------------------------------------------
+_PII_PATTERNS = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}", "<PHONE>"),
+    (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+)
+
+
+def scrub_pii(col):
+    out = F.col(col) if isinstance(col, str) else col
+    for pattern, tag in _PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
+def _sql_scrub(expr: str) -> str:
+    out = expr
+    for pattern, tag in _PII_PATTERNS:
+        escaped = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{escaped}', '{tag}', 'g')"
+    return out
+
+
+@operator(
+    "pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_sql_scrub('text')}) AS scrubbed_fp,
+           length(text) - length({_sql_scrub('text')}) AS chars_removed
+    FROM documents ORDER BY doc_id
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    scrubbed = scrub_pii("text")
+    return d.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_fp"),
+        (F.length("text") - F.length(scrubbed)).alias("chars_removed"),
+    ).orderBy("doc_id")

@@ -216,3 +216,27 @@ def run_stream_stream_attribution_replay(
     )
     _run(q)
     return spark.table(name).orderBy("user_id", "signup_id", "purchase_id")
+
+
+def run_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: `dropDuplicates` on the event key
+    with watermark-bounded state (duplicate arrivals beyond the
+    watermark age out of state — the scale contract for unbounded
+    streams). Replay output must equal batch DISTINCT."""
+    import uuid
+
+    events = events_file_stream(spark, sf_dir)
+    deduped = events.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "value"
+    )
+    name = f"dedup_replay_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_dedup_"))
+        .start()
+    )
+    _run(q)
+    return spark.table(name).orderBy("event_id")

@@ -19,6 +19,8 @@ ORACLE_BACKED = [
     "llm_token_estimate",
     "dataset_mix",
     "quality_filter",
+    "pii_scrub",
+    "multimodal_frame_sample",
     "dedup_exact",
     "jaccard_pairs",
     "minhash_dedup",

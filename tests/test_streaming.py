@@ -130,3 +130,21 @@ def test_from_json_malformed_rows_are_permissive(spark):
         (None, None),
         (3, None),
     ]
+
+
+def test_stream_dedup_equals_batch_distinct(spark):
+    from bigdataentrytask_spark.streaming.jobs import run_stream_dedup_replay
+
+    got = run_stream_dedup_replay(spark, SF_DIR)
+    src = REGISTRY["q3_user_payment"](spark, SF_DIR)  # warm fixture only
+    from bigdataentrytask_spark.catalog import load_table
+
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "value")
+    )
+    assert got.count() == batch.count()
+    assert got.selectExpr("round(sum(value), 2)").collect() == batch.selectExpr(
+        "round(sum(value), 2)"
+    ).collect()

@@ -69,3 +69,35 @@ def test_tokenizer_never_emits_empty(spark):
     got = _spark_rows(spark, tokens("txt"))
     for toks in got:
         assert "" not in list(toks)
+
+
+def test_pii_scrub_redacts(spark, duck):
+    """PII patterns actually redact, identically in both engines."""
+    import pandas as pd
+
+    from bigdataentrytask_spark.operators.text_analysis import (
+        _sql_scrub,
+        scrub_pii,
+    )
+
+    samples = [
+        "contact me at john.doe+spam@example.co.uk today",
+        "call +1-415-555-2671 or (415) 555 2671",
+        "ssn 123-45-6789 leaked",
+        "no pii here at all",
+        "a@b.io and 987-65-4321 and +86 138 1234 5678",
+    ]
+    sdf = spark.createDataFrame([(t,) for t in samples], "txt string")
+    got = [r.v for r in sdf.select(scrub_pii("txt").alias("v")).collect()]
+    duck.register("pii_texts", pd.DataFrame({"txt": samples}))
+    want = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT {_sql_scrub('txt')} FROM pii_texts"
+        ).fetchall()
+    ]
+    assert got == want
+    assert "<EMAIL>" in got[0] and "@" not in got[0]
+    assert "<PHONE>" in got[1]
+    assert "<SSN>" in got[2]
+    assert got[3] == samples[3]
