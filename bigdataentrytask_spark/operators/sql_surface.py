@@ -540,3 +540,44 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# --------------------------------------------------------------------------
+# spark.sql surface: the engine exposes SQL text over registered views
+# (the reference's temp-view bridge, doc/temp.md:456 / Cumulative.java:54)
+# — exercised here with a correlated scalar subquery + EXISTS, which
+# Catalyst decorrelates into joins (no per-row re-execution).
+# --------------------------------------------------------------------------
+@operator(
+    "sql_correlated_subquery",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment AS segment,
+           (SELECT ROUND(MAX(o_totalprice), 2) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS max_order,
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT') AS urgent_cnt
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataentrytask_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               c_mktsegment AS segment,
+               (SELECT ROUND(MAX(o_totalprice), 2) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_order,
+               (SELECT COUNT(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT') AS urgent_cnt
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey
+        """
+    )

@@ -33,6 +33,7 @@ WINDOWS_PIVOT = [
     "daily_channel_unpivot",
     "salted_user_payment",
     "profile_orders",
+    "sql_correlated_subquery",
 ]
 
 
