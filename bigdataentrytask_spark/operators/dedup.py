@@ -415,40 +415,51 @@ MAX_CC_ITERS = 20
 
 @operator("dedup_resolve")
 def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="cc_")
+    # Materialize the edge list to parquet FIRST: the iteration must
+    # never drag the minhash DAG (band broadcasts, Arrow verification)
+    # through its lineage — that both recomputes per round and holds
+    # heap in small-driver sessions (observed OOM at 1g). On a cluster
+    # this is the standard "cut lineage before iterating" posture
+    # (same role as checkpointing).
     pairs = minhash_dedup(spark, sf_dir).select("doc_a", "doc_b")
-    docs = _docs(spark, sf_dir).select("doc_id")
-    # undirected edge list, both directions
-    edges = pairs.union(
+    pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
-    for _ in range(MAX_CC_ITERS):
+    ).write.mode("overwrite").parquet(f"{work}/edges")
+    edges = spark.read.parquet(f"{work}/edges")
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    docs.select("doc_id", F.col("doc_id").alias("label")).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/labels_0")
+    labels = spark.read.parquet(f"{work}/labels_0")
+
+    for it in range(MAX_CC_ITERS):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .persist()
+        new_labels = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
         )
+        # round-trip through parquet: constant-size plans every round
+        new_labels.write.mode("overwrite").parquet(f"{work}/labels_{it + 1}")
+        new_labels = spark.read.parquet(f"{work}/labels_{it + 1}")
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(
         "doc_id",
         F.col("label").alias("component"),
