@@ -122,3 +122,68 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("status").asc_nulls_first(), F.col("priority").asc_nulls_first())
     )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS with explicit set list — finer control than ROLLUP/CUBE
+# (exactly the two single-dimension subtotals plus the grand total).
+# --------------------------------------------------------------------------
+@operator(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY status NULLS FIRST, priority NULLS FIRST
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataentrytask_spark.catalog import register_views
+
+    ensure_session_confs(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Ordered array aggregation: top-3 account balances per segment as an
+# ARRAY result — collect_list has no deterministic order, so the
+# contract is sort-then-slice (matching the oracle's ordered list agg).
+# --------------------------------------------------------------------------
+@operator(
+    "segment_top_balances",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           list(ROUND(c_acctbal, 2) ORDER BY c_acctbal DESC, c_custkey)[1:3]
+             AS top_balances
+    FROM customer GROUP BY 1 ORDER BY segment
+    """,
+)
+def segment_top_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    # struct sort gives the deterministic (balance desc, custkey) order:
+    # sort ascending on (-balance, custkey), then project the balance
+    packed = F.array_sort(
+        F.collect_list(
+            F.struct(
+                (-F.col("c_acctbal")).alias("neg"), F.col("c_custkey").alias("ck")
+            )
+        )
+    )
+    top = F.slice(
+        F.transform(packed, lambda s: F.round(-s["neg"], 2)), 1, 3
+    )
+    return (
+        c.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(top.alias("top_balances"))
+        .orderBy("segment")
+    )

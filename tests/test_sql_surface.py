@@ -34,6 +34,8 @@ WINDOWS_PIVOT = [
     "salted_user_payment",
     "profile_orders",
     "sql_correlated_subquery",
+    "grouping_sets_orders",
+    "segment_top_balances",
 ]
 
 
