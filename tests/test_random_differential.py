@@ -113,3 +113,62 @@ def build(seed: int, spark, duck):
 def test_random_query(spark, duck, seed):
     df, sql = build(seed, spark, duck)
     assert_matches_oracle(df, duck, sql, f"seed{seed}: {sql}")
+
+
+# ---------------------------------------------------------------------------
+# Randomized JOIN specs: same idea, two-table equi-joins with filters and
+# grouped aggregates, built identically for both engines.
+# ---------------------------------------------------------------------------
+JOINS = [
+    # (left, right, left_key, right_key)
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+]
+JOIN_GROUPS = {
+    "orders": ["o_orderstatus", "o_orderpriority"],
+    "customer": ["c_mktsegment"],
+    "lineitem": ["l_returnflag", "l_linestatus"],
+    "nation": ["n_name"],
+}
+JOIN_MEASURES = {
+    "orders": "o_totalprice",
+    "customer": "c_acctbal",
+    "lineitem": "l_extendedprice",
+    "nation": "n_nationkey",
+}
+
+
+def build_join(seed: int, spark, duck):
+    rng = random.Random(10_000 + seed)
+    lname, rname, lkey, rkey = rng.choice(JOINS)
+    ldf = load_table(spark, SF_DIR, lname)
+    rdf = load_table(spark, SF_DIR, rname)
+    how = rng.choice(["inner", "left"])
+    gcol = rng.choice(JOIN_GROUPS[lname] + JOIN_GROUPS[rname])
+    mtbl = rng.choice([lname, rname])
+    mcol = JOIN_MEASURES[mtbl]
+
+    joined = ldf.join(rdf, F.col(lkey) == F.col(rkey), how)
+    out = (
+        joined.groupBy(gcol)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col(mcol).cast("double")), 2).alias("m_sum"),
+        )
+        .orderBy(gcol)
+    )
+    jt = "JOIN" if how == "inner" else "LEFT JOIN"
+    sql = (
+        f"SELECT {gcol}, COUNT(*) AS cnt, "
+        f"ROUND(SUM(CAST({mcol} AS DOUBLE)), 2) AS m_sum "
+        f"FROM {lname} {jt} {rname} ON {lname}.{lkey} = {rname}.{rkey} "
+        f"GROUP BY {gcol} ORDER BY {gcol}"
+    )
+    return out, sql
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_join_query(spark, duck, seed):
+    df, sql = build_join(seed, spark, duck)
+    assert_matches_oracle(df, duck, sql, f"jseed{seed}: {sql}")
