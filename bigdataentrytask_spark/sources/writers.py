@@ -80,3 +80,49 @@ def land_stream_to_parquet(
 
 def read_landed(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     return spark.read.format(fmt).load(path)
+
+
+def merge_upsert_parquet(
+    spark: SparkSession,
+    base_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """Batch MERGE into a parquet table: rows matching on the key are
+    replaced by the update, new keys are appended — the lakehouse-
+    native analog of the reference's MySQL `ON DUPLICATE KEY UPDATE`
+    sink (/root/reference/doc/temp.md:322-329). Implemented as an
+    anti-join rewrite (keep base rows whose key has no update, union
+    the updates). Without a transaction log the swap is
+    write-temp-then-replace; Delta/Iceberg provide the atomic commit in
+    production — the plan shape (anti-join + union) is identical.
+    """
+    base = spark.read.parquet(base_path)
+    keep = base.join(updates.select(*key_cols), key_cols, "left_anti")
+    merged = keep.unionByName(updates)
+    tmp = base_path.rstrip("/") + "__merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    # re-materialize over the original path (non-atomic without a table
+    # format; see docstring)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(base_path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_rows: int = 1_000_000,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(rows/target) files. Streaming sinks and incremental merges
+    accumulate small files; at scale, scan throughput collapses without
+    periodic compaction (file-open overhead + lost vectorization).
+    Returns the new file count."""
+    import math
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    parts = max(1, math.ceil(n / target_file_rows))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.repartition(parts).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    return parts

@@ -143,3 +143,39 @@ def test_approx_percentile_bounded_error(spark, duck):
         for i in (0, 1):
             spread = abs(exact[seg][i]) + 1
             assert abs(approx[seg][i] - exact[seg][i]) / spread < 0.05
+
+
+def test_merge_upsert_parquet(spark, tmp_path):
+    """MERGE semantics: matched keys replaced, new keys appended."""
+    base_path = str(tmp_path / "merge_base")
+    ev = load_table(spark, SF_DIR_SMALL, "events").select(
+        "event_id", "user_id", "value"
+    )
+    ev.write.parquet(base_path)
+    n0 = ev.count()
+    updates = spark.createDataFrame(
+        [(0, 999, 111.0), (1, 999, 222.0), (10**9, 999, 333.0)],
+        "event_id long, user_id long, value double",
+    )
+    writers.merge_upsert_parquet(spark, base_path, updates, ["event_id"])
+    merged = spark.read.parquet(base_path)
+    assert merged.count() == n0 + 1  # two replaced, one appended
+    got = {
+        r.event_id: (r.user_id, r.value)
+        for r in merged.filter(F.col("event_id").isin(0, 1, 10**9)).collect()
+    }
+    assert got == {0: (999, 111.0), 1: (999, 222.0), 10**9: (999, 333.0)}
+
+
+def test_compact_parquet(spark, tmp_path):
+    import glob
+
+    path = str(tmp_path / "compact_me")
+    ev = load_table(spark, SF_DIR_SMALL, "events").select("event_id", "value")
+    ev.repartition(64).write.parquet(path)  # deliberately fragment
+    assert len(glob.glob(path + "/part-*")) >= 32
+    total = ev.count()
+    writers.compact_parquet(spark, path, target_file_rows=10_000)
+    files = glob.glob(path + "/part-*")
+    assert len(files) == 1  # 6k rows -> one file
+    assert spark.read.parquet(path).count() == total
