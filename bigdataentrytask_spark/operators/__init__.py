@@ -33,6 +33,7 @@ def operator(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def load_all() -> None:
     """Import every operator module so REGISTRY is fully populated."""
     from bigdataentrytask_spark.operators import (  # noqa: F401
+        analytics,
         dedup,
         multimodal,
         reference_batch,

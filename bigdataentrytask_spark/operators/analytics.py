@@ -1,0 +1,231 @@
+"""Behavioral-analytics operators: funnels, cohort retention, argmax
+selection, histogram binning.
+
+The reference pipeline computes flat keyed aggregates over the order
+stream (/root/reference/doc/temp.md:377-411); these operators are the
+canonical next analytical questions on the same fact table ("how do
+users move through event stages", "do cohorts come back", "which entity
+peaked") — all expressed as declarative DataFrame plans so Catalyst
+keeps pushdown/pruning, and every shuffle is on a bounded key
+(user_id / group key), never a driver-side loop.
+
+Scale posture (100 TB):
+* Funnel stages chain per-user aggregations — each stage is a
+  map-side-combinable min() on the SAME user_id key, so with AQE the
+  three shuffles reuse one partitioning; state per user is O(1).
+* Cohort retention joins per-user first-seen (|users| rows, far
+  smaller than the fact) back to distinct user-weeks; both sides hash
+  on user_id. At true scale first_seen would be an incrementally
+  maintained dimension, not recomputed — documented, same plan shape.
+* max_by/min_by are single-pass partial aggregates (no window sort,
+  no row_number shuffle-the-world) — the cheapest argmax at scale.
+* Histogram bins are integer math at the scan; one shuffle on ~20
+  bucket keys with map-side partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataentrytask_spark.catalog import load_table
+from bigdataentrytask_spark.operators import operator
+from bigdataentrytask_spark.session import ensure_session_confs
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel: view -> click -> purchase. Each stage's entry time is
+# the user's first qualifying event STRICTLY AFTER the previous stage's
+# entry time (the classic strict-sequence funnel). Emits one summary row
+# with stage populations and step conversion rates.
+# --------------------------------------------------------------------------
+@operator(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT COUNT(v.user_id)                                    AS n_view,
+           COUNT(c.user_id)                                    AS n_click,
+           COUNT(p.user_id)                                    AS n_purchase,
+           ROUND(COUNT(c.user_id) / COUNT(v.user_id), 6)       AS view_to_click,
+           ROUND(COUNT(p.user_id) / COUNT(c.user_id), 6)       AS click_to_purchase
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_view = F.count("t_view")
+    n_click = F.count("t_click")
+    n_purchase = F.count("t_purchase")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            n_view.alias("n_view"),
+            n_click.alias("n_click"),
+            n_purchase.alias("n_purchase"),
+            F.round(n_click / n_view, 6).alias("view_to_click"),
+            F.round(n_purchase / n_click, 6).alias("click_to_purchase"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Weekly cohort retention: users grouped by the Monday-start week of
+# their first event; for each (cohort, week-offset) the count of cohort
+# members active that week. Weeks as DATE strings (both engines
+# truncate weeks to Monday).
+# --------------------------------------------------------------------------
+@operator(
+    "cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS activity_week
+      FROM events
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.activity_week) // 7 AS BIGINT)
+               AS week_offset,
+           COUNT(*) AS active_users
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("activity_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("activity_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# --------------------------------------------------------------------------
+# Argmax selection via max_by/min_by: per order status, the key and
+# priority of the single most expensive order (and the cheapest key).
+# Deterministic because the tie-break struct ends in the unique
+# o_orderkey. Oracle uses the equivalent ROW_NUMBER formulation.
+# --------------------------------------------------------------------------
+@operator(
+    "status_extreme_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           mx.o_orderkey                 AS top_order,
+           mx.o_orderpriority            AS top_priority,
+           ROUND(mx.o_totalprice, 2)     AS top_price,
+           mn.o_orderkey                 AS bottom_order
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) mx
+    JOIN (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+      FROM orders
+    ) mn USING (o_orderstatus)
+    WHERE mx.rn = 1 AND mn.rn = 1
+    ORDER BY o_orderstatus
+    """,
+)
+def status_extreme_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    rank = F.struct("o_totalprice", "o_orderkey")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderkey", rank).alias("top_order"),
+            F.max_by("o_orderpriority", rank).alias("top_priority"),
+            F.round(F.max("o_totalprice"), 2).alias("top_price"),
+            F.min_by("o_orderkey", rank).alias("bottom_order"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-width histogram of order totals: integer bucket index from
+# floor division — pure scan-side integer math, one tiny shuffle.
+# --------------------------------------------------------------------------
+HIST_BIN_WIDTH = 25_000
+
+
+@operator(
+    "order_price_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(o_totalprice / {HIST_BIN_WIDTH}) AS BIGINT) AS bucket,
+           COUNT(*)                     AS cnt,
+           ROUND(MIN(o_totalprice), 2)  AS lo,
+           ROUND(MAX(o_totalprice), 2)  AS hi
+    FROM orders
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / HIST_BIN_WIDTH).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

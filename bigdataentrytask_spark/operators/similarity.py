@@ -248,3 +248,50 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rnk", "neighbor_id", F.round("sim", 6).alias("cosine"))
         .orderBy("query_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Symmetric int8 quantization per vector: scale = max|x| / 127,
+# q_i = round(x_i * 127 / max|x|). The standard embedding-store
+# compression (4x smaller than float32, 8x than float64). All math is
+# double-precision higher-order-functions (transform/aggregate) in
+# codegen — IEEE-identical on both engines, so even this numeric op is
+# exactly differential-testable. Zero shuffles: scan -> project.
+# --------------------------------------------------------------------------
+@operator(
+    "embedding_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 127 /
+                     list_aggregate(list_transform(embedding,
+                       y -> abs(CAST(y AS DOUBLE))), 'max')) AS BIGINT)) AS qv
+      FROM embeddings
+      WHERE list_aggregate(list_transform(embedding,
+              y -> abs(CAST(y AS DOUBLE))), 'max') > 0
+    )
+    SELECT vec_id,
+           list_aggregate(qv, 'sum')                                   AS q_sum,
+           list_aggregate(list_transform(qv, v -> abs(v)), 'max')      AS q_peak
+    FROM q ORDER BY vec_id
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    absd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    amax = F.array_max(absd)
+    qv = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 127 / F.col("amax")).cast("long")
+    )
+    return (
+        e.withColumn("amax", amax)
+        .filter(F.col("amax") > 0)
+        .withColumn("qv", qv)
+        .select(
+            "vec_id",
+            F.aggregate("qv", F.lit(0).cast("long"), lambda a, v: a + v).alias("q_sum"),
+            F.array_max(F.transform("qv", lambda v: F.abs(v))).alias("q_peak"),
+        )
+        .orderBy("vec_id")
+    )

@@ -551,3 +551,94 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(scrubbed).alias("scrubbed_fp"),
         (F.length("text") - F.length(scrubbed)).alias("chars_removed"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Repetition ratio (Gopher-style quality signal): 1 - distinct/total
+# words. High values mean a doc repeats itself — the single strongest
+# cheap predictor of low-quality scraped text. Pure codegen expressions
+# over the word array; no shuffle at all (scan -> project).
+# --------------------------------------------------------------------------
+REPETITION_FLAG = 0.5
+
+
+@operator(
+    "repetition_ratio",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' '))                     AS total_words,
+           len(list_distinct(string_split(text, ' ')))      AS distinct_words,
+           ROUND(1 - len(list_distinct(string_split(text, ' ')))
+                     / len(string_split(text, ' ')), 6)     AS repetition,
+           (1 - len(list_distinct(string_split(text, ' ')))
+                / len(string_split(text, ' '))) > {REPETITION_FLAG} AS flagged
+    FROM documents
+    WHERE len(string_split(text, ' ')) > 0
+    ORDER BY doc_id
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    total = F.size(words)
+    distinct = F.size(F.array_distinct(words))
+    ratio = 1 - distinct / total
+    return (
+        d.filter(total > 0)
+        .select(
+            "doc_id",
+            total.cast("long").alias("total_words"),
+            distinct.cast("long").alias("distinct_words"),
+            F.round(ratio, 6).alias("repetition"),
+            (ratio > REPETITION_FLAG).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sample: md5-bucket doc_id, keep PCT% within
+# every source stratum. Unlike df.sample()/TABLESAMPLE this is stable
+# under any partitioning / cluster size / re-run — the property a
+# training-data pipeline needs for reproducible subsets. The predicate
+# is scan-side codegen; aggregation shuffles only |sources| keys.
+# --------------------------------------------------------------------------
+SAMPLE_PCT = 20
+
+
+@operator(
+    "stratified_sample",
+    oracle=f"""
+    SELECT source,
+           COUNT(*)        AS sampled_docs,
+           SUM(n_chars)    AS sampled_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 8))::BIGINT
+          % 100 < {SAMPLE_PCT}
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        d.filter(bucket < SAMPLE_PCT)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_docs"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,51 @@
+"""Differential tests for the behavioral-analytics batch and the
+round-2 pipeline operators (funnel/cohort/argmax/histogram +
+repetition/sampling/quantization)."""
+
+import pytest
+
+from bigdataentrytask_spark.operators import ORACLES, REGISTRY, load_all
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+load_all()
+
+ANALYTICS_QUERIES = [
+    "funnel_view_click_purchase",
+    "cohort_retention",
+    "status_extreme_orders",
+    "order_price_histogram",
+    "repetition_ratio",
+    "stratified_sample",
+    "embedding_quantize",
+]
+
+
+@pytest.mark.parametrize("name", ANALYTICS_QUERIES)
+def test_oracle_match(spark, duck, name):
+    df = REGISTRY[name](spark, SF_DIR)
+    assert_matches_oracle(df, duck, ORACLES[name], name)
+
+
+def test_funnel_monotone(spark):
+    """Stage populations must be non-increasing (strict-sequence funnel)."""
+    row = REGISTRY["funnel_view_click_purchase"](spark, SF_DIR).collect()[0]
+    assert row.n_view >= row.n_click >= row.n_purchase > 0
+
+
+def test_stratified_sample_fraction(spark, duck):
+    """Each stratum keeps roughly SAMPLE_PCT% (md5 bucketing is uniform)."""
+    sampled = {
+        r.source: r.sampled_docs
+        for r in REGISTRY["stratified_sample"](spark, SF_DIR).collect()
+    }
+    totals = dict(
+        duck.execute("SELECT source, COUNT(*) FROM documents GROUP BY 1").fetchall()
+    )
+    overall = sum(sampled.values()) / sum(totals.values())
+    assert 0.1 < overall < 0.3, overall
+
+
+def test_quantize_peak_is_127(spark):
+    """Symmetric int8: the max-|component| element quantizes to ±127."""
+    rows = REGISTRY["embedding_quantize"](spark, SF_DIR).collect()
+    assert rows and all(r.q_peak == 127 for r in rows)
