@@ -62,3 +62,23 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_daily_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.run_daily_uv_replay(spark, sf_dir)
+
+
+# Hopping window streamed: the tumble generalization, append mode.
+# Every hop whose window-end exceeds max(ts) - 5s is withheld by the
+# watermark; the oracle applies the same per-hop cutoff.
+@operator(
+    "stream_sliding_5m",
+    oracle="""
+    SELECT strftime(date_trunc('minute', ts) - to_minutes(k),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS cnt
+    FROM events, range(0, 5) t(k)
+    WHERE date_trunc('minute', ts) - to_minutes(k) + INTERVAL 5 MINUTE
+          <= (SELECT MAX(ts) FROM events) - INTERVAL 5 SECOND
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+)
+def stream_sliding_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.run_sliding_replay(spark, sf_dir)

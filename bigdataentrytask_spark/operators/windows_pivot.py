@@ -187,3 +187,74 @@ def segment_top_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(top.alias("top_balances"))
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding (hopping) window: 5-minute windows advancing every minute —
+# the generalization of the reference's 1-min tumble
+# (/root/reference/doc/temp.md:391-394; tumble == slide where
+# hop = width). Spark expands each row into width/hop assignments
+# before the hash-agg; the oracle mirrors that expansion with a
+# LATERAL range(5). Shuffle key is the window start (bounded
+# cardinality), partials map-side.
+# --------------------------------------------------------------------------
+@operator(
+    "sliding_window_5m_1m",
+    oracle="""
+    SELECT strftime(date_trunc('minute', ts) - to_minutes(k),
+                    '%Y-%m-%d %H:%M:%S')   AS window_start,
+           COUNT(*)                        AS cnt,
+           ROUND(SUM(value), 2)            AS payment
+    FROM events, range(0, 5) t(k)
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+)
+def sliding_window_5m_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("payment"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "cnt",
+            "payment",
+        )
+        .orderBy("window_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-RANGE window frame: per-user revenue over the trailing hour at
+# every event — RANGE BETWEEN on epoch seconds, so rows with equal
+# timestamps share a frame (deterministic under ties, unlike a ROWS
+# frame). One sort-shuffle on user_id; frame state is a sliding sum.
+# --------------------------------------------------------------------------
+@operator(
+    "trailing_hour_user_revenue",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch_ns(ts) // 1000000000
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_1h
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def trailing_hour_user_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("order_time")  # epoch seconds (catalog-derived, exact)
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("trailing_1h"),
+    ).orderBy("event_id")

@@ -240,3 +240,36 @@ def run_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run(q)
     return spark.table(name).orderBy("event_id")
+
+
+def sliding_5m(events: DataFrame) -> DataFrame:
+    """Hopping window: 5-minute windows advancing every minute (append
+    mode plan) — the generalization of Q2's tumble
+    (/root/reference/doc/temp.md:391-394)."""
+    return (
+        events.groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "cnt",
+        )
+    )
+
+
+def run_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the hopping-window agg; append mode withholds every
+    window whose end the 5s watermark has not passed (same cutoff rule
+    as run_tumble_minute_replay, applied per-hop)."""
+    events = events_file_stream(spark, sf_dir)
+    name = f"sliding_replay_{uuid.uuid4().hex[:8]}"
+    q = (
+        sliding_5m(events)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_slide_"))
+        .start()
+    )
+    _run(q)
+    return spark.table(name).orderBy("window_start")

@@ -17,6 +17,8 @@ ANALYTICS_QUERIES = [
     "repetition_ratio",
     "stratified_sample",
     "embedding_quantize",
+    "sliding_window_5m_1m",
+    "trailing_hour_user_revenue",
 ]
 
 

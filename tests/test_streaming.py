@@ -8,7 +8,12 @@ from tests.conftest import SF_DIR, assert_matches_oracle
 
 load_all()
 
-STREAMING = ["stream_tumble_minute", "stream_user_totals", "stream_daily_uv"]
+STREAMING = [
+    "stream_tumble_minute",
+    "stream_user_totals",
+    "stream_daily_uv",
+    "stream_sliding_5m",
+]
 MULTIMODAL = ["multimodal_decode", "multimodal_meta_stats"]
 
 
