@@ -126,3 +126,63 @@ def compact_parquet(
     df.repartition(parts).write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
     return parts
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    effective_ts: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge, as one declarative plan.
+
+    `dim` carries (key_cols, tracked_cols, valid_from, valid_to,
+    is_current); `updates` carries (key_cols, tracked_cols). Keys whose
+    tracked attributes changed get their current version closed
+    (valid_to = effective_ts) and a new open version appended; brand-new
+    keys get an open version; unchanged keys pass through untouched.
+
+    The reference's sinks overwrite state per key (MySQL upsert,
+    /root/reference/doc/temp.md:322-329) — SCD2 is the auditable
+    variant a warehouse actually wants: history is kept, and a point-in-time
+    lookup is just a `valid_from <= t < valid_to` predicate.
+
+    Plan shape: one join of dim⋈updates on the key (both sides hashed
+    on key_cols — at scale the dim would be bucketed on the key so this
+    is shuffle-free) + a union of three branches; no window, no loop.
+    """
+    from pyspark.sql import functions as F
+
+    changed_cond = F.lit(False)
+    for c in tracked_cols:
+        changed_cond = changed_cond | ~F.col(f"d.{c}").eqNullSafe(F.col(f"u.{c}"))
+
+    d = dim.alias("d")
+    u = updates.alias("u")
+    key = [F.col(f"d.{k}") == F.col(f"u.{k}") for k in key_cols]
+
+    current = d.filter(F.col("is_current"))
+    history = d.filter(~F.col("is_current")).select("d.*")
+
+    joined = current.join(u, key, "full_outer")
+    k0 = F.col(f"d.{key_cols[0]}")
+    uk0 = F.col(f"u.{key_cols[0]}")
+
+    untouched = joined.filter(uk0.isNull() | (k0.isNotNull() & ~changed_cond)).select(
+        "d.*"
+    )
+    closed = (
+        joined.filter(k0.isNotNull() & uk0.isNotNull() & changed_cond)
+        .select("d.*")
+        .withColumn("valid_to", F.lit(effective_ts).cast("timestamp_ntz"))
+        .withColumn("is_current", F.lit(False))
+    )
+    opened = (
+        joined.filter(uk0.isNotNull() & (k0.isNull() | changed_cond))
+        .select("u.*")
+        .withColumn("valid_from", F.lit(effective_ts).cast("timestamp_ntz"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp_ntz"))
+        .withColumn("is_current", F.lit(True))
+    )
+    return history.unionByName(untouched).unionByName(closed).unionByName(opened)
