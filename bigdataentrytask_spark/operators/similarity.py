@@ -295,3 +295,53 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs: every unordered pair whose
+# cosine clears the threshold — the semantic-dedup primitive (minhash/
+# simhash catch lexical dups; embedding cosine catches paraphrases).
+# This is the exact correctness baseline: upper-triangle comparison
+# with one broadcast side. The 100 TB path reuses the LSH bucketing
+# above (`_bucket_keys`) to generate candidates and verifies each with
+# this exact predicate — same cosine expression, linear candidate
+# volume instead of O(N^2).
+# Threshold applies to the 6-decimal-rounded value so both engines
+# make the identical boundary decision.
+# --------------------------------------------------------------------------
+NEARDUP_COS = 0.4
+
+
+@operator(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    WITH {_SQL_NORMS},
+    sims AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND((SELECT SUM(z.ae * z.be) FROM
+                    (SELECT UNNEST(a.embedding::DOUBLE[]) AS ae,
+                            UNNEST(b.embedding::DOUBLE[]) AS be) z)
+                   / (na.nrm * nb.nrm), 6) AS cosine
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < b.vec_id
+      JOIN norms na ON na.vec_id = a.vec_id
+      JOIN norms nb ON nb.vec_id = b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM sims
+    WHERE cosine >= {NEARDUP_COS}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
+    return (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cosine("a_emb", "b_emb"), 6))
+        .filter(F.col("cosine") >= NEARDUP_COS)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )

@@ -28,6 +28,7 @@ ORACLE_BACKED = [
     "embedding_norms",
     "knn_bruteforce",
     "knn_ivf_label",
+    "embedding_neardup_pairs",
 ]
 
 
