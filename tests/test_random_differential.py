@@ -172,3 +172,90 @@ def build_join(seed: int, spark, duck):
 def test_random_join_query(spark, duck, seed):
     df, sql = build_join(seed, spark, duck)
     assert_matches_oracle(df, duck, sql, f"jseed{seed}: {sql}")
+
+
+# ---------------------------------------------------------------------------
+# Randomized WINDOW-function specs: one partition/order spec, 1-2 window
+# functions drawn per seed, built identically for both engines. The
+# order key ends in the unique table key so every function is
+# deterministic (ties impossible).
+# ---------------------------------------------------------------------------
+from pyspark.sql import Window  # noqa: E402
+
+WIN_FUNCS = [
+    (
+        "rn",
+        lambda c, w, wf: F.row_number().over(w),
+        lambda c: "ROW_NUMBER() OVER w",
+    ),
+    (
+        "rnk",
+        lambda c, w, wf: F.rank().over(w),
+        lambda c: "RANK() OVER w",
+    ),
+    (
+        "lagv",
+        lambda c, w, wf: F.round(F.coalesce(F.lag(_d(c)).over(w), F.lit(0.0)), 2),
+        lambda c: f"ROUND(COALESCE(LAG(CAST({c} AS DOUBLE)) OVER w, 0.0), 2)",
+    ),
+    (
+        "leadv",
+        lambda c, w, wf: F.round(F.coalesce(F.lead(_d(c)).over(w), F.lit(0.0)), 2),
+        lambda c: f"ROUND(COALESCE(LEAD(CAST({c} AS DOUBLE)) OVER w, 0.0), 2)",
+    ),
+    (
+        "runsum",
+        lambda c, w, wf: F.round(F.sum(_d(c)).over(wf), 2),
+        lambda c: f"ROUND(SUM(CAST({c} AS DOUBLE)) OVER wf, 2)",
+    ),
+]
+
+
+# per-table ordering suffix. The synthetic fixtures enforce no PK —
+# lineitem even contains fully duplicated (orderkey, linenumber) rows —
+# so the window ordering additionally ends in the MEASURED column:
+# any remaining tie then implies an equal measure, making every window
+# function's output multiset engine-independent.
+UNIQUE_KEYS = {
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+}
+
+
+def build_window(seed: int, spark, duck):
+    rng = random.Random(20_000 + seed)
+    tname = rng.choice(sorted(TABLES))
+    nums, cats, _ = TABLES[tname]
+    ukeys = UNIQUE_KEYS[tname]
+    pcol = rng.choice(cats)
+    ocol = rng.choice(nums)
+    funcs = rng.sample(WIN_FUNCS, k=rng.randint(1, 2))
+    mcol = rng.choice(nums)
+
+    df = load_table(spark, SF_DIR, tname)
+    order_cols = [ocol, *ukeys, mcol]
+    w = Window.partitionBy(pcol).orderBy(*order_cols)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df.select(
+        *ukeys,
+        pcol,
+        *[fn(mcol, w, wf).alias(f"w_{name}") for name, fn, _ in funcs],
+    ).orderBy(*ukeys)
+    sel = ", ".join(f"{sql(mcol)} AS w_{name}" for name, _, sql in funcs)
+    keys = ", ".join(ukeys)
+    order = ", ".join(order_cols)
+    sql = (
+        f"SELECT {keys}, {pcol}, {sel} FROM {tname} "
+        f"WINDOW w AS (PARTITION BY {pcol} ORDER BY {order}), "
+        f"wf AS (PARTITION BY {pcol} ORDER BY {order} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        f"ORDER BY {keys}"
+    )
+    return out, sql
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_window_query(spark, duck, seed):
+    df, sql = build_window(seed, spark, duck)
+    assert_matches_oracle(df, duck, sql, f"wseed{seed}: {sql}")
