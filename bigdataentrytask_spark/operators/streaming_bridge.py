@@ -82,3 +82,22 @@ def stream_daily_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_sliding_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.run_sliding_replay(spark, sf_dir)
+
+
+# Stream-static enrichment join: per-batch broadcast of the dim side,
+# zero streaming state. Oracle recomputes the deterministic weight dim
+# inline.
+@operator(
+    "stream_channel_weighted",
+    oracle="""
+    SELECT event_type AS channel,
+           ROUND(SUM(value * ((length(event_type) % 3 + 1) / 2.0)), 2)
+               AS weighted_revenue,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1
+    ORDER BY channel
+    """,
+)
+def stream_channel_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.run_stream_static_enrichment_replay(spark, sf_dir)

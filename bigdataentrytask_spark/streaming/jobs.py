@@ -273,3 +273,56 @@ def run_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run(q)
     return spark.table(name).orderBy("window_start")
+
+
+def stream_static_enrichment(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a batch
+    dimension (the canonical "fact stream ⋈ dim table" pattern the
+    reference's star-schema gap implies, SURVEY.md §2.4). The static
+    side re-resolves per micro-batch and broadcasts — no streaming
+    state at all, unlike a stream-stream join. Running weighted
+    revenue per channel, update mode."""
+    return (
+        events.join(F.broadcast(dim), "event_type")
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias(
+                "weighted_revenue"
+            ),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def run_stream_static_enrichment_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic replay through the keyed upsert sink."""
+    from bigdataentrytask_spark.catalog import load_table
+
+    # deterministic per-channel weight dim (stands in for a real
+    # dimension table; derivation is pure column math)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn(
+            "weight",
+            (F.length("event_type") % 3 + 1).cast("double") / 2.0,
+        )
+    )
+    sink = KeyedUpsertSink(["channel"])
+    events = events_file_stream(spark, sf_dir)
+    q = (
+        stream_static_enrichment(events, dim)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink.upsert_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_enrich_"))
+        .start()
+    )
+    _run(q)
+    rows = sink.snapshot()
+    return spark.createDataFrame(
+        rows, "channel string, weighted_revenue double, cnt long"
+    ).orderBy("channel")

@@ -179,3 +179,46 @@ def test_compact_parquet(spark, tmp_path):
     files = glob.glob(path + "/part-*")
     assert len(files) == 1  # 6k rows -> one file
     assert spark.read.parquet(path).count() == total
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """At 100 TB a selective dim-side predicate should cut the fact
+    scan via a runtime bloom filter (Spark injects a bloom_filter_agg
+    on the creation side and a might_contain probe on the fact side).
+    Local fixtures sit under the default size thresholds, so the test
+    lowers them to prove the rewrite fires; production leaves the
+    defaults (10GB application side) in place."""
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in keys.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -13,6 +13,7 @@ STREAMING = [
     "stream_user_totals",
     "stream_daily_uv",
     "stream_sliding_5m",
+    "stream_channel_weighted",
 ]
 MULTIMODAL = ["multimodal_decode", "multimodal_meta_stats"]
 
