@@ -175,3 +175,47 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Resize planning: aspect-preserving fit into TARGET_PX, computed from
+# metadata dims only — the step a 100 TB image pipeline runs BEFORE
+# touching payload bytes (plan the work, skip no-op resizes, estimate
+# output volume). Downscale only (scale capped at 1). The actual pixel
+# resample belongs in the decode_batches codec slot.
+# --------------------------------------------------------------------------
+TARGET_PX = 224
+
+
+@operator(
+    "multimodal_resize_plan",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             1 + ord(substr(text, 1, 1)) AS w,
+             1 + ord(substr(text, 2, 1)) AS h
+      FROM documents
+    )
+    SELECT doc_id, w, h,
+           CAST(ROUND(w * LEAST(1.0, {TARGET_PX} / GREATEST(w, h))) AS BIGINT)
+               AS out_w,
+           CAST(ROUND(h * LEAST(1.0, {TARGET_PX} / GREATEST(w, h))) AS BIGINT)
+               AS out_h,
+           (GREATEST(w, h) > {TARGET_PX}) AS needs_resize
+    FROM dims ORDER BY doc_id
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    w = (1 + F.ascii(F.substring("text", 1, 1))).cast("double")
+    h = (1 + F.ascii(F.substring("text", 2, 1))).cast("double")
+    scale = F.least(F.lit(1.0), F.lit(float(TARGET_PX)) / F.greatest(w, h))
+    return d.select(
+        "doc_id",
+        w.cast("long").alias("w"),
+        h.cast("long").alias("h"),
+        F.round(w * scale).cast("long").alias("out_w"),
+        F.round(h * scale).cast("long").alias("out_h"),
+        (F.greatest(w, h) > TARGET_PX).alias("needs_resize"),
+    ).orderBy("doc_id")

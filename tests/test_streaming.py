@@ -15,7 +15,11 @@ STREAMING = [
     "stream_sliding_5m",
     "stream_channel_weighted",
 ]
-MULTIMODAL = ["multimodal_decode", "multimodal_meta_stats"]
+MULTIMODAL = [
+    "multimodal_decode",
+    "multimodal_meta_stats",
+    "multimodal_resize_plan",
+]
 
 
 @pytest.mark.parametrize("name", STREAMING + MULTIMODAL)
