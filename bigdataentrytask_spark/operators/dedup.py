@@ -465,3 +465,56 @@ def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("component"),
         (F.col("doc_id") == F.col("label")).alias("keep"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# CDC-style compaction: keep the LATEST record per key. The standard
+# ingest-side dedup for at-least-once pipelines (replayed Kafka batches,
+# upsert changelogs — the reference's MySQL PK sinks do exactly this
+# per-key last-write-wins, /root/reference/doc/temp.md:322-329).
+# --------------------------------------------------------------------------
+@operator(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, ts, event_id, event_type, value, props
+    FROM (
+      SELECT user_id, ts, event_id, event_type, value, props,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC, event_type DESC,
+                        value DESC, props DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins compaction via single-pass argmax.
+
+    NOT a window row_number: ``max(struct(...))`` is a partial
+    aggregate — each map task keeps ONE candidate row per key before
+    the shuffle, so at 100 TB the exchange carries |keys| rows, not
+    |events| rows (a window plan shuffles EVERY row, then sorts each
+    partition by (key, all ordering columns); here the only sort is
+    the map-side group-key sort feeding SortAggregate). The
+    struct's field order IS the ordering spec (ts first, then the
+    remaining columns as a total tie-break, so duplicate rows — no
+    fixture table has an enforced PK — still yield a deterministic,
+    oracle-identical projection).
+    """
+    ensure_session_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max(
+            F.struct("ts", "event_id", "event_type", "value", "props")
+        ).alias("r")
+    )
+    return latest.select(
+        "user_id",
+        F.col("r.ts").alias("ts"),
+        F.col("r.event_id").alias("event_id"),
+        F.col("r.event_type").alias("event_type"),
+        F.col("r.value").alias("value"),
+        F.col("r.props").alias("props"),
+    ).orderBy("user_id")

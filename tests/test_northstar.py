@@ -22,6 +22,7 @@ ORACLE_BACKED = [
     "pii_scrub",
     "multimodal_frame_sample",
     "dedup_exact",
+    "latest_event_per_user",
     "jaccard_pairs",
     "minhash_dedup",
     "simhash_pairs",
@@ -116,3 +117,33 @@ def test_quality_filter_oracle(spark, duck):
         ORACLES["quality_filter"],
         "quality_filter",
     )
+
+
+def test_latest_event_compaction_is_partial_aggregate(spark):
+    """The keep-latest plan must argmax BEFORE the shuffle (partial
+    max(struct)) — not shuffle every event into a window sort — and
+    must agree with the row_number formulation it replaces."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+
+    df = REGISTRY["latest_event_per_user"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max(struct" in plan
+    assert "RunningWindowFunction" not in plan and "Window" not in plan
+
+    ev = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(),
+        F.col("event_id").desc(),
+        F.col("event_type").desc(),
+        F.col("value").desc(),
+        F.col("props").desc(),
+    )
+    twin = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "ts", "event_id", "event_type", "value", "props")
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, twin.collect()))
