@@ -642,3 +642,75 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: greedy contiguous fill of fixed token-budget
+# training sequences — the batch-prep step between tokenization and
+# pre-training. Docs are packed per source in doc_id order; a doc
+# belongs to the sequence its START offset falls in (docs may straddle
+# a boundary — the tokenizer splits them downstream). Deterministic:
+# no RNG, same packing on every run and every engine.
+# --------------------------------------------------------------------------
+_PACK_BUDGET = 512
+
+
+@operator(
+    "sequence_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(regexp_extract_all(lower(text), '{_BPEISH_RE}')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, tok,
+             SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - tok AS start_off
+      FROM t
+    )
+    SELECT source,
+           CAST(FLOOR(start_off / {_PACK_BUDGET}) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           SUM(tok) AS tok_total,
+           ROUND(SUM(tok) / {float(_PACK_BUDGET)}, 4) AS fill_ratio,
+           MIN(doc_id) AS doc_first,
+           MAX(doc_id) AS doc_last
+    FROM c GROUP BY source, seq_id ORDER BY source, seq_id
+    """,
+)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-budget training sequences.
+
+    The running offset is a window cumsum PARTITIONED BY source, so the
+    sort is per-source-partition, never global — sources pack in
+    parallel. At 100 TB the unit of packing would be (source, shard)
+    with shards sized to an executor (packing across shard boundaries
+    is not needed for training data), keeping every window bounded; the
+    plan shape here is identical with the finer key.
+    """
+    d = _docs(spark, sf_dir)
+    tok = F.regexp_count(F.lower("text"), F.lit(_BPEISH_RE))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select("source", "doc_id", tok.alias("tok")).withColumn(
+        "start_off", F.sum("tok").over(w) - F.col("tok")
+    )
+    return (
+        c.groupBy(
+            "source",
+            F.floor(F.col("start_off") / _PACK_BUDGET).alias("seq_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("tok_total"),
+            F.round(F.sum("tok") / F.lit(float(_PACK_BUDGET)), 4).alias(
+                "fill_ratio"
+            ),
+            F.min("doc_id").alias("doc_first"),
+            F.max("doc_id").alias("doc_last"),
+        )
+        .orderBy("source", "seq_id")
+    )

@@ -17,6 +17,7 @@ ORACLE_BACKED = [
     "tfidf_top_term",
     "train_test_split",
     "llm_token_estimate",
+    "sequence_pack",
     "dataset_mix",
     "quality_filter",
     "pii_scrub",
