@@ -229,3 +229,79 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Trailing-window rate anomaly: per (event_type, minute) event counts
+# z-scored against the previous 30 observed minutes of the same type —
+# the standard ops-monitoring query over an event stream ("did this
+# event type spike?"). Window is ROWS-framed over observed minutes and
+# PARTITIONED BY event_type, so at 100 TB each type's series sorts
+# independently (|types| parallel, |minutes|-sized partitions — tiny);
+# the heavy input reduction (events -> per-minute counts) happens first
+# in a map-side-combinable aggregation.
+# --------------------------------------------------------------------------
+_ANOM_TRAIL = 30  # minutes of history
+_ANOM_MIN_N = 5  # observed minutes required before scoring
+_ANOM_Z = 2.0
+
+
+@operator(
+    "events_rate_anomaly",
+    oracle=f"""
+    WITH per_min AS (
+      SELECT event_type, date_trunc('minute', ts) AS minute,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), scored AS (
+      SELECT event_type, minute, cnt,
+             AVG(cnt) OVER w AS mu,
+             STDDEV_SAMP(cnt) OVER w AS sd,
+             COUNT(*) OVER w AS n_hist
+      FROM per_min
+      WINDOW w AS (PARTITION BY event_type ORDER BY minute
+                   ROWS BETWEEN {_ANOM_TRAIL} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, minute, cnt,
+           ROUND(mu, 4) AS mu,
+           ROUND((cnt - mu) / sd, 4) AS z
+    FROM scored
+    WHERE n_hist >= {_ANOM_MIN_N} AND sd > 0
+      AND ABS((cnt - mu) / sd) >= {_ANOM_Z}
+    ORDER BY event_type, minute
+    """,
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(-_ANOM_TRAIL, -1)
+    )
+    scored = per_min.select(
+        "event_type",
+        "minute",
+        "cnt",
+        F.avg("cnt").over(w).alias("mu"),
+        F.stddev_samp("cnt").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    z = (F.col("cnt") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter(
+            (F.col("n_hist") >= _ANOM_MIN_N) & (F.col("sd") > 0) & (F.abs(z) >= _ANOM_Z)
+        )
+        .select(
+            "event_type",
+            "minute",
+            "cnt",
+            F.round("mu", 4).alias("mu"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("event_type", "minute")
+    )

@@ -14,6 +14,7 @@ ANALYTICS_QUERIES = [
     "cohort_retention",
     "status_extreme_orders",
     "order_price_histogram",
+    "events_rate_anomaly",
     "repetition_ratio",
     "stratified_sample",
     "embedding_quantize",
