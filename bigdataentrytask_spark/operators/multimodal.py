@@ -102,7 +102,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_meta_stats",
     oracle="""
     SELECT 'text/plain' AS mime, source AS origin,
-           COUNT(*) AS n, SUM(octet_length(encode(text))) AS total_bytes
+           COUNT(*) AS n, CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
     FROM documents GROUP BY 2 ORDER BY origin
     """,
 )
@@ -146,8 +146,8 @@ FRAME_STRIDE = 4  # sample every 4th frame
     )
     SELECT doc_id,
            COUNT(*) AS n_sampled_frames,
-           SUM(frame_len) AS sampled_bytes,
-           SUM(first_byte) AS feature_sum
+           CAST(SUM(frame_len) AS BIGINT) AS sampled_bytes,
+           CAST(SUM(first_byte) AS BIGINT) AS feature_sum
     FROM frames GROUP BY doc_id ORDER BY doc_id
     """,
 )

@@ -53,7 +53,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT dt,
            COUNT(user_id)       AS uv,
-           SUM(buy_cnt)         AS buy_cnt,
+           CAST(SUM(buy_cnt) AS BIGINT) AS buy_cnt,
            ROUND(SUM(amount),2) AS amount
     FROM (
       SELECT strftime(ts, '%Y-%m-%d %H') AS dt,
@@ -133,7 +133,7 @@ B2_CUTOFF = "2024-01-30 00:00:00"
     oracle=f"""
     SELECT dt,
            COUNT(user_id)       AS uv,
-           SUM(buy_cnt)         AS buy_cnt,
+           CAST(SUM(buy_cnt) AS BIGINT) AS buy_cnt,
            ROUND(SUM(amount),2) AS amount
     FROM (
       SELECT strftime(ts, '%Y-%m-%d %H') AS dt,
@@ -234,7 +234,7 @@ def q1_daily_uv_payment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.date_str,
            p.time_str,
-           SUM(COALESCE(f.new_users, 0)) OVER w AS uv,
+           CAST(SUM(COALESCE(f.new_users, 0)) OVER w AS BIGINT) AS uv,
            ROUND(SUM(p.pay) OVER w, 2)          AS payment
     FROM per_min p LEFT JOIN first_seen f USING (date_str, time_str)
     WINDOW w AS (PARTITION BY p.date_str ORDER BY p.time_str

@@ -272,7 +272,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
               y -> abs(CAST(y AS DOUBLE))), 'max') > 0
     )
     SELECT vec_id,
-           list_aggregate(qv, 'sum')                                   AS q_sum,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT)                   AS q_sum,
            list_aggregate(list_transform(qv, v -> abs(v)), 'max')      AS q_peak
     FROM q ORDER BY vec_id
     """,

@@ -507,7 +507,7 @@ _PROFILE_COLS = (
       FROM orders
     )
     {" UNION ALL ".join(
-        f"SELECT '{c}' AS column_name, n_rows, null_{c} AS n_null, "
+        f"SELECT '{c}' AS column_name, n_rows, CAST(null_{c} AS BIGINT) AS n_null, "
         f"dist_{c} AS n_distinct, min_{c} AS min_value, max_{c} AS max_value "
         f"FROM wide"
         for c in _PROFILE_COLS

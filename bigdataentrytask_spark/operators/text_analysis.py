@@ -611,7 +611,7 @@ SAMPLE_PCT = 20
     oracle=f"""
     SELECT source,
            COUNT(*)        AS sampled_docs,
-           SUM(n_chars)    AS sampled_chars
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
     FROM documents
     WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 8))::BIGINT
           % 100 < {SAMPLE_PCT}
@@ -671,7 +671,7 @@ _PACK_BUDGET = 512
     SELECT source,
            CAST(FLOOR(start_off / {_PACK_BUDGET}) AS BIGINT) AS seq_id,
            COUNT(*) AS n_docs,
-           SUM(tok) AS tok_total,
+           CAST(SUM(tok) AS BIGINT) AS tok_total,
            ROUND(SUM(tok) / {float(_PACK_BUDGET)}, 4) AS fill_ratio,
            MIN(doc_id) AS doc_first,
            MAX(doc_id) AS doc_last
