@@ -231,56 +231,45 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_x")
     )
     y = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_y"))
-    # Collision stream: only (doc_a, doc_b, band) — 24 bytes/row.
+    # Collision stream: only (doc_a, doc_b) — 16 bytes/row. A pair can
+    # collide in several bands, so dedupe the narrow stream BEFORE the
+    # (wider) signature gather; measured ~3x multiplicity on this corpus.
     cand = (
         x.join(
             F.broadcast(y),
             (F.col("sig_x") == F.col("sig_y")) & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select("doc_a", "doc_b", F.col("sig_x.band").alias("band"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
 
-    # Verification is Arrow-vectorized numpy, not a JVM expression: the
-    # 32-way signature comparison per collision row generates codegen
-    # beyond the JVM's 8KB JIT limit and silently runs interpreted
-    # (measured 20-40x slower). The signature matrix is tiny relative to
-    # the corpus (docs x 32 longs), so it broadcasts; each Arrow batch
-    # gathers both sides and compares as one (batch, 32) == (batch, 32)
-    # matrix op. Each colliding pair is emitted exactly once — from its
-    # first matching band — so no distinct is needed. (At billions of
-    # docs the broadcast matrix would be sharded or the gather done via
-    # a bucketed join; the vectorized comparison pattern is unchanged.)
-    import numpy as np
-    import pandas as pd
+    # Signature gather is a pure dataflow join — NO driver-side matrix
+    # exists anywhere. The signature table (docs x 32 longs) is joined
+    # onto each side of the narrow collision stream; Spark broadcasts it
+    # while it fits, and past broadcast scale the same two joins run as
+    # shuffled hash joins on doc_id (bucket the signature table by
+    # doc_id to make both gathers shuffle-free on a real cluster).
+    sig_a = mh.select(F.col("doc_id").alias("doc_a"), F.col("sig_arr").alias("sig_a"))
+    sig_b = mh.select(F.col("doc_id").alias("doc_b"), F.col("sig_arr").alias("sig_b"))
+    gathered = cand.join(F.broadcast(sig_a), "doc_a").join(F.broadcast(sig_b), "doc_b")
 
-    sig_pdf = mh.orderBy("doc_id").toPandas()
-    ids = sig_pdf["doc_id"].to_numpy()
-    mat = np.stack(sig_pdf["sig_arr"].to_numpy())
-    bc = spark.sparkContext.broadcast((ids, mat))
-    min_cnt = int(np.ceil(MINHASH_THRESHOLD * NUM_HASHES - 1e-9))
-    rows_per_band, n_bands = _ROWS_PER_BAND, LSH_BANDS
-
-    def verify(batches):
-        ids_v, mat_v = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ia = np.searchsorted(ids_v, pdf["doc_a"].to_numpy())
-            ib = np.searchsorted(ids_v, pdf["doc_b"].to_numpy())
-            eq = mat_v[ia] == mat_v[ib]
-            cnt = eq.sum(axis=1)
-            band_eq = eq.reshape(-1, n_bands, rows_per_band).all(axis=2)
-            first = band_eq.argmax(axis=1)
-            keep = (first == pdf["band"].to_numpy()) & (cnt >= min_cnt)
-            yield pd.DataFrame(
-                {
-                    "doc_a": pdf["doc_a"].to_numpy()[keep],
-                    "doc_b": pdf["doc_b"].to_numpy()[keep],
-                    "cnt": cnt[keep],
-                }
-            )
-
-    verified = cand.mapInPandas(verify, "doc_a long, doc_b long, cnt long")
+    # Verification stays JVM-side via ONE higher-order-function pass:
+    # zip_with/aggregate evaluate per-element in a loop rather than
+    # unrolling a 32-way comparison into one giant codegen expression
+    # (which blows the JVM's 8KB JIT limit and silently runs
+    # interpreted, measured 20-40x slower). No per-band re-check is
+    # needed: every candidate pair exists BECAUSE a band collided in
+    # the join above, so the oracle's band-hit condition holds by
+    # construction and the match-count threshold is all that remains.
+    min_cnt = int(-(-MINHASH_THRESHOLD * NUM_HASHES // 1))
+    cnt = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: F.when(a == b, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    verified = gathered.select("doc_a", "doc_b", cnt.alias("cnt")).where(
+        F.col("cnt") >= min_cnt
+    )
     return verified.select(
         "doc_a",
         "doc_b",
