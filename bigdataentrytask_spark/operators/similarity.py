@@ -193,10 +193,36 @@ def knn_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Random-hyperplane LSH ANN — the billion-vector scale path. Each vector
 # explodes into LSH_TABLES bucket keys (table_id, sign-bit code);
 # candidates are the union of same-bucket matches across tables, then
-# exact-cosine re-ranked. No SQL oracle (the plane constants would make
-# the oracle its own implementation); driver runs rows-only, tests
-# assert recall vs brute force.
+# exact-cosine re-ranked. The oracle embeds the (deterministic, seeded)
+# hyperplane constants as a SQL VALUES list and recomputes the same
+# sign-bit codes — so bucketing itself is differential-tested, the same
+# trick as simhash_pairs.
 # --------------------------------------------------------------------------
+def _sql_planes() -> str:
+    """The hyperplane constants as a DuckDB VALUES relation (t, i, w)."""
+    rows = []
+    for t, planes in enumerate(HYPERPLANES):
+        for i, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(w) for w in plane) + "]::DOUBLE[]"
+            rows.append(f"({t}, {i}, {lit})")
+    return "planes(t, i, w) AS (VALUES " + ",\n      ".join(rows) + ")"
+
+
+# Per-(vector, table) sign-bit code, identical bit layout to
+# `_bucket_keys`: bit i set iff dot(embedding, plane[t][i]) > 0.
+_SQL_CODES = """
+    codes AS (
+      SELECT e.vec_id, p.t,
+             SUM(CASE WHEN (SELECT SUM(z.a * z.b) FROM
+                            (SELECT UNNEST(e.embedding::DOUBLE[]) AS a,
+                                    UNNEST(p.w) AS b) z) > 0
+                      THEN (1 << p.i) ELSE 0 END) AS code
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id, p.t
+    )
+"""
+
+
 def _bucket_keys(emb_col: str):
     """Array of LSH_TABLES (table_id, code) structs for one vector."""
     keys = []
@@ -214,7 +240,41 @@ def _bucket_keys(emb_col: str):
     return F.array(*keys)
 
 
-@operator("knn_lsh")
+@operator(
+    "knn_lsh",
+    oracle=f"""
+    WITH {_sql_planes()},
+    {_SQL_CODES},
+    {_SQL_NORMS},
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM codes q JOIN codes c ON q.t = c.t AND q.code = c.code
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    dots AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             (SELECT SUM(z.qe * z.ce) FROM
+              (SELECT UNNEST(q.embedding::DOUBLE[]) AS qe,
+                      UNNEST(c.embedding::DOUBLE[]) AS ce) z) AS d
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings c ON c.vec_id = cand.neighbor_id
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             d / (nq.nrm * nc.nrm) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d / (nq.nrm * nc.nrm) DESC,
+                                         neighbor_id) AS rnk
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, rnk, neighbor_id, ROUND(sim, 6) AS cosine
+    FROM sims WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+)
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     # bucket every vector ONCE (cached) — the query side is a filter of
@@ -301,20 +361,29 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding-cosine near-duplicate pairs: every unordered pair whose
 # cosine clears the threshold — the semantic-dedup primitive (minhash/
 # simhash catch lexical dups; embedding cosine catches paraphrases).
-# This is the exact correctness baseline: upper-triangle comparison
-# with one broadcast side. The 100 TB path reuses the LSH bucketing
-# above (`_bucket_keys`) to generate candidates and verifies each with
-# this exact predicate — same cosine expression, linear candidate
-# volume instead of O(N^2).
+#
+# EXACT all-pairs at scale: a tiled self-join. Rows are hashed into G
+# groups; every unordered group-pair (i <= j) is one tile, and each row
+# is replicated to the G+1 tiles it participates in (as the "A" side of
+# tiles (g, j>=g), as the "B" side of tiles (i<=g, g)). The join is a
+# plain equi-join on (ti, tj) — every executor gets a bounded tile, no
+# broadcast of the whole table, no driver ceiling, no NestedLoop in the
+# plan. Compute stays O(N^2/2) — that is inherent to an EXACT
+# threshold join at tau=0.4 on isotropic vectors: hyperplane LSH
+# collision prob at tau=0.4 is 0.631 vs 0.5 for random pairs, so 100%
+# recall needs ~40 tables of 3-bit codes = MORE work than brute force
+# (measured on this corpus: qualifying pairs sit at 0.40-0.60, at
+# chance level w.r.t. `label`). G scales as sqrt(cluster cores);
+# replication cost is G+1 copies of each row — the standard theta-join
+# tiling trade.  The sub-quadratic APPROXIMATE path is
+# `embedding_neardup_lsh` below.
 # Threshold applies to the 6-decimal-rounded value so both engines
 # make the identical boundary decision.
 # --------------------------------------------------------------------------
 NEARDUP_COS = 0.4
+NEARDUP_TILE_GROUPS = 8  # G: tune to ~sqrt(cores) on a real cluster
 
-
-@operator(
-    "embedding_neardup_pairs",
-    oracle=f"""
+_NEARDUP_ORACLE = f"""
     WITH {_SQL_NORMS},
     sims AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -330,16 +399,105 @@ NEARDUP_COS = 0.4
     SELECT vec_a, vec_b, cosine FROM sims
     WHERE cosine >= {NEARDUP_COS}
     ORDER BY vec_a, vec_b
-    """,
-)
+    """
+
+
+@operator("embedding_neardup_pairs", oracle=_NEARDUP_ORACLE)
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
+    g = NEARDUP_TILE_GROUPS
+    base = e.select(
+        "vec_id", "embedding", F.pmod(F.hash("vec_id"), F.lit(g)).alias("g")
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("g").alias("ti"),
+        F.explode(F.expr(f"sequence(g, {g - 1})")).alias("tj"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        F.explode(F.expr("sequence(0, g)")).alias("ti"),
+        F.col("g").alias("tj"),
+    )
+    # Cross-group pairs meet in exactly one tile (ti < tj); same-group
+    # pairs meet twice in tile (g, g), deduped by vec_a < vec_b. least/
+    # greatest normalizes the emitted order for the cross-group case.
     return (
-        F.broadcast(a)
-        .crossJoin(b)
+        a.join(b, ["ti", "tj"])
+        .filter((F.col("ti") < F.col("tj")) | (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cosine", F.round(cosine("a_emb", "b_emb"), 6))
+        .filter(F.col("cosine") >= NEARDUP_COS)
+        .select(
+            F.least("vec_a", "vec_b").alias("vec_a"),
+            F.greatest("vec_a", "vec_b").alias("vec_b"),
+            "cosine",
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed near-duplicate pairs — the sub-quadratic scale path.
+# Candidates are unordered pairs sharing any of the LSH_TABLES sign-bit
+# buckets; each candidate is verified with the same exact rounded-cosine
+# predicate as the all-pairs operator. Candidate volume is
+# ~ L * N^2 / 2^B per table on isotropic data (5x under brute force
+# here) and collapses to near-linear on real clustered corpora, where
+# near-dups share buckets with probability -> 1. Recall vs the exact
+# operator is data-dependent (measured in tests); the ORACLE recomputes
+# the identical bucket restriction in SQL, so what the operator claims
+# is differential-tested exactly.
+# --------------------------------------------------------------------------
+@operator(
+    "embedding_neardup_lsh",
+    oracle=f"""
+    WITH {_sql_planes()},
+    {_SQL_CODES},
+    {_SQL_NORMS},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM codes a JOIN codes b ON a.t = b.t AND a.code = b.code
+      WHERE a.vec_id < b.vec_id
+    ),
+    sims AS (
+      SELECT cand.vec_a, cand.vec_b,
+             ROUND((SELECT SUM(z.ae * z.be) FROM
+                    (SELECT UNNEST(a.embedding::DOUBLE[]) AS ae,
+                            UNNEST(b.embedding::DOUBLE[]) AS be) z)
+                   / (na.nrm * nb.nrm), 6) AS cosine
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.vec_a
+      JOIN embeddings b ON b.vec_id = cand.vec_b
+      JOIN norms na ON na.vec_id = cand.vec_a
+      JOIN norms nb ON nb.vec_id = cand.vec_b
+    )
+    SELECT vec_a, vec_b, cosine FROM sims
+    WHERE cosine >= {NEARDUP_COS}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    bucketed = e.select(
+        "vec_id", F.explode(_bucket_keys("embedding")).alias("bucket")
+    )
+    a = bucketed.select(F.col("vec_id").alias("vec_a"), "bucket")
+    b = bucketed.select(F.col("vec_id").alias("vec_b"), "bucket")
+    # bare-id candidates first, distinct BEFORE re-attaching the vector
+    # payloads, so the dedup shuffle never carries embeddings
+    cand = (
+        a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    av = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
+    bv = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
+    return (
+        cand.join(av, "vec_a")
+        .join(bv, "vec_b")
         .withColumn("cosine", F.round(cosine("a_emb", "b_emb"), 6))
         .filter(F.col("cosine") >= NEARDUP_COS)
         .select("vec_a", "vec_b", "cosine")
