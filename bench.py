@@ -46,6 +46,8 @@ HEADLINE = [
     "simhash_pairs",
     "knn_bruteforce",
     "knn_lsh",
+    "embedding_neardup_pairs",
+    "embedding_neardup_lsh",
     "asof_purchase_attribution",
     "user_sessions",
     "order_window_functions",

@@ -394,19 +394,62 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # components over the minhash pair graph by iterative min-label
 # propagation (each round: label[d] = min(label[d], labels of
 # neighbors)); the component's minimum doc_id is the canonical keeper.
-# Iterative -> not SQL-expressible -> rows-only for the driver; the
-# pytest twin recomputes components with union-find and asserts
-# equality. Scale: each round is one join + one agg on the pair
-# edge list; rounds needed = graph diameter (tiny for dup clusters).
+# The oracle is a DuckDB recursive CTE: propagate every label down
+# edges while it is smaller than the receiving node (the component
+# minimum is below every member id, so it always survives the prune),
+# then MIN per node — a declarative fixpoint of the same algorithm.
+# Scale: each Spark round is one join + one agg on the pair edge list;
+# rounds needed = graph diameter (tiny for dup clusters).
 # --------------------------------------------------------------------------
 MAX_CC_ITERS = 20
 
+_RESOLVE_ORACLE = f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, UNNEST(list_distinct({sql_tokens('text')})) AS tok
+      FROM documents
+    ),
+    hashes AS (SELECT doc_id, {sql_token_hash('tok')} AS h FROM toks),
+    mh AS (
+      SELECT doc_id,
+             {_sql_minhash_cols()}
+      FROM hashes GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM mh a JOIN mh b ON a.doc_id < b.doc_id
+      WHERE ({" OR ".join(_sql_band_eq(i) for i in range(LSH_BANDS))})
+        AND {_sql_match_frac()} >= {MINHASH_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.lbl < e.dst
+    )
+    SELECT node AS doc_id,
+           MIN(lbl) AS component,
+           (node = MIN(lbl)) AS keep
+    FROM reach GROUP BY node ORDER BY doc_id
+    """
 
-@operator("dedup_resolve")
+
+@operator("dedup_resolve", oracle=_RESOLVE_ORACLE)
 def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
     import tempfile
 
     work = tempfile.mkdtemp(prefix="cc_")
+    # The returned DataFrame's lineage reads the final labels parquet,
+    # so the work dir must outlive this call — intermediates are pruned
+    # below and the survivor is reaped at interpreter exit.
+    atexit.register(shutil.rmtree, work, True)
     # Materialize the edge list to parquet FIRST: the iteration must
     # never drag the minhash DAG (band broadcasts, Arrow verification)
     # through its lineage — that both recomputes per round and holds
@@ -420,10 +463,16 @@ def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = spark.read.parquet(f"{work}/edges")
 
     docs = _docs(spark, sf_dir).select("doc_id")
+    # ping-pong between two label paths: iteration i reads one slot and
+    # overwrites the other (safe — the slot being overwritten was fully
+    # consumed by the previous round's `changed` count), so disk stays
+    # O(|docs|) however many rounds run.
+    slots = [f"{work}/labels_a", f"{work}/labels_b"]
     docs.select("doc_id", F.col("doc_id").alias("label")).write.mode(
         "overwrite"
-    ).parquet(f"{work}/labels_0")
-    labels = spark.read.parquet(f"{work}/labels_0")
+    ).parquet(slots[0])
+    labels = spark.read.parquet(slots[0])
+    final_slot = slots[0]
 
     for it in range(MAX_CC_ITERS):
         neighbor_min = (
@@ -438,8 +487,9 @@ def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("label"),
         )
         # round-trip through parquet: constant-size plans every round
-        new_labels.write.mode("overwrite").parquet(f"{work}/labels_{it + 1}")
-        new_labels = spark.read.parquet(f"{work}/labels_{it + 1}")
+        out = slots[(it + 1) % 2]
+        new_labels.write.mode("overwrite").parquet(out)
+        new_labels = spark.read.parquet(out)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -447,8 +497,13 @@ def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
         )
         labels = new_labels
+        final_slot = out
         if changed == 0:
             break
+    # prune everything the result's lineage no longer needs
+    shutil.rmtree(f"{work}/edges", ignore_errors=True)
+    other = slots[0] if final_slot == slots[1] else slots[1]
+    shutil.rmtree(other, ignore_errors=True)
     return labels.select(
         "doc_id",
         F.col("label").alias("component"),

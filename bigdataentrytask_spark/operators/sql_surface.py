@@ -354,18 +354,49 @@ def signup_purchase_within_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Approximate percentiles — the sketch form (KLL/GK-style) of
 # segment_percentiles for the 100 TB path: mergeable sketches, no sort.
-# No SQL oracle (algorithm-specific); tests bound the error against the
-# exact quantiles.
+# Differential by construction: alongside the exact quantiles (which
+# both engines compute identically), the result carries per-group
+# booleans asserting the sketch landed within epsilon = 2% of the
+# group's value range. The oracle computes the same exact quantiles
+# and TRUE — so a drifting sketch flips a hashable column, and the
+# driver's hash compare becomes a real accuracy gate rather than
+# rows-only.
 # --------------------------------------------------------------------------
-@operator("segment_percentiles_approx")
+@operator(
+    "segment_percentiles_approx",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(c_acctbal, 0.5), 4) AS p50_exact,
+           ROUND(quantile_cont(c_acctbal, 0.9), 4) AS p90_exact,
+           TRUE AS p50_ok,
+           TRUE AS p90_ok
+    FROM customer GROUP BY 1 ORDER BY segment
+    """,
+)
 def segment_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
+    eps = (F.max("c_acctbal") - F.min("c_acctbal")) * 0.02
     return (
         c.groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
-            F.percentile_approx("c_acctbal", 0.5, 1000).alias("p50"),
-            F.percentile_approx("c_acctbal", 0.9, 1000).alias("p90"),
             F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50_exact"),
+            F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90_exact"),
+            (
+                F.abs(
+                    F.percentile_approx("c_acctbal", 0.5, 1000)
+                    - F.expr("percentile(c_acctbal, 0.5)")
+                )
+                <= eps
+            ).alias("p50_ok"),
+            (
+                F.abs(
+                    F.percentile_approx("c_acctbal", 0.9, 1000)
+                    - F.expr("percentile(c_acctbal, 0.9)")
+                )
+                <= eps
+            ).alias("p90_ok"),
         )
         .orderBy("segment")
     )

@@ -307,18 +307,34 @@ def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # HLL approximate distinct — the 100 TB-safe form of Q1's COUNT(DISTINCT).
 # Sketches merge associatively (map-side partial → tiny final merge), vs
-# exact distinct's full shuffle of every key. No SQL oracle: DuckDB's
-# approx_count_distinct uses a different HLL — driver runs rows-only check;
-# tests assert bounded relative error against the exact count instead.
+# exact distinct's full shuffle of every key. DuckDB's HLL differs
+# bit-for-bit, so the sketch VALUE can't be compared — instead the
+# result carries the exact count plus a boolean asserting the sketch
+# landed within 5x its configured 1% rsd; the oracle computes the same
+# exact count and TRUE, making HLL accuracy a hashable driver gate.
 # --------------------------------------------------------------------------
-@operator("approx_distinct_users")
+@operator(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type AS channel,
+           COUNT(DISTINCT user_id) AS exact_uv,
+           COUNT(*) AS cnt,
+           TRUE AS approx_ok
+    FROM events GROUP BY 1 ORDER BY channel
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    exact = F.count_distinct(F.col("user_id"))
+    approx = F.approx_count_distinct("user_id", 0.01)
     return (
         ev.groupBy(F.col("event_type").alias("channel"))
         .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("approx_uv"),
+            exact.alias("exact_uv"),
             F.count(F.lit(1)).alias("cnt"),
+            (
+                F.abs(approx.cast("double") / exact.cast("double") - 1.0) <= 0.05
+            ).alias("approx_ok"),
         )
         .orderBy("channel")
     )

@@ -45,18 +45,59 @@ class KeyedUpsertSink:
             return list(self.rows.values())
 
 
+def build_upsert_sql(
+    table: str,
+    cols: list[str],
+    key_cols: list[str],
+    dialect: str = "mysql",
+    staging: str | None = None,
+) -> str:
+    """The staged-merge statement, as a pure function of the schema —
+    unit-testable without a database, and executable against any engine
+    that speaks the dialect (the ANSI form runs verbatim on DuckDB /
+    Postgres, which is how tests exercise its semantics end-to-end).
+
+    Contract: the staged batch is key-unique (foreachBatch callers
+    dedupe by key first — `latest_event_per_user` is that operator);
+    ANSI ON CONFLICT rejects double-updates of one row in a single
+    statement, and MySQL would apply them in arbitrary order.
+    """
+    staging = staging or f"{table}__stage"
+    collist = ", ".join(cols)
+    if dialect == "mysql":
+        updates = ", ".join(f"{c}=VALUES({c})" for c in cols if c not in key_cols)
+        return (
+            f"INSERT INTO {table} ({collist}) "
+            f"SELECT {collist} FROM {staging} "
+            f"ON DUPLICATE KEY UPDATE {updates}"
+        )
+    if dialect == "ansi":
+        updates = ", ".join(f"{c}=excluded.{c}" for c in cols if c not in key_cols)
+        return (
+            f"INSERT INTO {table} ({collist}) "
+            f"SELECT {collist} FROM {staging} "
+            f"ON CONFLICT ({', '.join(key_cols)}) DO UPDATE SET {updates}"
+        )
+    raise ValueError(f"unknown dialect: {dialect}")
+
+
 def jdbc_upsert_batch(
     batch_df: DataFrame,
     url: str,
     table: str,
     key_cols: list[str],
     properties: dict[str, str] | None = None,
+    execute=None,
+    dialect: str = "mysql",
 ) -> None:
     """foreachBatch body for JDBC upsert: stage the micro-batch into a
     temp table, then merge. Spark's JDBC writer only appends/overwrites,
     so the merge statement runs over the staged rows — one round trip
-    per batch, no per-row Python. Untestable here (no database in the
-    container); the tested twin is KeyedUpsertSink.
+    per batch, no per-row Python. `execute` is the post-stage statement
+    runner (a JDBC/DB-API cursor adapter); without one this raises,
+    since no database exists in this container. The merge TEXT is
+    `build_upsert_sql`, whose ANSI form is executed for real against
+    DuckDB in tests.
     """
     staging = f"{table}__stage"
     (
@@ -67,14 +108,10 @@ def jdbc_upsert_batch(
         .options(**(properties or {}))
         .save()
     )
-    cols = batch_df.columns
-    updates = ", ".join(f"{c}=VALUES({c})" for c in cols if c not in key_cols)
-    merge_sql = (
-        f"INSERT INTO {table} ({', '.join(cols)}) "
-        f"SELECT {', '.join(cols)} FROM {staging} "
-        f"ON DUPLICATE KEY UPDATE {updates}"
-    )
-    raise NotImplementedError(
-        "execute merge_sql over a JDBC connection here; no database is "
-        f"available in this environment. Statement: {merge_sql}"
-    )
+    merge_sql = build_upsert_sql(table, batch_df.columns, key_cols, dialect, staging)
+    if execute is None:
+        raise NotImplementedError(
+            "execute merge_sql over a JDBC connection here; no database is "
+            f"available in this environment. Statement: {merge_sql}"
+        )
+    execute(merge_sql)

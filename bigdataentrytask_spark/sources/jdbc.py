@@ -22,6 +22,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def partition_predicates(
+    column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int,
+) -> list[str]:
+    """The WHERE clauses of a range-partitioned JDBC scan — the same
+    stride arithmetic Spark's JDBCRelation.columnPartition uses
+    (first slice catches NULLs and everything below the lower bound;
+    last slice is open-ended above), exposed as a pure function so the
+    split algebra is unit-testable without a database, and reusable
+    with `spark.read.jdbc(..., predicates=...)` for columns Spark's
+    built-in numeric splitter can't handle.
+
+    Laws the tests assert: slices are pairwise disjoint, their union
+    is all values (every integer and NULL lands in exactly one slice),
+    and there are exactly `num_partitions` of them.
+    """
+    if num_partitions <= 1 or upper_bound <= lower_bound:
+        return ["1=1"]
+    stride = max(upper_bound // num_partitions - lower_bound // num_partitions, 1)
+    preds: list[str] = []
+    current = lower_bound + stride
+    for i in range(num_partitions):
+        if i == 0:
+            preds.append(f"{column} < {current} OR {column} IS NULL")
+        elif i == num_partitions - 1:
+            preds.append(f"{column} >= {current - stride}")
+        else:
+            preds.append(f"{column} >= {current - stride} AND {column} < {current}")
+        current += stride
+    return preds
+
+
 def read_jdbc_table(
     spark: SparkSession,
     url: str,

@@ -27,6 +27,7 @@ ORACLE_BACKED = [
     "jaccard_pairs",
     "minhash_dedup",
     "simhash_pairs",
+    "dedup_resolve",
     "embedding_norms",
     "knn_bruteforce",
     "knn_ivf_label",

@@ -128,8 +128,8 @@ def test_approx_percentile_bounded_error(spark, duck):
     from bigdataentrytask_spark.operators import REGISTRY
     from tests.conftest import SF_DIR
 
-    approx = {
-        r.segment: (r.p50, r.p90)
+    got = {
+        r.segment: (r.p50_exact, r.p90_exact, r.p50_ok, r.p90_ok)
         for r in REGISTRY["segment_percentiles_approx"](spark, SF_DIR).collect()
     }
     exact = {
@@ -140,9 +140,10 @@ def test_approx_percentile_bounded_error(spark, duck):
         ).fetchall()
     }
     for seg in exact:
-        for i in (0, 1):
-            spread = abs(exact[seg][i]) + 1
-            assert abs(approx[seg][i] - exact[seg][i]) / spread < 0.05
+        p50, p90, ok50, ok90 = got[seg]
+        assert ok50 is True and ok90 is True, (seg, got[seg])
+        assert abs(p50 - round(exact[seg][0], 4)) < 1e-9
+        assert abs(p90 - round(exact[seg][1], 4)) < 1e-9
 
 
 def test_merge_upsert_parquet(spark, tmp_path):

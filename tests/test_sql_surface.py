@@ -11,6 +11,7 @@ SURFACE = [
     "props_json_extract",
     "rollup_revenue",
     "segment_percentiles",
+    "segment_percentiles_approx",
     "part_string_funcs",
     "order_value_bands",
     "asof_purchase_attribution",

