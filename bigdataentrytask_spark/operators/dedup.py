@@ -188,12 +188,10 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashes = toks.select("doc_id", token_hash("tok").alias("h"))
     # one grouped agg computes all K sketches in a single pass, packed
-    # into ONE array column: the signature table is (doc_id, 32 longs) —
-    # tiny relative to the corpus, so it broadcasts and the candidate
-    # verification join never shuffles wide rows.
-    # NOT cached: measured slower through the block cache than
-    # recomputing — the band-explode fuses into the agg's codegen when
-    # the lineage stays live, and the signature pipeline is cheap
+    # into ONE array column: the signature frame is (doc_id, 32 longs),
+    # consumed exactly ONCE below — a linear DAG with no self-join, no
+    # broadcast, no cache, and therefore no repeated recomputation of
+    # the tokenize->hash->min pipeline.
     mh = hashes.groupBy("doc_id").agg(
         F.array(
             *[
@@ -205,76 +203,134 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("sig_arr")
     )
-    # LSH: explode each doc into its band signatures (full signature
-    # rides along), self-join on band equality. Skew note: a shuffled
-    # self-join would serialize each hot band bucket into one reducer,
-    # so the tiny signature side is broadcast and collision enumeration
-    # stays parallel across left partitions regardless of bucket skew.
-    def band_structs():
+    # Band-bucket grouping instead of a band self-join: each doc
+    # explodes into LSH_BANDS rows keyed by its band signature; one
+    # hash-shuffle co-locates every bucket, and pairs are enumerated
+    # inside the bucket by a vectorized numpy kernel (mapInPandas over
+    # key-sorted partitions). Two tricks make this strictly better
+    # than the join formulation:
+    #   1. canonical band: a pair is emitted ONLY by the first band in
+    #      which it collides (we hold both full signatures, so earlier
+    #      bands are re-checkable locally). Pairs are therefore unique
+    #      by construction — the 7.6M-pair distinct() shuffle that
+    #      dominated the join plan (measured 5.4s of 36s at sf0.1) is
+    #      gone entirely.
+    #   2. the match-count verification is integer numpy (chunked
+    #      pairwise equality over the n x 32 signature matrix), not a
+    #      per-element interpreted higher-order function (measured
+    #      5.6s for 7.6M pairs) and not a 32-way unrolled codegen
+    #      expression (blows the JVM 8KB JIT limit, runs interpreted).
+    # Bucket skew: a bucket of n near-identical docs inherently yields
+    # n^2/2 output pairs — quadratic in CLUSTER size, not corpus size;
+    # that cost is the operator's contract. One task owns one bucket
+    # (the kernel chunks rows so memory stays bounded); at 100 TB the
+    # standard extra guard is capping bucket width before pairing.
+    # bkey(i) = "band:s0:s1:s2:s3" — string keys group identically in
+    # Spark's shuffle and in pandas.
+    def band_keys():
         return F.array(
             *[
-                F.struct(
-                    F.lit(i).alias("band"),
+                F.concat_ws(
+                    ":",
+                    F.lit(i),
                     *[
-                        F.col("sig_arr")[c].alias(f"s{j}")
-                        for j, c in enumerate(
-                            range(i * _ROWS_PER_BAND, (i + 1) * _ROWS_PER_BAND)
-                        )
+                        F.col("sig_arr")[j]
+                        for j in range(i * _ROWS_PER_BAND, (i + 1) * _ROWS_PER_BAND)
                     ],
                 )
                 for i in range(LSH_BANDS)
             ]
         )
 
-    bands = mh.select("doc_id", F.explode(band_structs()).alias("sig"))
-    x = bands.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_x")
+    bands = mh.select(
+        "doc_id", "sig_arr", F.posexplode(band_keys()).alias("band", "bkey")
     )
-    y = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_y"))
-    # Collision stream: only (doc_a, doc_b) — 16 bytes/row. A pair can
-    # collide in several bands, so dedupe the narrow stream BEFORE the
-    # (wider) signature gather; measured ~3x multiplicity on this corpus.
-    cand = (
-        x.join(
-            F.broadcast(y),
-            (F.col("sig_x") == F.col("sig_y")) & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-
-    # Signature gather is a pure dataflow join — NO driver-side matrix
-    # exists anywhere. The signature table (docs x 32 longs) is joined
-    # onto each side of the narrow collision stream; Spark broadcasts it
-    # while it fits, and past broadcast scale the same two joins run as
-    # shuffled hash joins on doc_id (bucket the signature table by
-    # doc_id to make both gathers shuffle-free on a real cluster).
-    sig_a = mh.select(F.col("doc_id").alias("doc_a"), F.col("sig_arr").alias("sig_a"))
-    sig_b = mh.select(F.col("doc_id").alias("doc_b"), F.col("sig_arr").alias("sig_b"))
-    gathered = cand.join(F.broadcast(sig_a), "doc_a").join(F.broadcast(sig_b), "doc_b")
-
-    # Verification stays JVM-side via ONE higher-order-function pass:
-    # zip_with/aggregate evaluate per-element in a loop rather than
-    # unrolling a 32-way comparison into one giant codegen expression
-    # (which blows the JVM's 8KB JIT limit and silently runs
-    # interpreted, measured 20-40x slower). No per-band re-check is
-    # needed: every candidate pair exists BECAUSE a band collided in
-    # the join above, so the oracle's band-hit condition holds by
-    # construction and the match-count threshold is all that remains.
+    part = bands.repartition(F.col("bkey")).sortWithinPartitions("bkey")
     min_cnt = int(-(-MINHASH_THRESHOLD * NUM_HASHES // 1))
-    cnt = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda a, b: F.when(a == b, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    pairs = part.mapInPandas(
+        _minhash_bucket_pairs(min_cnt), schema="doc_a long, doc_b long, cnt int"
     )
-    verified = gathered.select("doc_a", "doc_b", cnt.alias("cnt")).where(
-        F.col("cnt") >= min_cnt
-    )
-    return verified.select(
+    return pairs.select(
         "doc_a",
         "doc_b",
         F.round(F.col("cnt") / F.lit(float(NUM_HASHES)), 4).alias("est_sim"),
     )
+
+
+def _minhash_bucket_pairs(min_cnt: int):
+    """Kernel: enumerate qualifying pairs inside each band bucket.
+
+    Partitions arrive hash-partitioned and sorted by bucket key, so a
+    bucket never spans partitions; batches within a partition are
+    concatenated (the band frame is docs x LSH_BANDS narrow rows — a
+    partition holds only its shard of buckets). All math is int64
+    equality counting — no floats, so Spark/DuckDB agreement is exact.
+    """
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        rows_per_band = _ROWS_PER_BAND
+
+        def bucket_out(ids, sigs, band):
+            n = len(ids)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            S = sigs[order]
+            out_a, out_b, out_c = [], [], []
+            # chunk the pairwise comparison so the bool tensor stays
+            # bounded (CHUNK x n x 32 bytes) for arbitrarily wide
+            # buckets
+            CHUNK = 512
+            lo, hi = band * rows_per_band, (band + 1) * rows_per_band
+            for i0 in range(0, n, CHUNK):
+                blk = S[i0 : i0 + CHUNK]  # c x 32
+                eq = blk[:, None, :] == S[None, :, :]  # c x n x 32
+                cnt = eq.sum(axis=2, dtype=np.int32)  # c x n
+                # first colliding band: this band's slice matches by
+                # construction; emit only if no EARLIER band matches
+                first = np.ones(cnt.shape, dtype=bool)
+                for b in range(band):
+                    l0 = b * rows_per_band
+                    first &= ~eq[:, :, l0 : l0 + rows_per_band].all(axis=2)
+                ii, jj = np.nonzero(
+                    (cnt >= min_cnt)
+                    & first
+                    & (np.arange(i0, i0 + blk.shape[0])[:, None] < np.arange(n)[None, :])
+                )
+                if len(ii):
+                    out_a.append(ids[ii + i0])
+                    out_b.append(ids[jj])
+                    out_c.append(cnt[ii, jj])
+            if not out_a:
+                return None
+            return pd.DataFrame(
+                {
+                    "doc_a": np.concatenate(out_a),
+                    "doc_b": np.concatenate(out_b),
+                    "cnt": np.concatenate(out_c).astype(np.int32),
+                }
+            )
+
+        dfs = list(batches)
+        if not dfs:
+            return
+        pdf = pd.concat(dfs, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        for _, g in pdf.groupby("bkey", sort=False):
+            if len(g) < 2:
+                continue
+            out = bucket_out(
+                g["doc_id"].to_numpy(),
+                np.stack(g["sig_arr"].to_numpy()),
+                int(g["band"].iloc[0]),
+            )
+            if out is not None:
+                yield out
+
+    return fn
 
 
 # --------------------------------------------------------------------------

@@ -21,9 +21,11 @@ import random
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 from bigdataentrytask_spark.catalog import load_table
-from bigdataentrytask_spark.functions.vector import cosine, norm
+from bigdataentrytask_spark.functions.vector import cosine, cosine_seq, norm, stack_f64
 from bigdataentrytask_spark.operators import operator
 from bigdataentrytask_spark.session import ensure_session_confs
 
@@ -224,7 +226,9 @@ _SQL_CODES = """
 
 
 def _bucket_keys(emb_col: str):
-    """Array of LSH_TABLES (table_id, code) structs for one vector."""
+    """Array of LSH_TABLES (table_id, code) structs for one vector —
+    pure-Column form (the small-fixture reference; `_bucketed` below is
+    the Arrow form used in the registered operators)."""
     keys = []
     for t, planes in enumerate(HYPERPLANES):
         bits = []
@@ -238,6 +242,41 @@ def _bucket_keys(emb_col: str):
             bits.append(F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0)))
         keys.append(F.struct(F.lit(t).alias("t"), sum(bits).alias("code")))
     return F.array(*keys)
+
+
+@pandas_udf(ArrayType(LongType()))
+def _lsh_codes(emb):
+    """Arrow twin of `_bucket_keys`: per vector, the LSH_TABLES
+    sign-bit codes. Projections accumulate column-sequentially
+    (functions/vector.py bit-identity argument), so the sign decisions
+    — and therefore the buckets — match the Column form and the
+    DuckDB oracle exactly. One vectorized pass replaces
+    LSH_TABLES*LSH_BITS interpreted HOF dot products per row
+    (measured: the bucketing stage alone cost ~4s of knn_lsh's 8.6s
+    at sf0.1)."""
+    import numpy as np
+    import pandas as pd
+
+    X = stack_f64(emb)
+    n = X.shape[0]
+    out = np.zeros((n, LSH_TABLES), dtype=np.int64)
+    for t, planes in enumerate(HYPERPLANES):
+        code = np.zeros(n, dtype=np.int64)
+        for i, plane in enumerate(planes):
+            proj = np.zeros(n)
+            for j in range(EMB_DIM):
+                proj += X[:, j] * plane[j]
+            code |= (proj > 0).astype(np.int64) << i
+        out[:, t] = code
+    return pd.Series(list(out))
+
+
+def _bucketed(e: DataFrame) -> DataFrame:
+    """(vec_id, bucket) rows, one per (vector, LSH table) — the Arrow
+    bucketing path, same struct key layout as `_bucket_keys`."""
+    return e.select("vec_id", F.posexplode(_lsh_codes("embedding")).alias("t", "code")).select(
+        "vec_id", F.struct(F.col("t").cast("int").alias("t"), "code").alias("bucket")
+    )
 
 
 @operator(
@@ -279,9 +318,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     # bucket every vector ONCE (cached) — the query side is a filter of
     # the same bucketed frame, not a second 30-projection pass
-    bucketed = e.select(
-        "vec_id", F.explode(_bucket_keys("embedding")).alias("bucket")
-    ).cache()
+    bucketed = _bucketed(e).cache()
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "bucket"
     )
@@ -302,7 +339,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("sim", cosine("q_emb", "c_emb"))
+        .withColumn("sim", cosine_seq("q_emb", "c_emb"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "rnk", "neighbor_id", F.round("sim", 6).alias("cosine"))
@@ -427,7 +464,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["ti", "tj"])
         .filter((F.col("ti") < F.col("tj")) | (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cosine", F.round(cosine("a_emb", "b_emb"), 6))
+        .withColumn("cosine", F.round(cosine_seq("a_emb", "b_emb"), 6))
         .filter(F.col("cosine") >= NEARDUP_COS)
         .select(
             F.least("vec_a", "vec_b").alias("vec_a"),
@@ -480,9 +517,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    bucketed = e.select(
-        "vec_id", F.explode(_bucket_keys("embedding")).alias("bucket")
-    )
+    bucketed = _bucketed(e)
     a = bucketed.select(F.col("vec_id").alias("vec_a"), "bucket")
     b = bucketed.select(F.col("vec_id").alias("vec_b"), "bucket")
     # bare-id candidates first, distinct BEFORE re-attaching the vector
@@ -498,7 +533,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(av, "vec_a")
         .join(bv, "vec_b")
-        .withColumn("cosine", F.round(cosine("a_emb", "b_emb"), 6))
+        .withColumn("cosine", F.round(cosine_seq("a_emb", "b_emb"), 6))
         .filter(F.col("cosine") >= NEARDUP_COS)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
