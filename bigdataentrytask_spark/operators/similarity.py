@@ -25,7 +25,13 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
 from bigdataentrytask_spark.catalog import load_table
-from bigdataentrytask_spark.functions.vector import cosine, cosine_seq, norm, stack_f64
+from bigdataentrytask_spark.functions.vector import (
+    cosine,
+    cosine_seq,
+    norm,
+    seq_dot,
+    stack_f64,
+)
 from bigdataentrytask_spark.operators import operator
 from bigdataentrytask_spark.session import ensure_session_confs
 
@@ -447,32 +453,98 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", F.pmod(F.hash("vec_id"), F.lit(g)).alias("g")
     )
     a = base.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("a_emb"),
+        "vec_id",
+        "embedding",
         F.col("g").alias("ti"),
         F.explode(F.expr(f"sequence(g, {g - 1})")).alias("tj"),
     )
     b = base.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("b_emb"),
+        "vec_id",
+        "embedding",
         F.explode(F.expr("sequence(0, g)")).alias("ti"),
         F.col("g").alias("tj"),
     )
+    # Each tile is ONE cogroup: its A rows and B rows cross Arrow once
+    # (O(N*G) vectors move, ~N/G per tile), and the N^2/G^2 pair dots
+    # happen inside the tile kernel as G^2 vectorized outer-product
+    # accumulations — NOT as a 1KB-per-pair join stream (the previous
+    # pair-join formulation shipped both embeddings through Arrow for
+    # every pair: ~12 GB at sf0.1, measured 15.4s vs 2.2s for this).
     # Cross-group pairs meet in exactly one tile (ti < tj); same-group
-    # pairs meet twice in tile (g, g), deduped by vec_a < vec_b. least/
-    # greatest normalizes the emitted order for the cross-group case.
-    return (
-        a.join(b, ["ti", "tj"])
-        .filter((F.col("ti") < F.col("tj")) | (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cosine", F.round(cosine_seq("a_emb", "b_emb"), 6))
-        .filter(F.col("cosine") >= NEARDUP_COS)
-        .select(
-            F.least("vec_a", "vec_b").alias("vec_a"),
-            F.greatest("vec_a", "vec_b").alias("vec_b"),
-            "cosine",
+    # pairs meet in tile (g, g), deduped inside the kernel by id order.
+    pairs = (
+        a.groupBy("ti", "tj")
+        .cogroup(b.groupBy("ti", "tj"))
+        .applyInPandas(
+            _neardup_tile(NEARDUP_COS), schema="vec_a long, vec_b long, raw double"
         )
+    )
+    # The kernel pre-filters on the RAW cosine with a one-ulp-safe
+    # margin; the contractual boundary decision stays JVM-side on the
+    # 6-decimal HALF_UP rounding, identical to the oracle's ROUND.
+    return (
+        pairs.withColumn("cosine", F.round("raw", 6))
+        .filter(F.col("cosine") >= NEARDUP_COS)
+        .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
     )
+
+
+def _neardup_tile(tau: float):
+    """Tile kernel: all qualifying A x B cosines for one (ti, tj) tile.
+
+    The dot matrix accumulates column-sequentially
+    (``D += X[:, j] outer Y[:, j]`` for j in order) so every pairwise
+    dot — and both norms — is IEEE-identical to the per-pair Column
+    fold and the DuckDB oracle (functions/vector.py bit-identity
+    argument). Emission pre-filters on raw cosine at ``tau - 1e-6``;
+    the exact >= tau decision is made on the JVM-rounded value so the
+    kernel never owns a rounding-mode decision.
+    """
+    margin = tau - 1e-6
+
+    def fn(left, right):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "raw": pd.Series(dtype="float64"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        ti = int(left["ti"].iloc[0])
+        tj = int(left["tj"].iloc[0])
+        ia = left["vec_id"].to_numpy()
+        ib = right["vec_id"].to_numpy()
+        X = stack_f64(left["embedding"])
+        Y = stack_f64(right["embedding"])
+        D = np.zeros((len(ia), len(ib)))
+        for j in range(X.shape[1]):
+            D += X[:, j][:, None] * Y[:, j][None, :]
+        na = np.sqrt(seq_dot(X, X))
+        nb = np.sqrt(seq_dot(Y, Y))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            C = D / (na[:, None] * nb[None, :])
+            mask = C >= margin
+        if ti == tj:
+            mask &= ia[:, None] < ib[None, :]
+        ii, jj = np.nonzero(mask)
+        if not len(ii):
+            return empty
+        va, vb = ia[ii], ib[jj]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(va, vb),
+                "vec_b": np.maximum(va, vb),
+                "raw": C[ii, jj],
+            }
+        )
+
+    return fn
 
 
 # --------------------------------------------------------------------------
