@@ -35,6 +35,7 @@ def load_all() -> None:
     from bigdataentrytask_spark.operators import (  # noqa: F401
         analytics,
         dedup,
+        jdbc_bridge,
         multimodal,
         reference_batch,
         similarity,

@@ -204,11 +204,9 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sig_arr")
     )
     # Band-bucket grouping instead of a band self-join: each doc
-    # explodes into LSH_BANDS rows keyed by its band signature; one
-    # hash-shuffle co-locates every bucket, and pairs are enumerated
-    # inside the bucket by a vectorized numpy kernel (mapInPandas over
-    # key-sorted partitions). Two tricks make this strictly better
-    # than the join formulation:
+    # explodes into LSH_BANDS rows keyed by its band signature; pairs
+    # are enumerated inside the bucket by a vectorized numpy kernel.
+    # Two tricks make this strictly better than the join formulation:
     #   1. canonical band: a pair is emitted ONLY by the first band in
     #      which it collides (we hold both full signatures, so earlier
     #      bands are re-checkable locally). Pairs are therefore unique
@@ -220,11 +218,14 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     #      per-element interpreted higher-order function (measured
     #      5.6s for 7.6M pairs) and not a 32-way unrolled codegen
     #      expression (blows the JVM 8KB JIT limit, runs interpreted).
-    # Bucket skew: a bucket of n near-identical docs inherently yields
-    # n^2/2 output pairs — quadratic in CLUSTER size, not corpus size;
-    # that cost is the operator's contract. One task owns one bucket
-    # (the kernel chunks rows so memory stays bounded); at 100 TB the
-    # standard extra guard is capping bucket width before pairing.
+    # Bucket SKEW is handled by width-adaptive tiling, not by one
+    # task per bucket: a bucket of n near-identical docs inherently
+    # yields n^2/2 output pairs (quadratic in CLUSTER size — the
+    # operator's contract), but that work spreads over ~(n/T)^2/2
+    # tiles of <= T docs per side, each its own cogroup task. This
+    # corpus has a 2637-doc dup cluster: untiled, ONE task owned its
+    # ~3.5M pairs (and at 100x scale, a 260k-doc cluster in one task
+    # is simply dead); tiled, it is ~21 parallel tasks.
     # bkey(i) = "band:s0:s1:s2:s3" — string keys group identically in
     # Spark's shuffle and in pandas.
     def band_keys():
@@ -245,10 +246,44 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = mh.select(
         "doc_id", "sig_arr", F.posexplode(band_keys()).alias("band", "bkey")
     )
-    part = bands.repartition(F.col("bkey")).sortWithinPartitions("bkey")
+    # Tile assignment: nc = ceil(width / T) hash-chunks per bucket;
+    # singleton buckets (the vast majority) are pruned before the
+    # explode. Same unordered-tile replication as the embedding
+    # near-dup operator: a row is the A side of tiles (c, tj >= c) and
+    # the B side of tiles (ti <= c, c); cross-chunk pairs meet in
+    # exactly one tile, same-chunk pairs dedupe by id order in-kernel.
+    widths = bands.groupBy("bkey").agg(F.count(F.lit(1)).alias("w"))
+    tiled = (
+        bands.join(widths, "bkey")
+        .filter(F.col("w") >= 2)
+        .withColumn("nc", F.ceil(F.col("w") / F.lit(float(_TILE_DOCS))).cast("int"))
+        .withColumn("c", F.pmod(F.xxhash64("doc_id"), F.col("nc")).cast("int"))
+    )
+    # explicit aliases: both sides derive from the same join lineage,
+    # which otherwise trips Spark's ambiguous-self-join analysis
+    a = tiled.alias("ta").select(
+        F.col("ta.bkey").alias("bkey"),
+        F.col("ta.band").alias("band"),
+        F.col("ta.doc_id").alias("doc_id"),
+        F.col("ta.sig_arr").alias("sig_arr"),
+        F.col("ta.c").alias("ti"),
+        F.explode(F.expr("sequence(ta.c, ta.nc - 1)")).alias("tj"),
+    )
+    b = tiled.alias("tb").select(
+        F.col("tb.bkey").alias("bkey"),
+        F.col("tb.band").alias("band"),
+        F.col("tb.doc_id").alias("doc_id"),
+        F.col("tb.sig_arr").alias("sig_arr"),
+        F.explode(F.expr("sequence(0, tb.c)")).alias("ti"),
+        F.col("tb.c").alias("tj"),
+    )
     min_cnt = int(-(-MINHASH_THRESHOLD * NUM_HASHES // 1))
-    pairs = part.mapInPandas(
-        _minhash_bucket_pairs(min_cnt), schema="doc_a long, doc_b long, cnt int"
+    pairs = (
+        a.groupBy("bkey", "ti", "tj")
+        .cogroup(b.groupBy("bkey", "ti", "tj"))
+        .applyInPandas(
+            _minhash_tile(min_cnt), schema="doc_a long, doc_b long, cnt int"
+        )
     )
     return pairs.select(
         "doc_a",
@@ -257,78 +292,67 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_bucket_pairs(min_cnt: int):
-    """Kernel: enumerate qualifying pairs inside each band bucket.
+_TILE_DOCS = 512  # max docs per tile side; bounds per-task compare work
 
-    Partitions arrive hash-partitioned and sorted by bucket key, so a
-    bucket never spans partitions; batches within a partition are
-    concatenated (the band frame is docs x LSH_BANDS narrow rows — a
-    partition holds only its shard of buckets). All math is int64
-    equality counting — no floats, so Spark/DuckDB agreement is exact.
+
+def _minhash_tile(min_cnt: int):
+    """Tile kernel: qualifying pairs for one (bucket, ti, tj) tile.
+
+    All math is int64 equality counting — no floats, so Spark/DuckDB
+    agreement is exact. ``first`` suppresses any pair whose signatures
+    already collide in an EARLIER band (the canonical-band dedup);
+    this tile's own band matches by construction of the bucket key.
     """
 
-    def fn(batches):
+    def fn(left, right):
         import numpy as np
         import pandas as pd
 
-        rows_per_band = _ROWS_PER_BAND
-
-        def bucket_out(ids, sigs, band):
-            n = len(ids)
-            order = np.argsort(ids, kind="stable")
-            ids = ids[order]
-            S = sigs[order]
-            out_a, out_b, out_c = [], [], []
-            # chunk the pairwise comparison so the bool tensor stays
-            # bounded (CHUNK x n x 32 bytes) for arbitrarily wide
-            # buckets
-            CHUNK = 512
-            lo, hi = band * rows_per_band, (band + 1) * rows_per_band
-            for i0 in range(0, n, CHUNK):
-                blk = S[i0 : i0 + CHUNK]  # c x 32
-                eq = blk[:, None, :] == S[None, :, :]  # c x n x 32
-                cnt = eq.sum(axis=2, dtype=np.int32)  # c x n
-                # first colliding band: this band's slice matches by
-                # construction; emit only if no EARLIER band matches
-                first = np.ones(cnt.shape, dtype=bool)
-                for b in range(band):
-                    l0 = b * rows_per_band
-                    first &= ~eq[:, :, l0 : l0 + rows_per_band].all(axis=2)
-                ii, jj = np.nonzero(
-                    (cnt >= min_cnt)
-                    & first
-                    & (np.arange(i0, i0 + blk.shape[0])[:, None] < np.arange(n)[None, :])
-                )
-                if len(ii):
-                    out_a.append(ids[ii + i0])
-                    out_b.append(ids[jj])
-                    out_c.append(cnt[ii, jj])
-            if not out_a:
-                return None
-            return pd.DataFrame(
-                {
-                    "doc_a": np.concatenate(out_a),
-                    "doc_b": np.concatenate(out_b),
-                    "cnt": np.concatenate(out_c).astype(np.int32),
-                }
-            )
-
-        dfs = list(batches)
-        if not dfs:
-            return
-        pdf = pd.concat(dfs, ignore_index=True)
-        if len(pdf) == 0:
-            return
-        for _, g in pdf.groupby("bkey", sort=False):
-            if len(g) < 2:
-                continue
-            out = bucket_out(
-                g["doc_id"].to_numpy(),
-                np.stack(g["sig_arr"].to_numpy()),
-                int(g["band"].iloc[0]),
-            )
-            if out is not None:
-                yield out
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int32"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        band = int(left["band"].iloc[0])
+        same_chunk = int(left["ti"].iloc[0]) == int(left["tj"].iloc[0])
+        ia = left["doc_id"].to_numpy()
+        ib = right["doc_id"].to_numpy()
+        Sa = np.stack(left["sig_arr"].to_numpy())
+        Sb = np.stack(right["sig_arr"].to_numpy())
+        rpb = _ROWS_PER_BAND
+        out_a, out_b, out_c = [], [], []
+        # block the A side so the bool tensor stays bounded
+        # (BLK x |B| x 32 bytes) even for the widest tiles
+        BLK = 512
+        for i0 in range(0, len(ia), BLK):
+            blk = Sa[i0 : i0 + BLK]
+            eq = blk[:, None, :] == Sb[None, :, :]  # blk x nB x 32
+            cnt = eq.sum(axis=2, dtype=np.int32)
+            mask = cnt >= min_cnt
+            for earlier in range(band):
+                l0 = earlier * rpb
+                mask &= ~eq[:, :, l0 : l0 + rpb].all(axis=2)
+            if same_chunk:
+                mask &= ia[i0 : i0 + BLK][:, None] < ib[None, :]
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                va, vb = ia[ii + i0], ib[jj]
+                out_a.append(np.minimum(va, vb))
+                out_b.append(np.maximum(va, vb))
+                out_c.append(cnt[ii, jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "cnt": np.concatenate(out_c).astype(np.int32),
+            }
+        )
 
     return fn
 

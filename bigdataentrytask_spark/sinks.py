@@ -78,6 +78,25 @@ def build_upsert_sql(
             f"SELECT {collist} FROM {staging} "
             f"ON CONFLICT ({', '.join(key_cols)}) DO UPDATE SET {updates}"
         )
+    if dialect == "merge":
+        # ANSI MERGE (Derby / DB2 / Oracle / SQL Server). Identifiers
+        # are double-quoted because Spark's JDBC writer creates the
+        # staging table with quoted (case-preserved) column names — an
+        # unquoted reference would fold to the engine's default case
+        # and miss them. Executed for REAL against embedded Derby in
+        # tests and in the jdbc_upsert_roundtrip operator.
+        def q(c: str) -> str:
+            return f'"{c}"'
+
+        on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
+        sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in cols if c not in key_cols)
+        ins_cols = ", ".join(q(c) for c in cols)
+        ins_vals = ", ".join(f"s.{q(c)}" for c in cols)
+        return (
+            f"MERGE INTO {table} t USING {staging} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+        )
     raise ValueError(f"unknown dialect: {dialect}")
 
 
@@ -94,10 +113,11 @@ def jdbc_upsert_batch(
     temp table, then merge. Spark's JDBC writer only appends/overwrites,
     so the merge statement runs over the staged rows — one round trip
     per batch, no per-row Python. `execute` is the post-stage statement
-    runner (a JDBC/DB-API cursor adapter); without one this raises,
-    since no database exists in this container. The merge TEXT is
-    `build_upsert_sql`, whose ANSI form is executed for real against
-    DuckDB in tests.
+    runner — `sources.jdbc.jvm_jdbc_execute` is the live implementation
+    (used against embedded Derby by `jdbc_upsert_roundtrip` and
+    tests/test_jdbc_derby.py); without one this raises with the merge
+    text. The merge TEXT is `build_upsert_sql`: the ANSI form runs on
+    DuckDB in tests, the MERGE form on Derby.
     """
     staging = f"{table}__stage"
     (

@@ -1,8 +1,13 @@
 """JDBC sources/sinks — the reference's MySQL/Hive-over-JDBC edges
 (SURVEY.md §2.1 S4/S5/S7/S8) in native Spark form.
 
-No database exists in this container, so these are the production
-shapes (tested for plan construction only where possible):
+No MySQL exists in this container, but Spark bundles embedded Derby
+(its Hive-metastore dependency), so every edge below is exercised for
+REAL against `jdbc:derby:memory:` databases — actual partitioned
+reads, overwrite/append writes, and MERGE upserts through a live JDBC
+connection (tests/test_jdbc_derby.py, operators/jdbc_bridge.py).
+Memory-backed Derby is single-JVM, which exactly matches local-mode
+Spark; on a real cluster the same code points at a server database:
 
 * S4 `read_jdbc_table` — partitioned parallel read: WHERE-clause
   splitting on a numeric column, the scalable form of the reference's
@@ -105,3 +110,25 @@ def write_jdbc_table(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def jvm_jdbc_execute(spark: SparkSession, url: str):
+    """A statement runner over the driver JVM's `java.sql.DriverManager`
+    — the `execute` callback for `sinks.jdbc_upsert_batch` (DDL and the
+    post-stage MERGE run on the DB server, one round trip, no per-row
+    Python). Uses the same JVM classpath as Spark's own JDBC
+    source/sink, so any driver Spark can load, this can execute
+    against."""
+
+    def execute(sql: str) -> None:
+        conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            st = conn.createStatement()
+            try:
+                st.execute(sql)
+            finally:
+                st.close()
+        finally:
+            conn.close()
+
+    return execute
