@@ -18,7 +18,9 @@ from bigdataentrytask_spark.catalog import load_table
 from bigdataentrytask_spark.functions.text import (
     normalize_text,
     sql_normalize_text,
+    sql_token_hash,
     sql_tokens,
+    token_hash,
     tokens,
 )
 from bigdataentrytask_spark.operators import operator
@@ -713,4 +715,149 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("doc_last"),
         )
         .orderBy("source", "seq_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: which training documents share a 5-token
+# shingle with the held-out evaluation set?  (The step every
+# pre-training pipeline runs before a benchmark is trusted; reference
+# has no analogue — north-star layer, SURVEY.md §2.8.)  The eval set
+# here is the deterministic doc_id % 97 == 0 slice; in production it
+# would be the benchmark corpus itself.
+#
+# Scale: eval-side distinct shingle hashes are tiny relative to the
+# corpus (benchmarks are MBs, corpora are TBs) -> broadcast hash join
+# against the exploded training shingles; the only wide exchange is
+# the final per-doc count agg. No driver state.
+# --------------------------------------------------------------------------
+_CONTAM_N = 5
+_BENCH_MOD = 97
+
+
+def _shingle_hashes(n: int):
+    """Distinct md5-based hashes of all n-token shingles of `toks`."""
+    toks = tokens("text")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: token_hash(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return F.array_distinct(grams)
+
+
+def _sql_shingle_hashes(n: int) -> str:
+    """DuckDB twin of _shingle_hashes(): same strings, same hash."""
+    gram = f"array_to_string(toks[i:i+{n - 1}], ' ')"
+    return (
+        f"list_distinct(list_transform(range(1, len(toks) - {n - 2}),"
+        f" i -> {sql_token_hash(gram)}))"
+    )
+
+
+@operator(
+    "ngram_contamination",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, {_sql_shingle_hashes(_CONTAM_N)} AS hashes
+      FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents)
+    ),
+    bench AS (
+      SELECT DISTINCT u.h FROM g, UNNEST(g.hashes) AS u(h)
+      WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    train AS (
+      SELECT doc_id, len(hashes) AS n_ngrams, u.h
+      FROM g, UNNEST(g.hashes) AS u(h)
+      WHERE doc_id % {_BENCH_MOD} <> 0
+    )
+    SELECT t.doc_id,
+           t.n_ngrams,
+           COUNT(*) AS hits,
+           ROUND(COUNT(*) / CAST(t.n_ngrams AS DOUBLE), 6) AS contamination
+    FROM train t JOIN bench b ON t.h = b.h
+    GROUP BY t.doc_id, t.n_ngrams
+    ORDER BY doc_id
+    """,
+)
+def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _shingle_hashes(_CONTAM_N).alias("hashes")
+    )
+    bench = (
+        d.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("hashes").alias("h"))
+        .distinct()
+    )
+    train = d.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
+        "doc_id", F.size("hashes").alias("n_ngrams"), F.explode("hashes").alias("h")
+    )
+    return (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .withColumn(
+            "contamination",
+            F.round(F.col("hits") / F.col("n_ngrams").cast("double"), 6),
+        )
+        .select("doc_id", "n_ngrams", "hits", "contamination")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-wide duplicated-shingle share (C4-style): per document, the
+# fraction of its distinct 3-token shingles that occur in at least one
+# OTHER document. High share == boilerplate / template / near-dup.
+#
+# Scale: the canonical two-shuffle counting job — explode distinct
+# per-doc shingle hashes, hash-partitioned count by shingle, join back
+# (same key -> same partitioning, AQE plans one exchange), per-doc agg.
+# Identical shape at 100 TB; no skew risk beyond stop-shingles, which
+# AQE skew-join splits.
+# --------------------------------------------------------------------------
+_DUPGRAM_N = 3
+
+
+@operator(
+    "dup_ngram_share",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, {_sql_shingle_hashes(_DUPGRAM_N)} AS hashes
+      FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents)
+    ),
+    e AS (
+      SELECT doc_id, len(hashes) AS n_ngrams, u.h
+      FROM g, UNNEST(g.hashes) AS u(h)
+    ),
+    freq AS (SELECT h, COUNT(*) AS df FROM e GROUP BY h)
+    SELECT e.doc_id,
+           e.n_ngrams,
+           CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           ROUND(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)
+                 / CAST(e.n_ngrams AS DOUBLE), 6) AS dup_share
+    FROM e JOIN freq f ON e.h = f.h
+    GROUP BY e.doc_id, e.n_ngrams
+    ORDER BY doc_id
+    """,
+)
+def dup_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _shingle_hashes(_DUPGRAM_N).alias("hashes")
+    )
+    e = d.filter(F.size("hashes") > 0).select(
+        "doc_id", F.size("hashes").alias("n_ngrams"), F.explode("hashes").alias("h")
+    )
+    freq = e.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        e.join(freq, "h")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup"))
+        .withColumn(
+            "dup_share", F.round(F.col("n_dup") / F.col("n_ngrams").cast("double"), 6)
+        )
+        .select("doc_id", "n_ngrams", "n_dup", "dup_share")
+        .orderBy("doc_id")
     )
