@@ -15,6 +15,7 @@ is identical, just with one partition.
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,9 +46,11 @@ TABLES = (
     "embeddings",
 )
 
-# Physical schemas (what the parquet footers declare). `events.ts` is
-# TIMESTAMP(NANOS) on disk — read as int64 nanos (see session.py) and
-# converted to a microsecond timestamp by load_table.
+# Physical schemas (what the parquet footers declare). `events.ts` has
+# shipped in two fixture layouts: TIMESTAMP(NANOS) (read as int64 nanos
+# via nanosAsLong, see session.py) and TIMESTAMP(MICROS). load_table
+# sniffs the footer and canonicalizes either into the same derived
+# columns, so queries never see the difference.
 SCHEMAS: dict[str, StructType] = {
     "region": StructType(
         [
@@ -114,10 +117,13 @@ SCHEMAS: dict[str, StructType] = {
             StructField("l_shipdate", TimestampNTZType()),
         ]
     ),
+    # Wire/JSON schema for events (Kafka value parse and the NANOS
+    # parquet layout): `ts` as epoch-nanos int64. File reads use
+    # events_physical_schema() instead, which sniffs the footer.
     "events": StructType(
         [
             StructField("event_id", LongType()),
-            StructField("ts", LongType()),  # epoch NANOSECONDS on disk
+            StructField("ts", LongType()),  # epoch NANOSECONDS on the wire
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
             StructField("value", DoubleType()),
@@ -143,27 +149,63 @@ SCHEMAS: dict[str, StructType] = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table with its canonical derived columns.
+_EVENTS_SCHEMA_TS = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampNTZType()),  # TIMESTAMP(MICROS) layout
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
 
-    ``events`` mirrors the reference's `user_behavior` dynamic table
-    (/root/reference/doc/temp.md:293-303): the raw epoch column is
-    turned into an event-time TIMESTAMP computed column at the scan,
-    exactly like the Flink DDL's
-    ``ts AS TO_TIMESTAMP(FROM_UNIXTIME(order_time))``. Disk carries
-    nanos; `ts div 1000` is exact integer division to micros, which
-    matches DuckDB/pyarrow truncation semantics bit-for-bit.
-    """
-    if name not in SCHEMAS:
-        raise KeyError(f"unknown table {name!r}; have {TABLES}")
-    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = (
+
+@lru_cache(maxsize=64)
+def events_physical_schema(path: str) -> StructType:
+    """Pick the read schema for an events parquet by sniffing its
+    footer (driver-side metadata read, no data IO). TIMESTAMP(NANOS)
+    columns are read as raw int64 via nanosAsLong; MICROS/MILLIS are
+    read as native timestamps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(path).field("ts").type
+    if pa.types.is_timestamp(t) and t.unit != "ns":
+        return _EVENTS_SCHEMA_TS
+    return SCHEMAS["events"]
+
+
+def with_event_time(df: DataFrame) -> DataFrame:
+    """Canonicalize an events frame from either physical layout into
+    the same derived columns: ``ts`` TIMESTAMP (session-UTC),
+    ``ts_nanos`` epoch-nanos BIGINT, ``order_time`` epoch-seconds
+    BIGINT. This mirrors the reference's `user_behavior` computed
+    column ``ts AS TO_TIMESTAMP(FROM_UNIXTIME(order_time))``
+    (/root/reference/doc/temp.md:293-303). Integer division to micros
+    matches DuckDB/pyarrow truncation bit-for-bit."""
+    if dict(df.dtypes)["ts"] == "bigint":  # NANOS layout: raw int64
+        return (
             df.withColumnRenamed("ts", "ts_nanos")
             .withColumn("ts", F.expr("timestamp_micros(ts_nanos div 1000)"))
             .withColumn("order_time", F.expr("ts_nanos div 1000000000"))
         )
-    return df
+    return (
+        df.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("ts_nanos", F.expr("unix_micros(ts) * 1000"))
+        .withColumn("order_time", F.expr("unix_micros(ts) div 1000000"))
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table with its canonical derived columns."""
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        df = spark.read.schema(events_physical_schema(path)).parquet(path)
+        return with_event_time(df)
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -21,31 +21,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdataentrytask_spark.catalog import SCHEMAS
+from bigdataentrytask_spark.catalog import (
+    SCHEMAS,
+    events_physical_schema,
+    with_event_time,
+)
 from bigdataentrytask_spark.session import ensure_session_confs
 
 WATERMARK = "5 seconds"  # reference: ts - INTERVAL '5' SECOND (doc/temp.md:303)
 
 
-def _with_event_time(df: DataFrame) -> DataFrame:
-    """Derive the canonical event-time column from raw nanos (same
-    derivation as catalog.load_table — the streaming twin of the Flink
-    computed column `ts AS TO_TIMESTAMP(FROM_UNIXTIME(order_time))`)."""
-    return df.withColumnRenamed("ts", "ts_nanos").withColumn(
-        "ts", F.expr("timestamp_micros(ts_nanos div 1000)")
-    )
-
-
 def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the events fixture as a file-source stream with the
-    reference's 5s watermark."""
+    reference's 5s watermark. The read schema is sniffed from the
+    fixture footer (NANOS vs MICROS layout) and canonicalized by the
+    same helper as the batch loader — the streaming twin of the Flink
+    computed column `ts AS TO_TIMESTAMP(FROM_UNIXTIME(order_time))`."""
     ensure_session_confs(spark)
     raw = (
-        spark.readStream.schema(SCHEMAS["events"])
+        spark.readStream.schema(
+            events_physical_schema(f"{sf_dir}/events.parquet")
+        )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return _with_event_time(raw).withWatermark("ts", WATERMARK)
+    return with_event_time(raw).withWatermark("ts", WATERMARK)
 
 
 def events_kafka_stream(
@@ -70,4 +70,4 @@ def events_kafka_stream(
     parsed = raw.select(
         F.from_json(F.col("value").cast("string"), SCHEMAS["events"]).alias("e")
     ).select("e.*")
-    return _with_event_time(parsed).withWatermark("ts", WATERMARK)
+    return with_event_time(parsed).withWatermark("ts", WATERMARK)
