@@ -43,5 +43,7 @@ def load_all() -> None:
         star,
         streaming_bridge,
         text_analysis,
+        timeseries,
+        tpch,
         windows_pivot,
     )

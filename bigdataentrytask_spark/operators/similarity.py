@@ -610,3 +610,48 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Higher-order-function surface over the embedding column: per-vector
+# statistics computed entirely with array lambdas (transform / filter /
+# exists / zip_with / aggregate) — the JVM-side vector math toolkit
+# every embedding pipeline composes before reaching for a Python UDF.
+# Narrow projection, zero shuffle.
+# --------------------------------------------------------------------------
+_HOF_BIG = 2.5
+
+
+@operator(
+    "embedding_hof_stats",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    )
+    SELECT vec_id,
+           len(list_filter(e, x -> x > 0))                        AS n_pos,
+           ROUND((SELECT SUM(abs(u.x))
+                  FROM (SELECT UNNEST(e) AS x) u), 4)             AS l1,
+           ROUND((SELECT SUM(z.a * z.b)
+                  FROM (SELECT UNNEST(e) AS a, UNNEST(e) AS b) z), 4)
+                                                                  AS sq_norm,
+           len(list_filter(e, x -> abs(x) > {_HOF_BIG})) > 0      AS has_big
+    FROM v ORDER BY vec_id
+    """,
+)
+def embedding_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    sq = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    l1 = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + F.abs(x))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(l1, 4).alias("l1"),
+        F.round(sq, 4).alias("sq_norm"),
+        F.exists(v, lambda x: F.abs(x) > _HOF_BIG).alias("has_big"),
+    ).orderBy("vec_id")

@@ -612,3 +612,42 @@ def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Aggregate-function breadth beyond SUM/COUNT/AVG: median (exact,
+# interpolated), count_if, bool_and/bool_or — one grouped single-pass
+# agg. median is the only non-partial aggregate here; Spark computes it
+# via per-group sort of the grouped values, which is bounded by the
+# group's cardinality (|orders|/|priorities|), not the table.
+# --------------------------------------------------------------------------
+_AGGX_BIG = 200_000.0
+
+
+@operator(
+    "order_agg_extras",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*)                                    AS n,
+           ROUND(median(o_totalprice), 4)              AS med_price,
+           count_if(o_totalprice > {_AGGX_BIG})        AS n_big,
+           bool_or(o_orderstatus = 'O')                AS any_open,
+           bool_and(o_totalprice > 0)                  AS all_positive
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.median("o_totalprice"), 4).alias("med_price"),
+            F.count_if(F.col("o_totalprice") > _AGGX_BIG).alias("n_big"),
+            F.bool_or(F.col("o_orderstatus") == "O").alias("any_open"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        )
+        .orderBy("o_orderpriority")
+    )

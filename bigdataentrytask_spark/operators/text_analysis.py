@@ -861,3 +861,189 @@ def dup_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_ngrams", "n_dup", "dup_share")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Context chunking: split each document into fixed-size word windows
+# with a per-document chunk ordinal — the step that turns raw documents
+# into model-context-sized training units. Pure narrow transformation
+# (split -> per-doc sequence explode -> slice); no shuffle at all until
+# the final presentation sort.
+#
+# Scale: each doc expands to ceil(words/CHUNK) rows computed entirely
+# within its partition — embarrassingly parallel, output proportional
+# to input, no state.
+# --------------------------------------------------------------------------
+_CHUNK_WORDS = 32
+
+
+@operator(
+    "doc_word_chunks",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    )
+    SELECT w.doc_id,
+           g.i AS chunk_idx,
+           len(list_slice(w.ws, g.i * {_CHUNK_WORDS} + 1,
+                                g.i * {_CHUNK_WORDS} + {_CHUNK_WORDS}))
+               AS n_words,
+           array_to_string(list_slice(w.ws, g.i * {_CHUNK_WORDS} + 1,
+                                            g.i * {_CHUNK_WORDS} + {_CHUNK_WORDS}),
+                           ' ') AS chunk_text
+    FROM w, LATERAL (
+      SELECT UNNEST(generate_series(
+        0, CAST(CEIL(len(w.ws) / {float(_CHUNK_WORDS)}) AS BIGINT) - 1)) AS i
+    ) g
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    n_chunks = F.ceil(F.size("ws") / F.lit(float(_CHUNK_WORDS))).cast("long")
+    chunked = d.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    chunk = F.slice(
+        "ws", F.col("chunk_idx").cast("int") * _CHUNK_WORDS + 1, _CHUNK_WORDS
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).alias("n_words"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# --------------------------------------------------------------------------
+# Inverted index: token -> document frequency + capped, sorted posting
+# list — the retrieval-side dual of tfidf_top_term. Posting lists are
+# hard-capped at _POSTING_CAP entries so per-token state is bounded
+# (stop-word-like tokens cannot blow up a reducer); at 100 TB the full
+# uncapped lists would be written sharded by (token, doc_id-bucket),
+# same plan shape with a finer key.
+# --------------------------------------------------------------------------
+_POSTING_CAP = 20
+_MIN_DF = 10
+
+
+@operator(
+    "inverted_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(string_split(lower(text), ' '))) AS tok
+      FROM documents
+    )
+    SELECT tok,
+           COUNT(*) AS df,
+           array_to_string(
+             list_transform(
+               list_slice(list_sort(list(doc_id)), 1, {_POSTING_CAP}),
+               x -> CAST(x AS VARCHAR)),
+             ',') AS postings
+    FROM toks
+    WHERE tok <> ''
+    GROUP BY tok
+    HAVING COUNT(*) >= {_MIN_DF}
+    ORDER BY tok
+    """,
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.lower("text"), " "))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    postings = F.concat_ws(
+        ",",
+        F.transform(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, _POSTING_CAP),
+            lambda x: x.cast("string"),
+        ),
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"), postings.alias("postings"))
+        .filter(F.col("df") >= _MIN_DF)
+        .orderBy("tok")
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage: the smallest prefix of the frequency-ranked
+# vocabulary that covers _VOCAB_TARGET of all token occurrences — the
+# standard pre-tokenizer diagnostic ("how big must the vocab be?").
+# The global window runs over the VOCABULARY (|distinct tokens|, tiny
+# relative to the corpus), never the corpus itself: the heavy
+# reduction (corpus -> per-token counts) is a map-side-combinable agg.
+# --------------------------------------------------------------------------
+_VOCAB_TARGET = 0.5
+
+
+@operator(
+    "vocab_coverage",
+    oracle=f"""
+    WITH counts AS (
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+      GROUP BY tok
+    ), ranked AS (
+      SELECT tok, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, tok)           AS rnk,
+             SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                            ROWS UNBOUNDED PRECEDING)             AS cum,
+             SUM(cnt) OVER ()                                     AS total
+      FROM counts
+    )
+    SELECT rnk, tok, cnt,
+           ROUND(cum / CAST(total AS DOUBLE), 6) AS cum_share
+    FROM ranked
+    WHERE cum - cnt < {_VOCAB_TARGET} * total
+    ORDER BY rnk
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w_rank = Window.orderBy(F.col("cnt").desc(), "tok")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = counts.select(
+        F.row_number().over(w_rank).alias("rnk"),
+        "tok",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    return (
+        ranked.filter(
+            F.col("cum") - F.col("cnt") < _VOCAB_TARGET * F.col("total")
+        )
+        .select(
+            "rnk",
+            "tok",
+            "cnt",
+            F.round(F.col("cum") / F.col("total").cast("double"), 6).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("rnk")
+    )

@@ -1,0 +1,147 @@
+"""Time-series operators over the event stream: calendar gap-fill and
+hypertable-style OHLC downsampling.
+
+The reference's batch layer only aggregates hours that HAVE data
+(/root/reference/doc/temp.md:509-530 — its GROUP BY silently skips
+empty buckets); these operators add the densified forms a monitoring /
+feature-engineering pipeline needs: an explicit zero row for every
+(bucket, key) cell, and first/last-in-bucket selection (open/close)
+without a sort-the-world window.
+
+Scale posture (100 TB):
+* `events_gap_fill` reduces the fact to per-(day, type) partial counts
+  FIRST (map-side combinable, one shuffle on a tiny key space); the
+  dense calendar grid is |days| x |types| rows — thousands — built
+  from the aggregate's own min/max bounds and broadcast-joined back.
+  No shuffle ever touches the dense side.
+* `events_ohlc_hour` is a single-pass grouped aggregation using
+  min_by/max_by over a (ts, event_id) tie-break struct — the cheapest
+  argmax at scale (partial aggregates, no ROW_NUMBER shuffle+sort of
+  the raw stream). The oracle uses the equivalent ROW_NUMBER
+  formulation, proving the two plans agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataentrytask_spark.catalog import load_table
+from bigdataentrytask_spark.operators import operator
+from bigdataentrytask_spark.session import ensure_session_confs
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Calendar gap-fill: daily event counts per type, with an explicit 0 row
+# for every (day, type) cell of the full [min_day, max_day] calendar.
+# --------------------------------------------------------------------------
+@operator(
+    "events_gap_fill",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT MIN(d) AS lo, MAX(d) AS hi FROM c
+    ), cal AS (
+      SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM b
+    ), ty AS (
+      SELECT DISTINCT event_type FROM c
+    )
+    SELECT strftime(cal.d, '%Y-%m-%d') AS day,
+           ty.event_type               AS event_type,
+           COALESCE(c.cnt, 0)          AS cnt
+    FROM cal CROSS JOIN ty
+    LEFT JOIN c ON c.d = cal.d AND c.event_type = ty.event_type
+    ORDER BY day, event_type
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "event_type"
+    )
+    counts = ev.groupBy("d", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    bounds = counts.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    calendar = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    types = counts.select("event_type").distinct()
+    grid = calendar.crossJoin(types)
+    # counts is post-aggregation (<= |days| x |types| rows) — broadcast
+    # the probe side so the dense grid never shuffles.
+    return (
+        grid.join(F.broadcast(counts), ["d", "event_type"], "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# OHLC downsample: per (event_type, hour) the first/last/min/max of
+# `value`, first/last picked by (ts, event_id) — deterministic even
+# under timestamp collisions.
+# --------------------------------------------------------------------------
+@operator(
+    "events_ohlc_hour",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id, value
+      FROM events
+    ), rn AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, h
+                                ORDER BY ts, event_id)            AS rf,
+             ROW_NUMBER() OVER (PARTITION BY event_type, h
+                                ORDER BY ts DESC, event_id DESC)  AS rl
+      FROM base
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S')               AS hour,
+           ROUND(MIN(CASE WHEN rf = 1 THEN value END), 4) AS open,
+           ROUND(MAX(value), 4)                           AS high,
+           ROUND(MIN(value), 4)                           AS low,
+           ROUND(MIN(CASE WHEN rl = 1 THEN value END), 4) AS close,
+           COUNT(*)                                       AS n
+    FROM rn GROUP BY 1, 2
+    ORDER BY event_type, hour
+    """,
+)
+def events_ohlc_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    key = F.struct("ts", "event_id")
+    return (
+        ev.groupBy("event_type", "h")
+        .agg(
+            F.round(F.min_by("value", key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", key), 4).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+        .orderBy("event_type", "hour")
+    )
