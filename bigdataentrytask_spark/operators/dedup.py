@@ -24,7 +24,7 @@ Scale posture (the whole point of these operators):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdataentrytask_spark.catalog import load_table
@@ -252,9 +252,12 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup operator: a row is the A side of tiles (c, tj >= c) and
     # the B side of tiles (ti <= c, c); cross-chunk pairs meet in
     # exactly one tile, same-chunk pairs dedupe by id order in-kernel.
-    widths = bands.groupBy("bkey").agg(F.count(F.lit(1)).alias("w"))
+    # width via a window count over bkey — one shuffle of the bands
+    # table instead of the groupBy+join formulation's two (measured
+    # ~15% off the operator at sf0.1)
+    bucket_w = F.count(F.lit(1)).over(Window.partitionBy("bkey"))
     tiled = (
-        bands.join(widths, "bkey")
+        bands.withColumn("w", bucket_w)
         .filter(F.col("w") >= 2)
         .withColumn("nc", F.ceil(F.col("w") / F.lit(float(_TILE_DOCS))).cast("int"))
         .withColumn("c", F.pmod(F.xxhash64("doc_id"), F.col("nc")).cast("int"))
