@@ -101,3 +101,38 @@ def stream_sliding_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_channel_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.run_stream_static_enrichment_replay(spark, sf_dir)
+
+
+# OHLC downsample streamed: first/last/min/max per (type, minute)
+# through the streaming engine — proves min_by/max_by argmax state is
+# incrementally maintainable. Append mode withholds the final
+# unclosed windows; the oracle applies the same watermark cutoff.
+@operator(
+    "stream_ohlc_minute",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, date_trunc('minute', ts) AS w, ts, event_id, value
+      FROM events
+      WHERE date_trunc('minute', ts) + INTERVAL 1 MINUTE
+            <= (SELECT MAX(ts) FROM events) - INTERVAL 5 SECOND
+    ), rn AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, w
+                                ORDER BY ts, event_id)           AS rf,
+             ROW_NUMBER() OVER (PARTITION BY event_type, w
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM base
+    )
+    SELECT event_type,
+           strftime(w, '%Y-%m-%d %H:%M:%S')               AS window_start,
+           ROUND(MIN(CASE WHEN rf = 1 THEN value END), 4) AS open,
+           ROUND(MAX(value), 4)                           AS high,
+           ROUND(MIN(value), 4)                           AS low,
+           ROUND(MIN(CASE WHEN rl = 1 THEN value END), 4) AS close,
+           COUNT(*)                                       AS n
+    FROM rn GROUP BY 1, 2
+    ORDER BY event_type, window_start
+    """,
+)
+def stream_ohlc_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.run_ohlc_minute_replay(spark, sf_dir)

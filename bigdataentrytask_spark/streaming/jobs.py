@@ -162,6 +162,52 @@ def run_daily_uv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reaggregate_daily(sink, spark)
 
 
+def ohlc_minute(events: DataFrame) -> DataFrame:
+    """OHLC per (event_type, 1-min tumble): open/close via
+    min_by/max_by over a (ts, event_id) tie-break struct — the
+    streaming twin of the batch events_ohlc_hour downsample. All four
+    aggregates are incrementally maintainable partial aggregates, so
+    state per open window is O(1)."""
+    key = F.struct("ts", "event_id")
+    return (
+        events.groupBy("event_type", F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.round(F.min_by("value", key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", key), 4).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )
+
+
+def run_ohlc_minute_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the OHLC downsample; append mode emits only
+    watermark-closed windows (same cutoff as run_tumble_minute_replay)."""
+    events = events_file_stream(spark, sf_dir)
+    name = f"ohlc_replay_{uuid.uuid4().hex[:8]}"
+    q = (
+        ohlc_minute(events)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_ohlc_"))
+        .start()
+    )
+    _run(q)
+    return spark.table(name).orderBy("event_type", "window_start")
+
+
 def stream_stream_attribution(events: DataFrame) -> DataFrame:
     """Stream-stream interval join: purchases joined to same-user
     signups within the preceding 5 minutes — the streaming form of the

@@ -96,3 +96,10 @@ def test_vocab_coverage_reaches_target(spark):
     assert rows[-1].cum_share >= 0.5
     if len(rows) > 1:
         assert rows[-2].cum_share < 0.5
+
+
+def test_stream_ohlc_matches_oracle(spark, duck):
+    """Streaming OHLC replay (append mode, watermark cutoff) equals the
+    batch ROW_NUMBER formulation on closed windows."""
+    df = REGISTRY["stream_ohlc_minute"](spark, SF_DIR)
+    assert_matches_oracle(df, duck, ORACLES["stream_ohlc_minute"], "stream_ohlc_minute")
