@@ -52,6 +52,9 @@ HEADLINE = [
     "user_sessions",
     "order_window_functions",
     "rollup_revenue",
+    # round-2 additions: join-heavy TPC-H shape + timeseries downsample
+    "q5_local_supplier_volume",
+    "events_ohlc_hour",
 ]
 
 
