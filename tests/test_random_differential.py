@@ -50,6 +50,17 @@ AGGS = [
         lambda c: F.countDistinct(c),
         lambda c: f"COUNT(DISTINCT {c})",
     ),
+    # exact interpolated median — rank-based, so engine-independent
+    (
+        "med",
+        lambda c: F.round(F.median(_d(c)), 4),
+        lambda c: f"ROUND(median(CAST({c} AS DOUBLE)), 4)",
+    ),
+    (
+        "cntif",
+        lambda c: F.count_if(_d(c) > 0),
+        lambda c: f"count_if(CAST({c} AS DOUBLE) > 0)",
+    ),
 ]
 
 OPS = [
