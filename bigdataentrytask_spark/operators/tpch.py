@@ -200,3 +200,45 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Q14 shape: promotion revenue share — lineitem joined to part for one
+# ship-date month; percentage of revenue from PROMO-type parts. The
+# part side at cluster SF shuffles on p_partkey (AQE may demote to
+# broadcast after the month filter reduces the probe side).
+# --------------------------------------------------------------------------
+_Q14_FROM = "1996-03-01"
+_Q14_TO = "1996-04-01"
+
+
+@operator(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN l.l_extendedprice * (1 - l.l_discount)
+                    ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS promo_pct,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS total_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '{_Q14_FROM} 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '{_Q14_TO} 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q14_FROM).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(_Q14_TO).cast("timestamp_ntz"))
+    )
+    rev = _revenue()
+    promo_rev = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+    return li.join(p, p.p_partkey == li.l_partkey).agg(
+        F.round(100.0 * promo_rev / F.sum(rev), 4).alias("promo_pct"),
+        F.round(F.sum(rev), 2).alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

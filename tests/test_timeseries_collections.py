@@ -72,6 +72,7 @@ TPCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
+    "q14_promo_revenue",
     "vocab_coverage",
 ]
 
