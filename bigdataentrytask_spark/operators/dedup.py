@@ -430,8 +430,24 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(SIMHASH_BITS)
     )
     sigs = bitsums.select("doc_id", sig.alias("sig"))
-    # candidate generation: hamming<=3 over 4 chunks ⇒ >=1 chunk equal
+    # Candidate generation: hamming<=3 over 4 chunks ⇒ >=1 chunk equal
+    # (pigeonhole). Chunks self-join with the CANONICAL-CHUNK rule: a
+    # pair is emitted only by the FIRST chunk in which the signatures
+    # agree, so pairs are unique by construction and the former
+    # distinct() shuffle over all candidates is gone (~10% at sf0.1).
+    # Simhash buckets here are narrow (15-bit chunk values over
+    # near-uniform hashes), so the join formulation beats a
+    # cogroup-tile kernel — measured: per-group Arrow overhead
+    # dominates when buckets hold a handful of docs. A corpus with
+    # giant identical-chunk clusters would flip that trade; the
+    # minhash tile kernel above is the drop-in pattern for that case.
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+
+    def chunk_of(col, c: int):
+        return F.shiftright(col, c * chunk_bits).bitwiseAND(
+            F.lit((1 << chunk_bits) - 1)
+        )
+
     chunks = sigs.select(
         "doc_id",
         "sig",
@@ -439,35 +455,36 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(c).alias("c"),
-                        F.shiftright("sig", c * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                        .alias("v"),
+                        F.lit(c).alias("c"), chunk_of(F.col("sig"), c).alias("v")
                     )
                     for c in range(SIMHASH_CHUNKS)
                 ]
             )
         ).alias("chunk"),
     )
-    cand = (
-        chunks.alias("x")
-        .join(
-            chunks.alias("y"),
-            (F.col("x.chunk") == F.col("y.chunk"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
+    joined = chunks.alias("x").join(
+        chunks.alias("y"),
+        (F.col("x.chunk") == F.col("y.chunk"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    )
+    first_eq = F.coalesce(
+        *[
+            F.when(
+                chunk_of(F.col("x.sig"), c) == chunk_of(F.col("y.sig"), c),
+                F.lit(c),
+            )
+            for c in range(SIMHASH_CHUNKS)
+        ]
+    )
+    hamming = F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig")))
+    return (
+        joined.filter(F.col("x.chunk.c") == first_eq)
+        .filter(hamming <= SIMHASH_MAX_HAMMING)
         .select(
             F.col("x.doc_id").alias("doc_a"),
-            F.col("x.sig").alias("sig_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.col("y.sig").alias("sig_b"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.filter(hamming <= SIMHASH_MAX_HAMMING)
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
 
