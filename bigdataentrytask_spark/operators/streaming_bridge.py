@@ -136,3 +136,20 @@ def stream_channel_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_ohlc_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.run_ohlc_minute_replay(spark, sf_dir)
+
+
+# Streaming exactly-once dedup: dropDuplicates on the event key with
+# watermark-bounded state. The fixture's event_ids are unique with
+# deterministic payloads, so replay output must equal the batch
+# projection exactly; the operator's value is the executed streaming
+# machinery (keyed dedup state + ageout past the watermark).
+@operator(
+    "stream_dedup_exactly_once",
+    oracle="""
+    SELECT DISTINCT event_id, user_id, value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.run_stream_dedup_replay(spark, sf_dir)

@@ -104,3 +104,10 @@ def test_stream_ohlc_matches_oracle(spark, duck):
     batch ROW_NUMBER formulation on closed windows."""
     df = REGISTRY["stream_ohlc_minute"](spark, SF_DIR)
     assert_matches_oracle(df, duck, ORACLES["stream_ohlc_minute"], "stream_ohlc_minute")
+
+
+def test_stream_dedup_matches_oracle(spark, duck):
+    df = REGISTRY["stream_dedup_exactly_once"](spark, SF_DIR)
+    assert_matches_oracle(
+        df, duck, ORACLES["stream_dedup_exactly_once"], "stream_dedup_exactly_once"
+    )
