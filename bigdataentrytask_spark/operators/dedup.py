@@ -503,7 +503,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 MAX_CC_ITERS = 20
 
-_RESOLVE_ORACLE = f"""
+_RESOLVE_CTES = f"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, UNNEST(list_distinct({sql_tokens('text')})) AS tok
       FROM documents
@@ -531,12 +531,17 @@ _RESOLVE_ORACLE = f"""
       SELECT e.dst, r.lbl
       FROM reach r JOIN edges e ON e.src = r.node
       WHERE r.lbl < e.dst
-    )
+    )"""
+
+_RESOLVE_ORACLE = (
+    _RESOLVE_CTES
+    + """
     SELECT node AS doc_id,
            MIN(lbl) AS component,
            (node = MIN(lbl)) AS keep
     FROM reach GROUP BY node ORDER BY doc_id
     """
+)
 
 
 @operator("dedup_resolve", oracle=_RESOLVE_ORACLE)
@@ -662,3 +667,40 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.value").alias("value"),
         F.col("r.props").alias("props"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Cluster-size report: the dedup run's summary statistics — how many
+# duplicate clusters of each size, how many docs dropped. Consumes the
+# resolved components; one tiny two-level agg on top (|docs| -> |components|
+# -> |distinct sizes| rows). The oracle extends the same recursive CTE.
+# --------------------------------------------------------------------------
+@operator(
+    "dedup_cluster_sizes",
+    oracle=_RESOLVE_CTES
+    + """,
+    comp AS (
+      SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+    ),
+    sizes AS (
+      SELECT component, COUNT(*) AS csize FROM comp GROUP BY component
+    )
+    SELECT csize AS cluster_size,
+           COUNT(*)                       AS n_clusters,
+           CAST(SUM(csize) AS BIGINT)     AS n_docs,
+           CAST(SUM(csize - 1) AS BIGINT) AS n_dropped
+    FROM sizes GROUP BY csize ORDER BY cluster_size
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = dedup_resolve(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        sizes.groupBy(F.col("csize").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("csize").alias("n_docs"),
+            F.sum(F.col("csize") - 1).alias("n_dropped"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -111,3 +111,22 @@ def test_stream_dedup_matches_oracle(spark, duck):
     assert_matches_oracle(
         df, duck, ORACLES["stream_dedup_exactly_once"], "stream_dedup_exactly_once"
     )
+
+
+def test_dedup_cluster_sizes_matches_oracle(spark, duck):
+    df = REGISTRY["dedup_cluster_sizes"](spark, SF_DIR)
+    assert_matches_oracle(
+        df, duck, ORACLES["dedup_cluster_sizes"], "dedup_cluster_sizes"
+    )
+
+
+def test_dedup_cluster_sizes_consistency(spark):
+    """Totals must reconcile with the resolved component table."""
+    rows = REGISTRY["dedup_cluster_sizes"](spark, SF_DIR).collect()
+    n_docs = sum(r.n_docs for r in rows)
+    n_kept = sum(r.n_clusters for r in rows)
+    n_dropped = sum(r.n_dropped for r in rows)
+    assert n_docs == n_kept + n_dropped
+    resolve = REGISTRY["dedup_resolve"](spark, SF_DIR).collect()
+    assert n_docs == len(resolve)
+    assert n_kept == sum(1 for r in resolve if r.keep)
