@@ -704,3 +704,171 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level chunk dedup (C4-style line dedup adapted to the fixture:
+# the synthetic docs have no newlines, so the dedup unit is the fixed
+# 10-word chunk — the same unit doc_word_chunks emits). Every chunk
+# that occurs more than once corpus-wide is kept only at its first
+# occurrence (lowest (doc_id, ord)) and dropped everywhere else; each
+# doc is reconstructed from its surviving chunks.
+#
+# Scale posture: the only wide op is one hash-shuffle on md5(chunk) for
+# the first-occurrence window — the same shuffle exact dedup does, just
+# at chunk granularity (C4 does this over ~billions of lines). The
+# reconstruction groupBy(doc_id) shuffles doc-sized rows once. No
+# driver-side state; the md5 keeps shuffle keys fixed-width regardless
+# of chunk length.
+# --------------------------------------------------------------------------
+_CHUNK_WORDS = 10
+
+
+@operator(
+    "chunk_dedup_corpus",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST((i - 1) / {_CHUNK_WORDS} AS BIGINT) AS ord,
+             array_to_string(w[i:i+{_CHUNK_WORDS - 1}], ' ') AS chunk
+      FROM toks, LATERAL unnest(range(1, len(w) + 1, {_CHUNK_WORDS})) AS t(i)
+    ),
+    flagged AS (
+      SELECT doc_id, ord, chunk,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, ord) = 1 AS keep
+      FROM chunks
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(chunk, ' ' ORDER BY ord)
+                      FILTER (WHERE keep), '') AS text_dedup,
+           CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS kept_chunks,
+           COUNT(*) AS total_chunks
+    FROM flagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def chunk_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    n_chunks = F.floor((F.size("w") - 1) / F.lit(_CHUNK_WORDS)).cast("int")
+    chunk_at = lambda i: F.array_join(  # noqa: E731
+        F.slice("w", i * _CHUNK_WORDS + 1, _CHUNK_WORDS), " "
+    )
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), n_chunks), chunk_at)
+        ).alias("ord", "chunk"),
+    )
+    win = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "ord")
+    flagged = chunks.withColumn("keep", F.row_number().over(win) == 1)
+    kept_struct = F.when(
+        F.col("keep"), F.struct(F.col("ord"), F.col("chunk"))
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x.chunk,
+                ),
+                " ",
+            ).alias("text_dedup"),
+            F.sum(F.col("keep").cast("long")).alias("kept_chunks"),
+            F.count(F.lit(1)).alias("total_chunks"),
+        )
+        .select("doc_id", "text_dedup", "kept_chunks", "total_chunks")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3-appendix-C style): flag every
+# training document that shares at least one exact word 4-gram with
+# the held-out evaluation set (here: the deterministic doc_id % 20
+# slice stands in for the benchmark corpus). Emits per-doc
+# contamination flag + the number of distinct overlapping grams.
+#
+# Scale posture: eval-set grams are the distinct n-grams of the
+# BENCHMARKS, not the corpus — small by construction (MMLU+HellaSwag+
+# … fit in MBs) — so the probe side broadcasts and the training-side
+# gram stream never shuffles on gram text; the per-doc count is one
+# partial-agg shuffle on doc_id. The gram explode is width-bounded
+# (one row per word, fixed K join of adjacent words).
+# --------------------------------------------------------------------------
+_DECON_K = 4
+_DECON_MOD = 20
+
+
+@operator(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(w[i:i+{_DECON_K - 1}], ' ') AS g
+      FROM toks, LATERAL unnest(range(1, len(w) - {_DECON_K} + 2)) AS t(i)
+    ),
+    eval_g AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_MOD} = 0
+    ),
+    hits AS (
+      SELECT gr.doc_id, COUNT(DISTINCT gr.g) AS shared_grams
+      FROM grams gr JOIN eval_g e ON gr.g = e.g
+      WHERE gr.doc_id % {_DECON_MOD} <> 0
+      GROUP BY gr.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.shared_grams, 0) AS shared_grams,
+           h.doc_id IS NOT NULL AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % {_DECON_MOD} <> 0
+    ORDER BY d.doc_id
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    gram_at = lambda i: F.array_join(  # noqa: E731
+        F.slice("w", i + 1, _DECON_K), " "
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= _DECON_K,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - _DECON_K), gram_at
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    is_eval = F.col("doc_id") % _DECON_MOD == 0
+    eval_g = grams.filter(is_eval).select("g").distinct()
+    hits = (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_g), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("shared_grams"))
+    )
+    return (
+        docs.filter(~is_eval)
+        .join(hits.withColumnRenamed("doc_id", "h_doc_id"),
+              F.col("doc_id") == F.col("h_doc_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("shared_grams", F.lit(0).cast("long")).alias(
+                "shared_grams"
+            ),
+            F.col("h_doc_id").isNotNull().alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -242,3 +242,361 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(rev), 2).alias("total_revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q7 shape: volume shipping between a nation pair — revenue by
+# (supplier nation, customer nation, ship year) for two named nations
+# in both directions. Exercises a double dimension-join against the
+# same table (nation aliased twice) plus a disjunctive pair predicate.
+# Scale: nation broadcasts on both sides; the fact-side joins shuffle
+# on their keys and the year extraction stays in codegen.
+# --------------------------------------------------------------------------
+_Q7_N1, _Q7_N2 = "NATION_3", "NATION_7"
+_Q7_FROM, _Q7_TO = "1996-01-01", "1998-01-01"
+
+
+@operator(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+        OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}'))
+      AND l.l_shipdate >= TIMESTAMP '{_Q7_FROM} 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '{_Q7_TO} 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = [_Q7_N1, _Q7_N2]
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q7_FROM).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(_Q7_TO).cast("timestamp_ntz"))
+    )
+    return (
+        li.join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2))
+            | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 shape: top supplier — quarterly revenue per supplier, return the
+# supplier(s) whose revenue equals the maximum. The max is computed as
+# a 1-row aggregate joined back (broadcast), NOT a global window —
+# no single-partition WindowExec at any scale.
+# --------------------------------------------------------------------------
+_Q15_FROM, _Q15_TO = "1996-01-01", "1996-04-01"
+
+
+@operator(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_Q15_FROM} 00:00:00'
+        AND l_shipdate <  TIMESTAMP '{_Q15_TO} 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q15_FROM).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(_Q15_TO).cast("timestamp_ntz"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(_revenue()), 2).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+        .join(s, s.s_suppkey == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 shape: supplier count by part attributes — distinct suppliers
+# observed (via lineitem) per (brand, type, size) for selected sizes,
+# excluding one brand and suppliers with negative balance (NOT IN →
+# anti join; s_suppkey is non-null so the null-aware form degenerates
+# to a plain left-anti, which is what Spark plans).
+# --------------------------------------------------------------------------
+_Q16_EXCL_BRAND = "Brand#13"
+_Q16_SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
+
+
+@operator(
+    "q16_supplier_part_counts",
+    oracle=f"""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> '{_Q16_EXCL_BRAND}'
+      AND p.p_size IN {_Q16_SIZES}
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != _Q16_EXCL_BRAND)
+        & F.col("p_size").isin(list(_Q16_SIZES))
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 shape: small-quantity revenue — lineitems of one brand whose
+# quantity is below 20% of that part's average quantity. The
+# correlated scalar subquery is decorrelated into a grouped average
+# joined back on partkey (exactly Catalyst's rewrite, stated
+# explicitly in the plan).
+# --------------------------------------------------------------------------
+_Q17_BRAND = "Brand#23"
+
+
+@operator(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = '{_Q17_BRAND}'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == _Q17_BRAND)
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .join(thresh, F.col("t_partkey") == F.col("p_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 shape: large-volume orders — orders whose total quantity exceeds
+# a threshold (GROUP BY + HAVING as a semi-join filter), with customer
+# detail and a deterministic top-100. The HAVING side aggregates
+# lineitem once, map-side partials first; the semi join then prunes
+# the detail join to qualifying orders only.
+# --------------------------------------------------------------------------
+_Q18_QTY = 300
+
+
+@operator(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           SUM(l.l_quantity) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING SUM(l_quantity) > {_Q18_QTY})
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("order_qty"))
+        .filter(F.col("order_qty") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 shape: disjunctive brand/size/quantity predicates over the
+# part join. The OR-of-ANDs sits in one filter after the join; the
+# common join key still drives a single equi-join (no fanout), and
+# Catalyst extracts the brand/size disjunction down to the part scan.
+# --------------------------------------------------------------------------
+_Q19_ARMS = (
+    ("Brand#12", 1, 15, 1, 11),
+    ("Brand#23", 1, 25, 10, 20),
+    ("Brand#34", 1, 35, 20, 30),
+)
+
+
+@operator(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = '{_Q19_ARMS[0][0]}' AND p.p_size BETWEEN {_Q19_ARMS[0][1]} AND {_Q19_ARMS[0][2]}
+           AND l.l_quantity BETWEEN {_Q19_ARMS[0][3]} AND {_Q19_ARMS[0][4]})
+       OR (p.p_brand = '{_Q19_ARMS[1][0]}' AND p.p_size BETWEEN {_Q19_ARMS[1][1]} AND {_Q19_ARMS[1][2]}
+           AND l.l_quantity BETWEEN {_Q19_ARMS[1][3]} AND {_Q19_ARMS[1][4]})
+       OR (p.p_brand = '{_Q19_ARMS[2][0]}' AND p.p_size BETWEEN {_Q19_ARMS[2][1]} AND {_Q19_ARMS[2][2]}
+           AND l.l_quantity BETWEEN {_Q19_ARMS[2][3]} AND {_Q19_ARMS[2][4]})
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    arm = None
+    for brand, smin, smax, qmin, qmax in _Q19_ARMS:
+        this = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(smin, smax)
+            & F.col("l_quantity").between(qmin, qmax)
+        )
+        arm = this if arm is None else (arm | this)
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .filter(arm)
+        .agg(
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 shape (adapted: the fixture has no phone column, so the country
+# prefix becomes the customer's nation): dormant high-balance
+# customers — above the positive-balance average, with no order since
+# the cutoff — counted per nation. Scalar-average broadcast + anti
+# join against recent orders.
+# --------------------------------------------------------------------------
+_Q22_CUTOFF = "2000-08-01"
+
+
+@operator(
+    "q22_dormant_customers",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF} 00:00:00')
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )
