@@ -1,0 +1,102 @@
+"""Differential + property tests for the extended TPC-H-shaped suite
+(Q7/Q15/Q16/Q17/Q18/Q19/Q22 adaptations) and the corpus-level
+training-data ops (chunk dedup, n-gram decontamination)."""
+
+import pytest
+
+from bigdataentrytask_spark.operators import ORACLES, REGISTRY, load_all
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+load_all()
+
+NEW_QUERIES = [
+    "q7_nation_volume",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "chunk_dedup_corpus",
+    "decontaminate_ngram",
+]
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_oracle_match(spark, duck, name):
+    df = REGISTRY[name](spark, SF_DIR)
+    assert_matches_oracle(df, duck, ORACLES[name], name)
+
+
+def test_q18_orders_exceed_threshold(spark):
+    """Every returned order really aggregates > 300 quantity."""
+    rows = REGISTRY["q18_large_orders"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.total_qty > 300
+
+
+def test_q15_returns_the_max(spark, duck):
+    """The supplier(s) reported must carry the maximum quarterly
+    revenue — and every supplier at that revenue must be reported."""
+    rows = REGISTRY["q15_top_supplier"](spark, SF_DIR).collect()
+    assert rows
+    revs = {r.total_revenue for r in rows}
+    assert len(revs) == 1
+
+
+def test_chunk_dedup_keeps_each_chunk_once(spark):
+    """Defining property: across the whole corpus, each distinct chunk
+    value survives exactly once, and a doc's kept count never exceeds
+    its total."""
+    rows = REGISTRY["chunk_dedup_corpus"](spark, SF_DIR).collect()
+    seen: set[str] = set()
+    for r in rows:
+        assert 0 <= r.kept_chunks <= r.total_chunks
+    # re-derive kept chunks from the reconstruction: kept text of a doc
+    # is the ' '-join of 10-word chunks, so re-chunk it
+    for r in rows:
+        words = r.text_dedup.split(" ") if r.text_dedup else []
+        chunks = [
+            " ".join(words[i : i + 10]) for i in range(0, len(words), 10)
+        ]
+        # NOTE: reconstruction concatenates *surviving* chunks, so
+        # re-chunking at 10-word boundaries only aligns when every
+        # chunk is full-width; guard on that case.
+        full = [c for c in chunks if len(c.split(" ")) == 10]
+        for c in full:
+            assert c not in seen, c
+            seen.add(c)
+
+
+def test_decontaminate_flags_are_genuine(spark, duck):
+    """Every contaminated doc shares >= 1 exact 4-gram with the eval
+    slice; every clean doc shares none (recomputed in pure Python)."""
+    docs = dict(duck.execute("SELECT doc_id, text FROM documents").fetchall())
+
+    def grams(text):
+        w = text.split(" ")
+        return {" ".join(w[i : i + 4]) for i in range(len(w) - 3)}
+
+    eval_grams = set()
+    for doc_id, text in docs.items():
+        if doc_id % 20 == 0:
+            eval_grams |= grams(text)
+    rows = REGISTRY["decontaminate_ngram"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        shared = grams(docs[r.doc_id]) & eval_grams
+        assert r.contaminated == bool(shared), r.doc_id
+        assert r.shared_grams == len(shared), r.doc_id
+
+
+def test_q16_filter_pushed_to_part_scan(spark):
+    """Brand exclusion + size IN-list must reach the part scan."""
+    plan = (
+        REGISTRY["q16_supplier_part_counts"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan
+    assert "p_size" in plan
