@@ -1047,3 +1047,59 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram LM surprisal score (CCNet-style quality signal): train a
+# unigram model on the corpus itself, score every doc by its average
+# per-token surprisal in bits (high bits/token = unusual vocabulary =
+# likely noise; low = repetitive boilerplate). CCNet uses a pretrained
+# 5-gram KenLM; the unigram self-model keeps the operator closed over
+# the fixture while exercising the identical plan shape (token explode
+# → model join → per-doc aggregate).
+#
+# Scale posture: the model side is a Zipf-bounded vocabulary aggregate
+# (≪ corpus; a pretrained vocab is ~MBs) — the model join is left to
+# AQE, which broadcasts it when small rather than forcing a hint; the
+# per-doc score is one partial-agg shuffle on doc_id. One corpus scan
+# for the model, one for the scoring pass.
+# --------------------------------------------------------------------------
+@operator(
+    "lm_surprisal_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w, CAST(COUNT(*) AS DOUBLE) AS cnt FROM toks GROUP BY w
+    ),
+    tot AS (SELECT SUM(cnt) AS n FROM vocab)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(-log2(v.cnt / (SELECT n FROM tot))), 6)
+               AS bits_per_token
+    FROM toks t JOIN vocab v ON v.w = t.w
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def lm_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    model = vocab.join(F.broadcast(total)).select(
+        "w", (-F.log2(F.col("cnt") / F.col("n"))).alias("bits")
+    )
+    return (
+        toks.join(model, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("bits"), 6).alias("bits_per_token"),
+        )
+        .orderBy("doc_id")
+    )

@@ -19,6 +19,7 @@ NEW_QUERIES = [
     "q22_dormant_customers",
     "chunk_dedup_corpus",
     "decontaminate_ngram",
+    "lm_surprisal_score",
 ]
 
 
