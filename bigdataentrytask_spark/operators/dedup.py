@@ -431,16 +431,20 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = bitsums.select("doc_id", sig.alias("sig"))
     # Candidate generation: hamming<=3 over 4 chunks ⇒ >=1 chunk equal
-    # (pigeonhole). Chunks self-join with the CANONICAL-CHUNK rule: a
-    # pair is emitted only by the FIRST chunk in which the signatures
-    # agree, so pairs are unique by construction and the former
-    # distinct() shuffle over all candidates is gone (~10% at sf0.1).
-    # Simhash buckets here are narrow (15-bit chunk values over
-    # near-uniform hashes), so the join formulation beats a
-    # cogroup-tile kernel — measured: per-group Arrow overhead
-    # dominates when buckets hold a handful of docs. A corpus with
-    # giant identical-chunk clusters would flip that trade; the
-    # minhash tile kernel above is the drop-in pattern for that case.
+    # (pigeonhole), with the CANONICAL-CHUNK rule: a pair is emitted
+    # only by the FIRST chunk in which the signatures agree, so pairs
+    # are unique by construction (no distinct() shuffle).
+    # Buckets are enumerated via groupBy(chunk) + collect_list + an
+    # in-bucket i<j expansion, NOT a chunk self-join: the join
+    # formulation read the corpus and built the 60-sum signature
+    # pipeline TWICE (AQE's broadcast conversion defeated exchange
+    # reuse across the self-join; measured 2x scan in the executed
+    # plan, ~3.2s warm at sf0.1 vs ~1.3s for this shape). Buckets are
+    # narrow here (15-bit chunk values, widest bucket 269 docs at
+    # sf0.1), so the quadratic in-bucket expansion is bounded; a
+    # corpus with giant identical-sig clusters needs the minhash
+    # tile kernel above — that trade is the same one its comment
+    # describes.
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
 
     def chunk_of(col, c: int):
@@ -462,27 +466,43 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk"),
     )
-    joined = chunks.alias("x").join(
-        chunks.alias("y"),
-        (F.col("x.chunk") == F.col("y.chunk"))
-        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    buckets = (
+        chunks.groupBy("chunk")
+        .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    # i<j expansion inside the bucket; each pair ordered by doc_id.
+    pair_rows = buckets.select(
+        F.col("chunk.c").alias("c"),
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(ds, (x, i) ->
+                  transform(slice(ds, i + 2, size(ds)), y ->
+                    named_struct(
+                      'doc_a', least(x.doc_id, y.doc_id),
+                      'doc_b', greatest(x.doc_id, y.doc_id),
+                      'sig_a', x.sig, 'sig_b', y.sig))))
+                """
+            )
+        ).alias("p"),
     )
     first_eq = F.coalesce(
         *[
             F.when(
-                chunk_of(F.col("x.sig"), c) == chunk_of(F.col("y.sig"), c),
+                chunk_of(F.col("p.sig_a"), c) == chunk_of(F.col("p.sig_b"), c),
                 F.lit(c),
             )
             for c in range(SIMHASH_CHUNKS)
         ]
     )
-    hamming = F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig")))
+    hamming = F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b")))
     return (
-        joined.filter(F.col("x.chunk.c") == first_eq)
+        pair_rows.filter(F.col("c") == first_eq)
         .filter(hamming <= SIMHASH_MAX_HAMMING)
         .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
             hamming.alias("hamming"),
         )
         .orderBy("doc_a", "doc_b")
