@@ -55,6 +55,9 @@ HEADLINE = [
     # round-2 additions: join-heavy TPC-H shape + timeseries downsample
     "q5_local_supplier_volume",
     "events_ohlc_hour",
+    # round-2b additions: corpus-level training-data hot paths
+    "chunk_dedup_corpus",
+    "decontaminate_ngram",
 ]
 
 
