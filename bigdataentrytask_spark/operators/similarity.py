@@ -721,3 +721,84 @@ def embedding_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sq, 4).alias("sq_norm"),
         F.exists(v, lambda x: F.abs(x) > _HOF_BIG).alias("has_big"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Cluster cohesion report: per-label centroid (dimension-wise mean) and
+# the mean cosine of members to their own centroid — the standard
+# clustering-quality / semantic-dedup diagnostic over an embedding
+# column (IVF cell quality, semdedup cluster tightness).
+#
+# Scale posture: everything is dimension-level rows — explode is
+# N x dim, the centroid agg reduces map-side onto (label, pos) keys
+# (|labels| x dim rows total), and the member-to-centroid dot is a
+# broadcast join of the centroid table (labels x dim ≪ corpus)
+# against the same exploded stream followed by one partial-agg shuffle
+# on vec_id. No arrays cross a shuffle; no Python anywhere.
+# --------------------------------------------------------------------------
+@operator(
+    "embedding_label_centroids",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, label,
+             generate_subscripts(e, 1) AS pos,
+             UNNEST(e) AS x
+      FROM v
+    ),
+    cent AS (
+      SELECT label, pos, AVG(x) AS c FROM dims GROUP BY label, pos
+    ),
+    cnorm AS (
+      SELECT label, sqrt(SUM(c * c)) AS nc FROM cent GROUP BY label
+    ),
+    member AS (
+      SELECT d.vec_id, d.label,
+             SUM(d.x * ct.c) AS dot,
+             sqrt(SUM(d.x * d.x)) AS nv
+      FROM dims d JOIN cent ct ON ct.label = d.label AND ct.pos = d.pos
+      GROUP BY d.vec_id, d.label
+    )
+    SELECT m.label,
+           COUNT(*) AS n_vecs,
+           ROUND(ANY_VALUE(cn.nc), 6) AS centroid_norm,
+           ROUND(AVG(m.dot / (m.nv * cn.nc)), 6) AS avg_cos
+    FROM member m JOIN cnorm cn ON cn.label = m.label
+    GROUP BY m.label
+    ORDER BY m.label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dims = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    )
+    cent = dims.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc")
+    )
+    member = (
+        dims.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv"),
+        )
+    )
+    return (
+        member.join(F.broadcast(cnorm), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.first("nc"), 6).alias("centroid_norm"),
+            F.round(F.avg(F.col("dot") / (F.col("nv") * F.col("nc"))), 6).alias(
+                "avg_cos"
+            ),
+        )
+        .orderBy("label")
+    )

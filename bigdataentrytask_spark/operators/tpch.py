@@ -473,22 +473,23 @@ _Q18_QTY = 300
     """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single lineitem pass: the HAVING aggregate already IS the
+    # per-order total the output wants, so the qualifying orders carry
+    # their quantity into the detail join instead of re-aggregating
+    # lineitem a second time (the literal TPC-H text's re-join). The
+    # oracle keeps the textbook IN-subquery formulation to prove
+    # equivalence.
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("order_qty"))
-        .filter(F.col("order_qty") > _Q18_QTY)
-        .select("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > _Q18_QTY)
     )
-    o = _t(spark, sf_dir, "orders").join(
-        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
-    )
+    o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("total_qty"))
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .select(
             "c_name",
             "c_custkey",

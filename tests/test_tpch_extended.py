@@ -20,6 +20,7 @@ NEW_QUERIES = [
     "chunk_dedup_corpus",
     "decontaminate_ngram",
     "lm_surprisal_score",
+    "embedding_label_centroids",
 ]
 
 
