@@ -270,3 +270,91 @@ def build_window(seed: int, spark, duck):
 def test_random_window_query(spark, duck, seed):
     df, sql = build_window(seed, spark, duck)
     assert_matches_oracle(df, duck, sql, f"wseed{seed}: {sql}")
+
+
+# ---------------------------------------------------------------------------
+# Randomized SEMI/ANTI + HAVING specs: EXISTS / NOT EXISTS subqueries
+# (Spark: left_semi / left_anti joins) with a grouped count and a
+# HAVING threshold, built identically for both engines.
+# ---------------------------------------------------------------------------
+def build_exists(seed: int, spark, duck):
+    rng = random.Random(30_000 + seed)
+    lname, rname, lkey, rkey = rng.choice(JOINS)
+    ldf = load_table(spark, SF_DIR, lname)
+    rdf = load_table(spark, SF_DIR, rname)
+    anti = rng.random() < 0.5
+    gcol = rng.choice(JOIN_GROUPS[lname])
+    thresh = rng.randint(0, 5)
+
+    how = "left_anti" if anti else "left_semi"
+    out = (
+        ldf.join(rdf, F.col(lkey) == F.col(rkey), how)
+        .groupBy(gcol)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > thresh)
+        .orderBy(gcol)
+    )
+    ex = "NOT EXISTS" if anti else "EXISTS"
+    sql = (
+        f"SELECT {gcol}, COUNT(*) AS cnt FROM {lname} "
+        f"WHERE {ex} (SELECT 1 FROM {rname} WHERE {rname}.{rkey} = {lname}.{lkey}) "
+        f"GROUP BY {gcol} HAVING COUNT(*) > {thresh} ORDER BY {gcol}"
+    )
+    return out, sql
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_exists_query(spark, duck, seed):
+    df, sql = build_exists(seed, spark, duck)
+    assert_matches_oracle(df, duck, sql, f"eseed{seed}: {sql}")
+
+
+# ---------------------------------------------------------------------------
+# Randomized SET-OPERATION specs: UNION / INTERSECT / EXCEPT (distinct
+# semantics on both engines) between two filtered key-projections of
+# one table, reduced to a stable (cnt, min, max) fingerprint.
+# ---------------------------------------------------------------------------
+def build_setop(seed: int, spark, duck):
+    rng = random.Random(40_000 + seed)
+    tname = rng.choice(sorted(TABLES))
+    nums, cats, key = TABLES[tname]
+    ncol = rng.choice(nums)
+    ccol = rng.choice(cats)
+    df = load_table(spark, SF_DIR, tname)
+    cutoff = round(
+        duck.execute(
+            f"SELECT quantile_cont({ncol}, {rng.choice([0.25, 0.5, 0.75])}) FROM {tname}"
+        ).fetchone()[0],
+        2,
+    )
+    cval = duck.execute(
+        f"SELECT {ccol} FROM {tname} GROUP BY 1 ORDER BY 1 LIMIT 1 OFFSET {rng.randint(0, 1)}"
+    ).fetchone()[0]
+    op = rng.choice(["UNION", "INTERSECT", "EXCEPT"])
+
+    a = df.filter(F.col(ncol) > cutoff).select(key)
+    b = df.filter(F.col(ccol) == cval).select(key)
+    if op == "UNION":
+        s = a.union(b).distinct()
+    elif op == "INTERSECT":
+        s = a.intersect(b)
+    else:
+        s = a.subtract(b)
+    out = s.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(key).alias("k_min"),
+        F.max(key).alias("k_max"),
+    )
+    sql = (
+        f"SELECT COUNT(*) AS cnt, MIN({key}) AS k_min, MAX({key}) AS k_max FROM ("
+        f"SELECT {key} FROM {tname} WHERE {ncol} > {cutoff} "
+        f"{op} "
+        f"SELECT {key} FROM {tname} WHERE {ccol} = '{cval}')"
+    )
+    return out, sql
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_setop_query(spark, duck, seed):
+    df, sql = build_setop(seed, spark, duck)
+    assert_matches_oracle(df, duck, sql, f"sseed{seed}: {sql}")
