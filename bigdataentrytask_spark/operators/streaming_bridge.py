@@ -153,3 +153,94 @@ def stream_ohlc_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.run_stream_dedup_replay(spark, sf_dir)
+
+
+# Custom stateful operator (applyInPandasWithState sessionizer) as a
+# differential entry. Emission contract: a session is emitted when a
+# successor event closes it (in-batch) or when the final watermark
+# (max ts - 5s) passes its last event + the 30-minute gap (event-time
+# timeout). The oracle states exactly that: every gaps-and-islands
+# session EXCEPT a user's still-open last one unless the watermark
+# provably closed it.
+@operator(
+    "stream_sessionize_stateful",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM marked
+    ),
+    agg AS (
+      SELECT user_id, sess_id,
+             MIN(ts) AS start_ts, MAX(ts) AS last_ts,
+             COUNT(*) AS n_events, SUM(value) AS sum_value,
+             MAX(sess_id) OVER (PARTITION BY user_id) AS last_sess
+      FROM sess
+      GROUP BY user_id, sess_id
+    )
+    SELECT user_id,
+           strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+           n_events,
+           ROUND(sum_value, 2) AS sum_value,
+           epoch_us(last_ts) - epoch_us(start_ts) AS duration_us
+    FROM agg
+    WHERE sess_id < last_sess
+       OR last_ts + INTERVAL 30 MINUTE
+          <= (SELECT MAX(ts) FROM events) - INTERVAL 5 SECOND
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.streaming.stateful import (
+        run_stateful_sessions_replay,
+    )
+
+    out = run_stateful_sessions_replay(spark, sf_dir)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        "duration_us",
+    ).orderBy("user_id", "session_start")
+
+
+# Stream-stream interval join as a differential entry: an inner join
+# over a fully-replayed source emits every match, so the oracle is the
+# exact batch range join (signup_purchase_within_5m's semantics).
+@operator(
+    "stream_signup_attribution",
+    oracle="""
+    SELECT s.user_id,
+           s.event_id AS signup_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(s.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = s.user_id
+     AND p.ts > s.ts
+     AND p.ts <= s.ts + INTERVAL 5 MINUTE
+    ORDER BY s.user_id, signup_id, purchase_id
+    """,
+)
+def stream_signup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataentrytask_spark.streaming.jobs import (
+        run_stream_stream_attribution_replay,
+    )
+
+    return run_stream_stream_attribution_replay(spark, sf_dir).orderBy(
+        "user_id", "signup_id", "purchase_id"
+    )

@@ -158,3 +158,21 @@ def test_stream_dedup_equals_batch_distinct(spark):
     assert got.selectExpr("round(sum(value), 2)").collect() == batch.selectExpr(
         "round(sum(value), 2)"
     ).collect()
+
+
+def test_stream_sessionize_oracle(spark, duck):
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+
+    df = REGISTRY["stream_sessionize_stateful"](spark, SF_DIR)
+    assert_matches_oracle(
+        df, duck, ORACLES["stream_sessionize_stateful"], "stream_sessionize"
+    )
+
+
+def test_stream_signup_attribution_oracle(spark, duck):
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+
+    df = REGISTRY["stream_signup_attribution"](spark, SF_DIR)
+    assert_matches_oracle(
+        df, duck, ORACLES["stream_signup_attribution"], "stream_signup_attr"
+    )
