@@ -95,7 +95,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, byte_len long, header_hex string, "
         "fake_width long, fake_height long",
     )
-    return out.orderBy("doc_id")
+    return out
 
 
 @operator(
@@ -173,7 +173,6 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("f.frame_len").alias("sampled_bytes"),
             F.sum("f.first_byte").alias("feature_sum"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -218,4 +217,4 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w * scale).cast("long").alias("out_w"),
         F.round(h * scale).cast("long").alias("out_h"),
         (F.greatest(w, h) > TARGET_PX).alias("needs_resize"),
-    ).orderBy("doc_id")
+    )

@@ -379,4 +379,4 @@ def scalar_time_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round before the integral cast: Spark casts truncate toward
         # zero while ANSI engines round, and 64.46*1000 is 64459.999…
         F.round(F.col("value") * 1000, 0).cast("bigint").alias("value_millis"),
-    ).orderBy("event_id")
+    )

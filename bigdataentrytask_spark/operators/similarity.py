@@ -86,7 +86,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("embedding").alias("dim"),
         F.round(norm("embedding"), 6).alias("l2_norm"),
-    ).orderBy("vec_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -396,7 +396,6 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("qv", F.lit(0).cast("long"), lambda a, v: a + v).alias("q_sum"),
             F.array_max(F.transform("qv", lambda v: F.abs(v))).alias("q_peak"),
         )
-        .orderBy("vec_id")
     )
 
 
@@ -486,7 +485,6 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("cosine", F.round("raw", 6))
         .filter(F.col("cosine") >= NEARDUP_COS)
         .select("vec_a", "vec_b", "cosine")
-        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -674,7 +672,6 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("cosine", F.round("raw", 6))
         .filter(F.col("cosine") >= NEARDUP_COS)
         .select("vec_a", "vec_b", "cosine")
-        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -720,7 +717,7 @@ def embedding_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l1, 4).alias("l1"),
         F.round(sq, 4).alias("sq_norm"),
         F.exists(v, lambda x: F.abs(x) > _HOF_BIG).alias("has_big"),
-    ).orderBy("vec_id")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -149,7 +149,7 @@ def part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").alias("name_len"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
         F.size(F.split("p_name", " ", -1)).alias("name_words"),
-    ).orderBy("p_partkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -347,7 +347,6 @@ def signup_purchase_within_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id",
             (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("gap_us"),
         )
-        .orderBy("user_id", "signup_id", "purchase_id")
     )
 
 
@@ -436,7 +435,7 @@ def order_date_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.date_format(F.date_add(d.cast("date"), 90), "yyyy-MM-dd").alias("due_90d"),
         F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
-    ).orderBy("o_orderkey")
+    )
 
 
 # --------------------------------------------------------------------------

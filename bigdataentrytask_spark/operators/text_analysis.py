@@ -68,7 +68,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("avg_token_len"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -132,7 +132,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(class_count(" ") / len_d, 4).alias("space_ratio"),
         F.round(stopword_ratio, 4).alias("stopword_ratio"),
         F.round(0.5 * alpha_ratio + 0.5 * stopword_ratio, 4).alias("quality_score"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -216,7 +216,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(best)
         .alias("pred_lang"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -234,7 +234,6 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
         .select("doc_id", F.md5(normalize_text("text")).alias("fingerprint"))
-        .orderBy("doc_id")
     )
 
 
@@ -384,7 +383,6 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("lang").isin(*KEEP_LANGS)
         )
         .select("doc_id", "lang", "n_chars", "quality_score")
-        .orderBy("doc_id")
     )
 
 
@@ -423,7 +421,7 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.when(bucket < TRAIN_PERMILLE, "train").otherwise("val").alias("split"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -456,7 +454,7 @@ def llm_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.length("text") / F.greatest(est, F.lit(1)).cast("double"), 4
         ).alias("chars_per_token"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -552,7 +550,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(scrubbed).alias("scrubbed_fp"),
         (F.length("text") - F.length(scrubbed)).alias("chars_removed"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -594,7 +592,6 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ratio, 6).alias("repetition"),
             (ratio > REPETITION_FLAG).alias("flagged"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -918,7 +915,7 @@ def doc_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_idx",
         F.size(chunk).alias("n_words"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
-    ).orderBy("doc_id", "chunk_idx")
+    )
 
 
 # --------------------------------------------------------------------------
