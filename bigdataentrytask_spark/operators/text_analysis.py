@@ -308,19 +308,22 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    n_docs = d.count()  # corpus size: one scalar, computed once
+    # corpus size as a broadcast 1-row aggregate — declarative, part of
+    # the same job (no eager driver-side count() action)
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df_), "term").withColumn(
-        "score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(nd))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
         .select("doc_id", F.col("term").alias("top_term"), F.round("score", 6).alias("tfidf"))
-        .orderBy("doc_id")
     )
 
 
