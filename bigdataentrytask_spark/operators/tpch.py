@@ -601,3 +601,51 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# Q4 shape: order-priority checking — orders in one half-year with at
+# least one lineitem shipped more than 60 days after the order date,
+# counted per priority. The correlated EXISTS becomes a left-semi join
+# whose condition references both sides (l_shipdate > o_orderdate + 60
+# days): an equi-join on the key with a residual predicate, not a
+# theta join.
+# --------------------------------------------------------------------------
+_Q4_FROM, _Q4_TO = "1996-01-01", "1996-07-01"
+_Q4_LATE_DAYS = 60
+
+
+@operator(
+    "q4_priority_checks",
+    oracle=f"""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{_Q4_FROM} 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '{_Q4_TO} 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q4_LATE_DAYS} DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q4_priority_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q4_FROM).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(_Q4_TO).cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q4_LATE_DAYS} DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

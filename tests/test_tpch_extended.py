@@ -17,6 +17,7 @@ NEW_QUERIES = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
+    "q4_priority_checks",
     "chunk_dedup_corpus",
     "decontaminate_ngram",
     "lm_surprisal_score",
