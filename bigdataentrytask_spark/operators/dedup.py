@@ -433,18 +433,16 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Candidate generation: hamming<=3 over 4 chunks ⇒ >=1 chunk equal
     # (pigeonhole), with the CANONICAL-CHUNK rule: a pair is emitted
     # only by the FIRST chunk in which the signatures agree, so pairs
-    # are unique by construction (no distinct() shuffle).
-    # Buckets are enumerated via groupBy(chunk) + collect_list + an
-    # in-bucket i<j expansion, NOT a chunk self-join: the join
-    # formulation read the corpus and built the 60-sum signature
-    # pipeline TWICE (AQE's broadcast conversion defeated exchange
-    # reuse across the self-join; measured 2x scan in the executed
-    # plan, ~3.2s warm at sf0.1 vs ~1.3s for this shape). Buckets are
-    # narrow here (15-bit chunk values, widest bucket 269 docs at
-    # sf0.1), so the quadratic in-bucket expansion is bounded; a
-    # corpus with giant identical-sig clusters needs the minhash
-    # tile kernel above — that trade is the same one its comment
-    # describes.
+    # are unique by construction (no distinct() shuffle). One Arrow
+    # kernel per chunk bucket does the pairwise work vectorized
+    # (XOR + byte-LUT popcount over j-blocks) — no self-join (the join
+    # formulation built the 60-sum signature pipeline twice; AQE's
+    # broadcast conversion defeated exchange reuse) and no
+    # higher-order-function pair expansion (interpreted struct
+    # construction is quadratic in bucket width: measured 55s at an 8x
+    # duplicated corpus vs ~3s for this kernel). j-block tiling bounds
+    # kernel memory at B x width regardless of how degenerate the
+    # bucket is.
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
 
     def chunk_of(col, c: int):
@@ -466,47 +464,114 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk"),
     )
-    buckets = (
-        chunks.groupBy("chunk")
-        .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ds"))
-        .filter(F.size("ds") >= 2)
-    )
-    # i<j expansion inside the bucket; each pair ordered by doc_id.
-    pair_rows = buckets.select(
-        F.col("chunk.c").alias("c"),
-        F.explode(
-            F.expr(
-                """
-                flatten(transform(ds, (x, i) ->
-                  transform(slice(ds, i + 2, size(ds)), y ->
-                    named_struct(
-                      'doc_a', least(x.doc_id, y.doc_id),
-                      'doc_b', greatest(x.doc_id, y.doc_id),
-                      'sig_a', x.sig, 'sig_b', y.sig))))
-                """
-            )
-        ).alias("p"),
-    )
-    first_eq = F.coalesce(
-        *[
-            F.when(
-                chunk_of(F.col("p.sig_a"), c) == chunk_of(F.col("p.sig_b"), c),
-                F.lit(c),
-            )
-            for c in range(SIMHASH_CHUNKS)
-        ]
-    )
-    hamming = F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b")))
-    return (
-        pair_rows.filter(F.col("c") == first_eq)
-        .filter(hamming <= SIMHASH_MAX_HAMMING)
-        .select(
-            F.col("p.doc_a").alias("doc_a"),
-            F.col("p.doc_b").alias("doc_b"),
-            hamming.alias("hamming"),
+    # Arrow groups are COARSENED to (c, hash(v) % _SIMHASH_LANES): one pandas
+    # invocation owns ~dozens of buckets and walks them with numpy
+    # slicing. Grouping by the exact bucket key paid one Python/Arrow
+    # round-trip per bucket — with ~16k mostly-singleton buckets at
+    # sf0.1 that overhead alone was ~16s; the coarse grouping is the
+    # same shuffle volume with ~1000 invocations.
+    pairs = (
+        chunks.select(
+            "doc_id",
+            "sig",
+            "chunk.c",
+            "chunk.v",
+            F.pmod(F.xxhash64("chunk.v"), F.lit(_SIMHASH_LANES)).alias("g"),
         )
-        .orderBy("doc_a", "doc_b")
+        .groupBy("c", "g")
+        .applyInPandas(
+            _simhash_bucket_kernel(),
+            schema="doc_a long, doc_b long, hamming int",
+        )
     )
+    return pairs
+
+
+# Arrow-group lanes for the simhash kernel: tasks = SIMHASH_CHUNKS *
+# lanes. Sized to keep every core busy while amortizing the per-group
+# pandas invocation cost; on a cluster, set ~= executor cores.
+_SIMHASH_LANES = 32
+
+
+def _simhash_bucket_kernel():
+    """Kernel over a coarse group of chunk buckets (same chunk index
+    c, bucket values hashing to the same lane): for each bucket, all
+    member pairs with hamming <= SIMHASH_MAX_HAMMING, emitted only if
+    this chunk is the FIRST whose values agree (cross-chunk dedup
+    without a distinct). Vectorized: XOR outer product per j-block,
+    popcount via a byte lookup table; j-blocks bound memory however
+    degenerate a bucket is."""
+    import numpy as np
+
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunk_mask = (1 << chunk_bits) - 1
+    block = 1024
+
+    def fn(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "hamming": pd.Series(dtype="int32"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        c_here = int(pdf["c"].iloc[0])
+        vs_all = pdf["v"].to_numpy(dtype=np.int64)
+        ids_all = pdf["doc_id"].to_numpy()
+        sigs_all = pdf["sig"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids_all, vs_all))
+        vs = vs_all[order]
+        ids = np.ascontiguousarray(ids_all[order])
+        sigs = np.ascontiguousarray(sigs_all[order])
+        bounds = np.flatnonzero(np.r_[True, vs[1:] != vs[:-1], True])
+        out_a, out_b, out_h = [], [], []
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            n = b1 - b0
+            if n < 2:
+                continue
+            bids = ids[b0:b1]
+            bsigs = sigs[b0:b1]
+            ch = np.stack(
+                [
+                    (bsigs >> (k * chunk_bits)) & chunk_mask
+                    for k in range(SIMHASH_CHUNKS)
+                ],
+                axis=1,
+            )
+            for s in range(0, n, block):
+                blk = np.ascontiguousarray(bsigs[s : s + block])
+                x = np.bitwise_xor.outer(blk, bsigs)
+                ham = lut[x.view(np.uint8).reshape(*x.shape, 8)].sum(
+                    axis=2, dtype=np.int16
+                )
+                mask = (ham <= SIMHASH_MAX_HAMMING) & (
+                    bids[s : s + block][:, None] < bids[None, :]
+                )
+                if not mask.any():
+                    continue
+                ii, jj = np.nonzero(mask)
+                gi = ii + s
+                eqm = ch[gi] == ch[jj]  # (m, SIMHASH_CHUNKS)
+                keep = eqm.argmax(axis=1) == c_here
+                out_a.append(bids[gi][keep])
+                out_b.append(bids[jj][keep])
+                out_h.append(ham[ii, jj][keep])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h).astype("int32"),
+            }
+        )
+
+    return fn
 
 
 # --------------------------------------------------------------------------

@@ -103,3 +103,32 @@ def test_q16_filter_pushed_to_part_scan(spark):
     )
     assert "PushedFilters" in plan
     assert "p_size" in plan
+
+
+def test_simhash_survives_8x_duplication(spark, tmp_path):
+    """Degenerate-cluster stress: 8 exact copies of every doc (shifted
+    ids). Exact-copy replicas share identical signatures, so the
+    expected pair count follows a closed form: every original pair
+    appears 8*8 times, and every doc contributes C(8,2)=28
+    hamming-0 copy pairs. Verifies the bucket kernel's cross-chunk
+    uniqueness holds under giant identical-sig clusters (the case that
+    made the HOF pair expansion quadratic)."""
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+    from bigdataentrytask_spark.operators import REGISTRY
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    copies = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        for i in range(8)
+    ]
+    d8 = copies[0]
+    for c in copies[1:]:
+        d8 = d8.union(c)
+    d8.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    base_pairs = REGISTRY["simhash_pairs"](spark, SF_DIR).count()
+    got = REGISTRY["simhash_pairs"](spark, str(tmp_path)).count()
+    assert got == 64 * base_pairs + 28 * n_docs
