@@ -457,9 +457,15 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g").alias("ti"),
         F.explode(F.expr(f"sequence(g, {g - 1})")).alias("tj"),
     )
+    # B side carries RENAMED payload columns: both sides derive from
+    # the same scan, and Spark's cogroup attribute deduplication can
+    # conflate same-exprId payload columns across sides — observed at
+    # the 8x stress corpus as the right-side Arrow batch arriving with
+    # only the key columns (KeyError: 'vec_id' in the kernel). Fresh
+    # aliases force distinct attributes on the B side.
     b = base.select(
-        "vec_id",
-        "embedding",
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("embedding").alias("b_embedding"),
         F.explode(F.expr("sequence(0, g)")).alias("ti"),
         F.col("g").alias("tj"),
     )
@@ -517,9 +523,9 @@ def _neardup_tile(tau: float):
         ti = int(left["ti"].iloc[0])
         tj = int(left["tj"].iloc[0])
         ia = left["vec_id"].to_numpy()
-        ib = right["vec_id"].to_numpy()
+        ib = right["b_vec_id"].to_numpy()
         X = stack_f64(left["embedding"])
-        Y = stack_f64(right["embedding"])
+        Y = stack_f64(right["b_embedding"])
         D = np.zeros((len(ia), len(ib)))
         for j in range(X.shape[1]):
             D += X[:, j][:, None] * Y[:, j][None, :]

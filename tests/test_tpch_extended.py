@@ -132,3 +132,31 @@ def test_simhash_survives_8x_duplication(spark, tmp_path):
     base_pairs = REGISTRY["simhash_pairs"](spark, SF_DIR).count()
     got = REGISTRY["simhash_pairs"](spark, str(tmp_path)).count()
     assert got == 64 * base_pairs + 28 * n_docs
+
+
+def test_neardup_pairs_survive_8x_duplication(spark, tmp_path):
+    """Same closed-form replication identity for the exact embedding
+    near-dup tiles — and a regression guard for the cogroup
+    attribute-dedup bug where the B side's payload columns vanished at
+    multi-partition layouts."""
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+    from bigdataentrytask_spark.operators import REGISTRY
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_vecs = emb.count()
+    copies = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+        for i in range(8)
+    ]
+    e8 = copies[0]
+    for c in copies[1:]:
+        e8 = e8.union(c)
+    e8.repartition(16).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+
+    base_pairs = REGISTRY["embedding_neardup_pairs"](spark, SF_DIR).count()
+    got = REGISTRY["embedding_neardup_pairs"](spark, str(tmp_path)).count()
+    assert got == 64 * base_pairs + 28 * n_vecs
