@@ -631,6 +631,20 @@ _RESOLVE_ORACLE = (
 
 @operator("dedup_resolve", oracle=_RESOLVE_ORACLE)
 def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    ids = _docs(spark, sf_dir).select("doc_id")
+    return resolve_components(spark, ids, pairs)
+
+
+def resolve_components(
+    spark: SparkSession, ids: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Connected components over an undirected near-dup pair list by
+    iterative min-label propagation. `ids` must have a `doc_id`
+    column covering every node; `pairs` must have `doc_a`/`doc_b`.
+    Returns (doc_id, component, keep) with the component minimum as
+    the canonical keeper. Shared by the minhash resolver and the
+    embedding-based semantic resolver."""
     import atexit
     import shutil
     import tempfile
@@ -641,18 +655,17 @@ def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below and the survivor is reaped at interpreter exit.
     atexit.register(shutil.rmtree, work, True)
     # Materialize the edge list to parquet FIRST: the iteration must
-    # never drag the minhash DAG (band broadcasts, Arrow verification)
-    # through its lineage — that both recomputes per round and holds
-    # heap in small-driver sessions (observed OOM at 1g). On a cluster
-    # this is the standard "cut lineage before iterating" posture
-    # (same role as checkpointing).
-    pairs = minhash_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    # never drag the pair-generation DAG (band broadcasts, Arrow
+    # verification) through its lineage — that both recomputes per
+    # round and holds heap in small-driver sessions (observed OOM at
+    # 1g). On a cluster this is the standard "cut lineage before
+    # iterating" posture (same role as checkpointing).
     pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).write.mode("overwrite").parquet(f"{work}/edges")
     edges = spark.read.parquet(f"{work}/edges")
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = ids
     # ping-pong between two label paths: iteration i reads one slot and
     # overwrites the other (safe — the slot being overwritten was fully
     # consumed by the previous round's `changed` count), so disk stays

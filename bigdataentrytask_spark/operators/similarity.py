@@ -805,3 +805,72 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup resolution (SemDeDup-style): the LSH near-dup pairs
+# become an undirected graph; connected components pick one canonical
+# vector per semantic cluster (minimum vec_id). Same iterative
+# min-label propagation as the minhash resolver (shared helper), same
+# recursive-CTE oracle shape — here over the hyperplane-LSH candidate
+# restriction, so what the operator claims is differentially tested
+# end-to-end (planes → codes → candidate pairs → cosine threshold →
+# components).
+# --------------------------------------------------------------------------
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_sql_planes()},
+    {_SQL_CODES},
+    {_SQL_NORMS},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM codes a JOIN codes b ON a.t = b.t AND a.code = b.code
+      WHERE a.vec_id < b.vec_id
+    ),
+    sims AS (
+      SELECT cand.vec_a, cand.vec_b,
+             ROUND((SELECT SUM(z.ae * z.be) FROM
+                    (SELECT UNNEST(a.embedding::DOUBLE[]) AS ae,
+                            UNNEST(b.embedding::DOUBLE[]) AS be) z)
+                   / (na.nrm * nb.nrm), 6) AS cosine
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.vec_a
+      JOIN embeddings b ON b.vec_id = cand.vec_b
+      JOIN norms na ON na.vec_id = cand.vec_a
+      JOIN norms nb ON nb.vec_id = cand.vec_b
+    ),
+    pairs AS (
+      SELECT vec_a, vec_b FROM sims WHERE cosine >= {NEARDUP_COS}
+    ),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION ALL
+      SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.dst, r.lbl
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.lbl < e.dst
+    )
+    SELECT node AS vec_id,
+           MIN(lbl) AS component,
+           (node = MIN(lbl)) AS keep
+    FROM reach GROUP BY node ORDER BY vec_id
+    """
+
+
+@operator("semdedup_resolve", oracle=_semdedup_oracle())
+def semdedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataentrytask_spark.operators.dedup import resolve_components
+
+    pairs = embedding_neardup_lsh(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    ids = _emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id"))
+    return resolve_components(spark, ids, pairs).select(
+        F.col("doc_id").alias("vec_id"),
+        "component",
+        "keep",
+    )

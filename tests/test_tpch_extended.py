@@ -22,6 +22,7 @@ NEW_QUERIES = [
     "decontaminate_ngram",
     "lm_surprisal_score",
     "embedding_label_centroids",
+    "semdedup_resolve",
 ]
 
 
