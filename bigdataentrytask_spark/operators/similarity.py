@@ -874,3 +874,97 @@ def semdedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         "keep",
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-probe LSH ANN: in addition to the query's own bucket in each
+# table, probe every bucket whose code differs by ONE sign bit
+# (hamming <= 1), recovering neighbors that fell just across a
+# hyperplane. Candidates grow ~(1 + B) per table; recall rises
+# accordingly — the standard probe/recall dial (Lv et al., multi-probe
+# LSH). Only the QUERY side fans out (N_QUERIES * LSH_TABLES * (B+1)
+# probe rows); the corpus side still carries one row per (vector,
+# table), so the probe fan-out never touches corpus scale.
+# --------------------------------------------------------------------------
+@operator(
+    "knn_lsh_multiprobe",
+    oracle=f"""
+    WITH {_sql_planes()},
+    {_SQL_CODES},
+    {_SQL_NORMS},
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM codes q JOIN codes c
+        ON q.t = c.t AND bit_count(xor(q.code, c.code)) <= 1
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    dots AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             (SELECT SUM(z.qe * z.ce) FROM
+              (SELECT UNNEST(q.embedding::DOUBLE[]) AS qe,
+                      UNNEST(c.embedding::DOUBLE[]) AS ce) z) AS d
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings c ON c.vec_id = cand.neighbor_id
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             d / (nq.nrm * nc.nrm) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d / (nq.nrm * nc.nrm) DESC,
+                                         neighbor_id) AS rnk
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, rnk, neighbor_id, ROUND(sim, 6) AS cosine
+    FROM sims WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+)
+def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    bucketed = _bucketed(e)
+    # query side fans out to its own code plus each one-bit flip
+    q = (
+        bucketed.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("bucket.t").alias("t"),
+            F.explode(
+                F.array(
+                    F.col("bucket.code"),
+                    *[
+                        F.col("bucket.code").bitwiseXOR(F.lit(1 << b))
+                        for b in range(LSH_BITS)
+                    ],
+                )
+            ).alias("code"),
+        )
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket.t").alias("t"),
+        F.col("bucket.code").alias("code"),
+    )
+    cand = (
+        F.broadcast(q)
+        .join(c, ["t", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("sim", cosine_seq("q_emb", "c_emb"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "neighbor_id", F.round("sim", 6).alias("cosine"))
+        .orderBy("query_id", "rnk")
+    )

@@ -23,6 +23,7 @@ NEW_QUERIES = [
     "lm_surprisal_score",
     "embedding_label_centroids",
     "semdedup_resolve",
+    "knn_lsh_multiprobe",
 ]
 
 
@@ -161,3 +162,25 @@ def test_neardup_pairs_survive_8x_duplication(spark, tmp_path):
     base_pairs = REGISTRY["embedding_neardup_pairs"](spark, SF_DIR).count()
     got = REGISTRY["embedding_neardup_pairs"](spark, str(tmp_path)).count()
     assert got == 64 * base_pairs + 28 * n_vecs
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Probing one-bit-flip buckets must retrieve a superset-or-equal
+    recall of the true top-k (multi-probe candidates contain every
+    single-probe candidate by construction)."""
+    from bigdataentrytask_spark.operators import REGISTRY
+
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["knn_bruteforce"](spark, SF_DIR).collect()
+    }
+    sp = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["knn_lsh"](spark, SF_DIR).collect()
+    }
+    mp = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["knn_lsh_multiprobe"](spark, SF_DIR).collect()
+    }
+    assert len(mp & bf) >= len(sp & bf)
+    assert len(mp & bf) / len(bf) >= 0.8  # measured 0.90 vs 0.44 single
