@@ -968,3 +968,109 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rnk", "neighbor_id", F.round("sim", 6).alias("cosine"))
         .orderBy("query_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# One Lloyd iteration of k-means (the IVF-training building block):
+# fixed deterministic seeds (the first K vectors), nearest-seed
+# assignment with a deterministic tie-break, per-cluster size, SSE and
+# the UPDATED centroid's norm. Iterating this step IS k-means; one
+# step keeps the operator a pure dataflow with an exact SQL twin.
+#
+# Scale posture: all dimension-level rows (N x dim), seeds broadcast
+# (K x dim ≪ corpus); the assignment is one partial-agg shuffle on
+# (vec_id) and the update one on (cluster, pos). No vectors cross a
+# shuffle whole, no Python.
+# --------------------------------------------------------------------------
+KMEANS_K = 8
+
+
+@operator(
+    "kmeans_step",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, generate_subscripts(e, 1) AS pos, UNNEST(e) AS x
+      FROM v
+    ),
+    seeds AS (
+      SELECT vec_id AS k, generate_subscripts(e, 1) AS pos, UNNEST(e) AS s
+      FROM v WHERE vec_id < {KMEANS_K}
+    ),
+    dist AS (
+      SELECT d.vec_id, se.k, SUM((d.x - se.s) * (d.x - se.s)) AS dd
+      FROM dims d JOIN seeds se ON se.pos = d.pos
+      GROUP BY d.vec_id, se.k
+    ),
+    assigned AS (
+      SELECT vec_id, k, dd FROM (
+        SELECT vec_id, k, dd,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, k) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    upd AS (
+      SELECT a.k, d.pos, AVG(d.x) AS c
+      FROM assigned a JOIN dims d ON d.vec_id = a.vec_id
+      GROUP BY a.k, d.pos
+    )
+    SELECT a.k AS cluster,
+           COUNT(*) AS n_vecs,
+           ROUND(SUM(a.dd), 4) AS sse,
+           ROUND(ANY_VALUE(u.nrm), 6) AS new_centroid_norm
+    FROM assigned a
+    JOIN (SELECT k, sqrt(SUM(c * c)) AS nrm FROM upd GROUP BY k) u
+      ON u.k = a.k
+    GROUP BY a.k
+    ORDER BY cluster
+    """,
+)
+def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "x")
+    seeds = (
+        e.filter(F.col("vec_id") < KMEANS_K)
+        .select(
+            F.col("vec_id").alias("k"),
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("pos0", "s"),
+        )
+        .select("k", (F.col("pos0") + 1).alias("pos"), "s")
+    )
+    dist = (
+        dims.join(F.broadcast(seeds), "pos")
+        .groupBy("vec_id", "k")
+        .agg(F.sum((F.col("x") - F.col("s")) * (F.col("x") - F.col("s"))).alias("dd"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dd", "k")
+    assigned = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "k", "dd")
+    )
+    upd = (
+        assigned.join(dims, "vec_id")
+        .groupBy("k", "pos")
+        .agg(F.avg("x").alias("c"))
+    )
+    cnorm = upd.groupBy("k").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    return (
+        assigned.join(F.broadcast(cnorm), "k")
+        .groupBy(F.col("k").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("dd"), 4).alias("sse"),
+            F.round(F.first("nrm"), 6).alias("new_centroid_norm"),
+        )
+        .orderBy("cluster")
+    )

@@ -24,6 +24,7 @@ NEW_QUERIES = [
     "embedding_label_centroids",
     "semdedup_resolve",
     "knn_lsh_multiprobe",
+    "kmeans_step",
 ]
 
 
