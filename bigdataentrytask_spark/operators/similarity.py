@@ -1074,3 +1074,125 @@ def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF over LEARNED cells: the k-means assignment (one seeded Lloyd
+# step, same constants as kmeans_step) becomes the coarse quantizer;
+# each query searches only its own learned cell. This is the real IVF
+# build+probe pair — knn_ivf_label uses a given partition column, this
+# one derives it. Candidates are bounded by cell population; the
+# assignment reuses the dimension-level dataflow (seeds broadcast).
+# --------------------------------------------------------------------------
+_IVF_CTES = f"""
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, generate_subscripts(e, 1) AS pos, UNNEST(e) AS x
+      FROM v
+    ),
+    seeds AS (
+      SELECT vec_id AS k, generate_subscripts(e, 1) AS pos, UNNEST(e) AS s
+      FROM v WHERE vec_id < {KMEANS_K}
+    ),
+    dist AS (
+      SELECT d.vec_id, se.k, SUM((d.x - se.s) * (d.x - se.s)) AS dd
+      FROM dims d JOIN seeds se ON se.pos = d.pos
+      GROUP BY d.vec_id, se.k
+    ),
+    assigned AS (
+      SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, k) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    )
+"""
+
+
+@operator(
+    "knn_ivf_kmeans",
+    oracle=f"""
+    WITH {_IVF_CTES},
+    {_SQL_NORMS},
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             (SELECT SUM(z.qe * z.ce) FROM
+              (SELECT UNNEST(q.embedding::DOUBLE[]) AS qe,
+                      UNNEST(c.embedding::DOUBLE[]) AS ce) z) AS d
+      FROM embeddings q
+      JOIN assigned aq ON aq.vec_id = q.vec_id
+      JOIN assigned ac ON ac.k = aq.k
+      JOIN embeddings c ON c.vec_id = ac.vec_id AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             d / (nq.nrm * nc.nrm) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d / (nq.nrm * nc.nrm) DESC,
+                                         neighbor_id) AS rnk
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, rnk, neighbor_id, ROUND(sim, 6) AS cosine
+    FROM sims WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+)
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "x")
+    seeds = (
+        e.filter(F.col("vec_id") < KMEANS_K)
+        .select(
+            F.col("vec_id").alias("k"),
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("pos0", "s"),
+        )
+        .select("k", (F.col("pos0") + 1).alias("pos"), "s")
+    )
+    dist = (
+        dims.join(F.broadcast(seeds), "pos")
+        .groupBy("vec_id", "k")
+        .agg(F.sum((F.col("x") - F.col("s")) * (F.col("x") - F.col("s"))).alias("dd"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy("dd", "k")
+    assigned = (
+        dist.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "k")
+    )
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .join(assigned, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("k").alias("cell"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    c = e.join(assigned, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("k").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine_seq("q_emb", "c_emb"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "neighbor_id", F.round("sim", 6).alias("cosine"))
+        .orderBy("query_id", "rnk")
+    )

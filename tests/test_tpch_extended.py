@@ -25,6 +25,7 @@ NEW_QUERIES = [
     "semdedup_resolve",
     "knn_lsh_multiprobe",
     "kmeans_step",
+    "knn_ivf_kmeans",
 ]
 
 
