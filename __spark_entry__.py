@@ -24,84 +24,109 @@ from bigdataentrytask_spark.operators import ORACLES, REGISTRY, load_all
 
 load_all()
 
-# Registry emission order. The round-1 correctness sweep covered the first 50
-# entries in dict order, so ordering is part of the contract: entries that most
-# need a fresh differential row go first — (a) operators with no round-1 row,
-# (b) operators whose round-1 row failed on the since-fixed DuckDB HUGEINT
-# typing artifact, (c) operators that previously ran rows-only and now carry a
-# real oracle. Anything not listed (operators added after this list was
-# written) slots in next, and the round-1 stable-green entries close the list.
+# Registry emission order. The driver's correctness sweep covers the first 50
+# entries in dict order, so ordering is part of the contract. Round-3 rotation:
+# (a) the 29 operators with no CORRECTNESS row in r1 OR r2 (TPC-H join suite,
+# stateful streaming, new ANN/clustering, contamination/text, timeseries),
+# (b) segment_top_balances — r2's only red row, output contract fixed from an
+# ARRAY column to exploded (segment, rnk, balance) rows,
+# (c) 20 rotation picks whose last green row dates from round 1 — stalest
+# signal first. Operators added after this list was written slot in next;
+# everything with a recent (r1/r2) green row closes the list.
 _PRIORITY = [
-    # (a) no driver row in CORRECTNESS_r01
-    "setops_urgent_low",
-    "running_revenue_per_customer",
-    "approx_distinct_users",
-    "nation_customer_stats",
-    "stream_tumble_minute",
-    "stream_user_totals",
-    "stream_daily_uv",
-    "stream_sliding_5m",
-    "stream_channel_weighted",
-    "text_token_stats",
-    "text_quality",
-    "lang_id",
-    "doc_fingerprint",
-    "top_bigrams",
-    "tfidf_top_term",
-    "quality_filter",
-    "train_test_split",
-    "llm_token_estimate",
-    "dataset_mix",
-    "pii_scrub",
-    "repetition_ratio",
-    "stratified_sample",
-    "sequence_pack",
-    "order_window_functions",
-    "daily_channel_pivot",
-    "cube_status_priority",
-    "grouping_sets_orders",
+    # (a) never driver-checked — ANN / clustering
+    "semdedup_resolve",
+    "knn_lsh_multiprobe",
+    "kmeans_step",
+    "knn_ivf_kmeans",
+    # (a) never driver-checked — stateful Structured Streaming
+    "stream_ohlc_minute",
+    "stream_dedup_exactly_once",
+    "stream_sessionize_stateful",
+    "stream_signup_attribution",
+    # (a) never driver-checked — corpus / text analysis
+    "ngram_contamination",
+    "dup_ngram_share",
+    "doc_word_chunks",
+    "inverted_index",
+    "vocab_coverage",
+    "lm_surprisal_score",
+    # (a) never driver-checked — timeseries + SQL surface
+    "events_gap_fill",
+    "events_ohlc_hour",
+    "order_agg_extras",
+    # (a) never driver-checked — TPC-H-shaped join suite
+    "q3_shipping_priority",
+    "q4_priority_checks",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    # (b) r2 harness crash, output shape fixed
     "segment_top_balances",
-    "sliding_window_5m_1m",
-    "trailing_hour_user_revenue",
-    # (b) round-1 hash_match:false, root-caused to oracle HUGEINT typing (fixed)
-    "b1_hourly_uv",
-    "b2_trailing_window",
-    "q1_cumulative_minute",
-    "profile_orders",
-    "multimodal_meta_stats",
-    "multimodal_frame_sample",
-    "embedding_quantize",
-    # (c) round-1 no_oracle, now differential
-    "dedup_resolve",
-    "knn_lsh",
-    "segment_percentiles_approx",
-    "embedding_neardup_pairs",
-    "minhash_dedup",
+    # (c) rotation — green in r1, never re-checked since
+    "q1_daily_uv_payment",
+    "q2_tumble_minute",
+    "q3_user_payment",
+    "q4_channel_payment",
+    "b1_hourly_uv_distinct",
+    "dedup_exact",
+    "jaccard_pairs",
+    "simhash_pairs",
+    "knn_bruteforce",
+    "knn_ivf_label",
+    "embedding_norms",
+    "multimodal_decode",
+    "multimodal_resize_plan",
+    "regional_revenue",
+    "priority_revenue",
+    "pricing_summary",
+    "latest_event_per_user",
+    "topk_orders_per_segment",
+    "sql_correlated_subquery",
+    "asof_purchase_attribution",
 ]
 
 
 def _ordered(mapping: dict) -> dict:
     listed = [n for n in _PRIORITY if n in mapping]
-    new = [n for n in mapping if n not in _PRIORITY and n not in _R1_GREEN]
-    rest = [n for n in mapping if n in _R1_GREEN and n not in _PRIORITY]
+    new = [n for n in mapping if n not in _PRIORITY and n not in _RECENT_GREEN]
+    rest = [n for n in mapping if n in _RECENT_GREEN and n not in _PRIORITY]
     return {n: mapping[n] for n in (*listed, *new, *rest)}
 
 
-# Round-1 driver-green entries (hash_match true) — re-checked last.
-_R1_GREEN = frozenset({
-    "funnel_view_click_purchase", "cohort_retention", "status_extreme_orders",
-    "order_price_histogram", "events_rate_anomaly", "dedup_exact",
-    "jaccard_pairs", "simhash_pairs", "latest_event_per_user",
-    "multimodal_decode", "multimodal_resize_plan", "b1_hourly_uv_distinct",
-    "q1_daily_uv_payment", "q2_tumble_minute", "q3_user_payment",
-    "q4_channel_payment", "scalar_time_exprs", "embedding_norms",
-    "knn_bruteforce", "knn_ivf_label", "props_json_extract", "rollup_revenue",
-    "segment_percentiles", "part_string_funcs", "order_value_bands",
-    "asof_purchase_attribution", "user_sessions", "signup_purchase_within_5m",
-    "order_date_exprs", "daily_channel_unpivot", "salted_user_payment",
-    "sql_correlated_subquery", "pricing_summary", "regional_revenue",
-    "priority_revenue", "customers_with_orders",
-    "customers_without_urgent_orders", "topk_orders_per_segment",
+# Entries with a green driver row in r1 or r2 that are not in this round's
+# rotation — re-checked last (their signal is already on file).
+_RECENT_GREEN = frozenset({
+    "approx_distinct_users", "b1_hourly_uv", "b2_trailing_window",
+    "chunk_dedup_corpus", "cohort_retention", "cube_status_priority",
+    "customers_with_orders", "customers_without_urgent_orders",
+    "daily_channel_pivot", "daily_channel_unpivot", "dataset_mix",
+    "decontaminate_ngram", "dedup_cluster_sizes", "dedup_resolve",
+    "doc_fingerprint", "embedding_hof_stats", "embedding_label_centroids",
+    "embedding_neardup_lsh", "embedding_neardup_pairs", "embedding_quantize",
+    "events_rate_anomaly", "funnel_view_click_purchase",
+    "grouping_sets_orders", "jdbc_roundtrip", "jdbc_upsert_roundtrip",
+    "knn_lsh", "lang_id", "llm_token_estimate", "minhash_dedup",
+    "multimodal_frame_sample", "multimodal_meta_stats",
+    "nation_customer_stats", "order_date_exprs", "order_price_histogram",
+    "order_value_bands", "order_window_functions", "part_string_funcs",
+    "pii_scrub", "profile_orders", "props_json_extract",
+    "q1_cumulative_minute", "quality_filter", "repetition_ratio",
+    "rollup_revenue", "running_revenue_per_customer", "salted_user_payment",
+    "scalar_time_exprs", "segment_percentiles", "segment_percentiles_approx",
+    "sequence_pack", "setops_urgent_low", "signup_purchase_within_5m",
+    "sliding_window_5m_1m", "status_extreme_orders", "stratified_sample",
+    "stream_channel_weighted", "stream_daily_uv", "stream_sliding_5m",
+    "stream_tumble_minute", "stream_user_totals", "text_quality",
+    "text_token_stats", "tfidf_top_term", "top_bigrams",
+    "trailing_hour_user_revenue", "train_test_split", "user_sessions",
 })
 
 

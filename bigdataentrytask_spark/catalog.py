@@ -161,19 +161,35 @@ _EVENTS_SCHEMA_TS = StructType(
 )
 
 
-@lru_cache(maxsize=64)
-def events_physical_schema(path: str) -> StructType:
-    """Pick the read schema for an events parquet by sniffing its
-    footer (driver-side metadata read, no data IO). TIMESTAMP(NANOS)
-    columns are read as raw int64 via nanosAsLong; MICROS/MILLIS are
-    read as native timestamps."""
+def _sniff_events_schema(path: str) -> StructType:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # pq.read_schema resolves filesystem from the URI (local, hdfs://,
+    # s3://, ...) — a footer-only metadata read either way, no data IO.
     t = pq.read_schema(path).field("ts").type
     if pa.types.is_timestamp(t) and t.unit != "ns":
         return _EVENTS_SCHEMA_TS
     return SCHEMAS["events"]
+
+
+@lru_cache(maxsize=64)
+def _cached_events_schema(path: str, mtime_ns: int) -> StructType:
+    return _sniff_events_schema(path)
+
+
+def events_physical_schema(path: str) -> StructType:
+    """Pick the read schema for an events parquet by sniffing its
+    footer. TIMESTAMP(NANOS) columns are read as raw int64 via
+    nanosAsLong; MICROS/MILLIS are read as native timestamps.
+    The cache key is (path, mtime) so a fixture regenerated in-place
+    with the other ts layout is re-sniffed; non-statable paths
+    (remote URIs, directory datasets) skip the cache entirely."""
+    try:
+        mtime_ns = os.stat(path).st_mtime_ns
+    except OSError:
+        return _sniff_events_schema(path)
+    return _cached_events_schema(path, mtime_ns)
 
 
 def with_event_time(df: DataFrame) -> DataFrame:

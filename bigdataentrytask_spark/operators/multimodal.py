@@ -8,11 +8,14 @@ the Spark-side plumbing — binary schema, Arrow batch shape, mapInPandas
 decode signature, metadata projection — is real and differentially
 tested.
 
-The actual codec step is STUBBED: `decode_image_stub` produces
+The pixel-level codec step is STUBBED: `decode_batches` produces
 deterministic pseudo-features from the bytes (the container has no
-image/audio libraries). Swapping in a real decoder changes only the
-function body — batch shape and schema stay identical — as marked by
-NotImplementedError in `decode_image_real`.
+image/audio libraries). Header-level decode is REAL: `decode_image_real`
+parses PNG IHDR / JPEG SOFn / GIF logical-screen headers in pure Python
+(no deps) and `multimodal_image_probe` drives it end-to-end through the
+Arrow batch path against payloads synthesized column-side, with an
+exact DuckDB oracle. Swapping in a full pixel decoder changes only the
+function body — batch shape and schema stay identical.
 """
 
 from __future__ import annotations
@@ -45,12 +48,82 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> sample channels (greyscale, RGB, palette, grey+A, RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_image_header(payload: bytes) -> dict | None:
+    """Pure-Python container-header parse: PNG (IHDR), JPEG (SOFn
+    frame header), GIF (logical screen descriptor). Returns
+    {format, width, height, channels, bit_depth} or None when the
+    payload is not a recognized image. Header-only — no pixel decode,
+    no libraries, O(header) per asset."""
+    if payload.startswith(_PNG_SIG):
+        # signature(8) + IHDR length(4) + "IHDR"(4) + w(4) h(4) depth(1)
+        # color(1) — the IHDR chunk is mandatory and always first.
+        if len(payload) >= 26 and payload[12:16] == b"IHDR":
+            color_type = payload[25]
+            if color_type not in _PNG_CHANNELS:
+                return None
+            return {
+                "format": "png",
+                "width": int.from_bytes(payload[16:20], "big"),
+                "height": int.from_bytes(payload[20:24], "big"),
+                "channels": _PNG_CHANNELS[color_type],
+                "bit_depth": payload[24],
+            }
+        return None
+    if payload[:2] == b"\xff\xd8":
+        # JPEG: walk marker segments to the first SOFn frame header,
+        # skipping padding FFs and standalone markers (RSTn/TEM).
+        i, n = 2, len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                # SOFn payload: precision u8, height u16, width u16, ncomp u8
+                if i + 10 <= n:
+                    return {
+                        "format": "jpeg",
+                        "width": int.from_bytes(payload[i + 7 : i + 9], "big"),
+                        "height": int.from_bytes(payload[i + 5 : i + 7], "big"),
+                        "channels": payload[i + 9],
+                        "bit_depth": payload[i + 4],
+                    }
+                return None
+            i += 2 + seg_len
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        return {
+            "format": "gif",
+            "width": int.from_bytes(payload[6:8], "little"),
+            "height": int.from_bytes(payload[8:10], "little"),
+            "channels": 3,  # palette-expanded RGB
+            "bit_depth": 8,
+        }
+    return None
+
+
 def decode_image_real(payload: bytes) -> dict:
-    """Real codec slot. Body intentionally unimplemented here."""
-    raise NotImplementedError(
-        "no media codecs in this environment; plug Pillow/ffmpeg here — "
-        "callers only depend on the returned dict shape"
-    )
+    """Real codec slot: container-header decode (dimensions, channels,
+    bit depth) with no external libraries. Pixel decode would extend
+    the returned dict — callers only depend on its shape."""
+    meta = parse_image_header(payload)
+    if meta is None:
+        raise ValueError(
+            "unrecognized image container (PNG/JPEG/GIF supported); "
+            "plug Pillow/ffmpeg here for pixel-level decode"
+        )
+    return meta
 
 
 def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -173,6 +246,69 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("f.frame_len").alias("sampled_bytes"),
             F.sum("f.first_byte").alias("feature_sum"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Real header decode, end-to-end: synthesize a valid PNG header per
+# document column-side (unhex of a built hex string — dims derived from
+# the text, color type alternating RGB/RGBA by doc_id), then parse it
+# back with the REAL pure-Python header parser inside mapInPandas. The
+# oracle recomputes the expected (fmt, width, height, channels,
+# bit_depth) directly from the text — the parser must invert the
+# synthesis bit-for-bit. Payloads are pruned to (doc_id, payload)
+# before the Arrow boundary, same policy as multimodal_decode.
+# --------------------------------------------------------------------------
+def _probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        metas = [decode_image_real(bytes(b)) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fmt": [m["format"] for m in metas],
+                "width": [m["width"] for m in metas],
+                "height": [m["height"] for m in metas],
+                "channels": [m["channels"] for m in metas],
+                "bit_depth": [m["bit_depth"] for m in metas],
+            }
+        )
+
+
+@operator(
+    "multimodal_image_probe",
+    oracle="""
+    SELECT doc_id,
+           'png' AS fmt,
+           CAST(1 + ord(substr(text, 1, 1)) AS BIGINT) AS width,
+           CAST(1 + ord(substr(text, 2, 1)) AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS BIGINT)
+               AS channels,
+           CAST(8 AS BIGINT) AS bit_depth
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_image_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    w = 1 + F.ascii(F.substring("text", 1, 1))
+    h = 1 + F.ascii(F.substring("text", 2, 1))
+    color_type = F.when(F.col("doc_id") % 2 == 0, F.lit("02")).otherwise(
+        F.lit("06")
+    )  # 02 = RGB (3 ch), 06 = RGBA (4 ch)
+    hex_payload = F.concat(
+        # PNG signature + IHDR chunk length (13) + "IHDR"
+        F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        F.lpad(F.hex(w.cast("bigint")), 8, "0"),
+        F.lpad(F.hex(h.cast("bigint")), 8, "0"),
+        F.lit("08"),  # bit depth
+        color_type,
+        F.lit("000000"),  # compression / filter / interlace
+    )
+    media = d.select("doc_id", F.unhex(hex_payload).alias("payload"))
+    return media.mapInPandas(
+        _probe_batches,
+        "doc_id long, fmt string, width long, height long, "
+        "channels long, bit_depth long",
     )
 
 

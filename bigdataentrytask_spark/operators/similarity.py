@@ -1007,7 +1007,11 @@ KMEANS_K = 8
     assigned AS (
       SELECT vec_id, k, dd FROM (
         SELECT vec_id, k, dd,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, k) AS rn
+               -- tie-break on ROUND(dd, 6): dd comes from an unordered
+               -- float partial aggregate, so near-equidistant seeds could
+               -- otherwise flip on accumulation-order drift between engines
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ROUND(dd, 6), k) AS rn
         FROM dist
       ) WHERE rn = 1
     ),
@@ -1050,7 +1054,8 @@ def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "k")
         .agg(F.sum((F.col("x") - F.col("s")) * (F.col("x") - F.col("s"))).alias("dd"))
     )
-    w = Window.partitionBy("vec_id").orderBy("dd", "k")
+    # tie-break on rounded dd — mirrors the oracle; see the oracle comment
+    w = Window.partitionBy("vec_id").orderBy(F.round("dd", 6), "k")
     assigned = (
         dist.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -1104,7 +1109,9 @@ _IVF_CTES = f"""
     assigned AS (
       SELECT vec_id, k FROM (
         SELECT vec_id, k,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, k) AS rn
+               -- ROUND(dd, 6) tie-break: see kmeans_step oracle comment
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ROUND(dd, 6), k) AS rn
         FROM dist
       ) WHERE rn = 1
     )
@@ -1165,7 +1172,7 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "k")
         .agg(F.sum((F.col("x") - F.col("s")) * (F.col("x") - F.col("s"))).alias("dd"))
     )
-    wa = Window.partitionBy("vec_id").orderBy("dd", "k")
+    wa = Window.partitionBy("vec_id").orderBy(F.round("dd", 6), "k")
     assigned = (
         dist.withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)

@@ -923,11 +923,16 @@ def doc_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Inverted index: token -> document frequency + capped, sorted posting
-# list — the retrieval-side dual of tfidf_top_term. Posting lists are
-# hard-capped at _POSTING_CAP entries so per-token state is bounded
-# (stop-word-like tokens cannot blow up a reducer); at 100 TB the full
-# uncapped lists would be written sharded by (token, doc_id-bucket),
-# same plan shape with a finer key.
+# list — the retrieval-side dual of tfidf_top_term. The cap is enforced
+# BEFORE aggregation: a row_number() window over (tok, doc_id) marks the
+# first _POSTING_CAP postings per token, and collect_list only sees those
+# rows (collect_list skips the NULLs the when() produces for the rest).
+# The window sort is spill-able sort-based state, so a stop-word token
+# never accumulates an unbounded array in any agg buffer; df still
+# counts every row. The window's hash partitioning on tok is reused by
+# the groupBy — one exchange total. At 100 TB the full uncapped lists
+# would be written sharded by (token, doc_id-bucket), same plan shape
+# with a finer key.
 # --------------------------------------------------------------------------
 _POSTING_CAP = 20
 _MIN_DF = 10
@@ -966,15 +971,18 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("tok") != "")
     )
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    ranked = toks.withColumn("rn", F.row_number().over(w))
+    capped_doc = F.when(F.col("rn") <= _POSTING_CAP, F.col("doc_id"))
     postings = F.concat_ws(
         ",",
         F.transform(
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, _POSTING_CAP),
+            F.sort_array(F.collect_list(capped_doc)),
             lambda x: x.cast("string"),
         ),
     )
     return (
-        toks.groupBy("tok")
+        ranked.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"), postings.alias("postings"))
         .filter(F.col("df") >= _MIN_DF)
         .orderBy("tok")

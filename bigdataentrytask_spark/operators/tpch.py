@@ -391,8 +391,10 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
+    # no broadcast hint: supplier grows with scale factor (module posture,
+    # header) — AQE demotes the anti join to broadcast when `bad` is small
     li = _t(spark, sf_dir, "lineitem").join(
-        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
     )
     return (
         li.join(p, p.p_partkey == li.l_partkey)

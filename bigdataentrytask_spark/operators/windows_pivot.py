@@ -155,17 +155,26 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Ordered array aggregation: top-3 account balances per segment as an
-# ARRAY result — collect_list has no deterministic order, so the
-# contract is sort-then-slice (matching the oracle's ordered list agg).
+# Ordered array aggregation: top-3 account balances per segment built as an
+# ARRAY — collect_list has no deterministic order, so the contract is
+# sort-then-slice. The public output is the exploded (segment, rnk, balance)
+# rows: array-typed result columns aren't canonicalizable by order-insensitive
+# value hashing (unhashable in pandas factorize), so the array is an internal
+# intermediate and posexplode defines the row contract.
 # --------------------------------------------------------------------------
 @operator(
     "segment_top_balances",
     oracle="""
-    SELECT c_mktsegment AS segment,
-           list(ROUND(c_acctbal, 2) ORDER BY c_acctbal DESC, c_custkey)[1:3]
-             AS top_balances
-    FROM customer GROUP BY 1 ORDER BY segment
+    SELECT segment, rnk, balance
+    FROM (
+        SELECT c_mktsegment AS segment,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+               ROUND(c_acctbal, 2) AS balance
+        FROM customer
+    )
+    WHERE rnk <= 3
+    ORDER BY segment, rnk
     """,
 )
 def segment_top_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,10 +191,20 @@ def segment_top_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = F.slice(
         F.transform(packed, lambda s: F.round(-s["neg"], 2)), 1, 3
     )
-    return (
+    agged = (
         c.groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(top.alias("top_balances"))
-        .orderBy("segment")
+    )
+    return (
+        agged.select(
+            "segment", F.posexplode("top_balances").alias("pos", "balance")
+        )
+        .select(
+            "segment",
+            (F.col("pos") + F.lit(1)).cast("long").alias("rnk"),
+            "balance",
+        )
+        .orderBy("segment", "rnk")
     )
 
 

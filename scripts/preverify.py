@@ -1,0 +1,120 @@
+"""Driver-mimicking pre-verify: run named queries() entries against their
+DuckDB oracles with a VANILLA SparkSession, comparing like the grading driver
+(column names, row counts, order-insensitive normalized values — and a pandas
+canonicalization probe that crashes on non-hashable columns exactly like the
+driver's canonicalizer does).
+
+Usage:  python scripts/preverify.py [name ...]
+        python scripts/preverify.py --never   # ops with no CORRECTNESS row yet
+(no args = every registered query)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as e  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, 6)
+    return str(v)
+
+
+def canon_probe(pdf: pd.DataFrame, name: str) -> None:
+    """Mimic the driver's pandas canonicalization: sort_values over every
+    column raises on unhashable cells (arrays/maps) — fail loudly here."""
+    if len(pdf.columns) and len(pdf):
+        pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+        pdf.sort_values(list(pdf.columns), key=None)
+
+
+def main(argv: list[str]) -> int:
+    names = argv
+    if names == ["--never"]:
+        checked: set[str] = set()
+        for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+            p = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), f)
+            if os.path.exists(p):
+                checked |= set(json.load(open(p)))
+        names = [q for q in e.queries() if q not in checked]
+    qs, osql = e.queries(), e.oracle_sql()
+    if not names:
+        names = list(qs)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print("unknown queries:", unknown)
+        return 2
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    bad = []
+    for name in names:
+        t0 = time.time()
+        try:
+            df = qs[name](spark, SF)
+            rows = df.collect()
+            canon_probe(df.limit(1000).toPandas(), name)
+            if name not in osql:
+                print(f"{name:32s} rows={len(rows):7d} (rows-only) "
+                      f"[{time.time()-t0:.1f}s]")
+                continue
+            rel = con.execute(osql[name])
+            dcols = [d[0] for d in rel.description]
+            scols = list(df.columns)
+            if sorted(scols) != sorted(dcols):
+                print(f"{name:32s} COLS-MISMATCH spark={scols} duck={dcols}")
+                bad.append(name)
+                continue
+            s = sorted([tuple(norm(r[c]) for c in dcols) for r in rows], key=repr)
+            d = sorted([tuple(norm(v) for v in row) for row in rel.fetchall()],
+                       key=repr)
+            ok = s == d
+            print(f"{name:32s} rows={len(s):7d}/{len(d):7d} "
+                  f"{'MATCH' if ok else 'MISMATCH'} [{time.time()-t0:.1f}s]")
+            if not ok:
+                bad.append(name)
+                for i, (a, b) in enumerate(zip(s, d)):
+                    if a != b:
+                        print(f"   first diff @ sorted idx {i}:")
+                        print(f"    spark={a}")
+                        print(f"    duck ={b}")
+                        break
+                if len(s) != len(d):
+                    print(f"   row-count diff: spark={len(s)} duck={len(d)}")
+        except Exception as ex:  # driver records err the same way
+            print(f"{name:32s} ERROR {type(ex).__name__}: {ex}")
+            bad.append(name)
+    print()
+    print("FAILED:", bad) if bad else print("ALL MATCH")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
