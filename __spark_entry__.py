@@ -70,23 +70,26 @@ _PRIORITY = [
     "q22_dormant_customers",
     # (b) r2 harness crash, output shape fixed
     "segment_top_balances",
-    # (c) rotation — green in r1, never re-checked since
-    "q1_daily_uv_payment",
-    "q2_tumble_minute",
-    "q3_user_payment",
-    "q4_channel_payment",
-    "b1_hourly_uv_distinct",
+    # (d) round-3 additions: the 9 TPC-H shapes that complete the
+    # 22-query suite (adapted to the fixture schema) — never checked
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_priority_mix",
+    "q13_customer_distribution",
+    "q20_heavy_suppliers",
+    "q21_waiting_suppliers",
+    # (c) rotation — green in r1, never re-checked since (the rest of
+    # the r1 pool waits for r4: never-checked > stale-green)
     "dedup_exact",
     "jaccard_pairs",
     "simhash_pairs",
     "knn_bruteforce",
-    "knn_ivf_label",
     "embedding_norms",
     "multimodal_decode",
     "multimodal_resize_plan",
-    "regional_revenue",
-    "priority_revenue",
-    "pricing_summary",
     "latest_event_per_user",
     "topk_orders_per_segment",
     "sql_correlated_subquery",
@@ -104,6 +107,9 @@ def _ordered(mapping: dict) -> dict:
 # Entries with a green driver row in r1 or r2 that are not in this round's
 # rotation — re-checked last (their signal is already on file).
 _RECENT_GREEN = frozenset({
+    "q1_daily_uv_payment", "q2_tumble_minute", "q3_user_payment",
+    "q4_channel_payment", "b1_hourly_uv_distinct", "knn_ivf_label",
+    "regional_revenue", "priority_revenue", "pricing_summary",
     "approx_distinct_users", "b1_hourly_uv", "b2_trailing_window",
     "chunk_dedup_corpus", "cohort_retention", "cube_status_priority",
     "customers_with_orders", "customers_without_urgent_orders",

@@ -43,6 +43,11 @@ HEADLINE = [
     "text_quality",
     "tfidf_top_term",
     "minhash_dedup",
+    # simhash_pairs r1->r2 drift (2.52s -> 3.11s at sf0.1) is NOT a
+    # regression of one implementation: r1 benched the chunk self-join
+    # formulation, which degrades to 55s on an 8x-duplicated corpus;
+    # r2+ benches the bucket-kernel rewrite (SCALE.md "simhash stress"),
+    # which holds 4.5s there. +0.6s at sf0.1 bought ~12x robustness.
     "simhash_pairs",
     "knn_bruteforce",
     "knn_lsh",
@@ -58,6 +63,11 @@ HEADLINE = [
     # round-2b additions: corpus-level training-data hot paths
     "chunk_dedup_corpus",
     "decontaminate_ngram",
+    # round-3 additions (the 27 queries above are unchanged, so the
+    # r2 comparison stays apples-to-apples): outer-join histogram +
+    # the window-computed EXISTS/NOT-EXISTS pair
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
 ]
 
 

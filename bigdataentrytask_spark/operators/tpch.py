@@ -651,3 +651,532 @@ def q4_priority_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Q6 shape: forecasting revenue change — single-table scan with three
+# range predicates and SUM(price * discount). The whole WHERE clause
+# is parquet-pushable (PushedFilters on l_shipdate / l_discount /
+# l_quantity); no shuffle at all except the 1-row final agg.
+# --------------------------------------------------------------------------
+_Q6_FROM, _Q6_TO = "1996-01-01", "1997-01-01"
+_Q6_DISC_LO, _Q6_DISC_HI = 0.05, 0.07
+_Q6_MAX_QTY = 24
+
+
+@operator(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q6_FROM} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{_Q6_TO} 00:00:00'
+      AND l_discount BETWEEN {_Q6_DISC_LO} AND {_Q6_DISC_HI}
+      AND l_quantity < {_Q6_MAX_QTY}
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q6_FROM).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(_Q6_TO).cast("timestamp_ntz"))
+        & F.col("l_discount").between(_Q6_DISC_LO, _Q6_DISC_HI)
+        & (F.col("l_quantity") < _Q6_MAX_QTY)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 shape: national market share — within one region and part type,
+# the share of revenue supplied by one nation, per order year. The
+# share is a conditional-sum / sum ratio inside one grouped agg (no
+# second pass); nation/region broadcast, fact joins shuffle under AQE.
+# --------------------------------------------------------------------------
+_Q8_REGION = "EUROPE"
+_Q8_TYPE = "STANDARD"
+_Q8_NATION = "NATION_5"
+_Q8_FROM, _Q8_TO = "1996-01-01", "1998-01-01"
+
+
+@operator(
+    "q8_market_share",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(CASE WHEN ns.n_name = '{_Q8_NATION}'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS mkt_share
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = nc.n_regionkey
+    WHERE r.r_name = '{_Q8_REGION}'
+      AND p.p_type = '{_Q8_TYPE}'
+      AND o.o_orderdate >= TIMESTAMP '{_Q8_FROM} 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '{_Q8_TO} 00:00:00'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == _Q8_TYPE)
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q8_FROM).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(_Q8_TO).cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == _Q8_REGION)
+    nc = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("nc_key"))
+    rev = _revenue()
+    nation_rev = F.sum(
+        F.when(F.col("supp_nation") == _Q8_NATION, rev).otherwise(0.0)
+    )
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(nation_rev / F.sum(rev), 4).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 shape: product-type profit (adapted: the fixture has no partsupp,
+# so supply cost is proxied as 0.5 * p_retailprice per unit) — profit
+# by (supplier nation, order year) over parts whose name contains a
+# token. The LIKE filter prunes the part scan; profit arithmetic stays
+# in codegen on the joined rows.
+# --------------------------------------------------------------------------
+_Q9_TOKEN = "red"
+_Q9_COST_FACTOR = 0.5
+
+
+@operator(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - {_Q9_COST_FACTOR} * p.p_retailprice * l.l_quantity), 2)
+               AS profit
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%{_Q9_TOKEN}%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains(_Q9_TOKEN))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    amount = _revenue() - _Q9_COST_FACTOR * F.col("p_retailprice") * F.col(
+        "l_quantity"
+    )
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 shape: important inventory (adapted: no partsupp, so "value" is
+# lineitem revenue through one nation's suppliers) — parts whose value
+# exceeds a fraction of the nation total. The fraction threshold is a
+# 1-row aggregate broadcast back against the same grouped relation
+# (exchange reuse: one shuffle computes both); both sides compare on
+# ROUND(...,2) so float accumulation order cannot flip the cut.
+# --------------------------------------------------------------------------
+_Q11_NATION = "NATION_4"
+_Q11_FRACTION = 0.002
+
+
+@operator(
+    "q11_important_parts",
+    oracle=f"""
+    WITH partval AS (
+      SELECT l.l_partkey AS p_partkey,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = '{_Q11_NATION}'
+      GROUP BY 1)
+    SELECT p_partkey, value
+    FROM partval
+    WHERE value > (SELECT ROUND(SUM(value) * {_Q11_FRACTION}, 2) FROM partval)
+    ORDER BY value DESC, p_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == _Q11_NATION)
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    partval = (
+        li.join(s, s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("value"))
+    )
+    thresh = partval.agg(
+        F.round(F.sum("value") * _Q11_FRACTION, 2).alias("cut")
+    )
+    return (
+        partval.join(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("cut"))
+        .select("p_partkey", "value")
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 shape: late-shipment priority mix (adapted: no shipmode/commit/
+# receipt columns — "late" is shipped > 90 days after the order date,
+# and the grouping carrier is l_linestatus) — per linestatus, counts of
+# critical- vs low-priority orders among late lineitems of one ship
+# year. The priority CASE collapses at the scan; one equi-join with a
+# residual date predicate; one grouped agg.
+# --------------------------------------------------------------------------
+_Q12_FROM, _Q12_TO = "1996-01-01", "1997-01-01"
+_Q12_LATE_DAYS = 90
+_Q12_CRITICAL = ("1-URGENT", "2-HIGH")
+
+
+@operator(
+    "q12_late_priority_mix",
+    oracle=f"""
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('{_Q12_CRITICAL[0]}', '{_Q12_CRITICAL[1]}')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority IN ('{_Q12_CRITICAL[0]}', '{_Q12_CRITICAL[1]}')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '{_Q12_FROM} 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '{_Q12_TO} 00:00:00'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q12_LATE_DAYS} DAY
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q12_late_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q12_FROM).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(_Q12_TO).cast("timestamp_ntz"))
+    )
+    is_critical = F.col("o_orderpriority").isin(list(_Q12_CRITICAL))
+    return (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate")
+                + F.expr(f"INTERVAL {_Q12_LATE_DAYS} DAYS")
+            ),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_critical, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_critical, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 shape: customer order-count distribution — LEFT OUTER join so
+# zero-order customers survive with count 0, then a histogram over the
+# per-customer counts. Two chained aggs: the first shuffles on
+# c_custkey (the outer join's own key — AQE reuses the partitioning),
+# the second on the tiny count domain.
+# --------------------------------------------------------------------------
+_Q13_EXCLUDE = "4-NOT SPECIFIED"
+
+
+@operator(
+    "q13_customer_distribution",
+    oracle=f"""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '{_Q13_EXCLUDE}'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != _Q13_EXCLUDE)
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 shape: minimum-cost supplier (adapted: no partsupp, so "cost" is
+# the minimum observed unit price l_extendedprice / l_quantity for the
+# part through suppliers of one region) — for each part of one size,
+# the supplier(s) achieving that minimum. The correlated MIN subquery
+# decorrelates into a grouped MIN joined back on (partkey, unit
+# price); MIN is order-insensitive so the float equality is exact
+# (identical IEEE division on both engines).
+# --------------------------------------------------------------------------
+_Q2_REGION = "EUROPE"
+_Q2_SIZE = 15
+
+
+@operator(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = '{_Q2_REGION}'),
+    offers AS (
+      SELECT l.l_partkey, eu.s_suppkey, eu.s_name, eu.s_acctbal, eu.n_name,
+             l.l_extendedprice / l.l_quantity AS unit_price
+      FROM lineitem l JOIN eu ON eu.s_suppkey = l.l_suppkey)
+    SELECT p.p_partkey, p.p_name,
+           ROUND(o.s_acctbal, 2) AS s_acctbal,
+           o.s_name, o.n_name,
+           ROUND(o.unit_price, 4) AS unit_price
+    FROM part p
+    JOIN offers o ON o.l_partkey = p.p_partkey
+    WHERE p.p_size = {_Q2_SIZE}
+      AND o.unit_price = (SELECT MIN(o2.unit_price) FROM offers o2
+                          WHERE o2.l_partkey = p.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == _Q2_REGION)
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    eu = (
+        s.join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    offers = li.join(eu, eu.s_suppkey == li.l_suppkey)
+    best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_price").alias("best_price")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == _Q2_SIZE)
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_price") == F.col("best_price")),
+        )
+        .join(p, p.p_partkey == F.col("l_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.round("unit_price", 4).alias("unit_price"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 shape: heavy suppliers of a part family (adapted: no partsupp,
+# so "excess stock" is a (supplier, part) shipped-quantity total above
+# a threshold) — suppliers of one nation who shipped more than the
+# threshold of any matching part in one year. Semi-join chain: part
+# family → qualifying (supplier, part) totals → distinct suppliers.
+# --------------------------------------------------------------------------
+_Q20_NATION = "NATION_2"
+_Q20_PREFIX = "small"
+_Q20_FROM, _Q20_TO = "1996-01-01", "1997-01-01"
+_Q20_MIN_QTY = 40
+
+
+@operator(
+    "q20_heavy_suppliers",
+    oracle=f"""
+    SELECT s.s_name, ROUND(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = '{_Q20_NATION}'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE '{_Q20_PREFIX}%')
+          AND l.l_shipdate >= TIMESTAMP '{_Q20_FROM} 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '{_Q20_TO} 00:00:00'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(l.l_quantity) > {_Q20_MIN_QTY})
+    ORDER BY s.s_name
+    """,
+)
+def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(_Q20_PREFIX))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q20_FROM).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(_Q20_TO).cast("timestamp_ntz"))
+    )
+    heavy = (
+        li.join(parts, parts.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > _Q20_MIN_QTY)
+        .select("l_suppkey")
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == _Q20_NATION)
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(heavy, heavy.l_suppkey == s.s_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 shape: suppliers who kept orders waiting (adapted: no commit/
+# receipt dates — "late" is shipped > 90 days after the order date) —
+# for finalized orders with at least two suppliers where EXACTLY ONE
+# supplier shipped late, count that supplier's late lineitems.
+#
+# The textbook formulation is two correlated (NOT) EXISTS self-joins
+# of lineitem (the oracle keeps it). The engine computes it as ONE
+# grouped pass per (orderkey, suppkey) followed by a per-order window
+# — at 100 TB that is two key-partitioned shuffles of the PRE-AGGREGATED
+# per-(order,supplier) rows instead of two shuffles of raw lineitem
+# for the EXISTS pair; the window key (l_orderkey) matches the
+# grouping key prefix so AQE plans it without an extra exchange.
+# --------------------------------------------------------------------------
+_Q21_LATE_DAYS = 90
+_Q21_TOP = 20
+
+
+@operator(
+    "q21_waiting_suppliers",
+    oracle=f"""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F')
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+      AND EXISTS (SELECT 1 FROM late l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l3.o_orderdate
+                            + INTERVAL {_Q21_LATE_DAYS} DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT {_Q21_TOP}
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late_flag = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {_Q21_LATE_DAYS} DAYS"
+    )
+    per_os = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(late_flag, 1).otherwise(0)).alias("late_cnt"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late_cnt",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum(F.when(F.col("late_cnt") > 0, 1).otherwise(0))
+        .over(w)
+        .alias("n_late_supp"),
+    ).filter(
+        (F.col("late_cnt") > 0)
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_late_supp") == 1)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        flagged.join(s, s.s_suppkey == flagged.l_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("late_cnt").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(_Q21_TOP)
+    )

@@ -10,6 +10,16 @@ from tests.conftest import SF_DIR, assert_matches_oracle
 load_all()
 
 NEW_QUERIES = [
+    # round-3 completions: the remaining TPC-H shapes (fixture-adapted)
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_priority_mix",
+    "q13_customer_distribution",
+    "q20_heavy_suppliers",
+    "q21_waiting_suppliers",
     "q7_nation_volume",
     "q15_top_supplier",
     "q16_supplier_part_counts",
@@ -186,3 +196,34 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     }
     assert len(mp & bf) >= len(sp & bf)
     assert len(mp & bf) / len(bf) >= 0.8  # measured 0.90 vs 0.44 single
+
+
+def test_q13_distribution_covers_every_customer(spark):
+    """The histogram partitions ALL customers (left join keeps the
+    zero-order bucket)."""
+    rows = REGISTRY["q13_customer_distribution"](spark, SF_DIR).collect()
+    import duckdb
+
+    total = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/customer.parquet'"
+    ).fetchone()[0]
+    assert sum(r.custdist for r in rows) == total
+
+
+def test_q2_rows_carry_the_part_minimum(spark):
+    """Every emitted (part, supplier) offer equals that part's minimum
+    regional unit price — no near-miss floats."""
+    rows = REGISTRY["q2_min_cost_supplier"](spark, SF_DIR).collect()
+    assert rows
+    best: dict[int, float] = {}
+    for r in rows:
+        best.setdefault(r.p_partkey, r.unit_price)
+        assert r.unit_price == best[r.p_partkey]
+
+
+def test_q20_threshold_yields_signal(spark):
+    """The heavy-supplier cut must select a non-empty, strict subset of
+    the nation's suppliers at differential scale (0 rows would make the
+    oracle comparison vacuous)."""
+    rows = REGISTRY["q20_heavy_suppliers"](spark, SF_DIR).collect()
+    assert 0 < len(rows) < 40
