@@ -81,16 +81,19 @@ _PRIORITY = [
     "q13_customer_distribution",
     "q20_heavy_suppliers",
     "q21_waiting_suppliers",
+    # (d) round-3 additions: live source/sink round-trip edges
+    # (S8 append, S9+S5 bucketed ORC, S10 streaming landing)
+    "jdbc_append_roundtrip",
+    "bucketed_orc_join",
+    "file_landing_roundtrip",
+    # (d) round-3 addition from the image-header-decode commit
+    "multimodal_image_probe",
     # (c) rotation — green in r1, never re-checked since (the rest of
     # the r1 pool waits for r4: never-checked > stale-green)
-    "dedup_exact",
     "jaccard_pairs",
     "simhash_pairs",
     "knn_bruteforce",
-    "embedding_norms",
     "multimodal_decode",
-    "multimodal_resize_plan",
-    "latest_event_per_user",
     "topk_orders_per_segment",
     "sql_correlated_subquery",
     "asof_purchase_attribution",
@@ -110,6 +113,7 @@ _RECENT_GREEN = frozenset({
     "q1_daily_uv_payment", "q2_tumble_minute", "q3_user_payment",
     "q4_channel_payment", "b1_hourly_uv_distinct", "knn_ivf_label",
     "regional_revenue", "priority_revenue", "pricing_summary",
+    "embedding_norms", "multimodal_resize_plan", "latest_event_per_user",
     "approx_distinct_users", "b1_hourly_uv", "b2_trailing_window",
     "chunk_dedup_corpus", "cohort_retention", "cube_status_priority",
     "customers_with_orders", "customers_without_urgent_orders",

@@ -39,6 +39,7 @@ def load_all() -> None:
         multimodal,
         reference_batch,
         similarity,
+        sources_bridge,
         sql_surface,
         star,
         streaming_bridge,

@@ -1,0 +1,199 @@
+"""Live source/sink round-trip operators: the reference's remaining
+landing edges (SURVEY.md §2.1) executed end-to-end inside registry
+entries, so the differential harness checks the EDGE, not just the
+query on top of it.
+
+Covered here (the JDBC overwrite/upsert edges live in jdbc_bridge.py):
+* S8  JDBC append sink — two appended batches must accumulate
+  (/root/reference/doc/temp.md:477-485: the reference's INSERT sink).
+* S9  Bucketed ORC table — the native analog of the reference's Hive
+  `CLUSTERED BY (order_id) INTO 2 BUCKETS` ORC landing
+  (/root/reference/doc/temp.md:639-648); plus the S5 claim that joins
+  on the bucket key need no exchange (asserted in pytest; here the
+  round-trip result itself is differentially checked).
+* S10 Streaming file landing — Structured Streaming parquet sink with
+  checkpoint (the Flume→HDFS path, doc/temp.md:676-705), read back by
+  a batch scan.
+
+Scale posture: these edges carry RESULT/landing tables. The bucketed
+pair is written once and joined many times — the amortized win at
+100 TB is that every subsequent key join skips both shuffles. The
+streaming landing is append-only with exactly-once micro-batch
+semantics (checkpoint), so re-running a failed batch cannot double
+rows — that idempotence is what the differential check pins.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataentrytask_spark.catalog import load_table
+from bigdataentrytask_spark.operators import operator
+from bigdataentrytask_spark.session import ensure_session_confs
+from bigdataentrytask_spark.sources.jdbc import read_jdbc_table, write_jdbc_table
+from bigdataentrytask_spark.sources.writers import (
+    land_stream_to_parquet,
+    read_landed,
+    write_bucketed,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# S8: JDBC append accumulates — two month-half batches of per-user
+# purchase totals appended to one Derby table; reading it back must
+# show BOTH rows per user that purchased in both halves.
+# --------------------------------------------------------------------------
+@operator(
+    "jdbc_append_roundtrip",
+    oracle="""
+    WITH b1 AS (
+      SELECT user_id, ROUND(SUM(value), 2) AS payment
+      FROM events
+      WHERE event_type = 'purchase' AND day(ts) <= 15
+      GROUP BY user_id
+    ),
+    b2 AS (
+      SELECT user_id, ROUND(SUM(value), 2) AS payment
+      FROM events
+      WHERE event_type = 'purchase' AND day(ts) > 15
+      GROUP BY user_id
+    ),
+    allb AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    SELECT user_id,
+           COUNT(*)                   AS n_batches,
+           ROUND(SUM(payment), 2)     AS payment_total
+    FROM allb GROUP BY user_id ORDER BY user_id
+    """,
+)
+def jdbc_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode JDBC sink (S8): unlike the upsert edge, a key seen
+    in both batches must hold TWO rows after the second write. The
+    read-back aggregation proves no row was lost or overwritten."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+
+    def half(cond) -> DataFrame:
+        return (
+            ev.filter(cond)
+            .groupBy("user_id")
+            .agg(F.round(F.sum("value"), 2).alias("payment"))
+        )
+
+    url = "jdbc:derby:memory:jdbc_append;create=true"
+    write_jdbc_table(
+        half(F.dayofmonth("ts") <= 15), url, "user_ledger", mode="overwrite"
+    )
+    write_jdbc_table(
+        half(F.dayofmonth("ts") > 15), url, "user_ledger", mode="append"
+    )
+    back = read_jdbc_table(spark, url, "user_ledger")
+    return (
+        back.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.round(F.sum("payment"), 2).alias("payment_total"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# S9 + S5: bucketed ORC tables joined on the bucket key. The tables
+# are EXTERNAL (explicit path under a temp dir) so a vanilla driver
+# session never writes into its working directory; the in-memory
+# catalog holds only metadata.
+# --------------------------------------------------------------------------
+@operator(
+    "bucketed_orc_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def bucketed_orc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders + lineitem as ORC tables bucketed on the join key
+    (the reference's CLUSTERED BY INTO 2 BUCKETS landing, scaled to 8),
+    then join them — the join plans shuffle-free on the bucket key
+    (asserted in tests/test_plans_and_sources.py; here the result is
+    differentially checked). The order-date filter applies AFTER the
+    round-trip so it exercises the ORC scan's own pushdown."""
+    base = tempfile.mkdtemp(prefix="bucketed_orc_")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    for name, df, key in (
+        ("orders_bkt", o, "o_orderkey"),
+        ("lineitem_bkt", li, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_bucketed(
+            df, name, key, num_buckets=8, fmt="orc", path=f"{base}/{name}"
+        )
+    ob = spark.table("orders_bkt").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    lb = spark.table("lineitem_bkt")
+    return (
+        ob.join(lb, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_orderkey").alias("n_orders"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# S10 + ST7: streaming file landing, read back by batch.
+# --------------------------------------------------------------------------
+@operator(
+    "file_landing_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1 ORDER BY event_type
+    """,
+)
+def file_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Land the events stream to parquet through the checkpointed
+    streaming file sink (exactly-once micro-batches), then aggregate
+    the LANDED files with a batch scan. Lost or duplicated
+    micro-batches would shift cnt/total against the oracle."""
+    from bigdataentrytask_spark.streaming.replay import events_file_stream
+
+    events = events_file_stream(spark, sf_dir)
+    land = tempfile.mkdtemp(prefix="landed_events_")
+    q = land_stream_to_parquet(
+        events.select("event_id", "ts", "user_id", "event_type", "value"),
+        land,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("landing replay did not finish")
+    back = read_landed(spark, land)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

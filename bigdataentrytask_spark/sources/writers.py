@@ -45,19 +45,24 @@ def write_bucketed(
     bucket_col: str,
     num_buckets: int = 2,
     fmt: str = "orc",
+    path: str | None = None,
 ) -> None:
-    """Bucketed + sorted managed table — the native analog of the
-    reference's `CLUSTERED BY (order_id) INTO 2 BUCKETS` ORC table
+    """Bucketed + sorted table — the native analog of the reference's
+    `CLUSTERED BY (order_id) INTO 2 BUCKETS` ORC table
     (/root/reference/doc/temp.md:648). Joins/aggregations keyed on
     `bucket_col` between tables bucketed the same way plan with zero
-    exchanges."""
-    (
+    exchanges. With `path` the table is EXTERNAL (data at the given
+    location, metadata in the session catalog) — use this from
+    sessions whose warehouse dir must stay untouched."""
+    w = (
         df.write.mode("overwrite")
         .format(fmt)
         .bucketBy(num_buckets, bucket_col)
         .sortBy(bucket_col)
-        .saveAsTable(table)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 def land_stream_to_parquet(
