@@ -34,6 +34,7 @@ def load_all() -> None:
     """Import every operator module so REGISTRY is fully populated."""
     from bigdataentrytask_spark.operators import (  # noqa: F401
         analytics,
+        curation,
         dedup,
         jdbc_bridge,
         multimodal,

@@ -1,0 +1,181 @@
+"""Corpus-curation operators: the decision layer of a training-data
+pipeline — model-based quality filtering and deterministic sharding.
+
+Not in the reference (its batch surface is single-table GROUP BY,
+/root/reference/doc/temp.md:509-530); mandated by the north-star
+LLM-pipeline scope (SURVEY.md §2.8).
+
+* quality_classifier_score — a fastText-style LINEAR classifier
+  applied at corpus scale: hashed unigram features, a broadcast
+  weight table, one per-doc aggregate, a sigmoid. The weights here
+  are a deterministic synthetic table (the fixture has no trained
+  model); swapping in real learned weights changes ONE DataFrame,
+  not the plan. This is the plan shape of every "educational value" /
+  "quality" model pass over a 100 TB corpus.
+* shard_manifest — deterministic hash-sharding of the corpus with a
+  per-shard manifest (doc counts, token totals, id ranges): the
+  write-side contract of a training run (shards must be stable across
+  re-runs, balanced, and auditable).
+
+Scale posture: the classifier is explode → broadcast join (weights:
+D rows, KBs) → one partial-agg shuffle on doc_id. Weight sums are
+INTEGER, so per-doc totals are exact under any accumulation order —
+the sigmoid is computed once per doc from exact integers (no
+float-order drift between engines, and no nondeterminism between
+cluster runs). The manifest is one grouped agg over integer columns;
+shard count is a constant, so the final shuffle has bounded keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataentrytask_spark.catalog import load_table
+from bigdataentrytask_spark.functions.text import (
+    sql_token_hash,
+    sql_tokens,
+    token_hash,
+    tokens,
+)
+from bigdataentrytask_spark.operators import operator
+from bigdataentrytask_spark.session import ensure_session_confs
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# Model-based quality filter (fastText-linear shape).
+# --------------------------------------------------------------------------
+_QC_DIM = 1024          # feature buckets
+_QC_MULT = 2654435761   # Knuth multiplicative constant (weight synth)
+_QC_MOD = 10007         # prime; weight_int in [-5003, 5003]
+_QC_BIAS = 0.0
+_QC_GAIN = 8.0
+
+
+@operator(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             ({sql_token_hash('tok')} % {_QC_DIM}) AS bucket
+      FROM (SELECT doc_id, UNNEST({sql_tokens('text')}) AS tok
+            FROM documents)
+    ),
+    weights AS (
+      SELECT range AS bucket,
+             (range * {_QC_MULT}) % {_QC_MOD} - {(_QC_MOD - 1) // 2} AS w_int
+      FROM range({_QC_DIM})
+    ),
+    per_doc AS (
+      SELECT f.doc_id,
+             COUNT(*)       AS n_tokens,
+             SUM(w.w_int)   AS w_sum
+      FROM feats f JOIN weights w ON w.bucket = f.bucket
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(1.0 / (1.0 + exp(-({_QC_BIAS} + {_QC_GAIN} * w_sum
+                 / (n_tokens * {(_QC_MOD - 1) / 2})))), 6) AS score,
+           (ROUND(1.0 / (1.0 + exp(-({_QC_BIAS} + {_QC_GAIN} * w_sum
+                 / (n_tokens * {(_QC_MOD - 1) / 2})))), 6) > 0.5) AS keep
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality model over hashed unigrams. Per-doc weight sums
+    are INTEGERS (exact under any accumulation order); the sigmoid is
+    evaluated once per doc — so the score is bit-stable across runs,
+    partitionings, and engines. The weight table is broadcast (D=1024
+    rows; a real fastText bucket table at 2M rows is still ~MBs)."""
+    feats = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(tokens("text")).alias("tok"),
+    ).select("doc_id", (token_hash("tok") % _QC_DIM).alias("bucket"))
+    half = (_QC_MOD - 1) // 2
+    weights = spark.range(_QC_DIM).select(
+        F.col("id").alias("w_bucket"),
+        ((F.col("id") * _QC_MULT) % _QC_MOD - half).alias("w_int"),
+    )
+    per_doc = (
+        feats.join(F.broadcast(weights), F.col("bucket") == F.col("w_bucket"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_int").alias("w_sum"),
+        )
+    )
+    score = F.round(
+        1.0
+        / (
+            1.0
+            + F.exp(
+                -(
+                    _QC_BIAS
+                    + _QC_GAIN
+                    * F.col("w_sum")
+                    / (F.col("n_tokens") * float(half))
+                )
+            )
+        ),
+        6,
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_tokens",
+            score.alias("score"),
+            (score > 0.5).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic corpus sharding + manifest.
+# --------------------------------------------------------------------------
+_N_SHARDS = 16
+
+
+@operator(
+    "shard_manifest",
+    oracle=f"""
+    SELECT ({sql_token_hash("doc_id::VARCHAR")} % {_N_SHARDS}) AS shard,
+           COUNT(*)                              AS n_docs,
+           SUM(len({sql_tokens('text')}))        AS total_tokens,
+           SUM(n_chars)                          AS total_chars,
+           MIN(doc_id)                           AS min_doc,
+           MAX(doc_id)                           AS max_doc
+    FROM documents
+    GROUP BY 1 ORDER BY shard
+    """,
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-shard the corpus (shard = md5(doc_id) mod N — stable
+    across runs and engines, unlike any partition-index scheme) and
+    emit the per-shard manifest a training job audits before reading:
+    doc counts, token totals, id ranges. All-integer aggregates.
+    The real write is `df.repartition(N_SHARDS, shard).write...`;
+    the manifest is the differential-checkable contract of it."""
+    d = _docs(spark, sf_dir).select(
+        (token_hash(F.col("doc_id").cast("string")) % _N_SHARDS).alias("shard"),
+        "doc_id",
+        F.size(tokens("text")).alias("n_tokens"),
+        "n_chars",
+    )
+    return (
+        d.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )

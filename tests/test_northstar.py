@@ -34,6 +34,8 @@ ORACLE_BACKED = [
     "knn_lsh",
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
+    "quality_classifier_score",
+    "shard_manifest",
 ]
 
 
@@ -172,3 +174,34 @@ def test_latest_event_compaction_is_partial_aggregate(spark):
         .select("user_id", "ts", "event_id", "event_type", "value", "props")
     )
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, twin.collect()))
+
+
+def test_shard_manifest_stable_and_covering(spark):
+    """Sharding is a deterministic function of doc_id: two runs agree
+    exactly, every doc lands in exactly one shard, and the md5-based
+    assignment balances within 3x of the ideal share."""
+    m1 = {r.shard: r for r in REGISTRY["shard_manifest"](spark, SF_DIR).collect()}
+    m2 = {r.shard: r for r in REGISTRY["shard_manifest"](spark, SF_DIR).collect()}
+    assert {s: (r.n_docs, r.total_tokens) for s, r in m1.items()} == {
+        s: (r.n_docs, r.total_tokens) for s, r in m2.items()
+    }
+    total = sum(r.n_docs for r in m1.values())
+    from bigdataentrytask_spark.catalog import load_table
+
+    assert total == load_table(spark, SF_DIR, "documents").count()
+    ideal = total / len(m1)
+    assert all(r.n_docs < 3 * ideal for r in m1.values())
+
+
+def test_quality_classifier_score_is_calibrated_sigmoid(spark):
+    """Scores live in (0,1); keep == (score > 0.5) row-wise; the
+    synthetic weights are centered so the corpus is not degenerate
+    (both classes present)."""
+    rows = REGISTRY["quality_classifier_score"](spark, SF_DIR).collect()
+    assert rows
+    kept = 0
+    for r in rows:
+        assert 0.0 < r.score < 1.0
+        assert r.keep == (r.score > 0.5)
+        kept += int(r.keep)
+    assert 0 < kept < len(rows)
