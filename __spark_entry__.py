@@ -88,14 +88,17 @@ _PRIORITY = [
     "file_landing_roundtrip",
     # (d) round-3 addition from the image-header-decode commit
     "multimodal_image_probe",
+    # (d) S1/S2 generator contract — rows-only (xxhash64 has no DuckDB
+    # twin; the result row carries the contract booleans)
+    "mock_orders_profile",
+    # (d) corpus-curation decision layer (round-3 additions)
+    "quality_classifier_score",
+    "shard_manifest",
     # (c) rotation — green in r1, never re-checked since (the rest of
     # the r1 pool waits for r4: never-checked > stale-green)
     "jaccard_pairs",
     "simhash_pairs",
     "knn_bruteforce",
-    "multimodal_decode",
-    "topk_orders_per_segment",
-    "sql_correlated_subquery",
     "asof_purchase_attribution",
 ]
 
@@ -114,6 +117,7 @@ _RECENT_GREEN = frozenset({
     "q4_channel_payment", "b1_hourly_uv_distinct", "knn_ivf_label",
     "regional_revenue", "priority_revenue", "pricing_summary",
     "embedding_norms", "multimodal_resize_plan", "latest_event_per_user",
+    "multimodal_decode", "topk_orders_per_segment", "sql_correlated_subquery",
     "approx_distinct_users", "b1_hourly_uv", "b2_trailing_window",
     "chunk_dedup_corpus", "cohort_retention", "cube_status_priority",
     "customers_with_orders", "customers_without_urgent_orders",

@@ -197,3 +197,56 @@ def file_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# S1/S2: the mock-order generator, profiled. xxhash64 has no DuckDB
+# twin, so this is a registered rows-only check (the documented weaker
+# tier): the output row carries the generator's CONTRACT as booleans —
+# deterministic (two runs identical), distribution bounds honored,
+# id-space fully covered — plus the concrete stats for the record.
+# --------------------------------------------------------------------------
+_GEN_ROWS = 20_000
+
+
+@operator("mock_orders_profile")
+def mock_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile a 20k-row deterministic generation (S1/S2): every bound
+    of the reference generator's distributions
+    (/root/reference/code/project/entryTask/src/main/entryTask/
+    __init__.py:15-21) is checked inside the result row, and a second
+    generation at a different partition count must agree exactly
+    (partition-invariance — the property a driver-side loop generator
+    fundamentally lacks)."""
+    from bigdataentrytask_spark.sources.generator import mock_orders
+
+    ensure_session_confs(spark)
+    a = mock_orders(spark, _GEN_ROWS, num_partitions=8)
+    b = mock_orders(spark, _GEN_ROWS, num_partitions=3)
+    same = a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    stats = a.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("amount").alias("min_amount"),
+        F.max("amount").alias("max_amount"),
+        F.min("channel_id").alias("min_channel"),
+        F.max("channel_id").alias("max_channel"),
+        F.min("order_time").alias("t0"),
+        F.max("order_time").alias("t1"),
+        F.count_distinct("order_id").alias("n_order_ids"),
+    )
+    return stats.select(
+        "n_rows",
+        "n_users",
+        (F.col("n_rows") == _GEN_ROWS).alias("rowcount_ok"),
+        ((F.col("min_amount") >= 1) & (F.col("max_amount") <= 10000)).alias(
+            "amount_in_range"
+        ),
+        ((F.col("min_channel") >= 0) & (F.col("max_channel") <= 200)).alias(
+            "channel_in_range"
+        ),
+        (F.col("n_users") <= 5000).alias("users_in_range"),
+        (F.col("t1") > F.col("t0")).alias("time_monotone_span"),
+        (F.col("n_order_ids") == F.col("n_rows")).alias("order_ids_unique"),
+        F.lit(same).alias("partition_invariant"),
+    )

@@ -260,3 +260,16 @@ def test_bucketed_orc_join_plans_without_join_shuffle(spark):
     assert "bucket" in plan.lower() or not re.search(
         r"Exchange hashpartitioning\((?:o|l)_orderkey", below
     )
+
+
+def test_mock_orders_profile_contract_booleans_all_true(spark):
+    """The rows-only generator entry must assert its own contract:
+    every boolean column in the single result row is True."""
+    from bigdataentrytask_spark.operators import REGISTRY
+    from tests.conftest import SF_DIR
+
+    [row] = REGISTRY["mock_orders_profile"](spark, SF_DIR).collect()
+    flags = {
+        k: v for k, v in row.asDict().items() if isinstance(v, bool)
+    }
+    assert flags and all(flags.values()), flags
