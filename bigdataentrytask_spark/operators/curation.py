@@ -179,3 +179,82 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus heavy hitters: two-pass bounded-memory hot-key detection.
+# --------------------------------------------------------------------------
+_HH_CAPACITY = 199      # Misra-Gries counters per Arrow batch
+_HH_DENOM = _HH_CAPACITY + 1
+
+
+@operator(
+    "heavy_hitter_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT UNNEST({sql_tokens('text')}) AS tok FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS total FROM toks)
+    SELECT tok, COUNT(*) AS cnt,
+           ROUND(COUNT(*) / (SELECT CAST(total AS DOUBLE) FROM n), 6)
+               AS share
+    FROM toks
+    GROUP BY tok
+    HAVING COUNT(*) * {_HH_DENOM} > (SELECT total FROM n)
+    ORDER BY cnt DESC, tok
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens with frequency > N/{denom}: pass 1 runs a Misra-Gries
+    summary (capacity {cap}) inside each Arrow batch — bounded memory,
+    NO shuffle of the full token domain — whose survivors are a
+    guaranteed superset of every global heavy hitter (pigeonhole: an
+    item with global share > 1/{denom} exceeds the local threshold in
+    at least one batch). Pass 2 exact-counts ONLY the candidate set
+    (broadcast semi join, candidate cardinality <= batches x {cap}) so
+    the emitted counts are exact and independent of partitioning —
+    which is what makes the DuckDB oracle a plain HAVING. At 100 TB
+    the full-domain groupBy this replaces is the single most skewed
+    shuffle in corpus statistics; here only candidates shuffle.
+
+    The integer guard `cnt * {denom} > total` avoids any float
+    threshold compare.""".format(denom=_HH_DENOM, cap=_HH_CAPACITY)
+    import pandas as pd  # noqa: F401 (kernel-side import below)
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokens("text")).alias("tok")
+    )
+
+    def mg_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            counters: dict[str, int] = {}
+            for tok in pdf["tok"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < _HH_CAPACITY:
+                    counters[tok] = 1
+                else:
+                    dead = [t for t in counters if counters[t] == 1]
+                    for t in counters:
+                        counters[t] -= 1
+                    for t in dead:
+                        del counters[t]
+            if counters:
+                yield pd.DataFrame({"tok": list(counters)})
+
+    candidates = toks.mapInPandas(mg_kernel, schema="tok string").distinct()
+    total = toks.count()
+    return (
+        toks.join(F.broadcast(candidates), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * _HH_DENOM > F.lit(total))
+        .select(
+            "tok",
+            "cnt",
+            F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), "tok")
+    )

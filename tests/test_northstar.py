@@ -205,3 +205,35 @@ def test_quality_classifier_score_is_calibrated_sigmoid(spark):
         assert r.keep == (r.score > 0.5)
         kept += int(r.keep)
     assert 0 < kept < len(rows)
+
+
+def test_heavy_hitters_partition_invariant_and_thresholded(spark, duck):
+    """The two-pass sketch must emit EXACT counts independent of data
+    layout: the same result at 1 partition and at 64 tiny partitions
+    (the MG candidate stage sees very different batch boundaries), and
+    every emitted token clears the integer threshold."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    base = REGISTRY["heavy_hitter_tokens"](spark, SF_DIR).collect()
+    assert base
+    total = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.explode(F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+        )).alias("t"))
+        .count()
+    )
+    for r in base:
+        assert r.cnt * 200 > total
+
+    tmp = tempfile.mkdtemp(prefix="hh_repart_")
+    load_table(spark, SF_DIR, "documents").repartition(64).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/documents.parquet")
+    again = REGISTRY["heavy_hitter_tokens"](spark, tmp).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, again))
