@@ -48,6 +48,18 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_event_time(raw).withWatermark("ts", WATERMARK)
 
 
+def parse_kafka_events(raw: DataFrame) -> DataFrame:
+    """The Kafka record -> typed events parse stage, shared by the
+    live stream below and the batch equivalence test (no broker in
+    this environment, so the PARSE semantics are proven on a batch
+    frame with the identical (key, value) binary shape —
+    tests/test_streaming.py::test_kafka_parse_stage_equivalence)."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), SCHEMAS["events"]).alias("e")
+    ).select("e.*")
+    return with_event_time(parsed)
+
+
 def events_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -67,7 +79,4 @@ def events_kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), SCHEMAS["events"]).alias("e")
-    ).select("e.*")
-    return with_event_time(parsed).withWatermark("ts", WATERMARK)
+    return parse_kafka_events(raw).withWatermark("ts", WATERMARK)

@@ -176,3 +176,38 @@ def test_stream_signup_attribution_oracle(spark, duck):
     assert_matches_oracle(
         df, duck, ORACLES["stream_signup_attribution"], "stream_signup_attr"
     )
+
+
+def test_kafka_parse_stage_equivalence(spark):
+    """No broker exists in this environment, so the Kafka path's PARSE
+    stage is proven on a batch frame with the exact Kafka record shape
+    (key/value binary): serializing the canonical events to JSON wire
+    values and running `parse_kafka_events` must reproduce every
+    canonical column — event ids, nano timestamps, doubles, and the
+    nested props JSON string — bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+    from bigdataentrytask_spark.streaming.replay import parse_kafka_events
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props",
+            "ts_nanos", "order_time"]
+    wire = ev.select(
+        F.col("event_id").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct(
+                "event_id",
+                F.col("ts_nanos").alias("ts"),  # epoch-nanos on the wire
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+        ).cast("binary").alias("value"),
+    )
+    parsed = parse_kafka_events(wire).select(*cols)
+    expected = ev.select(*cols)
+    assert parsed.exceptAll(expected).count() == 0
+    assert expected.exceptAll(parsed).count() == 0
