@@ -226,6 +226,9 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mg_kernel(batches):
+        """Per batch: surviving MG counters (batch_n = 0) plus one
+        tally row (tok = NULL, batch_n = rows seen) — the tally rows
+        give the exact global N without a separate corpus scan."""
         import pandas as pd
 
         for pdf in batches:
@@ -241,11 +244,23 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                         counters[t] -= 1
                     for t in dead:
                         del counters[t]
-            if counters:
-                yield pd.DataFrame({"tok": list(counters)})
+            yield pd.DataFrame(
+                {
+                    "tok": list(counters) + [None],
+                    "batch_n": [0] * len(counters) + [len(pdf)],
+                }
+            )
 
-    candidates = toks.mapInPandas(mg_kernel, schema="tok string").distinct()
-    total = toks.count()
+    summaries = toks.mapInPandas(
+        mg_kernel, schema="tok string, batch_n long"
+    ).cache()
+    # summaries ≈ batches x capacity rows (tiny); one pass over it
+    # yields both the exact corpus N and the candidate set — the
+    # corpus itself is scanned exactly TWICE (sketch pass, count pass)
+    total = summaries.agg(F.sum("batch_n")).collect()[0][0]
+    candidates = summaries.filter(F.col("tok").isNotNull()).select(
+        "tok"
+    ).distinct()
     return (
         toks.join(F.broadcast(candidates), "tok", "left_semi")
         .groupBy("tok")
