@@ -227,3 +227,35 @@ def test_q20_threshold_yields_signal(spark):
     oracle comparison vacuous)."""
     rows = REGISTRY["q20_heavy_suppliers"](spark, SF_DIR).collect()
     assert 0 < len(rows) < 40
+
+
+def test_q6_whole_predicate_reaches_parquet_scan(spark):
+    """The Q6 litmus: all three range predicates must be pushed to the
+    lineitem scan (PushedFilters on shipdate, discount, quantity) and
+    the plan must contain no join."""
+    df = REGISTRY["q6_forecast_revenue"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in plan.split("PushedFilters", 1)[1][:400], col
+    assert "Join" not in plan
+
+
+def test_q21_aggregates_before_windowing(spark):
+    """The q21 rewrite's contract: lineitem is reduced to one row per
+    (order, supplier) BEFORE the per-order window — the plan must show
+    a partial aggregate upstream of the Window operator and no
+    self-join of lineitem."""
+    df = REGISTRY["q21_waiting_suppliers"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # the only tables scanned are lineitem/orders/supplier — lineitem
+    # is never self-joined (the AQE dump repeats scans per stage, so
+    # count distinct relations, not occurrences)
+    import re
+
+    rels = set(re.findall(r"FileScan parquet \[[^\]]*\]", plan))
+    assert len(rels) <= 3, rels
+    assert "partial_sum" in plan  # pre-aggregation feeds the window
