@@ -211,3 +211,34 @@ def test_kafka_parse_stage_equivalence(spark):
     expected = ev.select(*cols)
     assert parsed.exceptAll(expected).count() == 0
     assert expected.exceptAll(parsed).count() == 0
+
+
+def test_kafka_parse_stage_tolerates_malformed_records(spark):
+    """A poisoned record on the wire (broken JSON / wrong shape) must
+    not fail the stream: from_json is PERMISSIVE, yielding NULL fields
+    the pipeline can quarantine — while valid records still parse."""
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.streaming.replay import parse_kafka_events
+
+    good = (
+        '{"event_id": 7, "ts": 1704067200000000000, "user_id": 42,'
+        ' "event_type": "purchase", "value": 9.5, "props": "{}"}'
+    )
+    rows = [
+        (good,),
+        ("this is not json",),
+        ('{"event_id": "not-a-number"}',),
+        (None,),
+    ]
+    wire = spark.createDataFrame(rows, "value string").select(
+        F.col("value").cast("binary").alias("value")
+    )
+    parsed = parse_kafka_events(wire).collect()
+    assert len(parsed) == len(rows)
+    ok = [r for r in parsed if r.event_id == 7]
+    assert len(ok) == 1 and ok[0].user_id == 42 and ok[0].value == 9.5
+    bad = [r for r in parsed if r.event_id is None]
+    assert len(bad) == 3
+    for r in bad:
+        assert r.user_id is None
