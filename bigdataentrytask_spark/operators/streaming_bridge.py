@@ -138,11 +138,13 @@ def stream_ohlc_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.run_ohlc_minute_replay(spark, sf_dir)
 
 
-# Streaming exactly-once dedup: dropDuplicates on the event key with
-# watermark-bounded state. The fixture's event_ids are unique with
-# deterministic payloads, so replay output must equal the batch
-# projection exactly; the operator's value is the executed streaming
-# machinery (keyed dedup state + ageout past the watermark).
+# Streaming exactly-once dedup: dropDuplicatesWithinWatermark on the
+# event key — id-only dedup semantics WITH state ageout (plain
+# dropDuplicates only evicts when the event-time column is inside the
+# key subset). The fixture's event_ids are unique with deterministic
+# payloads, so replay output must equal the batch projection exactly;
+# the operator's value is the executed streaming machinery (keyed
+# dedup state + ageout past the watermark).
 @operator(
     "stream_dedup_exactly_once",
     oracle="""

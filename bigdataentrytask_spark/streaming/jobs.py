@@ -265,14 +265,20 @@ def run_stream_stream_attribution_replay(
 
 
 def run_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exactly-once dedup: `dropDuplicates` on the event key
-    with watermark-bounded state (duplicate arrivals beyond the
-    watermark age out of state — the scale contract for unbounded
-    streams). Replay output must equal batch DISTINCT."""
+    """Streaming exactly-once dedup with BOUNDED state:
+    `dropDuplicatesWithinWatermark` on the event key. Plain
+    `dropDuplicates(["event_id"])` would never evict — state cleanup
+    there requires the event-time column INSIDE the key subset, which
+    changes the semantics (same id at two timestamps ≠ duplicate).
+    WithinWatermark keeps the id-only semantics and ages each key out
+    once the watermark passes its first sighting — the scale contract
+    for unbounded streams (dupes in real pipelines arrive within
+    retry/redelivery windows, i.e. within the watermark delay).
+    Replay output must equal batch DISTINCT."""
     import uuid
 
     events = events_file_stream(spark, sf_dir)
-    deduped = events.dropDuplicates(["event_id"]).select(
+    deduped = events.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_id", "user_id", "value"
     )
     name = f"dedup_replay_{uuid.uuid4().hex[:8]}"
