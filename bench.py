@@ -68,6 +68,9 @@ HEADLINE = [
     # the window-computed EXISTS/NOT-EXISTS pair
     "q13_customer_distribution",
     "q21_waiting_suppliers",
+    # round-3 additions: corpus-curation decision layer
+    "quality_classifier_score",
+    "heavy_hitter_tokens",
 ]
 
 
