@@ -246,3 +246,46 @@ def stream_signup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_stream_attribution_replay(spark, sf_dir).orderBy(
         "user_id", "signup_id", "purchase_id"
     )
+
+
+# Native session windows (F.session_window): variable-length per-user
+# windows, end = last event + gap, merged as half-open intervals (an
+# event at exactly last_ts + gap opens a NEW session — the oracle's
+# island marker uses >= to match). Append mode withholds sessions the
+# watermark has not closed; the oracle applies the same cutoff to
+# MAX(ts) + gap. This is the built-in sessionizer; the
+# applyInPandasWithState entry (stream_sessionize_stateful) remains
+# the custom-kernel twin with its richer emission contract.
+@operator(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S')  AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S')           AS session_end,
+           COUNT(*)                                AS n_events,
+           ROUND(SUM(value), 2)                    AS session_value
+    FROM sess
+    GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL 30 MINUTE
+           <= (SELECT MAX(ts) FROM events) - INTERVAL 5 SECOND
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.run_session_window_replay(spark, sf_dir)

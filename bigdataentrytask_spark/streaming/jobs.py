@@ -378,3 +378,51 @@ def run_stream_static_enrichment_replay(
     return spark.createDataFrame(
         rows, "channel string, weighted_revenue double, cnt long"
     ).orderBy("channel")
+
+
+def session_window_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (F.session_window): per-user variable-
+    length windows that extend while events arrive within `gap` of the
+    last one; window end = last event + gap. This is the BUILT-IN
+    session operator — the applyInPandasWithState sessionizer
+    (streaming/stateful.py) remains the custom-kernel demonstration;
+    production sessionization should prefer this form (JVM state
+    store, no Python boundary). Spark merges half-open intervals, so
+    an event at exactly last_ts + gap starts a NEW session — the
+    oracle's island condition uses >= to match."""
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", gap).alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the native-session-window agg; append mode emits only
+    sessions whose end (last event + gap) the 5s watermark passed."""
+    events = events_file_stream(spark, sf_dir)
+    name = f"sesswin_replay_{uuid.uuid4().hex[:8]}"
+    q = (
+        session_window_stats(events)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_sesswin_"))
+        .start()
+    )
+    _run(q)
+    return spark.table(name).orderBy("user_id", "session_start")

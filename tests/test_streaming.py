@@ -242,3 +242,13 @@ def test_kafka_parse_stage_tolerates_malformed_records(spark):
     assert len(bad) == 3
     for r in bad:
         assert r.user_id is None
+
+
+def test_stream_session_window_oracle(spark, duck):
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    df = REGISTRY["stream_session_window"](spark, SF_DIR)
+    assert_matches_oracle(
+        df, duck, ORACLES["stream_session_window"], "stream_session_window"
+    )
