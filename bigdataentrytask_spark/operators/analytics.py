@@ -305,3 +305,119 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "minute")
     )
+
+
+# --------------------------------------------------------------------------
+# Robust rate anomaly: median/MAD variant of events_rate_anomaly.
+# z-scores break when the baseline itself is contaminated by outliers;
+# (hour grain: the fixture's per-minute counts are 1-3, where MAD is 0)
+# median absolute deviation is the standard robust alternative. Counts
+# are integers, so medians/MADs are exact multiples of 0.5 (bit-exact
+# across engines) and every comparison below is float-exact.
+# Two grouped medians + broadcast-sized joins on event_type — the
+# heavy reduction (events -> per-minute counts) happens map-side first.
+# --------------------------------------------------------------------------
+_MAD_K = 3.0
+
+
+@operator(
+    "events_mad_anomaly",
+    oracle=f"""
+    WITH per_min AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, median(cnt) AS med FROM per_min GROUP BY 1
+    ),
+    dev AS (
+      SELECT p.event_type, p.hour, p.cnt, m.med,
+             ABS(p.cnt - m.med) AS dev
+      FROM per_min p JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median(dev) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, d.hour, d.cnt,
+           ROUND(d.med, 1) AS med,
+           ROUND(m.mad, 1) AS mad,
+           ROUND(d.dev / m.mad, 4) AS score
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad > 0 AND d.dev > {_MAD_K} * m.mad
+    ORDER BY event_type, hour
+    """,
+)
+def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_min = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    med = per_min.groupBy("event_type").agg(F.median("cnt").alias("med"))
+    dev = per_min.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("cnt") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("dev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.col("dev") > _MAD_K * F.col("mad")))
+        .select(
+            "event_type",
+            "hour",
+            "cnt",
+            F.round("med", 1).alias("med"),
+            F.round("mad", 1).alias("mad"),
+            F.round(F.col("dev") / F.col("mad"), 4).alias("score"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth decile binning: NTILE over a deterministic total order.
+# Scale posture: exact NTILE is a single-partition global window — this
+# entry is the SEMANTICS oracle (and fine for result-table-sized
+# inputs); at fact scale the production pattern is approx_percentile
+# cutpoints + range assignment (`segment_percentiles_approx` is the
+# registered sketch twin).
+# --------------------------------------------------------------------------
+_QB_BINS = 10
+
+
+@operator(
+    "order_price_quantile_bins",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             NTILE({_QB_BINS}) OVER (ORDER BY o_totalprice, o_orderkey)
+                 AS decile
+      FROM orders
+    )
+    SELECT decile,
+           COUNT(*)                   AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM ranked GROUP BY decile ORDER BY decile
+    """,
+)
+def order_price_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("decile", F.ntile(_QB_BINS).over(w))
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("decile")
+    )

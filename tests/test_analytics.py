@@ -52,3 +52,27 @@ def test_quantize_peak_is_127(spark):
     """Symmetric int8: the max-|component| element quantizes to ±127."""
     rows = REGISTRY["embedding_quantize"](spark, SF_DIR).collect()
     assert rows and all(r.q_peak == 127 for r in rows)
+
+
+def test_mad_anomaly_and_quantile_bins_match_oracle(spark, duck):
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    for name in ("events_mad_anomaly", "order_price_quantile_bins"):
+        assert_matches_oracle(
+            REGISTRY[name](spark, SF_DIR), duck, ORACLES[name], name
+        )
+
+
+def test_quantile_bins_are_equi_depth(spark):
+    """Decile populations differ by at most 1 (NTILE contract) and the
+    bins are ordered, non-overlapping price ranges."""
+    from bigdataentrytask_spark.operators import REGISTRY
+    from tests.conftest import SF_DIR
+
+    rows = REGISTRY["order_price_quantile_bins"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    sizes = {r.n for r in rows}
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
