@@ -970,3 +970,57 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Entity-resolution blocking: edit-distance-1 name pairs via the
+# deletion neighborhood. Every string keys itself plus each
+# single-character deletion; two strings at edit distance 1 are
+# GUARANTEED to share a key (substitution at i -> same deletion at i;
+# insertion -> the shorter string IS a deletion of the longer), so the
+# O(V^2) all-pairs comparison becomes key-equal joins over tiny blocks
+# (O(V * L) keys). The oracle deliberately runs the brute-force
+# quadratic levenshtein join — a fully independent algorithm — so a
+# missed candidate or a false pair both surface as mismatches.
+# Scale: V = distinct entity names (<< rows); block skew is bounded by
+# the deletion-key fan-in (names sharing a key differ in ONE position,
+# so a block is at most alphabet-size deep per position).
+# --------------------------------------------------------------------------
+@operator(
+    "name_typo_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT c_name FROM customer)
+    SELECT a.c_name AS name_a, b.c_name AS name_b
+    FROM names a JOIN names b
+      ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) = 1
+    ORDER BY name_a, name_b
+    """,
+)
+def name_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    names = (
+        load_table(spark, sf_dir, "customer").select("c_name").distinct()
+    )
+    keyed = names.select(
+        "c_name",
+        F.explode(
+            F.concat(
+                F.array(F.col("c_name")),
+                F.expr(
+                    "transform(sequence(0, length(c_name) - 1),"
+                    " i -> concat(substring(c_name, 1, i),"
+                    "             substring(c_name, i + 2, length(c_name))))"
+                ),
+            )
+        ).alias("k"),
+    )
+    a = keyed.select(F.col("k"), F.col("c_name").alias("name_a"))
+    b = keyed.select(F.col("k"), F.col("c_name").alias("name_b"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()  # a pair may share several keys; output-sized dedup
+        .filter(F.levenshtein("name_a", "name_b") == 1)
+        .orderBy("name_a", "name_b")
+    )

@@ -237,3 +237,15 @@ def test_heavy_hitters_partition_invariant_and_thresholded(spark, duck):
     ).parquet(f"{tmp}/documents.parquet")
     again = REGISTRY["heavy_hitter_tokens"](spark, tmp).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, again))
+
+
+def test_name_typo_pairs_blocking_is_complete(spark, duck):
+    """The deletion-neighborhood candidates must reproduce the
+    brute-force levenshtein==1 join exactly (oracle), and spot-check:
+    a known adjacent-id pair is present."""
+    from tests.conftest import assert_matches_oracle
+
+    df = REGISTRY["name_typo_pairs"](spark, SF_DIR)
+    assert_matches_oracle(df, duck, ORACLES["name_typo_pairs"], "name_typo_pairs")
+    pairs = {(r.name_a, r.name_b) for r in df.limit(100000).collect()}
+    assert ("Customer#000000000", "Customer#000000001") in pairs
