@@ -97,10 +97,9 @@ _PRIORITY = [
     "heavy_hitter_tokens",
     # (d) native session-window streaming agg (round-3 addition)
     "stream_session_window",
-    # (c) rotation — green in r1, never re-checked since (the rest of
-    # the r1 pool waits for r4: never-checked > stale-green)
-    "jaccard_pairs",
-    "simhash_pairs",
+    # (d) late round-3 additions: new operator families
+    "name_typo_pairs",
+    "segment_price_trend",
 ]
 
 
@@ -120,6 +119,7 @@ _RECENT_GREEN = frozenset({
     "embedding_norms", "multimodal_resize_plan", "latest_event_per_user",
     "multimodal_decode", "topk_orders_per_segment", "sql_correlated_subquery",
     "knn_bruteforce",
+    "jaccard_pairs", "simhash_pairs",
     "asof_purchase_attribution",
     "approx_distinct_users", "b1_hourly_uv", "b2_trailing_window",
     "chunk_dedup_corpus", "cohort_retention", "cube_status_priority",
