@@ -354,3 +354,117 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h * scale).cast("long").alias("out_h"),
         (F.greatest(w, h) > TARGET_PX).alias("needs_resize"),
     )
+
+
+# --------------------------------------------------------------------------
+# Audio header decode (WAV/RIFF), same contract as the image probe:
+# synthesize a VALID canonical 44-byte PCM WAV header per document
+# column-side (little-endian fields built by byte-swapping hex), parse
+# it back with the real pure-Python RIFF parser inside mapInPandas,
+# and let the oracle recompute every field (including duration) from
+# the text with integer math. Swapping in a real sample decoder
+# changes only the function body — batch shape and schema hold.
+# --------------------------------------------------------------------------
+def parse_wav_header(payload: bytes) -> dict | None:
+    """Canonical PCM WAV header parse: RIFF/WAVE + fmt(16) + data.
+    Returns {format, channels, sample_rate, bits, n_samples,
+    duration_ms} or None. Header-only, O(44 bytes), no libraries.
+    duration_ms uses integer floor division — deterministic."""
+    if len(payload) < 44 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    if payload[12:16] != b"fmt " or payload[36:40] != b"data":
+        return None
+    le = lambda b: int.from_bytes(b, "little")  # noqa: E731
+    audio_format = le(payload[20:22])
+    if audio_format != 1:  # PCM only in this probe
+        return None
+    channels = le(payload[22:24])
+    sample_rate = le(payload[24:28])
+    bits = le(payload[34:36])
+    data_size = le(payload[40:44])
+    block = channels * (bits // 8)
+    if block == 0 or sample_rate == 0:
+        return None
+    n_samples = data_size // block
+    return {
+        "format": "wav",
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "bits": bits,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // sample_rate,
+    }
+
+
+def _le_hex(col, n_bytes: int):
+    """Hex string of `col` as an n-byte LITTLE-endian integer."""
+    be = F.lpad(F.hex(col.cast("bigint")), n_bytes * 2, "0")
+    pairs = [
+        F.substring(be, i * 2 + 1, 2) for i in reversed(range(n_bytes))
+    ]
+    return F.concat(*pairs)
+
+
+def _wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        metas = [parse_wav_header(bytes(b)) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fmt": [m["format"] for m in metas],
+                "channels": [m["channels"] for m in metas],
+                "sample_rate": [m["sample_rate"] for m in metas],
+                "bits": [m["bits"] for m in metas],
+                "n_samples": [m["n_samples"] for m in metas],
+                "duration_ms": [m["duration_ms"] for m in metas],
+            }
+        )
+
+
+@operator(
+    "multimodal_audio_probe",
+    oracle="""
+    SELECT doc_id,
+           'wav' AS fmt,
+           CAST(1 + doc_id % 2 AS BIGINT)                  AS channels,
+           CAST(8000 + 100 * ord(substr(text, 1, 1)) AS BIGINT)
+                                                           AS sample_rate,
+           CAST(16 AS BIGINT)                              AS bits,
+           CAST(100 + n_chars AS BIGINT)                   AS n_samples,
+           CAST((100 + n_chars) * 1000
+                // (8000 + 100 * ord(substr(text, 1, 1))) AS BIGINT)
+                                                           AS duration_ms
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    channels = (1 + F.col("doc_id") % 2).cast("int")
+    rate = (8000 + 100 * F.ascii(F.substring("text", 1, 1))).cast("int")
+    bits = F.lit(16)
+    n_samples = (100 + F.col("n_chars")).cast("int")
+    block = channels * 2
+    data_size = n_samples * block
+    byte_rate = rate * block
+    hex_payload = F.concat(
+        F.lit("52494646"),                 # "RIFF"
+        _le_hex(36 + data_size, 4),        # chunk size
+        F.lit("57415645"),                 # "WAVE"
+        F.lit("666D7420"),                 # "fmt "
+        _le_hex(F.lit(16), 4),             # fmt chunk size
+        _le_hex(F.lit(1), 2),              # PCM
+        _le_hex(channels, 2),
+        _le_hex(rate, 4),
+        _le_hex(byte_rate, 4),
+        _le_hex(block, 2),
+        _le_hex(bits, 2),
+        F.lit("64617461"),                 # "data"
+        _le_hex(data_size, 4),
+    )
+    media = d.select("doc_id", F.unhex(hex_payload).alias("payload"))
+    return media.mapInPandas(
+        _wav_batches,
+        "doc_id long, fmt string, channels long, sample_rate long, "
+        "bits long, n_samples long, duration_ms long",
+    )

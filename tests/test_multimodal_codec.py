@@ -100,3 +100,45 @@ def test_image_probe_differential(spark, duck):
         ORACLES["multimodal_image_probe"],
         "multimodal_image_probe",
     )
+
+
+def test_parse_wav_header_unit():
+    """Round-trip a hand-built canonical PCM WAV header and reject
+    malformed payloads."""
+    import struct
+
+    from bigdataentrytask_spark.operators.multimodal import parse_wav_header
+
+    def wav(channels=2, rate=44100, bits=16, n_samples=1000):
+        block = channels * bits // 8
+        data = n_samples * block
+        return (
+            b"RIFF" + struct.pack("<I", 36 + data) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                    rate * block, block, bits)
+            + b"data" + struct.pack("<I", data)
+        )
+
+    m = parse_wav_header(wav())
+    assert m == {
+        "format": "wav", "channels": 2, "sample_rate": 44100,
+        "bits": 16, "n_samples": 1000,
+        "duration_ms": 1000 * 1000 // 44100,
+    }
+    assert parse_wav_header(b"RIFF1234WAVE") is None       # truncated
+    assert parse_wav_header(b"\x00" * 44) is None          # not RIFF
+    bad_fmt = bytearray(wav())
+    bad_fmt[20] = 3  # IEEE float, not PCM
+    assert parse_wav_header(bytes(bad_fmt)) is None
+
+
+def test_multimodal_audio_probe_oracle(spark, duck):
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    assert_matches_oracle(
+        REGISTRY["multimodal_audio_probe"](spark, SF_DIR),
+        duck,
+        ORACLES["multimodal_audio_probe"],
+        "multimodal_audio_probe",
+    )
