@@ -640,3 +640,87 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation: recency / frequency / monetary quintile
+# scores — the standard CRM segmentation, as two grouped aggs + three
+# NTILE windows over the customer domain. Ties broken by c_custkey so
+# quintile assignment is deterministic; monetary is integer cents.
+# Scale: windows run over CUSTOMERS (already reduced from orders);
+# same bounded-domain ranking class as the quantile-bin op — at fact
+# scale the quintile cutpoints would come from approx_percentile.
+# --------------------------------------------------------------------------
+@operator(
+    "customer_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    rfm AS (
+      SELECT o.o_custkey AS c_custkey,
+             date_diff('day', MAX(o.o_orderdate), (SELECT mx FROM mx))
+                 AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(ROUND(SUM(o.o_totalprice) * 100) AS BIGINT)
+                 AS monetary_cents
+      FROM orders o GROUP BY 1
+    ),
+    scored AS (
+      SELECT c_custkey, recency_days, frequency, monetary_cents,
+             NTILE(5) OVER (ORDER BY recency_days, c_custkey)        AS r5,
+             NTILE(5) OVER (ORDER BY frequency DESC, c_custkey)      AS f5,
+             NTILE(5) OVER (ORDER BY monetary_cents DESC, c_custkey) AS m5
+      FROM rfm
+    )
+    SELECT r5 || f5 || m5 AS segment,
+           COUNT(*)       AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored
+    GROUP BY 1 ORDER BY segment
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("mx"))
+    rfm = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .join(F.broadcast(mx))
+        .select(
+            "c_custkey",
+            F.datediff(F.col("mx"), F.col("last_order")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r5 = F.ntile(5).over(Window.orderBy("recency_days", "c_custkey"))
+    f5 = F.ntile(5).over(
+        Window.orderBy(F.col("frequency").desc(), "c_custkey")
+    )
+    m5 = F.ntile(5).over(
+        Window.orderBy(F.col("monetary_cents").desc(), "c_custkey")
+    )
+    scored = rfm.select(
+        "c_custkey",
+        "monetary_cents",
+        F.concat(
+            r5.cast("string"), f5.cast("string"), m5.cast("string")
+        ).alias("segment"),
+    )
+    return (
+        scored.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").alias("segment_cents"),
+        )
+        .orderBy("segment")
+    )

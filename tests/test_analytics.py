@@ -126,3 +126,21 @@ def test_ewma_tracks_constant_series(spark):
         hi = max(x.cnt for x in rows if x.event_type == r.event_type)
         assert lo - 1e-9 <= r.ewma <= hi + 1e-9
         break  # bounds check once per call is enough; oracle covers values
+
+
+def test_rfm_segments_cover_all_active_customers(spark, duck):
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    df = REGISTRY["customer_rfm_segments"](spark, SF_DIR)
+    assert_matches_oracle(
+        df, duck, ORACLES["customer_rfm_segments"], "customer_rfm_segments"
+    )
+    rows = df.collect()
+    n_active = duck.execute(
+        "SELECT COUNT(DISTINCT o_custkey) FROM orders"
+    ).fetchone()[0]
+    assert sum(r.n_customers for r in rows) == n_active
+    for r in rows:
+        assert len(r.segment) == 3
+        assert all(c in "12345" for c in r.segment)
