@@ -724,3 +724,59 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# Event transition matrix: counts of adjacent (prev_type -> next_type)
+# steps within each user's event sequence, with row-normalized
+# probabilities — the first-order Markov view of user behavior.
+# One lag window over (user, ts, event_id) (deterministic tie-break),
+# one grouped count; probabilities are ratios of exact integers.
+# Scale: the window partitions by user_id (millions of small
+# partitions, no global sort); the matrix itself is |types|^2 rows.
+# --------------------------------------------------------------------------
+@operator(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    steps AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+               AS p
+    FROM steps
+    ORDER BY prev_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts",
+                                            "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_row = Window.partitionBy("prev_type")
+    return (
+        steps.select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(
+                F.col("n") / F.sum("n").over(w_row).cast("double"), 6
+            ).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -144,3 +144,21 @@ def test_rfm_segments_cover_all_active_customers(spark, duck):
     for r in rows:
         assert len(r.segment) == 3
         assert all(c in "12345" for c in r.segment)
+
+
+def test_transition_matrix_rows_are_distributions(spark, duck):
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    df = REGISTRY["event_transition_matrix"](spark, SF_DIR)
+    assert_matches_oracle(
+        df, duck, ORACLES["event_transition_matrix"],
+        "event_transition_matrix",
+    )
+    rows = df.collect()
+    by_prev: dict = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_type, 0.0)
+        by_prev[r.prev_type] += r.p
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-4, (prev, total)
