@@ -51,6 +51,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true) DELIBERATELY:
+        # measured both ways on the sf0.1 headline at local[32] —
+        # false speeds small JVM-only aggregations by ~10-15% (fewer
+        # tiny shuffle partitions) but collapses the partition count
+        # feeding the Arrow kernels, where the work is Python-CPU
+        # bound: minhash_dedup went 3.9s -> 10.7s and the total
+        # regressed 27.9s -> 32.2s. Parallelism preservation is the
+        # right trade for a workload that mixes codegen stages with
+        # applyInPandas kernels (SCALE.md "AQE coalescing posture").
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
