@@ -780,3 +780,74 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV matrix: customers grouped by first-order month; revenue
+# and active-customer counts per month offset since acquisition — the
+# classic lifetime-value triangle. Month offsets are computed as
+# (year*12 + month) integer differences (identical arithmetic in both
+# engines — months_between float semantics deliberately avoided;
+# the index is ZERO-based months, year*12 + (month-1), so December
+# decodes back to (year, 12) instead of rolling into the next year);
+# revenue is integer cents. Two grouped aggs + one broadcast-sized
+# join on custkey's cohort.
+# Scale: the cohort dimension is months x offsets (tiny); the only
+# wide operations are the two custkey-partitioned aggs.
+# --------------------------------------------------------------------------
+@operator(
+    "order_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(EXTRACT(year FROM o_orderdate) * 12
+                 + EXTRACT(month FROM o_orderdate) - 1) AS cohort_m
+      FROM orders GROUP BY 1
+    ),
+    facts AS (
+      SELECT o.o_custkey,
+             f.cohort_m,
+             EXTRACT(year FROM o.o_orderdate) * 12
+               + EXTRACT(month FROM o.o_orderdate) - 1 - f.cohort_m
+                 AS offset_m,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    )
+    SELECT CAST(cohort_m // 12 AS BIGINT)      AS cohort_year,
+           CAST(cohort_m % 12 + 1 AS BIGINT)   AS cohort_month,
+           CAST(offset_m AS BIGINT)            AS month_offset,
+           COUNT(DISTINCT o_custkey)           AS active_customers,
+           CAST(SUM(cents) AS BIGINT)          AS revenue_cents
+    FROM facts
+    GROUP BY cohort_m, offset_m
+    ORDER BY cohort_year, cohort_month, month_offset
+    """,
+)
+def order_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort_m"))
+    facts = o.join(firsts, "o_custkey").select(
+        "o_custkey",
+        "cohort_m",
+        (F.col("ym") - F.col("cohort_m")).alias("offset_m"),
+        "cents",
+    )
+    return (
+        facts.groupBy("cohort_m", "offset_m")
+        .agg(
+            F.count_distinct("o_custkey").alias("active_customers"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .select(
+            (F.col("cohort_m") / 12).cast("bigint").alias("cohort_year"),
+            (F.col("cohort_m") % 12 + 1).alias("cohort_month"),
+            F.col("offset_m").alias("month_offset"),
+            "active_customers",
+            "revenue_cents",
+        )
+        .orderBy("cohort_year", "cohort_month", "month_offset")
+    )

@@ -162,3 +162,24 @@ def test_transition_matrix_rows_are_distributions(spark, duck):
         by_prev[r.prev_type] += r.p
     for prev, total in by_prev.items():
         assert abs(total - 1.0) < 1e-4, (prev, total)
+
+
+def test_cohort_ltv_matches_oracle_and_labels_decode(spark, duck):
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    df = REGISTRY["order_cohort_ltv"](spark, SF_DIR)
+    assert_matches_oracle(
+        df, duck, ORACLES["order_cohort_ltv"], "order_cohort_ltv"
+    )
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.cohort_month <= 12
+        assert r.month_offset >= 0
+        assert r.active_customers > 0
+    # offset-0 cells exist for every cohort (acquisition month itself)
+    cohorts = {(r.cohort_year, r.cohort_month) for r in rows}
+    zero = {(r.cohort_year, r.cohort_month) for r in rows
+            if r.month_offset == 0}
+    assert cohorts == zero
