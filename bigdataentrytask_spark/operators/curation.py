@@ -273,3 +273,56 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), "tok")
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf fit: the corpus rank-frequency diagnostic — regression of
+# ln(count) on ln(rank) over the vocabulary. Natural corpora fit a
+# slope near -1; a synthetic or heavily deduplicated corpus shows a
+# flatter curve (this fixture's 31-token uniform vocabulary is exactly
+# such a case, and the number proves it). One token-count agg, one
+# ranking window over the VOCABULARY (bounded), one regression agg.
+# Logs of exact integer counts are bit-identical across engines;
+# measured regr agreement is 10+ digits (see segment_price_trend).
+# --------------------------------------------------------------------------
+@operator(
+    "corpus_zipf_fit",
+    oracle=f"""
+    WITH counts AS (
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT UNNEST({sql_tokens('text')}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+      FROM counts
+    )
+    SELECT COUNT(*)                                   AS vocab_size,
+           CAST(SUM(cnt) AS BIGINT)                   AS total_tokens,
+           ROUND(regr_slope(ln(cnt), ln(rnk)), 6)     AS zipf_slope,
+           ROUND(regr_r2(ln(cnt), ln(rnk)), 6)        AS fit_r2
+    FROM ranked
+    """,
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    counts = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "tok")
+    ranked = counts.select(
+        "cnt", F.row_number().over(w).alias("rnk")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("cnt").alias("total_tokens"),
+        F.round(
+            F.expr("regr_slope(ln(cnt), ln(rnk))"), 6
+        ).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(cnt), ln(rnk))"), 6).alias("fit_r2"),
+    )

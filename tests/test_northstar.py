@@ -249,3 +249,13 @@ def test_name_typo_pairs_blocking_is_complete(spark, duck):
     assert_matches_oracle(df, duck, ORACLES["name_typo_pairs"], "name_typo_pairs")
     pairs = {(r.name_a, r.name_b) for r in df.limit(100000).collect()}
     assert ("Customer#000000000", "Customer#000000001") in pairs
+
+
+def test_zipf_fit_oracle_and_sign(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    df = REGISTRY["corpus_zipf_fit"](spark, SF_DIR)
+    assert_matches_oracle(df, duck, ORACLES["corpus_zipf_fit"], "corpus_zipf_fit")
+    [row] = df.collect()
+    assert row.vocab_size > 0 and row.total_tokens > row.vocab_size
+    assert row.zipf_slope < 0  # frequency falls with rank, always
