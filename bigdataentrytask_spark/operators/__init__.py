@@ -47,5 +47,6 @@ def load_all() -> None:
         text_analysis,
         timeseries,
         tpch,
+        warehouse,
         windows_pivot,
     )

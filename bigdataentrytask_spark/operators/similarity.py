@@ -1203,3 +1203,129 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rnk", "neighbor_id", F.round("sim", 6).alias("cosine"))
         .orderBy("query_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Two-stage retrieval: int8-quantized coarse scan -> exact re-rank.
+# Stage 1 scores every candidate with the INTEGER dot product of the
+# symmetric-int8 codes (embedding_quantize's formula) and keeps a
+# _RERANK_POOL-deep pool per query; stage 2 re-ranks only that pool
+# with exact float cosine and emits TOP_K. This is the standard
+# production ANN serving shape (quantized store + rerank): stage 1
+# reads 4-8x less memory bandwidth per candidate, stage 2 touches
+# O(pool) full-precision vectors per query instead of O(N).
+#
+# Integer stage-1 scores are EXACTLY reproducible across engines (no
+# float accumulation-order drift), so the pool boundary is
+# deterministic — the whole pipeline differential-tests cleanly.
+# Scale: the pool stage would ride the IVF/LSH candidate generators
+# above at 100 TB (stage 1 here is the dense-scan form); the rerank
+# join back to full vectors is keyed on vec_id — bounded shuffle.
+# --------------------------------------------------------------------------
+_RERANK_POOL = 20
+_QUANT_AMAX_SQL = (
+    "list_aggregate(list_transform(embedding, "
+    "y -> abs(CAST(y AS DOUBLE))), 'max')"
+)
+
+
+@operator(
+    "knn_quantized_rerank",
+    oracle=f"""
+    WITH {_SQL_NORMS},
+    qcodes AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 127 /
+                         {_QUANT_AMAX_SQL}) AS BIGINT)) AS qv
+      FROM embeddings
+      WHERE {_QUANT_AMAX_SQL} > 0
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST((SELECT SUM(z.a * z.b) FROM
+                   (SELECT UNNEST(q.qv) AS a, UNNEST(c.qv) AS b) z)
+                  AS BIGINT) AS q_dot,
+             (SELECT SUM(z.qe * z.ce) FROM
+              (SELECT UNNEST(q.embedding::DOUBLE[]) AS qe,
+                      UNNEST(c.embedding::DOUBLE[]) AS ce) z) AS d
+      FROM qcodes q JOIN qcodes c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    pool AS (
+      SELECT query_id, neighbor_id, q_dot, d,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY q_dot DESC, neighbor_id) AS r1
+      FROM dots
+    ),
+    rerank AS (
+      SELECT query_id, neighbor_id, q_dot,
+             d / (nq.nrm * nc.nrm) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d / (nq.nrm * nc.nrm) DESC,
+                                         neighbor_id) AS rnk
+      FROM pool
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+      WHERE r1 <= {_RERANK_POOL}
+    )
+    SELECT query_id, rnk, neighbor_id, q_dot, ROUND(sim, 6) AS cosine
+    FROM rerank WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+)
+def knn_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    absd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    coded = (
+        e.withColumn("amax", F.array_max(absd))
+        .filter(F.col("amax") > 0)
+        .withColumn(
+            "qv",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 127 / F.col("amax")).cast(
+                    "long"
+                ),
+            ),
+        )
+        .select("vec_id", "embedding", "qv")
+    )
+    q = coded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("qv").alias("q_qv"),
+    )
+    c = coded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("qv").alias("c_qv"),
+    )
+    q_dot = F.aggregate(
+        F.zip_with("q_qv", "c_qv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("q_dot").desc(), "neighbor_id"
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("q_dot", q_dot)
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _RERANK_POOL)
+        .withColumn("sim", cosine("q_emb", "c_emb"))
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "rnk",
+            "neighbor_id",
+            "q_dot",
+            F.round("sim", 6).alias("cosine"),
+        )
+        .orderBy("query_id", "rnk")
+    )

@@ -1111,3 +1111,82 @@ def lm_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Source-level vocabulary divergence: KL(source || corpus) over unigram
+# distributions — the data-mixing diagnostic ("which sources are
+# distributionally unusual, and by how much"). Mix-weight tuning and
+# domain-upsampling decisions key off exactly this quantity.
+#
+# Plan: one token explode -> per-(source, token) counts (map-side
+# combinable), then two SMALL re-aggregations (per-source totals, the
+# global unigram table — vocabulary-sized, not corpus-sized) joined
+# back on the token key. The corpus-total scalar rides a broadcast
+# crossJoin. At 100 TB the only corpus-scale shuffle is the first
+# count; everything after operates on |vocab| x |sources| rows.
+# --------------------------------------------------------------------------
+@operator(
+    "source_vocab_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source, tok FROM (
+        SELECT source, UNNEST(string_split(lower(text), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    st AS (
+      SELECT source, tok, COUNT(*) AS cnt_st FROM toks GROUP BY 1, 2
+    ),
+    s_tot AS (
+      SELECT source, SUM(cnt_st) AS tot_s, COUNT(*) AS vocab
+      FROM st GROUP BY 1
+    ),
+    g AS (SELECT tok, SUM(cnt_st) AS cnt_t FROM st GROUP BY 1),
+    tot AS (SELECT SUM(cnt_t) AS tot FROM g)
+    SELECT st.source,
+           CAST(s_tot.tot_s AS BIGINT) AS n_tokens,
+           CAST(s_tot.vocab AS BIGINT) AS vocab,
+           ROUND(SUM((st.cnt_st / s_tot.tot_s)
+                     * ln((st.cnt_st / s_tot.tot_s)
+                          / (g.cnt_t / tot.tot))), 6) AS kl_divergence
+    FROM st
+    JOIN s_tot ON s_tot.source = st.source
+    JOIN g ON g.tok = st.tok
+    CROSS JOIN tot
+    GROUP BY st.source, s_tot.tot_s, s_tot.vocab
+    ORDER BY st.source
+    """,
+)
+def source_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt_st"))
+    s_tot = st.groupBy("source").agg(
+        F.sum("cnt_st").alias("tot_s"), F.count(F.lit(1)).alias("vocab")
+    )
+    g = st.groupBy("tok").agg(F.sum("cnt_st").alias("cnt_t"))
+    tot = g.agg(F.sum("cnt_t").alias("tot"))
+    p = F.col("cnt_st") / F.col("tot_s")
+    q = F.col("cnt_t") / F.col("tot")
+    return (
+        st.join(F.broadcast(s_tot), "source")
+        .join(g, "tok")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("term", p * F.log(p / q))
+        .groupBy("source", "tot_s", "vocab")
+        .agg(F.round(F.sum("term"), 6).alias("kl_divergence"))
+        .select(
+            "source",
+            F.col("tot_s").cast("bigint").alias("n_tokens"),
+            F.col("vocab").cast("bigint").alias("vocab"),
+            "kl_divergence",
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,417 @@
+"""Warehouse-modeling & mining operators: frequent-itemset pairs,
+data-quality constraint audits, SCD Type-2 history construction, and
+multi-touch attribution.
+
+The reference stops at flat keyed aggregates over the order stream
+(/root/reference/doc/temp.md:377-411); these are the standard next
+steps a warehouse team runs on the same star schema — association
+mining over baskets, Deequ-style integrity checks before a table is
+published, dimension-history builds from a change log, and marketing
+attribution over the event stream. All are declarative DataFrame
+plans: Catalyst keeps pushdown/pruning and every shuffle is on a
+bounded key.
+
+Scale posture (100 TB):
+* `basket_part_pairs` self-joins the (order, part) item set on the
+  order key — the shuffle key is the order id, and the pair blowup per
+  order is bounded by the basket size squared (TPC-H baskets are <= 7
+  lines, so <= 21 pairs/order). The per-part support table is tiny
+  relative to the fact and broadcasts; the scalar order count rides a
+  1-row broadcast crossJoin, never a driver collect.
+* `referential_integrity_audit` runs each constraint as ONE pass over
+  its child table: a left join against the parent key set with a
+  conditional count gives (checked, violated) in a single agg, so the
+  audit costs k joins for k FK constraints, each on the FK key. At
+  100 TB the parent key sides (orders/customer/part/supplier keys) are
+  either broadcast by AQE or plain shuffle joins — no quadratic step.
+* `scd2_priority_history` windows per customer, ordered by
+  (orderdate, orderkey); per-customer state is the customer's own
+  order count (TPC-H: ~10) — a bounded-partition window, no global
+  sort.
+* `attribution_linear_multitouch` is an equi-join on user_id with the
+  30-minute range as residual predicate (same shape as
+  `signup_purchase_within_5m` — no theta-join blowup), followed by a
+  per-purchase count and a per-channel re-aggregation, all keyed
+  shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdataentrytask_spark.catalog import load_table
+from bigdataentrytask_spark.operators import operator
+from bigdataentrytask_spark.session import ensure_session_confs
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Market-basket pair mining: parts that co-occur in the same order,
+# with support count and lift. The A-priori first pass as one
+# declarative plan (pairs above min-support; lift against independent
+# part frequencies).
+# --------------------------------------------------------------------------
+_BP_MIN_SUPPORT = 2
+
+
+@operator(
+    "basket_part_pairs",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    pc AS (SELECT l_partkey, COUNT(*) AS pcnt FROM items GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items)
+    SELECT p1, p2, support,
+           ROUND(support * n.n_orders / (c1.pcnt * c2.pcnt), 6) AS lift
+    FROM pairs
+    JOIN pc c1 ON c1.l_partkey = p1
+    JOIN pc c2 ON c2.l_partkey = p2
+    CROSS JOIN n
+    WHERE support >= {_BP_MIN_SUPPORT}
+    ORDER BY support DESC, p1, p2
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        a.join(b, ["ok"])
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _BP_MIN_SUPPORT)
+    )
+    pc = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("pcnt"))
+    n = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    return (
+        pairs.join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("p1"),
+                                  F.col("pcnt").alias("pcnt1"))), ["p1"]
+        )
+        .join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("p2"),
+                                  F.col("pcnt").alias("pcnt2"))), ["p2"]
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "support",
+            F.round(
+                F.col("support") * F.col("n_orders")
+                / (F.col("pcnt1") * F.col("pcnt2")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("support").desc(), "p1", "p2")
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality constraint audit (Deequ-style): every published-table
+# invariant checked in one pass each, emitted as a uniform report
+# (constraint_name, violated, checked, ok). FK checks are a left join
+# on the parent key set + conditional count — checked and violated in
+# ONE aggregation per constraint.
+# --------------------------------------------------------------------------
+_RI_REPORT_COLS = ("constraint_name", "violated", "checked", "ok")
+
+
+def _fk_check(child: DataFrame, child_key: str, parent: DataFrame,
+              parent_key: str, name: str) -> DataFrame:
+    pk = parent.select(F.col(parent_key).alias("__pk")).distinct()
+    return (
+        child.select(F.col(child_key).alias("__ck"))
+        .join(pk, F.col("__ck") == F.col("__pk"), "left")
+        .agg(
+            F.lit(name).alias("constraint_name"),
+            F.count(F.when(F.col("__pk").isNull(), 1)).alias("violated"),
+            F.count(F.lit(1)).alias("checked"),
+        )
+        .withColumn("ok", F.col("violated") == 0)
+    )
+
+
+def _unique_check(df: DataFrame, key: str, name: str) -> DataFrame:
+    return (
+        df.agg(
+            F.lit(name).alias("constraint_name"),
+            (F.count(key) - F.count_distinct(key)).alias("violated"),
+            F.count(F.lit(1)).alias("checked"),
+        ).withColumn("ok", F.col("violated") == 0)
+    )
+
+
+def _predicate_check(df: DataFrame, bad, name: str) -> DataFrame:
+    return (
+        df.agg(
+            F.lit(name).alias("constraint_name"),
+            F.count(F.when(bad, 1)).alias("violated"),
+            F.count(F.lit(1)).alias("checked"),
+        ).withColumn("ok", F.col("violated") == 0)
+    )
+
+
+@operator(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'ck_documents_text_nonempty' AS constraint_name,
+             COUNT(CASE WHEN text IS NULL OR text = '' THEN 1 END) AS violated,
+             COUNT(*) AS checked,
+             COUNT(CASE WHEN text IS NULL OR text = '' THEN 1 END) = 0 AS ok
+      FROM documents
+      UNION ALL
+      SELECT 'ck_events_ts_nonnull',
+             COUNT(CASE WHEN ts IS NULL THEN 1 END), COUNT(*),
+             COUNT(CASE WHEN ts IS NULL THEN 1 END) = 0
+      FROM events
+      UNION ALL
+      SELECT 'ck_orders_price_positive',
+             COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END), COUNT(*),
+             COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'fk_customer_nation',
+             COUNT(CASE WHEN n.n_nationkey IS NULL THEN 1 END), COUNT(*),
+             COUNT(CASE WHEN n.n_nationkey IS NULL THEN 1 END) = 0
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'fk_lineitem_orders',
+             COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END), COUNT(*),
+             COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) = 0
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'fk_lineitem_part',
+             COUNT(CASE WHEN p.p_partkey IS NULL THEN 1 END), COUNT(*),
+             COUNT(CASE WHEN p.p_partkey IS NULL THEN 1 END) = 0
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      UNION ALL
+      SELECT 'fk_lineitem_supplier',
+             COUNT(CASE WHEN s.s_suppkey IS NULL THEN 1 END), COUNT(*),
+             COUNT(CASE WHEN s.s_suppkey IS NULL THEN 1 END) = 0
+      FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      UNION ALL
+      SELECT 'fk_orders_customer',
+             COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END), COUNT(*),
+             COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) = 0
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'pk_events_unique',
+             COUNT(event_id) - COUNT(DISTINCT event_id), COUNT(*),
+             COUNT(event_id) = COUNT(DISTINCT event_id)
+      FROM events
+      UNION ALL
+      SELECT 'pk_orders_unique',
+             COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey), COUNT(*),
+             COUNT(o_orderkey) = COUNT(DISTINCT o_orderkey)
+      FROM orders
+    ) ORDER BY constraint_name
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    events = _t(spark, sf_dir, "events")
+    documents = _t(spark, sf_dir, "documents")
+    checks = [
+        _predicate_check(
+            documents,
+            F.col("text").isNull() | (F.col("text") == ""),
+            "ck_documents_text_nonempty",
+        ),
+        _predicate_check(events, F.col("ts").isNull(), "ck_events_ts_nonnull"),
+        _predicate_check(
+            orders, F.col("o_totalprice") <= 0, "ck_orders_price_positive"
+        ),
+        _fk_check(customer, "c_nationkey", nation, "n_nationkey",
+                  "fk_customer_nation"),
+        _fk_check(li, "l_orderkey", orders, "o_orderkey",
+                  "fk_lineitem_orders"),
+        _fk_check(li, "l_partkey", part, "p_partkey", "fk_lineitem_part"),
+        _fk_check(li, "l_suppkey", supplier, "s_suppkey",
+                  "fk_lineitem_supplier"),
+        _fk_check(orders, "o_custkey", customer, "c_custkey",
+                  "fk_orders_customer"),
+        _unique_check(events, "event_id", "pk_events_unique"),
+        _unique_check(orders, "o_orderkey", "pk_orders_unique"),
+    ]
+    report = checks[0]
+    for c in checks[1:]:
+        report = report.unionByName(c)
+    return report.select(*_RI_REPORT_COLS).orderBy("constraint_name")
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 build from a change log: per customer, the history of
+# their order-priority "state" as validity intervals. A change row is
+# any order whose priority differs from the customer's previous order
+# (lag); valid_to is the next change's start (lead), open for the
+# current version. The standard dimension-history construction, fully
+# windowed — no self-join.
+# --------------------------------------------------------------------------
+_SCD2_OPEN_END = "9999-12-31"
+
+
+@operator(
+    "scd2_priority_history",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+             LAG(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_p
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate
+      FROM ordered
+      WHERE prev_p IS NULL OR prev_p <> o_orderpriority
+    )
+    SELECT o_custkey AS custkey,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS BIGINT) AS version,
+           o_orderpriority AS priority,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           COALESCE(
+             strftime(LEAD(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ), '%Y-%m-%d'),
+             '{_SCD2_OPEN_END}') AS valid_to,
+           LEAD(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) IS NULL AS is_current
+    FROM changes
+    ORDER BY custkey, version
+    """,
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.withColumn("prev_p", F.lag("o_orderpriority").over(w))
+        .filter(
+            F.col("prev_p").isNull()
+            | (F.col("prev_p") != F.col("o_orderpriority"))
+        )
+        .drop("prev_p")
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(wc)
+    return (
+        changes.select(
+            F.col("o_custkey").alias("custkey"),
+            F.row_number().over(wc).cast("bigint").alias("version"),
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+            F.coalesce(
+                F.date_format(nxt, "yyyy-MM-dd"), F.lit(_SCD2_OPEN_END)
+            ).alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("custkey", "version")
+    )
+
+
+# --------------------------------------------------------------------------
+# Linear multi-touch attribution: each purchase's value is split
+# equally across the user's view/click touches in the preceding 30
+# minutes; credited revenue rolls up per touch channel. First/last
+# touch are the argmax/argmin specializations (cf.
+# `stream_signup_attribution` for the streaming first-touch form).
+# --------------------------------------------------------------------------
+_ATTR_WINDOW = "30 minutes"
+
+
+@operator(
+    "attribution_linear_multitouch",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT event_id AS touch_id, user_id, ts AS t_ts,
+             event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    touched AS (
+      SELECT p.purchase_id, p.value, t.touch_id, t.channel
+      FROM p JOIN t
+        ON t.user_id = p.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 30 MINUTE
+    ),
+    weighted AS (
+      SELECT purchase_id, touch_id, channel,
+             value / COUNT(*) OVER (PARTITION BY purchase_id) AS credit
+      FROM touched
+    )
+    SELECT channel,
+           COUNT(*) AS touches,
+           COUNT(DISTINCT purchase_id) AS purchases,
+           ROUND(SUM(credit), 2) AS credited_revenue
+    FROM weighted
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    touched = p.join(
+        t,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {_ATTR_WINDOW}")),
+    )
+    wp = Window.partitionBy("purchase_id")
+    weighted = touched.withColumn(
+        "credit", F.col("value") / F.count(F.lit(1)).over(wp)
+    )
+    return (
+        weighted.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("touches"),
+            F.count_distinct("purchase_id").alias("purchases"),
+            F.round(F.sum("credit"), 2).alias("credited_revenue"),
+        )
+        .orderBy("channel")
+    )

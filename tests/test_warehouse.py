@@ -1,0 +1,124 @@
+"""Differential + invariant tests for the warehouse-modeling ops
+(basket mining, integrity audit, SCD2 build, multi-touch attribution)
+and the round-3 retrieval/text additions (quantized rerank, vocab
+divergence)."""
+
+import pytest
+
+from bigdataentrytask_spark.operators import ORACLES, REGISTRY, load_all
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+load_all()
+
+WAREHOUSE_QUERIES = [
+    "basket_part_pairs",
+    "referential_integrity_audit",
+    "scd2_priority_history",
+    "attribution_linear_multitouch",
+    "knn_quantized_rerank",
+    "source_vocab_divergence",
+]
+
+
+@pytest.mark.parametrize("name", WAREHOUSE_QUERIES)
+def test_oracle_match(spark, duck, name):
+    df = REGISTRY[name](spark, SF_DIR)
+    assert_matches_oracle(df, duck, ORACLES[name], name)
+
+
+def test_basket_pairs_canonical_and_supported(spark):
+    """Pairs are canonical (p1 < p2) and meet min support."""
+    rows = REGISTRY["basket_part_pairs"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r.p1 < r.p2 and r.support >= 2 and r.lift > 0 for r in rows)
+
+
+def test_integrity_audit_fixture_is_clean(spark):
+    """The driver fixture satisfies every published-table constraint;
+    the audit must report exactly one row per constraint, all ok."""
+    rows = REGISTRY["referential_integrity_audit"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(r.ok and r.violated == 0 and r.checked > 0 for r in rows)
+
+
+def test_integrity_audit_flags_orphans(spark, tmp_path):
+    """An injected orphan FK row is counted as a violation."""
+    import shutil
+
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        shutil.copy(f"{SF_DIR}/{t}.parquet", tmp_path / f"{t}.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orphan = li.limit(1).withColumn(
+        "l_orderkey", li.l_orderkey * 0 - 999999
+    )
+    li.unionByName(orphan).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    rows = {
+        r.constraint_name: r
+        for r in REGISTRY["referential_integrity_audit"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    bad = rows["fk_lineitem_orders"]
+    assert bad.violated == 1 and not bad.ok
+
+
+def test_scd2_intervals_partition_time(spark):
+    """Per customer: versions are 1..n, intervals chain (each valid_to
+    equals the next valid_from), exactly one open current row."""
+    from collections import defaultdict
+
+    rows = REGISTRY["scd2_priority_history"](spark, SF_DIR).collect()
+    by_cust = defaultdict(list)
+    for r in rows:
+        by_cust[r.custkey].append(r)
+    assert by_cust
+    for hist in by_cust.values():
+        assert [h.version for h in hist] == list(range(1, len(hist) + 1))
+        assert sum(h.is_current for h in hist) == 1
+        assert hist[-1].is_current and hist[-1].valid_to == "9999-12-31"
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.priority != b.priority
+
+
+def test_attribution_conserves_value(spark, duck):
+    """Linear attribution splits each purchase's value without loss:
+    total credited == total value of purchases that HAVE a touch."""
+    rows = REGISTRY["attribution_linear_multitouch"](spark, SF_DIR).collect()
+    credited = sum(r.credited_revenue for r in rows)
+    expected = duck.execute("""
+        WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'purchase')
+        SELECT SUM(value) FROM p WHERE EXISTS (
+          SELECT 1 FROM events t
+          WHERE t.event_type IN ('view','click') AND t.user_id = p.user_id
+            AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 30 MINUTE)
+    """).fetchone()[0]
+    assert abs(credited - expected) < 0.05
+
+
+def test_rerank_agrees_with_bruteforce_at_top1(spark):
+    """The int8 pool is deep enough that rank-1 neighbors survive the
+    quantization stage on this corpus."""
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in REGISTRY["knn_bruteforce"](spark, SF_DIR).collect()
+        if r.rnk == 1
+    }
+    reranked = {
+        r.query_id: r.neighbor_id
+        for r in REGISTRY["knn_quantized_rerank"](spark, SF_DIR).collect()
+        if r.rnk == 1
+    }
+    agree = sum(exact[q] == reranked.get(q) for q in exact)
+    assert agree >= len(exact) - 1, (agree, len(exact))
+
+
+def test_vocab_divergence_nonnegative(spark):
+    """KL divergence is >= 0 (Gibbs), and every source is reported."""
+    rows = REGISTRY["source_vocab_divergence"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert all(r.kl_divergence >= 0 for r in rows)
