@@ -25,7 +25,7 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdataentrytask_spark.catalog import load_table
@@ -850,4 +850,88 @@ def order_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents",
         )
         .orderBy("cohort_year", "cohort_month", "month_offset")
+    )
+
+
+# --------------------------------------------------------------------------
+# Clickstream path mining: the most common opening paths (first 3 event
+# types) of 30-minute-gap sessions. Same sessionization as
+# `user_sessions` (lag-gap flag + running sum), then a per-session
+# ordered string_agg over the first three events. Per-session state is
+# bounded (3 rows survive the rank filter); the path count is a
+# map-side-combinable agg on a low-cardinality key (|event_types|^3).
+# --------------------------------------------------------------------------
+_PATH_DEPTH = 3
+_PATH_TOP = 20
+
+
+@operator(
+    "top_session_paths",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM marked
+    ),
+    ranked AS (
+      SELECT user_id, sess_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sess_id
+                                ORDER BY ts, event_id) AS rn
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, sess_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= {_PATH_DEPTH}
+      GROUP BY user_id, sess_id
+    )
+    SELECT path, COUNT(*) AS sessions
+    FROM paths GROUP BY path
+    ORDER BY sessions DESC, path
+    LIMIT {_PATH_TOP}
+    """,
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) >= F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "sess_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    ranked = sess.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= _PATH_DEPTH
+    )
+    paths = ranked.groupBy("user_id", "sess_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("sessions"))
+        .orderBy(F.col("sessions").desc(), "path")
+        .limit(_PATH_TOP)
     )

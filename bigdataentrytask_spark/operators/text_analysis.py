@@ -1190,3 +1190,74 @@ def source_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Hashing-trick vectorizer (feature hashing): tokens hashed into a
+# fixed 64-bucket space via the corpus-standard md5-prefix hash (same
+# deterministic hash family as the minhash/shard operators — exactly
+# reproducible in any engine, unlike murmur3 whose seeds differ).
+# Emits the per-document sparse-vector summary (token count, nonzero
+# buckets, L2 norm of the count vector) — the fixed-width featurization
+# that feeds linear quality classifiers at corpus scale. One explode +
+# two keyed aggs, both map-side combinable; no vocabulary state at all
+# (that is the point of the hashing trick).
+# --------------------------------------------------------------------------
+_FH_BUCKETS = 64
+
+
+@operator(
+    "token_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    bucketed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % {_FH_BUCKETS}
+               AS bucket
+      FROM toks
+    ),
+    counts AS (
+      SELECT doc_id, bucket, COUNT(*) AS cnt
+      FROM bucketed GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           COUNT(*)                 AS nnz,
+           ROUND(sqrt(SUM(cnt * cnt)), 6) AS l2_norm
+    FROM counts GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def token_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        % _FH_BUCKETS
+    )
+    counts = (
+        toks.withColumn("bucket", bucket)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("nnz"),
+            F.round(F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))), 6).alias(
+                "l2_norm"
+            ),
+        )
+        .orderBy("doc_id")
+    )

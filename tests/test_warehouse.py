@@ -122,3 +122,33 @@ def test_vocab_divergence_nonnegative(spark):
     rows = REGISTRY["source_vocab_divergence"](spark, SF_DIR).collect()
     assert len(rows) == 20
     assert all(r.kl_divergence >= 0 for r in rows)
+
+
+ROUND3_EXTRA = ["top_session_paths", "token_feature_hashing"]
+
+
+@pytest.mark.parametrize("name", ROUND3_EXTRA)
+def test_extra_oracle_match(spark, duck, name):
+    df = REGISTRY[name](spark, SF_DIR)
+    assert_matches_oracle(df, duck, ORACLES[name], name)
+
+
+def test_session_paths_shape(spark):
+    """Paths are at most 3 hops and counts are non-increasing."""
+    rows = REGISTRY["top_session_paths"](spark, SF_DIR).collect()
+    assert rows and len(rows) <= 20
+    assert all(1 <= len(r.path.split(">")) <= 3 for r in rows)
+    counts = [r.sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_feature_hashing_bounds(spark):
+    """Sparse-vector invariants: nnz is bounded by the bucket space and
+    by the token count; the L2 norm sits between sqrt(n) and n."""
+    import math
+
+    rows = REGISTRY["token_feature_hashing"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 1 <= r.nnz <= min(64, r.n_tokens)
+        assert math.sqrt(r.n_tokens) - 1e-6 <= r.l2_norm <= r.n_tokens
