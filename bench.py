@@ -71,6 +71,12 @@ HEADLINE = [
     # round-3 additions: corpus-curation decision layer
     "quality_classifier_score",
     "heavy_hitter_tokens",
+    # round-3b additions: warehouse mining / SCD2 / hashed featurizer
+    # (the 31 queries above are unchanged — comparisons stay
+    # apples-to-apples on the shared prefix)
+    "basket_part_pairs",
+    "scd2_priority_history",
+    "token_feature_hashing",
 ]
 
 

@@ -1329,3 +1329,96 @@ def knn_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Dominant principal component via power iteration (2 steps from a
+# fixed deterministic start) — the embedding-drift / whitening
+# primitive. All linear algebra is dimension-level rows (posexplode),
+# so no step ever shuffles a whole vector: each iteration is one
+# per-vector dot (groupBy vec_id) + one per-dimension accumulation
+# (groupBy dim) + a 1-row norm broadcast. The centered matrix subplan
+# recurs across iterations — at 100 TB you persist it once
+# (StorageLevel.DISK) instead of recomputing; the per-iteration
+# shuffle count is what matters and it is 2 keyed aggs, independent
+# of N. Fixed v0 = 1/sqrt(64) makes the iterate (and its sign)
+# deterministic, so the whole pipeline differential-tests exactly.
+# --------------------------------------------------------------------------
+_PCA_V0 = 0.125  # 1/sqrt(EMB_DIM): unit start vector, all-equal
+
+
+@operator(
+    "pca_power_iteration",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, generate_subscripts(e, 1) AS dim, UNNEST(e) AS x
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    ),
+    mu AS (SELECT dim, AVG(x) AS m FROM x GROUP BY 1),
+    c AS (
+      SELECT vec_id, x.dim, x.x - mu.m AS xc
+      FROM x JOIN mu ON x.dim = mu.dim
+    ),
+    s1 AS (SELECT vec_id, SUM(xc * {_PCA_V0}) AS s FROM c GROUP BY 1),
+    w1 AS (
+      SELECT c.dim, SUM(c.xc * s1.s) AS w
+      FROM c JOIN s1 USING (vec_id) GROUP BY 1
+    ),
+    n1 AS (SELECT SQRT(SUM(w * w)) AS nrm FROM w1),
+    v1 AS (SELECT dim, w / nrm AS v FROM w1, n1),
+    s2 AS (
+      SELECT vec_id, SUM(c.xc * v1.v) AS s
+      FROM c JOIN v1 ON c.dim = v1.dim GROUP BY 1
+    ),
+    w2 AS (
+      SELECT c.dim, SUM(c.xc * s2.s) AS w
+      FROM c JOIN s2 USING (vec_id) GROUP BY 1
+    ),
+    n2 AS (SELECT SQRT(SUM(w * w)) AS nrm FROM w2)
+    SELECT CAST(w2.dim AS BIGINT) AS dim,
+           ROUND(w2.w / n2.nrm, 6) AS loading
+    FROM w2, n2 ORDER BY dim
+    """,
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    # 1-based dim to match DuckDB's WITH ORDINALITY
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("d0") + 1).cast("bigint").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    mu = x.groupBy("dim").agg(F.avg("x").alias("m"))
+    c = x.join(F.broadcast(mu), "dim").select(
+        "vec_id", "dim", (F.col("x") - F.col("m")).alias("xc")
+    )
+    s1 = c.groupBy("vec_id").agg(
+        F.sum(F.col("xc") * F.lit(_PCA_V0)).alias("s")
+    )
+    w1 = (
+        c.join(s1, "vec_id")
+        .groupBy("dim")
+        .agg(F.sum(F.col("xc") * F.col("s")).alias("w"))
+    )
+    n1 = w1.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    v1 = w1.crossJoin(F.broadcast(n1)).select(
+        "dim", (F.col("w") / F.col("nrm")).alias("v")
+    )
+    s2 = (
+        c.join(F.broadcast(v1), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("xc") * F.col("v")).alias("s"))
+    )
+    w2 = (
+        c.join(s2, "vec_id")
+        .groupBy("dim")
+        .agg(F.sum(F.col("xc") * F.col("s")).alias("w"))
+    )
+    n2 = w2.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    return (
+        w2.crossJoin(F.broadcast(n2))
+        .select("dim", F.round(F.col("w") / F.col("nrm"), 6).alias("loading"))
+        .orderBy("dim")
+    )

@@ -152,3 +152,16 @@ def test_feature_hashing_bounds(spark):
     for r in rows:
         assert 1 <= r.nnz <= min(64, r.n_tokens)
         assert math.sqrt(r.n_tokens) - 1e-6 <= r.l2_norm <= r.n_tokens
+
+
+def test_pca_power_iteration_unit_and_match(spark, duck):
+    """Oracle match + the loading vector is unit-norm."""
+    import math
+
+    assert_matches_oracle(
+        REGISTRY["pca_power_iteration"](spark, SF_DIR), duck,
+        ORACLES["pca_power_iteration"], "pca_power_iteration",
+    )
+    rows = REGISTRY["pca_power_iteration"](spark, SF_DIR).collect()
+    assert len(rows) == 64
+    assert abs(math.sqrt(sum(r.loading ** 2 for r in rows)) - 1.0) < 1e-4
