@@ -434,3 +434,176 @@ def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (CDC derivation): compare the per-customer order state
+# at two snapshot cutoffs and emit the change rows (insert / update /
+# delete) a downstream incremental consumer would apply. The classic
+# full-outer-join diff; 'delete' cannot occur on this append-only
+# source but the branch is part of the contract (and exercised as
+# zero). Both snapshot aggregates shuffle on the SAME key, and the
+# full outer join reuses that partitioning — one fact-scale shuffle
+# per snapshot, one join, no window.
+# --------------------------------------------------------------------------
+_SNAP_T1 = "1996-01-01"
+
+
+@operator(
+    "snapshot_table_diff",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_custkey, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_SNAP_T1}'
+      GROUP BY 1
+    ),
+    b AS (
+      SELECT o_custkey, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+           CASE WHEN a.o_custkey IS NULL THEN 'insert'
+                WHEN b.o_custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           a.n AS old_n, b.n AS new_n,
+           a.cents AS old_cents, b.cents AS new_cents
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL
+       OR a.n <> b.n OR a.cents <> b.cents
+    ORDER BY custkey
+    """,
+)
+def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+
+    def snap(df: DataFrame, key: str) -> DataFrame:
+        return df.groupBy(F.col("o_custkey").alias(key)).agg(
+            F.count(F.lit(1)).alias(f"{key}_n"),
+            F.sum("c").cast("bigint").alias(f"{key}_cents"),
+        )
+
+    a = snap(o.filter(F.col("o_orderdate") < F.lit(_SNAP_T1).cast("timestamp")), "ak")
+    b = snap(o, "bk")
+    changed = (
+        F.col("ak").isNull()
+        | F.col("bk").isNull()
+        | (F.col("ak_n") != F.col("bk_n"))
+        | (F.col("ak_cents") != F.col("bk_cents"))
+    )
+    return (
+        a.join(b, F.col("ak") == F.col("bk"), "full_outer")
+        .filter(changed)
+        .select(
+            F.coalesce("ak", "bk").alias("custkey"),
+            F.when(F.col("ak").isNull(), "insert")
+            .when(F.col("bk").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            F.col("ak_n").alias("old_n"),
+            F.col("bk_n").alias("new_n"),
+            F.col("ak_cents").alias("old_cents"),
+            F.col("bk_cents").alias("new_cents"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Order-insensitive table checksums: per table, row count + the sum of
+# a 60-bit md5-prefix row hash (mod 2^60) over a canonical row
+# rendering — the replication/migration validation primitive ("did
+# every row arrive, bit-exact, regardless of order/partitioning").
+# The hash domain is the same md5-prefix family the dedup/shard ops
+# use (engine-portable, unlike xxhash64/murmur3); the sum runs in
+# DECIMAL(38,0) so it can never overflow before the mod. One
+# map-side-combinable agg per table, no shuffle beyond the 1-row
+# reduction.
+# --------------------------------------------------------------------------
+_CKSUM_MOD = 1 << 60
+
+
+def _row_hash_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+@operator(
+    "table_checksum",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT 'customer' AS table_name, COUNT(*) AS row_count,
+             CAST(SUM({_row_hash_sql(
+                 "concat_ws('|', c_custkey, c_name, c_nationkey, "
+                 "CAST(ROUND(c_acctbal * 100) AS BIGINT), c_mktsegment)"
+             )}::HUGEINT) % {_CKSUM_MOD} AS BIGINT) AS checksum
+      FROM customer
+      UNION ALL
+      SELECT 'nation', COUNT(*),
+             CAST(SUM({_row_hash_sql(
+                 "concat_ws('|', n_nationkey, n_name, n_regionkey)"
+             )}::HUGEINT) % {_CKSUM_MOD} AS BIGINT)
+      FROM nation
+      UNION ALL
+      SELECT 'orders', COUNT(*),
+             CAST(SUM({_row_hash_sql(
+                 "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, "
+                 "CAST(ROUND(o_totalprice * 100) AS BIGINT), "
+                 "strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)"
+             )}::HUGEINT) % {_CKSUM_MOD} AS BIGINT)
+      FROM orders
+    ) ORDER BY table_name
+    """,
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def hash_sum(df: DataFrame, row_str, name: str) -> DataFrame:
+        h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("row_count"),
+            (F.sum(h.cast("decimal(38,0)")) % F.lit(_CKSUM_MOD))
+            .cast("bigint")
+            .alias("checksum"),
+        )
+
+    customer = hash_sum(
+        _t(spark, sf_dir, "customer"),
+        F.concat_ws(
+            "|",
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100).cast("bigint"),
+            "c_mktsegment",
+        ),
+        "customer",
+    )
+    nation = hash_sum(
+        _t(spark, sf_dir, "nation"),
+        F.concat_ws("|", "n_nationkey", "n_name", "n_regionkey"),
+        "nation",
+    )
+    orders = hash_sum(
+        _t(spark, sf_dir, "orders"),
+        F.concat_ws(
+            "|",
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("bigint"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            "o_orderpriority",
+        ),
+        "orders",
+    )
+    return (
+        customer.unionByName(nation)
+        .unionByName(orders)
+        .orderBy("table_name")
+    )

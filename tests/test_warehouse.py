@@ -165,3 +165,53 @@ def test_pca_power_iteration_unit_and_match(spark, duck):
     rows = REGISTRY["pca_power_iteration"](spark, SF_DIR).collect()
     assert len(rows) == 64
     assert abs(math.sqrt(sum(r.loading ** 2 for r in rows)) - 1.0) < 1e-4
+
+
+LIFECYCLE_OPS = ["snapshot_table_diff", "table_checksum"]
+
+
+@pytest.mark.parametrize("name", LIFECYCLE_OPS)
+def test_lifecycle_oracle_match(spark, duck, name):
+    df = REGISTRY[name](spark, SF_DIR)
+    assert_matches_oracle(df, duck, ORACLES[name], name)
+
+
+def test_snapshot_diff_monotone_append_only(spark):
+    """Append-only source: no deletes; updates only grow; inserts have
+    no old state."""
+    rows = REGISTRY["snapshot_table_diff"](spark, SF_DIR).collect()
+    assert rows
+    kinds = {r.change_type for r in rows}
+    assert "delete" not in kinds
+    for r in rows:
+        if r.change_type == "insert":
+            assert r.old_n is None and r.new_n > 0
+        else:
+            assert r.old_n < r.new_n or r.old_cents != r.new_cents
+
+
+def test_table_checksum_detects_mutation(spark, tmp_path):
+    """A single mutated row flips the table checksum; counts alone
+    would miss it."""
+    import shutil
+
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        shutil.copy(f"{SF_DIR}/{t}.parquet", tmp_path / f"{t}.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    from pyspark.sql import functions as F
+    mutated = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") == 1, F.col("c_acctbal") + 0.01)
+        .otherwise(F.col("c_acctbal")),
+    )
+    mutated.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    base = {r.table_name: r for r in
+            REGISTRY["table_checksum"](spark, SF_DIR).collect()}
+    after = {r.table_name: r for r in
+             REGISTRY["table_checksum"](spark, str(tmp_path)).collect()}
+    assert base["customer"].row_count == after["customer"].row_count
+    assert base["customer"].checksum != after["customer"].checksum
+    assert base["orders"].checksum == after["orders"].checksum
