@@ -326,3 +326,52 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("zipf_slope"),
         F.round(F.expr("regr_r2(ln(cnt), ln(rnk))"), 6).alias("fit_r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+# each doc draws u in (0, 1] from the engine-portable md5-prefix hash
+# of its id and races with key = -ln(u) / w (w = n_chars, the "longer
+# docs more likely" curation weight); the k smallest keys win. The
+# exponential-race form is the standard distributed weighted sampler:
+# one scan, a top-k (TakeOrdered — per-partition heads merged on the
+# driver, never a global sort), no sampling state. Deterministic seed
+# => reproducible sample manifests across engines and reruns.
+# --------------------------------------------------------------------------
+_ARES_K = 50
+_ARES_DENOM = float(1 << 60)
+
+
+@operator(
+    "weighted_sample_ares",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  + 1) / {_ARES_DENOM}) / n_chars AS k
+      FROM documents
+    )
+    SELECT doc_id, n_chars, ROUND(k, 6) AS priority
+    FROM keyed
+    ORDER BY k, doc_id
+    LIMIT {_ARES_K}
+    """,
+)
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    # +1 happens in INTEGER space before the double conversion, so the
+    # rounding to double is applied to the same exact value as the
+    # oracle's BIGINT + 1 (a double-side +1 after conversion could
+    # differ by 1 ulp near rounding boundaries).
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        + 1
+    ).cast("double") / F.lit(_ARES_DENOM)
+    keyed = docs.withColumn("k", -F.log(u) / F.col("n_chars"))
+    return (
+        keyed.orderBy("k", "doc_id")
+        .limit(_ARES_K)
+        .select("doc_id", "n_chars", F.round("k", 6).alias("priority"))
+    )

@@ -289,3 +289,67 @@ def stream_signup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.run_session_window_replay(spark, sf_dir)
+
+
+# Q3 streamed INTO A REAL DATABASE: the reference's Flink -> MySQL
+# changelog-upsert edge (doc/temp.md:317-371) end-to-end through a
+# live JDBC sink. Update-mode micro-batches flow through foreachBatch
+# -> staged MERGE into embedded Derby (one statement per batch, no
+# per-row writes); the returned frame is the final DB table read back
+# over JDBC. Same oracle as `stream_user_totals` — the sink must not
+# change the answer, which is exactly the upsert contract.
+@operator(
+    "stream_user_totals_jdbc",
+    oracle="""
+    SELECT user_id, ROUND(SUM(value),2) AS payment
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_user_totals_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bigdataentrytask_spark.sinks import jdbc_upsert_batch
+    from bigdataentrytask_spark.sources.jdbc import (
+        jvm_jdbc_execute,
+        read_jdbc_table,
+    )
+    from bigdataentrytask_spark.streaming.replay import events_file_stream
+
+    url = "jdbc:derby:memory:stream_upsert;create=true"
+    execute = jvm_jdbc_execute(spark, url)
+    for tbl in ("stream_user_totals", "stream_user_totals__stage"):
+        try:
+            execute(f"DROP TABLE {tbl}")
+        except Exception:
+            pass  # Derby has no DROP TABLE IF EXISTS; 42Y55 is fine
+    execute(
+        'CREATE TABLE stream_user_totals '
+        '("user_id" BIGINT PRIMARY KEY, "payment" DOUBLE)'
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        jdbc_upsert_batch(
+            batch_df,
+            url,
+            "stream_user_totals",
+            key_cols=["user_id"],
+            execute=execute,
+            dialect="merge",
+        )
+
+    events = events_file_stream(spark, sf_dir)
+    q = (
+        jobs.user_totals(events)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ck_user_jdbc_")
+        )
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming JDBC upsert did not finish replay")
+    back = read_jdbc_table(spark, url, "stream_user_totals")
+    return back.select("user_id", "payment").orderBy("user_id")

@@ -215,3 +215,22 @@ def test_table_checksum_detects_mutation(spark, tmp_path):
     assert base["customer"].row_count == after["customer"].row_count
     assert base["customer"].checksum != after["customer"].checksum
     assert base["orders"].checksum == after["orders"].checksum
+
+
+def test_stream_jdbc_and_weighted_sample(spark, duck):
+    """Round-3 late additions: streaming JDBC upsert edge + A-ES."""
+    for name in ("stream_user_totals_jdbc", "weighted_sample_ares"):
+        assert_matches_oracle(
+            REGISTRY[name](spark, SF_DIR), duck, ORACLES[name], name
+        )
+
+
+def test_weighted_sample_favors_long_docs(spark, duck):
+    """The A-ES sample's mean doc length must exceed the corpus mean
+    (weights are n_chars)."""
+    rows = REGISTRY["weighted_sample_ares"](spark, SF_DIR).collect()
+    assert len(rows) == 50
+    corpus_mean = duck.execute(
+        "SELECT AVG(n_chars) FROM documents").fetchone()[0]
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
