@@ -273,3 +273,23 @@ def test_mock_orders_profile_contract_booleans_all_true(spark):
         k: v for k, v in row.asDict().items() if isinstance(v, bool)
     }
     assert flags and all(flags.values()), flags
+
+
+def test_no_row_at_a_time_python_udfs():
+    """Policy guard (README / SURVEY §2.7): the Python boundary is
+    Arrow kernels only (mapInPandas / applyInPandas / pandas_udf) —
+    a row-at-a-time F.udf in the operator library is a regression."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "bigdataentrytask_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        text = p.read_text()
+        for m in re.finditer(r"(?<!pandas_)udf\s*\(", text):
+            line = text[: m.start()].count("\n") + 1
+            snippet = text[max(0, m.start() - 40): m.start() + 20]
+            if "pandas_udf" in snippet or "mapInPandas" in snippet:
+                continue
+            offenders.append(f"{p.name}:{line}")
+    assert not offenders, offenders
