@@ -370,3 +370,48 @@ def nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable-sketch UV: per-day HLL sketches unioned into the period
+# estimate — the INCREMENTAL distinct-count architecture. At 100 TB
+# you never recompute month UV from raw events: each day persists its
+# fixed-size sketch (store it as BINARY next to the daily rollup) and
+# the period estimate is a union over |days| sketches. Same
+# exact+accuracy-gate contract as `approx_distinct_users`: the driver
+# hashes the exact value and the boolean "union estimate within 5%".
+# --------------------------------------------------------------------------
+@operator(
+    "uv_sketch_union_daily",
+    oracle="""
+    SELECT COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+           COUNT(DISTINCT user_id) AS period_exact_uv,
+           TRUE AS union_ok
+    FROM events
+    """,
+)
+def uv_sketch_union_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("d"), "user_id"
+    )
+    daily = ev.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    unioned = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_uv"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("period_exact_uv"))
+    return (
+        unioned.crossJoin(F.broadcast(exact))
+        .select(
+            "n_days",
+            "period_exact_uv",
+            (
+                F.abs(
+                    F.col("approx_uv").cast("double")
+                    / F.col("period_exact_uv").cast("double")
+                    - 1.0
+                )
+                <= 0.05
+            ).alias("union_ok"),
+        )
+    )

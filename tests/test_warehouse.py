@@ -234,3 +234,13 @@ def test_weighted_sample_favors_long_docs(spark, duck):
         "SELECT AVG(n_chars) FROM documents").fetchone()[0]
     sample_mean = sum(r.n_chars for r in rows) / len(rows)
     assert sample_mean > corpus_mean
+
+
+def test_uv_sketch_union(spark, duck):
+    """Daily HLL sketches union to the period UV within tolerance."""
+    assert_matches_oracle(
+        REGISTRY["uv_sketch_union_daily"](spark, SF_DIR), duck,
+        ORACLES["uv_sketch_union_daily"], "uv_sketch_union_daily",
+    )
+    row = REGISTRY["uv_sketch_union_daily"](spark, SF_DIR).collect()[0]
+    assert row.n_days == 30 and row.union_ok
