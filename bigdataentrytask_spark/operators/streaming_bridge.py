@@ -353,3 +353,60 @@ def stream_user_totals_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError("streaming JDBC upsert did not finish replay")
     back = read_jdbc_table(spark, url, "stream_user_totals")
     return back.select("user_id", "payment").orderBy("user_id")
+
+
+# LEFT OUTER stream-stream join: every (sufficiently old) signup with
+# its within-5-minute purchases, or NULLs once the watermark proves no
+# match can arrive. Outer-row emission happens at STATE EVICTION time,
+# which trails the event-time watermark by an engine-internal margin
+# (measured ~30 min on this corpus/batching); the operator therefore
+# closes the books explicitly at max(ts) - 2 HOURS on BOTH engines —
+# the same determinism-bound pattern as the windowed stream oracles'
+# max(ts) - 5s cut, with margin for the eviction lag. Emission
+# verified stable across repeated replays (tests).
+_OUTER_CLOSE = "2 hours"
+
+
+@operator(
+    "stream_signup_attribution_outer",
+    oracle="""
+    WITH closed AS (
+      SELECT user_id, event_id AS signup_id, ts AS s_ts
+      FROM events
+      WHERE event_type = 'signup'
+        AND ts <= (SELECT MAX(ts) FROM events) - INTERVAL 2 HOUR
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.signup_id, p.purchase_id,
+           epoch_us(p.p_ts) - epoch_us(c.s_ts) AS gap_us
+    FROM closed c
+    LEFT JOIN p
+      ON p.user_id = c.user_id
+     AND p.p_ts > c.s_ts
+     AND p.p_ts <= c.s_ts + INTERVAL 5 MINUTE
+    ORDER BY c.user_id, c.signup_id, p.purchase_id
+    """,
+)
+def stream_signup_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+
+    out = jobs.run_stream_stream_outer_replay(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    closed = (
+        ev.filter(F.col("event_type") == "signup")
+        .crossJoin(
+            F.broadcast(ev.agg(F.max("ts").alias("mx")))
+        )
+        .filter(F.col("ts") <= F.col("mx") - F.expr(f"INTERVAL {_OUTER_CLOSE}"))
+        .select(F.col("event_id").alias("signup_id"))
+    )
+    return (
+        out.join(F.broadcast(closed), "signup_id")
+        .select("user_id", "signup_id", "purchase_id", "gap_us")
+        .orderBy("user_id", "signup_id", "purchase_id")
+    )

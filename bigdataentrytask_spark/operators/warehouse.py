@@ -607,3 +607,69 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orders)
         .orderBy("table_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering key (lakehouse data-layout primitive): interleave
+# the bits of two dimension bytes (customer bucket, day bucket) into a
+# 16-bit Morton code, then report per-zbucket locality. The guarantee
+# that makes z-ordering work for multi-dimensional data skipping:
+# every 256-wide z-range (zbucket = z >> 8) touches at most 16
+# distinct values of EACH dimension byte — so files written in z order
+# carry tight min/max on BOTH columns and row-group skipping prunes
+# 2-D predicates. Pure integer bit math at the scan (codegen), one
+# agg on the bounded zbucket domain; at 100 TB the same z expression
+# feeds a repartitionByRange + sortWithinPartitions write.
+# --------------------------------------------------------------------------
+_Z_EPOCH = "1992-01-01"
+
+
+def _z_interleave_sql(a: str, b: str) -> str:
+    terms = []
+    for i in range(8):
+        terms.append(f"(({a} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({b} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@operator(
+    "zorder_locality_stats",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT (o_custkey % 256) AS a,
+             (datediff('day', DATE '{_Z_EPOCH}', o_orderdate) % 256) AS b
+      FROM orders
+    ),
+    z AS (SELECT a, b, {_z_interleave_sql('a', 'b')} AS zval FROM keyed)
+    SELECT CAST(zval // 256 AS BIGINT) AS zbucket,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT a) AS n_cust_bytes,
+           COUNT(DISTINCT b) AS n_day_bytes
+    FROM z
+    GROUP BY 1 ORDER BY zbucket
+    """,
+)
+def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 256).alias("a"),
+        (
+            F.datediff("o_orderdate", F.lit(_Z_EPOCH).cast("date")) % 256
+        ).alias("b"),
+    )
+    zval = None
+    for i in range(8):
+        ta = F.shiftright("a", i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        tb = F.shiftright("b", i).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (2 * i + 1)
+        )
+        zval = ta + tb if zval is None else zval + ta + tb
+    return (
+        o.withColumn("zval", zval)
+        .groupBy((F.col("zval") / 256).cast("bigint").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("a").alias("n_cust_bytes"),
+            F.count_distinct("b").alias("n_day_bytes"),
+        )
+        .orderBy("zbucket")
+    )

@@ -426,3 +426,59 @@ def run_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run(q)
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+def stream_stream_attribution_outer(events: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every signup, with its
+    within-5-minutes purchases when they exist and NULLs when they
+    don't. The outer side is the hard streaming semantics: a signup's
+    null row may only be emitted once the watermark proves no matching
+    purchase can still arrive (state eviction time), so results
+    trickle out as event time advances — availableNow replay emits
+    every outer row whose eviction the final watermark has passed."""
+    s = events.select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
+        "event_type",
+    ).filter(F.col("event_type") == "signup")
+    p = events.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "event_type",
+    ).filter(F.col("event_type") == "purchase")
+    return (
+        s.join(
+            p,
+            (F.col("s_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 5 MINUTES")),
+            "left_outer",
+        )
+        .select(
+            F.col("s_user").alias("user_id"),
+            "signup_id",
+            "purchase_id",
+            (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("gap_us"),
+        )
+    )
+
+
+def run_stream_stream_outer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic replay of the LEFT OUTER stream-stream join."""
+    import uuid
+
+    events = events_file_stream(spark, sf_dir)
+    name = f"ss_outer_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_stream_attribution_outer(events)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_sso_"))
+        .start()
+    )
+    _run(q)
+    return spark.table(name).orderBy("user_id", "signup_id", "purchase_id")

@@ -244,3 +244,28 @@ def test_uv_sketch_union(spark, duck):
     )
     row = REGISTRY["uv_sketch_union_daily"](spark, SF_DIR).collect()[0]
     assert row.n_days == 30 and row.union_ok
+
+
+def test_outer_stream_join_and_zorder(spark, duck):
+    for name in ("stream_signup_attribution_outer", "zorder_locality_stats"):
+        assert_matches_oracle(
+            REGISTRY[name](spark, SF_DIR), duck, ORACLES[name], name
+        )
+
+
+def test_zorder_bucket_locality_bound(spark):
+    """The Morton-code guarantee: a 256-wide z-range touches <= 16
+    distinct values of each interleaved dimension byte."""
+    rows = REGISTRY["zorder_locality_stats"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r.n_cust_bytes <= 16 and r.n_day_bytes <= 16 for r in rows)
+
+
+def test_outer_stream_join_has_null_rows(spark):
+    """The LEFT OUTER replay emits watermark-closed signups without a
+    purchase as NULL rows (the outer semantics, not an inner join)."""
+    rows = REGISTRY["stream_signup_attribution_outer"](spark, SF_DIR).collect()
+    nulls = [r for r in rows if r.purchase_id is None]
+    matched = [r for r in rows if r.purchase_id is not None]
+    assert nulls and len(nulls) > len(matched)
+    assert all(r.gap_us is None for r in nulls)
