@@ -650,3 +650,98 @@ def order_agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-DECIMAL pricing summary: the TPC-H Q1 aggregate re-run in
+# DECIMAL(18,4) end-to-end — the finance-grade arithmetic path. Every
+# money column casts to decimal AT THE SCAN, all products/sums stay
+# decimal (Spark widens precision per SQL rules), and the comparison
+# with DuckDB is EXACT equality — no float rounding fuzz anywhere.
+# Demonstrates that the engine's decimal arithmetic (not just its
+# double path) matches an independent implementation bit-for-bit.
+# --------------------------------------------------------------------------
+@operator(
+    "pricing_summary_decimal",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,4)))            AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,4)))       AS sum_base_price,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4))))    AS sum_disc_price,
+           COUNT(*)                                          AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# NULL-semantics probe: one differential row pinning the engine's NULL
+# contract — aggregates skip NULLs (COUNT(col) vs COUNT(*), SUM/AVG
+# over a partially-NULL column), COUNT(DISTINCT) ignores NULL,
+# null-safe equality, and COALESCE fallback. NULLs are injected
+# deterministically with NULLIF so the probe runs on the pristine
+# fixture. Any engine disagreement on ternary logic shows up as a
+# value mismatch here before it corrupts a real pipeline.
+# --------------------------------------------------------------------------
+@operator(
+    "null_semantics_probe",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             NULLIF(o_orderstatus, 'O') AS st,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT COUNT(*)                                   AS n_rows,
+           COUNT(st)                                  AS n_st_nonnull,
+           COUNT(DISTINCT st)                         AS n_st_distinct,
+           ROUND(SUM(price), 2)                       AS sum_price,
+           ROUND(AVG(price), 6)                       AS avg_price,
+           COUNT(CASE WHEN st IS NULL THEN 1 END)     AS n_null,
+           COUNT(CASE WHEN st IS NOT DISTINCT FROM NULL THEN 1 END)
+                                                      AS n_nullsafe_eq,
+           MIN(COALESCE(st, 'zz'))                    AS min_coalesced
+    FROM t
+    """,
+)
+def null_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("st"),
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("st").alias("n_st_nonnull"),
+        F.count_distinct("st").alias("n_st_distinct"),
+        F.round(F.sum("price"), 2).alias("sum_price"),
+        F.round(F.avg("price"), 6).alias("avg_price"),
+        F.count(F.when(F.col("st").isNull(), 1)).alias("n_null"),
+        F.count(F.when(F.col("st").eqNullSafe(F.lit(None)), 1)).alias(
+            "n_nullsafe_eq"
+        ),
+        F.min(F.coalesce("st", F.lit("zz"))).alias("min_coalesced"),
+    )

@@ -269,3 +269,13 @@ def test_outer_stream_join_has_null_rows(spark):
     matched = [r for r in rows if r.purchase_id is not None]
     assert nulls and len(nulls) > len(matched)
     assert all(r.gap_us is None for r in nulls)
+
+
+def test_decimal_and_null_semantics(spark, duck):
+    for name in ("pricing_summary_decimal", "null_semantics_probe"):
+        assert_matches_oracle(
+            REGISTRY[name](spark, SF_DIR), duck, ORACLES[name], name
+        )
+    row = REGISTRY["null_semantics_probe"](spark, SF_DIR).collect()[0]
+    assert row.n_rows == row.n_st_nonnull + row.n_null
+    assert row.n_null == row.n_nullsafe_eq
