@@ -745,3 +745,99 @@ def null_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min(F.coalesce("st", F.lit("zz"))).alias("min_coalesced"),
     )
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap join (the third temporal-join family beside as-of
+# and point-in-range): 30-min-gap user sessions joined against a
+# fixed daily window (02:00-03:00) on the OVERLAP predicate
+# s_start < w_end AND s_end > w_start. The join key is the calendar
+# date, derived by exploding each session over the days it spans
+# (sequence(date(start), date(end)) — bounded by session length), so
+# midnight-crossing sessions still meet the right day's window and
+# the overlap condition is only a residual — no theta-join blowup.
+# --------------------------------------------------------------------------
+_WIN_FROM_H, _WIN_TO_H = 2, 3
+
+
+@operator(
+    "session_window_overlap",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+      )
+      GROUP BY user_id, sid
+    ),
+    expanded AS (
+      SELECT user_id, s_start, s_end, UNNEST(generate_series(
+               CAST(s_start AS DATE), CAST(s_end AS DATE),
+               INTERVAL 1 DAY))::DATE AS d
+      FROM sess
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS date_str,
+           COUNT(*) AS overlapping_sessions,
+           COUNT(DISTINCT user_id) AS users
+    FROM expanded
+    WHERE s_start < d + INTERVAL {_WIN_TO_H} HOUR
+      AND s_end   > d + INTERVAL {_WIN_FROM_H} HOUR
+    GROUP BY d
+    ORDER BY date_str
+    """,
+)
+def session_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) >= F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.withColumn(
+            "sid",
+            F.sum(new_sess).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    expanded = sess.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(F.to_date("s_start"), F.to_date("s_end"))
+        ).alias("d"),
+    )
+    win_start = F.col("d").cast("timestamp") + F.expr(
+        f"INTERVAL {_WIN_FROM_H} HOURS"
+    )
+    win_end = F.col("d").cast("timestamp") + F.expr(
+        f"INTERVAL {_WIN_TO_H} HOURS"
+    )
+    return (
+        expanded.filter(
+            (F.col("s_start") < win_end) & (F.col("s_end") > win_start)
+        )
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("date_str"))
+        .agg(
+            F.count(F.lit(1)).alias("overlapping_sessions"),
+            F.count_distinct("user_id").alias("users"),
+        )
+        .orderBy("date_str")
+    )
