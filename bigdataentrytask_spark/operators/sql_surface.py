@@ -841,3 +841,57 @@ def session_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("date_str")
     )
+
+
+# --------------------------------------------------------------------------
+# Collection-functions probe: per-user event-type SETS for the two
+# month halves, compared with array set algebra (intersect / except /
+# union). Cardinalities only — set semantics make the result
+# engine-portable regardless of element order. Exercises the
+# array-function surface (collect + distinct + set ops) that backs
+# feature engineering on array columns.
+# --------------------------------------------------------------------------
+@operator(
+    "collection_functions_probe",
+    oracle="""
+    WITH halves AS (
+      SELECT user_id,
+             list_distinct(list_filter(
+               list(CASE WHEN day(ts) <= 15 THEN event_type END),
+               x -> x IS NOT NULL)) AS da,
+             list_distinct(list_filter(
+               list(CASE WHEN day(ts) > 15 THEN event_type END),
+               x -> x IS NOT NULL)) AS db
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           len(da) AS n_first,
+           len(db) AS n_second,
+           len(list_filter(da, x -> list_contains(db, x)))     AS n_common,
+           len(list_filter(da, x -> NOT list_contains(db, x))) AS n_only_first,
+           len(list_distinct(list_concat(da, db)))             AS n_all
+    FROM halves ORDER BY user_id
+    """,
+)
+def collection_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    da = F.array_distinct(
+        F.collect_list(
+            F.when(F.dayofmonth("ts") <= 15, F.col("event_type"))
+        )
+    )
+    db = F.array_distinct(
+        F.collect_list(F.when(F.dayofmonth("ts") > 15, F.col("event_type")))
+    )
+    halves = ev.groupBy("user_id").agg(da.alias("da"), db.alias("db"))
+    return (
+        halves.select(
+            "user_id",
+            F.size("da").alias("n_first"),
+            F.size("db").alias("n_second"),
+            F.size(F.array_intersect("da", "db")).alias("n_common"),
+            F.size(F.array_except("da", "db")).alias("n_only_first"),
+            F.size(F.array_union("da", "db")).alias("n_all"),
+        )
+        .orderBy("user_id")
+    )
