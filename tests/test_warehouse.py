@@ -279,3 +279,19 @@ def test_decimal_and_null_semantics(spark, duck):
     row = REGISTRY["null_semantics_probe"](spark, SF_DIR).collect()[0]
     assert row.n_rows == row.n_st_nonnull + row.n_null
     assert row.n_null == row.n_nullsafe_eq
+
+
+def test_interval_overlap_and_collections(spark, duck):
+    for name in ("session_window_overlap", "collection_functions_probe"):
+        assert_matches_oracle(
+            REGISTRY[name](spark, SF_DIR), duck, ORACLES[name], name
+        )
+
+
+def test_collection_probe_set_identities(spark):
+    """|A ∪ B| = |A| + |B| - |A ∩ B| and |A \\ B| = |A| - |A ∩ B|."""
+    rows = REGISTRY["collection_functions_probe"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_all == r.n_first + r.n_second - r.n_common
+        assert r.n_only_first == r.n_first - r.n_common
