@@ -895,3 +895,43 @@ def collection_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# VARIANT semi-structured path (Spark 4): props parses ONCE into the
+# binary VARIANT encoding (parse_json), fields extract with
+# variant_get — the open-format answer to JSON-string re-parsing per
+# expression. At scale VARIANT columns shred into parquet and field
+# extraction prunes like any other column; here the probe proves the
+# parse -> typed-extract -> aggregate path agrees with a plain JSON
+# oracle. (`props_json_extract` keeps the classic get_json_object
+# surface; this is the typed-variant twin.)
+# --------------------------------------------------------------------------
+@operator(
+    "variant_props_probe",
+    oracle="""
+    SELECT event_type AS channel,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT))      AS sum_k,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 6)
+                                                                AS avg_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT))      AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY channel
+    """,
+)
+def variant_props_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select(F.col("event_type").alias("channel"), k.alias("k"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("channel")
+    )
