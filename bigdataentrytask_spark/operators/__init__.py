@@ -50,3 +50,5 @@ def load_all() -> None:
         warehouse,
         windows_pivot,
     )
+    # evaluation composes other operators' ORACLES — must import last
+    from bigdataentrytask_spark.operators import evaluation  # noqa: F401

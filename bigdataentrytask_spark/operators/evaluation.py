@@ -1,0 +1,96 @@
+"""Model-evaluation operators — composed on top of other registered
+operators, so this module must load LAST (it reads their ORACLES
+entries to build composed differential oracles).
+
+* classifier_eval_metrics — confusion counts + precision / recall /
+  F1 / accuracy of the learned quality classifier
+  (`quality_classifier_score`, prediction = keep) against the
+  heuristic rule labels (`quality_filter` membership = truth): the
+  eval loop every filtered-corpus pipeline runs before swapping a
+  heuristic for a model. The join is on doc_id; the metric rollup is
+  a single 1-row agg — at 100 TB this costs one pass over the scored
+  corpus plus the broadcast of the (much smaller) label set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataentrytask_spark.operators import ORACLES, REGISTRY, operator
+
+
+def _register() -> None:
+    oracle = f"""
+    WITH qc AS ({ORACLES["quality_classifier_score"]}),
+    qf AS ({ORACLES["quality_filter"]}),
+    joined AS (
+      SELECT qc.doc_id, qc.keep AS pred,
+             qf.doc_id IS NOT NULL AS truth
+      FROM qc LEFT JOIN qf ON qf.doc_id = qc.doc_id
+    ),
+    cm AS (
+      SELECT COUNT(CASE WHEN pred AND truth THEN 1 END)         AS tp,
+             COUNT(CASE WHEN pred AND NOT truth THEN 1 END)     AS fp,
+             COUNT(CASE WHEN NOT pred AND truth THEN 1 END)     AS fn,
+             COUNT(CASE WHEN NOT pred AND NOT truth THEN 1 END) AS tn
+      FROM joined
+    )
+    SELECT tp, fp, fn, tn,
+           ROUND(tp / CAST(GREATEST(tp + fp, 1) AS DOUBLE), 6) AS precision,
+           ROUND(tp / CAST(GREATEST(tp + fn, 1) AS DOUBLE), 6) AS recall,
+           ROUND(2.0 * tp / CAST(GREATEST(2 * tp + fp + fn, 1) AS DOUBLE), 6)
+                                                               AS f1,
+           ROUND((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 6)
+                                                               AS accuracy
+    FROM cm
+    """
+
+    @operator("classifier_eval_metrics", oracle=oracle)
+    def classifier_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pred = REGISTRY["quality_classifier_score"](spark, sf_dir).select(
+            "doc_id", F.col("keep").alias("pred")
+        )
+        truth = (
+            REGISTRY["quality_filter"](spark, sf_dir)
+            .select("doc_id")
+            .withColumn("truth", F.lit(True))
+        )
+        joined = pred.join(F.broadcast(truth), "doc_id", "left").select(
+            "pred", F.coalesce("truth", F.lit(False)).alias("truth")
+        )
+        tp = F.count(F.when(F.col("pred") & F.col("truth"), 1))
+        fp = F.count(F.when(F.col("pred") & ~F.col("truth"), 1))
+        fn = F.count(F.when(~F.col("pred") & F.col("truth"), 1))
+        tn = F.count(F.when(~F.col("pred") & ~F.col("truth"), 1))
+        cm = joined.agg(
+            tp.alias("tp"), fp.alias("fp"), fn.alias("fn"), tn.alias("tn")
+        )
+        g = lambda c: F.greatest(c, F.lit(1)).cast("double")  # noqa: E731
+        return cm.select(
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            F.round(F.col("tp") / g(F.col("tp") + F.col("fp")), 6).alias(
+                "precision"
+            ),
+            F.round(F.col("tp") / g(F.col("tp") + F.col("fn")), 6).alias(
+                "recall"
+            ),
+            F.round(
+                2.0 * F.col("tp")
+                / g(2 * F.col("tp") + F.col("fp") + F.col("fn")),
+                6,
+            ).alias("f1"),
+            F.round(
+                (F.col("tp") + F.col("tn"))
+                / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("accuracy"),
+        )
+
+
+_register()

@@ -295,3 +295,13 @@ def test_collection_probe_set_identities(spark):
     for r in rows:
         assert r.n_all == r.n_first + r.n_second - r.n_common
         assert r.n_only_first == r.n_first - r.n_common
+
+
+def test_classifier_eval_metrics(spark, duck):
+    assert_matches_oracle(
+        REGISTRY["classifier_eval_metrics"](spark, SF_DIR), duck,
+        ORACLES["classifier_eval_metrics"], "classifier_eval_metrics",
+    )
+    row = REGISTRY["classifier_eval_metrics"](spark, SF_DIR).collect()[0]
+    assert row.tp + row.fp + row.fn + row.tn == 500
+    assert 0.0 <= row.f1 <= 1.0 and 0.0 <= row.accuracy <= 1.0
