@@ -12,139 +12,75 @@ register themselves into ``operators.REGISTRY`` / ``ORACLES``
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 from bigdataentrytask_spark.operators import ORACLES, REGISTRY, load_all
 
 load_all()
 
-# Registry emission order. The driver's correctness sweep covers the first 50
-# entries in dict order, so ordering is part of the contract. Round-3 rotation:
-# (a) the 29 operators with no CORRECTNESS row in r1 OR r2 (TPC-H join suite,
-# stateful streaming, new ANN/clustering, contamination/text, timeseries),
-# (b) segment_top_balances — r2's only red row, output contract fixed from an
-# ARRAY column to exploded (segment, rnk, balance) rows,
-# (c) 20 rotation picks whose last green row dates from round 1 — stalest
-# signal first. Operators added after this list was written slot in next;
-# everything with a recent (r1/r2) green row closes the list.
-_PRIORITY = [
-    # (a) never driver-checked — ANN / clustering
-    "semdedup_resolve",
-    "knn_lsh_multiprobe",
-    "kmeans_step",
-    "knn_ivf_kmeans",
-    # (a) never driver-checked — stateful Structured Streaming
-    "stream_ohlc_minute",
-    "stream_dedup_exactly_once",
-    "stream_sessionize_stateful",
-    "stream_signup_attribution",
-    # (a) never driver-checked — corpus / text analysis
-    "ngram_contamination",
-    "dup_ngram_share",
-    "doc_word_chunks",
-    "inverted_index",
-    "vocab_coverage",
-    "lm_surprisal_score",
-    # (a) never driver-checked — timeseries + SQL surface
-    "events_gap_fill",
-    "events_ohlc_hour",
-    "order_agg_extras",
-    # (a) never driver-checked — TPC-H-shaped join suite
-    "q3_shipping_priority",
-    "q4_priority_checks",
-    "q5_local_supplier_volume",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q22_dormant_customers",
-    # (b) r2 harness crash, output shape fixed
-    "segment_top_balances",
-    # (d) round-3 additions: the 9 TPC-H shapes that complete the
-    # 22-query suite (adapted to the fixture schema) — never checked
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_late_priority_mix",
-    "q13_customer_distribution",
-    "q20_heavy_suppliers",
-    "q21_waiting_suppliers",
-    # (d) round-3 additions: live source/sink round-trip edges
-    # (S8 append, S9+S5 bucketed ORC, S10 streaming landing)
-    "jdbc_append_roundtrip",
-    "bucketed_orc_join",
-    "file_landing_roundtrip",
-    # (d) round-3 addition from the image-header-decode commit
-    "multimodal_image_probe",
-    # (d) S1/S2 generator contract — rows-only (xxhash64 has no DuckDB
-    # twin; the result row carries the contract booleans)
-    "mock_orders_profile",
-    # (d) corpus-curation decision layer (round-3 additions)
-    "quality_classifier_score",
-    "shard_manifest",
-    "heavy_hitter_tokens",
-    # (d) native session-window streaming agg (round-3 addition)
-    "stream_session_window",
-    # (d) late round-3 additions: new operator families
-    "name_typo_pairs",
-    "segment_price_trend",
-]
+# Registry emission order — the driver's correctness sweep covers the
+# first 50 entries in dict order, so ordering is part of the contract.
+# Round 2's lesson: a hand-maintained priority list goes stale the
+# moment operators are added, so the order is now DERIVED from the
+# recorded driver results themselves:
+#   1. red rows first (a prior sweep ran the query and it failed or
+#      crashed the harness — the fix needs a fresh row),
+#   2. then operators with NO row in any CORRECTNESS_r*.json
+#      (never driver-checked), in registry order,
+#   3. then greens, stalest round first (their signal is on file;
+#      re-validation rotates through them as slots allow).
+# _PIN is a manual escape hatch: names listed there go absolutely
+# first (normally empty).
+_PIN: list[str] = []
+
+
+def _driver_status() -> dict[str, tuple[int, bool]]:
+    """name -> (round of latest row, row was green). A row is green if
+    it produced no error and nothing compared false (rows-only checks
+    count as green: rows_match true, hash_match null)."""
+    status: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
+            data = json.load(open(path))
+        except Exception:
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            ok = (
+                row.get("err") is None
+                and row.get("rows_match") is not False
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            status[name] = (rnd, ok)
+    return status
 
 
 def _ordered(mapping: dict) -> dict:
-    listed = [n for n in _PRIORITY if n in mapping]
-    new = [n for n in mapping if n not in _PRIORITY and n not in _RECENT_GREEN]
-    rest = [n for n in mapping if n in _RECENT_GREEN and n not in _PRIORITY]
-    return {n: mapping[n] for n in (*listed, *new, *rest)}
-
-
-# Entries with a green driver row in r1 or r2 that are not in this round's
-# rotation — re-checked last (their signal is already on file).
-_RECENT_GREEN = frozenset({
-    "q1_daily_uv_payment", "q2_tumble_minute", "q3_user_payment",
-    "q4_channel_payment", "b1_hourly_uv_distinct", "knn_ivf_label",
-    "regional_revenue", "priority_revenue", "pricing_summary",
-    "embedding_norms", "multimodal_resize_plan", "latest_event_per_user",
-    "multimodal_decode", "topk_orders_per_segment", "sql_correlated_subquery",
-    "knn_bruteforce",
-    "jaccard_pairs", "simhash_pairs",
-    "asof_purchase_attribution",
-    "approx_distinct_users", "b1_hourly_uv", "b2_trailing_window",
-    "chunk_dedup_corpus", "cohort_retention", "cube_status_priority",
-    "customers_with_orders", "customers_without_urgent_orders",
-    "daily_channel_pivot", "daily_channel_unpivot", "dataset_mix",
-    "decontaminate_ngram", "dedup_cluster_sizes", "dedup_resolve",
-    "doc_fingerprint", "embedding_hof_stats", "embedding_label_centroids",
-    "embedding_neardup_lsh", "embedding_neardup_pairs", "embedding_quantize",
-    "events_rate_anomaly", "funnel_view_click_purchase",
-    "grouping_sets_orders", "jdbc_roundtrip", "jdbc_upsert_roundtrip",
-    "knn_lsh", "lang_id", "llm_token_estimate", "minhash_dedup",
-    "multimodal_frame_sample", "multimodal_meta_stats",
-    "nation_customer_stats", "order_date_exprs", "order_price_histogram",
-    "order_value_bands", "order_window_functions", "part_string_funcs",
-    "pii_scrub", "profile_orders", "props_json_extract",
-    "q1_cumulative_minute", "quality_filter", "repetition_ratio",
-    "rollup_revenue", "running_revenue_per_customer", "salted_user_payment",
-    "scalar_time_exprs", "segment_percentiles", "segment_percentiles_approx",
-    "sequence_pack", "setops_urgent_low", "signup_purchase_within_5m",
-    "sliding_window_5m_1m", "status_extreme_orders", "stratified_sample",
-    "stream_channel_weighted", "stream_daily_uv", "stream_sliding_5m",
-    "stream_tumble_minute", "stream_user_totals", "text_quality",
-    "text_token_stats", "tfidf_top_term", "top_bigrams",
-    "trailing_hour_user_revenue", "train_test_split", "user_sessions",
-})
+    status = _driver_status()
+    pinned = [n for n in _PIN if n in mapping]
+    red = [
+        n for n in mapping
+        if n not in pinned and n in status and not status[n][1]
+    ]
+    unchecked = [n for n in mapping if n not in pinned and n not in status]
+    greens = sorted(
+        (n for n in mapping
+         if n not in pinned and n in status and status[n][1]),
+        key=lambda n: status[n][0],
+    )
+    return {n: mapping[n] for n in (*pinned, *red, *unchecked, *greens)}
 
 
 def entry(spark: SparkSession) -> DataFrame:
