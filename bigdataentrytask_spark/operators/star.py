@@ -415,3 +415,114 @@ def uv_sketch_union_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("union_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch: per-key frequency estimates from one fixed-size
+# distributed aggregate (F.count_min_sketch -> 112 KB binary for
+# eps=1e-3), probed over the BOUNDED user domain. CMS guarantees
+# est >= exact, and est <= exact + eps*N with high probability; the
+# fixed seed makes the sketch — and therefore the gate booleans —
+# fully deterministic for a given corpus. At 100 TB the sketch is the
+# thing you persist/merge per partition (same mergeable-sketch
+# architecture as `uv_sketch_union_daily`); the probe loop is O(keys)
+# over a dimension-sized domain, never the fact table.
+# --------------------------------------------------------------------------
+_CMS_EPS, _CMS_CONF, _CMS_SEED = 0.001, 0.99, 42
+
+
+@operator(
+    "cms_user_event_counts",
+    oracle="""
+    SELECT user_id, COUNT(*) AS exact_cnt, TRUE AS cms_ok
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sk_bytes = ev.agg(
+        F.count_min_sketch(
+            "user_id", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
+        ).alias("sk")
+    ).collect()[0].sk
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_bytes)
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .collect()
+    )
+    total = sum(r.exact_cnt for r in exact)
+    slack = max(1, int(2 * _CMS_EPS * total))
+    rows = []
+    for r in sorted(exact, key=lambda r: r.user_id):
+        est = cms.estimateCount(jvm.java.lang.Long(int(r.user_id)))
+        ok = r.exact_cnt <= est <= r.exact_cnt + slack
+        rows.append((int(r.user_id), int(r.exact_cnt), bool(ok)))
+    return spark.createDataFrame(
+        rows, "user_id long, exact_cnt long, cms_ok boolean"
+    ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership: build over the orders FK side (distributed
+# scan -> fixed-size filter), probe the full customer dimension. The
+# contract under test: NO false negatives ever (every customer with
+# orders must be contained — a Bloom guarantee, not a probability),
+# and the false-positive rate on customers without orders stays near
+# the configured fpp. This is the runtime-filter / semi-join-pruning
+# primitive: ship the filter to the fact scan and drop non-matching
+# rows before the shuffle.
+# --------------------------------------------------------------------------
+_BLOOM_FPP = 0.01
+
+
+@operator(
+    "bloom_membership_probe",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM customer) AS n_customers,
+           (SELECT COUNT(*) FROM customer c
+             WHERE EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey))
+                                            AS n_with_orders,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_ok
+    """,
+)
+def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    # size the filter from the actual key cardinality (the production
+    # pattern: estimate first, then build) — a fixed expectedNumItems
+    # saturates at larger scale factors and blows the fp rate
+    n_keys = orders.select("o_custkey").distinct().count()
+    bf = orders._jdf.stat().bloomFilter(
+        "o_custkey", max(64, n_keys), _BLOOM_FPP
+    )
+    with_orders = {
+        r.c_custkey
+        for r in customer.join(
+            orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+            "c_custkey",
+            "left_semi",
+        ).collect()
+    }
+    all_keys = [r.c_custkey for r in customer.select("c_custkey").collect()]
+    fn = sum(
+        1 for k in with_orders if not bf.mightContain(int(k))
+    )
+    without = [k for k in all_keys if k not in with_orders]
+    fp = sum(1 for k in without if bf.mightContain(int(k)))
+    fp_rate = fp / max(1, len(without))
+    return spark.createDataFrame(
+        [(
+            len(all_keys),
+            len(with_orders),
+            fn == 0,
+            bool(fp_rate <= 5 * _BLOOM_FPP),
+        )],
+        "n_customers long, n_with_orders long, "
+        "no_false_negatives boolean, fp_ok boolean",
+    )

@@ -305,3 +305,15 @@ def test_classifier_eval_metrics(spark, duck):
     row = REGISTRY["classifier_eval_metrics"](spark, SF_DIR).collect()[0]
     assert row.tp + row.fp + row.fn + row.tn == 500
     assert 0.0 <= row.f1 <= 1.0 and 0.0 <= row.accuracy <= 1.0
+
+
+def test_sketch_probes(spark, duck):
+    """CMS + Bloom: oracle match and the probability-gate booleans."""
+    for name in ("cms_user_event_counts", "bloom_membership_probe"):
+        assert_matches_oracle(
+            REGISTRY[name](spark, SF_DIR), duck, ORACLES[name], name
+        )
+    cms = REGISTRY["cms_user_event_counts"](spark, SF_DIR).collect()
+    assert all(r.cms_ok for r in cms)
+    b = REGISTRY["bloom_membership_probe"](spark, SF_DIR).collect()[0]
+    assert b.no_false_negatives and b.fp_ok
