@@ -935,3 +935,101 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sessions").desc(), "path")
         .limit(_PATH_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Experimentation analytics: deterministic A/B assignment (md5 parity
+# of user_id — the stable hash-bucketing every experiment platform
+# uses) and the two-proportion z-test on purchase conversion. One
+# pass to per-user conversion flags (conversion = a high-value
+# purchase, value >= 95 — every user purchases SOMETHING in 30 days,
+# which would degenerate the pooled SE to zero), one 2-row agg, one
+# 1-row test
+# computation; the z statistic and significance verdict are part of
+# the differential contract (sqrt/division only — engine-exact at
+# 6 decimals).
+# --------------------------------------------------------------------------
+@operator(
+    "ab_test_conversion_ztest",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+               AS grp,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 95
+                      THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT grp, COUNT(*) AS n, SUM(converted) AS conv
+      FROM assigned GROUP BY grp
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN grp = 0 THEN n END)    AS n_a,
+             MAX(CASE WHEN grp = 0 THEN conv END) AS conv_a,
+             MAX(CASE WHEN grp = 1 THEN n END)    AS n_b,
+             MAX(CASE WHEN grp = 1 THEN conv END) AS conv_b
+      FROM g
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           ROUND(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           ROUND(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           ROUND(
+             (conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+             / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score,
+           abs((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+             / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+    FROM w
+    """,
+)
+def ab_test_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    grp = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 2
+    )
+    assigned = ev.groupBy("user_id").agg(
+        F.first(grp).alias("grp"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 95),
+                1,
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+    g = assigned.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    ra = F.col("conv_a") / F.col("n_a").cast("double")
+    rb = F.col("conv_b") / F.col("n_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pool * (1 - pool)
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    z = (ra - rb) / se
+    return w.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
