@@ -468,3 +468,118 @@ def multimodal_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, fmt string, channels long, sample_rate long, "
         "bits long, n_samples long, duration_ms long",
     )
+
+
+# --------------------------------------------------------------------------
+# Real MP4 container walk: synthesize a minimal-but-structurally-valid
+# ISO-BMFF box tree per document column-side (ftyp + moov/mvhd, sizes
+# and fields hex-built from the text), then parse it back with a REAL
+# pure-Python box walker inside mapInPandas — same pattern as
+# `multimodal_image_probe` (PNG/JPEG/GIF) and `multimodal_audio_probe`
+# (WAV/RIFF). The oracle recomputes (brand, timescale, duration_ms)
+# straight from the text, so the walker must invert the synthesis
+# exactly, integer division included.
+# --------------------------------------------------------------------------
+_MP4_TIMESCALE = 600
+_MP4_UNITS_PER_CHAR = 24
+
+
+def decode_video_real(payload: bytes) -> dict:
+    """Walk top-level ISO-BMFF boxes (size + fourcc), read the major
+    brand from `ftyp` and (timescale, duration) from `moov`/`mvhd`.
+    Frame-level decode would plug ffmpeg here — callers only depend on
+    the returned shape."""
+    i, brand, timescale, duration = 0, None, None, None
+    n = len(payload)
+    while i + 8 <= n:
+        size = int.from_bytes(payload[i : i + 4], "big")
+        fourcc = payload[i + 4 : i + 8]
+        if size < 8 or i + size > n:
+            break
+        body = payload[i + 8 : i + size]
+        if fourcc == b"ftyp" and len(body) >= 4:
+            brand = body[:4].decode("ascii", "replace")
+        elif fourcc == b"moov":
+            j = 0
+            while j + 8 <= len(body):
+                bsize = int.from_bytes(body[j : j + 4], "big")
+                bcc = body[j + 4 : j + 8]
+                if bsize < 8 or j + bsize > len(body):
+                    break
+                if bcc == b"mvhd":
+                    full = body[j + 8 : j + bsize]
+                    # version(1) flags(3) ctime(4) mtime(4) then
+                    # timescale(4) duration(4) — v0 layout
+                    if len(full) >= 20:
+                        timescale = int.from_bytes(full[12:16], "big")
+                        duration = int.from_bytes(full[16:20], "big")
+                j += bsize
+        i += size
+    if brand is None or not timescale:
+        raise ValueError("not an ISO-BMFF container (ftyp/moov missing)")
+    return {
+        "format": "mp4",
+        "brand": brand,
+        "timescale": timescale,
+        "duration_ms": duration * 1000 // timescale,
+    }
+
+
+def _video_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        metas = [decode_video_real(bytes(b)) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fmt": [m["format"] for m in metas],
+                "brand": [m["brand"] for m in metas],
+                "timescale": [m["timescale"] for m in metas],
+                "duration_ms": [m["duration_ms"] for m in metas],
+            }
+        )
+
+
+@operator(
+    "multimodal_video_probe",
+    oracle=f"""
+    SELECT doc_id,
+           'mp4' AS fmt,
+           CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+           CAST({_MP4_TIMESCALE} AS BIGINT) AS timescale,
+           CAST(n_chars * {_MP4_UNITS_PER_CHAR} * 1000
+                // {_MP4_TIMESCALE} AS BIGINT) AS duration_ms
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    brand_hex = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("69736F6D")  # 'isom'
+    ).otherwise(F.lit("6D703432"))  # 'mp42'
+    duration = F.col("n_chars") * _MP4_UNITS_PER_CHAR
+    dur_hex = F.lpad(F.hex(duration.cast("bigint")), 8, "0")
+    ts_hex = F.lpad(F.hex(F.lit(_MP4_TIMESCALE)), 8, "0")
+    # ftyp box: size 16 = hdr(8) + brand(4) + minor(4)
+    ftyp = F.concat(F.lit("00000010" + "66747970"), brand_hex, F.lit("00000000"))
+    # mvhd full box, v0, truncated at duration: hdr(8) + 20 bytes body
+    mvhd = F.concat(
+        F.lit("0000001C" + "6D766864" + "00000000"  # version+flags
+              + "00000000" + "00000000"),           # ctime, mtime
+        ts_hex,
+        dur_hex,
+    )
+    # moov box wrapping mvhd: size 8 + 28 = 36
+    moov = F.concat(F.lit("00000024" + "6D6F6F76"), mvhd)
+    payload = F.unhex(F.concat(ftyp, moov))
+    pruned = d.select("doc_id", payload.alias("payload"))
+    return (
+        pruned.mapInPandas(
+            _video_batches,
+            schema=(
+                "doc_id long, fmt string, brand string, "
+                "timescale long, duration_ms long"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -142,3 +142,33 @@ def test_multimodal_audio_probe_oracle(spark, duck):
         ORACLES["multimodal_audio_probe"],
         "multimodal_audio_probe",
     )
+
+
+def test_decode_video_real_walks_boxes():
+    """Unit: the box walker inverts a hand-built ISO-BMFF payload and
+    rejects a non-container."""
+    import pytest as _pytest
+
+    from bigdataentrytask_spark.operators.multimodal import decode_video_real
+
+    ftyp = (16).to_bytes(4, "big") + b"ftyp" + b"mp42" + b"\x00" * 4
+    mvhd_body = b"\x00" * 12 + (600).to_bytes(4, "big") + (1200).to_bytes(4, "big")
+    mvhd = (8 + len(mvhd_body)).to_bytes(4, "big") + b"mvhd" + mvhd_body
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    meta = decode_video_real(ftyp + moov)
+    assert meta == {
+        "format": "mp4", "brand": "mp42", "timescale": 600,
+        "duration_ms": 2000,
+    }
+    with _pytest.raises(ValueError):
+        decode_video_real(b"not a video at all")
+
+
+def test_video_probe_matches_oracle(spark, duck):
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    assert_matches_oracle(
+        REGISTRY["multimodal_video_probe"](spark, SF_DIR), duck,
+        ORACLES["multimodal_video_probe"], "multimodal_video_probe",
+    )
