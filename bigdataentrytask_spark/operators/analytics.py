@@ -1033,3 +1033,110 @@ def ab_test_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier): orders that are dominated by no other
+# order on (cheaper-or-equal price, newer-or-equal date) with at least
+# one strict. The classic OLAP skyline operator — computed with the
+# SORT-SWEEP plan (order by price asc, keep rows whose date beats the
+# running max of everything cheaper), NOT the quadratic NOT EXISTS
+# self-join; the oracle IS the quadratic definition, so the sweep's
+# equivalence is part of the differential contract. One global sort of
+# (price, date) pairs — at 100 TB the sweep runs per range-partition
+# with a second pass over the per-partition frontiers (documented;
+# same algorithm shape).
+# --------------------------------------------------------------------------
+@operator(
+    "order_skyline_2d",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice, 2) AS price,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders d
+      WHERE d.o_totalprice <= o.o_totalprice
+        AND d.o_orderdate >= o.o_orderdate
+        AND (d.o_totalprice < o.o_totalprice
+             OR d.o_orderdate > o.o_orderdate)
+    )
+    ORDER BY price
+    """,
+)
+def order_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    # sweep over DISTINCT prices: per price, the best (max) date; a
+    # price level is on the frontier iff its best date strictly beats
+    # the best date of every strictly-cheaper level (rows-frame over
+    # the distinct-price relation = exact strict prefix; a rows or
+    # range frame over the raw table would mix equal/near prices into
+    # the prefix). Rows at a frontier price survive iff they carry
+    # that price's best date (equal-price older rows are dominated).
+    g = o.groupBy("o_totalprice").agg(F.max("o_orderdate").alias("best_d"))
+    wg = Window.orderBy("o_totalprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g = g.withColumn("best_prev", F.max("best_d").over(wg))
+    frontier_levels = g.filter(
+        F.col("best_prev").isNull() | (F.col("best_d") > F.col("best_prev"))
+    )
+    frontier = o.join(
+        F.broadcast(frontier_levels), "o_totalprice"
+    ).filter(F.col("o_orderdate") == F.col("best_d"))
+    return frontier.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    ).orderBy("price")
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average value (TWAP shape): each event's value "holds"
+# until the user's next event; the per-user average weights each value
+# by its holding duration — the standard financial/telemetry mean that
+# plain AVG gets wrong under irregular sampling. One lead() window per
+# user (bounded partitions) + one keyed agg; integer microsecond
+# durations keep the weights exact, the single final division is the
+# only float step.
+# --------------------------------------------------------------------------
+@operator(
+    "user_time_weighted_value",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value,
+             epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+             - epoch_us(ts) AS dur_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(dur_us) AS BIGINT) AS total_us,
+           ROUND(SUM(value * dur_us) / SUM(dur_us), 6) AS twa_value
+    FROM seq WHERE dur_us IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn(
+        "dur_us",
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur_us").cast("bigint").alias("total_us"),
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6
+            ).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -317,3 +317,25 @@ def test_sketch_probes(spark, duck):
     assert all(r.cms_ok for r in cms)
     b = REGISTRY["bloom_membership_probe"](spark, SF_DIR).collect()[0]
     assert b.no_false_negatives and b.fp_ok
+
+
+def test_skyline_and_twap(spark, duck):
+    for name in ("order_skyline_2d", "user_time_weighted_value"):
+        assert_matches_oracle(
+            REGISTRY[name](spark, SF_DIR), duck, ORACLES[name], name
+        )
+
+
+def test_skyline_is_mutually_nondominating(spark):
+    """No frontier row dominates another (both frontier invariants)."""
+    rows = REGISTRY["order_skyline_2d"](spark, SF_DIR).collect()
+    assert rows
+    for a in rows:
+        for b in rows:
+            if a.o_orderkey == b.o_orderkey:
+                continue
+            dominated = (
+                b.price <= a.price and b.order_date >= a.order_date
+                and (b.price < a.price or b.order_date > a.order_date)
+            )
+            assert not dominated, (a, b)
