@@ -252,3 +252,69 @@ def test_stream_session_window_oracle(spark, duck):
     assert_matches_oracle(
         df, duck, ORACLES["stream_session_window"], "stream_session_window"
     )
+
+
+def test_stream_jdbc_upsert_restart_is_idempotent(spark):
+    """Checkpoint-resume semantics: re-running the availableNow replay
+    against the SAME checkpoint finds no new data, triggers no new
+    micro-batches, and leaves the Derby table byte-identical — the
+    exactly-once contract of the foreachBatch MERGE sink."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.sinks import jdbc_upsert_batch
+    from bigdataentrytask_spark.sources.jdbc import (
+        jvm_jdbc_execute,
+        read_jdbc_table,
+    )
+    from bigdataentrytask_spark.streaming import jobs
+    from bigdataentrytask_spark.streaming.replay import events_file_stream
+    from tests.conftest import SF_DIR
+
+    url = "jdbc:derby:memory:restart_upsert;create=true"
+    execute = jvm_jdbc_execute(spark, url)
+    for tbl in ("rst_totals", "rst_totals__stage"):
+        try:
+            execute(f"DROP TABLE {tbl}")
+        except Exception:
+            pass
+    execute(
+        'CREATE TABLE rst_totals ("user_id" BIGINT PRIMARY KEY, "payment" DOUBLE)'
+    )
+    ck = tempfile.mkdtemp(prefix="ck_rst_")
+    batches = []
+
+    def sink(batch_df, batch_id):
+        batches.append(batch_id)
+        jdbc_upsert_batch(
+            batch_df, url, "rst_totals", key_cols=["user_id"],
+            execute=execute, dialect="merge",
+        )
+
+    def run_once():
+        q = (
+            jobs.user_totals(events_file_stream(spark, SF_DIR))
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    run_once()
+    first = sorted(
+        (r.user_id, r.payment)
+        for r in read_jdbc_table(spark, url, "rst_totals").collect()
+    )
+    n_batches_first = len(batches)
+    assert first and n_batches_first >= 1
+
+    run_once()  # same checkpoint: no new files -> no data batches
+    second = sorted(
+        (r.user_id, r.payment)
+        for r in read_jdbc_table(spark, url, "rst_totals").collect()
+    )
+    assert second == first
+    assert len(batches) == n_batches_first  # nothing re-processed
