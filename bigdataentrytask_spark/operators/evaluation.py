@@ -94,3 +94,56 @@ def _register() -> None:
 
 
 _register()
+
+
+# --------------------------------------------------------------------------
+# Survivorship after entity resolution (the MDM "golden record" step):
+# for each duplicate cluster from `dedup_resolve`, merge the members'
+# metadata onto the canonical survivor — member count, total chars,
+# distinct sources, and the id range absorbed. Composes the resolve
+# operator (and its recursive-CTE oracle) verbatim; the merge itself
+# is one join on doc_id + one agg on the component key.
+# --------------------------------------------------------------------------
+def _register_survivorship() -> None:
+    oracle = f"""
+    WITH resolved AS ({ORACLES["dedup_resolve"]}),
+    enriched AS (
+      SELECT r.component, r.doc_id, d.n_chars, d.source
+      FROM resolved r JOIN documents d ON d.doc_id = r.doc_id
+    )
+    SELECT component AS survivor_doc,
+           COUNT(*) AS n_members,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT source) AS n_sources,
+           MAX(doc_id) AS max_member_doc
+    FROM enriched
+    GROUP BY component
+    HAVING COUNT(*) > 1
+    ORDER BY survivor_doc
+    """
+
+    @operator("dedup_survivorship", oracle=oracle)
+    def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bigdataentrytask_spark.catalog import load_table
+
+        resolved = REGISTRY["dedup_resolve"](spark, sf_dir).select(
+            "doc_id", "component"
+        )
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars", "source"
+        )
+        return (
+            resolved.join(docs, "doc_id")
+            .groupBy(F.col("component").alias("survivor_doc"))
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.sum("n_chars").cast("bigint").alias("total_chars"),
+                F.count_distinct("source").alias("n_sources"),
+                F.max("doc_id").alias("max_member_doc"),
+            )
+            .filter(F.col("n_members") > 1)
+            .orderBy("survivor_doc")
+        )
+
+
+_register_survivorship()

@@ -339,3 +339,14 @@ def test_skyline_is_mutually_nondominating(spark):
                 and (b.price < a.price or b.order_date > a.order_date)
             )
             assert not dominated, (a, b)
+
+
+def test_dedup_survivorship(spark, duck):
+    assert_matches_oracle(
+        REGISTRY["dedup_survivorship"](spark, SF_DIR), duck,
+        ORACLES["dedup_survivorship"], "dedup_survivorship",
+    )
+    rows = REGISTRY["dedup_survivorship"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_members > 1 and r.survivor_doc <= r.max_member_doc
