@@ -1140,3 +1140,83 @@ def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Revenue inequality (Gini coefficient + top-decile share): how
+# concentrated is revenue across customers — the whale-dependence
+# metric behind every marketplace health dashboard. Exact integer
+# formulation: per-customer revenue in cents, ranked ascending
+# (custkey tie-break), G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n. All
+# rank/sum math is integer until the two final divisions, so both
+# engines agree exactly. The rank window runs over |customers| rows
+# (dimension-sized, not the fact); at 100 TB revenue-per-customer is
+# an incrementally maintained aggregate and this op reads it.
+# --------------------------------------------------------------------------
+@operator(
+    "customer_revenue_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(cents) OVER () AS total
+      FROM rev
+    ),
+    topd AS (
+      SELECT SUM(CASE WHEN i > n - n // 10 THEN cents ELSE 0 END)
+               AS top_cents
+      FROM ranked
+    )
+    SELECT MAX(n) AS n_customers,
+           CAST(MAX(total) AS BIGINT) AS total_cents,
+           ROUND(2.0 * SUM(i * cents) / (MAX(n) * MAX(total))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini,
+           ROUND((SELECT top_cents FROM topd)
+                 / CAST(MAX(total) AS DOUBLE), 6) AS top_decile_share
+    FROM ranked
+    """,
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    totals = rev.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("cents").alias("_total")
+    )
+    flagged = ranked.crossJoin(F.broadcast(totals)).withColumn(
+        "in_top",
+        F.col("i")
+        > F.col("_n") - F.floor(F.col("_n") / 10).cast("bigint"),
+    )
+    return flagged.groupBy("_n", "_total").agg(
+        F.sum(F.col("i") * F.col("cents")).alias("_ix"),
+        F.sum(F.when(F.col("in_top"), F.col("cents")).otherwise(0)).alias(
+            "_top"
+        ),
+    ).select(
+        F.col("_n").alias("n_customers"),
+        F.col("_total").cast("bigint").alias("total_cents"),
+        F.round(
+            2.0 * F.col("_ix") / (F.col("_n") * F.col("_total"))
+            - (F.col("_n") + 1.0) / F.col("_n"),
+            6,
+        ).alias("gini"),
+        F.round(F.col("_top") / F.col("_total").cast("double"), 6).alias(
+            "top_decile_share"
+        ),
+    )

@@ -23,7 +23,7 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdataentrytask_spark.catalog import load_table
@@ -144,4 +144,62 @@ def events_ohlc_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
         .orderBy("event_type", "hour")
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval concurrency (order backlog): how many orders are "open" on
+# each day — opened at o_orderdate, closed at the order's last
+# lineitem shipdate. The classic concurrent-intervals pattern: fold
+# every interval into (+1 at open, -1 after close) delta events, one
+# keyed agg to per-day net deltas, one cumulative window over the
+# (tiny) day domain. Never a day x interval join — the fact is
+# touched twice (open scan, close agg) and everything after is
+# |days|-sized.
+# --------------------------------------------------------------------------
+@operator(
+    "order_backlog_timeseries",
+    oracle="""
+    WITH closes AS (
+      SELECT l_orderkey AS okey, MAX(l_shipdate) AS close_d
+      FROM lineitem GROUP BY 1
+    ),
+    deltas AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, 1 AS delta
+      FROM orders JOIN closes ON okey = o_orderkey
+      UNION ALL
+      SELECT CAST(close_d AS DATE) + 1, -1
+      FROM orders JOIN closes ON okey = o_orderkey
+    ),
+    daily AS (SELECT d, SUM(delta) AS net FROM deltas GROUP BY d)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(SUM(net) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_orders
+    FROM daily
+    ORDER BY day
+    """,
+)
+def order_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    closes = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.max("l_shipdate").alias("close_d"))
+    )
+    spans = orders.join(closes, "o_orderkey")
+    opens = spans.select(F.to_date("o_orderdate").alias("d"), F.lit(1).alias("delta"))
+    shuts = spans.select(
+        F.date_add(F.to_date("close_d"), 1).alias("d"), F.lit(-1).alias("delta")
+    )
+    daily = (
+        opens.unionByName(shuts)
+        .groupBy("d")
+        .agg(F.sum("delta").alias("net"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.withColumn("open_orders", F.sum("net").over(w).cast("bigint"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "open_orders")
+        .orderBy("day")
     )

@@ -350,3 +350,16 @@ def test_dedup_survivorship(spark, duck):
     assert rows
     for r in rows:
         assert r.n_members > 1 and r.survivor_doc <= r.max_member_doc
+
+
+def test_backlog_and_gini(spark, duck):
+    for name in ("order_backlog_timeseries", "customer_revenue_gini"):
+        assert_matches_oracle(
+            REGISTRY[name](spark, SF_DIR), duck, ORACLES[name], name
+        )
+    g = REGISTRY["customer_revenue_gini"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= g.gini <= 1.0
+    assert 0.1 <= g.top_decile_share <= 1.0
+    backlog = REGISTRY["order_backlog_timeseries"](spark, SF_DIR).collect()
+    assert backlog[-1].open_orders == 0  # every order eventually ships
+    assert max(r.open_orders for r in backlog) > 0
