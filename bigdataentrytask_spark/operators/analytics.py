@@ -1220,3 +1220,81 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_decile_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# DAU / WAU / MAU + stickiness: the product-analytics headline. Exact
+# trailing-window distinct counts computed by REPLICATING each
+# (user, active-day) row into the <=7 / <=30 trailing windows it
+# contributes to (explode of a date sequence) and counting distinct
+# users per window day — linear in |user-days| with a bounded
+# replication constant, never a day x user theta join. At extreme
+# scale the 30x replication trades against the HLL-union architecture
+# (`uv_sketch_union_daily`) — that op is the sketch path; this one is
+# the exact path. Output trimmed to days with any activity.
+# --------------------------------------------------------------------------
+@operator(
+    "dau_wau_mau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+    wau AS (
+      SELECT days.d, COUNT(DISTINCT ud.user_id) AS wau
+      FROM days JOIN ud
+        ON ud.d BETWEEN days.d - 6 AND days.d
+      GROUP BY days.d
+    ),
+    mau AS (
+      SELECT days.d, COUNT(DISTINCT ud.user_id) AS mau
+      FROM days JOIN ud
+        ON ud.d BETWEEN days.d - 29 AND days.d
+      GROUP BY days.d
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+           dau.dau, wau.wau, mau.mau,
+           ROUND(dau.dau / CAST(mau.mau AS DOUBLE), 6) AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d JOIN mau ON mau.d = dau.d
+    ORDER BY day
+    """,
+)
+def dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    days = ud.select("d").distinct()
+
+    def trailing(n: int, name: str) -> DataFrame:
+        contrib = ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), n - 1))
+            ).alias("wd"),
+        )
+        return (
+            contrib.join(days, contrib.wd == days.d, "left_semi")
+            .groupBy(F.col("wd").alias("d"))
+            .agg(F.count_distinct("user_id").alias(name))
+        )
+
+    dau = ud.groupBy("d").agg(F.count_distinct("user_id").alias("dau"))
+    wau = trailing(7, "wau")
+    mau = trailing(30, "mau")
+    return (
+        dau.join(wau, "d")
+        .join(mau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

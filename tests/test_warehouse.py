@@ -363,3 +363,15 @@ def test_backlog_and_gini(spark, duck):
     backlog = REGISTRY["order_backlog_timeseries"](spark, SF_DIR).collect()
     assert backlog[-1].open_orders == 0  # every order eventually ships
     assert max(r.open_orders for r in backlog) > 0
+
+
+def test_dau_wau_mau(spark, duck):
+    assert_matches_oracle(
+        REGISTRY["dau_wau_mau"](spark, SF_DIR), duck,
+        ORACLES["dau_wau_mau"], "dau_wau_mau",
+    )
+    rows = REGISTRY["dau_wau_mau"](spark, SF_DIR).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r.dau <= r.wau <= r.mau
+        assert 0 < r.stickiness <= 1.0
