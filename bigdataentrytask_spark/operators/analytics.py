@@ -1298,3 +1298,56 @@ def dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square uniformity test per channel: is activity uniform across
+# the 24 hours of the day? Goodness-of-fit statistic from integer
+# hourly counts (chi2 = sum((obs - exp)^2 / exp), exp = n/24), with
+# the 0.05 critical value for 23 dof as the verdict. Completes the
+# statistical-testing family beside the two-proportion z-test; one
+# grouped count + one per-channel rollup.
+# --------------------------------------------------------------------------
+_CHI2_CRIT_23DOF = 35.172  # P(chi2_23 > x) = 0.05
+
+
+@operator(
+    "hourly_uniformity_chi2",
+    oracle=f"""
+    WITH hc AS (
+      SELECT event_type AS channel, EXTRACT(hour FROM ts) AS h,
+             COUNT(*) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT channel, SUM(obs) AS n FROM hc GROUP BY channel)
+    SELECT hc.channel,
+           CAST(MAX(tot.n) AS BIGINT) AS n_events,
+           COUNT(*) AS hours_observed,
+           ROUND(SUM((hc.obs - tot.n / 24.0) * (hc.obs - tot.n / 24.0)
+                 / (tot.n / 24.0)), 4) AS chi2,
+           SUM((hc.obs - tot.n / 24.0) * (hc.obs - tot.n / 24.0)
+               / (tot.n / 24.0)) > {_CHI2_CRIT_23DOF} AS nonuniform
+    FROM hc JOIN tot ON tot.channel = hc.channel
+    GROUP BY hc.channel
+    ORDER BY hc.channel
+    """,
+)
+def hourly_uniformity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        F.col("event_type").alias("channel"), F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    tot = hc.groupBy("channel").agg(F.sum("obs").alias("n"))
+    exp = F.col("n") / 24.0
+    term = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
+    return (
+        hc.join(F.broadcast(tot), "channel")
+        .groupBy("channel")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).alias("hours_observed"),
+            F.round(F.sum(term), 4).alias("chi2"),
+            (F.sum(term) > _CHI2_CRIT_23DOF).alias("nonuniform"),
+        )
+        .orderBy("channel")
+    )

@@ -1422,3 +1422,73 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dim", F.round(F.col("w") / F.col("nrm"), 6).alias("loading"))
         .orderBy("dim")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding outlier scoring: diagonal-covariance Mahalanobis distance
+# per vector — the standard embedding-space health check (prune or
+# re-embed vectors far from the corpus distribution) that runs before
+# clustering/ANN indexing. Dimension-level rows again: one pass for
+# per-dim mean/variance (population form), one join back, one per-
+# vector sum — no whole vector crosses a shuffle, and the per-dim
+# stats table (64 rows) broadcasts. Population variance (not sample)
+# keeps the formula division-free until the final score.
+# --------------------------------------------------------------------------
+_MAHA_TOP = 20
+
+
+@operator(
+    "embedding_outlier_mahalanobis",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, generate_subscripts(e, 1) AS dim, UNNEST(e) AS v
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    ),
+    stats AS (
+      SELECT dim, AVG(v) AS mu,
+             AVG(v * v) - AVG(v) * AVG(v) AS var_pop
+      FROM x GROUP BY dim
+    ),
+    scores AS (
+      SELECT x.vec_id,
+             SUM((x.v - s.mu) * (x.v - s.mu) / s.var_pop) AS d2
+      FROM x JOIN stats s ON s.dim = x.dim
+      WHERE s.var_pop > 0
+      GROUP BY x.vec_id
+    )
+    SELECT vec_id, ROUND(d2, 4) AS mahalanobis_sq
+    FROM scores
+    ORDER BY d2 DESC, vec_id
+    LIMIT {_MAHA_TOP}
+    """,
+)
+def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "vf")
+    ).select(
+        "vec_id",
+        (F.col("d0") + 1).alias("dim"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    stats = x.groupBy("dim").agg(
+        F.avg("v").alias("mu"),
+        (F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v")).alias(
+            "var_pop"
+        ),
+    )
+    scores = (
+        x.join(F.broadcast(stats.filter(F.col("var_pop") > 0)), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu"))
+                / F.col("var_pop")
+            ).alias("d2")
+        )
+    )
+    return (
+        scores.orderBy(F.col("d2").desc(), "vec_id")
+        .limit(_MAHA_TOP)
+        .select("vec_id", F.round("d2", 4).alias("mahalanobis_sq"))
+    )

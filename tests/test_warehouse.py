@@ -375,3 +375,15 @@ def test_dau_wau_mau(spark, duck):
     for r in rows:
         assert r.dau <= r.wau <= r.mau
         assert 0 < r.stickiness <= 1.0
+
+
+def test_mahalanobis_and_chi2(spark, duck):
+    for name in ("embedding_outlier_mahalanobis", "hourly_uniformity_chi2"):
+        assert_matches_oracle(
+            REGISTRY[name](spark, SF_DIR), duck, ORACLES[name], name
+        )
+    outliers = REGISTRY["embedding_outlier_mahalanobis"](spark, SF_DIR).collect()
+    scores = [r.mahalanobis_sq for r in outliers]
+    assert scores == sorted(scores, reverse=True) and min(scores) > 0
+    chi = REGISTRY["hourly_uniformity_chi2"](spark, SF_DIR).collect()
+    assert all(r.hours_observed == 24 and r.chi2 >= 0 for r in chi)
