@@ -147,3 +147,96 @@ def _register_survivorship() -> None:
 
 
 _register_survivorship()
+
+
+# --------------------------------------------------------------------------
+# Cross-modal association: Cramér's V between a document's source and
+# its embedding's cluster label (doc_id = vec_id) — "does the text
+# provenance predict the embedding cluster?". Contingency chi-square
+# over a (|sources| x |labels|) table — the heavy work is ONE grouped
+# count over the join; everything after runs on the tiny cell table.
+# The verdict (V ~ 0 on this synthetic corpus) is part of the
+# contract: label and source are independent by construction.
+# --------------------------------------------------------------------------
+def _register_cramers_v() -> None:
+    oracle = """
+    WITH joined AS (
+      SELECT d.source, e.label
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    cells AS (
+      SELECT source, label, COUNT(*) AS obs FROM joined GROUP BY 1, 2
+    ),
+    rt AS (SELECT source, SUM(obs) AS r_tot FROM cells GROUP BY source),
+    ct AS (SELECT label, SUM(obs) AS c_tot FROM cells GROUP BY label),
+    n AS (SELECT SUM(obs) AS n FROM cells),
+    chi AS (
+      SELECT SUM((cells.obs - rt.r_tot * ct.c_tot / CAST(n.n AS DOUBLE))
+                 * (cells.obs - rt.r_tot * ct.c_tot / CAST(n.n AS DOUBLE))
+                 / (rt.r_tot * ct.c_tot / CAST(n.n AS DOUBLE))) AS chi2
+      FROM cells
+      JOIN rt ON rt.source = cells.source
+      JOIN ct ON ct.label = cells.label
+      CROSS JOIN n
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_pairs,
+           (SELECT COUNT(*) FROM rt) AS n_sources,
+           (SELECT COUNT(*) FROM ct) AS n_labels,
+           ROUND(chi.chi2, 4) AS chi2,
+           ROUND(sqrt(chi.chi2 / (n.n * LEAST(
+             (SELECT COUNT(*) FROM rt) - 1,
+             (SELECT COUNT(*) FROM ct) - 1))), 6) AS cramers_v
+    FROM chi CROSS JOIN n
+    """
+
+    @operator("source_label_cramers_v", oracle=oracle)
+    def source_label_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bigdataentrytask_spark.catalog import load_table
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        e = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "label"
+        )
+        cells = (
+            d.join(e, "doc_id")
+            .groupBy("source", "label")
+            .agg(F.count(F.lit(1)).alias("obs"))
+        )
+        rt = cells.groupBy("source").agg(F.sum("obs").alias("r_tot"))
+        ct = cells.groupBy("label").agg(F.sum("obs").alias("c_tot"))
+        n = cells.agg(F.sum("obs").alias("n"))
+        exp = F.col("r_tot") * F.col("c_tot") / F.col("n").cast("double")
+        chi = (
+            cells.join(F.broadcast(rt), "source")
+            .join(F.broadcast(ct), "label")
+            .crossJoin(F.broadcast(n))
+            .agg(
+                F.sum(
+                    (F.col("obs") - exp) * (F.col("obs") - exp) / exp
+                ).alias("chi2"),
+                F.max("n").alias("n_pairs"),
+                F.count_distinct("source").alias("n_sources"),
+                F.count_distinct("label").alias("n_labels"),
+            )
+        )
+        return chi.select(
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            "n_sources",
+            "n_labels",
+            F.round("chi2", 4).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n_pairs")
+                        * F.least(
+                            F.col("n_sources") - 1, F.col("n_labels") - 1
+                        )
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+
+
+_register_cramers_v()

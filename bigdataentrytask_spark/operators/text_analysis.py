@@ -1261,3 +1261,53 @@ def token_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Character-level Shannon entropy per document — the intra-document
+# randomness quality signal (low entropy = repetitive/boilerplate,
+# high = random noise; both ends get filtered in corpus curation).
+# Complements `lm_surprisal_score` (cross-entropy vs the corpus
+# unigram LM) and `repetition_ratio`. One char explode -> per-(doc,
+# char) counts -> per-doc fold; the char alphabet is tiny so the
+# second agg is |docs| x |alphabet|.
+# --------------------------------------------------------------------------
+@operator(
+    "doc_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, UNNEST(string_split(text, '')) AS ch
+      FROM documents
+    ),
+    cc AS (
+      SELECT doc_id, ch, COUNT(*) AS cnt FROM chars GROUP BY 1, 2
+    ),
+    n AS (SELECT doc_id, SUM(cnt) AS n FROM cc GROUP BY doc_id)
+    SELECT cc.doc_id,
+           CAST(MAX(n.n) AS BIGINT) AS n_chars_counted,
+           COUNT(*) AS alphabet,
+           ROUND(-SUM((cc.cnt / CAST(n.n AS DOUBLE))
+                      * log2(cc.cnt / CAST(n.n AS DOUBLE))), 6)
+             AS entropy_bits
+    FROM cc JOIN n ON n.doc_id = cc.doc_id
+    GROUP BY cc.doc_id
+    ORDER BY cc.doc_id
+    """,
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chars = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    cc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    n = cc.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt") / F.col("n").cast("double")
+    return (
+        cc.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_chars_counted"),
+            F.count(F.lit(1)).alias("alphabet"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )

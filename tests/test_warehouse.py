@@ -387,3 +387,18 @@ def test_mahalanobis_and_chi2(spark, duck):
     assert scores == sorted(scores, reverse=True) and min(scores) > 0
     chi = REGISTRY["hourly_uniformity_chi2"](spark, SF_DIR).collect()
     assert all(r.hours_observed == 24 and r.chi2 >= 0 for r in chi)
+
+
+def test_entropy_and_cramers_v(spark, duck):
+    for name in ("doc_char_entropy", "source_label_cramers_v"):
+        assert_matches_oracle(
+            REGISTRY[name](spark, SF_DIR), duck, ORACLES[name], name
+        )
+    import math
+
+    ents = REGISTRY["doc_char_entropy"](spark, SF_DIR).collect()
+    for r in ents:
+        assert 0 < r.entropy_bits <= math.log2(r.alphabet) + 1e-9
+    v = REGISTRY["source_label_cramers_v"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= v.cramers_v <= 1.0
+    assert v.cramers_v < 0.3  # independent by construction
