@@ -1351,3 +1351,105 @@ def hourly_uniformity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Period-over-period growth: monthly revenue with MoM and YoY deltas —
+# the reporting staple (lag 1 / lag 12 over the month series). The
+# fact reduces to |months| rows first; both lags ride one window over
+# that tiny series. Integer cents until the final percentage.
+# --------------------------------------------------------------------------
+@operator(
+    "revenue_growth_mom_yoy",
+    oracle="""
+    WITH m AS (
+      SELECT EXTRACT(year FROM o_orderdate) * 100
+             + EXTRACT(month FROM o_orderdate) AS ym,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    l AS (
+      SELECT ym, cents,
+             LAG(cents, 1) OVER (ORDER BY ym) AS prev_m,
+             LAG(cents, 12) OVER (ORDER BY ym) AS prev_y
+      FROM m
+    )
+    SELECT CAST(ym AS BIGINT) AS ym, cents,
+           ROUND((cents - prev_m) / CAST(prev_m AS DOUBLE), 6) AS mom,
+           ROUND((cents - prev_y) / CAST(prev_y AS DOUBLE), 6) AS yoy
+    FROM l ORDER BY ym
+    """,
+)
+def revenue_growth_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("ym")
+    l = m.withColumn("prev_m", F.lag("cents", 1).over(w)).withColumn(
+        "prev_y", F.lag("cents", 12).over(w)
+    )
+    return l.select(
+        F.col("ym").cast("bigint").alias("ym"),
+        "cents",
+        F.round(
+            (F.col("cents") - F.col("prev_m")) / F.col("prev_m").cast("double"),
+            6,
+        ).alias("mom"),
+        F.round(
+            (F.col("cents") - F.col("prev_y")) / F.col("prev_y").cast("double"),
+            6,
+        ).alias("yoy"),
+    ).orderBy("ym")
+
+
+# --------------------------------------------------------------------------
+# New vs returning users per day: split each day's actives by whether
+# it is the user's first active day. First-seen is a |users|-row
+# aggregate joined back to distinct user-days — at scale an
+# incrementally maintained dimension (same posture as cohort
+# retention, which consumes the same first-seen relation).
+# --------------------------------------------------------------------------
+@operator(
+    "new_vs_returning_daily",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    fs AS (SELECT user_id, MIN(d) AS first_d FROM ud GROUP BY user_id)
+    SELECT strftime(ud.d, '%Y-%m-%d') AS day,
+           COUNT(CASE WHEN ud.d = fs.first_d THEN 1 END) AS new_users,
+           COUNT(CASE WHEN ud.d > fs.first_d THEN 1 END) AS returning_users
+    FROM ud JOIN fs ON fs.user_id = ud.user_id
+    GROUP BY ud.d
+    ORDER BY day
+    """,
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    fs = ud.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    return (
+        ud.join(fs, "user_id")
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.when(F.col("d") == F.col("first_d"), 1)).alias(
+                "new_users"
+            ),
+            F.count(F.when(F.col("d") > F.col("first_d"), 1)).alias(
+                "returning_users"
+            ),
+        )
+        .orderBy("day")
+    )

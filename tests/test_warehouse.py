@@ -402,3 +402,13 @@ def test_entropy_and_cramers_v(spark, duck):
     v = REGISTRY["source_label_cramers_v"](spark, SF_DIR).collect()[0]
     assert 0.0 <= v.cramers_v <= 1.0
     assert v.cramers_v < 0.3  # independent by construction
+
+
+def test_growth_and_new_returning(spark, duck):
+    for name in ("revenue_growth_mom_yoy", "new_vs_returning_daily"):
+        assert_matches_oracle(
+            REGISTRY[name](spark, SF_DIR), duck, ORACLES[name], name
+        )
+    nr = REGISTRY["new_vs_returning_daily"](spark, SF_DIR).collect()
+    assert sum(r.new_users for r in nr) == 150  # every user is new once
+    assert nr[0].returning_users == 0
