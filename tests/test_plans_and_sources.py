@@ -293,3 +293,40 @@ def test_no_row_at_a_time_python_udfs():
                 continue
             offenders.append(f"{p.name}:{line}")
     assert not offenders, offenders
+
+
+def _executed_plan(df) -> str:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # adaptive plans echo the initial plan below the final one — keep
+    # only the final section so node counts aren't doubled
+    marker = "== Initial Plan =="
+    return plan.split(marker)[0] if marker in plan else plan
+
+
+def test_temporal_joins_extract_equi_keys(spark):
+    """The multitouch attribution and interval-overlap joins must plan
+    as equi-joins (hash/sort-merge on the extracted key) with the time
+    predicate as residual — a BroadcastNestedLoopJoin here means the
+    theta condition leaked into the join and the operator would
+    cross-product at scale."""
+    from bigdataentrytask_spark.operators import REGISTRY, load_all
+    from tests.conftest import SF_DIR
+
+    load_all()
+    for name in ("attribution_linear_multitouch", "session_window_overlap"):
+        plan = _executed_plan(REGISTRY[name](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """Both SCD2 windows partition by the same key: the second window
+    may re-sort its (filtered, partition-local) input, but it must NOT
+    reshuffle — exactly one hash exchange on o_custkey in the plan."""
+    from bigdataentrytask_spark.operators import REGISTRY, load_all
+    from tests.conftest import SF_DIR
+
+    load_all()
+    plan = _executed_plan(REGISTRY["scd2_priority_history"](spark, SF_DIR))
+    n_hash_exchanges = plan.count("Exchange hashpartitioning(o_custkey")
+    assert n_hash_exchanges == 1, plan[:2000]
