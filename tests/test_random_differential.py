@@ -358,3 +358,77 @@ def build_setop(seed: int, spark, duck):
 def test_random_setop_query(spark, duck, seed):
     df, sql = build_setop(seed, spark, duck)
     assert_matches_oracle(df, duck, sql, f"sseed{seed}: {sql}")
+
+
+# ---------------------------------------------------------------------------
+# Randomized SET-OPERATION specs: two filtered projections of one
+# table combined with UNION / UNION ALL / INTERSECT / EXCEPT, then
+# counted — bag vs set semantics differ per operator, which is
+# exactly what this generator pins.
+# ---------------------------------------------------------------------------
+SETOPS = [
+    (
+        "union_all",
+        lambda a, b: a.unionAll(b),
+        "UNION ALL",
+    ),
+    (
+        "union",
+        lambda a, b: a.unionAll(b).distinct(),
+        "UNION",
+    ),
+    (
+        "intersect",
+        lambda a, b: a.intersect(b),
+        "INTERSECT",
+    ),
+    (
+        # subtract == SQL set-EXCEPT; exceptAll().distinct() would
+        # KEEP a value that appears in both sides with higher left
+        # multiplicity — the exact semantic slip this suite exists
+        # to catch
+        "except",
+        lambda a, b: a.subtract(b),
+        "EXCEPT",
+    ),
+]
+
+
+def build_setop(seed: int, spark, duck):
+    rng = random.Random(20_000 + seed)
+    tname = rng.choice(sorted(TABLES))
+    nums, cats, key = TABLES[tname]
+    ncol = rng.choice(nums)
+    ccol = rng.choice(cats)
+    q1, q2 = rng.choice([(0.25, 0.5), (0.5, 0.75), (0.25, 0.75)])
+    c1 = round(duck.execute(
+        f"SELECT quantile_cont({ncol}, {q1}) FROM {tname}").fetchone()[0], 3)
+    c2 = round(duck.execute(
+        f"SELECT quantile_cont({ncol}, {q2}) FROM {tname}").fetchone()[0], 3)
+    name, fn, sqlop = rng.choice(SETOPS)
+
+    base = load_table(spark, SF_DIR, tname).select(ccol)
+    a = base.filter(F.col(ncol) > c1) if False else load_table(
+        spark, SF_DIR, tname).filter(F.col(ncol) > c1).select(ccol)
+    b = load_table(spark, SF_DIR, tname).filter(
+        F.col(ncol) <= c2).select(ccol)
+    combined = fn(a, b)
+    out = (
+        combined.groupBy(ccol)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(ccol)
+    )
+    sql = (
+        f"SELECT {ccol}, COUNT(*) AS cnt FROM ("
+        f"SELECT {ccol} FROM {tname} WHERE {ncol} > {c1} "
+        f"{sqlop} "
+        f"SELECT {ccol} FROM {tname} WHERE {ncol} <= {c2}"
+        f") GROUP BY {ccol} ORDER BY {ccol}"
+    )
+    return out, sql
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_setop_query(spark, duck, seed):
+    df, sql = build_setop(seed, spark, duck)
+    assert_matches_oracle(df, duck, sql, f"sseed{seed}: {sql}")
