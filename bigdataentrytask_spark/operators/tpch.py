@@ -990,7 +990,11 @@ _Q2_SIZE = 15
     SELECT p.p_partkey, p.p_name,
            ROUND(o.s_acctbal, 2) AS s_acctbal,
            o.s_name, o.n_name,
-           ROUND(o.unit_price, 4) AS unit_price
+           -- scaled-integer output: ROUND(x, 4) disagrees across
+           -- engines on half-boundary doubles (found at sf0.001:
+           -- 26.24125 -> .2412 vs .2413); ROUND(x * 1e4) rounds the
+           -- SAME exact binary double in both engines
+           CAST(ROUND(o.unit_price * 10000) AS BIGINT) AS unit_price_x1e4
     FROM part p
     JOIN offers o ON o.l_partkey = p.p_partkey
     WHERE p.p_size = {_Q2_SIZE}
@@ -1032,7 +1036,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s_acctbal", 2).alias("s_acctbal"),
             "s_name",
             "n_name",
-            F.round("unit_price", 4).alias("unit_price"),
+            # scaled-integer output — see the oracle comment
+            F.round(F.col("unit_price") * 10000)
+            .cast("bigint")
+            .alias("unit_price_x1e4"),
         )
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
