@@ -43,12 +43,13 @@ load_all()
 _PIN: list[str] = []
 
 
-def _driver_status() -> dict[str, tuple[int, bool]]:
+def _driver_status(here: str | None = None) -> dict[str, tuple[int, bool]]:
     """name -> (round of latest row, row was green). A row is green if
     it produced no error and nothing compared false (rows-only checks
     count as green: rows_match true, hash_match null)."""
     status: dict[str, tuple[int, bool]] = {}
-    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+    here = _HERE if here is None else here
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
             data = json.load(open(path))
