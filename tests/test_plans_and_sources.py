@@ -330,3 +330,58 @@ def test_scd2_windows_share_one_exchange(spark):
     plan = _executed_plan(REGISTRY["scd2_priority_history"](spark, SF_DIR))
     n_hash_exchanges = plan.count("Exchange hashpartitioning(o_custkey")
     assert n_hash_exchanges == 1, plan[:2000]
+
+
+def test_zorder_write_tightens_rowgroup_stats(spark, tmp_path):
+    """The z-order claim, measured: writing orders clustered by the
+    Morton key shrinks per-row-group min/max spans on BOTH interleaved
+    dimensions (vs the natural layout), which is what lets parquet
+    row-group skipping prune 2-D predicates."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        (F.col("o_custkey") % 256).alias("a"),
+        (F.datediff("o_orderdate", F.lit("1992-01-01").cast("date")) % 256
+         ).alias("b"),
+    )
+    zval = None
+    for i in range(8):
+        ta = F.shiftright("a", i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        tb = F.shiftright("b", i).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (2 * i + 1))
+        zval = ta + tb if zval is None else zval + ta + tb
+    keyed = o.withColumn("z", zval)
+
+    def avg_spans(path):
+        spans_a, spans_b = [], []
+        for piece in __import__("pathlib").Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(piece).metadata
+            names = {md.schema.column(i).name: i
+                     for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                sa = g.column(names["a"]).statistics
+                sb = g.column(names["b"]).statistics
+                spans_a.append(sa.max - sa.min)
+                spans_b.append(sb.max - sb.min)
+        return (sum(spans_a) / len(spans_a), sum(spans_b) / len(spans_b))
+
+    (keyed.repartition(1).write.mode("overwrite")
+     .option("parquet.block.size", 64 * 1024)
+     .parquet(str(tmp_path / "plain")))
+    (keyed.repartitionByRange(1, "z").sortWithinPartitions("z")
+     .write.mode("overwrite")
+     .option("parquet.block.size", 64 * 1024)
+     .parquet(str(tmp_path / "zorder")))
+
+    plain_a, plain_b = avg_spans(tmp_path / "plain")
+    z_a, z_b = avg_spans(tmp_path / "zorder")
+    # z-clustering must tighten BOTH dimensions' per-group spans
+    assert z_a < plain_a * 0.7, (z_a, plain_a)
+    assert z_b < plain_b * 0.7, (z_b, plain_b)
