@@ -217,8 +217,8 @@ def test_q2_rows_carry_the_part_minimum(spark):
     assert rows
     best: dict[int, float] = {}
     for r in rows:
-        best.setdefault(r.p_partkey, r.unit_price)
-        assert r.unit_price == best[r.p_partkey]
+        best.setdefault(r.p_partkey, r.unit_price_x1e4)
+        assert r.unit_price_x1e4 == best[r.p_partkey]
 
 
 def test_q20_threshold_yields_signal(spark):
