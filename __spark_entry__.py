@@ -38,9 +38,38 @@ load_all()
 #      (never driver-checked), in registry order,
 #   3. then greens, stalest round first (their signal is on file;
 #      re-validation rotates through them as slots allow).
-# _PIN is a manual escape hatch: names listed there go absolutely
-# first (normally empty).
-_PIN: list[str] = []
+# _PIN is a manual escape hatch: names listed there go first UNTIL
+# they earn a green row, then expire automatically (so a pin can
+# never re-waste future sweep slots). Round-3 pins: the curated
+# never-checked set from the round-2 verdict — TPC-H join suite,
+# stateful streaming, ANN/clustering, contamination/text, plus the
+# round-2b additions — kept ahead of the registry-order unchecked
+# pool so the join-planner proof lands this round.
+_PIN: list[str] = [
+    "segment_top_balances",
+    "semdedup_resolve", "knn_lsh_multiprobe", "kmeans_step",
+    "knn_ivf_kmeans",
+    "stream_ohlc_minute", "stream_dedup_exactly_once",
+    "stream_sessionize_stateful", "stream_signup_attribution",
+    "ngram_contamination", "dup_ngram_share", "doc_word_chunks",
+    "inverted_index", "vocab_coverage", "lm_surprisal_score",
+    "events_gap_fill", "events_ohlc_hour", "order_agg_extras",
+    "q3_shipping_priority", "q4_priority_checks",
+    "q5_local_supplier_volume", "q7_nation_volume",
+    "q10_returned_items", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier", "q6_forecast_revenue", "q8_market_share",
+    "q9_product_profit", "q11_important_parts",
+    "q12_late_priority_mix", "q13_customer_distribution",
+    "q20_heavy_suppliers", "q21_waiting_suppliers",
+    "jdbc_append_roundtrip", "bucketed_orc_join",
+    "file_landing_roundtrip", "multimodal_image_probe",
+    "mock_orders_profile", "quality_classifier_score",
+    "shard_manifest", "heavy_hitter_tokens", "stream_session_window",
+    "name_typo_pairs", "segment_price_trend",
+]
 
 
 def _driver_status(here: str | None = None) -> dict[str, tuple[int, bool]]:
@@ -70,7 +99,11 @@ def _driver_status(here: str | None = None) -> dict[str, tuple[int, bool]]:
 
 def _ordered(mapping: dict) -> dict:
     status = _driver_status()
-    pinned = [n for n in _PIN if n in mapping]
+    # pins expire once green — they never re-occupy future slots
+    pinned = [
+        n for n in _PIN
+        if n in mapping and not (n in status and status[n][1])
+    ]
     red = [
         n for n in mapping
         if n not in pinned and n in status and not status[n][1]
