@@ -259,3 +259,55 @@ def test_zipf_fit_oracle_and_sign(spark, duck):
     [row] = df.collect()
     assert row.vocab_size > 0 and row.total_tokens > row.vocab_size
     assert row.zipf_slope < 0  # frequency falls with rank, always
+
+
+def test_minhash_estimates_track_true_jaccard(spark, duck):
+    """Estimation accuracy, not just determinism: for a sample of
+    emitted pairs, the 32-hash estimate must track the TRUE token
+    Jaccard within the binomial error bound (std ~ sqrt(J(1-J)/32)
+    ~ 0.08 at the 0.7 threshold)."""
+    rows = (
+        REGISTRY["minhash_dedup"](spark, SF_DIR)
+        .orderBy("doc_a", "doc_b")
+        .limit(200)
+        .collect()
+    )
+    assert rows
+    duck.execute("DROP TABLE IF EXISTS mh_sample")
+    duck.execute(
+        "CREATE TEMP TABLE mh_sample (doc_a BIGINT, doc_b BIGINT, est DOUBLE)"
+    )
+    duck.executemany(
+        "INSERT INTO mh_sample VALUES (?, ?, ?)",
+        [(r.doc_a, r.doc_b, r.est_sim) for r in rows],
+    )
+    truth = duck.execute("""
+        WITH involved AS (
+          SELECT DISTINCT doc_a AS doc_id FROM mh_sample
+          UNION SELECT DISTINCT doc_b FROM mh_sample
+        ),
+        toks AS (
+          SELECT d.doc_id, UNNEST(list_distinct(
+            list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'),
+                        x -> x <> ''))) AS tok
+          FROM documents d JOIN involved i ON i.doc_id = d.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+          FROM mh_sample p
+          JOIN toks a ON a.doc_id = p.doc_a
+          JOIN toks b ON b.doc_id = p.doc_b AND b.tok = a.tok
+          GROUP BY 1, 2
+        )
+        SELECT p.est,
+               i.c / CAST(sa.n + sb.n - i.c AS DOUBLE) AS true_j
+        FROM mh_sample p
+        JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+    """).fetchall()
+    assert len(truth) == len(rows)
+    errs = [abs(est - tj) for est, tj in truth]
+    assert sum(errs) / len(errs) < 0.08, sum(errs) / len(errs)
+    assert max(errs) < 0.30, max(errs)
