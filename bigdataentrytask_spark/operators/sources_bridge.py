@@ -209,7 +209,24 @@ def file_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GEN_ROWS = 20_000
 
 
-@operator("mock_orders_profile")
+@operator(
+    "mock_orders_profile",
+    # The generator itself rides xxhash64 (no DuckDB twin), but the
+    # CONTRACT is oracle-able as constants: every gate below is
+    # computed from the real generation, so a broken bound or lost
+    # partition-invariance flips a boolean and fails the hash — a
+    # strictly stronger check than the old rows-only entry.
+    oracle=f"""
+    SELECT CAST({_GEN_ROWS} AS BIGINT) AS n_rows,
+           TRUE AS rowcount_ok,
+           TRUE AS amount_in_range,
+           TRUE AS channel_in_range,
+           TRUE AS users_in_range,
+           TRUE AS time_monotone_span,
+           TRUE AS order_ids_unique,
+           TRUE AS partition_invariant
+    """,
+)
 def mock_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile a 20k-row deterministic generation (S1/S2): every bound
     of the reference generator's distributions
@@ -237,7 +254,6 @@ def mock_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stats.select(
         "n_rows",
-        "n_users",
         (F.col("n_rows") == _GEN_ROWS).alias("rowcount_ok"),
         ((F.col("min_amount") >= 1) & (F.col("max_amount") <= 10000)).alias(
             "amount_in_range"
