@@ -673,3 +673,124 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Purchase cadence: per-customer inter-order gaps (lag over bounded
+# per-customer partitions), rolled up per market segment as median /
+# p90 cadence — the replenishment-cycle metric behind reorder
+# reminders and churn windows. Exact integer day gaps; the percentile
+# runs per segment over |customers|-scale rows.
+# --------------------------------------------------------------------------
+@operator(
+    "segment_order_cadence",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             date_diff('day',
+               LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap_days
+      FROM orders
+    ),
+    per_cust AS (
+      SELECT o_custkey, CAST(median(gap_days) AS DOUBLE) AS med_gap
+      FROM seq WHERE gap_days IS NOT NULL
+      GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS customers,
+           ROUND(median(p.med_gap), 1) AS median_cadence_days,
+           ROUND(quantile_cont(p.med_gap, 0.9), 1) AS p90_cadence_days
+    FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def segment_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.withColumn(
+        "gap_days", F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+    ).filter(F.col("gap_days").isNotNull())
+    per_cust = seq.groupBy("o_custkey").agg(
+        F.median("gap_days").alias("med_gap")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.median("med_gap"), 1).alias("median_cadence_days"),
+            F.round(F.percentile("med_gap", 0.9), 1).alias(
+                "p90_cadence_days"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Co-occurrence recommendations: for each part, its top-3 partners by
+# lift — the serving-table contract on top of `basket_part_pairs`
+# (symmetrized, ranked per anchor part with a deterministic
+# tie-break). This is the "customers also bought" primitive; at scale
+# the pair table is the expensive input (already bounded by basket
+# width) and this ranking is a per-key top-k over it.
+# --------------------------------------------------------------------------
+_RECO_K = 3
+
+
+def _register_part_recommendations() -> None:
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+
+    oracle = f"""
+    WITH pairs AS ({ORACLES["basket_part_pairs"]}),
+    sym AS (
+      SELECT p1 AS anchor, p2 AS partner, support, lift FROM pairs
+      UNION ALL
+      SELECT p2, p1, support, lift FROM pairs
+    ),
+    ranked AS (
+      SELECT anchor, partner, support, lift,
+             ROW_NUMBER() OVER (PARTITION BY anchor
+                                ORDER BY lift DESC, support DESC, partner)
+               AS rnk
+      FROM sym
+    )
+    SELECT anchor, rnk, partner, support, lift
+    FROM ranked WHERE rnk <= {_RECO_K}
+    ORDER BY anchor, rnk
+    """
+
+    @operator("part_recommendations", oracle=oracle)
+    def part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pairs = REGISTRY["basket_part_pairs"](spark, sf_dir)
+        sym = pairs.select(
+            F.col("p1").alias("anchor"),
+            F.col("p2").alias("partner"),
+            "support",
+            "lift",
+        ).unionByName(
+            pairs.select(
+                F.col("p2").alias("anchor"),
+                F.col("p1").alias("partner"),
+                "support",
+                "lift",
+            )
+        )
+        w = Window.partitionBy("anchor").orderBy(
+            F.col("lift").desc(), F.col("support").desc(), "partner"
+        )
+        return (
+            sym.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _RECO_K)
+            .select("anchor", "rnk", "partner", "support", "lift")
+            .orderBy("anchor", "rnk")
+        )
+
+
+_register_part_recommendations()

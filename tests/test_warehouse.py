@@ -412,3 +412,19 @@ def test_growth_and_new_returning(spark, duck):
     nr = REGISTRY["new_vs_returning_daily"](spark, SF_DIR).collect()
     assert sum(r.new_users for r in nr) == 150  # every user is new once
     assert nr[0].returning_users == 0
+
+
+def test_cadence_and_recommendations(spark, duck):
+    for name in ("segment_order_cadence", "part_recommendations"):
+        assert_matches_oracle(
+            REGISTRY[name](spark, SF_DIR), duck, ORACLES[name], name
+        )
+    recos = REGISTRY["part_recommendations"](spark, SF_DIR).collect()
+    from collections import defaultdict
+    by_anchor = defaultdict(list)
+    for r in recos:
+        by_anchor[r.anchor].append(r)
+    for rows in by_anchor.values():
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        lifts = [r.lift for r in rows]
+        assert lifts == sorted(lifts, reverse=True)
