@@ -40,35 +40,43 @@ load_all()
 #      re-validation rotates through them as slots allow).
 # _PIN is a manual escape hatch: names listed there go first UNTIL
 # they earn a green row, then expire automatically (so a pin can
-# never re-waste future sweep slots). Round-3 pins: the curated
-# never-checked set from the round-2 verdict — TPC-H join suite,
-# stateful streaming, ANN/clustering, contamination/text, plus the
-# round-2b additions — kept ahead of the registry-order unchecked
-# pool so the join-planner proof lands this round.
+# never re-waste future sweep slots). Round-4 pins (exactly 50): the
+# 3 round-3 reds (HUGEINT oracle artifacts, now CAST-fixed) first,
+# the two new ST6/ST7 streaming round-trips, then 45 of the 49
+# never-checked round-3 additions. Four low-risk mechanical ops are
+# deliberately PARKED for round 5 (54 candidates, 50 slots):
+# table_checksum, snapshot_table_diff, zorder_locality_stats,
+# token_feature_hashing — all pure-column-expression ops that
+# pre-verify clean and carry the least semantic novelty.
 _PIN: list[str] = [
-    "segment_top_balances",
-    "semdedup_resolve", "knn_lsh_multiprobe", "kmeans_step",
-    "knn_ivf_kmeans",
-    "stream_ohlc_minute", "stream_dedup_exactly_once",
-    "stream_sessionize_stateful", "stream_signup_attribution",
-    "ngram_contamination", "dup_ngram_share", "doc_word_chunks",
-    "inverted_index", "vocab_coverage", "lm_surprisal_score",
-    "events_gap_fill", "events_ohlc_hour", "order_agg_extras",
-    "q3_shipping_priority", "q4_priority_checks",
-    "q5_local_supplier_volume", "q7_nation_volume",
-    "q10_returned_items", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_disjunctive_revenue",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier", "q6_forecast_revenue", "q8_market_share",
-    "q9_product_profit", "q11_important_parts",
-    "q12_late_priority_mix", "q13_customer_distribution",
-    "q20_heavy_suppliers", "q21_waiting_suppliers",
-    "jdbc_append_roundtrip", "bucketed_orc_join",
-    "file_landing_roundtrip", "multimodal_image_probe",
-    "mock_orders_profile", "quality_classifier_score",
-    "shard_manifest", "heavy_hitter_tokens", "stream_session_window",
-    "name_typo_pairs", "segment_price_trend",
+    # round-3 reds, fixed this round
+    "order_agg_extras", "q12_late_priority_mix", "shard_manifest",
+    # new ST7 / ST6 hard-signal conversions
+    "stream_restart_recovery", "stream_concurrent_topology",
+    # never-checked round-3 additions (registry order, minus 4 parked)
+    "events_mad_anomaly", "order_price_quantile_bins",
+    "part_abc_classification", "events_ewma_hourly",
+    "customer_rfm_segments", "event_transition_matrix",
+    "order_cohort_ltv", "top_session_paths",
+    "ab_test_conversion_ztest", "order_skyline_2d",
+    "user_time_weighted_value", "customer_revenue_gini",
+    "dau_wau_mau", "hourly_uniformity_chi2",
+    "revenue_growth_mom_yoy", "new_vs_returning_daily",
+    "corpus_zipf_fit", "weighted_sample_ares",
+    "multimodal_audio_probe", "multimodal_video_probe",
+    "knn_quantized_rerank", "pca_power_iteration",
+    "embedding_outlier_mahalanobis", "pricing_summary_decimal",
+    "null_semantics_probe", "session_window_overlap",
+    "collection_functions_probe", "variant_props_probe",
+    "uv_sketch_union_daily", "cms_user_event_counts",
+    "bloom_membership_probe", "stream_user_totals_jdbc",
+    "stream_signup_attribution_outer", "source_vocab_divergence",
+    "doc_char_entropy", "order_backlog_timeseries",
+    "basket_part_pairs", "referential_integrity_audit",
+    "scd2_priority_history", "attribution_linear_multitouch",
+    "segment_order_cadence", "part_recommendations",
+    "classifier_eval_metrics", "dedup_survivorship",
+    "source_label_cramers_v",
 ]
 
 
@@ -78,10 +86,18 @@ def _driver_status(here: str | None = None) -> dict[str, tuple[int, bool]]:
     count as green: rows_match true, hash_match null)."""
     status: dict[str, tuple[int, bool]] = {}
     here = _HERE if here is None else here
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    # Sort by the PARSED round number, not the filename: lexicographic
+    # order misfiles an unpadded r3 or a future r100, letting an older
+    # round's row overwrite a newer one (latest-round-wins contract).
+    rounds: list[tuple[int, str]] = []
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        digits = "".join(c for c in os.path.basename(path) if c.isdigit())
+        if digits:
+            rounds.append((int(digits), path))
+    for rnd, path in sorted(rounds):
         try:
-            rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
-            data = json.load(open(path))
+            with open(path) as fh:
+                data = json.load(fh)
         except Exception:
             continue
         for name, row in data.items():

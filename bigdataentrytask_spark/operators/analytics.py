@@ -1148,8 +1148,11 @@ def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # metric behind every marketplace health dashboard. Exact integer
 # formulation: per-customer revenue in cents, ranked ascending
 # (custkey tie-break), G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n. All
-# rank/sum math is integer until the two final divisions, so both
-# engines agree exactly. The rank window runs over |customers| rows
+# rank/sum math is exact integer until the two final divisions —
+# sum(i*cents) is accumulated in DECIMAL(38,0) (it exceeds 2^63 past
+# ~1.5M customers, where an int64 sum would throw under ANSI mode;
+# DuckDB reaches the same values via HUGEINT) — so both engines agree
+# exactly. The rank window runs over |customers| rows
 # (dimension-sized, not the fact); at 100 TB revenue-per-customer is
 # an incrementally maintained aggregate and this op reads it.
 # --------------------------------------------------------------------------
@@ -1204,7 +1207,12 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         > F.col("_n") - F.floor(F.col("_n") / 10).cast("bigint"),
     )
     return flagged.groupBy("_n", "_total").agg(
-        F.sum(F.col("i") * F.col("cents")).alias("_ix"),
+        # i*cents summed over ~n^2/2 * avg(cents) exceeds int64 at
+        # sf>=10 (ANSI mode would throw) — accumulate in DECIMAL(38,0),
+        # the same pattern as table_checksum's 60-bit hash sum.
+        F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)")).alias(
+            "_ix"
+        ),
         F.sum(F.when(F.col("in_top"), F.col("cents")).otherwise(0)).alias(
             "_top"
         ),
@@ -1212,7 +1220,8 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_n").alias("n_customers"),
         F.col("_total").cast("bigint").alias("total_cents"),
         F.round(
-            2.0 * F.col("_ix") / (F.col("_n") * F.col("_total"))
+            2.0 * F.col("_ix").cast("double")
+            / (F.col("_n").cast("double") * F.col("_total").cast("double"))
             - (F.col("_n") + 1.0) / F.col("_n"),
             6,
         ).alias("gini"),

@@ -147,8 +147,8 @@ _N_SHARDS = 16
     oracle=f"""
     SELECT ({sql_token_hash("doc_id::VARCHAR")} % {_N_SHARDS}) AS shard,
            COUNT(*)                              AS n_docs,
-           SUM(len({sql_tokens('text')}))        AS total_tokens,
-           SUM(n_chars)                          AS total_chars,
+           CAST(SUM(len({sql_tokens('text')})) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT)          AS total_chars,
            MIN(doc_id)                           AS min_doc,
            MAX(doc_id)                           AS max_doc
     FROM documents

@@ -629,7 +629,7 @@ _AGGX_BIG = 200_000.0
     SELECT o_orderpriority,
            COUNT(*)                                    AS n,
            ROUND(median(o_totalprice), 4)              AS med_price,
-           count_if(o_totalprice > {_AGGX_BIG})        AS n_big,
+           CAST(count_if(o_totalprice > {_AGGX_BIG}) AS BIGINT) AS n_big,
            bool_or(o_orderstatus = 'O')                AS any_open,
            bool_and(o_totalprice > 0)                  AS all_positive
     FROM orders

@@ -320,8 +320,21 @@ def stream_user_totals_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     for tbl in ("stream_user_totals", "stream_user_totals__stage"):
         try:
             execute(f"DROP TABLE {tbl}")
-        except Exception:
-            pass  # Derby has no DROP TABLE IF EXISTS; 42Y55 is fine
+        except Exception as ex:
+            # Derby has no DROP TABLE IF EXISTS; SQLState 42Y55
+            # (table does not exist) is the only expected failure —
+            # anything else (lock timeout, connection error) must
+            # surface HERE, not as a misleading "already exists"
+            # on the CREATE that follows.
+            state = ""
+            jex = getattr(ex, "java_exception", None)
+            if jex is not None:
+                try:
+                    state = jex.getSQLState() or ""
+                except Exception:
+                    state = ""
+            if state != "42Y55" and "42Y55" not in str(ex):
+                raise
     execute(
         'CREATE TABLE stream_user_totals '
         '("user_id" BIGINT PRIMARY KEY, "payment" DOUBLE)'
@@ -360,10 +373,16 @@ def stream_user_totals_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # match can arrive. Outer-row emission happens at STATE EVICTION time,
 # which trails the event-time watermark by an engine-internal margin
 # (measured ~30 min on this corpus/batching); the operator therefore
-# closes the books explicitly at max(ts) - 2 HOURS on BOTH engines —
-# the same determinism-bound pattern as the windowed stream oracles'
-# max(ts) - 5s cut, with margin for the eviction lag. Emission
-# verified stable across repeated replays (tests).
+# closes the books explicitly at max(ts) - _OUTER_CLOSE on BOTH
+# engines — the same determinism-bound pattern as the windowed stream
+# oracles' max(ts) - 5s cut, with margin for the eviction lag.
+# _OUTER_CLOSE is a TUNABLE: it must exceed the eviction lag, which
+# depends on the corpus's event-time spread and micro-batch sizing
+# (~30 min here). If a corpus/batching change pushes the lag past it,
+# the operator fails FAST below (every closed signup is asserted
+# present in the replay output) instead of shipping a silent
+# row-count mismatch. Emission verified stable across repeated
+# replays (tests).
 _OUTER_CLOSE = "2 hours"
 
 
@@ -405,8 +424,200 @@ def stream_signup_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("ts") <= F.col("mx") - F.expr(f"INTERVAL {_OUTER_CLOSE}"))
         .select(F.col("event_id").alias("signup_id"))
     )
+    # Fail fast if state eviction lagged past _OUTER_CLOSE: a closed
+    # signup with no replay row means the engine never emitted its
+    # outer row, and the differential would red-out with an opaque
+    # row-count diff. The check is one broadcast anti-join over the
+    # (dimension-sized) closed-signup set.
+    missing = (
+        closed.join(
+            out.select("signup_id").distinct(), "signup_id", "left_anti"
+        ).count()
+    )
+    if missing:
+        raise AssertionError(
+            f"stream_signup_attribution_outer: {missing} closed signups "
+            f"missing from replay output — state eviction lag exceeded "
+            f"_OUTER_CLOSE ({_OUTER_CLOSE}); raise the margin for this "
+            f"corpus/batching"
+        )
     return (
         out.join(F.broadcast(closed), "signup_id")
         .select("user_id", "signup_id", "purchase_id", "gap_us")
         .orderBy("user_id", "signup_id", "purchase_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# ST6: the reference's real-time topology — 4 concurrent streaming
+# INSERT jobs in ONE engine (the reference needed 5 Flink task slots,
+# /root/reference/doc/temp.md:259-268; the queries are Q1-Q4,
+# :377-411). `pipelines.realtime_topology` starts all four
+# availableNow replays concurrently in one SparkSession, each feeding
+# its keyed upsert sink; the operator emits one row per sink with its
+# final row count and value checksum, so the differential pins the
+# final state of EVERY sink of the concurrent run at once. The append
+# sink (buy_cnt_per_min) carries the watermark cut; the three update
+# sinks must converge to the batch group-totals regardless of
+# micro-batch interleaving across the four threads.
+# --------------------------------------------------------------------------
+@operator(
+    "stream_concurrent_topology",
+    oracle="""
+    WITH wins AS (
+      SELECT date_trunc('minute', ts) AS w, COUNT(*) AS cnt
+      FROM events
+      WHERE date_trunc('minute', ts) + INTERVAL 1 MINUTE
+            <= (SELECT MAX(ts) FROM events) - INTERVAL 5 SECOND
+      GROUP BY 1
+    ),
+    users AS (
+      SELECT user_id, ROUND(SUM(value), 2) AS payment
+      FROM events GROUP BY 1
+    ),
+    chans AS (
+      SELECT event_type, ROUND(SUM(value), 2) AS payment
+      FROM events GROUP BY 1
+    ),
+    du AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d, user_id, SUM(value) AS payment
+      FROM events GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT 'buy_cnt_per_min' AS sink,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(cnt) AS DOUBLE), 2) AS total
+      FROM wins
+      UNION ALL
+      SELECT 'payment_user_list', CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(payment), 2)
+      FROM users
+      UNION ALL
+      SELECT 'payment_channels_list', CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(payment), 2)
+      FROM chans
+      UNION ALL
+      SELECT 'cumulative_payment_uv_partials', CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(payment), 2)
+      FROM du
+    ) ORDER BY sink
+    """,
+)
+def stream_concurrent_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the 4-query concurrent topology and summarize every sink.
+
+    The totals are computed in SPARK (a 4-row frame built from the
+    sink snapshots, rounded via F.round) so both engines apply the
+    same HALF_UP rounding to the same double sums.
+    """
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.pipelines import realtime_topology
+
+    sinks = realtime_topology(spark, sf_dir)
+    rows = []
+    for name, value_col in (
+        ("buy_cnt_per_min", "buy_cnt"),
+        ("payment_user_list", "payment"),
+        ("payment_channels_list", "payment"),
+        ("cumulative_payment_uv_partials", "payment"),
+    ):
+        snap = sinks[name].snapshot()
+        rows.append(
+            (name, len(snap), float(sum(r[value_col] for r in snap)))
+        )
+    out = spark.createDataFrame(
+        rows, "sink string, n_rows long, total double"
+    )
+    return out.select(
+        "sink", "n_rows", F.round("total", 2).alias("total")
+    ).orderBy("sink")
+
+
+# --------------------------------------------------------------------------
+# ST7: micro-batch durability across a KILL + RESTART. The reference
+# leans on Flume's file-channel transactions for this guarantee
+# (/root/reference/doc/temp.md:695-700); Structured Streaming's
+# equivalent is the checkpoint + file-sink metadata log. The operator
+# proves it end-to-end: land the first half of the corpus through a
+# checkpointed streaming file sink, let the query TERMINATE, append
+# new source files, then start a SECOND query on the SAME checkpoint
+# and landing path. Exactly-once across the restart means the second
+# run must pick up only the unseen files and the landed table must
+# equal the full corpus — a re-processed first half would double
+# `cnt` against `n_distinct`, a lost batch would drop both.
+# --------------------------------------------------------------------------
+@operator(
+    "stream_restart_recovery",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                AS cnt,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           ROUND(SUM(value), 2)                    AS total_value
+    FROM events GROUP BY 1 ORDER BY event_type
+    """,
+)
+def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+    from bigdataentrytask_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = tempfile.mkdtemp(prefix="restart_src_")
+    land = tempfile.mkdtemp(prefix="restart_land_")
+    ck = tempfile.mkdtemp(prefix="restart_ck_")
+
+    # phase 1: only the first month-half exists; 4 files → real
+    # micro-batching inside the run
+    ev.filter(F.dayofmonth("ts") <= 15).repartition(4).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def start_landing():
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
+        return (
+            raw.writeStream.format("parquet")
+            .option("path", land)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start_landing()
+    if not q1.awaitTermination(300):
+        q1.stop()
+        raise TimeoutError("restart-recovery phase 1 did not drain")
+
+    # the process "dies" here (q1 has terminated); more data arrives
+    ev.filter(F.dayofmonth("ts") > 15).repartition(4).write.mode(
+        "append"
+    ).parquet(src)
+
+    # phase 2: a NEW query resumes from the same checkpoint — it must
+    # skip every file the checkpoint already committed
+    q2 = start_landing()
+    if not q2.awaitTermination(300):
+        q2.stop()
+        raise TimeoutError("restart-recovery phase 2 did not drain")
+
+    back = spark.read.parquet(land)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_distinct("event_id").alias("n_distinct"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
     )

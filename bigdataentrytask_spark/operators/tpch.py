@@ -880,10 +880,10 @@ _Q12_CRITICAL = ("1-URGENT", "2-HIGH")
     "q12_late_priority_mix",
     oracle=f"""
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('{_Q12_CRITICAL[0]}', '{_Q12_CRITICAL[1]}')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority IN ('{_Q12_CRITICAL[0]}', '{_Q12_CRITICAL[1]}')
-                    THEN 0 ELSE 1 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('{_Q12_CRITICAL[0]}', '{_Q12_CRITICAL[1]}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('{_Q12_CRITICAL[0]}', '{_Q12_CRITICAL[1]}')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '{_Q12_FROM} 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '{_Q12_TO} 00:00:00'

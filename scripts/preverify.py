@@ -11,6 +11,8 @@ Usage:  python scripts/preverify.py [name ...]
 
 from __future__ import annotations
 
+import decimal
+import glob
 import json
 import math
 import os
@@ -33,6 +35,11 @@ TABLES = (
 
 
 def norm(v):
+    # Spark toPandas keeps DECIMAL as decimal.Decimal objects while
+    # DuckDB's fetch_df flattens DECIMAL to float64 — unify to rounded
+    # float so the two pandas paths compare like values.
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         return "nan" if math.isnan(v) else round(v, 6)
     return str(v)
@@ -50,11 +57,10 @@ def main(argv: list[str]) -> int:
     names = argv
     if names == ["--never"]:
         checked: set[str] = set()
-        for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
-            p = os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), f)
-            if os.path.exists(p):
-                checked |= set(json.load(open(p)))
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+            with open(p) as fh:
+                checked |= set(json.load(fh))
         names = [q for q in e.queries() if q not in checked]
     qs, osql = e.queries(), e.oracle_sql()
     if not names:
@@ -79,22 +85,49 @@ def main(argv: list[str]) -> int:
         t0 = time.time()
         try:
             df = qs[name](spark, SF)
-            rows = df.collect()
-            canon_probe(df.limit(1000).toPandas(), name)
+            spdf = df.toPandas()
+            canon_probe(spdf.head(1000), name)
             if name not in osql:
-                print(f"{name:32s} rows={len(rows):7d} (rows-only) "
+                print(f"{name:32s} rows={len(spdf):7d} (rows-only) "
                       f"[{time.time()-t0:.1f}s]")
                 continue
-            rel = con.execute(osql[name])
-            dcols = [d[0] for d in rel.description]
+            # Fetch the oracle through the PANDAS path — the driver's
+            # canonicalizer goes df-wise, and DuckDB HUGEINT (the type of
+            # SUM(int)/count_if) coerces to float64 there, while fetchall()
+            # would hand back exact Python ints and hide the mismatch
+            # (round-3 lesson: three reds shipped through that blind spot).
+            odf = con.execute(osql[name]).fetch_df()
+            dcols = list(odf.columns)
             scols = list(df.columns)
             if sorted(scols) != sorted(dcols):
                 print(f"{name:32s} COLS-MISMATCH spark={scols} duck={dcols}")
                 bad.append(name)
                 continue
-            s = sorted([tuple(norm(r[c]) for c in dcols) for r in rows], key=repr)
-            d = sorted([tuple(norm(v) for v in row) for row in rel.fetchall()],
-                       key=repr)
+            # Dtype-parity gate: a float-typed oracle column whose Spark
+            # pandas dtype is integer is the HUGEINT fingerprint — the
+            # value hashes would compare "3.0" vs "3" and fail at the
+            # driver. (A nullable Spark long column coerces to float64 in
+            # toPandas on BOTH sides and is therefore not flagged.)
+            hugeint = [
+                c for c in dcols
+                if c in spdf.columns
+                and spdf[c].dtype.kind in "iu"
+                and odf[c].dtype.kind == "f"
+            ]
+            if hugeint:
+                print(f"{name:32s} HUGEINT-DTYPE oracle cols {hugeint} are "
+                      f"float64 but Spark side is integral — wrap the "
+                      f"aggregate in CAST(... AS BIGINT)")
+                bad.append(name)
+                continue
+            s = sorted(
+                [tuple(norm(v) for v in row)
+                 for row in spdf[dcols].itertuples(index=False, name=None)],
+                key=repr)
+            d = sorted(
+                [tuple(norm(v) for v in row)
+                 for row in odf.itertuples(index=False, name=None)],
+                key=repr)
             ok = s == d
             print(f"{name:32s} rows={len(s):7d}/{len(d):7d} "
                   f"{'MATCH' if ok else 'MISMATCH'} [{time.time()-t0:.1f}s]")
