@@ -28,6 +28,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # The headline set: reference-parity core + star-schema joins + the
 # north-star scale paths. (jaccard_pairs is deliberately absent: it is
 # the quadratic correctness baseline; minhash_dedup is its scale path.)
+#
+# Round-3 drift triage (re-measured round 4, n=4 isolated runs at
+# sf0.1 on an idle box): q5_local_supplier_volume best-of-4 1.124s —
+# its r3 number IS steady state; r2's 0.913s was a favorable draw
+# (run spread 1.12-1.41s). b1_hourly_uv best-of-4 0.50s — well UNDER
+# both r2 (0.885s) and r3 (1.081s); pure run-order/JVM noise.
+# simhash_pairs best-of-4 3.268s, between r2 (3.111) and r3 (3.509) —
+# Arrow-kernel stages are Python-CPU-bound and show ±10% run-to-run.
+# Plans unchanged for all three (PLANS.md exchange counts identical);
+# no regression, no action.
 HEADLINE = [
     "b1_hourly_uv",
     "q1_cumulative_minute",

@@ -967,9 +967,9 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
       SELECT MAX(CASE WHEN grp = 0 THEN n END)    AS n_a,
-             MAX(CASE WHEN grp = 0 THEN conv END) AS conv_a,
+             CAST(MAX(CASE WHEN grp = 0 THEN conv END) AS BIGINT) AS conv_a,
              MAX(CASE WHEN grp = 1 THEN n END)    AS n_b,
-             MAX(CASE WHEN grp = 1 THEN conv END) AS conv_b
+             CAST(MAX(CASE WHEN grp = 1 THEN conv END) AS BIGINT) AS conv_b
       FROM g
     )
     SELECT n_a, conv_a, n_b, conv_b,

@@ -912,7 +912,8 @@ def collection_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type AS channel,
            COUNT(*) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT))      AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                                                                AS sum_k,
            ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 6)
                                                                 AS avg_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT))      AS max_k

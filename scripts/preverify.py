@@ -45,6 +45,20 @@ def norm(v):
     return str(v)
 
 
+def hugeint_cols(spdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Columns bearing the HUGEINT fingerprint: float64 in the DuckDB
+    pandas fetch while the Spark side is integral. The driver's value
+    hash would compare "3.0" against "3" and fail despite identical
+    values — the round-3 red class. A nullable Spark long column
+    coerces to float64 on BOTH sides and is correctly not flagged."""
+    return [
+        c for c in odf.columns
+        if c in spdf.columns
+        and spdf[c].dtype.kind in "iu"
+        and odf[c].dtype.kind == "f"
+    ]
+
+
 def canon_probe(pdf: pd.DataFrame, name: str) -> None:
     """Mimic the driver's pandas canonicalization: sort_values over every
     column raises on unhashable cells (arrays/maps) — fail loudly here."""
@@ -103,17 +117,7 @@ def main(argv: list[str]) -> int:
                 print(f"{name:32s} COLS-MISMATCH spark={scols} duck={dcols}")
                 bad.append(name)
                 continue
-            # Dtype-parity gate: a float-typed oracle column whose Spark
-            # pandas dtype is integer is the HUGEINT fingerprint — the
-            # value hashes would compare "3.0" vs "3" and fail at the
-            # driver. (A nullable Spark long column coerces to float64 in
-            # toPandas on BOTH sides and is therefore not flagged.)
-            hugeint = [
-                c for c in dcols
-                if c in spdf.columns
-                and spdf[c].dtype.kind in "iu"
-                and odf[c].dtype.kind == "f"
-            ]
+            hugeint = hugeint_cols(spdf, odf)
             if hugeint:
                 print(f"{name:32s} HUGEINT-DTYPE oracle cols {hugeint} are "
                       f"float64 but Spark side is integral — wrap the "

@@ -70,3 +70,55 @@ def test_realtime_topology_all_four_queries(spark):
         for r in REGISTRY["q1_daily_uv_payment"](spark, SF_DIR_SMALL).collect()
     ]
     assert daily == batch_daily
+
+
+def test_restart_recovery_exactly_once(spark):
+    """ST7 hard case: a checkpointed landing killed between halves and
+    restarted must land the full corpus exactly once — per-type count
+    equals distinct-id count (no duplication), and the totals equal
+    the batch aggregate over the whole fixture."""
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+
+    out = {
+        r.event_type: (r.cnt, r.n_distinct, r.total_value)
+        for r in REGISTRY["stream_restart_recovery"](
+            spark, SF_DIR_SMALL
+        ).collect()
+    }
+    batch = {
+        r.event_type: (r.cnt, r.n_distinct, r.total_value)
+        for r in load_table(spark, SF_DIR_SMALL, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_distinct("event_id").alias("n_distinct"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert out == batch
+    for cnt, n_distinct, _ in out.values():
+        assert cnt == n_distinct  # restart duplicated nothing
+
+
+def test_concurrent_topology_operator_summarizes_all_sinks(spark):
+    """ST6 registry entry: the 4-sink summary frame has one row per
+    sink with positive counts, and the update-mode user sink count
+    equals the batch distinct-user count."""
+    rows = {
+        r.sink: (r.n_rows, r.total)
+        for r in REGISTRY["stream_concurrent_topology"](
+            spark, SF_DIR_SMALL
+        ).collect()
+    }
+    assert set(rows) == {
+        "buy_cnt_per_min",
+        "payment_user_list",
+        "payment_channels_list",
+        "cumulative_payment_uv_partials",
+    }
+    assert all(n > 0 for n, _ in rows.values())
+    n_users = REGISTRY["q3_user_payment"](spark, SF_DIR_SMALL).count()
+    assert rows["payment_user_list"][0] == n_users
