@@ -22,6 +22,16 @@ def operator(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     """Register a query operator and (optionally) its DuckDB oracle."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        # duplicate names silently overwrite (dict semantics) and the
+        # earlier operator vanishes from the registry — refuse loudly
+        # (idempotent for the same function object, so module reloads
+        # in long-lived test sessions stay safe)
+        prior = REGISTRY.get(name)
+        if prior is not None and prior.__qualname__ != fn.__qualname__:
+            raise ValueError(
+                f"operator name {name!r} already registered by "
+                f"{prior.__module__}.{prior.__qualname__}"
+            )
         REGISTRY[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -375,3 +375,65 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_ARES_K)
         .select("doc_id", "n_chars", F.round("k", 6).alias("priority"))
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-mix rebalancing: PER-LANGUAGE sampling rates (the uniform
+# per-source stratified sampler lives in text_analysis.py)
+# applied via a content-stable hash predicate (md5(doc_id) mod 1000 <
+# rate‰). This is the corpus-mix primitive — downsample the dominant
+# language, keep the long tail — and because the predicate is a pure
+# function of doc_id it is reproducible across engines, runs, and
+# partitionings (no RNG state, no sample() seed drift). At 100 TB it
+# is a scan-time filter: no shuffle at all, prunes to (doc_id, lang),
+# composes with any downstream op. The summary proves both the
+# selection (per-language counts) and the mass kept (chars).
+# --------------------------------------------------------------------------
+_STRATA_PER_MILLE = {"en": 120, "de": 400, "fr": 400, "es": 640, "zh": 640}
+_STRATA_DEFAULT = 500
+
+
+def _strata_rate_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{lang}' THEN {rate}"
+        for lang, rate in sorted(_STRATA_PER_MILLE.items())
+    )
+    return f"CASE lang {arms} ELSE {_STRATA_DEFAULT} END"
+
+
+@operator(
+    "language_rebalance_sample",
+    oracle=f"""
+    WITH sampled AS (
+      SELECT lang, n_chars
+      FROM documents
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000
+            < ({_strata_rate_sql()})
+    )
+    SELECT lang,
+           COUNT(*)                            AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT)        AS chars_kept
+    FROM sampled
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def language_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    rate = F.lit(_STRATA_DEFAULT)
+    for lang, r in sorted(_STRATA_PER_MILLE.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 1000
+    )
+    return (
+        docs.filter(h < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -1492,3 +1492,120 @@ def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame
         .limit(_MAHA_TOP)
         .select("vec_id", F.round("d2", 4).alias("mahalanobis_sq"))
     )
+
+
+# --------------------------------------------------------------------------
+# Product-quantization (PQ) code assignment: split the 64-dim vector
+# into _PQ_SUB contiguous subspaces and assign each sub-vector to its
+# nearest codebook centroid (codebook = the first _PQ_K vectors'
+# sub-vectors — the deterministic seed convention `kmeans_step`
+# already uses). PQ is the memory layer under IVF-PQ serving indexes:
+# 64 floats become _PQ_SUB uint8 codes (here 4 x log2(16) = 16 bits
+# per vector, a 128x compression).
+#
+# Scale posture: identical to `kmeans_step` — everything runs on
+# dimension-level rows (vec_id, pos, x); the codebook side is
+# _PQ_SUB * _PQ_K * (64/_PQ_SUB) rows (= 64 * _PQ_K, KBs) and
+# broadcasts; distances are one grouped SUM per (vec, subspace,
+# centroid); argmin is a bounded window over _PQ_K candidate rows
+# with the same ROUND(dd, 6) tie-break as kmeans_step (float partial
+# sums could otherwise flip near-equidistant codes between engines).
+# Output: per (subspace, code) population + quantization error — the
+# codebook-balance audit a PQ build runs before shipping an index.
+# --------------------------------------------------------------------------
+_PQ_SUB = 4      # subspaces (64 dims -> 16 dims each)
+_PQ_K = 16       # centroids per subspace codebook
+_PQ_DIM = 64
+
+
+@operator(
+    "embedding_pq_assign",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id,
+             ((generate_subscripts(e, 1) - 1) * {_PQ_SUB}) // {_PQ_DIM}
+               AS sub,
+             generate_subscripts(e, 1) AS pos,
+             UNNEST(e) AS x
+      FROM v
+    ),
+    codebook AS (
+      SELECT vec_id AS code, ((pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             pos, x AS c
+      FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos, UNNEST(e) AS x
+            FROM v WHERE vec_id < {_PQ_K}) t
+    ),
+    dist AS (
+      SELECT d.vec_id, d.sub, cb.code,
+             SUM((d.x - cb.c) * (d.x - cb.c)) AS dd
+      FROM dims d
+      JOIN codebook cb ON cb.pos = d.pos AND cb.sub = d.sub
+      GROUP BY 1, 2, 3
+    ),
+    assigned AS (
+      SELECT vec_id, sub, code, dd FROM (
+        SELECT vec_id, sub, code, dd,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY ROUND(dd, 6), code) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    )
+    SELECT sub, code,
+           COUNT(*) AS n_vecs,
+           ROUND(SUM(dd), 4) AS sq_error
+    FROM assigned
+    GROUP BY 1, 2
+    ORDER BY sub, code
+    """,
+)
+def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long").alias("sub"),
+        (F.col("pos0") + 1).alias("pos"),
+        "x",
+    )
+    codebook = (
+        e.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("pos0", "c"),
+        )
+        .select(
+            "code",
+            ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long").alias("cb_sub"),
+            (F.col("pos0") + 1).alias("cb_pos"),
+            "c",
+        )
+    )
+    dist = (
+        dims.join(
+            F.broadcast(codebook),
+            (F.col("cb_pos") == F.col("pos")) & (F.col("cb_sub") == F.col("sub")),
+        )
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dd"))
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.round("dd", 6), "code")
+    assigned = dist.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        assigned.groupBy("sub", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("dd"), 4).alias("sq_error"),
+        )
+        .orderBy("sub", "code")
+    )

@@ -1311,3 +1311,56 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-candidate counts: the frequency of every ADJACENT token
+# pair across the corpus — the inner loop of byte-pair-encoding vocab
+# training (each merge round picks the most frequent adjacent pair).
+# Not in the reference (batch surface is keyed aggregates,
+# /root/reference/doc/temp.md:509-530); north-star tokenizer scope
+# (SURVEY.md §2.8). Implemented as an in-JVM zip of each token array
+# with its own tail (arrays_zip over slice — no posexplode self-join),
+# then one grouped count: the map side pre-aggregates, the shuffle
+# carries (pair, partial count), and the pair domain — not the corpus
+# — bounds the final state. Top pairs with (count desc, pair) total
+# order.
+# --------------------------------------------------------------------------
+_BPE_TOPK = 50
+
+
+@operator(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+    ),
+    pairs AS (
+      SELECT t[i] AS left_tok, t[i + 1] AS right_tok
+      FROM (SELECT t, UNNEST(range(1, len(t))) AS i FROM toks)
+    )
+    SELECT left_tok, right_tok, COUNT(*) AS cnt
+    FROM pairs
+    GROUP BY 1, 2
+    ORDER BY cnt DESC, left_tok, right_tok
+    LIMIT {_BPE_TOPK}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(tokens("text").alias("t"))
+    zipped = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+            )
+        ).alias("p")
+    ).select(
+        F.col("p")["0"].alias("left_tok"), F.col("p")["1"].alias("right_tok")
+    )
+    return (
+        zipped.groupBy("left_tok", "right_tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "left_tok", "right_tok")
+        .limit(_BPE_TOPK)
+    )

@@ -203,3 +203,113 @@ def order_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "open_orders")
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Interval (range) containment join WITHOUT an equi key: orders joined
+# to overlapping promotion windows by date containment alone. The
+# promo dimension is generated deterministically (24 windows, 37-day
+# stride, 21-day span — windows overlap and cross month boundaries,
+# so no single calendar bucket contains a window).
+#
+# The naive plan for a pure range predicate is a nested-loop join —
+# O(|fact| x |intervals|), the classic range-join trap. The engine
+# uses the BUCKETED range join: each interval is exploded into the
+# months it spans (bounded fan-out: 21-day windows touch <= 2
+# months), the fact equi-joins on its own month bucket, and the exact
+# containment predicate runs as a residual filter. The plan is a
+# broadcast/shuffle HASH join on the bucket — survives a 100x fact
+# scale-up where the nested loop dies. The oracle states the naive
+# range join directly; agreement proves bucketing loses no pairs
+# (every [start, end) window is fully covered by its month buckets).
+# --------------------------------------------------------------------------
+_RJ_N_PROMOS = 24
+_RJ_STRIDE_DAYS = 37
+_RJ_SPAN_DAYS = 21
+_RJ_BASE = "1995-01-01"
+
+
+@operator(
+    "range_interval_join",
+    oracle=f"""
+    WITH promos AS (
+      SELECT range AS promo_id,
+             TIMESTAMP '{_RJ_BASE} 00:00:00'
+               + to_days((range * {_RJ_STRIDE_DAYS})::INT) AS start_ts,
+             TIMESTAMP '{_RJ_BASE} 00:00:00'
+               + to_days((range * {_RJ_STRIDE_DAYS}
+                          + {_RJ_SPAN_DAYS})::INT) AS end_ts
+      FROM range({_RJ_N_PROMOS})
+    )
+    SELECT p.promo_id,
+           strftime(p.start_ts, '%Y-%m-%d') AS start_day,
+           COUNT(o.o_orderkey)              AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2)    AS revenue
+    FROM promos p
+    LEFT JOIN orders o
+      ON o.o_orderdate >= p.start_ts AND o.o_orderdate < p.end_ts
+    GROUP BY 1, 2
+    ORDER BY promo_id
+    """,
+)
+def range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.date_trunc("month", "o_orderdate").alias("bucket"),
+    )
+    promos = spark.range(_RJ_N_PROMOS).select(
+        F.col("id").alias("promo_id"),
+        F.date_add(
+            F.lit(_RJ_BASE).cast("date"), (F.col("id") * _RJ_STRIDE_DAYS).cast("int")
+        )
+        .cast("timestamp_ntz")
+        .alias("start_ts"),
+        F.date_add(
+            F.lit(_RJ_BASE).cast("date"),
+            (F.col("id") * _RJ_STRIDE_DAYS + _RJ_SPAN_DAYS).cast("int"),
+        )
+        .cast("timestamp_ntz")
+        .alias("end_ts"),
+    )
+    # bucketed form: explode each interval to the month buckets it
+    # touches (sequence of month starts), equi-join on the bucket,
+    # exact containment as residual
+    exploded = promos.select(
+        "promo_id",
+        "start_ts",
+        "end_ts",
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", "start_ts"),
+                # end_ts is exclusive: the last covered instant is
+                # end_ts - 1 microsecond's month
+                F.date_trunc(
+                    "month", F.col("end_ts") - F.expr("INTERVAL 1 MICROSECOND")
+                ),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("bucket"),
+    )
+    joined = o.join(
+        F.broadcast(exploded),
+        (o.bucket == exploded.bucket)
+        & (o.o_orderdate >= exploded.start_ts)
+        & (o.o_orderdate < exploded.end_ts),
+    ).select("promo_id", "o_orderkey", "o_totalprice")
+    # LEFT semantics of the oracle: re-attach promos with no orders
+    agg = joined.groupBy("promo_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    return (
+        promos.join(agg, "promo_id", "left")
+        .select(
+            "promo_id",
+            F.date_format("start_ts", "yyyy-MM-dd").alias("start_day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            "revenue",
+        )
+        .orderBy("promo_id")
+    )

@@ -794,3 +794,197 @@ def _register_part_recommendations() -> None:
 
 
 _register_part_recommendations()
+
+
+# --------------------------------------------------------------------------
+# CDC APPLY: the inverse of `snapshot_table_diff`. A changelog of
+# insert/update/delete rows applied to the OLD snapshot must
+# reproduce the NEW snapshot exactly — apply(old, diff(old, new)) ==
+# new is the round-trip law every CDC consumer (lakehouse MERGE,
+# keyed upsert sink) depends on. Old = per-customer order rollup
+# before _CDC_T2; new = the rollup over [_CDC_T1, end) — overlapping
+# windows so all three change types occur (keys only in old →
+# delete, only in new → insert, in both with drift → update).
+#
+# Scale posture: diff is one full-outer join on the snapshot key; the
+# apply is a left-anti (drop deleted/updated keys) + union of the
+# changelog's insert/update images — two keyed shuffles over
+# dimension-sized rollups, no fact-scale rescan. On a lakehouse table
+# the same plan runs inside MERGE INTO; this operator IS that plan
+# with the transaction log stripped away.
+# --------------------------------------------------------------------------
+_CDC_T1, _CDC_T2 = "1995-06-01", "1997-01-01"
+
+
+@operator(
+    "cdc_apply_changelog",
+    # the oracle is the NEW snapshot itself: any defect in diff OR
+    # apply breaks the round-trip equality
+    oracle=f"""
+    SELECT o_custkey AS custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_CDC_T1} 00:00:00'
+    GROUP BY 1 ORDER BY custkey
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("c").cast("bigint").alias("cents"),
+        )
+
+    old = snap(o.filter(F.col("o_orderdate") < F.lit(_CDC_T2).cast("timestamp")))
+    new = snap(o.filter(F.col("o_orderdate") >= F.lit(_CDC_T1).cast("timestamp")))
+
+    # diff: full outer on the key; change_type per row
+    a = old.select(
+        F.col("custkey").alias("k"),
+        F.col("n_orders").alias("old_n"),
+        F.col("cents").alias("old_c"),
+    )
+    b = new.select(
+        F.col("custkey").alias("k"),
+        F.col("n_orders").alias("new_n"),
+        F.col("cents").alias("new_c"),
+    )
+    diff = (
+        a.join(b, "k", "full_outer")
+        .withColumn(
+            "change_type",
+            F.when(F.col("old_n").isNull(), F.lit("insert"))
+            .when(F.col("new_n").isNull(), F.lit("delete"))
+            .when(
+                (F.col("old_n") != F.col("new_n"))
+                | (F.col("old_c") != F.col("new_c")),
+                F.lit("update"),
+            ),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select("k", "change_type", "new_n", "new_c")
+    )
+
+    # apply: drop every changed key from old, union the insert/update
+    # images from the changelog
+    keep = old.join(diff.select("k"), old.custkey == diff.k, "left_anti")
+    images = (
+        diff.filter(F.col("change_type") != "delete")
+        .select(
+            F.col("k").alias("custkey"),
+            F.col("new_n").alias("n_orders"),
+            F.col("new_c").alias("cents"),
+        )
+    )
+    return keep.unionByName(images).orderBy("custkey")
+
+
+# --------------------------------------------------------------------------
+# One damped PageRank iteration over the basket co-occurrence graph
+# (edge weight = number of orders containing both parts). The graph
+# is built with the same bounded set-expansion as `basket_part_pairs`
+# (per-order item sets, in-JVM pair explode, blowup <= basket size
+# squared — never a fact-scale self-join). From uniform init
+# pr0 = 1/N, one step of the weighted walk:
+#   pr1(p) = (1-d)/N + d * SUM_q w(q,p)/out(q) * pr0(q).
+# Full PageRank is this step iterated with parquet ping-pong between
+# iterations (the `resolve_components` pattern at dedup.py); one step
+# is the differentially checkable unit — the oracle replays the
+# identical arithmetic in SQL. Top 100 parts by rank.
+# --------------------------------------------------------------------------
+_PR_DAMP = 0.85
+_PR_TOPK = 100
+
+
+@operator(
+    "pagerank_step",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             COUNT(*) AS w
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT COUNT(DISTINCT src) AS n FROM edges),
+    outdeg AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY 1),
+    contrib AS (
+      SELECT e.dst,
+             SUM(e.w / CAST(o.outw AS DOUBLE)
+                 * (1.0 / (SELECT n FROM nodes))) AS inflow
+      FROM edges e JOIN outdeg o ON o.src = e.src
+      GROUP BY 1
+    )
+    SELECT dst AS part,
+           ROUND((1 - {_PR_DAMP}) / (SELECT n FROM nodes)
+                 + {_PR_DAMP} * inflow, 9) AS pr
+    FROM contrib
+    ORDER BY pr DESC, part
+    LIMIT {_PR_TOPK}
+    """,
+)
+def pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sets = (
+        li.distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    # ordered pair expansion inside the JVM (both directions): for
+    # basket [p1..pk], every (pi, pj), i != j
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda p: F.transform(
+                        F.filter("parts", lambda q: q != p),
+                        lambda q: F.struct(
+                            p.alias("src"), q.alias("dst")
+                        ),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    # edges feed three branches (node count, outdegree, contribution);
+    # at 100 TB persist the edge frame once so the branches share one
+    # build — left unpersisted here because the operator returns a
+    # lazy frame and a registry-held cache would outlive the call
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    n_nodes = edges.agg(
+        F.count_distinct("src").alias("n")
+    )  # symmetric graph: src domain == node domain
+    outdeg = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    contrib = (
+        edges.join(outdeg, "src")
+        .crossJoin(F.broadcast(n_nodes))
+        .groupBy("dst", "n")
+        .agg(
+            F.sum(
+                F.col("w") / F.col("outw").cast("double") * (1.0 / F.col("n"))
+            ).alias("inflow")
+        )
+    )
+    return (
+        contrib.select(
+            F.col("dst").alias("part"),
+            F.round(
+                (1 - _PR_DAMP) / F.col("n") + _PR_DAMP * F.col("inflow"), 9
+            ).alias("pr"),
+        )
+        .orderBy(F.col("pr").desc(), "part")
+        .limit(_PR_TOPK)
+    )
