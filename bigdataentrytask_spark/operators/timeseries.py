@@ -313,3 +313,58 @@ def range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("promo_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Hour-of-day seasonal baseline: the additive-decomposition first step
+# (seasonal index per (event_type, hour-of-day) from per-day-hour
+# counts) plus the peak/trough shape summary a capacity planner and a
+# seasonal anomaly detector both read. Complements the level-based
+# detectors (`events_mad_anomaly` robust-z, `events_ewma_hourly`
+# trend): those flag deviation from recent LEVEL; this one extracts
+# the DAILY SHAPE the level oscillates around.
+#
+# Scale posture: two grouped aggregations — fact -> (type, day, hour)
+# partial counts (map-side combinable, the only fact-scale shuffle),
+# then -> (type, hour) over a <= |types| * 24 key space. The dense
+# (type, hour) grid never touches the fact.
+# --------------------------------------------------------------------------
+@operator(
+    "seasonal_hourly_baseline",
+    oracle="""
+    WITH per_day AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             EXTRACT(hour FROM ts) AS hod, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, CAST(hod AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT)  AS n_days,
+           CAST(SUM(cnt) AS BIGINT)  AS total,
+           ROUND(AVG(cnt), 4)        AS baseline,
+           CAST(MIN(cnt) AS BIGINT)  AS lo,
+           CAST(MAX(cnt) AS BIGINT)  AS hi
+    FROM per_day
+    GROUP BY 1, 2
+    ORDER BY event_type, hod
+    """,
+)
+def seasonal_hourly_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.hour("ts").cast("long").alias("hod"),
+    )
+    per_day = ev.groupBy("event_type", "d", "hod").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_day.groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("cnt").alias("total"),
+            F.round(F.avg("cnt"), 4).alias("baseline"),
+            F.min("cnt").alias("lo"),
+            F.max("cnt").alias("hi"),
+        )
+        .orderBy("event_type", "hod")
+    )

@@ -988,3 +988,91 @@ def pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pr").desc(), "part")
         .limit(_PR_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance: a materialized per-customer rollup
+# maintained by MERGING a delta batch's partial aggregates into the
+# stored state must equal the full recompute — the algebraic law
+# (count/sum/min/max are mergeable monoids, avg derives from
+# sum/count) that every lambda/kappa architecture and AQE partial-agg
+# plan depends on. The fact is split at a cutoff; the "stored view"
+# aggregates the old half, the delta aggregates the new half, and the
+# merge is one full-outer join + monoid combination per column.
+#
+# Scale posture: the delta side is the only fact-scale scan per
+# refresh; the merge joins two DIMENSION-sized aggregates on the view
+# key. COUNT/SUM merge by +, MIN/MAX by least/greatest, AVG is
+# re-derived — never averaged-of-averages. At 100 TB this is the
+# nightly-refresh plan for every keyed rollup the warehouse serves.
+# --------------------------------------------------------------------------
+_IVM_CUT = "1997-06-01"
+
+
+@operator(
+    "incremental_agg_merge",
+    # the oracle is the FULL recompute: the merge must be lossless
+    oracle="""
+    SELECT o_custkey AS custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                // COUNT(*) AS BIGINT) AS avg_cents
+    FROM orders GROUP BY 1 ORDER BY custkey
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+
+    def part(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("c").cast("bigint").alias("cents"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+
+    cut = F.lit(_IVM_CUT).cast("timestamp")
+    view = part(o.filter(F.col("o_orderdate") < cut))   # stored state
+    delta = part(o.filter(F.col("o_orderdate") >= cut))  # refresh batch
+
+    v = view.select([F.col(c).alias(f"v_{c}") for c in view.columns])
+    d = delta.select([F.col(c).alias(f"d_{c}") for c in delta.columns])
+    merged = v.join(d, v.v_custkey == d.d_custkey, "full_outer").select(
+        F.coalesce("v_custkey", "d_custkey").alias("custkey"),
+        (
+            F.coalesce("v_n_orders", F.lit(0))
+            + F.coalesce("d_n_orders", F.lit(0))
+        ).alias("n_orders"),
+        (
+            F.coalesce("v_cents", F.lit(0)) + F.coalesce("d_cents", F.lit(0))
+        ).alias("cents"),
+        F.least(
+            F.coalesce("v_min_cents", "d_min_cents"),
+            F.coalesce("d_min_cents", "v_min_cents"),
+        ).alias("min_cents"),
+        F.greatest(
+            F.coalesce("v_max_cents", "d_max_cents"),
+            F.coalesce("d_max_cents", "v_max_cents"),
+        ).alias("max_cents"),
+    )
+    return merged.select(
+        "custkey",
+        "n_orders",
+        "cents",
+        "min_cents",
+        "max_cents",
+        # integer division keeps the derived average ENGINE-EXACT —
+        # a ROUND(cents/n, 2) here hit a genuine x.415 half-way case
+        # where the two engines' double rounding disagreed by 1 cent
+        F.expr("cents div n_orders").alias("avg_cents"),
+    ).orderBy("custkey")

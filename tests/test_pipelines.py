@@ -122,3 +122,73 @@ def test_concurrent_topology_operator_summarizes_all_sinks(spark):
     assert all(n > 0 for n, _ in rows.values())
     n_users = REGISTRY["q3_user_payment"](spark, SF_DIR_SMALL).count()
     assert rows["payment_user_list"][0] == n_users
+
+
+def test_restart_recovery_after_midstream_kill(spark, tmp_path):
+    """ST7, hard case: the landing query is stopped after its FIRST
+    micro-batch (maxFilesPerTrigger=1 — a genuine mid-stream kill with
+    unprocessed source files remaining), then a fresh query resumes
+    from the checkpoint. The landed table must hold every source row
+    exactly once."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR_SMALL, "events").select(
+        "event_id", "user_id", "value"
+    )
+    src, land, ck = (
+        str(tmp_path / "src"),
+        str(tmp_path / "land"),
+        str(tmp_path / "ck"),
+    )
+    ev.repartition(6).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q1 = (
+        raw.writeStream.format("parquet")
+        .option("path", land)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    # wait for at least one committed micro-batch, then kill mid-run
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q1.lastProgress
+        if p and p["numInputRows"] > 0:
+            break
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination(60)
+
+    # resume from the same checkpoint; drain the remainder
+    raw2 = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    q2 = (
+        raw2.writeStream.format("parquet")
+        .option("path", land)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(120)
+
+    back = spark.read.parquet(land)
+    n_src = ev.count()
+    stats = back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("event_id").alias("nd"),
+    ).collect()[0]
+    assert stats.n == n_src        # nothing lost
+    assert stats.nd == n_src       # nothing duplicated

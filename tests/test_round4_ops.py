@@ -17,6 +17,8 @@ ROUND4_QUERIES = [
     "bpe_pair_counts",
     "range_interval_join",
     "embedding_pq_assign",
+    "incremental_agg_merge",
+    "seasonal_hourly_baseline",
 ]
 
 
