@@ -49,3 +49,16 @@ def test_ordering_red_then_unchecked_then_stale_greens(tmp_path,
 def test_malformed_file_is_ignored(tmp_path):
     (tmp_path / "CORRECTNESS_r01.json").write_text("{not json")
     assert entry._driver_status(str(tmp_path)) == {}
+
+
+def test_rounds_sort_numerically_not_lexicographically(tmp_path):
+    """An unpadded r3 and a 3-digit r100 must still apply in round
+    order: r100's row wins over r02/r3 even though '100' sorts before
+    '02' and '3' lexicographically."""
+    (tmp_path / "CORRECTNESS_r3.json").write_text(json.dumps({"a": RED}))
+    _write(tmp_path, 2, {"a": GREEN})
+    (tmp_path / "CORRECTNESS_r100.json").write_text(
+        json.dumps({"a": GREEN})
+    )
+    st = entry._driver_status(str(tmp_path))
+    assert st["a"] == (100, True)
