@@ -277,45 +277,3 @@ def trailing_hour_user_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.sum("value").over(w), 2).alias("trailing_1h"),
     ).orderBy("event_id")
-
-
-# --------------------------------------------------------------------------
-# Explicit GROUPING SETS (the general form under ROLLUP/CUBE): three
-# hand-picked aggregation granularities in ONE pass — (status,
-# priority) detail, priority-only subtotal, grand total — with
-# GROUPING() flags disambiguating real NULLs from subtotal rows.
-# Spark expands grouping sets into a single Expand + one aggregate:
-# the fact is scanned ONCE for all three granularities, the 100 TB
-# advantage over three separate queries (and the reason the operator
-# exists instead of a UNION ALL of three aggs).
-# --------------------------------------------------------------------------
-@operator(
-    "grouping_sets_probe",
-    oracle="""
-    SELECT o_orderstatus AS status, o_orderpriority AS priority,
-           CAST(GROUPING(o_orderstatus) AS BIGINT)   AS g_status,
-           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
-           COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS revenue
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                            (o_orderpriority), ())
-    ORDER BY g_status, g_priority, status NULLS FIRST,
-             priority NULLS FIRST
-    """,
-)
-def grouping_sets_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("__gs_orders")
-    return o.sparkSession.sql(
-        """
-        SELECT o_orderstatus AS status, o_orderpriority AS priority,
-               CAST(grouping(o_orderstatus) AS BIGINT)   AS g_status,
-               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
-               COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS revenue
-        FROM __gs_orders
-        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                                (o_orderpriority), ())
-        ORDER BY g_status, g_priority, status NULLS FIRST,
-                 priority NULLS FIRST
-        """
-    )
