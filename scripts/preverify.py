@@ -5,7 +5,10 @@ canonicalization probe that crashes on non-hashable columns exactly like the
 driver's canonicalizer does).
 
 Usage:  python scripts/preverify.py [name ...]
-        python scripts/preverify.py --never   # ops with no CORRECTNESS row yet
+        python scripts/preverify.py --never       # ops with no CORRECTNESS row yet
+        python scripts/preverify.py --sweep [N]   # first N (default 50) in
+                                                  # queries() order — the driver's
+                                                  # exact per-round slate
 (no args = every registered query)
 """
 
@@ -69,6 +72,9 @@ def canon_probe(pdf: pd.DataFrame, name: str) -> None:
 
 def main(argv: list[str]) -> int:
     names = argv
+    if names and names[0] == "--sweep":
+        n = int(names[1]) if len(names) > 1 else 50
+        names = list(e.queries())[:n]
     if names == ["--never"]:
         checked: set[str] = set()
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
