@@ -523,8 +523,12 @@ def stream_concurrent_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("cumulative_payment_uv_partials", "payment"),
     ):
         snap = sinks[name].snapshot()
+        # sort before summing: snapshot order follows micro-batch
+        # arrival across 4 concurrent threads, and double addition is
+        # order-sensitive — sorted values make the total identical on
+        # every run (the oracle's ROUND(...,2) then compares safely)
         rows.append(
-            (name, len(snap), float(sum(r[value_col] for r in snap)))
+            (name, len(snap), float(sum(sorted(r[value_col] for r in snap))))
         )
     out = spark.createDataFrame(
         rows, "sink string, n_rows long, total double"
