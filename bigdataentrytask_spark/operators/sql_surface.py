@@ -657,19 +657,26 @@ def order_agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DECIMAL(18,4) end-to-end — the finance-grade arithmetic path. Every
 # money column casts to decimal AT THE SCAN, all products/sums stay
 # decimal (Spark widens precision per SQL rules), and the comparison
-# with DuckDB is EXACT equality — no float rounding fuzz anywhere.
-# Demonstrates that the engine's decimal arithmetic (not just its
-# double path) matches an independent implementation bit-for-bit.
+# with DuckDB is EXACT: each decimal aggregate is emitted as its
+# scaled integer (value × 10^scale, BIGINT), so full precision crosses
+# the pandas boundary with no float rounding fuzz anywhere. (DuckDB's
+# fetch_df flattens DECIMAL(38,x) to float64, which both loses scale-8
+# digits at 1e8 magnitudes and textually disagrees with Spark's exact
+# decimal.Decimal objects — the round-4 red. Scaled BIGINT is the only
+# representation both engines hand to pandas losslessly.)
 # --------------------------------------------------------------------------
 @operator(
     "pricing_summary_decimal",
     oracle="""
     SELECT l_returnflag,
            l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,4)))            AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,4)))       AS sum_base_price,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-               * (1 - CAST(l_discount AS DECIMAL(18,4))))    AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) * 10000
+                AS BIGINT)                                   AS sum_qty_e4,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000
+                AS BIGINT)                                   AS sum_base_price_e4,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) * 100000000
+                AS BIGINT)                                   AS sum_disc_price_e8,
            COUNT(*)                                          AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -684,9 +691,11 @@ def pricing_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).alias("sum_qty"),
-            F.sum(price).alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc)).alias("sum_disc_price"),
+            (F.sum(qty) * 10000).cast("long").alias("sum_qty_e4"),
+            (F.sum(price) * 10000).cast("long").alias("sum_base_price_e4"),
+            (F.sum(price * (F.lit(1) - disc)) * 100000000)
+            .cast("long")
+            .alias("sum_disc_price_e8"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

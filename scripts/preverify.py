@@ -48,6 +48,23 @@ def norm(v):
     return str(v)
 
 
+def decimal_cols(spdf: pd.DataFrame) -> list[str]:
+    """Columns where the SPARK side hands pandas decimal.Decimal objects.
+    The driver hashes their textual form ("501303700.12345678") against
+    DuckDB's fetch_df, which flattens DECIMAL(38,x) to float64 — both a
+    textual mismatch and a precision loss (the round-4
+    pricing_summary_decimal red). Decimal output columns cannot survive
+    the driver path: emit value × 10^scale AS BIGINT (exact) or cast to
+    DOUBLE + ROUND (fuzzy) instead."""
+    out = []
+    for c in spdf.columns:
+        if spdf[c].dtype == object and len(spdf):
+            v = spdf[c].dropna()
+            if len(v) and isinstance(v.iloc[0], decimal.Decimal):
+                out.append(c)
+    return out
+
+
 def hugeint_cols(spdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     """Columns bearing the HUGEINT fingerprint: float64 in the DuckDB
     pandas fetch while the Spark side is integral. The driver's value
@@ -121,6 +138,14 @@ def main(argv: list[str]) -> int:
             scols = list(df.columns)
             if sorted(scols) != sorted(dcols):
                 print(f"{name:32s} COLS-MISMATCH spark={scols} duck={dcols}")
+                bad.append(name)
+                continue
+            deccols = decimal_cols(spdf)
+            if deccols:
+                print(f"{name:32s} DECIMAL-OUTPUT Spark cols {deccols} are "
+                      f"decimal.Decimal in pandas — the driver compares their "
+                      f"textual form against DuckDB float64; emit scaled "
+                      f"BIGINT (value*10^scale) or DOUBLE instead")
                 bad.append(name)
                 continue
             hugeint = hugeint_cols(spdf, odf)
