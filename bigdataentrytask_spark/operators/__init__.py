@@ -27,7 +27,10 @@ def operator(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
         # (idempotent for the same function object, so module reloads
         # in long-lived test sessions stay safe)
         prior = REGISTRY.get(name)
-        if prior is not None and prior.__qualname__ != fn.__qualname__:
+        if prior is not None and (
+            prior.__module__,
+            prior.__qualname__,
+        ) != (fn.__module__, fn.__qualname__):
             raise ValueError(
                 f"operator name {name!r} already registered by "
                 f"{prior.__module__}.{prior.__qualname__}"
