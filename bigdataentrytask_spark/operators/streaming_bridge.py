@@ -486,19 +486,20 @@ def stream_signup_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFra
     SELECT * FROM (
       SELECT 'buy_cnt_per_min' AS sink,
              CAST(COUNT(*) AS BIGINT) AS n_rows,
-             ROUND(CAST(SUM(cnt) AS DOUBLE), 2) AS total
+             CAST(SUM(CAST(ROUND(cnt * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
       FROM wins
       UNION ALL
       SELECT 'payment_user_list', CAST(COUNT(*) AS BIGINT),
-             ROUND(SUM(payment), 2)
+             CAST(SUM(CAST(ROUND(payment * 100) AS BIGINT)) AS BIGINT)
       FROM users
       UNION ALL
       SELECT 'payment_channels_list', CAST(COUNT(*) AS BIGINT),
-             ROUND(SUM(payment), 2)
+             CAST(SUM(CAST(ROUND(payment * 100) AS BIGINT)) AS BIGINT)
       FROM chans
       UNION ALL
       SELECT 'cumulative_payment_uv_partials', CAST(COUNT(*) AS BIGINT),
-             ROUND(SUM(payment), 2)
+             CAST(SUM(CAST(ROUND(payment * 100) AS BIGINT)) AS BIGINT)
       FROM du
     ) ORDER BY sink
     """,
@@ -506,11 +507,12 @@ def stream_signup_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFra
 def stream_concurrent_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the 4-query concurrent topology and summarize every sink.
 
-    The totals are computed in SPARK (a 4-row frame built from the
-    sink snapshots, rounded via F.round) so both engines apply the
-    same HALF_UP rounding to the same double sums.
+    Each snapshot value is rounded to integer CENTS (half-up, the
+    warehouse integer-cents pattern) before summing, so the totals
+    accumulate exactly in int64 on both engines — no double-addition
+    order sensitivity and no ROUND(...,2) boundary flips on the sum.
     """
-    from pyspark.sql import functions as F
+    import math
 
     from bigdataentrytask_spark.pipelines import realtime_topology
 
@@ -523,19 +525,19 @@ def stream_concurrent_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("cumulative_payment_uv_partials", "payment"),
     ):
         snap = sinks[name].snapshot()
-        # sort before summing: snapshot order follows micro-batch
-        # arrival across 4 concurrent threads, and double addition is
-        # order-sensitive — sorted values make the total identical on
-        # every run (the oracle's ROUND(...,2) then compares safely)
-        rows.append(
-            (name, len(snap), float(sum(sorted(r[value_col] for r in snap))))
+        # floor(x*100 + 0.5) == DuckDB's ROUND-half-away-from-zero for
+        # the non-negative payments here; integer addition is exact in
+        # any order, so concurrent micro-batch arrival order is moot
+        cents = (
+            int(math.floor(r[value_col] * 100 + 0.5)) for r in snap
         )
-    out = spark.createDataFrame(
-        rows, "sink string, n_rows long, total double"
+        rows.append((name, len(snap), sum(cents)))
+    return (
+        spark.createDataFrame(
+            rows, "sink string, n_rows long, total_cents long"
+        )
+        .orderBy("sink")
     )
-    return out.select(
-        "sink", "n_rows", F.round("total", 2).alias("total")
-    ).orderBy("sink")
 
 
 # --------------------------------------------------------------------------
@@ -562,6 +564,7 @@ def stream_concurrent_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -573,55 +576,65 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    src = tempfile.mkdtemp(prefix="restart_src_")
-    land = tempfile.mkdtemp(prefix="restart_land_")
-    ck = tempfile.mkdtemp(prefix="restart_ck_")
+    # one per-run root so the finally-cleanup removes src+land+ck in a
+    # single rmtree — src and land each hold a fact-sized copy, and
+    # repeated sweeps must not accumulate orphans in /tmp
+    root = tempfile.mkdtemp(prefix="restart_recovery_")
+    src = f"{root}/src"
+    land = f"{root}/land"
+    ck = f"{root}/ck"
 
-    # phase 1: only the first month-half exists; 4 files → real
-    # micro-batching inside the run
-    ev.filter(F.dayofmonth("ts") <= 15).repartition(4).write.mode(
-        "append"
-    ).parquet(src)
-    schema = spark.read.parquet(src).schema
+    try:
+        # phase 1: only the first month-half exists; 4 files → real
+        # micro-batching inside the run
+        ev.filter(F.dayofmonth("ts") <= 15).repartition(4).write.mode(
+            "append"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
 
-    def start_landing():
-        raw = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "*.parquet")
-            .parquet(src)
+        def start_landing():
+            raw = (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(src)
+            )
+            return (
+                raw.writeStream.format("parquet")
+                .option("path", land)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q1 = start_landing()
+        if not q1.awaitTermination(300):
+            q1.stop()
+            raise TimeoutError("restart-recovery phase 1 did not drain")
+
+        # the process "dies" here (q1 has terminated); more data arrives
+        ev.filter(F.dayofmonth("ts") > 15).repartition(4).write.mode(
+            "append"
+        ).parquet(src)
+
+        # phase 2: a NEW query resumes from the same checkpoint — it
+        # must skip every file the checkpoint already committed
+        q2 = start_landing()
+        if not q2.awaitTermination(300):
+            q2.stop()
+            raise TimeoutError("restart-recovery phase 2 did not drain")
+
+        agg = (
+            spark.read.parquet(land)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.count_distinct("event_id").alias("n_distinct"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("event_type")
         )
-        return (
-            raw.writeStream.format("parquet")
-            .option("path", land)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-
-    q1 = start_landing()
-    if not q1.awaitTermination(300):
-        q1.stop()
-        raise TimeoutError("restart-recovery phase 1 did not drain")
-
-    # the process "dies" here (q1 has terminated); more data arrives
-    ev.filter(F.dayofmonth("ts") > 15).repartition(4).write.mode(
-        "append"
-    ).parquet(src)
-
-    # phase 2: a NEW query resumes from the same checkpoint — it must
-    # skip every file the checkpoint already committed
-    q2 = start_landing()
-    if not q2.awaitTermination(300):
-        q2.stop()
-        raise TimeoutError("restart-recovery phase 2 did not drain")
-
-    back = spark.read.parquet(land)
-    return (
-        back.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.count_distinct("event_id").alias("n_distinct"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .orderBy("event_type")
-    )
+        # materialize the (event-type-sized) summary BEFORE the temp
+        # dirs are removed — the caller collects lazily after return
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

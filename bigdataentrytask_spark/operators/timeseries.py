@@ -208,9 +208,10 @@ def order_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Interval (range) containment join WITHOUT an equi key: orders joined
 # to overlapping promotion windows by date containment alone. The
-# promo dimension is generated deterministically (24 windows, 37-day
-# stride, 21-day span — windows overlap and cross month boundaries,
-# so no single calendar bucket contains a window).
+# promo dimension is generated deterministically (24 windows, 14-day
+# stride, 21-day span — consecutive windows genuinely OVERLAP by 7
+# days, so one order can match several promos, and windows cross
+# month boundaries, so no single calendar bucket contains a window).
 #
 # The naive plan for a pure range predicate is a nested-loop join —
 # O(|fact| x |intervals|), the classic range-join trap. The engine
@@ -224,7 +225,9 @@ def order_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (every [start, end) window is fully covered by its month buckets).
 # --------------------------------------------------------------------------
 _RJ_N_PROMOS = 24
-_RJ_STRIDE_DAYS = 37
+# stride < span: adjacent windows share a 7-day overlap, so the
+# one-order-to-many-promos path of the join is actually exercised
+_RJ_STRIDE_DAYS = 14
 _RJ_SPAN_DAYS = 21
 _RJ_BASE = "1995-01-01"
 
@@ -368,3 +371,343 @@ def seasonal_hourly_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hod")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 statistical time-series layer. Every core statistic reduces
+# to exact integer sums (counts / cents / quantized indexes) with the
+# floating division applied once per output row — the differential is
+# engine-exact, and every window is keyed (per channel / global day
+# domain), never a sort of the raw fact.
+# --------------------------------------------------------------------------
+@operator(
+    "hourly_autocorrelation",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT lag AS lag_hours, c AS y,
+             LAG(c, lag) OVER (PARTITION BY lag ORDER BY h) AS x
+      FROM hourly CROSS JOIN (SELECT UNNEST([1, 24]) AS lag)
+    ),
+    s AS (
+      SELECT lag_hours,
+             CAST(COUNT(*) AS BIGINT)   AS n,
+             CAST(SUM(x) AS BIGINT)     AS sx,
+             CAST(SUM(y) AS BIGINT)     AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM lagged WHERE x IS NOT NULL GROUP BY 1
+    )
+    SELECT lag_hours, n,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+    FROM s ORDER BY lag_hours
+    """,
+)
+def hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at lag 1 and
+    lag 24 (the diurnal signature). Pearson r from exact integer sums
+    over the hour-domain series (thousands of rows)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(24))).alias("lag_hours")
+    )
+    out = []
+    for lag in (1, 24):
+        w = Window.orderBy("h")
+        lagged = hourly.select(
+            F.lit(lag).alias("lag_hours"),
+            F.col("c").alias("y"),
+            F.lag("c", lag).over(w).alias("x"),
+        ).filter(F.col("x").isNotNull())
+        out.append(
+            lagged.groupBy("lag_hours").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("sx"),
+                F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            )
+        )
+    _ = lags
+    s = out[0].unionByName(out[1])
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return s.select(
+        "lag_hours",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(num / den, 6).alias("r"),
+    ).orderBy("lag_hours")
+
+
+@operator(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT d, c,
+             ROW_NUMBER() OVER (ORDER BY d) AS t,
+             SUM(c) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+             COUNT(*) OVER () AS n,
+             SUM(c) OVER ()   AS total
+      FROM daily
+    ),
+    scored AS (
+      SELECT strftime(d, '%Y-%m-%d') AS day,
+             ABS(n * cum_c - t * total) AS dev,
+             n
+      FROM cum
+    )
+    SELECT CAST(MAX(n) AS BIGINT)            AS n_days,
+           CAST(MAX(dev) AS BIGINT)          AS max_dev_scaled,
+           MIN(day) FILTER (WHERE dev = (SELECT MAX(dev) FROM scored))
+                                             AS changepoint_day
+    FROM scored
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point over daily revenue: the day where the
+    cumulative deviation from the global mean peaks. The statistic is
+    kept in scaled integer form (n·cum_t − t·total — CUSUM·n, exact
+    in int64), so the argmax is engine-exact; earliest day breaks
+    ties."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("c")
+    )
+    w = Window.orderBy("d")
+    cum = daily.select(
+        "d",
+        F.row_number().over(w).alias("t"),
+        F.sum("c")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_c"),
+    ).crossJoin(
+        F.broadcast(
+            daily.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("c").alias("total")
+            )
+        )
+    )
+    scored = cum.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.abs(
+            F.col("n") * F.col("cum_c") - F.col("t") * F.col("total")
+        ).alias("dev"),
+        "n",
+    )
+    return scored.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.max("dev").cast("bigint").alias("max_dev_scaled"),
+        F.min_by("day", F.struct(-F.col("dev"), F.col("day"))).alias(
+            "changepoint_day"
+        ),
+    )
+
+
+@operator(
+    "trailing_trend_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1992-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT event_type,
+             COUNT(*)   OVER w AS n,
+             SUM(t)     OVER w AS sx,
+             SUM(c)     OVER w AS sy,
+             SUM(t * t) OVER w AS sxx,
+             SUM(t * c) OVER w AS sxy
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY t
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    slopes AS (
+      SELECT event_type,
+             ROUND((n * sxy - sx * sy)
+                   / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+      FROM win WHERE n = 7
+    )
+    SELECT event_type AS channel,
+           CAST(COUNT(*) AS BIGINT)                       AS n_windows,
+           CAST(COUNT(*) FILTER (WHERE slope > 0) AS BIGINT) AS n_up,
+           CAST(COUNT(*) FILTER (WHERE slope < 0) AS BIGINT) AS n_down,
+           ROUND(MAX(slope), 6)                           AS max_slope,
+           ROUND(MIN(slope), 6)                           AS min_slope
+    FROM slopes GROUP BY 1 ORDER BY channel
+    """,
+)
+def trailing_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day regression slope of daily activity per channel,
+    summarized to up/down-trend day counts and the extreme slopes.
+    The regression sums live in a per-channel ROWS window over exact
+    integers; only full 7-day windows score."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    win = daily.select(
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("t").over(w).alias("sx"),
+        F.sum("c").over(w).alias("sy"),
+        F.sum(F.col("t") * F.col("t")).over(w).alias("sxx"),
+        F.sum(F.col("t") * F.col("c")).over(w).alias("sxy"),
+    ).filter(F.col("n") == 7)
+    slope = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        ),
+        6,
+    )
+    slopes = win.select("event_type", slope.alias("slope"))
+    return (
+        slopes.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("slope") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias("n_up"),
+            F.sum((F.col("slope") < 0).cast("bigint"))
+            .cast("bigint")
+            .alias("n_down"),
+            F.round(F.max("slope"), 6).alias("max_slope"),
+            F.round(F.min("slope"), 6).alias("min_slope"),
+        )
+        .orderBy("channel")
+    )
+
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+
+
+@operator(
+    "holt_linear_forecast",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    init AS (
+      SELECT a.event_type,
+             b.x                    AS l,
+             b.x - a.x              AS b,
+             a.n
+      FROM idx a JOIN idx b
+        ON b.event_type = a.event_type AND a.i = 1 AND b.i = 2
+    ),
+    RECURSIVE rec AS (
+      SELECT event_type, 2 AS i, l, b, n FROM init
+      UNION ALL
+      SELECT r.event_type, r.i + 1,
+             {_HOLT_ALPHA} * v.x
+               + (1 - {_HOLT_ALPHA}) * (r.l + r.b) AS l,
+             {_HOLT_BETA} * (({_HOLT_ALPHA} * v.x
+               + (1 - {_HOLT_ALPHA}) * (r.l + r.b)) - r.l)
+               + (1 - {_HOLT_BETA}) * r.b          AS b,
+             r.n
+      FROM rec r JOIN idx v
+        ON v.event_type = r.event_type AND v.i = r.i + 1
+      WHERE r.i < r.n
+    )
+    SELECT event_type AS channel,
+           CAST(n AS BIGINT)        AS n_days,
+           ROUND(l, 4)              AS level_cents,
+           ROUND(b, 4)              AS trend_cents,
+           ROUND(l + 7 * b, 4)      AS forecast_7d_cents
+    FROM rec WHERE i = n ORDER BY channel
+    """,
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing over daily spend per channel
+    (level+trend recursion, alpha=0.5, beta=0.3), with a 7-day-ahead
+    forecast. The inherently sequential fold runs INSIDE the JVM via
+    F.aggregate over the per-channel day array (bounded: |days| per
+    channel), after one keyed aggregation of the fact — the scale
+    pattern for per-key recursions that windows cannot express. The
+    oracle replays the identical recursion as a recursive CTE; both
+    engines evaluate the same IEEE expression tree, so results match
+    bit-for-bit before the final rounding."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("double")
+        .alias("x")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "x"))), lambda s: s.x
+        ).alias("xs")
+    )
+    a, b_ = _HOLT_ALPHA, _HOLT_BETA
+    lvl0 = F.element_at("xs", 2)
+    trd0 = F.element_at("xs", 2) - F.element_at("xs", 1)
+    folded = series.select(
+        F.col("event_type").alias("channel"),
+        F.size("xs").cast("bigint").alias("n_days"),
+        F.aggregate(
+            F.slice("xs", 3, F.size("xs") - 2),
+            F.struct(lvl0.alias("l"), trd0.alias("b")),
+            lambda acc, x: F.struct(
+                (a * x + (1 - a) * (acc.l + acc.b)).alias("l"),
+                (
+                    b_ * ((a * x + (1 - a) * (acc.l + acc.b)) - acc.l)
+                    + (1 - b_) * acc.b
+                ).alias("b"),
+            ),
+        ).alias("st"),
+    )
+    return folded.select(
+        "channel",
+        "n_days",
+        F.round(F.col("st.l"), 4).alias("level_cents"),
+        F.round(F.col("st.b"), 4).alias("trend_cents"),
+        F.round(F.col("st.l") + 7 * F.col("st.b"), 4).alias(
+            "forecast_7d_cents"
+        ),
+    ).orderBy("channel")

@@ -54,6 +54,105 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Shared IVM / CDC cores. These are the production plans used by
+# `incremental_agg_merge` and `cdc_apply_changelog` below, factored
+# out so the property suite (tests/test_property_round4_algebra.py)
+# drives the SAME code on random edge-shaped states (keys only in
+# old/new, empty sides) that the fixed TPC-H fixture never produces.
+# --------------------------------------------------------------------------
+def merge_partial_aggs(
+    view: DataFrame,
+    delta: DataFrame,
+    key: str,
+    add_cols: tuple[str, ...],
+    min_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Monoid-merge two keyed partial aggregates (one full-outer join).
+
+    COUNT/SUM columns merge by +, MIN by least, MAX by greatest; a
+    side missing the key contributes identity (0 / the other side).
+    Output columns: key, *add_cols, *min_cols, *max_cols.
+    """
+    v = view.select([F.col(c).alias(f"v_{c}") for c in view.columns])
+    d = delta.select([F.col(c).alias(f"d_{c}") for c in delta.columns])
+    sel = [F.coalesce(f"v_{key}", f"d_{key}").alias(key)]
+    for c in add_cols:
+        sel.append(
+            (
+                F.coalesce(f"v_{c}", F.lit(0)) + F.coalesce(f"d_{c}", F.lit(0))
+            ).alias(c)
+        )
+    for c in min_cols:
+        sel.append(
+            F.least(
+                F.coalesce(f"v_{c}", f"d_{c}"), F.coalesce(f"d_{c}", f"v_{c}")
+            ).alias(c)
+        )
+    for c in max_cols:
+        sel.append(
+            F.greatest(
+                F.coalesce(f"v_{c}", f"d_{c}"), F.coalesce(f"d_{c}", f"v_{c}")
+            ).alias(c)
+        )
+    return v.join(
+        d, F.col(f"v_{key}") == F.col(f"d_{key}"), "full_outer"
+    ).select(*sel)
+
+
+def diff_snapshots(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Changelog (key, change_type, new_<col>...) between keyed snapshots.
+
+    insert = key only in new, delete = key only in old, update = key
+    in both with any value column differing; unchanged keys emit no
+    row. One full-outer join on the key.
+    """
+    value_cols = [c for c in old.columns if c != key]
+    a = old.select(
+        F.col(key).alias("k"),
+        *[F.col(c).alias(f"old_{c}") for c in value_cols],
+    )
+    b = new.select(
+        F.col(key).alias("k"),
+        *[F.col(c).alias(f"new_{c}") for c in value_cols],
+    )
+    probe = value_cols[0]
+    drift = None
+    for c in value_cols:
+        neq = F.col(f"old_{c}") != F.col(f"new_{c}")
+        drift = neq if drift is None else (drift | neq)
+    return (
+        a.join(b, "k", "full_outer")
+        .withColumn(
+            "change_type",
+            F.when(F.col(f"old_{probe}").isNull(), F.lit("insert"))
+            .when(F.col(f"new_{probe}").isNull(), F.lit("delete"))
+            .when(drift, F.lit("update")),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select("k", "change_type", *[f"new_{c}" for c in value_cols])
+    )
+
+
+def apply_changelog(old: DataFrame, changelog: DataFrame, key: str) -> DataFrame:
+    """Apply a `diff_snapshots` changelog to the old snapshot.
+
+    Drops every changed key from old (left-anti on the changelog),
+    unions the insert/update images. apply(old, diff(old, new)) == new
+    is the round-trip law the property suite checks on random states.
+    """
+    value_cols = [c for c in old.columns if c != key]
+    keep = old.join(
+        changelog.select("k"), old[key] == changelog["k"], "left_anti"
+    )
+    images = changelog.filter(F.col("change_type") != "delete").select(
+        F.col("k").alias(key),
+        *[F.col(f"new_{c}").alias(c) for c in value_cols],
+    )
+    return keep.unionByName(images)
+
+
+# --------------------------------------------------------------------------
 # Market-basket pair mining: parts that co-occur in the same order,
 # with support count and lift. The A-priori first pass as one
 # declarative plan (pairs above min-support; lift against independent
@@ -846,45 +945,11 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = snap(o.filter(F.col("o_orderdate") < F.lit(_CDC_T2).cast("timestamp")))
     new = snap(o.filter(F.col("o_orderdate") >= F.lit(_CDC_T1).cast("timestamp")))
 
-    # diff: full outer on the key; change_type per row
-    a = old.select(
-        F.col("custkey").alias("k"),
-        F.col("n_orders").alias("old_n"),
-        F.col("cents").alias("old_c"),
-    )
-    b = new.select(
-        F.col("custkey").alias("k"),
-        F.col("n_orders").alias("new_n"),
-        F.col("cents").alias("new_c"),
-    )
-    diff = (
-        a.join(b, "k", "full_outer")
-        .withColumn(
-            "change_type",
-            F.when(F.col("old_n").isNull(), F.lit("insert"))
-            .when(F.col("new_n").isNull(), F.lit("delete"))
-            .when(
-                (F.col("old_n") != F.col("new_n"))
-                | (F.col("old_c") != F.col("new_c")),
-                F.lit("update"),
-            ),
-        )
-        .filter(F.col("change_type").isNotNull())
-        .select("k", "change_type", "new_n", "new_c")
-    )
-
-    # apply: drop every changed key from old, union the insert/update
-    # images from the changelog
-    keep = old.join(diff.select("k"), old.custkey == diff.k, "left_anti")
-    images = (
-        diff.filter(F.col("change_type") != "delete")
-        .select(
-            F.col("k").alias("custkey"),
-            F.col("new_n").alias("n_orders"),
-            F.col("new_c").alias("cents"),
-        )
-    )
-    return keep.unionByName(images).orderBy("custkey")
+    # diff (full outer on the key, change_type per row) then apply
+    # (left-anti drop of changed keys + insert/update images) via the
+    # shared cores the property suite exercises on random states
+    changelog = diff_snapshots(old, new, "custkey")
+    return apply_changelog(old, changelog, "custkey").orderBy("custkey")
 
 
 # --------------------------------------------------------------------------
@@ -1050,25 +1115,13 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = part(o.filter(F.col("o_orderdate") < cut))   # stored state
     delta = part(o.filter(F.col("o_orderdate") >= cut))  # refresh batch
 
-    v = view.select([F.col(c).alias(f"v_{c}") for c in view.columns])
-    d = delta.select([F.col(c).alias(f"d_{c}") for c in delta.columns])
-    merged = v.join(d, v.v_custkey == d.d_custkey, "full_outer").select(
-        F.coalesce("v_custkey", "d_custkey").alias("custkey"),
-        (
-            F.coalesce("v_n_orders", F.lit(0))
-            + F.coalesce("d_n_orders", F.lit(0))
-        ).alias("n_orders"),
-        (
-            F.coalesce("v_cents", F.lit(0)) + F.coalesce("d_cents", F.lit(0))
-        ).alias("cents"),
-        F.least(
-            F.coalesce("v_min_cents", "d_min_cents"),
-            F.coalesce("d_min_cents", "v_min_cents"),
-        ).alias("min_cents"),
-        F.greatest(
-            F.coalesce("v_max_cents", "d_max_cents"),
-            F.coalesce("d_max_cents", "v_max_cents"),
-        ).alias("max_cents"),
+    merged = merge_partial_aggs(
+        view,
+        delta,
+        key="custkey",
+        add_cols=("n_orders", "cents"),
+        min_cols=("min_cents",),
+        max_cols=("max_cents",),
     )
     return merged.select(
         "custkey",

@@ -108,7 +108,7 @@ def test_concurrent_topology_operator_summarizes_all_sinks(spark):
     sink with positive counts, and the update-mode user sink count
     equals the batch distinct-user count."""
     rows = {
-        r.sink: (r.n_rows, r.total)
+        r.sink: (r.n_rows, r.total_cents)
         for r in REGISTRY["stream_concurrent_topology"](
             spark, SF_DIR_SMALL
         ).collect()

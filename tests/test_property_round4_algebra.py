@@ -4,12 +4,14 @@ only in old, only in new, empty sides, single-row tables):
 
 * incremental view maintenance: merge(agg(old), agg(delta)) must
   equal agg(old ∪ delta) for ANY split of the rows (count/sum by +,
-  min/max by least/greatest, avg re-derived);
+  min/max by least/greatest);
 * CDC round trip: apply(old, diff(old, new)) must equal new for ANY
   pair of keyed states.
 
-Both are checked against independent driver-side Python folds, not
-against the Spark plan under test.
+Both drive the PRODUCTION cores — `merge_partial_aggs`,
+`diff_snapshots`, `apply_changelog` from operators/warehouse.py, the
+exact code `incremental_agg_merge` and `cdc_apply_changelog` run —
+and compare against independent driver-side Python folds.
 """
 
 from __future__ import annotations
@@ -18,6 +20,12 @@ import random
 
 import pytest
 from pyspark.sql import functions as F
+
+from bigdataentrytask_spark.operators.warehouse import (
+    apply_changelog,
+    diff_snapshots,
+    merge_partial_aggs,
+)
 
 
 def _random_rows(rng, keys):
@@ -56,18 +64,6 @@ def _spark_agg(spark, rows):
     )
 
 
-def _merge(spark, view, delta):
-    v = view.select([F.col(c).alias(f"v_{c}") for c in view.columns])
-    d = delta.select([F.col(c).alias(f"d_{c}") for c in delta.columns])
-    return v.join(d, v.v_k == d.d_k, "full_outer").select(
-        F.coalesce("v_k", "d_k").alias("k"),
-        (F.coalesce("v_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n"),
-        (F.coalesce("v_s", F.lit(0)) + F.coalesce("d_s", F.lit(0))).alias("s"),
-        F.least(F.coalesce("v_lo", "d_lo"), F.coalesce("d_lo", "v_lo")).alias("lo"),
-        F.greatest(F.coalesce("v_hi", "d_hi"), F.coalesce("d_hi", "v_hi")).alias("hi"),
-    )
-
-
 @pytest.mark.parametrize("seed", range(12))
 def test_ivm_merge_equals_full_recompute(spark, seed):
     rng = random.Random(seed)
@@ -76,26 +72,24 @@ def test_ivm_merge_equals_full_recompute(spark, seed):
     cut = rng.randint(0, len(rows))
     old, delta = rows[:cut], rows[cut:]
 
-    merged = {
-        r.k: (r.n, r.s, r.lo, r.hi)
-        for r in _merge(
-            spark, _spark_agg(spark, old), _spark_agg(spark, delta)
-        ).collect()
-    }
+    merged_df = merge_partial_aggs(
+        _spark_agg(spark, old),
+        _spark_agg(spark, delta),
+        key="k",
+        add_cols=("n", "s"),
+        min_cols=("lo",),
+        max_cols=("hi",),
+    )
+    merged = {r.k: (r.n, r.s, r.lo, r.hi) for r in merged_df.collect()}
     assert merged == _py_agg(rows)
 
 
-def _diff(old, new):
-    """Changelog rows (k, change_type, new_n, new_s) from keyed states."""
-    out = []
-    for k in set(old) | set(new):
-        if k not in old:
-            out.append((k, "insert", new[k]))
-        elif k not in new:
-            out.append((k, "delete", None))
-        elif old[k] != new[k]:
-            out.append((k, "update", new[k]))
-    return out
+def _state_df(spark, state):
+    if not state:
+        return spark.createDataFrame([], "k long, n long, s long")
+    return spark.createDataFrame(
+        [(k, n, s) for k, (n, s) in state.items()], "k long, n long, s long"
+    )
 
 
 @pytest.mark.parametrize("seed", range(12))
@@ -116,11 +110,25 @@ def test_cdc_apply_after_diff_is_identity(spark, seed):
         if rng.random() < 0.5:
             new[k] = old[k]
 
-    changelog = _diff(old, new)
-    # apply: drop changed keys from old, add insert/update images
-    changed = {k for k, *_ in changelog}
-    applied = {k: v for k, v in old.items() if k not in changed}
-    applied.update(
-        {k: img for k, ct, img in changelog if ct != "delete"}
-    )
+    old_df, new_df = _state_df(spark, old), _state_df(spark, new)
+    changelog_df = diff_snapshots(old_df, new_df, "k")
+
+    # the changelog itself must name exactly the changed keys with the
+    # right change types
+    expect_types = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            expect_types[k] = "insert"
+        elif k not in new:
+            expect_types[k] = "delete"
+        elif old[k] != new[k]:
+            expect_types[k] = "update"
+    assert {
+        r.k: r.change_type for r in changelog_df.collect()
+    } == expect_types
+
+    applied = {
+        r.k: (r.n, r.s)
+        for r in apply_changelog(old_df, changelog_df, "k").collect()
+    }
     assert applied == new
