@@ -1462,3 +1462,384 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 behavioral additions. All exact-integer cores (counts /
+# cents) with the ratio computed once per output row, so the
+# differential is deterministic across engines.
+# --------------------------------------------------------------------------
+@operator(
+    "session_bounce_rate",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM marked
+    ),
+    per_sess AS (
+      SELECT user_id, sess_id,
+             MIN_BY(event_type, ts) AS entry_channel,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT entry_channel,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounces,
+           ROUND(COUNT(*) FILTER (WHERE n_events = 1)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+    FROM per_sess GROUP BY 1 ORDER BY entry_channel
+    """,
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session entry channel: 30-minute-gap sessions
+    (same contract as `user_sessions`), a session is a bounce iff it
+    holds exactly one event. Per-user windows only — no global sort.
+
+    Tie-safety: MIN_BY/min_by on (ts) alone would be nondeterministic
+    if two events shared a timestamp; event timestamps are unique per
+    user in the fixture, and at scale the entry pick should add
+    event_id to the ordering (documented, matches oracle MIN_BY)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                >= 30 * 60 * 1_000_000
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_sess"),
+    )
+    sess = marked.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.min_by("event_type", "ts").alias("entry_channel"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = (F.col("n_events") == 1).cast("bigint")
+    return (
+        per_sess.groupBy("entry_channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(bounce).cast("bigint").alias("n_bounces"),
+        )
+        .withColumn(
+            "bounce_rate",
+            F.round(F.col("n_bounces") / F.col("n_sessions").cast("double"), 6),
+        )
+        .orderBy("entry_channel")
+    )
+
+
+@operator(
+    "pareto_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+             SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             COUNT(*) OVER ()  AS n,
+             SUM(cents) OVER () AS total
+      FROM rev
+    )
+    SELECT pct,
+           CAST(rn AS BIGINT) AS top_n,
+           CAST(cum AS BIGINT) AS top_cents,
+           ROUND(cum / CAST(total AS DOUBLE), 6) AS share
+    FROM ranked
+    JOIN (SELECT UNNEST([1, 5, 10, 25, 50]) AS pct) p
+      ON rn = CAST(ceil(n * pct / 100.0) AS BIGINT)
+    ORDER BY pct
+    """,
+)
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration curve: the share of total revenue held by
+    the top 1/5/10/25/50%% of customers. One dimension-sized window
+    over per-customer rollups; cumulative sums in exact cents."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy(F.col("cents").desc(), "o_custkey")
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    ).crossJoin(
+        F.broadcast(
+            rev.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total")
+            )
+        )
+    )
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (1, 5, 10, 25, 50)])).alias(
+            "pct"
+        )
+    )
+    return (
+        ranked.join(
+            F.broadcast(pcts),
+            F.col("rn")
+            == F.ceil(F.col("n") * F.col("pct") / 100.0).cast("bigint"),
+        )
+        .select(
+            "pct",
+            F.col("rn").cast("bigint").alias("top_n"),
+            F.col("cum").cast("bigint").alias("top_cents"),
+            F.round(F.col("cum") / F.col("total").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("pct")
+    )
+
+
+@operator(
+    "discount_qty_slope",
+    oracle="""
+    WITH q AS (
+      SELECT p.p_brand,
+             CAST(ROUND(l.l_discount * 100) AS BIGINT) AS x,
+             CAST(ROUND(l.l_quantity) AS BIGINT)       AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    s AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT)  AS n,
+             CAST(SUM(x) AS BIGINT)    AS sx,
+             CAST(SUM(y) AS BIGINT)    AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM q GROUP BY 1
+    )
+    SELECT p_brand,
+           n,
+           ROUND((n * sxy - sx * sy)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+    FROM s ORDER BY p_brand
+    """,
+)
+def discount_qty_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of quantity on discount-percent per brand —
+    the regression kernel (n·Sxy − SxSy)/(n·Sxx − Sx²) computed from
+    exact integer sums (quantized regressors), one double division per
+    brand at the end. The join broadcasts the part dim."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x"),
+        F.round("l_quantity").cast("bigint").alias("y"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return s.select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(num / den, 6).alias("slope"),
+    ).orderBy("p_brand")
+
+
+@operator(
+    "ks_order_value_segments",
+    oracle="""
+    WITH tagged AS (
+      SELECT CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS s1,
+             CASE WHEN c.c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS s2
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    ecdf AS (
+      SELECT SUM(s1) OVER (ORDER BY cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+             SUM(s2) OVER (ORDER BY cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+             SUM(s1) OVER () AS n1,
+             SUM(s2) OVER () AS n2
+      FROM tagged
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n2) AS BIGINT) AS n2,
+           ROUND(MAX(ABS(c1 / CAST(n1 AS DOUBLE)
+                         - c2 / CAST(n2 AS DOUBLE))), 6) AS ks_stat
+    FROM ecdf
+    """,
+)
+def ks_order_value_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between BUILDING and
+    MACHINERY order-value distributions. ECDF counts via a RANGE-frame
+    window (ties collapse identically in both engines), exact integer
+    numerators, one division per row for the sup-distance."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    tagged = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            "cents",
+            (F.col("c_mktsegment") == "BUILDING").cast("bigint").alias("s1"),
+            (F.col("c_mktsegment") == "MACHINERY").cast("bigint").alias("s2"),
+        )
+    )
+    wr = Window.orderBy("cents").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    ecdf = tagged.select(
+        F.sum("s1").over(wr).alias("c1"),
+        F.sum("s2").over(wr).alias("c2"),
+        F.sum("s1").over(wall).alias("n1"),
+        F.sum("s2").over(wall).alias("n2"),
+    )
+    return ecdf.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("c1") / F.col("n1").cast("double")
+                    - F.col("c2") / F.col("n2").cast("double")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+@operator(
+    "user_activity_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT user_id, SUM(c) AS n, COUNT(*) AS n_types
+      FROM counts GROUP BY 1
+    )
+    SELECT c.user_id,
+           CAST(MAX(t.n) AS BIGINT)       AS n_events,
+           CAST(MAX(t.n_types) AS BIGINT) AS n_types,
+           ROUND(-SUM((c.c / CAST(t.n AS DOUBLE))
+                      * ln(c.c / CAST(t.n AS DOUBLE))), 6) AS entropy
+    FROM counts c JOIN tot t ON t.user_id = c.user_id
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+)
+def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy over the event-type distribution —
+    the behavioral-diversity feature of a user-quality pipeline. The
+    probabilities derive from exact integer counts; ≤5 ln terms per
+    user, rounded at 6 decimals."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = counts.groupBy("user_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+    j = counts.join(tot, "user_id")
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.max("n_types").cast("bigint").alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@operator(
+    "repeat_purchase_rate",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_mktsegment, o.o_custkey, COUNT(*) AS n_orders
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_buyers,
+           CAST(COUNT(*) FILTER (WHERE n_orders >= 2) AS BIGINT)
+                                    AS n_repeat,
+           ROUND(COUNT(*) FILTER (WHERE n_orders >= 2)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS repeat_rate,
+           ROUND(SUM(n_orders) / CAST(COUNT(*) AS DOUBLE), 6)
+                                    AS avg_orders
+    FROM per_cust GROUP BY 1 ORDER BY c_mktsegment
+    """,
+)
+def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-buyer share and order frequency per market segment —
+    two keyed aggregates (customer rollup, then segment rollup), the
+    dim join broadcast."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    rep = (F.col("n_orders") >= 2).cast("bigint")
+    return (
+        per_cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_buyers"),
+            F.sum(rep).cast("bigint").alias("n_repeat"),
+            F.round(
+                F.sum(rep) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("repeat_rate"),
+            F.round(
+                F.sum("n_orders") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )

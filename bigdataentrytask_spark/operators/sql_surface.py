@@ -945,3 +945,296 @@ def variant_props_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 scalar-surface probes. Each exercises a function family a
+# complete engine owes its SQL users (reference scope: doc/temp.md
+# uses only FROM_UNIXTIME/TO_TIMESTAMP — SURVEY.md §2.2); outputs are
+# small keyed aggregates so the differential is cheap and exact.
+# --------------------------------------------------------------------------
+@operator(
+    "date_arithmetic_probe",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)    AS y,
+           CAST(quarter(o_orderdate) AS BIGINT)              AS q,
+           CAST(COUNT(*) AS BIGINT)                          AS n_orders,
+           CAST(SUM(date_diff('day',
+                    date_trunc('quarter', o_orderdate),
+                    o_orderdate)) AS BIGINT)                 AS sum_day_in_q,
+           CAST(SUM(dayofyear(o_orderdate)) AS BIGINT)       AS sum_doy,
+           CAST(COUNT(DISTINCT last_day(CAST(o_orderdate AS DATE)))
+                AS BIGINT)                                   AS n_month_ends,
+           CAST(COUNT(*) FILTER (WHERE
+                EXTRACT(year FROM o_orderdate + INTERVAL 3 MONTH)
+                  <> EXTRACT(year FROM o_orderdate)) AS BIGINT)
+                                                             AS n_wrap_q4
+    FROM orders
+    GROUP BY 1, 2 ORDER BY y, q
+    """,
+)
+def date_arithmetic_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function family: trunc/quarter/dayofyear/last_day/
+    add_months (month-end clamping) — all JVM built-ins, one keyed
+    agg, no UDFs."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.groupBy(
+            F.year(d).cast("bigint").alias("y"),
+            F.quarter(d).cast("bigint").alias("q"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.datediff(d, F.date_trunc("quarter", d)))
+            .cast("bigint")
+            .alias("sum_day_in_q"),
+            F.sum(F.dayofyear(d)).cast("bigint").alias("sum_doy"),
+            F.count_distinct(F.last_day(d.cast("date"))).alias("n_month_ends"),
+            F.sum(
+                (F.year(F.add_months(d, 3)) != F.year(d)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_wrap_q4"),
+        )
+        .orderBy("y", "q")
+    )
+
+
+@operator(
+    "regexp_functions_probe",
+    oracle="""
+    SELECT substr(regexp_extract(p_name, '^(\\w+)', 1), 1, 1) AS initial,
+           CAST(COUNT(*) AS BIGINT)                           AS n_parts,
+           CAST(SUM(length(p_name)
+                    - length(regexp_replace(p_name, '[aeiou]', '', 'g')))
+                AS BIGINT)                                    AS n_vowels,
+           CAST(COUNT(*) FILTER (WHERE
+                regexp_matches(p_name, 'aa|ee|ii|oo|uu|ll|nn|ss|tt|rr'))
+                AS BIGINT)                                    AS n_doubled,
+           CAST(COUNT(DISTINCT regexp_extract(p_name, '(\\w+)$', 1))
+                AS BIGINT)                                    AS n_last_words
+    FROM part
+    GROUP BY 1 ORDER BY initial
+    """,
+)
+def regexp_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: extract (anchored group), global replace as a
+    counter, alternation rlike (RE2-safe: DuckDB's regex engine has no
+    backreferences), extract-at-end — evaluated in whole-stage
+    codegen, grouped to a 26-row output."""
+    p = _t(spark, sf_dir, "part")
+    name = F.col("p_name")
+    first_word = F.regexp_extract(name, r"^(\w+)", 1)
+    n_vowels = F.length(name) - F.length(
+        F.regexp_replace(name, "[aeiou]", "")
+    )
+    return (
+        p.groupBy(F.substring(first_word, 1, 1).alias("initial"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(n_vowels).cast("bigint").alias("n_vowels"),
+            F.sum(name.rlike("aa|ee|ii|oo|uu|ll|nn|ss|tt|rr").cast("bigint"))
+            .cast("bigint")
+            .alias("n_doubled"),
+            F.count_distinct(F.regexp_extract(name, r"(\w+)$", 1)).alias(
+                "n_last_words"
+            ),
+        )
+        .orderBy("initial")
+    )
+
+
+@operator(
+    "posexplode_leading_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT str_split(text, ' ') AS ts FROM documents WHERE doc_id < 200
+    ),
+    ex AS (
+      SELECT 0 AS pos, ts[1] AS tok FROM toks WHERE len(ts) >= 1
+      UNION ALL
+      SELECT 1 AS pos, ts[2] AS tok FROM toks WHERE len(ts) >= 2
+    )
+    SELECT pos, tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ex GROUP BY 1, 2
+    ORDER BY n DESC, pos, tok LIMIT 20
+    """,
+)
+def posexplode_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (ordinal explode): leading-token distribution of the
+    corpus — position survives the explode, so the first two slots can
+    be compared across docs. Fully tie-broken ORDER + LIMIT."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ex = d.select(
+        F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).filter(F.col("pos") < 2)
+    return (
+        ex.groupBy("pos", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pos", "tok")
+        .limit(20)
+    )
+
+
+@operator(
+    "ignore_nulls_first_last",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value >= 100 THEN
+               CAST(ROUND(value * 100) AS BIGINT) END AS big_cents
+      FROM events
+    ),
+    w AS (
+      SELECT user_id,
+             first_value(big_cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS first_big,
+             last_value(big_cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_big,
+             CASE WHEN big_cents IS NOT NULL THEN 1 ELSE 0 END AS is_big
+      FROM marked
+    )
+    SELECT user_id,
+           MAX(first_big)               AS first_big,
+           MAX(last_big)                AS last_big,
+           CAST(SUM(is_big) AS BIGINT)  AS n_big
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ignore_nulls_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window semantics: first/last non-null 'big' value
+    per user in (ts, event_id) order. Values carried as integer cents
+    so the comparison is exact; the per-user frame is bounded."""
+    ev = _t(spark, sf_dir, "events")
+    big = F.when(
+        F.col("value") >= 100, F.round(F.col("value") * 100).cast("bigint")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    marked = ev.select(
+        "user_id",
+        F.first(big, ignorenulls=True).over(w).alias("first_big"),
+        F.last(big, ignorenulls=True).over(w).alias("last_big"),
+        big.isNotNull().cast("bigint").alias("is_big"),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(
+            F.max("first_big").alias("first_big"),
+            F.max("last_big").alias("last_big"),
+            F.sum("is_big").cast("bigint").alias("n_big"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@operator(
+    "try_arithmetic_probe",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 - 3 AS d,
+             str_split(event_type, '_') AS parts
+      FROM events
+    )
+    SELECT event_type AS channel,
+           CAST(COUNT(*) FILTER (WHERE cents / d IS NULL) AS BIGINT)
+                                                      AS n_null_div,
+           CAST(SUM(COALESCE(CAST(FLOOR(cents / d) AS BIGINT), 0))
+                AS BIGINT)                            AS sum_ratio,
+           CAST(COUNT(*) FILTER (WHERE parts[3] IS NULL) AS BIGINT)
+                                                      AS n_no_third,
+           CAST(COUNT(*) FILTER (WHERE TRY_CAST(parts[2] AS INT) IS NOT NULL)
+                AS BIGINT)                            AS n_numeric_second
+    FROM base GROUP BY 1 ORDER BY channel
+    """,
+)
+def try_arithmetic_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family under ANSI mode: try_divide by
+    zero -> NULL (DuckDB's `/` returns NULL at zero natively — the
+    same tolerant contract), try_element_at out of range -> NULL,
+    try_cast of a non-numeric -> NULL. The ratio is floored to an
+    exact-integer double before summing, so accumulation order can't
+    move the total."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    d = F.get_json_object("props", "$.k").cast("bigint") % 7 - 3
+    base = ev.select(
+        "event_type",
+        cents.alias("cents"),
+        d.alias("d"),
+        F.expr("try_element_at(split(event_type, '_'), 3)").alias("third"),
+        F.expr(
+            "try_cast(try_element_at(split(event_type, '_'), 2) AS INT)"
+        ).alias("second_num"),
+    ).withColumn("ratio", F.floor(F.try_divide("cents", "d")).cast("bigint"))
+    return (
+        base.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.sum(F.col("ratio").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_null_div"),
+            F.sum(F.coalesce("ratio", F.lit(0)))
+            .cast("bigint")
+            .alias("sum_ratio"),
+            F.sum(F.col("third").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_no_third"),
+            F.sum(F.col("second_num").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_numeric_second"),
+        )
+        .orderBy("channel")
+    )
+
+
+@operator(
+    "user_peak_hour_cents",
+    oracle="""
+    WITH c AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    t AS (
+      SELECT user_id,
+             SUM(cents) OVER (PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS trail
+      FROM c
+    )
+    SELECT user_id, CAST(MAX(trail) AS BIGINT) AS peak_hour_cents
+    FROM t GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_peak_hour_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time seconds: each event's trailing-hour
+    spend, reduced to the per-user PEAK hour. Integer cents keep the
+    windowed sums exact under any accumulation order; the range frame
+    is per-user (bounded partitions, no global sort)."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id",
+        F.col("ts").cast("long").alias("sec"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return (
+        c.withColumn("trail", F.sum("cents").over(w))
+        .groupBy("user_id")
+        .agg(F.max("trail").cast("bigint").alias("peak_hour_cents"))
+        .orderBy("user_id")
+    )

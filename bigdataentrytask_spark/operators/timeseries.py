@@ -619,7 +619,7 @@ _HOLT_BETA = 0.3
 @operator(
     "holt_linear_forecast",
     oracle=f"""
-    WITH daily AS (
+    WITH RECURSIVE daily AS (
       SELECT event_type,
              CAST(ts AS DATE) AS d,
              CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) AS x
@@ -639,7 +639,7 @@ _HOLT_BETA = 0.3
       FROM idx a JOIN idx b
         ON b.event_type = a.event_type AND a.i = 1 AND b.i = 2
     ),
-    RECURSIVE rec AS (
+    rec AS (
       SELECT event_type, 2 AS i, l, b, n FROM init
       UNION ALL
       SELECT r.event_type, r.i + 1,
