@@ -1134,3 +1134,199 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # where the two engines' double rounding disagreed by 1 cent
         F.expr("cents div n_orders").alias("avg_cents"),
     ).orderBy("custkey")
+
+
+# --------------------------------------------------------------------------
+# Round-5 warehouse additions: SCD Type-1 merge, join-key skew audit,
+# deterministic hash sampling, temporal sanity audit.
+# --------------------------------------------------------------------------
+@operator(
+    "scd1_latest_merge",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rl,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey)           AS rf
+      FROM orders
+    )
+    SELECT o_custkey AS custkey,
+           MIN(CASE WHEN rl = 1 THEN o_orderpriority END) AS latest_priority,
+           MIN(CASE WHEN rf = 1 THEN o_orderpriority END) AS first_priority,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(CASE WHEN MIN(CASE WHEN rl = 1 THEN o_orderpriority END)
+                       <> MIN(CASE WHEN rf = 1 THEN o_orderpriority END)
+                THEN 1 ELSE 0 END AS BIGINT)               AS changed
+    FROM ranked GROUP BY 1 ORDER BY custkey
+    """,
+)
+def scd1_latest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-1: overwrite-with-latest dimension maintenance (the
+    counterpart of `scd2_priority_history` — no history, last write
+    wins on (orderdate, orderkey) order). max_by/min_by over a
+    tie-break struct: one partial-aggregable pass, no window
+    shuffle+sort of the fact; the oracle states the ROW_NUMBER
+    formulation."""
+    o = _t(spark, sf_dir, "orders")
+    key = F.struct("o_orderdate", "o_orderkey")
+    return (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max_by("o_orderpriority", key).alias("latest_priority"),
+            F.min_by("o_orderpriority", key).alias("first_priority"),
+            F.count_distinct("o_orderpriority").alias("n_priorities"),
+        )
+        .withColumn(
+            "changed",
+            (F.col("latest_priority") != F.col("first_priority")).cast(
+                "bigint"
+            ),
+        )
+        .orderBy("custkey")
+    )
+
+
+@operator(
+    "join_key_skew_stats",
+    oracle="""
+    WITH freqs AS (
+      SELECT 'orders.o_custkey' AS key_col, o_custkey AS k, COUNT(*) AS f
+      FROM orders GROUP BY 2
+      UNION ALL
+      SELECT 'lineitem.l_orderkey', l_orderkey, COUNT(*)
+      FROM lineitem GROUP BY 2
+      UNION ALL
+      SELECT 'lineitem.l_partkey', l_partkey, COUNT(*)
+      FROM lineitem GROUP BY 2
+    )
+    SELECT key_col,
+           CAST(SUM(f) AS BIGINT)    AS n_rows,
+           CAST(COUNT(*) AS BIGINT)  AS n_keys,
+           CAST(MAX(f) AS BIGINT)    AS max_freq,
+           ROUND(quantile_cont(f, 0.5), 6) AS p50_freq,
+           ROUND(MAX(f) / (SUM(f) / CAST(COUNT(*) AS DOUBLE)), 6)
+                                     AS skew_ratio
+    FROM freqs GROUP BY 1 ORDER BY key_col
+    """,
+)
+def join_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit — the pre-flight a planner (or an engineer
+    choosing salting / AQE skew-join) runs before a big shuffle:
+    per-key frequency profile of each join column, reduced to
+    max/median frequency and the max-to-mean skew ratio. One keyed agg
+    per column; the frequency tables are key-domain-sized."""
+    frames = []
+    for label, table, col in (
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ):
+        frames.append(
+            _t(spark, sf_dir, table)
+            .groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("f"))
+            .select(F.lit(label).alias("key_col"), "f")
+        )
+    freqs = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    return (
+        freqs.groupBy("key_col")
+        .agg(
+            F.sum("f").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("f").cast("bigint").alias("max_freq"),
+            F.round(F.expr("percentile(f, 0.5)"), 6).alias("p50_freq"),
+            F.round(
+                F.max("f")
+                / (F.sum("f") / F.count(F.lit(1)).cast("double")),
+                6,
+            ).alias("skew_ratio"),
+        )
+        .orderBy("key_col")
+    )
+
+
+_BERN_PCT = 5  # percent of rows kept
+
+
+@operator(
+    "bernoulli_hash_sample",
+    oracle=f"""
+    WITH sampled AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+      WHERE ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+                                     AS VARCHAR)), 1, 15))::BIGINT
+            % 100 < {_BERN_PCT}
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT)  AS n_sampled,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM sampled GROUP BY 1 ORDER BY l_returnflag
+    """,
+)
+def bernoulli_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sampling by content hash (md5 of the
+    row key, mod 100) — reproducible across runs, engines, and
+    partitionings, unlike rand()-based sampling. The predicate pushes
+    into the scan's filter stage; no shuffle until the keyed rollup.
+    Same engine-portable md5 idiom as `shard_manifest`."""
+    li = _t(spark, sf_dir, "lineitem")
+    rowkey = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    u = F.conv(F.substring(F.md5(rowkey), 1, 15), 16, 10).cast("bigint") % 100
+    return (
+        li.filter(u < _BERN_PCT)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@operator(
+    "temporal_sanity_audit",
+    oracle="""
+    WITH j AS (
+      SELECT l.l_shipdate, o.o_orderdate,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT CASE WHEN lag_days < 0 THEN 'ship_before_order'
+                WHEN lag_days > 120 THEN 'ship_over_120d'
+                ELSE 'ok' END AS anomaly_class,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(lag_days) AS BIGINT) AS min_lag_days,
+           CAST(MAX(lag_days) AS BIGINT) AS max_lag_days
+    FROM j GROUP BY 1 ORDER BY anomaly_class
+    """,
+)
+def temporal_sanity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal integrity audit: every lineitem's ship lag vs its
+    order date, bucketed into sanity classes (negative lag = corrupt
+    lineage, >120 days = stale fulfilment). The Deequ-style check a
+    warehouse runs before publishing — one fact-scale equi-join, one
+    bounded-key agg."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    cls = (
+        F.when(lag < 0, F.lit("ship_before_order"))
+        .when(lag > 120, F.lit("ship_over_120d"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(cls.alias("anomaly_class"), lag.cast("bigint").alias("lag_days"))
+        .groupBy("anomaly_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("lag_days").cast("bigint").alias("min_lag_days"),
+            F.max("lag_days").cast("bigint").alias("max_lag_days"),
+        )
+        .orderBy("anomaly_class")
+    )

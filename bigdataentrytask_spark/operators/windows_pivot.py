@@ -277,3 +277,110 @@ def trailing_hour_user_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.sum("value").over(w), 2).alias("trailing_1h"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-month purchase streaks per customer.
+# The classic (month_index - ROW_NUMBER) grouping trick — island
+# identity falls out of two per-customer window functions, no
+# self-join over the calendar.
+# --------------------------------------------------------------------------
+@operator(
+    "orders_gap_islands",
+    oracle="""
+    WITH months AS (
+      SELECT DISTINCT o_custkey,
+             CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS m
+      FROM orders
+    ),
+    grp AS (
+      SELECT o_custkey, m,
+             m - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY m) AS g
+      FROM months
+    ),
+    islands AS (
+      SELECT o_custkey, g, CAST(COUNT(*) AS BIGINT) AS len
+      FROM grp GROUP BY 1, 2
+    )
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT)  AS n_streaks,
+           CAST(MAX(len) AS BIGINT)  AS longest_streak_months,
+           CAST(SUM(len) AS BIGINT)  AS active_months
+    FROM islands GROUP BY 1 ORDER BY custkey
+    """,
+)
+def orders_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-streak islands: for each customer, the runs of
+    consecutive active months. Per-customer windows over a
+    months-sized frame (≤ ~80 rows/key) — the island id is pure
+    arithmetic, so no extra shuffle beyond the dedup."""
+    o = _t(spark, sf_dir, "orders")
+    months = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("m"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    grp = months.withColumn("g", F.col("m") - F.row_number().over(w))
+    islands = grp.groupBy("o_custkey", "g").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        islands.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").cast("bigint").alias("longest_streak_months"),
+            F.sum("len").cast("bigint").alias("active_months"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated LATERAL subquery with LIMIT — per-key top-N as the SQL
+# standard writes it. Catalyst rewrites the lateral into the same
+# ranked-window plan as the DataFrame formulation (`topk_orders_per
+# _segment`); this probe proves the SQL surface accepts the lateral
+# form and agrees with DuckDB's.
+# --------------------------------------------------------------------------
+@operator(
+    "lateral_topn_orders",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           t.o_orderkey,
+           CAST(ROUND(t.o_totalprice * 100) AS BIGINT) AS cents
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 2
+    ) t
+    WHERE c.c_custkey <= 300
+    ORDER BY custkey, cents DESC, o_orderkey
+    """,
+)
+def lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataentrytask_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey,
+               t.o_orderkey,
+               CAST(ROUND(t.o_totalprice * 100) AS BIGINT) AS cents
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c.c_custkey <= 300
+        ORDER BY custkey, cents DESC, o_orderkey
+        """
+    )
