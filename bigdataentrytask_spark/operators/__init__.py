@@ -49,6 +49,7 @@ def load_all() -> None:
         analytics,
         curation,
         dedup,
+        graph,
         jdbc_bridge,
         multimodal,
         reference_batch,

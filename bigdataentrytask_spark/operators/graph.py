@@ -1,0 +1,254 @@
+"""Graph operators over the basket co-occurrence graph (nodes =
+parts, an edge when two parts share an order, weight = co-order
+count) — the relational-native graph layer a warehouse team runs
+without a dedicated graph engine. Completes the family started by
+`pagerank_step` (operators/warehouse.py): degree profile, triangle
+census, and one label-propagation round.
+
+Reference lineage: the reference has no graph surface at all (its
+spec stops at keyed aggregates, /root/reference/doc/temp.md:377-411);
+this layer exists for the LLM-curation side — co-occurrence graphs
+over documents/entities use the identical plans.
+
+Scale posture (100 TB):
+* The edge build is the bounded basket expansion proven by
+  `basket_part_pairs`: per-order item sets (one fact-scale shuffle),
+  in-JVM pair explode with blowup <= basket size squared (TPC-H
+  baskets <= 7 -> <= 21 undirected pairs/order). Never a fact x fact
+  self-join.
+* `part_pair_triangles` joins the edge list to itself twice on node
+  keys. Wedge count is SUM(deg^2) — the operator therefore reports
+  the wedge count alongside, and at 100 TB the standard mitigation
+  applies unchanged: degree-ordered orientation (each edge stored
+  from its lower-degree endpoint) caps per-node expansion; the
+  fixture's graph is near-uniform so the plain oriented join is used.
+* `label_propagation_step` is one grouped argmax per node over its
+  neighbor multiset — the iterated form ping-pongs labels through
+  parquet exactly like `dedup.resolve_components`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdataentrytask_spark.catalog import load_table
+from bigdataentrytask_spark.operators import operator
+from bigdataentrytask_spark.session import ensure_session_confs
+
+_SQL_EDGES = """
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS d, CAST(COUNT(*) AS BIGINT) AS w
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+"""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-order edges (s < d, weight = co-order count) via
+    the bounded in-JVM basket expansion (cites basket_part_pairs)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sets = (
+        li.distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda p: F.transform(
+                        F.filter("parts", lambda q: q > p),
+                        lambda q: F.struct(p.alias("s"), q.alias("d")),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.s", "e.d")
+    return pairs.groupBy("s", "d").agg(F.count(F.lit(1)).alias("w"))
+
+
+@operator(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT s AS node FROM edges
+            UNION ALL SELECT d FROM edges)
+      GROUP BY 1
+    )
+    SELECT CAST(FLOOR(log2(degree)) AS BIGINT) AS degree_bucket,
+           CAST(COUNT(*) AS BIGINT)            AS n_nodes,
+           CAST(MIN(degree) AS BIGINT)         AS min_degree,
+           CAST(MAX(degree) AS BIGINT)         AS max_degree,
+           CAST(SUM(degree) AS BIGINT)         AS sum_degree
+    FROM deg GROUP BY 1 ORDER BY degree_bucket
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree histogram of the co-order graph — the
+    first skew diagnostic before any graph algorithm (a heavy bucket
+    at the top predicts wedge explosion in triangle/LP steps)."""
+    e = _edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy(
+            F.floor(F.log2("degree")).cast("bigint").alias("degree_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("degree").cast("bigint").alias("min_degree"),
+            F.max("degree").cast("bigint").alias("max_degree"),
+            F.sum("degree").cast("bigint").alias("sum_degree"),
+        )
+        .orderBy("degree_bucket")
+    )
+
+
+@operator(
+    "part_pair_triangles",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    tri AS (
+      SELECT COUNT(*) AS triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.s = e1.d
+      JOIN edges e3 ON e3.s = e1.s AND e3.d = e2.d
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree
+      FROM (SELECT s AS node FROM edges UNION ALL SELECT d FROM edges)
+      GROUP BY 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT)  AS n_edges,
+           CAST((SELECT COUNT(*) FROM deg) AS BIGINT)    AS n_nodes,
+           CAST((SELECT SUM(degree * (degree - 1) / 2) FROM deg) AS BIGINT)
+                                                         AS n_wedges,
+           CAST((SELECT triangles FROM tri) AS BIGINT)   AS n_triangles,
+           ROUND((SELECT triangles FROM tri) * 3.0
+                 / (SELECT SUM(degree * (degree - 1) / 2) FROM deg), 6)
+                                                         AS clustering_coeff
+    FROM (SELECT 1)
+    """,
+)
+def part_pair_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient. Edges are
+    oriented (s < d), so each triangle is counted exactly once by the
+    two-hop join; wedge count = SUM(deg·(deg−1)/2) comes from the
+    degree table, no join. 3·triangles / wedges is the standard
+    transitivity ratio — exact integers up to the final division."""
+    e = _edges(spark, sf_dir).select("s", "d")
+    e1 = e.select(F.col("s").alias("a"), F.col("d").alias("b"))
+    e2 = e.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    e3 = e.select(F.col("s").alias("a"), F.col("d").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    deg = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("degree") * (F.col("degree") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_edges.crossJoin(stats)
+        .crossJoin(F.broadcast(tri))
+        .select(
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            "n_wedges",
+            F.col("triangles").cast("bigint").alias("n_triangles"),
+            F.round(
+                F.col("triangles") * 3.0 / F.col("n_wedges").cast("double"),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+@operator(
+    "label_propagation_step",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    und AS (
+      SELECT s AS node, d AS nbr, w FROM edges
+      UNION ALL
+      SELECT d, s, w FROM edges
+    ),
+    labels AS (SELECT p_partkey, p_brand FROM part),
+    votes AS (
+      SELECT u.node, l.p_brand AS cand, CAST(SUM(u.w) AS BIGINT) AS votes
+      FROM und u JOIN labels l ON l.p_partkey = u.nbr
+      GROUP BY 1, 2
+    ),
+    winner AS (
+      SELECT node, cand AS new_brand,
+             ROW_NUMBER() OVER (PARTITION BY node
+               ORDER BY votes DESC, cand) AS rn
+      FROM votes
+    )
+    SELECT l.p_brand AS old_brand, w.new_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM winner w JOIN labels l ON l.p_partkey = w.node
+    WHERE w.rn = 1
+    GROUP BY 1, 2 ORDER BY old_brand, new_brand
+    """,
+)
+def label_propagation_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous label-propagation round: each part adopts the
+    brand with the highest co-order weight among its neighbors
+    (deterministic tie-break: lexicographic brand). Output is the
+    25×25 old→new transition census. Per-node argmax is min_by over a
+    (−votes, cand) struct — partial-aggregable, no ranked window over
+    the vote table. Iterate by ping-ponging the label table through
+    parquet (resolve_components pattern, dedup.py)."""
+    e = _edges(spark, sf_dir)
+    und = e.select(
+        F.col("s").alias("node"), F.col("d").alias("nbr"), "w"
+    ).unionByName(
+        e.select(F.col("d").alias("node"), F.col("s").alias("nbr"), "w")
+    )
+    labels = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), "p_brand"
+    )
+    votes = (
+        und.join(F.broadcast(labels), und.nbr == labels.pk)
+        .groupBy("node", F.col("p_brand").alias("cand"))
+        .agg(F.sum("w").cast("bigint").alias("votes"))
+    )
+    winner = votes.groupBy("node").agg(
+        F.min_by("cand", F.struct(-F.col("votes"), F.col("cand"))).alias(
+            "new_brand"
+        )
+    )
+    return (
+        winner.join(F.broadcast(labels), winner.node == labels.pk)
+        .groupBy(F.col("p_brand").alias("old_brand"), "new_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("old_brand", "new_brand")
+    )
