@@ -240,3 +240,68 @@ def _register_cramers_v() -> None:
 
 
 _register_cramers_v()
+
+
+def _register_calibration_bins() -> None:
+    oracle = f"""
+    WITH qc AS ({ORACLES["quality_classifier_score"]}),
+    qf AS ({ORACLES["quality_filter"]}),
+    joined AS (
+      SELECT LEAST(CAST(FLOOR(qc.score * 10) AS BIGINT), 9) AS bin,
+             qc.score,
+             CASE WHEN qf.doc_id IS NOT NULL THEN 1 ELSE 0 END AS y
+      FROM qc LEFT JOIN qf ON qf.doc_id = qc.doc_id
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT)        AS n,
+           ROUND(AVG(score), 6)            AS avg_score,
+           CAST(SUM(y) AS BIGINT)          AS n_pos,
+           ROUND(AVG(CAST(y AS DOUBLE)), 6) AS pos_rate,
+           ROUND(ABS(AVG(score) - AVG(CAST(y AS DOUBLE))), 6) AS gap
+    FROM joined GROUP BY 1 ORDER BY bin
+    """
+
+    @operator("calibration_bins", oracle=oracle)
+    def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Reliability diagram of the quality classifier: scores in 10
+        equal-width bins, per-bin mean confidence vs realized positive
+        rate (truth = heuristic `quality_filter` membership); the gap
+        column is each bin's contribution shape of expected
+        calibration error. Composes the two registered plans — one
+        broadcast join, 10-row output."""
+        pred = REGISTRY["quality_classifier_score"](spark, sf_dir).select(
+            "doc_id", "score"
+        )
+        truth = (
+            REGISTRY["quality_filter"](spark, sf_dir)
+            .select("doc_id")
+            .withColumn("y", F.lit(1))
+        )
+        joined = pred.join(F.broadcast(truth), "doc_id", "left").select(
+            F.least(
+                F.floor(F.col("score") * 10).cast("bigint"), F.lit(9)
+            ).alias("bin"),
+            "score",
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+        return (
+            joined.groupBy("bin")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.avg("score"), 6).alias("avg_score"),
+                F.sum("y").cast("bigint").alias("n_pos"),
+                F.round(F.avg(F.col("y").cast("double")), 6).alias(
+                    "pos_rate"
+                ),
+                F.round(
+                    F.abs(
+                        F.avg("score") - F.avg(F.col("y").cast("double"))
+                    ),
+                    6,
+                ).alias("gap"),
+            )
+            .orderBy("bin")
+        )
+
+
+_register_calibration_bins()

@@ -1364,3 +1364,375 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "left_tok", "right_tok")
         .limit(_BPE_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 text additions: tokenizer economics, a smoothed bigram LM,
+# containment-style near-dup detection, a lang-id confusion census,
+# MOSS-style winnowing fingerprints, and template-prefix clustering.
+# --------------------------------------------------------------------------
+@operator(
+    "tokenizer_compression_ratio",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)                 AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT)        AS sum_chars,
+           CAST(SUM(strlen(text)) AS BIGINT)        AS sum_bytes,
+           CAST(SUM(len({sql_tokens('text')})) AS BIGINT) AS sum_tokens,
+           ROUND(SUM(length(text))
+                 / CAST(SUM(len({sql_tokens('text')})) AS DOUBLE), 6)
+                                                    AS chars_per_token,
+           ROUND(SUM(strlen(text))
+                 / CAST(SUM(length(text)) AS DOUBLE), 6) AS bytes_per_char
+    FROM documents GROUP BY 1 ORDER BY lang
+    """,
+)
+def tokenizer_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer economics per language: characters and bytes per
+    token — the fertility numbers a pretraining-budget planner needs
+    before fixing a tokenizer. Exact integer sums, two divisions per
+    language."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+            F.sum(F.octet_length("text")).cast("bigint").alias("sum_bytes"),
+            F.sum(F.size(tokens("text"))).cast("bigint").alias("sum_tokens"),
+            F.round(
+                F.sum(F.length("text"))
+                / F.sum(F.size(tokens("text"))).cast("double"),
+                6,
+            ).alias("chars_per_token"),
+            F.round(
+                F.sum(F.octet_length("text"))
+                / F.sum(F.length("text")).cast("double"),
+                6,
+            ).alias("bytes_per_char"),
+        )
+        .orderBy("lang")
+    )
+
+
+@operator(
+    "bigram_lm_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+      FROM (
+        SELECT doc_id,
+               UNNEST({sql_tokens('text')}) AS tok,
+               UNNEST(range(len({sql_tokens('text')}))) AS pos
+        FROM documents
+      )
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             tok AS w2
+      FROM toks
+      QUALIFY w1 IS NOT NULL
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2
+           FROM bigrams GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1
+           FROM bigrams GROUP BY 1),
+    v  AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM toks)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln((c2.n2 + 1) / CAST(c1.n1 + v.vsz AS DOUBLE))), 6)
+                                    AS avg_logprob
+    FROM bigrams b
+    JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+    JOIN c1 ON c1.w1 = b.w1
+    CROSS JOIN v
+    WHERE b.doc_id < 100
+    GROUP BY 1 ORDER BY doc_id
+    """,
+)
+def bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram language model trained on the corpus,
+    scoring each document's mean bigram log-probability — the
+    surprisal signal used to flag incoherent / boilerplate text
+    (unigram twin: `lm_surprisal_score`). Counts are exact integers;
+    one ln per distinct bigram. Count tables shuffle on the bigram
+    key; the per-doc score re-joins on the same key (broadcast-sized
+    here, AQE picks the strategy at scale)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.select("doc_id", F.lag("tok").over(w).alias("w1"),
+                    F.col("tok").alias("w2"))
+        .filter(F.col("w1").isNotNull())
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = toks.agg(F.count_distinct("tok").alias("vsz"))
+    lp = F.log(
+        (F.col("n2") + 1) / (F.col("n1") + F.col("vsz")).cast("double")
+    )
+    return (
+        bigrams.filter(F.col("doc_id") < 100)
+        .join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CONT_DF_CAP = 50   # ignore shingles present in more than this many docs
+_CONT_MIN = 0.5
+
+
+@operator(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             {sql_token_hash("array_to_string(toks[i:i+2], ' ')")} AS h
+      FROM (
+        SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+      ), UNNEST(range(1, len(toks) - 1)) AS u(i)
+    ),
+    disc AS (
+      SELECT doc_id, h FROM sh
+      QUALIFY COUNT(*) OVER (PARTITION BY h) <= {_CONT_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM disc GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM disc a JOIN disc b ON a.h = b.h AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.inter,
+           s.sz AS size_a,
+           ROUND(i.inter / CAST(s.sz AS DOUBLE), 6) AS containment
+    FROM inter i JOIN sizes s ON s.doc_id = i.doc_a
+    WHERE i.inter / CAST(s.sz AS DOUBLE) >= {_CONT_MIN}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection C(A,B) = |A∩B| / |A| over
+    discriminative trigram shingles (corpus-wide document frequency
+    <= _CONT_DF_CAP; ubiquitous shingles carry no identity signal and
+    would otherwise quadratically inflate the shingle join). Unlike
+    Jaccard (`jaccard_pairs`), containment is ASYMMETRIC — it catches
+    a document embedded inside a larger one. The pair enumeration is
+    the shingle-bucket join bounded by the df cap: Σ df² per shingle,
+    never |docs|²."""
+    d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
+    # guard: sequence(0, n) DESCENDS when n < 0, so short docs must be
+    # filtered before the shingle expansion (oracle's range() is empty
+    # there)
+    grams = d.filter(F.size("toks") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.array_join(F.slice("toks", i + 1, 3), " "),
+            )
+        ).alias("g"),
+    )
+    sh = grams.select(
+        "doc_id", (token_hash("g")).alias("h")
+    ).distinct()
+    wdf = Window.partitionBy("h")
+    disc = sh.withColumn("df", F.count(F.lit(1)).over(wdf)).filter(
+        F.col("df") <= _CONT_DF_CAP
+    ).select("doc_id", "h")
+    sizes = disc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = disc.select(F.col("doc_id").alias("doc_a"), "h")
+    b = disc.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes, inter.doc_a == sizes.doc_id)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("sz").cast("bigint").alias("size_a"),
+            F.round(F.col("inter") / F.col("sz").cast("double"), 6).alias(
+                "containment"
+            ),
+        )
+        .filter(
+            F.col("inter") / F.col("sz").cast("double") >= _CONT_MIN
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _register_lang_confusion() -> None:
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+
+    oracle = f"""
+    WITH pred AS ({ORACLES["lang_id"]})
+    SELECT d.lang AS true_lang,
+           p.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY 1, 2 ORDER BY true_lang, pred_lang
+    """
+
+    @operator("lang_confusion_matrix", oracle=oracle)
+    def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Confusion census of the n-gram lang-id heuristic against the
+        stored language labels — the eval table that decides whether a
+        heuristic is good enough to route documents at scale. Composes
+        the registered `lang_id` plan; one broadcast join + bounded
+        (langs x langs) agg."""
+        pred = REGISTRY["lang_id"](spark, sf_dir)
+        d = _docs(spark, sf_dir).select("doc_id", F.col("lang").alias("true_lang"))
+        return (
+            d.join(pred, "doc_id")
+            .groupBy("true_lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("true_lang", "pred_lang")
+        )
+
+
+_register_lang_confusion()
+
+
+_WIN_K = 3  # shingle width (tokens)
+_WIN_W = 4  # winnowing window (shingles)
+
+
+@operator(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, i AS pos,
+             {sql_token_hash("array_to_string(toks[i:i+2], ' ')")} AS h
+      FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+           UNNEST(range(1, len(toks) - 1)) AS u(i)
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS wmin,
+             COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS wn
+      FROM sh
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, wmin FROM wins WHERE wn = {_WIN_W}
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(DISTINCT s.h) AS BIGINT)  AS n_shingles,
+           CAST(MAX(f.nf) AS BIGINT)            AS n_fingerprints
+    FROM sh s
+    JOIN (SELECT doc_id, COUNT(*) AS nf FROM fps GROUP BY 1) f
+      ON f.doc_id = s.doc_id
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing (Schleimer et al., SIGMOD 2003): slide a
+    w-shingle window over each document's k-gram hash sequence and
+    keep each window's MINIMUM hash — a position-robust fingerprint
+    set whose size is ~2/(w+1) of the shingle count, with a guarantee
+    that any match of length >= w+k-1 shares a fingerprint. Per-doc
+    ROWS windows only; the fingerprint table is the dedup index a
+    plagiarism / near-dup service builds at corpus scale."""
+    d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
+    # same short-doc guard as ngram_containment_pairs (descending
+    # sequence() below _WIN_K tokens)
+    sh = d.filter(F.size("toks") >= _WIN_K).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - _WIN_K),
+                lambda i: F.array_join(F.slice("toks", i + 1, _WIN_K), " "),
+            )
+        ).alias("pos", "g"),
+    ).select("doc_id", "pos", token_hash("g").alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    wins = sh.select(
+        "doc_id",
+        F.min("h").over(w).alias("wmin"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    fps = (
+        wins.filter(F.col("wn") == _WIN_W)
+        .select("doc_id", "wmin")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nf"))
+    )
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count_distinct("h").alias("n_shingles")
+    )
+    return (
+        per_doc.join(fps, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.col("nf").cast("bigint").alias("n_fingerprints"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TPL_PREFIX = 5
+
+
+@operator(
+    "template_prefix_clusters",
+    oracle=f"""
+    WITH pre AS (
+      SELECT doc_id,
+             array_to_string(({sql_tokens('text')})[1:{_TPL_PREFIX}], ' ')
+               AS prefix
+      FROM documents
+      WHERE len({sql_tokens('text')}) >= {_TPL_PREFIX}
+    )
+    SELECT prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM pre GROUP BY 1
+    HAVING COUNT(*) >= 2
+    ORDER BY n_docs DESC, prefix
+    """,
+)
+def template_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detection: documents sharing an identical
+    leading-token prefix (headers, scraped templates, licence
+    preambles). One hash agg on the prefix string — the cheap first
+    pass before the expensive shingle-based dedup runs."""
+    d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
+    pre = d.filter(F.size("toks") >= _TPL_PREFIX).select(
+        "doc_id",
+        F.array_join(F.slice("toks", 1, _TPL_PREFIX), " ").alias("prefix"),
+    )
+    return (
+        pre.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "prefix")
+    )
