@@ -583,3 +583,59 @@ def multimodal_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# ViT-style patch-grid plan: from each image's (w, h) dims (derived
+# deterministically from the payload, same contract as the resize
+# plan), the 16x16 patch tiling a vision encoder ingests — patch
+# counts, right/bottom padding, and the transformer sequence length
+# (patches + CLS). Pure column arithmetic over the metadata: at
+# 100 TB this runs entirely on the pruned metadata projection; the
+# payload bytes are never touched.
+# --------------------------------------------------------------------------
+_PATCH = 16
+
+
+@operator(
+    "multimodal_patch_grid",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             1 + ord(substr(text, 1, 1)) AS w,
+             1 + ord(substr(text, 2, 1)) AS h
+      FROM documents
+    )
+    SELECT doc_id, w, h,
+           CAST(ceil(w / {_PATCH}.0) AS BIGINT)  AS patches_x,
+           CAST(ceil(h / {_PATCH}.0) AS BIGINT)  AS patches_y,
+           CAST(ceil(w / {_PATCH}.0) * ceil(h / {_PATCH}.0) AS BIGINT)
+                                                 AS n_patches,
+           CAST(ceil(w / {_PATCH}.0) * {_PATCH} - w AS BIGINT) AS pad_right,
+           CAST(ceil(h / {_PATCH}.0) * {_PATCH} - h AS BIGINT) AS pad_bottom,
+           CAST(ceil(w / {_PATCH}.0) * ceil(h / {_PATCH}.0) + 1 AS BIGINT)
+                                                 AS seq_len
+    FROM dims ORDER BY doc_id
+    """,
+)
+def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    w = (1 + F.ascii(F.substring("text", 1, 1))).cast("long")
+    h = (1 + F.ascii(F.substring("text", 2, 1))).cast("long")
+    px = F.ceil(w / float(_PATCH)).cast("long")
+    py = F.ceil(h / float(_PATCH)).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            w.alias("w"),
+            h.alias("h"),
+            px.alias("patches_x"),
+            py.alias("patches_y"),
+            (px * py).alias("n_patches"),
+            (px * _PATCH - w).alias("pad_right"),
+            (py * _PATCH - h).alias("pad_bottom"),
+            (px * py + 1).alias("seq_len"),
+        )
+        .orderBy("doc_id")
+    )

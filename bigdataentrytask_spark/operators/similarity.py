@@ -1609,3 +1609,83 @@ def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sub", "code")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 compositions over the exact near-dup layer: a similarity
+# histogram and a threshold-sweep calibration curve. Both reuse the
+# verified pair machinery (`embedding_neardup_pairs` — tiled Arrow
+# kernels above NEARDUP_COS) and its oracle as a CTE, so the
+# candidate set itself stays differentially checked.
+# --------------------------------------------------------------------------
+def _register_pair_compositions() -> None:
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+
+    hist_oracle = f"""
+    WITH pairs AS ({ORACLES["embedding_neardup_pairs"]})
+    SELECT CAST(FLOOR(cosine * 20) AS BIGINT) AS sim_bin,
+           CAST(COUNT(*) AS BIGINT)           AS n_pairs,
+           ROUND(MIN(cosine), 6)              AS bin_min,
+           ROUND(MAX(cosine), 6)              AS bin_max
+    FROM pairs GROUP BY 1 ORDER BY sim_bin
+    """
+
+    @operator("pairwise_sim_histogram", oracle=hist_oracle)
+    def pairwise_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cosine-similarity histogram (0.05-wide bins) of the
+        above-threshold pair population — the corpus-duplication
+        profile a dedup-threshold decision is read from. Bins are cut
+        on the 6-decimal ROUNDED cosine (both engines bin the
+        identical value)."""
+        pairs = REGISTRY["embedding_neardup_pairs"](spark, sf_dir)
+        return (
+            pairs.groupBy(
+                F.floor(F.col("cosine") * 20).cast("bigint").alias("sim_bin")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.round(F.min("cosine"), 6).alias("bin_min"),
+                F.round(F.max("cosine"), 6).alias("bin_max"),
+            )
+            .orderBy("sim_bin")
+        )
+
+    sweep_oracle = f"""
+    WITH pairs AS ({ORACLES["embedding_neardup_pairs"]}),
+    taus AS (SELECT UNNEST([0.40, 0.50, 0.60, 0.70, 0.80, 0.90]) AS tau)
+    SELECT tau,
+           CAST(COUNT(p.cosine) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT p.vec_a) + COUNT(DISTINCT p.vec_b)
+                AS BIGINT)                 AS n_touched_sides
+    FROM taus LEFT JOIN pairs p ON p.cosine >= taus.tau
+    GROUP BY 1 ORDER BY tau
+    """
+
+    @operator("neardup_threshold_sweep", oracle=sweep_oracle)
+    def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Dedup-threshold calibration: how many pairs (and distinct
+        endpoint docs) survive each candidate cosine cutoff — computed
+        in ONE pass over the verified pair table (the pair build is
+        not repeated per threshold)."""
+        pairs = REGISTRY["embedding_neardup_pairs"](spark, sf_dir)
+        taus = spark.range(1).select(
+            F.explode(
+                F.array(*[F.lit(t) for t in (0.40, 0.50, 0.60, 0.70, 0.80, 0.90)])
+            ).alias("tau")
+        )
+        j = F.broadcast(taus).join(
+            pairs, pairs.cosine >= F.col("tau"), "left"
+        )
+        return (
+            j.groupBy("tau")
+            .agg(
+                F.count("cosine").cast("bigint").alias("n_pairs"),
+                (
+                    F.count_distinct("vec_a") + F.count_distinct("vec_b")
+                ).cast("bigint").alias("n_touched_sides"),
+            )
+            .orderBy("tau")
+        )
+
+
+_register_pair_compositions()

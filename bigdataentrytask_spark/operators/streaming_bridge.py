@@ -638,3 +638,192 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(agg.collect(), agg.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# foreachBatch CONDITIONAL merge (CDC latest-image materialization):
+# the raw stream lands through a merge that keeps, per user, the event
+# with the greatest (ts, event_id) — MERGE INTO ... WHEN MATCHED AND
+# source.ts > target.ts THEN UPDATE, the standard lakehouse pattern
+# for out-of-order upserts (plain last-write-wins would be wrong
+# because micro-batches are ordered by FILE, not by event time). The
+# source is split into 4 files with maxFilesPerTrigger=1, so the
+# conditional path is genuinely exercised across batches.
+# --------------------------------------------------------------------------
+@operator(
+    "stream_latest_image_merge",
+    oracle="""
+    SELECT user_id, event_type AS last_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S')      AS last_ts,
+           CAST(ROUND(value * 100) AS BIGINT)     AS last_cents
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def stream_latest_image_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+    from bigdataentrytask_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="latest_image_")
+    src = f"{root}/src"
+    try:
+        ev.repartition(4).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        # target state: user_id -> row dict; merge condition on the
+        # (ts, event_id) version key
+        state: dict = {}
+
+        def merge_batch(batch_df, batch_id):
+            # reduce the batch FIRST (per-user argmax inside the plan),
+            # then apply the conditional merge on the bounded result —
+            # exactly what MERGE INTO executes against a keyed table
+            top = (
+                batch_df.groupBy("user_id")
+                .agg(
+                    F.max(
+                        F.struct("ts", "event_id", "event_type", "value")
+                    ).alias("s")
+                )
+                .select("user_id", "s.*")
+            )
+            for r in top.collect():
+                cur = state.get(r["user_id"])
+                if cur is None or (r["ts"], r["event_id"]) > (
+                    cur["ts"],
+                    cur["event_id"],
+                ):
+                    state[r["user_id"]] = {
+                        "ts": r["ts"],
+                        "event_id": r["event_id"],
+                        "event_type": r["event_type"],
+                        "value": r["value"],
+                    }
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.outputMode("update")
+            .foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{root}/ck")
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("latest-image merge did not drain")
+
+        rows = [
+            (
+                uid,
+                s["event_type"],
+                s["ts"].strftime("%Y-%m-%d %H:%M:%S"),
+                int(math.floor(s["value"] * 100 + 0.5)),
+            )
+            for uid, s in sorted(state.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "user_id long, last_type string, last_ts string, last_cents long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Streamed hourly leaderboard: tumbling (hour, channel) counts flow
+# update-mode into the keyed upsert sink; the post-sink finish picks
+# each hour's top channel. Sink state is the full (hour, channel)
+# count table — the argmax runs on the LANDED state, proving the
+# update-mode counts converge to the batch truth before the
+# leaderboard reads them.
+# --------------------------------------------------------------------------
+@operator(
+    "stream_hourly_channel_argmax",
+    oracle="""
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY h
+               ORDER BY cnt DESC, event_type) AS rn
+      FROM counts
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type AS top_channel,
+           cnt        AS top_cnt
+    FROM ranked WHERE rn = 1 ORDER BY hour
+    """,
+)
+def stream_hourly_channel_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.sinks import KeyedUpsertSink
+    from bigdataentrytask_spark.streaming.replay import events_file_stream
+
+    sink = KeyedUpsertSink(["h", "event_type"])
+    events = events_file_stream(spark, sf_dir)
+    agg = (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("h"), "event_type", "cnt")
+    )
+    ck = tempfile.mkdtemp(prefix="ck_hca_")
+    try:
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink.upsert_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("hourly argmax stream did not drain")
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    rows = [
+        (r["h"], r["event_type"], r["cnt"]) for r in sink.snapshot()
+    ]
+    landed = spark.createDataFrame(
+        rows, "h timestamp_ntz, event_type string, cnt long"
+    )
+    return (
+        landed.groupBy("h")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("event_type").alias("top_channel"),
+                    F.col("cnt").alias("top_cnt"),
+                ),
+                F.struct(-F.col("cnt"), F.col("event_type")),
+            ).alias("t")
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "t.top_channel",
+            "t.top_cnt",
+        )
+        .orderBy("hour")
+    )
