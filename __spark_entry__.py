@@ -40,43 +40,49 @@ load_all()
 #      re-validation rotates through them as slots allow).
 # _PIN is a manual escape hatch: names listed there go first UNTIL
 # they earn a green row, then expire automatically (so a pin can
-# never re-waste future sweep slots). Round-4 pins (exactly 50): the
-# 3 round-3 reds (HUGEINT oracle artifacts, now CAST-fixed) first,
-# the two new ST6/ST7 streaming round-trips, then 45 of the 49
-# never-checked round-3 additions. Four low-risk mechanical ops are
-# deliberately PARKED for round 5 (54 candidates, 50 slots):
-# table_checksum, snapshot_table_diff, zorder_locality_stats,
-# token_feature_hashing — all pure-column-expression ops that
-# pre-verify clean and carry the least semantic novelty.
+# never re-waste future sweep slots). Round-5 pins (exactly 50): the
+# single round-4 red first (pricing_summary_decimal — the ROUND-ulp
+# decimal artifact, now emitted as scaled BIGINT), then the 12
+# never-checked leftovers (4 parked in round 4 + 8 round-4 late
+# additions), then the 37 round-5 additions. Every name pre-verified
+# via scripts/preverify.py at sf0.01 in a vanilla session.
 _PIN: list[str] = [
-    # round-3 reds, fixed this round
-    "order_agg_extras", "q12_late_priority_mix", "shard_manifest",
-    # new ST7 / ST6 hard-signal conversions
-    "stream_restart_recovery", "stream_concurrent_topology",
-    # never-checked round-3 additions (registry order, minus 4 parked)
-    "events_mad_anomaly", "order_price_quantile_bins",
-    "part_abc_classification", "events_ewma_hourly",
-    "customer_rfm_segments", "event_transition_matrix",
-    "order_cohort_ltv", "top_session_paths",
-    "ab_test_conversion_ztest", "order_skyline_2d",
-    "user_time_weighted_value", "customer_revenue_gini",
-    "dau_wau_mau", "hourly_uniformity_chi2",
-    "revenue_growth_mom_yoy", "new_vs_returning_daily",
-    "corpus_zipf_fit", "weighted_sample_ares",
-    "multimodal_audio_probe", "multimodal_video_probe",
-    "knn_quantized_rerank", "pca_power_iteration",
-    "embedding_outlier_mahalanobis", "pricing_summary_decimal",
-    "null_semantics_probe", "session_window_overlap",
-    "collection_functions_probe", "variant_props_probe",
-    "uv_sketch_union_daily", "cms_user_event_counts",
-    "bloom_membership_probe", "stream_user_totals_jdbc",
-    "stream_signup_attribution_outer", "source_vocab_divergence",
-    "doc_char_entropy", "order_backlog_timeseries",
-    "basket_part_pairs", "referential_integrity_audit",
-    "scd2_priority_history", "attribution_linear_multitouch",
-    "segment_order_cadence", "part_recommendations",
-    "classifier_eval_metrics", "dedup_survivorship",
-    "source_label_cramers_v",
+    # round-4 red, fixed (scaled-BIGINT output contract)
+    "pricing_summary_decimal",
+    # never-checked backlog (parked + round-4 additions)
+    "language_rebalance_sample", "embedding_pq_assign",
+    "token_feature_hashing", "bpe_pair_counts",
+    "range_interval_join", "seasonal_hourly_baseline",
+    "snapshot_table_diff", "table_checksum",
+    "zorder_locality_stats", "cdc_apply_changelog",
+    "pagerank_step", "incremental_agg_merge",
+    # round-5 additions: SQL scalar surface
+    "date_arithmetic_probe", "regexp_functions_probe",
+    "posexplode_leading_tokens", "ignore_nulls_first_last",
+    "try_arithmetic_probe", "user_peak_hour_cents",
+    # round-5: behavioral analytics
+    "session_bounce_rate", "pareto_revenue_share",
+    "discount_qty_slope", "ks_order_value_segments",
+    "user_activity_entropy", "repeat_purchase_rate",
+    # round-5: statistical time series
+    "hourly_autocorrelation", "cusum_changepoint",
+    "trailing_trend_slope", "holt_linear_forecast",
+    # round-5: warehouse / sampling / windows
+    "scd1_latest_merge", "join_key_skew_stats",
+    "bernoulli_hash_sample", "temporal_sanity_audit",
+    "orders_gap_islands", "lateral_topn_orders",
+    # round-5: graph layer
+    "graph_degree_distribution", "part_pair_triangles",
+    "label_propagation_step",
+    # round-5: text curation + evaluation
+    "tokenizer_compression_ratio", "bigram_lm_logprob",
+    "ngram_containment_pairs", "lang_confusion_matrix",
+    "winnowing_fingerprints", "template_prefix_clusters",
+    "calibration_bins",
+    # round-5: similarity compositions, streaming, multimodal
+    "pairwise_sim_histogram", "neardup_threshold_sweep",
+    "stream_latest_image_merge", "stream_hourly_channel_argmax",
+    "multimodal_patch_grid",
 ]
 
 
