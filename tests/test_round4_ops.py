@@ -75,18 +75,28 @@ def test_range_join_bucketing_loses_no_pairs(spark, duck):
         .agg(F.sum("n_orders"))
         .collect()[0][0]
     )
+    from bigdataentrytask_spark.operators.timeseries import (
+        _RJ_BASE,
+        _RJ_N_PROMOS,
+        _RJ_SPAN_DAYS,
+        _RJ_STRIDE_DAYS,
+    )
+
     naive = duck.execute(
-        """
+        f"""
         SELECT COUNT(*) FROM orders o
-        JOIN (SELECT TIMESTAMP '1995-01-01 00:00:00'
-                       + to_days((range * 37)::INT) AS s,
-                     TIMESTAMP '1995-01-01 00:00:00'
-                       + to_days((range * 37 + 21)::INT) AS e
-              FROM range(24)) p
+        JOIN (SELECT TIMESTAMP '{_RJ_BASE} 00:00:00'
+                       + to_days((range * {_RJ_STRIDE_DAYS})::INT) AS s,
+                     TIMESTAMP '{_RJ_BASE} 00:00:00'
+                       + to_days((range * {_RJ_STRIDE_DAYS}
+                                  + {_RJ_SPAN_DAYS})::INT) AS e
+              FROM range({_RJ_N_PROMOS})) p
           ON o.o_orderdate >= p.s AND o.o_orderdate < p.e
         """
     ).fetchone()[0]
     assert bucketed == naive
+    # stride < span: the overlap region must actually multi-match
+    assert _RJ_STRIDE_DAYS < _RJ_SPAN_DAYS
 
 
 def test_pq_assignment_is_total_and_bounded(spark):

@@ -1,0 +1,144 @@
+"""Invariant tests for the round-5 operators — semantic laws the
+differential (scripts/preverify.py, which every one of these operators
+passes) cannot express: monotonicity, bounds, determinism, and
+guarantee properties. Runs at sf0.001 for speed."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from bigdataentrytask_spark.operators import REGISTRY, load_all
+
+from .conftest import SF_DIR_SMALL
+
+load_all()
+
+
+def _rows(spark, name):
+    return REGISTRY[name](spark, SF_DIR_SMALL).collect()
+
+
+def test_pareto_share_monotone_and_superproportional(spark):
+    rows = sorted(_rows(spark, "pareto_revenue_share"), key=lambda r: r.pct)
+    shares = [r.share for r in rows]
+    assert shares == sorted(shares), "share must grow with pct"
+    for r in rows:
+        # the TOP p% of customers hold at least p% of revenue
+        assert r.share >= r.pct / 100.0 - 1e-9
+    assert all(0.0 <= s <= 1.0 for s in shares)
+
+
+def test_ks_stat_bounds(spark):
+    (row,) = _rows(spark, "ks_order_value_segments")
+    assert 0.0 <= row.ks_stat <= 1.0
+    assert row.n1 > 0 and row.n2 > 0
+
+
+def test_entropy_bounded_by_log_types(spark):
+    for r in _rows(spark, "user_activity_entropy"):
+        assert -1e-9 <= r.entropy <= math.log(r.n_types) + 1e-9
+
+
+def test_winnowing_density_and_bounds(spark):
+    rows = _rows(spark, "winnowing_fingerprints")
+    assert rows, "corpus docs all have >= 3 tokens"
+    for r in rows:
+        assert 1 <= r.n_fingerprints <= r.n_shingles
+    # Schleimer et al.: expected density ~2/(w+1) of positions; allow
+    # a generous corridor, corpus-level
+    tot_fp = sum(r.n_fingerprints for r in rows)
+    tot_sh = sum(r.n_shingles for r in rows)
+    assert 0.05 <= tot_fp / tot_sh <= 0.95
+
+
+def test_containment_is_asymmetric_and_bounded(spark):
+    rows = _rows(spark, "ngram_containment_pairs")
+    for r in rows:
+        assert 0.0 < r.containment <= 1.0 + 1e-9
+        assert r.inter <= r.size_a
+
+
+def test_triangle_census_consistency(spark):
+    (row,) = _rows(spark, "part_pair_triangles")
+    assert row.n_edges > 0 and row.n_nodes > 0
+    # every triangle closes exactly 3 wedges
+    assert 3 * row.n_triangles <= row.n_wedges
+    assert 0.0 <= row.clustering_coeff <= 1.0
+
+
+def test_gap_islands_accounting(spark):
+    for r in _rows(spark, "orders_gap_islands"):
+        assert 1 <= r.longest_streak_months <= r.active_months
+        assert r.n_streaks >= 1
+        # islands partition the active months
+        assert r.active_months >= r.n_streaks
+
+
+def test_bernoulli_sample_is_deterministic(spark):
+    a = sorted(map(tuple, _rows(spark, "bernoulli_hash_sample")))
+    b = sorted(map(tuple, _rows(spark, "bernoulli_hash_sample")))
+    assert a == b
+
+
+def test_lateral_topn_per_key_contract(spark):
+    from collections import Counter
+
+    rows = _rows(spark, "lateral_topn_orders")
+    per_key = Counter(r.custkey for r in rows)
+    assert all(n <= 2 for n in per_key.values())
+    by_key: dict[int, list[int]] = {}
+    for r in rows:
+        by_key.setdefault(r.custkey, []).append(r.cents)
+    for cents in by_key.values():
+        assert cents == sorted(cents, reverse=True)
+
+
+def test_trend_slope_counts_partition(spark):
+    for r in _rows(spark, "trailing_trend_slope"):
+        assert r.n_up + r.n_down <= r.n_windows
+        assert r.min_slope <= r.max_slope
+
+
+def test_calibration_bins_partition_scores(spark):
+    rows = _rows(spark, "calibration_bins")
+    assert sum(r.n for r in rows) > 0
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.pos_rate <= 1.0
+        # bin mean confidence must sit inside the bin (last bin is
+        # clamped so scores == 1.0 land in bin 9)
+        lo, hi = r.bin / 10.0, (r.bin + 1) / 10.0 + (0.01 if r.bin == 9 else 0)
+        assert lo - 1e-9 <= r.avg_score <= hi + 1e-9
+
+
+def test_lang_confusion_is_a_partition(spark):
+    """The census partitions the corpus: cell counts sum to the doc
+    count, and predictions stay in the heuristic's label set. (The
+    fixture's text is synthetic word salad, so the lang LABEL is
+    nearly independent of content — diagonal dominance would be a
+    wrong assertion here; the operator's whole point is to MEASURE
+    that.)"""
+    rows = _rows(spark, "lang_confusion_matrix")
+    docs = REGISTRY["text_token_stats"](spark, SF_DIR_SMALL).count()
+    assert sum(r.n_docs for r in rows) == docs
+    assert {r.pred_lang for r in rows} <= {"de", "en", "es", "fr", "zh"}
+
+
+def test_autocorrelation_in_range(spark):
+    for r in _rows(spark, "hourly_autocorrelation"):
+        assert -1.0 - 1e-9 <= r.r <= 1.0 + 1e-9
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["scd1_latest_merge", "temporal_sanity_audit", "join_key_skew_stats"],
+)
+def test_warehouse_ops_nonempty(spark, name):
+    assert len(_rows(spark, name)) > 0
+
+
+def test_holt_forecast_extrapolates_level_plus_trend(spark):
+    for r in _rows(spark, "holt_linear_forecast"):
+        assert abs(r.forecast_7d_cents - (r.level_cents + 7 * r.trend_cents)) < 0.01
