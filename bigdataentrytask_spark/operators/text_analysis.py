@@ -1616,6 +1616,42 @@ _WIN_K = 3  # shingle width (tokens)
 _WIN_W = 4  # winnowing window (shingles)
 
 
+def winnow_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, pos, h): positional k-gram shingle hashes of a
+    (doc_id, toks) frame — the winnowing input sequence."""
+    # same short-doc guard as ngram_containment_pairs (descending
+    # sequence() below _WIN_K tokens)
+    return d.filter(F.size("toks") >= _WIN_K).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - _WIN_K),
+                lambda i: F.array_join(F.slice("toks", i + 1, _WIN_K), " "),
+            )
+        ).alias("pos", "g"),
+    ).select("doc_id", "pos", token_hash("g").alias("h"))
+
+
+def winnow_fingerprint_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, wmin) distinct winnowing fingerprints of a
+    (doc_id, toks) frame — the production core of
+    `winnowing_fingerprints`, exposed so the guarantee property
+    (any shared run of >= _WIN_W + _WIN_K - 1 tokens shares a
+    fingerprint) is testable on planted-duplicate corpora."""
+    sh = winnow_shingles(d)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    wins = sh.select(
+        "doc_id",
+        F.min("h").over(w).alias("wmin"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    return wins.filter(F.col("wn") == _WIN_W).select("doc_id", "wmin").distinct()
+
+
 @operator(
     "winnowing_fingerprints",
     oracle=f"""
@@ -1654,31 +1690,9 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROWS windows only; the fingerprint table is the dedup index a
     plagiarism / near-dup service builds at corpus scale."""
     d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
-    # same short-doc guard as ngram_containment_pairs (descending
-    # sequence() below _WIN_K tokens)
-    sh = d.filter(F.size("toks") >= _WIN_K).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - _WIN_K),
-                lambda i: F.array_join(F.slice("toks", i + 1, _WIN_K), " "),
-            )
-        ).alias("pos", "g"),
-    ).select("doc_id", "pos", token_hash("g").alias("h"))
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, _WIN_W - 1)
-    )
-    wins = sh.select(
-        "doc_id",
-        F.min("h").over(w).alias("wmin"),
-        F.count(F.lit(1)).over(w).alias("wn"),
-    )
+    sh = winnow_shingles(d)
     fps = (
-        wins.filter(F.col("wn") == _WIN_W)
-        .select("doc_id", "wmin")
-        .distinct()
+        winnow_fingerprint_frame(d)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("nf"))
     )

@@ -142,3 +142,55 @@ def test_warehouse_ops_nonempty(spark, name):
 def test_holt_forecast_extrapolates_level_plus_trend(spark):
     for r in _rows(spark, "holt_linear_forecast"):
         assert abs(r.forecast_7d_cents - (r.level_cents + 7 * r.trend_cents)) < 0.01
+
+
+def test_winnowing_guarantee_on_planted_duplicates(spark):
+    """The winnowing GUARANTEE (Schleimer et al. §3): two documents
+    sharing a token run of length >= w + k - 1 share at least one
+    fingerprint. Drives the production `winnow_fingerprint_frame` on
+    random planted-duplicate pairs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.functions.text import tokens
+    from bigdataentrytask_spark.operators.text_analysis import (
+        _WIN_K,
+        _WIN_W,
+        winnow_fingerprint_frame,
+    )
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(50)]
+    need = _WIN_W + _WIN_K - 1  # guaranteed-match run length
+
+    rows = []
+    for pair in range(6):
+        shared = [rng.choice(vocab) for _ in range(rng.randint(need, need + 4))]
+        a = (
+            [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+            + shared
+            + [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+        )
+        b = (
+            [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+            + shared
+            + [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+        )
+        rows.append((pair * 2, " ".join(a)))
+        rows.append((pair * 2 + 1, " ".join(b)))
+
+    d = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    fps = winnow_fingerprint_frame(d)
+    a = fps.select(F.col("doc_id").alias("da"), "wmin")
+    b = fps.select(F.col("doc_id").alias("db"), "wmin")
+    shared_fp = {
+        (r.da, r.db)
+        for r in a.join(b, "wmin").filter(F.col("da") < F.col("db")).collect()
+    }
+    for pair in range(6):
+        assert (pair * 2, pair * 2 + 1) in shared_fp, (
+            f"planted pair {pair} shares a {need}-token run but no fingerprint"
+        )
