@@ -266,3 +266,92 @@ def mock_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_order_ids") == F.col("n_rows")).alias("order_ids_unique"),
         F.lit(same).alias("partition_invariant"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5: text-format round-trips as HARD driver signal (they were
+# pytest-only). Each lands a live write+read through the named format
+# and aggregates the re-read table, so the oracle (computed from the
+# parquet source of truth) catches any type/precision loss the codec
+# introduces: CSV's string round-trip of doubles/timestamps, JSONL's
+# field-name binding.
+# --------------------------------------------------------------------------
+_RT_ORACLE = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                                    AS cents,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_day
+    FROM orders GROUP BY 1 ORDER BY o_orderstatus
+"""
+
+
+def _roundtrip_summary(df: "DataFrame") -> "DataFrame":
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias(
+                "first_day"
+            ),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias(
+                "last_day"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@operator("csv_roundtrip", oracle=_RT_ORACLE)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → gzip CSV → explicit-schema read → keyed rollup. The
+    reference moves data between systems as delimited text (Flume
+    spooling directory, doc/temp.md:663-700); this proves the text
+    codec loses nothing the rollup can see (double precision survives
+    Spark's CSV writer because it round-trips through shortest-repr
+    strings). Scale note: CSV is the interchange edge, not a storage
+    format — schema is always DECLARED on read (never inferSchema,
+    which would double-scan at 100 TB)."""
+    import shutil
+    import tempfile
+
+    from bigdataentrytask_spark.catalog import SCHEMAS
+    from bigdataentrytask_spark.sources import formats
+
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="csv_rt_")
+    try:
+        formats.write_csv(orders, f"{root}/orders")
+        back = formats.read_csv(spark, f"{root}/orders", SCHEMAS["orders"])
+        out = _roundtrip_summary(back)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@operator("jsonl_roundtrip", oracle=_RT_ORACLE)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → gzip JSON-lines → explicit-schema read → keyed
+    rollup — the wire format of the reference's Kafka topic
+    (datagenkafka.py:9-26) exercised end-to-end at the file edge."""
+    import shutil
+    import tempfile
+
+    from bigdataentrytask_spark.catalog import SCHEMAS
+    from bigdataentrytask_spark.sources import formats
+
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="jsonl_rt_")
+    try:
+        formats.write_jsonl(orders, f"{root}/orders")
+        back = formats.read_jsonl(spark, f"{root}/orders", SCHEMAS["orders"])
+        out = _roundtrip_summary(back)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1238,3 +1238,241 @@ def user_peak_hour_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("trail").cast("bigint").alias("peak_hour_cents"))
         .orderBy("user_id")
     )
+
+
+@operator(
+    "string_functions_probe",
+    oracle="""
+    WITH w AS (
+      SELECT p_partkey,
+             regexp_extract(p_name, '^(\\w+)', 1) AS w1,
+             regexp_extract(p_name, '(\\w+)$', 1) AS w2
+      FROM part
+    )
+    SELECT CAST(p_partkey % 8 AS BIGINT) AS bucket,
+           CAST(SUM(levenshtein(w1, w2)) AS BIGINT)      AS sum_lev,
+           CAST(SUM(length(translate(w1, 'aeiou', 'AEIOU'))) AS BIGINT)
+                                                         AS sum_translated,
+           CAST(SUM(instr(w1, 'a')) AS BIGINT)           AS sum_instr_a,
+           CAST(COUNT(*) FILTER (WHERE reverse(w1) = w1 AND length(w1) > 1)
+                AS BIGINT)                               AS n_palindromes,
+           MIN(lpad(w1, 12, '.'))                        AS min_padded
+    FROM w GROUP BY 1 ORDER BY bucket
+    """,
+)
+def string_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance + byte-level string family: levenshtein,
+    translate, instr, reverse-palindrome, lpad — all JVM built-ins
+    with DuckDB twins, one keyed rollup."""
+    p = _t(spark, sf_dir, "part")
+    w1 = F.regexp_extract("p_name", r"^(\w+)", 1)
+    w2 = F.regexp_extract("p_name", r"(\w+)$", 1)
+    w = p.select(
+        "p_partkey", w1.alias("w1"), w2.alias("w2")
+    )
+    return (
+        w.groupBy((F.col("p_partkey") % 8).cast("bigint").alias("bucket"))
+        .agg(
+            F.sum(F.levenshtein("w1", "w2")).cast("bigint").alias("sum_lev"),
+            F.sum(F.length(F.translate("w1", "aeiou", "AEIOU")))
+            .cast("bigint")
+            .alias("sum_translated"),
+            F.sum(F.instr("w1", "a")).cast("bigint").alias("sum_instr_a"),
+            F.sum(
+                (
+                    (F.reverse(F.col("w1")) == F.col("w1"))
+                    & (F.length("w1") > 1)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_palindromes"),
+            F.min(F.lpad("w1", 12, ".")).alias("min_padded"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@operator(
+    "bitwise_functions_probe",
+    oracle="""
+    SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+           CAST(SUM(o_orderkey & 255) AS BIGINT)        AS sum_and,
+           CAST(SUM(o_orderkey | 15) AS BIGINT)         AS sum_or,
+           CAST(SUM(xor(o_orderkey, o_custkey)) AS BIGINT) AS sum_xor,
+           CAST(SUM(bit_count(CAST(o_orderkey AS BIGINT))) AS BIGINT)
+                                                        AS sum_popcount,
+           CAST(SUM((o_custkey % 16) << 2) AS BIGINT)   AS sum_shl
+    FROM orders GROUP BY 1 ORDER BY bucket
+    """,
+)
+def bitwise_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (&, |, xor, popcount, shifts) — the bit-packing
+    toolkit the simhash/zorder operators build on, pinned by a keyed
+    checksum rollup."""
+    o = _t(spark, sf_dir, "orders")
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    return (
+        o.groupBy((ok % 4).cast("bigint").alias("bucket"))
+        .agg(
+            F.sum(ok.bitwiseAND(F.lit(255))).cast("bigint").alias("sum_and"),
+            F.sum(ok.bitwiseOR(F.lit(15))).cast("bigint").alias("sum_or"),
+            F.sum(ok.bitwiseXOR(ck)).cast("bigint").alias("sum_xor"),
+            F.sum(F.bit_count(ok.cast("bigint")))
+            .cast("bigint")
+            .alias("sum_popcount"),
+            F.sum(F.shiftleft(ck % 16, 2)).cast("bigint").alias("sum_shl"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@operator(
+    "boolean_aggregates_probe",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)                       AS n,
+           bool_and(o_totalprice > 1000)                  AS all_over_1k,
+           bool_or(o_totalprice > 400000)                 AS any_over_400k,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT)  AS n_finished,
+           bool_and(o_orderdate >= TIMESTAMP '1992-01-01 00:00:00')
+                                                          AS all_in_range
+    FROM orders GROUP BY 1 ORDER BY o_orderpriority
+    """,
+)
+def boolean_aggregates_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and / bool_or / count_if — the predicate-aggregate family
+    (every / any / conditional count), exercised per priority."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.count_if(F.col("o_orderstatus") == "F")
+            .cast("bigint")
+            .alias("n_finished"),
+            F.bool_and(
+                F.col("o_orderdate")
+                >= F.lit("1992-01-01 00:00:00").cast("timestamp")
+            ).alias("all_in_range"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@operator(
+    "timestampdiff_probe",
+    oracle="""
+    WITH spans AS (
+      SELECT l.l_orderkey,
+             MIN(o.o_orderdate) AS od,
+             MAX(l.l_shipdate)  AS sd
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1
+    )
+    SELECT CAST(date_diff('day', od, sd) // 7 AS BIGINT) AS weeks_to_ship,
+           CAST(COUNT(*) AS BIGINT)                      AS n_orders,
+           CAST(SUM(date_diff('hour', od, sd)) AS BIGINT) AS sum_hours,
+           CAST(SUM(date_diff('day', od, sd)) AS BIGINT)  AS sum_days
+    FROM spans GROUP BY 1 ORDER BY weeks_to_ship
+    """,
+)
+def timestampdiff_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timestampdiff over FIXED-LENGTH units (DAY/HOUR; weeks as
+    day//7). Deliberately excludes calendar units: Spark's
+    timestampdiff(MONTH) counts full elapsed months (with month-end
+    clamping) while DuckDB's date_diff('month') counts month-BOUNDARY
+    crossings — e.g. Jan 31 → Feb 1 is 1 in DuckDB, 0 in Spark. A
+    portable plan must not treat the two as interchangeable; this
+    probe pins the units where they DO agree (boundary counts of
+    fixed-length units on midnight-aligned stamps)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    spans = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("o_orderdate").alias("od"),
+            F.max("l_shipdate").alias("sd"),
+        )
+    )
+    return (
+        spans.groupBy(
+            F.expr("timestampdiff(DAY, od, sd) div 7")
+            .cast("bigint")
+            .alias("weeks_to_ship")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("timestampdiff(HOUR, od, sd)"))
+            .cast("bigint")
+            .alias("sum_hours"),
+            F.sum(F.expr("timestampdiff(DAY, od, sd)"))
+            .cast("bigint")
+            .alias("sum_days"),
+        )
+        .orderBy("weeks_to_ship")
+    )
+
+
+@operator(
+    "null_ordering_probe",
+    oracle="""
+    WITH v AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'view'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) END AS buy_cents
+      FROM events
+    ),
+    nf AS (
+      SELECT user_id, buy_cents,
+             ROW_NUMBER() OVER (ORDER BY buy_cents ASC NULLS FIRST,
+                                user_id) AS rn
+      FROM v
+    ),
+    nl AS (
+      SELECT user_id, buy_cents,
+             ROW_NUMBER() OVER (ORDER BY buy_cents DESC NULLS LAST,
+                                user_id) AS rn
+      FROM v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v WHERE buy_cents IS NULL)
+             AS n_nulls,
+           (SELECT buy_cents IS NULL FROM nf WHERE rn = 1) AS first_is_null,
+           (SELECT buy_cents FROM nl WHERE rn = 1)         AS top_cents,
+           (SELECT CAST(user_id AS BIGINT) FROM nf WHERE rn = 1)
+             AS first_user
+    """,
+)
+def null_ordering_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST / NULLS LAST ordering contracts (Spark
+    defaults differ by direction — asc=nulls first, desc=nulls last —
+    so portable plans must pin them explicitly, as here)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        F.when(
+            F.col("event_type") == "view",
+            F.round(F.col("value") * 100).cast("bigint"),
+        ).alias("buy_cents"),
+    )
+    wf = Window.orderBy(F.col("buy_cents").asc_nulls_first(), "user_id")
+    wl = Window.orderBy(F.col("buy_cents").desc_nulls_last(), "user_id")
+    nf = v.withColumn("rn", F.row_number().over(wf)).filter(F.col("rn") == 1)
+    nl = v.withColumn("rn", F.row_number().over(wl)).filter(F.col("rn") == 1)
+    n_nulls = v.agg(
+        F.sum(F.col("buy_cents").isNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_nulls")
+    )
+    return (
+        n_nulls.crossJoin(
+            nf.select(
+                F.col("buy_cents").isNull().alias("first_is_null"),
+                F.col("user_id").cast("bigint").alias("first_user"),
+            )
+        )
+        .crossJoin(nl.select(F.col("buy_cents").alias("top_cents")))
+        .select("n_nulls", "first_is_null", "top_cents", "first_user")
+    )
