@@ -1843,3 +1843,104 @@ def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@operator(
+    "basket_size_distribution",
+    oracle="""
+    WITH sizes AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY 1
+    )
+    SELECT n_lines,
+           CAST(COUNT(*) AS BIGINT)      AS n_orders,
+           CAST(SUM(cents) AS BIGINT)    AS sum_cents,
+           CAST(SUM(cents) // COUNT(*) AS BIGINT) AS avg_cents_per_order
+    FROM sizes GROUP BY 1 ORDER BY n_lines
+    """,
+)
+def basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size histogram with per-size average order value — the
+    distribution that bounds every pair-expansion operator (its tail
+    IS the blowup factor of basket_part_pairs / the graph layer).
+    Exact integer cents, integer-division average."""
+    li = _t(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("cents"),
+    )
+    return (
+        sizes.groupBy("n_lines")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.expr("sum(cents) div count(*)")
+            .cast("bigint")
+            .alias("avg_cents_per_order"),
+        )
+        .orderBy("n_lines")
+    )
+
+
+_MIG_CUT = "1995-07-01"
+
+
+@operator(
+    "customer_migration_matrix",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderdate < TIMESTAMP '{_MIG_CUT} 00:00:00'
+                  THEN 0 ELSE 1 END AS period,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    quarts AS (
+      SELECT o_custkey, period,
+             NTILE(4) OVER (PARTITION BY period
+               ORDER BY cents DESC, o_custkey) AS q
+      FROM spend
+    )
+    SELECT a.q AS q_before, b.q AS q_after,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM quarts a JOIN quarts b
+      ON b.o_custkey = a.o_custkey AND a.period = 0 AND b.period = 1
+    GROUP BY 1, 2 ORDER BY q_before, q_after
+    """,
+)
+def customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-quartile migration across the timeline midpoint: the 4×4
+    customer-value transition matrix (churn/upgrade census). NTILE
+    ties broken by custkey so both engines cut identical quartiles;
+    the matrix join runs on dimension-sized per-period rollups."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy(
+        "o_custkey",
+        (
+            F.col("o_orderdate") >= F.lit(_MIG_CUT).cast("timestamp")
+        ).cast("int").alias("period"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    w = Window.partitionBy("period").orderBy(
+        F.col("cents").desc(), "o_custkey"
+    )
+    quarts = spend.withColumn("q", F.ntile(4).over(w))
+    a = quarts.filter(F.col("period") == 0).select(
+        "o_custkey", F.col("q").alias("q_before")
+    )
+    b = quarts.filter(F.col("period") == 1).select(
+        "o_custkey", F.col("q").alias("q_after")
+    )
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("q_before", "q_after")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("q_before", "q_after")
+    )

@@ -252,3 +252,122 @@ def label_propagation_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parts"))
         .orderBy("old_brand", "new_brand")
     )
+
+
+@operator(
+    "graph_cc_min_label_step",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    und AS (
+      SELECT s AS node, d AS nbr FROM edges
+      UNION ALL SELECT d, s FROM edges
+    ),
+    new_labels AS (
+      SELECT node, LEAST(node, MIN(nbr)) AS lbl
+      FROM und GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                          AS n_nodes,
+           CAST(COUNT(*) FILTER (WHERE lbl < node) AS BIGINT) AS n_dropped,
+           CAST(COUNT(DISTINCT lbl) AS BIGINT)               AS n_labels,
+           CAST(MIN(lbl) AS BIGINT)                          AS min_label
+    FROM new_labels
+    """,
+)
+def graph_cc_min_label_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One min-label round of connected components (each node adopts
+    the minimum of itself and its neighbors) — the per-iteration unit
+    of the parquet-ping-pong CC loop (`dedup.resolve_components` is
+    the converged form, property-tested against union-find). The
+    census (labels dropped, distinct labels left) is the loop's
+    convergence meter."""
+    e = _edges(spark, sf_dir)
+    und = e.select(F.col("s").alias("node"), F.col("d").alias("nbr")).unionByName(
+        e.select(F.col("d").alias("node"), F.col("s").alias("nbr"))
+    )
+    new_labels = und.groupBy("node").agg(
+        F.least(F.col("node"), F.min("nbr")).alias("lbl")
+    )
+    return new_labels.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum((F.col("lbl") < F.col("node")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.count_distinct("lbl").alias("n_labels"),
+        F.min("lbl").cast("bigint").alias("min_label"),
+    )
+
+
+@operator(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT s AS node FROM edges UNION ALL SELECT d FROM edges)
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT da.degree AS x, db.degree AS y
+      FROM edges e
+      JOIN deg da ON da.node = e.s
+      JOIN deg db ON db.node = e.d
+    ),
+    sym AS (
+      SELECT x, y FROM pairs UNION ALL SELECT y, x FROM pairs
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT)    AS n,
+             CAST(SUM(x) AS BIGINT)      AS sx,
+             CAST(SUM(y) AS BIGINT)      AS sy,
+             CAST(SUM(x * x) AS BIGINT)  AS sxx,
+             CAST(SUM(y * y) AS BIGINT)  AS syy,
+             CAST(SUM(x * y) AS BIGINT)  AS sxy
+      FROM sym
+    )
+    SELECT n AS n_edge_ends,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman): Pearson correlation of endpoint
+    degrees over all edge ends — do hubs attach to hubs? Negative on
+    TPC-H-style bipartite-projected graphs. Exact integer sums over
+    the symmetrized edge list; one double division."""
+    e = _edges(spark, sf_dir).select("s", "d")
+    deg = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("s"), F.col("degree").alias("x"))
+    db = deg.select(F.col("node").alias("d"), F.col("degree").alias("y"))
+    pairs = e.join(da, "s").join(db, "d").select("x", "y")
+    sym = pairs.unionByName(
+        pairs.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    s = sym.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_edge_ends"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

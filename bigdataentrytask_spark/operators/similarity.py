@@ -1689,3 +1689,63 @@ def _register_pair_compositions() -> None:
 
 
 _register_pair_compositions()
+
+
+def _register_knn_recall_eval() -> None:
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+
+    oracle = f"""
+    WITH bf AS ({ORACLES["knn_bruteforce"]}),
+    approx AS ({ORACLES["knn_lsh"]}),
+    hits AS (
+      SELECT bf.query_id,
+             CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+             CAST(COUNT(*) AS BIGINT)             AS n_truth
+      FROM bf LEFT JOIN approx a
+        ON a.query_id = bf.query_id AND a.neighbor_id = bf.neighbor_id
+      GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)        AS n_queries,
+           CAST(SUM(n_hits) AS BIGINT)     AS n_hits,
+           CAST(SUM(n_truth) AS BIGINT)    AS n_truth,
+           ROUND(SUM(n_hits) / CAST(SUM(n_truth) AS DOUBLE), 6)
+                                           AS recall_at_k
+    FROM hits
+    """
+
+    @operator("knn_recall_eval", oracle=oracle)
+    def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Recall@k of single-probe LSH ANN against the brute-force
+        truth — the eval every ANN deployment publishes next to its
+        speedup (the multiprobe variant's measured lift, 0.44→0.90,
+        lives in the knn_lsh_multiprobe notes). Composes the two
+        verified plans; micro join on (query, neighbor)."""
+        bf = REGISTRY["knn_bruteforce"](spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        )
+        ap = (
+            REGISTRY["knn_lsh"](spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .withColumn("hit", F.lit(1))
+        )
+        hits = (
+            bf.join(ap, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.sum(F.coalesce("hit", F.lit(0)))
+                .cast("bigint")
+                .alias("n_hits"),
+                F.count(F.lit(1)).alias("n_truth"),
+            )
+        )
+        return hits.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("n_hits").cast("bigint").alias("n_hits"),
+            F.sum("n_truth").cast("bigint").alias("n_truth"),
+            F.round(
+                F.sum("n_hits") / F.sum("n_truth").cast("double"), 6
+            ).alias("recall_at_k"),
+        )
+
+
+_register_knn_recall_eval()

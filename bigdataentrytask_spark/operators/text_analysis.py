@@ -1750,3 +1750,56 @@ def template_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.col("n_docs").desc(), "prefix")
     )
+
+
+@operator(
+    "doc_length_outliers",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT)              AS n,
+             CAST(SUM(n_tokens) AS BIGINT)         AS sx,
+             CAST(SUM(n_tokens * n_tokens) AS BIGINT) AS sxx
+      FROM t GROUP BY 1
+    )
+    SELECT t.doc_id, t.source, t.n_tokens,
+           ROUND((t.n_tokens - sx / CAST(n AS DOUBLE))
+                 / sqrt(sxx / CAST(n AS DOUBLE)
+                        - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))),
+                 4) AS z
+    FROM t JOIN s ON s.source = t.source
+    WHERE ABS((t.n_tokens - sx / CAST(n AS DOUBLE))
+              / sqrt(sxx / CAST(n AS DOUBLE)
+                     - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))))
+          > 2.0
+    ORDER BY doc_id
+    """,
+)
+def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length z-score outliers (|z| > 2) — the
+    truncation/concatenation-artifact detector of a curation
+    pipeline. Moments from exact integer sums (population std), one
+    broadcast join of the per-source moment table."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens").alias("sx"),
+        F.sum(F.col("n_tokens") * F.col("n_tokens")).alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n").cast("double")
+    std = F.sqrt(F.col("sxx") / F.col("n").cast("double") - mean * mean)
+    z = (F.col("n_tokens") - mean) / std
+    return (
+        d.join(F.broadcast(s), "source")
+        .withColumn("z", F.round(z, 4))
+        .filter(F.abs((F.col("n_tokens") - mean) / std) > 2.0)
+        .select("doc_id", "source", "n_tokens", "z")
+        .orderBy("doc_id")
+    )

@@ -1330,3 +1330,108 @@ def temporal_sanity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anomaly_class")
     )
+
+
+@operator(
+    "key_uniqueness_audit",
+    oracle="""
+    WITH checks AS (
+      SELECT 'orders.o_orderkey' AS key_name, o_orderkey AS k,
+             COUNT(*) AS f FROM orders GROUP BY 2
+      UNION ALL
+      SELECT 'customer.c_custkey', c_custkey, COUNT(*)
+      FROM customer GROUP BY 2
+      UNION ALL
+      SELECT 'part.p_partkey', p_partkey, COUNT(*) FROM part GROUP BY 2
+      UNION ALL
+      SELECT 'lineitem.(okey,line)',
+             l_orderkey * 1000 + l_linenumber, COUNT(*)
+      FROM lineitem GROUP BY 2
+    )
+    SELECT key_name,
+           CAST(SUM(f) AS BIGINT)                        AS n_rows,
+           CAST(COUNT(*) AS BIGINT)                      AS n_keys,
+           CAST(COUNT(*) FILTER (WHERE f > 1) AS BIGINT) AS n_dup_keys,
+           (COUNT(*) FILTER (WHERE f > 1) = 0)           AS is_unique
+    FROM checks GROUP BY 1 ORDER BY key_name
+    """,
+)
+def key_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across the star schema (the
+    companion of `referential_integrity_audit`'s FK checks): one
+    keyed count per declared key, reporting duplicate-key cardinality
+    — a publish gate every warehouse runs. Each check is a single
+    map-side-combinable aggregation on the key."""
+    frames = []
+    for label, table, keyexpr in (
+        ("orders.o_orderkey", "orders", F.col("o_orderkey")),
+        ("customer.c_custkey", "customer", F.col("c_custkey")),
+        ("part.p_partkey", "part", F.col("p_partkey")),
+        (
+            "lineitem.(okey,line)",
+            "lineitem",
+            F.col("l_orderkey") * 1000 + F.col("l_linenumber"),
+        ),
+    ):
+        frames.append(
+            _t(spark, sf_dir, table)
+            .groupBy(keyexpr.alias("k"))
+            .agg(F.count(F.lit(1)).alias("f"))
+            .select(F.lit(label).alias("key_name"), "f")
+        )
+    checks = frames[0]
+    for fr in frames[1:]:
+        checks = checks.unionByName(fr)
+    dup = (F.col("f") > 1).cast("bigint")
+    return (
+        checks.groupBy("key_name")
+        .agg(
+            F.sum("f").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(dup).cast("bigint").alias("n_dup_keys"),
+            (F.sum(dup) == 0).alias("is_unique"),
+        )
+        .orderBy("key_name")
+    )
+
+
+_IDM_LO, _IDM_HI = 10, 20  # overlapping ingest windows (day-of-month)
+
+
+@operator(
+    "incremental_dedup_merge",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) AS BIGINT)                 AS n_rows
+    FROM events
+    WHERE dayofmonth(ts) <= {_IDM_HI} OR dayofmonth(ts) >= {_IDM_LO}
+    GROUP BY 1 ORDER BY event_type
+    """,
+)
+def incremental_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent ingest: a deduplicated store (days <= {hi}) merged
+    with an OVERLAPPING re-delivery batch (days >= {lo}) via
+    left-anti on event_id + union — the exactly-once landing pattern
+    for at-least-once pipelines. The oracle is the distinct union:
+    equal n_rows and n_distinct per type proves the merge introduced
+    no duplicate despite the overlapping windows."""
+    from bigdataentrytask_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    store = ev.filter(F.dayofmonth("ts") <= _IDM_HI)
+    batch = ev.filter(F.dayofmonth("ts") >= _IDM_LO)
+    fresh = batch.join(
+        store.select("event_id"), "event_id", "left_anti"
+    )
+    merged = store.unionByName(fresh)
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count_distinct("event_id").alias("n_distinct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
