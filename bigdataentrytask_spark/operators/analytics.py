@@ -1944,3 +1944,71 @@ def customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("q_before", "q_after")
     )
+
+
+@operator(
+    "rolling_retention_curve",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(d) AS d0 FROM user_days GROUP BY 1
+    )
+    SELECT offset_days,
+           CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_cohort,
+           CAST(COUNT(DISTINCT CASE WHEN ud.user_id IS NOT NULL
+                                    THEN f.user_id END) AS BIGINT)
+                                                     AS n_retained,
+           ROUND(COUNT(DISTINCT CASE WHEN ud.user_id IS NOT NULL
+                                     THEN f.user_id END)
+                 / CAST(COUNT(DISTINCT f.user_id) AS DOUBLE), 6)
+                                                     AS retention
+    FROM firsts f
+    CROSS JOIN (SELECT UNNEST([1, 7, 14]) AS offset_days)
+    LEFT JOIN user_days ud
+      ON ud.user_id = f.user_id AND ud.d = f.d0 + to_days(offset_days::INT)
+    GROUP BY 1 ORDER BY offset_days
+    """,
+)
+def rolling_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention (N = 1, 7, 14): share of users active exactly
+    N days after their first-seen day — the onboarding-health curve.
+    User-day dedup first (one fact shuffle), then dimension-sized
+    joins; the cohort side is per-user rows only."""
+    ev = _t(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    firsts = user_days.groupBy("user_id").agg(F.min("d").alias("d0"))
+    offs = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(7), F.lit(14))).alias(
+            "offset_days"
+        )
+    )
+    probe = firsts.crossJoin(F.broadcast(offs)).withColumn(
+        "target_d", F.expr("date_add(d0, offset_days)")
+    )
+    ud = user_days.select(
+        F.col("user_id").alias("u2"), F.col("d").alias("target_d")
+    )
+    j = probe.join(
+        ud,
+        (probe.user_id == ud.u2)
+        & (probe.target_d == ud.target_d),
+        "left",
+    )
+    retained = F.when(F.col("u2").isNotNull(), F.col("user_id"))
+    return (
+        j.groupBy("offset_days")
+        .agg(
+            F.count_distinct("user_id").alias("n_cohort"),
+            F.count_distinct(retained).alias("n_retained"),
+            F.round(
+                F.count_distinct(retained)
+                / F.count_distinct("user_id").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("offset_days")
+    )

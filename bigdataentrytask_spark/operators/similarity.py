@@ -1749,3 +1749,179 @@ def _register_knn_recall_eval() -> None:
 
 
 _register_knn_recall_eval()
+
+
+@operator(
+    "lsh_bucket_balance",
+    oracle=f"""
+    WITH {_sql_planes()},
+    {_SQL_CODES},
+    occ AS (
+      SELECT t, code, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM codes GROUP BY 1, 2
+    )
+    SELECT t AS table_id,
+           CAST(COUNT(*) AS BIGINT)  AS n_buckets,
+           CAST(MAX(sz) AS BIGINT)   AS max_bucket,
+           CAST(MIN(sz) AS BIGINT)   AS min_bucket,
+           ROUND(MAX(sz) / (SUM(sz) / CAST(COUNT(*) AS DOUBLE)), 6)
+                                     AS skew_ratio,
+           CAST(SUM(sz * sz) AS BIGINT) AS sum_sq_sizes
+    FROM occ GROUP BY 1 ORDER BY table_id
+    """,
+)
+def lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-occupancy balance per hash table — THE capacity
+    diagnostic for every bucket-kernel operator here (`knn_lsh`,
+    `embedding_neardup_lsh`): sum of squared bucket sizes IS the
+    candidate-pair volume, and max/mean skew predicts the straggler
+    kernel. Reuses the shared hyperplane codes; one count per
+    (table, code)."""
+    e = _emb(spark, sf_dir)
+    keyed = e.select(
+        "vec_id", F.explode(_bucket_keys("embedding")).alias("k")
+    ).select("k.t", "k.code")
+    occ = keyed.groupBy("t", "code").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        occ.groupBy(F.col("t").alias("table_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("sz").cast("bigint").alias("max_bucket"),
+            F.min("sz").cast("bigint").alias("min_bucket"),
+            F.round(
+                F.max("sz") / (F.sum("sz") / F.count(F.lit(1)).cast("double")),
+                6,
+            ).alias("skew_ratio"),
+            F.sum(F.col("sz") * F.col("sz"))
+            .cast("bigint")
+            .alias("sum_sq_sizes"),
+        )
+        .orderBy("table_id")
+    )
+
+
+_MRL_DIM = 16  # matryoshka prefix length
+
+
+@operator(
+    "matryoshka_prefix_recall",
+    oracle=f"""
+    WITH bf AS (
+      WITH norms AS (
+        SELECT vec_id,
+               sqrt((SELECT SUM(u.e * u.e) FROM
+                     (SELECT UNNEST(embedding::DOUBLE[]) AS e) u)) AS nrm
+        FROM embeddings
+      ),
+      dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               (SELECT SUM(z.qe * z.ce) FROM
+                (SELECT UNNEST(q.embedding::DOUBLE[]) AS qe,
+                        UNNEST(c.embedding::DOUBLE[]) AS ce) z) AS d
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+      )
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY d / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rnk
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+      QUALIFY rnk <= {TOP_K}
+    ),
+    pre AS (
+      WITH pnorms AS (
+        SELECT vec_id,
+               sqrt((SELECT SUM(u.e * u.e) FROM
+                     (SELECT UNNEST((embedding::DOUBLE[])[1:{_MRL_DIM}])
+                        AS e) u)) AS nrm
+        FROM embeddings
+      ),
+      pdots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               (SELECT SUM(z.qe * z.ce) FROM
+                (SELECT UNNEST((q.embedding::DOUBLE[])[1:{_MRL_DIM}]) AS qe,
+                        UNNEST((c.embedding::DOUBLE[])[1:{_MRL_DIM}]) AS ce)
+                  z) AS d
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+      )
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY d / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rnk
+      FROM pdots
+      JOIN pnorms nq ON nq.vec_id = query_id
+      JOIN pnorms nc ON nc.vec_id = neighbor_id
+      QUALIFY rnk <= {TOP_K}
+    )
+    SELECT CAST(COUNT(DISTINCT bf.query_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT)                    AS n_truth,
+           CAST(COUNT(p.neighbor_id) AS BIGINT)        AS n_hits,
+           ROUND(COUNT(p.neighbor_id) / CAST(COUNT(*) AS DOUBLE), 6)
+                                                       AS prefix_recall
+    FROM bf LEFT JOIN pre p
+      ON p.query_id = bf.query_id AND p.neighbor_id = bf.neighbor_id
+    """,
+)
+def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation eval: top-k retrieval on
+    the first _MRL_DIM dimensions vs the full-vector truth (Kusupati et
+    al., 2022 — MRL prefixes as cheap first-stage retrievers). The
+    production shape is prefix-ANN then full-dim re-rank
+    (`knn_quantized_rerank` is the int8 sibling); this operator
+    measures what the prefix alone retains. Both sides are bounded by
+    N_QUERIES, so the scan stays linear in the corpus."""
+    e = _emb(spark, sf_dir)
+    full_q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+
+    def topk(qcol, ccol, pref):
+        sim = cosine(qcol, ccol)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), "neighbor_id"
+        )
+        base = (
+            F.broadcast(
+                full_q.select(
+                    "query_id",
+                    (
+                        F.slice(F.col("q_emb"), 1, _MRL_DIM)
+                        if pref
+                        else F.col("q_emb")
+                    ).alias("qv"),
+                )
+            )
+            .crossJoin(
+                corpus.select(
+                    "neighbor_id",
+                    (
+                        F.slice(F.col("c_emb"), 1, _MRL_DIM)
+                        if pref
+                        else F.col("c_emb")
+                    ).alias("cv"),
+                )
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("sim", cosine("qv", "cv"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+        )
+        return base.select("query_id", "neighbor_id")
+
+    bf = topk("q_emb", "c_emb", pref=False)
+    pre = topk("q_emb", "c_emb", pref=True).withColumn("hit", F.lit(1))
+    j = bf.join(pre, ["query_id", "neighbor_id"], "left")
+    return j.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_truth"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("prefix_recall"),
+    )

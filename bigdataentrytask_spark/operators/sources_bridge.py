@@ -355,3 +355,57 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_PART_YEAR = 1995
+
+
+@operator(
+    "partitioned_write_prune_read",
+    oracle=f"""
+    SELECT CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                                    AS cents
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = {_PART_YEAR}
+    GROUP BY 1 ORDER BY m
+    """,
+)
+def partitioned_write_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout round-trip: orders written
+    partitionBy(year), read back with a partition-key filter — the
+    layout discipline that turns a 100 TB scan into a one-partition
+    scan (partition PRUNING happens at planning, before any file is
+    opened; the physical plan's scan lists only year={_PART_YEAR}
+    directories). The rollup proves the pruned read still sees every
+    row of the target year (oracle = unpartitioned truth)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="part_rt_")
+    try:
+        orders.withColumn("yr", F.year("o_orderdate")).write.partitionBy(
+            "yr"
+        ).mode("overwrite").parquet(f"{root}/orders")
+        back = spark.read.parquet(f"{root}/orders").filter(
+            F.col("yr") == _PART_YEAR
+        )
+        out = (
+            back.groupBy(F.month("o_orderdate").cast("bigint").alias("m"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .orderBy("m")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

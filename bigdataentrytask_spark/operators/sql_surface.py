@@ -1476,3 +1476,33 @@ def null_ordering_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(nl.select(F.col("buy_cents").alias("top_cents")))
         .select("n_nulls", "first_is_null", "top_cents", "first_user")
     )
+
+
+@operator(
+    "offset_pagination_probe",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25 OFFSET 50
+    """,
+)
+def offset_pagination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination through the SQL surface (page 3 of the
+    price-ranked listing, fully tie-broken). OFFSET forces a global
+    order — fine for UI pages, an anti-pattern for deep pagination at
+    scale, where keyset (WHERE price < last_seen) replaces it; this
+    probe pins the semantics, the docstring pins the advice."""
+    from bigdataentrytask_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 25 OFFSET 50
+        """
+    )

@@ -1803,3 +1803,69 @@ def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_tokens", "z")
         .orderBy("doc_id")
     )
+
+
+_PMI_MIN_PAIRS = 5
+
+
+@operator(
+    "keyword_cooccurrence_pmi",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, UNNEST({sql_tokens('text')}) AS tok
+            FROM documents)
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM dt),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM dt GROUP BY 1),
+    pairs AS (
+      SELECT a.tok AS t1, b.tok AS t2, CAST(COUNT(*) AS BIGINT) AS cxy
+      FROM dt a JOIN dt b
+        ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_PMI_MIN_PAIRS}
+    )
+    SELECT p.t1, p.t2, p.cxy,
+           ROUND(ln(p.cxy * n.nd / CAST(d1.c * d2.c AS DOUBLE)), 6) AS pmi
+    FROM pairs p
+    JOIN df d1 ON d1.tok = p.t1
+    JOIN df d2 ON d2.tok = p.t2
+    CROSS JOIN n
+    ORDER BY pmi DESC, t1, t2 LIMIT 20
+    """,
+)
+def keyword_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring in a
+    document (document-level PMI, top associations) — the collocation
+    signal topic/phrase mining starts from. Pair expansion is the
+    per-doc distinct-token self-join: Σ (distinct tokens per doc)²,
+    the basket-expansion bound again (docs here are ~30 distinct
+    tokens). All counts exact; one ln per surviving pair."""
+    d = _docs(spark, sf_dir)
+    dt = d.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).distinct()
+    nd = dt.agg(F.count_distinct("doc_id").alias("nd"))
+    df = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    a = dt.select("doc_id", F.col("tok").alias("t1"))
+    b = dt.select("doc_id", F.col("tok").alias("t2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= _PMI_MIN_PAIRS)
+    )
+    d1 = df.select(F.col("tok").alias("t1"), F.col("c").alias("c1"))
+    d2 = df.select(F.col("tok").alias("t2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        F.col("cxy") * F.col("nd") / (F.col("c1") * F.col("c2")).cast("double")
+    )
+    return (
+        pairs.join(d1, "t1")
+        .join(d2, "t2")
+        .crossJoin(F.broadcast(nd))
+        .select("t1", "t2", "cxy", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "t1", "t2")
+        .limit(20)
+    )

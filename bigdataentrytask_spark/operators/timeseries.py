@@ -711,3 +711,67 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_7d_cents"
         ),
     ).orderBy("channel")
+
+
+def _register_seasonal_residuals() -> None:
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+
+    oracle = f"""
+    WITH base AS ({ORACLES["seasonal_hourly_baseline"]}),
+    per_cell AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT p.event_type,
+           strftime(p.d, '%Y-%m-%d') AS day,
+           p.hod, p.cnt, b.baseline,
+           ROUND(p.cnt - b.baseline, 4) AS residual
+    FROM per_cell p JOIN base b
+      ON b.event_type = p.event_type AND b.hod = p.hod
+    ORDER BY ABS(p.cnt - b.baseline) DESC, p.event_type, day, p.hod
+    LIMIT 20
+    """
+
+    @operator("seasonal_residual_anomalies", oracle=oracle)
+    def seasonal_residual_anomalies(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Top deviations from the hour-of-day seasonal baseline —
+        anomaly detection that respects diurnal shape (a midnight
+        spike and a noon spike are judged against different
+        expectations). Composes the verified baseline plan; the join
+        key space is (channel × 24)."""
+        base = REGISTRY["seasonal_hourly_baseline"](spark, sf_dir).select(
+            "event_type", "hod", "baseline"
+        )
+        ev = _t(spark, sf_dir, "events")
+        per_cell = ev.groupBy(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.hour("ts").cast("long").alias("hod"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        j = per_cell.join(F.broadcast(base), ["event_type", "hod"])
+        return (
+            j.select(
+                "event_type",
+                F.date_format("d", "yyyy-MM-dd").alias("day"),
+                "hod",
+                "cnt",
+                "baseline",
+                F.round(F.col("cnt") - F.col("baseline"), 4).alias(
+                    "residual"
+                ),
+            )
+            .orderBy(
+                F.abs(F.col("cnt") - F.col("baseline")).desc(),
+                "event_type",
+                "day",
+                "hod",
+            )
+            .limit(20)
+        )
+
+
+_register_seasonal_residuals()

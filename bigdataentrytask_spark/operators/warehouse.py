@@ -1435,3 +1435,71 @@ def incremental_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _register_pit_join() -> None:
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+
+    oracle = f"""
+    WITH hist AS ({ORACLES["scd2_priority_history"]})
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE h.priority = o.o_orderpriority)
+                AS BIGINT)          AS n_pit_match,
+           CAST(MAX(h.version) AS BIGINT) AS max_version_touched
+    FROM orders o
+    JOIN hist h
+      ON h.custkey = o.o_custkey
+     AND strftime(o.o_orderdate, '%Y-%m-%d') >= h.valid_from
+     AND strftime(o.o_orderdate, '%Y-%m-%d') < h.valid_to
+    GROUP BY 1 ORDER BY priority
+    """
+
+    @operator("fact_pit_join", oracle=oracle)
+    def fact_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Point-in-time (PIT) join: each order resolved against the
+        SCD2 dimension version valid AT its order date — the
+        correctness pattern every as-of warehouse query needs (a
+        naive join to the current version leaks the future). Because
+        the history derives from the orders themselves, PIT
+        resolution must recover each order's own priority:
+        n_pit_match == n_orders is the self-consistency proof. Plan:
+        equi-join on custkey with the interval containment as
+        residual — the as-of shape, no theta blowup. ISO day strings
+        compare lexicographically, so the residual is sargable as
+        written (the open end '9999-12-31' sorts last)."""
+        hist = REGISTRY["scd2_priority_history"](spark, sf_dir).select(
+            "custkey",
+            F.col("priority").alias("h_priority"),
+            "version",
+            "valid_from",
+            "valid_to",
+        )
+        o = _t(spark, sf_dir, "orders").select(
+            "o_custkey",
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+        )
+        j = o.join(
+            hist,
+            (o.o_custkey == hist.custkey)
+            & (F.col("od") >= F.col("valid_from"))
+            & (F.col("od") < F.col("valid_to")),
+        )
+        match = (F.col("h_priority") == F.col("o_orderpriority")).cast(
+            "bigint"
+        )
+        return (
+            j.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(match).cast("bigint").alias("n_pit_match"),
+                F.max("version").cast("bigint").alias(
+                    "max_version_touched"
+                ),
+            )
+            .orderBy("priority")
+        )
+
+
+_register_pit_join()
