@@ -1869,3 +1869,136 @@ def keyword_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "t1", "t2")
         .limit(20)
     )
+
+
+def _register_curation_compositions() -> None:
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+
+    # ---- dedup rate by source: where do the duplicates come from? ----
+    oracle = f"""
+    WITH fps AS (
+      SELECT doc_id, source, md5({sql_normalize_text('text')}) AS fp
+      FROM documents
+    ),
+    keep AS (
+      SELECT fp, MIN(doc_id) AS keeper FROM fps GROUP BY 1
+    )
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT)                            AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE f.doc_id <> k.keeper) AS BIGINT)
+                                                               AS n_dropped,
+           ROUND(COUNT(*) FILTER (WHERE f.doc_id <> k.keeper)
+                 / CAST(COUNT(*) AS DOUBLE), 6)                AS drop_rate
+    FROM fps f JOIN keep k ON k.fp = f.fp
+    GROUP BY 1 ORDER BY source
+    """
+
+    @operator("dedup_rate_by_source", oracle=oracle)
+    def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact-duplicate drop rate per source (keeper = min doc_id
+        per fingerprint — the `dedup_exact` contract) — the
+        provenance table that tells a curation team WHICH feed ships
+        the duplication. One fingerprint agg + one keyed join."""
+        d = _docs(spark, sf_dir).select(
+            "doc_id", "source", normalize_text("text").alias("norm")
+        ).withColumn("fp", F.md5("norm"))
+        keep = d.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+        j = d.join(keep, "fp")
+        dropped = (F.col("doc_id") != F.col("keeper")).cast("bigint")
+        return (
+            j.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(dropped).cast("bigint").alias("n_dropped"),
+                F.round(
+                    F.sum(dropped) / F.count(F.lit(1)).cast("double"), 6
+                ).alias("drop_rate"),
+            )
+            .orderBy("source")
+        )
+
+    # ---- LM-score quality filter: keep/drop census by language ----
+    oracle = f"""
+    WITH scored AS ({ORACLES["bigram_lm_logprob"]})
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT)                           AS n_scored,
+           CAST(COUNT(*) FILTER (WHERE s.avg_logprob >= -7.0) AS BIGINT)
+                                                              AS n_keep,
+           ROUND(MIN(s.avg_logprob), 6)                       AS worst,
+           ROUND(MAX(s.avg_logprob), 6)                       AS best
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    GROUP BY 1 ORDER BY lang
+    """
+
+    @operator("perplexity_filter_census", oracle=oracle)
+    def perplexity_filter_census(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """LM-likelihood quality gate (the CCNet/KenLM pattern: drop
+        text the corpus LM finds surprising) — keep/drop census per
+        language at a fixed mean-bigram-logprob threshold. Composes
+        the verified `bigram_lm_logprob` plan; the filter itself is
+        one predicate over the scored frame."""
+        scored = REGISTRY["bigram_lm_logprob"](spark, sf_dir)
+        d = _docs(spark, sf_dir).select("doc_id", "lang")
+        j = scored.join(d, "doc_id")
+        keep = (F.col("avg_logprob") >= -7.0).cast("bigint")
+        return (
+            j.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_scored"),
+                F.sum(keep).cast("bigint").alias("n_keep"),
+                F.round(F.min("avg_logprob"), 6).alias("worst"),
+                F.round(F.max("avg_logprob"), 6).alias("best"),
+            )
+            .orderBy("lang")
+        )
+
+    # ---- end-to-end dedup funnel: exact -> minhash -> semantic ----
+    oracle = f"""
+    WITH exact AS ({ORACLES["dedup_exact"]}),
+    mh AS ({ORACLES["minhash_dedup"]}),
+    sem AS ({ORACLES["semdedup_resolve"]})
+    SELECT 'stage1_exact' AS stage,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT)   AS n_in,
+           CAST((SELECT COUNT(*) FROM exact) AS BIGINT)       AS n_out
+    UNION ALL
+    SELECT 'stage2_minhash_pairs',
+           CAST((SELECT COUNT(*) FROM exact) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM mh) AS BIGINT)
+    UNION ALL
+    SELECT 'stage3_semantic_keepers',
+           CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT),
+           CAST((SELECT COUNT(*) FILTER (WHERE keep) FROM sem) AS BIGINT)
+    ORDER BY stage
+    """
+
+    @operator("dedup_pipeline_funnel", oracle=oracle)
+    def dedup_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The three-stage dedup funnel a production corpus runs —
+        exact fingerprints, MinHash/LSH near-dup pairs, semantic
+        (embedding) keeper resolution — summarized as one
+        stage/in/out table. Each stage is the REGISTERED, verified
+        operator; this entry pins their composition so a regression
+        in any stage moves the funnel."""
+        from pyspark.sql import Row
+
+        exact_n = REGISTRY["dedup_exact"](spark, sf_dir).count()
+        docs_n = _docs(spark, sf_dir).count()
+        mh_n = REGISTRY["minhash_dedup"](spark, sf_dir).count()
+        sem = REGISTRY["semdedup_resolve"](spark, sf_dir)
+        emb_n = sem.count()
+        sem_keep = sem.filter(F.col("keep")).count()
+        rows = [
+            Row(stage="stage1_exact", n_in=docs_n, n_out=exact_n),
+            Row(stage="stage2_minhash_pairs", n_in=exact_n, n_out=mh_n),
+            Row(
+                stage="stage3_semantic_keepers",
+                n_in=emb_n,
+                n_out=sem_keep,
+            ),
+        ]
+        return spark.createDataFrame(rows).orderBy("stage")
+
+
+_register_curation_compositions()
