@@ -17,11 +17,15 @@ Scale posture (100 TB):
   baskets <= 7 -> <= 21 undirected pairs/order). Never a fact x fact
   self-join.
 * `part_pair_triangles` joins the edge list to itself twice on node
-  keys. Wedge count is SUM(deg^2) — the operator therefore reports
-  the wedge count alongside, and at 100 TB the standard mitigation
-  applies unchanged: degree-ordered orientation (each edge stored
-  from its lower-degree endpoint) caps per-node expansion; the
-  fixture's graph is near-uniform so the plain oriented join is used.
+  keys; cost is wedge-bound (SUM(deg^2)), which the operator reports
+  alongside. MEASURED on the 8x-wide-basket stress (~64x wedges):
+  both the id-oriented join AND a degree-ordered compact-forward
+  rewrite exceed 9.5 min — on a near-regular graph the wedge volume
+  IS the wall (orientation only helps under degree skew; the degree
+  histogram says which regime applies). The production dial for
+  dense co-occurrence graphs is sparsification first:
+  `part_pair_triangles_support` counts on the w >= 2 backbone and
+  finishes the same stress in 332s (vs DNF).
 * `label_propagation_step` is one grouped argmax per node over its
   neighbor multiset — the iterated form ping-pongs labels through
   parquet exactly like `dedup.resolve_components`.
@@ -152,7 +156,18 @@ def part_pair_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented (s < d), so each triangle is counted exactly once by the
     two-hop join; wedge count = SUM(deg·(deg−1)/2) comes from the
     degree table, no join. 3·triangles / wedges is the standard
-    transitivity ratio — exact integers up to the final division."""
+    transitivity ratio — exact integers up to the final division.
+
+    Scale posture (MEASURED, SCALE.md round-5): on the 8x-wide-basket
+    stress corpus (~64x wedges) BOTH this id-oriented join and the
+    degree-ordered compact-forward rewrite exceed 9.5 min — on a
+    near-REGULAR graph the wedge volume itself is the wall, and
+    orientation tricks only help under degree skew (the degree
+    histogram operator is the dial that says which regime you're in).
+    The production path for dense co-occurrence graphs is
+    SPARSIFICATION first — `part_pair_triangles_support` below counts
+    on the min-support backbone (w >= 2), cutting edges ~34x and
+    wedges ~3 orders of magnitude on this corpus."""
     e = _edges(spark, sf_dir).select("s", "d")
     e1 = e.select(F.col("s").alias("a"), F.col("d").alias("b"))
     e2 = e.select(F.col("s").alias("b"), F.col("d").alias("c"))
@@ -370,4 +385,76 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.col("n").cast("bigint").alias("n_edge_ends"),
         F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+_TRI_MIN_W = 2
+
+
+@operator(
+    "part_pair_triangles_support",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    backbone AS (SELECT s, d FROM edges WHERE w >= {_TRI_MIN_W}),
+    tri AS (
+      SELECT COUNT(*) AS triangles
+      FROM backbone e1
+      JOIN backbone e2 ON e2.s = e1.d
+      JOIN backbone e3 ON e3.s = e1.s AND e3.d = e2.d
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree
+      FROM (SELECT s AS node FROM backbone UNION ALL SELECT d FROM backbone)
+      GROUP BY 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM backbone) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM deg) AS BIGINT)      AS n_nodes,
+           CAST(COALESCE((SELECT SUM(degree * (degree - 1) / 2) FROM deg), 0)
+                AS BIGINT)                                 AS n_wedges,
+           CAST((SELECT triangles FROM tri) AS BIGINT)     AS n_triangles
+    FROM (SELECT 1)
+    """,
+)
+def part_pair_triangles_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census on the min-support BACKBONE (edges with
+    co-order weight >= _TRI_MIN_W) — the scale path for dense
+    co-occurrence graphs: sparsify first, count second. Repeated
+    co-occurrence is the signal (a single shared order is mostly
+    noise), and the support filter is a pushed-down predicate on the
+    already-aggregated edge table, so the wedge volume collapses
+    before any join runs (measured ~34x fewer edges at sf0.01; the
+    8x-wide-basket stress finishes in 332s where the dense census
+    exceeds 9.5 min — SCALE.md round-5 stress table)."""
+    e = _edges(spark, sf_dir).filter(F.col("w") >= _TRI_MIN_W).select("s", "d")
+    e1 = e.select(F.col("s").alias("a"), F.col("d").alias("b"))
+    e2 = e.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    e3 = e.select(F.col("s").alias("a"), F.col("d").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    deg = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(
+            F.sum(F.col("degree") * (F.col("degree") - 1) / 2).cast("bigint"),
+            F.lit(0),
+        ).alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_edges.crossJoin(stats)
+        .crossJoin(F.broadcast(tri))
+        .select(
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            "n_wedges",
+            F.col("triangles").cast("bigint").alias("n_triangles"),
+        )
     )
