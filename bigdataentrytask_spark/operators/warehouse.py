@@ -1462,8 +1462,10 @@ def _register_pit_join() -> None:
         correctness pattern every as-of warehouse query needs (a
         naive join to the current version leaks the future). Because
         the history derives from the orders themselves, PIT
-        resolution must recover each order's own priority:
-        n_pit_match == n_orders is the self-consistency proof. Plan:
+        resolution recovers each order's own priority — up to the
+        day-grain caveat (a customer flipping priority twice in one
+        day collapses to the last version, so n_pit_match tracks but
+        does not equal n_orders; the invariant test pins > 90%). Plan:
         equi-join on custkey with the interval containment as
         residual — the as-of shape, no theta blowup. ISO day strings
         compare lexicographically, so the residual is sargable as

@@ -194,3 +194,114 @@ def test_winnowing_guarantee_on_planted_duplicates(spark):
         assert (pair * 2, pair * 2 + 1) in shared_fp, (
             f"planted pair {pair} shares a {need}-token run but no fingerprint"
         )
+
+
+def test_pit_join_is_self_consistent(spark):
+    """PIT resolution recovers each order's own priority EXCEPT when a
+    customer flips priority twice within one day (SCD2 here is
+    day-grained, so same-day flips collapse to the last version);
+    every order must still resolve to exactly one version."""
+    rows = _rows(spark, "fact_pit_join")
+    total = sum(r.n_orders for r in rows)
+    matched = sum(r.n_pit_match for r in rows)
+    assert matched / total > 0.9
+    for r in rows:
+        assert r.n_pit_match <= r.n_orders
+
+
+def test_migration_matrix_partitions_stayers(spark):
+    rows = _rows(spark, "customer_migration_matrix")
+    assert {(r.q_before, r.q_after) for r in rows} <= {
+        (a, b) for a in range(1, 5) for b in range(1, 5)
+    }
+    assert sum(r.n_customers for r in rows) > 0
+
+
+def test_retention_curve_bounds(spark):
+    rows = _rows(spark, "rolling_retention_curve")
+    for r in rows:
+        assert 0 <= r.n_retained <= r.n_cohort
+        assert 0.0 <= r.retention <= 1.0
+
+
+def test_key_uniqueness_audit_findings(spark):
+    """The single-column PKs are unique in the fixture; the composite
+    lineitem key genuinely is NOT (the generator reuses linenumbers) —
+    the audit's job is to SURFACE that, so the test pins both
+    findings."""
+    rows = {r.key_name: r for r in _rows(spark, "key_uniqueness_audit")}
+    for name in ("orders.o_orderkey", "customer.c_custkey", "part.p_partkey"):
+        r = rows[name]
+        assert r.is_unique and r.n_rows == r.n_keys, name
+    li = rows["lineitem.(okey,line)"]
+    assert not li.is_unique and li.n_dup_keys > 0
+
+
+def test_incremental_dedup_merge_is_exactly_once(spark):
+    for r in _rows(spark, "incremental_dedup_merge"):
+        assert r.n_rows == r.n_distinct
+
+
+def test_triangles_support_is_subset_of_dense(spark):
+    (dense,) = _rows(spark, "part_pair_triangles")
+    (sparse,) = _rows(spark, "part_pair_triangles_support")
+    assert sparse.n_edges <= dense.n_edges
+    assert sparse.n_triangles <= dense.n_triangles
+    assert 3 * sparse.n_triangles <= max(sparse.n_wedges, 1) * 3
+    # the backbone must actually sparsify on this corpus
+    assert sparse.n_edges < dense.n_edges / 2
+
+
+def test_assortativity_in_range(spark):
+    (row,) = _rows(spark, "graph_degree_assortativity")
+    assert -1.0 - 1e-9 <= row.assortativity <= 1.0 + 1e-9
+
+
+def test_cc_step_monotone(spark):
+    (row,) = _rows(spark, "graph_cc_min_label_step")
+    assert 0 <= row.n_dropped <= row.n_nodes
+    assert 1 <= row.n_labels <= row.n_nodes
+
+
+def test_matryoshka_recall_bounds(spark):
+    (row,) = _rows(spark, "matryoshka_prefix_recall")
+    assert row.n_truth == row.n_queries * 5  # TOP_K
+    assert 0 <= row.n_hits <= row.n_truth
+    assert 0.0 <= row.prefix_recall <= 1.0
+
+
+def test_recall_eval_bounds(spark):
+    (row,) = _rows(spark, "knn_recall_eval")
+    assert 0 <= row.n_hits <= row.n_truth
+    assert 0.0 <= row.recall_at_k <= 1.0
+
+
+def test_pmi_pairs_respect_min_count(spark):
+    for r in _rows(spark, "keyword_cooccurrence_pmi"):
+        assert r.cxy >= 5
+        assert r.t1 < r.t2
+
+
+def test_lsh_bucket_balance_accounting(spark):
+    rows = _rows(spark, "lsh_bucket_balance")
+    assert len(rows) == 6  # LSH_TABLES
+    for r in rows:
+        assert r.min_bucket >= 1
+        assert r.max_bucket >= r.min_bucket
+        assert r.skew_ratio >= 1.0 - 1e-9
+        # sum of squares is at least n_buckets (all sizes >= 1)
+        assert r.sum_sq_sizes >= r.n_buckets
+
+
+def test_dedup_funnel_shrinks(spark):
+    rows = {r.stage: r for r in _rows(spark, "dedup_pipeline_funnel")}
+    s1 = rows["stage1_exact"]
+    assert s1.n_out <= s1.n_in
+    s3 = rows["stage3_semantic_keepers"]
+    assert s3.n_out <= s3.n_in
+
+
+def test_format_roundtrips_agree(spark):
+    a = sorted(map(tuple, _rows(spark, "csv_roundtrip")))
+    b = sorted(map(tuple, _rows(spark, "jsonl_roundtrip")))
+    assert a == b, "CSV and JSONL round-trips must land identical rollups"
