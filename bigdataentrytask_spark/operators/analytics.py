@@ -2012,3 +2012,191 @@ def rolling_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("offset_days")
     )
+
+
+_PSI_CUT = "1995-07-01"
+
+
+@operator(
+    "drift_psi_report",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '{_PSI_CUT} 00:00:00'
+                  THEN 0 ELSE 1 END AS period,
+             o_orderpriority AS bucket
+      FROM orders
+    ),
+    counts AS (
+      SELECT bucket,
+             CAST(COUNT(*) FILTER (WHERE period = 0) AS BIGINT) AS c1,
+             CAST(COUNT(*) FILTER (WHERE period = 1) AS BIGINT) AS c2
+      FROM tagged GROUP BY 1
+    ),
+    tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM counts)
+    SELECT c.bucket,
+           c.c1, c.c2,
+           ROUND(c.c2 / CAST(t.n2 AS DOUBLE)
+                 - c.c1 / CAST(t.n1 AS DOUBLE), 6)    AS share_delta,
+           ROUND((c.c2 / CAST(t.n2 AS DOUBLE)
+                  - c.c1 / CAST(t.n1 AS DOUBLE))
+                 * ln((c.c2 / CAST(t.n2 AS DOUBLE))
+                      / (c.c1 / CAST(t.n1 AS DOUBLE))), 6) AS psi_term
+    FROM counts c CROSS JOIN tot t
+    ORDER BY bucket
+    """,
+)
+def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index terms for the order-priority
+    distribution across the timeline midpoint — the drift monitor a
+    production pipeline runs on every categorical feature before
+    retraining (PSI > 0.2 = retrain). Per-bucket exact counts, one
+    ln per bucket; at scale this is one map-side-combinable agg per
+    monitored feature."""
+    o = _t(spark, sf_dir, "orders")
+    tagged = o.select(
+        (
+            F.col("o_orderdate") >= F.lit(_PSI_CUT).cast("timestamp")
+        ).cast("int").alias("period"),
+        F.col("o_orderpriority").alias("bucket"),
+    )
+    counts = tagged.groupBy("bucket").agg(
+        F.sum((F.col("period") == 0).cast("bigint")).alias("c1"),
+        F.sum((F.col("period") == 1).cast("bigint")).alias("c2"),
+    )
+    tot = counts.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    p1 = F.col("c1") / F.col("n1").cast("double")
+    p2 = F.col("c2") / F.col("n2").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.col("c1").cast("bigint").alias("c1"),
+            F.col("c2").cast("bigint").alias("c2"),
+            F.round(p2 - p1, 6).alias("share_delta"),
+            F.round((p2 - p1) * F.log(p2 / p1), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@operator(
+    "orders_benford_test",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders
+      WHERE o_totalprice > 0
+    ),
+    counts AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS observed FROM digits GROUP BY 1
+    ),
+    tot AS (SELECT SUM(observed) AS n FROM counts)
+    SELECT c.d AS first_digit,
+           c.observed,
+           ROUND(t.n * log10(1.0 + 1.0 / c.d), 2)      AS expected,
+           ROUND((c.observed - t.n * log10(1.0 + 1.0 / c.d))
+                 * (c.observed - t.n * log10(1.0 + 1.0 / c.d))
+                 / (t.n * log10(1.0 + 1.0 / c.d)), 4)  AS chi2_term
+    FROM counts c CROSS JOIN tot t
+    ORDER BY first_digit
+    """,
+)
+def orders_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformity of order values — the
+    forensic-QA screen for fabricated or truncated monetary data
+    (synthetic uniform generators fail it loudly, which is itself the
+    finding here). First digit extracted from the exact integer-cents
+    string; expected counts from log10(1 + 1/d)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        1,
+        1,
+    ).cast("bigint")
+    counts = o.select(d.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    tot = counts.agg(F.sum("observed").alias("n"))
+    exp = F.col("n") * F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("first_digit"),
+            F.col("observed").cast("bigint").alias("observed"),
+            F.round(exp, 2).alias("expected"),
+            F.round(
+                (F.col("observed") - exp) * (F.col("observed") - exp) / exp,
+                4,
+            ).alias("chi2_term"),
+        )
+        .orderBy("first_digit")
+    )
+
+
+@operator(
+    "events_burstiness",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+      QUALIFY gap_us IS NOT NULL
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT)        AS n,
+             CAST(SUM(gap_us) AS BIGINT)     AS sx,
+             SUM(CAST(gap_us AS HUGEINT) * gap_us) AS sxx
+      FROM gaps GROUP BY 1 HAVING COUNT(*) >= 2
+    )
+    SELECT user_id, n,
+           CAST(sx // n AS BIGINT) AS mean_gap_us,
+           ROUND((sqrt(CAST(sxx AS DOUBLE) / n
+                       - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                  - CAST(sx AS DOUBLE) / n)
+                 / (sqrt(CAST(sxx AS DOUBLE) / n
+                         - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                    + CAST(sx AS DOUBLE) / n), 6) AS burstiness
+    FROM s ORDER BY user_id
+    """,
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of per-user
+    inter-event gaps — the bot/human discriminator (B→−1 periodic
+    bot, B→0 Poisson, B→1 bursty human). Gap moments from EXACT
+    wide-integer sums (gap² overflows int64 at ~70-minute gaps, so
+    the squares accumulate in DECIMAL(38,0) / HUGEINT and convert to
+    double once — both engines then round the identical integer);
+    one sqrt per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    s = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("gap_us").alias("sx"),
+            F.sum(
+                F.col("gap_us").cast("decimal(18,0)")
+                * F.col("gap_us").cast("decimal(18,0)")
+            ).alias("sxx_dec"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    mu = F.col("sx").cast("double") / F.col("n")
+    sig = F.sqrt(F.col("sxx_dec").cast("double") / F.col("n") - mu * mu)
+    return s.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("sx div n").cast("bigint").alias("mean_gap_us"),
+        F.round((sig - mu) / (sig + mu), 6).alias("burstiness"),
+    ).orderBy("user_id")

@@ -1925,3 +1925,81 @@ def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("prefix_recall"),
     )
+
+
+_DRIFT_CUT = 250  # vec_id split between "old" and "new" halves
+
+
+@operator(
+    "embedding_centroid_drift",
+    oracle=f"""
+    WITH dims AS (
+      SELECT label,
+             CASE WHEN vec_id < {_DRIFT_CUT} THEN 0 ELSE 1 END AS half,
+             i, CAST(x AS DOUBLE) AS x
+      FROM (SELECT label, vec_id,
+                   UNNEST(embedding::DOUBLE[]) AS x,
+                   UNNEST(range(len(embedding))) AS i
+            FROM embeddings)
+    ),
+    cent AS (
+      SELECT label, half, i, SUM(x) / COUNT(*) AS c
+      FROM dims GROUP BY 1, 2, 3
+    ),
+    paired AS (
+      SELECT a.label, a.i, a.c AS c0, b.c AS c1
+      FROM cent a JOIN cent b
+        ON b.label = a.label AND b.i = a.i AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           ROUND(SUM(c0 * c1)
+                 / (sqrt(SUM(c0 * c0)) * sqrt(SUM(c1 * c1))), 6)
+             AS centroid_cosine
+    FROM paired GROUP BY 1 ORDER BY label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per-label centroid of the 'old' half
+    of the corpus vs the 'new' half, compared by cosine — the check
+    that catches a silently swapped/retrained embedding model before
+    it poisons the ANN index. Dimension-level rows throughout (the
+    kmeans_step posture): centroids are (label, half, dim) grouped
+    means; no whole-vector shuffles, no driver collect.
+
+    Determinism note: per-dimension mean and the dot/norm sums are
+    64-dim-bounded reductions of identical doubles — both engines sum
+    <= 64 terms of the same values, and the 6-decimal round absorbs
+    the accumulation-order ulp (same contract as the green
+    kmeans_step / pca ops)."""
+    e = _emb(spark, sf_dir)
+    dims = e.select(
+        "label",
+        (F.col("vec_id") >= _DRIFT_CUT).cast("int").alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i", "x"
+        ),
+    )
+    cent = dims.groupBy("label", "half", "i").agg(
+        (F.sum("x") / F.count(F.lit(1))).alias("c")
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "i", F.col("c").alias("c0")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "i", F.col("c").alias("c1")
+    )
+    paired = a.join(b, ["label", "i"])
+    return (
+        paired.groupBy("label")
+        .agg(
+            F.round(
+                F.sum(F.col("c0") * F.col("c1"))
+                / (
+                    F.sqrt(F.sum(F.col("c0") * F.col("c0")))
+                    * F.sqrt(F.sum(F.col("c1") * F.col("c1")))
+                ),
+                6,
+            ).alias("centroid_cosine")
+        )
+        .orderBy("label")
+    )

@@ -2002,3 +2002,61 @@ def _register_curation_compositions() -> None:
 
 
 _register_curation_compositions()
+
+
+@operator(
+    "source_char_bigram_entropy",
+    oracle="""
+    WITH grams AS (
+      SELECT source, substr(text, i, 2) AS g
+      FROM documents, UNNEST(range(1, length(text))) AS u(i)
+    ),
+    counts AS (
+      SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM grams GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, SUM(c) AS n, COUNT(*) AS n_grams
+      FROM counts GROUP BY 1
+    )
+    SELECT c.source,
+           CAST(MAX(t.n) AS BIGINT)       AS n_bigrams,
+           CAST(MAX(t.n_grams) AS BIGINT) AS n_distinct,
+           ROUND(-SUM((c.c / CAST(t.n AS DOUBLE))
+                      * ln(c.c / CAST(t.n AS DOUBLE))), 6) AS entropy
+    FROM counts c JOIN tot t ON t.source = c.source
+    GROUP BY c.source ORDER BY c.source
+    """,
+)
+def source_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram entropy per source — the compressibility /
+    gibberish proxy (low entropy = template spam, high = encrypted or
+    random junk) that costs one pass, unlike running an actual
+    compressor. Bigram expansion is an in-JVM transform over char
+    positions (linear in corpus bytes); probabilities from exact
+    counts, one ln per distinct bigram."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.col("text").substr(i, F.lit(2)),
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("source", "g").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_grams")
+    )
+    j = counts.join(tot, "source")
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_bigrams"),
+            F.max("n_grams").cast("bigint").alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+        .orderBy("source")
+    )
