@@ -305,3 +305,50 @@ def test_format_roundtrips_agree(spark):
     a = sorted(map(tuple, _rows(spark, "csv_roundtrip")))
     b = sorted(map(tuple, _rows(spark, "jsonl_roundtrip")))
     assert a == b, "CSV and JSONL round-trips must land identical rollups"
+
+
+def test_psi_terms_are_nonnegative(spark):
+    """Each PSI term (p2−p1)·ln(p2/p1) has matching signs in both
+    factors, so every term — and the index — is >= 0."""
+    rows = _rows(spark, "drift_psi_report")
+    assert rows
+    for r in rows:
+        assert r.psi_term >= -1e-9
+    assert sum(r.psi_term for r in rows) >= 0
+
+
+def test_benford_accounting(spark):
+    rows = _rows(spark, "orders_benford_test")
+    assert {r.first_digit for r in rows} <= set(range(1, 10))
+    for r in rows:
+        assert r.chi2_term >= 0
+        assert r.expected > 0
+
+
+def test_burstiness_bounds(spark):
+    for r in _rows(spark, "events_burstiness"):
+        assert -1.0 - 1e-9 <= r.burstiness <= 1.0 + 1e-9
+        assert r.mean_gap_us > 0
+
+
+def test_centroid_drift_halves_agree(spark):
+    """Both halves draw from the same per-label distribution, so at
+    the driver's scale (sf0.01, ~25 vectors per label-half) the
+    centroid cosine is high; at sf0.001 halves are a handful of
+    vectors and the statistic is legitimately noisy — so the
+    agreement bar runs at sf0.01 and the tiny fixture only gets the
+    range check."""
+    rows = _rows(spark, "embedding_centroid_drift")
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.centroid_cosine <= 1.0 + 1e-9
+    rows = REGISTRY["embedding_centroid_drift"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.centroid_cosine > 0.5
+
+
+def test_char_bigram_entropy_bounds(spark):
+    for r in _rows(spark, "source_char_bigram_entropy"):
+        assert 0.0 <= r.entropy <= math.log(r.n_distinct) + 1e-9
