@@ -437,3 +437,59 @@ def language_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@operator(
+    "dataset_token_budget_report",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(SUM(len({sql_tokens('text')})) AS BIGINT) AS toks
+      FROM documents GROUP BY 1
+    ),
+    ranked AS (
+      SELECT source, toks,
+             ROW_NUMBER() OVER (ORDER BY toks DESC, source) AS rk,
+             SUM(toks) OVER (ORDER BY toks DESC, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(toks) OVER () AS total
+      FROM per_src
+    )
+    SELECT CAST(rk AS BIGINT) AS rank,
+           source, toks,
+           CAST(cum AS BIGINT) AS cum_tokens,
+           ROUND(cum / CAST(total AS DOUBLE), 6) AS cum_share
+    FROM ranked ORDER BY rank
+    """,
+)
+def dataset_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget planning table: sources ranked by token
+    contribution with the cumulative-coverage curve — answers "how
+    many feeds cover 80% of the corpus" before a training-mix
+    decision. Exact token counts; one dimension-sized window."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("toks")
+    )
+    w = Window.orderBy(F.col("toks").desc(), "source")
+    ranked = per_src.select(
+        "source",
+        "toks",
+        F.row_number().over(w).alias("rank"),
+        F.sum("toks")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    ).crossJoin(
+        F.broadcast(per_src.agg(F.sum("toks").alias("total")))
+    )
+    return ranked.select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "source",
+        "toks",
+        F.col("cum").cast("bigint").alias("cum_tokens"),
+        F.round(F.col("cum") / F.col("total").cast("double"), 6).alias(
+            "cum_share"
+        ),
+    ).orderBy("rank")

@@ -1024,3 +1024,66 @@ def name_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.levenshtein("name_a", "name_b") == 1)
         .orderBy("name_a", "name_b")
     )
+
+
+def _register_minhash_precision_eval() -> None:
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+
+    oracle = f"""
+    WITH est AS ({ORACLES["minhash_dedup"]}),
+    exact AS ({ORACLES["jaccard_pairs"]})
+    SELECT CAST((SELECT COUNT(*) FROM est) AS BIGINT)   AS n_candidates,
+           CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_true,
+           CAST((SELECT COUNT(*) FROM est e
+                 JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b)
+                AS BIGINT)                              AS n_hits,
+           ROUND((SELECT COUNT(*) FROM est e
+                  JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b)
+                 / CAST(GREATEST((SELECT COUNT(*) FROM est), 1) AS DOUBLE),
+                 6)                                     AS precision,
+           ROUND((SELECT COUNT(*) FROM est e
+                  JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b)
+                 / CAST(GREATEST((SELECT COUNT(*) FROM exact), 1) AS DOUBLE),
+                 6)                                     AS recall
+    FROM (SELECT 1)
+    """
+
+    @operator("minhash_precision_eval", oracle=oracle)
+    def minhash_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Precision AND recall of the MinHash/LSH candidate pairs
+        against the exact-Jaccard truth at the same threshold — the
+        published accuracy sheet of the sketch path (the exact side is
+        the audit-scale-only `jaccard_pairs`, so this eval runs at
+        audit scale too; the sketch side is the production path).
+        Composes the two verified plans on the pair key."""
+        est = REGISTRY["minhash_dedup"](spark, sf_dir).select(
+            "doc_a", "doc_b"
+        )
+        exact = (
+            REGISTRY["jaccard_pairs"](spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .withColumn("hit", F.lit(1))
+        )
+        j = est.join(exact, ["doc_a", "doc_b"], "left")
+        n_est = est.count()
+        n_exact = exact.count()
+        agg = j.agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits")
+        )
+        return agg.select(
+            F.lit(n_est).cast("bigint").alias("n_candidates"),
+            F.lit(n_exact).cast("bigint").alias("n_true"),
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.greatest(F.lit(n_est), F.lit(1)).cast("double"),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.col("n_hits")
+                / F.greatest(F.lit(n_exact), F.lit(1)).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+
+
+_register_minhash_precision_eval()

@@ -1506,3 +1506,151 @@ def offset_pagination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 25 OFFSET 50
         """
     )
+
+
+@operator(
+    "multiset_setops_probe",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    b AS (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct
+    FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'intersect_all', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT k) AS BIGINT)
+    FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    ORDER BY op
+    """,
+)
+def multiset_setops_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL multiset semantics (duplicate
+    multiplicities subtract / min, unlike the DISTINCT set ops pinned
+    by `setops_urgent_low`) — the bag-algebra contract reconciliation
+    queries depend on."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    rows = []
+    for name, df in (
+        ("except_all", a.exceptAll(b)),
+        ("intersect_all", a.intersectAll(b)),
+    ):
+        rows.append(
+            df.agg(
+                F.lit(name).alias("op"),
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("k").alias("n_distinct"),
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("op")
+
+
+@operator(
+    "string_agg_probe",
+    oracle="""
+    WITH ranked AS (
+      SELECT n.n_name, c.c_name,
+             ROW_NUMBER() OVER (PARTITION BY n.n_name
+               ORDER BY c.c_name) AS rn
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT n_name,
+           string_agg(c_name, ',' ORDER BY c_name) AS first_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_listed
+    FROM ranked WHERE rn <= 3
+    GROUP BY 1 ORDER BY n_name
+    """,
+)
+def string_agg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg/string_agg WITHIN GROUP):
+    Spark expresses it as array_join(array_sort(collect_list(..))) —
+    deterministic because the collect is sorted AFTER gathering, not
+    by arrival order. Bounded to 3 names per nation."""
+    c = _t(spark, sf_dir, "customer").select("c_name", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy("c_name")
+    top = j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    return (
+        top.groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("c_name")), ","
+            ).alias("first_customers"),
+            F.count(F.lit(1)).alias("n_listed"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@operator(
+    "weighted_median_unit_price",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT)
+               AS unit_cents,
+             CAST(ROUND(l_quantity) AS BIGINT) AS wt
+      FROM lineitem WHERE l_quantity > 0
+    ),
+    cum AS (
+      SELECT l_returnflag, unit_cents, wt,
+             SUM(wt) OVER (PARTITION BY l_returnflag
+               ORDER BY unit_cents, wt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS total
+      FROM w
+    )
+    SELECT l_returnflag,
+           CAST(MIN(unit_cents) AS BIGINT) AS weighted_median_cents,
+           CAST(MAX(total) AS BIGINT)      AS total_weight
+    FROM cum
+    WHERE 2 * cw >= total
+    GROUP BY 1 ORDER BY l_returnflag
+    """,
+)
+def weighted_median_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-aware median (quantity-weighted unit price): the first
+    value whose cumulative weight crosses half the total — exact
+    integer weights and cents, so the crossover row is engine-exact
+    (percentile_cont cannot express weights). Per-key windows only."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    w = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100)
+        .cast("bigint")
+        .alias("unit_cents"),
+        F.round("l_quantity").cast("bigint").alias("wt"),
+    )
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("unit_cents", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "unit_cents",
+        F.sum("wt").over(win).alias("cw"),
+        F.sum("wt").over(tot).alias("total"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("unit_cents").cast("bigint").alias(
+                "weighted_median_cents"
+            ),
+            F.max("total").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
