@@ -1652,7 +1652,8 @@ def _register_pair_compositions() -> None:
 
     sweep_oracle = f"""
     WITH pairs AS ({ORACLES["embedding_neardup_pairs"]}),
-    taus AS (SELECT UNNEST([0.40, 0.50, 0.60, 0.70, 0.80, 0.90]) AS tau)
+    taus AS (SELECT UNNEST(CAST([0.40, 0.50, 0.60, 0.70, 0.80, 0.90]
+                           AS DOUBLE[])) AS tau)
     SELECT tau,
            CAST(COUNT(p.cosine) AS BIGINT) AS n_pairs,
            CAST(COUNT(DISTINCT p.vec_a) + COUNT(DISTINCT p.vec_b)
