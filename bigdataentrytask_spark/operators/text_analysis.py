@@ -1534,6 +1534,14 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle-bucket join bounded by the df cap: Σ df² per shingle,
     never |docs|²."""
     d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
+    return containment_pairs_frame(d)
+
+
+def containment_pairs_frame(d: DataFrame) -> DataFrame:
+    """Production core of `ngram_containment_pairs` over a
+    (doc_id, toks) frame — exposed so the subset-identity property
+    (A == B -> C = 1 both ways; A ⊂ B -> C(A,B) = 1, C(B,A) < 1) is
+    testable on planted corpora."""
     # guard: sequence(0, n) DESCENDS when n < 0, so short docs must be
     # filtered before the shingle expansion (oracle's range() is empty
     # there)

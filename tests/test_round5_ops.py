@@ -350,3 +350,31 @@ def test_centroid_drift_structure(spark):
 def test_char_bigram_entropy_bounds(spark):
     for r in _rows(spark, "source_char_bigram_entropy"):
         assert 0.0 <= r.entropy <= math.log(r.n_distinct) + 1e-9
+
+
+def test_containment_subset_identity(spark):
+    """Planted-corpus law for the production containment core:
+    A == B -> C = 1 in both directions; A ⊂ B (A's shingles all in B)
+    -> C(A,B) = 1 while C(B,A) < 1."""
+    from bigdataentrytask_spark.functions.text import tokens
+    from bigdataentrytask_spark.operators.text_analysis import (
+        containment_pairs_frame,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(20))
+    bigger = base + " " + " ".join(f"extra{i}" for i in range(10))
+    rows = [
+        (1, base),        # A
+        (2, base),        # exact copy of A
+        (3, bigger),      # superset of A
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs_frame(d).collect()
+    }
+    assert got[(1, 2)] == 1.0 and got[(2, 1)] == 1.0
+    assert got[(1, 3)] == 1.0, "A is fully contained in the superset"
+    assert got[(3, 1)] < 1.0, "the superset is NOT contained in A"
