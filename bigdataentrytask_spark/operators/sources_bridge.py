@@ -409,3 +409,79 @@ def partitioned_write_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@operator(
+    "observed_landing_gate",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT)                        AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE value < 0) AS BIGINT) AS n_negative,
+           CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT)
+                                                           AS n_null_user,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                                                           AS total_cents,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S')          AS min_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S')          AS max_ts
+    FROM events
+    """,
+)
+def observed_landing_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass publish gate: the events fact is LANDED while
+    `Dataset.observe` computes its quality metrics on the same job —
+    no second validation scan (the 100 TB point of the observe API;
+    reference gap at doc/temp.md:921-929). The returned row is the
+    OBSERVED metric values themselves, so the oracle differentially
+    proves the piggy-backed metrics equal a from-scratch aggregation
+    of the landed table."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.observe import land_with_quality_gate
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="obs_gate_")
+    try:
+        got = land_with_quality_gate(
+            ev,
+            f"{root}/events",
+            metrics={
+                "n_rows": F.count(F.lit(1)),
+                "n_negative": F.sum((F.col("value") < 0).cast("bigint")),
+                "n_null_user": F.sum(
+                    F.col("user_id").isNull().cast("bigint")
+                ),
+                "total_cents": F.sum(
+                    F.round(F.col("value") * 100).cast("bigint")
+                ),
+                "min_ts": F.date_format(
+                    F.min("ts"), "yyyy-MM-dd HH:mm:ss"
+                ),
+                "max_ts": F.date_format(
+                    F.max("ts"), "yyyy-MM-dd HH:mm:ss"
+                ),
+            },
+            checks={
+                "n_rows": lambda v: v > 0,
+                "n_null_user": lambda v: v == 0,
+            },
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    got["n_rows"],
+                    got["n_negative"],
+                    got["n_null_user"],
+                    got["total_cents"],
+                    got["min_ts"],
+                    got["max_ts"],
+                )
+            ],
+            "n_rows long, n_negative long, n_null_user long, "
+            "total_cents long, min_ts string, max_ts string",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

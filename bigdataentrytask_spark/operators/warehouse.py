@@ -1505,3 +1505,170 @@ def _register_pit_join() -> None:
 
 
 _register_pit_join()
+
+
+_SLA_DAYS = 30
+
+
+@operator(
+    "order_fill_rate_sla",
+    oracle=f"""
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             date_trunc('month', o.o_orderdate) AS m,
+             MAX(date_diff('day', o.o_orderdate, l.l_shipdate)) AS fill_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT strftime(m, '%Y-%m')                           AS month,
+           CAST(COUNT(*) AS BIGINT)                       AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE fill_days <= {_SLA_DAYS})
+                AS BIGINT)                                AS n_within_sla,
+           ROUND(COUNT(*) FILTER (WHERE fill_days <= {_SLA_DAYS})
+                 / CAST(COUNT(*) AS DOUBLE), 6)           AS fill_rate,
+           CAST(MAX(fill_days) AS BIGINT)                 AS worst_days
+    FROM spans GROUP BY 1, m ORDER BY month
+    """,
+)
+def order_fill_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational SLA tracking: share of orders COMPLETELY shipped
+    (max line ship-lag) within the 30-day window, by order month —
+    the fulfilment KPI the reference's warehouse would publish. One
+    fact join + two keyed aggs."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey", F.date_trunc("month", "o_orderdate").alias("m")
+        )
+        .agg(
+            F.max(
+                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            ).alias("fill_days")
+        )
+    )
+    ok = (F.col("fill_days") <= _SLA_DAYS).cast("bigint")
+    return (
+        spans.groupBy(F.date_format("m", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(ok).cast("bigint").alias("n_within_sla"),
+            F.round(F.sum(ok) / F.count(F.lit(1)).cast("double"), 6).alias(
+                "fill_rate"
+            ),
+            F.max("fill_days").cast("bigint").alias("worst_days"),
+        )
+        .orderBy("month")
+    )
+
+
+@operator(
+    "user_lifecycle_stages",
+    oracle="""
+    WITH user_months AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '1992-01-01', CAST(ts AS DATE)) // 7
+                  AS BIGINT) AS m
+      FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(m) AS m0 FROM user_months GROUP BY 1),
+    months AS (SELECT DISTINCT m FROM user_months),
+    grid AS (
+      SELECT f.user_id, mo.m, f.m0,
+             um.user_id IS NOT NULL AS active,
+             prev.user_id IS NOT NULL AS active_prev
+      FROM firsts f CROSS JOIN months mo
+      LEFT JOIN user_months um
+        ON um.user_id = f.user_id AND um.m = mo.m
+      LEFT JOIN user_months prev
+        ON prev.user_id = f.user_id AND prev.m = mo.m - 1
+      WHERE mo.m >= f.m0
+    )
+    SELECT m AS week_idx,
+           CAST(COUNT(*) FILTER (WHERE m = m0) AS BIGINT)   AS n_new,
+           CAST(COUNT(*) FILTER (WHERE m > m0 AND active AND active_prev)
+                AS BIGINT)                                  AS n_retained,
+           CAST(COUNT(*) FILTER (WHERE m > m0 AND active AND NOT active_prev)
+                AS BIGINT)                                  AS n_resurrected,
+           CAST(COUNT(*) FILTER (WHERE NOT active AND active_prev)
+                AS BIGINT)                                  AS n_churned
+    FROM grid GROUP BY 1 ORDER BY week_idx
+    """,
+)
+def user_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly lifecycle census (growth accounting): new / retained /
+    resurrected / churned users per week — the canonical
+    startup-metrics decomposition (weekly because the events fixture
+    spans ~1 month; the plan is granularity-agnostic). User-week
+    dedup first, then dimension-sized joins against the week grid."""
+    ev = _t(spark, sf_dir, "events")
+    user_months = ev.select(
+        "user_id",
+        (
+            F.datediff(F.to_date("ts"), F.lit("1992-01-01").cast("date"))
+            / 7
+        )
+        .cast("bigint")  # floor for non-negative day offsets
+        .alias("m"),
+    ).distinct()
+    firsts = user_months.groupBy("user_id").agg(F.min("m").alias("m0"))
+    months = user_months.select("m").distinct()
+    um_cur = user_months.select(
+        F.col("user_id").alias("u1"), F.col("m").alias("mc")
+    )
+    um_prev = user_months.select(
+        F.col("user_id").alias("u2"), (F.col("m") + 1).alias("mp")
+    )
+    grid = (
+        firsts.crossJoin(F.broadcast(months))
+        .filter(F.col("m") >= F.col("m0"))
+        .join(
+            um_cur,
+            (F.col("user_id") == F.col("u1")) & (F.col("m") == F.col("mc")),
+            "left",
+        )
+        .join(
+            um_prev,
+            (F.col("user_id") == F.col("u2")) & (F.col("m") == F.col("mp")),
+            "left",
+        )
+        .select(
+            "m",
+            "m0",
+            F.col("u1").isNotNull().alias("active"),
+            F.col("u2").isNotNull().alias("active_prev"),
+        )
+    )
+    return (
+        grid.groupBy(F.col("m").alias("week_idx"))
+        .agg(
+            F.sum((F.col("m") == F.col("m0")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(
+                (
+                    (F.col("m") > F.col("m0"))
+                    & F.col("active")
+                    & F.col("active_prev")
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_retained"),
+            F.sum(
+                (
+                    (F.col("m") > F.col("m0"))
+                    & F.col("active")
+                    & ~F.col("active_prev")
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_resurrected"),
+            F.sum(
+                (~F.col("active") & F.col("active_prev")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_churned"),
+        )
+        .orderBy("week_idx")
+    )
