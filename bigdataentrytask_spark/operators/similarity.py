@@ -1674,8 +1674,13 @@ def _register_pair_compositions() -> None:
                 F.array(*[F.lit(t) for t in (0.40, 0.50, 0.60, 0.70, 0.80, 0.90)])
             ).alias("tau")
         )
-        j = F.broadcast(taus).join(
-            pairs, pairs.cosine >= F.col("tau"), "left"
+        # RIGHT join with the tau dimension broadcast: for an
+        # outer-preserved LEFT side Spark can only build on the right,
+        # so broadcast(left) would be silently ignored and the
+        # fact-sized pair table would become the broadcast side — the
+        # right-outer form keeps the 6-row side as the build side
+        j = pairs.join(
+            F.broadcast(taus), pairs.cosine >= F.col("tau"), "right"
         )
         return (
             j.groupBy("tau")
@@ -1881,8 +1886,7 @@ def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
     )
 
-    def topk(qcol, ccol, pref):
-        sim = cosine(qcol, ccol)
+    def topk(pref):
         w = Window.partitionBy("query_id").orderBy(
             F.col("sim").desc(), "neighbor_id"
         )
@@ -1914,8 +1918,8 @@ def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return base.select("query_id", "neighbor_id")
 
-    bf = topk("q_emb", "c_emb", pref=False)
-    pre = topk("q_emb", "c_emb", pref=True).withColumn("hit", F.lit(1))
+    bf = topk(pref=False)
+    pre = topk(pref=True).withColumn("hit", F.lit(1))
     j = bf.join(pre, ["query_id", "neighbor_id"], "left")
     return j.agg(
         F.count_distinct("query_id").alias("n_queries"),

@@ -684,6 +684,16 @@ def order_agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pricing_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-DECIMAL Q1 with scaled-BIGINT output columns.
+
+    Scale ceiling (documented, measured): `sum_disc_price_e8` carries
+    an e8 scale whose per-group value reaches 5.05e17 at sf0.1 — int64
+    overflows around sf≈2x-e8-headroom (≈sf 1.8), where DuckDB's
+    DECIMAL→BIGINT cast raises while Spark's returns NULL (asymmetric
+    failure). At larger SFs emit the e8 columns at e4 scale (or keep
+    DECIMAL end-to-end); the e4 columns have four more orders of
+    headroom. The output contract is frozen this round because the
+    operator is in the pinned sweep slate."""
     li = _t(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,4)")
     price = F.col("l_extendedprice").cast("decimal(18,4)")

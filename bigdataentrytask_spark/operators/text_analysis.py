@@ -1880,6 +1880,14 @@ def keyword_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _register_curation_compositions() -> None:
+    # the composed oracles read ORACLES entries owned by dedup.py and
+    # similarity.py — import them first so text_analysis stays safely
+    # importable STANDALONE (no hidden load_all() ordering coupling;
+    # both modules are cycle-free w.r.t. this one)
+    from bigdataentrytask_spark.operators import (  # noqa: F401
+        dedup,
+        similarity,
+    )
     from bigdataentrytask_spark.operators import ORACLES, REGISTRY
 
     # ---- dedup rate by source: where do the duplicates come from? ----
@@ -2044,7 +2052,10 @@ def source_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions (linear in corpus bytes); probabilities from exact
     counts, one ln per distinct bigram."""
     d = _docs(spark, sf_dir)
-    grams = d.select(
+    # short-text guard (CONTRIBUTING pitfall: sequence() descends when
+    # its stop < start, so a 0/1-char doc would emit phantom grams
+    # where the oracle's range() is empty)
+    grams = d.filter(F.length("text") >= 2).select(
         "source",
         F.explode(
             F.transform(

@@ -417,9 +417,6 @@ def hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    lags = spark.range(1).select(
-        F.explode(F.array(F.lit(1), F.lit(24))).alias("lag_hours")
-    )
     out = []
     for lag in (1, 24):
         w = Window.orderBy("h")
@@ -438,7 +435,6 @@ def hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("x") * F.col("y")).alias("sxy"),
             )
         )
-    _ = lags
     s = out[0].unionByName(out[1])
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
         "double"
@@ -683,6 +679,11 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.sort_array(F.collect_list(F.struct("d", "x"))), lambda s: s.x
         ).alias("xs")
+    ).filter(
+        # a channel with one active day has no (l0, b0) init; the
+        # oracle's i=1 JOIN i=2 drops it silently — match that instead
+        # of letting slice(xs, 3, size-2) throw on a negative length
+        F.size("xs") >= 2
     )
     a, b_ = _HOLT_ALPHA, _HOLT_BETA
     lvl0 = F.element_at("xs", 2)

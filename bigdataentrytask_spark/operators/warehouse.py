@@ -108,25 +108,31 @@ def diff_snapshots(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     row. One full-outer join on the key.
     """
     value_cols = [c for c in old.columns if c != key]
+    # side-presence MARKERS (not value nullness) decide insert/delete,
+    # and drift uses null-safe inequality — so NULL-bearing snapshots
+    # classify correctly (a key only in `old` whose first value column
+    # is NULL is a delete, not an insert; a NULL<->non-NULL value
+    # transition is an update, not silently dropped)
     a = old.select(
         F.col(key).alias("k"),
+        F.lit(1).alias("in_old"),
         *[F.col(c).alias(f"old_{c}") for c in value_cols],
     )
     b = new.select(
         F.col(key).alias("k"),
+        F.lit(1).alias("in_new"),
         *[F.col(c).alias(f"new_{c}") for c in value_cols],
     )
-    probe = value_cols[0]
     drift = None
     for c in value_cols:
-        neq = F.col(f"old_{c}") != F.col(f"new_{c}")
+        neq = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
         drift = neq if drift is None else (drift | neq)
     return (
         a.join(b, "k", "full_outer")
         .withColumn(
             "change_type",
-            F.when(F.col(f"old_{probe}").isNull(), F.lit("insert"))
-            .when(F.col(f"new_{probe}").isNull(), F.lit("delete"))
+            F.when(F.col("in_old").isNull(), F.lit("insert"))
+            .when(F.col("in_new").isNull(), F.lit("delete"))
             .when(drift, F.lit("update")),
         )
         .filter(F.col("change_type").isNotNull())

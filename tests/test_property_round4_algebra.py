@@ -96,13 +96,21 @@ def _state_df(spark, state):
 def test_cdc_apply_after_diff_is_identity(spark, seed):
     rng = random.Random(seed)
     universe = list(range(1, 30))
+
+    def val(r):
+        # NULLs in value columns are first-class: side-presence (not
+        # value nullness) must drive insert/delete, and NULL<->value
+        # transitions must register as updates (null-safe drift)
+        return (
+            None if r.random() < 0.1 else r.randint(1, 5),
+            None if r.random() < 0.2 else r.randint(1, 999),
+        )
+
     old = {
-        k: (rng.randint(1, 5), rng.randint(1, 999))
-        for k in rng.sample(universe, rng.randint(0, 20))
+        k: val(rng) for k in rng.sample(universe, rng.randint(0, 20))
     }
     new = {
-        k: (rng.randint(1, 5), rng.randint(1, 999))
-        for k in rng.sample(universe, rng.randint(0, 20))
+        k: val(rng) for k in rng.sample(universe, rng.randint(0, 20))
     }
     # keep identical values for a random overlap subset so 'unchanged'
     # keys (no changelog row) are exercised too
