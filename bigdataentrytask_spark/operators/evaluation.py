@@ -17,6 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# composed oracles read entries owned by these modules — import them
+# explicitly so evaluation is importable STANDALONE (load_all()'s
+# import-last ordering still works, but is no longer load-bearing)
+from bigdataentrytask_spark.operators import (  # noqa: F401
+    curation,
+    dedup,
+    text_analysis,
+)
 from bigdataentrytask_spark.operators import ORACLES, REGISTRY, operator
 
 
