@@ -19,7 +19,6 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdataentrytask_spark.operators.reference_batch import b1_hourly_uv
 from bigdataentrytask_spark.sinks import KeyedUpsertSink
 from bigdataentrytask_spark.sources import writers
 from bigdataentrytask_spark.streaming import jobs

@@ -45,8 +45,6 @@ TABLES = (
 
 
 def build(spark) -> None:
-    from pyspark.sql import functions as F
-
     os.makedirs(DST, exist_ok=True)
     for t in TABLES:
         if t == "lineitem":
