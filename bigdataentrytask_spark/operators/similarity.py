@@ -1669,29 +1669,39 @@ def _register_pair_compositions() -> None:
         in ONE pass over the verified pair table (the pair build is
         not repeated per threshold)."""
         pairs = REGISTRY["embedding_neardup_pairs"](spark, sf_dir)
-        taus = spark.range(1).select(
-            F.explode(
-                F.array(*[F.lit(t) for t in (0.40, 0.50, 0.60, 0.70, 0.80, 0.90)])
-            ).alias("tau")
-        )
-        # RIGHT join with the tau dimension broadcast: for an
-        # outer-preserved LEFT side Spark can only build on the right,
-        # so broadcast(left) would be silently ignored and the
-        # fact-sized pair table would become the broadcast side — the
-        # right-outer form keeps the 6-row side as the build side
-        j = pairs.join(
-            F.broadcast(taus), pairs.cosine >= F.col("tau"), "right"
-        )
-        return (
-            j.groupBy("tau")
-            .agg(
-                F.count("cosine").cast("bigint").alias("n_pairs"),
-                (
-                    F.count_distinct("vec_a") + F.count_distinct("vec_b")
-                ).cast("bigint").alias("n_touched_sides"),
+        # NO tau join at all: an outer theta-join against the pair
+        # table cannot broadcast the 6-row side (BNLJ may only build
+        # the non-preserved side, whichever way the outer points), so
+        # the thresholds become conditional aggregates in ONE pass
+        # over the pair table, unpivoted to rows afterwards
+        taus = (0.40, 0.50, 0.60, 0.70, 0.80, 0.90)
+        aggs = []
+        for i, t in enumerate(taus):
+            hit = F.col("cosine") >= t
+            aggs.append(
+                F.coalesce(F.sum(hit.cast("bigint")), F.lit(0))
+                .cast("bigint")
+                .alias(f"np_{i}")
             )
-            .orderBy("tau")
+            aggs.append(
+                (
+                    F.count_distinct(F.when(hit, F.col("vec_a")))
+                    + F.count_distinct(F.when(hit, F.col("vec_b")))
+                ).cast("bigint").alias(f"nt_{i}")
+            )
+        wide = pairs.agg(*aggs)
+        stacked = wide.select(
+            F.expr(
+                "stack({n}, {args}) AS (tau, n_pairs, n_touched_sides)".format(
+                    n=len(taus),
+                    args=", ".join(
+                        f"double({t}), np_{i}, nt_{i}"
+                        for i, t in enumerate(taus)
+                    ),
+                )
+            )
         )
+        return stacked.orderBy("tau")
 
 
 _register_pair_compositions()
