@@ -378,3 +378,17 @@ def test_containment_subset_identity(spark):
     assert got[(1, 2)] == 1.0 and got[(2, 1)] == 1.0
     assert got[(1, 3)] == 1.0, "A is fully contained in the superset"
     assert got[(3, 1)] < 1.0, "the superset is NOT contained in A"
+
+
+def test_threshold_sweep_plan_has_no_tau_join(spark):
+    """The sweep must stay JOINLESS: an outer theta-join against the
+    pair table cannot broadcast the 6-row tau side in either
+    orientation (BNLJ builds only the non-preserved side), so any
+    join reappearing here means the fact-sized pair table is being
+    broadcast. The thresholds are conditional aggregates over one
+    pass; the executed plan must contain no nested-loop join."""
+    df = REGISTRY["neardup_threshold_sweep"](spark, SF_DIR_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
