@@ -56,10 +56,8 @@ load_all()
 # jump to the front, greens rotate — deferral only affects the
 # never-checked. Clear the list at the next round boundary.
 _DEFER: list[str] = [
-    # round-7 slate, staged during round 6 (all preverified at sf0.01)
-    "hash_functions_probe",
-    "central_tendency_probe",
-    "map_functions_probe",
+    # cleared at the round-7 boundary: the three staged probes are now
+    # live never-checked entries and lead the round-7 sweep.
 ]
 
 _PIN: list[str] = [

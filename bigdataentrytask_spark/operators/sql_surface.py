@@ -1679,7 +1679,8 @@ def weighted_median_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
            sha256(n_name)                    AS name_sha256,
            md5(n_name || ':' || CAST(n_regionkey AS VARCHAR))
                                              AS salted_md5,
-           CAST(length(sha256(n_comment)) AS BIGINT) AS sha_hex_len
+           CAST(length(sha256(n_name || '-' || CAST(n_nationkey AS VARCHAR)))
+                AS BIGINT)               AS sha_hex_len
     FROM nation ORDER BY n_nationkey
     """,
 )
@@ -1698,7 +1699,12 @@ def hash_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat_ws(":", "n_name", F.col("n_regionkey").cast("string"))
         ).alias("salted_md5"),
-        F.length(F.sha2("n_comment", 256)).cast("bigint").alias("sha_hex_len"),
+        F.length(
+            F.sha2(
+                F.concat_ws("-", "n_name", F.col("n_nationkey").cast("string")),
+                256,
+            )
+        ).cast("bigint").alias("sha_hex_len"),
     ).orderBy("n_nationkey")
 
 

@@ -51,7 +51,7 @@ def _composed_oracle_refs() -> dict[str, set[str]]:
 
 def test_composed_oracle_refs_exist():
     refs = _composed_oracle_refs()
-    # the composition pattern is load-bearing across >= 6 modules; if
+    # the composition pattern is load-bearing across >= 5 modules; if
     # this shrinks to zero the regex (or the pattern) broke, not the code
     assert len(refs) >= 5, f"expected composed oracles in >=5 modules, got {refs}"
     all_names = set().union(*refs.values())

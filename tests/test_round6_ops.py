@@ -94,3 +94,18 @@ def test_first_seen_delta_exercises_new_user_branch(spark, duck):
         """
     ).fetchall()[0][0]
     assert n_old > 0
+
+
+def test_first_seen_event_id_unique(spark, duck):
+    """first_seen_incremental's struct-min tie-breaks on (ts, event_id,
+    event_type) while the oracle's ROW_NUMBER ties only on (ts,
+    event_id); the two agree ONLY because event_id is a total order.
+    Pin that assumption: if a fixture regen ever produced duplicate
+    event_ids the equality proof would silently weaken (ADVICE r6)."""
+    n, n_distinct = duck.execute(
+        "SELECT COUNT(*), COUNT(DISTINCT event_id) FROM events"
+    ).fetchall()[0]
+    assert n == n_distinct, (
+        f"events.event_id is no longer unique ({n} rows, {n_distinct} "
+        "distinct) — the first_seen tie-break assumption is broken"
+    )
