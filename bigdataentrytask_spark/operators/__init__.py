@@ -57,6 +57,7 @@ def load_all() -> None:
         sources_bridge,
         sql_surface,
         star,
+        stats,
         streaming_bridge,
         text_analysis,
         timeseries,

@@ -1,0 +1,1165 @@
+"""Statistical-inference operators: two-sample tests, rank statistics,
+regression, ANOVA, independence, information theory, concentration,
+forecast backtesting.
+
+The reference pipeline stops at descriptive aggregates over the order
+stream (/root/reference/doc/temp.md:377-411); these operators are the
+inference layer a data platform runs ON those aggregates — "is segment
+A's spend different from B's", "are region and segment independent",
+"which factor drives price", "is the seasonal forecast beating naive".
+Every statistic is computed from EXACT integer/decimal power sums
+(cents-scaled BIGINT / DECIMAL(38,0) on Spark, BIGINT / HUGEINT in
+DuckDB) so the aggregation is order-independent, then the scalar
+algebra is written with the SAME expression tree on both engines:
+equal integers -> identical IEEE doubles -> identical rounded
+statistics. This is the repo-wide moment-sum discipline established by
+central_tendency_probe (sql_surface.py) — built-in stddev/corr/
+skewness are NOT used because their sample-vs-population corrections
+and accumulation orders diverge between engines.
+
+Scale posture (100 TB):
+* Every test statistic reduces to a handful of map-side-combinable
+  power sums per group — one shuffle on the group key, O(groups)
+  output. No windows over raw facts, no collect, no quadratic pair
+  expansion anywhere.
+* Rank statistics (Mann-Whitney, Spearman) do NOT globally sort the
+  fact table: counts are grouped per distinct VALUE first (domain-
+  sized, not fact-sized), and midranks come from a cumulative window
+  over the sorted value domain — the classic histogram-rank trick.
+  At 100 TB the value domain (cents, quantities, percents) is orders
+  of magnitude smaller than the fact table; a range-partitioned sort
+  of the domain is cheap.
+* Contingency statistics (chi-square, Cramer's V, mutual information)
+  aggregate to an r x c cell table (tens of rows) before any of the
+  expensive math; dimension joins are broadcast.
+* The forecast backtest joins an hourly aggregate (|hours| rows) to
+  itself at fixed lags — spine-joined so gaps cannot silently shift
+  lags, and the spine is generated, never collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdataentrytask_spark.catalog import load_table, with_event_time
+from bigdataentrytask_spark.operators import operator
+from bigdataentrytask_spark.session import ensure_session_confs
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_event_time(_t(spark, sf_dir, "events"))
+
+
+_CENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+_SEG_A = "BUILDING"
+_SEG_B = "MACHINERY"
+
+
+# --------------------------------------------------------------------------
+# Welch's unequal-variance t-test between two market segments' order
+# values. One conditional-aggregate pass (no join between the groups,
+# no BNLJ bait — CONTRIBUTING.md pitfall 5): n / sum / sum-of-squares
+# per segment as exact integers, Welch t and Satterthwaite df in
+# double afterwards.
+# --------------------------------------------------------------------------
+@operator(
+    "welch_ttest_segments",
+    oracle=f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, {_CENTS} AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('{_SEG_A}', '{_SEG_B}')
+    ), m AS (
+      SELECT
+        CAST(count_if(seg = '{_SEG_A}') AS BIGINT)                    AS n_a,
+        CAST(count_if(seg = '{_SEG_B}') AS BIGINT)                    AS n_b,
+        CAST(SUM(CASE WHEN seg = '{_SEG_A}' THEN cents END) AS DOUBLE) AS s1_a,
+        CAST(SUM(CASE WHEN seg = '{_SEG_B}' THEN cents END) AS DOUBLE) AS s1_b,
+        CAST(SUM(CASE WHEN seg = '{_SEG_A}'
+                 THEN CAST(cents AS HUGEINT) * cents END) AS DOUBLE)   AS s2_a,
+        CAST(SUM(CASE WHEN seg = '{_SEG_B}'
+                 THEN CAST(cents AS HUGEINT) * cents END) AS DOUBLE)   AS s2_b
+      FROM j
+    )
+    SELECT n_a, n_b,
+           ROUND(s1_a / n_a, 6) AS mean_a,
+           ROUND(s1_b / n_b, 6) AS mean_b,
+           ROUND((s1_a / n_a - s1_b / n_b)
+                 / sqrt((s2_a - s1_a * (s1_a / n_a)) / (n_a - 1) / n_a
+                      + (s2_b - s1_b * (s1_b / n_b)) / (n_b - 1) / n_b), 6)
+             AS t_stat,
+           ROUND(
+             ((s2_a - s1_a * (s1_a / n_a)) / (n_a - 1) / n_a
+              + (s2_b - s1_b * (s1_b / n_b)) / (n_b - 1) / n_b)
+             * ((s2_a - s1_a * (s1_a / n_a)) / (n_a - 1) / n_a
+                + (s2_b - s1_b * (s1_b / n_b)) / (n_b - 1) / n_b)
+             / ( ((s2_a - s1_a * (s1_a / n_a)) / (n_a - 1) / n_a)
+                 * ((s2_a - s1_a * (s1_a / n_a)) / (n_a - 1) / n_a) / (n_a - 1)
+               + ((s2_b - s1_b * (s1_b / n_b)) / (n_b - 1) / n_b)
+                 * ((s2_b - s1_b * (s1_b / n_b)) / (n_b - 1) / n_b) / (n_b - 1)
+               ), 6) AS df_welch
+    FROM m
+    """,
+)
+def welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    j = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin(_SEG_A, _SEG_B))
+        .select(F.col("c_mktsegment").alias("seg"), cents.alias("cents"))
+    )
+    dec = F.col("cents").cast("decimal(38,0)")
+    is_a = F.col("seg") == _SEG_A
+    is_b = F.col("seg") == _SEG_B
+    m = j.agg(
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.count(F.when(is_b, 1)).alias("n_b"),
+        F.sum(F.when(is_a, F.col("cents"))).cast("double").alias("s1_a"),
+        F.sum(F.when(is_b, F.col("cents"))).cast("double").alias("s1_b"),
+        F.sum(F.when(is_a, dec * F.col("cents"))).cast("double").alias("s2_a"),
+        F.sum(F.when(is_b, dec * F.col("cents"))).cast("double").alias("s2_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    s1_a, s1_b = F.col("s1_a"), F.col("s1_b")
+    s2_a, s2_b = F.col("s2_a"), F.col("s2_b")
+    # se² components, written EXACTLY as in the oracle
+    va = (s2_a - s1_a * (s1_a / n_a)) / (n_a - 1) / n_a
+    vb = (s2_b - s1_b * (s1_b / n_b)) / (n_b - 1) / n_b
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(s1_a / n_a, 6).alias("mean_a"),
+        F.round(s1_b / n_b, 6).alias("mean_b"),
+        F.round((s1_a / n_a - s1_b / n_b) / F.sqrt(va + vb), 6).alias("t_stat"),
+        F.round(
+            (va + vb) * (va + vb) / (va * va / (n_a - 1) + vb * vb / (n_b - 1)),
+            6,
+        ).alias("df_welch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U between the same two segments WITHOUT sorting the
+# fact table: aggregate to per-distinct-value counts first, take a
+# cumulative window over the (domain-sized) sorted values, and compute
+# midranks from (cum_before, tie_count). Rank-sum identities do the
+# rest. The standard normal approximation is reported without the tie
+# correction — cents at this granularity are almost-everywhere unique,
+# and BOTH engines compute the identical statistic either way.
+# --------------------------------------------------------------------------
+@operator(
+    "mannwhitney_u_segments",
+    oracle=f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, {_CENTS} AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('{_SEG_A}', '{_SEG_B}')
+    ), v AS (
+      SELECT cents,
+             CAST(count_if(seg = '{_SEG_A}') AS BIGINT) AS c_a,
+             CAST(COUNT(*) AS BIGINT)                   AS c_t
+      FROM j GROUP BY cents
+    ), r AS (
+      SELECT c_a, c_t,
+             COALESCE(SUM(c_t) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM v
+    ), s AS (
+      SELECT CAST(SUM(c_a) AS BIGINT)                          AS n_a,
+             CAST(SUM(c_t - c_a) AS BIGINT)                    AS n_b,
+             SUM(c_a * (cum_before + (c_t + 1) / 2.0))         AS rank_sum_a
+      FROM r
+    )
+    SELECT n_a, n_b,
+           ROUND(rank_sum_a, 2)                                AS rank_sum_a,
+           ROUND(rank_sum_a - n_a * (n_a + 1) / 2.0, 2)        AS u_a,
+           ROUND((rank_sum_a - n_a * (n_a + 1) / 2.0
+                  - n_a * (CAST(n_b AS DOUBLE) / 2.0))
+                 / sqrt(n_a * (CAST(n_b AS DOUBLE) / 12.0)
+                        * (n_a + n_b + 1)), 6)                 AS z_score
+    FROM s
+    """,
+)
+def mannwhitney_u_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    j = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin(_SEG_A, _SEG_B))
+        .select(F.col("c_mktsegment").alias("seg"), cents.alias("cents"))
+    )
+    v = j.groupBy("cents").agg(
+        F.count(F.when(F.col("seg") == _SEG_A, 1)).alias("c_a"),
+        F.count(F.lit(1)).alias("c_t"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    r = v.select(
+        "c_a",
+        "c_t",
+        F.coalesce(F.sum("c_t").over(w), F.lit(0)).alias("cum_before"),
+    )
+    s = r.agg(
+        F.sum("c_a").alias("n_a"),
+        F.sum(F.col("c_t") - F.col("c_a")).alias("n_b"),
+        F.sum(
+            F.col("c_a") * (F.col("cum_before") + (F.col("c_t") + 1) / 2.0)
+        ).alias("rank_sum_a"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    u_a = F.col("rank_sum_a") - n_a * (n_a + 1) / 2.0
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round("rank_sum_a", 2).alias("rank_sum_a"),
+        F.round(u_a, 2).alias("u_a"),
+        F.round(
+            (u_a - n_a * (n_b.cast("double") / 2.0))
+            / F.sqrt(n_a * (n_b.cast("double") / 12.0) * (n_a + n_b + 1)),
+            6,
+        ).alias("z_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation between quantity and discount on lineitem.
+# Both variables live on TINY domains (50 quantities, 11 discount
+# percents), so midranks are computed on the aggregated domain and
+# joined back as broadcast maps — the fact table is never sorted.
+# Doubled midranks (2*midrank) are integers, so every power sum is
+# exact DECIMAL/HUGEINT; Pearson-on-ranks algebra runs on equal
+# integers -> identical doubles.
+# --------------------------------------------------------------------------
+@operator(
+    "spearman_qty_discount",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT)            AS q,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+      FROM lineitem
+    ), qd AS (
+      SELECT q, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY q
+    ), qr AS (
+      SELECT q,
+             2 * COALESCE(SUM(c) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS r2
+      FROM qd
+    ), dd AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY d
+    ), dr AS (
+      SELECT d,
+             2 * COALESCE(SUM(c) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS r2
+      FROM dd
+    ), ranked AS (
+      SELECT qr.r2 AS rx, dr.r2 AS ry
+      FROM base b JOIN qr ON b.q = qr.q JOIN dr ON b.d = dr.d
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT)                           AS n,
+             CAST(SUM(rx) AS DOUBLE)                            AS sx,
+             CAST(SUM(ry) AS DOUBLE)                            AS sy,
+             CAST(SUM(CAST(rx AS HUGEINT) * rx) AS DOUBLE)      AS sxx,
+             CAST(SUM(CAST(ry AS HUGEINT) * ry) AS DOUBLE)      AS syy,
+             CAST(SUM(CAST(rx AS HUGEINT) * ry) AS DOUBLE)      AS sxy
+      FROM ranked
+    )
+    SELECT n,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS spearman_rho
+    FROM s
+    """,
+)
+def spearman_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+    )
+
+    def rank_map(df: DataFrame, col: str) -> DataFrame:
+        cnt = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return cnt.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias("r2"),
+        )
+
+    qr = rank_map(base, "q").withColumnRenamed("r2", "rx")
+    dr = rank_map(base, "d").withColumnRenamed("r2", "ry")
+    ranked = (
+        base.join(F.broadcast(qr), "q").join(F.broadcast(dr), "d")
+        .select("rx", "ry")
+    )
+    dx = F.col("rx").cast("decimal(38,0)")
+    dy = F.col("ry").cast("decimal(38,0)")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.sum(dx * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(dy * F.col("ry")).cast("double").alias("syy"),
+        F.sum(dx * F.col("ry")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    return s.select(
+        "n",
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-factor OLS: extendedprice-cents ~ quantity + discount-percent,
+# solved in closed form (Cramer's rule on the centered normal
+# equations) from nine exact power sums in ONE aggregation pass.
+# The distributed part is trivially map-side-combinable; the 2x2
+# solve is scalar math on the single output row.
+# --------------------------------------------------------------------------
+@operator(
+    "ols_two_factor_price",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT)               AS x1,
+             CAST(ROUND(l_discount * 100) AS BIGINT)  AS x2,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT)                        AS n,
+             CAST(SUM(x1) AS DOUBLE)                         AS sx1,
+             CAST(SUM(x2) AS DOUBLE)                         AS sx2,
+             CAST(SUM(y)  AS DOUBLE)                         AS sy,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE)   AS sx1x1,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE)   AS sx1x2,
+             CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE)   AS sx2x2,
+             CAST(SUM(CAST(x1 AS HUGEINT) * y)  AS DOUBLE)   AS sx1y,
+             CAST(SUM(CAST(x2 AS HUGEINT) * y)  AS DOUBLE)   AS sx2y,
+             CAST(SUM(CAST(y  AS HUGEINT) * y)  AS DOUBLE)   AS syy
+      FROM base
+    )
+    SELECT n,
+           ROUND(((n * sx1y - sx1 * sy) * (n * sx2x2 - sx2 * sx2)
+                  - (n * sx2y - sx2 * sy) * (n * sx1x2 - sx1 * sx2))
+                 / ((n * sx1x1 - sx1 * sx1) * (n * sx2x2 - sx2 * sx2)
+                    - (n * sx1x2 - sx1 * sx2) * (n * sx1x2 - sx1 * sx2)), 6)
+             AS beta_qty,
+           ROUND(((n * sx1x1 - sx1 * sx1) * (n * sx2y - sx2 * sy)
+                  - (n * sx1x2 - sx1 * sx2) * (n * sx1y - sx1 * sy))
+                 / ((n * sx1x1 - sx1 * sx1) * (n * sx2x2 - sx2 * sx2)
+                    - (n * sx1x2 - sx1 * sx2) * (n * sx1x2 - sx1 * sx2)), 6)
+             AS beta_disc,
+           ROUND((((n * sx1y - sx1 * sy) * (n * sx2x2 - sx2 * sx2)
+                   - (n * sx2y - sx2 * sy) * (n * sx1x2 - sx1 * sx2))
+                  * (n * sx1y - sx1 * sy)
+                  + ((n * sx1x1 - sx1 * sx1) * (n * sx2y - sx2 * sy)
+                     - (n * sx1x2 - sx1 * sx2) * (n * sx1y - sx1 * sy))
+                  * (n * sx2y - sx2 * sy))
+                 / (((n * sx1x1 - sx1 * sx1) * (n * sx2x2 - sx2 * sx2)
+                     - (n * sx1x2 - sx1 * sx2) * (n * sx1x2 - sx1 * sx2))
+                    * (n * syy - sy * sy)), 6)
+             AS r_squared
+    FROM s
+    """,
+)
+def ols_two_factor_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    d1 = F.col("x1").cast("decimal(38,0)")
+    d2 = F.col("x2").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
+    s = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(d1 * F.col("x1")).cast("double").alias("sx1x1"),
+        F.sum(d1 * F.col("x2")).cast("double").alias("sx1x2"),
+        F.sum(d2 * F.col("x2")).cast("double").alias("sx2x2"),
+        F.sum(d1 * F.col("y")).cast("double").alias("sx1y"),
+        F.sum(d2 * F.col("y")).cast("double").alias("sx2y"),
+        F.sum(dy * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    a11 = n * F.col("sx1x1") - F.col("sx1") * F.col("sx1")
+    a12 = n * F.col("sx1x2") - F.col("sx1") * F.col("sx2")
+    a22 = n * F.col("sx2x2") - F.col("sx2") * F.col("sx2")
+    b1 = n * F.col("sx1y") - F.col("sx1") * F.col("sy")
+    b2 = n * F.col("sx2y") - F.col("sx2") * F.col("sy")
+    det = a11 * a22 - a12 * a12
+    num1 = b1 * a22 - b2 * a12
+    num2 = a11 * b2 - a12 * b1
+    sst = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "n",
+        F.round(num1 / det, 6).alias("beta_qty"),
+        F.round(num2 / det, 6).alias("beta_disc"),
+        F.round((num1 * b1 + num2 * b2) / (det * sst), 6).alias("r_squared"),
+    )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA across day-of-week groups on order value. Group power
+# sums (exact), then between/within decomposition. DuckDB dayofweek()
+# is 0=Sunday..6 while Spark's is 1=Sunday..7 — the oracle shifts by
+# one so the group LABELS agree (CONTRIBUTING.md calendar class).
+# --------------------------------------------------------------------------
+@operator(
+    "anova_weekday_revenue",
+    oracle=f"""
+    WITH g AS (
+      SELECT dayofweek(o_orderdate) + 1 AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM({_CENTS}) AS DOUBLE) AS s1,
+             CAST(SUM(CAST({_CENTS} AS HUGEINT) * {_CENTS}) AS DOUBLE) AS s2
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT CAST(COUNT(*) AS BIGINT)        AS k,
+             CAST(SUM(n_g) AS BIGINT)        AS n,
+             SUM(s1)                         AS s_all,
+             SUM(s1 * (s1 / n_g))            AS sum_gsq,
+             SUM(s2)                         AS s2_all
+      FROM g
+    )
+    SELECT k, n,
+           ROUND((sum_gsq - s_all * (s_all / n)) / (k - 1)
+                 / ((s2_all - sum_gsq) / (n - k)), 6)  AS f_stat,
+           ROUND((sum_gsq - s_all * (s_all / n))
+                 / (s2_all - s_all * (s_all / n)), 6)  AS eta_squared
+    FROM t
+    """,
+)
+def anova_weekday_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.select(
+        F.dayofweek("o_orderdate").alias("dow"), cents.alias("cents")
+    )
+    dec = F.col("cents").cast("decimal(38,0)")
+    g = base.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("cents").cast("double").alias("s1"),
+        F.sum(dec * F.col("cents")).cast("double").alias("s2"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s1").alias("s_all"),
+        F.sum(F.col("s1") * (F.col("s1") / F.col("n_g"))).alias("sum_gsq"),
+        F.sum("s2").alias("s2_all"),
+    )
+    k, n = F.col("k"), F.col("n")
+    ssb = F.col("sum_gsq") - F.col("s_all") * (F.col("s_all") / n)
+    ssw = F.col("s2_all") - F.col("sum_gsq")
+    sst = F.col("s2_all") - F.col("s_all") * (F.col("s_all") / n)
+    return t.select(
+        "k",
+        "n",
+        F.round(ssb / (k - 1) / (ssw / (n - k)), 6).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_squared"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Poisson rate test: purchase vs click arrival rates over
+# the fixture month. Conditional on the total, the count split is
+# binomial — the classic z = (c1-c2)/sqrt(c1+c2). Exposure days come
+# from the observed span (floor-of-epoch-diff, the fixed-length-unit
+# form both engines agree on).
+# --------------------------------------------------------------------------
+@operator(
+    "poisson_rate_ztest_types",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(count_if(event_type = 'purchase') AS BIGINT) AS c1,
+             CAST(count_if(event_type = 'click') AS BIGINT)    AS c2,
+             CAST(floor(epoch(MAX(ts) - MIN(ts)) / 86400) + 1 AS BIGINT)
+               AS span_days
+      FROM events
+    )
+    SELECT c1, c2, span_days,
+           ROUND(c1 / CAST(span_days AS DOUBLE), 6)  AS rate1_per_day,
+           ROUND(c2 / CAST(span_days AS DOUBLE), 6)  AS rate2_per_day,
+           ROUND((c1 - c2) / sqrt(CAST(c1 + c2 AS DOUBLE)), 6) AS z_score
+    FROM b
+    """,
+)
+def poisson_rate_ztest_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    b = e.agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c1"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c2"),
+        (
+            F.floor(
+                (
+                    F.unix_timestamp(F.max("ts"))
+                    - F.unix_timestamp(F.min("ts"))
+                )
+                / 86400
+            )
+            + 1
+        ).alias("span_days"),
+    )
+    c1, c2 = F.col("c1"), F.col("c2")
+    return b.select(
+        "c1",
+        "c2",
+        "span_days",
+        F.round(c1 / F.col("span_days").cast("double"), 6).alias(
+            "rate1_per_day"
+        ),
+        F.round(c2 / F.col("span_days").cast("double"), 6).alias(
+            "rate2_per_day"
+        ),
+        F.round((c1 - c2) / F.sqrt((c1 + c2).cast("double")), 6).alias(
+            "z_score"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence of region x market segment. The contingency
+# table is 5x5 = 25 cells; all the per-cell math happens AFTER the
+# fact table has been reduced to those 25 counts. Dimension joins are
+# broadcast; the margins come from window sums over the tiny cell
+# table, not a second scan.
+# --------------------------------------------------------------------------
+@operator(
+    "chi2_region_segment",
+    oracle="""
+    WITH cells AS (
+      SELECT r.r_name AS region, c.c_mktsegment AS seg,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT region, seg, cnt,
+             SUM(cnt) OVER (PARTITION BY region) AS row_tot,
+             SUM(cnt) OVER (PARTITION BY seg)    AS col_tot,
+             SUM(cnt) OVER ()                    AS n
+      FROM cells
+    ), agg AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT region) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT seg) AS BIGINT)    AS n_cols,
+             SUM((cnt - row_tot * (CAST(col_tot AS DOUBLE) / n))
+                 * (cnt - row_tot * (CAST(col_tot AS DOUBLE) / n))
+                 / (row_tot * (CAST(col_tot AS DOUBLE) / n))) AS chi2
+      FROM m
+    )
+    SELECT n, n_rows, n_cols,
+           (n_rows - 1) * (n_cols - 1)              AS dof,
+           ROUND(chi2, 6)                           AS chi2,
+           ROUND(sqrt(chi2 / (n * (least(n_rows, n_cols) - 1))), 6)
+             AS cramers_v
+    FROM agg
+    """,
+)
+def chi2_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n_ = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cells = (
+        c.join(F.broadcast(n_), c.c_nationkey == n_.n_nationkey)
+        .join(F.broadcast(r), n_.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = cells.select(
+        "region",
+        "seg",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("region")).alias("row_tot"),
+        F.sum("cnt").over(Window.partitionBy("seg")).alias("col_tot"),
+        F.sum("cnt").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    expected = F.col("row_tot") * (F.col("col_tot").cast("double") / F.col("n"))
+    agg = m.agg(
+        F.max("n").alias("n"),
+        F.count_distinct("region").alias("n_rows"),
+        F.count_distinct("seg").alias("n_cols"),
+        F.sum(
+            (F.col("cnt") - expected) * (F.col("cnt") - expected) / expected
+        ).alias("chi2"),
+    )
+    return agg.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * (F.least("n_rows", "n_cols") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mutual information (nats) between event type and day-of-week — the
+# feature-selection statistic for categorical pairs. Same contingency
+# reduction as chi-square; entropies and MI from the closed cell
+# table. Normalized MI = MI / min(H_x, H_y).
+# --------------------------------------------------------------------------
+@operator(
+    "mutual_information_events",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS x, dayofweek(ts) + 1 AS y,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT x, y, cnt,
+             SUM(cnt) OVER (PARTITION BY x) AS cx,
+             SUM(cnt) OVER (PARTITION BY y) AS cy,
+             SUM(cnt) OVER ()               AS n
+      FROM cells
+    ), agg AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             SUM((CAST(cnt AS DOUBLE) / n)
+                 * ln(cnt * (CAST(n AS DOUBLE) / (cx * CAST(cy AS DOUBLE)))))
+               AS mi,
+             SUM(CASE WHEN y = 2 THEN (CAST(cx AS DOUBLE) / n)
+                      * ln(CAST(n AS DOUBLE) / cx) END) AS h_x
+      FROM m
+    )
+    SELECT n,
+           ROUND(mi, 6)  AS mi_nats,
+           ROUND(h_x, 6) AS h_type_nats,
+           ROUND(mi / h_x, 6) AS mi_ratio
+    FROM agg
+    """,
+)
+def mutual_information_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    cells = e.groupBy(
+        F.col("event_type").alias("x"), F.dayofweek("ts").alias("y")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    m = cells.select(
+        "x",
+        "y",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("x")).alias("cx"),
+        F.sum("cnt").over(Window.partitionBy("y")).alias("cy"),
+        F.sum("cnt").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    n = F.col("n")
+    # H(x) summed once per x-group: anchor on one fixed y value
+    agg = m.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            (F.col("cnt").cast("double") / n)
+            * F.log(
+                F.col("cnt")
+                * (n.cast("double") / (F.col("cx") * F.col("cy").cast("double")))
+            )
+        ).alias("mi"),
+        F.sum(
+            F.when(
+                F.col("y") == 2,
+                (F.col("cx").cast("double") / n)
+                * F.log(n.cast("double") / F.col("cx")),
+            )
+        ).alias("h_x"),
+    )
+    return agg.select(
+        "n",
+        F.round("mi", 6).alias("mi_nats"),
+        F.round("h_x", 6).alias("h_type_nats"),
+        F.round(F.col("mi") / F.col("h_x"), 6).alias("mi_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tukey-fence outlier census per market segment: exact interpolated
+# quartiles (percentile <-> quantile_cont, the established parity
+# pair), fences at 1.5*IQR, then ONE more conditional pass counting
+# violations. The quartile table is 5 rows — broadcast back.
+# --------------------------------------------------------------------------
+@operator(
+    "iqr_outlier_census",
+    oracle=f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment, {_CENTS} AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), q AS (
+      SELECT segment,
+             quantile_cont(cents, 0.25) AS q1,
+             quantile_cont(cents, 0.75) AS q3
+      FROM j GROUP BY segment
+    )
+    SELECT j.segment,
+           CAST(COUNT(*) AS BIGINT)                       AS n,
+           ROUND(MAX(q.q1), 2)                            AS q1_cents,
+           ROUND(MAX(q.q3), 2)                            AS q3_cents,
+           CAST(count_if(j.cents < q.q1 - 1.5 * (q.q3 - q.q1)) AS BIGINT)
+             AS n_low,
+           CAST(count_if(j.cents > q.q3 + 1.5 * (q.q3 - q.q1)) AS BIGINT)
+             AS n_high,
+           ROUND(count_if(j.cents > q.q3 + 1.5 * (q.q3 - q.q1))
+                 / CAST(COUNT(*) AS DOUBLE), 6)            AS high_rate
+    FROM j JOIN q ON j.segment = q.segment
+    GROUP BY j.segment ORDER BY j.segment
+    """,
+)
+def iqr_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    j = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == c.c_custkey)
+        .select(F.col("c_mktsegment").alias("segment"), cents.alias("cents"))
+    )
+    q = j.groupBy("segment").agg(
+        F.expr("percentile(cents, 0.25)").alias("q1"),
+        F.expr("percentile(cents, 0.75)").alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        j.join(F.broadcast(q), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("q1"), 2).alias("q1_cents"),
+            F.round(F.max("q3"), 2).alias("q3_cents"),
+            F.count(F.when(F.col("cents") < lo, 1)).alias("n_low"),
+            F.count(F.when(F.col("cents") > hi, 1)).alias("n_high"),
+            F.round(
+                F.count(F.when(F.col("cents") > hi, 1))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("high_rate"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Market concentration: Herfindahl-Hirschman index of nation revenue
+# shares within each region (HHI in 0-10000 points), plus the top
+# nation's share. Revenue reduces to 25 (region, nation) cells before
+# any share math.
+# --------------------------------------------------------------------------
+@operator(
+    "market_concentration_hhi",
+    oracle=f"""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM({_CENTS}) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT region, nation, cents,
+             SUM(cents) OVER (PARTITION BY region) AS region_cents
+      FROM rev
+    )
+    SELECT region,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(MAX(region_cents) AS BIGINT) AS region_cents,
+           ROUND(SUM((cents / CAST(region_cents AS DOUBLE))
+                     * (cents / CAST(region_cents AS DOUBLE))) * 10000, 6)
+             AS hhi_points,
+           ROUND(MAX(cents / CAST(region_cents AS DOUBLE)), 6)
+             AS top_share
+    FROM tot GROUP BY region ORDER BY region
+    """,
+)
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n_ = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    rev = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_), F.col("c_nationkey") == n_.n_nationkey)
+        .join(F.broadcast(r), n_.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    tot = rev.select(
+        "region",
+        "nation",
+        "cents",
+        F.sum("cents").over(Window.partitionBy("region")).alias("region_cents"),
+    )
+    share = F.col("cents") / F.col("region_cents").cast("double")
+    return (
+        tot.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.max("region_cents").alias("region_cents"),
+            F.round(F.sum(share * share) * 10000, 6).alias("hhi_points"),
+            F.round(F.max(share), 6).alias("top_share"),
+        )
+        .orderBy("region")
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov transition entropy of the per-user event-type sequence:
+# conditional entropy H(next | current) in nats from the 5x5
+# transition-count table, next to the marginal H(next) — their gap is
+# the sequence's predictability. The per-user LEAD window partitions
+# on user_id (bounded state); everything after is 25-cell math.
+# Tie-break within a timestamp: event_id (unique, pinned by
+# test_first_seen_event_id_unique).
+# --------------------------------------------------------------------------
+@operator(
+    "transition_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), cells AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), m AS (
+      SELECT cur, nxt, cnt,
+             SUM(cnt) OVER (PARTITION BY cur) AS c_cur,
+             SUM(cnt) OVER (PARTITION BY nxt) AS c_nxt,
+             SUM(cnt) OVER ()                 AS n
+      FROM cells
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_transitions,
+           ROUND(SUM((CAST(cnt AS DOUBLE) / n)
+                     * ln(CAST(c_cur AS DOUBLE) / cnt)), 6) AS h_cond_nats,
+           ROUND(SUM(CASE WHEN cur = 'click'
+                     THEN (CAST(c_nxt AS DOUBLE) / n)
+                          * ln(CAST(n AS DOUBLE) / c_nxt) END), 6)
+             AS h_next_nats
+    FROM m
+    """,
+)
+def transition_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cells = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("cnt"))
+    m = cells.select(
+        "cur",
+        "nxt",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("cur")).alias("c_cur"),
+        F.sum("cnt").over(Window.partitionBy("nxt")).alias("c_nxt"),
+        F.sum("cnt").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    n = F.col("n")
+    return m.agg(
+        F.max("n").alias("n_transitions"),
+        F.round(
+            F.sum(
+                (F.col("cnt").cast("double") / n)
+                * F.log(F.col("c_cur").cast("double") / F.col("cnt"))
+            ),
+            6,
+        ).alias("h_cond_nats"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("cur") == "click",
+                    (F.col("c_nxt").cast("double") / n)
+                    * F.log(n.cast("double") / F.col("c_nxt")),
+                )
+            ),
+            6,
+        ).alias("h_next_nats"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Forecast backtest on the hourly event-count series: one-step-ahead
+# naive (lag 1h) vs seasonal-naive (lag 24h) over the final-week
+# holdout, MAE each plus their ratio (the MASE-style skill score —
+# < 1 means the seasonal model beats naive). The series is built on a
+# generated hour spine so a silent gap can never shift a lag.
+# --------------------------------------------------------------------------
+_BT_SPLIT = "2024-01-24 00:00:00"
+
+
+@operator(
+    "forecast_backtest_mase",
+    oracle=f"""
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-30 23:00:00',
+                                    INTERVAL 1 HOUR)) AS h
+    ), counts AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), series AS (
+      SELECT s.h, COALESCE(c.y, 0) AS y,
+             LAG(COALESCE(c.y, 0), 1)  OVER (ORDER BY s.h) AS y_1,
+             LAG(COALESCE(c.y, 0), 24) OVER (ORDER BY s.h) AS y_24
+      FROM spine s LEFT JOIN counts c ON s.h = c.h
+    ), test AS (
+      SELECT * FROM series WHERE h >= TIMESTAMP '{_BT_SPLIT}'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                       AS n_test,
+           CAST(SUM(abs(y - y_1)) AS BIGINT)              AS abs_err_naive,
+           CAST(SUM(abs(y - y_24)) AS BIGINT)             AS abs_err_seasonal,
+           ROUND(SUM(abs(y - y_1))  / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mae_naive,
+           ROUND(SUM(abs(y - y_24)) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mae_seasonal,
+           ROUND(SUM(abs(y - y_24)) / CAST(SUM(abs(y - y_1)) AS DOUBLE), 6)
+             AS mase_ratio
+    FROM test
+    """,
+)
+def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-30 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h")
+    )
+    counts = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    w = Window.orderBy("h")
+    series = (
+        spine.join(counts, "h", "left")
+        .select("h", F.coalesce("y", F.lit(0)).alias("y"))
+        .select(
+            "h",
+            "y",
+            F.lag("y", 1).over(w).alias("y_1"),
+            F.lag("y", 24).over(w).alias("y_24"),
+        )
+    )
+    test = series.filter(F.col("h") >= F.lit(_BT_SPLIT).cast("timestamp"))
+    err1 = F.sum(F.abs(F.col("y") - F.col("y_1")))
+    err24 = F.sum(F.abs(F.col("y") - F.col("y_24")))
+    return test.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        err1.alias("abs_err_naive"),
+        err24.alias("abs_err_seasonal"),
+        F.round(err1 / F.count(F.lit(1)).cast("double"), 6).alias("mae_naive"),
+        F.round(err24 / F.count(F.lit(1)).cast("double"), 6).alias(
+            "mae_seasonal"
+        ),
+        F.round(err24 / err1.cast("double"), 6).alias("mase_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lagged cross-correlation between the hourly 'view' and 'purchase'
+# series (lags -3..+3 hours): does view traffic lead purchases?
+# Integer count sums per (lag) are exact; Pearson algebra mirrors the
+# oracle tree. The lag fan-out joins |hours| x 7 rows — aggregate-
+# sized, never fact-sized.
+# --------------------------------------------------------------------------
+@operator(
+    "type_lag_xcorr",
+    oracle="""
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-30 23:00:00',
+                                    INTERVAL 1 HOUR)) AS h
+    ), v AS (
+      SELECT s.h, COALESCE(c.y, 0) AS x
+      FROM spine s LEFT JOIN (
+        SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'view' GROUP BY 1
+      ) c ON s.h = c.h
+    ), p AS (
+      SELECT s.h, COALESCE(c.y, 0) AS y
+      FROM spine s LEFT JOIN (
+        SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+      ) c ON s.h = c.h
+    ), lags AS (
+      SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag_h
+    ), joined AS (
+      SELECT l.lag_h, v.x, p.y
+      FROM lags l
+      JOIN v ON TRUE
+      JOIN p ON p.h = v.h + to_hours(l.lag_h)
+    ), s AS (
+      SELECT lag_h,
+             CAST(COUNT(*) AS BIGINT)                      AS n,
+             CAST(SUM(x) AS DOUBLE)                        AS sx,
+             CAST(SUM(y) AS DOUBLE)                        AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE)   AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE)   AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE)   AS sxy
+      FROM joined GROUP BY lag_h
+    )
+    SELECT lag_h, n,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS pearson_r
+    FROM s ORDER BY lag_h
+    """,
+)
+def type_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-30 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h")
+    )
+
+    def hourly(tp: str, hcol: str, out: str) -> DataFrame:
+        c = (
+            e.filter(F.col("event_type") == tp)
+            .groupBy(F.date_trunc("hour", "ts").alias("h"))
+            .agg(F.count(F.lit(1)).alias("y"))
+        )
+        return spine.join(c, "h", "left").select(
+            F.col("h").alias(hcol), F.coalesce("y", F.lit(0)).alias(out)
+        )
+
+    v = hourly("view", "h_v", "x")
+    p = hourly("purchase", "h_p", "y")
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(i) for i in range(-3, 4)])).alias("lag_h")
+    )
+    joined = (
+        lags.crossJoin(v)
+        .join(
+            p,
+            F.col("h_p")
+            == F.col("lag_h") * F.expr("INTERVAL 1 HOUR") + F.col("h_v"),
+        )
+        .select("lag_h", "x", "y")
+    )
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
+    s = joined.groupBy("lag_h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(dx * F.col("x")).cast("double").alias("sxx"),
+        F.sum(dy * F.col("y")).cast("double").alias("syy"),
+        F.sum(dx * F.col("y")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    return s.select(
+        "lag_h",
+        "n",
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("pearson_r"),
+    ).orderBy("lag_h")
+
+
+# --------------------------------------------------------------------------
+# Log-normal fit of the document length distribution: mu/sigma of
+# ln(n_chars) by the method of moments, implied median exp(mu), and
+# the implied-vs-actual mean gap (a lognormality diagnostic). Length
+# distributions of scraped corpora are canonically log-normal-ish —
+# this is the one-pass check. ln() per row is deterministic; the
+# double sums are order-sensitive only below the 1e-6 rounding floor
+# at any realistic cardinality.
+# --------------------------------------------------------------------------
+@operator(
+    "lognormal_chars_fit",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT)             AS n,
+             SUM(ln(n_chars))                     AS s1,
+             SUM(ln(n_chars) * ln(n_chars))       AS s2,
+             CAST(SUM(n_chars) AS BIGINT)         AS chars_tot
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT n,
+           ROUND(s1 / n, 6)                                  AS mu,
+           ROUND(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6)      AS sigma,
+           ROUND(exp(s1 / n), 6)                             AS implied_median,
+           ROUND(exp(s1 / n + (s2 / n - (s1 / n) * (s1 / n)) / 2), 6)
+             AS implied_mean,
+           ROUND(chars_tot / CAST(n AS DOUBLE), 6)           AS actual_mean
+    FROM s
+    """,
+)
+def lognormal_chars_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    ln = F.log(F.col("n_chars"))
+    s = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ln).alias("s1"),
+        F.sum(ln * ln).alias("s2"),
+        F.sum("n_chars").alias("chars_tot"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    var = F.col("s2") / n - mu * mu
+    return s.select(
+        "n",
+        F.round(mu, 6).alias("mu"),
+        F.round(F.sqrt(var), 6).alias("sigma"),
+        F.round(F.exp(mu), 6).alias("implied_median"),
+        F.round(F.exp(mu + var / 2), 6).alias("implied_mean"),
+        F.round(F.col("chars_tot") / n.cast("double"), 6).alias("actual_mean"),
+    )
