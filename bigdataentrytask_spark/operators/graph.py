@@ -570,3 +570,177 @@ def part_pair_triangles_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("triangles").cast("bigint").alias("n_triangles"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction on the w >= 2 support backbone: for
+# non-adjacent part pairs, score = sum over common neighbors z of
+# 1/ln(deg(z)). The candidate ranking key is the INTEGER common-
+# neighbor count (deterministic cutoff); the AA score rides along as
+# the tie-aware quality column. Wedge volume is bounded by the same
+# backbone sparsification the triangle census ships with
+# (graph.py:13-31) — at 100 TB this is the standard "friend of
+# friend" candidate generator, and it never materializes more than
+# the wedge list.
+# --------------------------------------------------------------------------
+_AA_TOPN = 15
+
+
+@operator(
+    "link_prediction_adamic_adar",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    backbone AS (SELECT s, d FROM edges WHERE w >= 2),
+    und AS (
+      SELECT s AS z, d AS nbr FROM backbone
+      UNION ALL SELECT d, s FROM backbone
+    ),
+    deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY z),
+    wedges AS (
+      SELECT a.nbr AS u, b.nbr AS v, a.z
+      FROM und a JOIN und b ON a.z = b.z AND a.nbr < b.nbr
+    ),
+    cand AS (
+      SELECT w.u, w.v,
+             CAST(COUNT(*) AS BIGINT)      AS common_neighbors,
+             SUM(1.0 / ln(deg.degree))     AS aa_score
+      FROM wedges w
+      JOIN deg ON w.z = deg.z
+      LEFT JOIN backbone e ON w.u = e.s AND w.v = e.d
+      WHERE e.s IS NULL
+      GROUP BY w.u, w.v
+    )
+    SELECT u, v, common_neighbors, ROUND(aa_score, 6) AS aa_score
+    FROM cand
+    ORDER BY common_neighbors DESC, u, v
+    LIMIT {_AA_TOPN}
+    """,
+)
+def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top non-adjacent pairs by common-neighbor count with their
+    Adamic-Adar scores — the classic link-prediction candidate list,
+    computed on the sparsified backbone so the wedge join is bounded."""
+    backbone = _edges(spark, sf_dir).filter(F.col("w") >= 2).select("s", "d")
+    und = backbone.select(F.col("s").alias("z"), F.col("d").alias("nbr")).unionByName(
+        backbone.select(F.col("d").alias("z"), F.col("s").alias("nbr"))
+    )
+    deg = und.groupBy("z").agg(F.count(F.lit(1)).alias("degree"))
+    a = und.select(F.col("z"), F.col("nbr").alias("u"))
+    b = und.select(F.col("z"), F.col("nbr").alias("v"))
+    wedges = a.join(b, "z").filter(F.col("u") < F.col("v"))
+    cand = (
+        wedges.join(deg, "z")
+        .join(
+            backbone.select(
+                F.col("s").alias("u"), F.col("d").alias("v"), F.lit(1).alias("adj")
+            ),
+            ["u", "v"],
+            "left",
+        )
+        .filter(F.col("adj").isNull())
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(1.0 / F.log("degree")).alias("aa_score"),
+        )
+    )
+    return (
+        cand.select(
+            "u", "v", "common_neighbors", F.round("aa_score", 6).alias("aa_score")
+        )
+        .orderBy(F.col("common_neighbors").desc(), "u", "v")
+        .limit(_AA_TOPN)
+    )
+
+
+# --------------------------------------------------------------------------
+# One k-core peel step (k = 3): drop nodes with degree < k, re-derive
+# the induced subgraph, and report the before/after census. Iterated
+# to fixpoint this is the standard k-core decomposition; one step is
+# the driver-checkable unit (same contract as graph_cc_min_label_step
+# and pagerank_step — the loop is parquet ping-pong, each iteration
+# this exact plan). Degrees are grouped counts; the induced-subgraph
+# filter is two broadcast-sized semi-joins against the survivor set.
+# --------------------------------------------------------------------------
+_KCORE_K = 3
+
+
+@operator(
+    "kcore_peel_step",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT s AS node FROM edges UNION ALL SELECT d FROM edges)
+      GROUP BY 1
+    ),
+    survivors AS (SELECT node FROM deg WHERE degree >= {_KCORE_K}),
+    kept AS (
+      SELECT e.s, e.d FROM edges e
+      JOIN survivors a ON e.s = a.node
+      JOIN survivors b ON e.d = b.node
+    ),
+    deg2 AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT s AS node FROM kept UNION ALL SELECT d FROM kept)
+      GROUP BY 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg)       AS nodes_before,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges)     AS edges_before,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg
+            WHERE degree < {_KCORE_K})                      AS peeled_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg2)      AS nodes_after,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM kept)      AS edges_after,
+           (SELECT CAST(COALESCE(MAX(degree), 0) AS BIGINT) FROM deg2)
+             AS max_degree_after,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg2
+            WHERE degree < {_KCORE_K})                      AS still_below_k
+    """,
+)
+def kcore_peel_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before/after census of one k-core peel at k=3 — still_below_k
+    counts nodes the NEXT iteration would drop (0 means converged)."""
+    edges = _edges(spark, sf_dir).select("s", "d")
+    deg = (
+        edges.select(F.col("s").alias("node"))
+        .unionByName(edges.select(F.col("d").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    survivors = deg.filter(F.col("degree") >= _KCORE_K).select("node")
+    kept = edges.join(
+        survivors.withColumnRenamed("node", "s"), "s"
+    ).join(survivors.withColumnRenamed("node", "d"), "d").select("s", "d")
+    deg2 = (
+        kept.select(F.col("s").alias("node"))
+        .unionByName(kept.select(F.col("d").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    before = deg.agg(
+        F.count(F.lit(1)).alias("nodes_before"),
+        F.count(F.when(F.col("degree") < _KCORE_K, 1)).alias("peeled_nodes"),
+    )
+    eb = edges.agg(F.count(F.lit(1)).alias("edges_before"))
+    after = deg2.agg(
+        F.count(F.lit(1)).alias("nodes_after"),
+        F.coalesce(F.max("degree"), F.lit(0)).cast("bigint").alias(
+            "max_degree_after"
+        ),
+        F.count(F.when(F.col("degree") < _KCORE_K, 1)).alias("still_below_k"),
+    )
+    ea = kept.agg(F.count(F.lit(1)).alias("edges_after"))
+    return (
+        before.crossJoin(eb)
+        .crossJoin(after)
+        .crossJoin(ea)
+        .select(
+            "nodes_before",
+            "edges_before",
+            "peeled_nodes",
+            "nodes_after",
+            "edges_after",
+            "max_degree_after",
+            "still_below_k",
+        )
+    )
