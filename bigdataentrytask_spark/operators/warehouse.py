@@ -1678,3 +1678,402 @@ def user_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-batch changelog compaction (round 7): two consecutive
+# changelogs (S0->S1, S1->S2) collapse to ONE net changelog whose
+# application to S0 reproduces S2 — the standard pre-MERGE compaction
+# that turns k micro-batch changelogs into a single keyed pass.
+# Net rule per key on (first_op, last_op): insert..delete cancels,
+# delete..insert becomes update, everything else keeps the LAST
+# image with the first op's base semantics. The oracle is S2 itself:
+# any defect in diff, compaction, or apply breaks the round trip
+# (same adversarial framing as cdc_apply_changelog above).
+#
+# Scale posture: compaction is one grouped argmin/argmax per key over
+# the concatenated changelogs (map-side combinable), then apply's two
+# keyed shuffles. The fact table is scanned once per snapshot window;
+# at 100 TB the changelogs are deltas, orders of magnitude smaller
+# than the table they maintain.
+# --------------------------------------------------------------------------
+_NET_W = [
+    ("1992-01-01", "1994-01-01"),
+    ("1993-01-01", "1995-06-01"),
+    ("1994-06-01", "1997-01-01"),
+]
+
+
+@operator(
+    "cdc_net_changes",
+    oracle=f"""
+    SELECT o_custkey AS custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_NET_W[2][0]} 00:00:00'
+      AND o_orderdate <  TIMESTAMP '{_NET_W[2][1]} 00:00:00'
+    GROUP BY 1 ORDER BY custkey
+    """,
+)
+def cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+
+    def snap(a: str, b: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(a).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(b).cast("timestamp"))
+            )
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("c").cast("bigint").alias("cents"),
+            )
+        )
+
+    s0, s1, s2 = (snap(a, b) for a, b in _NET_W)
+    log01 = diff_snapshots(s0, s1, "custkey").withColumn("seq", F.lit(1))
+    log12 = diff_snapshots(s1, s2, "custkey").withColumn("seq", F.lit(2))
+    both = log01.unionByName(log12)
+    compact = both.groupBy("k").agg(
+        F.min_by("change_type", "seq").alias("first_op"),
+        F.max_by("change_type", "seq").alias("last_op"),
+        F.max_by(F.struct("new_n_orders", "new_cents"), "seq").alias("img"),
+    )
+    net = (
+        compact.withColumn(
+            "change_type",
+            F.when(
+                (F.col("first_op") == "insert") & (F.col("last_op") == "delete"),
+                F.lit(None).cast("string"),
+            )
+            .when(F.col("last_op") == "delete", F.lit("delete"))
+            .when(F.col("first_op") == "insert", F.lit("insert"))
+            .otherwise(F.lit("update")),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            "k",
+            "change_type",
+            F.col("img.new_n_orders").alias("new_n_orders"),
+            F.col("img.new_cents").alias("new_cents"),
+        )
+    )
+    return apply_changelog(s0, net, "custkey").orderBy("custkey")
+
+
+# --------------------------------------------------------------------------
+# Bucketed band join: part pairs within the same manufacturer whose
+# retail prices differ by <= _BAND_CENTS. The naive form is a theta
+# self-join (|p| x |p| comparisons, and Spark plans it as BNLJ —
+# CONTRIBUTING.md pitfall 5); the production form buckets price into
+# band-width cells and equi-joins each cell to itself and its right
+# neighbor, turning theta into TWO hash joins whose candidate volume
+# is sum-of-bucket-sizes-squared. The oracle IS the naive theta join
+# (fixture-scale), so the rewrite's equivalence is driver-checked.
+# --------------------------------------------------------------------------
+_BAND_CENTS = 25
+
+
+@operator(
+    "price_band_join_bucketed",
+    oracle=f"""
+    WITH p AS (
+      SELECT p_partkey AS k, p_brand AS brand,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    )
+    SELECT a.brand,
+           CAST(COUNT(*) AS BIGINT)                       AS n_pairs,
+           CAST(MIN(abs(a.cents - b.cents)) AS BIGINT)    AS min_gap_cents,
+           ROUND(SUM(abs(a.cents - b.cents))
+                 / CAST(COUNT(*) AS DOUBLE), 6)           AS avg_gap_cents
+    FROM p a JOIN p b
+      ON a.brand = b.brand AND a.k < b.k
+     AND abs(a.cents - b.cents) <= {_BAND_CENTS}
+    GROUP BY a.brand ORDER BY a.brand
+    """,
+)
+def price_band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+    )
+    bucketed = p.withColumn(
+        "bucket", F.floor(F.col("cents") / F.lit(_BAND_CENTS))
+    )
+    left = bucketed.select(
+        "brand",
+        F.col("k").alias("ka"),
+        F.col("cents").alias("ca"),
+        F.explode(
+            F.array(F.col("bucket"), F.col("bucket") + 1)
+        ).alias("probe"),
+    )
+    right = bucketed.select(
+        "brand",
+        F.col("k").alias("kb"),
+        F.col("cents").alias("cb"),
+        F.col("bucket").alias("probe"),
+    )
+    pairs = (
+        left.join(right, ["brand", "probe"])
+        .filter(
+            (F.col("ka") != F.col("kb"))
+            & (F.abs(F.col("ca") - F.col("cb")) <= _BAND_CENTS)
+        )
+        # canonicalize the pair with least/greatest (a straddling pair
+        # is only ever found with the lower-bucket part on the probe
+        # side, so an asymmetric ka < kb filter would drop half of
+        # them), then dedup: same-cell pairs match in both
+        # orientations and edge-straddlers in both probe cells
+        .select(
+            "brand",
+            F.least("ka", "kb").alias("u"),
+            F.greatest("ka", "kb").alias("v"),
+            F.abs(F.col("ca") - F.col("cb")).alias("gap"),
+        )
+        .distinct()
+    )
+    gap = F.col("gap")
+    return (
+        pairs.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(gap).cast("bigint").alias("min_gap_cents"),
+            F.round(F.sum(gap) / F.count(F.lit(1)).cast("double"), 6).alias(
+                "avg_gap_cents"
+            ),
+        )
+        .orderBy("brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# Version-retention compaction: keep only the latest _RETAIN_N orders
+# per customer (the standard "N newest versions per key" lakehouse
+# retention policy), report what survives per market segment. The
+# window partitions on the key — bounded state, range-partitionable;
+# the segment rollup is a broadcast-dim join on the surviving rows.
+# --------------------------------------------------------------------------
+_RETAIN_N = 3
+
+
+@operator(
+    "key_version_retention",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_custkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(DISTINCT r.o_custkey) AS BIGINT)      AS n_customers,
+           CAST(count_if(r.rn <= {_RETAIN_N}) AS BIGINT)    AS kept_rows,
+           CAST(count_if(r.rn > {_RETAIN_N}) AS BIGINT)     AS dropped_rows,
+           CAST(SUM(CASE WHEN r.rn <= {_RETAIN_N}
+                THEN CAST(ROUND(r.o_totalprice * 100) AS BIGINT)
+                ELSE 0 END) AS BIGINT)                      AS kept_cents
+    FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY segment
+    """,
+)
+def key_version_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    ranked = o.select(
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+    )
+    kept = F.col("rn") <= _RETAIN_N
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        ranked.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            ranked.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count(F.when(kept, 1)).alias("kept_rows"),
+            F.count(F.when(~kept, 1)).alias("dropped_rows"),
+            F.sum(F.when(kept, cents).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("kept_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-contract expectations over lineitem: every rule is a
+# conditional aggregate in ONE scan, unpivoted with stack() — the
+# joinless sweep shape pinned by the threshold-sweep test (no
+# nested-loop join may reappear). This is the "expectation suite"
+# gate a pipeline runs before publishing a partition; it composes
+# with observed_landing_gate (sources_bridge) which enforces a
+# publish decision from metrics like these.
+# --------------------------------------------------------------------------
+@operator(
+    "value_range_expectations",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(count_if(l_quantity < 1 OR l_quantity > 50) AS BIGINT)    AS v_qty,
+        CAST(count_if(l_discount < 0 OR l_discount > 0.10) AS BIGINT)  AS v_disc,
+        CAST(count_if(l_tax < 0 OR l_tax > 0.08) AS BIGINT)            AS v_tax,
+        CAST(count_if(l_shipdate < TIMESTAMP '1992-01-01 00:00:00'
+                OR l_shipdate >= TIMESTAMP '1999-01-01 00:00:00') AS BIGINT) AS v_ship,
+        CAST(count_if(l_extendedprice <= 0) AS BIGINT)                 AS v_price
+      FROM lineitem
+    )
+    SELECT rule, n_checked, n_violations,
+           ROUND(1.0 - n_violations / CAST(n_checked AS DOUBLE), 6)
+             AS pass_rate
+    FROM (
+      SELECT 'discount_0_to_10pct' AS rule, n AS n_checked, v_disc AS n_violations FROM s
+      UNION ALL SELECT 'extendedprice_positive', n, v_price FROM s
+      UNION ALL SELECT 'quantity_1_to_50', n, v_qty FROM s
+      UNION ALL SELECT 'shipdate_in_era', n, v_ship FROM s
+      UNION ALL SELECT 'tax_0_to_8pct', n, v_tax FROM s
+    ) ORDER BY rule
+    """,
+)
+def value_range_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("v_qty"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.10), 1)
+        ).alias("v_disc"),
+        F.count(
+            F.when((F.col("l_tax") < 0) | (F.col("l_tax") > 0.08), 1)
+        ).alias("v_tax"),
+        F.count(
+            F.when(
+                (F.col("l_shipdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp")),
+                1,
+            )
+        ).alias("v_ship"),
+        F.count(F.when(F.col("l_extendedprice") <= 0, 1)).alias("v_price"),
+    )
+    rules = s.select(
+        F.expr(
+            "stack(5,"
+            " 'discount_0_to_10pct', v_disc,"
+            " 'extendedprice_positive', v_price,"
+            " 'quantity_1_to_50', v_qty,"
+            " 'shipdate_in_era', v_ship,"
+            " 'tax_0_to_8pct', v_tax) AS (rule, n_violations)"
+        ),
+        F.col("n").alias("n_checked"),
+    )
+    return rules.select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        F.round(
+            1.0 - F.col("n_violations") / F.col("n_checked").cast("double"), 6
+        ).alias("pass_rate"),
+    ).orderBy("rule")
+
+
+# --------------------------------------------------------------------------
+# Nearest-within-tolerance as-of join (both directions): every
+# purchase matched to the user's CLOSEST view within +/- 10 minutes —
+# the bidirectional variant of the backward-only as-of join
+# (fact_pit_join / asof_purchase_attribution). The theta "closest
+# within band" is rewritten as a bucketed equi-join: views land in
+# their 10-minute cell, purchases probe their own cell and both
+# neighbors, and a grouped argmin picks the winner — no BNLJ, no
+# window over the union. Gap math is integer microseconds
+# (epoch_us <-> unix_micros, exact on both engines).
+# --------------------------------------------------------------------------
+_ASOF_TOL_US = 600_000_000  # 10 minutes
+
+
+@operator(
+    "asof_nearest_tolerance",
+    oracle=f"""
+    WITH pv AS (
+      SELECT p.event_id AS purchase_id,
+             v.event_id AS view_id,
+             abs(epoch_us(p.ts) - epoch_us(v.ts)) AS gap_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)), v.ts, v.event_id
+             ) AS rn
+      FROM events p
+      JOIN events v
+        ON v.user_id = p.user_id AND v.event_type = 'view'
+       AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= {_ASOF_TOL_US}
+      WHERE p.event_type = 'purchase'
+    )
+    SELECT purchase_id, view_id, gap_us
+    FROM pv WHERE rn = 1 ORDER BY purchase_id
+    """,
+)
+def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataentrytask_spark.catalog import with_event_time
+
+    e = with_event_time(_t(spark, sf_dir, "events"))
+    us = F.unix_micros(F.col("ts"))
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+        us.alias("v_us"),
+        F.floor(us / _ASOF_TOL_US).alias("cell"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        us.alias("p_us"),
+        F.explode(
+            F.array(
+                F.floor(us / _ASOF_TOL_US) - 1,
+                F.floor(us / _ASOF_TOL_US),
+                F.floor(us / _ASOF_TOL_US) + 1,
+            )
+        ).alias("cell"),
+    )
+    cand = (
+        purchases.join(
+            views,
+            (F.col("p_user") == F.col("v_user"))
+            & (purchases["cell"] == views["cell"]),
+        )
+        .withColumn("gap_us", F.abs(F.col("p_us") - F.col("v_us")))
+        .filter(F.col("gap_us") <= _ASOF_TOL_US)
+    )
+    return (
+        cand.groupBy("purchase_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("view_id"), F.col("gap_us")),
+                F.struct(F.col("gap_us"), F.col("v_ts"), F.col("view_id")),
+            ).alias("best")
+        )
+        .select(
+            "purchase_id",
+            F.col("best.view_id").alias("view_id"),
+            F.col("best.gap_us").alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
