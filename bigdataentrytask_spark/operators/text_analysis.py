@@ -2079,3 +2079,167 @@ def source_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Shingle document-frequency distribution (round 7): the sizing
+# diagnostic BEHIND the df-cap that ngram_containment_pairs depends
+# on. Buckets the corpus's distinct trigram shingles by how many
+# documents each appears in; the head buckets (df=1) carry identity
+# signal, the tail (df>10) is the stop-shingle mass a containment
+# join must cap away (its join cost is Σ df²). One explode + one
+# grouped count on the shingle hash + one 5-key rollup — exactly the
+# plan that runs before choosing _CONT_DF_CAP at 100 TB.
+# --------------------------------------------------------------------------
+_SDF_N = 3
+
+
+@operator(
+    "shingle_df_distribution",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, {_sql_shingle_hashes(_SDF_N)} AS hashes
+      FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents)
+    ),
+    df AS (
+      SELECT u.h, CAST(COUNT(*) AS BIGINT) AS df
+      FROM g, UNNEST(g.hashes) AS u(h) GROUP BY u.h
+    )
+    SELECT CASE WHEN df = 1 THEN 'a_unique'
+                WHEN df = 2 THEN 'b_df2'
+                WHEN df <= 5 THEN 'c_df3_5'
+                WHEN df <= 10 THEN 'd_df6_10'
+                ELSE 'e_df11_plus' END            AS df_bucket,
+           CAST(COUNT(*) AS BIGINT)               AS n_shingles,
+           CAST(SUM(df) AS BIGINT)                AS occurrence_mass,
+           CAST(SUM(CAST(df AS HUGEINT) * df) AS BIGINT) AS join_cost_df2
+    FROM df GROUP BY 1 ORDER BY df_bucket
+    """,
+)
+def shingle_df_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    g = d.select("doc_id", _shingle_hashes(_SDF_N).alias("hashes"))
+    df = (
+        g.select(F.explode("hashes").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    bucket = (
+        F.when(F.col("df") == 1, "a_unique")
+        .when(F.col("df") == 2, "b_df2")
+        .when(F.col("df") <= 5, "c_df3_5")
+        .when(F.col("df") <= 10, "d_df6_10")
+        .otherwise("e_df11_plus")
+    )
+    dec = F.col("df").cast("decimal(38,0)")
+    return (
+        df.groupBy(bucket.alias("df_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("df").cast("bigint").alias("occurrence_mass"),
+            F.sum(dec * F.col("df")).cast("bigint").alias("join_cost_df2"),
+        )
+        .orderBy("df_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Lexicon hit rate per source: docs containing any lexicon token and
+# hits per 1000 tokens — the blocklist/topic-lexicon screen shape
+# (the real list would be domain terms, unsafe-content terms, or a
+# compliance blocklist; the mechanics are identical). The lexicon is
+# a literal array (broadcast by construction); per-row math is pure
+# codegen; one shuffle on |sources| keys.
+# --------------------------------------------------------------------------
+_LEXICON = ["spark", "stream", "merge", "join"]
+
+
+@operator(
+    "lexicon_hit_rate",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, {sql_tokens('text')} AS toks FROM documents
+    ), h AS (
+      SELECT source,
+             len(toks) AS n_toks,
+             len(list_filter(toks, x -> x IN
+                 ({", ".join(repr(w) for w in _LEXICON)}))) AS hits
+      FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)               AS n_docs,
+           CAST(count_if(hits > 0) AS BIGINT)     AS docs_with_hit,
+           CAST(SUM(hits) AS BIGINT)              AS total_hits,
+           ROUND(SUM(hits) * 1000.0 / SUM(n_toks), 6) AS hits_per_1k_tokens
+    FROM h GROUP BY source ORDER BY source
+    """,
+)
+def lexicon_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = tokens("text")
+    lex = F.array(*[F.lit(w) for w in _LEXICON])
+    # count occurrences (array_intersect would dedup and undercount)
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(lex, x)))
+    h = d.select(
+        "source", F.size(toks).alias("n_toks"), hits.alias("hits")
+    )
+    return (
+        h.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("hits") > 0, 1)).alias("docs_with_hit"),
+            F.sum("hits").cast("bigint").alias("total_hits"),
+            F.round(
+                F.sum("hits") * 1000.0 / F.sum("n_toks"), 6
+            ).alias("hits_per_1k_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Dataset datacard: the CUBE over (source, lang) a corpus release
+# ships with — every marginal and the grand total in one pass
+# (grouping-set aggregation shuffles each input row once per
+# grouping, all map-side combinable; the flags disambiguate NULL
+# group values from NULL-as-total).
+# --------------------------------------------------------------------------
+@operator(
+    "corpus_datacard_summary",
+    oracle=f"""
+    SELECT source, lang,
+           GROUPING(source) AS g_source,
+           GROUPING(lang)   AS g_lang,
+           CAST(COUNT(*) AS BIGINT)          AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)      AS total_chars,
+           CAST(SUM(len({sql_tokens('text')})) AS BIGINT) AS total_tokens,
+           ROUND(SUM(len({sql_tokens('text')}))
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_tokens
+    FROM documents
+    GROUP BY CUBE (source, lang)
+    ORDER BY g_source, g_lang, source NULLS FIRST, lang NULLS FIRST
+    """,
+)
+def corpus_datacard_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n_toks = F.size(tokens("text"))
+    return (
+        d.select("source", "lang", "n_chars", n_toks.alias("n_toks"))
+        .cube("source", "lang")
+        .agg(
+            F.grouping("source").alias("g_source"),
+            F.grouping("lang").alias("g_lang"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum("n_toks") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_tokens"),
+        )
+        .orderBy(
+            "g_source",
+            "g_lang",
+            F.col("source").asc_nulls_first(),
+            F.col("lang").asc_nulls_first(),
+        )
+    )
