@@ -2018,3 +2018,113 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-dimension moment profile of the embedding table (round 7): the
+# PCA-readiness / dead-dimension diagnostic. A healthy embedding
+# space has roughly isotropic per-dimension variance; collapsed or
+# dominant dimensions distort every cosine downstream, and this is
+# the one-pass check that catches them (the per-dim twin of
+# embedding_norms' per-vector view). Dimension-level rows only — the
+# whole-vector payload is never shuffled, and the 64-key aggregation
+# is map-side combinable.
+# --------------------------------------------------------------------------
+@operator(
+    "embedding_dim_variance",
+    oracle="""
+    WITH dims AS (
+      SELECT generate_subscripts(e, 1) - 1 AS pos, UNNEST(e) AS x
+      FROM (SELECT embedding::DOUBLE[] AS e FROM embeddings)
+    )
+    SELECT pos,
+           CAST(COUNT(*) AS BIGINT)                          AS n,
+           ROUND(SUM(x) / COUNT(*), 6)                       AS mean,
+           ROUND(SUM(x * x) / COUNT(*)
+                 - (SUM(x) / COUNT(*)) * (SUM(x) / COUNT(*)), 6) AS variance,
+           ROUND(MIN(x), 6)                                  AS min_x,
+           ROUND(MAX(x), 6)                                  AS max_x
+    FROM dims GROUP BY pos ORDER BY pos
+    """,
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dims = _emb(spark, sf_dir).select(
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos", "x")
+    )
+    s1 = F.sum("x")
+    s2 = F.sum(F.col("x") * F.col("x"))
+    cnt = F.count(F.lit(1))
+    return (
+        dims.groupBy("pos")
+        .agg(
+            cnt.alias("n"),
+            F.round(s1 / cnt, 6).alias("mean"),
+            F.round(s2 / cnt - (s1 / cnt) * (s1 / cnt), 6).alias("variance"),
+            F.round(F.min("x"), 6).alias("min_x"),
+            F.round(F.max("x"), 6).alias("max_x"),
+        )
+        .orderBy("pos")
+    )
+
+
+# --------------------------------------------------------------------------
+# Label-centroid affinity matrix: pairwise cosine between the class
+# centroids of embedding_label_centroids — the confusability map
+# that says which labels a cluster-based router or a semantic-dedup
+# pass will blur together. Centroids are |labels| x |dims| rows; the
+# pairwise join is |labels|²/2 over dimension-level rows — tiny at
+# any corpus scale because the fact table reduced first.
+# --------------------------------------------------------------------------
+@operator(
+    "centroid_affinity_matrix",
+    oracle="""
+    WITH dims AS (
+      SELECT label, generate_subscripts(e, 1) AS pos, UNNEST(e) AS x
+      FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings)
+    ),
+    cent AS (
+      SELECT label, pos, AVG(x) AS c FROM dims GROUP BY label, pos
+    ),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(a.c * b.c) AS dot,
+             sqrt(SUM(a.c * a.c)) AS na,
+             sqrt(SUM(b.c * b.c)) AS nb
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT label_a, label_b, ROUND(dot / (na * nb), 6) AS cosine
+    FROM pairs ORDER BY label_a, label_b
+    """,
+)
+def centroid_affinity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dims = _emb(spark, sf_dir).select(
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    )
+    cent = dims.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
+            F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+    ).orderBy("label_a", "label_b")
