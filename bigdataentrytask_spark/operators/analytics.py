@@ -2291,3 +2291,88 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sx div n").cast("bigint").alias("mean_gap_us"),
         F.round((sig - mu) / (sig + mu), 6).alias("burstiness"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Signup -> first-purchase conversion latency distribution (round 7):
+# per converting user, the gap between the first signup and the first
+# purchase strictly after it; reported as exact interpolated
+# percentiles plus the conversion rate. Completes the funnel family:
+# funnel_view_click_purchase counts WHO converts, this measures HOW
+# FAST. Two per-user min() aggregations on the same user_id key (AQE
+# reuses the partitioning), then a percentile over |converters| gaps
+# — user-dimension-sized, never fact-sized. Gap math in exact integer
+# microseconds (unix_micros <-> epoch_us).
+# --------------------------------------------------------------------------
+@operator(
+    "conversion_latency_percentiles",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id,
+             MIN(epoch_us(e.ts) - epoch_us(s.t_signup)) AS gap_us
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.t_signup
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s)  AS n_signup_users,
+           CAST(COUNT(*) AS BIGINT)                  AS n_converted,
+           ROUND(COUNT(*) / CAST((SELECT COUNT(*) FROM s) AS DOUBLE), 6)
+             AS conversion_rate,
+           ROUND(quantile_cont(gap_us, 0.5) / 1e6, 6)  AS p50_seconds,
+           ROUND(quantile_cont(gap_us, 0.9) / 1e6, 6)  AS p90_seconds,
+           ROUND(quantile_cont(gap_us, 0.99) / 1e6, 6) AS p99_seconds
+    FROM p
+    """,
+)
+def conversion_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdataentrytask_spark.catalog import with_event_time
+
+    e = with_event_time(_t(spark, sf_dir, "events"))
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t_signup"))
+            ).alias("gap_us")
+        )
+    )
+    n_signups = s.agg(F.count(F.lit(1)).alias("n_signup_users"))
+    return (
+        p.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(F.expr("percentile(gap_us, 0.5)") / 1e6, 6).alias(
+                "p50_seconds"
+            ),
+            F.round(F.expr("percentile(gap_us, 0.9)") / 1e6, 6).alias(
+                "p90_seconds"
+            ),
+            F.round(F.expr("percentile(gap_us, 0.99)") / 1e6, 6).alias(
+                "p99_seconds"
+            ),
+        )
+        .crossJoin(F.broadcast(n_signups))
+        .select(
+            "n_signup_users",
+            "n_converted",
+            F.round(
+                F.col("n_converted") / F.col("n_signup_users").cast("double"),
+                6,
+            ).alias("conversion_rate"),
+            "p50_seconds",
+            "p90_seconds",
+            "p99_seconds",
+        )
+    )

@@ -493,3 +493,198 @@ def dataset_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share"
         ),
     ).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# Smoothed target encoding (round 7): replace the categorical
+# c_mktsegment with its shrunk positive-rate toward the global prior
+# — enc = (n_pos + m * prior) / (n + m) — the leakage-resistant
+# categorical feature every tabular quality/routing model uses.
+# Positives are exact integer counts; the prior and the shrinkage
+# are scalar math on the 5-row aggregate, so the encoding is
+# bit-stable. At 100 TB this is one map-side-combinable count pass
+# per categorical column; high-cardinality categories (urls, hosts)
+# use the identical plan with a count-min fallback for the tail.
+# --------------------------------------------------------------------------
+_TE_SMOOTH_M = 100
+_TE_HIGH_CENTS = 15_000_000  # o_totalprice > 150k
+
+
+@operator(
+    "target_encoding_smoothed",
+    oracle=f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) > {_TE_HIGH_CENTS}
+               AS pos
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT)        AS n,
+             CAST(count_if(pos) AS BIGINT)   AS n_pos
+      FROM j GROUP BY segment
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+                 CAST(SUM(n_pos) AS BIGINT) AS pos_all FROM g)
+    SELECT g.segment, g.n, g.n_pos,
+           ROUND(g.n_pos / CAST(g.n AS DOUBLE), 6) AS raw_rate,
+           ROUND((g.n_pos + {_TE_SMOOTH_M}
+                  * (t.pos_all / CAST(t.n_all AS DOUBLE)))
+                 / (g.n + {_TE_SMOOTH_M}), 6)      AS encoded
+    FROM g CROSS JOIN t
+    ORDER BY g.segment
+    """,
+)
+def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pos = F.round(F.col("o_totalprice") * 100).cast("bigint") > _TE_HIGH_CENTS
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(F.col("c_mktsegment").alias("segment"), pos.alias("pos"))
+    g = j.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("pos"), 1)).alias("n_pos"),
+    )
+    from pyspark.sql import Window
+
+    w_tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    prior = F.sum("n_pos").over(w_tot) / F.sum("n").over(w_tot).cast("double")
+    return (
+        g.select(
+            "segment",
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos") / F.col("n").cast("double"), 6).alias(
+                "raw_rate"
+            ),
+            F.round(
+                (F.col("n_pos") + _TE_SMOOTH_M * prior)
+                / (F.col("n") + _TE_SMOOTH_M),
+                6,
+            ).alias("encoded"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Decision-stump split gain (round 7): information gain of splitting
+# "is this a high-priority order" on o_totalprice at each of 9 fixed
+# thresholds — the single-feature importance probe behind stump-based
+# feature ranking. Same joinless shape as neardup_threshold_sweep
+# (the plan-pinned BNLJ lesson, CONTRIBUTING.md pitfall 5): 9
+# thresholds = 18 conditional aggregates in ONE scan, unpivoted with
+# stack(); the entropy algebra runs on the 9-row table with exact
+# integer counts.
+# --------------------------------------------------------------------------
+_STUMP_TAUS = [50, 100, 150, 200, 250, 300, 350, 400, 450]  # k$ cents*1e5
+
+
+def _register_stump_split_gain() -> None:
+    pos_sql = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    cents_sql = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+    agg_cols = ", ".join(
+        f"CAST(count_if({cents_sql} <= {t * 100_000}) AS BIGINT) AS nl_{t},"
+        f" CAST(count_if({cents_sql} <= {t * 100_000} AND {pos_sql})"
+        f" AS BIGINT) AS pl_{t}"
+        for t in _STUMP_TAUS
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT {t} AS tau_kd, nl_{t} AS n_left, pl_{t} AS pos_left,"
+        f" n, pos FROM s"
+        for t in _STUMP_TAUS
+    )
+    oracle = f"""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(count_if({pos_sql}) AS BIGINT) AS pos,
+             {agg_cols}
+      FROM orders
+    ),
+    u AS ({unpivot}),
+    h AS (
+      SELECT tau_kd, n_left, pos_left, n, pos,
+             n - n_left AS n_right, pos - pos_left AS pos_right
+      FROM u
+    )
+    SELECT tau_kd, n_left, pos_left,
+      ROUND(
+        (CASE WHEN pos IN (0, n) THEN 0 ELSE
+          -(pos / CAST(n AS DOUBLE)) * ln(pos / CAST(n AS DOUBLE))
+          - ((n - pos) / CAST(n AS DOUBLE)) * ln((n - pos) / CAST(n AS DOUBLE))
+         END)
+        - (n_left / CAST(n AS DOUBLE)) *
+          (CASE WHEN n_left = 0 OR pos_left IN (0, n_left) THEN 0 ELSE
+            -(pos_left / CAST(n_left AS DOUBLE))
+              * ln(pos_left / CAST(n_left AS DOUBLE))
+            - ((n_left - pos_left) / CAST(n_left AS DOUBLE))
+              * ln((n_left - pos_left) / CAST(n_left AS DOUBLE))
+           END)
+        - (n_right / CAST(n AS DOUBLE)) *
+          (CASE WHEN n_right = 0 OR pos_right IN (0, n_right) THEN 0 ELSE
+            -(pos_right / CAST(n_right AS DOUBLE))
+              * ln(pos_right / CAST(n_right AS DOUBLE))
+            - ((n_right - pos_right) / CAST(n_right AS DOUBLE))
+              * ln((n_right - pos_right) / CAST(n_right AS DOUBLE))
+           END), 9) AS info_gain
+    FROM h ORDER BY tau_kd
+    """
+
+    @operator("stump_split_gain", oracle=oracle)
+    def stump_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_session_confs(spark)
+        o = load_table(spark, sf_dir, "orders")
+        cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+        pos = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(pos, 1)).alias("pos"),
+        ]
+        for t in _STUMP_TAUS:
+            le = cents <= t * 100_000
+            aggs.append(F.count(F.when(le, 1)).alias(f"nl_{t}"))
+            aggs.append(F.count(F.when(le & pos, 1)).alias(f"pl_{t}"))
+        s = o.agg(*aggs)
+        stack_expr = ", ".join(
+            f"{t}L, nl_{t}, pl_{t}" for t in _STUMP_TAUS
+        )
+        u = s.select(
+            F.expr(
+                f"stack({len(_STUMP_TAUS)}, {stack_expr})"
+                " AS (tau_kd, n_left, pos_left)"
+            ),
+            "n",
+            "pos",
+        )
+        n = F.col("n").cast("double")
+        n_right = F.col("n") - F.col("n_left")
+        pos_right = F.col("pos") - F.col("pos_left")
+
+        def h2(p_, n_):
+            # binary entropy of (p_, n_ - p_) with the 0/pure guard
+            q = p_ / n_.cast("double")
+            r = (n_ - p_) / n_.cast("double")
+            return F.when(
+                (n_ == 0) | (p_ == 0) | (p_ == n_), F.lit(0.0)
+            ).otherwise(-q * F.log(q) - r * F.log(r))
+
+        gain = (
+            h2(F.col("pos"), F.col("n"))
+            - (F.col("n_left") / n) * h2(F.col("pos_left"), F.col("n_left"))
+            - (n_right / n) * h2(pos_right, n_right)
+        )
+        return u.select(
+            "tau_kd",
+            "n_left",
+            "pos_left",
+            F.round(gain, 9).alias("info_gain"),
+        ).orderBy("tau_kd")
+
+
+_register_stump_split_gain()

@@ -313,3 +313,112 @@ def _register_calibration_bins() -> None:
 
 
 _register_calibration_bins()
+
+
+def _register_score_decile_lift() -> None:
+    """Decile lift table of the quality classifier (round 7): rank
+    docs by score into 10 equal bins (deterministic tie-break on
+    doc_id), report per-bin positive rate vs the global rate (lift)
+    and the cumulative capture curve — the selection-oriented twin of
+    `calibration_bins` (which asks "are the probabilities honest";
+    this asks "how much quality does the top decile buy"). Truth is
+    `quality_filter` membership, same as classifier_eval_metrics.
+
+    Scale: the decile split is the only global sort, and it runs on
+    the (doc_id, score, truth) projection, not the corpus; at 100 TB
+    the same table comes from an approx-quantile cut of the score
+    column instead of NTILE — documented trade, identical schema."""
+    oracle = f"""
+    WITH qc AS ({ORACLES["quality_classifier_score"]}),
+    qf AS ({ORACLES["quality_filter"]}),
+    scored AS (
+      SELECT qc.doc_id, qc.score,
+             qf.doc_id IS NOT NULL AS truth,
+             NTILE(10) OVER (ORDER BY qc.score DESC, qc.doc_id) AS decile
+      FROM qc LEFT JOIN qf ON qf.doc_id = qc.doc_id
+    ),
+    bins AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT)           AS n_docs,
+             CAST(count_if(truth) AS BIGINT)    AS n_pos
+      FROM scored GROUP BY decile
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all,
+             CAST(SUM(n_pos) AS BIGINT)  AS pos_all
+      FROM bins
+    )
+    SELECT b.decile, b.n_docs, b.n_pos,
+           ROUND(b.n_pos / CAST(b.n_docs AS DOUBLE), 6)          AS pos_rate,
+           ROUND((b.n_pos / CAST(b.n_docs AS DOUBLE))
+                 / (t.pos_all / CAST(t.n_all AS DOUBLE)), 6)     AS lift,
+           ROUND(SUM(b.n_pos) OVER (ORDER BY b.decile)
+                 / CAST(t.pos_all AS DOUBLE), 6)                 AS cum_capture
+    FROM bins b CROSS JOIN tot t
+    ORDER BY b.decile
+    """
+
+    @operator("score_decile_lift", oracle=oracle)
+    def score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        pred = REGISTRY["quality_classifier_score"](spark, sf_dir).select(
+            "doc_id", "score"
+        )
+        truth = (
+            REGISTRY["quality_filter"](spark, sf_dir)
+            .select("doc_id")
+            .withColumn("truth", F.lit(True))
+        )
+        scored = (
+            pred.join(F.broadcast(truth), "doc_id", "left")
+            .select(
+                "doc_id",
+                "score",
+                F.coalesce("truth", F.lit(False)).alias("truth"),
+            )
+            .withColumn(
+                "decile",
+                F.ntile(10).over(
+                    Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+                ),
+            )
+        )
+        bins = scored.groupBy("decile").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("truth"), 1)).alias("n_pos"),
+        )
+        w_tot = Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        w_cum = Window.orderBy("decile")
+        return (
+            bins.select(
+                "decile",
+                "n_docs",
+                "n_pos",
+                F.sum("n_docs").over(w_tot).alias("n_all"),
+                F.sum("n_pos").over(w_tot).alias("pos_all"),
+                F.sum("n_pos").over(w_cum).alias("cum_pos"),
+            )
+            .select(
+                "decile",
+                "n_docs",
+                "n_pos",
+                F.round(
+                    F.col("n_pos") / F.col("n_docs").cast("double"), 6
+                ).alias("pos_rate"),
+                F.round(
+                    (F.col("n_pos") / F.col("n_docs").cast("double"))
+                    / (F.col("pos_all") / F.col("n_all").cast("double")),
+                    6,
+                ).alias("lift"),
+                F.round(
+                    F.col("cum_pos") / F.col("pos_all").cast("double"), 6
+                ).alias("cum_capture"),
+            )
+            .orderBy("decile")
+        )
+
+
+_register_score_decile_lift()
