@@ -1935,7 +1935,7 @@ def key_version_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(count_if(l_discount < 0 OR l_discount > 0.10) AS BIGINT)  AS v_disc,
         CAST(count_if(l_tax < 0 OR l_tax > 0.08) AS BIGINT)            AS v_tax,
         CAST(count_if(l_shipdate < TIMESTAMP '1992-01-01 00:00:00'
-                OR l_shipdate >= TIMESTAMP '1999-01-01 00:00:00') AS BIGINT) AS v_ship,
+                OR l_shipdate >= TIMESTAMP '2003-01-01 00:00:00') AS BIGINT) AS v_ship,
         CAST(count_if(l_extendedprice <= 0) AS BIGINT)                 AS v_price
       FROM lineitem
     )
@@ -1967,7 +1967,7 @@ def value_range_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(
             F.when(
                 (F.col("l_shipdate") < F.lit("1992-01-01").cast("timestamp"))
-                | (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp")),
+                | (F.col("l_shipdate") >= F.lit("2003-01-01").cast("timestamp")),
                 1,
             )
         ).alias("v_ship"),
