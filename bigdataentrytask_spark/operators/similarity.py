@@ -2128,3 +2128,78 @@ def centroid_affinity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label_b",
         F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
     ).orderBy("label_a", "label_b")
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion of the exact and LSH retrievers (round 7):
+# the standard hybrid-search combiner — score(d) = Σ_lists
+# 1/(K + rank_list(d)) with K = 60, over the two top-k lists the
+# registry already verifies independently (knn_bruteforce truth,
+# knn_lsh production path). RRF needs no score calibration between
+# retrievers, which is exactly why fusion layers use it. Ranks are
+# INTEGERS, so the fused score is the same IEEE double on both
+# engines and the (rrf DESC, neighbor_id) cutoff is deterministic.
+# Scale: operates on the top-k lists (|queries| x k rows), never the
+# corpus — the fusion cost is independent of collection size.
+# --------------------------------------------------------------------------
+def _register_rrf_fusion() -> None:
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+
+    k_rrf = 60
+    oracle = f"""
+    WITH bf AS ({ORACLES["knn_bruteforce"]}),
+    approx AS ({ORACLES["knn_lsh"]}),
+    pooled AS (
+      SELECT query_id, neighbor_id, rnk, 'exact' AS src FROM bf
+      UNION ALL
+      SELECT query_id, neighbor_id, rnk, 'lsh' FROM approx
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             SUM(1.0 / ({k_rrf} + rnk))       AS rrf,
+             CAST(COUNT(*) AS BIGINT)         AS n_lists
+      FROM pooled GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, rrf, n_lists,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rrf DESC, neighbor_id) AS fused_rank
+      FROM fused
+    )
+    SELECT query_id, fused_rank, neighbor_id, n_lists,
+           ROUND(rrf, 6) AS rrf_score
+    FROM ranked WHERE fused_rank <= {TOP_K}
+    ORDER BY query_id, fused_rank
+    """
+
+    @operator("knn_rrf_fusion", oracle=oracle)
+    def knn_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+        bf = REGISTRY["knn_bruteforce"](spark, sf_dir).select(
+            "query_id", "neighbor_id", "rnk"
+        )
+        ap = REGISTRY["knn_lsh"](spark, sf_dir).select(
+            "query_id", "neighbor_id", "rnk"
+        )
+        pooled = bf.unionByName(ap)
+        fused = pooled.groupBy("query_id", "neighbor_id").agg(
+            F.sum(1.0 / (F.lit(k_rrf) + F.col("rnk"))).alias("rrf"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("rrf").desc(), "neighbor_id"
+        )
+        return (
+            fused.withColumn("fused_rank", F.row_number().over(w))
+            .filter(F.col("fused_rank") <= TOP_K)
+            .select(
+                "query_id",
+                "fused_rank",
+                "neighbor_id",
+                "n_lists",
+                F.round("rrf", 6).alias("rrf_score"),
+            )
+            .orderBy("query_id", "fused_rank")
+        )
+
+
+_register_rrf_fusion()

@@ -1163,3 +1163,76 @@ def lognormal_chars_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(mu + var / 2), 6).alias("implied_mean"),
         F.round(F.col("chars_tot") / n.cast("double"), 6).alias("actual_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# Markov next-event prediction accuracy: if the predictor is "emit
+# the most frequent next type given the current type" (the 1st-order
+# Markov argmax from transition_entropy_rate's cell table), what
+# fraction of transitions does it get right — against the marginal-
+# argmax baseline (always predict the globally most common next
+# type)? Pure integer-count algebra on the 25-cell table; the fact
+# table contributes one LEAD window partitioned by user.
+# --------------------------------------------------------------------------
+@operator(
+    "markov_next_accuracy",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), cells AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), per_cur AS (
+      SELECT cur, CAST(MAX(cnt) AS BIGINT) AS best, CAST(SUM(cnt) AS BIGINT) AS tot
+      FROM cells GROUP BY cur
+    ), marg AS (
+      SELECT CAST(MAX(s) AS BIGINT) AS best_marginal
+      FROM (SELECT SUM(cnt) AS s FROM cells GROUP BY nxt)
+    )
+    SELECT CAST(SUM(tot) AS BIGINT)                      AS n_transitions,
+           CAST(SUM(best) AS BIGINT)                     AS n_correct,
+           ROUND(SUM(best) / CAST(SUM(tot) AS DOUBLE), 6) AS markov_accuracy,
+           ROUND(MAX(m.best_marginal)
+                 / CAST(SUM(tot) AS DOUBLE), 6)          AS baseline_accuracy,
+           ROUND((SUM(best) - MAX(m.best_marginal))
+                 / CAST(SUM(tot) AS DOUBLE), 6)          AS lift_over_baseline
+    FROM per_cur CROSS JOIN marg m
+    """,
+)
+def markov_next_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cells = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("cnt"))
+    per_cur = cells.groupBy("cur").agg(
+        F.max("cnt").alias("best"), F.sum("cnt").alias("tot")
+    )
+    marg = (
+        cells.groupBy("nxt")
+        .agg(F.sum("cnt").alias("s"))
+        .agg(F.max("s").alias("best_marginal"))
+    )
+    return (
+        per_cur.crossJoin(F.broadcast(marg))
+        .agg(
+            F.sum("tot").alias("n_transitions"),
+            F.sum("best").alias("n_correct"),
+            F.round(
+                F.sum("best") / F.sum("tot").cast("double"), 6
+            ).alias("markov_accuracy"),
+            F.round(
+                F.max("best_marginal") / F.sum("tot").cast("double"), 6
+            ).alias("baseline_accuracy"),
+            F.round(
+                (F.sum("best") - F.max("best_marginal"))
+                / F.sum("tot").cast("double"),
+                6,
+            ).alias("lift_over_baseline"),
+        )
+    )

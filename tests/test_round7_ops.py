@@ -54,6 +54,9 @@ ROUND7_OPS = [
     "target_encoding_smoothed",
     "conversion_latency_percentiles",
     "stump_split_gain",
+    # stretch additions
+    "knn_rrf_fusion",
+    "markov_next_accuracy",
 ]
 
 
