@@ -2376,3 +2376,95 @@ def conversion_latency_percentiles(
             "p99_seconds",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Windowed strict funnel (round 7): view -> click -> purchase where
+# each step must land within _FUNNEL_WINDOW of the previous step's
+# entry — the product-analytics default ("converted within the
+# hour"), vs funnel_view_click_purchase's unbounded variant. Same
+# per-user min() chain on one key; the window bound rides the join
+# predicate, state per user stays O(1).
+# --------------------------------------------------------------------------
+_FUNNEL_WINDOW_MIN = 60
+
+
+@operator(
+    "funnel_within_1h",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        AND e.ts <= v.t_view + INTERVAL {_FUNNEL_WINDOW_MIN} MINUTE
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND e.ts <= c.t_click + INTERVAL {_FUNNEL_WINDOW_MIN} MINUTE
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_1h,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_1h,
+           ROUND((SELECT COUNT(*) FROM c)
+                 / CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 6)
+             AS view_to_click,
+           ROUND((SELECT COUNT(*) FROM p)
+                 / CAST((SELECT COUNT(*) FROM c) AS DOUBLE), 6)
+             AS click_to_purchase
+    """,
+)
+def funnel_within_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataentrytask_spark.catalog import with_event_time
+
+    e = with_event_time(_t(spark, sf_dir, "events"))
+    window = F.expr(f"INTERVAL {_FUNNEL_WINDOW_MIN} MINUTE")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + window)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + window)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_1h"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_1h"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_click_1h",
+            "n_purchase_1h",
+            F.round(
+                F.col("n_click_1h") / F.col("n_view").cast("double"), 6
+            ).alias("view_to_click"),
+            F.round(
+                F.col("n_purchase_1h") / F.col("n_click_1h").cast("double"),
+                6,
+            ).alias("click_to_purchase"),
+        )
+    )

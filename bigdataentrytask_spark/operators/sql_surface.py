@@ -1869,3 +1869,67 @@ def map_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("m").cast("bigint").alias("n_keys"),
         F.element_at("m", "1-URGENT").cast("bigint").alias("urgent_cnt"),
     ).orderBy("o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# Rank-semantics parity probe (round 7): ROW_NUMBER vs RANK vs
+# DENSE_RANK disagree exactly when ties exist, and "top-k" silently
+# changes meaning with the choice (row_number: exactly k; rank: can
+# skip past k; dense_rank: can return MORE than k rows). Per order
+# status, count how many rows each semantics admits at k=5 over the
+# (deliberately tie-heavy) order-date ranking, plus the tie width at
+# the boundary — proving both engines agree on all three.
+# --------------------------------------------------------------------------
+_RANK_K = 5
+
+
+@operator(
+    "rank_semantics_probe",
+    oracle=f"""
+    WITH r AS (
+      SELECT o_orderstatus,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_orderdate DESC, o_orderkey) AS rn,
+             RANK() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_orderdate DESC) AS rk,
+             DENSE_RANK() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_orderdate DESC) AS drk
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count_if(rn <= {_RANK_K}) AS BIGINT)   AS by_row_number,
+           CAST(count_if(rk <= {_RANK_K}) AS BIGINT)   AS by_rank,
+           CAST(count_if(drk <= {_RANK_K}) AS BIGINT)  AS by_dense_rank,
+           CAST(MAX(CASE WHEN rn = {_RANK_K} THEN rk END) AS BIGINT)
+             AS rank_at_kth_row
+    FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def rank_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    by_date = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_orderdate").desc()
+    )
+    by_date_stable = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_orderdate").desc(), "o_orderkey"
+    )
+    r = o.select(
+        "o_orderstatus",
+        F.row_number().over(by_date_stable).alias("rn"),
+        F.rank().over(by_date).alias("rk"),
+        F.dense_rank().over(by_date).alias("drk"),
+    )
+    return (
+        r.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.when(F.col("rn") <= _RANK_K, 1)).alias("by_row_number"),
+            F.count(F.when(F.col("rk") <= _RANK_K, 1)).alias("by_rank"),
+            F.count(F.when(F.col("drk") <= _RANK_K, 1)).alias(
+                "by_dense_rank"
+            ),
+            F.max(
+                F.when(F.col("rn") == _RANK_K, F.col("rk"))
+            ).cast("bigint").alias("rank_at_kth_row"),
+        )
+        .orderBy("o_orderstatus")
+    )

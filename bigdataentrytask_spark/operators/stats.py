@@ -1236,3 +1236,72 @@ def markov_next_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_over_baseline"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Robust location & scale per market segment: 5%-trimmed mean and
+# MAD (median absolute deviation) of order cents — the outlier-proof
+# companions to welch/iqr. Trim bounds and the inner median are exact
+# interpolated percentiles (the percentile <-> quantile_cont parity
+# pair); the trimmed mean is a conditional aggregate against the
+# broadcast bounds; MAD re-aggregates |x - median| per segment. Two
+# passes over the keyed fact, both map-side-combinable.
+# --------------------------------------------------------------------------
+@operator(
+    "robust_location_scale",
+    oracle=f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment, {_CENTS} AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), q AS (
+      SELECT segment,
+             quantile_cont(cents, 0.05) AS lo,
+             quantile_cont(cents, 0.95) AS hi,
+             quantile_cont(cents, 0.5)  AS med
+      FROM j GROUP BY segment
+    )
+    SELECT j.segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(q.med), 2)     AS median_cents,
+           ROUND(SUM(CASE WHEN j.cents >= q.lo AND j.cents <= q.hi
+                          THEN j.cents END)
+                 / CAST(count_if(j.cents >= q.lo AND j.cents <= q.hi)
+                        AS DOUBLE), 6)              AS trimmed_mean_cents,
+           ROUND(quantile_cont(abs(j.cents - q.med), 0.5), 2)
+             AS mad_cents
+    FROM j JOIN q ON j.segment = q.segment
+    GROUP BY j.segment ORDER BY j.segment
+    """,
+)
+def robust_location_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    j = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == c.c_custkey)
+        .select(F.col("c_mktsegment").alias("segment"), cents.alias("cents"))
+    )
+    q = j.groupBy("segment").agg(
+        F.expr("percentile(cents, 0.05)").alias("lo"),
+        F.expr("percentile(cents, 0.95)").alias("hi"),
+        F.expr("percentile(cents, 0.5)").alias("med"),
+    )
+    inlier = (F.col("cents") >= F.col("lo")) & (F.col("cents") <= F.col("hi"))
+    return (
+        j.join(F.broadcast(q), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 2).alias("median_cents"),
+            F.round(
+                F.sum(F.when(inlier, F.col("cents")))
+                / F.count(F.when(inlier, 1)).cast("double"),
+                6,
+            ).alias("trimmed_mean_cents"),
+            F.round(
+                F.expr("percentile(abs(cents - med), 0.5)"), 2
+            ).alias("mad_cents"),
+        )
+        .orderBy("segment")
+    )

@@ -57,6 +57,9 @@ ROUND7_OPS = [
     # stretch additions
     "knn_rrf_fusion",
     "markov_next_accuracy",
+    "funnel_within_1h",
+    "robust_location_scale",
+    "rank_semantics_probe",
 ]
 
 
