@@ -1680,6 +1680,47 @@ def user_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compact_changelogs(stamped: DataFrame, value_cols: list[str]) -> DataFrame:
+    """Collapse a seq-stamped concatenation of CONSECUTIVE
+    `diff_snapshots` changelogs into one net changelog (same schema:
+    k, change_type, new_<col>...).
+
+    Net rule per key on (first_op by seq, last_op by seq):
+    insert..delete cancels (the key never touches the base),
+    anything..delete nets to delete, insert..anything nets to insert
+    with the LAST image, otherwise update with the last image.
+    Property-tested on random 3-snapshot chains
+    (tests/test_property_round4_algebra.py): applying the compacted
+    log to S0 must reproduce the final snapshot exactly.
+    """
+    new_cols = [f"new_{c}" for c in value_cols]
+    compact = stamped.groupBy("k").agg(
+        F.min_by("change_type", "seq").alias("first_op"),
+        F.max_by("change_type", "seq").alias("last_op"),
+        F.max_by(F.struct(*new_cols), "seq").alias("img"),
+    )
+    return (
+        compact.withColumn(
+            "change_type",
+            F.when(
+                (F.col("first_op") == "insert")
+                & (F.col("last_op") == "delete"),
+                F.lit(None).cast("string"),
+            )
+            .when(F.col("last_op") == "delete", F.lit("delete"))
+            .when(F.col("first_op") == "insert", F.lit("insert"))
+            .otherwise(F.lit("update")),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            "k",
+            "change_type",
+            *[F.col(f"img.{c}").alias(c) for c in new_cols],
+        )
+    )
+
+
+
 # --------------------------------------------------------------------------
 # Multi-batch changelog compaction (round 7): two consecutive
 # changelogs (S0->S1, S1->S2) collapse to ONE net changelog whose
@@ -1741,30 +1782,7 @@ def cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     log01 = diff_snapshots(s0, s1, "custkey").withColumn("seq", F.lit(1))
     log12 = diff_snapshots(s1, s2, "custkey").withColumn("seq", F.lit(2))
     both = log01.unionByName(log12)
-    compact = both.groupBy("k").agg(
-        F.min_by("change_type", "seq").alias("first_op"),
-        F.max_by("change_type", "seq").alias("last_op"),
-        F.max_by(F.struct("new_n_orders", "new_cents"), "seq").alias("img"),
-    )
-    net = (
-        compact.withColumn(
-            "change_type",
-            F.when(
-                (F.col("first_op") == "insert") & (F.col("last_op") == "delete"),
-                F.lit(None).cast("string"),
-            )
-            .when(F.col("last_op") == "delete", F.lit("delete"))
-            .when(F.col("first_op") == "insert", F.lit("insert"))
-            .otherwise(F.lit("update")),
-        )
-        .filter(F.col("change_type").isNotNull())
-        .select(
-            "k",
-            "change_type",
-            F.col("img.new_n_orders").alias("new_n_orders"),
-            F.col("img.new_cents").alias("new_cents"),
-        )
-    )
+    net = compact_changelogs(both, ["n_orders", "cents"])
     return apply_changelog(s0, net, "custkey").orderBy("custkey")
 
 

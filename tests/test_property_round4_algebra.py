@@ -140,3 +140,50 @@ def test_cdc_apply_after_diff_is_identity(spark, seed):
         for r in apply_changelog(old_df, changelog_df, "k").collect()
     }
     assert applied == new
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_compacted_changelog_applies_to_final_state(spark, seed):
+    """Round-7 compaction law: for ANY chain S0 -> S1 -> S2,
+    apply(S0, compact(diff(S0,S1) + diff(S1,S2))) == S2. Random
+    states exercise every (first_op, last_op) transition the CASE
+    analysis in compact_changelogs handles — including
+    insert..delete (must vanish) and delete..insert (must net to an
+    update against the base)."""
+    from bigdataentrytask_spark.operators.warehouse import compact_changelogs
+
+    rng = random.Random(1000 + seed)
+    universe = list(range(1, 25))
+
+    def state(r):
+        return {
+            k: (r.randint(1, 5), r.randint(1, 999))
+            for k in r.sample(universe, r.randint(0, 18))
+        }
+
+    s0, s1, s2 = state(rng), state(rng), state(rng)
+    # force value-identical overlaps so 'unchanged' (no changelog row)
+    # paths interleave with real transitions
+    for a, b in ((s0, s1), (s1, s2)):
+        for k in set(a) & set(b):
+            if rng.random() < 0.4:
+                b[k] = a[k]
+
+    d0, d1, d2 = (_state_df(spark, s) for s in (s0, s1, s2))
+    stamped = (
+        diff_snapshots(d0, d1, "k").withColumn("seq", F.lit(1))
+    ).unionByName(diff_snapshots(d1, d2, "k").withColumn("seq", F.lit(2)))
+    net = compact_changelogs(stamped, ["n", "s"])
+
+    # compaction must never emit more rows than keys that differ
+    # between the endpoints OR that round-tripped through a change
+    applied = {
+        r.k: (r.n, r.s)
+        for r in apply_changelog(d0, net, "k").collect()
+    }
+    assert applied == s2
+
+    # and insert..delete keys must be absent from the net changelog
+    gone = set(s1) - set(s0) - set(s2)
+    net_keys = {r.k for r in net.collect()}
+    assert not (gone & net_keys)
