@@ -56,8 +56,18 @@ load_all()
 # jump to the front, greens rotate — deferral only affects the
 # never-checked. Clear the list at the next round boundary.
 _DEFER: list[str] = [
-    # cleared at the round-7 boundary: the three staged probes are now
-    # live never-checked entries and lead the round-7 sweep.
+    # round-8 slate, staged during round 7 (all preverified MATCH at
+    # sf0.01 via scripts/preverify.py in a vanilla session). Clear at
+    # the round-8 boundary.
+    "kendall_tau_qty_discount",
+    "two_proportion_wilson",
+    "runs_test_daily_revenue",
+    "interpurchase_gamma_fit",
+    "partition_skew_report",
+    "merge_idempotence_check",
+    "clustering_coefficient_by_degree",
+    "heaps_law_fit",
+    "dedup_cluster_cohesion",
 ]
 
 _PIN: list[str] = [

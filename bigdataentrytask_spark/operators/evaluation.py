@@ -422,3 +422,111 @@ def _register_score_decile_lift() -> None:
 
 
 _register_score_decile_lift()
+
+
+def _register_dedup_cluster_cohesion() -> None:
+    """Cohesion audit of the MinHash dedup output (round-8 slate):
+    for every resolved near-dup cluster of size >= 2, the exact
+    pairwise Jaccard over distinct token sets, rolled up by cluster
+    size — LOW cohesion means the LSH banding is merging docs the
+    exact measure would keep apart (the precision failure mode
+    minhash_precision_eval quantifies at the PAIR level; this is the
+    CLUSTER-level view after transitive closure, where one bad edge
+    can glue two good clusters).
+
+    Scale: intra-cluster pairs only — near-dup clusters are small by
+    construction (a giant cluster is itself the pathology this op
+    exists to flag), so the pair expansion is bounded by the cluster
+    size distribution (`dedup_cluster_sizes`), never corpus-quadratic."""
+    from bigdataentrytask_spark.functions.text import sql_tokens, tokens
+
+    oracle = f"""
+    WITH comp AS (
+      SELECT doc_id, component FROM ({ORACLES["dedup_resolve"]})
+    ),
+    csize AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS csz
+      FROM comp GROUP BY component HAVING COUNT(*) >= 2
+    ),
+    arrs AS (
+      SELECT doc_id, list_distinct({sql_tokens('text')}) AS toks
+      FROM documents
+    ),
+    ipairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, s.csz
+      FROM comp a
+      JOIN comp b ON a.component = b.component AND a.doc_id < b.doc_id
+      JOIN csize s ON s.component = a.component
+    ),
+    jac AS (
+      SELECT p.csz,
+             len(list_filter(ta.toks, t -> list_contains(tb.toks, t)))
+             / CAST(len(ta.toks) + len(tb.toks)
+                    - len(list_filter(ta.toks, t -> list_contains(tb.toks, t)))
+                    AS DOUBLE) AS j
+      FROM ipairs p
+      JOIN arrs ta ON ta.doc_id = p.da
+      JOIN arrs tb ON tb.doc_id = p.db
+    )
+    SELECT csz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT)  AS n_pairs,
+           ROUND(SUM(j) / COUNT(*), 6) AS avg_jaccard,
+           ROUND(MIN(j), 6)            AS min_jaccard
+    FROM jac GROUP BY csz ORDER BY cluster_size
+    """
+
+    @operator("dedup_cluster_cohesion", oracle=oracle)
+    def dedup_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bigdataentrytask_spark.catalog import load_table
+
+        comp = REGISTRY["dedup_resolve"](spark, sf_dir).select(
+            "doc_id", "component"
+        )
+        csize = (
+            comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("csz"))
+            .filter(F.col("csz") >= 2)
+        )
+        arrs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.array_distinct(tokens("text")).alias("toks")
+        )
+        a = comp.select(
+            F.col("doc_id").alias("da"), F.col("component").alias("component")
+        )
+        b = comp.select(
+            F.col("doc_id").alias("db"), F.col("component").alias("component")
+        )
+        ipairs = (
+            a.join(b, "component")
+            .filter(F.col("da") < F.col("db"))
+            .join(csize, "component")
+            .select("da", "db", "csz")
+        )
+        jac = (
+            ipairs.join(
+                arrs.select(F.col("doc_id").alias("da"), F.col("toks").alias("ta")),
+                "da",
+            )
+            .join(
+                arrs.select(F.col("doc_id").alias("db"), F.col("toks").alias("tb")),
+                "db",
+            )
+            .withColumn("i", F.size(F.array_intersect("ta", "tb")))
+            .withColumn(
+                "j",
+                F.col("i")
+                / (F.size("ta") + F.size("tb") - F.col("i")).cast("double"),
+            )
+        )
+        return (
+            jac.groupBy(F.col("csz").alias("cluster_size"))
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.round(F.sum("j") / F.count(F.lit(1)), 6).alias("avg_jaccard"),
+                F.round(F.min("j"), 6).alias("min_jaccard"),
+            )
+            .orderBy("cluster_size")
+        )
+
+
+_register_dedup_cluster_cohesion()

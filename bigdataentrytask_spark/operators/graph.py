@@ -744,3 +744,87 @@ def kcore_peel_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "still_below_k",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Local clustering coefficient bucketed by degree (round-8 slate):
+# per node on the w >= 2 backbone, triangles_at_node / wedges_at_node,
+# then averaged within log2 degree buckets — the "is this graph
+# locally clique-ish, and does clustering decay with degree" curve
+# (hierarchical networks show C(k) ~ 1/k). Node-level triangle
+# counts reuse the same bounded wedge join as the census; everything
+# downstream is a |nodes|-sized aggregation.
+# --------------------------------------------------------------------------
+@operator(
+    "clustering_coefficient_by_degree",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    backbone AS (SELECT s, d FROM edges WHERE w >= 2),
+    und AS (
+      SELECT s AS z, d AS nbr FROM backbone
+      UNION ALL SELECT d, s FROM backbone
+    ),
+    deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY z),
+    tri_at AS (
+      SELECT a.z, CAST(COUNT(*) AS BIGINT) AS tri2
+      FROM und a
+      JOIN und b ON a.z = b.z AND a.nbr < b.nbr
+      JOIN backbone e ON e.s = a.nbr AND e.d = b.nbr
+      GROUP BY a.z
+    ),
+    node AS (
+      SELECT deg.z, deg.degree,
+             COALESCE(t.tri2, 0) AS tri,
+             deg.degree * (deg.degree - 1) / 2 AS wedges
+      FROM deg LEFT JOIN tri_at t ON t.z = deg.z
+    )
+    SELECT CAST(FLOOR(log2(degree)) AS BIGINT) AS degree_bucket,
+           CAST(COUNT(*) AS BIGINT)            AS n_nodes,
+           CAST(SUM(tri) AS BIGINT)            AS sum_triangles,
+           CAST(SUM(wedges) AS BIGINT)         AS sum_wedges,
+           ROUND(SUM(CASE WHEN wedges > 0
+                     THEN tri / CAST(wedges AS DOUBLE) ELSE 0 END)
+                 / COUNT(*), 6)                AS avg_clustering
+    FROM node GROUP BY 1 ORDER BY degree_bucket
+    """,
+)
+def clustering_coefficient_by_degree(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    backbone = _edges(spark, sf_dir).filter(F.col("w") >= 2).select("s", "d")
+    und = backbone.select(
+        F.col("s").alias("z"), F.col("d").alias("nbr")
+    ).unionByName(backbone.select(F.col("d").alias("z"), F.col("s").alias("nbr")))
+    deg = und.groupBy("z").agg(F.count(F.lit(1)).alias("degree"))
+    a = und.select("z", F.col("nbr").alias("u"))
+    b = und.select("z", F.col("nbr").alias("v"))
+    tri_at = (
+        a.join(b, "z")
+        .filter(F.col("u") < F.col("v"))
+        .join(
+            backbone.select(F.col("s").alias("u"), F.col("d").alias("v")),
+            ["u", "v"],
+        )
+        .groupBy("z")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    node = deg.join(tri_at, "z", "left").select(
+        "degree",
+        F.coalesce("tri", F.lit(0)).alias("tri"),
+        (F.col("degree") * (F.col("degree") - 1) / 2).alias("wedges"),
+    )
+    cc = F.when(
+        F.col("wedges") > 0, F.col("tri") / F.col("wedges").cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        node.groupBy(
+            F.floor(F.log2("degree")).cast("bigint").alias("degree_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("tri").cast("bigint").alias("sum_triangles"),
+            F.sum("wedges").cast("bigint").alias("sum_wedges"),
+            F.round(F.sum(cc) / F.count(F.lit(1)), 6).alias("avg_clustering"),
+        )
+        .orderBy("degree_bucket")
+    )

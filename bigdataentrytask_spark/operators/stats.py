@@ -1305,3 +1305,331 @@ def robust_location_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# Kendall's tau-b between quantity and discount (round-8 slate):
+# computed EXACTLY from the 50 x 11 contingency table — concordant /
+# discordant pairs are integer cell-count products (cell (i,j) is
+# concordant with every cell strictly greater in both coordinates),
+# so the whole statistic is a tiny cross join over the domain table,
+# never a pair expansion over the fact. Complements spearman (which
+# ranks); tau-b includes the tie corrections explicitly.
+# --------------------------------------------------------------------------
+@operator(
+    "kendall_tau_qty_discount",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ), pairs AS (
+      SELECT CAST(SUM(CASE WHEN b.q > a.q AND b.d > a.d
+                      THEN CAST(a.c AS HUGEINT) * b.c END) AS DOUBLE) AS conc,
+             CAST(SUM(CASE WHEN b.q > a.q AND b.d < a.d
+                      THEN CAST(a.c AS HUGEINT) * b.c END) AS DOUBLE) AS disc
+      FROM cells a JOIN cells b ON TRUE
+    ), ties AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) AS DOUBLE) AS t_cell2
+      FROM cells
+    ), tq AS (
+      SELECT CAST(SUM(CAST(s AS HUGEINT) * (s - 1)) AS DOUBLE) AS t_q2
+      FROM (SELECT SUM(c) AS s FROM cells GROUP BY q)
+    ), td AS (
+      SELECT CAST(SUM(CAST(s AS HUGEINT) * (s - 1)) AS DOUBLE) AS t_d2
+      FROM (SELECT SUM(c) AS s FROM cells GROUP BY d)
+    )
+    SELECT ties.n,
+           ROUND((pairs.conc - pairs.disc)
+                 / sqrt((CAST(ties.n AS HUGEINT) * (ties.n - 1) / 2 - tq.t_q2 / 2)
+                        * (CAST(ties.n AS HUGEINT) * (ties.n - 1) / 2 - td.t_d2 / 2)),
+                 6) AS kendall_tau_b
+    FROM pairs, ties, tq, td
+    """,
+)
+def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = cells.select(
+        F.col("q").alias("qa"), F.col("d").alias("da"), F.col("c").alias("ca")
+    )
+    b = cells.select(
+        F.col("q").alias("qb"), F.col("d").alias("db"), F.col("c").alias("cb")
+    )
+    dec_ca = F.col("ca").cast("decimal(38,0)")
+    pairs = a.crossJoin(b).agg(
+        F.sum(
+            F.when(
+                (F.col("qb") > F.col("qa")) & (F.col("db") > F.col("da")),
+                dec_ca * F.col("cb"),
+            )
+        ).cast("double").alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("qb") > F.col("qa")) & (F.col("db") < F.col("da")),
+                dec_ca * F.col("cb"),
+            )
+        ).cast("double").alias("disc"),
+    )
+    dec_c = F.col("c").cast("decimal(38,0)")
+    ties = cells.agg(
+        F.sum("c").alias("n"),
+        F.sum(dec_c * (F.col("c") - 1)).cast("double").alias("t_cell2"),
+    )
+    tq = (
+        cells.groupBy("q").agg(F.sum("c").alias("s"))
+        .agg(
+            F.sum(F.col("s").cast("decimal(38,0)") * (F.col("s") - 1))
+            .cast("double")
+            .alias("t_q2")
+        )
+    )
+    td = (
+        cells.groupBy("d").agg(F.sum("c").alias("s"))
+        .agg(
+            F.sum(F.col("s").cast("decimal(38,0)") * (F.col("s") - 1))
+            .cast("double")
+            .alias("t_d2")
+        )
+    )
+    j = pairs.crossJoin(ties).crossJoin(tq).crossJoin(td)
+    n = F.col("n")
+    tot = (n.cast("decimal(38,0)") * (n - 1) / 2).cast("double")
+    return j.select(
+        "n",
+        F.round(
+            (F.col("conc") - F.col("disc"))
+            / F.sqrt(
+                (tot - F.col("t_q2") / 2) * (tot - F.col("t_d2") / 2)
+            ),
+            6,
+        ).alias("kendall_tau_b"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Wilson score intervals for the per-type conversion-to-purchase
+# proportion (round-8 slate): the binomial CI that behaves at small n
+# and extreme p, from exact counts — the A/B-dashboard companion to
+# ab_test_conversion_ztest. Pure scalar algebra per group row.
+# --------------------------------------------------------------------------
+_WILSON_Z = 1.959963984540054  # 97.5th normal percentile
+
+
+@operator(
+    "two_proportion_wilson",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY event_type
+    ), p AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_purch
+      FROM events WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT g.event_type, g.n_users,
+             CAST((SELECT COUNT(DISTINCT e2.user_id) FROM events e2
+                   WHERE e2.event_type = 'purchase'
+                     AND e2.user_id IN (SELECT e3.user_id FROM events e3
+                                        WHERE e3.event_type = g.event_type))
+                  AS BIGINT) AS n_conv
+      FROM g
+    )
+    SELECT event_type, n_users, n_conv,
+           ROUND(n_conv / CAST(n_users AS DOUBLE), 6) AS p_hat,
+           ROUND((n_conv / CAST(n_users AS DOUBLE)
+                  + {_WILSON_Z} * {_WILSON_Z} / (2 * n_users)
+                  - {_WILSON_Z} * sqrt((n_conv / CAST(n_users AS DOUBLE))
+                      * (1 - n_conv / CAST(n_users AS DOUBLE)) / n_users
+                      + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n_users * n_users)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n_users), 6) AS wilson_lo,
+           ROUND((n_conv / CAST(n_users AS DOUBLE)
+                  + {_WILSON_Z} * {_WILSON_Z} / (2 * n_users)
+                  + {_WILSON_Z} * sqrt((n_conv / CAST(n_users AS DOUBLE))
+                      * (1 - n_conv / CAST(n_users AS DOUBLE)) / n_users
+                      + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n_users * n_users)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n_users), 6) AS wilson_hi
+    FROM j ORDER BY event_type
+    """,
+)
+def two_proportion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    cohort = e.select("event_type", "user_id").distinct()
+    purchasers = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    j = (
+        cohort.join(F.broadcast(purchasers), "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count(F.when(F.col("conv") == 1, 1)).alias("n_conv"),
+        )
+    )
+    n = F.col("n_users")
+    p = F.col("n_conv") / n.cast("double")
+    z = F.lit(_WILSON_Z)
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    center = p + z * z / (2 * n)
+    denom = 1 + z * z / n
+    return j.select(
+        "event_type",
+        "n_users",
+        "n_conv",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the daily order-revenue series (round-8
+# slate): is above/below-median daily revenue serially random, or
+# does it cluster? The sign sequence lives on the |days| aggregate;
+# runs are counted with one LAG over that aggregate; the z-statistic
+# is closed-form from (n_plus, n_minus, runs). The only fact-scale
+# work is the daily rollup.
+# --------------------------------------------------------------------------
+@operator(
+    "runs_test_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM({_CENTS}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), med AS (
+      SELECT quantile_cont(cents, 0.5) AS m FROM daily
+    ), signs AS (
+      SELECT day, cents > (SELECT m FROM med) AS above
+      FROM daily WHERE cents <> (SELECT m FROM med)
+    ), runs AS (
+      SELECT above,
+             CASE WHEN LAG(above) OVER (ORDER BY day) IS NULL
+                    OR LAG(above) OVER (ORDER BY day) <> above
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signs
+    ), s AS (
+      SELECT CAST(count_if(above) AS BIGINT)      AS n_plus,
+             CAST(count_if(NOT above) AS BIGINT)  AS n_minus,
+             CAST(SUM(new_run) AS BIGINT)         AS n_runs
+      FROM runs
+    )
+    SELECT n_plus, n_minus, n_runs,
+           ROUND(1 + 2.0 * n_plus * n_minus / (n_plus + n_minus), 6)
+             AS expected_runs,
+           ROUND((n_runs - (1 + 2.0 * n_plus * n_minus / (n_plus + n_minus)))
+                 / sqrt(2.0 * n_plus * n_minus
+                        * (2.0 * n_plus * n_minus - n_plus - n_minus)
+                        / ((CAST(n_plus + n_minus AS DOUBLE))
+                           * (n_plus + n_minus)
+                           * (n_plus + n_minus - 1))), 6) AS z_score
+    FROM s
+    """,
+)
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(cents).alias("cents")
+    )
+    med = daily.agg(F.expr("percentile(cents, 0.5)").alias("m"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("cents") != F.col("m"))
+        .select("day", (F.col("cents") > F.col("m")).alias("above"))
+    )
+    w = Window.orderBy("day")
+    runs = signs.select(
+        "above",
+        F.when(
+            F.lag("above").over(w).isNull()
+            | (F.lag("above").over(w) != F.col("above")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    s = runs.agg(
+        F.count(F.when(F.col("above"), 1)).alias("n_plus"),
+        F.count(F.when(~F.col("above"), 1)).alias("n_minus"),
+        F.sum("new_run").alias("n_runs"),
+    )
+    np_, nm, nr = F.col("n_plus"), F.col("n_minus"), F.col("n_runs")
+    exp = 1 + 2.0 * np_ * nm / (np_ + nm)
+    var = (
+        2.0 * np_ * nm * (2.0 * np_ * nm - np_ - nm)
+        / ((np_ + nm).cast("double") * (np_ + nm) * (np_ + nm - 1))
+    )
+    return s.select(
+        "n_plus",
+        "n_minus",
+        "n_runs",
+        F.round(exp, 6).alias("expected_runs"),
+        F.round((nr - exp) / F.sqrt(var), 6).alias("z_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gamma fit of inter-purchase times (round-8 slate): per-user gaps
+# between consecutive purchases, method-of-moments shape/rate
+# (shape = mean²/var, rate = mean/var) from exact integer-microsecond
+# gaps. shape < 1 = bursty re-purchasing, shape ≈ 1 = memoryless
+# (exponential), shape > 1 = regular cadence — the distributional
+# sibling of events_burstiness, on the purchase stream. Gaps come
+# from one per-user LAG window; moments are decimal-exact sums.
+# --------------------------------------------------------------------------
+@operator(
+    "interpurchase_gamma_fit",
+    oracle="""
+    WITH gaps AS (
+      SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events WHERE event_type = 'purchase'
+    ), g AS (SELECT gap_us FROM gaps WHERE gap_us IS NOT NULL),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap_us) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(gap_us AS HUGEINT) * gap_us) AS DOUBLE) AS s2
+      FROM g
+    )
+    SELECT n,
+           ROUND(s1 / n / 1e6, 6) AS mean_seconds,
+           ROUND(sqrt(s2 / n - (s1 / n) * (s1 / n)) / 1e6, 6) AS sd_seconds,
+           ROUND((s1 / n) * (s1 / n)
+                 / (s2 / n - (s1 / n) * (s1 / n)), 6)  AS gamma_shape,
+           ROUND((s1 / n)
+                 / (s2 / n - (s1 / n) * (s1 / n)) * 1e6, 6) AS gamma_rate_per_s
+    FROM s
+    """,
+)
+def interpurchase_gamma_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = e.select((us - F.lag(us).over(w)).alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    dec = F.col("gap_us").cast("decimal(38,0)")
+    s = gaps.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap_us").cast("double").alias("s1"),
+        F.sum(dec * F.col("gap_us")).cast("double").alias("s2"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    var = F.col("s2") / n - mu * mu
+    return s.select(
+        "n",
+        F.round(mu / 1e6, 6).alias("mean_seconds"),
+        F.round(F.sqrt(var) / 1e6, 6).alias("sd_seconds"),
+        F.round(mu * mu / var, 6).alias("gamma_shape"),
+        F.round(mu / var * 1e6, 6).alias("gamma_rate_per_s"),
+    )

@@ -2243,3 +2243,139 @@ def corpus_datacard_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang").asc_nulls_first(),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law vocabulary growth fit (round-8 slate): V(n) ~ K * n^beta
+# where V(n) = distinct vocabulary after the first n tokens of the
+# corpus (doc_id order). The scalable trick: V at each checkpoint is
+# "tokens whose FIRST occurrence falls at or before the checkpoint"
+# — one min(first-position) per token, then a count per checkpoint;
+# no sequential scan, no per-prefix distinct. beta/K by log-log OLS
+# over the checkpoints. Corpus position comes from the running token
+# count over doc_id order (a window over the |docs| aggregate, not
+# the token stream).
+# --------------------------------------------------------------------------
+_HEAPS_CHECKPOINTS = [10, 25, 50, 75, 100]  # percent of docs
+
+
+@operator(
+    "heaps_law_fit",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ),
+    firsts AS (
+      SELECT u.tok, MIN(doc_id) AS first_doc
+      FROM docs, UNNEST(docs.toks) AS u(tok)
+      GROUP BY u.tok
+    ),
+    doc_sizes AS (
+      SELECT doc_id, len(toks) AS n_toks,
+             SUM(len(toks)) OVER (ORDER BY doc_id) AS cum_toks
+      FROM docs
+    ),
+    marks AS (
+      SELECT UNNEST([{", ".join(str(p) for p in _HEAPS_CHECKPOINTS)}]) AS p,
+             UNNEST((SELECT quantile_disc(doc_id,
+                       [{", ".join(str(p / 100.0) for p in _HEAPS_CHECKPOINTS)}])
+                     FROM doc_sizes))::BIGINT AS cut_doc
+    ),
+    points AS (
+      SELECT m.p,
+             (SELECT CAST(MAX(cum_toks) AS BIGINT) FROM doc_sizes
+              WHERE doc_id <= m.cut_doc)                  AS n_tokens,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+              WHERE first_doc <= m.cut_doc)               AS vocab
+      FROM marks m
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_pts,
+             SUM(ln(n_tokens))                 AS sx,
+             SUM(ln(vocab))                    AS sy,
+             SUM(ln(n_tokens) * ln(n_tokens))  AS sxx,
+             SUM(ln(n_tokens) * ln(vocab))     AS sxy
+      FROM points
+    )
+    SELECT p, n_tokens, vocab,
+           ROUND((f.k_pts * f.sxy - f.sx * f.sy)
+                 / (f.k_pts * f.sxx - f.sx * f.sx), 6) AS heaps_beta,
+           ROUND(exp((f.sy - (f.k_pts * f.sxy - f.sx * f.sy)
+                      / (f.k_pts * f.sxx - f.sx * f.sx) * f.sx)
+                     / f.k_pts), 6)                    AS heaps_k
+    FROM points CROSS JOIN fit f
+    ORDER BY p
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    docs = d.select("doc_id", tokens("text").alias("toks"))
+    firsts = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    w = Window.orderBy("doc_id")
+    doc_sizes = docs.select(
+        "doc_id", F.size("toks").alias("n_toks")
+    ).withColumn("cum_toks", F.sum("n_toks").over(w))
+    marks = doc_sizes.agg(
+        *[
+            F.expr(f"percentile_disc({p / 100.0}) WITHIN GROUP (ORDER BY doc_id)")
+            .cast("bigint")
+            .alias(f"cut_{p}")
+            for p in _HEAPS_CHECKPOINTS
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("p"), F.col(f"cut_{p}").alias("cut_doc")
+                    )
+                    for p in _HEAPS_CHECKPOINTS
+                ]
+            )
+        ).alias("m")
+    ).select("m.p", "m.cut_doc")
+    points = (
+        marks.join(
+            doc_sizes.select("doc_id", "cum_toks"),
+            doc_sizes.doc_id <= F.col("cut_doc"),
+        )
+        .groupBy("p", "cut_doc")
+        .agg(F.max("cum_toks").cast("bigint").alias("n_tokens"))
+        .join(
+            marks.join(
+                firsts, firsts.first_doc <= F.col("cut_doc"), "left"
+            )
+            .groupBy("p")
+            .agg(F.count("tok").cast("bigint").alias("vocab")),
+            "p",
+        )
+        .select("p", "n_tokens", "vocab")
+    )
+    lx = F.log("n_tokens")
+    ly = F.log("vocab")
+    fit = points.agg(
+        F.count(F.lit(1)).alias("k_pts"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(lx * ly).alias("sxy"),
+    )
+    beta = (F.col("k_pts") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k_pts") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    k = F.exp((F.col("sy") - beta * F.col("sx")) / F.col("k_pts"))
+    return (
+        points.crossJoin(F.broadcast(fit))
+        .select(
+            "p",
+            "n_tokens",
+            "vocab",
+            F.round(beta, 6).alias("heaps_beta"),
+            F.round(k, 6).alias("heaps_k"),
+        )
+        .orderBy("p")
+    )

@@ -2095,3 +2095,132 @@ def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Hash-partition skew report (round-8 slate): distribute the fact's
+# join key into 32 engine-neutral md5 buckets (the same bucket count
+# the session's shuffle uses) and report the balance profile — max/
+# min/mean bucket rows and the skew ratio. This is the pre-join
+# diagnostic behind join_key_skew_stats: THAT op profiles key
+# frequencies; this one shows what the shuffle actually sees after
+# hashing, which is what decides stragglers at 100 TB.
+# --------------------------------------------------------------------------
+_SKEW_BUCKETS = 32
+
+
+@operator(
+    "partition_skew_report",
+    oracle=f"""
+    WITH b AS (
+      SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+             % {_SKEW_BUCKETS} AS bucket
+      FROM orders
+    ), per AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rows_in_bucket
+      FROM b GROUP BY bucket
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)            AS n_buckets,
+           CAST(SUM(rows_in_bucket) AS BIGINT) AS n_rows,
+           CAST(MIN(rows_in_bucket) AS BIGINT) AS min_bucket,
+           CAST(MAX(rows_in_bucket) AS BIGINT) AS max_bucket,
+           ROUND(SUM(rows_in_bucket) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mean_bucket,
+           ROUND(MAX(rows_in_bucket)
+                 / (SUM(rows_in_bucket) / CAST(COUNT(*) AS DOUBLE)), 6)
+             AS skew_ratio
+    FROM per
+    """,
+)
+def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % _SKEW_BUCKETS
+    )
+    per = o.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rows_in_bucket")
+    )
+    mean = F.sum("rows_in_bucket") / F.count(F.lit(1)).cast("double")
+    return per.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("rows_in_bucket").cast("bigint").alias("n_rows"),
+        F.min("rows_in_bucket").cast("bigint").alias("min_bucket"),
+        F.max("rows_in_bucket").cast("bigint").alias("max_bucket"),
+        F.round(mean, 6).alias("mean_bucket"),
+        F.round(F.max("rows_in_bucket") / mean, 6).alias("skew_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ingest-merge idempotence check (round-8 slate): the operational
+# invariant behind incremental_dedup_merge — re-delivering the SAME
+# batch must add zero rows. Runs the left-anti + union merge twice
+# with the identical overlapping batch and emits the counts that
+# prove the second pass was a no-op. The oracle computes the
+# expected distinct union directly; rows_added_second_pass != 0 can
+# never match it.
+# --------------------------------------------------------------------------
+_IDEM_CUT = "1995-01-01"
+
+
+@operator(
+    "merge_idempotence_check",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT DISTINCT o_orderkey FROM orders
+      WHERE o_orderdate < TIMESTAMP '{_IDEM_CUT} 00:00:00'
+    ), batch AS (
+      SELECT DISTINCT o_orderkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1994-06-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1995-06-01 00:00:00'
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS corpus_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM batch)  AS batch_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT o_orderkey FROM corpus
+                  UNION SELECT o_orderkey FROM batch))   AS merged_rows,
+           CAST(0 AS BIGINT)                             AS rows_added_second_pass
+    """,
+)
+def merge_idempotence_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    corpus = (
+        o.filter(F.col("o_orderdate") < F.lit(_IDEM_CUT).cast("timestamp"))
+        .select("o_orderkey")
+        .distinct()
+    )
+    batch = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1994-06-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-06-01").cast("timestamp"))
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+
+    def merge(base: DataFrame, delta: DataFrame) -> DataFrame:
+        fresh = delta.join(base, "o_orderkey", "left_anti")
+        return base.unionByName(fresh)
+
+    merged1 = merge(corpus, batch)
+    merged2 = merge(merged1, batch)  # redelivery of the SAME batch
+    c_corpus = corpus.agg(F.count(F.lit(1)).alias("corpus_rows"))
+    c_batch = batch.agg(F.count(F.lit(1)).alias("batch_rows"))
+    c_m1 = merged1.agg(F.count(F.lit(1)).alias("merged_rows"))
+    c_m2 = merged2.agg(F.count(F.lit(1)).alias("m2"))
+    return (
+        c_corpus.crossJoin(c_batch)
+        .crossJoin(c_m1)
+        .crossJoin(c_m2)
+        .select(
+            "corpus_rows",
+            "batch_rows",
+            "merged_rows",
+            (F.col("m2") - F.col("merged_rows"))
+            .cast("bigint")
+            .alias("rows_added_second_pass"),
+        )
+    )

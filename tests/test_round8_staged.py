@@ -1,0 +1,65 @@
+"""Round-8 staged operators (registered during round 7, parked in
+__spark_entry__._DEFER so they consume no round-7 sweep slots).
+Each gets the oracle differential now so the round-8 sweep is
+de-risked before it starts."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdataentrytask_spark.operators import ORACLES, REGISTRY, load_all
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+load_all()
+
+ROUND8_STAGED = [
+    "kendall_tau_qty_discount",
+    "two_proportion_wilson",
+    "runs_test_daily_revenue",
+    "interpurchase_gamma_fit",
+    "partition_skew_report",
+    "merge_idempotence_check",
+    "clustering_coefficient_by_degree",
+    "heaps_law_fit",
+    "dedup_cluster_cohesion",
+]
+
+
+@pytest.mark.parametrize("name", ROUND8_STAGED)
+def test_round8_staged_oracle(spark, duck, name):
+    df = REGISTRY[name](spark, SF_DIR)
+    assert_matches_oracle(df, duck, ORACLES[name], name)
+
+
+def test_round8_staged_all_deferred():
+    """Every staged op must be in _DEFER (so round 7's sweep budget
+    stays as planned) AND registered with an oracle."""
+    import __spark_entry__ as entry
+
+    missing = [n for n in ROUND8_STAGED if n not in REGISTRY or n not in ORACLES]
+    assert not missing, missing
+    not_deferred = [n for n in ROUND8_STAGED if n not in entry._DEFER]
+    assert not not_deferred, not_deferred
+
+
+def test_merge_idempotence_holds(spark):
+    row = REGISTRY["merge_idempotence_check"](spark, SF_DIR).collect()[0]
+    assert row.rows_added_second_pass == 0
+    assert row.merged_rows <= row.corpus_rows + row.batch_rows
+
+
+def test_kendall_spearman_sign_agree(spark):
+    """tau-b and Spearman rho measure the same monotone association —
+    on the same variable pair their SIGNS must agree (both near zero
+    is also acceptable for the synthetic fixture)."""
+    tau = REGISTRY["kendall_tau_qty_discount"](spark, SF_DIR).collect()[0]
+    rho = REGISTRY["spearman_qty_discount"](spark, SF_DIR).collect()[0]
+    if abs(tau.kendall_tau_b) > 0.01 or abs(rho.spearman_rho) > 0.01:
+        assert (tau.kendall_tau_b >= 0) == (rho.spearman_rho >= 0)
+
+
+def test_wilson_interval_contains_p_hat(spark):
+    for r in REGISTRY["two_proportion_wilson"](spark, SF_DIR).collect():
+        assert r.wilson_lo <= r.p_hat <= r.wilson_hi
+        assert 0.0 <= r.wilson_lo and r.wilson_hi <= 1.0
