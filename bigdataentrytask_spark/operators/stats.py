@@ -1428,9 +1428,6 @@ _WILSON_Z = 1.959963984540054  # 97.5th normal percentile
       SELECT event_type,
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       FROM events GROUP BY event_type
-    ), p AS (
-      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_purch
-      FROM events WHERE event_type = 'purchase'
     ), j AS (
       SELECT g.event_type, g.n_users,
              CAST((SELECT COUNT(DISTINCT e2.user_id) FROM events e2
