@@ -656,8 +656,8 @@ def chi2_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM((CAST(cnt AS DOUBLE) / n)
                  * ln(cnt * (CAST(n AS DOUBLE) / (cx * CAST(cy AS DOUBLE)))))
                AS mi,
-             SUM(CASE WHEN y = 2 THEN (CAST(cx AS DOUBLE) / n)
-                      * ln(CAST(n AS DOUBLE) / cx) END) AS h_x
+             SUM((CAST(cnt AS DOUBLE) / n)
+                 * ln(CAST(n AS DOUBLE) / cx)) AS h_x
       FROM m
     )
     SELECT n,
@@ -685,7 +685,9 @@ def mutual_information_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n"),
     )
     n = F.col("n")
-    # H(x) summed once per x-group: anchor on one fixed y value
+    # H(x) via the cell-weighted identity SUM_xy (c_xy/n) ln(n/c_x)
+    # = SUM_x (c_x/n) ln(n/c_x) — no "anchor cell" assumption, so a
+    # sparse contingency (an x missing some y) cannot undercount
     agg = m.agg(
         F.max("n").alias("n"),
         F.sum(
@@ -696,11 +698,8 @@ def mutual_information_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("mi"),
         F.sum(
-            F.when(
-                F.col("y") == 2,
-                (F.col("cx").cast("double") / n)
-                * F.log(n.cast("double") / F.col("cx")),
-            )
+            (F.col("cnt").cast("double") / n)
+            * F.log(n.cast("double") / F.col("cx"))
         ).alias("h_x"),
     )
     return agg.select(
@@ -873,9 +872,8 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(MAX(n) AS BIGINT) AS n_transitions,
            ROUND(SUM((CAST(cnt AS DOUBLE) / n)
                      * ln(CAST(c_cur AS DOUBLE) / cnt)), 6) AS h_cond_nats,
-           ROUND(SUM(CASE WHEN cur = 'click'
-                     THEN (CAST(c_nxt AS DOUBLE) / n)
-                          * ln(CAST(n AS DOUBLE) / c_nxt) END), 6)
+           ROUND(SUM((CAST(cnt AS DOUBLE) / n)
+                     * ln(CAST(n AS DOUBLE) / c_nxt)), 6)
              AS h_next_nats
     FROM m
     """,
@@ -912,11 +910,8 @@ def transition_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h_cond_nats"),
         F.round(
             F.sum(
-                F.when(
-                    F.col("cur") == "click",
-                    (F.col("c_nxt").cast("double") / n)
-                    * F.log(n.cast("double") / F.col("c_nxt")),
-                )
+                (F.col("cnt").cast("double") / n)
+                * F.log(n.cast("double") / F.col("c_nxt"))
             ),
             6,
         ).alias("h_next_nats"),
