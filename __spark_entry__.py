@@ -68,6 +68,8 @@ _DEFER: list[str] = [
     "clustering_coefficient_by_degree",
     "heaps_law_fit",
     "dedup_cluster_cohesion",
+    "monthly_seasonal_index",
+    "survival_km_repeat_purchase",
 ]
 
 _PIN: list[str] = [

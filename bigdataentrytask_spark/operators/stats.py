@@ -1625,3 +1625,214 @@ def interpurchase_gamma_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mu * mu / var, 6).alias("gamma_shape"),
         F.round(mu / var * 1e6, 6).alias("gamma_rate_per_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# Classical ratio-to-moving-average monthly seasonal index (round-8
+# slate): monthly revenue over a 13-month centered moving average
+# (half-weight endpoints — the textbook decomposition), averaged by
+# calendar month. Index > 1 = seasonally strong month. The window
+# runs over the |months| aggregate (~80 rows at any corpus scale);
+# integer cents keep the monthly sums exact, and the centered-MA /
+# ratio algebra mirrors the oracle tree.
+# --------------------------------------------------------------------------
+@operator(
+    "monthly_seasonal_index",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(SUM({_CENTS}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), ma AS (
+      SELECT m, cents,
+             (SUM(cents) OVER w13
+              + SUM(cents) OVER w11
+             ) / 24.0 AS cma,
+             COUNT(*) OVER w13 AS n13
+      FROM monthly
+      WINDOW w13 AS (ORDER BY m ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING),
+             w11 AS (ORDER BY m ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+    ), ratios AS (
+      SELECT CAST(month(m) AS BIGINT) AS month_num,
+             cents / cma AS ratio
+      FROM ma WHERE n13 = 13
+    )
+    SELECT month_num,
+           CAST(COUNT(*) AS BIGINT)        AS n_years,
+           ROUND(SUM(ratio) / COUNT(*), 6) AS seasonal_index
+    FROM ratios GROUP BY month_num ORDER BY month_num
+    """,
+)
+def monthly_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum(cents).alias("cents"))
+    w13 = Window.orderBy("m").rowsBetween(-6, 6)
+    w11 = Window.orderBy("m").rowsBetween(-5, 5)
+    ma = monthly.select(
+        "m",
+        "cents",
+        (
+            (F.sum("cents").over(w13) + F.sum("cents").over(w11)) / 24.0
+        ).alias("cma"),
+        F.count(F.lit(1)).over(w13).alias("n13"),
+    )
+    ratios = ma.filter(F.col("n13") == 13).select(
+        F.month("m").cast("bigint").alias("month_num"),
+        (F.col("cents") / F.col("cma")).alias("ratio"),
+    )
+    return (
+        ratios.groupBy("month_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_years"),
+            F.round(F.sum("ratio") / F.count(F.lit(1)), 6).alias(
+                "seasonal_index"
+            ),
+        )
+        .orderBy("month_num")
+    )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival of time-to-repeat-purchase (round-8 slate):
+# per user, time from first to second purchase, right-censored at
+# the fixture horizon; S(t) at a fixed day grid via the product-limit
+# estimator. The product is computed as exp(sum(ln(1 - d/n))) on
+# BOTH engines (identical expression tree — a native product()
+# aggregate would pair-reduce in engine-specific order). Risk sets
+# come from cumulative counts over the |distinct event times|
+# aggregate, never the fact table.
+# --------------------------------------------------------------------------
+_KM_GRID_DAYS = [1, 3, 7, 14]
+
+
+@operator(
+    "survival_km_repeat_purchase",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events WHERE event_type = 'purchase'
+    ), horizon AS (
+      SELECT MAX(ts) AS h FROM events
+    ), subjects AS (
+      SELECT f.user_id,
+             CASE WHEN s.ts IS NOT NULL THEN 1 ELSE 0 END AS event,
+             CASE WHEN s.ts IS NOT NULL
+                  THEN epoch_us(s.ts) - epoch_us(f.ts)
+                  ELSE (SELECT epoch_us(h) FROM horizon) - epoch_us(f.ts)
+             END AS dur_us
+      FROM (SELECT user_id, ts FROM p WHERE rn = 1) f
+      LEFT JOIN (SELECT user_id, ts FROM p WHERE rn = 2) s
+        ON s.user_id = f.user_id
+    ), times AS (
+      SELECT dur_us, CAST(count_if(event = 1) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM subjects GROUP BY dur_us
+    ), risk AS (
+      SELECT dur_us, d,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM subjects) -
+             COALESCE(SUM(leaving) OVER (ORDER BY dur_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+      FROM times
+    ), grid AS (
+      SELECT UNNEST([{", ".join(str(d) for d in _KM_GRID_DAYS)}]) AS day
+    )
+    SELECT g.day,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM subjects) AS n_subjects,
+           CAST((SELECT SUM(r.d) FROM risk r
+                 WHERE r.dur_us <= g.day * 86400000000) AS BIGINT) AS events_by_day,
+           ROUND(COALESCE(exp((SELECT SUM(CASE WHEN r.d < r.n
+                                 THEN ln(1 - r.d / CAST(r.n AS DOUBLE)) END)
+                               FROM risk r
+                               WHERE r.d > 0
+                                 AND r.dur_us <= g.day * 86400000000)), 1.0), 6)
+             AS km_survival
+    FROM grid g ORDER BY g.day
+    """,
+)
+def survival_km_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    first = p.filter(F.col("rn") == 1).select(
+        "user_id", F.col("ts").alias("t1")
+    )
+    second = p.filter(F.col("rn") == 2).select(
+        "user_id", F.col("ts").alias("t2")
+    )
+    horizon = e.agg(F.max("ts").alias("h"))
+    subjects = (
+        first.join(second, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("t2").isNotNull(), 1).otherwise(0).alias("event"),
+            F.when(
+                F.col("t2").isNotNull(),
+                F.unix_micros("t2") - F.unix_micros("t1"),
+            )
+            .otherwise(F.unix_micros("h") - F.unix_micros("t1"))
+            .alias("dur_us"),
+        )
+    )
+    times = subjects.groupBy("dur_us").agg(
+        F.count(F.when(F.col("event") == 1, 1)).alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    n_total = subjects.agg(F.count(F.lit(1)).alias("n_subjects"))
+    w = Window.orderBy("dur_us").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        times.crossJoin(F.broadcast(n_total))
+        .select(
+            "dur_us",
+            "d",
+            "n_subjects",
+            (
+                F.col("n_subjects")
+                - F.coalesce(F.sum("leaving").over(w), F.lit(0))
+            ).alias("n"),
+        )
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(d) for d in _KM_GRID_DAYS])
+        ).alias("day")
+    )
+    day_us = F.col("day") * F.lit(86_400_000_000)
+    joined = grid.join(
+        risk.filter(F.col("d") > 0),
+        risk["dur_us"] <= day_us,
+        "left",
+    )
+    return (
+        joined.groupBy("day")
+        .agg(
+            F.max("n_subjects").alias("n_subjects"),
+            F.sum("d").cast("bigint").alias("events_by_day"),
+            F.round(
+                F.coalesce(
+                    F.exp(
+                        F.sum(
+                            F.when(
+                                F.col("d") < F.col("n"),
+                                F.log(
+                                    1 - F.col("d") / F.col("n").cast("double")
+                                ),
+                            )
+                        )
+                    ),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("km_survival"),
+        )
+        .orderBy("day")
+    )

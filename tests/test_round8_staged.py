@@ -23,6 +23,8 @@ ROUND8_STAGED = [
     "clustering_coefficient_by_degree",
     "heaps_law_fit",
     "dedup_cluster_cohesion",
+    "monthly_seasonal_index",
+    "survival_km_repeat_purchase",
 ]
 
 
@@ -63,3 +65,10 @@ def test_wilson_interval_contains_p_hat(spark):
     for r in REGISTRY["two_proportion_wilson"](spark, SF_DIR).collect():
         assert r.wilson_lo <= r.p_hat <= r.wilson_hi
         assert 0.0 <= r.wilson_lo and r.wilson_hi <= 1.0
+
+
+def test_km_survival_monotone_nonincreasing(spark):
+    rows = REGISTRY["survival_km_repeat_purchase"](spark, SF_DIR).collect()
+    surv = [r.km_survival for r in rows]
+    assert surv == sorted(surv, reverse=True)
+    assert all(0.0 <= s <= 1.0 for s in surv)
