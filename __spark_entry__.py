@@ -70,6 +70,15 @@ _DEFER: list[str] = [
     "dedup_cluster_cohesion",
     "monthly_seasonal_index",
     "survival_km_repeat_purchase",
+    "jackknife_daily_mean",
+    "mcnemar_view_click",
+    "quality_raters_kappa",
+    "theil_sen_daily_trend",
+    "negbin_overdispersion_fit",
+    "ljung_box_hourly",
+    "hurst_rescaled_range",
+    "levene_mean_abs_segments",
+    "permutation_test_event_value",
 ]
 
 _PIN: list[str] = [

@@ -1836,3 +1836,793 @@ def survival_km_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Jackknife standard error of the mean daily revenue (round-8 slate).
+# The leave-one-day-out deviation m_i - m reduces algebraically to
+# (S - n*d_i) / (n*(n-1)), so the whole estimator is one exact integer
+# sum of squares over the DAY domain (never the fact table): jackknife
+# at 100 TB is a domain-sized second pass over an aggregate that
+# already exists. Companion to cusum_changepoint's daily series.
+# --------------------------------------------------------------------------
+@operator(
+    "jackknife_daily_mean",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      FROM daily
+    ), dev AS (
+      SELECT MAX(n) AS n, MAX(s) AS s,
+             CAST(SUM((CAST(s AS HUGEINT) - CAST(n AS HUGEINT) * c)
+                      * (CAST(s AS HUGEINT) - CAST(n AS HUGEINT) * c))
+                  AS DOUBLE) AS ssq
+      FROM daily CROSS JOIN tot
+    )
+    SELECT n AS n_days,
+           ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_daily_cents,
+           ROUND(sqrt(ssq * (n - 1.0) / n)
+                 / (CAST(n AS DOUBLE) * (n - 1)), 6) AS jk_se_cents
+    FROM dev
+    """,
+)
+def jackknife_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("c")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+    )
+    diff = (
+        F.col("s").cast("decimal(38,0)")
+        - F.col("n").cast("decimal(38,0)") * F.col("c")
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.sum(diff * diff).cast("double").alias("ssq"),
+    )
+    n = F.col("n")
+    return dev.select(
+        n.alias("n_days"),
+        F.round(F.col("s").cast("double") / n, 6).alias("mean_daily_cents"),
+        F.round(
+            F.sqrt(F.col("ssq") * (n - F.lit(1.0)) / n)
+            / (n.cast("double") * (n - 1)),
+            6,
+        ).alias("jk_se_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# McNemar's paired test on (user, day) exposure units: did the unit
+# view that day vs click that day. The statistic only involves the
+# DISCORDANT cell counts b (view-only) and c (click-only) — exact
+# integers from one grouped pass over events; continuity-corrected
+# chi-square is scalar algebra on two integers. The paired twin of
+# ab_test_conversion_ztest (which treats groups as independent).
+# --------------------------------------------------------------------------
+@operator(
+    "mcnemar_view_click",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS k
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(count_if(v = 1 AND k = 0) AS BIGINT) AS b_view_only,
+             CAST(count_if(v = 0 AND k = 1) AS BIGINT) AS c_click_only
+      FROM u
+    )
+    SELECT n_units, b_view_only, c_click_only,
+           CASE WHEN b_view_only + c_click_only > 0 THEN
+             ROUND((ABS(b_view_only - c_click_only) - 1.0)
+                   * (ABS(b_view_only - c_click_only) - 1.0)
+                   / (b_view_only + c_click_only), 6)
+           END AS mcnemar_chi2
+    FROM m
+    """,
+)
+def mcnemar_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    u = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("k"),
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum(F.when((F.col("v") == 1) & (F.col("k") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b_view_only"),
+        F.sum(F.when((F.col("v") == 0) & (F.col("k") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_click_only"),
+    )
+    b, c = F.col("b_view_only"), F.col("c_click_only")
+    return m.select(
+        "n_units",
+        "b_view_only",
+        "c_click_only",
+        F.when(
+            b + c > 0,
+            F.round(
+                (F.abs(b - c) - F.lit(1.0)) * (F.abs(b - c) - F.lit(1.0)) / (b + c),
+                6,
+            ),
+        ).alias("mcnemar_chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa between two cheap document-quality raters (char-count
+# threshold vs whitespace-count threshold): the chance-corrected
+# agreement a labeling pipeline reports before trusting one rule as a
+# proxy for the other. All four confusion cells are exact integers
+# from one pass; kappa is scalar algebra. Space counting uses
+# length(text) - length(replace(text,' ','')) — identical semantics in
+# both engines (regex-free on purpose; split() dialects differ).
+# --------------------------------------------------------------------------
+@operator(
+    "quality_raters_kappa",
+    oracle="""
+    WITH r AS (
+      SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN length(text) - length(replace(text, ' ', '')) >= 50
+                  THEN 1 ELSE 0 END AS r2
+      FROM documents
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(count_if(r1 = 1 AND r2 = 1) AS BIGINT) AS both_pos,
+             CAST(count_if(r1 = 1 AND r2 = 0) AS BIGINT) AS only_r1,
+             CAST(count_if(r1 = 0 AND r2 = 1) AS BIGINT) AS only_r2,
+             CAST(count_if(r1 = 0 AND r2 = 0) AS BIGINT) AS both_neg
+      FROM r
+    )
+    SELECT n, both_pos, only_r1, only_r2, both_neg,
+           ROUND((both_pos + both_neg) / CAST(n AS DOUBLE), 6)
+             AS observed_agreement,
+           ROUND(((both_pos + both_neg) / CAST(n AS DOUBLE)
+                  - ((both_pos + only_r1) * CAST(both_pos + only_r2 AS DOUBLE)
+                     + (only_r2 + both_neg) * CAST(only_r1 + both_neg AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * n))
+                 / (1 - ((both_pos + only_r1) * CAST(both_pos + only_r2 AS DOUBLE)
+                         + (only_r2 + both_neg) * CAST(only_r1 + both_neg AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * n)), 6) AS cohens_kappa
+    FROM m
+    """,
+)
+def quality_raters_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    r1 = F.when(F.col("n_chars") >= 300, 1).otherwise(0)
+    r2 = F.when(
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        >= 50,
+        1,
+    ).otherwise(0)
+    r = d.select(r1.alias("r1"), r2.alias("r2"))
+    m = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when((F.col("r1") == 1) & (F.col("r2") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("both_pos"),
+        F.sum(F.when((F.col("r1") == 1) & (F.col("r2") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("only_r1"),
+        F.sum(F.when((F.col("r1") == 0) & (F.col("r2") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("only_r2"),
+        F.sum(F.when((F.col("r1") == 0) & (F.col("r2") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("both_neg"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("both_pos") + F.col("both_neg")) / n
+    pe = (
+        (F.col("both_pos") + F.col("only_r1"))
+        * (F.col("both_pos") + F.col("only_r2")).cast("double")
+        + (F.col("only_r2") + F.col("both_neg"))
+        * (F.col("only_r1") + F.col("both_neg")).cast("double")
+    ) / (n * F.col("n"))
+    return m.select(
+        "n",
+        "both_pos",
+        "only_r1",
+        "only_r2",
+        "both_neg",
+        F.round(po, 6).alias("observed_agreement"),
+        F.round((po - pe) / (1 - pe), 6).alias("cohens_kappa"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend of daily revenue: the median of all pairwise
+# slopes over the DAY domain (2.4k days -> ~2.9M pairs — and the day
+# domain does NOT grow with fact volume, so the pair expansion is
+# SF-invariant; at 100 TB this runs on the same few-thousand-row
+# aggregate). Median is position-based over (slope, xa, xb) — a total
+# order, so both engines pick identical middle elements. The robust
+# twin of trailing_trend_slope's OLS.
+# --------------------------------------------------------------------------
+@operator(
+    "theil_sen_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ), slopes AS (
+      SELECT CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope,
+             a.x AS xa, b.x AS xb
+      FROM daily a JOIN daily b ON b.x > a.x
+    ), ranked AS (
+      SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, xa, xb) AS rn,
+             COUNT(*) OVER () AS np
+      FROM slopes
+    )
+    SELECT CAST(MAX(np) AS BIGINT) AS n_pairs,
+           ROUND(AVG(slope), 6) AS theil_sen_slope
+    FROM ranked
+    WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
+    """,
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01")).alias("x")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y"))
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (
+        a.join(F.broadcast(b), F.col("xb") > F.col("xa"))
+        .select(
+            ((F.col("yb") - F.col("ya")).cast("double") / (F.col("xb") - F.col("xa")))
+            .alias("slope"),
+            "xa",
+            "xb",
+        )
+    )
+    w = Window.orderBy("slope", "xa", "xb")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("np"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(np + 1) div 2"))
+        | (F.col("rn") == F.expr("(np + 2) div 2"))
+    )
+    return mid.agg(
+        F.max("np").cast("bigint").alias("n_pairs"),
+        F.round(F.avg("slope"), 6).alias("theil_sen_slope"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Negative-binomial overdispersion fit of per-user event counts:
+# method-of-moments r and p plus the dispersion index (var/mean) — the
+# standard first question about count data ("is Poisson enough?").
+# Two exact integer power sums over the per-user count table; the
+# NB parameters are defined only when var > mean (else NULL, the
+# honest "not overdispersed" answer).
+# --------------------------------------------------------------------------
+@operator(
+    "negbin_overdispersion_fit",
+    oracle="""
+    WITH pc AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k FROM events GROUP BY 1
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS u,
+             CAST(SUM(k) AS BIGINT) AS s1,
+             CAST(SUM(k * k) AS BIGINT) AS s2
+      FROM pc
+    )
+    SELECT u AS n_users,
+           ROUND(CAST(s1 AS DOUBLE) / u, 6) AS mean_events,
+           ROUND((s2 - CAST(s1 AS DOUBLE) * s1 / u) / (u - 1), 6) AS var_events,
+           ROUND((s2 - CAST(s1 AS DOUBLE) * s1 / u) / (u - 1)
+                 / (CAST(s1 AS DOUBLE) / u), 6) AS dispersion_index,
+           CASE WHEN (s2 - CAST(s1 AS DOUBLE) * s1 / u) / (u - 1)
+                     > CAST(s1 AS DOUBLE) / u THEN
+             ROUND((CAST(s1 AS DOUBLE) / u) * (CAST(s1 AS DOUBLE) / u)
+                   / ((s2 - CAST(s1 AS DOUBLE) * s1 / u) / (u - 1)
+                      - CAST(s1 AS DOUBLE) / u), 6)
+           END AS nb_r,
+           CASE WHEN (s2 - CAST(s1 AS DOUBLE) * s1 / u) / (u - 1)
+                     > CAST(s1 AS DOUBLE) / u THEN
+             ROUND((CAST(s1 AS DOUBLE) / u)
+                   / ((s2 - CAST(s1 AS DOUBLE) * s1 / u) / (u - 1)), 6)
+           END AS nb_p
+    FROM m
+    """,
+)
+def negbin_overdispersion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pc = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    m = pc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("u"),
+        F.sum("k").cast("bigint").alias("s1"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("s2"),
+    )
+    u = F.col("u")
+    mean = F.col("s1").cast("double") / u
+    var = (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / u) / (u - 1)
+    return m.select(
+        u.alias("n_users"),
+        F.round(mean, 6).alias("mean_events"),
+        F.round(var, 6).alias("var_events"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+        F.when(var > mean, F.round(mean * mean / (var - mean), 6)).alias("nb_r"),
+        F.when(var > mean, F.round(mean / var, 6)).alias("nb_p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ljung-Box portmanteau test on the hourly event-count series, lags
+# 1..6: "is there ANY autocorrelation left". r_k expands to exact
+# integer sums (sum x_t*x_{t-k}, the two partial sums, count) plus the
+# global (n, S, Q) — the mean only enters in double AFTER aggregation,
+# so the statistic is engine-exact. Q_k accumulates over exactly 6
+# ordered rows (same order both engines). Composes the machinery of
+# hourly_autocorrelation (timeseries.py) into the standard test.
+# --------------------------------------------------------------------------
+@operator(
+    "ljung_box_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS q
+      FROM hourly
+    ), lagged AS (
+      SELECT lag AS lag_hours, c AS y,
+             LAG(c, lag) OVER (PARTITION BY lag ORDER BY h) AS x
+      FROM hourly CROSS JOIN (SELECT UNNEST([1, 2, 3, 4, 5, 6]) AS lag)
+    ), pl AS (
+      SELECT lag_hours,
+             CAST(COUNT(*) AS BIGINT)   AS m,
+             CAST(SUM(x * y) AS BIGINT) AS p,
+             CAST(SUM(x) AS BIGINT)     AS ax,
+             CAST(SUM(y) AS BIGINT)     AS sy
+      FROM lagged WHERE x IS NOT NULL GROUP BY 1
+    ), r AS (
+      SELECT lag_hours, n,
+             (p - (CAST(s AS DOUBLE) / n) * (ax + sy)
+                + m * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+             / (q - CAST(s AS DOUBLE) * s / n) AS rk
+      FROM pl CROSS JOIN g
+    )
+    SELECT lag_hours, ROUND(rk, 6) AS r,
+           ROUND(n * (n + 2.0)
+                 * SUM(rk * rk / (n - lag_hours))
+                   OVER (ORDER BY lag_hours
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS ljung_box_q
+    FROM r ORDER BY lag_hours
+    """,
+)
+def ljung_box_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    g = hourly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    frames = []
+    for k in range(1, 7):
+        w = Window.orderBy("h")
+        frames.append(
+            hourly.select(
+                F.lit(k).alias("lag_hours"),
+                F.col("c").alias("y"),
+                F.lag("c", k).over(w).alias("x"),
+            ).filter(F.col("x").isNotNull())
+        )
+    lagged = frames[0]
+    for fdf in frames[1:]:
+        lagged = lagged.unionByName(fdf)
+    pl = lagged.groupBy("lag_hours").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("p"),
+        F.sum("x").cast("bigint").alias("ax"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    rk = (
+        F.col("p") - mean * (F.col("ax") + F.col("sy"))
+        + F.col("m") * mean * mean
+    ) / (F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+    r = pl.crossJoin(F.broadcast(g)).select(
+        "lag_hours", F.col("n"), rk.alias("rk")
+    )
+    wq = Window.orderBy("lag_hours").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return r.select(
+        "lag_hours",
+        F.round("rk", 6).alias("r"),
+        F.round(
+            F.col("n") * (F.col("n") + F.lit(2.0))
+            * F.sum(F.col("rk") * F.col("rk") / (F.col("n") - F.col("lag_hours"))).over(wq),
+            6,
+        ).alias("ljung_box_q"),
+    ).orderBy("lag_hours")
+
+
+# --------------------------------------------------------------------------
+# Hurst exponent via rescaled range (R/S) on the hourly event-count
+# series, block sizes 24h and 48h. The block-local identity
+# B*Y_t = B*cum_t - t*S_block keeps the cumulative-deviation range an
+# exact INTEGER per block, and R/S = (scaled range)/sqrt(B*Q - S^2)
+# cancels the 1/B scale — so every block's ratio comes from exact
+# sums. Blocks are independent (PARTITION BY block), so at 100 TB the
+# windows never cross a partition boundary; only the final two-point
+# log-log slope is driver-sized. H≈0.5 = memoryless, H>0.5 =
+# persistent traffic (the long-range-dependence companion to
+# events_burstiness).
+# --------------------------------------------------------------------------
+@operator(
+    "hurst_rescaled_range",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY h) AS t FROM hourly
+    ), blk AS (
+      SELECT bs, (t - 1) // bs AS bid, c, t
+      FROM idx CROSS JOIN (SELECT UNNEST([24, 48]) AS bs)
+    ), wb AS (
+      SELECT bs, bid, c,
+             SUM(c) OVER (PARTITION BY bs, bid ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             ROW_NUMBER() OVER (PARTITION BY bs, bid ORDER BY t) AS pos,
+             SUM(c) OVER (PARTITION BY bs, bid) AS sb
+      FROM blk
+    ), bstat AS (
+      SELECT bs, bid,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(MAX(sb) AS BIGINT) AS sb,
+             CAST(SUM(c * c) AS BIGINT) AS qb,
+             CAST(MAX(bs * cum - pos * sb) AS BIGINT) AS ymax,
+             CAST(MIN(bs * cum - pos * sb) AS BIGINT) AS ymin
+      FROM wb GROUP BY 1, 2
+    ), rs AS (
+      SELECT bs,
+             (ymax - ymin)
+             / sqrt(CAST(bs * qb - CAST(sb AS HUGEINT) * sb AS DOUBLE)) AS rsv
+      FROM bstat
+      WHERE nb = bs AND bs * qb - CAST(sb AS HUGEINT) * sb > 0
+    ), agg AS (
+      SELECT CAST(count_if(bs = 24) AS BIGINT) AS n_blocks_24,
+             CAST(count_if(bs = 48) AS BIGINT) AS n_blocks_48,
+             AVG(CASE WHEN bs = 24 THEN rsv END) AS rs24,
+             AVG(CASE WHEN bs = 48 THEN rsv END) AS rs48
+      FROM rs
+    )
+    SELECT n_blocks_24, n_blocks_48,
+           ROUND(rs24, 6) AS rs_mean_24,
+           ROUND(rs48, 6) AS rs_mean_48,
+           ROUND((ln(rs48) - ln(rs24)) / (ln(48.0) - ln(24.0)), 6)
+             AS hurst_exponent
+    FROM agg
+    """,
+)
+def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    idx = hourly.select(
+        "c", F.row_number().over(Window.orderBy("h")).alias("t")
+    )
+    sizes = spark.range(2).select(
+        F.when(F.col("id") == 0, 24).otherwise(48).alias("bs")
+    )
+    blk = idx.crossJoin(F.broadcast(sizes)).select(
+        "bs",
+        F.expr("(t - 1) div bs").alias("bid"),
+        "c",
+        "t",
+    )
+    wp = Window.partitionBy("bs", "bid").orderBy("t")
+    wall = Window.partitionBy("bs", "bid")
+    wb = blk.select(
+        "bs",
+        "bid",
+        "c",
+        F.sum("c").over(
+            wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.row_number().over(wp).alias("pos"),
+        F.sum("c").over(wall).alias("sb"),
+    )
+    scaled = F.col("bs") * F.col("cum") - F.col("pos") * F.col("sb")
+    bstat = wb.groupBy("bs", "bid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.max("sb").cast("bigint").alias("sb"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("qb"),
+        F.max(scaled).cast("bigint").alias("ymax"),
+        F.min(scaled).cast("bigint").alias("ymin"),
+    )
+    var_scaled = (
+        F.col("bs") * F.col("qb")
+        - F.col("sb").cast("decimal(38,0)") * F.col("sb")
+    )
+    rs = bstat.filter(
+        (F.col("nb") == F.col("bs")) & (var_scaled > 0)
+    ).select(
+        "bs",
+        ((F.col("ymax") - F.col("ymin")) / F.sqrt(var_scaled.cast("double"))).alias(
+            "rsv"
+        ),
+    )
+    agg = rs.agg(
+        F.sum(F.when(F.col("bs") == 24, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_blocks_24"),
+        F.sum(F.when(F.col("bs") == 48, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_blocks_48"),
+        F.avg(F.when(F.col("bs") == 24, F.col("rsv"))).alias("rs24"),
+        F.avg(F.when(F.col("bs") == 48, F.col("rsv"))).alias("rs48"),
+    )
+    return agg.select(
+        "n_blocks_24",
+        "n_blocks_48",
+        F.round("rs24", 6).alias("rs_mean_24"),
+        F.round("rs48", 6).alias("rs_mean_48"),
+        F.round(
+            (F.log("rs48") - F.log("rs24"))
+            / (F.log(F.lit(48.0)) - F.log(F.lit(24.0))),
+            6,
+        ).alias("hurst_exponent"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Levene's variance-homogeneity test (mean-centered) across the five
+# market segments' order values — the gate before trusting ANOVA's
+# equal-variance assumption (anova_weekday_revenue). The absolute
+# deviation |x - mean_i| is kept EXACT by scaling per group:
+# |n_i*x - S_i| is an integer, so T_i = sum|.| and U_i = sum(.)^2 are
+# exact HUGEINT/DECIMAL(38,0) sums; the 1/n_i scale factors cancel in
+# the F-ratio only partially and are applied in double afterwards with
+# the same expression tree. Two scans of the fact (stats, then
+# deviations vs broadcast stats) — the standard two-pass pattern.
+# --------------------------------------------------------------------------
+@operator(
+    "levene_mean_abs_segments",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), gs AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(cents) AS BIGINT) AS s_i
+      FROM j GROUP BY 1
+    ), devs AS (
+      SELECT j.seg, CAST(MAX(gs.n_i) AS BIGINT) AS n_i,
+             CAST(SUM(ABS(CAST(gs.n_i AS HUGEINT) * j.cents - gs.s_i))
+                  AS DOUBLE) AS t_i,
+             CAST(SUM((CAST(gs.n_i AS HUGEINT) * j.cents - gs.s_i)
+                      * (CAST(gs.n_i AS HUGEINT) * j.cents - gs.s_i))
+                  AS DOUBLE) AS u_i
+      FROM j JOIN gs ON j.seg = gs.seg
+      GROUP BY 1
+    ), fin AS (
+      SELECT CAST(SUM(n_i) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS k_groups,
+             SUM(t_i / (CAST(n_i AS DOUBLE) * n_i) * n_i) AS sum_nz,
+             SUM((u_i - t_i * t_i / n_i)
+                 / (CAST(n_i AS DOUBLE) * n_i)) AS within_ss
+      FROM devs
+    ), betw AS (
+      SELECT SUM(n_i * (t_i / (CAST(n_i AS DOUBLE) * n_i)
+                        - fin.sum_nz / fin.n_total)
+                     * (t_i / (CAST(n_i AS DOUBLE) * n_i)
+                        - fin.sum_nz / fin.n_total)) AS between_ss,
+             MAX(fin.n_total) AS n_total,
+             MAX(fin.k_groups) AS k_groups,
+             MAX(fin.within_ss) AS within_ss
+      FROM devs CROSS JOIN fin
+    )
+    SELECT n_total, k_groups,
+           ROUND((n_total - k_groups) * between_ss
+                 / ((k_groups - 1) * within_ss), 6) AS levene_w
+    FROM betw
+    """,
+)
+def levene_mean_abs_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    gs = j.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("cents").cast("bigint").alias("s_i"),
+    )
+    dev = F.col("n_i").cast("decimal(38,0)") * F.col("cents") - F.col("s_i")
+    devs = (
+        j.join(F.broadcast(gs), "seg")
+        .groupBy("seg")
+        .agg(
+            F.max("n_i").cast("bigint").alias("n_i"),
+            F.sum(F.abs(dev)).cast("double").alias("t_i"),
+            F.sum(dev * dev).cast("double").alias("u_i"),
+        )
+    )
+    nd = F.col("n_i").cast("double") * F.col("n_i")
+    fin = devs.agg(
+        F.sum("n_i").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum(F.col("t_i") / nd * F.col("n_i")).alias("sum_nz"),
+        F.sum(
+            (F.col("u_i") - F.col("t_i") * F.col("t_i") / F.col("n_i")) / nd
+        ).alias("within_ss"),
+    )
+    zbar_i = F.col("t_i") / nd
+    zbar = F.col("sum_nz") / F.col("n_total")
+    betw = devs.crossJoin(F.broadcast(fin)).agg(
+        F.sum(F.col("n_i") * (zbar_i - zbar) * (zbar_i - zbar)).alias(
+            "between_ss"
+        ),
+        F.max("n_total").alias("n_total"),
+        F.max("k_groups").alias("k_groups"),
+        F.max("within_ss").alias("within_ss"),
+    )
+    return betw.select(
+        "n_total",
+        "k_groups",
+        F.round(
+            (F.col("n_total") - F.col("k_groups")) * F.col("between_ss")
+            / ((F.col("k_groups") - 1) * F.col("within_ss")),
+            6,
+        ).alias("levene_w"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Randomization test for the click-vs-view mean-value gap: 64
+# replicates reassign each event's group by a DETERMINISTIC integer
+# hash of (event_id, rep) — identical arithmetic in both engines, no
+# RNG — and the p-value is the fraction of replicates at least as
+# extreme as the observed gap ((1+extreme)/(1+R), the add-one rule).
+# Per-replicate sums are exact cents integers; the 64x row expansion
+# happens map-side (explode before any shuffle) and collapses to 128
+# partial-aggregate rows, so at 100 TB the cost is one scan with a
+# 64x in-task fan-out, never a 64x shuffle. event_id*1103515245 stays
+# under 2^63 for event_id < 8.3e9 (fixture max ~1e7 at sf1).
+# --------------------------------------------------------------------------
+@operator(
+    "permutation_test_event_value",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents, event_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ), obs AS (
+      SELECT CAST(count_if(event_type = 'click') AS BIGINT) AS n_a,
+             CAST(count_if(event_type = 'view') AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN cents END) AS BIGINT) AS s_a,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN cents END) AS BIGINT) AS s_b
+      FROM base
+    ), reps AS (
+      SELECT r,
+             CAST(count_if(g = 0) AS BIGINT) AS n_a,
+             CAST(count_if(g = 1) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN g = 0 THEN cents END) AS BIGINT) AS s_a,
+             CAST(SUM(CASE WHEN g = 1 THEN cents END) AS BIGINT) AS s_b
+      FROM (
+        SELECT cents, r,
+               ((event_id * 1103515245 + r * 12345 + 12345)
+                % 2147483647) % 2 AS g
+        FROM base CROSS JOIN (SELECT UNNEST(range(64)) AS r)
+      ) GROUP BY 1
+    ), od AS (
+      SELECT CAST(n_a + n_b AS BIGINT) AS n_events,
+             CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b AS d
+      FROM obs
+    ), diffs AS (
+      SELECT ABS(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) AS adiff
+      FROM reps WHERE n_a > 0 AND n_b > 0
+    )
+    SELECT od.n_events,
+           ROUND(od.d, 6) AS obs_diff_cents,
+           CAST(64 AS BIGINT) AS n_reps,
+           CAST(count_if(adiff >= ABS(od.d)) AS BIGINT) AS n_extreme,
+           ROUND((1.0 + count_if(adiff >= ABS(od.d))) / 65.0, 6) AS p_value
+    FROM diffs CROSS JOIN od
+    GROUP BY od.n_events, od.d
+    """,
+)
+def permutation_test_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "event_type",
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("event_type") == "click", F.col("cents")))
+        .cast("bigint")
+        .alias("s_a"),
+        F.sum(F.when(F.col("event_type") == "view", F.col("cents")))
+        .cast("bigint")
+        .alias("s_b"),
+    )
+    expanded = base.select(
+        "cents",
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("r"),
+    ).select(
+        "cents",
+        "r",
+        (
+            (
+                (F.col("event_id") * 1103515245 + F.col("r") * 12345 + 12345)
+                % 2147483647
+            )
+            % 2
+        ).alias("g"),
+    )
+    reps = expanded.groupBy("r").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("g") == 0, F.col("cents"))).cast("bigint").alias("s_a"),
+        F.sum(F.when(F.col("g") == 1, F.col("cents"))).cast("bigint").alias("s_b"),
+    )
+    d_expr = F.col("s_a").cast("double") / F.col("n_a") - F.col(
+        "s_b"
+    ).cast("double") / F.col("n_b")
+    od = obs.select(
+        (F.col("n_a") + F.col("n_b")).cast("bigint").alias("n_events"),
+        d_expr.alias("d"),
+    )
+    diffs = (
+        reps.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(F.abs(d_expr).alias("adiff"))
+    )
+    return (
+        diffs.crossJoin(F.broadcast(od))
+        .groupBy("n_events", "d")
+        .agg(
+            F.sum(F.when(F.col("adiff") >= F.abs(F.col("d")), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_extreme"),
+        )
+        .select(
+            "n_events",
+            F.round("d", 6).alias("obs_diff_cents"),
+            F.lit(64).cast("bigint").alias("n_reps"),
+            "n_extreme",
+            F.round((F.lit(1.0) + F.col("n_extreme")) / F.lit(65.0), 6).alias(
+                "p_value"
+            ),
+        )
+    )

@@ -25,6 +25,15 @@ ROUND8_STAGED = [
     "dedup_cluster_cohesion",
     "monthly_seasonal_index",
     "survival_km_repeat_purchase",
+    "jackknife_daily_mean",
+    "mcnemar_view_click",
+    "quality_raters_kappa",
+    "theil_sen_daily_trend",
+    "negbin_overdispersion_fit",
+    "ljung_box_hourly",
+    "hurst_rescaled_range",
+    "levene_mean_abs_segments",
+    "permutation_test_event_value",
 ]
 
 
@@ -72,3 +81,54 @@ def test_km_survival_monotone_nonincreasing(spark):
     surv = [r.km_survival for r in rows]
     assert surv == sorted(surv, reverse=True)
     assert all(0.0 <= s <= 1.0 for s in surv)
+
+
+def test_ljung_box_q_nondecreasing(spark):
+    """Q accumulates non-negative terms, so it must be non-decreasing
+    in the lag; autocorrelations stay inside [-1, 1]."""
+    rows = REGISTRY["ljung_box_hourly"](spark, SF_DIR).collect()
+    qs = [r.ljung_box_q for r in rows]
+    assert qs == sorted(qs)
+    assert all(-1.0 <= r.r <= 1.0 for r in rows)
+
+
+def test_hurst_in_plausible_range(spark):
+    row = REGISTRY["hurst_rescaled_range"](spark, SF_DIR).collect()[0]
+    assert row.rs_mean_24 > 0 and row.rs_mean_48 > 0
+    # R/S means grow with block size for any non-degenerate series
+    assert row.rs_mean_48 > row.rs_mean_24
+    assert -0.5 < row.hurst_exponent < 1.5
+
+
+def test_kappa_bounds_and_agreement(spark):
+    row = REGISTRY["quality_raters_kappa"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= row.observed_agreement <= 1.0
+    assert -1.0 <= row.cohens_kappa <= 1.0
+    assert row.both_pos + row.only_r1 + row.only_r2 + row.both_neg == row.n
+
+
+def test_permutation_pvalue_bounds(spark):
+    row = REGISTRY["permutation_test_event_value"](spark, SF_DIR).collect()[0]
+    assert row.n_reps == 64
+    assert 0 <= row.n_extreme <= 64
+    assert 0.0 < row.p_value <= 1.0
+
+
+def test_levene_nonnegative(spark):
+    row = REGISTRY["levene_mean_abs_segments"](spark, SF_DIR).collect()[0]
+    assert row.levene_w >= 0.0
+    assert row.k_groups == 5
+
+
+def test_jackknife_se_positive(spark):
+    row = REGISTRY["jackknife_daily_mean"](spark, SF_DIR).collect()[0]
+    assert row.jk_se_cents > 0
+    assert row.mean_daily_cents > 0
+
+
+def test_negbin_moments_consistent(spark):
+    row = REGISTRY["negbin_overdispersion_fit"](spark, SF_DIR).collect()[0]
+    assert row.var_events > 0 and row.mean_events > 0
+    if row.nb_r is not None:
+        assert row.nb_r > 0 and 0.0 < row.nb_p < 1.0
+        assert row.dispersion_index > 1.0
