@@ -79,6 +79,10 @@ _DEFER: list[str] = [
     "hurst_rescaled_range",
     "levene_mean_abs_segments",
     "permutation_test_event_value",
+    "small_file_compaction_plan",
+    "zone_map_skipping_stats",
+    "variance_merge_check",
+    "source_freshness_lag",
 ]
 
 _PIN: list[str] = [

@@ -2224,3 +2224,298 @@ def merge_idempotence_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rows_added_second_pass"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction planner (round-8 slate): given a file manifest
+# (synthesized here as month-partition x hash-bucket "files" with
+# deterministic byte sizes), assign files to target-sized compaction
+# bins by cumulative-size division — the rewrite plan an Iceberg/Delta
+# OPTIMIZE job executes. The planning input is the MANIFEST (one row
+# per file), never the data: at 100 TB that is ~1e5 rows, and the
+# per-partition cumulative window is trivially parallel across
+# partitions. Bin id = floor(preceding_cum_bytes / target) makes the
+# assignment a pure window expression (greedy sequential packing).
+# --------------------------------------------------------------------------
+@operator(
+    "small_file_compaction_plan",
+    oracle="""
+    WITH manifest AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS part,
+             CAST(o_orderkey % 7 AS BIGINT) AS file_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(40 + length(o_orderpriority)) AS BIGINT) AS bytes
+      FROM orders GROUP BY 1, 2
+    ), planned AS (
+      SELECT part, file_id, n_rows, bytes,
+             CAST((SUM(bytes) OVER (PARTITION BY part ORDER BY file_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - bytes) // 4096 AS BIGINT) AS bin_id
+      FROM manifest
+    )
+    SELECT part, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS bin_rows,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes
+    FROM planned GROUP BY 1, 2 ORDER BY part, bin_id
+    """,
+)
+def small_file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    manifest = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("part"),
+        (F.col("o_orderkey") % 7).cast("bigint").alias("file_id"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.lit(40) + F.length("o_orderpriority")).cast("bigint").alias("bytes"),
+    )
+    planned = manifest.select(
+        "part",
+        "file_id",
+        "n_rows",
+        "bytes",
+        F.expr(
+            "CAST((sum(bytes) OVER (PARTITION BY part ORDER BY file_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes) "
+            "div 4096 AS BIGINT)"
+        ).alias("bin_id"),
+    )
+    return (
+        planned.groupBy("part", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_rows").cast("bigint").alias("bin_rows"),
+            F.sum("bytes").cast("bigint").alias("bin_bytes"),
+        )
+        .orderBy("part", "bin_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Zone-map (min/max) data-skipping audit (round-8 slate): build
+# 500-row "row groups" under two physical layouts — date-clustered vs
+# key-ordered (insert-order proxy) — and measure how many groups a
+# date-range predicate can prune from the min/max footer stats alone.
+# This quantifies WHY sorted/Z-ordered layout matters at 100 TB: the
+# same predicate prunes almost everything under clustering and almost
+# nothing without it (zorder_locality_stats measures clustering
+# overlap; this measures the scan-cost consequence).
+# --------------------------------------------------------------------------
+@operator(
+    "zone_map_skipping_stats",
+    oracle="""
+    WITH layouts AS (
+      SELECT layout,
+             CASE WHEN layout = 'date_clustered'
+                  THEN ROW_NUMBER() OVER (PARTITION BY layout
+                         ORDER BY o_orderdate, o_orderkey)
+                  ELSE ROW_NUMBER() OVER (PARTITION BY layout
+                         ORDER BY o_orderkey) END AS rn,
+             o_orderdate
+      FROM orders CROSS JOIN
+           (SELECT UNNEST(['date_clustered', 'key_ordered']) AS layout)
+    ), rg AS (
+      SELECT layout, (rn - 1) // 500 AS rg_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(o_orderdate) AS lo,
+             MAX(o_orderdate) AS hi,
+             CAST(count_if(o_orderdate >= TIMESTAMP '1998-01-01'
+                           AND o_orderdate < TIMESTAMP '1998-04-01')
+                  AS BIGINT) AS matching
+      FROM layouts GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_row_groups,
+           CAST(count_if(hi < TIMESTAMP '1998-01-01'
+                         OR lo >= TIMESTAMP '1998-04-01') AS BIGINT)
+             AS n_pruned,
+           CAST(SUM(CASE WHEN hi >= TIMESTAMP '1998-01-01'
+                          AND lo < TIMESTAMP '1998-04-01'
+                         THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(SUM(matching) AS BIGINT) AS rows_matching
+    FROM rg GROUP BY 1 ORDER BY layout
+    """,
+)
+def zone_map_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    lo, hi = "1998-01-01", "1998-04-01"
+    frames = []
+    for layout, order_cols in (
+        ("date_clustered", ["o_orderdate", "o_orderkey"]),
+        ("key_ordered", ["o_orderkey"]),
+    ):
+        w = Window.orderBy(*order_cols)
+        frames.append(
+            o.select(
+                F.lit(layout).alias("layout"),
+                F.row_number().over(w).alias("rn"),
+                "o_orderdate",
+            )
+        )
+    layouts = frames[0].unionByName(frames[1])
+    in_range = (F.col("o_orderdate") >= F.lit(lo).cast("timestamp")) & (
+        F.col("o_orderdate") < F.lit(hi).cast("timestamp")
+    )
+    rg = layouts.groupBy(
+        "layout", F.expr("(rn - 1) div 500").alias("rg_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("o_orderdate").alias("lo"),
+        F.max("o_orderdate").alias("hi"),
+        F.sum(F.when(in_range, 1).otherwise(0)).cast("bigint").alias("matching"),
+    )
+    pruned = (F.col("hi") < F.lit(lo).cast("timestamp")) | (
+        F.col("lo") >= F.lit(hi).cast("timestamp")
+    )
+    return (
+        rg.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_row_groups"),
+            F.sum(F.when(pruned, 1).otherwise(0)).cast("bigint").alias("n_pruned"),
+            F.sum(F.when(~pruned, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.sum("matching").cast("bigint").alias("rows_matching"),
+        )
+        .orderBy("layout")
+    )
+
+
+# --------------------------------------------------------------------------
+# Variance-merge associativity check (round-8 slate): compute
+# per-month sufficient statistics (n, sum, sum-of-squares) for order
+# cents, merge them, and prove the merged variance EQUALS the direct
+# single-pass variance bit-for-bit. This is the algebra Spark's
+# map-side partial aggregation relies on — under the repo's exact
+# integer discipline the merge is drift-free by construction, and this
+# operator turns that claim into a checked invariant (the moment-sum
+# analog of merge_idempotence_check).
+# --------------------------------------------------------------------------
+@operator(
+    "variance_merge_check",
+    oracle="""
+    WITH partials AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS part,
+             CAST(COUNT(*) AS BIGINT) AS n_p,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s1_p,
+             SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)
+                 * CAST(ROUND(o_totalprice * 100) AS BIGINT) ) AS s2_p
+      FROM orders GROUP BY 1
+    ), merged AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_partials,
+             CAST(SUM(n_p) AS BIGINT) AS n,
+             CAST(SUM(s1_p) AS BIGINT) AS s1,
+             SUM(s2_p) AS s2
+      FROM partials
+    ), direct AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s1,
+             SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)
+                 * CAST(ROUND(o_totalprice * 100) AS BIGINT) ) AS s2
+      FROM orders
+    )
+    SELECT m.n_partials, m.n AS n_rows,
+           ROUND((CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * m.s1 / m.n)
+                 / (m.n - 1), 6) AS var_merged,
+           ROUND((CAST(d.s2 AS DOUBLE) - CAST(d.s1 AS DOUBLE) * d.s1 / d.n)
+                 / (d.n - 1), 6) AS var_direct,
+           CAST(CASE WHEN m.n = d.n AND m.s1 = d.s1 AND m.s2 = d.s2
+                     THEN 1 ELSE 0 END AS BIGINT) AS sufficient_stats_equal
+    FROM merged m CROSS JOIN direct d
+    """,
+)
+def variance_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    sq = cents.cast("decimal(38,0)") * cents
+    partials = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("part")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_p"),
+        F.sum(cents).cast("bigint").alias("s1_p"),
+        F.sum(sq).alias("s2_p"),
+    )
+    merged = partials.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partials"),
+        F.sum("n_p").cast("bigint").alias("mn"),
+        F.sum("s1_p").cast("bigint").alias("ms1"),
+        F.sum("s2_p").alias("ms2"),
+    )
+    direct = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("dn"),
+        F.sum(cents).cast("bigint").alias("ds1"),
+        F.sum(sq).alias("ds2"),
+    )
+    j = merged.crossJoin(F.broadcast(direct))
+    var_m = (
+        F.col("ms2").cast("double")
+        - F.col("ms1").cast("double") * F.col("ms1") / F.col("mn")
+    ) / (F.col("mn") - 1)
+    var_d = (
+        F.col("ds2").cast("double")
+        - F.col("ds1").cast("double") * F.col("ds1") / F.col("dn")
+    ) / (F.col("dn") - 1)
+    return j.select(
+        "n_partials",
+        F.col("mn").alias("n_rows"),
+        F.round(var_m, 6).alias("var_merged"),
+        F.round(var_d, 6).alias("var_direct"),
+        F.when(
+            (F.col("mn") == F.col("dn"))
+            & (F.col("ms1") == F.col("ds1"))
+            & (F.col("ms2") == F.col("ds2")),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("sufficient_stats_equal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-channel freshness-lag monitor (round-8 slate): seconds each
+# event channel's newest record trails the newest record anywhere,
+# with an SLA flag — the staleness dashboard every multi-source
+# ingest runs. Lag is computed on floor(epoch seconds) (exact BIGINT
+# both engines; minute/month calendar diffs are a known cross-engine
+# trap — CONTRIBUTING.md). One grouped pass + a broadcast of the
+# 1-row global max.
+# --------------------------------------------------------------------------
+@operator(
+    "source_freshness_lag",
+    oracle="""
+    WITH per AS (
+      SELECT event_type AS channel,
+             CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_epoch,
+             strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+      FROM events GROUP BY 1
+    ), g AS (
+      SELECT CAST(MAX(last_epoch) AS BIGINT) AS gmax FROM per
+    )
+    SELECT channel, last_ts,
+           CAST(g.gmax - per.last_epoch AS BIGINT) AS lag_seconds,
+           CAST(CASE WHEN g.gmax - per.last_epoch <= 3600
+                     THEN 1 ELSE 0 END AS BIGINT) AS within_sla_1h
+    FROM per CROSS JOIN g ORDER BY channel
+    """,
+)
+def source_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy(F.col("event_type").alias("channel")).agg(
+        F.unix_timestamp(F.max("ts")).cast("bigint").alias("last_epoch"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+    g = per.agg(F.max("last_epoch").cast("bigint").alias("gmax"))
+    lag = F.col("gmax") - F.col("last_epoch")
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "channel",
+            "last_ts",
+            lag.cast("bigint").alias("lag_seconds"),
+            F.when(lag <= 3600, 1).otherwise(0).cast("bigint").alias(
+                "within_sla_1h"
+            ),
+        )
+        .orderBy("channel")
+    )

@@ -34,6 +34,10 @@ ROUND8_STAGED = [
     "hurst_rescaled_range",
     "levene_mean_abs_segments",
     "permutation_test_event_value",
+    "small_file_compaction_plan",
+    "zone_map_skipping_stats",
+    "variance_merge_check",
+    "source_freshness_lag",
 ]
 
 
@@ -132,3 +136,43 @@ def test_negbin_moments_consistent(spark):
     if row.nb_r is not None:
         assert row.nb_r > 0 and 0.0 < row.nb_p < 1.0
         assert row.dispersion_index > 1.0
+
+
+def test_zone_map_clustering_prunes(spark):
+    """The date-clustered layout must prune strictly more row groups
+    than the key-ordered one, and both must see identical matching
+    row counts (pruning changes I/O, never results)."""
+    rows = {r.layout: r for r in
+            REGISTRY["zone_map_skipping_stats"](spark, SF_DIR).collect()}
+    assert rows["date_clustered"].n_pruned > rows["key_ordered"].n_pruned
+    assert (rows["date_clustered"].rows_matching
+            == rows["key_ordered"].rows_matching)
+    assert rows["date_clustered"].rows_scanned <= rows["key_ordered"].rows_scanned
+
+
+def test_variance_merge_is_exact(spark):
+    row = REGISTRY["variance_merge_check"](spark, SF_DIR).collect()[0]
+    assert row.sufficient_stats_equal == 1
+    assert row.var_merged == row.var_direct
+
+
+def test_compaction_bins_respect_target(spark):
+    """Every bin except possibly the last of its partition holds files
+    whose PRECEDING cumulative size crossed the 4 KiB boundary —
+    i.e. a bin's bytes can exceed the target only via its final file
+    (greedy packing invariant: bin_bytes - last_file <= 4096)."""
+    rows = REGISTRY["small_file_compaction_plan"](spark, SF_DIR).collect()
+    assert all(r.n_files >= 1 and r.bin_bytes > 0 for r in rows)
+    # bins are dense per partition: 0..max with no holes
+    from collections import defaultdict
+    bins = defaultdict(list)
+    for r in rows:
+        bins[r.part].append(r.bin_id)
+    for part, ids in bins.items():
+        assert sorted(ids) == list(range(len(ids))), part
+
+
+def test_freshness_lag_nonnegative(spark):
+    rows = REGISTRY["source_freshness_lag"](spark, SF_DIR).collect()
+    assert all(r.lag_seconds >= 0 for r in rows)
+    assert any(r.lag_seconds == 0 for r in rows)  # the freshest channel
