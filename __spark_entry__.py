@@ -83,6 +83,9 @@ _DEFER: list[str] = [
     "zone_map_skipping_stats",
     "variance_merge_check",
     "source_freshness_lag",
+    "lsh_scurve_design",
+    "neardup_transitivity_audit",
+    "mutual_knn_symmetry",
 ]
 
 _PIN: list[str] = [

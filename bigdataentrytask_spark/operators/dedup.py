@@ -1087,3 +1087,161 @@ def _register_minhash_precision_eval() -> None:
 
 
 _register_minhash_precision_eval()
+
+
+# --------------------------------------------------------------------------
+# LSH S-curve parameter designer (round-8 slate): for candidate
+# (bands, rows) splits of a 16-hash MinHash budget, estimate the
+# banding's recall above jaccard 0.5 and its total expected candidate
+# volume from the corpus's OWN exact similarity distribution — the
+# table a platform consults before committing b x r at 100 TB (where
+# re-running dedup to tune parameters is unaffordable; the estimate
+# needs only the (intersection, union) cell histogram, a domain-sized
+# aggregate). Collision probability 1-(1-s^r)^b is evaluated with a
+# fixed square-multiply parse tree (no pow(), whose libm rounding may
+# differ across engines) and ROUNDed onto a 1e-12 integer grid, so
+# every aggregate is an exact integer sum — double addition order can
+# never move the rounded output (CONTRIBUTING.md moment-sum rule).
+# The exact quadratic core is audit-scale by design (same contract as
+# minhash_precision_eval); production dedup keys off the chosen b x r
+# via minhash_dedup.
+# --------------------------------------------------------------------------
+_SCURVE_CONFIGS = [(2, 8), (4, 4), (8, 2), (16, 1)]  # (bands, rows/band)
+_SCURVE_SCALE = "1000000000000.0"  # 1e-12 probability grid
+
+
+def _pow_chain(expr: str, k: int) -> str:
+    """Square-and-multiply power with a pinned association order —
+    identical IEEE rounding in any engine that parses the parens."""
+    if k == 1:
+        return expr
+    half = _pow_chain(expr, k // 2)
+    out = f"({half} * {half})"
+    if k % 2:
+        out = f"({out} * {expr})"
+    return out
+
+
+def _scurve_p_scaled(bands: int, rows: int) -> str:
+    sr = _pow_chain("s", rows)
+    p = f"(1.0 - {_pow_chain(f'(1.0 - {sr})', bands)})"
+    return f"CAST(ROUND({p} * {_SCURVE_SCALE}) AS BIGINT)"
+
+
+def _register_lsh_scurve_design() -> None:
+    cells_sql = f"""
+    toks AS (
+      SELECT doc_id, UNNEST(list_distinct({sql_tokens('text')})) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    upairs AS (
+      SELECT i, CAST(sa.n + sb.n - i AS BIGINT) AS u
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    ),
+    cells AS (
+      SELECT i, u, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(i AS DOUBLE) / u AS s
+      FROM upairs GROUP BY 1, 2
+    )"""
+    scored_sql = "\nUNION ALL\n".join(
+        f"""      SELECT CAST({b} AS BIGINT) AS bands,
+             CAST({r} AS BIGINT) AS rows_per_band,
+             i, u, cnt, {_scurve_p_scaled(b, r)} AS p_scaled
+      FROM cells"""
+        for b, r in _SCURVE_CONFIGS
+    )
+    oracle = f"""
+    WITH {cells_sql},
+    scored AS (
+{scored_sql}
+    )
+    SELECT bands, rows_per_band,
+           CAST(SUM(CASE WHEN 2 * i >= u THEN cnt END) AS BIGINT)
+             AS n_pairs_tau,
+           ROUND(CAST(SUM(CASE WHEN 2 * i >= u
+                          THEN CAST(cnt AS HUGEINT) * p_scaled END) AS DOUBLE)
+                 / {_SCURVE_SCALE}
+                 / SUM(CASE WHEN 2 * i >= u THEN cnt END), 6) AS est_recall_tau,
+           ROUND(CAST(SUM(CAST(cnt AS HUGEINT) * p_scaled) AS DOUBLE)
+                 / {_SCURVE_SCALE}, 6) AS expected_candidates
+    FROM scored GROUP BY 1, 2 ORDER BY bands
+    """
+
+    @operator("lsh_scurve_design", oracle=oracle)
+    def lsh_scurve_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+        toks = _docs(spark, sf_dir).select(
+            "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+        )
+        sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a, b = toks.alias("a"), toks.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.tok") == F.col("b.tok"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+        upairs = (
+            inter.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .select("i", (F.col("na") + F.col("nb") - F.col("i")).cast("bigint").alias("u"))
+        )
+        cells = upairs.groupBy("i", "u").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        ).withColumn("s", F.col("i").cast("double") / F.col("u"))
+        frames = []
+        for bands, rows in _SCURVE_CONFIGS:
+            frames.append(
+                cells.select(
+                    F.lit(bands).cast("bigint").alias("bands"),
+                    F.lit(rows).cast("bigint").alias("rows_per_band"),
+                    "i",
+                    "u",
+                    "cnt",
+                    F.expr(_scurve_p_scaled(bands, rows)).alias("p_scaled"),
+                )
+            )
+        scored = frames[0]
+        for fdf in frames[1:]:
+            scored = scored.unionByName(fdf)
+        tau = (F.lit(2) * F.col("i")) >= F.col("u")
+        dec_cnt = F.col("cnt").cast("decimal(38,0)")
+        scale = F.lit(float(_SCURVE_SCALE))
+        return (
+            scored.groupBy("bands", "rows_per_band")
+            .agg(
+                F.sum(F.when(tau, F.col("cnt"))).cast("bigint").alias("n_pairs_tau"),
+                F.sum(F.when(tau, dec_cnt * F.col("p_scaled")))
+                .cast("double")
+                .alias("rec_sum"),
+                F.sum(dec_cnt * F.col("p_scaled")).cast("double").alias("all_sum"),
+            )
+            .select(
+                "bands",
+                "rows_per_band",
+                "n_pairs_tau",
+                F.round(
+                    F.col("rec_sum") / scale / F.col("n_pairs_tau"), 6
+                ).alias("est_recall_tau"),
+                F.round(F.col("all_sum") / scale, 6).alias("expected_candidates"),
+            )
+            .orderBy("bands")
+        )
+
+
+_register_lsh_scurve_design()

@@ -2203,3 +2203,184 @@ def _register_rrf_fusion() -> None:
 
 
 _register_rrf_fusion()
+
+
+# --------------------------------------------------------------------------
+# Transitivity audit of the near-duplicate graph (round-8 slate):
+# near-duplication is "approximately transitive" — if a~b and b~c,
+# usually a~c. The fraction of open wedges (3*triangles / wedges)
+# quantifies how aggressive the downstream connected-component
+# resolution (dedup_resolve / semdedup_resolve) will be: LOW
+# transitivity means CC chains together documents that are NOT
+# pairwise similar (the classic over-merging failure). Runs on the
+# audit-scale exact pair set; wedge counts come from the degree
+# histogram (sum d*(d-1)/2 — never a wedge enumeration), triangles
+# from one ordered edge-edge-edge join over the bounded pair list.
+# --------------------------------------------------------------------------
+@operator(
+    "neardup_transitivity_audit",
+    oracle=f"""
+    WITH pairs AS ({{NEARDUP}}),
+    edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+      ) GROUP BY 1
+    ),
+    wed AS (
+      SELECT CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM deg
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           wed.n_wedges, tri.n_triangles,
+           CAST(wed.n_wedges - 3 * tri.n_triangles AS BIGINT) AS n_open_wedges,
+           CASE WHEN wed.n_wedges > 0
+                THEN ROUND(3.0 * tri.n_triangles / wed.n_wedges, 6)
+           END AS transitivity
+    FROM wed CROSS JOIN tri
+    """.replace("{NEARDUP}", _NEARDUP_ORACLE),
+)
+def neardup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = embedding_neardup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    wed = deg.agg(
+        F.expr("CAST(sum(d * (d - 1)) div 2 AS BIGINT)").alias("n_wedges")
+    )
+    e1 = edges.select(F.col("a").alias("a1"), F.col("b").alias("b1"))
+    e2 = edges.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("b3"))
+    tri = (
+        e1.join(e2, (F.col("a2") == F.col("a1")) & (F.col("b2") > F.col("b1")))
+        .join(e3, (F.col("a3") == F.col("b1")) & (F.col("b3") == F.col("b2")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    j = ne.crossJoin(F.broadcast(wed)).crossJoin(F.broadcast(tri))
+    return j.select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        (F.col("n_wedges") - 3 * F.col("n_triangles")).cast("bigint").alias(
+            "n_open_wedges"
+        ),
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6),
+        ).alias("transitivity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mutual-kNN symmetry diagnostic (round-8 slate): the fraction of
+# directed kNN edges whose reverse edge also exists, at k=1 and k=5.
+# Low symmetry flags hubness (a few vectors appear in everyone's
+# top-k — the curse-of-dimensionality failure mode that degrades both
+# ANN recall and kNN-graph clustering). Exact all-pairs scoring, so
+# audit-scale by contract (run on a corpus sample; the production ANN
+# paths are knn_lsh / knn_ivf_kmeans); ranking reuses the
+# knn_bruteforce ordering (raw sim desc, id asc) so the directed graph
+# is deterministic in both engines.
+# --------------------------------------------------------------------------
+@operator(
+    "mutual_knn_symmetry",
+    oracle=f"""
+    WITH {_SQL_NORMS},
+    dots AS (
+      SELECT q.vec_id AS src, c.vec_id AS dst,
+             (SELECT SUM(z.qe * z.ce) FROM
+              (SELECT UNNEST(q.embedding::DOUBLE[]) AS qe,
+                      UNNEST(c.embedding::DOUBLE[]) AS ce) z) AS d
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY d / (ns.nrm * nd.nrm) DESC, dst) AS rnk
+      FROM dots
+      JOIN norms ns ON ns.vec_id = src
+      JOIN norms nd ON nd.vec_id = dst
+    ),
+    knn AS (SELECT src, dst, rnk FROM ranked WHERE rnk <= 5),
+    j AS (
+      SELECT ks.k, a.src, a.dst,
+             CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END AS mut
+      FROM knn a
+      CROSS JOIN (SELECT UNNEST([1, 5]) AS k) ks
+      LEFT JOIN knn b ON b.src = a.dst AND b.dst = a.src AND b.rnk <= ks.k
+      WHERE a.rnk <= ks.k
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_directed_edges,
+           CAST(SUM(mut) AS BIGINT) AS n_mutual_edges,
+           ROUND(CAST(SUM(mut) AS DOUBLE) / COUNT(*), 6) AS mutual_fraction
+    FROM j GROUP BY 1 ORDER BY k
+    """,
+)
+def mutual_knn_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("s_emb"))
+    c = e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("c_emb"))
+    sim = cosine("s_emb", "c_emb")
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), "dst")
+    knn = (
+        a.crossJoin(c)
+        .filter(F.col("dst") != F.col("src"))
+        .withColumn("sim", sim)
+        .select("src", "dst", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+    )
+    ks = spark.range(2).select(
+        F.when(F.col("id") == 0, 1).otherwise(5).alias("k")
+    )
+    rev = knn.select(
+        F.col("src").alias("bsrc"), F.col("dst").alias("bdst"),
+        F.col("rnk").alias("brnk"),
+    )
+    j = (
+        knn.crossJoin(F.broadcast(ks))
+        .filter(F.col("rnk") <= F.col("k"))
+        .join(
+            rev,
+            (F.col("bsrc") == F.col("dst"))
+            & (F.col("bdst") == F.col("src"))
+            & (F.col("brnk") <= F.col("k")),
+            "left",
+        )
+        .select(
+            "k",
+            F.when(F.col("bsrc").isNotNull(), 1).otherwise(0).alias("mut"),
+        )
+    )
+    nn = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    return (
+        j.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_directed_edges"),
+            F.sum("mut").cast("bigint").alias("n_mutual_edges"),
+            F.round(F.sum("mut").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mutual_fraction"
+            ),
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n_nodes",
+            "n_directed_edges",
+            "n_mutual_edges",
+            "mutual_fraction",
+        )
+        .orderBy("k")
+    )

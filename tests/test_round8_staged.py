@@ -38,6 +38,9 @@ ROUND8_STAGED = [
     "zone_map_skipping_stats",
     "variance_merge_check",
     "source_freshness_lag",
+    "lsh_scurve_design",
+    "neardup_transitivity_audit",
+    "mutual_knn_symmetry",
 ]
 
 
@@ -176,3 +179,35 @@ def test_freshness_lag_nonnegative(spark):
     rows = REGISTRY["source_freshness_lag"](spark, SF_DIR).collect()
     assert all(r.lag_seconds >= 0 for r in rows)
     assert any(r.lag_seconds == 0 for r in rows)  # the freshest channel
+
+
+def test_scurve_monotone_in_bands(spark):
+    """At fixed hash budget, more bands (shorter rows) = higher
+    collision probability everywhere: recall at tau and expected
+    candidates must both be non-decreasing as bands grow."""
+    rows = sorted(
+        REGISTRY["lsh_scurve_design"](spark, SF_DIR).collect(),
+        key=lambda r: r.bands,
+    )
+    assert [r.bands * r.rows_per_band for r in rows] == [16] * 4
+    recalls = [r.est_recall_tau for r in rows]
+    cands = [r.expected_candidates for r in rows]
+    assert recalls == sorted(recalls)
+    assert cands == sorted(cands)
+    assert all(0.0 <= x <= 1.0 for x in recalls)
+
+
+def test_transitivity_bounds(spark):
+    row = REGISTRY["neardup_transitivity_audit"](spark, SF_DIR).collect()[0]
+    assert row.n_wedges >= 3 * row.n_triangles
+    if row.transitivity is not None:
+        assert 0.0 <= row.transitivity <= 1.0
+    assert row.n_open_wedges == row.n_wedges - 3 * row.n_triangles
+
+
+def test_mutual_knn_fraction_bounds(spark):
+    rows = {r.k: r for r in REGISTRY["mutual_knn_symmetry"](spark, SF_DIR).collect()}
+    for k, r in rows.items():
+        assert r.n_directed_edges == r.n_nodes * k
+        assert 0 <= r.n_mutual_edges <= r.n_directed_edges
+        assert r.n_mutual_edges % 2 == 0  # mutual edges come in pairs
