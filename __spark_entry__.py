@@ -86,6 +86,11 @@ _DEFER: list[str] = [
     "lsh_scurve_design",
     "neardup_transitivity_audit",
     "mutual_knn_symmetry",
+    "brand_modularity_backbone",
+    "ngram_novelty_curve",
+    "association_rules_metrics",
+    "range_frame_probe",
+    "higher_order_array_probe",
 ]
 
 _PIN: list[str] = [

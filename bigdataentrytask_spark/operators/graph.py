@@ -828,3 +828,93 @@ def clustering_coefficient_by_degree(
         )
         .orderBy("degree_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Modularity of the brand partition on the co-purchase backbone
+# (round-8 slate): does "same brand" explain the co-purchase graph's
+# community structure? Newman's Q for a fixed node labeling reduces to
+# Q = (4m*sum_c e_c - sum_c d_c^2) / (4m^2) — every term an exact
+# integer on the w>=2 support backbone (the same sparsification dial
+# as the triangle census), so the statistic is one keyed join pass +
+# a degree aggregation, engine-exact up to the single final division.
+# The evaluation twin of label_propagation_step: run LP, relabel, and
+# THIS operator scores any labeling you like at 100 TB.
+# --------------------------------------------------------------------------
+@operator(
+    "brand_modularity_backbone",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    bb AS (SELECT s, d FROM edges WHERE w >= 2),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM bb),
+    lab AS (SELECT p_partkey AS node, p_brand AS com FROM part),
+    intra AS (
+      SELECT ls.com, CAST(COUNT(*) AS BIGINT) AS e_c
+      FROM bb JOIN lab ls ON ls.node = bb.s JOIN lab ld ON ld.node = bb.d
+      WHERE ls.com = ld.com GROUP BY 1
+    ),
+    deg AS (
+      SELECT lab.com, CAST(COUNT(*) AS BIGINT) AS d_c
+      FROM (SELECT s AS node FROM bb UNION ALL SELECT d FROM bb) v
+      JOIN lab ON lab.node = v.node GROUP BY 1
+    ),
+    terms AS (
+      SELECT deg.com, COALESCE(intra.e_c, 0) AS e_c, deg.d_c
+      FROM deg LEFT JOIN intra ON intra.com = deg.com
+    )
+    SELECT m.m AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(SUM(e_c) AS BIGINT) AS n_intra_edges,
+           ROUND(CAST(4 * m.m * SUM(e_c)
+                      - SUM(CAST(d_c AS HUGEINT) * d_c) AS DOUBLE)
+                 / (4.0 * m.m * m.m), 6) AS modularity
+    FROM terms CROSS JOIN m GROUP BY m.m
+    """,
+)
+def brand_modularity_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bb = _edges(spark, sf_dir).filter(F.col("w") >= 2).select("s", "d")
+    m = bb.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    p = _t(spark, sf_dir, "part")
+    lab = p.select(F.col("p_partkey").alias("node"), F.col("p_brand").alias("com"))
+    ls = lab.select(F.col("node").alias("s"), F.col("com").alias("com_s"))
+    ld = lab.select(F.col("node").alias("d"), F.col("com").alias("com_d"))
+    intra = (
+        bb.join(F.broadcast(ls), "s")
+        .join(F.broadcast(ld), "d")
+        .filter(F.col("com_s") == F.col("com_d"))
+        .groupBy(F.col("com_s").alias("com"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    )
+    deg = (
+        bb.select(F.col("s").alias("node"))
+        .unionByName(bb.select(F.col("d").alias("node")))
+        .join(F.broadcast(lab), "node")
+        .groupBy("com")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_c"))
+    )
+    terms = deg.join(intra, "com", "left").select(
+        "com", F.coalesce("e_c", F.lit(0)).alias("e_c"), "d_c"
+    )
+    num = (
+        F.lit(4) * F.col("m") * F.sum("e_c")
+        - F.sum(F.col("d_c").cast("decimal(38,0)") * F.col("d_c"))
+    )
+    return (
+        terms.crossJoin(F.broadcast(m))
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+            F.sum("e_c").cast("bigint").alias("n_intra_edges"),
+            F.round(
+                num.cast("double")
+                / (F.lit(4.0) * F.col("m") * F.col("m")),
+                6,
+            ).alias("modularity"),
+        )
+        .select(
+            F.col("m").alias("n_edges"),
+            "n_communities",
+            "n_intra_edges",
+            "modularity",
+        )
+    )

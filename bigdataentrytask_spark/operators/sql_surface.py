@@ -1933,3 +1933,145 @@ def rank_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# RANGE-vs-ROWS window-frame probe (round-8 slate): the two frame
+# modes answer different questions (value-neighborhood vs
+# position-neighborhood) and disagree exactly when the ORDER BY key
+# has ties. The probe checksums both over the January-1995 order
+# slice per segment: the RANGE frame ($5 price neighborhood) is
+# tie-safe by construction; the ROWS frame gets a UNIQUE (cents,
+# o_orderkey) ordering — a ROWS frame over a non-unique ordering is
+# nondeterministic, which is itself the lesson this probe pins.
+# --------------------------------------------------------------------------
+@operator(
+    "range_frame_probe",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg,
+             o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1995-02-01'
+    ),
+    framed AS (
+      SELECT seg,
+             COUNT(*) OVER (PARTITION BY seg ORDER BY cents
+               RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS cnt_range,
+             CAST(SUM(cents) OVER (PARTITION BY seg ORDER BY cents
+               RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sum_range,
+             COUNT(*) OVER (PARTITION BY seg ORDER BY cents, o_orderkey
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS cnt_rows,
+             CAST(SUM(cents) OVER (PARTITION BY seg ORDER BY cents, o_orderkey
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sum_rows
+      FROM base
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cnt_range) AS BIGINT) AS range_cnt_checksum,
+           CAST(SUM(sum_range) AS BIGINT) AS range_sum_checksum,
+           CAST(SUM(cnt_rows) AS BIGINT) AS rows_cnt_checksum,
+           CAST(SUM(sum_rows) AS BIGINT) AS rows_sum_checksum
+    FROM framed GROUP BY seg ORDER BY seg
+    """,
+)
+def range_frame_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-02-01").cast("timestamp"))
+        )
+        .join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+              o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    w_range = (
+        Window.partitionBy("seg").orderBy("cents").rangeBetween(-500, 0)
+    )
+    w_rows = (
+        Window.partitionBy("seg")
+        .orderBy("cents", "o_orderkey")
+        .rowsBetween(-5, 0)
+    )
+    framed = base.select(
+        "seg",
+        F.count(F.lit(1)).over(w_range).alias("cnt_range"),
+        F.sum("cents").over(w_range).cast("bigint").alias("sum_range"),
+        F.count(F.lit(1)).over(w_rows).alias("cnt_rows"),
+        F.sum("cents").over(w_rows).cast("bigint").alias("sum_rows"),
+    )
+    return (
+        framed.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cnt_range").cast("bigint").alias("range_cnt_checksum"),
+            F.sum("sum_range").cast("bigint").alias("range_sum_checksum"),
+            F.sum("cnt_rows").cast("bigint").alias("rows_cnt_checksum"),
+            F.sum("sum_rows").cast("bigint").alias("rows_sum_checksum"),
+        )
+        .orderBy("seg")
+    )
+
+
+# --------------------------------------------------------------------------
+# Higher-order array-function probe (round-8 slate): transform /
+# filter / aggregate / zip_with / exists over each user's sorted
+# event-value array — the lambda surface Spark executes IN the JVM
+# (no Python round trip; §2.7 UDF policy's "built-ins first" applies
+# to collections too). The oracle computes the same semantics with
+# DuckDB's list_* functions — different builtins, same answers; all
+# outputs are integers so the comparison is exact.
+# --------------------------------------------------------------------------
+@operator(
+    "higher_order_array_probe",
+    oracle="""
+    WITH arrs AS (
+      SELECT user_id,
+             list_sort(list(CAST(ROUND(value * 100) AS BIGINT))) AS arr
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(arr) AS BIGINT) AS n,
+           CAST(list_sum(list_transform(arr, x -> x * 2 + 1)) AS BIGINT)
+             AS sum_transformed,
+           CAST(len(list_filter(arr, x -> x > 5000)) AS BIGINT) AS n_filtered,
+           CAST(arr[1] + arr[len(arr)] AS BIGINT) AS first_zip_sum,
+           CAST(CASE WHEN len(list_filter(arr, x -> x % 1000 = 0)) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS has_round_value
+    FROM arrs ORDER BY user_id
+    """,
+)
+def higher_order_array_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    arrs = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.round(F.col("value") * 100).cast("bigint"))
+        ).alias("arr")
+    )
+    zipped = F.zip_with("arr", F.reverse("arr"), lambda x, y: x + y)
+    return arrs.select(
+        "user_id",
+        F.size("arr").cast("bigint").alias("n"),
+        F.aggregate(
+            F.transform("arr", lambda x: x * 2 + 1),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("bigint").alias("sum_transformed"),
+        F.size(F.filter("arr", lambda x: x > 5000)).cast("bigint").alias(
+            "n_filtered"
+        ),
+        F.element_at(zipped, 1).cast("bigint").alias("first_zip_sum"),
+        F.when(
+            F.exists("arr", lambda x: x % 1000 == 0), 1
+        ).otherwise(0).cast("bigint").alias("has_round_value"),
+    ).orderBy("user_id")

@@ -2379,3 +2379,68 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p")
     )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty curve over ingestion batches (round-8 slate): split
+# the corpus into doc_id-ordered batches of 100 and measure, per
+# batch, the fraction of its distinct 3-gram hashes never seen in any
+# EARLIER batch. The time-axis companion to heaps_law_fit (which
+# grows vocabulary over corpus SIZE): a crawl whose novelty rate
+# collapses is re-crawling itself — the signal that tells a pipeline
+# to stop paying for a source. First occurrence = min(batch) per
+# hash: one grouped pass over the exploded shingles, no sequential
+# scan, so the curve is a plain keyed aggregation at 100 TB.
+# --------------------------------------------------------------------------
+@operator(
+    "ngram_novelty_curve",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id // 100 AS batch, {_sql_shingle_hashes(_DUPGRAM_N)} AS hashes
+      FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents)
+    ),
+    e AS (
+      SELECT DISTINCT batch, u.h FROM g, UNNEST(g.hashes) AS u(h)
+    ),
+    firsts AS (SELECT h, CAST(MIN(batch) AS BIGINT) AS fb FROM e GROUP BY h),
+    per AS (
+      SELECT e.batch,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_ngrams,
+             CAST(count_if(f.fb = e.batch) AS BIGINT) AS n_novel
+      FROM e JOIN firsts f ON f.h = e.h
+      GROUP BY 1
+    )
+    SELECT CAST(batch AS BIGINT) AS batch, n_distinct_ngrams, n_novel,
+           ROUND(CAST(n_novel AS DOUBLE) / n_distinct_ngrams, 6)
+             AS novelty_rate
+    FROM per ORDER BY batch
+    """,
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        F.expr("doc_id div 100").alias("batch"),
+        _shingle_hashes(_DUPGRAM_N).alias("hashes"),
+    )
+    e = (
+        d.select("batch", F.explode("hashes").alias("h"))
+        .distinct()
+    )
+    firsts = e.groupBy("h").agg(F.min("batch").cast("bigint").alias("fb"))
+    per = (
+        e.join(firsts, "h")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_ngrams"),
+            F.sum(F.when(F.col("fb") == F.col("batch"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        F.col("batch").cast("bigint").alias("batch"),
+        "n_distinct_ngrams",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_distinct_ngrams"), 6
+        ).alias("novelty_rate"),
+    ).orderBy("batch")

@@ -2519,3 +2519,95 @@ def source_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Association-rule metrics for the top-20 co-purchased part pairs
+# (round-8 slate): confidence, lift, and conviction from exact basket
+# counts — the interpretation layer over basket_part_pairs' raw
+# support (support says "frequent", lift says "more than chance",
+# conviction says "directionally predictive"). Same bounded basket
+# expansion as the graph layer (baskets <= 7 lines); the top-20 cut
+# is totally ordered (c_ab DESC, part_a, part_b) so both engines pick
+# identical rules, and the item-count side is a broadcast join.
+# --------------------------------------------------------------------------
+@operator(
+    "association_rules_metrics",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM items),
+    ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+           FROM items GROUP BY 1),
+    pc AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT part_a, part_b, c_ab FROM pc
+      ORDER BY c_ab DESC, part_a, part_b LIMIT 20
+    )
+    SELECT t.part_a, t.part_b, t.c_ab AS support_cnt,
+           ROUND(CAST(t.c_ab AS DOUBLE) / ca.c, 6) AS confidence_ab,
+           ROUND(CAST(t.c_ab AS DOUBLE) * n.n_orders / (ca.c * cb.c), 6)
+             AS lift,
+           CASE WHEN t.c_ab < ca.c THEN
+             ROUND((1.0 - CAST(cb.c AS DOUBLE) / n.n_orders)
+                   / (1.0 - CAST(t.c_ab AS DOUBLE) / ca.c), 6)
+           END AS conviction_ab
+    FROM top t
+    JOIN ic ca ON ca.l_partkey = t.part_a
+    JOIN ic cb ON cb.l_partkey = t.part_b
+    CROSS JOIN n
+    ORDER BY support_cnt DESC, part_a, part_b
+    """,
+)
+def association_rules_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    ic = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    pc = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    w = Window.orderBy(F.col("c_ab").desc(), "part_a", "part_b")
+    top = pc.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 20
+    ).drop("rnk")
+    ca = ic.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    cb = ic.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    j = (
+        top.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n))
+    )
+    return j.select(
+        "part_a",
+        "part_b",
+        F.col("c_ab").alias("support_cnt"),
+        F.round(F.col("c_ab").cast("double") / F.col("ca"), 6).alias(
+            "confidence_ab"
+        ),
+        F.round(
+            F.col("c_ab").cast("double") * F.col("n_orders")
+            / (F.col("ca") * F.col("cb")),
+            6,
+        ).alias("lift"),
+        F.when(
+            F.col("c_ab") < F.col("ca"),
+            F.round(
+                (F.lit(1.0) - F.col("cb").cast("double") / F.col("n_orders"))
+                / (F.lit(1.0) - F.col("c_ab").cast("double") / F.col("ca")),
+                6,
+            ),
+        ).alias("conviction_ab"),
+    ).orderBy(F.col("support_cnt").desc(), "part_a", "part_b")

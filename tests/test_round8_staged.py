@@ -41,6 +41,11 @@ ROUND8_STAGED = [
     "lsh_scurve_design",
     "neardup_transitivity_audit",
     "mutual_knn_symmetry",
+    "brand_modularity_backbone",
+    "ngram_novelty_curve",
+    "association_rules_metrics",
+    "range_frame_probe",
+    "higher_order_array_probe",
 ]
 
 
@@ -211,3 +216,53 @@ def test_mutual_knn_fraction_bounds(spark):
         assert r.n_directed_edges == r.n_nodes * k
         assert 0 <= r.n_mutual_edges <= r.n_directed_edges
         assert r.n_mutual_edges % 2 == 0  # mutual edges come in pairs
+
+
+def test_modularity_bounds(spark):
+    row = REGISTRY["brand_modularity_backbone"](spark, SF_DIR).collect()[0]
+    assert -0.5 <= row.modularity <= 1.0
+    assert 0 <= row.n_intra_edges <= row.n_edges
+
+
+def test_novelty_first_batch_is_all_novel(spark):
+    rows = sorted(
+        REGISTRY["ngram_novelty_curve"](spark, SF_DIR).collect(),
+        key=lambda r: r.batch,
+    )
+    assert rows[0].novelty_rate == 1.0  # batch 0 has no history
+    assert all(0.0 <= r.novelty_rate <= 1.0 for r in rows)
+    assert all(r.n_novel <= r.n_distinct_ngrams for r in rows)
+
+
+def test_association_rules_consistent(spark):
+    rows = REGISTRY["association_rules_metrics"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 < r.confidence_ab <= 1.0
+        assert r.lift > 0.0
+        if r.conviction_ab is not None:
+            assert r.conviction_ab > 0.0
+    supports = [r.support_cnt for r in rows]
+    assert supports == sorted(supports, reverse=True)
+
+
+def test_higher_order_identities(spark):
+    """sum over transform(x -> 2x+1) is 2*sum(arr) + n, so
+    (sum_transformed - n) must be even for every user."""
+    rows = REGISTRY["higher_order_array_probe"](spark, SF_DIR).collect()
+    assert len(rows) == 150
+    for r in rows:
+        assert (r.sum_transformed - r.n) % 2 == 0
+        assert 0 <= r.n_filtered <= r.n
+        assert r.has_round_value in (0, 1)
+
+
+def test_range_frame_vs_rows_frame(spark):
+    """The $5 RANGE frame can only include >= as many rows as the
+    6-row ROWS frame excludes... sanity: counts positive, sums
+    consistent with n."""
+    rows = REGISTRY["range_frame_probe"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r.n > 0
+        assert r.range_cnt_checksum >= r.n  # every row counts itself
+        assert r.rows_cnt_checksum >= r.n
