@@ -91,6 +91,10 @@ _DEFER: list[str] = [
     "association_rules_metrics",
     "range_frame_probe",
     "higher_order_array_probe",
+    "rfm_transition_matrix",
+    "topk_rank_stability",
+    "channel_audience_overlap",
+    "attribution_time_decay",
 ]
 
 _PIN: list[str] = [

@@ -2468,3 +2468,243 @@ def funnel_within_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("click_to_purchase"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segment transition matrix between two eras (round-8 slate):
+# label every customer in 1995-1997 and again in 1998-2000 with a
+# fixed-threshold RFM segment, and count the flows — the "are we
+# losing champions" dashboard. Fixed thresholds (not within-era
+# quantiles) keep the two labelings comparable AND the whole operator
+# a pair of grouped passes + one keyed join; customers absent from an
+# era get the explicit 'absent' state so the matrix rows sum to the
+# full customer base. The era-pair companion to
+# customer_migration_matrix (which tracks value bands).
+# --------------------------------------------------------------------------
+_RFM_SEG_SQL = """
+    CASE WHEN n_orders >= 8 AND cents >= 15000000 THEN 'champion'
+         WHEN n_orders >= 4 THEN 'loyal'
+         WHEN cents >= 8000000 THEN 'big_ticket'
+         ELSE 'occasional' END
+"""
+
+
+@operator(
+    "rfm_transition_matrix",
+    oracle=f"""
+    WITH era AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'a' ELSE 'b'
+             END AS era,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    lab AS (
+      SELECT o_custkey, era, {_RFM_SEG_SQL} AS seg FROM era
+    ),
+    a AS (SELECT o_custkey, seg FROM lab WHERE era = 'a'),
+    b AS (SELECT o_custkey, seg FROM lab WHERE era = 'b')
+    SELECT COALESCE(a.seg, 'absent') AS seg_from,
+           COALESCE(b.seg, 'absent') AS seg_to,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    GROUP BY 1, 2 ORDER BY seg_from, seg_to
+    """,
+)
+def rfm_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    era = o.groupBy(
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "a"
+        ).otherwise("b").alias("era"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    lab = era.select("o_custkey", "era", F.expr(_RFM_SEG_SQL).alias("seg"))
+    a = lab.filter(F.col("era") == "a").select(
+        F.col("o_custkey").alias("ck_a"), F.col("seg").alias("seg_a")
+    )
+    b = lab.filter(F.col("era") == "b").select(
+        F.col("o_custkey").alias("ck_b"), F.col("seg").alias("seg_b")
+    )
+    j = a.join(b, a.ck_a == b.ck_b, "full_outer")
+    return (
+        j.groupBy(
+            F.coalesce("seg_a", F.lit("absent")).alias("seg_from"),
+            F.coalesce("seg_b", F.lit("absent")).alias("seg_to"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("seg_from", "seg_to")
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-k rank stability between two eras (round-8 slate): overlap@k of
+# the parts ranked by revenue in 1995-1997 vs 1998-2000, for k in
+# {5, 10, 20} — the cheap rank-drift monitor a feature store runs on
+# "top sellers" style lists (overlap collapse = the list is churning
+# and cached rankings are stale). Rankings are totally ordered (cents
+# DESC, partkey), the k-cut happens on a part-level aggregate, and
+# the overlap is an exact integer join count.
+# --------------------------------------------------------------------------
+@operator(
+    "topk_rank_stability",
+    oracle="""
+    WITH pr AS (
+      SELECT l.l_partkey AS part,
+             CASE WHEN o.o_orderdate < TIMESTAMP '1998-01-01' THEN 'a'
+                  ELSE 'b' END AS era,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT part, era,
+             ROW_NUMBER() OVER (PARTITION BY era
+                                ORDER BY cents DESC, part) AS rnk
+      FROM pr
+    ),
+    ks AS (SELECT UNNEST([5, 10, 20]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(COUNT(b.part) AS BIGINT) AS n_common,
+           ROUND(CAST(COUNT(b.part) AS DOUBLE) / ks.k, 6) AS overlap_at_k
+    FROM ranked a
+    CROSS JOIN ks
+    LEFT JOIN ranked b
+      ON b.era = 'b' AND b.part = a.part AND b.rnk <= ks.k
+    WHERE a.era = 'a' AND a.rnk <= ks.k
+    GROUP BY ks.k ORDER BY k
+    """,
+)
+def topk_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    pr = (
+        li.join(o.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.when(
+                F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+                "a",
+            ).otherwise("b").alias("era"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("era").orderBy(F.col("cents").desc(), "part")
+    ranked = pr.select("part", "era", F.row_number().over(w).alias("rnk"))
+    ks = spark.range(3).select(
+        F.when(F.col("id") == 0, 5)
+        .when(F.col("id") == 1, 10)
+        .otherwise(20)
+        .alias("k")
+    )
+    a = ranked.filter(F.col("era") == "a").select(
+        F.col("part").alias("pa"), F.col("rnk").alias("rnk_a")
+    )
+    b = ranked.filter(F.col("era") == "b").select(
+        F.col("part").alias("pb"), F.col("rnk").alias("rnk_b")
+    )
+    j = (
+        a.crossJoin(F.broadcast(ks))
+        .filter(F.col("rnk_a") <= F.col("k"))
+        .join(
+            b,
+            (F.col("pb") == F.col("pa")) & (F.col("rnk_b") <= F.col("k")),
+            "left",
+        )
+    )
+    return (
+        j.groupBy("k")
+        .agg(F.count("pb").cast("bigint").alias("n_common"))
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n_common",
+            F.round(F.col("n_common").cast("double") / F.col("k"), 6).alias(
+                "overlap_at_k"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# Channel audience-overlap matrix (round-8 slate): for every pair of
+# event channels, the exact co-audience count and Jaccard — the
+# "are these channels reaching the same users" planning table. The
+# per-(user, channel) distinct pass is fact-scale; everything after
+# runs on the channel-pair domain (10 pairs), with per-channel
+# audience sizes broadcast. A user-dimension twin of
+# keyword_cooccurrence_pmi's document-dimension co-occurrence.
+# --------------------------------------------------------------------------
+@operator(
+    "channel_audience_overlap",
+    oracle="""
+    WITH uc AS (SELECT DISTINCT user_id, event_type FROM events),
+    sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM uc GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS channel_a, b.event_type AS channel_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM uc a JOIN uc b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT channel_a, channel_b, n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6)
+             AS audience_jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.event_type = channel_a
+    JOIN sizes sb ON sb.event_type = channel_b
+    ORDER BY channel_a, channel_b
+    """,
+)
+def channel_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    uc = ev.select("user_id", "event_type").distinct()
+    sizes = uc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = uc.select("user_id", F.col("event_type").alias("channel_a"))
+    b = uc.select("user_id", F.col("event_type").alias("channel_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("channel_a") < F.col("channel_b"))
+        .groupBy("channel_a", "channel_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("channel_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("channel_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "channel_a")
+        .join(F.broadcast(sb), "channel_b")
+        .select(
+            "channel_a",
+            "channel_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("audience_jaccard"),
+        )
+        .orderBy("channel_a", "channel_b")
+    )

@@ -2611,3 +2611,101 @@ def association_rules_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("conviction_ab"),
     ).orderBy(F.col("support_cnt").desc(), "part_a", "part_b")
+
+
+# --------------------------------------------------------------------------
+# Time-decay multi-touch attribution (round-8 slate): touches in the
+# hour before a purchase share its revenue with a 30-minute half-life
+# — the recency-weighted sibling of attribution_linear_multitouch
+# (same user-keyed join shape: equi-join on user_id, time window as
+# residual predicate — never a theta join). Weights are DYADIC
+# (1024 for age<30m, 512 otherwise): exactly-representable doubles,
+# so the per-purchase share cents*w/sum_w is the same IEEE value in
+# both engines (no pow()/exp() in sight); the final per-channel sum
+# rounds at 2 decimals like the linear twin.
+# --------------------------------------------------------------------------
+@operator(
+    "attribution_time_decay",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT event_id AS touch_id, user_id, ts AS t_ts,
+             event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    touched AS (
+      SELECT p.purchase_id, p.cents, t.touch_id, t.channel,
+             CASE WHEN floor(epoch(p.p_ts)) - floor(epoch(t.t_ts)) < 1800
+                  THEN 1024 ELSE 512 END AS w
+      FROM p JOIN t
+        ON t.user_id = p.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 60 MINUTE
+    ),
+    weighted AS (
+      SELECT purchase_id, touch_id, channel,
+             cents * w / SUM(w) OVER (PARTITION BY purchase_id) AS credit
+      FROM touched
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS touches,
+           CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS purchases,
+           ROUND(SUM(credit), 2) AS credited_cents
+    FROM weighted GROUP BY channel ORDER BY channel
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+        F.col("event_id").alias("touch_id"),
+    )
+    touched = (
+        p.join(
+            t,
+            (F.col("t_user") == F.col("p_user"))
+            & (F.col("t_ts") < F.col("p_ts"))
+            & (
+                F.col("t_ts")
+                >= F.col("p_ts") - F.expr("INTERVAL 60 MINUTE")
+            ),
+        )
+        .select(
+            "purchase_id",
+            "cents",
+            "touch_id",
+            "channel",
+            F.when(
+                F.unix_timestamp("p_ts") - F.unix_timestamp("t_ts") < 1800,
+                1024,
+            ).otherwise(512).alias("w"),
+        )
+    )
+    wsum = Window.partitionBy("purchase_id")
+    weighted = touched.select(
+        "purchase_id",
+        "touch_id",
+        "channel",
+        (F.col("cents") * F.col("w") / F.sum("w").over(wsum)).alias("credit"),
+    )
+    return (
+        weighted.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("touches"),
+            F.countDistinct("purchase_id").cast("bigint").alias("purchases"),
+            F.round(F.sum("credit"), 2).alias("credited_cents"),
+        )
+        .orderBy("channel")
+    )

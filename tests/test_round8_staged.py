@@ -46,6 +46,10 @@ ROUND8_STAGED = [
     "association_rules_metrics",
     "range_frame_probe",
     "higher_order_array_probe",
+    "rfm_transition_matrix",
+    "topk_rank_stability",
+    "channel_audience_overlap",
+    "attribution_time_decay",
 ]
 
 
@@ -266,3 +270,49 @@ def test_range_frame_vs_rows_frame(spark):
         assert r.n > 0
         assert r.range_cnt_checksum >= r.n  # every row counts itself
         assert r.rows_cnt_checksum >= r.n
+
+
+def test_rfm_matrix_covers_customer_base(spark, duck):
+    rows = REGISTRY["rfm_transition_matrix"](spark, SF_DIR).collect()
+    total = sum(r.n_customers for r in rows)
+    n_cust = duck.execute(
+        "SELECT COUNT(DISTINCT o_custkey) FROM orders"
+    ).fetchone()[0]
+    assert total == n_cust
+    assert not any(
+        r.seg_from == "absent" and r.seg_to == "absent" for r in rows
+    )
+
+
+def test_topk_overlap_bounds(spark):
+    rows = REGISTRY["topk_rank_stability"](spark, SF_DIR).collect()
+    for r in rows:
+        assert 0 <= r.n_common <= r.k
+        assert 0.0 <= r.overlap_at_k <= 1.0
+
+
+def test_audience_overlap_matrix_shape(spark):
+    rows = REGISTRY["channel_audience_overlap"](spark, SF_DIR).collect()
+    assert len(rows) == 10  # C(5,2) channel pairs
+    for r in rows:
+        assert r.n_both <= min(r.n_a, r.n_b)
+        assert 0.0 <= r.audience_jaccard <= 1.0
+
+
+def test_time_decay_credit_conserves_revenue(spark, duck):
+    """Total credited cents across channels must equal the total
+    purchase value of attributed purchases (weights are shares)."""
+    rows = REGISTRY["attribution_time_decay"](spark, SF_DIR).collect()
+    credited = sum(r.credited_cents for r in rows)
+    attributed = duck.execute("""
+        WITH p AS (SELECT event_id, user_id, ts,
+                          CAST(ROUND(value * 100) AS BIGINT) AS cents
+                   FROM events WHERE event_type = 'purchase')
+        SELECT COALESCE(SUM(cents), 0) FROM p
+        WHERE EXISTS (SELECT 1 FROM events t
+                      WHERE t.user_id = p.user_id
+                        AND t.event_type IN ('view', 'click')
+                        AND t.ts < p.ts
+                        AND t.ts >= p.ts - INTERVAL 60 MINUTE)
+    """).fetchone()[0]
+    assert abs(credited - attributed) < 1.0
