@@ -66,8 +66,12 @@ def test_round8_staged_all_deferred():
 
     missing = [n for n in ROUND8_STAGED if n not in REGISTRY or n not in ORACLES]
     assert not missing, missing
-    not_deferred = [n for n in ROUND8_STAGED if n not in entry._DEFER]
-    assert not not_deferred, not_deferred
+    # exact set equality: a name in _DEFER but not in this suite would
+    # reach the round-8 sweep without its oracle differential ever
+    # having run under pytest
+    assert set(ROUND8_STAGED) == set(entry._DEFER), (
+        set(ROUND8_STAGED) ^ set(entry._DEFER)
+    )
 
 
 def test_merge_idempotence_holds(spark):
@@ -316,3 +320,17 @@ def test_time_decay_credit_conserves_revenue(spark, duck):
                         AND t.ts >= p.ts - INTERVAL 60 MINUTE)
     """).fetchone()[0]
     assert abs(credited - attributed) < 1.0
+
+
+def test_pow_chain_matches_pow():
+    """The pinned square-multiply chain must agree with x**k to
+    float-rounding tolerance for every exponent the S-curve uses (it
+    exists to pin the PARSE TREE across engines, not to change the
+    math)."""
+    from bigdataentrytask_spark.operators.dedup import _pow_chain
+
+    for k in range(1, 17):
+        expr = _pow_chain("s", k)
+        for s in (0.0, 0.1, 0.5, 0.9, 0.9999, 1.0):
+            got = eval(expr, {}, {"s": s})
+            assert abs(got - s**k) <= 1e-12 * max(1.0, s**k), (k, s)
