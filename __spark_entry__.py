@@ -95,6 +95,8 @@ _DEFER: list[str] = [
     "topk_rank_stability",
     "channel_audience_overlap",
     "attribution_time_decay",
+    "split_leakage_audit",
+    "ivf_nprobe_recall_sweep",
 ]
 
 _PIN: list[str] = [

@@ -2384,3 +2384,196 @@ def mutual_knn_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+from bigdataentrytask_spark.operators import ORACLES as _ORACLES
+
+
+# --------------------------------------------------------------------------
+# IVF nprobe recall sweep (round-8 slate): recall@5 and candidate
+# volume for nprobe in {1, 2, 4, 8} against the brute-force truth —
+# the tuning table behind knn_ivf_kmeans' fixed nprobe=1 (the knob a
+# platform turns BEFORE paying for an index build at 100 TB; nprobe=8
+# probes every cell, so its recall must be exactly 1.0 — a built-in
+# sanity row). Dots are computed ONCE for the query x corpus slab and
+# reused across probe levels; candidate membership is a join against
+# the centroid-distance ranking (same ROUND(dd,6) tie-break as the
+# IVF assignment), and recall is a ratio of exact integer hit counts.
+# Query side bounded by N_QUERIES — audit-scale by the same contract
+# as knn_recall_eval.
+# --------------------------------------------------------------------------
+@operator(
+    "ivf_nprobe_recall_sweep",
+    oracle=f"""
+    WITH {_IVF_CTES},
+    {_SQL_NORMS},
+    probes AS (SELECT UNNEST([1, 2, 4, 8]) AS nprobe),
+    qcells AS (
+      SELECT vec_id AS query_id, k,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ROUND(dd, 6), k) AS cell_rnk
+      FROM dist WHERE vec_id < {N_QUERIES}
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             (SELECT SUM(z.qe * z.ce) FROM
+              (SELECT UNNEST(q.embedding::DOUBLE[]) AS qe,
+                      UNNEST(c.embedding::DOUBLE[]) AS ce) z)
+             / (nq.nrm * nc.nrm) AS sim
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id
+      JOIN norms nq ON nq.vec_id = q.vec_id
+      JOIN norms nc ON nc.vec_id = c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM ({_ORACLES["knn_bruteforce"]})
+    ),
+    cand AS (
+      SELECT DISTINCT p.nprobe, qc.query_id, ac.vec_id AS neighbor_id
+      FROM probes p
+      JOIN qcells qc ON qc.cell_rnk <= p.nprobe
+      JOIN assigned ac ON ac.k = qc.k
+      WHERE ac.vec_id <> qc.query_id
+    ),
+    scored AS (
+      SELECT c.nprobe, c.query_id, c.neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY c.nprobe, c.query_id
+                                ORDER BY d.sim DESC, c.neighbor_id) AS rnk
+      FROM cand c
+      JOIN dots d ON d.query_id = c.query_id
+                 AND d.neighbor_id = c.neighbor_id
+    ),
+    hits AS (
+      SELECT s.nprobe,
+             CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT) AS n_hits
+      FROM scored s
+      LEFT JOIN truth t ON t.query_id = s.query_id
+                       AND t.neighbor_id = s.neighbor_id
+      WHERE s.rnk <= {TOP_K}
+      GROUP BY 1
+    ),
+    vol AS (
+      SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM cand GROUP BY 1
+    )
+    SELECT CAST(h.nprobe AS BIGINT) AS nprobe,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           ROUND(CAST(v.n_candidates AS DOUBLE) / {N_QUERIES}, 6)
+             AS mean_candidates,
+           h.n_hits,
+           ROUND(CAST(h.n_hits AS DOUBLE) / ({N_QUERIES} * {TOP_K}), 6)
+             AS recall_at_5
+    FROM hits h JOIN vol v ON v.nprobe = h.nprobe
+    ORDER BY nprobe
+    """,
+)
+def ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "x")
+    seeds = (
+        e.filter(F.col("vec_id") < KMEANS_K)
+        .select(
+            F.col("vec_id").alias("k"),
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("pos0", "s"),
+        )
+        .select("k", (F.col("pos0") + 1).alias("pos"), "s")
+    )
+    dist = (
+        dims.join(F.broadcast(seeds), "pos")
+        .groupBy("vec_id", "k")
+        .agg(
+            F.sum((F.col("x") - F.col("s")) * (F.col("x") - F.col("s"))).alias(
+                "dd"
+            )
+        )
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.round("dd", 6), "k")
+    assigned = (
+        dist.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "k")
+    )
+    qcells = (
+        dist.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "k",
+            F.row_number().over(wa).alias("cell_rnk"),
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    dots = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("sim"))
+    )
+    probes = spark.range(4).select(
+        F.when(F.col("id") == 0, 1)
+        .when(F.col("id") == 1, 2)
+        .when(F.col("id") == 2, 4)
+        .otherwise(8)
+        .alias("nprobe")
+    )
+    ac = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("k").alias("k")
+    )
+    cand = (
+        qcells.crossJoin(F.broadcast(probes))
+        .filter(F.col("cell_rnk") <= F.col("nprobe"))
+        .join(ac, "k")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("nprobe", "query_id", "neighbor_id")
+        .distinct()
+    )
+    ws = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    scored = (
+        cand.join(dots, ["query_id", "neighbor_id"])
+        .withColumn("rnk", F.row_number().over(ws))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+    truth = knn_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("is_true")
+    )
+    hits = (
+        scored.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.sum(F.when(F.col("is_true").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits")
+        )
+    )
+    vol = cand.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    return (
+        hits.join(vol, "nprobe")
+        .select(
+            F.col("nprobe").cast("bigint").alias("nprobe"),
+            F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+            F.round(
+                F.col("n_candidates").cast("double") / F.lit(N_QUERIES), 6
+            ).alias("mean_candidates"),
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.lit(N_QUERIES * TOP_K), 6
+            ).alias("recall_at_5"),
+        )
+        .orderBy("nprobe")
+    )

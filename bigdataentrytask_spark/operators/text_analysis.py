@@ -2444,3 +2444,99 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_novel").cast("double") / F.col("n_distinct_ngrams"), 6
         ).alias("novelty_rate"),
     ).orderBy("batch")
+
+
+# --------------------------------------------------------------------------
+# Train/val split leakage audit (round-8 slate): AFTER the hash-based
+# split, how many validation documents still share a 5-gram with the
+# training side? Document-level splits do NOT remove content overlap
+# (near-duplicate docs land on both sides), and this operator measures
+# exactly that residual — the eval-hygiene number to report next to
+# any benchmark score. Composes the registered split rule
+# (train_test_split's md5-bucket — interpolated from its oracle, so a
+# split change breaks this audit loudly) with the corpus shingle
+# machinery (decontaminate_ngram's _CONTAM_N). Shape at 100 TB: one
+# exploded-shingle distinct + a semi-join of val grams against the
+# train gram set (hash-partitioned on the gram key) — the same plan
+# family as incremental_dedup_merge.
+# --------------------------------------------------------------------------
+def _register_split_leakage_audit() -> None:
+    from bigdataentrytask_spark.operators import ORACLES
+
+    oracle = f"""
+    WITH splits AS ({ORACLES["train_test_split"]}),
+    g AS (
+      SELECT doc_id, {_sql_shingle_hashes(_CONTAM_N)} AS hashes
+      FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents)
+    ),
+    e AS (
+      SELECT DISTINCT g.doc_id, s.split, u.h
+      FROM g JOIN splits s ON s.doc_id = g.doc_id, UNNEST(g.hashes) AS u(h)
+    ),
+    train_h AS (SELECT DISTINCT h FROM e WHERE split = 'train'),
+    val AS (
+      SELECT e.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(count_if(t.h IS NOT NULL) AS BIGINT) AS n_leaked
+      FROM e LEFT JOIN train_h t ON t.h = e.h
+      WHERE e.split = 'val'
+      GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_val_docs,
+           CAST(count_if(n_leaked > 0) AS BIGINT) AS n_contaminated_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS total_val_grams,
+           CAST(SUM(n_leaked) AS BIGINT) AS total_leaked_grams,
+           ROUND(CAST(SUM(n_leaked) AS DOUBLE) / SUM(n_grams), 6)
+             AS leaked_gram_share,
+           ROUND(CAST(count_if(n_leaked > 0) AS DOUBLE) / COUNT(*), 6)
+             AS contaminated_doc_share
+    FROM val
+    """
+
+    @operator("split_leakage_audit", oracle=oracle)
+    def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        splits = train_test_split(spark, sf_dir)
+        g = _docs(spark, sf_dir).select(
+            "doc_id", _shingle_hashes(_CONTAM_N).alias("hashes")
+        )
+        e = (
+            g.join(splits, "doc_id")
+            .select("doc_id", "split", F.explode("hashes").alias("h"))
+            .distinct()
+        )
+        train_h = (
+            e.filter(F.col("split") == "train").select("h").distinct()
+            .withColumn("in_train", F.lit(1))
+        )
+        val = (
+            e.filter(F.col("split") == "val")
+            .join(train_h, "h", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                F.sum(F.when(F.col("in_train").isNotNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_leaked"),
+            )
+        )
+        return val.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_val_docs"),
+            F.sum(F.when(F.col("n_leaked") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated_docs"),
+            F.sum("n_grams").cast("bigint").alias("total_val_grams"),
+            F.sum("n_leaked").cast("bigint").alias("total_leaked_grams"),
+            F.round(
+                F.sum("n_leaked").cast("double") / F.sum("n_grams"), 6
+            ).alias("leaked_gram_share"),
+            F.round(
+                F.sum(F.when(F.col("n_leaked") > 0, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("contaminated_doc_share"),
+        )
+
+
+_register_split_leakage_audit()

@@ -50,6 +50,8 @@ ROUND8_STAGED = [
     "topk_rank_stability",
     "channel_audience_overlap",
     "attribution_time_decay",
+    "split_leakage_audit",
+    "ivf_nprobe_recall_sweep",
 ]
 
 
@@ -334,3 +336,26 @@ def test_pow_chain_matches_pow():
         for s in (0.0, 0.1, 0.5, 0.9, 0.9999, 1.0):
             got = eval(expr, {}, {"s": s})
             assert abs(got - s**k) <= 1e-12 * max(1.0, s**k), (k, s)
+
+
+def test_ivf_sweep_monotone_and_exact_at_full_probe(spark):
+    """Recall and candidate volume are monotone in nprobe, and probing
+    all KMEANS_K=8 cells is exhaustive search: recall must be 1.0."""
+    rows = sorted(
+        REGISTRY["ivf_nprobe_recall_sweep"](spark, SF_DIR).collect(),
+        key=lambda r: r.nprobe,
+    )
+    recalls = [r.recall_at_5 for r in rows]
+    cands = [r.mean_candidates for r in rows]
+    assert recalls == sorted(recalls)
+    assert cands == sorted(cands)
+    assert rows[-1].nprobe == 8 and rows[-1].recall_at_5 == 1.0
+    assert all(0.0 <= x <= 1.0 for x in recalls)
+
+
+def test_split_leakage_shares_bounded(spark):
+    row = REGISTRY["split_leakage_audit"](spark, SF_DIR).collect()[0]
+    assert 0 <= row.n_contaminated_docs <= row.n_val_docs
+    assert 0 <= row.total_leaked_grams <= row.total_val_grams
+    assert 0.0 <= row.leaked_gram_share <= 1.0
+    assert 0.0 <= row.contaminated_doc_share <= 1.0
