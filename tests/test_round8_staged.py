@@ -68,12 +68,15 @@ def test_round8_staged_all_deferred():
 
     missing = [n for n in ROUND8_STAGED if n not in REGISTRY or n not in ORACLES]
     assert not missing, missing
-    # exact set equality: a name in _DEFER but not in this suite would
-    # reach the round-8 sweep without its oracle differential ever
-    # having run under pytest
-    assert set(ROUND8_STAGED) == set(entry._DEFER), (
-        set(ROUND8_STAGED) ^ set(entry._DEFER)
-    )
+    # exact set equality WHILE the deferral is active: a name in _DEFER
+    # but not in this suite would reach the round-8 sweep without its
+    # oracle differential ever having run under pytest. Once round 8
+    # starts and _DEFER is cleared, the staged ops are ordinary
+    # never-checked entries and this gate stands down.
+    if entry._DEFER:
+        assert set(ROUND8_STAGED) == set(entry._DEFER), (
+            set(ROUND8_STAGED) ^ set(entry._DEFER)
+        )
 
 
 def test_merge_idempotence_holds(spark):
