@@ -2246,9 +2246,13 @@ _register_rrf_fusion()
     """.replace("{NEARDUP}", _NEARDUP_ORACLE),
 )
 def neardup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the exact tile-kernel pair set feeds FIVE consumers (degree
+    # union x2, three triangle-join sides, edge count) — cache it so
+    # the kernel runs once, not per consumer (same pattern as the
+    # bucketed LSH cache at similarity.py:327)
     edges = embedding_neardup_pairs(spark, sf_dir).select(
         F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
-    )
+    ).cache()
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionByName(edges.select(F.col("b").alias("v")))
