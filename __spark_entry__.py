@@ -97,6 +97,7 @@ _DEFER: list[str] = [
     "attribution_time_decay",
     "split_leakage_audit",
     "ivf_nprobe_recall_sweep",
+    "hash_split_assignment",
 ]
 
 _PIN: list[str] = [

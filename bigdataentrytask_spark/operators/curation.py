@@ -688,3 +688,96 @@ def _register_stump_split_gain() -> None:
 
 
 _register_stump_split_gain()
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split assignment (round-8 slate): every
+# training-data pipeline must assign each document to a split BEFORE
+# any model sees it, and the assignment must be (a) reproducible
+# across re-runs, engines, and repartitionings, (b) independent of
+# the shard hash (different salt), and (c) auditable per source. A
+# rand()-based split fails (a); a mod-on-doc_id split correlates with
+# ingestion order. The standard answer is a salted content hash:
+# md5('split:' || doc_id) per-mille, train < 900, val < 950, test
+# rest. Same engine-portable md5 idiom as `shard_manifest` /
+# `bernoulli_hash_sample` (warehouse.py).
+#
+# Scale posture (100 TB): the split expression is a pure per-row
+# projection computed inside the scan stage — no shuffle, no state;
+# the audit rollup is one partial-agg shuffle with |sources|x3 keys.
+# The per-source per-mille share is integer division on BIGINT counts
+# (exact both engines). split_leakage_audit (evaluation.py) is the
+# downstream consumer: it proves near-dup clusters do not straddle
+# these split boundaries.
+# --------------------------------------------------------------------------
+_SPLIT_SALT = "split:"
+_SPLIT_TRAIN_PM = 900   # per-mille thresholds: [0,900) train
+_SPLIT_VAL_PM = 950     # [900,950) val, [950,1000) test
+
+
+@operator(
+    "hash_split_assignment",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT source, n_chars,
+             CASE WHEN pm < {_SPLIT_TRAIN_PM} THEN 'train'
+                  WHEN pm < {_SPLIT_VAL_PM} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT source, n_chars,
+               ('0x' || substr(md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)),
+                               1, 15))::BIGINT % 1000 AS pm
+        FROM documents
+      )
+    ), rolled AS (
+      SELECT source, split,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM assigned GROUP BY 1, 2
+    )
+    SELECT source, split, n_docs, sum_chars,
+           CAST((n_docs * 1000) // SUM(n_docs) OVER (PARTITION BY source)
+                AS BIGINT) AS per_mille_of_source
+    FROM rolled ORDER BY source, split
+    """,
+)
+def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-hash train/val/test assignment with a per-source audit
+    rollup. Reference scope: not present (single-table GROUP BY only,
+    /root/reference/doc/temp.md:509-530); mandated by the SURVEY.md
+    §2.8 LLM-pipeline north star."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    pm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    split = (
+        F.when(pm < _SPLIT_TRAIN_PM, F.lit("train"))
+        .when(pm < _SPLIT_VAL_PM, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    rolled = (
+        d.select("source", "n_chars", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+    return rolled.select(
+        "source",
+        "split",
+        "n_docs",
+        "sum_chars",
+        F.expr("(n_docs * 1000) div (sum(n_docs) OVER (PARTITION BY source))")
+        .cast("bigint")
+        .alias("per_mille_of_source"),
+    ).orderBy("source", "split")

@@ -52,6 +52,7 @@ ROUND8_STAGED = [
     "attribution_time_decay",
     "split_leakage_audit",
     "ivf_nprobe_recall_sweep",
+    "hash_split_assignment",
 ]
 
 
