@@ -98,6 +98,7 @@ _DEFER: list[str] = [
     "split_leakage_audit",
     "ivf_nprobe_recall_sweep",
     "hash_split_assignment",
+    "column_profile_drift",
 ]
 
 _PIN: list[str] = [

@@ -2709,3 +2709,110 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Column-profile drift audit (round-8 slate): the schema-level
+# companion to drift_psi_report (distribution drift) — per COLUMN
+# profiles (row count, NDV, lexicographic min/max of the canonical
+# string form) for two year-snapshots of the fact table, side by
+# side. This is the Deequ/Great-Expectations "profile diff" a
+# warehouse publishes with every partition hand-off: a column whose
+# NDV collapses or whose min/max window shifts signals an upstream
+# schema or encoder change before any model sees the data.
+#
+# Scale posture (100 TB): one scan of the two snapshot partitions
+# (partition-pruned by the date predicate), a 4x unpivot restricted
+# to the profiled columns (projection happens BEFORE the explode, so
+# the amplification carries only (snap, name, val)), then ONE
+# grouped aggregate with |columns| output rows. The exact
+# COUNT(DISTINCT ...) pair compiles to Spark's expand+two-phase agg —
+# exact is required for the oracle differential; the 100 TB variant
+# swaps in approx_count_distinct per column (HLL machinery already
+# proven by uv_sketch_union_daily, star.py). Numeric columns are
+# profiled on their cents-scaled BIGINT string form so min/max
+# strings are engine-identical (double->VARCHAR formatting is NOT).
+# --------------------------------------------------------------------------
+@operator(
+    "column_profile_drift",
+    oracle="""
+    WITH snap AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+                  THEN 'a' ELSE 'b' END AS snap,
+             CAST(o_orderstatus AS VARCHAR)   AS v_status,
+             CAST(o_orderpriority AS VARCHAR) AS v_priority,
+             CAST(o_custkey AS VARCHAR)       AS v_custkey,
+             CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                                              AS v_cents
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    ), long AS (
+      SELECT snap, 'o_orderstatus' AS col_name, v_status AS val FROM snap
+      UNION ALL
+      SELECT snap, 'o_orderpriority', v_priority FROM snap
+      UNION ALL
+      SELECT snap, 'o_custkey', v_custkey FROM snap
+      UNION ALL
+      SELECT snap, 'o_totalprice_cents', v_cents FROM snap
+    )
+    SELECT col_name,
+           CAST(COUNT(*) FILTER (WHERE snap = 'a') AS BIGINT) AS n_a,
+           CAST(COUNT(*) FILTER (WHERE snap = 'b') AS BIGINT) AS n_b,
+           CAST(COUNT(DISTINCT val) FILTER (WHERE snap = 'a') AS BIGINT)
+             AS ndv_a,
+           CAST(COUNT(DISTINCT val) FILTER (WHERE snap = 'b') AS BIGINT)
+             AS ndv_b,
+           MIN(val) FILTER (WHERE snap = 'a') AS min_a,
+           MIN(val) FILTER (WHERE snap = 'b') AS min_b,
+           MAX(val) FILTER (WHERE snap = 'a') AS max_a,
+           MAX(val) FILTER (WHERE snap = 'b') AS max_b
+    FROM long GROUP BY col_name ORDER BY col_name
+    """,
+)
+def column_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side-by-side per-column profiles for two snapshots of orders.
+    Reference scope: not present (no data-quality layer exists,
+    /root/reference/doc/temp.md:509-530); this is the warehouse
+    hand-off audit a 100 TB platform runs between drift_psi_report
+    (distributions) and key_uniqueness_audit (constraints)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    snap = o.select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"), "a"
+        )
+        .otherwise("b")
+        .alias("snap"),
+        F.col("o_orderstatus").cast("string").alias("v_status"),
+        F.col("o_orderpriority").cast("string").alias("v_priority"),
+        F.col("o_custkey").cast("string").alias("v_custkey"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .cast("string")
+        .alias("v_cents"),
+    )
+    long = snap.selectExpr(
+        "snap",
+        "stack(4, 'o_orderstatus', v_status, 'o_orderpriority', v_priority, "
+        "'o_custkey', v_custkey, 'o_totalprice_cents', v_cents) "
+        "AS (col_name, val)",
+    )
+    a = F.col("snap") == "a"
+    b = F.col("snap") == "b"
+    return (
+        long.groupBy("col_name")
+        .agg(
+            F.count(F.when(a, 1)).cast("bigint").alias("n_a"),
+            F.count(F.when(b, 1)).cast("bigint").alias("n_b"),
+            F.countDistinct(F.when(a, F.col("val"))).cast("bigint").alias("ndv_a"),
+            F.countDistinct(F.when(b, F.col("val"))).cast("bigint").alias("ndv_b"),
+            F.min(F.when(a, F.col("val"))).alias("min_a"),
+            F.min(F.when(b, F.col("val"))).alias("min_b"),
+            F.max(F.when(a, F.col("val"))).alias("max_a"),
+            F.max(F.when(b, F.col("val"))).alias("max_b"),
+        )
+        .orderBy("col_name")
+    )

@@ -53,6 +53,7 @@ ROUND8_STAGED = [
     "split_leakage_audit",
     "ivf_nprobe_recall_sweep",
     "hash_split_assignment",
+    "column_profile_drift",
 ]
 
 
