@@ -99,6 +99,7 @@ _DEFER: list[str] = [
     "ivf_nprobe_recall_sweep",
     "hash_split_assignment",
     "column_profile_drift",
+    "spc_control_rules",
 ]
 
 _PIN: list[str] = [

@@ -776,3 +776,151 @@ def _register_seasonal_residuals() -> None:
 
 
 _register_seasonal_residuals()
+
+
+# --------------------------------------------------------------------------
+# SPC control-chart rules (round-8 slate): Western Electric rules over
+# the daily-revenue control chart — rule 1 (point beyond 3 sigma),
+# rule 4 (8 consecutive points on one side of the center line), and
+# rule 5 (2 of 3 consecutive points beyond 2 sigma on the same side).
+# cusum_changepoint finds WHERE the level shifted after the fact; the
+# control chart is the ONLINE monitor that pages before the shift is
+# ancient history. Every comparison is EXACT integer algebra: z^2 > k^2
+# is rewritten as dev^2*(n-1) > k^2*n*(n*ss - s^2) with dev = n*x - s,
+# all in HUGEINT (DuckDB) / DECIMAL(38,0) (Spark) — no doubles exist
+# anywhere, so the flags are engine-identical by construction (the
+# same trick as cusum's scaled argmax, one sigma tier up).
+#
+# Scale posture (100 TB): the chart is computed over the DAILY
+# aggregate (|days| rows), never the fact table — one partial-agg
+# shuffle to daily cents, one broadcastable 1-row moment table, then
+# short ROWS-frame windows (8 and 3) over thousands of rows on one
+# partition. Headroom: dev^2*(n-1) at 100 TB daily cents (~1e15) and
+# ~10 years of days stays under 1e38 (documented bound; DECIMAL(38,0)
+# holds).
+# --------------------------------------------------------------------------
+@operator(
+    "spc_control_rules",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS HUGEINT) AS s,
+             SUM(CAST(c AS HUGEINT) * c) AS ss
+      FROM daily
+    ), scored AS (
+      SELECT d, c, n,
+             CAST(n AS HUGEINT) * c - s AS dev,
+             (CAST(n AS HUGEINT) * ss - s * s) * n AS denom,
+             ROW_NUMBER() OVER (ORDER BY d) AS t
+      FROM daily CROSS JOIN tot
+    ), flagged AS (
+      SELECT d, c, t,
+             CASE WHEN dev > 0 THEN 1 ELSE 0 END AS above,
+             CASE WHEN dev * dev * (n - 1) > 9 * denom THEN 1 ELSE 0 END
+               AS beyond3,
+             CASE WHEN dev * dev * (n - 1) > 4 * denom THEN 1 ELSE 0 END
+               AS beyond2
+      FROM scored
+    ), runs AS (
+      SELECT d, c, t, above, beyond3,
+             SUM(above) OVER (ORDER BY t
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sum8,
+             SUM(CASE WHEN beyond2 = 1 AND above = 1 THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS hi3,
+             SUM(CASE WHEN beyond2 = 1 AND above = 0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS lo3
+      FROM flagged
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(c AS BIGINT) AS cents,
+           CAST(above AS BIGINT) AS above_center,
+           CAST(beyond3 AS BIGINT) AS rule1_beyond3,
+           CAST(CASE WHEN t >= 8 AND (sum8 = 8 OR sum8 = 0)
+                     THEN 1 ELSE 0 END AS BIGINT) AS rule4_run8,
+           CAST(CASE WHEN t >= 3 AND (hi3 >= 2 OR lo3 >= 2)
+                     THEN 1 ELSE 0 END AS BIGINT) AS rule5_2of3
+    FROM runs
+    WHERE beyond3 = 1
+       OR (t >= 8 AND (sum8 = 8 OR sum8 = 0))
+       OR (t >= 3 AND (hi3 >= 2 OR lo3 >= 2))
+    ORDER BY day
+    """,
+)
+def spc_control_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western Electric rules 1/4/5 on the daily-revenue chart, flags
+    from pure integer algebra. Reference scope: no monitoring layer
+    exists (/root/reference/doc/temp.md:377-411); this is the SPC
+    monitor a platform runs on every published daily aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("c")
+    )
+    dec = F.col("c").cast("decimal(38,0)")
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * F.col("c")).alias("ss"),
+    )
+    w = Window.orderBy("d")
+    scored = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "c",
+        "n",
+        (F.col("n").cast("decimal(38,0)") * F.col("c") - F.col("s")).alias("dev"),
+        (
+            (F.col("n").cast("decimal(38,0)") * F.col("ss") - F.col("s") * F.col("s"))
+            * F.col("n")
+        ).alias("denom"),
+        F.row_number().over(w).alias("t"),
+    )
+    flagged = scored.select(
+        "d",
+        "c",
+        "t",
+        F.when(F.col("dev") > 0, 1).otherwise(0).alias("above"),
+        F.when(
+            F.col("dev") * F.col("dev") * (F.col("n") - 1) > 9 * F.col("denom"), 1
+        )
+        .otherwise(0)
+        .alias("beyond3"),
+        F.when(
+            F.col("dev") * F.col("dev") * (F.col("n") - 1) > 4 * F.col("denom"), 1
+        )
+        .otherwise(0)
+        .alias("beyond2"),
+    )
+    wt = Window.orderBy("t")
+    runs = flagged.select(
+        "d",
+        "c",
+        "t",
+        "above",
+        "beyond3",
+        F.sum("above").over(wt.rowsBetween(-7, 0)).alias("sum8"),
+        F.sum(F.when((F.col("beyond2") == 1) & (F.col("above") == 1), 1).otherwise(0))
+        .over(wt.rowsBetween(-2, 0))
+        .alias("hi3"),
+        F.sum(F.when((F.col("beyond2") == 1) & (F.col("above") == 0), 1).otherwise(0))
+        .over(wt.rowsBetween(-2, 0))
+        .alias("lo3"),
+    )
+    rule4 = (F.col("t") >= 8) & ((F.col("sum8") == 8) | (F.col("sum8") == 0))
+    rule5 = (F.col("t") >= 3) & ((F.col("hi3") >= 2) | (F.col("lo3") >= 2))
+    return (
+        runs.filter((F.col("beyond3") == 1) | rule4 | rule5)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("c").alias("cents"),
+            F.col("above").cast("bigint").alias("above_center"),
+            F.col("beyond3").cast("bigint").alias("rule1_beyond3"),
+            F.when(rule4, 1).otherwise(0).cast("bigint").alias("rule4_run8"),
+            F.when(rule5, 1).otherwise(0).cast("bigint").alias("rule5_2of3"),
+        )
+        .orderBy("day")
+    )

@@ -54,6 +54,7 @@ ROUND8_STAGED = [
     "ivf_nprobe_recall_sweep",
     "hash_split_assignment",
     "column_profile_drift",
+    "spc_control_rules",
 ]
 
 
