@@ -100,6 +100,7 @@ _DEFER: list[str] = [
     "hash_split_assignment",
     "column_profile_drift",
     "spc_control_rules",
+    "simpsons_paradox_scan",
 ]
 
 _PIN: list[str] = [

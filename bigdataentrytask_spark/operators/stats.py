@@ -2626,3 +2626,113 @@ def permutation_test_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Simpson's-paradox scan (round-8 slate): per-stratum regression slope
+# vs the pooled slope, with an EXACT sign-reversal flag. Aggregation
+# reversal is the classic trap of a platform that publishes only
+# pooled aggregates (the reference's entire batch surface,
+# /root/reference/doc/temp.md:509-530): a relationship can hold in
+# every customer segment and invert in the pooled table. The slope
+# SIGN is decided on the exact integer numerator n*Sxy - Sx*Sy
+# (HUGEINT / DECIMAL(38,0)) — the reversal flag never touches a
+# double; only the reported slope magnitudes are (identical-tree)
+# doubles rounded at 6.
+#
+# Scale posture (100 TB): two fact-scale equi-joins (customer side
+# broadcast), then ONE partial-agg shuffle to |segments| moment rows;
+# the pooled moments are the SUM of the segment moments (map-side
+# combinable), joined back by a broadcast of a 1-row table. Nothing
+# downstream of the agg exceeds |segments| rows. x is discount scaled
+# to integer percent, y integer quantity — power sums stay exact at
+# any scale under DECIMAL(38,0)/HUGEINT (bound documented: 1e12 rows
+# x max xy 500 = 5e14 per product term, squared terms ~1e29 << 1e38).
+# --------------------------------------------------------------------------
+@operator(
+    "simpsons_paradox_scan",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(ROUND(l.l_discount * 100) AS BIGINT) AS x,
+             CAST(ROUND(l.l_quantity) AS BIGINT) AS y
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ), m AS (
+      SELECT seg,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM j GROUP BY seg
+    ), p AS (
+      SELECT SUM(n) AS pn, SUM(sx) AS psx, SUM(sy) AS psy,
+             SUM(sxy) AS psxy, SUM(sxx) AS psxx
+      FROM m
+    )
+    SELECT seg,
+           CAST(n AS BIGINT) AS n_rows,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS seg_slope,
+           ROUND(CAST(pn * psxy - psx * psy AS DOUBLE)
+                 / CAST(pn * psxx - psx * psx AS DOUBLE), 6) AS pooled_slope,
+           CAST(CASE WHEN (n * sxy - sx * sy) * (pn * psxy - psx * psy) < 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS sign_flip
+    FROM m CROSS JOIN p ORDER BY seg
+    """,
+)
+def simpsons_paradox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment vs pooled discount->quantity slope with an exact
+    integer sign-reversal flag — the aggregation-reversal audit for
+    any published pooled metric."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("y"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(F.col("c_mktsegment").alias("seg"), "x", "y")
+    )
+    dx = F.col("x").cast("decimal(38,0)")
+    m = j.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(dx * F.col("y")).alias("sxy"),
+        F.sum(dx * F.col("x")).alias("sxx"),
+    )
+    p = m.agg(
+        F.sum("n").alias("pn"),
+        F.sum("sx").alias("psx"),
+        F.sum("sy").alias("psy"),
+        F.sum("sxy").alias("psxy"),
+        F.sum("sxx").alias("psxx"),
+    )
+    seg_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    seg_den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    pool_num = F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")
+    pool_den = F.col("pn") * F.col("psxx") - F.col("psx") * F.col("psx")
+    return (
+        m.crossJoin(F.broadcast(p))
+        .select(
+            "seg",
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.round(seg_num.cast("double") / seg_den.cast("double"), 6).alias(
+                "seg_slope"
+            ),
+            F.round(pool_num.cast("double") / pool_den.cast("double"), 6).alias(
+                "pooled_slope"
+            ),
+            F.when(seg_num * pool_num < 0, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("sign_flip"),
+        )
+        .orderBy("seg")
+    )

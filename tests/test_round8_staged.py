@@ -55,6 +55,7 @@ ROUND8_STAGED = [
     "hash_split_assignment",
     "column_profile_drift",
     "spc_control_rules",
+    "simpsons_paradox_scan",
 ]
 
 
