@@ -101,6 +101,7 @@ _DEFER: list[str] = [
     "column_profile_drift",
     "spc_control_rules",
     "simpsons_paradox_scan",
+    "bm25_topk",
 ]
 
 _PIN: list[str] = [

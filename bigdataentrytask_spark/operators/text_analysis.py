@@ -2540,3 +2540,143 @@ def _register_split_leakage_audit() -> None:
 
 
 _register_split_leakage_audit()
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval top-k (round-8 slate): Okapi BM25 over the corpus for
+# a fixed query set — the ranking function behind every lexical
+# retrieval stage of a RAG / dedup-by-retrieval pipeline, and the
+# scoring-side dual of inverted_index (which materializes the postings
+# this query plan would read). idf uses the +1-robust form
+# ln(1 + (N - df + 0.5)/(df + 0.5)); both engines evaluate the SAME
+# expression tree on integers (tf, df, doclen, N, total tokens), so
+# the doubles — and therefore the top-k order — are engine-identical.
+#
+# Scale posture (100 TB): tokenization + (doc,term) tf agg is the one
+# fact-scale shuffle; df and the corpus length stats are term- and
+# 1-row-sized broadcasts; the query-term table is a literal broadcast,
+# so scoring touches ONLY postings of query terms (the inverted-index
+# access path, expressed declaratively — Catalyst prunes everything
+# else at the tf join). Top-k per query is a |queries|-partition
+# window over candidate docs, never a global sort.
+# --------------------------------------------------------------------------
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 5
+_BM25_QUERIES = [
+    ("q1", "spark"), ("q1", "join"), ("q1", "agg"),
+    ("q2", "window"), ("q2", "sort"), ("q2", "stream"),
+    ("q3", "hash"), ("q3", "merge"), ("q3", "scan"),
+]
+
+
+def _register_bm25_topk() -> None:
+    qvals = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+    oracle = f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({sql_tokens('text')}) AS term FROM documents
+    ),
+    doclen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+               FROM toks GROUP BY 1),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM toks GROUP BY 1),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(dl) AS BIGINT) AS total_toks
+              FROM doclen),
+    q(query_id, term) AS (VALUES {qvals}),
+    scored AS (
+      -- per-term contributions snapped to a 1e-12 integer grid so the
+      -- per-doc SUM is exact under ANY accumulation order (the same
+      -- trick as lsh_scurve_design's probability sums)
+      SELECT q.query_id, tf.doc_id,
+             CAST(SUM(CAST(ROUND(
+               ln(1 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+               * (tf * ({_BM25_K1} + 1.0))
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                   + {_BM25_B} * CAST(dl AS DOUBLE)
+                     / (CAST(total_toks AS DOUBLE) / CAST(n AS DOUBLE))))
+               * 1000000000000.0) AS BIGINT)) AS BIGINT) AS score_e12
+      FROM q
+      JOIN tf ON tf.term = q.term
+      JOIN df ON df.term = q.term
+      JOIN doclen ON doclen.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score_e12,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score_e12 DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id,
+           ROUND(CAST(score_e12 AS DOUBLE) / 1000000000000.0, 6) AS bm25
+    FROM ranked WHERE rnk <= {_BM25_K}
+    ORDER BY query_id, rnk
+    """
+
+    @operator("bm25_topk", oracle=oracle)
+    def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _docs(spark, sf_dir)
+        toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        doclen = toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("dl")
+        )
+        tf = toks.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf")
+        )
+        df_ = toks.groupBy("term").agg(
+            F.countDistinct("doc_id").cast("bigint").alias("df")
+        )
+        stats = doclen.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("dl").cast("bigint").alias("total_toks"),
+        )
+        q = spark.createDataFrame(_BM25_QUERIES, ["query_id", "term"])
+        idf = F.log(
+            1
+            + (F.col("n").cast("double") - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+        )
+        norm = F.col("tf") + _BM25_K1 * (
+            1.0
+            - _BM25_B
+            + _BM25_B
+            * F.col("dl").cast("double")
+            / (F.col("total_toks").cast("double") / F.col("n").cast("double"))
+        )
+        term_score = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / norm
+        scored = (
+            F.broadcast(q)
+            .join(tf, "term")
+            .join(F.broadcast(df_), "term")
+            .join(doclen, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.sum(F.round(term_score * 1000000000000.0).cast("bigint"))
+                .cast("bigint")
+                .alias("score_e12")
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score_e12").desc(), "doc_id"
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _BM25_K)
+            .select(
+                "query_id",
+                F.col("rnk").cast("bigint").alias("rnk"),
+                "doc_id",
+                F.round(
+                    F.col("score_e12").cast("double") / 1000000000000.0, 6
+                ).alias("bm25"),
+            )
+            .orderBy("query_id", "rnk")
+        )
+
+
+_register_bm25_topk()

@@ -56,6 +56,7 @@ ROUND8_STAGED = [
     "column_profile_drift",
     "spc_control_rules",
     "simpsons_paradox_scan",
+    "bm25_topk",
 ]
 
 
