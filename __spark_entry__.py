@@ -102,6 +102,7 @@ _DEFER: list[str] = [
     "spc_control_rules",
     "simpsons_paradox_scan",
     "bm25_topk",
+    "benjamini_hochberg_fdr",
 ]
 
 _PIN: list[str] = [

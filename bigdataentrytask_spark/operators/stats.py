@@ -2736,3 +2736,170 @@ def simpsons_paradox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR (round-8 slate): the missing piece between
+# this module's per-test statistics and a platform that fires ALERTS —
+# screening 25 per-nation mean-order-value z-tests through a step-up
+# multiple-testing correction at FDR q=0.05. Without it, 25 tests at
+# alpha=0.05 false-positive ~1.2 nations per run by chance alone.
+# p-values come from the Abramowitz-Stegun 7.1.26 erf polynomial
+# (max abs error 1.5e-7 — far below the 6-dp report grid), evaluated
+# with the IDENTICAL expression tree on both engines: equal moment
+# integers -> equal z doubles -> equal p doubles -> equal step-up
+# decisions. Moments are exact HUGEINT / DECIMAL(38,0) power sums.
+#
+# Scale posture (100 TB): one broadcast join to the nation dimension,
+# one partial-agg shuffle to 25 moment rows; the BH step-up is two
+# windows over 25 rows. The fact table is touched exactly once.
+# --------------------------------------------------------------------------
+_BH_Q = 0.05
+# A&S 7.1.26 erf constants
+_ERF = ("0.254829592", "-0.284496736", "1.421413741",
+        "-1.453152027", "1.061405429", "0.3275911")
+
+
+def _register_benjamini_hochberg() -> None:
+    a1, a2, a3, a4, a5, pc = _ERF
+    # p_two_sided = 1 - erf(|z|/sqrt(2)); erf(x) = 1 - poly(t)*exp(-x*x),
+    # t = 1/(1 + p*x)  ==>  p_two_sided = poly(t)*exp(-x*x)
+    # t powers as explicit multiply chains (CONTRIBUTING.md: no pow()
+    # on values that feed comparisons); tv = 1/(1 + p*|z|/sqrt(2))
+    tv = f"(1.0 / (1.0 + {pc} * (ABS(z) / sqrt(2.0))))"
+    sql_p = f"""(
+      ({a1} * {tv}
+       + {a2} * ({tv} * {tv})
+       + {a3} * ({tv} * {tv} * {tv})
+       + {a4} * ({tv} * {tv} * {tv} * {tv})
+       + {a5} * ({tv} * {tv} * {tv} * {tv} * {tv}))
+      * exp(-(ABS(z) / sqrt(2.0)) * (ABS(z) / sqrt(2.0)))
+    )"""
+    oracle = f"""
+    WITH j AS (
+      SELECT n.n_name AS nation,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ), m AS (
+      SELECT nation,
+             CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(cents) AS HUGEINT) AS s1,
+             SUM(CAST(cents AS HUGEINT) * cents) AS s2
+      FROM j GROUP BY nation
+    ), g AS (
+      SELECT CAST(SUM(n_i) AS DOUBLE) AS nn,
+             CAST(SUM(s1) AS DOUBLE) AS gs1,
+             CAST(SUM(s2) AS DOUBLE) AS gs2,
+             CAST(COUNT(*) AS BIGINT) AS n_tests
+      FROM m
+    ), zed AS (
+      SELECT nation, n_i, n_tests,
+             (CAST(s1 AS DOUBLE) / n_i - gs1 / nn)
+             / sqrt(((gs2 - gs1 * (gs1 / nn)) / (nn - 1)) / n_i) AS z
+      FROM m CROSS JOIN g
+    ), pvals AS (
+      SELECT nation, n_i, n_tests, z, ROUND({sql_p}, 6) AS p FROM zed
+    ), ranked AS (
+      SELECT nation, n_i, n_tests, z, p,
+             ROW_NUMBER() OVER (ORDER BY p, nation) AS rnk
+      FROM pvals
+    ), stepped AS (
+      SELECT nation, n_i, z, p, rnk,
+             MAX(CASE WHEN p <= rnk * {_BH_Q} / n_tests
+                      THEN rnk ELSE 0 END) OVER () AS k_max
+      FROM ranked
+    )
+    SELECT nation,
+           CAST(n_i AS BIGINT) AS n_orders,
+           ROUND(z, 6) AS z_score,
+           p AS p_two_sided,
+           CAST(rnk AS BIGINT) AS p_rank,
+           CAST(CASE WHEN rnk <= k_max THEN 1 ELSE 0 END AS BIGINT)
+             AS rejected
+    FROM stepped ORDER BY p_rank
+    """
+
+    @operator("benjamini_hochberg_fdr", oracle=oracle)
+    def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+        o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+        c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        j = (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .select(
+                F.col("n_name").alias("nation"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            )
+        )
+        dec = F.col("cents").cast("decimal(38,0)")
+        m = j.groupBy("nation").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+            F.sum("cents").cast("decimal(38,0)").alias("s1"),
+            F.sum(dec * F.col("cents")).alias("s2"),
+        )
+        g = m.agg(
+            F.sum("n_i").cast("double").alias("nn"),
+            F.sum("s1").cast("double").alias("gs1"),
+            F.sum("s2").cast("double").alias("gs2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tests"),
+        )
+        zed = m.crossJoin(F.broadcast(g)).select(
+            "nation",
+            "n_i",
+            "n_tests",
+            (
+                (F.col("s1").cast("double") / F.col("n_i") - F.col("gs1") / F.col("nn"))
+                / F.sqrt(
+                    (
+                        (F.col("gs2") - F.col("gs1") * (F.col("gs1") / F.col("nn")))
+                        / (F.col("nn") - 1)
+                    )
+                    / F.col("n_i")
+                )
+            ).alias("z"),
+        )
+        x = F.abs(F.col("z")) / F.sqrt(F.lit(2.0))
+        t = 1.0 / (1.0 + float(pc) * x)
+        poly = (
+            float(a1) * t
+            + float(a2) * (t * t)
+            + float(a3) * (t * t * t)
+            + float(a4) * (t * t * t * t)
+            + float(a5) * (t * t * t * t * t)
+        )
+        pvals = zed.select(
+            "nation",
+            "n_i",
+            "n_tests",
+            "z",
+            F.round(poly * F.exp(-x * x), 6).alias("p"),
+        )
+        w_rank = Window.orderBy("p", "nation")
+        ranked = pvals.withColumn("rnk", F.row_number().over(w_rank))
+        w_all = Window.partitionBy()
+        stepped = ranked.withColumn(
+            "k_max",
+            F.max(
+                F.when(
+                    F.col("p") <= F.col("rnk") * _BH_Q / F.col("n_tests"),
+                    F.col("rnk"),
+                ).otherwise(0)
+            ).over(w_all),
+        )
+        return stepped.select(
+            "nation",
+            F.col("n_i").cast("bigint").alias("n_orders"),
+            F.round("z", 6).alias("z_score"),
+            F.col("p").alias("p_two_sided"),
+            F.col("rnk").cast("bigint").alias("p_rank"),
+            F.when(F.col("rnk") <= F.col("k_max"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("rejected"),
+        ).orderBy("p_rank")
+
+
+_register_benjamini_hochberg()

@@ -57,6 +57,7 @@ ROUND8_STAGED = [
     "spc_control_rules",
     "simpsons_paradox_scan",
     "bm25_topk",
+    "benjamini_hochberg_fdr",
 ]
 
 
