@@ -103,6 +103,7 @@ _DEFER: list[str] = [
     "simpsons_paradox_scan",
     "bm25_topk",
     "benjamini_hochberg_fdr",
+    "cuped_variance_reduction",
 ]
 
 _PIN: list[str] = [

@@ -2903,3 +2903,130 @@ def _register_benjamini_hochberg() -> None:
 
 
 _register_benjamini_hochberg()
+
+
+# --------------------------------------------------------------------------
+# CUPED variance reduction (round-8 slate): the experimentation-
+# platform workhorse — adjust each user's post-period metric Y by
+# theta * X where X is the user's PRE-period value (a covariate the
+# treatment cannot have affected), shrinking metric variance by
+# rho^2(X,Y) and making every A/B test correspondingly more sensitive.
+# Complements ab_test_conversion_ztest (rates) and welch_ttest
+# (raw means): this is the adjusted-means readout. theta, rho^2, and
+# both arm contrasts are derived from ONE pass of exact HUGEINT /
+# DECIMAL(38,0) power sums over the per-user table; every double is
+# an identical expression tree on both engines.
+#
+# Scale posture (100 TB): one partial-agg shuffle to per-user (x, y)
+# cents — the only fact-scale exchange; the moment reduction is
+# map-side combinable to a single row. Arms are a deterministic
+# parity of user_id (reproducible, engine-portable); at production
+# scale the arm column comes from the assignment service instead and
+# NOTHING else in the plan changes.
+# --------------------------------------------------------------------------
+_CUPED_CUT = "2024-01-16 00:00:00"
+
+
+@operator(
+    "cuped_variance_reduction",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+                      THEN CAST(ROUND(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                      THEN CAST(ROUND(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y,
+             CAST(user_id % 2 AS BIGINT) AS arm
+      FROM events GROUP BY user_id
+    ), m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             CAST(count_if(arm = 0) AS BIGINT) AS n_a,
+             CAST(count_if(arm = 1) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS sx_a,
+             CAST(SUM(CASE WHEN arm = 0 THEN y END) AS BIGINT) AS sy_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS sx_b,
+             CAST(SUM(CASE WHEN arm = 1 THEN y END) AS BIGINT) AS sy_b
+      FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           n_a, n_b,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+           ROUND(100.0 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                          * CAST(n * sxy - sx * sy AS DOUBLE))
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS var_reduction_pct,
+           ROUND(CAST(sy_a AS DOUBLE) / n_a
+                 - CAST(sy_b AS DOUBLE) / n_b, 6) AS diff_raw_cents,
+           ROUND((CAST(sy_a AS DOUBLE) / n_a
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * (CAST(sx_a AS DOUBLE) / n_a))
+                 - (CAST(sy_b AS DOUBLE) / n_b
+                    - (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE))
+                      * (CAST(sx_b AS DOUBLE) / n_b)), 6)
+             AS diff_cuped_cents
+    FROM m
+    """,
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    ).withColumn("arm", (F.col("user_id") % 2).cast("bigint"))
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
+    is_a = F.col("arm") == 0
+    is_b = F.col("arm") == 1
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(dx * F.col("x")).alias("sxx"),
+        F.sum(dx * F.col("y")).alias("sxy"),
+        F.sum(dy * F.col("y")).alias("syy"),
+        F.count(F.when(is_a, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(is_b, 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(is_a, F.col("x"))).cast("bigint").alias("sx_a"),
+        F.sum(F.when(is_a, F.col("y"))).cast("bigint").alias("sy_a"),
+        F.sum(F.when(is_b, F.col("x"))).cast("bigint").alias("sx_b"),
+        F.sum(F.when(is_b, F.col("y"))).cast("bigint").alias("sy_b"),
+    )
+    cov_num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx_num = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary_num = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    theta = cov_num / varx_num
+    mean = lambda s, nn: F.col(s).cast("double") / F.col(nn)  # noqa: E731
+    return m.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        "n_a",
+        "n_b",
+        F.round(theta, 6).alias("theta"),
+        F.round(100.0 * (cov_num * cov_num) / (varx_num * vary_num), 6).alias(
+            "var_reduction_pct"
+        ),
+        F.round(mean("sy_a", "n_a") - mean("sy_b", "n_b"), 6).alias(
+            "diff_raw_cents"
+        ),
+        F.round(
+            (mean("sy_a", "n_a") - theta * mean("sx_a", "n_a"))
+            - (mean("sy_b", "n_b") - theta * mean("sx_b", "n_b")),
+            6,
+        ).alias("diff_cuped_cents"),
+    )

@@ -58,6 +58,7 @@ ROUND8_STAGED = [
     "simpsons_paradox_scan",
     "bm25_topk",
     "benjamini_hochberg_fdr",
+    "cuped_variance_reduction",
 ]
 
 
