@@ -2737,7 +2737,7 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "column_profile_drift",
     oracle="""
     WITH snap AS (
-      SELECT CASE WHEN o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
                   THEN 'a' ELSE 'b' END AS snap,
              CAST(o_orderstatus AS VARCHAR)   AS v_status,
              CAST(o_orderpriority AS VARCHAR) AS v_priority,
@@ -2745,8 +2745,8 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
                                               AS v_cents
       FROM orders
-      WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
     ), long AS (
       SELECT snap, 'o_orderstatus' AS col_name, v_status AS val FROM snap
       UNION ALL
@@ -2777,12 +2777,12 @@ def column_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     hand-off audit a 100 TB platform runs between drift_psi_report
     (distributions) and key_uniqueness_audit (constraints)."""
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     snap = o.select(
         F.when(
-            F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"), "a"
+            F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"), "a"
         )
         .otherwise("b")
         .alias("snap"),

@@ -369,3 +369,82 @@ def test_split_leakage_shares_bounded(spark):
     assert 0 <= row.total_leaked_grams <= row.total_val_grams
     assert 0.0 <= row.leaked_gram_share <= 1.0
     assert 0.0 <= row.contaminated_doc_share <= 1.0
+
+
+def test_hash_split_partition_of_corpus(spark, duck):
+    """Splits are exhaustive and disjoint by construction (CASE over a
+    total hash); the audit must therefore reproduce the corpus row
+    count exactly, and per-source per-mille shares must sum to ~1000
+    (floor division loses at most 2 per source)."""
+    rows = REGISTRY["hash_split_assignment"](spark, SF_DIR).collect()
+    n_total = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n_total
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r.per_mille_of_source)
+    for src, pms in by_source.items():
+        assert 997 <= sum(pms) <= 1000, (src, pms)
+
+
+def test_bh_rejections_are_a_rank_prefix(spark):
+    """BH is a step-up procedure: the rejected set must be exactly the
+    ranks 1..k for some k (never a gap), and p must be non-decreasing
+    in rank."""
+    rows = sorted(
+        REGISTRY["benjamini_hochberg_fdr"](spark, SF_DIR).collect(),
+        key=lambda r: r.p_rank,
+    )
+    ps = [r.p_two_sided for r in rows]
+    assert ps == sorted(ps)
+    flags = [r.rejected for r in rows]
+    k = sum(flags)
+    assert flags == [1] * k + [0] * (len(flags) - k)
+
+
+def test_spc_rows_carry_a_reason(spark):
+    """Every emitted chart row must have at least one rule flag set,
+    and a rule-1 day is by definition also beyond the rule-5 2-sigma
+    band (so its above/below side is consistent)."""
+    rows = REGISTRY["spc_control_rules"](spark, SF_DIR).collect()
+    assert rows, "control chart found no violations at sf0.01"
+    for r in rows:
+        assert r.rule1_beyond3 or r.rule4_run8 or r.rule5_2of3
+        assert r.above_center in (0, 1)
+
+
+def test_cuped_reduction_bounded(spark):
+    row = REGISTRY["cuped_variance_reduction"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= row.var_reduction_pct <= 100.0
+    assert row.n_a + row.n_b == row.n_users
+
+
+def test_bm25_topk_shape(spark):
+    """Each query returns exactly K ranked rows with scores
+    non-increasing in rank (the grid-snapped integer ordering)."""
+    rows = REGISTRY["bm25_topk"](spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {"q1", "q2", "q3"}
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, 6))
+        scores = [r.bm25 for r in rs]
+        assert scores == sorted(scores, reverse=True), (q, scores)
+
+
+def test_column_profile_drift_consistent(spark):
+    for r in REGISTRY["column_profile_drift"](spark, SF_DIR).collect():
+        assert 0 < r.ndv_a <= r.n_a and 0 < r.ndv_b <= r.n_b
+        assert r.min_a <= r.max_a and r.min_b <= r.max_b
+
+
+def test_simpsons_scan_flags_binary(spark):
+    rows = REGISTRY["simpsons_paradox_scan"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.sign_flip in (0, 1)
+        # a flip requires opposite signs of the reported slopes too
+        if r.sign_flip:
+            assert r.seg_slope * r.pooled_slope <= 0
