@@ -104,6 +104,11 @@ _DEFER: list[str] = [
     "bm25_topk",
     "benjamini_hochberg_fdr",
     "cuped_variance_reduction",
+    "cochran_armitage_trend",
+    "cliffs_delta_segments",
+    "wasserstein_1d_segments",
+    "poisson_bootstrap_ci",
+    "mann_kendall_daily_trend",
 ]
 
 _PIN: list[str] = [

@@ -3030,3 +3030,479 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("diff_cuped_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cochran-Armitage trend test: does the fulfilled-rate move
+# monotonically with order priority (dose scores 1..5 from the
+# priority prefix digit)? One joinless conditional-aggregate pass
+# producing five exact integer sums (N, successes R, score moments
+# B = sum(s*n_i), C = sum(s^2*n_i), SR = sum(s*r_i)); the z statistic
+# is assembled from them with a pinned expression tree. The dose-
+# response sharpening of chi2_region_segment's unordered test.
+# --------------------------------------------------------------------------
+@operator(
+    "cochran_armitage_trend",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT)                                   AS n,
+             CAST(count_if(o_orderstatus = 'F') AS BIGINT)              AS r,
+             CAST(SUM(CAST(substr(o_orderpriority, 1, 1) AS BIGINT))
+                  AS BIGINT)                                            AS b_sum,
+             CAST(SUM(CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+                      * CAST(substr(o_orderpriority, 1, 1) AS BIGINT))
+                  AS BIGINT)                                            AS c_sum,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                      THEN CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+                      ELSE 0 END) AS BIGINT)                            AS sr_sum
+      FROM orders
+    )
+    SELECT n, r, b_sum, c_sum, sr_sum,
+           ROUND(CAST(r AS DOUBLE) / n, 6) AS success_rate,
+           ROUND(
+             (CAST(n * sr_sum - r * b_sum AS DOUBLE) / n)
+             / sqrt((CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n)
+                    * (c_sum - CAST(b_sum AS DOUBLE) * b_sum / n)), 6)
+             AS z_trend
+    FROM m
+    """,
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    s = F.substring("o_orderpriority", 1, 1).cast("bigint")
+    succ = F.col("o_orderstatus") == "F"
+    m = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(succ, 1)).cast("bigint").alias("r"),
+        F.sum(s).cast("bigint").alias("b_sum"),
+        F.sum(s * s).cast("bigint").alias("c_sum"),
+        F.sum(F.when(succ, s).otherwise(F.lit(0))).cast("bigint").alias("sr_sum"),
+    )
+    n, r = F.col("n"), F.col("r")
+    b, c, sr = F.col("b_sum"), F.col("c_sum"), F.col("sr_sum")
+    p = r.cast("double") / n
+    num = (n * sr - r * b).cast("double") / n
+    return m.select(
+        "n", "r", "b_sum", "c_sum", "sr_sum",
+        F.round(p, 6).alias("success_rate"),
+        F.round(
+            num / F.sqrt(p * (F.lit(1.0) - p) * (c - b.cast("double") * b / n)), 6
+        ).alias("z_trend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Effect sizes between two market segments' order values: Cliff's
+# delta from EXACT dominance-pair counts (per-distinct-value counts +
+# one cumulative window over the sorted cents DOMAIN — the same
+# histogram-rank trick as mannwhitney_u_segments, so no fact-table
+# sort and no pair expansion) plus Cohen's d from HUGEINT power sums.
+# gt/lt/tie pair counts are order-free integers, so the delta is
+# engine-exact before the single final division.
+# --------------------------------------------------------------------------
+@operator(
+    "cliffs_delta_segments",
+    oracle=f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, {_CENTS} AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('{_SEG_A}', '{_SEG_B}')
+    ), v AS (
+      SELECT cents,
+             CAST(count_if(seg = '{_SEG_A}') AS BIGINT) AS c_a,
+             CAST(count_if(seg = '{_SEG_B}') AS BIGINT) AS c_b
+      FROM j GROUP BY cents
+    ), r AS (
+      SELECT cents, c_a, c_b,
+             COALESCE(SUM(c_b) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb_before,
+             SUM(c_b) OVER () AS nb_tot
+      FROM v
+    ), m AS (
+      SELECT CAST(SUM(c_a) AS BIGINT)                             AS n_a,
+             CAST(MAX(nb_tot) AS BIGINT)                          AS n_b,
+             CAST(SUM(c_a * cb_before) AS BIGINT)                 AS gt_pairs,
+             CAST(SUM(c_a * (nb_tot - cb_before - c_b)) AS BIGINT) AS lt_pairs,
+             CAST(SUM(c_a * c_b) AS BIGINT)                       AS tie_pairs,
+             CAST(SUM(c_a * cents) AS DOUBLE)                     AS s1_a,
+             CAST(SUM(c_b * cents) AS DOUBLE)                     AS s1_b,
+             CAST(SUM(c_a * (CAST(cents AS HUGEINT) * cents)) AS DOUBLE) AS s2_a,
+             CAST(SUM(c_b * (CAST(cents AS HUGEINT) * cents)) AS DOUBLE) AS s2_b
+      FROM r
+    )
+    SELECT n_a, n_b, gt_pairs, lt_pairs, tie_pairs,
+           ROUND(CAST(gt_pairs - lt_pairs AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * n_b), 6)                AS cliffs_delta,
+           ROUND((s1_a / n_a - s1_b / n_b)
+                 / sqrt(((s2_a - s1_a * (s1_a / n_a))
+                         + (s2_b - s1_b * (s1_b / n_b)))
+                        / (n_a + n_b - 2)), 6)                    AS cohens_d
+    FROM m
+    """,
+)
+def cliffs_delta_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    j = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin(_SEG_A, _SEG_B))
+        .select(F.col("c_mktsegment").alias("seg"), cents.alias("cents"))
+    )
+    v = j.groupBy("cents").agg(
+        F.count(F.when(F.col("seg") == _SEG_A, 1)).cast("bigint").alias("c_a"),
+        F.count(F.when(F.col("seg") == _SEG_B, 1)).cast("bigint").alias("c_b"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    r = v.select(
+        "cents", "c_a", "c_b",
+        F.coalesce(F.sum("c_b").over(w), F.lit(0)).alias("cb_before"),
+        F.sum("c_b").over(Window.partitionBy()).alias("nb_tot"),
+    )
+    hug = F.col("cents").cast("decimal(38,0)") * F.col("cents")
+    m = r.agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.max("nb_tot").cast("bigint").alias("n_b"),
+        F.sum(F.col("c_a") * F.col("cb_before")).cast("bigint").alias("gt_pairs"),
+        F.sum(F.col("c_a") * (F.col("nb_tot") - F.col("cb_before") - F.col("c_b")))
+        .cast("bigint").alias("lt_pairs"),
+        F.sum(F.col("c_a") * F.col("c_b")).cast("bigint").alias("tie_pairs"),
+        F.sum(F.col("c_a") * F.col("cents")).cast("double").alias("s1_a"),
+        F.sum(F.col("c_b") * F.col("cents")).cast("double").alias("s1_b"),
+        F.sum(F.col("c_a") * hug).cast("double").alias("s2_a"),
+        F.sum(F.col("c_b") * hug).cast("double").alias("s2_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    s1_a, s1_b, s2_a, s2_b = (F.col(x) for x in ("s1_a", "s1_b", "s2_a", "s2_b"))
+    return m.select(
+        "n_a", "n_b", "gt_pairs", "lt_pairs", "tie_pairs",
+        F.round(
+            (F.col("gt_pairs") - F.col("lt_pairs")).cast("double")
+            / (n_a.cast("double") * n_b), 6
+        ).alias("cliffs_delta"),
+        F.round(
+            (s1_a / n_a - s1_b / n_b)
+            / F.sqrt(
+                ((s2_a - s1_a * (s1_a / n_a)) + (s2_b - s1_b * (s1_b / n_b)))
+                / (n_a + n_b - 2)
+            ), 6
+        ).alias("cohens_d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 1-D Wasserstein (earth-mover) distance between the two segments'
+# order-value distributions: W1 = integral |F_a - F_b| dx over the
+# cents domain, computed as SUM(|cumA*n_b - cumB*n_a| * gap) on exact
+# integers (DECIMAL(38,0)/HUGEINT accumulator — the cross term reaches
+# n_a*n_b*range), divided once at the end. Same domain-histogram shape
+# as mannwhitney/cliffs: the window runs over per-distinct-value
+# counts (domain-sized, SF-invariant), never over the fact table.
+# Complements ks_order_value_segments (sup-norm) with the integral
+# metric the drift monitors actually want.
+# --------------------------------------------------------------------------
+@operator(
+    "wasserstein_1d_segments",
+    oracle=f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, {_CENTS} AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('{_SEG_A}', '{_SEG_B}')
+    ), v AS (
+      SELECT cents,
+             CAST(count_if(seg = '{_SEG_A}') AS BIGINT) AS c_a,
+             CAST(count_if(seg = '{_SEG_B}') AS BIGINT) AS c_b
+      FROM j GROUP BY cents
+    ), r AS (
+      SELECT cents,
+             SUM(c_a) OVER (ORDER BY cents) AS cum_a,
+             SUM(c_b) OVER (ORDER BY cents) AS cum_b,
+             SUM(c_a) OVER ()               AS na_tot,
+             SUM(c_b) OVER ()               AS nb_tot,
+             COALESCE(LEAD(cents) OVER (ORDER BY cents) - cents, 0) AS gap
+      FROM v
+    ), m AS (
+      SELECT CAST(MAX(na_tot) AS BIGINT) AS n_a,
+             CAST(MAX(nb_tot) AS BIGINT) AS n_b,
+             CAST(COUNT(*) AS BIGINT)    AS n_values,
+             CAST(SUM(ABS(cum_a * nb_tot - cum_b * na_tot)
+                      * CAST(gap AS HUGEINT)) AS DOUBLE) AS s
+      FROM r
+    )
+    SELECT n_a, n_b, n_values,
+           ROUND(s / (CAST(n_a AS DOUBLE) * n_b), 6) AS w1_cents
+    FROM m
+    """,
+)
+def wasserstein_1d_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    j = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin(_SEG_A, _SEG_B))
+        .select(F.col("c_mktsegment").alias("seg"), cents.alias("cents"))
+    )
+    v = j.groupBy("cents").agg(
+        F.count(F.when(F.col("seg") == _SEG_A, 1)).cast("bigint").alias("c_a"),
+        F.count(F.when(F.col("seg") == _SEG_B, 1)).cast("bigint").alias("c_b"),
+    )
+    wc = Window.orderBy("cents")
+    wall = Window.partitionBy()
+    r = v.select(
+        "cents",
+        F.sum("c_a").over(wc).alias("cum_a"),
+        F.sum("c_b").over(wc).alias("cum_b"),
+        F.sum("c_a").over(wall).alias("na_tot"),
+        F.sum("c_b").over(wall).alias("nb_tot"),
+        F.coalesce(F.lead("cents").over(wc) - F.col("cents"), F.lit(0))
+        .alias("gap"),
+    )
+    contrib = (
+        F.abs(F.col("cum_a") * F.col("nb_tot") - F.col("cum_b") * F.col("na_tot"))
+        .cast("decimal(38,0)")
+        * F.col("gap")
+    )
+    m = r.agg(
+        F.max("na_tot").cast("bigint").alias("n_a"),
+        F.max("nb_tot").cast("bigint").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.sum(contrib).cast("double").alias("s"),
+    )
+    return m.select(
+        "n_a", "n_b", "n_values",
+        F.round(F.col("s") / (F.col("n_a").cast("double") * F.col("n_b")), 6)
+        .alias("w1_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap CI for the mean order value — THE scalable
+# bootstrap: instead of resampling rows (impossible to coordinate
+# across a 1000-executor scan), every row independently draws a
+# Poisson(1) replication weight per resample b from a deterministic
+# 60-bit md5 stream (the engine-portable hash idiom of
+# hash_split_assignment). One explode x32 + one keyed aggregation:
+# map-side combine reduces each partition to 32 partial rows, so the
+# shuffle is O(32 x partitions) regardless of fact volume. Inverse-CDF
+# thresholds are precomputed INTEGER literals (floor(cdf * 2^60)), so
+# weight assignment is pure integer comparison — no floats until the
+# per-resample means, which are snapped to a 1e-6 grid (BIGINT) before
+# the across-resample se/quantile algebra (order-free, engine-exact).
+# --------------------------------------------------------------------------
+_POIS_T = [
+    424136118829305344, 848272237658610688, 1060340297073263360,
+    1131029650211480960, 1148701988496035328, 1152236456152946176,
+    1152825534095764608, 1152909688087595776,
+]
+
+
+@operator(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+    WITH rep AS (
+      SELECT {_CENTS} AS cents, b.b,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                 || CAST(b.b AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM orders CROSS JOIN (SELECT UNNEST(range(32)) AS b) b
+    ), g AS (
+      SELECT b,
+             CAST(SUM(w) AS BIGINT)         AS sw,
+             CAST(SUM(w * cents) AS BIGINT) AS swc
+      FROM (
+        SELECT cents, b,
+               CASE WHEN h < {_POIS_T[0]} THEN 0
+                    WHEN h < {_POIS_T[1]} THEN 1
+                    WHEN h < {_POIS_T[2]} THEN 2
+                    WHEN h < {_POIS_T[3]} THEN 3
+                    WHEN h < {_POIS_T[4]} THEN 4
+                    WHEN h < {_POIS_T[5]} THEN 5
+                    WHEN h < {_POIS_T[6]} THEN 6
+                    WHEN h < {_POIS_T[7]} THEN 7
+                    ELSE 8 END AS w
+        FROM rep
+      ) GROUP BY b
+    ), bm AS (
+      SELECT b, CAST(ROUND(CAST(swc AS DOUBLE) / sw * 1000000.0) AS BIGINT) AS m
+      FROM g
+    ), ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM bm
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_boot,
+             CAST(SUM(m) AS DOUBLE)   AS sm,
+             CAST(SUM(CAST(m AS HUGEINT) * m) AS DOUBLE) AS sm2
+      FROM bm
+    ), pt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM({_CENTS}) AS DOUBLE) AS sc
+      FROM orders
+    )
+    SELECT pt.n_rows, stats.n_boot,
+           ROUND(pt.sc / pt.n_rows, 6)                          AS point_mean_cents,
+           ROUND(stats.sm / stats.n_boot / 1000000.0, 6)        AS boot_mean_cents,
+           ROUND(sqrt((stats.n_boot * stats.sm2 - stats.sm * stats.sm)
+                      / (CAST(stats.n_boot AS DOUBLE) * (stats.n_boot - 1)))
+                 / 1000000.0, 6)                                AS boot_se_cents,
+           ROUND(CAST(lo.m AS DOUBLE) / 1000000.0, 6)           AS ci05_cents,
+           ROUND(CAST(hi.m AS DOUBLE) / 1000000.0, 6)           AS ci95_cents
+    FROM pt CROSS JOIN stats
+    CROSS JOIN (SELECT m FROM ranked WHERE rn = 2)  lo
+    CROSS JOIN (SELECT m FROM ranked WHERE rn = 31) hi
+    """,
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    rep = o.select(
+        cents.alias("cents"),
+        F.col("o_orderkey"),
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.when(h < _POIS_T[0], 0)
+    for k in range(1, 8):
+        w = w.when(h < _POIS_T[k], k)
+    w = w.otherwise(8)
+    g = rep.select("b", "cents", w.alias("w")).groupBy("b").agg(
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("swc"),
+    )
+    bm = g.select(
+        "b",
+        F.round(F.col("swc").cast("double") / F.col("sw") * 1000000.0)
+        .cast("bigint")
+        .alias("m"),
+    )
+    ranked = bm.select(
+        "m", F.row_number().over(Window.orderBy("m", "b")).alias("rn")
+    )
+    stats = bm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_boot"),
+        F.sum("m").cast("double").alias("sm"),
+        F.sum(F.col("m").cast("decimal(38,0)") * F.col("m"))
+        .cast("double")
+        .alias("sm2"),
+    )
+    pt = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(cents).cast("double").alias("sc"),
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(F.col("m").alias("m_lo"))
+    hi = ranked.filter(F.col("rn") == 31).select(F.col("m").alias("m_hi"))
+    out = pt.crossJoin(stats).crossJoin(lo).crossJoin(hi)
+    sm, sm2, nb = F.col("sm"), F.col("sm2"), F.col("n_boot")
+    return out.select(
+        "n_rows", "n_boot",
+        F.round(F.col("sc") / F.col("n_rows"), 6).alias("point_mean_cents"),
+        F.round(sm / nb / 1000000.0, 6).alias("boot_mean_cents"),
+        F.round(
+            F.sqrt((nb * sm2 - sm * sm) / (nb.cast("double") * (nb - 1)))
+            / 1000000.0, 6
+        ).alias("boot_se_cents"),
+        F.round(F.col("m_lo").cast("double") / 1000000.0, 6).alias("ci05_cents"),
+        F.round(F.col("m_hi").cast("double") / 1000000.0, 6).alias("ci95_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test on daily revenue: S = sum of pairwise signs
+# over the DAY domain (SF-invariant pair expansion over ~2.4k daily
+# aggregate rows, exactly like theil_sen_daily_trend, whose slope this
+# test supplies the significance for), tie-corrected variance, and the
+# continuity-corrected z. S and the tie term are exact integers; the
+# only doubles are the final two divisions.
+# --------------------------------------------------------------------------
+@operator(
+    "mann_kendall_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON b.x > a.x
+    ), ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY y)
+      WHERE t > 1
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+    )
+    SELECT n.n_days, s.s_stat,
+           ROUND((CAST(n.n_days AS DOUBLE) * (n.n_days - 1) * (2 * n.n_days + 5)
+                  - ties.tie_term) / 18.0, 6) AS var_s,
+           ROUND(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                      WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                      ELSE 0 END
+                 / sqrt((CAST(n.n_days AS DOUBLE) * (n.n_days - 1)
+                         * (2 * n.n_days + 5) - ties.tie_term) / 18.0), 6)
+             AS z_mk,
+           ROUND(CAST(s.s_stat AS DOUBLE)
+                 / (CAST(n.n_days AS DOUBLE) * (n.n_days - 1) / 2.0), 6)
+             AS tau_a
+    FROM n CROSS JOIN s CROSS JOIN ties
+    """,
+)
+def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01")).alias("x")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y"))
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    s = (
+        a.join(F.broadcast(b), F.col("xb") > F.col("xa"))
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            ).cast("bigint").alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            ).cast("bigint").alias("tie_term")
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    out = n.crossJoin(s).crossJoin(ties)
+    nd = F.col("n_days")
+    var_s = (
+        nd.cast("double") * (nd - 1) * (2 * nd + 5) - F.col("tie_term")
+    ) / 18.0
+    s_ = F.col("s_stat")
+    return out.select(
+        "n_days", "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(
+            F.when(s_ > 0, s_ - 1).when(s_ < 0, s_ + 1).otherwise(0)
+            / F.sqrt(var_s), 6
+        ).alias("z_mk"),
+        F.round(
+            s_.cast("double") / (nd.cast("double") * (nd - 1) / 2.0), 6
+        ).alias("tau_a"),
+    )

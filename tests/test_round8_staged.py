@@ -59,6 +59,11 @@ ROUND8_STAGED = [
     "bm25_topk",
     "benjamini_hochberg_fdr",
     "cuped_variance_reduction",
+    "cochran_armitage_trend",
+    "cliffs_delta_segments",
+    "wasserstein_1d_segments",
+    "poisson_bootstrap_ci",
+    "mann_kendall_daily_trend",
 ]
 
 
@@ -448,3 +453,50 @@ def test_simpsons_scan_flags_binary(spark):
         # a flip requires opposite signs of the reported slopes too
         if r.sign_flip:
             assert r.seg_slope * r.pooled_slope <= 0
+
+
+def test_cochran_armitage_consistency(spark):
+    """Score moments must be consistent with the dose domain (1..5)
+    and the rate a genuine proportion."""
+    r = REGISTRY["cochran_armitage_trend"](spark, SF_DIR).collect()[0]
+    assert 0.0 < r.success_rate < 1.0
+    assert r.n <= r.b_sum <= 5 * r.n          # sum of scores in [n, 5n]
+    assert r.b_sum <= r.c_sum <= 5 * r.b_sum  # s <= s^2 <= 5s for s in 1..5
+    assert abs(r.z_trend) < 50
+
+
+def test_cliffs_delta_pair_partition(spark):
+    """gt + lt + tie must partition the full n_a x n_b pair space —
+    the dominance counts are exact, not approximate."""
+    r = REGISTRY["cliffs_delta_segments"](spark, SF_DIR).collect()[0]
+    assert r.gt_pairs + r.lt_pairs + r.tie_pairs == r.n_a * r.n_b
+    assert -1.0 <= r.cliffs_delta <= 1.0
+
+
+def test_wasserstein_lower_bounded_by_mean_gap(spark):
+    """W1 between two distributions is >= |mean_a - mean_b| (Jensen);
+    cross-checks the integral against welch's independent moments."""
+    w1 = REGISTRY["wasserstein_1d_segments"](spark, SF_DIR).collect()[0]
+    welch = REGISTRY["welch_ttest_segments"](spark, SF_DIR).collect()[0]
+    assert w1.w1_cents >= abs(welch.mean_a - welch.mean_b) - 1e-3
+    assert w1.n_a == welch.n_a and w1.n_b == welch.n_b
+
+
+def test_poisson_bootstrap_ci_brackets(spark):
+    """The nearest-rank CI must bracket the bootstrap mean, and the
+    point estimate must sit within a few se of it (Poisson(1) weights
+    are unbiased for the sample mean)."""
+    r = REGISTRY["poisson_bootstrap_ci"](spark, SF_DIR).collect()[0]
+    assert r.ci05_cents <= r.boot_mean_cents <= r.ci95_cents
+    assert r.boot_se_cents > 0
+    assert abs(r.point_mean_cents - r.boot_mean_cents) < 6 * r.boot_se_cents
+
+
+def test_mann_kendall_bounds_and_sign(spark):
+    r = REGISTRY["mann_kendall_daily_trend"](spark, SF_DIR).collect()[0]
+    assert -1.0 <= r.tau_a <= 1.0
+    assert r.var_s > 0
+    if r.s_stat > 1:
+        assert r.z_mk > 0
+    elif r.s_stat < -1:
+        assert r.z_mk < 0
