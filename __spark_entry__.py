@@ -109,6 +109,10 @@ _DEFER: list[str] = [
     "wasserstein_1d_segments",
     "poisson_bootstrap_ci",
     "mann_kendall_daily_trend",
+    "knn_ndcg_eval",
+    "hits_step",
+    "k_anonymity_census",
+    "seasonality_strength",
 ]
 
 _PIN: list[str] = [

@@ -781,3 +781,123 @@ def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("per_mille_of_source"),
     ).orderBy("source", "split")
+
+
+# --------------------------------------------------------------------------
+# k-anonymity / l-diversity census over the customer table: treat
+# (nation, acctbal-band) as the quasi-identifier, market segment as
+# the sensitive attribute, and report — for each k in {2,5,10,20} —
+# how many QID groups and rows fall below the anonymity threshold,
+# plus the worst-case l-diversity. This is the privacy-risk audit a
+# training-data pipeline runs before releasing per-user aggregates
+# (PII string scrubbing is `pii_scrub`; this measures REIDENTIFICATION
+# risk, which scrubbing alone cannot). One grouped pass to the QID
+# table (group count + COUNT DISTINCT sensitive), then joinless
+# conditional aggregates unpivoted with stack() — the
+# value_range_expectations shape; no theta-join, no BNLJ bait.
+# Scale: the QID table is |nations x bands| << facts; everything
+# downstream of the first groupBy is constant-size.
+# --------------------------------------------------------------------------
+@operator(
+    "k_anonymity_census",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey,
+             CAST(FLOOR(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                        / 100000.0) AS BIGINT) AS bal_band,
+             c_mktsegment
+      FROM customer
+    ), g AS (
+      SELECT c_nationkey, bal_band,
+             CAST(COUNT(*) AS BIGINT)                    AS grp_rows,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+      FROM q GROUP BY 1, 2
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT)      AS qid_groups,
+             CAST(SUM(grp_rows) AS BIGINT) AS total_rows,
+             CAST(MIN(l_div) AS BIGINT)    AS min_l_diversity,
+             CAST(count_if(l_div = 1) AS BIGINT) AS groups_l_eq_1,
+             CAST(count_if(grp_rows < 2) AS BIGINT)  AS gb2,
+             CAST(count_if(grp_rows < 5) AS BIGINT)  AS gb5,
+             CAST(count_if(grp_rows < 10) AS BIGINT) AS gb10,
+             CAST(count_if(grp_rows < 20) AS BIGINT) AS gb20,
+             CAST(COALESCE(SUM(CASE WHEN grp_rows < 2 THEN grp_rows END), 0)
+                  AS BIGINT) AS ra2,
+             CAST(COALESCE(SUM(CASE WHEN grp_rows < 5 THEN grp_rows END), 0)
+                  AS BIGINT) AS ra5,
+             CAST(COALESCE(SUM(CASE WHEN grp_rows < 10 THEN grp_rows END), 0)
+                  AS BIGINT) AS ra10,
+             CAST(COALESCE(SUM(CASE WHEN grp_rows < 20 THEN grp_rows END), 0)
+                  AS BIGINT) AS ra20
+      FROM g
+    )
+    SELECT k, qid_groups, groups_below_k, rows_at_risk,
+           ROUND(CAST(rows_at_risk AS DOUBLE) / total_rows, 6) AS at_risk_pct,
+           min_l_diversity, groups_l_eq_1
+    FROM (
+      SELECT 2  AS k, qid_groups, gb2  AS groups_below_k, ra2  AS rows_at_risk,
+             total_rows, min_l_diversity, groups_l_eq_1 FROM m
+      UNION ALL
+      SELECT 5, qid_groups, gb5, ra5, total_rows, min_l_diversity,
+             groups_l_eq_1 FROM m
+      UNION ALL
+      SELECT 10, qid_groups, gb10, ra10, total_rows, min_l_diversity,
+             groups_l_eq_1 FROM m
+      UNION ALL
+      SELECT 20, qid_groups, gb20, ra20, total_rows, min_l_diversity,
+             groups_l_eq_1 FROM m
+    )
+    ORDER BY k
+    """,
+)
+def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    band = F.floor(cents / F.lit(100000.0)).cast("bigint")
+    q = c.select(
+        "c_nationkey", band.alias("bal_band"), "c_mktsegment"
+    )
+    g = q.groupBy("c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("grp_rows"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("l_div"),
+    )
+    below = {
+        k: F.count(F.when(F.col("grp_rows") < k, 1)).cast("bigint")
+        for k in (2, 5, 10, 20)
+    }
+    risk = {
+        k: F.coalesce(
+            F.sum(F.when(F.col("grp_rows") < k, F.col("grp_rows"))), F.lit(0)
+        ).cast("bigint")
+        for k in (2, 5, 10, 20)
+    }
+    m = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("qid_groups"),
+        F.sum("grp_rows").cast("bigint").alias("total_rows"),
+        F.min("l_div").cast("bigint").alias("min_l_diversity"),
+        F.count(F.when(F.col("l_div") == 1, 1)).cast("bigint")
+        .alias("groups_l_eq_1"),
+        *(below[k].alias(f"gb{k}") for k in (2, 5, 10, 20)),
+        *(risk[k].alias(f"ra{k}") for k in (2, 5, 10, 20)),
+    )
+    stacked = m.select(
+        F.expr(
+            "stack(4, "
+            "2,  gb2,  ra2, "
+            "5,  gb5,  ra5, "
+            "10, gb10, ra10, "
+            "20, gb20, ra20) AS (k, groups_below_k, rows_at_risk)"
+        ),
+        "qid_groups", "total_rows", "min_l_diversity", "groups_l_eq_1",
+    )
+    return stacked.select(
+        F.col("k").cast("bigint").alias("k"),
+        "qid_groups",
+        F.col("groups_below_k").cast("bigint").alias("groups_below_k"),
+        F.col("rows_at_risk").cast("bigint").alias("rows_at_risk"),
+        F.round(
+            F.col("rows_at_risk").cast("double") / F.col("total_rows"), 6
+        ).alias("at_risk_pct"),
+        "min_l_diversity", "groups_l_eq_1",
+    ).orderBy("k")

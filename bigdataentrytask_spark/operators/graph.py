@@ -918,3 +918,65 @@ def brand_modularity_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
             "modularity",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# One HITS iteration on the co-order backbone from the uniform start:
+# authority_1(v) = deg(v), hub_1(v) = sum of neighbor degrees — the
+# Kleinberg twin of `pagerank_step` (operators/warehouse.py). On an
+# undirected graph one iteration makes hub_1 the WEDGE-CENTRALITY
+# ranking (sum over neighbors of their degree), and its global total
+# is exactly sum(deg^2) — the same wedge bound part_pair_triangles
+# reports as its cost predictor, so the two operators cross-check.
+# All scores are exact integer sums; the only double is the final
+# L1-normalized share. Scale: symmetrized edges -> one keyed join
+# against the degree table -> grouped sum; never touches facts.
+# --------------------------------------------------------------------------
+@operator(
+    "hits_step",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    sym AS (SELECT s AS u, d AS v FROM edges
+            UNION ALL SELECT d AS u, s AS v FROM edges),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM sym GROUP BY 1),
+    h AS (
+      SELECT sym.u AS node, CAST(SUM(dg.degree) AS BIGINT) AS hub_1
+      FROM sym JOIN deg dg ON dg.node = sym.v
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(hub_1) AS DOUBLE) AS th FROM h)
+    SELECT h.node, d2.degree AS auth_1, h.hub_1,
+           ROUND(CAST(h.hub_1 AS DOUBLE) / tot.th, 6) AS hub_share
+    FROM h JOIN deg d2 ON d2.node = h.node CROSS JOIN tot
+    ORDER BY h.hub_1 DESC, h.node
+    LIMIT 20
+    """,
+)
+def hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("s").alias("u"), F.col("d").alias("v")
+    ).unionAll(edges.select(F.col("d").alias("u"), F.col("s").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    h = (
+        sym.join(deg.select(F.col("node").alias("v"), "degree"), "v")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.sum("degree").cast("bigint").alias("hub_1"))
+    )
+    tot = h.agg(F.sum("hub_1").cast("double").alias("th"))
+    out = (
+        h.join(deg.withColumnRenamed("degree", "auth_1"), "node")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        out.select(
+            "node", "auth_1", "hub_1",
+            F.round(F.col("hub_1").cast("double") / F.col("th"), 6)
+            .alias("hub_share"),
+        )
+        .orderBy(F.desc("hub_1"), "node")
+        .limit(20)
+    )

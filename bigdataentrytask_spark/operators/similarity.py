@@ -2581,3 +2581,132 @@ def ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# --------------------------------------------------------------------------
+# nDCG@5 of the cosine retriever under LABEL relevance — "when I
+# retrieve 5 nearest vectors, how many share the query's class, and
+# how early" — the ranking-quality eval that recall@k (hit the exact
+# truth id) cannot see. Composes the verified brute-force top-k plan
+# with the label dimension. Engine parity: the log2 discounts are
+# PRECOMPUTED 1e12-grid INTEGER literals (no libm in either engine),
+# so per-query DCG/IDCG are order-free integer sums; the only double
+# is the final ratio. IDCG uses min(total relevant, k) cumulative
+# weights — the standard binary-relevance ideal.
+# --------------------------------------------------------------------------
+def _register_knn_ndcg_eval() -> None:
+    from bigdataentrytask_spark.operators import ORACLES
+
+    # round(1e12 / log2(rank + 1)) for rank 1..5, and cumulative sums
+    w = [1000000000000, 630929753571, 500000000000, 430676558073,
+         386852807235]
+    c = [1000000000000, 1630929753571, 2130929753571, 2561606311644,
+         2948459118879]
+    w_case = " ".join(
+        f"WHEN rnk = {i + 1} THEN {w[i]}" for i in range(5)
+    )
+    c_case = " ".join(
+        f"WHEN r_eff = {i + 1} THEN {c[i]}" for i in range(5)
+    )
+    oracle = f"""
+    WITH bf AS ({ORACLES["knn_bruteforce"]}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    lc AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_lab FROM lab GROUP BY 1),
+    judged AS (
+      SELECT bf.query_id, bf.rnk,
+             CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END AS rel
+      FROM bf
+      JOIN lab lq ON lq.vec_id = bf.query_id
+      JOIN lab ln ON ln.vec_id = bf.neighbor_id
+    ),
+    per_q AS (
+      SELECT query_id,
+             CAST(SUM(rel) AS BIGINT) AS n_rel_at_k,
+             CAST(SUM(rel * (CASE {w_case} END)) AS BIGINT) AS dcg_grid
+      FROM judged GROUP BY 1
+    ),
+    truth AS (
+      SELECT lq.vec_id AS query_id,
+             CAST(lc.n_lab - 1 AS BIGINT) AS n_rel_total
+      FROM lab lq JOIN lc ON lc.label = lq.label
+      WHERE lq.vec_id < 10
+    ),
+    ideal AS (
+      SELECT query_id, n_rel_total,
+             CASE WHEN n_rel_total >= 5 THEN {c[4]}
+                  WHEN n_rel_total <= 0 THEN 0
+                  ELSE (CASE {c_case.replace('r_eff', 'n_rel_total')} END)
+             END AS idcg_grid
+      FROM truth
+    )
+    SELECT p.query_id, p.n_rel_at_k, i.n_rel_total,
+           p.dcg_grid, i.idcg_grid,
+           ROUND(CASE WHEN i.idcg_grid = 0 THEN 0.0
+                      ELSE CAST(p.dcg_grid AS DOUBLE) / i.idcg_grid END, 6)
+             AS ndcg_at_5
+    FROM per_q p JOIN ideal i ON i.query_id = p.query_id
+    ORDER BY p.query_id
+    """
+
+    @operator("knn_ndcg_eval", oracle=oracle)
+    def knn_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """nDCG@5 of brute-force cosine retrieval under same-label
+        relevance. Scale: per-query rows are N_QUERIES-bounded; the
+        label-count dimension is |labels| rows, broadcast."""
+        from bigdataentrytask_spark.operators import REGISTRY
+
+        bf = REGISTRY["knn_bruteforce"](spark, sf_dir).select(
+            "query_id", "rnk", "neighbor_id"
+        )
+        lab = _emb(spark, sf_dir).select("vec_id", "label")
+        lc = lab.groupBy("label").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lab")
+        )
+        lq = lab.select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+        )
+        ln = lab.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+        )
+        rel = F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+        w_col = F.when(F.col("rnk") == 1, w[0])
+        for i in range(1, 5):
+            w_col = w_col.when(F.col("rnk") == i + 1, w[i])
+        judged = (
+            bf.join(F.broadcast(lq), "query_id")
+            .join(F.broadcast(ln), "neighbor_id")
+            .select("query_id", rel.alias("rel"), w_col.alias("w"))
+        )
+        per_q = judged.groupBy("query_id").agg(
+            F.sum("rel").cast("bigint").alias("n_rel_at_k"),
+            F.sum(F.col("rel") * F.col("w")).cast("bigint").alias("dcg_grid"),
+        )
+        truth = (
+            lq.filter(F.col("query_id") < N_QUERIES)
+            .join(F.broadcast(lc), lq.q_label == lc.label)
+            .select(
+                "query_id",
+                (F.col("n_lab") - 1).cast("bigint").alias("n_rel_total"),
+            )
+        )
+        r_eff = F.col("n_rel_total")
+        c_col = F.when(r_eff >= 5, c[4]).when(r_eff <= 0, 0)
+        for i in range(4):
+            c_col = c_col.when(r_eff == i + 1, c[i])
+        c_col = c_col.otherwise(c[4])
+        ideal = truth.select(
+            "query_id", "n_rel_total", c_col.cast("bigint").alias("idcg_grid")
+        )
+        out = per_q.join(ideal, "query_id")
+        return out.select(
+            "query_id", "n_rel_at_k", "n_rel_total", "dcg_grid", "idcg_grid",
+            F.round(
+                F.when(F.col("idcg_grid") == 0, F.lit(0.0)).otherwise(
+                    F.col("dcg_grid").cast("double") / F.col("idcg_grid")
+                ), 6
+            ).alias("ndcg_at_5"),
+        ).orderBy("query_id")
+
+
+_register_knn_ndcg_eval()

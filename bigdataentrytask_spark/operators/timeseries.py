@@ -924,3 +924,144 @@ def spc_control_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# STL-lite seasonality/trend strength of daily revenue (the Hyndman
+# "STL features" pair, on a centered-MA trend instead of loess):
+#   trend    T = 7-day centered moving average (full windows only),
+#   detrend  d = y - T,
+#   seasonal S = day-of-week mean of d,
+#   strengths: F_trend = max(0, 1 - Var(d)/Var(y)),
+#              F_seas  = max(0, 1 - Var(d - S)/Var(d)).
+# Differs from anova_weekday_revenue (per-ORDER weekday ANOVA): this
+# decomposes the daily SERIES, so the trend is removed before the
+# weekday effect is measured. Engine parity: the MA is kept as the
+# INTEGER window sum t7 (denominator 7 deferred), the detrended value
+# is snapped once onto a 1e-6 grid (ROUND((7y - t7) * 1e6 / 7.0) —
+# identical double -> identical BIGINT), and every variance is a
+# within/between decomposition of DECIMAL(38,0)/HUGEINT power sums of
+# that grid. Scale: all windows run over the ~2.4k-row day domain.
+# --------------------------------------------------------------------------
+@operator(
+    "seasonality_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             dayofweek(o_orderdate) + 1 AS dow,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1, 2
+    ), ma AS (
+      SELECT day, dow, y,
+             SUM(y) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                          AND 3 FOLLOWING) AS t7,
+             COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                            AND 3 FOLLOWING) AS w_cnt
+      FROM daily
+    ), d AS (
+      SELECT dow,
+             CAST(y AS BIGINT) * 1000000 AS yg,
+             CAST(ROUND((7 * y - t7) * 1000000.0 / 7.0) AS BIGINT) AS dg
+      FROM ma WHERE w_cnt = 7
+    ), grp AS (
+      SELECT dow,
+             CAST(COUNT(*) AS BIGINT) AS n_d,
+             CAST(SUM(dg) AS HUGEINT) AS s1_d,
+             SUM(CAST(dg AS HUGEINT) * dg) AS s2_d
+      FROM d GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT)            AS n,
+             CAST(SUM(yg) AS HUGEINT)            AS sy1,
+             SUM(CAST(yg AS HUGEINT) * yg)       AS sy2,
+             CAST(SUM(dg) AS HUGEINT)            AS sd1,
+             SUM(CAST(dg AS HUGEINT) * dg)       AS sd2
+      FROM d
+    ), ssw AS (
+      -- per-group within-SS snapped onto a 1e12 grid BEFORE the
+      -- 7-term cross-group sum (order-free integer addition; the
+      -- snap-before-sum rule, CONTRIBUTING.md)
+      SELECT CAST(SUM(CAST(ROUND((CAST(s2_d AS DOUBLE)
+                       - CAST(s1_d AS DOUBLE)
+                         * (CAST(s1_d AS DOUBLE) / n_d))
+                       / 1000000000000.0) AS HUGEINT)) AS DOUBLE)
+             * 1000000000000.0 AS w
+      FROM grp
+    )
+    SELECT tot.n AS n_days,
+           ROUND(CAST(tot.sy1 AS DOUBLE) / tot.n / 1000000.0, 6)
+             AS mean_daily_cents,
+           ROUND(GREATEST(0.0, 1.0 -
+             (CAST(tot.sd2 AS DOUBLE)
+              - CAST(tot.sd1 AS DOUBLE) * (CAST(tot.sd1 AS DOUBLE) / tot.n))
+             / (CAST(tot.sy2 AS DOUBLE)
+                - CAST(tot.sy1 AS DOUBLE) * (CAST(tot.sy1 AS DOUBLE) / tot.n))
+           ), 6) AS trend_strength,
+           ROUND(GREATEST(0.0, 1.0 -
+             ssw.w
+             / (CAST(tot.sd2 AS DOUBLE)
+                - CAST(tot.sd1 AS DOUBLE) * (CAST(tot.sd1 AS DOUBLE) / tot.n))
+           ), 6) AS seasonal_strength
+    FROM tot CROSS JOIN ssw
+    """,
+)
+def seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y"))
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "dow", "y",
+        F.sum("y").over(w7).alias("t7"),
+        F.count(F.lit(1)).over(w7).alias("w_cnt"),
+    )
+    d = ma.filter(F.col("w_cnt") == 7).select(
+        "dow",
+        (F.col("y").cast("bigint") * 1000000).alias("yg"),
+        F.round((7 * F.col("y") - F.col("t7")) * 1000000.0 / 7.0)
+        .cast("bigint")
+        .alias("dg"),
+    )
+    hug = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    grp = d.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_d"),
+        F.sum("dg").cast("decimal(38,0)").alias("s1_d"),
+        F.sum(hug("dg") * F.col("dg")).alias("s2_d"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("yg").cast("decimal(38,0)").alias("sy1"),
+        F.sum(hug("yg") * F.col("yg")).alias("sy2"),
+        F.sum("dg").cast("decimal(38,0)").alias("sd1"),
+        F.sum(hug("dg") * F.col("dg")).alias("sd2"),
+    )
+    ssw = grp.agg(
+        (
+            F.sum(
+                F.round(
+                    (
+                        F.col("s2_d").cast("double")
+                        - F.col("s1_d").cast("double")
+                        * (F.col("s1_d").cast("double") / F.col("n_d"))
+                    )
+                    / 1000000000000.0
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            * 1000000000000.0
+        ).alias("w")
+    )
+    out = tot.crossJoin(ssw)
+    sy1, sy2 = F.col("sy1").cast("double"), F.col("sy2").cast("double")
+    sd1, sd2 = F.col("sd1").cast("double"), F.col("sd2").cast("double")
+    n = F.col("n")
+    var_y = sy2 - sy1 * (sy1 / n)
+    var_d = sd2 - sd1 * (sd1 / n)
+    return out.select(
+        n.alias("n_days"),
+        F.round(sy1 / n / 1000000.0, 6).alias("mean_daily_cents"),
+        F.round(F.greatest(F.lit(0.0), F.lit(1.0) - var_d / var_y), 6)
+        .alias("trend_strength"),
+        F.round(F.greatest(F.lit(0.0), F.lit(1.0) - F.col("w") / var_d), 6)
+        .alias("seasonal_strength"),
+    )

@@ -64,6 +64,10 @@ ROUND8_STAGED = [
     "wasserstein_1d_segments",
     "poisson_bootstrap_ci",
     "mann_kendall_daily_trend",
+    "knn_ndcg_eval",
+    "hits_step",
+    "k_anonymity_census",
+    "seasonality_strength",
 ]
 
 
@@ -500,3 +504,45 @@ def test_mann_kendall_bounds_and_sign(spark):
         assert r.z_mk > 0
     elif r.s_stat < -1:
         assert r.z_mk < 0
+
+
+def test_ndcg_bounds_and_dominance(spark):
+    """nDCG in [0,1]; DCG never exceeds the ideal; top-k relevance
+    never exceeds k or the total relevant pool."""
+    rows = REGISTRY["knn_ndcg_eval"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0.0 <= r.ndcg_at_5 <= 1.0
+        assert r.dcg_grid <= r.idcg_grid
+        assert r.n_rel_at_k <= 5
+        assert r.n_rel_at_k <= r.n_rel_total
+
+
+def test_hits_step_hub_dominates_auth(spark):
+    """With every neighbor degree >= 1, hub_1 = sum of neighbor
+    degrees >= degree = auth_1; shares are genuine proportions."""
+    rows = REGISTRY["hits_step"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.hub_1 >= r.auth_1
+        assert 0.0 < r.hub_share <= 1.0
+
+
+def test_k_anonymity_monotone_in_k(spark):
+    rows = sorted(REGISTRY["k_anonymity_census"](spark, SF_DIR).collect(),
+                  key=lambda r: r.k)
+    assert [r.k for r in rows] == [2, 5, 10, 20]
+    for a, b in zip(rows, rows[1:]):
+        assert a.groups_below_k <= b.groups_below_k
+        assert a.rows_at_risk <= b.rows_at_risk
+    for r in rows:
+        assert 0.0 <= r.at_risk_pct <= 1.0
+        assert r.min_l_diversity >= 1
+
+
+def test_seasonality_strengths_are_proportions(spark):
+    r = REGISTRY["seasonality_strength"](spark, SF_DIR).collect()[0]
+    assert r.n_days > 0
+    assert 0.0 <= r.trend_strength <= 1.0
+    assert 0.0 <= r.seasonal_strength <= 1.0
+    assert r.mean_daily_cents > 0
