@@ -113,6 +113,10 @@ _DEFER: list[str] = [
     "hits_step",
     "k_anonymity_census",
     "seasonality_strength",
+    "silhouette_by_label",
+    "dbscan_core_census",
+    "sequential_pattern_support",
+    "attribution_markov_removal",
 ]
 
 _PIN: list[str] = [

@@ -2708,3 +2708,101 @@ def channel_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel_a", "channel_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Sequential-pattern support for ordered type pairs (a then b, any
+# gap): a user supports (a -> b) iff their EARLIEST a strictly
+# precedes their LATEST b — an existence test that needs only per-
+# (user, type) min/max timestamps, never a pairwise event join (the
+# classic sequence-mining support reduction). Confidence and lift
+# come from the same per-type user counts. Differs from
+# event_transition_matrix (ADJACENT steps only) and
+# funnel_within_1h (fixed 3-stage window): this measures unordered-
+# gap precedence for all 20 directed type pairs.
+# Scale: one keyed agg to |users x types| rows, then a per-user join
+# with a bounded 5x5 fanout; counts are exact integers.
+# --------------------------------------------------------------------------
+@operator(
+    "sequential_pattern_support",
+    oracle="""
+    WITH ut AS (
+      SELECT user_id, event_type,
+             MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+    ), per_type AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM ut GROUP BY 1
+    ), seq AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             CAST(COUNT(*) AS BIGINT) AS n_seq
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id
+       AND a.event_type <> b.event_type
+       AND a.first_ts < b.last_ts
+      GROUP BY 1, 2
+    )
+    SELECT s.antecedent, s.consequent, s.n_seq,
+           pa.n_t AS n_users_a, pb.n_t AS n_users_b,
+           ROUND(CAST(s.n_seq AS DOUBLE) / tot.n_users, 6)      AS support,
+           ROUND(CAST(s.n_seq AS DOUBLE) / pa.n_t, 6)           AS confidence,
+           ROUND((CAST(s.n_seq AS DOUBLE) / pa.n_t)
+                 / (CAST(pb.n_t AS DOUBLE) / tot.n_users), 6)   AS lift
+    FROM seq s
+    JOIN per_type pa ON pa.event_type = s.antecedent
+    JOIN per_type pb ON pb.event_type = s.consequent
+    CROSS JOIN tot
+    ORDER BY s.antecedent, s.consequent
+    """,
+)
+def sequential_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    tot = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    per_type = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t")
+    )
+    a = ut.select(
+        "user_id", F.col("event_type").alias("antecedent"),
+        F.col("first_ts").alias("a_first"),
+    )
+    b = ut.select(
+        "user_id", F.col("event_type").alias("consequent"),
+        F.col("last_ts").alias("b_last"),
+    )
+    seq = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("antecedent") != F.col("consequent"))
+            & (F.col("a_first") < F.col("b_last"))
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_seq"))
+    )
+    pa = per_type.select(
+        F.col("event_type").alias("antecedent"), F.col("n_t").alias("n_users_a")
+    )
+    pb = per_type.select(
+        F.col("event_type").alias("consequent"), F.col("n_t").alias("n_users_b")
+    )
+    out = (
+        seq.join(F.broadcast(pa), "antecedent")
+        .join(F.broadcast(pb), "consequent")
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.select(
+        "antecedent", "consequent", "n_seq", "n_users_a", "n_users_b",
+        F.round(F.col("n_seq").cast("double") / F.col("n_users"), 6)
+        .alias("support"),
+        F.round(F.col("n_seq").cast("double") / F.col("n_users_a"), 6)
+        .alias("confidence"),
+        F.round(
+            (F.col("n_seq").cast("double") / F.col("n_users_a"))
+            / (F.col("n_users_b").cast("double") / F.col("n_users")), 6
+        ).alias("lift"),
+    ).orderBy("antecedent", "consequent")

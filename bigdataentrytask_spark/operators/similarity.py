@@ -2710,3 +2710,206 @@ def _register_knn_ndcg_eval() -> None:
 
 
 _register_knn_ndcg_eval()
+
+
+# --------------------------------------------------------------------------
+# Simplified (centroid-based) silhouette per label: a_i = distance to
+# own centroid, b_i = min distance to any OTHER label's centroid,
+# s_i = (b_i - a_i) / max(a_i, b_i). The O(N * L * d) assignment-join
+# form of the O(N^2) exact silhouette — the variant that exists at
+# corpus scale (centroids broadcast; dimension-level rows; one
+# partial-agg shuffle per vec). Follows embedding_label_centroids'
+# dims/cent idiom; per-point s_i is classified into an INTEGER sign
+# census alongside the rounded mean.
+# --------------------------------------------------------------------------
+@operator(
+    "silhouette_by_label",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, label,
+             generate_subscripts(e, 1) AS pos,
+             UNNEST(e) AS x
+      FROM v
+    ),
+    cent AS (
+      SELECT label AS c_label, pos, AVG(x) AS c FROM dims GROUP BY 1, 2
+    ),
+    cnorm AS (
+      SELECT c_label, SUM(c * c) AS nc2 FROM cent GROUP BY 1
+    ),
+    vnorm AS (
+      SELECT vec_id, SUM(x * x) AS nv2 FROM dims GROUP BY 1
+    ),
+    dots AS (
+      SELECT d.vec_id, d.label, ct.c_label,
+             SUM(d.x * ct.c) AS dot
+      FROM dims d JOIN cent ct ON ct.pos = d.pos
+      GROUP BY 1, 2, 3
+    ),
+    dist AS (
+      SELECT dt.vec_id, dt.label, dt.c_label,
+             sqrt(GREATEST(vn.nv2 - 2 * dt.dot + cn.nc2, 0.0)) AS dst
+      FROM dots dt
+      JOIN vnorm vn ON vn.vec_id = dt.vec_id
+      JOIN cnorm cn ON cn.c_label = dt.c_label
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             MIN(CASE WHEN c_label = label THEN dst END)  AS a_own,
+             MIN(CASE WHEN c_label <> label THEN dst END) AS b_other
+      FROM dist GROUP BY 1, 2
+    ),
+    sil AS (
+      SELECT label,
+             (b_other - a_own) / GREATEST(a_own, b_other) AS s
+      FROM ab
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT)               AS n_vecs,
+           ROUND(AVG(s), 6)                       AS mean_silhouette,
+           CAST(count_if(s < 0) AS BIGINT)        AS n_negative
+    FROM sil GROUP BY label ORDER BY label
+    """,
+)
+def silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    v = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    dims = v.select(
+        "vec_id", "label",
+        F.posexplode("e").alias("pos0", "x"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "x")
+    cent = dims.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        F.avg("x").alias("c")
+    )
+    cnorm = cent.groupBy("c_label").agg(F.sum(F.col("c") * F.col("c")).alias("nc2"))
+    vnorm = dims.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("nv2"))
+    dots = (
+        dims.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(F.col("x") * F.col("c")).alias("dot"))
+    )
+    dist = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "c_label")
+        .select(
+            "vec_id", "label", "c_label",
+            F.sqrt(
+                F.greatest(
+                    F.col("nv2") - 2 * F.col("dot") + F.col("nc2"), F.lit(0.0)
+                )
+            ).alias("dst"),
+        )
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("c_label") == F.col("label"), F.col("dst")))
+        .alias("a_own"),
+        F.min(F.when(F.col("c_label") != F.col("label"), F.col("dst")))
+        .alias("b_other"),
+    )
+    s = (F.col("b_other") - F.col("a_own")) / F.greatest("a_own", "b_other")
+    sil = ab.select("label", s.alias("s"))
+    return (
+        sil.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+            F.count(F.when(F.col("s") < 0, 1)).cast("bigint").alias("n_negative"),
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# DBSCAN core/border/noise census at eps = the neardup cosine
+# threshold, minPts = 3 neighbors: degree over the symmetrized
+# eps-pair graph classifies every vector. Composes the VERIFIED
+# embedding_neardup_pairs plan (tiled Arrow kernel / its exact
+# oracle), so the census inherits the production pair path — at
+# corpus scale you swap in the LSH pair list (embedding_neardup_lsh)
+# and this plan is unchanged: degree agg + one semi-join against the
+# core set. All counts integer-exact.
+# --------------------------------------------------------------------------
+def _register_dbscan_core_census() -> None:
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+
+    min_pts = 3
+    oracle = f"""
+    WITH pairs AS ({ORACLES["embedding_neardup_pairs"]}),
+    sym AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+            UNION ALL SELECT vec_b, vec_a FROM pairs),
+    deg AS (SELECT u AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM sym GROUP BY 1),
+    uni AS (
+      SELECT e.vec_id, COALESCE(d.degree, 0) AS degree
+      FROM embeddings e LEFT JOIN deg d ON d.vec_id = e.vec_id
+    ),
+    core AS (SELECT vec_id FROM uni WHERE degree >= {min_pts}),
+    cls AS (
+      SELECT u.vec_id, u.degree,
+             CASE WHEN u.degree >= {min_pts} THEN 'core'
+                  WHEN EXISTS (SELECT 1 FROM sym s JOIN core c
+                               ON c.vec_id = s.v WHERE s.u = u.vec_id)
+                       THEN 'border'
+                  ELSE 'noise' END AS cls
+      FROM uni u
+    )
+    SELECT cls AS dbscan_class,
+           CAST(COUNT(*) AS BIGINT)     AS n_points,
+           CAST(SUM(degree) AS BIGINT)  AS sum_degree,
+           ROUND(CAST(SUM(degree) AS DOUBLE) / COUNT(*), 6) AS mean_degree
+    FROM cls GROUP BY 1 ORDER BY dbscan_class
+    """
+
+    @operator("dbscan_core_census", oracle=oracle)
+    def dbscan_core_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pairs = REGISTRY["embedding_neardup_pairs"](spark, sf_dir).select(
+            "vec_a", "vec_b"
+        )
+        sym = pairs.select(
+            F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
+        ).unionAll(pairs.select(F.col("vec_b").alias("u"), F.col("vec_a").alias("v")))
+        deg = sym.groupBy(F.col("u").alias("vec_id")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("degree")
+        )
+        uni = (
+            _emb(spark, sf_dir)
+            .select("vec_id")
+            .join(deg, "vec_id", "left")
+            .select("vec_id", F.coalesce("degree", F.lit(0)).alias("degree"))
+        )
+        core = uni.filter(F.col("degree") >= min_pts).select(
+            F.col("vec_id").alias("core_id")
+        )
+        near_core = (
+            sym.join(core, sym.v == F.col("core_id"))
+            .select(F.col("u").alias("vec_id"))
+            .distinct()
+            .withColumn("near_core", F.lit(1))
+        )
+        cls = (
+            uni.join(near_core, "vec_id", "left")
+            .select(
+                "degree",
+                F.when(F.col("degree") >= min_pts, "core")
+                .when(F.col("near_core").isNotNull(), "border")
+                .otherwise("noise")
+                .alias("dbscan_class"),
+            )
+        )
+        return (
+            cls.groupBy("dbscan_class")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_points"),
+                F.sum("degree").cast("bigint").alias("sum_degree"),
+                F.round(
+                    F.sum("degree").cast("double") / F.count(F.lit(1)), 6
+                ).alias("mean_degree"),
+            )
+            .orderBy("dbscan_class")
+        )
+
+
+_register_dbscan_core_census()

@@ -2816,3 +2816,238 @@ def column_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution — the non-heuristic counterpart
+# of attribution_linear_multitouch / attribution_time_decay: model
+# each user's pre-conversion journey as a first-order chain over
+# {start, view, click} with absorbing {conv, null}, compute the
+# absorption probability into conversion in closed form (2x2 Cramer
+# solve on the transient block), then re-solve with each channel
+# removed (its mass redirected to null); a channel's credit is its
+# removal effect normalized across channels. Every transition count
+# is an exact integer; the ENTIRE scalar algebra is generated ONCE as
+# SQL expression strings (_MK_* below) interpolated verbatim into
+# BOTH the DuckDB oracle and Spark selectExpr — identical parse tree,
+# identical doubles. Journey extraction: one window over each user's
+# touch stream cut at the first purchase (ts, event_id) key — a keyed
+# shuffle on user_id; the chain summary is 12 integers, so the solve
+# is O(1) regardless of fact volume.
+# --------------------------------------------------------------------------
+def _mk_exprs() -> dict[str, str]:
+    p = {
+        k: f"(CAST(n{k} AS DOUBLE) / n{k[0]}_row)"
+        for k in (
+            "sv", "sc", "sk", "vv", "vc", "vk", "cv", "cc", "ck",
+        )
+    }
+    det = (
+        f"((1.0 - {p['vv']}) * (1.0 - {p['cc']}) - {p['vc']} * {p['cv']})"
+    )
+    av = f"(({p['vk']} * (1.0 - {p['cc']}) + {p['vc']} * {p['ck']}) / {det})"
+    ac = f"(((1.0 - {p['vv']}) * {p['ck']} + {p['cv']} * {p['vk']}) / {det})"
+    asf = f"({p['sv']} * {av} + {p['sc']} * {ac} + {p['sk']})"
+    asrv = f"({p['sc']} * ({p['ck']} / (1.0 - {p['cc']})) + {p['sk']})"
+    asrc = f"({p['sv']} * ({p['vk']} / (1.0 - {p['vv']})) + {p['sk']})"
+    rev = f"(1.0 - {asrv} / {asf})"
+    rec = f"(1.0 - {asrc} / {asf})"
+    return {
+        "p_conv": asf,
+        "re_view": rev,
+        "re_click": rec,
+        "sh_view": f"({rev} / ({rev} + {rec}))",
+        "sh_click": f"({rec} / ({rev} + {rec}))",
+    }
+
+
+def _register_attribution_markov_removal() -> None:
+    x = _mk_exprs()
+    oracle = f"""
+    WITH fp AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ),
+    conv AS (SELECT user_id FROM fp),
+    users AS (SELECT DISTINCT user_id FROM events),
+    touches AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id
+      FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+      WHERE e.event_type IN ('view', 'click')
+        AND (fp.user_id IS NULL OR (e.ts, e.event_id) < (fp.ts, fp.event_id))
+    ),
+    seqd AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rdesc
+      FROM touches
+    ),
+    trans AS (
+      SELECT COALESCE(prev, 'start') AS src, event_type AS dst FROM seqd
+      UNION ALL
+      SELECT s.event_type,
+             CASE WHEN c.user_id IS NULL THEN 'null' ELSE 'conv' END
+      FROM seqd s LEFT JOIN conv c ON c.user_id = s.user_id
+      WHERE s.rdesc = 1
+      UNION ALL
+      SELECT 'start',
+             CASE WHEN c.user_id IS NULL THEN 'null' ELSE 'conv' END
+      FROM users u LEFT JOIN conv c ON c.user_id = u.user_id
+      WHERE NOT EXISTS (SELECT 1 FROM seqd t WHERE t.user_id = u.user_id)
+    ),
+    m AS (
+      SELECT
+        CAST(count_if(src = 'start' AND dst = 'view') AS BIGINT)  AS nsv,
+        CAST(count_if(src = 'start' AND dst = 'click') AS BIGINT) AS nsc,
+        CAST(count_if(src = 'start' AND dst = 'conv') AS BIGINT)  AS nsk,
+        CAST(count_if(src = 'view' AND dst = 'view') AS BIGINT)   AS nvv,
+        CAST(count_if(src = 'view' AND dst = 'click') AS BIGINT)  AS nvc,
+        CAST(count_if(src = 'view' AND dst = 'conv') AS BIGINT)   AS nvk,
+        CAST(count_if(src = 'click' AND dst = 'view') AS BIGINT)  AS ncv,
+        CAST(count_if(src = 'click' AND dst = 'click') AS BIGINT) AS ncc,
+        CAST(count_if(src = 'click' AND dst = 'conv') AS BIGINT)  AS nck,
+        CAST(count_if(src = 'start') AS BIGINT)                   AS ns_row,
+        CAST(count_if(src = 'view') AS BIGINT)                    AS nv_row,
+        CAST(count_if(src = 'click') AS BIGINT)                   AS nc_row,
+        (SELECT COUNT(*) FROM users)                              AS n_journeys,
+        (SELECT COUNT(*) FROM conv)                               AS n_conversions
+      FROM trans
+    )
+    SELECT 'click' AS channel, n_journeys, n_conversions,
+           ROUND({x['p_conv']}, 6)   AS p_conv_full,
+           ROUND({x['re_click']}, 6) AS removal_effect,
+           ROUND({x['sh_click']}, 6) AS attributed_share
+    FROM m
+    UNION ALL
+    SELECT 'view', n_journeys, n_conversions,
+           ROUND({x['p_conv']}, 6), ROUND({x['re_view']}, 6),
+           ROUND({x['sh_view']}, 6)
+    FROM m
+    ORDER BY channel
+    """
+
+    @operator("attribution_markov_removal", oracle=oracle)
+    def attribution_markov_removal(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from pyspark.sql import Window
+
+        ev = _t(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts", "event_id"
+        )
+        wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        fp = (
+            ev.filter(F.col("event_type") == "purchase")
+            .withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("ts").alias("fp_ts"),
+                F.col("event_id").alias("fp_eid"),
+            )
+        )
+        conv = fp.select("user_id")
+        users = ev.select("user_id").distinct()
+        touches = (
+            ev.filter(F.col("event_type").isin("view", "click"))
+            .join(fp, "user_id", "left")
+            .filter(
+                F.col("fp_ts").isNull()
+                | (
+                    F.struct("ts", "event_id")
+                    < F.struct(
+                        F.col("fp_ts").alias("ts"),
+                        F.col("fp_eid").alias("event_id"),
+                    )
+                )
+            )
+            .select("user_id", "event_type", "ts", "event_id")
+        )
+        wd = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        seqd = touches.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(wp).alias("prev"),
+            F.row_number().over(wd).alias("rdesc"),
+        )
+        conv_flag = conv.withColumn("is_conv", F.lit(1))
+        step = seqd.select(
+            F.coalesce("prev", F.lit("start")).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        terminal = (
+            seqd.filter(F.col("rdesc") == 1)
+            .join(conv_flag, "user_id", "left")
+            .select(
+                F.col("event_type").alias("src"),
+                F.when(F.col("is_conv").isNull(), "null")
+                .otherwise("conv")
+                .alias("dst"),
+            )
+        )
+        empty = (
+            users.join(seqd.select("user_id").distinct(), "user_id", "left_anti")
+            .join(conv_flag, "user_id", "left")
+            .select(
+                F.lit("start").alias("src"),
+                F.when(F.col("is_conv").isNull(), "null")
+                .otherwise("conv")
+                .alias("dst"),
+            )
+        )
+        trans = step.unionAll(terminal).unionAll(empty)
+
+        def cell(s: str, d: str) -> F.Column:
+            return F.count(
+                F.when((F.col("src") == s) & (F.col("dst") == d), 1)
+            ).cast("bigint")
+
+        m = trans.agg(
+            cell("start", "view").alias("nsv"),
+            cell("start", "click").alias("nsc"),
+            cell("start", "conv").alias("nsk"),
+            cell("view", "view").alias("nvv"),
+            cell("view", "click").alias("nvc"),
+            cell("view", "conv").alias("nvk"),
+            cell("click", "view").alias("ncv"),
+            cell("click", "click").alias("ncc"),
+            cell("click", "conv").alias("nck"),
+            F.count(F.when(F.col("src") == "start", 1))
+            .cast("bigint").alias("ns_row"),
+            F.count(F.when(F.col("src") == "view", 1))
+            .cast("bigint").alias("nv_row"),
+            F.count(F.when(F.col("src") == "click", 1))
+            .cast("bigint").alias("nc_row"),
+        ).crossJoin(
+            users.agg(F.count(F.lit(1)).cast("bigint").alias("n_journeys"))
+        ).crossJoin(
+            conv.agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"))
+        )
+        click_row = m.selectExpr(
+            "'click' AS channel",
+            "n_journeys",
+            "n_conversions",
+            f"ROUND({x['p_conv']}, 6)   AS p_conv_full",
+            f"ROUND({x['re_click']}, 6) AS removal_effect",
+            f"ROUND({x['sh_click']}, 6) AS attributed_share",
+        )
+        view_row = m.selectExpr(
+            "'view' AS channel",
+            "n_journeys",
+            "n_conversions",
+            f"ROUND({x['p_conv']}, 6)   AS p_conv_full",
+            f"ROUND({x['re_view']}, 6)  AS removal_effect",
+            f"ROUND({x['sh_view']}, 6)  AS attributed_share",
+        )
+        return click_row.unionAll(view_row).orderBy("channel")
+
+
+_register_attribution_markov_removal()

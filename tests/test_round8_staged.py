@@ -68,6 +68,10 @@ ROUND8_STAGED = [
     "hits_step",
     "k_anonymity_census",
     "seasonality_strength",
+    "silhouette_by_label",
+    "dbscan_core_census",
+    "sequential_pattern_support",
+    "attribution_markov_removal",
 ]
 
 
@@ -546,3 +550,41 @@ def test_seasonality_strengths_are_proportions(spark):
     assert 0.0 <= r.trend_strength <= 1.0
     assert 0.0 <= r.seasonal_strength <= 1.0
     assert r.mean_daily_cents > 0
+
+
+def test_silhouette_bounds(spark):
+    rows = REGISTRY["silhouette_by_label"](spark, SF_DIR).collect()
+    assert sum(r.n_vecs for r in rows) == 500
+    for r in rows:
+        assert -1.0 <= r.mean_silhouette <= 1.0
+        assert 0 <= r.n_negative <= r.n_vecs
+
+
+def test_dbscan_census_partitions_universe(spark):
+    rows = {r.dbscan_class: r for r in
+            REGISTRY["dbscan_core_census"](spark, SF_DIR).collect()}
+    assert sum(r.n_points for r in rows.values()) == 500
+    if "core" in rows:
+        assert rows["core"].mean_degree >= 3  # minPts by construction
+    if "border" in rows:
+        assert rows["border"].mean_degree < 3
+
+
+def test_sequential_support_bounds(spark):
+    rows = REGISTRY["sequential_pattern_support"](spark, SF_DIR).collect()
+    assert len(rows) == 20  # 5 types x 4 others
+    for r in rows:
+        assert r.n_seq <= min(r.n_users_a, r.n_users_b)
+        assert 0.0 < r.support <= 1.0
+        assert 0.0 < r.confidence <= 1.0
+        assert r.lift > 0.0
+
+
+def test_markov_removal_shares_normalize(spark):
+    rows = REGISTRY["attribution_markov_removal"](spark, SF_DIR).collect()
+    assert sorted(r.channel for r in rows) == ["click", "view"]
+    assert abs(sum(r.attributed_share for r in rows) - 1.0) < 1e-5
+    for r in rows:
+        assert 0.0 <= r.p_conv_full <= 1.0
+        assert 0.0 <= r.removal_effect <= 1.0
+        assert r.n_conversions <= r.n_journeys
