@@ -117,6 +117,9 @@ _DEFER: list[str] = [
     "dbscan_core_census",
     "sequential_pattern_support",
     "attribution_markov_removal",
+    "entity_blocking_recall",
+    "term_burstiness_profile",
+    "cluster_sample_design_effect",
 ]
 
 _PIN: list[str] = [

@@ -1245,3 +1245,90 @@ def _register_lsh_scurve_design() -> None:
 
 
 _register_lsh_scurve_design()
+
+
+# --------------------------------------------------------------------------
+# Blocking-quality eval: pair completeness + reduction ratio of a
+# LOSSY blocking scheme (last-3-chars key) against the verified
+# edit-distance-1 truth (name_typo_pairs). The two numbers every ER
+# blocking design is judged on: what fraction of true matches the
+# blocks retain (PC) vs what fraction of the O(V^2) comparison space
+# they eliminate (RR). All counts are integers: candidate volume is
+# sum s*(s-1)/2 over block sizes — the blocks are never expanded into
+# pairs, so the eval costs O(V), not O(V^2) (the truth side reuses
+# the deletion-key plan, itself verified against the quadratic
+# oracle). The production tuning dial this measures: a coarser key
+# raises PC and lowers RR; the S-curve twin for ER.
+# --------------------------------------------------------------------------
+def _register_entity_blocking_recall() -> None:
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+
+    oracle = f"""
+    WITH truth AS ({ORACLES["name_typo_pairs"]}),
+    names AS (SELECT DISTINCT c_name FROM customer),
+    blocks AS (
+      SELECT substr(c_name, length(c_name) - 2, 3) AS bk,
+             CAST(COUNT(*) AS BIGINT) AS s
+      FROM names GROUP BY 1
+    ),
+    cand AS (
+      SELECT CAST(SUM(s * (s - 1) / 2) AS BIGINT) AS n_cand FROM blocks
+    ),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_names FROM names),
+    tb AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+             CAST(count_if(substr(name_a, length(name_a) - 2, 3)
+                           = substr(name_b, length(name_b) - 2, 3))
+                  AS BIGINT)          AS n_truth_in_block
+      FROM truth
+    )
+    SELECT v.n_names, tb.n_truth, cand.n_cand, tb.n_truth_in_block,
+           ROUND(CAST(tb.n_truth_in_block AS DOUBLE) / tb.n_truth, 6)
+             AS pair_completeness,
+           ROUND(1.0 - CAST(cand.n_cand AS DOUBLE)
+                 / (CAST(v.n_names AS DOUBLE) * (v.n_names - 1) / 2.0), 6)
+             AS reduction_ratio
+    FROM v CROSS JOIN tb CROSS JOIN cand
+    """
+
+    @operator("entity_blocking_recall", oracle=oracle)
+    def entity_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_session_confs(spark)
+        names = (
+            load_table(spark, sf_dir, "customer").select("c_name").distinct()
+        )
+        bk = F.expr("substring(c_name, length(c_name) - 2, 3)")
+        blocks = names.groupBy(bk.alias("bk")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("s")
+        )
+        cand = blocks.agg(
+            F.sum(F.col("s") * (F.col("s") - 1) / 2).cast("bigint")
+            .alias("n_cand")
+        )
+        v = names.agg(F.count(F.lit(1)).cast("bigint").alias("n_names"))
+        truth = REGISTRY["name_typo_pairs"](spark, sf_dir)
+        same_block = F.expr(
+            "substring(name_a, length(name_a) - 2, 3)"
+            " = substring(name_b, length(name_b) - 2, 3)"
+        )
+        tb = truth.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            F.count(F.when(same_block, 1)).cast("bigint")
+            .alias("n_truth_in_block"),
+        )
+        out = v.crossJoin(tb).crossJoin(cand)
+        return out.select(
+            "n_names", "n_truth", "n_cand", "n_truth_in_block",
+            F.round(
+                F.col("n_truth_in_block").cast("double") / F.col("n_truth"), 6
+            ).alias("pair_completeness"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_cand").cast("double")
+                / (F.col("n_names").cast("double") * (F.col("n_names") - 1) / 2.0),
+                6,
+            ).alias("reduction_ratio"),
+        )
+
+
+_register_entity_blocking_recall()

@@ -2680,3 +2680,84 @@ def _register_bm25_topk() -> None:
 
 
 _register_bm25_topk()
+
+
+# --------------------------------------------------------------------------
+# Term burstiness profile (Church-Gale): for the 20 highest-volume
+# terms, the variance-to-mean ratio of per-document counts (zeros
+# included ANALYTICALLY — var over all N docs needs only the present-
+# doc power sums plus N) and the adaptation probability p(2+ | 1+) =
+# df2/df. Function words arrive ~Poisson (VMR near 1, low
+# adaptation); content words are bursty (VMR >> 1) — the classic
+# signal for stopword synthesis and quality weighting that plain
+# frequency cannot give. Distinct from events_burstiness (a TIME-
+# series Fano factor over event arrivals). One (term, doc) count
+# agg -> one per-term agg; top-20 cut is a total order (count desc,
+# term). VMR = (s2 - total^2/N) / total, pinned identically on both
+# engines from exact integers.
+# --------------------------------------------------------------------------
+@operator(
+    "term_burstiness_profile",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({sql_tokens('text')}) AS term FROM documents
+    ),
+    td AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    per_term AS (
+      SELECT term,
+             CAST(SUM(c) AS BIGINT)             AS total_count,
+             CAST(COUNT(*) AS BIGINT)           AS doc_freq,
+             CAST(count_if(c >= 2) AS BIGINT)   AS doc_freq_2plus,
+             CAST(SUM(c * c) AS BIGINT)         AS s2
+      FROM td GROUP BY 1
+    )
+    SELECT term, total_count, doc_freq,
+           ROUND((CAST(s2 AS DOUBLE)
+                  - CAST(total_count AS DOUBLE) * total_count / n.n_docs)
+                 / total_count, 6)                      AS vmr,
+           ROUND(CAST(doc_freq_2plus AS DOUBLE) / doc_freq, 6)
+                                                        AS adaptation
+    FROM per_term CROSS JOIN n
+    ORDER BY total_count DESC, term
+    LIMIT 20
+    """,
+)
+def term_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    td = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    per_term = td.groupBy("term").agg(
+        F.sum("c").cast("bigint").alias("total_count"),
+        F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+        F.count(F.when(F.col("c") >= 2, 1)).cast("bigint")
+        .alias("doc_freq_2plus"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    out = per_term.crossJoin(F.broadcast(n))
+    return (
+        out.select(
+            "term", "total_count", "doc_freq",
+            F.round(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("total_count").cast("double")
+                    * F.col("total_count") / F.col("n_docs")
+                )
+                / F.col("total_count"), 6
+            ).alias("vmr"),
+            F.round(
+                F.col("doc_freq_2plus").cast("double") / F.col("doc_freq"), 6
+            ).alias("adaptation"),
+        )
+        .orderBy(F.desc("total_count"), "term")
+        .limit(20)
+    )

@@ -3051,3 +3051,119 @@ def _register_attribution_markov_removal() -> None:
 
 
 _register_attribution_markov_removal()
+
+
+# --------------------------------------------------------------------------
+# Cluster-sampling design effect: if you sample whole ORDERS instead
+# of independent line items (the only way to sample at 100 TB — you
+# sample files/keys, not rows), how much variance do you pay? The
+# ANOVA intraclass correlation (unequal-size m0 form) gives
+# DEFF = 1 + (mbar - 1) * rho — the survey-sampling number that says
+# how many cluster-sampled rows equal one SRS row. Price clustering
+# within an order makes rho > 0; DEFF quantifies the cost of the
+# cheap sampling path (bernoulli_hash_sample on l_orderkey = cluster
+# sampling; on (orderkey, linenumber) = element sampling). One
+# grouped pass to per-order (m_i, s1_i), per-cluster between-SS
+# contributions snapped to the integer grid before the cross-cluster
+# sum (snap-before-sum), all other moments exact HUGEINT.
+# --------------------------------------------------------------------------
+@operator(
+    "cluster_sample_design_effect",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ), per_c AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS m_i,
+             CAST(SUM(cents) AS BIGINT) AS s1_i
+      FROM li GROUP BY 1
+    ), g AS (
+      SELECT CAST(COUNT(*) AS BIGINT)      AS k,
+             CAST(SUM(m_i) AS BIGINT)      AS n,
+             CAST(SUM(s1_i) AS BIGINT)     AS s,
+             SUM(CAST(m_i AS HUGEINT) * m_i) AS sm2,
+             SUM(CAST(ROUND(CAST(s1_i AS DOUBLE) * s1_i / m_i)
+                      AS HUGEINT))         AS sb
+      FROM per_c
+    ), yy AS (
+      SELECT SUM(CAST(cents AS HUGEINT) * cents) AS sy2 FROM li
+    )
+    SELECT g.k AS k_clusters, g.n AS n_elems,
+           ROUND(CAST(g.n AS DOUBLE) / g.k, 6) AS mean_cluster_size,
+           ROUND(CAST(g.s AS DOUBLE) / g.n / 100.0, 6) AS mean_price,
+           ROUND(
+             ((CAST(g.sb AS DOUBLE) - CAST(g.s AS DOUBLE) * g.s / g.n)
+                / (g.k - 1)
+              - ((CAST(yy.sy2 AS DOUBLE) - CAST(g.s AS DOUBLE) * g.s / g.n)
+                 - (CAST(g.sb AS DOUBLE) - CAST(g.s AS DOUBLE) * g.s / g.n))
+                / (g.n - g.k))
+             / ((CAST(g.sb AS DOUBLE) - CAST(g.s AS DOUBLE) * g.s / g.n)
+                / (g.k - 1)
+                + ((CAST(g.n AS DOUBLE) - CAST(g.sm2 AS DOUBLE) / g.n)
+                   / (g.k - 1) - 1)
+                  * ((CAST(yy.sy2 AS DOUBLE) - CAST(g.s AS DOUBLE) * g.s / g.n)
+                     - (CAST(g.sb AS DOUBLE) - CAST(g.s AS DOUBLE) * g.s / g.n))
+                  / (g.n - g.k)), 6) AS icc,
+           ROUND(1.0 + (CAST(g.n AS DOUBLE) / g.k - 1.0) *
+             (((CAST(g.sb AS DOUBLE) - CAST(g.s AS DOUBLE) * g.s / g.n)
+                / (g.k - 1)
+              - ((CAST(yy.sy2 AS DOUBLE) - CAST(g.s AS DOUBLE) * g.s / g.n)
+                 - (CAST(g.sb AS DOUBLE) - CAST(g.s AS DOUBLE) * g.s / g.n))
+                / (g.n - g.k))
+             / ((CAST(g.sb AS DOUBLE) - CAST(g.s AS DOUBLE) * g.s / g.n)
+                / (g.k - 1)
+                + ((CAST(g.n AS DOUBLE) - CAST(g.sm2 AS DOUBLE) / g.n)
+                   / (g.k - 1) - 1)
+                  * ((CAST(yy.sy2 AS DOUBLE) - CAST(g.s AS DOUBLE) * g.s / g.n)
+                     - (CAST(g.sb AS DOUBLE) - CAST(g.s AS DOUBLE) * g.s / g.n))
+                  / (g.n - g.k))), 6) AS deff
+    FROM g CROSS JOIN yy
+    """,
+)
+def cluster_sample_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    per_c = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_i"),
+        F.sum("cents").cast("bigint").alias("s1_i"),
+    )
+    g = per_c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("m_i").cast("bigint").alias("n"),
+        F.sum("s1_i").cast("bigint").alias("s"),
+        F.sum(F.col("m_i").cast("decimal(38,0)") * F.col("m_i")).alias("sm2"),
+        F.sum(
+            F.round(
+                F.col("s1_i").cast("double") * F.col("s1_i") / F.col("m_i")
+            ).cast("decimal(38,0)")
+        ).alias("sb"),
+    )
+    yy = li.agg(
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("sy2")
+    )
+    out = g.crossJoin(yy)
+    k, n = F.col("k"), F.col("n")
+    s = F.col("s").cast("double")
+    sb = F.col("sb").cast("double")
+    sy2 = F.col("sy2").cast("double")
+    sm2 = F.col("sm2").cast("double")
+    ssb = sb - s * F.col("s") / n
+    sst = sy2 - s * F.col("s") / n
+    ssw = sst - ssb
+    msb = ssb / (k - 1)
+    msw = ssw / (n - k)
+    m0 = (n.cast("double") - sm2 / n) / (k - 1)
+    rho = (msb - msw) / (msb + (m0 - 1) * msw)
+    return out.select(
+        k.alias("k_clusters"),
+        n.alias("n_elems"),
+        F.round(n.cast("double") / k, 6).alias("mean_cluster_size"),
+        F.round(s / n / 100.0, 6).alias("mean_price"),
+        F.round(rho, 6).alias("icc"),
+        F.round(F.lit(1.0) + (n.cast("double") / k - 1.0) * rho, 6)
+        .alias("deff"),
+    )

@@ -72,6 +72,9 @@ ROUND8_STAGED = [
     "dbscan_core_census",
     "sequential_pattern_support",
     "attribution_markov_removal",
+    "entity_blocking_recall",
+    "term_burstiness_profile",
+    "cluster_sample_design_effect",
 ]
 
 
@@ -588,3 +591,28 @@ def test_markov_removal_shares_normalize(spark):
         assert 0.0 <= r.p_conv_full <= 1.0
         assert 0.0 <= r.removal_effect <= 1.0
         assert r.n_conversions <= r.n_journeys
+
+
+def test_blocking_recall_bounds(spark):
+    r = REGISTRY["entity_blocking_recall"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= r.pair_completeness <= 1.0
+    assert 0.0 <= r.reduction_ratio <= 1.0
+    assert r.n_truth_in_block <= r.n_truth
+    assert r.n_cand <= r.n_names * (r.n_names - 1) // 2
+
+
+def test_term_burstiness_consistency(spark):
+    rows = REGISTRY["term_burstiness_profile"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.doc_freq <= r.total_count
+        assert 0.0 <= r.adaptation <= 1.0
+        assert r.vmr > 0.0
+
+
+def test_design_effect_identity(spark):
+    r = REGISTRY["cluster_sample_design_effect"](spark, SF_DIR).collect()[0]
+    assert -1.0 <= r.icc <= 1.0
+    assert r.mean_cluster_size > 1.0
+    # DEFF must equal 1 + (mbar - 1) * icc on the reported values
+    assert abs(r.deff - (1.0 + (r.mean_cluster_size - 1.0) * r.icc)) < 1e-4
