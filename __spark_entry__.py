@@ -120,6 +120,9 @@ _DEFER: list[str] = [
     "entity_blocking_recall",
     "term_burstiness_profile",
     "cluster_sample_design_effect",
+    "incremental_join_maintenance",
+    "cross_source_duplication_matrix",
+    "piecewise_trend_fit",
 ]
 
 _PIN: list[str] = [

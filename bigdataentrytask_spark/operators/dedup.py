@@ -1332,3 +1332,76 @@ def _register_entity_blocking_recall() -> None:
 
 
 _register_entity_blocking_recall()
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplication matrix: where do the near-duplicate pairs
+# LIVE? Every MinHash/LSH pair (the verified minhash_dedup plan) is
+# tagged with its endpoints' sources and rolled into a canonicalized
+# (src_lo, src_hi) matrix — the audit that says which crawls overlap
+# (cross-source mass => shared upstream content; within-source mass
+# => the crawler re-fetching itself). Pure composition: two broadcast
+# dimension joins on the pair list + one grouped count, so it costs
+# |pairs|, not corpus scale.
+# --------------------------------------------------------------------------
+def _register_cross_source_duplication() -> None:
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+
+    oracle = f"""
+    WITH pairs AS ({ORACLES["minhash_dedup"]}),
+    src AS (SELECT doc_id, source FROM documents),
+    tagged AS (
+      SELECT LEAST(sa.source, sb.source)    AS src_lo,
+             GREATEST(sa.source, sb.source) AS src_hi
+      FROM pairs p
+      JOIN src sa ON sa.doc_id = p.doc_a
+      JOIN src sb ON sb.doc_id = p.doc_b
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tagged)
+    SELECT src_lo, src_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CASE WHEN src_lo = src_hi THEN 1 ELSE 0 END AS within_source,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / tot.n_total, 6) AS share
+    FROM tagged CROSS JOIN tot
+    GROUP BY src_lo, src_hi, tot.n_total
+    ORDER BY src_lo, src_hi
+    """
+
+    @operator("cross_source_duplication_matrix", oracle=oracle)
+    def cross_source_duplication_matrix(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        pairs = REGISTRY["minhash_dedup"](spark, sf_dir).select("doc_a", "doc_b")
+        src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        sa = src.select(
+            F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a")
+        )
+        sb = src.select(
+            F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b")
+        )
+        tagged = (
+            pairs.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .select(
+                F.least("source_a", "source_b").alias("src_lo"),
+                F.greatest("source_a", "source_b").alias("src_hi"),
+            )
+        )
+        tot = tagged.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+        return (
+            tagged.crossJoin(F.broadcast(tot))
+            .groupBy("src_lo", "src_hi", "n_total")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+            .select(
+                "src_lo", "src_hi", "n_pairs",
+                F.when(F.col("src_lo") == F.col("src_hi"), 1)
+                .otherwise(0).cast("int").alias("within_source"),
+                F.round(
+                    F.col("n_pairs").cast("double") / F.col("n_total"), 6
+                ).alias("share"),
+            )
+            .orderBy("src_lo", "src_hi")
+        )
+
+
+_register_cross_source_duplication()

@@ -3506,3 +3506,120 @@ def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             s_.cast("double") / (nd.cast("double") * (nd - 1) / 2.0), 6
         ).alias("tau_a"),
     )
+
+
+# --------------------------------------------------------------------------
+# Piecewise-linear (hinge) trend fit of daily revenue: y ~ b0 + b1*x
+# + b2*max(0, x - K) with the knot K fixed at day 1200 — the
+# two-regime trend model ("did growth bend?") that the single-slope
+# OLS (trailing_trend_slope) and the robust slope (theil_sen) cannot
+# express. Normal equations solved in closed form by Cramer on 3x3
+# determinants; every moment (Sx, Sxx, Sxh, ... Shy) is an exact
+# integer over the day domain, and all four determinants use ONE
+# generated expression string interpolated into both engines
+# (attribution_markov_removal's parity technique). R^2 from the same
+# sums. Scale: the moments are one aggregation over the ~2.4k-row
+# daily table; the solve is O(1).
+# --------------------------------------------------------------------------
+_PW_KNOT = 1200
+
+
+def _pw_exprs() -> dict[str, str]:
+    def det3(a11, a12, a13, a21, a22, a23, a31, a32, a33):
+        return (
+            f"({a11} * ({a22} * {a33} - {a23} * {a32})"
+            f" - {a12} * ({a21} * {a33} - {a23} * {a31})"
+            f" + {a13} * ({a21} * {a32} - {a22} * {a31}))"
+        )
+
+    n, sx, sh = "CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sh AS DOUBLE)"
+    sxx, sxh, shh = (
+        "CAST(sxx AS DOUBLE)", "CAST(sxh AS DOUBLE)", "CAST(shh AS DOUBLE)"
+    )
+    sy, sxy, shy = (
+        "CAST(sy AS DOUBLE)", "CAST(sxy AS DOUBLE)", "CAST(shy AS DOUBLE)"
+    )
+    d = det3(n, sx, sh, sx, sxx, sxh, sh, sxh, shh)
+    d0 = det3(sy, sx, sh, sxy, sxx, sxh, shy, sxh, shh)
+    d1 = det3(n, sy, sh, sx, sxy, sxh, sh, shy, shh)
+    d2 = det3(n, sx, sy, sx, sxx, sxy, sh, sxh, shy)
+    b0, b1, b2 = f"({d0} / {d})", f"({d1} / {d})", f"({d2} / {d})"
+    sse = (
+        f"(CAST(syy AS DOUBLE) - ({b0} * {sy} + {b1} * {sxy} + {b2} * {shy}))"
+    )
+    sst = f"(CAST(syy AS DOUBLE) - {sy} * ({sy} / {n}))"
+    return {
+        "b0": b0, "b1": b1, "b2": b2,
+        "r2": f"(1.0 - {sse} / {sst})",
+    }
+
+
+def _register_piecewise_trend_fit() -> None:
+    x = _pw_exprs()
+    oracle = f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ), f AS (
+      SELECT d AS xd, GREATEST(0, d - {_PW_KNOT}) AS h, y FROM daily
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT)        AS n,
+             CAST(SUM(xd) AS BIGINT)         AS sx,
+             CAST(SUM(h) AS BIGINT)          AS sh,
+             CAST(SUM(xd * xd) AS BIGINT)    AS sxx,
+             CAST(SUM(xd * h) AS BIGINT)     AS sxh,
+             CAST(SUM(h * h) AS BIGINT)      AS shh,
+             CAST(SUM(y) AS BIGINT)          AS sy,
+             CAST(SUM(xd * y) AS BIGINT)     AS sxy,
+             CAST(SUM(h * y) AS BIGINT)      AS shy,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM f
+    )
+    SELECT n AS n_days, {_PW_KNOT} AS knot_day,
+           ROUND({x['b0']}, 6)             AS intercept_cents,
+           ROUND({x['b1']}, 6)             AS slope_before,
+           ROUND({x['b2']}, 6)             AS hinge_delta,
+           ROUND({x['b1']} + {x['b2']}, 6) AS slope_after,
+           ROUND({x['r2']}, 6)             AS r2
+    FROM m
+    """
+
+    @operator("piecewise_trend_fit", oracle=oracle)
+    def piecewise_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        o = _t(spark, sf_dir, "orders")
+        daily = o.groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01")).alias("d")
+        ).agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+        )
+        f = daily.select(
+            F.col("d").alias("xd"),
+            F.greatest(F.lit(0), F.col("d") - _PW_KNOT).alias("h"),
+            "y",
+        )
+        m = f.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("xd").cast("bigint").alias("sx"),
+            F.sum("h").cast("bigint").alias("sh"),
+            F.sum(F.col("xd") * F.col("xd")).cast("bigint").alias("sxx"),
+            F.sum(F.col("xd") * F.col("h")).cast("bigint").alias("sxh"),
+            F.sum(F.col("h") * F.col("h")).cast("bigint").alias("shh"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("xd") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("h") * F.col("y")).cast("bigint").alias("shy"),
+            F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+            .cast("double").alias("syy"),
+        )
+        return m.selectExpr(
+            "n AS n_days",
+            f"{_PW_KNOT} AS knot_day",
+            f"ROUND({x['b0']}, 6)             AS intercept_cents",
+            f"ROUND({x['b1']}, 6)             AS slope_before",
+            f"ROUND({x['b2']}, 6)             AS hinge_delta",
+            f"ROUND({x['b1']} + {x['b2']}, 6) AS slope_after",
+            f"ROUND({x['r2']}, 6)             AS r2",
+        )
+
+
+_register_piecewise_trend_fit()

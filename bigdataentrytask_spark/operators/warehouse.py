@@ -3167,3 +3167,76 @@ def cluster_sample_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) + (n.cast("double") / k - 1.0) * rho, 6)
         .alias("deff"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental JOIN-view maintenance by the delta rule:
+#   d(O |><| C) = dO|><|Cb  +  Ob|><|dC  +  dO|><|dC
+# for a per-nation revenue view over orders JOIN customer, with BOTH
+# inputs receiving a batch (orders after the date cutoff; customers
+# whose key = 0 mod 10, "newly onboarded"). The stored view aggregates
+# only Ob|><|Cb; the maintenance pass touches the three delta
+# components and merges additively. The join sibling of
+# incremental_agg_merge (aggregate IVM) and incremental_dedup_merge
+# (dedup IVM) — together the three cover the standard IVM triangle.
+# Oracle = the FULL recompute: the merge must be lossless.
+# Scale posture: the two delta components that scan a full side
+# (dO|><|Cb, Ob|><|dC) are keyed joins where the delta side is small
+# — at 100 TB the dim delta broadcasts, and Ob|><|dC is the only
+# expensive term (one fact scan, filterable by the dim delta's key
+# range); dO|><|dC is delta x delta. The base x base term is never
+# recomputed — that is the point.
+# --------------------------------------------------------------------------
+_IVM_CUTOFF = "2001-01-01"
+
+
+@operator(
+    "incremental_join_maintenance",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1 ORDER BY nationkey
+    """,
+)
+def incremental_join_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ob = o.filter(F.col("o_orderdate") < _IVM_CUTOFF)
+    od = o.filter(F.col("o_orderdate") >= _IVM_CUTOFF)
+    cb = cust.filter(F.col("c_custkey") % 10 != 0)
+    cd = cust.filter(F.col("c_custkey") % 10 == 0)
+
+    def view(orders: DataFrame, customers: DataFrame) -> DataFrame:
+        return (
+            orders.join(customers, orders.o_custkey == customers.c_custkey)
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("c").alias("cents"),
+            )
+        )
+
+    stored = view(ob, cb)                      # materialized once
+    deltas = (
+        view(od, F.broadcast(cb))              # new facts x old dim
+        .unionAll(view(ob, F.broadcast(cd)))   # old facts x new dim rows
+        .unionAll(view(od, F.broadcast(cd)))   # new x new
+    )
+    merged = (
+        stored.unionAll(deltas)
+        .groupBy("nationkey")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+    return merged.orderBy("nationkey")

@@ -75,6 +75,9 @@ ROUND8_STAGED = [
     "entity_blocking_recall",
     "term_burstiness_profile",
     "cluster_sample_design_effect",
+    "incremental_join_maintenance",
+    "cross_source_duplication_matrix",
+    "piecewise_trend_fit",
 ]
 
 
@@ -616,3 +619,30 @@ def test_design_effect_identity(spark):
     assert r.mean_cluster_size > 1.0
     # DEFF must equal 1 + (mbar - 1) * icc on the reported values
     assert abs(r.deff - (1.0 + (r.mean_cluster_size - 1.0) * r.icc)) < 1e-4
+
+
+def test_ivm_join_covers_every_order(spark):
+    """The four delta components must partition orders x customers:
+    total maintained order count == orders with a matching customer
+    (all of them, in this fixture)."""
+    from .conftest import SF_DIR as sf
+    rows = REGISTRY["incremental_join_maintenance"](spark, sf).collect()
+    total = sum(r.n_orders for r in rows)
+    n_orders = spark.read.parquet(f"{sf}/orders.parquet").count()
+    assert total == n_orders
+
+
+def test_cross_source_matrix_shares(spark):
+    rows = REGISTRY["cross_source_duplication_matrix"](spark, SF_DIR).collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.n_pairs > 0
+        assert r.src_lo <= r.src_hi
+        assert r.within_source == (1 if r.src_lo == r.src_hi else 0)
+
+
+def test_piecewise_trend_identities(spark):
+    r = REGISTRY["piecewise_trend_fit"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= r.r2 <= 1.0
+    assert abs(r.slope_after - (r.slope_before + r.hinge_delta)) < 2e-6
+    assert r.knot_day == 1200
