@@ -123,6 +123,9 @@ _DEFER: list[str] = [
     "incremental_join_maintenance",
     "cross_source_duplication_matrix",
     "piecewise_trend_fit",
+    "median_ci_distribution_free",
+    "gumbel_daily_max_fit",
+    "dedup_capture_recapture",
 ]
 
 _PIN: list[str] = [

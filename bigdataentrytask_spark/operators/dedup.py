@@ -1405,3 +1405,66 @@ def _register_cross_source_duplication() -> None:
 
 
 _register_cross_source_duplication()
+
+
+# --------------------------------------------------------------------------
+# Capture-recapture estimate of the TRUE duplicate-pair population:
+# treat the MinHash/LSH pair list and the SimHash pair list as two
+# independent "captures" of the same underlying set; the Chapman
+# estimator N_hat = (n1+1)(n2+1)/(m+1) - 1 then says how many
+# duplicate pairs exist IN TOTAL — including the ones neither method
+# found — and therefore what each method's recall really is, WITHOUT
+# ever running the quadratic exact join (the question
+# minhash_precision_eval answers only at audit scale). Pure
+# composition: two verified pair plans + one (doc_a, doc_b) equi-join
+# + integer counts.
+# --------------------------------------------------------------------------
+def _register_dedup_capture_recapture() -> None:
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+
+    oracle = f"""
+    WITH mh AS ({ORACLES["minhash_dedup"]}),
+    sh AS ({ORACLES["simhash_pairs"]}),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM mh)  AS n1,
+             (SELECT COUNT(*) FROM sh)  AS n2,
+             (SELECT COUNT(*) FROM mh JOIN sh
+               ON sh.doc_a = mh.doc_a AND sh.doc_b = mh.doc_b) AS m
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_minhash,
+           CAST(n2 AS BIGINT) AS n_simhash,
+           CAST(m AS BIGINT)  AS n_both,
+           ROUND((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1.0, 6)
+             AS n_est_chapman,
+           ROUND(CAST(n1 AS DOUBLE)
+                 / ((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1.0), 6)
+             AS recall_minhash_est,
+           ROUND(CAST(n2 AS DOUBLE)
+                 / ((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1.0), 6)
+             AS recall_simhash_est
+    FROM counts
+    """
+
+    @operator("dedup_capture_recapture", oracle=oracle)
+    def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+        mh = REGISTRY["minhash_dedup"](spark, sf_dir).select("doc_a", "doc_b")
+        sh = REGISTRY["simhash_pairs"](spark, sf_dir).select("doc_a", "doc_b")
+        both = mh.join(sh, ["doc_a", "doc_b"])
+        counts = (
+            mh.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+            .crossJoin(sh.agg(F.count(F.lit(1)).cast("bigint").alias("n2")))
+            .crossJoin(both.agg(F.count(F.lit(1)).cast("bigint").alias("m")))
+        )
+        n1, n2, m = F.col("n1"), F.col("n2"), F.col("m")
+        n_est = (n1 + 1).cast("double") * (n2 + 1) / (m + 1) - 1.0
+        return counts.select(
+            n1.alias("n_minhash"),
+            n2.alias("n_simhash"),
+            m.alias("n_both"),
+            F.round(n_est, 6).alias("n_est_chapman"),
+            F.round(n1.cast("double") / n_est, 6).alias("recall_minhash_est"),
+            F.round(n2.cast("double") / n_est, 6).alias("recall_simhash_est"),
+        )
+
+
+_register_dedup_capture_recapture()

@@ -3623,3 +3623,159 @@ def _register_piecewise_trend_fit() -> None:
 
 
 _register_piecewise_trend_fit()
+
+
+# --------------------------------------------------------------------------
+# Distribution-free 95% CI for the MEDIAN order value via binomial
+# order statistics: ranks floor((n - z*sqrt(n))/2) and
+# ceil(1 + (n + z*sqrt(n))/2) bracket the median with >= 95% coverage
+# for ANY continuous distribution — no normality, no bootstrap. Rank
+# selection runs over the VALUE DOMAIN (per-distinct-value counts +
+# one cumulative window — the mannwhitney histogram-rank trick), so
+# the fact table is never globally sorted: at 100 TB the domain scan
+# replaces an O(N log N) sort with a domain-sized window.
+# --------------------------------------------------------------------------
+@operator(
+    "median_ci_distribution_free",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT cents,
+             SUM(cnt) OVER (ORDER BY cents) AS cum,
+             SUM(cnt) OVER ()               AS n
+      FROM vals
+    ), ranks AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(FLOOR((MAX(n) - 1.959964 * sqrt(CAST(MAX(n) AS DOUBLE)))
+                        / 2.0) AS BIGINT)           AS rank_lo,
+             CAST(CEIL(1.0 + (MAX(n) + 1.959964
+                              * sqrt(CAST(MAX(n) AS DOUBLE))) / 2.0)
+                  AS BIGINT)                        AS rank_hi
+      FROM r
+    )
+    SELECT ranks.n AS n_rows,
+           ROUND(((SELECT MIN(cents) FROM r WHERE cum >= (ranks.n + 1) // 2)
+                  + (SELECT MIN(cents) FROM r WHERE cum >= (ranks.n + 2) // 2))
+                 / 2.0 / 100.0, 6)                          AS median_price,
+           ROUND((SELECT MIN(cents) FROM r WHERE cum >= ranks.rank_lo)
+                 / 100.0, 6)                                AS ci95_lo,
+           ROUND((SELECT MIN(cents) FROM r WHERE cum >= ranks.rank_hi)
+                 / 100.0, 6)                                AS ci95_hi
+    FROM ranks
+    """,
+)
+def median_ci_distribution_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    vals = o.groupBy(cents.alias("cents")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = Window.orderBy("cents")
+    r = vals.select(
+        "cents",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    # rank targets (identical double -> identical integer on both sides)
+    ranks = r.agg(
+        F.floor(
+            (F.max("n") - 1.959964 * F.sqrt(F.max("n").cast("double"))) / 2.0
+        ).cast("bigint").alias("rank_lo"),
+        F.ceil(
+            1.0 + (F.max("n") + 1.959964 * F.sqrt(F.max("n").cast("double")))
+            / 2.0
+        ).cast("bigint").alias("rank_hi"),
+    )
+    j = r.crossJoin(F.broadcast(ranks))
+    out = j.agg(
+        F.max(F.col("n")).cast("bigint").alias("n_rows"),
+        F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("cents")))
+        .alias("m1"),
+        F.min(F.when(F.col("cum") >= F.expr("(n + 2) div 2"), F.col("cents")))
+        .alias("m2"),
+        F.min(F.when(F.col("cum") >= F.col("rank_lo"), F.col("cents")))
+        .alias("lo"),
+        F.min(F.when(F.col("cum") >= F.col("rank_hi"), F.col("cents")))
+        .alias("hi"),
+    )
+    return out.select(
+        "n_rows",
+        F.round((F.col("m1") + F.col("m2")) / 2.0 / 100.0, 6)
+        .alias("median_price"),
+        F.round(F.col("lo") / 100.0, 6).alias("ci95_lo"),
+        F.round(F.col("hi") / 100.0, 6).alias("ci95_hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gumbel (EV-I) fit of the DAILY-MAXIMUM order value by the method of
+# moments — the tail-risk question ("what is the 100-day return
+# level?") that mean/variance monitoring cannot answer. beta =
+# s*sqrt(6)/pi and mu = mean - gamma*beta with sqrt(6)/pi, Euler's
+# gamma, and -ln(-ln(0.99)) PRECOMPUTED double literals (no libm
+# divergence surface); mean and s come from exact integer power sums
+# over the ~2.4k-day domain of per-day MAX (one grouped agg).
+# --------------------------------------------------------------------------
+@operator(
+    "gumbel_daily_max_fit",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT)              AS n,
+             CAST(SUM(y) AS BIGINT)                AS s1,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS s2
+      FROM daily
+    )
+    SELECT n AS n_days,
+           ROUND(CAST(s1 AS DOUBLE) / n / 100.0, 6) AS mean_daily_max,
+           ROUND((CAST(s1 AS DOUBLE) / n
+                  - 0.5772156649015329
+                    * (sqrt((s2 - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n))
+                            / (n - 1)) * 0.779696801233676))
+                 / 100.0, 6)                        AS gumbel_mu,
+           ROUND(sqrt((s2 - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n))
+                      / (n - 1)) * 0.779696801233676 / 100.0, 6)
+                                                    AS gumbel_beta,
+           ROUND(((CAST(s1 AS DOUBLE) / n
+                   - 0.5772156649015329
+                     * (sqrt((s2 - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n))
+                             / (n - 1)) * 0.779696801233676))
+                  + (sqrt((s2 - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n))
+                          / (n - 1)) * 0.779696801233676)
+                    * 4.600149226776579) / 100.0, 6) AS return_level_100d
+    FROM m
+    """,
+)
+def gumbel_daily_max_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.max(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y")
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s1"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double").alias("s2"),
+    )
+    n = F.col("n")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2")
+    mean = s1 / n
+    beta = (
+        F.sqrt((s2 - s1 * (s1 / n)) / (n - 1)) * 0.779696801233676
+    )
+    mu = mean - 0.5772156649015329 * beta
+    return m.select(
+        n.alias("n_days"),
+        F.round(mean / 100.0, 6).alias("mean_daily_max"),
+        F.round(mu / 100.0, 6).alias("gumbel_mu"),
+        F.round(beta / 100.0, 6).alias("gumbel_beta"),
+        F.round((mu + beta * 4.600149226776579) / 100.0, 6)
+        .alias("return_level_100d"),
+    )

@@ -78,6 +78,9 @@ ROUND8_STAGED = [
     "incremental_join_maintenance",
     "cross_source_duplication_matrix",
     "piecewise_trend_fit",
+    "median_ci_distribution_free",
+    "gumbel_daily_max_fit",
+    "dedup_capture_recapture",
 ]
 
 
@@ -646,3 +649,25 @@ def test_piecewise_trend_identities(spark):
     assert 0.0 <= r.r2 <= 1.0
     assert abs(r.slope_after - (r.slope_before + r.hinge_delta)) < 2e-6
     assert r.knot_day == 1200
+
+
+def test_median_ci_brackets_median(spark):
+    r = REGISTRY["median_ci_distribution_free"](spark, SF_DIR).collect()[0]
+    assert r.ci95_lo <= r.median_price <= r.ci95_hi
+    assert r.n_rows > 0
+
+
+def test_gumbel_fit_sane(spark):
+    r = REGISTRY["gumbel_daily_max_fit"](spark, SF_DIR).collect()[0]
+    assert r.gumbel_beta > 0
+    assert r.gumbel_mu < r.mean_daily_max       # mu = mean - gamma*beta
+    assert r.return_level_100d > r.mean_daily_max
+
+
+def test_capture_recapture_bounds(spark):
+    r = REGISTRY["dedup_capture_recapture"](spark, SF_DIR).collect()[0]
+    assert r.n_both <= min(r.n_minhash, r.n_simhash)
+    # Chapman estimate can never fall below either capture
+    assert r.n_est_chapman >= max(r.n_minhash, r.n_simhash) - 1
+    assert 0.0 < r.recall_minhash_est <= 1.0 + 1e-9
+    assert 0.0 < r.recall_simhash_est <= 1.0 + 1e-9
