@@ -126,6 +126,8 @@ _DEFER: list[str] = [
     "median_ci_distribution_free",
     "gumbel_daily_max_fit",
     "dedup_capture_recapture",
+    "readability_scores",
+    "embedding_dim_correlation_top",
 ]
 
 _PIN: list[str] = [

@@ -2913,3 +2913,98 @@ def _register_dbscan_core_census() -> None:
 
 
 _register_dbscan_core_census()
+
+
+# --------------------------------------------------------------------------
+# Top-10 most-correlated embedding dimension PAIRS — the redundancy
+# map that says whether the representation wastes capacity (near-
+# duplicate dimensions => whitening / PCA would compress it; the
+# per-dimension complement of embedding_dim_variance). Engine parity
+# by construction: every coordinate is snapped onto a 1e6 integer
+# grid FIRST, so all five moments per dim pair are exact BIGINT sums
+# and the correlation is one pinned double expression — no float
+# accumulation anywhere. Scale: the (pos_i, pos_j) self-join is over
+# DIMENSION-level rows keyed by vec_id; moments reduce map-side onto
+# d^2/2 cells (2016 for d=64) regardless of corpus size.
+# --------------------------------------------------------------------------
+@operator(
+    "embedding_dim_correlation_top",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id,
+             generate_subscripts(embedding::DOUBLE[], 1) AS pos,
+             CAST(ROUND(UNNEST(embedding::DOUBLE[]) * 1000000.0) AS BIGINT)
+               AS xi
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT a.pos AS dim_i, b.pos AS dim_j,
+             CAST(COUNT(*) AS BIGINT)        AS n,
+             CAST(SUM(a.xi) AS BIGINT)       AS sx,
+             CAST(SUM(b.xi) AS BIGINT)       AS sy,
+             SUM(CAST(a.xi AS HUGEINT) * a.xi) AS sxx,
+             SUM(CAST(b.xi AS HUGEINT) * b.xi) AS syy,
+             SUM(CAST(a.xi AS HUGEINT) * b.xi) AS sxy
+      FROM dims a JOIN dims b
+        ON a.vec_id = b.vec_id AND a.pos < b.pos
+      GROUP BY 1, 2
+    ),
+    corr AS (
+      SELECT dim_i, dim_j, n,
+             ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS corr
+      FROM cells
+    )
+    SELECT dim_i, dim_j, n, corr
+    FROM corr
+    ORDER BY ABS(corr) DESC, dim_i, dim_j
+    LIMIT 10
+    """,
+)
+def embedding_dim_correlation_top(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    dims = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x") * 1000000.0).cast("bigint").alias("xi"),
+    )
+    a = dims.select("vec_id", F.col("pos").alias("dim_i"), F.col("xi").alias("ai"))
+    b = dims.select("vec_id", F.col("pos").alias("dim_j"), F.col("xi").alias("bi"))
+    cells = (
+        a.join(b, "vec_id")
+        .filter(F.col("dim_i") < F.col("dim_j"))
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("ai").cast("bigint").alias("sx"),
+            F.sum("bi").cast("bigint").alias("sy"),
+            F.sum(F.col("ai").cast("decimal(38,0)") * F.col("ai")).alias("sxx"),
+            F.sum(F.col("bi").cast("decimal(38,0)") * F.col("bi")).alias("syy"),
+            F.sum(F.col("ai").cast("decimal(38,0)") * F.col("bi")).alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.sqrt(
+        (n * F.col("sxx").cast("double")
+         - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        * (n * F.col("syy").cast("double")
+           - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    )
+    corr = cells.select(
+        "dim_i", "dim_j", "n", F.round(num / den, 6).alias("corr")
+    )
+    return corr.orderBy(F.abs(F.col("corr")).desc(), "dim_i", "dim_j").limit(10)

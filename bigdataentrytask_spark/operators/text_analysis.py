@@ -2761,3 +2761,80 @@ def term_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_count"), "term")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Flesch-lite readability per source: words/sentence and
+# syllables/word from three integer counts per document (tokens;
+# '[.!?]+' sentence breaks; '[aeiouy]+' vowel groups as the syllable
+# proxy — both RE2-safe, no backreferences), the per-document Flesch
+# reading-ease score snapped onto a 1e6 grid BEFORE the per-source
+# mean (snap-before-sum), and the corpus-level ratios computed from
+# summed integers (ratio-of-sums, not mean-of-ratios). Pure column
+# expressions + one grouped agg — the same shape as text_quality,
+# adding the readability axis curation pipelines bucket on.
+# --------------------------------------------------------------------------
+@operator(
+    "readability_scores",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len({sql_tokens('text')}) AS BIGINT)                 AS w,
+             CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT)                                           AS s,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT)                                           AS syl
+      FROM documents
+    ), scored AS (
+      SELECT source, w, s, syl,
+             CAST(ROUND((206.835
+                         - 1.015 * (CAST(w AS DOUBLE) / s)
+                         - 84.6 * (CAST(syl AS DOUBLE) / w)) * 1000000.0)
+                  AS BIGINT) AS fg
+      FROM per_doc WHERE w > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                       AS n_docs,
+           ROUND(CAST(SUM(w) AS DOUBLE) / SUM(s), 6)      AS words_per_sentence,
+           ROUND(CAST(SUM(syl) AS DOUBLE) / SUM(w), 6)    AS syllables_per_word,
+           ROUND(CAST(SUM(fg) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+                                                          AS mean_flesch
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    per_doc = d.select(
+        "source",
+        F.size(tokens("text")).cast("bigint").alias("w"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+        ).cast("bigint").alias("s"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .cast("bigint").alias("syl"),
+    )
+    scored = per_doc.filter(F.col("w") > 0).select(
+        "source", "w", "s", "syl",
+        F.round(
+            (
+                F.lit(206.835)
+                - 1.015 * (F.col("w").cast("double") / F.col("s"))
+                - 84.6 * (F.col("syl").cast("double") / F.col("w"))
+            )
+            * 1000000.0
+        ).cast("bigint").alias("fg"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.sum("w").cast("double") / F.sum("s"), 6)
+            .alias("words_per_sentence"),
+            F.round(F.sum("syl").cast("double") / F.sum("w"), 6)
+            .alias("syllables_per_word"),
+            F.round(
+                F.sum("fg").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+            ).alias("mean_flesch"),
+        )
+        .orderBy("source")
+    )

@@ -81,6 +81,8 @@ ROUND8_STAGED = [
     "median_ci_distribution_free",
     "gumbel_daily_max_fit",
     "dedup_capture_recapture",
+    "readability_scores",
+    "embedding_dim_correlation_top",
 ]
 
 
@@ -671,3 +673,24 @@ def test_capture_recapture_bounds(spark):
     assert r.n_est_chapman >= max(r.n_minhash, r.n_simhash) - 1
     assert 0.0 < r.recall_minhash_est <= 1.0 + 1e-9
     assert 0.0 < r.recall_simhash_est <= 1.0 + 1e-9
+
+
+def test_readability_ratios_positive(spark):
+    rows = REGISTRY["readability_scores"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.words_per_sentence > 0
+        assert r.syllables_per_word > 0
+        # Flesch is unbounded but the synthetic corpus must land in a
+        # sane band (catches a swapped ratio instantly)
+        assert -500.0 < r.mean_flesch < 250.0
+
+
+def test_dim_correlation_bounds(spark):
+    rows = REGISTRY["embedding_dim_correlation_top"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(-1.0 <= r.corr <= 1.0 for r in rows)
+    assert all(r.dim_i < r.dim_j for r in rows)
+    # descending by |corr|
+    mags = [abs(r.corr) for r in rows]
+    assert mags == sorted(mags, reverse=True)
