@@ -128,6 +128,7 @@ _DEFER: list[str] = [
     "dedup_capture_recapture",
     "readability_scores",
     "embedding_dim_correlation_top",
+    "multimodal_audio_rms",
 ]
 
 _PIN: list[str] = [

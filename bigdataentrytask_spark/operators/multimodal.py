@@ -639,3 +639,119 @@ def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Audio SAMPLE-DATA decode (not just the header): each document's WAV
+# now carries a real PCM data chunk — int16 little-endian samples
+# s_k = ((31*doc_id + 17*k) mod 65536) as unsigned bytes — and the
+# Arrow kernel parses the bytes back (numpy frombuffer on the data
+# chunk located by the verified header parse) to report exact
+# integer waveform statistics: sample count, peak amplitude, energy
+# (sum of squares) and RMS. The oracle recomputes the SAME waveform
+# in closed form from the generator columns (UNNEST(range(n))), so
+# byte-level decode correctness is checked end-to-end — the missing
+# piece between header probes and a real codec (which this container
+# cannot ship; the kernel's frombuffer slot is where soundfile/ffmpeg
+# decode would drop in).
+# Scale posture: payload synthesis and decode are both per-row within
+# the scan stage; the kernel receives pruned (doc_id, payload)
+# columns only, and stats are O(samples) per row with no shuffle.
+# --------------------------------------------------------------------------
+def _pcm_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    out_ids, out_n, out_peak, out_ss = [], [], [], []
+    for pdf in batches:
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(b)
+            meta = parse_wav_header(raw)
+            n = meta["n_samples"] * meta["channels"]
+            data = raw[44:44 + 2 * n]
+            s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+            out_ids.append(doc_id)
+            out_n.append(int(s.size))
+            out_peak.append(int(np.abs(s).max()) if s.size else 0)
+            out_ss.append(int((s * s).sum()) if s.size else 0)
+        yield pd.DataFrame(
+            {
+                "doc_id": out_ids,
+                "n_samples_data": out_n,
+                "peak_amplitude": out_peak,
+                "energy": out_ss,
+            }
+        )
+        out_ids, out_n, out_peak, out_ss = [], [], [], []
+
+
+@operator(
+    "multimodal_audio_rms",
+    oracle="""
+    WITH spec AS (
+      SELECT doc_id,
+             (100 + n_chars) * (1 + doc_id % 2) AS n
+      FROM documents
+    ),
+    samples AS (
+      SELECT doc_id, n,
+             (31 * doc_id + 17 * UNNEST(range(n))) % 65536 AS v
+      FROM spec
+    ),
+    signed AS (
+      SELECT doc_id, n,
+             CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+      FROM samples
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT)                AS n_samples_data,
+           CAST(MAX(ABS(s)) AS BIGINT)           AS peak_amplitude,
+           CAST(SUM(s * s) AS BIGINT)            AS energy,
+           ROUND(sqrt(CAST(SUM(s * s) AS DOUBLE) / MAX(n)), 6) AS rms
+    FROM signed GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    channels = (1 + F.col("doc_id") % 2).cast("int")
+    rate = (8000 + 100 * F.ascii(F.substring("text", 1, 1))).cast("int")
+    n_samples = (100 + F.col("n_chars")).cast("int")
+    block = channels * 2
+    data_size = n_samples * block
+    byte_rate = rate * block
+    # int16 LE sample stream: low byte first (hex digits 3-4, then 1-2)
+    data_hex = F.expr(
+        "array_join(transform(sequence(0, (100 + n_chars)"
+        " * (1 + cast(doc_id % 2 as int)) - 1,"
+        " 1), k -> concat("
+        "substring(lpad(hex((31 * doc_id + 17 * k) % 65536), 4, '0'), 3, 2),"
+        "substring(lpad(hex((31 * doc_id + 17 * k) % 65536), 4, '0'), 1, 2)"
+        ")), '')"
+    )
+    hex_payload = F.concat(
+        F.lit("52494646"),
+        _le_hex(36 + data_size, 4),
+        F.lit("57415645"),
+        F.lit("666D7420"),
+        _le_hex(F.lit(16), 4),
+        _le_hex(F.lit(1), 2),
+        _le_hex(channels, 2),
+        _le_hex(rate, 4),
+        _le_hex(byte_rate, 4),
+        _le_hex(block, 2),
+        _le_hex(F.lit(16), 2),
+        F.lit("64617461"),
+        _le_hex(data_size, 4),
+        data_hex,
+    )
+    media = d.select("doc_id", F.unhex(hex_payload).alias("payload"))
+    out = media.mapInPandas(
+        _pcm_stats_batches,
+        "doc_id long, n_samples_data long, peak_amplitude long, energy long",
+    )
+    return out.select(
+        "doc_id", "n_samples_data", "peak_amplitude", "energy",
+        F.round(
+            F.sqrt(F.col("energy").cast("double") / F.col("n_samples_data")), 6
+        ).alias("rms"),
+    ).orderBy("doc_id")

@@ -83,6 +83,7 @@ ROUND8_STAGED = [
     "dedup_capture_recapture",
     "readability_scores",
     "embedding_dim_correlation_top",
+    "multimodal_audio_rms",
 ]
 
 
@@ -694,3 +695,15 @@ def test_dim_correlation_bounds(spark):
     # descending by |corr|
     mags = [abs(r.corr) for r in rows]
     assert mags == sorted(mags, reverse=True)
+
+
+def test_audio_rms_decode_identities(spark):
+    """Byte-level PCM decode: energy/peak/count must satisfy the
+    waveform identities (peak <= 32768; rms <= peak; mono docs have
+    half the samples of stereo docs of equal text length)."""
+    rows = REGISTRY["multimodal_audio_rms"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        assert 0 < r.peak_amplitude <= 32768
+        assert r.rms <= r.peak_amplitude
+        assert r.energy <= r.n_samples_data * 32768 * 32768
