@@ -129,6 +129,7 @@ _DEFER: list[str] = [
     "readability_scores",
     "embedding_dim_correlation_top",
     "multimodal_audio_rms",
+    "multimodal_image_pixel_stats",
 ]
 
 _PIN: list[str] = [

@@ -755,3 +755,145 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("energy").cast("double") / F.col("n_samples_data")), 6
         ).alias("rms"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Real PIXEL-DATA decode — the PNG twin of multimodal_audio_rms: each
+# document gets a fully VALID 8x8 greyscale PNG built in-JVM from
+# column expressions (zlib stream as a stored-DEFLATE block, adler32
+# computed as column math mod 65521, chunk CRCs via F.crc32 — the
+# same ISO-HDLC polynomial PNG specifies), and the Arrow kernel
+# decodes it for real: chunk walk, zlib.decompress (which VERIFIES
+# the adler32), scanline unfilter, numpy pixel stats, CRC check. The
+# oracle recomputes the deterministic pixel field in closed form —
+# so a single wrong byte anywhere in the container fails the row.
+# This closes the gap the image probes left open (headers only):
+# synthesis AND byte-exact decode of a complete compressed container,
+# with the zlib.decompress slot being exactly where a real libpng /
+# Pillow decode drops in at production.
+# Scale posture: all per-row inside the scan stage; the kernel sees
+# only (doc_id, payload); no shuffle anywhere.
+# --------------------------------------------------------------------------
+def _png_pixel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import binascii
+    import zlib
+
+    import numpy as np
+
+    for pdf in batches:
+        ids, ws, hs, npx, sums, mins, maxs, crcs = [], [], [], [], [], [], [], []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(b)
+            assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+            # chunk walk
+            i = 8
+            width = height = None
+            idat = b""
+            crc_ok = 1
+            while i + 8 <= len(raw):
+                ln = int.from_bytes(raw[i:i + 4], "big")
+                typ = raw[i + 4:i + 8]
+                data = raw[i + 8:i + 8 + ln]
+                crc = int.from_bytes(raw[i + 8 + ln:i + 12 + ln], "big")
+                if binascii.crc32(typ + data) != crc:
+                    crc_ok = 0
+                if typ == b"IHDR":
+                    width = int.from_bytes(data[0:4], "big")
+                    height = int.from_bytes(data[4:8], "big")
+                elif typ == b"IDAT":
+                    idat += data
+                elif typ == b"IEND":
+                    break
+                i += 12 + ln
+            scanlines = zlib.decompress(idat)  # verifies adler32
+            px = np.frombuffer(scanlines, dtype=np.uint8).reshape(
+                height, width + 1
+            )
+            assert (px[:, 0] == 0).all()  # filter type 0 per row
+            pix = px[:, 1:].astype(np.int64)
+            ids.append(doc_id)
+            ws.append(width)
+            hs.append(height)
+            npx.append(int(pix.size))
+            sums.append(int(pix.sum()))
+            mins.append(int(pix.min()))
+            maxs.append(int(pix.max()))
+            crcs.append(crc_ok)
+        yield pd.DataFrame(
+            {
+                "doc_id": ids, "width": ws, "height": hs,
+                "n_pixels": npx, "sum_pixels": sums,
+                "min_pixel": mins, "max_pixel": maxs, "crc_ok": crcs,
+            }
+        )
+
+
+@operator(
+    "multimodal_image_pixel_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             (doc_id + 7 * (UNNEST(range(64)) % 8)
+              + 13 * (UNNEST(range(64)) // 8)) % 256 AS v
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT)        AS width,
+           CAST(8 AS BIGINT)        AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT)   AS sum_pixels,
+           CAST(MIN(v) AS BIGINT)   AS min_pixel,
+           CAST(MAX(v) AS BIGINT)   AS max_pixel,
+           CAST(1 AS BIGINT)        AS crc_ok
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def multimodal_image_pixel_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ensure_session_confs(spark)
+    d = load_table(spark, sf_dir, "documents")
+    # raw scanline stream: 8 rows of [filter 0][8 pixels]; pixel(x, y)
+    # = (doc_id + 7x + 13y) % 256; positions i in 0..71, i%9==0 are
+    # filter bytes
+    pix_case = (
+        "CASE WHEN i % 9 = 0 THEN 0 ELSE "
+        "CAST((doc_id + 7 * ((i % 9) - 1) + 13 * (i div 9)) % 256 AS INT) END"
+    )
+    raw_hex = F.expr(
+        f"array_join(transform(sequence(0, 71, 1),"
+        f" i -> lpad(hex({pix_case}), 2, '0')), '')"
+    )
+    s1 = F.expr(
+        f"(1 + aggregate(transform(sequence(0, 71, 1), i -> {pix_case}),"
+        f" 0, (a, x) -> a + x)) % 65521"
+    )
+    s2 = F.expr(
+        f"(72 + aggregate(transform(sequence(0, 71, 1),"
+        f" i -> (72 - i) * ({pix_case})), 0, (a, x) -> a + x)) % 65521"
+    )
+    adler_hex = F.lpad(
+        F.hex((s2.cast("bigint") * 65536 + s1).cast("bigint")), 8, "0"
+    )
+    # zlib: 7801 + stored block (01, LEN=72 LE, NLEN LE) + raw + adler
+    z_hex = F.concat(F.lit("78010148 00B7FF".replace(" ", "")), raw_hex, adler_hex)
+    ihdr_data_hex = F.lit("0000000800000008" + "08" + "00000000")
+    ihdr_crc = F.lpad(
+        F.hex(F.crc32(F.unhex(F.concat(F.lit("49484452"), ihdr_data_hex)))),
+        8, "0",
+    )
+    idat_crc = F.lpad(
+        F.hex(F.crc32(F.unhex(F.concat(F.lit("49444154"), z_hex)))), 8, "0"
+    )
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),
+        F.lit("0000000D"), F.lit("49484452"), ihdr_data_hex, ihdr_crc,
+        F.lit("00000053"), F.lit("49444154"), z_hex, idat_crc,
+        F.lit("00000000"), F.lit("49454E44"), F.lit("AE426082"),
+    )
+    media = d.select("doc_id", F.unhex(png_hex).alias("payload"))
+    return media.mapInPandas(
+        _png_pixel_batches,
+        "doc_id long, width long, height long, n_pixels long, "
+        "sum_pixels long, min_pixel long, max_pixel long, crc_ok long",
+    ).orderBy("doc_id")

@@ -84,6 +84,7 @@ ROUND8_STAGED = [
     "readability_scores",
     "embedding_dim_correlation_top",
     "multimodal_audio_rms",
+    "multimodal_image_pixel_stats",
 ]
 
 
@@ -707,3 +708,16 @@ def test_audio_rms_decode_identities(spark):
         assert 0 < r.peak_amplitude <= 32768
         assert r.rms <= r.peak_amplitude
         assert r.energy <= r.n_samples_data * 32768 * 32768
+
+
+def test_png_pixel_decode_validates(spark):
+    """Every synthesized PNG must pass BOTH integrity checks inside
+    the kernel (chunk CRC32 and zlib adler32 — a failed adler raises
+    in decompress) and produce 8x8 byte-range pixels."""
+    rows = REGISTRY["multimodal_image_pixel_stats"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        assert r.crc_ok == 1
+        assert r.width == 8 and r.height == 8 and r.n_pixels == 64
+        assert 0 <= r.min_pixel <= r.max_pixel <= 255
+        assert r.min_pixel * 64 <= r.sum_pixels <= r.max_pixel * 64
