@@ -130,6 +130,8 @@ _DEFER: list[str] = [
     "embedding_dim_correlation_top",
     "multimodal_audio_rms",
     "multimodal_image_pixel_stats",
+    "oov_rate_vocab_sweep",
+    "contrastive_pair_mining",
 ]
 
 _PIN: list[str] = [

@@ -1468,3 +1468,79 @@ def _register_dedup_capture_recapture() -> None:
 
 
 _register_dedup_capture_recapture()
+
+
+# --------------------------------------------------------------------------
+# Contrastive training-pair mining audit: positives = the verified
+# MinHash near-dup pair list; negatives = one deterministic hash
+# partner per document (Knuth-multiplier ring walk over the 0..N-1
+# id space — no RNG, engine-portable). The audit reports the
+# negative:positive ratio and the NEGATIVE COLLISION RATE — the share
+# of "negatives" that are secretly true near-dups (the label noise
+# that silently caps contrastive-embedding quality; measured, not
+# assumed). Pure composition: pair plan + per-row partner projection
+# + one canonicalized anti-join-style count.
+# --------------------------------------------------------------------------
+def _register_contrastive_pair_mining() -> None:
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+
+    oracle = f"""
+    WITH pos AS ({ORACLES["minhash_dedup"]}),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    neg AS (
+      SELECT LEAST(d.doc_id, (d.doc_id * 2654435761 + 12345) % n.n_docs)
+               AS doc_a,
+             GREATEST(d.doc_id, (d.doc_id * 2654435761 + 12345) % n.n_docs)
+               AS doc_b
+      FROM documents d CROSS JOIN n
+      WHERE (d.doc_id * 2654435761 + 12345) % n.n_docs <> d.doc_id
+    ),
+    m AS (
+      SELECT (SELECT COUNT(*) FROM pos)                       AS n_pos,
+             (SELECT COUNT(*) FROM neg)                       AS n_neg,
+             (SELECT COUNT(*) FROM neg
+               JOIN pos ON pos.doc_a = neg.doc_a
+                       AND pos.doc_b = neg.doc_b)             AS n_collision
+    )
+    SELECT n.n_docs,
+           CAST(m.n_pos AS BIGINT)       AS n_pos,
+           CAST(m.n_neg AS BIGINT)       AS n_neg,
+           CAST(m.n_collision AS BIGINT) AS n_collision,
+           ROUND(CAST(m.n_neg AS DOUBLE) / m.n_pos, 6)       AS neg_per_pos,
+           ROUND(CAST(m.n_collision AS DOUBLE) / m.n_neg, 6) AS collision_rate
+    FROM m CROSS JOIN n
+    """
+
+    @operator("contrastive_pair_mining", oracle=oracle)
+    def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pos = REGISTRY["minhash_dedup"](spark, sf_dir).select("doc_a", "doc_b")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        partner = (F.col("doc_id") * 2654435761 + 12345) % F.col("n_docs")
+        neg = (
+            docs.crossJoin(F.broadcast(n))
+            .filter(partner != F.col("doc_id"))
+            .select(
+                F.least(F.col("doc_id"), partner).alias("doc_a"),
+                F.greatest(F.col("doc_id"), partner).alias("doc_b"),
+            )
+        )
+        coll = neg.join(pos, ["doc_a", "doc_b"])
+        m = (
+            pos.agg(F.count(F.lit(1)).cast("bigint").alias("n_pos"))
+            .crossJoin(neg.agg(F.count(F.lit(1)).cast("bigint").alias("n_neg")))
+            .crossJoin(
+                coll.agg(F.count(F.lit(1)).cast("bigint").alias("n_collision"))
+            )
+            .crossJoin(n)
+        )
+        return m.select(
+            "n_docs", "n_pos", "n_neg", "n_collision",
+            F.round(F.col("n_neg").cast("double") / F.col("n_pos"), 6)
+            .alias("neg_per_pos"),
+            F.round(F.col("n_collision").cast("double") / F.col("n_neg"), 6)
+            .alias("collision_rate"),
+        )
+
+
+_register_contrastive_pair_mining()

@@ -2838,3 +2838,90 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# OOV-rate sweep under vocabulary truncation: if the tokenizer keeps
+# only the top-V token types (V in 500 / 1000 / 2000 / 5000), what
+# share of token OCCURRENCES and of DOCUMENTS-with-an-OOV does the
+# corpus lose? Token ranks come from one count table + one window
+# over the (vocab-sized) type domain; the four vocab sizes are
+# joinless conditional aggregates (the stack() pattern — no per-V
+# scan, no theta join). The truncation-side twin of vocab_coverage
+# (fixed external vocab) and tokenizer_compression_ratio (economics).
+# --------------------------------------------------------------------------
+@operator(
+    "oov_rate_vocab_sweep",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({sql_tokens('text')}) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1
+    ),
+    ranked AS (
+      SELECT tok, c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk
+      FROM counts
+    ),
+    m AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total_occ,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(COALESCE(SUM(CASE WHEN rnk > 500 THEN c END), 0)
+                  AS BIGINT) AS oov500,
+             CAST(COALESCE(SUM(CASE WHEN rnk > 1000 THEN c END), 0)
+                  AS BIGINT) AS oov1000,
+             CAST(COALESCE(SUM(CASE WHEN rnk > 2000 THEN c END), 0)
+                  AS BIGINT) AS oov2000,
+             CAST(COALESCE(SUM(CASE WHEN rnk > 5000 THEN c END), 0)
+                  AS BIGINT) AS oov5000
+      FROM ranked
+    )
+    SELECT vocab_size, n_types, total_occ, oov_occurrences,
+           ROUND(CAST(oov_occurrences AS DOUBLE) / total_occ, 6)
+             AS oov_rate
+    FROM (
+      SELECT 500 AS vocab_size, n_types, total_occ,
+             oov500 AS oov_occurrences FROM m
+      UNION ALL SELECT 1000, n_types, total_occ, oov1000 FROM m
+      UNION ALL SELECT 2000, n_types, total_occ, oov2000 FROM m
+      UNION ALL SELECT 5000, n_types, total_occ, oov5000 FROM m
+    )
+    ORDER BY vocab_size
+    """,
+)
+def oov_rate_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ranked = counts.select(
+        "c",
+        F.row_number().over(Window.orderBy(F.desc("c"), "tok")).alias("rnk"),
+    )
+    oov = {
+        v: F.coalesce(
+            F.sum(F.when(F.col("rnk") > v, F.col("c"))), F.lit(0)
+        ).cast("bigint")
+        for v in (500, 1000, 2000, 5000)
+    }
+    m = ranked.agg(
+        F.sum("c").cast("bigint").alias("total_occ"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        *(oov[v].alias(f"oov{v}") for v in (500, 1000, 2000, 5000)),
+    )
+    stacked = m.select(
+        F.expr(
+            "stack(4, 500, oov500, 1000, oov1000, 2000, oov2000,"
+            " 5000, oov5000) AS (vocab_size, oov_occurrences)"
+        ),
+        "n_types", "total_occ",
+    )
+    return stacked.select(
+        F.col("vocab_size").cast("int").alias("vocab_size"),
+        "n_types", "total_occ",
+        F.col("oov_occurrences").cast("bigint").alias("oov_occurrences"),
+        F.round(
+            F.col("oov_occurrences").cast("double") / F.col("total_occ"), 6
+        ).alias("oov_rate"),
+    ).orderBy("vocab_size")

@@ -85,6 +85,8 @@ ROUND8_STAGED = [
     "embedding_dim_correlation_top",
     "multimodal_audio_rms",
     "multimodal_image_pixel_stats",
+    "oov_rate_vocab_sweep",
+    "contrastive_pair_mining",
 ]
 
 
@@ -721,3 +723,21 @@ def test_png_pixel_decode_validates(spark):
         assert r.width == 8 and r.height == 8 and r.n_pixels == 64
         assert 0 <= r.min_pixel <= r.max_pixel <= 255
         assert r.min_pixel * 64 <= r.sum_pixels <= r.max_pixel * 64
+
+
+def test_oov_sweep_monotone(spark):
+    rows = sorted(REGISTRY["oov_rate_vocab_sweep"](spark, SF_DIR).collect(),
+                  key=lambda r: r.vocab_size)
+    assert [r.vocab_size for r in rows] == [500, 1000, 2000, 5000]
+    for a, b in zip(rows, rows[1:]):
+        assert a.oov_occurrences >= b.oov_occurrences  # bigger vocab, less OOV
+    for r in rows:
+        assert 0.0 <= r.oov_rate <= 1.0
+
+
+def test_contrastive_mining_counts(spark):
+    r = REGISTRY["contrastive_pair_mining"](spark, SF_DIR).collect()[0]
+    assert r.n_neg <= r.n_docs            # at most one partner per doc
+    assert r.n_collision <= r.n_neg
+    assert 0.0 <= r.collision_rate <= 1.0
+    assert r.neg_per_pos > 0
