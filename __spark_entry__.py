@@ -132,6 +132,7 @@ _DEFER: list[str] = [
     "multimodal_image_pixel_stats",
     "oov_rate_vocab_sweep",
     "contrastive_pair_mining",
+    "sequential_ab_obrien_fleming",
 ]
 
 _PIN: list[str] = [

@@ -3779,3 +3779,152 @@ def gumbel_daily_max_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((mu + beta * 4.600149226776579) / 100.0, 6)
         .alias("return_level_100d"),
     )
+
+
+# --------------------------------------------------------------------------
+# Group-sequential A/B monitoring with O'Brien-Fleming boundaries at
+# 4 interim looks: users are hash-assigned to two arms (md5 parity —
+# the engine-portable split), a user ENTERS at their first event and
+# CONVERTS at their first purchase, and at each weekly cutoff the
+# cumulative two-proportion z is compared against the OBF boundary
+# (4.049 / 2.863 / 2.337 / 2.024 — precomputed literals for K=4,
+# two-sided alpha=0.05). The discipline every experimentation
+# platform needs: peeking is fine IF the boundary schedule pays for
+# it. One per-user reduction (first_ts, first_purchase_ts, arm),
+# then all four looks as conditional aggregates in a single pass
+# (stack() unpivot — no per-look scan).
+# --------------------------------------------------------------------------
+_OBF = {1: 4.049, 2: 2.863, 3: 2.337, 4: 2.024}
+_LOOK_CUTS = {1: "2024-01-08", 2: "2024-01-15", 3: "2024-01-22",
+              4: "2024-01-29"}
+
+
+@operator(
+    "sequential_ab_obrien_fleming",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2                                        AS arm,
+             MIN(ts)                                      AS first_ts,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                                                          AS first_purchase
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT
+        {", ".join(
+            f'''CAST(count_if(arm = {a} AND first_ts < TIMESTAMP '{c}')
+                 AS BIGINT) AS n{a}_l{k},
+            CAST(count_if(arm = {a}
+                 AND first_purchase IS NOT NULL
+                 AND first_purchase <= first_ts + INTERVAL 6 HOUR
+                 AND first_purchase < TIMESTAMP '{c}')
+                 AS BIGINT) AS c{a}_l{k}'''
+            for k, c in _LOOK_CUTS.items() for a in (0, 1)
+        )}
+      FROM per_user
+    )
+    SELECT look, cutoff_day, n_a, n_b, conv_a, conv_b,
+           CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                THEN 0.0 ELSE
+           ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) END  AS z_look,
+           boundary,
+           CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                THEN 0
+                WHEN ABS((CAST(conv_a AS DOUBLE) / n_a
+                          - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b))) > boundary
+                THEN 1 ELSE 0 END                           AS crossed
+    FROM (
+      {" UNION ALL ".join(
+          f'''SELECT {k} AS look, '{c}' AS cutoff_day,
+              n0_l{k} AS n_a, n1_l{k} AS n_b,
+              c0_l{k} AS conv_a, c1_l{k} AS conv_b,
+              {_OBF[k]} AS boundary FROM m'''
+          for k, c in _LOOK_CUTS.items()
+      )}
+    )
+    ORDER BY look
+    """,
+)
+def sequential_ab_obrien_fleming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+               16, 10).cast("bigint") % 2
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("first_purchase"),
+    ).select(
+        arm.alias("arm"),
+        "first_ts",
+        F.when(
+            F.col("first_purchase")
+            <= F.col("first_ts") + F.expr("INTERVAL 6 HOURS"),
+            F.col("first_purchase"),
+        ).alias("first_conv"),
+    )
+    aggs = []
+    for k, c in _LOOK_CUTS.items():
+        for a in (0, 1):
+            aggs.append(
+                F.count(
+                    F.when(
+                        (F.col("arm") == a) & (F.col("first_ts") < c), 1
+                    )
+                ).cast("bigint").alias(f"n{a}_l{k}")
+            )
+            aggs.append(
+                F.count(
+                    F.when(
+                        (F.col("arm") == a) & (F.col("first_conv") < c), 1
+                    )
+                ).cast("bigint").alias(f"c{a}_l{k}")
+            )
+    m = per_user.agg(*aggs)
+    stack_items = ", ".join(
+        f"{k}, '{c}', n0_l{k}, n1_l{k}, c0_l{k}, c1_l{k}, "
+        f"CAST({_OBF[k]} AS DOUBLE)"
+        for k, c in _LOOK_CUTS.items()
+    )
+    looks = m.select(
+        F.expr(
+            f"stack(4, {stack_items})"
+            " AS (look, cutoff_day, n_a, n_b, conv_a, conv_b, boundary)"
+        )
+    )
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (
+        F.col("conv_a").cast("double") / F.col("n_a")
+        - F.col("conv_b").cast("double") / F.col("n_b")
+    ) / F.sqrt(
+        p_pool * (F.lit(1.0) - p_pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    degenerate = (
+        (F.col("conv_a") + F.col("conv_b") == 0)
+        | (F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b"))
+    )
+    return looks.select(
+        F.col("look").cast("int").alias("look"),
+        "cutoff_day",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        F.when(degenerate, F.lit(0.0)).otherwise(F.round(z, 6))
+        .alias("z_look"),
+        "boundary",
+        F.when(degenerate, 0)
+        .when(F.abs(z) > F.col("boundary"), 1)
+        .otherwise(0).cast("int").alias("crossed"),
+    ).orderBy("look")

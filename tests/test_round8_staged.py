@@ -87,6 +87,7 @@ ROUND8_STAGED = [
     "multimodal_image_pixel_stats",
     "oov_rate_vocab_sweep",
     "contrastive_pair_mining",
+    "sequential_ab_obrien_fleming",
 ]
 
 
@@ -741,3 +742,16 @@ def test_contrastive_mining_counts(spark):
     assert r.n_collision <= r.n_neg
     assert 0.0 <= r.collision_rate <= 1.0
     assert r.neg_per_pos > 0
+
+
+def test_obf_boundaries_decreasing(spark):
+    rows = sorted(REGISTRY["sequential_ab_obrien_fleming"](spark, SF_DIR)
+                  .collect(), key=lambda r: r.look)
+    assert [r.look for r in rows] == [1, 2, 3, 4]
+    bounds = [r.boundary for r in rows]
+    assert bounds == sorted(bounds, reverse=True)   # OBF spends alpha late
+    for a, b in zip(rows, rows[1:]):                # cumulative monotone
+        assert a.n_a <= b.n_a and a.n_b <= b.n_b
+        assert a.conv_a <= b.conv_a and a.conv_b <= b.conv_b
+    for r in rows:
+        assert r.crossed == (1 if abs(r.z_look) > r.boundary else 0)
