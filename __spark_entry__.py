@@ -133,6 +133,8 @@ _DEFER: list[str] = [
     "oov_rate_vocab_sweep",
     "contrastive_pair_mining",
     "sequential_ab_obrien_fleming",
+    "rich_club_coefficient",
+    "recsys_hitrate_eval",
 ]
 
 _PIN: list[str] = [

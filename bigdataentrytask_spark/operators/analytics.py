@@ -2806,3 +2806,167 @@ def sequential_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_users_b").cast("double") / F.col("n_users")), 6
         ).alias("lift"),
     ).orderBy("antecedent", "consequent")
+
+
+# --------------------------------------------------------------------------
+# Recommender holdout eval: hit-rate@3 of the co-occurrence
+# recommender under a TEMPORAL split — train co-purchase counts on
+# orders before 2001-01-01, recommend each part's top-3 co-parts
+# (count desc, part asc — total order), then ask, for every
+# (test-order, part) unit in the holdout, whether ANY other part of
+# that order appears in the part's top-3. The eval that makes
+# part_recommendations (the model) falsifiable. Coverage = units
+# whose anchor part was seen in training. Pair expansion is a keyed
+# self-join on the order key (per-key fanout bounded by basket^2,
+# TPC-H baskets <= 7); the rec table is |parts| x 3 and the final
+# join is keyed on (a, b).
+# --------------------------------------------------------------------------
+_RECS_CUTOFF = "2001-01-01"
+
+
+@operator(
+    "recsys_hitrate_eval",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey, o.o_orderdate
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    train_pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      WHERE a.o_orderdate < TIMESTAMP '{_RECS_CUTOFF}'
+      GROUP BY 1, 2
+    ),
+    recs AS (
+      SELECT pa, pb FROM (
+        SELECT pa, pb,
+               ROW_NUMBER() OVER (PARTITION BY pa
+                                  ORDER BY w DESC, pb) AS rnk
+        FROM train_pairs
+      ) WHERE rnk <= 3
+    ),
+    test_orders AS (
+      SELECT l_orderkey FROM items
+      WHERE o_orderdate >= TIMESTAMP '{_RECS_CUTOFF}'
+      GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    test_units AS (
+      SELECT i.l_orderkey, i.l_partkey
+      FROM items i JOIN test_orders t ON t.l_orderkey = i.l_orderkey
+    ),
+    cand AS (
+      SELECT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+      FROM test_units a JOIN test_units b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    unit_hits AS (
+      SELECT c.l_orderkey, c.pa,
+             MAX(CASE WHEN r.pa IS NOT NULL THEN 1 ELSE 0 END) AS hit
+      FROM cand c LEFT JOIN recs r ON r.pa = c.pa AND r.pb = c.pb
+      GROUP BY 1, 2
+    ),
+    cov AS (
+      SELECT u.l_orderkey, u.l_partkey,
+             CASE WHEN EXISTS (SELECT 1 FROM recs r
+                               WHERE r.pa = u.l_partkey)
+                  THEN 1 ELSE 0 END AS covered
+      FROM test_units u
+    )
+    SELECT
+      CAST((SELECT COUNT(DISTINCT l_orderkey) FROM items
+            WHERE o_orderdate < TIMESTAMP '{_RECS_CUTOFF}') AS BIGINT)
+        AS n_train_orders,
+      CAST((SELECT COUNT(*) FROM test_orders) AS BIGINT) AS n_test_orders,
+      CAST((SELECT COUNT(*) FROM unit_hits) AS BIGINT)   AS n_units,
+      CAST((SELECT SUM(covered) FROM cov) AS BIGINT)     AS n_covered,
+      CAST((SELECT SUM(hit) FROM unit_hits) AS BIGINT)   AS n_hits,
+      ROUND((SELECT SUM(hit) FROM unit_hits)
+            / CAST((SELECT COUNT(*) FROM unit_hits) AS DOUBLE), 6)
+        AS hitrate_at_3,
+      ROUND((SELECT SUM(covered) FROM cov)
+            / CAST((SELECT COUNT(*) FROM cov) AS DOUBLE), 6)
+        AS coverage
+    """,
+)
+def recsys_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    items = (
+        li.distinct()
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_partkey", "o_orderdate")
+    )
+    train = items.filter(F.col("o_orderdate") < _RECS_CUTOFF)
+    ta = train.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    tb = train.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    train_pairs = (
+        ta.join(tb, "l_orderkey")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    recs = (
+        train_pairs.select(
+            "pa", "pb",
+            F.row_number()
+            .over(Window.partitionBy("pa").orderBy(F.desc("w"), "pb"))
+            .alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("pa", "pb")
+    )
+    test = items.filter(F.col("o_orderdate") >= _RECS_CUTOFF)
+    test_orders = (
+        test.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .filter(F.col("np") >= 2)
+        .select("l_orderkey")
+    )
+    units = test.join(test_orders, "l_orderkey").select(
+        "l_orderkey", "l_partkey"
+    )
+    ca = units.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    cb = units.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    cand = ca.join(cb, "l_orderkey").filter(F.col("pa") != F.col("pb"))
+    hit_flag = recs.withColumn("is_rec", F.lit(1))
+    unit_hits = (
+        cand.join(hit_flag, ["pa", "pb"], "left")
+        .groupBy("l_orderkey", "pa")
+        .agg(F.max(F.coalesce("is_rec", F.lit(0))).alias("hit"))
+    )
+    rec_parts = recs.select("pa").distinct().withColumn("cov", F.lit(1))
+    cov = units.join(
+        rec_parts, units.l_partkey == rec_parts.pa, "left"
+    ).select(F.coalesce("cov", F.lit(0)).alias("covered"))
+    out = (
+        train.select("l_orderkey").distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_train_orders"))
+        .crossJoin(
+            test_orders.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_test_orders")
+            )
+        )
+        .crossJoin(
+            unit_hits.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_units"),
+                F.sum("hit").cast("bigint").alias("n_hits"),
+            )
+        )
+        .crossJoin(
+            cov.agg(F.sum("covered").cast("bigint").alias("n_covered"),
+                    F.count(F.lit(1)).alias("n_cov_units"))
+        )
+    )
+    return out.select(
+        "n_train_orders", "n_test_orders", "n_units", "n_covered", "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_units"), 6
+        ).alias("hitrate_at_3"),
+        F.round(
+            F.col("n_covered").cast("double") / F.col("n_cov_units"), 6
+        ).alias("coverage"),
+    )

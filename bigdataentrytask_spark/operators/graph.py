@@ -980,3 +980,103 @@ def hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("hub_1"), "node")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Rich-club coefficient phi(k) for k in {2, 4, 8, 16}: among nodes
+# with degree > k, what fraction of possible edges exist? The
+# hub-interconnection diagnostic that degree distribution and
+# assortativity (one number) cannot show — a rising phi(k) curve
+# means the high-degree parts form a tightly co-purchased core.
+# One degree table, one edge pass with BOTH endpoint degrees joined,
+# then the four k levels as conditional aggregates (joinless sweep
+# shape). All counts exact integers; scale is |edges| + |nodes|.
+# --------------------------------------------------------------------------
+@operator(
+    "rich_club_coefficient",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    sym AS (SELECT s AS u, d AS v FROM edges
+            UNION ALL SELECT d, s FROM edges),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM sym GROUP BY 1),
+    tagged AS (
+      SELECT e.s, e.d, da.degree AS deg_s, db.degree AS deg_d
+      FROM edges e
+      JOIN deg da ON da.node = e.s
+      JOIN deg db ON db.node = e.d
+    ),
+    m AS (
+      SELECT
+        {", ".join(
+            f'''CAST((SELECT COUNT(*) FROM deg WHERE degree > {k})
+                 AS BIGINT) AS n{k},
+            CAST(count_if(deg_s > {k} AND deg_d > {k}) AS BIGINT) AS e{k}'''
+            for k in (2, 4, 8, 16)
+        )}
+      FROM tagged
+    )
+    SELECT k, n_rich, e_rich,
+           CAST(n_rich * (n_rich - 1) / 2 AS BIGINT) AS possible,
+           ROUND(CASE WHEN n_rich < 2 THEN 0.0
+                      ELSE CAST(e_rich AS DOUBLE)
+                           / (n_rich * (n_rich - 1) / 2.0) END, 6) AS phi
+    FROM (
+      {" UNION ALL ".join(
+          f"SELECT {k} AS k, n{k} AS n_rich, e{k} AS e_rich FROM m"
+          for k in (2, 4, 8, 16)
+      )}
+    )
+    ORDER BY k
+    """,
+)
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    sym = edges.select(F.col("s").alias("u")).unionAll(
+        edges.select(F.col("d").alias("u"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    tagged = (
+        edges.join(
+            deg.select(F.col("node").alias("s"), F.col("degree").alias("deg_s")),
+            "s",
+        )
+        .join(
+            deg.select(F.col("node").alias("d"), F.col("degree").alias("deg_d")),
+            "d",
+        )
+    )
+    ks = (2, 4, 8, 16)
+    e_aggs = [
+        F.count(F.when((F.col("deg_s") > k) & (F.col("deg_d") > k), 1))
+        .cast("bigint").alias(f"e{k}")
+        for k in ks
+    ]
+    em = tagged.agg(*e_aggs)
+    n_aggs = [
+        F.count(F.when(F.col("degree") > k, 1)).cast("bigint").alias(f"n{k}")
+        for k in ks
+    ]
+    nm = deg.agg(*n_aggs)
+    m = em.crossJoin(nm)
+    stacked = m.select(
+        F.expr(
+            "stack(4, "
+            + ", ".join(f"{k}, n{k}, e{k}" for k in ks)
+            + ") AS (k, n_rich, e_rich)"
+        )
+    )
+    n_rich = F.col("n_rich")
+    return stacked.select(
+        F.col("k").cast("int").alias("k"),
+        n_rich.cast("bigint").alias("n_rich"),
+        F.col("e_rich").cast("bigint").alias("e_rich"),
+        (n_rich * (n_rich - 1) / 2).cast("bigint").alias("possible"),
+        F.round(
+            F.when(n_rich < 2, F.lit(0.0)).otherwise(
+                F.col("e_rich").cast("double") / (n_rich * (n_rich - 1) / 2.0)
+            ), 6
+        ).alias("phi"),
+    ).orderBy("k")

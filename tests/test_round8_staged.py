@@ -88,6 +88,8 @@ ROUND8_STAGED = [
     "oov_rate_vocab_sweep",
     "contrastive_pair_mining",
     "sequential_ab_obrien_fleming",
+    "rich_club_coefficient",
+    "recsys_hitrate_eval",
 ]
 
 
@@ -755,3 +757,25 @@ def test_obf_boundaries_decreasing(spark):
         assert a.conv_a <= b.conv_a and a.conv_b <= b.conv_b
     for r in rows:
         assert r.crossed == (1 if abs(r.z_look) > r.boundary else 0)
+
+
+def test_rich_club_monotone_population(spark):
+    rows = sorted(REGISTRY["rich_club_coefficient"](spark, SF_DIR).collect(),
+                  key=lambda r: r.k)
+    assert [r.k for r in rows] == [2, 4, 8, 16]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_rich >= b.n_rich        # higher bar, fewer rich nodes
+        assert a.e_rich >= b.e_rich
+    for r in rows:
+        assert 0.0 <= r.phi <= 1.0
+        assert r.e_rich <= r.possible
+
+
+def test_recsys_eval_bounds(spark):
+    r = REGISTRY["recsys_hitrate_eval"](spark, SF_DIR).collect()[0]
+    assert r.n_hits <= r.n_units
+    assert r.n_covered <= r.n_units
+    assert 0.0 <= r.hitrate_at_3 <= 1.0
+    assert 0.0 <= r.coverage <= 1.0
+    # a hit requires the anchor to be covered, so HR <= coverage
+    assert r.hitrate_at_3 <= r.coverage + 1e-9
