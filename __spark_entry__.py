@@ -135,6 +135,8 @@ _DEFER: list[str] = [
     "sequential_ab_obrien_fleming",
     "rich_club_coefficient",
     "recsys_hitrate_eval",
+    "abc_xyz_matrix",
+    "join_cardinality_estimate",
 ]
 
 _PIN: list[str] = [

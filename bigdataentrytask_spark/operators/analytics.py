@@ -2970,3 +2970,121 @@ def recsys_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_covered").cast("double") / F.col("n_cov_units"), 6
         ).alias("coverage"),
     )
+
+
+# --------------------------------------------------------------------------
+# ABC-XYZ inventory matrix: revenue concentration class (A/B/C by
+# cumulative revenue share 80/95) crossed with demand-variability
+# class (X/Y/Z by the coefficient of variation of MONTHLY quantity,
+# cv < 0.5 / < 1.0 / rest) — the 9-cell planning matrix that says
+# which parts deserve forecasting effort. Revenue ranking is a
+# window over the |parts| domain; CV comes from exact integer moment
+# sums over (part, month) quantities with months-ACTIVE as the
+# denominator (documented choice: zero-months excluded). Census
+# output: 9 rows of (abc, xyz, n_parts, revenue share).
+# --------------------------------------------------------------------------
+@operator(
+    "abc_xyz_matrix",
+    oracle="""
+    WITH pm AS (
+      SELECT l_partkey,
+             date_trunc('month', l_shipdate) AS m,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1, 2
+    ), per_part AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT)  AS n_m,
+             CAST(SUM(q) AS BIGINT)    AS sq,
+             SUM(CAST(q AS HUGEINT) * q) AS sq2,
+             CAST(SUM(cents) AS BIGINT) AS revenue
+      FROM pm GROUP BY 1
+    ), ranked AS (
+      SELECT l_partkey, n_m, sq, sq2, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey) AS cum_rev,
+             SUM(revenue) OVER ()                                 AS tot_rev
+      FROM per_part
+    ), classed AS (
+      SELECT CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE)
+                       <= 0.80 THEN 'A'
+                  WHEN CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE)
+                       <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc,
+             CASE WHEN n_m < 2 THEN 'Z'
+                  WHEN sqrt(GREATEST((n_m * CAST(sq2 AS DOUBLE)
+                                      - CAST(sq AS DOUBLE) * sq)
+                                     / (CAST(n_m AS DOUBLE) * (n_m - 1)), 0.0))
+                       / (CAST(sq AS DOUBLE) / n_m) < 0.5 THEN 'X'
+                  WHEN sqrt(GREATEST((n_m * CAST(sq2 AS DOUBLE)
+                                      - CAST(sq AS DOUBLE) * sq)
+                                     / (CAST(n_m AS DOUBLE) * (n_m - 1)), 0.0))
+                       / (CAST(sq AS DOUBLE) / n_m) < 1.0 THEN 'Y'
+                  ELSE 'Z' END AS xyz,
+             revenue, tot_rev
+      FROM ranked
+    )
+    SELECT abc, xyz,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(revenue) AS DOUBLE) / CAST(MAX(tot_rev) AS DOUBLE),
+                 6) AS revenue_share
+    FROM classed GROUP BY 1, 2 ORDER BY abc, xyz
+    """,
+)
+def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(
+        F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("q"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint").alias("cents"),
+    )
+    per_part = pm.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_m"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("sq2"),
+        F.sum("cents").cast("bigint").alias("revenue"),
+    )
+    wr = Window.orderBy(F.desc("revenue"), "l_partkey")
+    ranked = per_part.select(
+        "n_m", "sq", "sq2", "revenue",
+        F.sum("revenue").over(wr).alias("cum_rev"),
+        F.sum("revenue").over(Window.partitionBy()).alias("tot_rev"),
+    )
+    share = F.col("cum_rev").cast("double") / F.col("tot_rev").cast("double")
+    n_m = F.col("n_m")
+    cv = (
+        F.sqrt(
+            F.greatest(
+                (n_m * F.col("sq2").cast("double")
+                 - F.col("sq").cast("double") * F.col("sq"))
+                / (n_m.cast("double") * (n_m - 1)),
+                F.lit(0.0),
+            )
+        )
+        / (F.col("sq").cast("double") / n_m)
+    )
+    classed = ranked.select(
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C")
+        .alias("abc"),
+        F.when(n_m < 2, "Z")
+        .when(cv < 0.5, "X")
+        .when(cv < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+        "revenue", "tot_rev",
+    )
+    return (
+        classed.groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(
+                F.sum("revenue").cast("double")
+                / F.max("tot_rev").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc", "xyz")
+    )

@@ -3240,3 +3240,79 @@ def incremental_join_maintenance(
         )
     )
     return merged.orderBy("nationkey")
+
+
+# --------------------------------------------------------------------------
+# Join-cardinality estimation audit — the planner's question run as a
+# query: |orders JOIN customer ON custkey| predicted three ways
+# (cross-product upper bound; the uniform-key textbook estimate
+# n1*n2/max(d1,d2); the per-key exact sum) against the true join
+# count. The gap between estimate and truth is WHY skew breaks
+# plans; join_key_skew_stats measures the key histogram, this op
+# measures the consequence. All counts come from two grouped passes
+# plus a custkey-level micro-join of the two count tables
+# (|distinct keys| rows); the join output itself is never built.
+# --------------------------------------------------------------------------
+@operator(
+    "join_cardinality_estimate",
+    oracle="""
+    WITH oc AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c_o
+      FROM orders GROUP BY 1
+    ), cc AS (
+      SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c_c
+      FROM customer GROUP BY 1
+    ), m AS (
+      SELECT
+        (SELECT COUNT(*) FROM orders)                    AS n_o,
+        (SELECT COUNT(*) FROM customer)                  AS n_c,
+        (SELECT COUNT(*) FROM oc)                        AS d_o,
+        (SELECT COUNT(*) FROM cc)                        AS d_c,
+        (SELECT CAST(COALESCE(SUM(oc.c_o * cc.c_c), 0) AS BIGINT)
+         FROM oc JOIN cc ON cc.k = oc.k)                 AS actual
+    )
+    SELECT CAST(n_o AS BIGINT) AS n_orders,
+           CAST(n_c AS BIGINT) AS n_customers,
+           CAST(d_o AS BIGINT) AS d_orders_keys,
+           CAST(d_c AS BIGINT) AS d_customer_keys,
+           CAST(actual AS BIGINT) AS actual_join_rows,
+           CAST(ROUND(CAST(n_o AS DOUBLE) * n_c
+                      / GREATEST(d_o, d_c)) AS BIGINT) AS est_uniform,
+           ROUND(CAST(n_o AS DOUBLE) * n_c / GREATEST(d_o, d_c)
+                 / actual, 6) AS est_over_actual
+    FROM m
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    oc = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_o")
+    )
+    cc = c.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_c")
+    )
+    actual = oc.join(cc, "k").agg(
+        F.coalesce(F.sum(F.col("c_o") * F.col("c_c")), F.lit(0))
+        .cast("bigint").alias("actual")
+    )
+    m = (
+        o.agg(F.count(F.lit(1)).cast("bigint").alias("n_o"))
+        .crossJoin(c.agg(F.count(F.lit(1)).cast("bigint").alias("n_c")))
+        .crossJoin(oc.agg(F.count(F.lit(1)).cast("bigint").alias("d_o")))
+        .crossJoin(cc.agg(F.count(F.lit(1)).cast("bigint").alias("d_c")))
+        .crossJoin(actual)
+    )
+    est = (
+        F.col("n_o").cast("double") * F.col("n_c")
+        / F.greatest("d_o", "d_c")
+    )
+    return m.select(
+        F.col("n_o").alias("n_orders"),
+        F.col("n_c").alias("n_customers"),
+        F.col("d_o").alias("d_orders_keys"),
+        F.col("d_c").alias("d_customer_keys"),
+        F.col("actual").alias("actual_join_rows"),
+        F.round(est).cast("bigint").alias("est_uniform"),
+        F.round(est / F.col("actual"), 6).alias("est_over_actual"),
+    )

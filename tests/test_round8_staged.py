@@ -90,6 +90,8 @@ ROUND8_STAGED = [
     "sequential_ab_obrien_fleming",
     "rich_club_coefficient",
     "recsys_hitrate_eval",
+    "abc_xyz_matrix",
+    "join_cardinality_estimate",
 ]
 
 
@@ -779,3 +781,25 @@ def test_recsys_eval_bounds(spark):
     assert 0.0 <= r.coverage <= 1.0
     # a hit requires the anchor to be covered, so HR <= coverage
     assert r.hitrate_at_3 <= r.coverage + 1e-9
+
+
+def test_abc_xyz_partitions_parts(spark):
+    rows = REGISTRY["abc_xyz_matrix"](spark, SF_DIR).collect()
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-4
+    assert all(r.abc in "ABC" and r.xyz in "XYZ" for r in rows)
+    by_abc = {}
+    for r in rows:
+        by_abc.setdefault(r.abc, 0)
+        by_abc[r.abc] += r.revenue_share
+    # A carries the bulk by construction (80% boundary; the part that
+    # crosses the line can push it slightly over)
+    if "A" in by_abc:
+        assert by_abc["A"] >= 0.75
+
+
+def test_join_cardinality_actual_vs_fk(spark):
+    r = REGISTRY["join_cardinality_estimate"](spark, SF_DIR).collect()[0]
+    # every order has exactly one customer -> actual == |orders|
+    assert r.actual_join_rows == r.n_orders
+    assert r.est_uniform > 0
+    assert r.est_over_actual > 0
