@@ -137,6 +137,8 @@ _DEFER: list[str] = [
     "recsys_hitrate_eval",
     "abc_xyz_matrix",
     "join_cardinality_estimate",
+    "quantile_forecast_pinball",
+    "rank_distribution_probe",
 ]
 
 _PIN: list[str] = [

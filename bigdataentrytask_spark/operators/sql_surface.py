@@ -2075,3 +2075,67 @@ def higher_order_array_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exists("arr", lambda x: x % 1000 == 0), 1
         ).otherwise(0).cast("bigint").alias("has_round_value"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Distribution-rank semantics probe: percent_rank (=(rank-1)/(n-1)),
+# cume_dist (=rows<=current/n) and ntile(4) over order values within
+# each market segment — the remaining window-rank surface after
+# rank_semantics_probe (admission under ties). percent_rank and
+# cume_dist are ratios of exact integers, so they are engine-exact;
+# ntile boundaries follow the SQL-standard n*(bucket)/k split which
+# both engines implement identically. Probed on each segment's top
+# 12 orders (deterministic cut: cents desc, orderkey) to keep the
+# output review-sized.
+# --------------------------------------------------------------------------
+@operator(
+    "rank_distribution_probe",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             o.o_orderkey,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), top AS (
+      SELECT seg, o_orderkey, cents FROM (
+        SELECT seg, o_orderkey, cents,
+               ROW_NUMBER() OVER (PARTITION BY seg
+                                  ORDER BY cents DESC, o_orderkey) AS rn
+        FROM j
+      ) WHERE rn <= 12
+    )
+    SELECT seg, o_orderkey, cents,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6)    AS cum_dist,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM top
+    WINDOW w AS (PARTITION BY seg ORDER BY cents, o_orderkey)
+    ORDER BY seg, cents, o_orderkey
+    """,
+)
+def rank_distribution_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    wtop = Window.partitionBy("seg").orderBy(F.desc("cents"), "o_orderkey")
+    top = (
+        j.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 12)
+        .drop("rn")
+    )
+    w = Window.partitionBy("seg").orderBy("cents", "o_orderkey")
+    return top.select(
+        "seg", "o_orderkey", "cents",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    ).orderBy("seg", "cents", "o_orderkey")

@@ -1065,3 +1065,168 @@ def seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.greatest(F.lit(0.0), F.lit(1.0) - F.col("w") / var_d), 6)
         .alias("seasonal_strength"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quantile-forecast evaluation by pinball loss: forecast each hour of
+# the LAST week of events as the (dow, hour)-conditional historical
+# quantile (q10/q50/q90, exact interpolated over the training hours)
+# and score with the pinball (quantile) loss — the metric that makes
+# quantile forecasts comparable and calibration visible (q10 should
+# under-predict ~90% of the time). Train/test split at the last
+# Monday; quantiles per (dow, hour) come from one window over the
+# (168-cell x history) domain; per-hour losses are snapped onto a
+# 1e-6 grid before the cross-hour mean (snap-before-sum).
+# Complements forecast_backtest_mase (point forecasts) with the
+# probabilistic readout.
+# --------------------------------------------------------------------------
+_PB_SPLIT = "2024-01-22"  # last full Monday-anchored week of the fixture
+
+
+@operator(
+    "quantile_forecast_pinball",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             dayofweek(ts) + 1      AS dow,
+             hour(ts)               AS hod,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2, 3
+    ),
+    train AS (SELECT * FROM hourly WHERE h <  TIMESTAMP '{_PB_SPLIT}'),
+    test  AS (SELECT * FROM hourly WHERE h >= TIMESTAMP '{_PB_SPLIT}'),
+    ranked AS (
+      SELECT dow, hod, y,
+             ROW_NUMBER() OVER (PARTITION BY dow, hod ORDER BY y) AS rn,
+             COUNT(*)    OVER (PARTITION BY dow, hod)             AS n
+      FROM train
+    ),
+    q AS (
+      SELECT dow, hod,
+             MIN(CASE WHEN rn - 1 >= CAST(floor(0.1 * (n - 1)) AS BIGINT)
+                      THEN y END) AS q10_lo,
+             MIN(CASE WHEN rn - 1 >= CAST(ceil(0.1 * (n - 1)) AS BIGINT)
+                      THEN y END) AS q10_hi,
+             MIN(CASE WHEN rn - 1 >= CAST(floor(0.5 * (n - 1)) AS BIGINT)
+                      THEN y END) AS q50_lo,
+             MIN(CASE WHEN rn - 1 >= CAST(ceil(0.5 * (n - 1)) AS BIGINT)
+                      THEN y END) AS q50_hi,
+             MIN(CASE WHEN rn - 1 >= CAST(floor(0.9 * (n - 1)) AS BIGINT)
+                      THEN y END) AS q90_lo,
+             MIN(CASE WHEN rn - 1 >= CAST(ceil(0.9 * (n - 1)) AS BIGINT)
+                      THEN y END) AS q90_hi,
+             MAX(n) AS n_train
+      FROM ranked GROUP BY 1, 2
+    ),
+    fc AS (
+      SELECT dow, hod,
+             q10_lo + (q10_hi - q10_lo) * (0.1 * (n_train - 1)
+                      - floor(0.1 * (n_train - 1))) AS f10,
+             q50_lo + (q50_hi - q50_lo) * (0.5 * (n_train - 1)
+                      - floor(0.5 * (n_train - 1))) AS f50,
+             q90_lo + (q90_hi - q90_lo) * (0.9 * (n_train - 1)
+                      - floor(0.9 * (n_train - 1))) AS f90
+      FROM q
+    ),
+    scored AS (
+      SELECT t.y, f.f10, f.f50, f.f90,
+             CAST(ROUND(GREATEST(0.1 * (t.y - f.f10),
+                                 -0.9 * (t.y - f.f10)) * 1000000.0)
+                  AS BIGINT) AS l10,
+             CAST(ROUND(GREATEST(0.5 * (t.y - f.f50),
+                                 -0.5 * (t.y - f.f50)) * 1000000.0)
+                  AS BIGINT) AS l50,
+             CAST(ROUND(GREATEST(0.9 * (t.y - f.f90),
+                                 -0.1 * (t.y - f.f90)) * 1000000.0)
+                  AS BIGINT) AS l90,
+             CASE WHEN t.y > f.f10 THEN 1 ELSE 0 END AS above10,
+             CASE WHEN t.y > f.f90 THEN 1 ELSE 0 END AS above90
+      FROM test t JOIN fc f ON f.dow = t.dow AND f.hod = t.hod
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test_hours,
+           ROUND(CAST(SUM(l10) AS DOUBLE) / COUNT(*) / 1000000.0 / 100.0, 6)
+             AS pinball_q10,
+           ROUND(CAST(SUM(l50) AS DOUBLE) / COUNT(*) / 1000000.0 / 100.0, 6)
+             AS pinball_q50,
+           ROUND(CAST(SUM(l90) AS DOUBLE) / COUNT(*) / 1000000.0 / 100.0, 6)
+             AS pinball_q90,
+           ROUND(CAST(SUM(above10) AS DOUBLE) / COUNT(*), 6)
+             AS share_above_q10,
+           ROUND(CAST(SUM(above90) AS DOUBLE) / COUNT(*), 6)
+             AS share_above_q90
+    FROM scored
+    """,
+)
+def quantile_forecast_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataentrytask_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint").alias("y")
+    )
+    train = hourly.filter(F.col("h") < _PB_SPLIT)
+    test = hourly.filter(F.col("h") >= _PB_SPLIT)
+    wq = Window.partitionBy("dow", "hod").orderBy("y")
+    wn = Window.partitionBy("dow", "hod")
+    ranked = train.select(
+        "dow", "hod", "y",
+        F.row_number().over(wq).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    def pick(p: float, side: str):
+        fn = F.floor if side == "lo" else F.ceil
+        return F.min(
+            F.when(
+                F.col("rn") - 1 >= fn(F.lit(p) * (F.col("n") - 1)).cast("bigint"),
+                F.col("y"),
+            )
+        )
+    q = ranked.groupBy("dow", "hod").agg(
+        pick(0.1, "lo").alias("q10_lo"), pick(0.1, "hi").alias("q10_hi"),
+        pick(0.5, "lo").alias("q50_lo"), pick(0.5, "hi").alias("q50_hi"),
+        pick(0.9, "lo").alias("q90_lo"), pick(0.9, "hi").alias("q90_hi"),
+        F.max("n").alias("n_train"),
+    )
+    def interp(p: float, lo: str, hi: str):
+        frac = F.lit(p) * (F.col("n_train") - 1) - F.floor(
+            F.lit(p) * (F.col("n_train") - 1)
+        )
+        return F.col(lo) + (F.col(hi) - F.col(lo)) * frac
+    fc = q.select(
+        "dow", "hod",
+        interp(0.1, "q10_lo", "q10_hi").alias("f10"),
+        interp(0.5, "q50_lo", "q50_hi").alias("f50"),
+        interp(0.9, "q90_lo", "q90_hi").alias("f90"),
+    )
+    j = test.join(F.broadcast(fc), ["dow", "hod"])
+    def pin(tau: float, f: str):
+        d = F.col("y") - F.col(f)
+        return F.round(
+            F.greatest(F.lit(tau) * d, F.lit(tau - 1.0) * d) * 1000000.0
+        ).cast("bigint")
+    scored = j.select(
+        pin(0.1, "f10").alias("l10"),
+        pin(0.5, "f50").alias("l50"),
+        pin(0.9, "f90").alias("l90"),
+        F.when(F.col("y") > F.col("f10"), 1).otherwise(0).alias("above10"),
+        F.when(F.col("y") > F.col("f90"), 1).otherwise(0).alias("above90"),
+    )
+    cnt = F.count(F.lit(1))
+    return scored.agg(
+        cnt.cast("bigint").alias("n_test_hours"),
+        F.round(F.sum("l10").cast("double") / cnt / 1000000.0 / 100.0, 6)
+        .alias("pinball_q10"),
+        F.round(F.sum("l50").cast("double") / cnt / 1000000.0 / 100.0, 6)
+        .alias("pinball_q50"),
+        F.round(F.sum("l90").cast("double") / cnt / 1000000.0 / 100.0, 6)
+        .alias("pinball_q90"),
+        F.round(F.sum("above10").cast("double") / cnt, 6)
+        .alias("share_above_q10"),
+        F.round(F.sum("above90").cast("double") / cnt, 6)
+        .alias("share_above_q90"),
+    )

@@ -92,6 +92,8 @@ ROUND8_STAGED = [
     "recsys_hitrate_eval",
     "abc_xyz_matrix",
     "join_cardinality_estimate",
+    "quantile_forecast_pinball",
+    "rank_distribution_probe",
 ]
 
 
@@ -803,3 +805,26 @@ def test_join_cardinality_actual_vs_fk(spark):
     assert r.actual_join_rows == r.n_orders
     assert r.est_uniform > 0
     assert r.est_over_actual > 0
+
+
+def test_pinball_calibration_direction(spark):
+    r = REGISTRY["quantile_forecast_pinball"](spark, SF_DIR).collect()[0]
+    assert r.n_test_hours > 0
+    for v in (r.pinball_q10, r.pinball_q50, r.pinball_q90):
+        assert v >= 0.0
+    # q10 must sit below q90 in exceedance: share above q10 > share above q90
+    assert r.share_above_q10 >= r.share_above_q90
+
+
+def test_rank_distribution_identities(spark):
+    rows = REGISTRY["rank_distribution_probe"](spark, SF_DIR).collect()
+    assert len(rows) == 60  # 5 segments x 12
+    from collections import defaultdict
+    segs = defaultdict(list)
+    for r in rows:
+        segs[r.seg].append(r)
+    for seg, rs in segs.items():
+        rs.sort(key=lambda r: (r.cents, r.o_orderkey))
+        assert rs[0].pct_rank == 0.0 and rs[-1].pct_rank == 1.0
+        assert abs(rs[-1].cum_dist - 1.0) < 1e-9
+        assert sorted({r.quartile for r in rs}) == [1, 2, 3, 4]
