@@ -139,6 +139,8 @@ _DEFER: list[str] = [
     "join_cardinality_estimate",
     "quantile_forecast_pinball",
     "rank_distribution_probe",
+    "ratio_metric_delta_ci",
+    "raking_weights_ipf",
 ]
 
 _PIN: list[str] = [

@@ -3928,3 +3928,198 @@ def sequential_ab_obrien_fleming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.abs(z) > F.col("boundary"), 1)
         .otherwise(0).cast("int").alias("crossed"),
     ).orderBy("look")
+
+
+# --------------------------------------------------------------------------
+# Ratio-metric A/B readout with DELTA-METHOD variance: the metric is
+# revenue per event (a ratio of two per-user sums, so the naive
+# binomial/means machinery is WRONG — users, not events, are the
+# randomization unit). Per arm: R = sum(x)/sum(y) with
+# var(R) ~= (sxx - 2R sxy + R^2 syy) / (n * ybar^2) from per-user
+# (x, y) moment sums — all exact cents/count integers (HUGEINT /
+# DECIMAL(38,0) cross-moments), one pinned double expression per
+# arm, then the two-arm z. The experimentation-platform staple that
+# welch (means) and the proportion z-tests cannot replace.
+# --------------------------------------------------------------------------
+@operator(
+    "ratio_metric_delta_ci",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS arm,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT)                                AS y
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT)            AS n,
+             CAST(SUM(x) AS BIGINT)              AS sx,
+             CAST(SUM(y) AS BIGINT)              AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM per_user GROUP BY 1
+    ), r AS (
+      SELECT arm, n, sx, sy,
+             CAST(sx AS DOUBLE) / sy AS ratio,
+             ((sxx - 2 * (CAST(sx AS DOUBLE) / sy) * sxy
+               + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy) * syy)
+              / n
+              - (CAST(sx AS DOUBLE) / n
+                 - (CAST(sx AS DOUBLE) / sy) * (CAST(sy AS DOUBLE) / n))
+                * (CAST(sx AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / sy) * (CAST(sy AS DOUBLE) / n)))
+             / n / ((CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+               AS var_r
+      FROM m
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           ROUND(a.ratio / 100.0, 6) AS ratio_a,
+           ROUND(b.ratio / 100.0, 6) AS ratio_b,
+           ROUND(sqrt(a.var_r) / 100.0, 6) AS se_a,
+           ROUND(sqrt(b.var_r) / 100.0, 6) AS se_b,
+           ROUND((a.ratio - b.ratio) / sqrt(a.var_r + b.var_r), 6) AS z_diff
+    FROM (SELECT * FROM r WHERE arm = 0) a
+    CROSS JOIN (SELECT * FROM r WHERE arm = 1) b
+    """,
+)
+def ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+               16, 10).cast("bigint") % 2
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint").alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("y"),
+    ).select(arm.alias("arm"), "x", "y")
+    hug = lambda a, b: F.col(a).cast("decimal(38,0)") * F.col(b)  # noqa: E731
+    m = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(hug("x", "x")).cast("double").alias("sxx"),
+        F.sum(hug("x", "y")).cast("double").alias("sxy"),
+        F.sum(hug("y", "y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    ratio = sx / F.col("sy")
+    mean_resid = sx / n - ratio * (sy / n)
+    var_r = (
+        (F.col("sxx") - 2 * ratio * F.col("sxy") + ratio * ratio * F.col("syy"))
+        / n
+        - mean_resid * mean_resid
+    ) / n / ((sy / n) * (sy / n))
+    r = m.select("arm", "n", ratio.alias("ratio"), var_r.alias("var_r"))
+    a = r.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("ratio").alias("ratio_a0"),
+        F.col("var_r").alias("var_a"),
+    )
+    b = r.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("ratio").alias("ratio_b0"),
+        F.col("var_r").alias("var_b"),
+    )
+    out = a.crossJoin(b)
+    return out.select(
+        "n_a", "n_b",
+        F.round(F.col("ratio_a0") / 100.0, 6).alias("ratio_a"),
+        F.round(F.col("ratio_b0") / 100.0, 6).alias("ratio_b"),
+        F.round(F.sqrt("var_a") / 100.0, 6).alias("se_a"),
+        F.round(F.sqrt("var_b") / 100.0, 6).alias("se_b"),
+        F.round(
+            (F.col("ratio_a0") - F.col("ratio_b0"))
+            / F.sqrt(F.col("var_a") + F.col("var_b")), 6
+        ).alias("z_diff"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Raking / iterative proportional fitting (2 full cycles): weight the
+# RESPONDENT subpopulation (customers with positive balance) so its
+# nation and segment margins match the FULL population — the
+# post-stratification step every survey/telemetry pipeline applies
+# before reporting. Cells are the 125-row (nation x segment) table;
+# each IPF step is one window sum over the margin partition; weights
+# live on a 1e9 integer grid and are re-snapped after every
+# multiplicative adjustment (ROUND of an identical double — the
+# snap-before-compare discipline applied to an ITERATIVE procedure,
+# which is exactly where unsnapped float drift would compound).
+# Structurally empty cells (no respondents) cannot be raked; they
+# are excluded BEFORE the margins are formed, so targets cover the
+# rakeable subtable only (the standard practical convention —
+# document, don't hide, the coverage gap).
+# --------------------------------------------------------------------------
+def _ipf_step_sql(prev: str, margin: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT c_nationkey, c_mktsegment, n_resp, n_pop,
+             CAST(ROUND(CAST(w AS DOUBLE)
+                  * (CAST(SUM(n_pop) OVER (PARTITION BY {margin}) AS DOUBLE)
+                     * 1000000000.0
+                     / CAST(SUM(n_resp * w) OVER (PARTITION BY {margin})
+                            AS DOUBLE))) AS BIGINT) AS w
+      FROM {prev}
+    )"""
+
+
+@operator(
+    "raking_weights_ipf",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count_if(c_acctbal > 0) AS BIGINT) AS n_resp,
+             CAST(COUNT(*) AS BIGINT)                AS n_pop
+      FROM customer GROUP BY 1, 2
+    ),
+    w0 AS (
+      SELECT c_nationkey, c_mktsegment, n_resp, n_pop,
+             CAST(1000000000 AS BIGINT) AS w
+      FROM cells WHERE n_resp > 0
+    ),
+    {_ipf_step_sql('w0', 'c_nationkey', 'w1')},
+    {_ipf_step_sql('w1', 'c_mktsegment', 'w2')},
+    {_ipf_step_sql('w2', 'c_nationkey', 'w3')},
+    {_ipf_step_sql('w3', 'c_mktsegment', 'w4')}
+    SELECT c_nationkey, c_mktsegment, n_resp, n_pop,
+           ROUND(CAST(w AS DOUBLE) / 1000000000.0, 6)          AS w_final,
+           ROUND(CAST(n_resp AS DOUBLE) * w / 1000000000.0, 6) AS weighted_n
+    FROM w4 ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def raking_weights_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.when(F.col("c_acctbal") > 0, 1)).cast("bigint")
+        .alias("n_resp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+    )
+    w = cells.filter(F.col("n_resp") > 0).withColumn(
+        "w", F.lit(1000000000).cast("bigint")
+    )
+
+    def step(df: DataFrame, margin: str) -> DataFrame:
+        win = Window.partitionBy(margin)
+        ratio = (
+            F.sum("n_pop").over(win).cast("double") * 1000000000.0
+            / F.sum(F.col("n_resp") * F.col("w")).over(win).cast("double")
+        )
+        return df.select(
+            "c_nationkey", "c_mktsegment", "n_resp", "n_pop",
+            F.round(F.col("w").cast("double") * ratio).cast("bigint")
+            .alias("w"),
+        )
+
+    for margin in ("c_nationkey", "c_mktsegment", "c_nationkey",
+                   "c_mktsegment"):
+        w = step(w, margin)
+    return w.select(
+        "c_nationkey", "c_mktsegment", "n_resp", "n_pop",
+        F.round(F.col("w").cast("double") / 1000000000.0, 6)
+        .alias("w_final"),
+        F.round(
+            F.col("n_resp").cast("double") * F.col("w") / 1000000000.0, 6
+        ).alias("weighted_n"),
+    ).orderBy("c_nationkey", "c_mktsegment")

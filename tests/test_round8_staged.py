@@ -94,6 +94,8 @@ ROUND8_STAGED = [
     "join_cardinality_estimate",
     "quantile_forecast_pinball",
     "rank_distribution_probe",
+    "ratio_metric_delta_ci",
+    "raking_weights_ipf",
 ]
 
 
@@ -828,3 +830,32 @@ def test_rank_distribution_identities(spark):
         assert rs[0].pct_rank == 0.0 and rs[-1].pct_rank == 1.0
         assert abs(rs[-1].cum_dist - 1.0) < 1e-9
         assert sorted({r.quartile for r in rs}) == [1, 2, 3, 4]
+
+
+def test_ratio_delta_sane(spark):
+    r = REGISTRY["ratio_metric_delta_ci"](spark, SF_DIR).collect()[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert r.ratio_a > 0 and r.ratio_b > 0
+    assert r.se_a > 0 and r.se_b > 0
+    # z must have the sign of the ratio gap
+    if abs(r.ratio_a - r.ratio_b) > 1e-9:
+        assert (r.z_diff > 0) == (r.ratio_a > r.ratio_b)
+
+
+def test_raking_matches_margins(spark):
+    """After 2 IPF cycles the SEGMENT margins (the last step's
+    partition) must match population targets to grid precision, and
+    nation margins must be close."""
+    rows = REGISTRY["raking_weights_ipf"](spark, SF_DIR).collect()
+    from collections import defaultdict
+    seg_w, seg_t, nat_w, nat_t = (defaultdict(float), defaultdict(int),
+                                  defaultdict(float), defaultdict(int))
+    for r in rows:
+        seg_w[r.c_mktsegment] += r.weighted_n
+        seg_t[r.c_mktsegment] += r.n_pop
+        nat_w[r.c_nationkey] += r.weighted_n
+        nat_t[r.c_nationkey] += r.n_pop
+    for s in seg_w:
+        assert abs(seg_w[s] - seg_t[s]) < 0.01 * seg_t[s] + 0.1
+    for nkey in nat_w:
+        assert abs(nat_w[nkey] - nat_t[nkey]) < 0.10 * nat_t[nkey] + 0.5
