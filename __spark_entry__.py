@@ -141,6 +141,9 @@ _DEFER: list[str] = [
     "rank_distribution_probe",
     "ratio_metric_delta_ci",
     "raking_weights_ipf",
+    "sample_ratio_mismatch",
+    "churn_threshold_sweep",
+    "survival_rmst",
 ]
 
 _PIN: list[str] = [

@@ -3088,3 +3088,117 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc", "xyz")
     )
+
+
+# --------------------------------------------------------------------------
+# Sample-ratio mismatch (SRM) check: the first thing every A/B
+# readout must pass — does the 50/50 hash split actually produce
+# 50/50 units? chi2 (1 df) = (n_a - n_b)^2 / n, flagged at the
+# conventional p < 0.001 boundary (chi2 > 10.827566, a precomputed
+# literal — no CDF call on either engine). Uses the same md5-parity
+# arm as ratio_metric_delta_ci / sequential_ab_obrien_fleming, so an
+# SRM here invalidates THOSE readouts specifically.
+# --------------------------------------------------------------------------
+@operator(
+    "sample_ratio_mismatch",
+    oracle="""
+    WITH pu AS (
+      SELECT DISTINCT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS arm
+      FROM events
+    ), m AS (
+      SELECT CAST(count_if(arm = 0) AS BIGINT) AS n_a,
+             CAST(count_if(arm = 1) AS BIGINT) AS n_b
+      FROM pu
+    )
+    SELECT n_a, n_b, n_a + n_b AS n_total,
+           ROUND(CAST(n_a AS DOUBLE) / (n_a + n_b), 6) AS split_a,
+           ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
+             AS chi2,
+           CASE WHEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+                     > 10.827566 THEN 1 ELSE 0 END AS srm_flag
+    FROM m
+    """,
+)
+def sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id").distinct()
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+               16, 10).cast("bigint") % 2
+    )
+    m = ev.select(arm.alias("arm")).agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("n_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    chi2 = ((n_a - n_b) * (n_a - n_b)).cast("double") / (n_a + n_b)
+    return m.select(
+        "n_a", "n_b", (n_a + n_b).alias("n_total"),
+        F.round(n_a.cast("double") / (n_a + n_b), 6).alias("split_a"),
+        F.round(chi2, 6).alias("chi2"),
+        F.when(chi2 > 10.827566, 1).otherwise(0).cast("int").alias("srm_flag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Churn-definition sensitivity sweep: "churned = inactive >= k days"
+# for k in {7, 14, 21}, measured against the corpus end time — the
+# audit that shows how much the headline churn rate is an artifact
+# of the chosen threshold. One per-user last-activity reduction,
+# exact integer day gaps (epoch-microsecond arithmetic), three
+# thresholds as conditional aggregates + stack().
+# --------------------------------------------------------------------------
+@operator(
+    "churn_threshold_sweep",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY 1
+    ), ref AS (
+      SELECT MAX(last_ts) AS end_ts FROM pu
+    ), gaps AS (
+      SELECT (epoch_us(ref.end_ts) - epoch_us(pu.last_ts))
+             // 86400000000 AS gap_days
+      FROM pu CROSS JOIN ref
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(count_if(gap_days >= 7) AS BIGINT)  AS c7,
+             CAST(count_if(gap_days >= 14) AS BIGINT) AS c14,
+             CAST(count_if(gap_days >= 21) AS BIGINT) AS c21
+      FROM gaps
+    )
+    SELECT k, n_users, churned,
+           ROUND(CAST(churned AS DOUBLE) / n_users, 6) AS churn_rate
+    FROM (
+      SELECT 7 AS k, n_users, c7 AS churned FROM m
+      UNION ALL SELECT 14, n_users, c14 FROM m
+      UNION ALL SELECT 21, n_users, c21 FROM m
+    ) ORDER BY k
+    """,
+)
+def churn_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    pu = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    ref = pu.agg(F.max("last_ts").alias("end_ts"))
+    gaps = pu.crossJoin(F.broadcast(ref)).select(
+        F.expr(
+            "(unix_micros(end_ts) - unix_micros(last_ts)) div 86400000000"
+        ).alias("gap_days")
+    )
+    m = gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count(F.when(F.col("gap_days") >= 7, 1)).cast("bigint").alias("c7"),
+        F.count(F.when(F.col("gap_days") >= 14, 1)).cast("bigint").alias("c14"),
+        F.count(F.when(F.col("gap_days") >= 21, 1)).cast("bigint").alias("c21"),
+    )
+    stacked = m.select(
+        F.expr("stack(3, 7, c7, 14, c14, 21, c21) AS (k, churned)"),
+        "n_users",
+    )
+    return stacked.select(
+        F.col("k").cast("int").alias("k"),
+        "n_users",
+        F.col("churned").cast("bigint").alias("churned"),
+        F.round(F.col("churned").cast("double") / F.col("n_users"), 6)
+        .alias("churn_rate"),
+    ).orderBy("k")

@@ -4123,3 +4123,84 @@ def raking_weights_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_resp").cast("double") * F.col("w") / 1000000000.0, 6
         ).alias("weighted_n"),
     ).orderBy("c_nationkey", "c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# Restricted mean survival time (RMST) from the verified Kaplan-Meier
+# curve: the area under the step function on the REPORTED grid —
+# "average days until repeat purchase, capped at the horizon" — the
+# single-number summary that makes two KM curves comparable without
+# any proportional-hazards assumption. Composition: the KM oracle's
+# (day, km_survival) rows + one ordered window; the first interval
+# [0, d1) uses S=1 (grid-resolution approximation, stated, not
+# hidden). Every term is the 6-dp KM value times an integer width,
+# summed on a 1e6 grid — order-free.
+# --------------------------------------------------------------------------
+def _register_survival_rmst() -> None:
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+
+    oracle = f"""
+    WITH km AS ({ORACLES["survival_km_repeat_purchase"]}),
+    stepped AS (
+      SELECT day, km_survival,
+             LEAD(day) OVER (ORDER BY day) - day AS width
+      FROM km
+    ),
+    m AS (
+      SELECT CAST(MIN(day) AS BIGINT)  AS first_day,
+             CAST(MAX(day) AS BIGINT)  AS horizon_days,
+             CAST(COUNT(*) AS BIGINT)  AS n_grid_points,
+             CAST(COALESCE(SUM(CAST(ROUND(km_survival * 1000000.0) AS BIGINT)
+                                * width), 0) AS BIGINT) AS area_grid
+      FROM stepped
+    ),
+    tail AS (
+      SELECT km_survival AS final_survival
+      FROM km ORDER BY day DESC LIMIT 1
+    )
+    SELECT m.horizon_days, m.n_grid_points,
+           ROUND(m.first_day + CAST(m.area_grid AS DOUBLE) / 1000000.0, 6)
+             AS rmst_days,
+           tail.final_survival
+    FROM m CROSS JOIN tail
+    """
+
+    @operator("survival_rmst", oracle=oracle)
+    def survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        km = REGISTRY["survival_km_repeat_purchase"](spark, sf_dir).select(
+            "day", "km_survival"
+        )
+        w = Window.orderBy("day")
+        stepped = km.select(
+            "day", "km_survival",
+            (F.lead("day").over(w) - F.col("day")).alias("width"),
+        )
+        m = stepped.agg(
+            F.min("day").cast("bigint").alias("first_day"),
+            F.max("day").cast("bigint").alias("horizon_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grid_points"),
+            F.coalesce(
+                F.sum(
+                    F.round(F.col("km_survival") * 1000000.0).cast("bigint")
+                    * F.col("width")
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("area_grid"),
+        )
+        tail = (
+            km.orderBy(F.desc("day")).limit(1)
+            .select(F.col("km_survival").alias("final_survival"))
+        )
+        return m.crossJoin(tail).select(
+            "horizon_days", "n_grid_points",
+            F.round(
+                F.col("first_day")
+                + F.col("area_grid").cast("double") / 1000000.0, 6
+            ).alias("rmst_days"),
+            "final_survival",
+        )
+
+
+_register_survival_rmst()

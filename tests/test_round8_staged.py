@@ -96,6 +96,9 @@ ROUND8_STAGED = [
     "rank_distribution_probe",
     "ratio_metric_delta_ci",
     "raking_weights_ipf",
+    "sample_ratio_mismatch",
+    "churn_threshold_sweep",
+    "survival_rmst",
 ]
 
 
@@ -859,3 +862,27 @@ def test_raking_matches_margins(spark):
         assert abs(seg_w[s] - seg_t[s]) < 0.01 * seg_t[s] + 0.1
     for nkey in nat_w:
         assert abs(nat_w[nkey] - nat_t[nkey]) < 0.10 * nat_t[nkey] + 0.5
+
+
+def test_srm_consistency(spark):
+    r = REGISTRY["sample_ratio_mismatch"](spark, SF_DIR).collect()[0]
+    assert r.n_a + r.n_b == r.n_total
+    assert r.srm_flag == (1 if r.chi2 > 10.827566 else 0)
+    assert 0.0 < r.split_a < 1.0
+
+
+def test_churn_sweep_monotone(spark):
+    rows = sorted(REGISTRY["churn_threshold_sweep"](spark, SF_DIR).collect(),
+                  key=lambda r: r.k)
+    assert [r.k for r in rows] == [7, 14, 21]
+    for a, b in zip(rows, rows[1:]):
+        assert a.churned >= b.churned     # stricter threshold, fewer churned
+    for r in rows:
+        assert 0.0 <= r.churn_rate <= 1.0
+
+
+def test_rmst_bracketed_by_horizon(spark):
+    r = REGISTRY["survival_rmst"](spark, SF_DIR).collect()[0]
+    assert 0.0 < r.rmst_days <= r.horizon_days
+    assert 0.0 <= r.final_survival <= 1.0
+    assert r.n_grid_points >= 2
