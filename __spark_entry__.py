@@ -144,6 +144,8 @@ _DEFER: list[str] = [
     "sample_ratio_mismatch",
     "churn_threshold_sweep",
     "survival_rmst",
+    "covariate_balance_smd",
+    "score_drift_psi",
 ]
 
 _PIN: list[str] = [

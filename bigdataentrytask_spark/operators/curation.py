@@ -901,3 +901,79 @@ def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("at_risk_pct"),
         "min_l_diversity", "groups_l_eq_1",
     ).orderBy("k")
+
+
+# --------------------------------------------------------------------------
+# MODEL-SCORE drift (PSI over classifier scores): the monitoring twin
+# of drift_psi_report (raw column PSI) applied to the quality
+# classifier's output distribution between two document cohorts
+# (doc_id parity — the stand-in for "last week's scoring run vs this
+# week's"). Score drift fires when the MODEL's view of the corpus
+# shifts even if no single raw column moved — the first alarm for
+# silent upstream changes. Composes the verified scoring plan; bins
+# are decile-width on the score's (0,1) range; per-bin psi_term
+# follows drift_psi_report's exact formula shape.
+# --------------------------------------------------------------------------
+def _register_score_drift_psi() -> None:
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+
+    oracle = f"""
+    WITH scored AS ({ORACLES["quality_classifier_score"]}),
+    tagged AS (
+      SELECT CAST(doc_id % 2 AS INT) AS period,
+             LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin
+      FROM scored
+    ),
+    counts AS (
+      SELECT bin,
+             CAST(COUNT(*) FILTER (WHERE period = 0) AS BIGINT) AS c1,
+             CAST(COUNT(*) FILTER (WHERE period = 1) AS BIGINT) AS c2
+      FROM tagged GROUP BY 1
+    ),
+    tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM counts)
+    SELECT c.bin, c.c1, c.c2,
+           ROUND(c.c2 / CAST(t.n2 AS DOUBLE)
+                 - c.c1 / CAST(t.n1 AS DOUBLE), 6) AS share_delta,
+           ROUND(CASE WHEN c.c1 = 0 OR c.c2 = 0 THEN 0.0
+                 ELSE (c.c2 / CAST(t.n2 AS DOUBLE)
+                       - c.c1 / CAST(t.n1 AS DOUBLE))
+                      * ln((c.c2 / CAST(t.n2 AS DOUBLE))
+                           / (c.c1 / CAST(t.n1 AS DOUBLE))) END, 6)
+             AS psi_term
+    FROM counts c CROSS JOIN tot t
+    ORDER BY c.bin
+    """
+
+    @operator("score_drift_psi", oracle=oracle)
+    def score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+        scored = REGISTRY["quality_classifier_score"](spark, sf_dir).select(
+            "doc_id", "score"
+        )
+        tagged = scored.select(
+            (F.col("doc_id") % 2).cast("int").alias("period"),
+            F.least(F.floor(F.col("score") * 10).cast("bigint"), F.lit(9))
+            .alias("bin"),
+        )
+        counts = tagged.groupBy("bin").agg(
+            F.count(F.when(F.col("period") == 0, 1)).cast("bigint")
+            .alias("c1"),
+            F.count(F.when(F.col("period") == 1, 1)).cast("bigint")
+            .alias("c2"),
+        )
+        tot = counts.agg(
+            F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+        )
+        j = counts.crossJoin(F.broadcast(tot))
+        p1 = F.col("c1") / F.col("n1").cast("double")
+        p2 = F.col("c2") / F.col("n2").cast("double")
+        return j.select(
+            "bin", "c1", "c2",
+            F.round(p2 - p1, 6).alias("share_delta"),
+            F.round(
+                F.when((F.col("c1") == 0) | (F.col("c2") == 0), F.lit(0.0))
+                .otherwise((p2 - p1) * F.log(p2 / p1)), 6
+            ).alias("psi_term"),
+        ).orderBy("bin")
+
+
+_register_score_drift_psi()

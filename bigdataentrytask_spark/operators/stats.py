@@ -4204,3 +4204,102 @@ def _register_survival_rmst() -> None:
 
 
 _register_survival_rmst()
+
+
+# --------------------------------------------------------------------------
+# Covariate balance check (standardized mean difference): before
+# trusting any arm comparison, verify the md5 hash split did not
+# accidentally imbalance PRE-treatment covariates — per-user event
+# count, total value, and active days, each summarized as
+# SMD = (mean_a - mean_b) / sqrt((var_a + var_b) / 2). |SMD| < 0.1
+# is the conventional "balanced" bar (reported as a flag, threshold
+# literal). Completes the experimentation suite: SRM (unit counts),
+# THIS (covariates), CUPED (variance), delta method (ratio metrics),
+# OBF (peeking). One per-user reduction; per-covariate exact moment
+# sums via the stack() unpivot.
+# --------------------------------------------------------------------------
+@operator(
+    "covariate_balance_smd",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS arm,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
+      FROM events GROUP BY 1
+    ), long AS (
+      SELECT arm, 'n_events' AS covariate, n_events AS x FROM pu
+      UNION ALL SELECT arm, 'value_cents', value_cents FROM pu
+      UNION ALL SELECT arm, 'active_days', active_days FROM pu
+    ), m AS (
+      SELECT covariate,
+             CAST(count_if(arm = 0) AS BIGINT) AS n_a,
+             CAST(count_if(arm = 1) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 0 THEN x END) AS DOUBLE) AS s1_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN x END) AS DOUBLE) AS s1_b,
+             CAST(SUM(CASE WHEN arm = 0
+                      THEN CAST(x AS HUGEINT) * x END) AS DOUBLE) AS s2_a,
+             CAST(SUM(CASE WHEN arm = 1
+                      THEN CAST(x AS HUGEINT) * x END) AS DOUBLE) AS s2_b
+      FROM long GROUP BY 1
+    )
+    SELECT covariate, n_a, n_b,
+           ROUND(s1_a / n_a, 6) AS mean_a,
+           ROUND(s1_b / n_b, 6) AS mean_b,
+           ROUND((s1_a / n_a - s1_b / n_b)
+                 / sqrt(((s2_a - s1_a * (s1_a / n_a)) / (n_a - 1)
+                         + (s2_b - s1_b * (s1_b / n_b)) / (n_b - 1)) / 2.0),
+                 6) AS smd,
+           CASE WHEN ABS((s1_a / n_a - s1_b / n_b)
+                 / sqrt(((s2_a - s1_a * (s1_a / n_a)) / (n_a - 1)
+                         + (s2_b - s1_b * (s1_b / n_b)) / (n_b - 1)) / 2.0))
+                     < 0.1 THEN 1 ELSE 0 END AS balanced
+    FROM m ORDER BY covariate
+    """,
+)
+def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+               16, 10).cast("bigint") % 2
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint").alias("value_cents"),
+        F.countDistinct(F.to_date("ts")).cast("bigint").alias("active_days"),
+    ).select(arm.alias("arm"), "n_events", "value_cents", "active_days")
+    long = pu.select(
+        "arm",
+        F.expr(
+            "stack(3, 'n_events', n_events, 'value_cents', value_cents,"
+            " 'active_days', active_days) AS (covariate, x)"
+        ),
+    )
+    is_a = F.col("arm") == 0
+    is_b = F.col("arm") == 1
+    hug = F.col("x").cast("decimal(38,0)") * F.col("x")
+    m = long.groupBy("covariate").agg(
+        F.count(F.when(is_a, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(is_b, 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(is_a, F.col("x"))).cast("double").alias("s1_a"),
+        F.sum(F.when(is_b, F.col("x"))).cast("double").alias("s1_b"),
+        F.sum(F.when(is_a, hug)).cast("double").alias("s2_a"),
+        F.sum(F.when(is_b, hug)).cast("double").alias("s2_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    s1_a, s1_b, s2_a, s2_b = (F.col(x) for x in ("s1_a", "s1_b", "s2_a", "s2_b"))
+    smd = (s1_a / n_a - s1_b / n_b) / F.sqrt(
+        ((s2_a - s1_a * (s1_a / n_a)) / (n_a - 1)
+         + (s2_b - s1_b * (s1_b / n_b)) / (n_b - 1)) / 2.0
+    )
+    return m.select(
+        "covariate", "n_a", "n_b",
+        F.round(s1_a / n_a, 6).alias("mean_a"),
+        F.round(s1_b / n_b, 6).alias("mean_b"),
+        F.round(smd, 6).alias("smd"),
+        F.when(F.abs(smd) < 0.1, 1).otherwise(0).cast("int").alias("balanced"),
+    ).orderBy("covariate")

@@ -99,6 +99,8 @@ ROUND8_STAGED = [
     "sample_ratio_mismatch",
     "churn_threshold_sweep",
     "survival_rmst",
+    "covariate_balance_smd",
+    "score_drift_psi",
 ]
 
 
@@ -886,3 +888,22 @@ def test_rmst_bracketed_by_horizon(spark):
     assert 0.0 < r.rmst_days <= r.horizon_days
     assert 0.0 <= r.final_survival <= 1.0
     assert r.n_grid_points >= 2
+
+
+def test_covariate_balance_flags(spark):
+    rows = REGISTRY["covariate_balance_smd"](spark, SF_DIR).collect()
+    assert sorted(r.covariate for r in rows) == [
+        "active_days", "n_events", "value_cents"
+    ]
+    for r in rows:
+        assert r.balanced == (1 if abs(r.smd) < 0.1 else 0)
+        assert r.n_a > 0 and r.n_b > 0
+
+
+def test_score_psi_shares_cancel(spark):
+    rows = REGISTRY["score_drift_psi"](spark, SF_DIR).collect()
+    # share deltas across all bins sum to ~0 (both sides are
+    # distributions); psi terms are non-negative by construction
+    assert abs(sum(r.share_delta for r in rows)) < 1e-4
+    for r in rows:
+        assert r.psi_term >= -1e-9
