@@ -146,6 +146,9 @@ _DEFER: list[str] = [
     "survival_rmst",
     "covariate_balance_smd",
     "score_drift_psi",
+    "jaccard_prefix_filter_join",
+    "kfold_metric_stability",
+    "price_volume_bridge",
 ]
 
 _PIN: list[str] = [

@@ -3202,3 +3202,135 @@ def churn_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("churned").cast("double") / F.col("n_users"), 6)
         .alias("churn_rate"),
     ).orderBy("k")
+
+
+# --------------------------------------------------------------------------
+# Price-volume bridge (Laspeyres decomposition) of the 1999 -> 2000
+# revenue change: for parts sold in BOTH years, split the delta into
+# price effect (q1 * dp), volume effect (p1 * dq) and the joint term,
+# and account separately for entering/exiting parts — the FP&A
+# reconciliation that must sum EXACTLY back to the total change.
+# Per-part effects are rational (rev/q); each part's price and
+# volume terms are snapped onto the 1e-6-cent grid and the joint
+# term is derived ON the grid (rev ints minus the two snapped
+# terms), so the bridge closes to the cent by construction and the
+# cross-part sums are order-free integers.
+# --------------------------------------------------------------------------
+@operator(
+    "price_volume_bridge",
+    oracle="""
+    WITH yearly AS (
+      SELECT l_partkey, year(l_shipdate) AS y,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem WHERE year(l_shipdate) IN (1999, 2000)
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT l_partkey,
+             MAX(CASE WHEN y = 1999 THEN q END)   AS q1,
+             MAX(CASE WHEN y = 1999 THEN rev END) AS r1,
+             MAX(CASE WHEN y = 2000 THEN q END)   AS q2,
+             MAX(CASE WHEN y = 2000 THEN rev END) AS r2
+      FROM yearly GROUP BY 1
+    ),
+    common AS (
+      SELECT
+        CAST(ROUND((CAST(q1 AS DOUBLE) * r2 / q2 - r1) * 1000000.0)
+             AS BIGINT) AS price_g,
+        CAST(ROUND((CAST(r1 AS DOUBLE) * q2 / q1 - r1) * 1000000.0)
+             AS BIGINT) AS vol_g,
+        (r2 - r1) * 1000000 AS delta_g
+      FROM w WHERE q1 IS NOT NULL AND q2 IS NOT NULL
+    ),
+    sums AS (
+      SELECT CAST(SUM(price_g) AS BIGINT)                   AS price_g,
+             CAST(SUM(vol_g) AS BIGINT)                     AS vol_g,
+             CAST(SUM(delta_g - price_g - vol_g) AS BIGINT) AS joint_g,
+             CAST(SUM(delta_g) AS BIGINT)                   AS delta_common_g
+      FROM common
+    ),
+    edges AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN q1 IS NULL THEN r2 END), 0)
+                  AS BIGINT) AS entered_cents,
+             CAST(COALESCE(SUM(CASE WHEN q2 IS NULL THEN r1 END), 0)
+                  AS BIGINT) AS exited_cents,
+             CAST(COALESCE(SUM(r1), 0) AS BIGINT) AS rev1_cents,
+             CAST(COALESCE(SUM(r2), 0) AS BIGINT) AS rev2_cents
+      FROM w
+    )
+    SELECT e.rev1_cents, e.rev2_cents,
+           CAST(e.rev2_cents - e.rev1_cents AS BIGINT)      AS delta_cents,
+           ROUND(s.price_g / 1000000.0 / 100.0, 6)          AS price_effect,
+           ROUND(s.vol_g / 1000000.0 / 100.0, 6)            AS volume_effect,
+           ROUND(s.joint_g / 1000000.0 / 100.0, 6)          AS joint_effect,
+           ROUND(e.entered_cents / 100.0, 6)                AS entered_revenue,
+           ROUND(e.exited_cents / 100.0, 6)                 AS exited_revenue,
+           ROUND((s.delta_common_g / 1000000.0
+                  + e.entered_cents - e.exited_cents) / 100.0, 6)
+             AS bridge_total
+    FROM sums s CROSS JOIN edges e
+    """,
+)
+def price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    yearly = (
+        li.filter(F.year("l_shipdate").isin(1999, 2000))
+        .groupBy("l_partkey", F.year("l_shipdate").alias("y"))
+        .agg(
+            F.sum(F.round("l_quantity").cast("bigint")).cast("bigint")
+            .alias("q"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint").alias("rev"),
+        )
+    )
+    w = yearly.groupBy("l_partkey").agg(
+        F.max(F.when(F.col("y") == 1999, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("y") == 1999, F.col("rev"))).alias("r1"),
+        F.max(F.when(F.col("y") == 2000, F.col("q"))).alias("q2"),
+        F.max(F.when(F.col("y") == 2000, F.col("rev"))).alias("r2"),
+    )
+    common = w.filter(
+        F.col("q1").isNotNull() & F.col("q2").isNotNull()
+    ).select(
+        F.round(
+            (F.col("q1").cast("double") * F.col("r2") / F.col("q2")
+             - F.col("r1")) * 1000000.0
+        ).cast("bigint").alias("price_g"),
+        F.round(
+            (F.col("r1").cast("double") * F.col("q2") / F.col("q1")
+             - F.col("r1")) * 1000000.0
+        ).cast("bigint").alias("vol_g"),
+        ((F.col("r2") - F.col("r1")) * 1000000).alias("delta_g"),
+    )
+    sums = common.agg(
+        F.sum("price_g").cast("bigint").alias("price_g"),
+        F.sum("vol_g").cast("bigint").alias("vol_g"),
+        F.sum(F.col("delta_g") - F.col("price_g") - F.col("vol_g"))
+        .cast("bigint").alias("joint_g"),
+        F.sum("delta_g").cast("bigint").alias("delta_common_g"),
+    )
+    edges = w.agg(
+        F.coalesce(F.sum(F.when(F.col("q1").isNull(), F.col("r2"))), F.lit(0))
+        .cast("bigint").alias("entered_cents"),
+        F.coalesce(F.sum(F.when(F.col("q2").isNull(), F.col("r1"))), F.lit(0))
+        .cast("bigint").alias("exited_cents"),
+        F.coalesce(F.sum("r1"), F.lit(0)).cast("bigint").alias("rev1_cents"),
+        F.coalesce(F.sum("r2"), F.lit(0)).cast("bigint").alias("rev2_cents"),
+    )
+    out = sums.crossJoin(edges)
+    return out.select(
+        "rev1_cents", "rev2_cents",
+        (F.col("rev2_cents") - F.col("rev1_cents")).cast("bigint")
+        .alias("delta_cents"),
+        F.round(F.col("price_g") / 1000000.0 / 100.0, 6).alias("price_effect"),
+        F.round(F.col("vol_g") / 1000000.0 / 100.0, 6).alias("volume_effect"),
+        F.round(F.col("joint_g") / 1000000.0 / 100.0, 6).alias("joint_effect"),
+        F.round(F.col("entered_cents") / 100.0, 6).alias("entered_revenue"),
+        F.round(F.col("exited_cents") / 100.0, 6).alias("exited_revenue"),
+        F.round(
+            (F.col("delta_common_g") / 1000000.0
+             + F.col("entered_cents") - F.col("exited_cents")) / 100.0, 6
+        ).alias("bridge_total"),
+    )

@@ -2925,3 +2925,214 @@ def oov_rate_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("oov_occurrences").cast("double") / F.col("total_occ"), 6
         ).alias("oov_rate"),
     ).orderBy("vocab_size")
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (the PPJoin-family principle):
+# for Jaccard >= 0.8, two token SETS must share at least one token
+# among each document's floor((1-t)*|s|)+1 RAREST tokens (global-
+# frequency order; any common total order works) — so candidate
+# generation joins only on those prefix tokens instead of every
+# token, and the postings involved are by construction the SHORTEST
+# ones. The oracle is the exact quadratic jaccard_pairs: equality
+# proves the filter is COMPLETE (no pair lost), not just fast — the
+# same honest-twin contract as minhash (which is probabilistic; this
+# filter is lossless). Scale: candidate volume is bounded by the sum
+# of squared RARE-token document frequencies — the Sigma df^2 bound
+# over the smallest dfs, the quantity shingle_df_distribution
+# reports; the verify step touches only candidates.
+# --------------------------------------------------------------------------
+@operator(
+    "jaccard_prefix_filter_join",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_distinct({sql_tokens('text')})) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(i / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    ordered = (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("tok")))
+            ).alias("by_rarity"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    # prefix length for t = 0.8: floor(0.2 * n) + 1
+    prefix = ordered.select(
+        "doc_id", "n",
+        F.explode(
+            F.slice(
+                F.col("by_rarity"), 1,
+                (F.floor(F.col("n") * 0.2) + 1).cast("int"),
+            )
+        ).alias("p"),
+    ).select("doc_id", "n", F.col("p.tok").alias("tok"))
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("tok")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("tok")
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = d.select(
+        "doc_id", F.array_distinct(tokens("text")).alias("s")
+    )
+    verified = (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"),
+                              F.col("s").alias("sa")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"),
+                          F.col("s").alias("sb")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("sa", "sb")).cast("bigint").alias("i"),
+            F.size("sa").cast("bigint").alias("na"),
+            F.size("sb").cast("bigint").alias("nb"),
+        )
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+    return (
+        verified.filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# K-fold metric stability: the classifier-vs-heuristic agreement
+# (classifier_eval_metrics' headline) re-measured inside 5 md5-hash
+# folds, with the across-fold mean and spread of accuracy — the
+# cheap answer to "is that 0.9 accuracy a property of the model or
+# of one lucky subset?". Folds are deterministic (portable md5 mod
+# 5); per-fold confusion cells are conditional integer aggregates in
+# ONE pass; the cross-fold mean sums 6-dp-snapped accuracies
+# (order-free). Composes the two verified per-doc plans (classifier
+# keep flag = pred; heuristic filter membership = truth).
+# --------------------------------------------------------------------------
+def _register_kfold_metric_stability() -> None:
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+
+    oracle = f"""
+    WITH pred AS ({ORACLES["quality_classifier_score"]}),
+    truth AS ({ORACLES["quality_filter"]}),
+    joined AS (
+      SELECT p.doc_id,
+             ('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 5 AS fold,
+             p.keep AS pred,
+             (t.doc_id IS NOT NULL) AS truth
+      FROM pred p LEFT JOIN truth t ON t.doc_id = p.doc_id
+    ),
+    per_fold AS (
+      SELECT fold,
+             CAST(count_if(pred AND truth) AS BIGINT)         AS tp,
+             CAST(count_if(pred AND NOT truth) AS BIGINT)     AS fp,
+             CAST(count_if(NOT pred AND truth) AS BIGINT)     AS fn,
+             CAST(count_if(NOT pred AND NOT truth) AS BIGINT) AS tn
+      FROM joined GROUP BY 1
+    ),
+    scored AS (
+      SELECT fold, tp, fp, fn, tn,
+             ROUND((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 6)
+               AS accuracy,
+             ROUND(2.0 * tp / CAST(GREATEST(2 * tp + fp + fn, 1) AS DOUBLE), 6)
+               AS f1
+      FROM per_fold
+    ),
+    agg AS (
+      SELECT ROUND(SUM(CAST(ROUND(accuracy * 1000000.0) AS BIGINT))
+                   / COUNT(*) / 1000000.0, 6) AS acc_mean,
+             ROUND(MAX(accuracy) - MIN(accuracy), 6) AS acc_spread
+      FROM scored
+    )
+    SELECT s.fold, s.tp, s.fp, s.fn, s.tn, s.accuracy, s.f1,
+           a.acc_mean, a.acc_spread
+    FROM scored s CROSS JOIN agg a
+    ORDER BY s.fold
+    """
+
+    @operator("kfold_metric_stability", oracle=oracle)
+    def kfold_metric_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pred = REGISTRY["quality_classifier_score"](spark, sf_dir).select(
+            "doc_id", F.col("keep").alias("pred")
+        )
+        truth = REGISTRY["quality_filter"](spark, sf_dir).select(
+            F.col("doc_id").alias("t_id")
+        )
+        fold = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                   16, 10).cast("bigint") % 5
+        )
+        joined = pred.join(
+            truth, pred.doc_id == truth.t_id, "left"
+        ).select(
+            fold.alias("fold"),
+            "pred",
+            F.col("t_id").isNotNull().alias("truth"),
+        )
+        p, t = F.col("pred"), F.col("truth")
+        per_fold = joined.groupBy("fold").agg(
+            F.count(F.when(p & t, 1)).cast("bigint").alias("tp"),
+            F.count(F.when(p & ~t, 1)).cast("bigint").alias("fp"),
+            F.count(F.when(~p & t, 1)).cast("bigint").alias("fn"),
+            F.count(F.when(~p & ~t, 1)).cast("bigint").alias("tn"),
+        )
+        total = (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"))
+        scored = per_fold.select(
+            "fold", "tp", "fp", "fn", "tn",
+            F.round(
+                (F.col("tp") + F.col("tn")) / total.cast("double"), 6
+            ).alias("accuracy"),
+            F.round(
+                2.0 * F.col("tp")
+                / F.greatest(
+                    2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)
+                ).cast("double"), 6
+            ).alias("f1"),
+        )
+        agg = scored.agg(
+            F.round(
+                F.sum(F.round(F.col("accuracy") * 1000000.0).cast("bigint"))
+                / F.count(F.lit(1)) / 1000000.0, 6
+            ).alias("acc_mean"),
+            F.round(F.max("accuracy") - F.min("accuracy"), 6)
+            .alias("acc_spread"),
+        )
+        return (
+            scored.crossJoin(F.broadcast(agg))
+            .select("fold", "tp", "fp", "fn", "tn", "accuracy", "f1",
+                    "acc_mean", "acc_spread")
+            .orderBy("fold")
+        )
+
+
+_register_kfold_metric_stability()

@@ -101,6 +101,9 @@ ROUND8_STAGED = [
     "survival_rmst",
     "covariate_balance_smd",
     "score_drift_psi",
+    "jaccard_prefix_filter_join",
+    "kfold_metric_stability",
+    "price_volume_bridge",
 ]
 
 
@@ -907,3 +910,33 @@ def test_score_psi_shares_cancel(spark):
     assert abs(sum(r.share_delta for r in rows)) < 1e-4
     for r in rows:
         assert r.psi_term >= -1e-9
+
+
+def test_prefix_filter_is_complete(spark, duck):
+    """The prefix filter must find EXACTLY the exact-join pair set —
+    completeness is the op's contract, and it is already enforced by
+    the oracle differential; here we pin the threshold semantics."""
+    rows = REGISTRY["jaccard_prefix_filter_join"](spark, SF_DIR).collect()
+    assert all(r.jaccard >= 0.8 for r in rows)
+    assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_kfold_folds_partition(spark):
+    rows = REGISTRY["kfold_metric_stability"](spark, SF_DIR).collect()
+    assert sorted(r.fold for r in rows) == [0, 1, 2, 3, 4]
+    total = sum(r.tp + r.fp + r.fn + r.tn for r in rows)
+    assert total == 500  # every doc in exactly one fold
+    for r in rows:
+        assert 0.0 <= r.accuracy <= 1.0
+        assert r.acc_spread >= 0.0
+
+
+def test_price_volume_bridge_closes(spark):
+    r = REGISTRY["price_volume_bridge"](spark, SF_DIR).collect()[0]
+    # the decomposition must reconcile to the total change (cents)
+    assert abs(r.bridge_total - r.delta_cents / 100.0) < 0.02
+    assert abs(
+        (r.price_effect + r.volume_effect + r.joint_effect)
+        + r.entered_revenue - r.exited_revenue
+        - r.delta_cents / 100.0
+    ) < 0.05
