@@ -149,6 +149,8 @@ _DEFER: list[str] = [
     "jaccard_prefix_filter_join",
     "kfold_metric_stability",
     "price_volume_bridge",
+    "functional_dependency_audit",
+    "embedding_isotropy_score",
 ]
 
 _PIN: list[str] = [

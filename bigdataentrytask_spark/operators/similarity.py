@@ -3008,3 +3008,91 @@ def embedding_dim_correlation_top(
         "dim_i", "dim_j", "n", F.round(num / den, 6).alias("corr")
     )
     return corr.orderBy(F.abs(F.col("corr")).desc(), "dim_i", "dim_j").limit(10)
+
+
+# --------------------------------------------------------------------------
+# Embedding isotropy score WITHOUT a pair expansion: for unit-
+# normalized vectors, mean pairwise cosine = (||sum(u)||^2 - N)
+# / (N * (N - 1)) — the O(N^2) statistic collapses to one O(N*d)
+# per-dimension sum pass (the algebraic identity every isotropy
+# paper uses but pipelines rarely implement). High mean cosine =
+# a dominant common direction = wasted embedding capacity (the
+# anisotropy problem); reported with the common-direction vector's
+# share of total mass. Per-dim sums snapped onto a 1e6 grid before
+# squaring so the norm is an exact integer computation.
+# --------------------------------------------------------------------------
+@operator(
+    "embedding_isotropy_score",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    nrm AS (
+      SELECT vec_id,
+             sqrt((SELECT SUM(x * x)
+                   FROM (SELECT UNNEST(e) AS x))) AS l2
+      FROM v
+    ),
+    dims AS (
+      SELECT d.vec_id,
+             generate_subscripts(d.e, 1) AS pos,
+             UNNEST(d.e) / n.l2 AS u
+      FROM v d JOIN nrm n ON n.vec_id = d.vec_id
+    ),
+    per_dim AS (
+      SELECT pos,
+             CAST(SUM(CAST(ROUND(u * 1000000.0) AS BIGINT)) AS BIGINT) AS su
+      FROM dims GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n,
+             CAST(SUM(CAST(su AS HUGEINT) * su) AS DOUBLE) AS norm2_g
+      FROM per_dim
+    )
+    SELECT n,
+           ROUND((norm2_g / 1000000.0 / 1000000.0 - n)
+                 / (CAST(n AS DOUBLE) * (n - 1)), 6) AS mean_pairwise_cosine,
+           ROUND(sqrt(norm2_g) / 1000000.0 / n, 6)   AS common_direction_norm
+    FROM m
+    """,
+)
+def embedding_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    nrm = v.select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("l2"),
+    )
+    dims = (
+        v.join(nrm, "vec_id")
+        .select(
+            "vec_id",
+            F.posexplode("e").alias("pos0", "x"),
+            "l2",
+        )
+        .select(
+            (F.col("pos0") + 1).alias("pos"),
+            (F.col("x") / F.col("l2")).alias("u"),
+        )
+    )
+    per_dim = dims.groupBy("pos").agg(
+        F.sum(F.round(F.col("u") * 1000000.0).cast("bigint"))
+        .cast("bigint").alias("su")
+    )
+    n_row = v.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    m = per_dim.agg(
+        F.sum(F.col("su").cast("decimal(38,0)") * F.col("su"))
+        .cast("double").alias("norm2_g")
+    ).crossJoin(F.broadcast(n_row))
+    n = F.col("n")
+    return m.select(
+        "n",
+        F.round(
+            (F.col("norm2_g") / 1000000.0 / 1000000.0 - n)
+            / (n.cast("double") * (n - 1)), 6
+        ).alias("mean_pairwise_cosine"),
+        F.round(F.sqrt("norm2_g") / 1000000.0 / n, 6)
+        .alias("common_direction_norm"),
+    )

@@ -3316,3 +3316,61 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est).cast("bigint").alias("est_uniform"),
         F.round(est / F.col("actual"), 6).alias("est_over_actual"),
     )
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency audit (profiling-suite classic): for each
+# declared candidate FD X -> Y, count the X keys whose Y is not
+# unique — the check that catches denormalization drift and bad
+# backfills (a custkey mapping to two nations is corruption, not
+# data). Four candidates spanning three tables, each one grouped
+# COUNT DISTINCT + conditional aggregate; results unioned into one
+# censused report. Complements referential_integrity_audit (INCLUSION
+# dependencies) with the DETERMINATION direction.
+# --------------------------------------------------------------------------
+_FD_CANDIDATES = [
+    ("customer", "c_custkey", "c_nationkey"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("part", "p_partkey", "p_brand"),
+    ("orders", "o_orderkey", "o_orderdate"),
+]
+
+
+def _fd_sql(table: str, x: str, y: str) -> str:
+    return f"""
+      SELECT '{table}.{x} -> {y}' AS fd,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(count_if(n_y > 1) AS BIGINT) AS violating_keys,
+             CAST(MAX(n_y) AS BIGINT) AS max_variants,
+             CASE WHEN count_if(n_y > 1) = 0 THEN 1 ELSE 0 END AS holds
+      FROM (SELECT {x}, COUNT(DISTINCT {y}) AS n_y FROM {table} GROUP BY 1)
+    """
+
+
+@operator(
+    "functional_dependency_audit",
+    oracle=" UNION ALL ".join(
+        _fd_sql(t, x, y) for t, x, y in _FD_CANDIDATES
+    ) + " ORDER BY fd",
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for table, x, y in _FD_CANDIDATES:
+        t = _t(spark, sf_dir, table)
+        g = t.groupBy(x).agg(F.countDistinct(y).alias("n_y"))
+        outs.append(
+            g.agg(
+                F.lit(f"{table}.{x} -> {y}").alias("fd"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.count(F.when(F.col("n_y") > 1, 1)).cast("bigint")
+                .alias("violating_keys"),
+                F.max("n_y").cast("bigint").alias("max_variants"),
+                F.when(
+                    F.count(F.when(F.col("n_y") > 1, 1)) == 0, 1
+                ).otherwise(0).cast("int").alias("holds"),
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionAll(df)
+    return out.orderBy("fd")

@@ -104,6 +104,8 @@ ROUND8_STAGED = [
     "jaccard_prefix_filter_join",
     "kfold_metric_stability",
     "price_volume_bridge",
+    "functional_dependency_audit",
+    "embedding_isotropy_score",
 ]
 
 
@@ -940,3 +942,24 @@ def test_price_volume_bridge_closes(spark):
         + r.entered_revenue - r.exited_revenue
         - r.delta_cents / 100.0
     ) < 0.05
+
+
+def test_fd_audit_known_truths(spark):
+    rows = {r.fd: r for r in
+            REGISTRY["functional_dependency_audit"](spark, SF_DIR).collect()}
+    # these FDs hold by construction in the TPC-H-ish fixture
+    for fd in ("customer.c_custkey -> c_nationkey",
+               "nation.n_nationkey -> n_regionkey",
+               "orders.o_orderkey -> o_orderdate"):
+        assert rows[fd].holds == 1, fd
+        assert rows[fd].violating_keys == 0
+
+
+def test_isotropy_in_cosine_range(spark):
+    r = REGISTRY["embedding_isotropy_score"](spark, SF_DIR).collect()[0]
+    assert -1.0 <= r.mean_pairwise_cosine <= 1.0
+    assert 0.0 <= r.common_direction_norm <= 1.0 + 1e-6
+    # identity: mean cosine ~ (N*cdn)^2 - N over N(N-1) scaled — both
+    # derive from the same norm, so signs must agree for cdn^2*N > 1
+    if r.common_direction_norm ** 2 * r.n > 1.05:
+        assert r.mean_pairwise_cosine > 0
