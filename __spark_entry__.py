@@ -151,6 +151,7 @@ _DEFER: list[str] = [
     "price_volume_bridge",
     "functional_dependency_audit",
     "embedding_isotropy_score",
+    "column_level_checksums",
 ]
 
 _PIN: list[str] = [

@@ -3374,3 +3374,71 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in outs[1:]:
         out = out.unionAll(df)
     return out.orderBy("fd")
+
+
+# --------------------------------------------------------------------------
+# Column-level checksums: an order-free 48-bit-md5-prefix SUM per
+# COLUMN (mod 1e18), plus non-null counts — the migration-parity
+# primitive that says WHICH column diverged when table_checksum
+# (whole-row) says "something changed". Canonicalization matches
+# table_checksum's discipline: timestamps to epoch micros, doubles
+# to cents, everything through one explicit CAST chain so both
+# engines hash identical strings. Column sums are independent, so a
+# backfill that rewrote one column flags exactly that column.
+# Scale: pure scan-stage projections + one global agg; the mod
+# keeps every sum inside BIGINT on output (HUGEINT/DECIMAL(38,0)
+# internally).
+# --------------------------------------------------------------------------
+_CKS_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_totalprice", "CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+                     " AS VARCHAR)"),
+    ("o_orderdate", "CAST(epoch_us(o_orderdate) AS VARCHAR)"),
+    ("o_orderpriority", "o_orderpriority"),
+]
+
+
+@operator(
+    "column_level_checksums",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{name}' AS column_name,
+               CAST(COUNT({expr}) AS BIGINT) AS n_nonnull,
+               CAST(SUM(('0x' || substr(md5({expr}), 1, 12))::BIGINT)
+                    % 1000000000000000000 AS BIGINT) AS checksum
+        FROM orders
+        """
+        for name, expr in _CKS_COLS
+    ) + " ORDER BY column_name",
+)
+def column_level_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    spark_exprs = {
+        "o_orderkey": F.col("o_orderkey").cast("string"),
+        "o_custkey": F.col("o_custkey").cast("string"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_totalprice": F.round(F.col("o_totalprice") * 100)
+        .cast("bigint").cast("string"),
+        "o_orderdate": F.unix_micros(
+            F.col("o_orderdate").cast("timestamp")
+        ).cast("string"),
+        "o_orderpriority": F.col("o_orderpriority"),
+    }
+    outs = []
+    for name, _ in _CKS_COLS:
+        e = spark_exprs[name]
+        h = F.conv(F.substring(F.md5(e), 1, 12), 16, 10).cast("decimal(38,0)")
+        outs.append(
+            o.agg(
+                F.lit(name).alias("column_name"),
+                F.count(e).cast("bigint").alias("n_nonnull"),
+                (F.sum(h) % F.lit(1000000000000000000))
+                .cast("bigint").alias("checksum"),
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionAll(df)
+    return out.orderBy("column_name")

