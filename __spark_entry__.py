@@ -152,6 +152,8 @@ _DEFER: list[str] = [
     "functional_dependency_audit",
     "embedding_isotropy_score",
     "column_level_checksums",
+    "pot_gpd_tail_fit",
+    "embedding_hubness",
 ]
 
 _PIN: list[str] = [

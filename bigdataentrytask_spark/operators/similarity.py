@@ -3096,3 +3096,150 @@ def embedding_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("norm2_g") / 1000000.0 / n, 6)
         .alias("common_direction_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hubness diagnostic: run exact top-5 cosine retrieval from EVERY
+# vector (the all-queries extension of knn_bruteforce — quadratic,
+# audit-scale by contract like jaccard_pairs; the LSH twin swaps in
+# at corpus scale with this census unchanged) and census the
+# k-occurrence counts N_5(v): a heavy right tail ("hubs" that appear
+# in everyone's neighbor list) plus a mass of never-retrieved
+# anti-hubs is THE high-dimensional failure mode that silently skews
+# kNN classification and retrieval. Skewness from exact integer
+# moment sums over the N_5 table; all counts integers.
+# --------------------------------------------------------------------------
+@operator(
+    "embedding_hubness",
+    oracle=f"""
+    WITH {_SQL_NORMS},
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             (SELECT SUM(z.qe * z.ce) FROM
+              (SELECT UNNEST(q.embedding::DOUBLE[]) AS qe,
+                      UNNEST(c.embedding::DOUBLE[]) AS ce) z) AS d
+      FROM embeddings q, embeddings c
+      WHERE c.vec_id <> q.vec_id
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d / (nq.nrm * nc.nrm) DESC,
+                                         neighbor_id) AS rnk
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+    ),
+    occ AS (
+      SELECT e.vec_id,
+             CAST(COALESCE(k.n_occ, 0) AS BIGINT) AS n_occ
+      FROM embeddings e
+      LEFT JOIN (
+        SELECT neighbor_id, COUNT(*) AS n_occ
+        FROM sims WHERE rnk <= 5 GROUP BY 1
+      ) k ON k.neighbor_id = e.vec_id
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT)              AS n,
+             CAST(SUM(n_occ) AS BIGINT)            AS s1,
+             CAST(SUM(n_occ * n_occ) AS BIGINT)    AS s2,
+             CAST(SUM(n_occ * n_occ * n_occ) AS BIGINT) AS s3,
+             CAST(MAX(n_occ) AS BIGINT)            AS max_occ,
+             CAST(count_if(n_occ = 0) AS BIGINT)   AS n_antihubs
+      FROM occ
+    )
+    SELECT n, max_occ, n_antihubs,
+           ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_occ,
+           ROUND((CAST(s3 AS DOUBLE) / n
+                  - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s2 AS DOUBLE) / n)
+                  + 2.0 * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 / sqrt((CAST(s2 AS DOUBLE) / n
+                         - (CAST(s1 AS DOUBLE) / n)
+                           * (CAST(s1 AS DOUBLE) / n))
+                        * (CAST(s2 AS DOUBLE) / n
+                           - (CAST(s1 AS DOUBLE) / n)
+                             * (CAST(s1 AS DOUBLE) / n))
+                        * (CAST(s2 AS DOUBLE) / n
+                           - (CAST(s1 AS DOUBLE) / n)
+                             * (CAST(s1 AS DOUBLE) / n))), 6)
+             AS occ_skewness
+    FROM m
+    """,
+)
+def embedding_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    nrm = v.select(
+        "vec_id",
+        F.sqrt(F.aggregate("ev", F.lit(0.0), lambda a, x: a + x * x))
+        .alias("nrm"),
+    )
+    q = v.join(nrm, "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ev").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = v.join(nrm, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("ev").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    dots = (
+        q.crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (
+                F.zip_with("qe", "ce", lambda a, b: a * b)
+                .alias("prods")
+            ),
+            "qn", "cn",
+        )
+        .select(
+            "query_id", "neighbor_id",
+            (
+                F.aggregate("prods", F.lit(0.0), lambda a, x: a + x)
+                / (F.col("qn") * F.col("cn"))
+            ).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+    rnk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    )
+    top = dots.select("query_id", "neighbor_id", rnk.alias("rnk")).filter(
+        F.col("rnk") <= 5
+    )
+    k = top.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ_raw")
+    )
+    occ = (
+        e.select("vec_id")
+        .join(k, e.vec_id == k.neighbor_id, "left")
+        .select(F.coalesce("n_occ_raw", F.lit(0)).cast("bigint").alias("n_occ"))
+    )
+    m = occ.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_occ").cast("bigint").alias("s1"),
+        F.sum(F.col("n_occ") * F.col("n_occ")).cast("bigint").alias("s2"),
+        F.sum(F.col("n_occ") * F.col("n_occ") * F.col("n_occ"))
+        .cast("bigint").alias("s3"),
+        F.max("n_occ").cast("bigint").alias("max_occ"),
+        F.count(F.when(F.col("n_occ") == 0, 1)).cast("bigint")
+        .alias("n_antihubs"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n
+    m3 = F.col("s3").cast("double") / n
+    var = m2 - m1 * m1
+    return m.select(
+        "n", "max_occ", "n_antihubs",
+        F.round(m1, 6).alias("mean_occ"),
+        F.round(
+            (m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1)
+            / F.sqrt(var * var * var), 6
+        ).alias("occ_skewness"),
+    )

@@ -4303,3 +4303,103 @@ def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(smd, 6).alias("smd"),
         F.when(F.abs(smd) < 0.1, 1).otherwise(0).cast("int").alias("balanced"),
     ).orderBy("covariate")
+
+
+# --------------------------------------------------------------------------
+# Peaks-over-threshold GPD fit (method of moments): excesses over the
+# nearest-rank P95 of order value, GPD shape xi = 0.5*(1 - m^2/s^2)
+# and scale beta = 0.5*m*(m^2/s^2 + 1) — the threshold-exceedance
+# complement of gumbel_daily_max_fit (block maxima): POT uses every
+# extreme observation, not one per block, so it is the estimator
+# that actually has data at 100 TB tail quantiles. The threshold is
+# a nearest-rank pick over the cents DOMAIN (no fact sort, the
+# median-CI machinery); excesses are exact integers, the fit is two
+# moment sums, and NO transcendental function appears anywhere (the
+# return-level extrapolation needs pow(), so it is deliberately NOT
+# emitted — xi/beta are the portable outputs).
+# --------------------------------------------------------------------------
+@operator(
+    "pot_gpd_tail_fit",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT cents,
+             SUM(cnt) OVER (ORDER BY cents) AS cum,
+             SUM(cnt) OVER ()               AS n
+      FROM vals
+    ), u AS (
+      SELECT MIN(cents) AS thresh, CAST(MAX(n) AS BIGINT) AS n_total
+      FROM r
+      WHERE cum >= CAST(CEIL(0.95 * n) AS BIGINT)
+    ), exc AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) - u.thresh AS e
+      FROM orders CROSS JOIN u
+      WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > u.thresh
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exc,
+             CAST(SUM(e) AS BIGINT)   AS s1,
+             CAST(SUM(CAST(e AS HUGEINT) * e) AS DOUBLE) AS s2
+      FROM exc
+    )
+    SELECT u.thresh AS threshold_cents, u.n_total, m.n_exc,
+           ROUND(CAST(m.s1 AS DOUBLE) / m.n_exc / 100.0, 6)
+             AS mean_excess,
+           ROUND(0.5 * (1.0
+             - (CAST(m.s1 AS DOUBLE) / m.n_exc)
+               * (CAST(m.s1 AS DOUBLE) / m.n_exc)
+               / ((m.s2 - CAST(m.s1 AS DOUBLE) * (CAST(m.s1 AS DOUBLE)
+                   / m.n_exc)) / (m.n_exc - 1))), 6) AS gpd_xi,
+           ROUND(0.5 * (CAST(m.s1 AS DOUBLE) / m.n_exc)
+             * ((CAST(m.s1 AS DOUBLE) / m.n_exc)
+                * (CAST(m.s1 AS DOUBLE) / m.n_exc)
+                / ((m.s2 - CAST(m.s1 AS DOUBLE) * (CAST(m.s1 AS DOUBLE)
+                    / m.n_exc)) / (m.n_exc - 1)) + 1.0) / 100.0, 6)
+             AS gpd_beta
+    FROM u CROSS JOIN m
+    """,
+)
+def pot_gpd_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    vals = o.groupBy(cents.alias("cents")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = Window.orderBy("cents")
+    r = vals.select(
+        "cents",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    u = r.filter(
+        F.col("cum") >= F.ceil(0.95 * F.col("n")).cast("bigint")
+    ).agg(
+        F.min("cents").alias("thresh"),
+        F.max("n").cast("bigint").alias("n_total"),
+    )
+    exc = (
+        o.select(cents.alias("c"))
+        .crossJoin(F.broadcast(u))
+        .filter(F.col("c") > F.col("thresh"))
+        .select((F.col("c") - F.col("thresh")).alias("e"))
+    )
+    m = exc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exc"),
+        F.sum("e").cast("bigint").alias("s1"),
+        F.sum(F.col("e").cast("decimal(38,0)") * F.col("e"))
+        .cast("double").alias("s2"),
+    )
+    out = u.crossJoin(m)
+    n_exc = F.col("n_exc")
+    mean = F.col("s1").cast("double") / n_exc
+    var = (F.col("s2") - F.col("s1").cast("double") * mean) / (n_exc - 1)
+    ratio = mean * mean / var
+    return out.select(
+        F.col("thresh").alias("threshold_cents"),
+        "n_total", "n_exc",
+        F.round(mean / 100.0, 6).alias("mean_excess"),
+        F.round(0.5 * (F.lit(1.0) - ratio), 6).alias("gpd_xi"),
+        F.round(0.5 * mean * (ratio + 1.0) / 100.0, 6).alias("gpd_beta"),
+    )

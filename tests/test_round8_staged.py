@@ -107,6 +107,8 @@ ROUND8_STAGED = [
     "functional_dependency_audit",
     "embedding_isotropy_score",
     "column_level_checksums",
+    "pot_gpd_tail_fit",
+    "embedding_hubness",
 ]
 
 
@@ -976,3 +978,20 @@ def test_column_checksums_detect_change(spark):
     n = {r.column_name: r.n_nonnull for r in
          REGISTRY["column_level_checksums"](spark, SF_DIR).collect()}
     assert len(set(n.values())) == 1  # orders has no nulls anywhere
+
+
+def test_pot_gpd_consistency(spark):
+    r = REGISTRY["pot_gpd_tail_fit"](spark, SF_DIR).collect()[0]
+    # P95 threshold leaves ~5% excesses
+    assert 0.03 * r.n_total <= r.n_exc <= 0.07 * r.n_total
+    assert r.mean_excess > 0
+    assert r.gpd_xi < 0.5            # MoM valid only when xi < 1/2
+    assert r.gpd_beta > 0
+
+
+def test_hubness_mass_conserved(spark):
+    r = REGISTRY["embedding_hubness"](spark, SF_DIR).collect()[0]
+    # every one of the n queries contributes exactly 5 occurrences
+    assert abs(r.mean_occ - 5.0) < 1e-9
+    assert r.max_occ >= 5            # some hub must exceed the mean
+    assert 0 <= r.n_antihubs < r.n
