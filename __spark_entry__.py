@@ -154,6 +154,7 @@ _DEFER: list[str] = [
     "column_level_checksums",
     "pot_gpd_tail_fit",
     "embedding_hubness",
+    "jl_projection_distortion",
 ]
 
 _PIN: list[str] = [

@@ -3243,3 +3243,171 @@ def embedding_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(var * var * var), 6
         ).alias("occ_skewness"),
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss distortion audit: project 64-d embeddings to
+# 16-d with a DETERMINISTIC Rademacher matrix (sign = md5 parity of
+# "proj:dim" — engine-portable, no RNG) and measure how pairwise
+# DISTANCES survive on the exact top-5 truth pairs (the bounded pair
+# set knn_bruteforce already verifies). Reports mean/max of the
+# per-pair distortion |proj/orig - 1| — the number that says whether
+# a 4x cheaper index preserves neighborhoods. Projection is one
+# dimension-level join against the broadcast 64x16 sign table;
+# per-pair math is exact sums of products of snapped coordinates.
+# --------------------------------------------------------------------------
+_JL_K = 16
+
+
+def _jl_oracle() -> str:
+    from bigdataentrytask_spark.operators import ORACLES
+
+    return f"""
+    WITH bf AS ({ORACLES["knn_bruteforce"]}),
+    pairs AS (SELECT query_id AS a, neighbor_id AS b FROM bf),
+    dims AS (
+      SELECT vec_id,
+             generate_subscripts(embedding::DOUBLE[], 1) AS pos,
+             CAST(ROUND(UNNEST(embedding::DOUBLE[]) * 1000000.0) AS BIGINT)
+               AS xi
+      FROM embeddings
+    ),
+    signs AS (
+      SELECT p.p AS proj, d.d AS pos,
+             CASE WHEN ('0x' || substr(md5(CAST(p.p AS VARCHAR) || ':'
+                        || CAST(d.d AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT UNNEST(range(1, {_JL_K} + 1)) AS p) p
+      CROSS JOIN (SELECT UNNEST(range(1, 65)) AS d) d
+    ),
+    proj AS (
+      SELECT dm.vec_id, s.proj,
+             CAST(SUM(s.sgn * dm.xi) AS BIGINT) AS y
+      FROM dims dm JOIN signs s ON s.pos = dm.pos
+      GROUP BY 1, 2
+    ),
+    orig_d AS (
+      SELECT pr.a, pr.b,
+             SUM(CAST(da.xi - db.xi AS HUGEINT) * (da.xi - db.xi)) AS d2
+      FROM pairs pr
+      JOIN dims da ON da.vec_id = pr.a
+      JOIN dims db ON db.vec_id = pr.b AND db.pos = da.pos
+      GROUP BY 1, 2
+    ),
+    proj_d AS (
+      SELECT pr.a, pr.b,
+             SUM(CAST(pa.y - pb.y AS HUGEINT) * (pa.y - pb.y)) AS d2
+      FROM pairs pr
+      JOIN proj pa ON pa.vec_id = pr.a
+      JOIN proj pb ON pb.vec_id = pr.b AND pb.proj = pa.proj
+      GROUP BY 1, 2
+    ),
+    ratio AS (
+      SELECT o.a, o.b,
+             sqrt(CAST(p.d2 AS DOUBLE) / {_JL_K})
+             / sqrt(CAST(o.d2 AS DOUBLE)) AS r
+      FROM orig_d o JOIN proj_d p ON p.a = o.a AND p.b = o.b
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST(ROUND(ABS(r - 1.0) * 1000000.0) AS BIGINT))
+                  AS BIGINT) AS sum_dist_g,
+             ROUND(MAX(ABS(r - 1.0)), 6) AS max_distortion
+      FROM ratio
+    )
+    SELECT n_pairs,
+           ROUND(CAST(sum_dist_g AS DOUBLE) / n_pairs / 1000000.0, 6)
+             AS mean_distortion,
+           max_distortion
+    FROM g
+    """
+
+
+@operator("jl_projection_distortion", oracle=_jl_oracle())
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataentrytask_spark.operators import REGISTRY
+
+    bf = REGISTRY["knn_bruteforce"](spark, sf_dir).select(
+        F.col("query_id").alias("a"), F.col("neighbor_id").alias("b")
+    )
+    e = _emb(spark, sf_dir)
+    dims = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x") * 1000000.0).cast("bigint").alias("xi"),
+    )
+    spark_ = e.sparkSession
+    signs = (
+        spark_.range(1, _JL_K + 1).select(F.col("id").alias("proj"))
+        .crossJoin(spark_.range(1, 65).select(F.col("id").alias("pos")))
+        .select(
+            "proj", "pos",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("proj").cast("string"),
+                                F.lit(":"),
+                                F.col("pos").cast("string"),
+                            )
+                        ), 1, 15,
+                    ), 16, 10,
+                ).cast("bigint") % 2 == 0, 1
+            ).otherwise(-1).alias("sgn"),
+        )
+    )
+    proj = (
+        dims.join(F.broadcast(signs), "pos")
+        .groupBy("vec_id", "proj")
+        .agg(F.sum(F.col("sgn") * F.col("xi")).cast("bigint").alias("y"))
+    )
+    da = dims.select(F.col("vec_id").alias("a"), "pos", F.col("xi").alias("xa"))
+    db = dims.select(F.col("vec_id").alias("b"), "pos", F.col("xi").alias("xb"))
+    orig_d = (
+        bf.join(da, "a").join(db, ["b", "pos"])
+        .groupBy("a", "b")
+        .agg(
+            F.sum(
+                (F.col("xa") - F.col("xb")).cast("decimal(38,0)")
+                * (F.col("xa") - F.col("xb"))
+            ).alias("d2o")
+        )
+    )
+    pa = proj.select(F.col("vec_id").alias("a"), "proj", F.col("y").alias("ya"))
+    pb = proj.select(F.col("vec_id").alias("b"), "proj", F.col("y").alias("yb"))
+    proj_d = (
+        bf.join(pa, "a").join(pb, ["b", "proj"])
+        .groupBy("a", "b")
+        .agg(
+            F.sum(
+                (F.col("ya") - F.col("yb")).cast("decimal(38,0)")
+                * (F.col("ya") - F.col("yb"))
+            ).alias("d2p")
+        )
+    )
+    ratio = orig_d.join(proj_d, ["a", "b"]).select(
+        (
+            F.sqrt(F.col("d2p").cast("double") / _JL_K)
+            / F.sqrt(F.col("d2o").cast("double"))
+        ).alias("r")
+    )
+    g = ratio.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.round(F.abs(F.col("r") - 1.0) * 1000000.0).cast("bigint")
+        ).cast("bigint").alias("sum_dist_g"),
+        F.round(F.max(F.abs(F.col("r") - 1.0)), 6).alias("max_distortion"),
+    )
+    return g.select(
+        "n_pairs",
+        F.round(
+            F.col("sum_dist_g").cast("double") / F.col("n_pairs") / 1000000.0,
+            6,
+        ).alias("mean_distortion"),
+        "max_distortion",
+    )

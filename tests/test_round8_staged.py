@@ -109,6 +109,7 @@ ROUND8_STAGED = [
     "column_level_checksums",
     "pot_gpd_tail_fit",
     "embedding_hubness",
+    "jl_projection_distortion",
 ]
 
 
@@ -995,3 +996,12 @@ def test_hubness_mass_conserved(spark):
     assert abs(r.mean_occ - 5.0) < 1e-9
     assert r.max_occ >= 5            # some hub must exceed the mean
     assert 0 <= r.n_antihubs < r.n
+
+
+def test_jl_distortion_reasonable(spark):
+    """Rademacher JL with k=16 should land distortions well inside
+    the (loose) JL bound for 50 pairs; mean <= max by definition."""
+    r = REGISTRY["jl_projection_distortion"](spark, SF_DIR).collect()[0]
+    assert r.n_pairs == 50
+    assert 0.0 <= r.mean_distortion <= r.max_distortion
+    assert r.max_distortion < 1.5
