@@ -155,6 +155,7 @@ _DEFER: list[str] = [
     "pot_gpd_tail_fit",
     "embedding_hubness",
     "jl_projection_distortion",
+    "dedup_then_prefix_filter",
 ]
 
 _PIN: list[str] = [

@@ -3136,3 +3136,103 @@ def _register_kfold_metric_stability() -> None:
 
 
 _register_kfold_metric_stability()
+
+
+# --------------------------------------------------------------------------
+# The production similarity-join PIPELINE the stress DNF mandates:
+# exact-dedup FIRST (one hash groupBy collapsing identical texts to
+# their min-doc_id representative — duplication clusters vanish in
+# one cheap pass), THEN the lossless prefix-filter join on the
+# representatives. Against the raw jaccard_prefix_filter_join (which
+# the 8x-duplication stress DNF'd, SCALE.md), this is the ordering
+# dedup_pipeline_funnel documents — here made a single verified
+# operator. Oracle = exact quadratic jaccard over representatives,
+# so completeness of the composed pipeline is the checked contract.
+# --------------------------------------------------------------------------
+@operator(
+    "dedup_then_prefix_filter",
+    oracle=f"""
+    WITH reps AS (
+      SELECT MIN(doc_id) AS doc_id, ANY_VALUE(text) AS text
+      FROM documents GROUP BY md5(text)
+    ),
+    toks AS (
+      SELECT doc_id, UNNEST(list_distinct({sql_tokens('text')})) AS tok
+      FROM reps
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(i / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_then_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    reps = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.any_value("text").alias("text"))
+        .select("doc_id", "text")
+    )
+    toks = reps.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    ordered = (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("tok")))
+            ).alias("by_rarity"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    prefix = ordered.select(
+        "doc_id",
+        F.explode(
+            F.slice(
+                F.col("by_rarity"), 1,
+                (F.floor(F.col("n") * 0.2) + 1).cast("int"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.tok").alias("tok"))
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = reps.select(
+        "doc_id", F.array_distinct(tokens("text")).alias("s")
+    )
+    verified = (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"),
+                              F.col("s").alias("sa")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"),
+                          F.col("s").alias("sb")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("sa", "sb")).cast("bigint").alias("i"),
+            F.size("sa").cast("bigint").alias("na"),
+            F.size("sb").cast("bigint").alias("nb"),
+        )
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+    return (
+        verified.filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

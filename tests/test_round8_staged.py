@@ -110,6 +110,7 @@ ROUND8_STAGED = [
     "pot_gpd_tail_fit",
     "embedding_hubness",
     "jl_projection_distortion",
+    "dedup_then_prefix_filter",
 ]
 
 
@@ -1005,3 +1006,16 @@ def test_jl_distortion_reasonable(spark):
     assert r.n_pairs == 50
     assert 0.0 <= r.mean_distortion <= r.max_distortion
     assert r.max_distortion < 1.5
+
+
+def test_dedup_then_prefix_equals_raw_without_dups(spark):
+    """The sf0.01 fixture has no exact-duplicate texts, so the
+    pipeline op must return EXACTLY the raw prefix-filter pair set —
+    pinning that the dedup stage is a no-op when there is nothing to
+    collapse (and therefore changes semantics ONLY by collapsing
+    exact copies)."""
+    a = {(r.doc_a, r.doc_b) for r in
+         REGISTRY["dedup_then_prefix_filter"](spark, SF_DIR).collect()}
+    b = {(r.doc_a, r.doc_b) for r in
+         REGISTRY["jaccard_prefix_filter_join"](spark, SF_DIR).collect()}
+    assert a == b
