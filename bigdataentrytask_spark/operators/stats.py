@@ -3845,7 +3845,7 @@ _LOOK_CUTS = {1: "2024-01-08", 2: "2024-01-15", 3: "2024-01-22",
           f'''SELECT {k} AS look, '{c}' AS cutoff_day,
               n0_l{k} AS n_a, n1_l{k} AS n_b,
               c0_l{k} AS conv_a, c1_l{k} AS conv_b,
-              {_OBF[k]} AS boundary FROM m'''
+              CAST({_OBF[k]} AS DOUBLE) AS boundary FROM m'''
           for k, c in _LOOK_CUTS.items()
       )}
     )
