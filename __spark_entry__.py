@@ -56,9 +56,13 @@ load_all()
 # jump to the front, greens rotate — deferral only affects the
 # never-checked. Clear the list at the next round boundary.
 _DEFER: list[str] = [
-    # round-8 slate, staged during round 7 (all preverified MATCH at
-    # sf0.01 via scripts/preverify.py in a vanilla session). Clear at
-    # the round-8 boundary.
+    # round-8+ slate, staged during round 7 (all preverified MATCH at
+    # sf0.01 via scripts/preverify.py in a vanilla session; every one
+    # also runs its oracle differential in tests/test_round8_staged).
+    # At 97 names this spans TWO sweeps: round 8 takes the first 50
+    # (registry order), round 9 the remainder. Clear at the round-8
+    # boundary — the round-9 leftovers then queue as ordinary
+    # never-checked entries with no further bookkeeping.
     "kendall_tau_qty_discount",
     "two_proportion_wilson",
     "runs_test_daily_revenue",
