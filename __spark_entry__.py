@@ -160,6 +160,7 @@ _DEFER: list[str] = [
     "embedding_hubness",
     "jl_projection_distortion",
     "dedup_then_prefix_filter",
+    "bbit_minhash_accuracy",
 ]
 
 _PIN: list[str] = [

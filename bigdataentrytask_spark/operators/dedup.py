@@ -1544,3 +1544,123 @@ def _register_contrastive_pair_mining() -> None:
 
 
 _register_contrastive_pair_mining()
+
+
+# --------------------------------------------------------------------------
+# b-bit MinHash accuracy audit (Li & Koenig): keep only the LOWEST
+# BIT of each of the 32 minhash values (32 bits/doc instead of 32
+# ints — a 32x signature compression) and measure, on the verified
+# LSH candidate pairs, how the bias-corrected 1-bit estimate
+# J1 = 2 * (match_frac - 1/2) tracks the full 32-value estimate.
+# The storage-economics question every petabyte dedup index answers
+# before choosing its signature width. Signatures are rebuilt from
+# the SAME shared congruential transforms (functions/text.py
+# MINHASH_A/B — the single source of truth both engines already
+# use); match counts are exact integers; per-pair errors snap onto
+# the 1e6 grid before averaging.
+# --------------------------------------------------------------------------
+def _register_bbit_minhash_accuracy() -> None:
+    from bigdataentrytask_spark.operators import ORACLES
+
+    bit_terms = " + ".join(
+        f"(CASE WHEN a.mh{i} % 2 = b.mh{i} % 2 THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES)
+    )
+    oracle = f"""
+    WITH pairs AS ({ORACLES["minhash_dedup"]}),
+    toks AS (
+      SELECT doc_id, UNNEST(list_distinct({sql_tokens('text')})) AS tok
+      FROM documents
+    ),
+    hashes AS (SELECT doc_id, {sql_token_hash('tok')} AS h FROM toks),
+    mh AS (
+      SELECT doc_id,
+             {_sql_minhash_cols()}
+      FROM hashes GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT p.doc_a, p.doc_b, p.est_sim,
+             2.0 * (({bit_terms}) / {float(NUM_HASHES)}) - 1.0 AS est_1bit
+      FROM pairs p
+      JOIN mh a ON a.doc_id = p.doc_a
+      JOIN mh b ON b.doc_id = p.doc_b
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST(ROUND(ABS(est_1bit - est_sim) * 1000000.0)
+                           AS BIGINT)) AS BIGINT) AS sae_g,
+             CAST(SUM(CAST(ROUND((est_1bit - est_sim) * 1000000.0)
+                           AS BIGINT)) AS BIGINT) AS sbias_g
+      FROM scored
+    )
+    SELECT n_pairs,
+           ROUND(CAST(sae_g AS DOUBLE) / n_pairs / 1000000.0, 6)
+             AS mean_abs_err,
+           ROUND(CAST(sbias_g AS DOUBLE) / n_pairs / 1000000.0, 6)
+             AS mean_bias
+    FROM g
+    """
+
+    @operator("bbit_minhash_accuracy", oracle=oracle)
+    def bbit_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from bigdataentrytask_spark.operators import REGISTRY
+
+        pairs = REGISTRY["minhash_dedup"](spark, sf_dir).select(
+            "doc_a", "doc_b", "est_sim"
+        )
+        d = load_table(spark, sf_dir, "documents")
+        toks = d.select(
+            "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+        )
+        h = token_hash("tok")
+        mh = toks.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+            *(
+                F.min((MINHASH_A[i] * F.col("h") + MINHASH_B[i]) % MERSENNE_P)
+                .alias(f"mh{i}")
+                for i in range(NUM_HASHES)
+            )
+        )
+        a = mh.select(
+            F.col("doc_id").alias("doc_a"),
+            *(F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_HASHES)),
+        )
+        b = mh.select(
+            F.col("doc_id").alias("doc_b"),
+            *(F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_HASHES)),
+        )
+        matches = sum(
+            F.when(F.col(f"a{i}") % 2 == F.col(f"b{i}") % 2, 1).otherwise(0)
+            for i in range(NUM_HASHES)
+        )
+        scored = (
+            pairs.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(
+                "est_sim",
+                (2.0 * (matches / float(NUM_HASHES)) - 1.0).alias("est_1bit"),
+            )
+        )
+        g = scored.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.round(F.abs(F.col("est_1bit") - F.col("est_sim")) * 1000000.0)
+                .cast("bigint")
+            ).cast("bigint").alias("sae_g"),
+            F.sum(
+                F.round((F.col("est_1bit") - F.col("est_sim")) * 1000000.0)
+                .cast("bigint")
+            ).cast("bigint").alias("sbias_g"),
+        )
+        return g.select(
+            "n_pairs",
+            F.round(
+                F.col("sae_g").cast("double") / F.col("n_pairs") / 1000000.0, 6
+            ).alias("mean_abs_err"),
+            F.round(
+                F.col("sbias_g").cast("double") / F.col("n_pairs") / 1000000.0,
+                6,
+            ).alias("mean_bias"),
+        )
+
+
+_register_bbit_minhash_accuracy()

@@ -111,6 +111,7 @@ ROUND8_STAGED = [
     "embedding_hubness",
     "jl_projection_distortion",
     "dedup_then_prefix_filter",
+    "bbit_minhash_accuracy",
 ]
 
 
@@ -1019,3 +1020,13 @@ def test_dedup_then_prefix_equals_raw_without_dups(spark):
     b = {(r.doc_a, r.doc_b) for r in
          REGISTRY["jaccard_prefix_filter_join"](spark, SF_DIR).collect()}
     assert a == b
+
+
+def test_bbit_error_bounded(spark):
+    """1-bit estimates on high-similarity candidate pairs must track
+    the 32-value estimate: MAE under the binomial noise ceiling for
+    32 bits (~2/sqrt(32) ≈ 0.35), and |bias| << MAE."""
+    r = REGISTRY["bbit_minhash_accuracy"](spark, SF_DIR).collect()[0]
+    assert r.n_pairs > 0
+    assert 0.0 <= r.mean_abs_err < 0.35
+    assert abs(r.mean_bias) <= r.mean_abs_err + 1e-9
