@@ -2865,8 +2865,14 @@ def _register_dbscan_core_census() -> None:
 
     @operator("dbscan_core_census", oracle=oracle)
     def dbscan_core_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-        pairs = REGISTRY["embedding_neardup_pairs"](spark, sf_dir).select(
-            "vec_a", "vec_b"
+        # the pair list feeds THREE consumers (degree agg, the core
+        # semi-join, the class census) — cache it so the tiled Arrow
+        # kernel runs once, not per consumer (the transitivity-audit
+        # lesson, similarity.py:2250)
+        pairs = (
+            REGISTRY["embedding_neardup_pairs"](spark, sf_dir)
+            .select("vec_a", "vec_b")
+            .cache()
         )
         sym = pairs.select(
             F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
