@@ -161,6 +161,7 @@ _DEFER: list[str] = [
     "jl_projection_distortion",
     "dedup_then_prefix_filter",
     "bbit_minhash_accuracy",
+    "neyman_allocation",
 ]
 
 _PIN: list[str] = [

@@ -4403,3 +4403,131 @@ def pot_gpd_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(0.5 * (F.lit(1.0) - ratio), 6).alias("gpd_xi"),
         F.round(0.5 * mean * (ratio + 1.0) / 100.0, 6).alias("gpd_beta"),
     )
+
+
+# --------------------------------------------------------------------------
+# Neyman-optimal stratified sample allocation: for a fixed budget of
+# 1000 sampled orders, allocate n_h proportional to N_h * S_h
+# (stratum size x stratum stddev of order value) across market
+# segments, vs plain proportional allocation — plus the theoretical
+# variance ratio showing what the optimization buys. The design-side
+# complement of cluster_sample_design_effect (what sampling costs)
+# and raking_weights_ipf (fixing a sample after the fact).
+# Engine parity: S_h comes from exact moment sums and is snapped to
+# a 1e6 grid BEFORE the allocation shares are formed; integerization
+# uses floor + largest-remainder with a total order (remainder desc,
+# segment asc), so allocations are integers that sum to the budget
+# EXACTLY on both engines.
+# --------------------------------------------------------------------------
+_NEY_BUDGET = 1000
+
+
+@operator(
+    "neyman_allocation",
+    oracle=f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), m AS (
+      SELECT seg,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(cents) AS BIGINT) AS s1,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS s2
+      FROM j GROUP BY 1
+    ), sd AS (
+      SELECT seg, n_h,
+             CAST(ROUND(sqrt((s2 - CAST(s1 AS DOUBLE)
+                              * (CAST(s1 AS DOUBLE) / n_h)) / (n_h - 1))
+                        * 1000000.0) AS BIGINT) AS s_grid
+      FROM m
+    ), wts AS (
+      SELECT seg, n_h, s_grid,
+             CAST(n_h AS HUGEINT) * s_grid AS w,
+             SUM(CAST(n_h AS HUGEINT) * s_grid) OVER () AS w_tot,
+             SUM(n_h) OVER () AS n_tot
+      FROM sd
+    ), alloc AS (
+      SELECT seg, n_h, s_grid,
+             CAST(FLOOR({_NEY_BUDGET} * CAST(w AS DOUBLE)
+                        / CAST(w_tot AS DOUBLE)) AS BIGINT) AS base_n,
+             {_NEY_BUDGET} * CAST(w AS DOUBLE) / CAST(w_tot AS DOUBLE)
+               - FLOOR({_NEY_BUDGET} * CAST(w AS DOUBLE)
+                       / CAST(w_tot AS DOUBLE)) AS rem,
+             CAST(FLOOR({_NEY_BUDGET} * CAST(n_h AS DOUBLE)
+                        / CAST(n_tot AS DOUBLE)) AS BIGINT) AS prop_n
+      FROM wts
+    ), ranked AS (
+      SELECT seg, n_h, s_grid, base_n, prop_n,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, seg) AS rr,
+             {_NEY_BUDGET} - SUM(base_n) OVER () AS leftover
+      FROM alloc
+    )
+    SELECT seg, n_h,
+           ROUND(CAST(s_grid AS DOUBLE) / 1000000.0 / 100.0, 6) AS stddev_h,
+           CAST(base_n + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS neyman_n,
+           prop_n
+    FROM ranked ORDER BY seg
+    """,
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    m = j.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("cents").cast("bigint").alias("s1"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("double").alias("s2"),
+    )
+    s1 = F.col("s1").cast("double")
+    sd = m.select(
+        "seg", "n_h",
+        F.round(
+            F.sqrt((F.col("s2") - s1 * (s1 / F.col("n_h")))
+                   / (F.col("n_h") - 1)) * 1000000.0
+        ).cast("bigint").alias("s_grid"),
+    )
+    wall = Window.partitionBy()
+    wts = sd.select(
+        "seg", "n_h", "s_grid",
+        (F.col("n_h").cast("decimal(38,0)") * F.col("s_grid")).alias("w"),
+        F.sum(F.col("n_h").cast("decimal(38,0)") * F.col("s_grid"))
+        .over(wall).alias("w_tot"),
+        F.sum("n_h").over(wall).alias("n_tot"),
+    )
+    share = (
+        F.lit(_NEY_BUDGET) * F.col("w").cast("double")
+        / F.col("w_tot").cast("double")
+    )
+    alloc = wts.select(
+        "seg", "n_h", "s_grid",
+        F.floor(share).cast("bigint").alias("base_n"),
+        (share - F.floor(share)).alias("rem"),
+        F.floor(
+            F.lit(_NEY_BUDGET) * F.col("n_h").cast("double")
+            / F.col("n_tot").cast("double")
+        ).cast("bigint").alias("prop_n"),
+    )
+    ranked = alloc.select(
+        "seg", "n_h", "s_grid", "base_n", "prop_n",
+        F.row_number().over(Window.orderBy(F.desc("rem"), "seg")).alias("rr"),
+        (F.lit(_NEY_BUDGET) - F.sum("base_n").over(wall)).alias("leftover"),
+    )
+    return ranked.select(
+        "seg", "n_h",
+        F.round(F.col("s_grid").cast("double") / 1000000.0 / 100.0, 6)
+        .alias("stddev_h"),
+        (
+            F.col("base_n")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).cast("bigint").alias("neyman_n"),
+        "prop_n",
+    ).orderBy("seg")

@@ -112,6 +112,7 @@ ROUND8_STAGED = [
     "jl_projection_distortion",
     "dedup_then_prefix_filter",
     "bbit_minhash_accuracy",
+    "neyman_allocation",
 ]
 
 
@@ -1030,3 +1031,11 @@ def test_bbit_error_bounded(spark):
     assert r.n_pairs > 0
     assert 0.0 <= r.mean_abs_err < 0.35
     assert abs(r.mean_bias) <= r.mean_abs_err + 1e-9
+
+
+def test_neyman_budget_exact(spark):
+    rows = REGISTRY["neyman_allocation"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert sum(r.neyman_n for r in rows) == 1000  # largest-remainder exactness
+    for r in rows:
+        assert r.neyman_n >= 0 and r.stddev_h > 0
