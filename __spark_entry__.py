@@ -162,6 +162,7 @@ _DEFER: list[str] = [
     "dedup_then_prefix_filter",
     "bbit_minhash_accuracy",
     "neyman_allocation",
+    "attribution_position_based",
 ]
 
 _PIN: list[str] = [

@@ -3442,3 +3442,105 @@ def column_level_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in outs[1:]:
         out = out.unionAll(df)
     return out.orderBy("column_name")
+
+
+# --------------------------------------------------------------------------
+# Position-based (U-shaped 40/20/40) attribution — completes the
+# heuristic trio (linear, time-decay, THIS) next to the Markov
+# removal-effect model: first and last touch inside the window get
+# 40% each, the middle splits the remaining 20% evenly (1 touch =>
+# 100%, 2 => 50/50). Same verified journey scaffolding as
+# attribution_linear_multitouch (one user-keyed interval join, one
+# per-purchase window); weights are rank CASEs on the (t_ts,
+# touch_id) total order.
+# --------------------------------------------------------------------------
+@operator(
+    "attribution_position_based",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT event_id AS touch_id, user_id, ts AS t_ts,
+             event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    touched AS (
+      SELECT p.purchase_id, p.value, t.touch_id, t.channel, t.t_ts
+      FROM p JOIN t
+        ON t.user_id = p.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 30 MINUTE
+    ),
+    ranked AS (
+      SELECT purchase_id, value, touch_id, channel,
+             ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                ORDER BY t_ts, touch_id) AS rn,
+             COUNT(*) OVER (PARTITION BY purchase_id)    AS n
+      FROM touched
+    ),
+    weighted AS (
+      SELECT purchase_id, touch_id, channel,
+             value * (CASE
+               WHEN n = 1 THEN 1.0
+               WHEN n = 2 THEN 0.5
+               WHEN rn = 1 OR rn = n THEN 0.4
+               ELSE 0.2 / (n - 2) END) AS credit
+      FROM ranked
+    )
+    SELECT channel,
+           COUNT(*) AS touches,
+           COUNT(DISTINCT purchase_id) AS purchases,
+           ROUND(SUM(credit), 2) AS credited_revenue
+    FROM weighted
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    touched = p.join(
+        t,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {_ATTR_WINDOW}")),
+    )
+    wp = Window.partitionBy("purchase_id")
+    ranked = touched.select(
+        "purchase_id", "value", "touch_id", "channel",
+        F.row_number()
+        .over(wp.orderBy("t_ts", "touch_id")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    w = (
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 0.4)
+        .otherwise(0.2 / (F.col("n") - 2))
+    )
+    weighted = ranked.select(
+        "purchase_id", "touch_id", "channel",
+        (F.col("value") * w).alias("credit"),
+    )
+    return (
+        weighted.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("touches"),
+            F.countDistinct("purchase_id").alias("purchases"),
+            F.round(F.sum("credit"), 2).alias("credited_revenue"),
+        )
+        .orderBy("channel")
+    )

@@ -113,6 +113,7 @@ ROUND8_STAGED = [
     "dedup_then_prefix_filter",
     "bbit_minhash_accuracy",
     "neyman_allocation",
+    "attribution_position_based",
 ]
 
 
@@ -1039,3 +1040,15 @@ def test_neyman_budget_exact(spark):
     assert sum(r.neyman_n for r in rows) == 1000  # largest-remainder exactness
     for r in rows:
         assert r.neyman_n >= 0 and r.stddev_h > 0
+
+
+def test_position_based_conserves_revenue(spark):
+    """U-shaped credits must conserve total attributed revenue with
+    the linear scheme — both distribute each attributed purchase's
+    full value across its touches."""
+    u = REGISTRY["attribution_position_based"](spark, SF_DIR).collect()
+    lin = REGISTRY["attribution_linear_multitouch"](spark, SF_DIR).collect()
+    total_u = sum(r.credited_revenue for r in u)
+    total_l = sum(r.credited_revenue for r in lin)
+    assert abs(total_u - total_l) < 0.05
+    assert {r.channel for r in u} == {r.channel for r in lin}
