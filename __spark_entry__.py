@@ -163,6 +163,7 @@ _DEFER: list[str] = [
     "bbit_minhash_accuracy",
     "neyman_allocation",
     "attribution_position_based",
+    "dpp_partitioned_join",
 ]
 
 _PIN: list[str] = [

@@ -485,3 +485,61 @@ def observed_landing_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# DYNAMIC partition pruning demo: the fact is laid out by year, but
+# the year filter arrives only through a JOIN against a filtered
+# dimension — static pruning cannot fire, so Catalyst plants a
+# dynamicpruning subquery on the fact scan that waits for the
+# broadcast dim and prunes partitions AT RUNTIME (the mechanism that
+# makes star-schema date-dim filters cheap at 100 TB without the
+# analyst copying the predicate onto the fact). The rollup proves
+# the pruned join sees exactly the truth rows; the plan shape
+# (dynamicpruning expression on the scan) is pinned by
+# tests/test_round8_staged.test_dpp_plan_prunes.
+# --------------------------------------------------------------------------
+_DPP_YEARS = (1998, 1999)
+
+
+@operator(
+    "dpp_partitioned_join",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                                    AS cents
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) IN {_DPP_YEARS}
+    GROUP BY 1 ORDER BY yr
+    """,
+)
+def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="dpp_rt_")
+    try:
+        orders.withColumn("yr", F.year("o_orderdate")).write.partitionBy(
+            "yr"
+        ).mode("overwrite").parquet(f"{root}/orders")
+        fact = spark.read.parquet(f"{root}/orders")
+        dim = spark.createDataFrame(
+            [(y, "keep") for y in _DPP_YEARS], "dim_yr int, tag string"
+        ).filter(F.col("tag") == "keep")
+        joined = fact.join(
+            F.broadcast(dim), fact.yr == dim.dim_yr
+        )
+        out = (
+            joined.groupBy(F.col("yr").cast("bigint").alias("yr"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint").alias("cents"),
+            )
+            .orderBy("yr")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -114,6 +114,7 @@ ROUND8_STAGED = [
     "bbit_minhash_accuracy",
     "neyman_allocation",
     "attribution_position_based",
+    "dpp_partitioned_join",
 ]
 
 
@@ -1052,3 +1053,29 @@ def test_position_based_conserves_revenue(spark):
     total_l = sum(r.credited_revenue for r in lin)
     assert abs(total_u - total_l) < 0.05
     assert {r.channel for r in u} == {r.channel for r in lin}
+
+
+def test_dpp_plan_prunes(spark):
+    """The joined fact scan must carry a dynamicpruning subquery —
+    i.e. the year filter reaches the partitioned scan THROUGH the
+    join, not by hand."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    root = tempfile.mkdtemp(prefix="dpp_plan_")
+    try:
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        orders.withColumn("yr", F.year("o_orderdate")).write.partitionBy(
+            "yr"
+        ).mode("overwrite").parquet(f"{root}/orders")
+        fact = spark.read.parquet(f"{root}/orders")
+        dim = spark.createDataFrame(
+            [(1998, "keep"), (1999, "keep")], "dim_yr int, tag string"
+        ).filter(F.col("tag") == "keep")
+        joined = fact.join(F.broadcast(dim), fact.yr == dim.dim_yr)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
