@@ -56,114 +56,14 @@ load_all()
 # jump to the front, greens rotate — deferral only affects the
 # never-checked. Clear the list at the next round boundary.
 _DEFER: list[str] = [
-    # round-8+ slate, staged during round 7 (all preverified MATCH at
-    # sf0.01 via scripts/preverify.py in a vanilla session; every one
-    # also runs its oracle differential in tests/test_round8_staged).
-    # At 97 names this spans TWO sweeps: round 8 takes the first 50
-    # (registry order), round 9 the remainder. Clear at the round-8
-    # boundary — the round-9 leftovers then queue as ordinary
-    # never-checked entries with no further bookkeeping.
-    "kendall_tau_qty_discount",
-    "two_proportion_wilson",
-    "runs_test_daily_revenue",
-    "interpurchase_gamma_fit",
-    "partition_skew_report",
-    "merge_idempotence_check",
-    "clustering_coefficient_by_degree",
-    "heaps_law_fit",
-    "dedup_cluster_cohesion",
-    "monthly_seasonal_index",
-    "survival_km_repeat_purchase",
-    "jackknife_daily_mean",
-    "mcnemar_view_click",
-    "quality_raters_kappa",
-    "theil_sen_daily_trend",
-    "negbin_overdispersion_fit",
-    "ljung_box_hourly",
-    "hurst_rescaled_range",
-    "levene_mean_abs_segments",
-    "permutation_test_event_value",
-    "small_file_compaction_plan",
-    "zone_map_skipping_stats",
-    "variance_merge_check",
-    "source_freshness_lag",
-    "lsh_scurve_design",
-    "neardup_transitivity_audit",
-    "mutual_knn_symmetry",
-    "brand_modularity_backbone",
-    "ngram_novelty_curve",
-    "association_rules_metrics",
-    "range_frame_probe",
-    "higher_order_array_probe",
-    "rfm_transition_matrix",
-    "topk_rank_stability",
-    "channel_audience_overlap",
-    "attribution_time_decay",
-    "split_leakage_audit",
-    "ivf_nprobe_recall_sweep",
-    "hash_split_assignment",
-    "column_profile_drift",
-    "spc_control_rules",
-    "simpsons_paradox_scan",
-    "bm25_topk",
-    "benjamini_hochberg_fdr",
-    "cuped_variance_reduction",
-    "cochran_armitage_trend",
-    "cliffs_delta_segments",
-    "wasserstein_1d_segments",
-    "poisson_bootstrap_ci",
-    "mann_kendall_daily_trend",
-    "knn_ndcg_eval",
-    "hits_step",
-    "k_anonymity_census",
-    "seasonality_strength",
-    "silhouette_by_label",
-    "dbscan_core_census",
-    "sequential_pattern_support",
-    "attribution_markov_removal",
-    "entity_blocking_recall",
-    "term_burstiness_profile",
-    "cluster_sample_design_effect",
-    "incremental_join_maintenance",
-    "cross_source_duplication_matrix",
-    "piecewise_trend_fit",
-    "median_ci_distribution_free",
-    "gumbel_daily_max_fit",
-    "dedup_capture_recapture",
-    "readability_scores",
-    "embedding_dim_correlation_top",
-    "multimodal_audio_rms",
-    "multimodal_image_pixel_stats",
-    "oov_rate_vocab_sweep",
-    "contrastive_pair_mining",
-    "sequential_ab_obrien_fleming",
-    "rich_club_coefficient",
-    "recsys_hitrate_eval",
-    "abc_xyz_matrix",
-    "join_cardinality_estimate",
-    "quantile_forecast_pinball",
-    "rank_distribution_probe",
-    "ratio_metric_delta_ci",
-    "raking_weights_ipf",
-    "sample_ratio_mismatch",
-    "churn_threshold_sweep",
-    "survival_rmst",
-    "covariate_balance_smd",
-    "score_drift_psi",
-    "jaccard_prefix_filter_join",
-    "kfold_metric_stability",
-    "price_volume_bridge",
-    "functional_dependency_audit",
-    "embedding_isotropy_score",
-    "column_level_checksums",
-    "pot_gpd_tail_fit",
-    "embedding_hubness",
-    "jl_projection_distortion",
-    "dedup_then_prefix_filter",
-    "bbit_minhash_accuracy",
-    "neyman_allocation",
-    "attribution_position_based",
-    "dpp_partitioned_join",
+    # CLEARED at the round-8 boundary (VERDICT r7 item 1): the 101
+    # round-7 staged operators now queue as ordinary never-checked
+    # entries — round 8's sweep takes the first 50 in registry order,
+    # round 9 the remainder. Registry is FROZEN until the backlog
+    # drains to 0 never-checked (VERDICT r7 item 2); the single
+    # exception is the judge-requested column_profile_drift_approx
+    # twin (VERDICT r7 item 7), pinned below so it earns its green
+    # this round instead of queueing behind the backlog.
 ]
 
 _PIN: list[str] = [
