@@ -8,7 +8,8 @@ REGISTRY only — the harness then runs a weaker rows-only check.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -16,6 +17,42 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+
+
+@contextmanager
+def with_persisted(*dfs: DataFrame) -> Iterator[DataFrame | tuple[DataFrame, ...]]:
+    """Persist shared intermediates for the duration of an operator
+    body, guaranteeing release on exit.
+
+    Composed operators re-consume an expensive verified input several
+    times (degree agg + semi-join + census, or csize + both pair
+    sides); a bare ``.cache()`` makes the kernel run once but pins the
+    blocks for the rest of a 400-operator sweep session. This helper
+    is the sanctioned pattern: persist -> build and MATERIALIZE the
+    bounded result inside the block (see :func:`materialize`) ->
+    unpersist in ``finally``. Returning a still-lazy plan from inside
+    the block defeats the persist (the driver's later collect would
+    recompute the unpersisted input), so pair it with ``materialize``.
+    """
+    for df in dfs:
+        df.persist()
+    try:
+        yield dfs[0] if len(dfs) == 1 else dfs
+    finally:
+        for df in dfs:
+            df.unpersist()
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Evaluate a BOUNDED result eagerly and rebuild it as a
+    local-relation DataFrame, so persisted inputs can be released
+    before the operator returns.
+
+    Only for domain-sized outputs (census rows, top-k rankings,
+    cluster-size rollups) — the same bounded-summary contract the
+    repo's existing ``createDataFrame(collect())`` sites declare.
+    Never call this on fact-scale frames."""
+    return df.sparkSession.createDataFrame(df.collect(), df.schema)
 
 
 def operator(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

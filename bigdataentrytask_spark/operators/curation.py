@@ -38,7 +38,7 @@ from bigdataentrytask_spark.functions.text import (
     token_hash,
     tokens,
 )
-from bigdataentrytask_spark.operators import operator
+from bigdataentrytask_spark.operators import materialize, operator, with_persisted
 from bigdataentrytask_spark.session import ensure_session_confs
 
 
@@ -251,28 +251,29 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    summaries = toks.mapInPandas(
-        mg_kernel, schema="tok string, batch_n long"
-    ).cache()
+    summaries = toks.mapInPandas(mg_kernel, schema="tok string, batch_n long")
     # summaries ≈ batches x capacity rows (tiny); one pass over it
     # yields both the exact corpus N and the candidate set — the
-    # corpus itself is scanned exactly TWICE (sketch pass, count pass)
-    total = summaries.agg(F.sum("batch_n")).collect()[0][0]
-    candidates = summaries.filter(F.col("tok").isNotNull()).select(
-        "tok"
-    ).distinct()
-    return (
-        toks.join(F.broadcast(candidates), "tok", "left_semi")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") * _HH_DENOM > F.lit(total))
-        .select(
-            "tok",
-            "cnt",
-            F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
+    # corpus itself is scanned exactly TWICE (sketch pass, count pass).
+    # Persist the summary for its two consumers and release it before
+    # returning (the result is the bounded heavy-hitter set).
+    with with_persisted(summaries):
+        total = summaries.agg(F.sum("batch_n")).collect()[0][0]
+        candidates = summaries.filter(F.col("tok").isNotNull()).select(
+            "tok"
+        ).distinct()
+        return materialize(
+            toks.join(F.broadcast(candidates), "tok", "left_semi")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") * _HH_DENOM > F.lit(total))
+            .select(
+                "tok",
+                "cnt",
+                F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
+            )
+            .orderBy(F.col("cnt").desc(), "tok")
         )
-        .orderBy(F.col("cnt").desc(), "tok")
-    )
 
 
 # --------------------------------------------------------------------------

@@ -478,55 +478,66 @@ def _register_dedup_cluster_cohesion() -> None:
     @operator("dedup_cluster_cohesion", oracle=oracle)
     def dedup_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         from bigdataentrytask_spark.catalog import load_table
+        from bigdataentrytask_spark.operators import materialize, with_persisted
 
+        # the resolved component table feeds THREE consumers (csize +
+        # both pair sides); persisting it runs the MinHash resolve
+        # (banding + iterative CC) ONCE instead of three times, and
+        # the blocks are released before returning the bounded
+        # cluster-size rollup
         comp = REGISTRY["dedup_resolve"](spark, sf_dir).select(
             "doc_id", "component"
         )
-        csize = (
-            comp.groupBy("component")
-            .agg(F.count(F.lit(1)).alias("csz"))
-            .filter(F.col("csz") >= 2)
-        )
-        arrs = load_table(spark, sf_dir, "documents").select(
-            "doc_id", F.array_distinct(tokens("text")).alias("toks")
-        )
-        a = comp.select(
-            F.col("doc_id").alias("da"), F.col("component").alias("component")
-        )
-        b = comp.select(
-            F.col("doc_id").alias("db"), F.col("component").alias("component")
-        )
-        ipairs = (
-            a.join(b, "component")
-            .filter(F.col("da") < F.col("db"))
-            .join(csize, "component")
-            .select("da", "db", "csz")
-        )
-        jac = (
-            ipairs.join(
-                arrs.select(F.col("doc_id").alias("da"), F.col("toks").alias("ta")),
-                "da",
+        with with_persisted(comp):
+            csize = (
+                comp.groupBy("component")
+                .agg(F.count(F.lit(1)).alias("csz"))
+                .filter(F.col("csz") >= 2)
             )
-            .join(
-                arrs.select(F.col("doc_id").alias("db"), F.col("toks").alias("tb")),
-                "db",
+            arrs = load_table(spark, sf_dir, "documents").select(
+                "doc_id", F.array_distinct(tokens("text")).alias("toks")
             )
-            .withColumn("i", F.size(F.array_intersect("ta", "tb")))
-            .withColumn(
-                "j",
-                F.col("i")
-                / (F.size("ta") + F.size("tb") - F.col("i")).cast("double"),
+            a = comp.select(
+                F.col("doc_id").alias("da"), F.col("component").alias("component")
             )
-        )
-        return (
-            jac.groupBy(F.col("csz").alias("cluster_size"))
-            .agg(
-                F.count(F.lit(1)).alias("n_pairs"),
-                F.round(F.sum("j") / F.count(F.lit(1)), 6).alias("avg_jaccard"),
-                F.round(F.min("j"), 6).alias("min_jaccard"),
+            b = comp.select(
+                F.col("doc_id").alias("db"), F.col("component").alias("component")
             )
-            .orderBy("cluster_size")
-        )
+            ipairs = (
+                a.join(b, "component")
+                .filter(F.col("da") < F.col("db"))
+                .join(csize, "component")
+                .select("da", "db", "csz")
+            )
+            jac = (
+                ipairs.join(
+                    arrs.select(
+                        F.col("doc_id").alias("da"), F.col("toks").alias("ta")
+                    ),
+                    "da",
+                )
+                .join(
+                    arrs.select(
+                        F.col("doc_id").alias("db"), F.col("toks").alias("tb")
+                    ),
+                    "db",
+                )
+                .withColumn("i", F.size(F.array_intersect("ta", "tb")))
+                .withColumn(
+                    "j",
+                    F.col("i")
+                    / (F.size("ta") + F.size("tb") - F.col("i")).cast("double"),
+                )
+            )
+            return materialize(
+                jac.groupBy(F.col("csz").alias("cluster_size"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_pairs"),
+                    F.round(F.sum("j") / F.count(F.lit(1)), 6).alias("avg_jaccard"),
+                    F.round(F.min("j"), 6).alias("min_jaccard"),
+                )
+                .orderBy("cluster_size")
+            )
 
 
 _register_dedup_cluster_cohesion()
