@@ -19,6 +19,16 @@ REGISTRY: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+# Plan-audit capture (plans/audit.py): `materialize` returns a
+# LocalRelation, so the interesting executed plan would be invisible
+# to the audit. materialize records the lazy DataFrame it evaluated
+# here (outermost call wins); with_persisted records its inputs so
+# scan-pruning columns survive even when the scans sit inside a
+# cached subtree the formatted explain doesn't recurse into.
+LAST_MATERIALIZED: list[DataFrame] = []
+PERSISTED_INPUTS: list[DataFrame] = []
+
+
 @contextmanager
 def with_persisted(*dfs: DataFrame) -> Iterator[DataFrame | tuple[DataFrame, ...]]:
     """Persist shared intermediates for the duration of an operator
@@ -34,6 +44,7 @@ def with_persisted(*dfs: DataFrame) -> Iterator[DataFrame | tuple[DataFrame, ...
     the block defeats the persist (the driver's later collect would
     recompute the unpersisted input), so pair it with ``materialize``.
     """
+    PERSISTED_INPUTS.extend(dfs)
     for df in dfs:
         df.persist()
     try:
@@ -52,6 +63,8 @@ def materialize(df: DataFrame) -> DataFrame:
     cluster-size rollups) — the same bounded-summary contract the
     repo's existing ``createDataFrame(collect())`` sites declare.
     Never call this on fact-scale frames."""
+    LAST_MATERIALIZED.clear()
+    LAST_MATERIALIZED.append(df)
     return df.sparkSession.createDataFrame(df.collect(), df.schema)
 
 

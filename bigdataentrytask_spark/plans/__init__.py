@@ -43,21 +43,40 @@ def pushed_filters(df: DataFrame) -> str:
 
 
 def _final_plan(df: DataFrame) -> str:
-    """Executed plan, truncated to AQE's final section (the string
-    otherwise repeats the initial plan and double-counts operators)."""
-    plan = executed_plan(df)
-    marker = "== Initial Plan =="
-    return plan.split(marker)[0] if marker in plan else plan
+    """Executed plan, reduced to AQE final sections only (the string
+    otherwise repeats the initial plan and double-counts operators).
+
+    Persisted subtrees print their own nested ``== Final Plan ==`` /
+    ``== Initial Plan ==`` blocks under each InMemoryRelation, so a
+    truncate-at-first-Initial heuristic would drop the remainder of
+    the OUTER plan; instead keep every Final segment and drop every
+    Initial segment."""
+    parts = re.split(r"== (Initial|Final) Plan ==", executed_plan(df))
+    kept = [parts[0]]
+    kept.extend(
+        parts[i + 1] for i in range(1, len(parts), 2) if parts[i] == "Final"
+    )
+    return "\n".join(kept)
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Shuffle count in the executed plan (AQE-final where available)."""
-    return len(
-        re.findall(
-            r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)",
-            _final_plan(df),
-        )
-    )
+    """Shuffle count in the executed plan (AQE-final where available).
+
+    A persisted subtree's plan is printed once PER InMemoryTableScan
+    consumer although it executes once — dedupe by plan_id so the
+    count reflects executed shuffles, not print repetitions."""
+    ids: set[str] = set()
+    n_unlabeled = 0
+    for m in re.finditer(
+        r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)[^\n]*",
+        _final_plan(df),
+    ):
+        idm = re.search(r"plan_id=(\d+)", m.group(0))
+        if idm:
+            ids.add(idm.group(1))
+        else:
+            n_unlabeled += 1
+    return len(ids) + n_unlabeled
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
