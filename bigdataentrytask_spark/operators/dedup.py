@@ -1473,13 +1473,17 @@ _register_dedup_capture_recapture()
 # --------------------------------------------------------------------------
 # Contrastive training-pair mining audit: positives = the verified
 # MinHash near-dup pair list; negatives = one deterministic hash
-# partner per document (Knuth-multiplier ring walk over the 0..N-1
-# id space — no RNG, engine-portable). The audit reports the
-# negative:positive ratio and the NEGATIVE COLLISION RATE — the share
-# of "negatives" that are secretly true near-dups (the label noise
-# that silently caps contrastive-embedding quality; measured, not
-# assumed). Pure composition: pair plan + per-row partner projection
-# + one canonicalized anti-join-style count.
+# partner per document (Knuth-multiplier ring walk over the DENSE
+# RANK of the id domain — no RNG, engine-portable, and valid for
+# sparse or offset doc_ids because the walk happens in rank space
+# 0..N-1 and is mapped back to real ids through the rank table;
+# round-7 advisor finding). The audit reports the negative:positive
+# ratio and the NEGATIVE COLLISION RATE — the share of "negatives"
+# that are secretly true near-dups (the label noise that silently
+# caps contrastive-embedding quality; measured, not assumed).
+# Scale note: the global row_number is a total sort of the id DOMAIN
+# (ids only, no payload); at 100 TB mine negatives per shard with a
+# per-shard ring walk instead — the estimator is unchanged.
 # --------------------------------------------------------------------------
 def _register_contrastive_pair_mining() -> None:
     from bigdataentrytask_spark.operators import ORACLES, REGISTRY
@@ -1487,13 +1491,18 @@ def _register_contrastive_pair_mining() -> None:
     oracle = f"""
     WITH pos AS ({ORACLES["minhash_dedup"]}),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS r
+      FROM documents
+    ),
     neg AS (
-      SELECT LEAST(d.doc_id, (d.doc_id * 2654435761 + 12345) % n.n_docs)
-               AS doc_a,
-             GREATEST(d.doc_id, (d.doc_id * 2654435761 + 12345) % n.n_docs)
-               AS doc_b
-      FROM documents d CROSS JOIN n
-      WHERE (d.doc_id * 2654435761 + 12345) % n.n_docs <> d.doc_id
+      SELECT LEAST(d.doc_id, p.doc_id)    AS doc_a,
+             GREATEST(d.doc_id, p.doc_id) AS doc_b
+      FROM ranked d
+      CROSS JOIN n
+      JOIN ranked p ON p.r = (d.r * 2654435761 + 12345) % n.n_docs
+      WHERE p.r <> d.r
     ),
     m AS (
       SELECT (SELECT COUNT(*) FROM pos)                       AS n_pos,
@@ -1513,17 +1522,27 @@ def _register_contrastive_pair_mining() -> None:
 
     @operator("contrastive_pair_mining", oracle=oracle)
     def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
         pos = REGISTRY["minhash_dedup"](spark, sf_dir).select("doc_a", "doc_b")
         docs = load_table(spark, sf_dir, "documents").select("doc_id")
         n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-        partner = (F.col("doc_id") * 2654435761 + 12345) % F.col("n_docs")
-        neg = (
-            docs.crossJoin(F.broadcast(n))
-            .filter(partner != F.col("doc_id"))
-            .select(
-                F.least(F.col("doc_id"), partner).alias("doc_a"),
-                F.greatest(F.col("doc_id"), partner).alias("doc_b"),
-            )
+        ranked = docs.select(
+            "doc_id",
+            (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("r"),
+        )
+        partner_r = (F.col("r") * 2654435761 + 12345) % F.col("n_docs")
+        walked = (
+            ranked.crossJoin(F.broadcast(n))
+            .select("doc_id", "r", partner_r.alias("pr"))
+            .filter(F.col("pr") != F.col("r"))
+        )
+        neg = walked.join(
+            ranked.select(F.col("r").alias("pr"), F.col("doc_id").alias("p_id")),
+            "pr",
+        ).select(
+            F.least(F.col("doc_id"), F.col("p_id")).alias("doc_a"),
+            F.greatest(F.col("doc_id"), F.col("p_id")).alias("doc_b"),
         )
         coll = neg.join(pos, ["doc_a", "doc_b"])
         m = (

@@ -2738,9 +2738,20 @@ _register_knn_ndcg_eval()
 # s_i = (b_i - a_i) / max(a_i, b_i). The O(N * L * d) assignment-join
 # form of the O(N^2) exact silhouette — the variant that exists at
 # corpus scale (centroids broadcast; dimension-level rows; one
-# partial-agg shuffle per vec). Follows embedding_label_centroids'
-# dims/cent idiom; per-point s_i is classified into an INTEGER sign
-# census alongside the rounded mean.
+# partial-agg shuffle per vec).
+#
+# Engine parity by construction (the snap-to-grid discipline, applied
+# here after the round-7 advisor flagged the double-AVG centroid as
+# order-dependent): every coordinate is snapped onto a 1e6 integer
+# grid FIRST, so the three power sums per (vec, label) cell —
+# A = sum xi^2, B = sum xi*S_pos, C = sum S_pos^2 with S_pos the
+# per-dimension centroid SUM — are exact 128-bit integers in any
+# summation order, and the distance
+#   dist_L = sqrt((A - 2B/n_L + C_L/n_L^2))   [grid units]
+# is ONE pinned double expression over exact inputs. s_i is scale-
+# invariant so grid units cancel; the per-point score is itself
+# snapped (s_grid = round(s * 1e6)) so the label mean is an exact
+# BIGINT sum divided once — no float accumulation anywhere.
 # --------------------------------------------------------------------------
 @operator(
     "silhouette_by_label",
@@ -2751,30 +2762,43 @@ _register_knn_ndcg_eval()
     dims AS (
       SELECT vec_id, label,
              generate_subscripts(e, 1) AS pos,
-             UNNEST(e) AS x
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
       FROM v
     ),
+    nlab AS (
+      SELECT label AS c_label, CAST(COUNT(*) AS BIGINT) AS n_lab
+      FROM v GROUP BY 1
+    ),
     cent AS (
-      SELECT label AS c_label, pos, AVG(x) AS c FROM dims GROUP BY 1, 2
+      SELECT label AS c_label, pos, CAST(SUM(xi) AS BIGINT) AS s_pos
+      FROM dims GROUP BY 1, 2
     ),
-    cnorm AS (
-      SELECT c_label, SUM(c * c) AS nc2 FROM cent GROUP BY 1
+    csq AS (
+      SELECT c_label,
+             CAST(SUM(s_pos::HUGEINT * s_pos) AS DOUBLE) AS c2
+      FROM cent GROUP BY 1
     ),
-    vnorm AS (
-      SELECT vec_id, SUM(x * x) AS nv2 FROM dims GROUP BY 1
+    vsq AS (
+      SELECT vec_id,
+             CAST(SUM(xi::HUGEINT * xi) AS DOUBLE) AS a2
+      FROM dims GROUP BY 1
     ),
     dots AS (
       SELECT d.vec_id, d.label, ct.c_label,
-             SUM(d.x * ct.c) AS dot
+             CAST(SUM(d.xi::HUGEINT * ct.s_pos) AS DOUBLE) AS b1
       FROM dims d JOIN cent ct ON ct.pos = d.pos
       GROUP BY 1, 2, 3
     ),
     dist AS (
       SELECT dt.vec_id, dt.label, dt.c_label,
-             sqrt(GREATEST(vn.nv2 - 2 * dt.dot + cn.nc2, 0.0)) AS dst
+             sqrt(GREATEST(
+               vs.a2 - 2 * dt.b1 / nl.n_lab
+                     + cs.c2 / (CAST(nl.n_lab AS DOUBLE) * nl.n_lab),
+               0.0)) AS dst
       FROM dots dt
-      JOIN vnorm vn ON vn.vec_id = dt.vec_id
-      JOIN cnorm cn ON cn.c_label = dt.c_label
+      JOIN vsq vs ON vs.vec_id = dt.vec_id
+      JOIN csq cs ON cs.c_label = dt.c_label
+      JOIN nlab nl ON nl.c_label = dt.c_label
     ),
     ab AS (
       SELECT vec_id, label,
@@ -2784,41 +2808,73 @@ _register_knn_ndcg_eval()
     ),
     sil AS (
       SELECT label,
-             (b_other - a_own) / GREATEST(a_own, b_other) AS s
+             CAST(ROUND((b_other - a_own) / GREATEST(a_own, b_other)
+                        * 1000000) AS BIGINT) AS s_grid
       FROM ab
     )
     SELECT label,
            CAST(COUNT(*) AS BIGINT)               AS n_vecs,
-           ROUND(AVG(s), 6)                       AS mean_silhouette,
-           CAST(count_if(s < 0) AS BIGINT)        AS n_negative
+           ROUND(SUM(s_grid) / (COUNT(*) * 1000000.0), 6)
+                                                  AS mean_silhouette,
+           CAST(count_if(s_grid < 0) AS BIGINT)   AS n_negative
     FROM sil GROUP BY label ORDER BY label
     """,
 )
 def silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    v = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    v = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
     dims = v.select(
         "vec_id", "label",
         F.posexplode("e").alias("pos0", "x"),
-    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "x")
-    cent = dims.groupBy(F.col("label").alias("c_label"), "pos").agg(
-        F.avg("x").alias("c")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x") * 1000000).cast("bigint").alias("xi"),
     )
-    cnorm = cent.groupBy("c_label").agg(F.sum(F.col("c") * F.col("c")).alias("nc2"))
-    vnorm = dims.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("nv2"))
+    nlab = v.groupBy(F.col("label").alias("c_label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lab")
+    )
+    cent = dims.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        F.sum("xi").alias("s_pos")
+    )
+    # products in DECIMAL(38,0) (the Spark twin of DuckDB's HUGEINT):
+    # exact in any order, one deterministic narrowing to double
+    d19 = "decimal(19,0)"
+    csq = cent.groupBy("c_label").agg(
+        F.sum(F.col("s_pos").cast(d19) * F.col("s_pos").cast(d19))
+        .cast("double")
+        .alias("c2")
+    )
+    vsq = dims.groupBy("vec_id").agg(
+        F.sum(F.col("xi").cast(d19) * F.col("xi").cast(d19))
+        .cast("double")
+        .alias("a2")
+    )
     dots = (
         dims.join(F.broadcast(cent), "pos")
         .groupBy("vec_id", "label", "c_label")
-        .agg(F.sum(F.col("x") * F.col("c")).alias("dot"))
+        .agg(
+            F.sum(F.col("xi").cast(d19) * F.col("s_pos").cast(d19))
+            .cast("double")
+            .alias("b1")
+        )
     )
     dist = (
-        dots.join(vnorm, "vec_id")
-        .join(F.broadcast(cnorm), "c_label")
+        dots.join(vsq, "vec_id")
+        .join(F.broadcast(csq), "c_label")
+        .join(F.broadcast(nlab), "c_label")
         .select(
             "vec_id", "label", "c_label",
             F.sqrt(
                 F.greatest(
-                    F.col("nv2") - 2 * F.col("dot") + F.col("nc2"), F.lit(0.0)
+                    F.col("a2")
+                    - 2 * F.col("b1") / F.col("n_lab")
+                    + F.col("c2")
+                    / (F.col("n_lab").cast("double") * F.col("n_lab")),
+                    F.lit(0.0),
                 )
             ).alias("dst"),
         )
@@ -2830,13 +2886,19 @@ def silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("b_other"),
     )
     s = (F.col("b_other") - F.col("a_own")) / F.greatest("a_own", "b_other")
-    sil = ab.select("label", s.alias("s"))
+    sil = ab.select(
+        "label", F.round(s * 1000000).cast("bigint").alias("s_grid")
+    )
     return (
         sil.groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-            F.round(F.avg("s"), 6).alias("mean_silhouette"),
-            F.count(F.when(F.col("s") < 0, 1)).cast("bigint").alias("n_negative"),
+            F.round(
+                F.sum("s_grid") / (F.count(F.lit(1)) * 1000000.0), 6
+            ).alias("mean_silhouette"),
+            F.count(F.when(F.col("s_grid") < 0, 1))
+            .cast("bigint")
+            .alias("n_negative"),
         )
         .orderBy("label")
     )

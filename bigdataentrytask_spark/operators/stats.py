@@ -3287,15 +3287,18 @@ def wasserstein_1d_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash_split_assignment). One explode x32 + one keyed aggregation:
 # map-side combine reduces each partition to 32 partial rows, so the
 # shuffle is O(32 x partitions) regardless of fact volume. Inverse-CDF
-# thresholds are precomputed INTEGER literals (floor(cdf * 2^60)), so
+# thresholds are precomputed INTEGER literals — exactly
+# floor(CDF_Poisson(1)(k) * 2^60), k = 0..7, evaluated in 60-digit
+# decimal arithmetic (e from its Taylor series; reproduction pinned in
+# tests/test_round8_staged.py::test_poisson_thresholds_exact) — so
 # weight assignment is pure integer comparison — no floats until the
 # per-resample means, which are snapped to a 1e-6 grid (BIGINT) before
 # the across-resample se/quantile algebra (order-free, engine-exact).
 # --------------------------------------------------------------------------
 _POIS_T = [
-    424136118829305344, 848272237658610688, 1060340297073263360,
-    1131029650211480960, 1148701988496035328, 1152236456152946176,
-    1152825534095764608, 1152909688087595776,
+    424136118829305329, 848272237658610659, 1060340297073263324,
+    1131029650211480879, 1148701988496035267, 1152236456152946145,
+    1152825534095764625, 1152909688087595836,
 ]
 
 

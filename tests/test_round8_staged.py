@@ -543,6 +543,31 @@ def test_poisson_bootstrap_ci_brackets(spark):
     assert abs(r.point_mean_cents - r.boot_mean_cents) < 6 * r.boot_se_cents
 
 
+def test_poisson_thresholds_exact():
+    """_POIS_T must be EXACTLY floor(CDF_Poisson(1)(k) * 2^60): the
+    comment states the derivation, this test reproduces it in exact
+    decimal arithmetic (round-7 advisor: the old literals were
+    float-derived and off by 15-81 ulps from the stated formula)."""
+    from decimal import Decimal, getcontext
+
+    from bigdataentrytask_spark.operators.stats import _POIS_T
+
+    getcontext().prec = 60
+    e = Decimal(0)
+    term = Decimal(1)
+    for i in range(1, 100):
+        e += term
+        term /= i
+    einv = Decimal(1) / e
+    cdf = Decimal(0)
+    fact = Decimal(1)
+    for k, expected in enumerate(_POIS_T):
+        if k > 0:
+            fact *= k
+        cdf += einv / fact
+        assert int(cdf * (1 << 60)) == expected, f"k={k}"
+
+
 def test_mann_kendall_bounds_and_sign(spark):
     r = REGISTRY["mann_kendall_daily_trend"](spark, SF_DIR).collect()[0]
     assert -1.0 <= r.tau_a <= 1.0
