@@ -67,6 +67,10 @@ _DEFER: list[str] = [
 ]
 
 _PIN: list[str] = [
+    # round-8: the judge-requested sketch twin (VERDICT r7 item 7) —
+    # pinned so it earns its green row this round instead of queueing
+    # behind the 101-op backlog; expires automatically once green
+    "column_profile_drift_approx",
     # round-4 red, fixed (scaled-BIGINT output contract)
     "pricing_summary_decimal",
     # never-checked backlog (parked + round-4 additions)

@@ -115,6 +115,10 @@ ROUND8_STAGED = [
     "neyman_allocation",
     "attribution_position_based",
     "dpp_partitioned_join",
+    # round-8 addition (VERDICT r7 item 7): the judge-requested
+    # sketch twin — pinned in __spark_entry__._PIN for this round's
+    # sweep, differential-covered here like the rest of the slate
+    "column_profile_drift_approx",
 ]
 
 
