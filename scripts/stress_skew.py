@@ -11,6 +11,14 @@ fresh event_ids (event_id uniqueness is load-bearing — the
 first_seen tie-break invariant), yielding a key that owns ~HOT_COPIES
 x (1/|users|) of the corpus, and times named registry operators.
 
+Round 8 (VERDICT r7 item 6): ORDERS gets the same treatment — the
+first BUILDING customer's orders are duplicated HOT_COPIES times
+under fresh o_orderkeys, so the segment-statistics family
+(welch/mannwhitney/levene/...) sees BOTH a hot join key AND a hot
+VALUE domain (the duplicated rows repeat the same cents values, so
+individual per-distinct-value cells in the rank-statistics domain
+aggregation become heavy).
+
 Usage: python scripts/stress_skew.py [op ...]
 """
 
@@ -28,7 +36,9 @@ from bigdataentrytask_spark.session import get_spark
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DST = "/tmp/stress_skew_corpus"
-HOT_COPIES = 400          # hot user ends up with ~400x its base rows
+# copies are sized so the hot key owns ~90% of its table (the round-7
+# verdict's skew bar), computed from the base counts at build time
+HOT_SHARE = 0.90
 ID_STRIDE = 10_000_000
 
 TABLES = (
@@ -54,23 +64,40 @@ def build(spark) -> None:
     if os.path.exists(DST):
         shutil.rmtree(DST)
     os.makedirs(DST)
+    import numpy as np
+
+    cust = pq.read_table(os.path.join(SRC, "customer.parquet"))
+    bld = cust.filter(pa.compute.equal(cust["c_mktsegment"], "BUILDING"))
+    hot_cust = pa.compute.min(bld["c_custkey"]).as_py()
+
     for t in TABLES:
         src = os.path.join(SRC, f"{t}.parquet")
         dst = os.path.join(DST, f"{t}.parquet")
-        if t != "events":
+        if t == "events":
+            key_col, id_col, hot_key = "user_id", "event_id", 0
+        elif t == "orders":
+            key_col, id_col, hot_key = "o_custkey", "o_orderkey", hot_cust
+        else:
             shutil.copy(src, dst)
             continue
         tbl = pq.read_table(src)
-        hot = tbl.filter(pa.compute.equal(tbl["user_id"], 0))
-        parts = [tbl]
-        for k in range(1, HOT_COPIES):
-            shifted = hot.set_column(
-                hot.schema.get_field_index("event_id"),
-                "event_id",
-                pa.compute.add(hot["event_id"], k * ID_STRIDE),
-            )
-            parts.append(shifted)
-        pq.write_table(pa.concat_tables(parts), dst)
+        hot = tbl.filter(pa.compute.equal(tbl[key_col], hot_key))
+        m, n = hot.num_rows, tbl.num_rows
+        # copies so hot_total/(n + extra) ~= HOT_SHARE:
+        copies = max(1, int((HOT_SHARE * n - m) / (m * (1 - HOT_SHARE))))
+        big = hot.combine_chunks()
+        rep = pa.concat_tables([big] * copies).combine_chunks()
+        base_ids = np.asarray(big[id_col])
+        offsets = np.repeat(
+            np.arange(1, copies + 1, dtype=np.int64) * ID_STRIDE, m
+        )
+        rep = rep.set_column(
+            rep.schema.get_field_index(id_col),
+            id_col,
+            pa.array(np.tile(base_ids, copies) + offsets,
+                     type=big.schema.field(id_col).type),
+        )
+        pq.write_table(pa.concat_tables([tbl, rep]), dst)
 
 
 def main() -> None:
@@ -85,6 +112,13 @@ def main() -> None:
     )
     print(f"STRESS-SKEW corpus: {n} events, hot user holds {hot_n} "
           f"({100.0 * hot_n / n:.1f}%)")
+    orders = spark.read.parquet(os.path.join(DST, "orders.parquet"))
+    no = orders.count()
+    hot_o = no - spark.read.parquet(
+        os.path.join(SRC, "orders.parquet")
+    ).count()
+    print(f"STRESS-SKEW orders: {no} rows, hot customer's duplicates "
+          f"add {hot_o} ({100.0 * hot_o / no:.1f}%)")
     for name in ops:
         t0 = time.time()
         rows = REGISTRY[name](spark, DST).count()
