@@ -757,60 +757,110 @@ def embedding_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims AS (
       SELECT vec_id, label,
              generate_subscripts(e, 1) AS pos,
-             UNNEST(e) AS x
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
       FROM v
     ),
-    cent AS (
-      SELECT label, pos, AVG(x) AS c FROM dims GROUP BY label, pos
+    nlab AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_lab FROM v GROUP BY 1
     ),
-    cnorm AS (
-      SELECT label, sqrt(SUM(c * c)) AS nc FROM cent GROUP BY label
+    cent AS (
+      SELECT label, pos, CAST(SUM(xi) AS BIGINT) AS s
+      FROM dims GROUP BY label, pos
+    ),
+    csq AS (
+      SELECT label, CAST(SUM(s::HUGEINT * s) AS DOUBLE) AS c2
+      FROM cent GROUP BY label
     ),
     member AS (
       SELECT d.vec_id, d.label,
-             SUM(d.x * ct.c) AS dot,
-             sqrt(SUM(d.x * d.x)) AS nv
+             CAST(SUM(d.xi::HUGEINT * ct.s) AS DOUBLE) AS dot,
+             CAST(SUM(d.xi::HUGEINT * d.xi) AS DOUBLE) AS nv2
       FROM dims d JOIN cent ct ON ct.label = d.label AND ct.pos = d.pos
       GROUP BY d.vec_id, d.label
+    ),
+    mc AS (
+      -- cosine(member, centroid) is invariant to the centroid scale
+      -- 1/(n*g), so it only needs the exact integer sums; snapped
+      -- onto the 1e6 grid so the label mean is an exact BIGINT sum
+      SELECT m.label,
+             CAST(ROUND(m.dot / (sqrt(m.nv2) * sqrt(cs.c2)) * 1000000)
+                  AS BIGINT) AS cos_grid
+      FROM member m JOIN csq cs ON cs.label = m.label
     )
-    SELECT m.label,
+    SELECT mc.label,
            COUNT(*) AS n_vecs,
-           ROUND(ANY_VALUE(cn.nc), 6) AS centroid_norm,
-           ROUND(AVG(m.dot / (m.nv * cn.nc)), 6) AS avg_cos
-    FROM member m JOIN cnorm cn ON cn.label = m.label
-    GROUP BY m.label
-    ORDER BY m.label
+           ROUND(ANY_VALUE(sqrt(cs.c2) / (cs_n.n_lab * 1000000.0)), 6)
+             AS centroid_norm,
+           ROUND(SUM(mc.cos_grid) / (COUNT(*) * 1000000.0), 6) AS avg_cos
+    FROM mc
+    JOIN csq cs   ON cs.label = mc.label
+    JOIN nlab cs_n ON cs_n.label = mc.label
+    GROUP BY mc.label
+    ORDER BY mc.label
     """,
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dims = _emb(spark, sf_dir).select(
+    """Round-8 hardening (advisor-flagged double-AVG centroid): all
+    per-label math reduces to snapped-coordinate integer sums — exact
+    in any partition order — with one pinned double expression per
+    output (see centroid_affinity_matrix for the scale-cancellation
+    argument)."""
+    v = _emb(spark, sf_dir)
+    dims = v.select(
         "vec_id",
         "label",
         F.posexplode(
             F.transform("embedding", lambda x: x.cast("double"))
         ).alias("pos", "x"),
+    ).select(
+        "vec_id", "label", "pos",
+        F.round(F.col("x") * 1000000).cast("bigint").alias("xi"),
     )
-    cent = dims.groupBy("label", "pos").agg(F.avg("x").alias("c"))
-    cnorm = cent.groupBy("label").agg(
-        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc")
+    nlab = v.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lab")
+    )
+    cent = dims.groupBy("label", "pos").agg(F.sum("xi").alias("s"))
+    d19 = "decimal(19,0)"
+    csq = cent.groupBy("label").agg(
+        F.sum(F.col("s").cast(d19) * F.col("s").cast(d19))
+        .cast("double")
+        .alias("c2")
     )
     member = (
         dims.join(F.broadcast(cent), ["label", "pos"])
         .groupBy("vec_id", "label")
         .agg(
-            F.sum(F.col("x") * F.col("c")).alias("dot"),
-            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv"),
+            F.sum(F.col("xi").cast(d19) * F.col("s").cast(d19))
+            .cast("double")
+            .alias("dot"),
+            F.sum(F.col("xi").cast(d19) * F.col("xi").cast(d19))
+            .cast("double")
+            .alias("nv2"),
         )
     )
+    mc = member.join(F.broadcast(csq), "label").select(
+        "label",
+        F.round(
+            F.col("dot") / (F.sqrt("nv2") * F.sqrt("c2")) * 1000000
+        )
+        .cast("bigint")
+        .alias("cos_grid"),
+    )
     return (
-        member.join(F.broadcast(cnorm), "label")
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.first("nc"), 6).alias("centroid_norm"),
-            F.round(F.avg(F.col("dot") / (F.col("nv") * F.col("nc"))), 6).alias(
-                "avg_cos"
-            ),
+        mc.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.sum("cos_grid").alias("sum_cos_grid"))
+        .join(F.broadcast(csq), "label")
+        .join(F.broadcast(nlab), "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round(
+                F.sqrt("c2") / (F.col("n_lab") * 1000000.0), 6
+            ).alias("centroid_norm"),
+            F.round(
+                F.col("sum_cos_grid") / (F.col("n_vecs") * 1000000.0), 6
+            ).alias("avg_cos"),
         )
         .orderBy("label")
     )
@@ -2085,26 +2135,36 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pass will blur together. Centroids are |labels| x |dims| rows; the
 # pairwise join is |labels|²/2 over dimension-level rows — tiny at
 # any corpus scale because the fact table reduced first.
+#
+# Engine parity by construction (round-8 hardening of the advisor-
+# flagged double-AVG centroid): cosine is invariant to the per-label
+# scale 1/(n*g), so it reduces to the SNAPPED per-dimension centroid
+# SUMS S_pos = sum(round(x * 1e6)) — exact integers in any summation
+# order — and cosine = sum(Sa*Sb) / (sqrt(sum Sa^2) * sqrt(sum Sb^2))
+# is one pinned double expression over exact 128-bit inputs.
 # --------------------------------------------------------------------------
 @operator(
     "centroid_affinity_matrix",
     oracle="""
     WITH dims AS (
-      SELECT label, generate_subscripts(e, 1) AS pos, UNNEST(e) AS x
+      SELECT label, generate_subscripts(e, 1) AS pos,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
       FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings)
     ),
     cent AS (
-      SELECT label, pos, AVG(x) AS c FROM dims GROUP BY label, pos
+      SELECT label, pos, CAST(SUM(xi) AS BIGINT) AS s FROM dims
+      GROUP BY label, pos
     ),
     pairs AS (
       SELECT a.label AS label_a, b.label AS label_b,
-             SUM(a.c * b.c) AS dot,
-             sqrt(SUM(a.c * a.c)) AS na,
-             sqrt(SUM(b.c * b.c)) AS nb
+             CAST(SUM(a.s::HUGEINT * b.s) AS DOUBLE) AS dot,
+             CAST(SUM(a.s::HUGEINT * a.s) AS DOUBLE) AS na2,
+             CAST(SUM(b.s::HUGEINT * b.s) AS DOUBLE) AS nb2
       FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
       GROUP BY 1, 2
     )
-    SELECT label_a, label_b, ROUND(dot / (na * nb), 6) AS cosine
+    SELECT label_a, label_b,
+           ROUND(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cosine
     FROM pairs ORDER BY label_a, label_b
     """,
 )
@@ -2114,28 +2174,33 @@ def centroid_affinity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.transform("embedding", lambda x: x.cast("double"))
         ).alias("pos", "x"),
+    ).select(
+        "label", "pos", F.round(F.col("x") * 1000000).cast("bigint").alias("xi")
     )
-    cent = dims.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    cent = dims.groupBy("label", "pos").agg(F.sum("xi").alias("s"))
+    d19 = "decimal(19,0)"
     a = cent.select(
-        F.col("label").alias("label_a"), "pos", F.col("c").alias("ca")
+        F.col("label").alias("label_a"), "pos", F.col("s").cast(d19).alias("sa")
     )
     b = cent.select(
-        F.col("label").alias("label_b"), "pos", F.col("c").alias("cb")
+        F.col("label").alias("label_b"), "pos", F.col("s").cast(d19).alias("sb")
     )
     pairs = (
         a.join(b, "pos")
         .filter(F.col("label_a") < F.col("label_b"))
         .groupBy("label_a", "label_b")
         .agg(
-            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
-            F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
-            F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
+            F.sum(F.col("sa") * F.col("sb")).cast("double").alias("dot"),
+            F.sum(F.col("sa") * F.col("sa")).cast("double").alias("na2"),
+            F.sum(F.col("sb") * F.col("sb")).cast("double").alias("nb2"),
         )
     )
     return pairs.select(
         "label_a",
         "label_b",
-        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        F.round(
+            F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 6
+        ).alias("cosine"),
     ).orderBy("label_a", "label_b")
 
 
