@@ -45,6 +45,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # box idling at load ~2.9) — treat any single-run headline within
 # ±25% of r4 as noise; the best-of-3 at 0.957x confirms no
 # regression.
+# Round-8 drift triage: knn_lsh 0.84->1.49s and heavy_hitter_tokens
+# 0.69->1.27s are STRUCTURAL, not regressions of the algorithm: both
+# ops previously leaked a `.cache()` (never unpersisted), so runs 2-3
+# of the best-of-3 reused run 1's cached frames across runs — the old
+# minima measured a warm-cache steady state that also pinned executor
+# memory for the rest of the session. The round-8 persist-hygiene
+# pass (with_persisted + materialize, tests/test_persist_hygiene.py)
+# releases all blocks per call; the new minima are the honest
+# one-shot cost. Total headline is unchanged (32.97s vs r7 33.04s).
 HEADLINE = [
     "b1_hourly_uv",
     "q1_cumulative_minute",
