@@ -2010,24 +2010,25 @@ _DRIFT_CUT = 250  # vec_id split between "old" and "new" halves
     WITH dims AS (
       SELECT label,
              CASE WHEN vec_id < {_DRIFT_CUT} THEN 0 ELSE 1 END AS half,
-             i, CAST(x AS DOUBLE) AS x
+             i, CAST(ROUND(x * 1000000) AS BIGINT) AS xi
       FROM (SELECT label, vec_id,
                    UNNEST(embedding::DOUBLE[]) AS x,
                    UNNEST(range(len(embedding))) AS i
             FROM embeddings)
     ),
     cent AS (
-      SELECT label, half, i, SUM(x) / COUNT(*) AS c
+      SELECT label, half, i, CAST(SUM(xi) AS BIGINT) AS s
       FROM dims GROUP BY 1, 2, 3
     ),
     paired AS (
-      SELECT a.label, a.i, a.c AS c0, b.c AS c1
+      SELECT a.label, a.i, a.s AS s0, b.s AS s1
       FROM cent a JOIN cent b
         ON b.label = a.label AND b.i = a.i AND a.half = 0 AND b.half = 1
     )
     SELECT label,
-           ROUND(SUM(c0 * c1)
-                 / (sqrt(SUM(c0 * c0)) * sqrt(SUM(c1 * c1))), 6)
+           ROUND(CAST(SUM(s0::HUGEINT * s1) AS DOUBLE)
+                 / (sqrt(CAST(SUM(s0::HUGEINT * s0) AS DOUBLE))
+                    * sqrt(CAST(SUM(s1::HUGEINT * s1) AS DOUBLE))), 6)
              AS centroid_cosine
     FROM paired GROUP BY 1 ORDER BY label
     """,
@@ -2040,11 +2041,11 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmeans_step posture): centroids are (label, half, dim) grouped
     means; no whole-vector shuffles, no driver collect.
 
-    Determinism note: per-dimension mean and the dot/norm sums are
-    64-dim-bounded reductions of identical doubles — both engines sum
-    <= 64 terms of the same values, and the 6-decimal round absorbs
-    the accumulation-order ulp (same contract as the green
-    kmeans_step / pca ops)."""
+    Engine parity by construction (round-8 hardening): the per-half
+    scale 1/(n_half * g) cancels out of the cosine, so it reduces to
+    the snapped per-dimension centroid SUMS — exact integers in any
+    summation order — with one pinned double expression at the end
+    (the centroid_affinity_matrix argument)."""
     e = _emb(spark, sf_dir)
     dims = e.select(
         "label",
@@ -2052,25 +2053,27 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
             "i", "x"
         ),
+    ).select(
+        "label", "half", "i",
+        F.round(F.col("x") * 1000000).cast("bigint").alias("xi"),
     )
-    cent = dims.groupBy("label", "half", "i").agg(
-        (F.sum("x") / F.count(F.lit(1))).alias("c")
-    )
+    cent = dims.groupBy("label", "half", "i").agg(F.sum("xi").alias("s"))
+    d19 = "decimal(19,0)"
     a = cent.filter(F.col("half") == 0).select(
-        "label", "i", F.col("c").alias("c0")
+        "label", "i", F.col("s").cast(d19).alias("s0")
     )
     b = cent.filter(F.col("half") == 1).select(
-        "label", "i", F.col("c").alias("c1")
+        "label", "i", F.col("s").cast(d19).alias("s1")
     )
     paired = a.join(b, ["label", "i"])
     return (
         paired.groupBy("label")
         .agg(
             F.round(
-                F.sum(F.col("c0") * F.col("c1"))
+                F.sum(F.col("s0") * F.col("s1")).cast("double")
                 / (
-                    F.sqrt(F.sum(F.col("c0") * F.col("c0")))
-                    * F.sqrt(F.sum(F.col("c1") * F.col("c1")))
+                    F.sqrt(F.sum(F.col("s0") * F.col("s0")).cast("double"))
+                    * F.sqrt(F.sum(F.col("s1") * F.col("s1")).cast("double"))
                 ),
                 6,
             ).alias("centroid_cosine")
@@ -2093,34 +2096,49 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_dim_variance",
     oracle="""
     WITH dims AS (
-      SELECT generate_subscripts(e, 1) - 1 AS pos, UNNEST(e) AS x
+      SELECT generate_subscripts(e, 1) - 1 AS pos, UNNEST(e) AS x,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
       FROM (SELECT embedding::DOUBLE[] AS e FROM embeddings)
     )
     SELECT pos,
            CAST(COUNT(*) AS BIGINT)                          AS n,
-           ROUND(SUM(x) / COUNT(*), 6)                       AS mean,
-           ROUND(SUM(x * x) / COUNT(*)
-                 - (SUM(x) / COUNT(*)) * (SUM(x) / COUNT(*)), 6) AS variance,
+           ROUND(CAST(SUM(xi) AS DOUBLE)
+                 / (COUNT(*) * 1000000.0), 6)                AS mean,
+           ROUND((CAST(SUM(xi::HUGEINT * xi) AS DOUBLE) / COUNT(*)
+                  - (CAST(SUM(xi) AS DOUBLE) / COUNT(*))
+                    * (CAST(SUM(xi) AS DOUBLE) / COUNT(*)))
+                 / 1e12, 6)                                  AS variance,
            ROUND(MIN(x), 6)                                  AS min_x,
            ROUND(MAX(x), 6)                                  AS max_x
     FROM dims GROUP BY pos ORDER BY pos
     """,
 )
 def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 hardening: mean/variance come from snapped-coordinate
+    integer power sums (exact in any summation order; min/max need no
+    treatment — extrema of identical doubles are order-free), with one
+    pinned double expression per output. Moments are of the grid-
+    snapped values; at g = 1e6 the snap perturbs the variance by
+    O(1e-13), far below the 6-dp readout."""
     dims = _emb(spark, sf_dir).select(
         F.posexplode(
             F.transform("embedding", lambda x: x.cast("double"))
         ).alias("pos", "x")
+    ).select(
+        "pos", "x", F.round(F.col("x") * 1000000).cast("bigint").alias("xi")
     )
-    s1 = F.sum("x")
-    s2 = F.sum(F.col("x") * F.col("x"))
+    d19 = "decimal(19,0)"
+    s1 = F.sum("xi").cast("double")
+    s2 = F.sum(F.col("xi").cast(d19) * F.col("xi").cast(d19)).cast("double")
     cnt = F.count(F.lit(1))
     return (
         dims.groupBy("pos")
         .agg(
             cnt.alias("n"),
-            F.round(s1 / cnt, 6).alias("mean"),
-            F.round(s2 / cnt - (s1 / cnt) * (s1 / cnt), 6).alias("variance"),
+            F.round(s1 / (cnt * 1000000.0), 6).alias("mean"),
+            F.round(
+                (s2 / cnt - (s1 / cnt) * (s1 / cnt)) / 1e12, 6
+            ).alias("variance"),
             F.round(F.min("x"), 6).alias("min_x"),
             F.round(F.max("x"), 6).alias("max_x"),
         )
