@@ -1051,90 +1051,107 @@ KMEANS_K = 8
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ),
     dims AS (
-      SELECT vec_id, generate_subscripts(e, 1) AS pos, UNNEST(e) AS x
+      SELECT vec_id, generate_subscripts(e, 1) AS pos,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
       FROM v
     ),
     seeds AS (
-      SELECT vec_id AS k, generate_subscripts(e, 1) AS pos, UNNEST(e) AS s
+      SELECT vec_id AS k, generate_subscripts(e, 1) AS pos,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS si
       FROM v WHERE vec_id < {KMEANS_K}
     ),
     dist AS (
-      SELECT d.vec_id, se.k, SUM((d.x - se.s) * (d.x - se.s)) AS dd
+      -- distances on the 1e6 coordinate grid: EXACT integers in any
+      -- accumulation order, so assignment needs no float tie-break
+      -- (round-8 hardening; the old ROUND(dd, 6) tie-break defended
+      -- against exactly the drift this removes)
+      SELECT d.vec_id, se.k,
+             CAST(SUM((d.xi - se.si) * (d.xi - se.si)) AS BIGINT) AS dd
       FROM dims d JOIN seeds se ON se.pos = d.pos
       GROUP BY d.vec_id, se.k
     ),
     assigned AS (
       SELECT vec_id, k, dd FROM (
         SELECT vec_id, k, dd,
-               -- tie-break on ROUND(dd, 6): dd comes from an unordered
-               -- float partial aggregate, so near-equidistant seeds could
-               -- otherwise flip on accumulation-order drift between engines
                ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY ROUND(dd, 6), k) AS rn
+                                  ORDER BY dd, k) AS rn
         FROM dist
       ) WHERE rn = 1
     ),
     upd AS (
-      SELECT a.k, d.pos, AVG(d.x) AS c
+      SELECT a.k, d.pos, CAST(SUM(d.xi) AS BIGINT) AS s
       FROM assigned a JOIN dims d ON d.vec_id = a.vec_id
       GROUP BY a.k, d.pos
+    ),
+    un AS (
+      SELECT k, CAST(SUM(s::HUGEINT * s) AS DOUBLE) AS c2
+      FROM upd GROUP BY k
     )
     SELECT a.k AS cluster,
            COUNT(*) AS n_vecs,
-           ROUND(SUM(a.dd), 4) AS sse,
-           ROUND(ANY_VALUE(u.nrm), 6) AS new_centroid_norm
+           ROUND(CAST(SUM(a.dd::HUGEINT) AS DOUBLE) / 1e12, 4) AS sse,
+           ROUND(ANY_VALUE(sqrt(un.c2)) / (COUNT(*) * 1000000.0), 6)
+             AS new_centroid_norm
     FROM assigned a
-    JOIN (SELECT k, sqrt(SUM(c * c)) AS nrm FROM upd GROUP BY k) u
-      ON u.k = a.k
+    JOIN un ON un.k = a.k
     GROUP BY a.k
     ORDER BY cluster
     """,
 )
 def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
     dims = e.select(
         "vec_id",
         F.posexplode(
             F.transform("embedding", lambda x: x.cast("double"))
         ).alias("pos0", "x"),
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "x")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), grid.alias("xi"))
     seeds = (
         e.filter(F.col("vec_id") < KMEANS_K)
         .select(
             F.col("vec_id").alias("k"),
             F.posexplode(
                 F.transform("embedding", lambda x: x.cast("double"))
-            ).alias("pos0", "s"),
+            ).alias("pos0", "x"),
         )
-        .select("k", (F.col("pos0") + 1).alias("pos"), "s")
+        .select("k", (F.col("pos0") + 1).alias("pos"), grid.alias("si"))
     )
+    diff = F.col("xi") - F.col("si")
     dist = (
         dims.join(F.broadcast(seeds), "pos")
         .groupBy("vec_id", "k")
-        .agg(F.sum((F.col("x") - F.col("s")) * (F.col("x") - F.col("s"))).alias("dd"))
+        .agg(F.sum(diff * diff).cast("bigint").alias("dd"))
     )
-    # tie-break on rounded dd — mirrors the oracle; see the oracle comment
-    w = Window.partitionBy("vec_id").orderBy(F.round("dd", 6), "k")
+    # grid distances are exact integers — plain (dd, k) order suffices
+    w = Window.partitionBy("vec_id").orderBy("dd", "k")
     assigned = (
         dist.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "k", "dd")
     )
+    d19 = "decimal(19,0)"
     upd = (
         assigned.join(dims, "vec_id")
         .groupBy("k", "pos")
-        .agg(F.avg("x").alias("c"))
+        .agg(F.sum("xi").alias("s"))
     )
-    cnorm = upd.groupBy("k").agg(
-        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    un = upd.groupBy("k").agg(
+        F.sum(F.col("s").cast(d19) * F.col("s").cast(d19))
+        .cast("double")
+        .alias("c2")
     )
     return (
-        assigned.join(F.broadcast(cnorm), "k")
+        assigned.join(F.broadcast(un), "k")
         .groupBy(F.col("k").alias("cluster"))
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.sum("dd"), 4).alias("sse"),
-            F.round(F.first("nrm"), 6).alias("new_centroid_norm"),
+            F.round(
+                F.sum(F.col("dd").cast(d19)).cast("double") / 1e12, 4
+            ).alias("sse"),
+            F.round(
+                F.sqrt(F.first("c2")) / (F.count(F.lit(1)) * 1000000.0), 6
+            ).alias("new_centroid_norm"),
         )
         .orderBy("cluster")
     )
