@@ -1170,24 +1170,28 @@ _IVF_CTES = f"""
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ),
     dims AS (
-      SELECT vec_id, generate_subscripts(e, 1) AS pos, UNNEST(e) AS x
+      SELECT vec_id, generate_subscripts(e, 1) AS pos,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
       FROM v
     ),
     seeds AS (
-      SELECT vec_id AS k, generate_subscripts(e, 1) AS pos, UNNEST(e) AS s
+      SELECT vec_id AS k, generate_subscripts(e, 1) AS pos,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS si
       FROM v WHERE vec_id < {KMEANS_K}
     ),
     dist AS (
-      SELECT d.vec_id, se.k, SUM((d.x - se.s) * (d.x - se.s)) AS dd
+      -- grid-integer distances (kmeans_step round-8 hardening): exact
+      -- in any accumulation order, so no float tie-break is needed
+      SELECT d.vec_id, se.k,
+             CAST(SUM((d.xi - se.si) * (d.xi - se.si)) AS BIGINT) AS dd
       FROM dims d JOIN seeds se ON se.pos = d.pos
       GROUP BY d.vec_id, se.k
     ),
     assigned AS (
       SELECT vec_id, k FROM (
         SELECT vec_id, k,
-               -- ROUND(dd, 6) tie-break: see kmeans_step oracle comment
                ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY ROUND(dd, 6), k) AS rn
+                                  ORDER BY dd, k) AS rn
         FROM dist
       ) WHERE rn = 1
     )
@@ -1227,28 +1231,31 @@ _IVF_CTES = f"""
 )
 def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
     dims = e.select(
         "vec_id",
         F.posexplode(
             F.transform("embedding", lambda x: x.cast("double"))
         ).alias("pos0", "x"),
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "x")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), grid.alias("xi"))
     seeds = (
         e.filter(F.col("vec_id") < KMEANS_K)
         .select(
             F.col("vec_id").alias("k"),
             F.posexplode(
                 F.transform("embedding", lambda x: x.cast("double"))
-            ).alias("pos0", "s"),
+            ).alias("pos0", "x"),
         )
-        .select("k", (F.col("pos0") + 1).alias("pos"), "s")
+        .select("k", (F.col("pos0") + 1).alias("pos"), grid.alias("si"))
     )
+    diff = F.col("xi") - F.col("si")
     dist = (
         dims.join(F.broadcast(seeds), "pos")
         .groupBy("vec_id", "k")
-        .agg(F.sum((F.col("x") - F.col("s")) * (F.col("x") - F.col("s"))).alias("dd"))
+        .agg(F.sum(diff * diff).cast("bigint").alias("dd"))
     )
-    wa = Window.partitionBy("vec_id").orderBy(F.round("dd", 6), "k")
+    # grid distances are exact integers — plain (dd, k) order suffices
+    wa = Window.partitionBy("vec_id").orderBy("dd", "k")
     assigned = (
         dist.withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
@@ -1583,9 +1590,9 @@ def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame
 # dimension-level rows (vec_id, pos, x); the codebook side is
 # _PQ_SUB * _PQ_K * (64/_PQ_SUB) rows (= 64 * _PQ_K, KBs) and
 # broadcasts; distances are one grouped SUM per (vec, subspace,
-# centroid); argmin is a bounded window over _PQ_K candidate rows
-# with the same ROUND(dd, 6) tie-break as kmeans_step (float partial
-# sums could otherwise flip near-equidistant codes between engines).
+# centroid); argmin is a bounded window over _PQ_K candidate rows on
+# grid-integer distances (the kmeans_step round-8 hardening — exact
+# in any accumulation order, so no float tie-break is needed).
 # Output: per (subspace, code) population + quantization error — the
 # codebook-balance audit a PQ build runs before shipping an index.
 # --------------------------------------------------------------------------
@@ -1605,18 +1612,19 @@ _PQ_DIM = 64
              ((generate_subscripts(e, 1) - 1) * {_PQ_SUB}) // {_PQ_DIM}
                AS sub,
              generate_subscripts(e, 1) AS pos,
-             UNNEST(e) AS x
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
       FROM v
     ),
     codebook AS (
       SELECT vec_id AS code, ((pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
-             pos, x AS c
-      FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos, UNNEST(e) AS x
+             pos, xi AS ci
+      FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos,
+                   CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
             FROM v WHERE vec_id < {_PQ_K}) t
     ),
     dist AS (
       SELECT d.vec_id, d.sub, cb.code,
-             SUM((d.x - cb.c) * (d.x - cb.c)) AS dd
+             CAST(SUM((d.xi - cb.ci) * (d.xi - cb.ci)) AS BIGINT) AS dd
       FROM dims d
       JOIN codebook cb ON cb.pos = d.pos AND cb.sub = d.sub
       GROUP BY 1, 2, 3
@@ -1625,13 +1633,13 @@ _PQ_DIM = 64
       SELECT vec_id, sub, code, dd FROM (
         SELECT vec_id, sub, code, dd,
                ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-                                  ORDER BY ROUND(dd, 6), code) AS rn
+                                  ORDER BY dd, code) AS rn
         FROM dist
       ) WHERE rn = 1
     )
     SELECT sub, code,
            COUNT(*) AS n_vecs,
-           ROUND(SUM(dd), 4) AS sq_error
+           ROUND(CAST(SUM(dd::HUGEINT) AS DOUBLE) / 1e12, 4) AS sq_error
     FROM assigned
     GROUP BY 1, 2
     ORDER BY sub, code
@@ -1639,6 +1647,7 @@ _PQ_DIM = 64
 )
 def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
     dims = e.select(
         "vec_id",
         F.posexplode(
@@ -1648,7 +1657,7 @@ def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long").alias("sub"),
         (F.col("pos0") + 1).alias("pos"),
-        "x",
+        grid.alias("xi"),
     )
     codebook = (
         e.filter(F.col("vec_id") < _PQ_K)
@@ -1656,32 +1665,37 @@ def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("code"),
             F.posexplode(
                 F.transform("embedding", lambda x: x.cast("double"))
-            ).alias("pos0", "c"),
+            ).alias("pos0", "x"),
         )
         .select(
             "code",
             ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long").alias("cb_sub"),
             (F.col("pos0") + 1).alias("cb_pos"),
-            "c",
+            grid.alias("ci"),
         )
     )
+    diff = F.col("xi") - F.col("ci")
     dist = (
         dims.join(
             F.broadcast(codebook),
             (F.col("cb_pos") == F.col("pos")) & (F.col("cb_sub") == F.col("sub")),
         )
         .groupBy("vec_id", "sub", "code")
-        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dd"))
+        .agg(F.sum(diff * diff).cast("bigint").alias("dd"))
     )
-    w = Window.partitionBy("vec_id", "sub").orderBy(F.round("dd", 6), "code")
+    # grid distances are exact integers — plain (dd, code) order suffices
+    w = Window.partitionBy("vec_id", "sub").orderBy("dd", "code")
     assigned = dist.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") == 1
     )
+    d19 = "decimal(19,0)"
     return (
         assigned.groupBy("sub", "code")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.sum("dd"), 4).alias("sq_error"),
+            F.round(
+                F.sum(F.col("dd").cast(d19)).cast("double") / 1e12, 4
+            ).alias("sq_error"),
         )
         .orderBy("sub", "code")
     )
@@ -2521,8 +2535,8 @@ from bigdataentrytask_spark.operators import ORACLES as _ORACLES
 # probes every cell, so its recall must be exactly 1.0 — a built-in
 # sanity row). Dots are computed ONCE for the query x corpus slab and
 # reused across probe levels; candidate membership is a join against
-# the centroid-distance ranking (same ROUND(dd,6) tie-break as the
-# IVF assignment), and recall is a ratio of exact integer hit counts.
+# the centroid-distance ranking (grid-integer distances, the
+# kmeans_step hardening), and recall is a ratio of exact hit counts.
 # Query side bounded by N_QUERIES — audit-scale by the same contract
 # as knn_recall_eval.
 # --------------------------------------------------------------------------
@@ -2535,7 +2549,7 @@ from bigdataentrytask_spark.operators import ORACLES as _ORACLES
     qcells AS (
       SELECT vec_id AS query_id, k,
              ROW_NUMBER() OVER (PARTITION BY vec_id
-                                ORDER BY ROUND(dd, 6), k) AS cell_rnk
+                                ORDER BY dd, k) AS cell_rnk
       FROM dist WHERE vec_id < {N_QUERIES}
     ),
     dots AS (
@@ -2594,32 +2608,31 @@ from bigdataentrytask_spark.operators import ORACLES as _ORACLES
 )
 def ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
     dims = e.select(
         "vec_id",
         F.posexplode(
             F.transform("embedding", lambda x: x.cast("double"))
         ).alias("pos0", "x"),
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "x")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), grid.alias("xi"))
     seeds = (
         e.filter(F.col("vec_id") < KMEANS_K)
         .select(
             F.col("vec_id").alias("k"),
             F.posexplode(
                 F.transform("embedding", lambda x: x.cast("double"))
-            ).alias("pos0", "s"),
+            ).alias("pos0", "x"),
         )
-        .select("k", (F.col("pos0") + 1).alias("pos"), "s")
+        .select("k", (F.col("pos0") + 1).alias("pos"), grid.alias("si"))
     )
+    diff = F.col("xi") - F.col("si")
     dist = (
         dims.join(F.broadcast(seeds), "pos")
         .groupBy("vec_id", "k")
-        .agg(
-            F.sum((F.col("x") - F.col("s")) * (F.col("x") - F.col("s"))).alias(
-                "dd"
-            )
-        )
+        .agg(F.sum(diff * diff).cast("bigint").alias("dd"))
     )
-    wa = Window.partitionBy("vec_id").orderBy(F.round("dd", 6), "k")
+    # grid distances are exact integers — plain (dd, k) order suffices
+    wa = Window.partitionBy("vec_id").orderBy("dd", "k")
     assigned = (
         dist.withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
