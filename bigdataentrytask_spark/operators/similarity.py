@@ -1524,12 +1524,20 @@ _MAHA_TOP = 20
     "embedding_outlier_mahalanobis",
     oracle=f"""
     WITH x AS (
-      SELECT vec_id, generate_subscripts(e, 1) AS dim, UNNEST(e) AS v
+      SELECT vec_id, generate_subscripts(e, 1) AS dim, UNNEST(e) AS v,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
       FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
     ),
     stats AS (
-      SELECT dim, AVG(v) AS mu,
-             AVG(v * v) - AVG(v) * AVG(v) AS var_pop
+      -- per-dim moments from snapped-coordinate integer sums (exact
+      -- in any accumulation order — round-8 hardening); mu/var are
+      -- one pinned double expression each
+      SELECT dim,
+             CAST(SUM(xi) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mu,
+             CAST(SUM(xi::HUGEINT * xi) AS DOUBLE) / (COUNT(*) * 1e12)
+               - (CAST(SUM(xi) AS DOUBLE) / (COUNT(*) * 1000000.0))
+                 * (CAST(SUM(xi) AS DOUBLE) / (COUNT(*) * 1000000.0))
+               AS var_pop
       FROM x GROUP BY dim
     ),
     scores AS (
@@ -1553,12 +1561,21 @@ def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame
         "vec_id",
         (F.col("d0") + 1).alias("dim"),
         F.col("vf").cast("double").alias("v"),
+        F.round(F.col("vf").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("xi"),
     )
+    # per-dim moments from exact integer sums (order-free), one pinned
+    # double expression each; the per-vector score below is a bounded
+    # 64-term fold of identical doubles in both engines
+    d19 = "decimal(19,0)"
+    s1 = F.sum("xi").cast("double")
+    s2 = F.sum(F.col("xi").cast(d19) * F.col("xi").cast(d19)).cast("double")
+    cnt = F.count(F.lit(1))
+    mu = s1 / (cnt * 1000000.0)
     stats = x.groupBy("dim").agg(
-        F.avg("v").alias("mu"),
-        (F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v")).alias(
-            "var_pop"
-        ),
+        mu.alias("mu"),
+        (s2 / (cnt * 1e12) - mu * mu).alias("var_pop"),
     )
     scores = (
         x.join(F.broadcast(stats.filter(F.col("var_pop") > 0)), "dim")
