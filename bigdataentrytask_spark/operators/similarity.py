@@ -1416,93 +1416,162 @@ def knn_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Dominant principal component via power iteration (2 steps from a
-# fixed deterministic start) — the embedding-drift / whitening
+# fixed deterministic uniform start) — the embedding-drift / whitening
 # primitive. All linear algebra is dimension-level rows (posexplode),
 # so no step ever shuffles a whole vector: each iteration is one
 # per-vector dot (groupBy vec_id) + one per-dimension accumulation
-# (groupBy dim) + a 1-row norm broadcast. The centered matrix subplan
-# recurs across iterations — at 100 TB you persist it once
+# (groupBy dim) + a 1-row rescale broadcast. The centered matrix
+# subplan recurs across iterations — at 100 TB you persist it once
 # (StorageLevel.DISK) instead of recomputing; the per-iteration
 # shuffle count is what matters and it is 2 keyed aggs, independent
-# of N. Fixed v0 = 1/sqrt(64) makes the iterate (and its sign)
-# deterministic, so the whole pipeline differential-tests exactly.
+# of N.
+#
+# Engine parity by construction (round-8 hardening; previously the
+# only remaining fact-scale double sums in the embedding family):
+# coordinates snap onto the 1e6 grid, centering subtracts the ROUNDED
+# grid mean (an exact integer), and every fact-scale reduction is an
+# exact 128-bit integer sum. Normalization would break exactness
+# (norms overflow 128 bits when squared), so each iterate is instead
+# RESCALED onto a 1e6 grid by its max-|component| — power iteration
+# is scale-invariant, so rescaling replaces normalization losslessly
+# — and the final loading divides the grid iterate by its exactly-
+# summable grid norm: one pinned double expression. The uniform
+# start vector folds into the first rescale (scale invariance), so
+# no v0 constant appears.
 # --------------------------------------------------------------------------
-_PCA_V0 = 0.125  # 1/sqrt(EMB_DIM): unit start vector, all-equal
-
-
 @operator(
     "pca_power_iteration",
-    oracle=f"""
-    WITH x AS (
-      SELECT vec_id, generate_subscripts(e, 1) AS dim, UNNEST(e) AS x
-      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ),
-    mu AS (SELECT dim, AVG(x) AS m FROM x GROUP BY 1),
+    x AS (
+      SELECT vec_id, generate_subscripts(e, 1) AS dim,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+      FROM v
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    ctr AS (
+      SELECT dim,
+             CAST(ROUND(CAST(SUM(xi) AS DOUBLE)
+                        / (SELECT n FROM nn)) AS BIGINT) AS cm
+      FROM x GROUP BY dim
+    ),
     c AS (
-      SELECT vec_id, x.dim, x.x - mu.m AS xc
-      FROM x JOIN mu ON x.dim = mu.dim
+      SELECT x.vec_id, x.dim, x.xi - ctr.cm AS zc
+      FROM x JOIN ctr USING (dim)
     ),
-    s1 AS (SELECT vec_id, SUM(xc * {_PCA_V0}) AS s FROM c GROUP BY 1),
+    y AS (SELECT vec_id, CAST(SUM(zc) AS BIGINT) AS yv FROM c GROUP BY 1),
     w1 AS (
-      SELECT c.dim, SUM(c.xc * s1.s) AS w
-      FROM c JOIN s1 USING (vec_id) GROUP BY 1
+      SELECT c.dim, SUM(c.zc::HUGEINT * y.yv) AS w
+      FROM c JOIN y USING (vec_id) GROUP BY 1
     ),
-    n1 AS (SELECT SQRT(SUM(w * w)) AS nrm FROM w1),
-    v1 AS (SELECT dim, w / nrm AS v FROM w1, n1),
+    v1 AS (
+      SELECT dim,
+             CAST(ROUND(CAST(w AS DOUBLE)
+                        / CAST((SELECT MAX(ABS(w)) FROM w1) AS DOUBLE)
+                        * 1000000) AS BIGINT) AS vg
+      FROM w1
+    ),
     s2 AS (
-      SELECT vec_id, SUM(c.xc * v1.v) AS s
-      FROM c JOIN v1 ON c.dim = v1.dim GROUP BY 1
+      SELECT c.vec_id, CAST(SUM(c.zc * v1.vg) AS BIGINT) AS s
+      FROM c JOIN v1 USING (dim) GROUP BY 1
     ),
     w2 AS (
-      SELECT c.dim, SUM(c.xc * s2.s) AS w
+      SELECT c.dim, SUM(c.zc::HUGEINT * s2.s) AS w
       FROM c JOIN s2 USING (vec_id) GROUP BY 1
     ),
-    n2 AS (SELECT SQRT(SUM(w * w)) AS nrm FROM w2)
-    SELECT CAST(w2.dim AS BIGINT) AS dim,
-           ROUND(w2.w / n2.nrm, 6) AS loading
-    FROM w2, n2 ORDER BY dim
+    w2g AS (
+      SELECT dim,
+             CAST(ROUND(CAST(w AS DOUBLE)
+                        / CAST((SELECT MAX(ABS(w)) FROM w2) AS DOUBLE)
+                        * 1000000) AS BIGINT) AS wg
+      FROM w2
+    ),
+    nrm AS (
+      SELECT CAST(SUM(wg::HUGEINT * wg) AS DOUBLE) AS n2 FROM w2g
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           ROUND(CAST(wg AS DOUBLE) / sqrt((SELECT n2 FROM nrm)), 6)
+             AS loading
+    FROM w2g ORDER BY dim
     """,
 )
 def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    # 1-based dim to match DuckDB's WITH ORDINALITY
+    d19 = "decimal(19,0)"
+    # 1-based dim to match DuckDB's generate_subscripts
     x = e.select(
         "vec_id", F.posexplode("embedding").alias("d0", "xf")
     ).select(
         "vec_id",
         (F.col("d0") + 1).cast("bigint").alias("dim"),
-        F.col("xf").cast("double").alias("x"),
+        F.round(F.col("xf").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("xi"),
     )
-    mu = x.groupBy("dim").agg(F.avg("x").alias("m"))
-    c = x.join(F.broadcast(mu), "dim").select(
-        "vec_id", "dim", (F.col("x") - F.col("m")).alias("xc")
+    nn = e.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ctr = (
+        x.groupBy("dim")
+        .agg(F.sum("xi").alias("mm"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "dim",
+            F.round(F.col("mm").cast("double") / F.col("n"))
+            .cast("bigint")
+            .alias("cm"),
+        )
     )
-    s1 = c.groupBy("vec_id").agg(
-        F.sum(F.col("xc") * F.lit(_PCA_V0)).alias("s")
+    c = x.join(F.broadcast(ctr), "dim").select(
+        "vec_id", "dim", (F.col("xi") - F.col("cm")).alias("zc")
     )
+    y = c.groupBy("vec_id").agg(F.sum("zc").cast("bigint").alias("yv"))
     w1 = (
-        c.join(s1, "vec_id")
+        c.join(y, "vec_id")
         .groupBy("dim")
-        .agg(F.sum(F.col("xc") * F.col("s")).alias("w"))
+        .agg(F.sum(F.col("zc").cast(d19) * F.col("yv").cast(d19)).alias("w"))
     )
-    n1 = w1.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    v1 = w1.crossJoin(F.broadcast(n1)).select(
-        "dim", (F.col("w") / F.col("nrm")).alias("v")
+    w1mx = w1.agg(F.max(F.abs(F.col("w"))).alias("wm"))
+    v1 = w1.crossJoin(F.broadcast(w1mx)).select(
+        "dim",
+        F.round(
+            F.col("w").cast("double") / F.col("wm").cast("double") * 1000000
+        )
+        .cast("bigint")
+        .alias("vg"),
     )
     s2 = (
         c.join(F.broadcast(v1), "dim")
         .groupBy("vec_id")
-        .agg(F.sum(F.col("xc") * F.col("v")).alias("s"))
+        .agg(F.sum(F.col("zc") * F.col("vg")).cast("bigint").alias("s"))
     )
     w2 = (
         c.join(s2, "vec_id")
         .groupBy("dim")
-        .agg(F.sum(F.col("xc") * F.col("s")).alias("w"))
+        .agg(F.sum(F.col("zc").cast(d19) * F.col("s").cast(d19)).alias("w"))
     )
-    n2 = w2.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    w2mx = w2.agg(F.max(F.abs(F.col("w"))).alias("wm"))
+    w2g = w2.crossJoin(F.broadcast(w2mx)).select(
+        "dim",
+        F.round(
+            F.col("w").cast("double") / F.col("wm").cast("double") * 1000000
+        )
+        .cast("bigint")
+        .alias("wg"),
+    )
+    nrm = w2g.agg(
+        F.sum(F.col("wg").cast(d19) * F.col("wg").cast(d19))
+        .cast("double")
+        .alias("n2")
+    )
     return (
-        w2.crossJoin(F.broadcast(n2))
-        .select("dim", F.round(F.col("w") / F.col("nrm"), 6).alias("loading"))
+        w2g.crossJoin(F.broadcast(nrm))
+        .select(
+            "dim",
+            F.round(
+                F.col("wg").cast("double") / F.sqrt("n2"), 6
+            ).alias("loading"),
+        )
         .orderBy("dim")
     )
 
