@@ -255,17 +255,21 @@ def _register_calibration_bins() -> None:
     WITH qc AS ({ORACLES["quality_classifier_score"]}),
     qf AS ({ORACLES["quality_filter"]}),
     joined AS (
+      -- scores snap onto the 1e6 grid so the per-bin mean is an exact
+      -- integer sum divided once (order-free; round-8 hardening).
+      -- y is 0/1 so its mean is exact by construction.
       SELECT LEAST(CAST(FLOOR(qc.score * 10) AS BIGINT), 9) AS bin,
-             qc.score,
+             CAST(ROUND(qc.score * 1000000) AS BIGINT) AS score_g,
              CASE WHEN qf.doc_id IS NOT NULL THEN 1 ELSE 0 END AS y
       FROM qc LEFT JOIN qf ON qf.doc_id = qc.doc_id
     )
     SELECT bin,
            CAST(COUNT(*) AS BIGINT)        AS n,
-           ROUND(AVG(score), 6)            AS avg_score,
+           ROUND(SUM(score_g) / (COUNT(*) * 1000000.0), 6) AS avg_score,
            CAST(SUM(y) AS BIGINT)          AS n_pos,
-           ROUND(AVG(CAST(y AS DOUBLE)), 6) AS pos_rate,
-           ROUND(ABS(AVG(score) - AVG(CAST(y AS DOUBLE))), 6) AS gap
+           ROUND(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate,
+           ROUND(ABS(SUM(score_g) / (COUNT(*) * 1000000.0)
+                     - SUM(y) / CAST(COUNT(*) AS DOUBLE)), 6) AS gap
     FROM joined GROUP BY 1 ORDER BY bin
     """
 
@@ -285,28 +289,25 @@ def _register_calibration_bins() -> None:
             .select("doc_id")
             .withColumn("y", F.lit(1))
         )
+        # snapped scores -> exact integer sums (order-free means)
         joined = pred.join(F.broadcast(truth), "doc_id", "left").select(
             F.least(
                 F.floor(F.col("score") * 10).cast("bigint"), F.lit(9)
             ).alias("bin"),
-            "score",
+            F.round(F.col("score") * 1000000).cast("bigint").alias("score_g"),
             F.coalesce("y", F.lit(0)).alias("y"),
         )
+        cnt = F.count(F.lit(1))
+        mean_s = F.sum("score_g") / (cnt * 1000000.0)
+        mean_y = F.sum("y") / cnt.cast("double")
         return (
             joined.groupBy("bin")
             .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.round(F.avg("score"), 6).alias("avg_score"),
+                cnt.alias("n"),
+                F.round(mean_s, 6).alias("avg_score"),
                 F.sum("y").cast("bigint").alias("n_pos"),
-                F.round(F.avg(F.col("y").cast("double")), 6).alias(
-                    "pos_rate"
-                ),
-                F.round(
-                    F.abs(
-                        F.avg("score") - F.avg(F.col("y").cast("double"))
-                    ),
-                    6,
-                ).alias("gap"),
+                F.round(mean_y, 6).alias("pos_rate"),
+                F.round(F.abs(mean_s - mean_y), 6).alias("gap"),
             )
             .orderBy("bin")
         )

@@ -1084,7 +1084,11 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(cnt) AS n FROM vocab)
     SELECT t.doc_id,
            COUNT(*) AS n_tokens,
-           ROUND(AVG(-log2(v.cnt / (SELECT n FROM tot))), 6)
+           -- per-token bits snap onto the 1e6 grid so the per-doc
+           -- mean is an exact integer sum divided once (order-free)
+           ROUND(SUM(CAST(ROUND(-log2(v.cnt / (SELECT n FROM tot))
+                                * 1000000) AS BIGINT))
+                 / (COUNT(*) * 1000000.0), 6)
                AS bits_per_token
     FROM toks t JOIN vocab v ON v.w = t.w
     GROUP BY t.doc_id
@@ -1100,14 +1104,19 @@ def lm_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = vocab.agg(F.sum("cnt").alias("n"))
     model = vocab.join(F.broadcast(total)).select(
-        "w", (-F.log2(F.col("cnt") / F.col("n"))).alias("bits")
+        "w",
+        F.round(-F.log2(F.col("cnt") / F.col("n")) * 1000000)
+        .cast("bigint")
+        .alias("bits_g"),
     )
     return (
         toks.join(model, "w")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("bits"), 6).alias("bits_per_token"),
+            F.round(
+                F.sum("bits_g") / (F.count(F.lit(1)) * 1000000.0), 6
+            ).alias("bits_per_token"),
         )
         .orderBy("doc_id")
     )
@@ -1442,7 +1451,12 @@ def tokenizer_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     v  AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM toks)
     SELECT b.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(AVG(ln((c2.n2 + 1) / CAST(c1.n1 + v.vsz AS DOUBLE))), 6)
+           -- per-bigram logprobs snap onto the 1e6 grid: the per-doc
+           -- mean is an exact integer sum divided once (order-free)
+           ROUND(SUM(CAST(ROUND(ln((c2.n2 + 1)
+                                    / CAST(c1.n1 + v.vsz AS DOUBLE))
+                                * 1000000) AS BIGINT))
+                 / (COUNT(*) * 1000000.0), 6)
                                     AS avg_logprob
     FROM bigrams b
     JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
@@ -1473,9 +1487,10 @@ def bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
     v = toks.agg(F.count_distinct("tok").alias("vsz"))
-    lp = F.log(
-        (F.col("n2") + 1) / (F.col("n1") + F.col("vsz")).cast("double")
-    )
+    lp_g = F.round(
+        F.log((F.col("n2") + 1) / (F.col("n1") + F.col("vsz")).cast("double"))
+        * 1000000
+    ).cast("bigint")
     return (
         bigrams.filter(F.col("doc_id") < 100)
         .join(c2, ["w1", "w2"])
@@ -1484,7 +1499,9 @@ def bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(lp), 6).alias("avg_logprob"),
+            F.round(
+                F.sum(lp_g) / (F.count(F.lit(1)) * 1000000.0), 6
+            ).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )
