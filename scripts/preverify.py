@@ -9,6 +9,10 @@ Usage:  python scripts/preverify.py [name ...]
         python scripts/preverify.py --sweep [N]   # first N (default 50) in
                                                   # queries() order — the driver's
                                                   # exact per-round slate
+        python scripts/preverify.py --chunk I N   # I-th of N equal slices of the
+                                                  # full registry (full-registry
+                                                  # audits under a session-runner
+                                                  # timeout; round-8 precedent)
 (no args = every registered query)
 """
 
@@ -92,6 +96,11 @@ def main(argv: list[str]) -> int:
     if names and names[0] == "--sweep":
         n = int(names[1]) if len(names) > 1 else 50
         names = list(e.queries())[:n]
+    if names and names[0] == "--chunk":
+        i, n = int(names[1]), int(names[2])
+        allq = list(e.queries())
+        per = -(-len(allq) // n)  # ceil division
+        names = allq[i * per:(i + 1) * per]
     if names == ["--never"]:
         checked: set[str] = set()
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
