@@ -21,12 +21,43 @@ ORACLES: dict[str, str] = {}
 
 # Plan-audit capture (plans/audit.py): `materialize` returns a
 # LocalRelation, so the interesting executed plan would be invisible
-# to the audit. materialize records the lazy DataFrame it evaluated
-# here (outermost call wins); with_persisted records its inputs so
-# scan-pruning columns survive even when the scans sit inside a
-# cached subtree the formatted explain doesn't recurse into.
-LAST_MATERIALIZED: list[DataFrame] = []
+# to the audit. Under an active `capture()` scope, materialize records
+# (lazy, local) pairs so the audit can (a) substitute the executed
+# inner plan when the operator RETURNED the local relation itself and
+# (b) add the inner executed plans of composed operators that call a
+# materializing sub-operator but return their own lazy frame;
+# with_persisted records its inputs so scan-pruning columns survive
+# even when the scans sit inside a cached subtree the formatted
+# explain doesn't recurse into. Outside a capture() scope nothing is
+# recorded — a 400-operator sweep session must not accumulate
+# DataFrame references without bound (ADVICE r8).
+LAST_MATERIALIZED: list[tuple[DataFrame, DataFrame]] = []
 PERSISTED_INPUTS: list[DataFrame] = []
+_CAPTURE_ACTIVE = False
+
+# Bounded-summary contract for materialize()/collect_bounded(): the
+# largest legitimate bounded result in the registry is ~50k rows
+# (hash_split_assignment at sf0.1); anything past this is a fact-scale
+# frame leaking onto the driver — the one scale-killer class the repo
+# otherwise eliminates. Loud failure beats a silent OOM at 100 TB.
+MATERIALIZE_MAX_ROWS = 100_000
+
+
+@contextmanager
+def capture() -> Iterator[None]:
+    """Enable plan-audit capture for the duration of the block.
+
+    Only plans/audit.py enters this; normal operator execution (the
+    driver sweep, pytest, bench) records nothing, so the module
+    globals stay empty and hold no DataFrame references."""
+    global _CAPTURE_ACTIVE
+    LAST_MATERIALIZED.clear()
+    PERSISTED_INPUTS.clear()
+    _CAPTURE_ACTIVE = True
+    try:
+        yield
+    finally:
+        _CAPTURE_ACTIVE = False
 
 
 @contextmanager
@@ -44,7 +75,8 @@ def with_persisted(*dfs: DataFrame) -> Iterator[DataFrame | tuple[DataFrame, ...
     the block defeats the persist (the driver's later collect would
     recompute the unpersisted input), so pair it with ``materialize``.
     """
-    PERSISTED_INPUTS.extend(dfs)
+    if _CAPTURE_ACTIVE:
+        PERSISTED_INPUTS.extend(dfs)
     for df in dfs:
         df.persist()
     try:
@@ -62,10 +94,32 @@ def materialize(df: DataFrame) -> DataFrame:
     Only for domain-sized outputs (census rows, top-k rankings,
     cluster-size rollups) — the same bounded-summary contract the
     repo's existing ``createDataFrame(collect())`` sites declare.
-    Never call this on fact-scale frames."""
-    LAST_MATERIALIZED.clear()
-    LAST_MATERIALIZED.append(df)
-    return df.sparkSession.createDataFrame(df.collect(), df.schema)
+    Never call this on fact-scale frames — enforced by
+    ``MATERIALIZE_MAX_ROWS`` (VERDICT r8 item 3): a breach raises
+    loudly instead of silently shipping a driver-side collect."""
+    rows = collect_bounded(df)
+    local = df.sparkSession.createDataFrame(rows, df.schema)
+    if _CAPTURE_ACTIVE:
+        LAST_MATERIALIZED.append((df, local))
+    return local
+
+
+def collect_bounded(df: DataFrame, n_max: int = MATERIALIZE_MAX_ROWS) -> list:
+    """``df.collect()`` with the bounded-summary contract enforced.
+
+    Shared guard for every sanctioned driver-side collect in the
+    operator library (materialize, sketch probes, dimension scans):
+    the collect itself is by-design, but the row count must be
+    domain-sized. Fails loudly past ``n_max`` so a future operator
+    can't silently collect a fact-scale frame to the driver."""
+    rows = df.collect()
+    if len(rows) > n_max:
+        raise RuntimeError(
+            f"collect_bounded: {len(rows)} rows exceeds the bounded-summary "
+            f"contract ({n_max}); this frame is fact-scale — keep it "
+            f"distributed (see operators/__init__.py MATERIALIZE_MAX_ROWS)"
+        )
+    return rows
 
 
 def operator(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

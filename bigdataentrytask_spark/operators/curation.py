@@ -38,7 +38,12 @@ from bigdataentrytask_spark.functions.text import (
     token_hash,
     tokens,
 )
-from bigdataentrytask_spark.operators import materialize, operator, with_persisted
+from bigdataentrytask_spark.operators import (
+    collect_bounded,
+    materialize,
+    operator,
+    with_persisted,
+)
 from bigdataentrytask_spark.session import ensure_session_confs
 
 
@@ -258,7 +263,7 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist the summary for its two consumers and release it before
     # returning (the result is the bounded heavy-hitter set).
     with with_persisted(summaries):
-        total = summaries.agg(F.sum("batch_n")).collect()[0][0]
+        total = collect_bounded(summaries.agg(F.sum("batch_n")))[0][0]
         candidates = summaries.filter(F.col("tok").isNotNull()).select(
             "tok"
         ).distinct()

@@ -820,6 +820,17 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_lab")
     )
     cent = dims.groupBy("label", "pos").agg(F.sum("xi").alias("s"))
+    # d19 overflow bound (canonical note for every d19 site in this
+    # module, ADVICE r8): each product of two decimal(19,0) grid
+    # integers sums into decimal(38,0). With |x| <= 100 the grid
+    # integers are <= 1e8, so each product is <= 1e16 and the sum
+    # stays inside 1e38 while n_terms < 1e22 — about 1e9x beyond a
+    # 100 TB corpus (n_rows*dim ~ 1e13). NOTE Spark in non-ANSI mode
+    # returns NULL on decimal aggregate overflow (DuckDB HUGEINT
+    # errors instead), so a breach would surface as NULL aggregates,
+    # not an exception — which the oracle differential catches as a
+    # value mismatch at test scale, and which a 100 TB deployment
+    # should guard with spark.sql.ansi.enabled=true.
     d19 = "decimal(19,0)"
     csq = cent.groupBy("label").agg(
         F.sum(F.col("s").cast(d19) * F.col("s").cast(d19))

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdataentrytask_spark.catalog import load_table
-from bigdataentrytask_spark.operators import operator
+from bigdataentrytask_spark.operators import collect_bounded, operator
 from bigdataentrytask_spark.session import ensure_session_confs
 
 
@@ -449,10 +449,10 @@ def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         bytes(sk_bytes)
     )
-    exact = (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .collect()
+    # user_id is a bounded domain (dimension cardinality, not fact
+    # rows) — enforced by the collect_bounded guard
+    exact = collect_bounded(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     )
     total = sum(r.exact_cnt for r in exact)
     slack = max(1, int(2 * _CMS_EPS * total))
@@ -503,13 +503,18 @@ def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_orders = {
         r.c_custkey
-        for r in customer.join(
-            orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
-            "c_custkey",
-            "left_semi",
-        ).collect()
+        for r in collect_bounded(
+            customer.join(
+                orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+                "c_custkey",
+                "left_semi",
+            )
+        )
     }
-    all_keys = [r.c_custkey for r in customer.select("c_custkey").collect()]
+    all_keys = [
+        r.c_custkey
+        for r in collect_bounded(customer.select("c_custkey"))
+    ]
     fn = sum(
         1 for k in with_orders if not bf.mightContain(int(k))
     )

@@ -42,7 +42,7 @@ def pushed_filters(df: DataFrame) -> str:
     return " ; ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)))
 
 
-def _final_plan(df: DataFrame) -> str:
+def _final_segments(df: DataFrame) -> list[str]:
     """Executed plan, reduced to AQE final sections only (the string
     otherwise repeats the initial plan and double-counts operators).
 
@@ -50,32 +50,45 @@ def _final_plan(df: DataFrame) -> str:
     ``== Initial Plan ==`` blocks under each InMemoryRelation, so a
     truncate-at-first-Initial heuristic would drop the remainder of
     the OUTER plan; instead keep every Final segment and drop every
-    Initial segment."""
+    Initial segment. Returned as a LIST so callers can dedupe
+    identical segments (a persisted subtree reprints its whole Final
+    segment under each InMemoryTableScan consumer)."""
     parts = re.split(r"== (Initial|Final) Plan ==", executed_plan(df))
     kept = [parts[0]]
     kept.extend(
         parts[i + 1] for i in range(1, len(parts), 2) if parts[i] == "Final"
     )
-    return "\n".join(kept)
+    return kept
+
+
+def _final_plan(df: DataFrame) -> str:
+    return "\n".join(_final_segments(df))
 
 
 def count_exchanges(df: DataFrame) -> int:
     """Shuffle count in the executed plan (AQE-final where available).
 
     A persisted subtree's plan is printed once PER InMemoryTableScan
-    consumer although it executes once — dedupe by plan_id so the
-    count reflects executed shuffles, not print repetitions."""
+    consumer although it executes once — dedupe by plan_id where the
+    plan tags one; exchanges WITHOUT a plan_id tag (common inside
+    reprinted cached subtrees) are deduped by counting them only in
+    the first occurrence of each identical Final segment (ADVICE r8:
+    text-identical reprints must not inflate the count)."""
     ids: set[str] = set()
     n_unlabeled = 0
-    for m in re.finditer(
-        r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)[^\n]*",
-        _final_plan(df),
-    ):
-        idm = re.search(r"plan_id=(\d+)", m.group(0))
-        if idm:
-            ids.add(idm.group(1))
-        else:
-            n_unlabeled += 1
+    seen_segments: set[str] = set()
+    for seg in _final_segments(df):
+        is_reprint = seg.strip() in seen_segments
+        seen_segments.add(seg.strip())
+        for m in re.finditer(
+            r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)[^\n]*",
+            seg,
+        ):
+            idm = re.search(r"plan_id=(\d+)", m.group(0))
+            if idm:
+                ids.add(idm.group(1))
+            elif not is_reprint:
+                n_unlabeled += 1
     return len(ids) + n_unlabeled
 
 
