@@ -1683,3 +1683,167 @@ def _register_bbit_minhash_accuracy() -> None:
 
 
 _register_bbit_minhash_accuracy()
+
+
+# --------------------------------------------------------------------------
+# ROUND-10 STAGED (registry FROZEN in round 9 — VERDICT r8 items 2/6).
+#
+# Exact-substring dedup audit, Lee et al. 2022 ("Deduplicating Training
+# Data Makes Language Models Better", arXiv:2107.06499) — the suffix-
+# array ExactSubstr pass, re-expressed Spark-first. The SA enumerates
+# positions covered by a substring of length >= L that occurs at least
+# twice in the corpus; for a FIXED threshold L that set is exactly the
+# union of duplicated L-character windows (any duplicated substring of
+# length >= L contains only duplicated L-windows, and every duplicated
+# L-window IS such a substring), so a distributed groupBy over the
+# corpus's L-grams computes the identical answer without the inherently
+# sequential suffix-array construction. Per document: window counts,
+# duplicated-window counts, and the character coverage of the union of
+# duplicated windows (classic gaps-and-islands interval union — equal-
+# length intervals sorted by start, a new island opens when the gap to
+# the previous start is >= L, coverage per island = max_p - min_p + L).
+#
+# Scale contract: AUDIT-SCALE ONLY. The L-gram explode amplifies the
+# corpus by ~L bytes per character (the very cost the suffix array
+# avoids on a single node); the registered production twins are
+# chunk_dedup_corpus (chunk-hash, this file) + minhash_dedup. At
+# production scale the gram string would be replaced by xxhash64(gram)
+# (8-byte shuffle payload, collision-tolerant contract) — kept as the
+# raw string here so the DuckDB oracle is exact.
+# Reference parity: the reference has no substring dedup; this extends
+# the curation layer per the round-8 verdict (item 6).
+# --------------------------------------------------------------------------
+_SUBSTR_L = 30
+
+_SUBSTRING_DEDUP_ORACLE = f"""
+    WITH pos AS (
+      SELECT doc_id, u.i AS p, substr(text, u.i, {_SUBSTR_L}) AS gram
+      FROM documents
+      CROSS JOIN UNNEST(range(1, length(text) - {_SUBSTR_L} + 2)) AS u(i)
+    ),
+    dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) >= 2),
+    dwin AS (SELECT p2.doc_id, p2.p FROM pos p2 JOIN dup USING (gram)),
+    lagged AS (
+      SELECT doc_id, p,
+             LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev_p
+      FROM dwin
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             SUM(CASE WHEN prev_p IS NULL OR p - prev_p >= {_SUBSTR_L}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p) AS island
+      FROM lagged
+    ),
+    runs AS (
+      SELECT doc_id, island, MIN(p) AS mn, MAX(p) AS mx,
+             COUNT(*) AS nw
+      FROM isl GROUP BY doc_id, island
+    ),
+    cov AS (
+      SELECT doc_id,
+             CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
+             CAST(SUM(mx - mn + {_SUBSTR_L}) AS BIGINT) AS dup_coverage
+      FROM runs GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(length(d.text) AS BIGINT) AS doc_len,
+           CAST(GREATEST(length(d.text) - {_SUBSTR_L} + 1, 0) AS BIGINT)
+             AS n_windows,
+           COALESCE(c.n_dup_windows, 0) AS n_dup_windows,
+           COALESCE(c.dup_coverage, 0) AS dup_coverage,
+           CAST(ROUND(COALESCE(c.dup_coverage, 0) * 1000000.0
+                      / length(d.text)) AS BIGINT) AS dup_ppm
+    FROM documents d LEFT JOIN cov c USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+def substring_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-substring duplication census (see the staged
+    block comment above for semantics, scale contract, and the
+    suffix-array equivalence argument)."""
+    L = _SUBSTR_L
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.length("text").cast("bigint").alias("doc_len")
+    )
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.when(
+                F.col("doc_len") >= L,
+                F.sequence(F.lit(1), (F.col("doc_len") - L + 1).cast("int")),
+            ).otherwise(F.expr("CAST(array() AS array<int>)"))
+        ).alias("p"),
+    ).select("doc_id", "p", F.expr(f"substring(text, p, {L})").alias("gram"))
+    # duplicated grams: the dup set scales with corpus size, so NO
+    # broadcast hint — AQE picks the join strategy (at audit scale it
+    # runs as a small shuffle join over ~1e4 grams)
+    dup = (
+        pos.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    dwin = pos.join(dup, "gram").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = dwin.withColumn("prev_p", F.lag("p").over(w)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_p").isNull()
+                | (F.col("p") - F.col("prev_p") >= L),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    runs = isl.groupBy("doc_id", "island").agg(
+        F.min("p").alias("mn"),
+        F.max("p").alias("mx"),
+        F.count(F.lit(1)).alias("nw"),
+    )
+    cov = runs.groupBy("doc_id").agg(
+        F.sum("nw").cast("bigint").alias("n_dup_windows"),
+        F.sum(F.col("mx") - F.col("mn") + L).cast("bigint").alias(
+            "dup_coverage"
+        ),
+    )
+    return (
+        docs.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "doc_len",
+            F.greatest(F.col("doc_len") - L + 1, F.lit(0))
+            .cast("bigint")
+            .alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+            F.coalesce("dup_coverage", F.lit(0))
+            .cast("bigint")
+            .alias("dup_coverage"),
+            F.round(
+                F.coalesce("dup_coverage", F.lit(0))
+                * 1000000.0
+                / F.col("doc_len")
+            )
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# name -> (fn, oracle). Registered by register_round10_staged() at the
+# round-10 boundary (after the freeze lifts); until then the function
+# is importable and differential-tested (tests/test_round9_staged.py)
+# but contributes ZERO registry delta.
+ROUND10_STAGED: dict[str, tuple] = {
+    "substring_dedup_audit": (substring_dedup_audit, _SUBSTRING_DEDUP_ORACLE),
+}
+
+
+def register_round10_staged() -> None:
+    for _name, (_fn, _osql) in ROUND10_STAGED.items():
+        operator(_name, oracle=_osql)(_fn)

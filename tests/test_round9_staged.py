@@ -1,0 +1,114 @@
+"""Round-10 staged operators (VERDICT r8 item 6): implemented and
+differential-tested DURING round 9 while the registry is frozen —
+zero registry delta until register_round10_staged() runs at the
+round-10 boundary.
+
+The differential here goes through DuckDB's PANDAS path with a dtype
+check (the preverify gate), not just fetchall — so the HUGEINT class
+is covered before the op ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from bigdataentrytask_spark.operators import REGISTRY, load_all
+from bigdataentrytask_spark.operators.dedup import (
+    ROUND10_STAGED,
+    _SUBSTR_L,
+    _SUBSTRING_DEDUP_ORACLE,
+    substring_dedup_audit,
+)
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+load_all()
+
+
+def test_registry_frozen_through_round9():
+    """VERDICT r8 item 2: zero registry additions in round 9."""
+    assert len(REGISTRY) == 415
+    for name in ROUND10_STAGED:
+        assert name not in REGISTRY
+
+
+def test_substring_dedup_audit_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        substring_dedup_audit(spark, SF_DIR),
+        duck,
+        _SUBSTRING_DEDUP_ORACLE,
+        "substring_dedup_audit",
+    )
+
+
+def test_substring_dedup_audit_pandas_dtype_parity(spark, duck):
+    """The preverify gate: DuckDB's pandas fetch must not coerce any
+    column to float64 (HUGEINT fingerprint) while Spark is integral."""
+    spdf = substring_dedup_audit(spark, SF_DIR).toPandas()
+    odf = duck.execute(_SUBSTRING_DEDUP_ORACLE).fetch_df()
+    for c in odf.columns:
+        assert odf[c].dtype.kind in "iu", f"oracle col {c} is {odf[c].dtype}"
+        assert spdf[c].dtype.kind in "iu", f"spark col {c} is {spdf[c].dtype}"
+
+
+def test_substring_dedup_audit_invariants(spark):
+    pdf = substring_dedup_audit(spark, SF_DIR).toPandas()
+    assert len(pdf) == 500  # one row per document, zeros included
+    assert (pdf.n_dup_windows <= pdf.n_windows).all()
+    assert (pdf.dup_coverage <= pdf.doc_len).all()
+    # a duplicated window covers at least L chars; coverage of k
+    # windows is at most k + L - 1 contiguous chars
+    hit = pdf[pdf.n_dup_windows > 0]
+    assert (hit.dup_coverage >= _SUBSTR_L).all()
+    assert (hit.dup_coverage <= hit.n_dup_windows + _SUBSTR_L - 1).all()
+    clean = pdf[pdf.n_dup_windows == 0]
+    assert (clean.dup_coverage == 0).all() and (clean.dup_ppm == 0).all()
+
+
+def test_substring_island_math_handcrafted(spark, tmp_path):
+    """Pin the interval-union semantics on a corpus where the answer
+    is computable by hand. L=30. Doc 1 and doc 2 share their first 40
+    chars (positions 1..11 are duplicated windows in each -> one
+    island, coverage 11-1+30 = 40). Doc 3 is unique."""
+    shared = "".join(chr(ord("a") + i % 26) for i in range(40))
+    rows = [
+        (1, shared + "X" * 30, "en", "s", 70),
+        (2, shared + "Y" * 30, "en", "s", 70),
+        # aperiodic by construction: consecutive 2-digit counters, so
+        # every 30-char window embeds a counter run unique to its offset
+        (3, "".join(f"{i:02d}" for i in range(35)), "en", "s", 70),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = (
+        substring_dedup_audit(spark, sf)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # 70-char docs -> 41 windows each
+    assert (out.n_windows == 41).all()
+    # docs 1,2: windows starting at 1..11 are duplicated (the shared
+    # 40-char prefix), one island, coverage = 40
+    for d in (1, 2):
+        assert out.loc[d, "n_dup_windows"] == 11
+        assert out.loc[d, "dup_coverage"] == 40
+        assert out.loc[d, "dup_ppm"] == round(40 * 1_000_000 / 70)
+    assert out.loc[3, "n_dup_windows"] == 0
+    assert out.loc[3, "dup_coverage"] == 0
+    # X*30 / Y*30 tails: within-doc self-repeats don't exist at L=30
+    # (the run is exactly 30 chars -> a single window each, unique
+    # because the preceding char differs)... but the 30-char X window
+    # appears once in doc 1 only -> correctly not duplicated.
+
+
+def test_round10_staged_all_have_oracles():
+    for name, (fn, osql) in ROUND10_STAGED.items():
+        assert callable(fn) and isinstance(osql, str) and "SELECT" in osql
