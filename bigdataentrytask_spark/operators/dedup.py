@@ -1835,15 +1835,130 @@ def substring_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# name -> (fn, oracle). Registered by register_round10_staged() at the
-# round-10 boundary (after the freeze lifts); until then the function
-# is importable and differential-tested (tests/test_round9_staged.py)
-# but contributes ZERO registry delta.
+# name -> (fn, oracle). Aggregated by operators/staging.py and
+# registered by its register_all() at the round-10 boundary (after the
+# freeze lifts); until then the functions are importable and
+# differential-tested (tests/test_round9_staged.py) but contribute
+# ZERO registry delta.
 ROUND10_STAGED: dict[str, tuple] = {
     "substring_dedup_audit": (substring_dedup_audit, _SUBSTRING_DEDUP_ORACLE),
 }
 
 
-def register_round10_staged() -> None:
-    for _name, (_fn, _osql) in ROUND10_STAGED.items():
-        operator(_name, oracle=_osql)(_fn)
+# --------------------------------------------------------------------------
+# ROUND-10 STAGED (ROADMAP "Curation / dedup depth"): URL/domain-level
+# dedup + frontier statistics. The corpus has no URL column, so one is
+# DERIVED deterministically from (doc_id, source) — host
+# h{doc_id%7}.{source}{doc_id%13}.example.com, path /p/{doc_id} — and
+# then PARSED back (split_part for the host, a leftmost-label strip
+# for the registrable domain), exercising the real crawl-frontier
+# plumbing: host extraction, domain rollup, per-host load, and exact
+# within-domain text duplication (the crawler-trap signal).
+#
+# Scale: two keyed aggregations (domain+host, domain+text) then a
+# domain-level rollup — all partial-aggregated map-side; output is
+# bounded by the domain count. A 100 TB frontier skews on mega-hosts:
+# the (domain, host) agg pre-reduces per partition before the
+# shuffle, and the rollup input is host-cardinality-sized, so a hot
+# DOMAIN costs one oversized reduce key at worst (AQE skew split
+# covers it); no all-pairs anywhere.
+# --------------------------------------------------------------------------
+_URL_FRONTIER_ORACLE = r"""
+    WITH u AS (
+      SELECT doc_id, text,
+             'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.' || source
+               || CAST(doc_id % 13 AS VARCHAR) || '.example.com/p/'
+               || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, text,
+             split_part(url, '/', 3) AS host,
+             regexp_replace(split_part(url, '/', 3), '^[^.]*\.', '')
+               AS domain
+      FROM u
+    ),
+    perhost AS (
+      SELECT domain, host, COUNT(*) AS c FROM h GROUP BY 1, 2
+    ),
+    pertext AS (
+      SELECT domain, text, COUNT(*) AS c FROM h GROUP BY 1, 2
+    ),
+    dstat AS (
+      SELECT domain,
+             CAST(COUNT(*) AS BIGINT) AS n_hosts,
+             CAST(SUM(c) AS BIGINT) AS n_urls,
+             CAST(MAX(c) AS BIGINT) AS max_host_load
+      FROM perhost GROUP BY 1
+    ),
+    dup AS (
+      SELECT domain,
+             CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT)
+               AS n_dup_text_urls
+      FROM pertext GROUP BY 1
+    )
+    SELECT d.domain, d.n_hosts, d.n_urls, d.max_host_load,
+           p.n_dup_text_urls,
+           CAST(ROUND(p.n_dup_text_urls * 1000000.0 / d.n_urls) AS BIGINT)
+             AS dup_ppm
+    FROM dstat d JOIN dup p USING (domain)
+    ORDER BY d.domain
+    """
+
+
+def url_host_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier census over the derived URL column (see staged
+    block comment for derivation, semantics, and the 100 TB notes)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    u = d.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("."),
+            F.col("source"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    h = u.withColumn("host", F.expr("split_part(url, '/', 3)")).withColumn(
+        "domain", F.regexp_replace("host", r"^[^.]*\.", "")
+    )
+    perhost = h.groupBy("domain", "host").agg(F.count(F.lit(1)).alias("c"))
+    pertext = h.groupBy("domain", "text").agg(F.count(F.lit(1)).alias("c"))
+    dstat = perhost.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hosts"),
+        F.sum("c").cast("bigint").alias("n_urls"),
+        F.max("c").cast("bigint").alias("max_host_load"),
+    )
+    dup = pertext.groupBy("domain").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_dup_text_urls")
+    )
+    return (
+        dstat.join(dup, "domain")
+        .select(
+            "domain",
+            "n_hosts",
+            "n_urls",
+            "max_host_load",
+            "n_dup_text_urls",
+            F.round(
+                F.col("n_dup_text_urls") * 1000000.0 / F.col("n_urls")
+            )
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+        .orderBy("domain")
+    )
+
+
+ROUND10_STAGED["url_host_frontier_stats"] = (
+    url_host_frontier_stats,
+    _URL_FRONTIER_ORACLE,
+)

@@ -3711,3 +3711,178 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_distortion"),
         "max_distortion",
     )
+
+
+# --------------------------------------------------------------------------
+# ROUND-10 STAGED (registry FROZEN in round 9 — VERDICT r8 item 2;
+# ROADMAP "Retrieval / embeddings"). Matryoshka truncation sweep:
+# recall@5 of prefix-dimension retrieval (d = 8/16/32) against the
+# full-64d brute-force truth (knn_bruteforce) — the tuning table for
+# Matryoshka-representation serving (Kusupati et al. 2022,
+# arXiv:2205.13147): how much recall a platform keeps when it ranks
+# on a truncated prefix to cut index bytes / dot-product FLOPs.
+#
+# Determinism: prefix dot products and prefix norms reduce to EXACT
+# grid-integer sums (|x| < 0.6 -> grid ints < 6e5, products < 3.6e11,
+# <= 32-term sums < 1.2e13 — inside both BIGINT and the 2^53 exact-
+# double range), summed exactly then cast to double ONCE; ranking ties
+# break on neighbor_id. Same audit-scale contract as
+# ivf_nprobe_recall_sweep (quadratic truth side, bounded by N_QUERIES).
+# --------------------------------------------------------------------------
+_MATRYOSHKA_DIMS = [8, 16, 32]
+
+_MATRYOSHKA_ORACLE = f"""
+    WITH dims AS (SELECT UNNEST([8, 16, 32]) AS d),
+    pn AS (
+      SELECT dm.d, e.vec_id,
+             (SELECT CAST(SUM(CAST(ROUND(z.x * 1000000) AS BIGINT)
+                              * CAST(ROUND(z.x * 1000000) AS BIGINT))
+                     AS DOUBLE)
+              FROM (SELECT UNNEST((e.embedding[1:dm.d])::DOUBLE[]) AS x) z
+             ) AS cc
+      FROM embeddings e, dims dm
+    ),
+    dotg AS (
+      SELECT dm.d, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             (SELECT CAST(SUM(CAST(ROUND(z.qe * 1000000) AS BIGINT)
+                              * CAST(ROUND(z.ce * 1000000) AS BIGINT))
+                     AS DOUBLE)
+              FROM (SELECT UNNEST((q.embedding[1:dm.d])::DOUBLE[]) AS qe,
+                           UNNEST((c.embedding[1:dm.d])::DOUBLE[]) AS ce) z
+             ) AS dot
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id
+      CROSS JOIN dims dm
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT g.d, g.query_id, g.neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY g.d, g.query_id
+               ORDER BY g.dot / sqrt(p.cc) DESC, g.neighbor_id) AS rnk
+      FROM dotg g JOIN pn p ON p.d = g.d AND p.vec_id = g.neighbor_id
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM ({{KNN_TRUTH}})
+    )
+    SELECT CAST(s.d AS BIGINT) AS d_prefix,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT) AS n_hits,
+           ROUND(CAST(count_if(t.neighbor_id IS NOT NULL) AS DOUBLE)
+                 / ({N_QUERIES} * {TOP_K}), 6) AS recall_at_5
+    FROM scored s
+    LEFT JOIN truth t ON t.query_id = s.query_id
+                     AND t.neighbor_id = s.neighbor_id
+    WHERE s.rnk <= {TOP_K}
+    GROUP BY s.d
+    ORDER BY d_prefix
+    """
+
+
+def matryoshka_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dimension recall sweep (see staged block comment). One
+    shuffle computes all three prefix dots via conditional sums over
+    the pos <= 32 product rows — the per-d work shares a single
+    (query, neighbor) aggregation instead of re-scanning per prefix."""
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    max_d = max(_MATRYOSHKA_DIMS)
+    dims = (
+        e.select(
+            "vec_id",
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("pos0", "x"),
+        )
+        .filter(F.col("pos0") < max_d)
+        .select("vec_id", (F.col("pos0") + 1).alias("pos"), grid.alias("xi"))
+    )
+    # prefix norms per (vec_id, d): conditional exact-integer sums
+    pn = dims.groupBy("vec_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("pos") <= d, F.col("xi") * F.col("xi")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("double")
+            .alias(f"cc_{d}")
+            for d in _MATRYOSHKA_DIMS
+        ]
+    )
+    q = dims.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("xi").alias("qi")
+    )
+    c = dims.select(
+        F.col("vec_id").alias("neighbor_id"), "pos", F.col("xi").alias("ci")
+    )
+    prods = (
+        F.broadcast(q)
+        .join(c, "pos")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    dots = prods.groupBy("query_id", "neighbor_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("pos") <= d, F.col("qi") * F.col("ci")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("double")
+            .alias(f"dot_{d}")
+            for d in _MATRYOSHKA_DIMS
+        ]
+    )
+    per_d = [
+        dots.join(
+            pn.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col(f"cc_{d}").alias("cc"),
+            ),
+            "neighbor_id",
+        ).select(
+            F.lit(d).cast("bigint").alias("d_prefix"),
+            "query_id",
+            "neighbor_id",
+            (F.col(f"dot_{d}") / F.sqrt("cc")).alias("sim"),
+        )
+        for d in _MATRYOSHKA_DIMS
+    ]
+    scored = per_d[0]
+    for x in per_d[1:]:
+        scored = scored.unionByName(x)
+    ws = Window.partitionBy("d_prefix", "query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    top = scored.withColumn("rnk", F.row_number().over(ws)).filter(
+        F.col("rnk") <= TOP_K
+    )
+    truth = knn_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("is_true")
+    )
+    return (
+        top.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("d_prefix")
+        .agg(F.sum(F.coalesce("is_true", F.lit(0))).cast("bigint").alias("n_hits"))
+        .select(
+            "d_prefix",
+            F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / (N_QUERIES * TOP_K), 6
+            ).alias("recall_at_5"),
+        )
+        .orderBy("d_prefix")
+    )
+
+
+# name -> (fn, oracle); aggregated by operators/staging.py, registered
+# at the round-10 boundary. The truth subquery is spliced from the
+# already-registered knn_bruteforce oracle at aggregation time (the
+# _ORACLES import above is mid-module and complete by now).
+ROUND10_STAGED: dict[str, tuple] = {
+    "matryoshka_recall_sweep": (
+        matryoshka_recall_sweep,
+        _MATRYOSHKA_ORACLE.replace("{KNN_TRUTH}", _ORACLES["knn_bruteforce"]),
+    ),
+}

@@ -3650,3 +3650,136 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# ROUND-10 STAGED (registry FROZEN in round 9 — VERDICT r8 item 2;
+# ROADMAP "Warehouse / engine hygiene"). Sort-order advisor: per-column
+# run statistics under the CURRENT logical order vs a CANDIDATE sort,
+# generalizing zone_map_skipping — long runs of equal values are what
+# make min/max zone maps, RLE encoding, and data skipping effective,
+# so comparing run counts across candidate sort orders is the planning
+# table behind a re-cluster / z-order decision.
+#
+# Determinism: "physical order" is layout-sensitive, so both orderings
+# are DEFINED on logical keys — current starts at (l_orderkey,
+# l_linenumber) (the insert order the reference's DDL implies),
+# candidate starts at l_shipdate. The synthetic lineitem does NOT have
+# a unique (l_orderkey, l_linenumber) pair, so both keys are extended
+# with every emitted value column: rows tied on the full key are
+# identical in all three stacked vals, making the run counts invariant
+# to tie order — deterministic without requiring a unique row id.
+# Scale: the LAG runs over a global sort; at 100 TB the honest
+# production variant computes per-range-partition run stats after a
+# repartitionByRange on the sort prefix (runs only break at range
+# boundaries, adding <= n_partitions to the count) — at advisor/audit
+# scale the exact global window is the right contract.
+# --------------------------------------------------------------------------
+_SORT_ADVISOR_ORACLE = """
+    WITH s AS (
+      SELECT l_orderkey, l_linenumber, l_shipdate,
+             l_suppkey, l_returnflag, 'l_shipdate' AS col_name,
+             CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS val
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, l_shipdate, l_suppkey,
+             l_returnflag, 'l_suppkey', CAST(l_suppkey AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, l_shipdate, l_suppkey,
+             l_returnflag, 'l_returnflag', l_returnflag FROM lineitem
+    ),
+    nat AS (
+      SELECT 'natural' AS ordering, col_name,
+             CASE WHEN LAG(val) OVER w IS NULL
+                       OR val <> LAG(val) OVER w THEN 1 ELSE 0 END AS chg
+      FROM s
+      WINDOW w AS (PARTITION BY col_name
+                   ORDER BY l_orderkey, l_linenumber, l_shipdate,
+                            l_suppkey, l_returnflag)
+    ),
+    shp AS (
+      SELECT 'shipdate' AS ordering, col_name,
+             CASE WHEN LAG(val) OVER w IS NULL
+                       OR val <> LAG(val) OVER w THEN 1 ELSE 0 END AS chg
+      FROM s
+      WINDOW w AS (PARTITION BY col_name
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                            l_suppkey, l_returnflag)
+    ),
+    u AS (SELECT * FROM nat UNION ALL SELECT * FROM shp)
+    SELECT ordering, col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(chg) AS BIGINT) AS n_runs,
+           CAST(ROUND(COUNT(*) * 1000000.0 / SUM(chg)) AS BIGINT)
+             AS avg_run_len_ppm
+    FROM u GROUP BY 1, 2
+    ORDER BY ordering, col_name
+    """
+
+
+def sort_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length statistics per column under two defined sort orders
+    (see staged block comment for semantics + 100 TB contract)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate",
+        "l_suppkey", "l_returnflag",
+    )
+    stacked = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "l_suppkey",
+        "l_returnflag",
+        F.expr(
+            "stack(3, "
+            "'l_shipdate', CAST(CAST(l_shipdate AS DATE) AS STRING), "
+            "'l_suppkey', CAST(l_suppkey AS STRING), "
+            "'l_returnflag', l_returnflag) AS (col_name, val)"
+        ),
+    )
+    w_nat = Window.partitionBy("col_name").orderBy(
+        "l_orderkey", "l_linenumber", "l_shipdate",
+        "l_suppkey", "l_returnflag",
+    )
+    w_shp = Window.partitionBy("col_name").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_suppkey", "l_returnflag",
+    )
+
+    def runs(w, label: str) -> DataFrame:
+        chg = F.when(
+            F.lag("val").over(w).isNull()
+            | (F.col("val") != F.lag("val").over(w)),
+            1,
+        ).otherwise(0)
+        return (
+            stacked.withColumn("chg", chg)
+            .groupBy("col_name")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("chg").cast("bigint").alias("n_runs"),
+            )
+            .select(
+                F.lit(label).alias("ordering"),
+                "col_name",
+                "n_rows",
+                "n_runs",
+                F.round(F.col("n_rows") * 1000000.0 / F.col("n_runs"))
+                .cast("bigint")
+                .alias("avg_run_len_ppm"),
+            )
+        )
+
+    return (
+        runs(w_nat, "natural")
+        .unionByName(runs(w_shp, "shipdate"))
+        .orderBy("ordering", "col_name")
+    )
+
+
+# Aggregated by operators/staging.py; registered at the round-10
+# boundary (zero registry delta until then).
+ROUND10_STAGED: dict[str, tuple] = {
+    "sort_order_advisor": (sort_order_advisor, _SORT_ADVISOR_ORACLE),
+}

@@ -16,41 +16,46 @@ import pytest
 
 from bigdataentrytask_spark.operators import REGISTRY, load_all
 from bigdataentrytask_spark.operators.dedup import (
-    ROUND10_STAGED,
     _SUBSTR_L,
-    _SUBSTRING_DEDUP_ORACLE,
     substring_dedup_audit,
 )
+from bigdataentrytask_spark.operators.staging import STAGED
 
 from .conftest import SF_DIR, assert_matches_oracle
 
 load_all()
 
+STAGED_NAMES = sorted(STAGED)
+
 
 def test_registry_frozen_through_round9():
     """VERDICT r8 item 2: zero registry additions in round 9."""
     assert len(REGISTRY) == 415
-    for name in ROUND10_STAGED:
+    for name in STAGED:
         assert name not in REGISTRY
 
 
-def test_substring_dedup_audit_matches_oracle(spark, duck):
-    assert_matches_oracle(
-        substring_dedup_audit(spark, SF_DIR),
-        duck,
-        _SUBSTRING_DEDUP_ORACLE,
-        "substring_dedup_audit",
-    )
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_staged_matches_oracle(spark, duck, name):
+    fn, osql = STAGED[name]
+    assert_matches_oracle(fn(spark, SF_DIR), duck, osql, name)
 
 
-def test_substring_dedup_audit_pandas_dtype_parity(spark, duck):
-    """The preverify gate: DuckDB's pandas fetch must not coerce any
-    column to float64 (HUGEINT fingerprint) while Spark is integral."""
-    spdf = substring_dedup_audit(spark, SF_DIR).toPandas()
-    odf = duck.execute(_SUBSTRING_DEDUP_ORACLE).fetch_df()
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_staged_pandas_dtype_parity(spark, duck, name):
+    """The preverify gate: DuckDB's pandas fetch must not coerce an
+    integral column to float64 (HUGEINT fingerprint) while the Spark
+    side stays integral, and no Spark column may surface as
+    decimal.Decimal objects."""
+    fn, osql = STAGED[name]
+    spdf = fn(spark, SF_DIR).toPandas()
+    odf = duck.execute(osql).fetch_df()
+    assert sorted(spdf.columns) == sorted(odf.columns)
     for c in odf.columns:
-        assert odf[c].dtype.kind in "iu", f"oracle col {c} is {odf[c].dtype}"
-        assert spdf[c].dtype.kind in "iu", f"spark col {c} is {spdf[c].dtype}"
+        if spdf[c].dtype.kind in "iu":
+            assert odf[c].dtype.kind in "iu", (
+                f"{name}.{c}: oracle {odf[c].dtype} vs spark {spdf[c].dtype}"
+            )
 
 
 def test_substring_dedup_audit_invariants(spark):
@@ -110,5 +115,38 @@ def test_substring_island_math_handcrafted(spark, tmp_path):
 
 
 def test_round10_staged_all_have_oracles():
-    for name, (fn, osql) in ROUND10_STAGED.items():
+    assert len(STAGED) >= 4
+    for name, (fn, osql) in STAGED.items():
         assert callable(fn) and isinstance(osql, str) and "SELECT" in osql
+        assert "{" not in osql, f"{name}: unexpanded template in oracle"
+
+
+def test_matryoshka_recall_monotone_in_prefix(spark):
+    """More dimensions can only add information: recall@5 at d=32 must
+    be >= recall at d=8 (ties broken identically)."""
+    fn, _ = STAGED["matryoshka_recall_sweep"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("d_prefix")
+    assert pdf.loc[32, "n_hits"] >= pdf.loc[8, "n_hits"]
+    assert (pdf.n_hits <= pdf.n_queries * 5).all()
+
+
+def test_sort_advisor_shipdate_order_lengthens_shipdate_runs(spark):
+    """Sorting by shipdate must strictly reduce the shipdate run count
+    vs the natural order (that's the advisor's entire point)."""
+    fn, _ = STAGED["sort_order_advisor"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index(["ordering", "col_name"])
+    nat = pdf.loc[("natural", "l_shipdate"), "n_runs"]
+    shp = pdf.loc[("shipdate", "l_shipdate"), "n_runs"]
+    assert shp < nat
+    # under the shipdate sort, shipdate runs = number of distinct days
+    assert (pdf.n_runs <= pdf.n_rows).all()
+
+
+def test_url_frontier_invariants(spark):
+    fn, _ = STAGED["url_host_frontier_stats"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert (pdf.n_hosts <= pdf.n_urls).all()
+    assert (pdf.max_host_load <= pdf.n_urls).all()
+    assert (pdf.n_dup_text_urls <= pdf.n_urls).all()
+    # hosts are h0..h6 per domain
+    assert (pdf.n_hosts <= 7).all()
