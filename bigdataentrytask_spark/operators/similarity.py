@@ -3886,3 +3886,257 @@ ROUND10_STAGED: dict[str, tuple] = {
         _MATRYOSHKA_ORACLE.replace("{KNN_TRUTH}", _ORACLES["knn_bruteforce"]),
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# ROUND-10 STAGED (ROADMAP "Retrieval / embeddings"): residual (two-
+# level) product quantization. Level 1 = the coarse k-means assignment
+# kmeans_step already verifies (seed convention: first KMEANS_K
+# vectors); level 2 = PQ over the RESIDUAL x - centroid(cell), with
+# the residual codebook drawn from the first _PQ_K vectors' residuals
+# (the same deterministic seed convention embedding_pq_assign uses on
+# raw vectors). Reports, per subspace, the residual-PQ quantization
+# error against the flat-PQ baseline — the distortion win that
+# justifies IVF-PQ's extra table lookup in a serving index.
+#
+# Determinism: residuals are DIFFERENCES OF GRID INTEGERS (xi - si),
+# so every distance is an exact integer in any accumulation order;
+# per-subspace error sums stay exact via decimal(19,0)->decimal(38,0)
+# (bound note at the module's canonical d19 comment) and are cast to
+# double ONCE before the only two double expressions (errors / 1e12,
+# gain ratio). Scale posture: identical to embedding_pq_assign —
+# dimension-level rows, broadcast codebooks, bounded argmin windows.
+#
+# Expected sign on THIS corpus: gain_ppm is NEGATIVE. The synthetic
+# embeddings are near-isotropic (unclustered), so the 8 coarse seeds
+# barely reduce variance and residuals have var ~ 2(1-rho)sigma^2 >
+# sigma^2 — two-level quantization loses to flat PQ, and the advisor
+# table says so. On a clustered production corpus the sign flips;
+# detecting WHICH regime a corpus is in before paying for an IVF-PQ
+# index build is the point of the audit.
+# --------------------------------------------------------------------------
+_RESIDUAL_PQ_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, generate_subscripts(e, 1) AS pos,
+             ((generate_subscripts(e, 1) - 1) * {_PQ_SUB}) // {_PQ_DIM}
+               AS sub,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+      FROM v
+    ),
+    seeds AS (
+      SELECT vec_id AS k, generate_subscripts(e, 1) AS pos,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS si
+      FROM v WHERE vec_id < {KMEANS_K}
+    ),
+    cdist AS (
+      SELECT d.vec_id, se.k,
+             CAST(SUM((d.xi - se.si) * (d.xi - se.si)) AS BIGINT) AS dd
+      FROM dims d JOIN seeds se ON se.pos = d.pos
+      GROUP BY 1, 2
+    ),
+    cassign AS (
+      SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, k) AS rn
+        FROM cdist
+      ) WHERE rn = 1
+    ),
+    resid AS (
+      SELECT d.vec_id, d.pos, d.sub, d.xi - se.si AS ri
+      FROM dims d
+      JOIN cassign a ON a.vec_id = d.vec_id
+      JOIN seeds se ON se.k = a.k AND se.pos = d.pos
+    ),
+    rcode AS (
+      SELECT vec_id AS code, sub, pos, ri AS ci
+      FROM resid WHERE vec_id < {_PQ_K}
+    ),
+    rdist AS (
+      SELECT r.vec_id, r.sub, c.code,
+             CAST(SUM((r.ri - c.ci) * (r.ri - c.ci)) AS BIGINT) AS dd
+      FROM resid r JOIN rcode c ON c.pos = r.pos AND c.sub = r.sub
+      GROUP BY 1, 2, 3
+    ),
+    rbest AS (
+      SELECT vec_id, sub, dd FROM (
+        SELECT vec_id, sub, dd,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM rdist
+      ) WHERE rn = 1
+    ),
+    fcode AS (
+      SELECT vec_id AS code, sub, pos, xi AS ci
+      FROM dims WHERE vec_id < {_PQ_K}
+    ),
+    fdist AS (
+      SELECT d.vec_id, d.sub, c.code,
+             CAST(SUM((d.xi - c.ci) * (d.xi - c.ci)) AS BIGINT) AS dd
+      FROM dims d JOIN fcode c ON c.pos = d.pos AND c.sub = d.sub
+      GROUP BY 1, 2, 3
+    ),
+    fbest AS (
+      SELECT vec_id, sub, dd FROM (
+        SELECT vec_id, sub, dd,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM fdist
+      ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT f.sub,
+             COUNT(*) AS n_vecs,
+             SUM(f.dd::HUGEINT) AS flat_g,
+             SUM(r.dd::HUGEINT) AS res_g
+      FROM fbest f
+      JOIN rbest r ON r.vec_id = f.vec_id AND r.sub = f.sub
+      GROUP BY 1
+    )
+    SELECT CAST(sub AS BIGINT) AS sub,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           ROUND(CAST(flat_g AS DOUBLE) / 1e12, 4) AS flat_sq_error,
+           ROUND(CAST(res_g AS DOUBLE) / 1e12, 4) AS residual_sq_error,
+           CAST(ROUND((CAST(flat_g AS DOUBLE) - CAST(res_g AS DOUBLE))
+                      * 1000000.0 / CAST(flat_g AS DOUBLE)) AS BIGINT)
+             AS gain_ppm
+    FROM agg ORDER BY sub
+    """
+
+
+def residual_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (IVF-residual) PQ distortion vs the flat-PQ baseline
+    (see staged block comment). dims and resid are multi-consumer
+    fact-scale intermediates -> with_persisted + materialize (the
+    sanctioned hygiene pattern; output is 4 domain rows)."""
+    from bigdataentrytask_spark.operators import materialize, with_persisted
+
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    sub_of = ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        sub_of.alias("sub"),
+        grid.alias("xi"),
+    )
+    seeds = (
+        e.filter(F.col("vec_id") < KMEANS_K)
+        .select(
+            F.col("vec_id").alias("k"),
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("pos0", "x"),
+        )
+        .select("k", (F.col("pos0") + 1).alias("s_pos"), grid.alias("si"))
+    )
+    d19 = "decimal(19,0)"
+    with with_persisted(dims) as dims_p:
+        cdiff = F.col("xi") - F.col("si")
+        cdist = (
+            dims_p.join(F.broadcast(seeds), F.col("s_pos") == F.col("pos"))
+            .groupBy("vec_id", "k")
+            .agg(F.sum(cdiff * cdiff).cast("bigint").alias("dd"))
+        )
+        wv = Window.partitionBy("vec_id").orderBy("dd", "k")
+        cassign = (
+            cdist.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("k").alias("ck"))
+        )
+        resid = (
+            dims_p.join(cassign, "vec_id")
+            .join(
+                F.broadcast(seeds),
+                (F.col("s_pos") == F.col("pos"))
+                & (F.col("k") == F.col("ck")),
+            )
+            .select(
+                "vec_id", "pos", "sub",
+                (F.col("xi") - F.col("si")).alias("ri"),
+            )
+        )
+        with with_persisted(resid) as resid_p:
+            rcode = resid_p.filter(F.col("vec_id") < _PQ_K).select(
+                F.col("vec_id").alias("code"),
+                F.col("sub").alias("c_sub"),
+                F.col("pos").alias("c_pos"),
+                F.col("ri").alias("ci"),
+            )
+            rdiff = F.col("ri") - F.col("ci")
+            rdist = (
+                resid_p.join(
+                    F.broadcast(rcode),
+                    (F.col("c_pos") == F.col("pos"))
+                    & (F.col("c_sub") == F.col("sub")),
+                )
+                .groupBy("vec_id", "sub", "code")
+                .agg(F.sum(rdiff * rdiff).cast("bigint").alias("dd"))
+            )
+            ws = Window.partitionBy("vec_id", "sub").orderBy("dd", "code")
+            rbest = (
+                rdist.withColumn("rn", F.row_number().over(ws))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "sub", F.col("dd").alias("rdd"))
+            )
+            fcode = dims_p.filter(F.col("vec_id") < _PQ_K).select(
+                F.col("vec_id").alias("code"),
+                F.col("sub").alias("c_sub"),
+                F.col("pos").alias("c_pos"),
+                F.col("xi").alias("ci"),
+            )
+            fdiff = F.col("xi") - F.col("ci")
+            fdist = (
+                dims_p.join(
+                    F.broadcast(fcode),
+                    (F.col("c_pos") == F.col("pos"))
+                    & (F.col("c_sub") == F.col("sub")),
+                )
+                .groupBy("vec_id", "sub", "code")
+                .agg(F.sum(fdiff * fdiff).cast("bigint").alias("dd"))
+            )
+            fbest = (
+                fdist.withColumn("rn", F.row_number().over(ws))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "sub", F.col("dd").alias("fdd"))
+            )
+            agg = (
+                fbest.join(rbest, ["vec_id", "sub"])
+                .groupBy("sub")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                    F.sum(F.col("fdd").cast(d19)).cast("double").alias("flat_g"),
+                    F.sum(F.col("rdd").cast(d19)).cast("double").alias("res_g"),
+                )
+            )
+            return materialize(
+                agg.select(
+                    F.col("sub").cast("bigint").alias("sub"),
+                    "n_vecs",
+                    F.round(F.col("flat_g") / 1e12, 4).alias("flat_sq_error"),
+                    F.round(F.col("res_g") / 1e12, 4).alias(
+                        "residual_sq_error"
+                    ),
+                    F.round(
+                        (F.col("flat_g") - F.col("res_g"))
+                        * 1000000.0
+                        / F.col("flat_g")
+                    )
+                    .cast("bigint")
+                    .alias("gain_ppm"),
+                )
+                .orderBy("sub")
+            )
+
+
+ROUND10_STAGED["residual_pq_distortion"] = (
+    residual_pq_distortion,
+    _RESIDUAL_PQ_ORACLE,
+)

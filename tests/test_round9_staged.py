@@ -150,3 +150,16 @@ def test_url_frontier_invariants(spark):
     assert (pdf.n_dup_text_urls <= pdf.n_urls).all()
     # hosts are h0..h6 per domain
     assert (pdf.n_hosts <= 7).all()
+
+
+def test_residual_pq_invariants(spark):
+    fn, _ = STAGED["residual_pq_distortion"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("sub")
+    assert sorted(pdf.index) == [0, 1, 2, 3]
+    assert (pdf.n_vecs == 500).all()
+    assert (pdf.flat_sq_error > 0).all()
+    assert (pdf.residual_sq_error > 0).all()
+    # near-isotropic synthetic corpus: two-level quantization must
+    # LOSE to flat PQ (see the staged block comment) — a sign flip
+    # here means the corpus regen became clustered, worth knowing
+    assert (pdf.gain_ppm < 0).all()
