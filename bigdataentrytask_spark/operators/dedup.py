@@ -1962,3 +1962,248 @@ ROUND10_STAGED["url_host_frontier_stats"] = (
     url_host_frontier_stats,
     _URL_FRONTIER_ORACLE,
 )
+
+
+# --------------------------------------------------------------------------
+# ROUND-10 STAGED (ROADMAP "Curation / dedup depth"): cross-lingual
+# near-dup evaluation. Candidate pairs come from the SAME minhash/LSH
+# machinery minhash_dedup ships (NUM_HASHES sketches, LSH_BANDS bands,
+# est >= MINHASH_THRESHOLD), restricted to pairs that SPAN LANGUAGES
+# (lang_a <> lang_b) over the language-normalized token stream — for
+# this corpus the shared tokenize/normalize helpers in functions/text
+# ARE the normalizer (the synthetic langs share a vocabulary, so
+# normalization is the identity transliteration; on a real corpus this
+# is where transliteration/stemming plugs in). The evaluation compares
+# those candidates against the PER-LANGUAGE-PAIR exact Jaccard truth:
+# per (lang_lo, lang_hi) block, truth size, candidate volume, hits,
+# recall and precision in ppm — the table that says whether one shared
+# LSH index can serve cross-lingual dedup or per-language indexes are
+# needed.
+#
+# Scale contract: the truth side is the quadratic token self-join —
+# AUDIT-SCALE ONLY (same contract as jaccard_pairs, which is the
+# declared correctness baseline for minhash_dedup, the production
+# path). The candidate side is band-join bounded.
+# --------------------------------------------------------------------------
+_XLING_MIN_CNT = int(-(-MINHASH_THRESHOLD * NUM_HASHES // 1))
+
+_XLING_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_distinct({sql_tokens('text')})) AS tok
+      FROM documents
+    ),
+    langs AS (SELECT doc_id, lang FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b,
+             LEAST(la.lang, lb.lang) AS lang_lo,
+             GREATEST(la.lang, lb.lang) AS lang_hi
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      JOIN langs la ON la.doc_id = doc_a
+      JOIN langs lb ON lb.doc_id = doc_b
+      WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= {MINHASH_THRESHOLD}
+        AND la.lang <> lb.lang
+    ),
+    hashes AS (SELECT doc_id, {sql_token_hash('tok')} AS h FROM toks),
+    mh AS (
+      SELECT doc_id,
+             {_sql_minhash_cols()}
+      FROM hashes GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             LEAST(la.lang, lb.lang) AS lang_lo,
+             GREATEST(la.lang, lb.lang) AS lang_hi
+      FROM mh a
+      JOIN mh b ON a.doc_id < b.doc_id
+      JOIN langs la ON la.doc_id = a.doc_id
+      JOIN langs lb ON lb.doc_id = b.doc_id
+      WHERE ({" OR ".join(_sql_band_eq(i) for i in range(LSH_BANDS))})
+        AND {_sql_match_frac()} >= {MINHASH_THRESHOLD}
+        AND la.lang <> lb.lang
+    ),
+    t_agg AS (
+      SELECT lang_lo, lang_hi, CAST(COUNT(*) AS BIGINT) AS n_truth
+      FROM truth GROUP BY 1, 2
+    ),
+    c_agg AS (
+      SELECT lang_lo, lang_hi, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM cand GROUP BY 1, 2
+    ),
+    h_agg AS (
+      SELECT t.lang_lo, t.lang_hi, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM truth t JOIN cand c
+        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+      GROUP BY 1, 2
+    )
+    SELECT t.lang_lo, t.lang_hi, t.n_truth,
+           COALESCE(c.n_candidates, 0) AS n_candidates,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           CAST(ROUND(COALESCE(h.n_hits, 0) * 1000000.0 / t.n_truth)
+                AS BIGINT) AS recall_ppm,
+           CASE WHEN COALESCE(c.n_candidates, 0) = 0 THEN -1
+                ELSE CAST(ROUND(COALESCE(h.n_hits, 0) * 1000000.0
+                                / c.n_candidates) AS BIGINT)
+           END AS precision_ppm
+    FROM t_agg t
+    LEFT JOIN c_agg c ON c.lang_lo = t.lang_lo AND c.lang_hi = t.lang_hi
+    LEFT JOIN h_agg h ON h.lang_lo = t.lang_lo AND h.lang_hi = t.lang_hi
+    ORDER BY t.lang_lo, t.lang_hi
+    """
+
+
+def crosslingual_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language minhash/LSH dedup quality vs the exact per-
+    language-pair truth (see staged block comment)."""
+    d = _docs(spark, sf_dir)
+    langs = d.select("doc_id", "lang")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a_t = toks.alias("a")
+    b_t = toks.alias("b")
+    inter = (
+        a_t.join(
+            b_t,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i")).cast(
+        "double"
+    )
+    la = langs.alias("la")
+    lb = langs.alias("lb")
+    truth = (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .join(la, F.col("doc_a") == F.col("la.doc_id"))
+        .join(lb, F.col("doc_b") == F.col("lb.doc_id"))
+        .filter(
+            (jac >= MINHASH_THRESHOLD)
+            & (F.col("la.lang") != F.col("lb.lang"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.least("la.lang", "lb.lang").alias("lang_lo"),
+            F.greatest("la.lang", "lb.lang").alias("lang_hi"),
+        )
+    )
+    hashes = toks.select("doc_id", token_hash("tok").alias("h"))
+    mh = hashes.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min(
+                    (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+                    % MERSENNE_P
+                )
+                for i in range(NUM_HASHES)
+            ]
+        ).alias("sig_arr")
+    )
+    bkeys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(i),
+                *[
+                    F.col("sig_arr")[j]
+                    for j in range(i * _ROWS_PER_BAND, (i + 1) * _ROWS_PER_BAND)
+                ],
+            )
+            for i in range(LSH_BANDS)
+        ]
+    )
+    bands = mh.select(
+        "doc_id", "sig_arr", F.explode(bkeys).alias("bkey")
+    )
+    ba = bands.alias("ba").select(
+        F.col("ba.bkey").alias("bkey"),
+        F.col("ba.doc_id").alias("doc_a"),
+        F.col("ba.sig_arr").alias("sig_a"),
+    )
+    bb = bands.alias("bb").select(
+        F.col("bb.bkey").alias("bkey"),
+        F.col("bb.doc_id").alias("doc_b"),
+        F.col("bb.sig_arr").alias("sig_b"),
+    )
+    match_cnt = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> "
+        "CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)"
+    )
+    cand = (
+        ba.join(bb, "bkey")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("cnt", match_cnt)
+        .filter(F.col("cnt") >= _XLING_MIN_CNT)
+        .join(la, F.col("doc_a") == F.col("la.doc_id"))
+        .join(lb, F.col("doc_b") == F.col("lb.doc_id"))
+        .filter(F.col("la.lang") != F.col("lb.lang"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.least("la.lang", "lb.lang").alias("lang_lo"),
+            F.greatest("la.lang", "lb.lang").alias("lang_hi"),
+        )
+    )
+    t_agg = truth.groupBy("lang_lo", "lang_hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    c_agg = cand.groupBy("lang_lo", "lang_hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    h_agg = (
+        truth.join(cand.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
+        .groupBy("lang_lo", "lang_hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        t_agg.join(c_agg, ["lang_lo", "lang_hi"], "left")
+        .join(h_agg, ["lang_lo", "lang_hi"], "left")
+        .select(
+            "lang_lo",
+            "lang_hi",
+            "n_truth",
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) * 1000000.0 / F.col("n_truth")
+            )
+            .cast("bigint")
+            .alias("recall_ppm"),
+            F.when(F.coalesce("n_candidates", F.lit(0)) == 0, F.lit(-1))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_hits", F.lit(0))
+                    * 1000000.0
+                    / F.col("n_candidates")
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("precision_ppm"),
+        )
+        .orderBy("lang_lo", "lang_hi")
+    )
+
+
+ROUND10_STAGED["crosslingual_neardup_eval"] = (
+    crosslingual_neardup_eval,
+    _XLING_ORACLE,
+)

@@ -163,3 +163,15 @@ def test_residual_pq_invariants(spark):
     # LOSE to flat PQ (see the staged block comment) — a sign flip
     # here means the corpus regen became clustered, worth knowing
     assert (pdf.gain_ppm < 0).all()
+
+
+def test_crosslingual_invariants(spark):
+    fn, _ = STAGED["crosslingual_neardup_eval"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    # 5 langs -> 10 unordered cross pairs, all with truth on this corpus
+    assert len(pdf) == 10
+    assert (pdf.lang_lo < pdf.lang_hi).all()
+    assert (pdf.n_hits <= pdf.n_truth).all()
+    assert (pdf.n_hits <= pdf.n_candidates).all()
+    assert (pdf.recall_ppm <= 1_000_000).all()
+    assert ((pdf.precision_ppm <= 1_000_000) | (pdf.precision_ppm == -1)).all()
