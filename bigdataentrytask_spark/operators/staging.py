@@ -25,6 +25,9 @@ from bigdataentrytask_spark.operators.dedup import (
 from bigdataentrytask_spark.operators.similarity import (
     ROUND10_STAGED as _SIMILARITY_STAGED,
 )
+from bigdataentrytask_spark.operators.streaming_bridge import (
+    ROUND10_STAGED as _STREAMING_STAGED,
+)
 from bigdataentrytask_spark.operators.warehouse import (
     ROUND10_STAGED as _WAREHOUSE_STAGED,
 )
@@ -32,6 +35,7 @@ from bigdataentrytask_spark.operators.warehouse import (
 STAGED: dict[str, tuple] = {
     **_DEDUP_STAGED,
     **_SIMILARITY_STAGED,
+    **_STREAMING_STAGED,
     **_WAREHOUSE_STAGED,
 }
 

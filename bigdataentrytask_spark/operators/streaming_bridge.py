@@ -827,3 +827,111 @@ def stream_hourly_channel_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+# --------------------------------------------------------------------------
+# ROUND-10 STAGED (registry FROZEN in round 9 — VERDICT r8 item 2;
+# ROADMAP "Streaming"). Watermark-lag histogram over the replay
+# source: per event, lag = (running max event-time over the ARRIVAL
+# order) - (its own event-time) — the exact quantity Structured
+# Streaming's watermark compares against its delay threshold when it
+# decides to drop a late row. Arrival order is the generator's emit
+# order (event_id; unique over the fixture), the deterministic proxy
+# for processing order that a wall-clock-based histogram can't give an
+# oracle. Buckets: on-front / within the reference's 5s watermark /
+# <=1m / <=5m / >5m, plus the would-drop share — the table that says
+# whether the reference's `ts - INTERVAL '5' SECOND` bound
+# (streaming/replay.py WATERMARK) loses data on this stream.
+#
+# Determinism/scale: the running max is a global window over arrival
+# order — honest for a WATERMARK audit because the engine's watermark
+# is itself a GLOBAL min-of-max across partitions per batch; the
+# per-event running front is its finest-grained (availableNow) bound.
+# At 100 TB the same audit runs per shard/day slice (the front only
+# needs the slice prefix); lag arithmetic is exact integer
+# microseconds.
+# --------------------------------------------------------------------------
+_WM_LAG_US = 5_000_000  # the reference's 5s watermark, in microseconds
+
+_WATERMARK_LAG_ORACLE = f"""
+    WITH lagged AS (
+      SELECT event_id,
+             epoch_us(MAX(ts) OVER (ORDER BY event_id
+                                    ROWS UNBOUNDED PRECEDING))
+             - epoch_us(ts) AS lag_us
+      FROM events
+    ),
+    bucketed AS (
+      SELECT CASE
+               WHEN lag_us = 0 THEN 'a_on_front'
+               WHEN lag_us <= {_WM_LAG_US} THEN 'b_within_5s_watermark'
+               WHEN lag_us <= 60000000 THEN 'c_under_1m'
+               WHEN lag_us <= 300000000 THEN 'd_under_5m'
+               ELSE 'e_over_5m'
+             END AS lag_bucket,
+             lag_us,
+             CASE WHEN lag_us > {_WM_LAG_US} THEN 1 ELSE 0 END AS dropped
+      FROM lagged
+    )
+    SELECT lag_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(COUNT(*) * 1000000.0 /
+                      (SELECT COUNT(*) FROM events)) AS BIGINT) AS share_ppm,
+           CAST(MAX(lag_us) AS BIGINT) AS max_lag_us,
+           CAST(SUM(dropped) AS BIGINT) AS n_would_drop
+    FROM bucketed
+    GROUP BY lag_bucket
+    ORDER BY lag_bucket
+    """
+
+
+def watermark_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data lag census against the replay watermark (see staged
+    block comment). Loads through the catalog so the events.ts
+    physical-layout canonicalization applies."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lag_us = F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
+    lagged = ev.select(lag_us.alias("lag_us"))
+    bucket = (
+        F.when(F.col("lag_us") == 0, "a_on_front")
+        .when(F.col("lag_us") <= _WM_LAG_US, "b_within_5s_watermark")
+        .when(F.col("lag_us") <= 60_000_000, "c_under_1m")
+        .when(F.col("lag_us") <= 300_000_000, "d_under_5m")
+        .otherwise("e_over_5m")
+    )
+    n_total = ev.count()
+    return (
+        lagged.select(
+            bucket.alias("lag_bucket"),
+            "lag_us",
+            F.when(F.col("lag_us") > _WM_LAG_US, 1).otherwise(0).alias(
+                "dropped"
+            ),
+        )
+        .groupBy("lag_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.count(F.lit(1)) * 1000000.0 / F.lit(n_total))
+            .cast("bigint")
+            .alias("share_ppm"),
+            F.max("lag_us").cast("bigint").alias("max_lag_us"),
+            F.sum("dropped").cast("bigint").alias("n_would_drop"),
+        )
+        .orderBy("lag_bucket")
+    )
+
+
+ROUND10_STAGED: dict[str, tuple] = {
+    "watermark_lag_histogram": (
+        watermark_lag_histogram,
+        _WATERMARK_LAG_ORACLE,
+    ),
+}

@@ -175,3 +175,14 @@ def test_crosslingual_invariants(spark):
     assert (pdf.n_hits <= pdf.n_candidates).all()
     assert (pdf.recall_ppm <= 1_000_000).all()
     assert ((pdf.precision_ppm <= 1_000_000) | (pdf.precision_ppm == -1)).all()
+
+
+def test_watermark_lag_invariants(spark):
+    fn, _ = STAGED["watermark_lag_histogram"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert pdf.n_events.sum() == 10_000
+    assert abs(pdf.share_ppm.sum() - 1_000_000) <= len(pdf)  # rounding
+    on_front = pdf.set_index("lag_bucket")
+    # the running max includes the row itself -> at least one on-front
+    assert on_front.loc["a_on_front", "n_events"] >= 1
+    assert on_front.loc["a_on_front", "n_would_drop"] == 0
