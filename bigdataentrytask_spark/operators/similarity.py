@@ -4140,3 +4140,209 @@ ROUND10_STAGED["residual_pq_distortion"] = (
     residual_pq_distortion,
     _RESIDUAL_PQ_ORACLE,
 )
+
+
+# --------------------------------------------------------------------------
+# ROUND-10 STAGED (ROADMAP "Retrieval / embeddings"): HNSW-style
+# layered neighborhood audit — BOUNDED census, not a graph build. Each
+# vector draws a deterministic geometric level (trailing-zero count of
+# an affine hash of vec_id — the arithmetic twin of HNSW's
+# floor(-ln(U)*mL) draw, expected occupancy n/2^l), and for every
+# layer l >= 1 the audit reports what an HNSW build would see there:
+# occupancy, the M-NN edge count, how symmetric the neighborhood is
+# (mutual edges — HNSW's bidirectional-link heuristic quality), and
+# the mean M-th-neighbor radius (the greedy-search hop scale).
+# Layer 0 is the full corpus: its neighborhood statistics are exactly
+# the registered knn_* family's contract, so the audit starts at
+# l = 1 to stay sub-quadratic relative to the base table (sum of
+# occupancy^2 ~ n^2/3 over layers 1.. vs n^2 for layer 0).
+#
+# Determinism: levels are pure integer arithmetic; distances are exact
+# grid-integer squared L2; top-M picks break ties on neighbor_id; the
+# radius mean is an exact integer sum cast to double once.
+# --------------------------------------------------------------------------
+_HNSW_M = 4
+_HNSW_MAX_LEVEL = 4
+_HNSW_HASH_A = 2654435761  # Knuth multiplicative constant
+_HNSW_HASH_P = 2147483647
+
+_HNSW_LEVEL_SQL = f"""
+      SELECT vec_id,
+             CASE
+               WHEN ((vec_id * {_HNSW_HASH_A}) % {_HNSW_HASH_P}) % 16 = 0 THEN 4
+               WHEN ((vec_id * {_HNSW_HASH_A}) % {_HNSW_HASH_P}) % 8 = 0 THEN 3
+               WHEN ((vec_id * {_HNSW_HASH_A}) % {_HNSW_HASH_P}) % 4 = 0 THEN 2
+               WHEN ((vec_id * {_HNSW_HASH_A}) % {_HNSW_HASH_P}) % 2 = 0 THEN 1
+               ELSE 0
+             END AS lvl
+      FROM embeddings
+"""
+
+_HNSW_AUDIT_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    lv AS ({_HNSW_LEVEL_SQL}),
+    layers AS (SELECT UNNEST([1, 2, 3, 4]) AS layer),
+    members AS (
+      SELECT ly.layer, lv.vec_id
+      FROM lv JOIN layers ly ON lv.lvl >= ly.layer
+    ),
+    dims AS (
+      SELECT vec_id, generate_subscripts(e, 1) AS pos,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+      FROM v
+    ),
+    pdist AS (
+      SELECT m1.layer, m1.vec_id AS src, m2.vec_id AS dst,
+             (SELECT CAST(SUM((da.xi - db.xi) * (da.xi - db.xi)) AS BIGINT)
+              FROM dims da JOIN dims db ON db.pos = da.pos
+              WHERE da.vec_id = m1.vec_id AND db.vec_id = m2.vec_id) AS dd
+      FROM members m1
+      JOIN members m2 ON m2.layer = m1.layer AND m2.vec_id <> m1.vec_id
+    ),
+    topm AS (
+      SELECT layer, src, dst, dd FROM (
+        SELECT layer, src, dst, dd,
+               ROW_NUMBER() OVER (PARTITION BY layer, src
+                                  ORDER BY dd, dst) AS rn
+        FROM pdist
+      ) WHERE rn <= {_HNSW_M}
+    ),
+    radius AS (
+      SELECT layer, src, MAX(dd) AS r FROM topm GROUP BY 1, 2
+    ),
+    mutual AS (
+      SELECT a.layer, COUNT(*) AS n_mutual_directed
+      FROM topm a JOIN topm b
+        ON b.layer = a.layer AND b.src = a.dst AND b.dst = a.src
+      GROUP BY 1
+    ),
+    agg_t AS (
+      SELECT layer,
+             CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+             CAST(COUNT(*) AS BIGINT) AS n_edges
+      FROM topm GROUP BY 1
+    ),
+    agg_r AS (
+      SELECT layer, CAST(SUM(r::HUGEINT) AS DOUBLE) AS r_sum
+      FROM radius GROUP BY 1
+    )
+    SELECT CAST(t.layer AS BIGINT) AS layer,
+           t.n_nodes,
+           t.n_edges,
+           CAST(COALESCE(m.n_mutual_directed, 0) // 2 AS BIGINT)
+             AS n_mutual_edges,
+           ROUND(r.r_sum / t.n_nodes / {_HNSW_M} / 1e12, 4) AS mean_radius
+    FROM agg_t t
+    JOIN agg_r r ON r.layer = t.layer
+    LEFT JOIN mutual m ON m.layer = t.layer
+    ORDER BY layer
+    """
+
+
+def hnsw_layer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layered M-NN neighborhood census (see staged block comment).
+    mean_radius = per-node MAX top-M distance, summed exactly
+    (decimal path), averaged over nodes, one double division chain —
+    identical expression order on both sides."""
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    lvl = (
+        F.when((F.col("vec_id") * _HNSW_HASH_A % _HNSW_HASH_P) % 16 == 0, 4)
+        .when((F.col("vec_id") * _HNSW_HASH_A % _HNSW_HASH_P) % 8 == 0, 3)
+        .when((F.col("vec_id") * _HNSW_HASH_A % _HNSW_HASH_P) % 4 == 0, 2)
+        .when((F.col("vec_id") * _HNSW_HASH_A % _HNSW_HASH_P) % 2 == 0, 1)
+        .otherwise(0)
+    )
+    lv = e.select("vec_id", lvl.alias("lvl"))
+    layers = spark.range(1, _HNSW_MAX_LEVEL + 1).select(
+        F.col("id").cast("int").alias("layer")
+    )
+    members = lv.join(
+        F.broadcast(layers), F.col("lvl") >= F.col("layer")
+    ).select("layer", "vec_id")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), grid.alias("xi"))
+    m1 = members.select(F.col("layer"), F.col("vec_id").alias("src"))
+    m2 = members.select(
+        F.col("layer").alias("layer2"), F.col("vec_id").alias("dst")
+    )
+    pairs = m1.join(
+        m2,
+        (F.col("layer") == F.col("layer2")) & (F.col("src") != F.col("dst")),
+    ).select("layer", "src", "dst")
+    da = dims.select(
+        F.col("vec_id").alias("src"), "pos", F.col("xi").alias("xa")
+    )
+    db = dims.select(
+        F.col("vec_id").alias("dst_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("xi").alias("xb"),
+    )
+    diff = F.col("xa") - F.col("xb")
+    # distance per (src, dst) computed ONCE on the distinct pair set,
+    # then joined back to the (layer, src, dst) membership pairs — the
+    # same (a, b) pair appears in every layer both endpoints share
+    upairs = pairs.select("src", "dst").distinct()
+    udist = (
+        upairs.join(da, "src")
+        .join(
+            db,
+            (F.col("pos_b") == F.col("pos"))
+            & (F.col("dst_b") == F.col("dst")),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum(diff * diff).cast("bigint").alias("dd"))
+    )
+    pdist = pairs.join(udist, ["src", "dst"])
+    wm = Window.partitionBy("layer", "src").orderBy("dd", "dst")
+    topm = pdist.withColumn("rn", F.row_number().over(wm)).filter(
+        F.col("rn") <= _HNSW_M
+    )
+    radius = topm.groupBy("layer", "src").agg(F.max("dd").alias("r"))
+    ta = topm.select("layer", "src", "dst")
+    tb = topm.select(
+        F.col("layer").alias("layer_b"),
+        F.col("src").alias("dst"),
+        F.col("dst").alias("src"),
+    )
+    mutual = (
+        ta.join(tb, ["src", "dst"])
+        .filter(F.col("layer") == F.col("layer_b"))
+        .groupBy("layer")
+        .agg((F.count(F.lit(1)) / 2).cast("bigint").alias("n_mutual_edges"))
+    )
+    d19 = "decimal(19,0)"
+    stats = (
+        topm.groupBy("layer")
+        .agg(
+            F.countDistinct("src").cast("bigint").alias("n_nodes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        )
+        .join(
+            radius.groupBy("layer").agg(
+                F.sum(F.col("r").cast(d19)).cast("double").alias("r_sum")
+            ),
+            "layer",
+        )
+        .join(mutual, "layer", "left")
+    )
+    return stats.select(
+        F.col("layer").cast("bigint").alias("layer"),
+        "n_nodes",
+        "n_edges",
+        F.coalesce("n_mutual_edges", F.lit(0))
+        .cast("bigint")
+        .alias("n_mutual_edges"),
+        F.round(
+            F.col("r_sum") / F.col("n_nodes") / _HNSW_M / 1e12, 4
+        ).alias("mean_radius"),
+    ).orderBy("layer")
+
+
+ROUND10_STAGED["hnsw_layer_audit"] = (hnsw_layer_audit, _HNSW_AUDIT_ORACLE)

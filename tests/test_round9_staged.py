@@ -186,3 +186,16 @@ def test_watermark_lag_invariants(spark):
     # the running max includes the row itself -> at least one on-front
     assert on_front.loc["a_on_front", "n_events"] >= 1
     assert on_front.loc["a_on_front", "n_would_drop"] == 0
+
+
+def test_hnsw_layer_audit_invariants(spark):
+    fn, _ = STAGED["hnsw_layer_audit"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("layer")
+    assert list(pdf.index) == [1, 2, 3, 4]
+    # geometric occupancy: each layer roughly halves (loose 3x bound)
+    for low, hi in ((2, 1), (3, 2), (4, 3)):
+        assert pdf.loc[low, "n_nodes"] < pdf.loc[hi, "n_nodes"]
+    # every node with > M peers emits exactly M directed edges
+    assert (pdf.n_edges <= pdf.n_nodes * 4).all()
+    assert (pdf.n_mutual_edges * 2 <= pdf.n_edges).all()
+    assert (pdf.mean_radius > 0).all()
