@@ -1,7 +1,7 @@
 """Round-10 staged operators (VERDICT r8 item 6): implemented and
 differential-tested DURING round 9 while the registry is frozen —
-zero registry delta until register_round10_staged() runs at the
-round-10 boundary.
+zero registry delta until operators/staging.py's register_all() runs
+at the round-10 boundary.
 
 The differential here goes through DuckDB's PANDAS path with a dtype
 check (the preverify gate), not just fetchall — so the HUGEINT class
