@@ -35,7 +35,13 @@ def run(label: str, cmd: list[str]) -> tuple[str, bool, float, str]:
     )
     out = p.stdout + p.stderr
     ok = p.returncode == 0
-    tail = out.strip().splitlines()[-1] if out.strip() else ""
+    # last MEANINGFUL line: skip log4j WARN/stage-progress noise so the
+    # summary shows "ALL MATCH" / the bench JSON, not a stderr line
+    lines = [
+        ln for ln in out.strip().splitlines()
+        if ln.strip() and " WARN " not in ln and not ln.startswith("[Stage")
+    ]
+    tail = lines[-1] if lines else ""
     print(f"[{label}] {'PASS' if ok else 'FAIL'} "
           f"({time.time()-t0:.0f}s)  {tail[:120]}")
     if not ok:
