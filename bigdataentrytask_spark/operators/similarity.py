@@ -3833,24 +3833,23 @@ def matryoshka_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in _MATRYOSHKA_DIMS
         ]
     )
-    per_d = [
-        dots.join(
-            pn.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col(f"cc_{d}").alias("cc"),
-            ),
-            "neighbor_id",
-        ).select(
-            F.lit(d).cast("bigint").alias("d_prefix"),
-            "query_id",
-            "neighbor_id",
-            (F.col(f"dot_{d}") / F.sqrt("cc")).alias("sim"),
-        )
+    # ONE join + a stack generator scores every prefix in a single
+    # pass over the dots frame — a per-d join+union would recompute
+    # the (query, neighbor) aggregation once per prefix
+    stack_expr = ", ".join(
+        f"CAST({d} AS BIGINT), dot_{d} / sqrt(cc_{d})"
         for d in _MATRYOSHKA_DIMS
-    ]
-    scored = per_d[0]
-    for x in per_d[1:]:
-        scored = scored.unionByName(x)
+    )
+    scored = dots.join(
+        pn.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.expr(
+            f"stack({len(_MATRYOSHKA_DIMS)}, {stack_expr})"
+            " AS (d_prefix, sim)"
+        ),
+    )
     ws = Window.partitionBy("d_prefix", "query_id").orderBy(
         F.col("sim").desc(), "neighbor_id"
     )
