@@ -60,6 +60,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # measured against THESE, not the pre-r8 warm-cache artifacts):
 #   knn_lsh             1.49s
 #   heavy_hitter_tokens 1.27s
+# Round-9 measurement: knn_lsh 1.37s, heavy_hitter_tokens 1.19s —
+# both under anchor; headline 32.94s (r8 32.43s, r7 33.04s), spread
+# 49.2/35.5/36.0 (run 1 carries JVM warmup).
 HEADLINE = [
     "b1_hourly_uv",
     "q1_cumulative_minute",
