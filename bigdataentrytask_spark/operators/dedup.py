@@ -1767,7 +1767,16 @@ def substring_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         "doc_id", "text", F.length("text").cast("bigint").alias("doc_len")
     )
-    pos = docs.select(
+    # The explode amplifies each doc ~len(text)x, so parallelism must
+    # be set BEFORE it: a small fixture reads as one split and would
+    # otherwise run every downstream stage single-task (measured 8.2s
+    # -> 1.6s best-of-3 at sf0.1, SCALE.md round 9). Repartitioning the compact
+    # doc rows is cheap; at 100 TB the scan already has thousands of
+    # splits and this is a no-op-cost hygiene shuffle.
+    pre = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    pos = pre.select(
         "doc_id",
         "text",
         F.explode(
