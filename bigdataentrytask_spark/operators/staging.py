@@ -22,6 +22,9 @@ from bigdataentrytask_spark.operators import operator
 from bigdataentrytask_spark.operators.dedup import (
     ROUND10_STAGED as _DEDUP_STAGED,
 )
+from bigdataentrytask_spark.operators.star import (
+    ROUND10_STAGED as _STAR_STAGED,
+)
 from bigdataentrytask_spark.operators.similarity import (
     ROUND10_STAGED as _SIMILARITY_STAGED,
 )
@@ -35,6 +38,7 @@ from bigdataentrytask_spark.operators.warehouse import (
 STAGED: dict[str, tuple] = {
     **_DEDUP_STAGED,
     **_SIMILARITY_STAGED,
+    **_STAR_STAGED,
     **_STREAMING_STAGED,
     **_WAREHOUSE_STAGED,
 }

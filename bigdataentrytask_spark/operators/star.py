@@ -531,3 +531,146 @@ def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers long, n_with_orders long, "
         "no_false_negatives boolean, fp_ok boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# ROUND-10 STAGED (registry FROZEN in round 9; natural sibling of the
+# VERDICT-r7-requested column_profile_drift_approx HLL gate): quantile
+# SKETCH gate. Spark's percentile_approx (Greenwald-Khanna/KLL-class
+# mergeable sketch — the only way quantiles exist at 100 TB) is
+# checked against its own contract: for accuracy a, the returned value
+# v must sit within rank q*n +/- n/a, verified with exact rank counts
+# COUNT(x < v) / COUNT(x <= v). The differential row also carries the
+# EXACT discrete percentile (rank-ceil(q*n/100) element — a value
+# pick, no interpolation arithmetic to drift across engines) so the
+# oracle checks real content, not just TRUE gates.
+#
+# Scale: the sketch side is one mergeable aggregate over the column
+# (bounded memory, partial-merge — the production path); the exact
+# side is the audit-scale global sort both engines share. Gate
+# booleans follow the cms/bloom oracle pattern (oracle asserts TRUE;
+# Spark computes the actual check).
+# --------------------------------------------------------------------------
+_QSKETCH_QS = [25, 50, 75, 95]
+_QSKETCH_ACC = 100  # rank error <= n/accuracy = 1% of n
+
+_QSKETCH_COLS_SQL = """
+      SELECT 'events.value' AS col_name, value AS x FROM events
+      UNION ALL
+      SELECT 'orders.o_totalprice', o_totalprice FROM orders
+"""
+
+_QSKETCH_ORACLE = f"""
+    WITH src AS ({_QSKETCH_COLS_SQL}),
+    ranked AS (
+      SELECT col_name, x,
+             ROW_NUMBER() OVER (PARTITION BY col_name ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY col_name) AS n
+      FROM src
+    ),
+    qs AS (SELECT UNNEST([{", ".join(map(str, _QSKETCH_QS))}]) AS q_pct)
+    SELECT r.col_name, CAST(q.q_pct AS BIGINT) AS q_pct,
+           CAST(ANY_VALUE(r.n) AS BIGINT) AS n_rows,
+           ROUND(MIN(r.x), 6) AS exact_disc,
+           TRUE AS sketch_ok
+    FROM qs q
+    JOIN ranked r
+      ON r.rn = CAST(CEIL(q.q_pct * r.n / 100.0) AS BIGINT)
+    GROUP BY r.col_name, q.q_pct
+    ORDER BY col_name, q_pct
+    """
+
+
+def column_quantile_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx contract gate + exact discrete percentiles
+    (see staged block comment). Driver-side composition over bounded
+    scalars, the cms/bloom sketch-probe pattern."""
+    from pyspark.sql import Window
+
+    from bigdataentrytask_spark.operators import collect_bounded
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.lit("events.value").alias("col_name"),
+        F.col("value").cast("double").alias("x"),
+    )
+    od = _t(spark, sf_dir, "orders").select(
+        F.lit("orders.o_totalprice").alias("col_name"),
+        F.col("o_totalprice").cast("double").alias("x"),
+    )
+    src = ev.unionByName(od)
+    fracs = [q / 100.0 for q in _QSKETCH_QS]
+    approx = {
+        r.col_name: r.ap
+        for r in collect_bounded(
+            src.groupBy("col_name").agg(
+                F.percentile_approx(
+                    "x", F.array(*[F.lit(f) for f in fracs]), _QSKETCH_ACC
+                ).alias("ap")
+            )
+        )
+    }
+    w = Window.partitionBy("col_name").orderBy("x")
+    ranked = src.select(
+        "col_name",
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("col_name")).alias("n"),
+    )
+    qs = spark.createDataFrame(
+        [(q,) for q in _QSKETCH_QS], "q_pct long"
+    )
+    exact = (
+        ranked.join(
+            F.broadcast(qs),
+            F.col("rn")
+            == F.ceil(F.col("q_pct") * F.col("n") / 100.0).cast("bigint"),
+        )
+        .groupBy("col_name", "q_pct")
+        .agg(
+            F.first("n").cast("bigint").alias("n_rows"),
+            F.round(F.min("x"), 6).alias("exact_disc"),
+        )
+    )
+    # rank-contract check per (col, q): exact counts around the sketch
+    # value — one pass of conditional sums per column
+    checks = []
+    for col_name, ap in approx.items():
+        for i, q in enumerate(_QSKETCH_QS):
+            v = float(ap[i])
+            checks.append((col_name, q, v))
+    cdf = spark.createDataFrame(
+        checks, "col_name string, q_pct long, v double"
+    )
+    counted = (
+        src.join(F.broadcast(cdf), "col_name")
+        .groupBy("col_name", "q_pct", "v")
+        .agg(
+            F.sum(F.when(F.col("x") < F.col("v"), 1).otherwise(0)).alias(
+                "n_lt"
+            ),
+            F.sum(F.when(F.col("x") <= F.col("v"), 1).otherwise(0)).alias(
+                "n_le"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    slack = F.col("n") / _QSKETCH_ACC
+    target = F.col("q_pct") * F.col("n") / 100.0
+    ok = (F.col("n_lt") <= target + slack) & (
+        F.col("n_le") >= target - slack
+    )
+    gates = counted.select("col_name", "q_pct", ok.alias("sketch_ok"))
+    return (
+        exact.join(gates, ["col_name", "q_pct"])
+        .select("col_name", "q_pct", "n_rows", "exact_disc", "sketch_ok")
+        .orderBy("col_name", "q_pct")
+    )
+
+
+# Aggregated by operators/staging.py (round-10 registration).
+ROUND10_STAGED: dict[str, tuple] = {
+    "column_quantile_sketch_gate": (
+        column_quantile_sketch_gate,
+        _QSKETCH_ORACLE,
+    ),
+}

@@ -199,3 +199,14 @@ def test_hnsw_layer_audit_invariants(spark):
     assert (pdf.n_edges <= pdf.n_nodes * 4).all()
     assert (pdf.n_mutual_edges * 2 <= pdf.n_edges).all()
     assert (pdf.mean_radius > 0).all()
+
+
+def test_quantile_sketch_gate_invariants(spark):
+    fn, _ = STAGED["column_quantile_sketch_gate"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert len(pdf) == 8  # 2 columns x 4 quantiles
+    assert pdf.sketch_ok.all()  # the sketch honors its rank contract
+    # discrete percentiles are monotone in q within each column
+    for col, grp in pdf.groupby("col_name"):
+        g = grp.sort_values("q_pct")
+        assert g.exact_disc.is_monotonic_increasing
