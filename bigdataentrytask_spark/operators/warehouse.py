@@ -3783,3 +3783,124 @@ def sort_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROUND10_STAGED: dict[str, tuple] = {
     "sort_order_advisor": (sort_order_advisor, _SORT_ADVISOR_ORACLE),
 }
+
+
+# --------------------------------------------------------------------------
+# ROUND-10 STAGED: dictionary-encoding advisor — the storage-layout
+# planning table complementing sort_order_advisor (ordering) and
+# zone_map_skipping (pruning). For each candidate VARCHAR column it
+# compares the plain-encoding byte cost (sum of value lengths) against
+# the dictionary cost (sum of DISTINCT value lengths + n indexes of
+# ceil(log2(ndv)) bits) and recommends. This is the decision parquet/
+# ORC writers make per row group; surfacing it corpus-wide tells a
+# 100 TB deployment which columns pay for dictionary pages before any
+# rewrite happens.
+#
+# Determinism: pure integer arithmetic end-to-end. ceil(log2(ndv)) is
+# a generated CASE chain over power-of-two literals interpolated into
+# BOTH engines (CONTRIBUTING.md §5 generated-expression parity — no
+# cross-engine log() call). Scale: one (col, value) agg per column —
+# map-side partial, output bounded by the column list; high-NDV
+# columns (c_name, text, props) are exactly the interesting negative
+# recommendations.
+# --------------------------------------------------------------------------
+_DICT_COLS = [
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("customer", "c_name"),
+    ("customer", "c_mktsegment"),
+    ("events", "event_type"),
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("documents", "text"),
+]
+
+
+def _ceil_log2_case(var: str) -> str:
+    """ceil(log2(v)) for 1 <= v < 2^40 as a CASE chain — identical
+    parse tree in DuckDB and Spark SQL (no engine log())."""
+    clauses = "\n".join(
+        f"WHEN {var} <= {1 << k} THEN {k}" for k in range(1, 41)
+    )
+    return f"(CASE WHEN {var} <= 1 THEN 1 {clauses} END)"
+
+
+def _dict_advisor_oracle() -> str:
+    branches = "\n      UNION ALL\n".join(
+        f"SELECT '{t}.{c}' AS col_name, CAST({c} AS VARCHAR) AS v FROM {t}"
+        for t, c in _DICT_COLS
+    )
+    k = _ceil_log2_case("ndv")
+    return f"""
+    WITH src AS (
+      {branches}
+    ),
+    per_val AS (
+      SELECT col_name, v, COUNT(*) AS c FROM src GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT col_name,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS ndv,
+             CAST(SUM(length(v) * c) AS BIGINT) AS plain_bytes,
+             CAST(SUM(length(v)) AS BIGINT) AS dict_page_bytes
+      FROM per_val GROUP BY 1
+    )
+    SELECT col_name, n_rows, ndv, plain_bytes,
+           CAST(dict_page_bytes
+                + CAST(CEIL(n_rows * {k} / 8.0) AS BIGINT) AS BIGINT)
+             AS dict_bytes,
+           (dict_page_bytes
+            + CAST(CEIL(n_rows * {k} / 8.0) AS BIGINT)) < plain_bytes
+             AS recommend_dict
+    FROM agg
+    ORDER BY col_name
+    """
+
+
+def dict_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-vs-dictionary byte costs per candidate column (see staged
+    block comment). The Spark side evaluates the SAME generated
+    ceil-log2 CASE chain via selectExpr."""
+    frames = []
+    for t, c in _DICT_COLS:
+        frames.append(
+            _t(spark, sf_dir, t).select(
+                F.lit(f"{t}.{c}").alias("col_name"),
+                F.col(c).cast("string").alias("v"),
+            )
+        )
+    src = frames[0]
+    for fdf in frames[1:]:
+        src = src.unionByName(fdf)
+    per_val = src.groupBy("col_name", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = per_val.groupBy("col_name").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("ndv"),
+        F.sum(F.length("v") * F.col("c")).cast("bigint").alias("plain_bytes"),
+        F.sum(F.length("v")).cast("bigint").alias("dict_page_bytes"),
+    )
+    k = _ceil_log2_case("ndv")
+    return (
+        agg.selectExpr(
+            "col_name",
+            "n_rows",
+            "ndv",
+            "plain_bytes",
+            f"CAST(dict_page_bytes + CAST(CEIL(n_rows * {k} / 8.0) AS BIGINT)"
+            " AS BIGINT) AS dict_bytes",
+            f"(dict_page_bytes + CAST(CEIL(n_rows * {k} / 8.0) AS BIGINT))"
+            " < plain_bytes AS recommend_dict",
+        )
+        .orderBy("col_name")
+    )
+
+
+ROUND10_STAGED["dict_encoding_advisor"] = (
+    dict_encoding_advisor,
+    _dict_advisor_oracle(),
+)

@@ -210,3 +210,18 @@ def test_quantile_sketch_gate_invariants(spark):
     for col, grp in pdf.groupby("col_name"):
         g = grp.sort_values("q_pct")
         assert g.exact_disc.is_monotonic_increasing
+
+
+def test_dict_advisor_invariants(spark):
+    fn, _ = STAGED["dict_encoding_advisor"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("col_name")
+    assert len(pdf) == 10
+    assert (pdf.ndv <= pdf.n_rows).all()
+    # dict page alone is never larger than plain storage
+    assert (pdf.dict_bytes - pdf.plain_bytes <= pdf.n_rows * 5).all()
+    # the two effectively-unique columns must NOT recommend dictionary
+    assert not pdf.loc["customer.c_name", "recommend_dict"]
+    assert not pdf.loc["documents.text", "recommend_dict"]
+    # the tiny-domain flags must
+    assert pdf.loc["lineitem.l_returnflag", "recommend_dict"]
+    assert pdf.loc["documents.lang", "recommend_dict"]
