@@ -4345,3 +4345,117 @@ def hnsw_layer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROUND10_STAGED["hnsw_layer_audit"] = (hnsw_layer_audit, _HNSW_AUDIT_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# ROUND-10 STAGED (round-11 candidate pulled forward): binary (sign)
+# quantization recall — 1 bit per dimension, ranking by ascending
+# Hamming distance between sign vectors, evaluated against the
+# full-precision brute-force truth. Completes the quantization family
+# (flat PQ, residual PQ, b-bit minhash): sign quantization is the
+# cheapest embedding compression a platform can ship (64 dims -> 8
+# bytes, XOR+popcount search), and this is the table that says what
+# recall@5 it costs on THIS corpus.
+#
+# Determinism: sign bits from grid integers (xi >= 0), Hamming counts
+# are exact integer sums, ranking ties (Hamming is 0..64 — ties are
+# the NORM) break on neighbor_id identically in both engines.
+# Audit-scale: quadratic truth side, bounded by N_QUERIES.
+# --------------------------------------------------------------------------
+_BINQ_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    bits AS (
+      SELECT vec_id, generate_subscripts(e, 1) AS pos,
+             CASE WHEN CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) >= 0
+                  THEN 1 ELSE 0 END AS b
+      FROM v
+    ),
+    ham AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CASE WHEN q.b <> c.b THEN 1 ELSE 0 END) AS BIGINT)
+               AS hamming
+      FROM bits q
+      JOIN bits c ON c.pos = q.pos AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT query_id, neighbor_id, hamming FROM (
+        SELECT query_id, neighbor_id, hamming,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, neighbor_id) AS rnk
+        FROM ham
+      ) WHERE rnk <= {TOP_K}
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM ({{KNN_TRUTH}})
+    )
+    SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT) AS n_hits,
+           ROUND(CAST(count_if(t.neighbor_id IS NOT NULL) AS DOUBLE)
+                 / ({N_QUERIES} * {TOP_K}), 6) AS recall_at_5,
+           ROUND(CAST(SUM(s.hamming) AS DOUBLE)
+                 / ({N_QUERIES} * {TOP_K}), 6) AS mean_hamming
+    FROM top s
+    LEFT JOIN truth t ON t.query_id = s.query_id
+                     AND t.neighbor_id = s.neighbor_id
+    """
+
+
+def binary_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit Hamming retrieval vs full-precision truth (see staged
+    block comment)."""
+    e = _emb(spark, sf_dir)
+    bit = (F.round(F.col("x") * 1000000).cast("bigint") >= 0).cast("int")
+    bits = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), bit.alias("b"))
+    q = bits.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("b").alias("qb")
+    )
+    c = bits.select(
+        F.col("vec_id").alias("neighbor_id"), "pos", F.col("b").alias("cb")
+    )
+    ham = (
+        F.broadcast(q)
+        .join(c, "pos")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(
+                F.when(F.col("qb") != F.col("cb"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("hamming")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    top = ham.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
+    )
+    truth = knn_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("is_true")
+    )
+    return top.join(truth, ["query_id", "neighbor_id"], "left").agg(
+        F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+        F.sum(F.coalesce("is_true", F.lit(0))).cast("bigint").alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce("is_true", F.lit(0))).cast("double")
+            / (N_QUERIES * TOP_K),
+            6,
+        ).alias("recall_at_5"),
+        F.round(
+            F.sum("hamming").cast("double") / (N_QUERIES * TOP_K), 6
+        ).alias("mean_hamming"),
+    )
+
+
+ROUND10_STAGED["binary_quantization_recall"] = (
+    binary_quantization_recall,
+    _BINQ_ORACLE.replace("{KNN_TRUTH}", _ORACLES["knn_bruteforce"]),
+)

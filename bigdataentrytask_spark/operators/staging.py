@@ -18,20 +18,30 @@ Round-10 activation checklist (CONTRIBUTING.md "Before registering"):
 
 from __future__ import annotations
 
-from bigdataentrytask_spark.operators import operator
-from bigdataentrytask_spark.operators.dedup import (
+from bigdataentrytask_spark.operators import load_all, operator
+
+# Operator modules compose each other's ORACLES at import time
+# (e.g. text_analysis reads curation's quality_classifier_score), so
+# the registry must be fully loaded IN ITS CANONICAL ORDER before the
+# per-module staged dicts are imported below.
+load_all()
+
+from bigdataentrytask_spark.operators.dedup import (  # noqa: E402
     ROUND10_STAGED as _DEDUP_STAGED,
 )
-from bigdataentrytask_spark.operators.star import (
+from bigdataentrytask_spark.operators.star import (  # noqa: E402
     ROUND10_STAGED as _STAR_STAGED,
 )
-from bigdataentrytask_spark.operators.similarity import (
+from bigdataentrytask_spark.operators.similarity import (  # noqa: E402
     ROUND10_STAGED as _SIMILARITY_STAGED,
 )
-from bigdataentrytask_spark.operators.streaming_bridge import (
+from bigdataentrytask_spark.operators.text_analysis import (  # noqa: E402
+    ROUND10_STAGED as _TEXT_STAGED,
+)
+from bigdataentrytask_spark.operators.streaming_bridge import (  # noqa: E402
     ROUND10_STAGED as _STREAMING_STAGED,
 )
-from bigdataentrytask_spark.operators.warehouse import (
+from bigdataentrytask_spark.operators.warehouse import (  # noqa: E402
     ROUND10_STAGED as _WAREHOUSE_STAGED,
 )
 
@@ -40,6 +50,7 @@ STAGED: dict[str, tuple] = {
     **_SIMILARITY_STAGED,
     **_STAR_STAGED,
     **_STREAMING_STAGED,
+    **_TEXT_STAGED,
     **_WAREHOUSE_STAGED,
 }
 

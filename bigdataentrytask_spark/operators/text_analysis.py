@@ -3253,3 +3253,114 @@ def dedup_then_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# ROUND-10 STAGED (round-11 candidate pulled forward): boilerplate
+# chunk census. Crawled corpora carry repeated headers/footers; the
+# standard detector is "does a document's LEADING (or TRAILING)
+# fixed-size chunk hash-match another document of the same source?".
+# Per source: doc count, shared-head share, shared-tail share (ppm) —
+# the table that decides whether a source needs boilerplate stripping
+# before dedup (a shared header inflates every Jaccard score).
+#
+# Scale: two (source, chunk) aggregations over one chunk per doc each
+# — map-side partial, source-sized output; no pair enumeration.
+# --------------------------------------------------------------------------
+_BP_WORDS = 10
+
+
+_BOILERPLATE_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+    ),
+    ht AS (
+      SELECT doc_id, source,
+             array_to_string(list_slice(ws, 1, {_BP_WORDS}), ' ') AS head,
+             array_to_string(
+               list_slice(ws, GREATEST(len(ws) - {_BP_WORDS} + 1, 1),
+                          len(ws)), ' ') AS tail
+      FROM w
+    ),
+    hs AS (
+      SELECT source, head, COUNT(*) AS c FROM ht GROUP BY 1, 2
+    ),
+    ts AS (
+      SELECT source, tail, COUNT(*) AS c FROM ht GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT h.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN hs.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_head,
+             CAST(SUM(CASE WHEN ts.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_tail
+      FROM ht h
+      JOIN hs ON hs.source = h.source AND hs.head = h.head
+      JOIN ts ON ts.source = h.source AND ts.tail = h.tail
+      GROUP BY 1
+    )
+    SELECT source, n_docs, n_shared_head, n_shared_tail,
+           CAST(ROUND(n_shared_head * 1000000.0 / n_docs) AS BIGINT)
+             AS head_share_ppm,
+           CAST(ROUND(n_shared_tail * 1000000.0 / n_docs) AS BIGINT)
+             AS tail_share_ppm
+    FROM agg ORDER BY source
+    """
+
+
+def boilerplate_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared leading/trailing chunk share per source (see staged
+    block comment)."""
+    w = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    )
+    ht = w.select(
+        "doc_id",
+        "source",
+        F.array_join(F.slice("ws", 1, _BP_WORDS), " ").alias("head"),
+        F.array_join(
+            F.slice(
+                "ws",
+                F.greatest(F.size("ws") - _BP_WORDS + 1, F.lit(1)),
+                F.lit(_BP_WORDS),
+            ),
+            " ",
+        ).alias("tail"),
+    )
+    hs = ht.groupBy("source", "head").agg(F.count(F.lit(1)).alias("hc"))
+    ts = ht.groupBy("source", "tail").agg(F.count(F.lit(1)).alias("tc"))
+    agg = (
+        ht.join(hs, ["source", "head"])
+        .join(ts, ["source", "tail"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("hc") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_head"),
+            F.sum(F.when(F.col("tc") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_tail"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_shared_head",
+        "n_shared_tail",
+        F.round(F.col("n_shared_head") * 1000000.0 / F.col("n_docs"))
+        .cast("bigint")
+        .alias("head_share_ppm"),
+        F.round(F.col("n_shared_tail") * 1000000.0 / F.col("n_docs"))
+        .cast("bigint")
+        .alias("tail_share_ppm"),
+    ).orderBy("source")
+
+
+ROUND10_STAGED: dict[str, tuple] = {
+    "boilerplate_chunk_census": (
+        boilerplate_chunk_census,
+        _BOILERPLATE_ORACLE,
+    ),
+}

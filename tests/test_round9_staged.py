@@ -225,3 +225,21 @@ def test_dict_advisor_invariants(spark):
     # the tiny-domain flags must
     assert pdf.loc["lineitem.l_returnflag", "recommend_dict"]
     assert pdf.loc["documents.lang", "recommend_dict"]
+
+
+def test_binary_quantization_invariants(spark):
+    fn, _ = STAGED["binary_quantization_recall"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert len(pdf) == 1
+    r = pdf.iloc[0]
+    assert 0 <= r.n_hits <= r.n_queries * 5
+    assert 0 <= r.mean_hamming <= 64
+
+
+def test_boilerplate_census_invariants(spark):
+    fn, _ = STAGED["boilerplate_chunk_census"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert len(pdf) == 20  # one row per source
+    assert (pdf.n_shared_head <= pdf.n_docs).all()
+    assert (pdf.n_shared_tail <= pdf.n_docs).all()
+    assert (pdf.head_share_ppm <= 1_000_000).all()
