@@ -935,3 +935,96 @@ ROUND10_STAGED: dict[str, tuple] = {
         _WATERMARK_LAG_ORACLE,
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# ROUND-10 STAGED (round-11 candidate pulled forward): trigger-interval
+# advisor — watermark_lag_histogram's sibling on the THROUGHPUT axis.
+# For candidate processing-time triggers (1m/5m/15m/60m) it buckets
+# the replay stream by event-time window and reports the micro-batch
+# size distribution a job at that trigger would see: batch count,
+# mean and max batch size, and the max/mean burst ratio (ppm) — the
+# number that decides whether a trigger choice needs autoscaling
+# headroom. Exact integer counts; one scan, one agg per interval via
+# a generator explode.
+# --------------------------------------------------------------------------
+_TRIGGER_INTERVALS_S = [60, 300, 900, 3600]
+
+_TRIGGER_ADVISOR_ORACLE = f"""
+    WITH iv AS (
+      SELECT UNNEST([{", ".join(map(str, _TRIGGER_INTERVALS_S))}])
+        AS interval_s
+    ),
+    batches AS (
+      SELECT iv.interval_s,
+             CAST(FLOOR(epoch(ts) / iv.interval_s) AS BIGINT) AS b,
+             COUNT(*) AS c
+      FROM events, iv
+      GROUP BY 1, 2
+    )
+    SELECT CAST(interval_s AS BIGINT) AS interval_s,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(c) * 1000000.0 / COUNT(*)) AS BIGINT)
+             AS mean_batch_ppm,
+           CAST(MAX(c) AS BIGINT) AS max_batch,
+           CAST(ROUND(MAX(c) * COUNT(*) * 1000000.0 / SUM(c)) AS BIGINT)
+             AS burst_ratio_ppm
+    FROM batches
+    GROUP BY interval_s
+    ORDER BY interval_s
+    """
+
+
+def trigger_interval_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch size distribution per candidate trigger interval
+    (see staged block comment)."""
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").alias("es")
+    )
+    ivs = F.array(*[F.lit(i) for i in _TRIGGER_INTERVALS_S])
+    batches = (
+        ev.select(F.explode(ivs).alias("interval_s"), "es")
+        .select(
+            "interval_s",
+            F.floor(F.col("es") / F.col("interval_s")).alias("b"),
+        )
+        .groupBy("interval_s", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        batches.groupBy("interval_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.max("c").cast("bigint").alias("max_batch"),
+        )
+        .select(
+            F.col("interval_s").cast("bigint").alias("interval_s"),
+            "n_batches",
+            "n_events",
+            F.round(F.col("n_events") * 1000000.0 / F.col("n_batches"))
+            .cast("bigint")
+            .alias("mean_batch_ppm"),
+            "max_batch",
+            F.round(
+                F.col("max_batch")
+                * F.col("n_batches")
+                * 1000000.0
+                / F.col("n_events")
+            )
+            .cast("bigint")
+            .alias("burst_ratio_ppm"),
+        )
+        .orderBy("interval_s")
+    )
+
+
+ROUND10_STAGED["trigger_interval_advisor"] = (
+    trigger_interval_advisor,
+    _TRIGGER_ADVISOR_ORACLE,
+)

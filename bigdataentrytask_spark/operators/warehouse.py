@@ -3904,3 +3904,114 @@ ROUND10_STAGED["dict_encoding_advisor"] = (
     dict_encoding_advisor,
     _dict_advisor_oracle(),
 )
+
+
+# --------------------------------------------------------------------------
+# ROUND-10 STAGED (round-11 candidate pulled forward): RLE vs
+# bit-packing advisor — composes sort_order_advisor's run counts with
+# dict_encoding_advisor's generated ceil-log2 index width. Under the
+# CANDIDATE sort (shipdate-first total order, where runs are longest)
+# each column's dictionary indexes can be stored run-length encoded
+# (run value + 16-bit run length per run) or flat bit-packed; this is
+# the per-column encoding pick a columnar writer makes AFTER the sort
+# order is chosen. Pure integer arithmetic; the log2 CASE chain is
+# interpolated into both engines (CONTRIBUTING §5).
+# --------------------------------------------------------------------------
+def _rle_advisor_oracle() -> str:
+    k = _ceil_log2_case("ndv")
+    return f"""
+    WITH s AS (
+      SELECT l_orderkey, l_linenumber, l_shipdate, l_suppkey,
+             l_returnflag, 'l_shipdate' AS col_name,
+             CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS val
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, l_shipdate, l_suppkey,
+             l_returnflag, 'l_suppkey', CAST(l_suppkey AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, l_shipdate, l_suppkey,
+             l_returnflag, 'l_returnflag', l_returnflag FROM lineitem
+    ),
+    runs AS (
+      SELECT col_name,
+             CASE WHEN LAG(val) OVER w IS NULL
+                       OR val <> LAG(val) OVER w THEN 1 ELSE 0 END AS chg,
+             val
+      FROM s
+      WINDOW w AS (PARTITION BY col_name
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                            l_suppkey, l_returnflag)
+    ),
+    agg AS (
+      SELECT col_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(chg) AS BIGINT) AS n_runs,
+             CAST(COUNT(DISTINCT val) AS BIGINT) AS ndv
+      FROM runs GROUP BY 1
+    )
+    SELECT col_name, n_rows, n_runs, ndv,
+           CAST(CEIL(n_rows * {k} / 8.0) AS BIGINT) AS packed_bytes,
+           CAST(CEIL(n_runs * ({k} + 16) / 8.0) AS BIGINT) AS rle_bytes,
+           CEIL(n_runs * ({k} + 16) / 8.0)
+             < CEIL(n_rows * {k} / 8.0) AS recommend_rle
+    FROM agg
+    ORDER BY col_name
+    """
+
+
+def rle_bitpack_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLE vs flat bit-packing byte costs per column under the
+    shipdate sort (see staged block comment)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate",
+        "l_suppkey", "l_returnflag",
+    )
+    stacked = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "l_suppkey",
+        "l_returnflag",
+        F.expr(
+            "stack(3, "
+            "'l_shipdate', CAST(CAST(l_shipdate AS DATE) AS STRING), "
+            "'l_suppkey', CAST(l_suppkey AS STRING), "
+            "'l_returnflag', l_returnflag) AS (col_name, val)"
+        ),
+    )
+    w = Window.partitionBy("col_name").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_suppkey", "l_returnflag",
+    )
+    chg = F.when(
+        F.lag("val").over(w).isNull()
+        | (F.col("val") != F.lag("val").over(w)),
+        1,
+    ).otherwise(0)
+    agg = (
+        stacked.withColumn("chg", chg)
+        .groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("chg").cast("bigint").alias("n_runs"),
+            F.countDistinct("val").cast("bigint").alias("ndv"),
+        )
+    )
+    k = _ceil_log2_case("ndv")
+    return agg.selectExpr(
+        "col_name",
+        "n_rows",
+        "n_runs",
+        "ndv",
+        f"CAST(CEIL(n_rows * {k} / 8.0) AS BIGINT) AS packed_bytes",
+        f"CAST(CEIL(n_runs * ({k} + 16) / 8.0) AS BIGINT) AS rle_bytes",
+        f"CEIL(n_runs * ({k} + 16) / 8.0)"
+        f" < CEIL(n_rows * {k} / 8.0) AS recommend_rle",
+    ).orderBy("col_name")
+
+
+ROUND10_STAGED["rle_bitpack_advisor"] = (
+    rle_bitpack_advisor,
+    _rle_advisor_oracle(),
+)

@@ -243,3 +243,25 @@ def test_boilerplate_census_invariants(spark):
     assert (pdf.n_shared_head <= pdf.n_docs).all()
     assert (pdf.n_shared_tail <= pdf.n_docs).all()
     assert (pdf.head_share_ppm <= 1_000_000).all()
+
+
+def test_trigger_advisor_invariants(spark):
+    fn, _ = STAGED["trigger_interval_advisor"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("interval_s")
+    assert list(pdf.index) == [60, 300, 900, 3600]
+    assert (pdf.n_events == 10_000).all()
+    # larger trigger -> fewer, bigger batches
+    assert pdf.n_batches.is_monotonic_decreasing
+    assert pdf.max_batch.is_monotonic_increasing
+    assert (pdf.max_batch * pdf.n_batches >= pdf.n_events).all()
+
+
+def test_rle_advisor_invariants(spark):
+    fn, _ = STAGED["rle_bitpack_advisor"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("col_name")
+    assert (pdf.n_runs <= pdf.n_rows).all()
+    assert (pdf.ndv <= pdf.n_runs).all()
+    # the 3-value flag under shipdate sort runs long -> RLE wins;
+    # the high-cardinality suppkey cannot
+    assert pdf.loc["l_shipdate", "recommend_rle"]
+    assert not pdf.loc["l_suppkey", "recommend_rle"]
