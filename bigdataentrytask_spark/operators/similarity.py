@@ -4459,3 +4459,251 @@ ROUND10_STAGED["binary_quantization_recall"] = (
     binary_quantization_recall,
     _BINQ_ORACLE.replace("{KNN_TRUTH}", _ORACLES["knn_bruteforce"]),
 )
+
+
+# --------------------------------------------------------------------------
+# ROUND-10 STAGED (round-11 candidate pulled forward): graph-expansion
+# recall ceiling. Graph-augmented ANN (HNSW/DiskANN's core move) grows
+# the candidate set by walking kNN-graph edges from the hash-bucket
+# seeds; this audit measures exactly what ONE hop buys on this corpus:
+# stage a = the raw LSH bucket-mates (knn_lsh's candidate set), stage
+# b = those plus each candidate's top-M exact neighbors. Per stage:
+# mean candidate volume and recall@5 against the brute-force truth —
+# the volume/recall trade a platform reads before turning on graph
+# expansion.
+#
+# Determinism: candidate sets from the shared LSH codes (sign buckets,
+# bit-identical across engines per functions/vector.py); the kNN
+# graph and all rankings on exact grid-integer dots with neighbor_id
+# tie-breaks (matryoshka pattern — one double division per ranked
+# pair). Audit-scale: the graph build is the full quadratic, same
+# contract as mutual_knn_symmetry.
+# --------------------------------------------------------------------------
+_GEXP_M = 4
+
+_GRAPH_EXPANSION_ORACLE = f"""
+    WITH {{SQL_PLANES}},
+    {{SQL_CODES}},
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    dims AS (
+      SELECT vec_id, generate_subscripts(e, 1) AS pos,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+      FROM v
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM codes q JOIN codes c ON q.t = c.t AND q.code = c.code
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    gd AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             CAST(SUM((a.xi - b.xi) * (a.xi - b.xi)) AS BIGINT) AS dd
+      FROM dims a JOIN dims b ON b.pos = a.pos AND b.vec_id <> a.vec_id
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY dd, dst) AS rn
+        FROM gd
+      ) WHERE rn <= {_GEXP_M}
+    ),
+    stages AS (
+      SELECT 'a_lsh' AS stage, query_id, neighbor_id FROM cand
+      UNION
+      SELECT 'b_lsh_1hop', query_id, neighbor_id FROM cand
+      UNION
+      SELECT 'b_lsh_1hop', c.query_id, g.dst
+      FROM cand c JOIN g ON g.src = c.neighbor_id
+      WHERE g.dst <> c.query_id
+    ),
+    pn AS (
+      SELECT vec_id,
+             CAST(SUM(xi * xi) AS DOUBLE) AS cc
+      FROM dims GROUP BY 1
+    ),
+    dotg AS (
+      SELECT s.stage, s.query_id, s.neighbor_id,
+             CAST(SUM(dq.xi * dn.xi) AS DOUBLE) AS dot
+      FROM stages s
+      JOIN dims dq ON dq.vec_id = s.query_id
+      JOIN dims dn ON dn.vec_id = s.neighbor_id AND dn.pos = dq.pos
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT d.stage, d.query_id, d.neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.stage, d.query_id
+               ORDER BY d.dot / sqrt(p.cc) DESC, d.neighbor_id) AS rnk
+      FROM dotg d JOIN pn p ON p.vec_id = d.neighbor_id
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM ({{KNN_TRUTH}})
+    ),
+    vol AS (
+      SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM stages GROUP BY 1
+    ),
+    hits AS (
+      SELECT r.stage,
+             CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT) AS n_hits
+      FROM ranked r
+      LEFT JOIN truth t ON t.query_id = r.query_id
+                       AND t.neighbor_id = r.neighbor_id
+      WHERE r.rnk <= {TOP_K}
+      GROUP BY 1
+    )
+    SELECT h.stage,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           ROUND(CAST(v.n_candidates AS DOUBLE) / {N_QUERIES}, 6)
+             AS mean_candidates,
+           h.n_hits,
+           ROUND(CAST(h.n_hits AS DOUBLE) / ({N_QUERIES} * {TOP_K}), 6)
+             AS recall_at_5
+    FROM hits h JOIN vol v ON v.stage = h.stage
+    ORDER BY h.stage
+    """
+
+
+def graph_expansion_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates vs 1-hop kNN-graph expansion (see staged block
+    comment). The dims frame feeds the graph build, the norms, and
+    both dot sides -> with_persisted + materialize."""
+    from bigdataentrytask_spark.operators import materialize, with_persisted
+
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), grid.alias("xi"))
+    bucketed = _bucketed(e)
+    with with_persisted(dims, bucketed) as (dims_p, bucketed_p):
+        qb = bucketed_p.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "bucket"
+        )
+        cb = bucketed_p.select(
+            F.col("vec_id").alias("neighbor_id"), "bucket"
+        )
+        cand = (
+            qb.join(cb, "bucket")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        da = dims_p.select(
+            F.col("vec_id").alias("src"), "pos", F.col("xi").alias("xa")
+        )
+        db = dims_p.select(
+            F.col("vec_id").alias("dst"),
+            F.col("pos").alias("pos_b"),
+            F.col("xi").alias("xb"),
+        )
+        diff = F.col("xa") - F.col("xb")
+        gd = (
+            da.join(
+                db,
+                (F.col("pos_b") == F.col("pos"))
+                & (F.col("dst") != F.col("src")),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum(diff * diff).cast("bigint").alias("dd"))
+        )
+        wg = Window.partitionBy("src").orderBy("dd", "dst")
+        g = (
+            gd.withColumn("rn", F.row_number().over(wg))
+            .filter(F.col("rn") <= _GEXP_M)
+            .select("src", "dst")
+        )
+        hop = (
+            cand.join(g, cand.neighbor_id == g.src)
+            .filter(F.col("dst") != F.col("query_id"))
+            .select("query_id", F.col("dst").alias("neighbor_id"))
+        )
+        stages = (
+            cand.select(F.lit("a_lsh").alias("stage"), "query_id", "neighbor_id")
+            .unionByName(
+                cand.select(
+                    F.lit("b_lsh_1hop").alias("stage"),
+                    "query_id",
+                    "neighbor_id",
+                )
+            )
+            .unionByName(
+                hop.select(
+                    F.lit("b_lsh_1hop").alias("stage"),
+                    "query_id",
+                    "neighbor_id",
+                )
+            )
+            .distinct()
+        )
+        pn = dims_p.groupBy("vec_id").agg(
+            F.sum(F.col("xi") * F.col("xi")).cast("double").alias("cc")
+        )
+        dq = dims_p.select(
+            F.col("vec_id").alias("query_id"), "pos", F.col("xi").alias("qi")
+        )
+        dn = dims_p.select(
+            F.col("vec_id").alias("nb"),
+            F.col("pos").alias("pos_n"),
+            F.col("xi").alias("ni"),
+        )
+        dotg = (
+            stages.join(dq, "query_id")
+            .join(
+                dn,
+                (F.col("pos_n") == F.col("pos"))
+                & (F.col("nb") == F.col("neighbor_id")),
+            )
+            .groupBy("stage", "query_id", "neighbor_id")
+            .agg(F.sum(F.col("qi") * F.col("ni")).cast("double").alias("dot"))
+        )
+        wr = Window.partitionBy("stage", "query_id").orderBy(
+            (F.col("dot") / F.sqrt("cc")).desc(), "neighbor_id"
+        )
+        ranked = (
+            dotg.join(pn.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+            .withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= TOP_K)
+        )
+        truth = knn_bruteforce(spark, sf_dir).select(
+            "query_id", "neighbor_id", F.lit(1).alias("is_true")
+        )
+        vol = stages.groupBy("stage").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+        )
+        hits = (
+            ranked.join(truth, ["query_id", "neighbor_id"], "left")
+            .groupBy("stage")
+            .agg(
+                F.sum(F.coalesce("is_true", F.lit(0)))
+                .cast("bigint")
+                .alias("n_hits")
+            )
+        )
+        return materialize(
+            hits.join(vol, "stage")
+            .select(
+                "stage",
+                F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+                F.round(
+                    F.col("n_candidates").cast("double") / N_QUERIES, 6
+                ).alias("mean_candidates"),
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double") / (N_QUERIES * TOP_K), 6
+                ).alias("recall_at_5"),
+            )
+            .orderBy("stage")
+        )
+
+
+ROUND10_STAGED["graph_expansion_recall"] = (
+    graph_expansion_recall,
+    _GRAPH_EXPANSION_ORACLE.replace("{SQL_PLANES}", _sql_planes())
+    .replace("{SQL_CODES}", _SQL_CODES)
+    .replace("{KNN_TRUTH}", _ORACLES["knn_bruteforce"]),
+)

@@ -265,3 +265,13 @@ def test_rle_advisor_invariants(spark):
     # the high-cardinality suppkey cannot
     assert pdf.loc["l_shipdate", "recommend_rle"]
     assert not pdf.loc["l_suppkey", "recommend_rle"]
+
+
+def test_graph_expansion_invariants(spark):
+    fn, _ = STAGED["graph_expansion_recall"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("stage")
+    assert list(pdf.index) == ["a_lsh", "b_lsh_1hop"]
+    # expansion is a SUPERSET: volume and hits can only grow
+    assert pdf.loc["b_lsh_1hop", "mean_candidates"] >= pdf.loc["a_lsh", "mean_candidates"]
+    assert pdf.loc["b_lsh_1hop", "n_hits"] >= pdf.loc["a_lsh", "n_hits"]
+    assert (pdf.recall_at_5 <= 1.0).all()
