@@ -3364,3 +3364,137 @@ ROUND10_STAGED: dict[str, tuple] = {
         _BOILERPLATE_ORACLE,
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# ROUND-10 STAGED (round-11 candidate pulled forward): length-outlier
+# truncation audit. Two ingest-defect signals per source: (1) the
+# share of documents at EXACTLY the per-source maximum length — a
+# spike there is the "truncated at ingest" fingerprint (a natural
+# length distribution has a thin max); (2) the count above a robust
+# median + 3*MAD fence. Median and MAD are DISCRETE rank picks
+# (lower median, rank ceil(n/2)) in integer character space — no
+# interpolation, no float path, exact on both engines.
+# Scale: two windowed rank picks + one agg, all partitioned by source.
+# --------------------------------------------------------------------------
+_TRUNC_ORACLE = """
+    WITH lens AS (
+      SELECT source, doc_id, length(text) AS len FROM documents
+    ),
+    r1 AS (
+      SELECT source, len,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY len) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM lens
+    ),
+    med AS (
+      SELECT source, MIN(len) AS med_len
+      FROM r1 WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT) GROUP BY 1
+    ),
+    dev AS (
+      SELECT l.source, ABS(l.len - m.med_len) AS d
+      FROM lens l JOIN med m ON m.source = l.source
+    ),
+    r2 AS (
+      SELECT source, d,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY d) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT source, MIN(d) AS mad_len
+      FROM r2 WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT) GROUP BY 1
+    )
+    ,wmax AS (
+      SELECT source, len,
+             MAX(len) OVER (PARTITION BY source) AS src_max
+      FROM lens
+    )
+    SELECT w.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(ANY_VALUE(w.src_max) AS BIGINT) AS max_len,
+           CAST(SUM(CASE WHEN w.len = w.src_max THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_at_max,
+           CAST(ROUND(SUM(CASE WHEN w.len = w.src_max THEN 1 ELSE 0 END)
+                      * 1000000.0 / COUNT(*)) AS BIGINT) AS at_max_ppm,
+           CAST(ANY_VALUE(m.med_len) AS BIGINT) AS med_len,
+           CAST(ANY_VALUE(d.mad_len) AS BIGINT) AS mad_len,
+           CAST(SUM(CASE WHEN w.len > m.med_len + 3 * d.mad_len
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_above_fence
+    FROM wmax w
+    JOIN med m ON m.source = w.source
+    JOIN mad d ON d.source = w.source
+    GROUP BY w.source
+    ORDER BY w.source
+    """
+
+
+def length_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source truncation-spike + robust-fence outlier census (see
+    staged block comment)."""
+    lens = _docs(spark, sf_dir).select(
+        "source", "doc_id", F.length("text").cast("bigint").alias("len")
+    )
+    ws = Window.partitionBy("source")
+    r1 = lens.select(
+        "source",
+        "len",
+        F.row_number().over(ws.orderBy("len")).alias("rn"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+    med = (
+        r1.filter(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint"))
+        .groupBy("source")
+        .agg(F.min("len").alias("med_len"))
+    )
+    dev = lens.join(med, "source").select(
+        "source", F.abs(F.col("len") - F.col("med_len")).alias("d")
+    )
+    r2 = dev.select(
+        "source",
+        "d",
+        F.row_number().over(ws.orderBy("d")).alias("rn"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+    mad = (
+        r2.filter(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint"))
+        .groupBy("source")
+        .agg(F.min("d").alias("mad_len"))
+    )
+    wmax = lens.select(
+        "source", "len", F.max("len").over(ws).alias("src_max")
+    )
+    at_max = F.when(F.col("len") == F.col("src_max"), 1).otherwise(0)
+    return (
+        wmax.join(med, "source")
+        .join(mad, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.first("src_max").cast("bigint").alias("max_len"),
+            F.sum(at_max).cast("bigint").alias("n_at_max"),
+            F.round(
+                F.sum(at_max) * 1000000.0 / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("at_max_ppm"),
+            F.first("med_len").cast("bigint").alias("med_len"),
+            F.first("mad_len").cast("bigint").alias("mad_len"),
+            F.sum(
+                F.when(
+                    F.col("len")
+                    > F.col("med_len") + 3 * F.col("mad_len"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_above_fence"),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND10_STAGED["length_truncation_audit"] = (
+    length_truncation_audit,
+    _TRUNC_ORACLE,
+)

@@ -275,3 +275,14 @@ def test_graph_expansion_invariants(spark):
     assert pdf.loc["b_lsh_1hop", "mean_candidates"] >= pdf.loc["a_lsh", "mean_candidates"]
     assert pdf.loc["b_lsh_1hop", "n_hits"] >= pdf.loc["a_lsh", "n_hits"]
     assert (pdf.recall_at_5 <= 1.0).all()
+
+
+def test_truncation_audit_invariants(spark):
+    fn, _ = STAGED["length_truncation_audit"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert len(pdf) == 20
+    assert (pdf.n_at_max >= 1).all()           # the max is always attained
+    assert (pdf.n_at_max <= pdf.n_docs).all()
+    assert (pdf.med_len <= pdf.max_len).all()
+    assert (pdf.mad_len >= 0).all()
+    assert (pdf.n_above_fence <= pdf.n_docs).all()
