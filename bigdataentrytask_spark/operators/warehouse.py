@@ -3720,7 +3720,14 @@ _SORT_ADVISOR_ORACLE = """
 
 def sort_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run-length statistics per column under two defined sort orders
-    (see staged block comment for semantics + 100 TB contract)."""
+    (see staged block comment for semantics + 100 TB contract).
+
+    Deliberately NOT persisted although both windows consume the
+    stacked frame: caching the 1.8M-row stacked intermediate measured
+    SLOWER than recomputing it (8.5s -> 12.4s best-of-3 at sf0.1) —
+    the scan+stack is whole-stage-codegen-cheap while the cache write/
+    read of wide string rows is not. Persist hygiene is about not
+    LEAKING caches, not about caching everything twice-consumed."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_shipdate",
         "l_suppkey", "l_returnflag",
