@@ -7,7 +7,9 @@ Steps (each its own process, so Spark sessions never collide):
   1. preverify --sweep 50          driver's exact next-round slate
   2. preverify --chunk i 4  (x4)   full-registry differential audit
   3. layout_scan --chunk i 4 (x4)  partition-layout determinism scan
-  4. bench.py (internally best-of-3) headline + per-run spread
+  4. preverify --staged + layout_scan --staged  (the ROUND10_STAGED
+     set, while any staged operators exist)
+  5. bench.py (internally best-of-3) headline + per-run spread
 
 Usage:  python scripts/roundcheck.py [--skip-bench] [--skip-layout]
                                      [--sweep-only]
@@ -68,6 +70,9 @@ def main(argv: list[str]) -> int:
                 results.append(
                     run(f"layout-{i}/4", ["scripts/layout_scan.py", "--chunk", str(i), "4"])
                 )
+        results.append(run("staged-diff", ["scripts/preverify.py", "--staged"]))
+        if not skip_layout:
+            results.append(run("staged-layout", ["scripts/layout_scan.py", "--staged"]))
         if not skip_bench:
             label, ok, dt, tail = run("bench", ["bench.py"])
             results.append((label, ok, dt, tail))
