@@ -37,13 +37,18 @@ def run(label: str, cmd: list[str]) -> tuple[str, bool, float, str]:
     )
     out = p.stdout + p.stderr
     ok = p.returncode == 0
-    # last MEANINGFUL line: skip log4j WARN/stage-progress noise so the
-    # summary shows "ALL MATCH" / the bench JSON, not a stderr line
+    # summary line: prefer the step's own verdict line (ALL MATCH /
+    # FAILED / LAYOUT-SENSITIVE / the bench JSON); fall back to the
+    # last line that isn't log4j/stage-progress noise
+    verdicts = [
+        ln for ln in out.strip().splitlines()
+        if re.search(r"ALL MATCH|FAILED:|LAYOUT-SENSITIVE|headline_total", ln)
+    ]
     lines = [
         ln for ln in out.strip().splitlines()
         if ln.strip() and " WARN " not in ln and not ln.startswith("[Stage")
     ]
-    tail = lines[-1] if lines else ""
+    tail = verdicts[-1] if verdicts else (lines[-1] if lines else "")
     print(f"[{label}] {'PASS' if ok else 'FAIL'} "
           f"({time.time()-t0:.0f}s)  {tail[:120]}")
     if not ok:
