@@ -1752,8 +1752,10 @@ _SUBSTRING_DEDUP_ORACLE = f"""
              AS n_windows,
            COALESCE(c.n_dup_windows, 0) AS n_dup_windows,
            COALESCE(c.dup_coverage, 0) AS dup_coverage,
-           CAST(ROUND(COALESCE(c.dup_coverage, 0) * 1000000.0
-                      / length(d.text)) AS BIGINT) AS dup_ppm
+           CASE WHEN length(d.text) = 0 THEN 0
+                ELSE CAST(ROUND(COALESCE(c.dup_coverage, 0) * 1000000.0
+                                / length(d.text)) AS BIGINT)
+           END AS dup_ppm
     FROM documents d LEFT JOIN cov c USING (doc_id)
     ORDER BY d.doc_id
     """
@@ -1832,10 +1834,16 @@ def substring_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dup_coverage", F.lit(0))
             .cast("bigint")
             .alias("dup_coverage"),
-            F.round(
-                F.coalesce("dup_coverage", F.lit(0))
-                * 1000000.0
-                / F.col("doc_len")
+            # empty documents: 0 windows, 0 coverage -> ppm 0 (found
+            # by the random-differential test; a raw division is a
+            # DIVIDE_BY_ZERO under ANSI mode)
+            F.when(F.col("doc_len") == 0, F.lit(0))
+            .otherwise(
+                F.round(
+                    F.coalesce("dup_coverage", F.lit(0))
+                    * 1000000.0
+                    / F.col("doc_len")
+                )
             )
             .cast("bigint")
             .alias("dup_ppm"),
