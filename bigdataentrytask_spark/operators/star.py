@@ -538,9 +538,11 @@ def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # VERDICT-r7-requested column_profile_drift_approx HLL gate): quantile
 # SKETCH gate. Spark's percentile_approx (Greenwald-Khanna/KLL-class
 # mergeable sketch — the only way quantiles exist at 100 TB) is
-# checked against its own contract: for accuracy a, the returned value
-# v must sit within rank q*n +/- n/a, verified with exact rank counts
-# COUNT(x < v) / COUNT(x <= v). The differential row also carries the
+# checked against its own DOCUMENTED contract: for relative error
+# err = 1/accuracy, some valid rank of the returned value must lie in
+# [floor((p-err)*N), ceil((p+err)*N)] — verified with exact rank
+# counts COUNT(x < v) / COUNT(x <= v) (the value's rank interval is
+# (n_lt, n_le]). The differential row also carries the
 # EXACT discrete percentile (rank-ceil(q*n/100) element — a value
 # pick, no interpolation arithmetic to drift across engines) so the
 # oracle checks real content, not just TRUE gates.
@@ -654,11 +656,14 @@ def column_quantile_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
-    slack = F.col("n") / _QSKETCH_ACC
-    target = F.col("q_pct") * F.col("n") / 100.0
-    ok = (F.col("n_lt") <= target + slack) & (
-        F.col("n_le") >= target - slack
-    )
+    # the DOCUMENTED contract (percentile_approx): some valid rank r of
+    # the returned value — r in (n_lt, n_le] — must satisfy
+    # floor((p - err) * N) <= r <= ceil((p + err) * N), err = 1/accuracy
+    p_frac = F.col("q_pct") / 100.0
+    err = 1.0 / _QSKETCH_ACC
+    lo = F.floor((p_frac - err) * F.col("n"))
+    hi = F.ceil((p_frac + err) * F.col("n"))
+    ok = (F.col("n_le") >= lo) & (F.col("n_lt") + 1 <= hi)
     gates = counted.select("col_name", "q_pct", ok.alias("sketch_ok"))
     return (
         exact.join(gates, ["col_name", "q_pct"])
