@@ -1028,3 +1028,144 @@ ROUND10_STAGED["trigger_interval_advisor"] = (
     trigger_interval_advisor,
     _TRIGGER_ADVISOR_ORACLE,
 )
+
+
+# --------------------------------------------------------------------------
+# ROUND-10 STAGED (round-11 candidate pulled forward): streaming
+# state-size projection — the MEMORY-capacity sibling of
+# trigger_interval_advisor. A streaming dedup / sessionizer holds one
+# state row per distinct key inside its watermark horizon; this audit
+# replays the stream on a minute grid and reports, per candidate
+# horizon (1m/5m/1h), the maximum and mean trailing-window distinct
+# user count — the executor state-store budget a horizon choice
+# implies, BEFORE any stateful job is deployed.
+#
+# Plan shape (the first draft was a grid x stream THETA join — the
+# CONTRIBUTING §4 BroadcastNestedLoopJoin trap, measured minutes at
+# sf0.1): each event EXPLODES to the h/60 grid buckets whose trailing
+# window contains it (bucket b covers (b*60-h, b*60] <=> b in
+# [ceil(es/60), ceil((es+h)/60) - 1]), distinct (horizon, bucket,
+# user) hits are counted with keyed shuffles, and zero-state buckets
+# come back via a left join from the bounded grid — no nested loop
+# anywhere. NOTE the grid side must NOT share the horizon frame's
+# lineage with the hit side: a shared frame makes the equi keys
+# resolve to the same attribute ids and the join degrades to
+# BroadcastNestedLoopJoin again (a fresh createDataFrame per side).
+#
+# Determinism: event seconds are floor(epoch) INTEGERS on both
+# engines (DuckDB's fractional epoch() is floored explicitly — the
+# boundary-membership class); bucket ranges are exact integer
+# arithmetic; counts are exact distincts.
+# --------------------------------------------------------------------------
+_STATE_HORIZONS_S = [60, 300, 3600]
+
+_STATE_PROJECTION_ORACLE = f"""
+    WITH ev AS (
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, user_id FROM events
+    ),
+    bounds AS (
+      SELECT CAST(FLOOR(MIN(es) / 60) AS BIGINT) AS mn,
+             CAST(FLOOR(MAX(es) / 60) AS BIGINT) AS mx
+      FROM ev
+    ),
+    grid AS (
+      SELECT UNNEST(range(mn, mx + 1)) AS b FROM bounds
+    ),
+    hz AS (
+      SELECT UNNEST([{", ".join(map(str, _STATE_HORIZONS_S))}])
+        AS horizon_s
+    ),
+    spans AS (
+      SELECT DISTINCT h.horizon_s, e.user_id,
+             CAST(CEIL(e.es / 60.0) AS BIGINT) AS b_lo,
+             CAST(CEIL((e.es + h.horizon_s) / 60.0) AS BIGINT) - 1 AS b_hi
+      FROM ev e CROSS JOIN hz h
+    ),
+    hit AS (
+      SELECT DISTINCT s.horizon_s, u.b, s.user_id
+      FROM spans s CROSS JOIN UNNEST(range(s.b_lo, s.b_hi + 1)) AS u(b)
+    ),
+    st AS (
+      SELECT h.horizon_s, g.b, COUNT(t.user_id) AS state
+      FROM grid g
+      CROSS JOIN hz h
+      LEFT JOIN hit t ON t.horizon_s = h.horizon_s AND t.b = g.b
+      GROUP BY 1, 2
+    )
+    SELECT CAST(horizon_s AS BIGINT) AS horizon_s,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(state) AS BIGINT) AS max_state,
+           CAST(ROUND(SUM(state) * 1000000.0 / COUNT(*)) AS BIGINT)
+             AS mean_state_ppm
+    FROM st
+    GROUP BY horizon_s
+    ORDER BY horizon_s
+    """
+
+
+def stream_state_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window distinct-key census per candidate horizon (see
+    staged block comment for the keyed-explode plan shape)."""
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").alias("es"), "user_id"
+    )
+    hz = spark.createDataFrame(
+        [(h,) for h in _STATE_HORIZONS_S], "horizon_s long"
+    )
+    spans = (
+        ev.crossJoin(F.broadcast(hz))
+        .select(
+            "horizon_s",
+            "user_id",
+            F.ceil(F.col("es") / 60.0).cast("bigint").alias("b_lo"),
+            (
+                F.ceil((F.col("es") + F.col("horizon_s")) / 60.0)
+                .cast("bigint")
+                - 1
+            ).alias("b_hi"),
+        )
+        .distinct()
+    )
+    hit = spans.select(
+        "horizon_s",
+        "user_id",
+        F.explode(F.sequence(F.col("b_lo"), F.col("b_hi"))).alias("b"),
+    ).distinct()
+    bounds = ev.agg(
+        F.floor(F.min("es") / 60).cast("bigint").alias("mn"),
+        F.floor(F.max("es") / 60).cast("bigint").alias("mx"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("b")
+    )
+    # independent horizon frame for the grid side (see block comment)
+    hz_cells = spark.createDataFrame(
+        [(h,) for h in _STATE_HORIZONS_S], "horizon_s long"
+    )
+    cells = grid.crossJoin(F.broadcast(hz_cells))
+    st = (
+        cells.join(hit, ["horizon_s", "b"], "left")
+        .groupBy("horizon_s", "b")
+        .agg(F.count("user_id").alias("state"))
+    )
+    return (
+        st.groupBy("horizon_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("state").cast("bigint").alias("max_state"),
+            F.round(F.sum("state") * 1000000.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_state_ppm"),
+        )
+        .orderBy("horizon_s")
+    )
+
+
+ROUND10_STAGED["stream_state_projection"] = (
+    stream_state_projection,
+    _STATE_PROJECTION_ORACLE,
+)

@@ -286,3 +286,13 @@ def test_truncation_audit_invariants(spark):
     assert (pdf.med_len <= pdf.max_len).all()
     assert (pdf.mad_len >= 0).all()
     assert (pdf.n_above_fence <= pdf.n_docs).all()
+
+
+def test_state_projection_invariants(spark):
+    fn, _ = STAGED["stream_state_projection"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("horizon_s")
+    assert list(pdf.index) == [60, 300, 3600]
+    # longer horizon holds at least as much state, same bucket count
+    assert pdf.max_state.is_monotonic_increasing
+    assert pdf.mean_state_ppm.is_monotonic_increasing
+    assert pdf.n_buckets.nunique() == 1
