@@ -40,6 +40,12 @@ _CAPTURE_ACTIVE = False
 # (hash_split_assignment at sf0.1); anything past this is a fact-scale
 # frame leaking onto the driver — the one scale-killer class the repo
 # otherwise eliminates. Loud failure beats a silent OOM at 100 TB.
+# The default is calibrated for fixtures up to sf0.1–sf1; collects
+# whose cardinality grows with the scale factor (dimension scans,
+# per-user domains — e.g. customer is 150k rows at sf1) must pass a
+# call-site n_max tied to their own audit contract instead of relying
+# on this constant (ADVICE r9; see bloom_membership_probe /
+# cms_user_event_counts in star.py for the pattern).
 MATERIALIZE_MAX_ROWS = 100_000
 
 
@@ -147,8 +153,12 @@ def operator(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+_ACTIVATED = False
+
+
 def load_all() -> None:
     """Import every operator module so REGISTRY is fully populated."""
+    global _ACTIVATED
     from bigdataentrytask_spark.operators import (  # noqa: F401
         analytics,
         curation,
@@ -171,3 +181,24 @@ def load_all() -> None:
     )
     # evaluation composes other operators' ORACLES — must import last
     from bigdataentrytask_spark.operators import evaluation  # noqa: F401
+
+    # Round-10 activation (VERDICT r9 item 1): the 17 operators staged
+    # during round 9 register through staging.register_all(). The
+    # _ACTIVATED guard is set BEFORE the staging import because
+    # staging.py itself calls load_all() at module top (to guarantee
+    # canonical ORACLE composition order when imported standalone) —
+    # without the guard that reentrant call would hit a half-imported
+    # staging module and die on register_all not existing yet.
+    if not _ACTIVATED:
+        import sys
+
+        mod = sys.modules.get("bigdataentrytask_spark.operators.staging")
+        if mod is not None and not hasattr(mod, "register_all"):
+            # staging itself is mid-import (its top-level load_all()
+            # call landed here); its own module tail finishes the
+            # activation instead — see staging.py's closing block.
+            return
+        _ACTIVATED = True
+        from bigdataentrytask_spark.operators import staging
+
+        staging.register_all()

@@ -3759,7 +3759,9 @@ _MATRYOSHKA_ORACLE = f"""
       SELECT g.d, g.query_id, g.neighbor_id,
              ROW_NUMBER() OVER (
                PARTITION BY g.d, g.query_id
-               ORDER BY g.dot / sqrt(p.cc) DESC, g.neighbor_id) AS rnk
+               ORDER BY CASE WHEN p.cc = 0 THEN CAST(-2.0 AS DOUBLE)
+                        ELSE g.dot / sqrt(p.cc) END DESC,
+                        g.neighbor_id) AS rnk
       FROM dotg g JOIN pn p ON p.d = g.d AND p.vec_id = g.neighbor_id
     ),
     truth AS (
@@ -3836,8 +3838,16 @@ def matryoshka_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE join + a stack generator scores every prefix in a single
     # pass over the dots frame — a per-d join+union would recompute
     # the (query, neighbor) aggregation once per prefix
+    # cc = 0 guard (ADVICE r9): a prefix whose grid-rounded components
+    # are all zero has no direction — Spark's non-ANSI x/0 yields NULL
+    # while DuckDB's IEEE float division yields inf/nan, so the two
+    # engines would rank such a neighbor differently. Pin the sim to a
+    # -2.0 sentinel (below any real cosine) on BOTH engines so
+    # zero-norm prefixes deterministically rank last.
     stack_expr = ", ".join(
-        f"CAST({d} AS BIGINT), dot_{d} / sqrt(cc_{d})"
+        f"CAST({d} AS BIGINT), "
+        f"CASE WHEN cc_{d} = 0 THEN CAST(-2.0 AS DOUBLE) "
+        f"ELSE dot_{d} / sqrt(cc_{d}) END"
         for d in _MATRYOSHKA_DIMS
     )
     scored = dots.join(
@@ -4534,7 +4544,9 @@ _GRAPH_EXPANSION_ORACLE = f"""
       SELECT d.stage, d.query_id, d.neighbor_id,
              ROW_NUMBER() OVER (
                PARTITION BY d.stage, d.query_id
-               ORDER BY d.dot / sqrt(p.cc) DESC, d.neighbor_id) AS rnk
+               ORDER BY CASE WHEN p.cc = 0 THEN CAST(-2.0 AS DOUBLE)
+                        ELSE d.dot / sqrt(p.cc) END DESC,
+                        d.neighbor_id) AS rnk
       FROM dotg d JOIN pn p ON p.vec_id = d.neighbor_id
     ),
     truth AS (
@@ -4661,8 +4673,15 @@ def graph_expansion_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("stage", "query_id", "neighbor_id")
             .agg(F.sum(F.col("qi") * F.col("ni")).cast("double").alias("dot"))
         )
+        # cc = 0 guard (ADVICE r9, matryoshka pattern): Spark's
+        # non-ANSI /0 -> NULL vs DuckDB's IEEE inf/nan would diverge
+        # the ranking for an (unreachable on this corpus) all-zero
+        # grid vector — pin to the -2.0 sentinel on both engines.
         wr = Window.partitionBy("stage", "query_id").orderBy(
-            (F.col("dot") / F.sqrt("cc")).desc(), "neighbor_id"
+            F.when(F.col("cc") == 0, F.lit(-2.0))
+            .otherwise(F.col("dot") / F.sqrt("cc"))
+            .desc(),
+            "neighbor_id",
         )
         ranked = (
             dotg.join(pn.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
@@ -4707,3 +4726,436 @@ ROUND10_STAGED["graph_expansion_recall"] = (
     .replace("{SQL_CODES}", _SQL_CODES)
     .replace("{KNN_TRUTH}", _ORACLES["knn_bruteforce"]),
 )
+
+
+# ==========================================================================
+# ROUND-11 STAGED (VERDICT r9 item 6; zero registry delta until the
+# round-11 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Asymmetric binary retrieval (ROADMAP round-11 "Retrieval"): the
+# production asymmetric-hashing trade — the CORPUS is compressed to
+# sign bits (1 bit/dim, the binary_quantization_recall layout) but the
+# QUERY stays full precision, scoring by sum_i q_i * sign(c_i). Keeps
+# the index at 8 bytes/vector while recovering much of the recall the
+# symmetric Hamming ranking loses (Jegou et al.'s asymmetric-distance
+# observation applied to sign quantization). This table is the
+# side-by-side: recall@5 of the asymmetric scorer against the
+# full-precision truth, with the symmetric recall joined in so the
+# win is one row.
+# Determinism: q_i as grid integers, sign(c_i) in {-1, +1} (grid
+# int >= 0 -> +1, the binq convention), so scores are EXACT integer
+# sums; ties break on neighbor_id. Audit-scale: quadratic truth,
+# bounded by N_QUERIES (same contract as binary_quantization_recall).
+# --------------------------------------------------------------------------
+_ASYM_BINQ_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, generate_subscripts(e, 1) AS pos,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+      FROM v
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(q.xi * (CASE WHEN c.xi >= 0 THEN 1 ELSE -1 END))
+                  AS BIGINT) AS score,
+             CAST(SUM(CASE WHEN (q.xi >= 0) <> (c.xi >= 0)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+      FROM dims q
+      JOIN dims c ON c.pos = q.pos AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY 1, 2
+    ),
+    top_a AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= {TOP_K}
+    ),
+    top_s AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, neighbor_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= {TOP_K}
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM ({{KNN_TRUTH}})
+    )
+    SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           (SELECT CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT)
+            FROM top_a a LEFT JOIN truth t
+              ON t.query_id = a.query_id
+             AND t.neighbor_id = a.neighbor_id) AS n_hits_asym,
+           (SELECT CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT)
+            FROM top_s s LEFT JOIN truth t
+              ON t.query_id = s.query_id
+             AND t.neighbor_id = s.neighbor_id) AS n_hits_sym,
+           (SELECT ROUND(CAST(count_if(t.neighbor_id IS NOT NULL) AS DOUBLE)
+                         / ({N_QUERIES} * {TOP_K}), 6)
+            FROM top_a a LEFT JOIN truth t
+              ON t.query_id = a.query_id
+             AND t.neighbor_id = a.neighbor_id) AS recall_asym,
+           (SELECT ROUND(CAST(count_if(t.neighbor_id IS NOT NULL) AS DOUBLE)
+                         / ({N_QUERIES} * {TOP_K}), 6)
+            FROM top_s s LEFT JOIN truth t
+              ON t.query_id = s.query_id
+             AND t.neighbor_id = s.neighbor_id) AS recall_sym
+    """
+
+
+def asymmetric_binary_retrieval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full-precision query vs sign-bit corpus, side-by-side with the
+    symmetric Hamming ranking (see staged block comment). One
+    (query, neighbor) aggregation computes BOTH scores; the two
+    rankings share it."""
+    from bigdataentrytask_spark.operators import materialize, with_persisted
+
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), grid.alias("xi"))
+    q = dims.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("xi").alias("qi")
+    )
+    c = dims.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("pos").alias("pos_c"),
+        F.col("xi").alias("ci"),
+    )
+    sgn = F.when(F.col("ci") >= 0, F.lit(1)).otherwise(F.lit(-1))
+    qsign_ne = (F.col("qi") >= 0) != (F.col("ci") >= 0)
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("pos_c") == F.col("pos"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(F.col("qi") * sgn).cast("bigint").alias("score"),
+            F.sum(qsign_ne.cast("long")).cast("bigint").alias("hamming"),
+        )
+    )
+    truth = knn_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("is_true")
+    )
+    with with_persisted(scored) as scored_p:
+        wa = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), "neighbor_id"
+        )
+        ws = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+
+        def hits(w) -> DataFrame:
+            return (
+                scored_p.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= TOP_K)
+                .join(truth, ["query_id", "neighbor_id"], "left")
+                .agg(
+                    F.sum(F.coalesce("is_true", F.lit(0)))
+                    .cast("bigint")
+                    .alias("n")
+                )
+            )
+
+        out = (
+            hits(wa)
+            .withColumnRenamed("n", "n_hits_asym")
+            .crossJoin(hits(ws).withColumnRenamed("n", "n_hits_sym"))
+            .select(
+                F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+                "n_hits_asym",
+                "n_hits_sym",
+                F.round(
+                    F.col("n_hits_asym").cast("double")
+                    / (N_QUERIES * TOP_K),
+                    6,
+                ).alias("recall_asym"),
+                F.round(
+                    F.col("n_hits_sym").cast("double")
+                    / (N_QUERIES * TOP_K),
+                    6,
+                ).alias("recall_sym"),
+            )
+        )
+        return materialize(out)
+
+
+# --------------------------------------------------------------------------
+# Two-hop expansion ceiling (ROADMAP round-11 "Retrieval"):
+# graph_expansion_recall's natural continuation — stage a = LSH
+# candidates, stage b = + 1 hop through the exact kNN graph, stage
+# c = + 2 hops. The table reads as the diminishing-returns curve that
+# says where graph expansion stops paying for its candidate volume.
+# Same determinism + audit-scale contract as graph_expansion_recall
+# (quadratic graph build bounded by the 500-vector corpus; rankings
+# on exact grid-integer dots with the cc=0 sentinel guard; candidate
+# sets from the shared bit-identical LSH codes).
+# --------------------------------------------------------------------------
+_TWO_HOP_ORACLE = f"""
+    WITH {{SQL_PLANES}},
+    {{SQL_CODES}},
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    dims AS (
+      SELECT vec_id, generate_subscripts(e, 1) AS pos,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+      FROM v
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM codes q JOIN codes c ON q.t = c.t AND q.code = c.code
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    gd AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             CAST(SUM((a.xi - b.xi) * (a.xi - b.xi)) AS BIGINT) AS dd
+      FROM dims a JOIN dims b ON b.pos = a.pos AND b.vec_id <> a.vec_id
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY dd, dst) AS rn
+        FROM gd
+      ) WHERE rn <= {_GEXP_M}
+    ),
+    hop1 AS (
+      SELECT DISTINCT c.query_id, g.dst AS neighbor_id
+      FROM cand c JOIN g ON g.src = c.neighbor_id
+      WHERE g.dst <> c.query_id
+    ),
+    front1 AS (
+      SELECT query_id, neighbor_id FROM cand
+      UNION
+      SELECT query_id, neighbor_id FROM hop1
+    ),
+    hop2 AS (
+      SELECT DISTINCT f.query_id, g.dst AS neighbor_id
+      FROM front1 f JOIN g ON g.src = f.neighbor_id
+      WHERE g.dst <> f.query_id
+    ),
+    stages AS (
+      SELECT 'a_lsh' AS stage, query_id, neighbor_id FROM cand
+      UNION
+      SELECT 'b_1hop', query_id, neighbor_id FROM front1
+      UNION
+      SELECT 'c_2hop', query_id, neighbor_id FROM front1
+      UNION
+      SELECT 'c_2hop', query_id, neighbor_id FROM hop2
+    ),
+    pn AS (
+      SELECT vec_id, CAST(SUM(xi * xi) AS DOUBLE) AS cc
+      FROM dims GROUP BY 1
+    ),
+    dotg AS (
+      SELECT s.stage, s.query_id, s.neighbor_id,
+             CAST(SUM(dq.xi * dn.xi) AS DOUBLE) AS dot
+      FROM stages s
+      JOIN dims dq ON dq.vec_id = s.query_id
+      JOIN dims dn ON dn.vec_id = s.neighbor_id AND dn.pos = dq.pos
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT d.stage, d.query_id, d.neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.stage, d.query_id
+               ORDER BY CASE WHEN p.cc = 0 THEN CAST(-2.0 AS DOUBLE)
+                        ELSE d.dot / sqrt(p.cc) END DESC,
+                        d.neighbor_id) AS rnk
+      FROM dotg d JOIN pn p ON p.vec_id = d.neighbor_id
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM ({{KNN_TRUTH}})
+    ),
+    vol AS (
+      SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM stages GROUP BY 1
+    ),
+    hits AS (
+      SELECT r.stage,
+             CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT) AS n_hits
+      FROM ranked r
+      LEFT JOIN truth t ON t.query_id = r.query_id
+                       AND t.neighbor_id = r.neighbor_id
+      WHERE r.rnk <= {TOP_K}
+      GROUP BY 1
+    )
+    SELECT h.stage,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           ROUND(CAST(v.n_candidates AS DOUBLE) / {N_QUERIES}, 6)
+             AS mean_candidates,
+           h.n_hits,
+           ROUND(CAST(h.n_hits AS DOUBLE) / ({N_QUERIES} * {TOP_K}), 6)
+             AS recall_at_5
+    FROM hits h JOIN vol v ON v.stage = h.stage
+    ORDER BY h.stage
+    """
+
+
+def two_hop_expansion_ceiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH -> +1-hop -> +2-hop candidate volume / recall curve (see
+    staged block comment). The dims frame feeds the graph build, the
+    norms, and both dot sides -> with_persisted + materialize (the
+    graph_expansion_recall pattern)."""
+    from bigdataentrytask_spark.operators import materialize, with_persisted
+
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), grid.alias("xi"))
+    bucketed = _bucketed(e)
+    with with_persisted(dims, bucketed) as (dims_p, bucketed_p):
+        qb = bucketed_p.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "bucket"
+        )
+        cb = bucketed_p.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+        cand = (
+            qb.join(cb, "bucket")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        da = dims_p.select(
+            F.col("vec_id").alias("src"), "pos", F.col("xi").alias("xa")
+        )
+        db = dims_p.select(
+            F.col("vec_id").alias("dst"),
+            F.col("pos").alias("pos_b"),
+            F.col("xi").alias("xb"),
+        )
+        diff = F.col("xa") - F.col("xb")
+        gd = (
+            da.join(
+                db,
+                (F.col("pos_b") == F.col("pos"))
+                & (F.col("dst") != F.col("src")),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum(diff * diff).cast("bigint").alias("dd"))
+        )
+        wg = Window.partitionBy("src").orderBy("dd", "dst")
+        g = (
+            gd.withColumn("rn", F.row_number().over(wg))
+            .filter(F.col("rn") <= _GEXP_M)
+            .select("src", "dst")
+        )
+
+        def expand(frontier: DataFrame) -> DataFrame:
+            return (
+                frontier.join(g, frontier.neighbor_id == g.src)
+                .filter(F.col("dst") != F.col("query_id"))
+                .select("query_id", F.col("dst").alias("neighbor_id"))
+                .distinct()
+            )
+
+        front1 = cand.unionByName(expand(cand)).distinct()
+        hop2 = expand(front1)
+        stages = (
+            cand.select(F.lit("a_lsh").alias("stage"), "query_id", "neighbor_id")
+            .unionByName(
+                front1.select(
+                    F.lit("b_1hop").alias("stage"), "query_id", "neighbor_id"
+                )
+            )
+            .unionByName(
+                front1.select(
+                    F.lit("c_2hop").alias("stage"), "query_id", "neighbor_id"
+                )
+            )
+            .unionByName(
+                hop2.select(
+                    F.lit("c_2hop").alias("stage"), "query_id", "neighbor_id"
+                )
+            )
+            .distinct()
+        )
+        pn = dims_p.groupBy("vec_id").agg(
+            F.sum(F.col("xi") * F.col("xi")).cast("double").alias("cc")
+        )
+        dq = dims_p.select(
+            F.col("vec_id").alias("query_id"), "pos", F.col("xi").alias("qi")
+        )
+        dn = dims_p.select(
+            F.col("vec_id").alias("nb"),
+            F.col("pos").alias("pos_n"),
+            F.col("xi").alias("ni"),
+        )
+        dotg = (
+            stages.join(dq, "query_id")
+            .join(
+                dn,
+                (F.col("pos_n") == F.col("pos"))
+                & (F.col("nb") == F.col("neighbor_id")),
+            )
+            .groupBy("stage", "query_id", "neighbor_id")
+            .agg(F.sum(F.col("qi") * F.col("ni")).cast("double").alias("dot"))
+        )
+        wr = Window.partitionBy("stage", "query_id").orderBy(
+            F.when(F.col("cc") == 0, F.lit(-2.0))
+            .otherwise(F.col("dot") / F.sqrt("cc"))
+            .desc(),
+            "neighbor_id",
+        )
+        ranked = (
+            dotg.join(pn.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+            .withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= TOP_K)
+        )
+        truth = knn_bruteforce(spark, sf_dir).select(
+            "query_id", "neighbor_id", F.lit(1).alias("is_true")
+        )
+        vol = stages.groupBy("stage").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+        )
+        hits = (
+            ranked.join(truth, ["query_id", "neighbor_id"], "left")
+            .groupBy("stage")
+            .agg(
+                F.sum(F.coalesce("is_true", F.lit(0)))
+                .cast("bigint")
+                .alias("n_hits")
+            )
+        )
+        return materialize(
+            hits.join(vol, "stage")
+            .select(
+                "stage",
+                F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+                F.round(
+                    F.col("n_candidates").cast("double") / N_QUERIES, 6
+                ).alias("mean_candidates"),
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double") / (N_QUERIES * TOP_K), 6
+                ).alias("recall_at_5"),
+            )
+            .orderBy("stage")
+        )
+
+
+ROUND11_STAGED: dict[str, tuple] = {
+    "asymmetric_binary_retrieval": (
+        asymmetric_binary_retrieval,
+        _ASYM_BINQ_ORACLE.replace("{KNN_TRUTH}", _ORACLES["knn_bruteforce"]),
+    ),
+    "two_hop_expansion_ceiling": (
+        two_hop_expansion_ceiling,
+        _TWO_HOP_ORACLE.replace("{SQL_PLANES}", _sql_planes())
+        .replace("{SQL_CODES}", _SQL_CODES)
+        .replace("{KNN_TRUTH}", _ORACLES["knn_bruteforce"]),
+    ),
+}

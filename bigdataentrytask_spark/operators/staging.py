@@ -1,19 +1,16 @@
-"""Round-10 staging aggregator (VERDICT r8 items 2/6): the registry is
-FROZEN through round 9, so operators built this round live in their
-natural modules' ROUND10_STAGED dicts and are registered ONLY when
-register_all() runs at the round-10 boundary.
+"""Staging aggregator. Round-9 history: the registry was FROZEN
+through round 9 (VERDICT r8 items 2/6), so operators built then lived
+in per-module ROUND10_STAGED dicts and registered only via
+register_all(). ACTIVATED at the round-10 boundary (VERDICT r9
+item 1): operators.load_all() now calls register_all(), so every
+staged operator is live in the registry (415 + 17 = 432).
 
-NOT imported by operators.load_all() — importing this module is
-side-effect-free; only an explicit register_all() call mutates the
-registry. Every staged entry is differential-tested in
-tests/test_round9_staged.py through the pandas path (the preverify
-gate) before it ever consumes a driver sweep slot.
-
-Round-10 activation checklist (CONTRIBUTING.md "Before registering"):
-  1. call register_all() from operators.load_all() (one line),
-  2. run scripts/preverify.py <staged names> in a vanilla session,
-  3. delete the freeze assertion in tests/test_round9_staged.py,
-  4. full pytest green.
+The dicts stay as the registration vehicle (their entries are the
+single source for name -> (fn, oracle)); future rounds that stage
+work during a freeze add ROUND{N}_STAGED dicts here following the
+canonical procedure in CONTRIBUTING.md §"Staging operators during a
+registry freeze". scripts/roundcheck.py runs the staged-only gates
+only while some staged name is NOT yet registered.
 """
 
 from __future__ import annotations
@@ -45,7 +42,10 @@ from bigdataentrytask_spark.operators.warehouse import (  # noqa: E402
     ROUND10_STAGED as _WAREHOUSE_STAGED,
 )
 
-STAGED: dict[str, tuple] = {
+# Round-10 set — ACTIVATED (registered into REGISTRY by register_all,
+# which load_all() calls; the dicts remain the single source for
+# name -> (fn, oracle)).
+ROUND10_ACTIVATED: dict[str, tuple] = {
     **_DEDUP_STAGED,
     **_SIMILARITY_STAGED,
     **_STAR_STAGED,
@@ -54,8 +54,53 @@ STAGED: dict[str, tuple] = {
     **_WAREHOUSE_STAGED,
 }
 
+# PENDING set — staged for the NEXT round boundary, NOT registered.
+# preverify --staged / layout_scan --staged / roundcheck's staged
+# steps read this; per-module ROUND11_STAGED dicts feed it.
+from bigdataentrytask_spark.operators.dedup import (  # noqa: E402
+    ROUND11_STAGED as _DEDUP_R11,
+)
+from bigdataentrytask_spark.operators.similarity import (  # noqa: E402
+    ROUND11_STAGED as _SIMILARITY_R11,
+)
+from bigdataentrytask_spark.operators.warehouse import (  # noqa: E402
+    ROUND11_STAGED as _WAREHOUSE_R11,
+)
+from bigdataentrytask_spark.operators.text_analysis import (  # noqa: E402
+    ROUND11_STAGED as _TEXT_R11,
+)
+from bigdataentrytask_spark.operators.streaming_bridge import (  # noqa: E402
+    ROUND11_STAGED as _STREAMING_R11,
+)
+from bigdataentrytask_spark.operators.curation import (  # noqa: E402
+    ROUND11_STAGED as _CURATION_R11,
+)
+
+STAGED: dict[str, tuple] = {
+    **_CURATION_R11,
+    **_DEDUP_R11,
+    **_SIMILARITY_R11,
+    **_STREAMING_R11,
+    **_TEXT_R11,
+    **_WAREHOUSE_R11,
+}
+
 
 def register_all() -> None:
-    """Register every staged operator (round-10 boundary only)."""
-    for name, (fn, osql) in STAGED.items():
+    """Register every ACTIVATED operator (idempotent — the @operator
+    decorator tolerates re-registration of the same function).
+    Entries in STAGED are pending and deliberately NOT registered."""
+    for name, (fn, osql) in ROUND10_ACTIVATED.items():
         operator(name, oracle=osql)(fn)
+
+
+# Round-10 activation closing step: if this module was imported
+# DIRECTLY (not via load_all's activation branch), the load_all() call
+# at the top of this file deliberately skipped activation because
+# register_all did not exist yet — finish it here so `import staging`
+# always leaves the registry complete, regardless of import order.
+from bigdataentrytask_spark import operators as _ops  # noqa: E402
+
+if not _ops._ACTIVATED:
+    _ops._ACTIVATED = True
+    register_all()

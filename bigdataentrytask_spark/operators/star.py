@@ -450,9 +450,17 @@ def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         bytes(sk_bytes)
     )
     # user_id is a bounded domain (dimension cardinality, not fact
-    # rows) — enforced by the collect_bounded guard
+    # rows). The domain GROWS with the scale factor (~1.5k users per
+    # sf0.1 fixture → 15k at sf1), so the default 100k guard ceiling
+    # would trip on larger fixtures even though the collect is still
+    # domain-sized by construction (ADVICE r9): the call-site bound
+    # below tracks this operator's own audit contract instead — the
+    # driver-side estimateCount probe loop is O(domain), so past ~2M
+    # keys the loop, not the collect, is what must move off the driver
+    # (per-partition probe via a broadcast sketch, noted above).
     exact = collect_bounded(
-        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt")),
+        n_max=2_000_000,
     )
     total = sum(r.exact_cnt for r in exact)
     slack = max(1, int(2 * _CMS_EPS * total))
@@ -501,6 +509,15 @@ def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = orders._jdf.stat().bloomFilter(
         "o_custkey", max(64, n_keys), _BLOOM_FPP
     )
+    # customer is a dimension (150k rows per sf1) but it scales with
+    # the fixture, so the default 100k ceiling would trip at sf>=1
+    # (ADVICE r9). The call-site bound tracks the operator's audit
+    # contract: the mightContain probe loop below is driver-side
+    # O(|customer|), so ~2M keys is where the loop itself must become
+    # a per-partition probe (broadcast the filter, probe executor-side
+    # — the production runtime-filter path described above), and the
+    # guard should fail loudly THERE, not at the fixture boundary.
+    _DIM_MAX = 2_000_000
     with_orders = {
         r.c_custkey
         for r in collect_bounded(
@@ -508,12 +525,13 @@ def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
                 "c_custkey",
                 "left_semi",
-            )
+            ),
+            n_max=_DIM_MAX,
         )
     }
     all_keys = [
         r.c_custkey
-        for r in collect_bounded(customer.select("c_custkey"))
+        for r in collect_bounded(customer.select("c_custkey"), n_max=_DIM_MAX)
     ]
     fn = sum(
         1 for k in with_orders if not bf.mightContain(int(k))

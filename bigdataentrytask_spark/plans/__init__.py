@@ -73,7 +73,17 @@ def count_exchanges(df: DataFrame) -> int:
     plan tags one; exchanges WITHOUT a plan_id tag (common inside
     reprinted cached subtrees) are deduped by counting them only in
     the first occurrence of each identical Final segment (ADVICE r8:
-    text-identical reprints must not inflate the count)."""
+    text-identical reprints must not inflate the count).
+
+    Known limit of the text-identity heuristic (ADVICE r9): two
+    GENUINELY DISTINCT executions whose Final segments happen to be
+    byte-identical (e.g. the same uncached subquery instantiated twice
+    in one plan) are merged and their shuffles undercounted by the
+    unlabeled-exchange path. Spark tags plan_id on all top-level AQE
+    exchanges, so the exposure is only unlabeled exchanges inside
+    repeated identical segments — accepted as an undercount-biased
+    audit (an audit that can only under-report shuffles never hides a
+    regression behind an inflated baseline)."""
     ids: set[str] = set()
     n_unlabeled = 0
     seen_segments: set[str] = set()

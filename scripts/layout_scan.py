@@ -8,7 +8,7 @@ float-determinism campaign eliminates, so new hits should be snapped
 (CONTRIBUTING.md §8) or documented.
 
 Usage: python scripts/layout_scan.py [--chunk I N] [--staged] [name ...]
-  --staged scans the ROUND10_STAGED operators (operators/staging.py)
+  --staged scans the PENDING staged operators (operators/staging.py STAGED)
   instead of the registry — run it before any staged registration.
 """
 

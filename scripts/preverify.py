@@ -5,9 +5,10 @@ canonicalization probe that crashes on non-hashable columns exactly like the
 driver's canonicalizer does).
 
 Usage:  python scripts/preverify.py [name ...]
-        python scripts/preverify.py --staged      # the ROUND10_STAGED set
-                                                  # (operators/staging.py) --
-                                                  # the round-10 activation gate
+        python scripts/preverify.py --staged      # the PENDING staged set
+                                                  # (operators/staging.py
+                                                  # STAGED) — the pre-
+                                                  # registration gate
         python scripts/preverify.py --never       # ops with no CORRECTNESS row yet
         python scripts/preverify.py --sweep [N]   # first N (default 50) in
                                                   # queries() order — the driver's

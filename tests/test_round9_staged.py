@@ -19,7 +19,9 @@ from bigdataentrytask_spark.operators.dedup import (
     _SUBSTR_L,
     substring_dedup_audit,
 )
-from bigdataentrytask_spark.operators.staging import STAGED
+from bigdataentrytask_spark.operators.staging import (
+    ROUND10_ACTIVATED as STAGED,
+)
 
 from .conftest import SF_DIR, assert_matches_oracle
 
@@ -28,11 +30,14 @@ load_all()
 STAGED_NAMES = sorted(STAGED)
 
 
-def test_registry_frozen_through_round9():
-    """VERDICT r8 item 2: zero registry additions in round 9."""
-    assert len(REGISTRY) == 415
-    for name in STAGED:
-        assert name not in REGISTRY
+def test_round10_activation_complete():
+    """VERDICT r9 item 1: the 17 round-9-staged operators are LIVE —
+    staging.register_all() is wired into operators.load_all(), so the
+    registry is 432 and every staged name resolves to its staged
+    function object (not a shadowing duplicate)."""
+    assert len(REGISTRY) == 432
+    for name, (fn, _osql) in STAGED.items():
+        assert REGISTRY[name] is fn
 
 
 @pytest.mark.parametrize("name", STAGED_NAMES)
