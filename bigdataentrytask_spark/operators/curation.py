@@ -983,3 +983,133 @@ def _register_score_drift_psi() -> None:
 
 
 _register_score_drift_psi()
+
+
+# ==========================================================================
+# ROUND-11 STAGED (VERDICT r9 item 6; zero registry delta until the
+# round-11 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Quality pruning curve: for each candidate drop fraction, what
+# pruning the bottom-f of the corpus by quality_classifier_score
+# actually costs/keeps — docs kept, tokens kept, token retention, and
+# the kept mass's summed score. This is the prune-to-budget planning
+# table (the "filter harder vs train on more" decision) evaluated on
+# the SAME bit-stable linear scorer the registry already verifies.
+#
+# Determinism: ranking on (score DESC, doc_id) — the score is
+# bit-stable (exact integer weight sums, one sigmoid per doc, see
+# quality_classifier_score) and doc_id breaks ties; keep_n uses exact
+# integer arithmetic. Kept-mass score is summed as per-doc ROUND(
+# score*1e6) BIGINTs — exact under any accumulation order.
+# Scale: the global rank is audit-scale; the production path replaces
+# it with an approx-quantile score THRESHOLD per fraction (one
+# percentile_approx pass, no global sort) — same trade as
+# sort_order_advisor vs its _ranged twin, documented here.
+# --------------------------------------------------------------------------
+_PRUNE_FRACS_PPM = [100_000, 250_000, 500_000]
+
+
+def _register_quality_pruning_curve() -> dict[str, tuple]:
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY
+
+    oracle = f"""
+    WITH scored AS ({ORACLES["quality_classifier_score"]}),
+    ranked AS (
+      SELECT doc_id, n_tokens, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk,
+             COUNT(*) OVER () AS n_total,
+             SUM(n_tokens) OVER () AS tok_total
+      FROM scored
+    ),
+    fr(drop_frac_ppm) AS (VALUES
+      {", ".join(f"({f})" for f in _PRUNE_FRACS_PPM)}
+    )
+    SELECT CAST(fr.drop_frac_ppm AS BIGINT) AS drop_frac_ppm,
+           CAST(count_if(r.rnk <= FLOOR(
+             r.n_total * (1000000 - fr.drop_frac_ppm) / 1000000.0))
+             AS BIGINT) AS n_docs_kept,
+           CAST(SUM(CASE WHEN r.rnk <= FLOOR(
+             r.n_total * (1000000 - fr.drop_frac_ppm) / 1000000.0)
+             THEN r.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+           CAST(ROUND(SUM(CASE WHEN r.rnk <= FLOOR(
+             r.n_total * (1000000 - fr.drop_frac_ppm) / 1000000.0)
+             THEN r.n_tokens ELSE 0 END) * 1000000.0 / MAX(r.tok_total))
+             AS BIGINT) AS token_retention_ppm,
+           CAST(SUM(CASE WHEN r.rnk <= FLOOR(
+             r.n_total * (1000000 - fr.drop_frac_ppm) / 1000000.0)
+             THEN CAST(ROUND(r.score * 1000000) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS kept_score_e6
+    FROM ranked r CROSS JOIN fr
+    GROUP BY fr.drop_frac_ppm
+    ORDER BY drop_frac_ppm
+    """
+
+    def quality_pruning_curve(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Prune-to-budget planning curve over the verified quality
+        scorer (see block comment for the determinism + scale
+        contract)."""
+        from pyspark.sql import Window
+
+        scored = REGISTRY["quality_classifier_score"](spark, sf_dir).select(
+            "doc_id", "n_tokens", "score"
+        )
+        w = Window.orderBy(F.col("score").desc(), "doc_id")
+        ranked = scored.select(
+            "n_tokens",
+            "score",
+            F.row_number().over(w).alias("rnk"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_total"),
+            F.sum("n_tokens").over(Window.partitionBy()).alias("tok_total"),
+        )
+        fr = spark.createDataFrame(
+            [(f,) for f in _PRUNE_FRACS_PPM], "drop_frac_ppm long"
+        )
+        keep_n = F.floor(
+            F.col("n_total") * (1_000_000 - F.col("drop_frac_ppm")) / 1e6
+        )
+        kept = F.col("rnk") <= keep_n
+        return (
+            ranked.crossJoin(F.broadcast(fr))
+            .groupBy("drop_frac_ppm")
+            .agg(
+                F.sum(kept.cast("long")).cast("bigint").alias("n_docs_kept"),
+                F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+                .cast("bigint")
+                .alias("tokens_kept"),
+                F.round(
+                    F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+                    * 1000000.0
+                    / F.max("tok_total")
+                )
+                .cast("bigint")
+                .alias("token_retention_ppm"),
+                F.sum(
+                    F.when(
+                        kept,
+                        F.round(F.col("score") * 1000000).cast("bigint"),
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("kept_score_e6"),
+            )
+            .select(
+                F.col("drop_frac_ppm").cast("bigint").alias("drop_frac_ppm"),
+                "n_docs_kept",
+                "tokens_kept",
+                "token_retention_ppm",
+                "kept_score_e6",
+            )
+            .orderBy("drop_frac_ppm")
+        )
+
+    return {"quality_pruning_curve": (quality_pruning_curve, oracle)}
+
+
+# Deferred assembly: the oracle composes ORACLES["quality_classifier_
+# score"], which this module registers above — build the dict at the
+# END of the module so the reference is guaranteed present.
+ROUND11_STAGED: dict[str, tuple] = _register_quality_pruning_curve()

@@ -2224,3 +2224,328 @@ ROUND10_STAGED["crosslingual_neardup_eval"] = (
     crosslingual_neardup_eval,
     _XLING_ORACLE,
 )
+
+
+# ==========================================================================
+# ROUND-11 STAGED (VERDICT r9 item 6: stage-then-activate; zero
+# registry delta until the round-11 boundary). Aggregated by
+# operators/staging.py STAGED; differential-tested in
+# tests/test_round10_staged.py through the preverify pandas gate.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Substring dedup — PRODUCTION twin (VERDICT r9 item 6; the scale
+# contract above substring_dedup_audit names exactly this variant):
+# identical per-document island/coverage semantics, but the shuffle
+# payload is xxhash64(gram) — 8 bytes per window instead of an L-byte
+# string, cutting the gram shuffle ~L/8x at 100 TB. The contract is
+# COLLISION-TOLERANT: a 64-bit collision can only mark a unique window
+# duplicated (never the reverse), with expected extra windows
+# ~ n_windows^2 / 2^64 — zero in any realistic corpus and provably
+# zero at audit scale, which is why the EXACT-gram oracle (the same
+# SQL substring_dedup_audit verifies against) is the correct twin: the
+# differential proves the hashed path reproduces the exact answer.
+# Reference parity: the reference has no substring dedup (extension
+# per VERDICT r8 item 6).
+# --------------------------------------------------------------------------
+def substring_dedup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64-payload substring-duplication census (production twin
+    of substring_dedup_audit — see block comment for the collision-
+    tolerance argument)."""
+    L = _SUBSTR_L
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.length("text").cast("bigint").alias("doc_len")
+    )
+    # parallelism before the explode — same measured rationale as the
+    # audit twin (8.2s -> 1.6s at sf0.1, SCALE.md round 9)
+    pre = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    pos = pre.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("doc_len") >= L,
+                F.sequence(F.lit(1), (F.col("doc_len") - L + 1).cast("int")),
+            ).otherwise(F.expr("CAST(array() AS array<int>)"))
+        ).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        "p",
+        # THE production difference: hash the gram before it ever
+        # reaches a shuffle — the groupBy and the join below move
+        # 8-byte longs, not L-char strings
+        F.xxhash64(F.expr(f"substring(text, p, {L})")).alias("gh"),
+    )
+    dup = (
+        pos.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    dwin = pos.join(dup, "gh").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = dwin.withColumn("prev_p", F.lag("p").over(w)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_p").isNull()
+                | (F.col("p") - F.col("prev_p") >= L),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    runs = isl.groupBy("doc_id", "island").agg(
+        F.min("p").alias("mn"),
+        F.max("p").alias("mx"),
+        F.count(F.lit(1)).alias("nw"),
+    )
+    cov = runs.groupBy("doc_id").agg(
+        F.sum("nw").cast("bigint").alias("n_dup_windows"),
+        F.sum(F.col("mx") - F.col("mn") + L).cast("bigint").alias(
+            "dup_coverage"
+        ),
+    )
+    return (
+        docs.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "doc_len",
+            F.greatest(F.col("doc_len") - L + 1, F.lit(0))
+            .cast("bigint")
+            .alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+            F.coalesce("dup_coverage", F.lit(0))
+            .cast("bigint")
+            .alias("dup_coverage"),
+            F.when(F.col("doc_len") == 0, F.lit(0))
+            .otherwise(
+                F.round(
+                    F.coalesce("dup_coverage", F.lit(0))
+                    * 1000000.0
+                    / F.col("doc_len")
+                )
+            )
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup-order sensitivity audit (ROADMAP round-11 "Curation"): exact
+# first-occurrence-wins dedup keeps exactly one representative per
+# distinct text, so the SET of kept texts is order-invariant by
+# construction — but the KEEPER IDENTITY (which doc_id survives) is
+# not. This table quantifies the difference between two deterministic
+# keeper policies: id-order (min doc_id per text — what a stable-scan
+# pipeline does) vs length-order (max n_chars, doc_id tiebreak — a
+# quality-biased survivorship). Downstream lineage, per-source quota
+# accounting, and license attribution all key on the keeper doc_id, so
+# "how many keepers flip if we re-rank survivorship" is a real
+# migration-risk number.
+# Scale: two aggregations over the same text-hash shuffle; outputs are
+# one summary row. At 100 TB group on xxhash64(text) instead of the
+# raw text (the minhash/chunk payload contract).
+# --------------------------------------------------------------------------
+_DEDUP_ORDER_ORACLE = """
+    WITH g AS (
+      SELECT text,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             MIN(doc_id) AS keeper_by_id,
+             (SELECT d2.doc_id FROM documents d2
+              WHERE d2.text = d.text
+              ORDER BY d2.n_chars DESC, d2.doc_id
+              LIMIT 1) AS keeper_by_len
+      FROM documents d GROUP BY text
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_texts,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(count_if(n_docs >= 2) AS BIGINT) AS n_dup_groups,
+           CAST(count_if(keeper_by_id = keeper_by_len) AS BIGINT)
+             AS n_keeper_same,
+           CAST(count_if(keeper_by_id <> keeper_by_len) AS BIGINT)
+             AS n_keeper_diff
+    FROM g
+    """
+
+
+def dedup_order_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper-identity drift between id-order and length-order exact
+    dedup (see block comment). One text-group shuffle computes both
+    keeper policies via min over ordered structs."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    g = docs.groupBy("text").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").alias("keeper_by_id"),
+        # max over (n_chars, -doc_id) == longest text, smallest doc_id
+        # tiebreak — struct ordering is lexicographic in both engines
+        F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg")))[
+            "neg"
+        ].alias("neg_keeper"),
+    )
+    g = g.withColumn("keeper_by_len", -F.col("neg_keeper"))
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_texts"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum((F.col("n_docs") >= 2).cast("long"))
+        .cast("bigint")
+        .alias("n_dup_groups"),
+        F.sum((F.col("keeper_by_id") == F.col("keeper_by_len")).cast("long"))
+        .cast("bigint")
+        .alias("n_keeper_same"),
+        F.sum((F.col("keeper_by_id") != F.col("keeper_by_len")).cast("long"))
+        .cast("bigint")
+        .alias("n_keeper_diff"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source contamination cross table (ROADMAP round-11 "Curation"):
+# composes decontaminate_ngram's exact word-4-gram machinery into the
+# release gate a trainer actually reads — per (source, eval_set):
+# docs checked, docs contaminated, contamination ppm, and the
+# EXCEEDS flag against a release threshold. Two deterministic eval
+# slices stand in for two benchmarks (doc_id % 20 == 0 / == 1, the
+# decontaminate_ngram convention extended).
+# Scale posture identical to decontaminate_ngram: eval grams are
+# benchmark-sized -> broadcast; training grams never shuffle on text;
+# one partial-agg shuffle on (doc_id) then a domain-sized rollup.
+# --------------------------------------------------------------------------
+_CONTAM_THRESH_PPM = 100_000  # release gate: >10% of a source's docs
+
+_CONTAM_CROSSTAB_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             array_to_string(w[i:i+{_DECON_K - 1}], ' ') AS g
+      FROM toks, LATERAL unnest(range(1, len(w) - {_DECON_K} + 2)) AS t(i)
+    ),
+    evals AS (
+      SELECT 'eval_a' AS eval_set, g
+      FROM (SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_MOD} = 0)
+      UNION ALL
+      SELECT 'eval_b', g
+      FROM (SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_MOD} = 1)
+    ),
+    train AS (
+      SELECT doc_id, source, g FROM grams
+      WHERE doc_id % {_DECON_MOD} NOT IN (0, 1)
+    ),
+    hits AS (
+      SELECT DISTINCT e.eval_set, t.doc_id, t.source
+      FROM train t JOIN evals e ON t.g = e.g
+    ),
+    base AS (
+      SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM documents WHERE doc_id % {_DECON_MOD} NOT IN (0, 1)
+      GROUP BY source
+    ),
+    es AS (SELECT UNNEST(['eval_a', 'eval_b']) AS eval_set)
+    SELECT b.source, es.eval_set, b.n_docs,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+           CAST(ROUND(COALESCE(h.n_hit, 0) * 1000000.0 / b.n_docs)
+                AS BIGINT) AS contamination_ppm,
+           COALESCE(h.n_hit, 0) * 1000000.0 / b.n_docs
+             > {_CONTAM_THRESH_PPM} AS exceeds_gate
+    FROM base b CROSS JOIN es
+    LEFT JOIN (
+      SELECT eval_set, source, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+               AS n_hit
+      FROM hits GROUP BY 1, 2
+    ) h ON h.source = b.source AND h.eval_set = es.eval_set
+    ORDER BY b.source, es.eval_set
+    """
+
+
+def contamination_source_crosstab(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(source, eval_set) contamination release gate (see block
+    comment)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
+    gram_at = lambda i: F.array_join(  # noqa: E731
+        F.slice("w", i + 1, _DECON_K), " "
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.size("w") >= _DECON_K,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - _DECON_K), gram_at
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    mod = F.col("doc_id") % _DECON_MOD
+    evals = (
+        grams.filter(mod == 0)
+        .select(F.lit("eval_a").alias("eval_set"), "g")
+        .distinct()
+        .unionByName(
+            grams.filter(mod == 1)
+            .select(F.lit("eval_b").alias("eval_set"), "g")
+            .distinct()
+        )
+    )
+    train = grams.filter(~mod.isin(0, 1))
+    hits = (
+        train.join(F.broadcast(evals), "g")
+        .select("eval_set", "doc_id", "source")
+        .distinct()
+        .groupBy("source", "eval_set")
+        .agg(F.count_distinct("doc_id").cast("bigint").alias("n_hit"))
+    )
+    base = (
+        docs.filter(~mod.isin(0, 1))
+        .groupBy("source")
+        .agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"))
+    )
+    es = spark.createDataFrame(
+        [("eval_a",), ("eval_b",)], "eval_set string"
+    )
+    return (
+        base.crossJoin(F.broadcast(es))
+        .join(hits, ["source", "eval_set"], "left")
+        .select(
+            "source",
+            "eval_set",
+            "n_docs",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias(
+                "n_contaminated"
+            ),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) * 1000000.0 / F.col("n_docs")
+            )
+            .cast("bigint")
+            .alias("contamination_ppm"),
+            (
+                F.coalesce("n_hit", F.lit(0)) * 1000000.0 / F.col("n_docs")
+                > _CONTAM_THRESH_PPM
+            ).alias("exceeds_gate"),
+        )
+        .orderBy("source", "eval_set")
+    )
+
+
+# name -> (fn, oracle); aggregated by operators/staging.py STAGED
+# (the PENDING set — preverify --staged / layout_scan --staged gate
+# these before the round-11 boundary registers them).
+ROUND11_STAGED: dict[str, tuple] = {
+    "substring_dedup_prod": (substring_dedup_prod, _SUBSTRING_DEDUP_ORACLE),
+    "dedup_order_sensitivity": (
+        dedup_order_sensitivity,
+        _DEDUP_ORDER_ORACLE,
+    ),
+    "contamination_source_crosstab": (
+        contamination_source_crosstab,
+        _CONTAM_CROSSTAB_ORACLE,
+    ),
+}

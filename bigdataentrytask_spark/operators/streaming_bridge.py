@@ -1169,3 +1169,121 @@ ROUND10_STAGED["stream_state_projection"] = (
     stream_state_projection,
     _STATE_PROJECTION_ORACLE,
 )
+
+
+# ==========================================================================
+# ROUND-11 STAGED (VERDICT r9 item 6; zero registry delta until the
+# round-11 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Allowed-lateness sweep — watermark_lag_histogram's sibling on the
+# POLICY axis: for each candidate watermark delay D, what the operator
+# would (a) DROP (lag > D — data loss) and (b) RE-EMIT (late-but-kept
+# rows: every one forces an update-mode re-fire of its minute window,
+# and keeps that window's state alive — the downstream-churn and
+# state-retention cost). The drop column falls and the re-emit column
+# rises with D: this table is where a platform picks the delay instead
+# of folklore-defaulting to 5s. Arrival order = event_id (the module's
+# deterministic processing-order proxy, see watermark_lag_histogram).
+#
+# Scale: the running front is the same per-shard prefix computation as
+# watermark_lag_histogram; everything after it is one pass with a
+# stacked candidate column (no per-candidate rescan) and domain-sized
+# aggregation. Exact integer microseconds throughout.
+# --------------------------------------------------------------------------
+_LATENESS_CANDIDATES_US = [
+    ("a_0s", 0),
+    ("b_5s", 5_000_000),
+    ("c_30s", 30_000_000),
+    ("d_5m", 300_000_000),
+]
+
+_LATENESS_SWEEP_ORACLE = f"""
+    WITH lagged AS (
+      SELECT event_id,
+             date_trunc('minute', ts) AS win,
+             epoch_us(MAX(ts) OVER (ORDER BY event_id
+                                    ROWS UNBOUNDED PRECEDING))
+             - epoch_us(ts) AS lag_us
+      FROM events
+    ),
+    cands(delay_label, delay_us) AS (VALUES
+      {", ".join(f"('{lbl}', {us})" for lbl, us in _LATENESS_CANDIDATES_US)}
+    )
+    SELECT c.delay_label,
+           CAST(c.delay_us AS BIGINT) AS delay_us,
+           CAST(count_if(l.lag_us > c.delay_us) AS BIGINT) AS n_dropped,
+           CAST(ROUND(count_if(l.lag_us > c.delay_us) * 1000000.0
+                      / COUNT(*)) AS BIGINT) AS drop_ppm,
+           CAST(count_if(l.lag_us > 0 AND l.lag_us <= c.delay_us)
+                AS BIGINT) AS n_late_kept,
+           CAST(COUNT(DISTINCT CASE WHEN l.lag_us > 0
+                                     AND l.lag_us <= c.delay_us
+                                    THEN l.win END) AS BIGINT)
+             AS n_windows_updated
+    FROM lagged l CROSS JOIN cands c
+    GROUP BY c.delay_label, c.delay_us
+    ORDER BY c.delay_label
+    """
+
+
+def allowed_lateness_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-vs-re-emit cost per candidate watermark delay (see block
+    comment)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lagged = ev.select(
+        F.date_trunc("minute", "ts").alias("win"),
+        (
+            F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("lag_us"),
+    )
+    cands = spark.createDataFrame(
+        _LATENESS_CANDIDATES_US, "delay_label string, delay_us long"
+    )
+    j = lagged.crossJoin(F.broadcast(cands))
+    late_kept = (F.col("lag_us") > 0) & (F.col("lag_us") <= F.col("delay_us"))
+    return (
+        j.groupBy("delay_label", "delay_us")
+        .agg(
+            F.sum((F.col("lag_us") > F.col("delay_us")).cast("long"))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.round(
+                F.sum((F.col("lag_us") > F.col("delay_us")).cast("long"))
+                * 1000000.0
+                / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("drop_ppm"),
+            F.sum(late_kept.cast("long")).cast("bigint").alias("n_late_kept"),
+            F.count_distinct(F.when(late_kept, F.col("win")))
+            .cast("bigint")
+            .alias("n_windows_updated"),
+        )
+        .select(
+            "delay_label",
+            F.col("delay_us").cast("bigint").alias("delay_us"),
+            "n_dropped",
+            "drop_ppm",
+            "n_late_kept",
+            "n_windows_updated",
+        )
+        .orderBy("delay_label")
+    )
+
+
+ROUND11_STAGED: dict[str, tuple] = {
+    "allowed_lateness_sweep": (
+        allowed_lateness_sweep,
+        _LATENESS_SWEEP_ORACLE,
+    ),
+}

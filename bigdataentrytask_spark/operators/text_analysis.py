@@ -3498,3 +3498,175 @@ ROUND10_STAGED["length_truncation_audit"] = (
     length_truncation_audit,
     _TRUNC_ORACLE,
 )
+
+
+# ==========================================================================
+# ROUND-11 STAGED (VERDICT r9 item 6; zero registry delta until the
+# round-11 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Intra-document repetition audit (Gopher rule family, Rae et al.
+# 2021 §A1.1): per SOURCE, how much of each document is repeated
+# word-3-gram mass — the classic boilerplate/template/spam signal a
+# quality filter thresholds BEFORE dedup ever runs. Per document:
+# duplicate-gram fraction = 1 - distinct_grams/total_grams, in ppm;
+# rolled up per source as mean ppm + share of docs over the Gopher-ish
+# 180000 ppm (18%) flag line. Summary rows (not per-doc) so the output
+# stays domain-sized at any corpus scale.
+# Scale: gram explode is width-bounded (one row per word); the
+# per-doc distinct count is a (doc_id, gram) partial-agg shuffle; the
+# rollup is domain-sized. No cross-document state anywhere — this
+# pipelines at 100 TB with zero skew risk beyond document length.
+# --------------------------------------------------------------------------
+_REP_K = 3
+_REP_FLAG_PPM = 180_000
+
+_INTRA_REP_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             array_to_string(w[i:i+{_REP_K - 1}], ' ') AS g
+      FROM toks, LATERAL unnest(range(1, len(w) - {_REP_K} + 2)) AS t(i)
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
+      FROM grams GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT source,
+             CAST(ROUND((n_grams - n_distinct) * 1000000.0 / n_grams)
+                  AS BIGINT) AS rep_ppm
+      FROM per_doc
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(ROUND(AVG(rep_ppm)) AS BIGINT) AS mean_rep_ppm,
+           CAST(MAX(rep_ppm) AS BIGINT) AS max_rep_ppm,
+           CAST(count_if(rep_ppm > {_REP_FLAG_PPM}) AS BIGINT) AS n_flagged
+    FROM scored GROUP BY source
+    ORDER BY source
+    """
+
+
+def intra_doc_repetition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source repeated word-3-gram census (see block comment)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
+    gram_at = lambda i: F.array_join(  # noqa: E731
+        F.slice("w", i + 1, _REP_K), " "
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.size("w") >= _REP_K,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - _REP_K), gram_at
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    per_doc = grams.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.count_distinct("g").cast("bigint").alias("n_distinct"),
+    )
+    rep_ppm = F.round(
+        (F.col("n_grams") - F.col("n_distinct")) * 1000000.0
+        / F.col("n_grams")
+    ).cast("bigint")
+    return (
+        per_doc.select("source", rep_ppm.alias("rep_ppm"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("rep_ppm")).cast("bigint").alias("mean_rep_ppm"),
+            F.max("rep_ppm").cast("bigint").alias("max_rep_ppm"),
+            F.sum((F.col("rep_ppm") > _REP_FLAG_PPM).cast("long"))
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Domain-mix planner (training-mixture table, The Pile / DoReMi-lite
+# static arithmetic): per source — document and whitespace-token
+# counts, the source's share of total tokens (ppm), and the sampling
+# weight (ppm, relative to 1x = 1000000) that would rebalance the
+# corpus to a UNIFORM per-source token budget: weight = target_share /
+# actual_share. Oversampling caps at the repeat ceiling (4x here —
+# past ~4 epochs of a source, repetition hurts more than balance
+# helps), mirroring how real mixture tables clamp rare domains.
+# Scale: one aggregation over documents; output is |sources| rows.
+# --------------------------------------------------------------------------
+_MIX_MAX_WEIGHT_PPM = 4_000_000
+
+_DOMAIN_MIX_ORACLE = f"""
+    WITH per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS t, COUNT(*) AS s FROM per)
+    SELECT p.source, p.n_docs, p.n_tokens,
+           CAST(ROUND(p.n_tokens * 1000000.0 / tot.t) AS BIGINT)
+             AS token_share_ppm,
+           CAST(LEAST(
+             ROUND((tot.t * 1.0 / tot.s) / p.n_tokens * 1000000.0),
+             {_MIX_MAX_WEIGHT_PPM}) AS BIGINT) AS uniform_weight_ppm,
+           ROUND((tot.t * 1.0 / tot.s) / p.n_tokens * 1000000.0)
+             > {_MIX_MAX_WEIGHT_PPM} AS weight_clamped
+    FROM per p CROSS JOIN tot
+    ORDER BY p.source
+    """
+
+
+def domain_mix_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token share + uniform-rebalance sampling weight (see
+    block comment)."""
+    docs = _docs(spark, sf_dir)
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("s")
+    )
+    raw_w = F.round(
+        (F.col("t") / F.col("s")) / F.col("n_tokens") * 1000000.0
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") * 1000000.0 / F.col("t"))
+            .cast("bigint")
+            .alias("token_share_ppm"),
+            F.least(raw_w, F.lit(_MIX_MAX_WEIGHT_PPM))
+            .cast("bigint")
+            .alias("uniform_weight_ppm"),
+            (raw_w > _MIX_MAX_WEIGHT_PPM).alias("weight_clamped"),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND11_STAGED: dict[str, tuple] = {
+    "intra_doc_repetition_audit": (
+        intra_doc_repetition_audit,
+        _INTRA_REP_ORACLE,
+    ),
+    "domain_mix_planner": (domain_mix_planner, _DOMAIN_MIX_ORACLE),
+}

@@ -4022,3 +4022,325 @@ ROUND10_STAGED["rle_bitpack_advisor"] = (
     rle_bitpack_advisor,
     _rle_advisor_oracle(),
 )
+
+
+# ==========================================================================
+# ROUND-11 STAGED (VERDICT r9 item 6; zero registry delta until the
+# round-11 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Sort-order advisor — RANGED production variant (VERDICT r9 item 6;
+# the variant sort_order_advisor's scale contract names): run stats
+# computed per RANGE PARTITION of the candidate sort prefix instead of
+# under one global window. Semantics: partition lineitem by
+# month(l_shipdate) (a DEFINED range function — Spark's sampled
+# repartitionByRange boundaries are nondeterministic and thus not
+# oracle-able), order within each range by the full candidate key, and
+# count runs per (col_name, range). Runs only break at range
+# boundaries, so sum-over-ranges <= exact-global + n_ranges - 1 — the
+# documented error bound — while the window state per task is bounded
+# by one month of one column: THE 100 TB plan (shuffle on
+# (col_name, month), local sort, no global sort anywhere).
+# --------------------------------------------------------------------------
+_SORT_ADVISOR_RANGED_ORACLE = """
+    WITH s AS (
+      SELECT date_trunc('month', l_shipdate) AS rng,
+             l_orderkey, l_linenumber, l_shipdate,
+             l_suppkey, l_returnflag, 'l_shipdate' AS col_name,
+             CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS val
+      FROM lineitem
+      UNION ALL
+      SELECT date_trunc('month', l_shipdate), l_orderkey, l_linenumber,
+             l_shipdate, l_suppkey, l_returnflag, 'l_suppkey',
+             CAST(l_suppkey AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT date_trunc('month', l_shipdate), l_orderkey, l_linenumber,
+             l_shipdate, l_suppkey, l_returnflag, 'l_returnflag',
+             l_returnflag
+      FROM lineitem
+    ),
+    chg AS (
+      SELECT col_name, rng,
+             CASE WHEN LAG(val) OVER w IS NULL
+                       OR val <> LAG(val) OVER w THEN 1 ELSE 0 END AS c
+      FROM s
+      WINDOW w AS (PARTITION BY col_name, rng
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                            l_suppkey, l_returnflag)
+    )
+    SELECT col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT rng) AS BIGINT) AS n_ranges,
+           CAST(SUM(c) AS BIGINT) AS n_runs_ranged,
+           CAST(ROUND(COUNT(*) * 1000000.0 / SUM(c)) AS BIGINT)
+             AS avg_run_len_ppm
+    FROM chg GROUP BY col_name
+    ORDER BY col_name
+    """
+
+
+def sort_order_advisor_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-range-partition run statistics under the shipdate candidate
+    sort (see block comment: the production variant of
+    sort_order_advisor — bounded window state, no global sort)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate",
+        "l_suppkey", "l_returnflag",
+    )
+    stacked = li.select(
+        F.date_trunc("month", "l_shipdate").alias("rng"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "l_suppkey",
+        "l_returnflag",
+        F.expr(
+            "stack(3, "
+            "'l_shipdate', CAST(CAST(l_shipdate AS DATE) AS STRING), "
+            "'l_suppkey', CAST(l_suppkey AS STRING), "
+            "'l_returnflag', l_returnflag) AS (col_name, val)"
+        ),
+    )
+    w = Window.partitionBy("col_name", "rng").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_suppkey", "l_returnflag",
+    )
+    chg = F.when(
+        F.lag("val").over(w).isNull()
+        | (F.col("val") != F.lag("val").over(w)),
+        1,
+    ).otherwise(0)
+    return (
+        stacked.withColumn("c", chg)
+        .groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("rng").cast("bigint").alias("n_ranges"),
+            F.sum("c").cast("bigint").alias("n_runs_ranged"),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            "n_ranges",
+            "n_runs_ranged",
+            F.round(F.col("n_rows") * 1000000.0 / F.col("n_runs_ranged"))
+            .cast("bigint")
+            .alias("avg_run_len_ppm"),
+        )
+        .orderBy("col_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bucketed-join planning table (ROADMAP round-11 "Warehouse"): for the
+# lineitem JOIN orders equi-join on orderkey, per candidate bucket
+# count B — manifest arithmetic from per-bucket row stats, no join
+# execution. Bucket function is DEFINED as orderkey % B (Spark's
+# Murmur3 bucket hash has no DuckDB twin; modulo over a synthetic
+# monotonically-assigned key gives the same planning signal). Per B:
+# rows on each side, the largest single bucket on each side (the
+# slowest co-located join task), and skew ppm (max/avg). Reading:
+# pre-bucketing both tables at B removes BOTH per-join shuffles
+# (n_lineitem + n_orders rows every join); a too-small B gives fat
+# tasks (max_*_bucket), a too-large B gives small files — the sweep
+# shows the trade in one table.
+# Scale: two fact-scale aggregations per candidate (groupBy bucket),
+# done in ONE pass via a stacked candidate column; outputs are
+# domain-sized (|candidates| rows).
+# --------------------------------------------------------------------------
+_BUCKET_CANDIDATES = [8, 32, 128]
+
+_BUCKET_PLANNING_ORACLE = f"""
+    WITH cands AS (SELECT UNNEST([{", ".join(map(str, _BUCKET_CANDIDATES))}]) AS b),
+    lb AS (
+      SELECT c.b, l.l_orderkey % c.b AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem l CROSS JOIN cands c GROUP BY 1, 2
+    ),
+    ob AS (
+      SELECT c.b, o.o_orderkey % c.b AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders o CROSS JOIN cands c GROUP BY 1, 2
+    ),
+    ls AS (
+      SELECT b, CAST(SUM(n) AS BIGINT) AS li_rows,
+             CAST(MAX(n) AS BIGINT) AS max_li_bucket,
+             CAST(COUNT(*) AS BIGINT) AS li_buckets_used
+      FROM lb GROUP BY b
+    ),
+    os AS (
+      SELECT b, CAST(SUM(n) AS BIGINT) AS ord_rows,
+             CAST(MAX(n) AS BIGINT) AS max_ord_bucket
+      FROM ob GROUP BY b
+    )
+    SELECT CAST(ls.b AS BIGINT) AS bucket_count,
+           ls.li_rows, os.ord_rows,
+           ls.li_buckets_used,
+           ls.max_li_bucket, os.max_ord_bucket,
+           CAST(ROUND(ls.max_li_bucket * 1000000.0
+                      / (ls.li_rows / CAST(ls.b AS DOUBLE))) AS BIGINT)
+             AS li_skew_ppm,
+           ls.li_rows + os.ord_rows AS shuffle_rows_avoided
+    FROM ls JOIN os ON os.b = ls.b
+    ORDER BY bucket_count
+    """
+
+
+def bucketed_join_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate-bucket-count stats for the lineitem JOIN orders
+    key (see block comment). One pass per side: the candidate list is
+    exploded against each fact row, then a single groupBy computes
+    every candidate's bucket histogram."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey")
+    cand = F.array(*[F.lit(b) for b in _BUCKET_CANDIDATES])
+
+    def bucket_stats(df: DataFrame, key: str, prefix: str) -> DataFrame:
+        exploded = df.select(
+            F.col(key), F.explode(cand).alias("b")
+        ).select("b", (F.col(key) % F.col("b")).alias("bucket"))
+        per_bucket = exploded.groupBy("b", "bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        return per_bucket.groupBy("b").agg(
+            F.sum("n").cast("bigint").alias(f"{prefix}_rows"),
+            F.max("n").cast("bigint").alias(f"max_{prefix}_bucket"),
+            F.count(F.lit(1)).cast("bigint").alias(f"{prefix}_buckets_used"),
+        )
+
+    ls = bucket_stats(li, "l_orderkey", "li")
+    os_ = bucket_stats(od, "o_orderkey", "ord").drop("ord_buckets_used")
+    return (
+        ls.join(os_, "b")
+        .select(
+            F.col("b").cast("bigint").alias("bucket_count"),
+            "li_rows",
+            "ord_rows",
+            "li_buckets_used",
+            "max_li_bucket",
+            "max_ord_bucket",
+            F.round(
+                F.col("max_li_bucket")
+                * 1000000.0
+                / (F.col("li_rows") / F.col("b").cast("double"))
+            )
+            .cast("bigint")
+            .alias("li_skew_ppm"),
+            (F.col("li_rows") + F.col("ord_rows"))
+            .cast("bigint")
+            .alias("shuffle_rows_avoided"),
+        )
+        .orderBy("bucket_count")
+    )
+
+
+# --------------------------------------------------------------------------
+# Partition-size advisor (ROADMAP round-11 "Warehouse"): the
+# write-side sibling of sort_order_advisor — for each candidate
+# partition column of orders (month(o_orderdate), o_orderpriority,
+# o_orderstatus), the partition-count / size-distribution / skew table
+# that decides a partitionBy choice. small-partition flag = any
+# partition under _PART_MIN_ROWS (the small-file problem: at 100 TB a
+# partition under ~1 GB wastes open/seek overhead and metadata);
+# skew = max/avg ppm (a partition 10x the mean is the straggler task
+# and the compaction hotspot).
+# Scale: one stacked pass over orders -> (candidate, value) counts —
+# a single fact-scale shuffle on a domain-bounded key.
+# --------------------------------------------------------------------------
+_PART_MIN_ROWS = 200  # sf-fixture stand-in for the ~1 GB floor
+
+_PART_ADVISOR_ORACLE = f"""
+    WITH s AS (
+      SELECT 'month(o_orderdate)' AS candidate,
+             CAST(date_trunc('month', o_orderdate) AS VARCHAR) AS val
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus FROM orders
+    ),
+    per AS (
+      SELECT candidate, val, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s GROUP BY 1, 2
+    )
+    SELECT candidate,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(MIN(n) AS BIGINT) AS min_rows,
+           CAST(MAX(n) AS BIGINT) AS max_rows,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(count_if(n < {_PART_MIN_ROWS}) AS BIGINT)
+             AS n_small_partitions,
+           CAST(ROUND(MAX(n) * 1000000.0 / (SUM(n) / COUNT(*))) AS BIGINT)
+             AS skew_ppm,
+           count_if(n < {_PART_MIN_ROWS}) = 0
+             AND MAX(n) * 1.0 / (SUM(n) / COUNT(*)) < 3.0 AS recommend
+    FROM per GROUP BY candidate
+    ORDER BY candidate
+    """
+
+
+def partition_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-count / size / skew table per candidate partition
+    column of orders (see block comment)."""
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_orderpriority", "o_orderstatus"
+    )
+    stacked = od.select(
+        F.expr(
+            "stack(3, "
+            "'month(o_orderdate)', "
+            "CAST(date_trunc('month', o_orderdate) AS STRING), "
+            "'o_orderpriority', o_orderpriority, "
+            "'o_orderstatus', o_orderstatus) AS (candidate, val)"
+        )
+    )
+    per = stacked.groupBy("candidate", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    avg_rows = F.col("total_rows") / F.col("n_partitions")
+    return (
+        per.groupBy("candidate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+            F.min("n").cast("bigint").alias("min_rows"),
+            F.max("n").cast("bigint").alias("max_rows"),
+            F.sum("n").cast("bigint").alias("total_rows"),
+            F.sum((F.col("n") < _PART_MIN_ROWS).cast("long"))
+            .cast("bigint")
+            .alias("n_small_partitions"),
+        )
+        .select(
+            "candidate",
+            "n_partitions",
+            "min_rows",
+            "max_rows",
+            "total_rows",
+            "n_small_partitions",
+            F.round(F.col("max_rows") * 1000000.0 / avg_rows)
+            .cast("bigint")
+            .alias("skew_ppm"),
+            (
+                (F.col("n_small_partitions") == 0)
+                & (F.col("max_rows") / avg_rows < 3.0)
+            ).alias("recommend"),
+        )
+        .orderBy("candidate")
+    )
+
+
+ROUND11_STAGED: dict[str, tuple] = {
+    "sort_order_advisor_ranged": (
+        sort_order_advisor_ranged,
+        _SORT_ADVISOR_RANGED_ORACLE,
+    ),
+    "bucketed_join_planning": (
+        bucketed_join_planning,
+        _BUCKET_PLANNING_ORACLE,
+    ),
+    "partition_size_advisor": (
+        partition_size_advisor,
+        _PART_ADVISOR_ORACLE,
+    ),
+}

@@ -16,7 +16,14 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from bigdataentrytask_spark.operators.staging import STAGED
+from bigdataentrytask_spark.operators.staging import (
+    ROUND10_ACTIVATED,
+    STAGED as _PENDING,
+)
+
+# activated round-10 set + pending round-11 set — both go through the
+# same adversarial-input differential
+STAGED = {**ROUND10_ACTIVATED, **_PENDING}
 
 from .conftest import assert_matches_oracle
 

@@ -1,0 +1,209 @@
+"""Round-11 staged operators (VERDICT r9 item 6): implemented and
+differential-tested DURING round 10; zero registry delta until the
+round-11 boundary activates them (CONTRIBUTING.md §"Staging operators
+during a registry freeze" — the canonical procedure).
+
+Differentials go through DuckDB's PANDAS path with the dtype check
+(the preverify gate) so the HUGEINT class is covered before any op
+reaches the driver.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdataentrytask_spark.operators import REGISTRY, load_all
+from bigdataentrytask_spark.operators.staging import STAGED
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+load_all()
+
+STAGED_NAMES = sorted(STAGED)
+
+
+def test_round11_staged_not_registered():
+    """The stage-then-activate contract: pending ops contribute ZERO
+    registry delta until the round-11 boundary."""
+    assert len(STAGED) >= 10
+    for name in STAGED:
+        assert name not in REGISTRY
+
+
+def test_round11_staged_all_have_oracles():
+    for name, (fn, osql) in STAGED.items():
+        assert callable(fn) and isinstance(osql, str) and "SELECT" in osql
+        assert "{" not in osql, f"{name}: unexpanded template in oracle"
+
+
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_staged_matches_oracle(spark, duck, name):
+    fn, osql = STAGED[name]
+    assert_matches_oracle(fn(spark, SF_DIR), duck, osql, name)
+
+
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_staged_pandas_dtype_parity(spark, duck, name):
+    """The preverify gate: DuckDB's pandas fetch must not coerce an
+    integral column to float64 (HUGEINT fingerprint) while the Spark
+    side stays integral."""
+    fn, osql = STAGED[name]
+    spdf = fn(spark, SF_DIR).toPandas()
+    odf = duck.execute(osql).fetch_df()
+    assert sorted(spdf.columns) == sorted(odf.columns)
+    for c in odf.columns:
+        if spdf[c].dtype.kind in "iu":
+            assert odf[c].dtype.kind in "iu", (
+                f"{name}.{c}: oracle {odf[c].dtype} vs spark {spdf[c].dtype}"
+            )
+
+
+def test_substring_prod_equals_audit_twin(spark):
+    """The entire point of the production twin: the xxhash64 gram
+    payload reproduces the exact-gram answer bit-for-bit (collision-
+    free at audit scale by the 2^-64 argument in the block comment)."""
+    from bigdataentrytask_spark.operators.dedup import (
+        substring_dedup_audit,
+        substring_dedup_prod,
+    )
+
+    exact = substring_dedup_audit(spark, SF_DIR).toPandas()
+    prod = substring_dedup_prod(spark, SF_DIR).toPandas()
+    assert exact.equals(prod)
+
+
+def test_dedup_order_sensitivity_partition(spark):
+    fn, _ = STAGED["dedup_order_sensitivity"]
+    row = fn(spark, SF_DIR).toPandas().iloc[0]
+    assert row.n_keeper_same + row.n_keeper_diff == row.n_texts
+    assert row.n_dup_groups <= row.n_texts <= row.n_docs
+    # keepers can only differ inside duplicate groups
+    assert row.n_keeper_diff <= row.n_dup_groups
+
+
+def test_contamination_crosstab_invariants(spark):
+    fn, _ = STAGED["contamination_source_crosstab"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    # every surviving source appears with both eval sets
+    assert (pdf.groupby("source").size() == 2).all()
+    assert (pdf.n_contaminated <= pdf.n_docs).all()
+    assert (pdf.contamination_ppm <= 1_000_000).all()
+    flagged = pdf[pdf.exceeds_gate]
+    assert (flagged.contamination_ppm > 100_000).all()
+
+
+def test_asymmetric_beats_symmetric_here(spark):
+    """The asymmetric-distance observation (full-precision query vs
+    sign-bit corpus) must recover recall over symmetric Hamming on
+    this corpus — a sign flip means the corpus regen changed regime,
+    worth knowing (the residual_pq honest-pin pattern)."""
+    fn, _ = STAGED["asymmetric_binary_retrieval"]
+    row = fn(spark, SF_DIR).toPandas().iloc[0]
+    assert row.n_hits_asym >= row.n_hits_sym
+    assert row.n_hits_asym <= row.n_queries * 5
+    assert 0.0 <= row.recall_sym <= row.recall_asym <= 1.0
+
+
+def test_two_hop_curve_monotone(spark):
+    """Candidate supersets: volumes grow by construction, and recall
+    cannot drop (a candidate displacing a truth hit from the exact-
+    cosine top-5 must itself rank in the global top-5, i.e. be truth)."""
+    fn, _ = STAGED["two_hop_expansion_ceiling"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("stage")
+    a, b, c = (
+        pdf.loc["a_lsh"], pdf.loc["b_1hop"], pdf.loc["c_2hop"]
+    )
+    assert a.mean_candidates <= b.mean_candidates <= c.mean_candidates
+    assert a.n_hits <= b.n_hits <= c.n_hits
+    assert (pdf.n_hits <= pdf.n_queries * 5).all()
+
+
+def test_ranged_advisor_brackets_global(spark):
+    """The documented error bound: per-range run counts equal the
+    global count plus at most one extra run per range boundary."""
+    from bigdataentrytask_spark.operators.staging import ROUND10_ACTIVATED
+
+    g_fn, _ = ROUND10_ACTIVATED["sort_order_advisor"]
+    r_fn, _ = STAGED["sort_order_advisor_ranged"]
+    g = (
+        g_fn(spark, SF_DIR)
+        .toPandas()
+        .set_index(["ordering", "col_name"])
+        .loc["shipdate"]
+    )
+    r = r_fn(spark, SF_DIR).toPandas().set_index("col_name")
+    for col in r.index:
+        lo = g.loc[col, "n_runs"]
+        hi = lo + r.loc[col, "n_ranges"] - 1
+        assert lo <= r.loc[col, "n_runs_ranged"] <= hi, col
+
+
+def test_bucket_planning_invariants(spark):
+    fn, _ = STAGED["bucketed_join_planning"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert pdf.li_rows.nunique() == 1  # row counts don't depend on B
+    assert pdf.ord_rows.nunique() == 1
+    assert (pdf.li_buckets_used <= pdf.bucket_count).all()
+    # max bucket must cover at least the mean
+    assert (
+        pdf.max_li_bucket * pdf.bucket_count >= pdf.li_rows
+    ).all()
+    assert (pdf.li_skew_ppm >= 1_000_000).all()
+
+
+def test_partition_advisor_invariants(spark):
+    fn, _ = STAGED["partition_size_advisor"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("candidate")
+    assert pdf.total_rows.nunique() == 1
+    assert (pdf.min_rows <= pdf.max_rows).all()
+    assert (pdf.skew_ppm >= 1_000_000).all()
+    assert pdf.loc["o_orderpriority", "n_partitions"] == 5
+    assert pdf.loc["o_orderstatus", "n_partitions"] <= 3
+
+
+def test_intra_doc_repetition_invariants(spark):
+    fn, _ = STAGED["intra_doc_repetition_audit"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert (pdf.mean_rep_ppm <= pdf.max_rep_ppm).all()
+    assert (pdf.max_rep_ppm <= 1_000_000).all()
+    assert (pdf.n_flagged <= pdf.n_docs).all()
+
+
+def test_domain_mix_invariants(spark):
+    fn, _ = STAGED["domain_mix_planner"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert abs(pdf.token_share_ppm.sum() - 1_000_000) <= len(pdf)
+    assert (pdf.uniform_weight_ppm <= 4_000_000).all()
+    # clamped rows sit exactly at the ceiling
+    assert (
+        pdf[pdf.weight_clamped].uniform_weight_ppm == 4_000_000
+    ).all()
+
+
+def test_lateness_sweep_monotone(spark):
+    fn, _ = STAGED["allowed_lateness_sweep"]
+    pdf = fn(spark, SF_DIR).toPandas().sort_values("delay_us")
+    # drops fall and re-emits rise as the delay grows
+    assert pdf.n_dropped.is_monotonic_decreasing
+    assert pdf.n_late_kept.is_monotonic_increasing
+    z = pdf[pdf.delay_us == 0].iloc[0]
+    assert z.n_late_kept == 0 and z.n_windows_updated == 0
+    # every late-kept row lands in some window
+    late = pdf[pdf.n_late_kept > 0]
+    assert (late.n_windows_updated <= late.n_late_kept).all()
+    assert (late.n_windows_updated >= 1).all()
+    # conservation: dropped + late_kept = all late events, any delay
+    assert (pdf.n_dropped + pdf.n_late_kept == z.n_dropped).all()
+
+
+def test_pruning_curve_monotone(spark):
+    fn, _ = STAGED["quality_pruning_curve"]
+    pdf = fn(spark, SF_DIR).toPandas().sort_values("drop_frac_ppm")
+    assert pdf.n_docs_kept.is_monotonic_decreasing
+    assert pdf.tokens_kept.is_monotonic_decreasing
+    assert pdf.kept_score_e6.is_monotonic_decreasing
+    assert (pdf.token_retention_ppm <= 1_000_000).all()
+    # pruning by score keeps the BEST docs: kept mean score must not
+    # fall as the cut deepens
+    mean_score = pdf.kept_score_e6 / pdf.n_docs_kept
+    assert mean_score.is_monotonic_increasing
