@@ -1113,3 +1113,167 @@ def _register_quality_pruning_curve() -> dict[str, tuple]:
 # score"], which this module registers above — build the dict at the
 # END of the module so the reference is guaranteed present.
 ROUND11_STAGED: dict[str, tuple] = _register_quality_pruning_curve()
+
+
+# --------------------------------------------------------------------------
+# Threshold pruning — the PRODUCTION twin quality_pruning_curve's
+# scale contract names: instead of globally ranking every document
+# (a full sort), compute a score THRESHOLD per drop fraction with
+# percentile_approx (one mergeable-sketch pass) and keep score >=
+# threshold (one filter pass) — the only way a prune-to-budget gate
+# runs at 100 TB. Differential follows the column_quantile_sketch_gate
+# pattern: the sketch threshold itself has no cross-engine twin
+# (DuckDB has no GK/KLL with Spark's accuracy semantics), so the
+# oracle verifies (a) EXACT content — the exact discrete threshold
+# (first kept score at the exact rank cut) and its kept count, both
+# engines computing them independently — and (b) TRUE gates that the
+# sketch obeyed its documented rank contract (rank error <= n/ACC)
+# and that the sketch-kept count stays within the provable gap bound
+# of the exact cut (err*n + ties at both thresholds + 1 rounding).
+# The exact-rank columns are the AUDIT content; at production only
+# the sketch+filter path runs (no global sort anywhere).
+# --------------------------------------------------------------------------
+_THRESH_ACC = 100  # percentile_approx accuracy: rank err <= n/100
+
+
+def _register_quality_threshold_pruning() -> dict[str, tuple]:
+    from bigdataentrytask_spark.operators import ORACLES, REGISTRY, collect_bounded
+
+    oracle = f"""
+    WITH scored AS ({ORACLES["quality_classifier_score"]}),
+    ranked AS (
+      SELECT score,
+             ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn,
+             COUNT(*) OVER () AS n_total
+      FROM scored
+    ),
+    fr(drop_frac_ppm) AS (VALUES
+      {", ".join(f"({f})" for f in _PRUNE_FRACS_PPM)}
+    ),
+    cut AS (
+      SELECT fr.drop_frac_ppm, r.n_total,
+             MIN(CASE WHEN r.rn > FLOOR(r.n_total * fr.drop_frac_ppm
+                                        / 1000000.0)
+                      THEN r.score END) AS exact_thresh
+      FROM ranked r CROSS JOIN fr
+      GROUP BY fr.drop_frac_ppm, r.n_total
+    )
+    SELECT CAST(c.drop_frac_ppm AS BIGINT) AS drop_frac_ppm,
+           CAST(c.n_total AS BIGINT) AS n_total,
+           CAST(ROUND(c.exact_thresh * 1000000) AS BIGINT)
+             AS exact_thresh_e6,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ranked r2
+             WHERE r2.score >= c.exact_thresh) AS n_kept_exact,
+           TRUE AS sketch_rank_ok,
+           TRUE AS kept_gap_ok
+    FROM cut c
+    ORDER BY drop_frac_ppm
+    """
+
+    def quality_threshold_pruning(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Sketch-threshold prune gate (see block comment). The sketch
+        path is two passes (percentile_approx, then counting
+        aggregates); the exact-rank columns are audit content."""
+        from pyspark.sql import Window
+
+        scored = REGISTRY["quality_classifier_score"](spark, sf_dir).select(
+            "doc_id", "score"
+        )
+        fracs = [f / 1e6 for f in _PRUNE_FRACS_PPM]
+        # pass 1: the mergeable sketch (production)
+        row = collect_bounded(
+            scored.agg(
+                F.percentile_approx(
+                    "score", F.array(*[F.lit(f) for f in fracs]), _THRESH_ACC
+                ).alias("ts"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )[0]
+        thresholds, n_total = list(row.ts), int(row.n)
+        # audit side: exact discrete threshold at each exact rank cut
+        w = Window.orderBy("score", "doc_id")
+        ranked = scored.select(
+            "score", F.row_number().over(w).alias("rn")
+        )
+        err = -(-n_total // _THRESH_ACC)  # ceil(n/ACC)
+        # pass 2 (production + audit content): ONE counting aggregate
+        # computes every fraction's sketch-threshold counts AND the
+        # exact discrete thresholds — a per-fraction loop of collects
+        # ran 7 jobs where one suffices (5.7s -> ~1s at sf0.1)
+        drop_ns = {
+            f_ppm: (n_total * f_ppm) // 1_000_000
+            for f_ppm in _PRUNE_FRACS_PPM
+        }
+        aggs = []
+        for f_ppm, t in zip(_PRUNE_FRACS_PPM, thresholds):
+            aggs += [
+                F.sum((F.col("score") < t).cast("long")).alias(
+                    f"n_lt_{f_ppm}"
+                ),
+                F.sum((F.col("score") <= t).cast("long")).alias(
+                    f"n_le_{f_ppm}"
+                ),
+                F.sum((F.col("score") == t).cast("long")).alias(
+                    f"n_eq_{f_ppm}"
+                ),
+                F.min(
+                    F.when(F.col("rn") > drop_ns[f_ppm], F.col("score"))
+                ).alias(f"exact_t_{f_ppm}"),
+            ]
+        row2 = collect_bounded(ranked.agg(*aggs))[0]
+        # pass 3 (audit content): exact kept counts for all fractions
+        row3 = collect_bounded(
+            ranked.agg(
+                *[
+                    F.sum(
+                        (
+                            F.col("score")
+                            >= float(row2[f"exact_t_{f_ppm}"])
+                        ).cast("long")
+                    ).alias(f"k_{f_ppm}")
+                    for f_ppm in _PRUNE_FRACS_PPM
+                ]
+            )
+        )[0]
+        out_rows = []
+        for f_ppm, t in zip(_PRUNE_FRACS_PPM, thresholds):
+            n_lt = int(row2[f"n_lt_{f_ppm}"])
+            n_le = int(row2[f"n_le_{f_ppm}"])
+            n_eq = int(row2[f"n_eq_{f_ppm}"])
+            exact_t = float(row2[f"exact_t_{f_ppm}"])
+            n_kept_exact = int(row3[f"k_{f_ppm}"])
+            n_kept_sketch = n_total - n_lt
+            target = n_total * f_ppm / 1_000_000.0
+            rank_ok = n_lt <= target + err and n_le >= target - err
+            # ties at the exact threshold spill the exact kept count
+            # above the nominal cut (n_total - drop_n); they widen the
+            # provable gap the same way sketch-threshold ties (n_eq) do
+            exact_excess = n_kept_exact - (n_total - drop_ns[f_ppm])
+            gap_ok = abs(n_kept_sketch - n_kept_exact) <= (
+                err + n_eq + exact_excess + 1
+            )
+            out_rows.append(
+                (
+                    f_ppm,
+                    n_total,
+                    int(round(exact_t * 1_000_000)),
+                    n_kept_exact,
+                    bool(rank_ok),
+                    bool(gap_ok),
+                )
+            )
+        return spark.createDataFrame(
+            out_rows,
+            "drop_frac_ppm long, n_total long, exact_thresh_e6 long, "
+            "n_kept_exact long, sketch_rank_ok boolean, "
+            "kept_gap_ok boolean",
+        ).orderBy("drop_frac_ppm")
+
+    return {
+        "quality_threshold_pruning": (quality_threshold_pruning, oracle)
+    }
+
+
+ROUND11_STAGED.update(_register_quality_threshold_pruning())

@@ -4488,6 +4488,16 @@ ROUND10_STAGED["binary_quantization_recall"] = (
 # tie-breaks (matryoshka pattern — one double division per ranked
 # pair). Audit-scale: the graph build is the full quadratic, same
 # contract as mutual_knn_symmetry.
+#
+# Plan posture (PLANS.md: 18 exchanges — above the registry norm but
+# each runs ONCE on a bounded frame): the declared-quadratic graph
+# build, the LSH candidate derivation, the two-stage dot/rank pass,
+# and the composed knn_bruteforce truth. The round-11 staged sibling
+# two_hop_expansion_ceiling scores the superset pairs once and ranks
+# every nested stage in one window (the tighter form); this op keeps
+# its original two-stage shape — it is green-on-file and its extra
+# cost is one dot pass over the a-stage subset, dominated by the
+# declared-quadratic graph build either way.
 # --------------------------------------------------------------------------
 _GEXP_M = 4
 
@@ -4901,6 +4911,16 @@ def asymmetric_binary_retrieval(
 # (quadratic graph build bounded by the 500-vector corpus; rankings
 # on exact grid-integer dots with the cc=0 sentinel guard; candidate
 # sets from the shared bit-identical LSH codes).
+#
+# Plan posture (staged audit, round 10): ~19 exchanges — high for the
+# registry but each runs ONCE on a bounded frame: the declared-
+# quadratic graph build (~5), the LSH candidate derivation, three
+# materialized domain-sized frontiers, ONE superset dot-product pass,
+# ONE rank window (three per-stage ranks as running membership sums —
+# the nesting trick), and the composed knn_bruteforce truth. A lazy
+# first cut re-derived the graph per expansion stage and audited at
+# 44 exchanges; a per-stage window version audited at 24 with 3x the
+# ranked row volume.
 # --------------------------------------------------------------------------
 _TWO_HOP_ORACLE = f"""
     WITH {{SQL_PLANES}},
@@ -5005,8 +5025,12 @@ _TWO_HOP_ORACLE = f"""
 def two_hop_expansion_ceiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH -> +1-hop -> +2-hop candidate volume / recall curve (see
     staged block comment). The dims frame feeds the graph build, the
-    norms, and both dot sides -> with_persisted + materialize (the
-    graph_expansion_recall pattern)."""
+    norms, and both dot sides -> with_persisted; the kNN graph and the
+    frontiers are MATERIALIZED (domain-sized: n*M edges, <= n*queries
+    candidate rows) so the quadratic graph build runs exactly once —
+    left lazy, every expansion stage and the stages union re-derive it
+    and the plan snowballs to 40+ exchanges (caught by the staged plan
+    audit, round 10)."""
     from bigdataentrytask_spark.operators import materialize, with_persisted
 
     e = _emb(spark, sf_dir)
@@ -5048,11 +5072,12 @@ def two_hop_expansion_ceiling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(diff * diff).cast("bigint").alias("dd"))
         )
         wg = Window.partitionBy("src").orderBy("dd", "dst")
-        g = (
+        g = materialize(
             gd.withColumn("rn", F.row_number().over(wg))
             .filter(F.col("rn") <= _GEXP_M)
             .select("src", "dst")
         )
+        cand = materialize(cand)
 
         def expand(frontier: DataFrame) -> DataFrame:
             return (
@@ -5062,26 +5087,20 @@ def two_hop_expansion_ceiling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .distinct()
             )
 
-        front1 = cand.unionByName(expand(cand)).distinct()
+        front1 = materialize(cand.unionByName(expand(cand)).distinct())
         hop2 = expand(front1)
-        stages = (
-            cand.select(F.lit("a_lsh").alias("stage"), "query_id", "neighbor_id")
-            .unionByName(
-                front1.select(
-                    F.lit("b_1hop").alias("stage"), "query_id", "neighbor_id"
-                )
-            )
-            .unionByName(
-                front1.select(
-                    F.lit("c_2hop").alias("stage"), "query_id", "neighbor_id"
-                )
-            )
-            .unionByName(
-                hop2.select(
-                    F.lit("c_2hop").alias("stage"), "query_id", "neighbor_id"
-                )
-            )
-            .distinct()
+        # stage candidate sets NEST (a ⊆ b ⊆ c), so the expensive part
+        # — the exact dot products — is computed ONCE over the c-stage
+        # superset and each stage ranks its membership subset via
+        # boolean flags (the matryoshka single-pass lesson: a
+        # per-stage dot recompute tripled the (query, neighbor)
+        # aggregation for identical pairs).
+        pairs_c = materialize(front1.unionByName(hop2).distinct())
+        in_a = cand.select(
+            "query_id", "neighbor_id", F.lit(1).alias("flag_a")
+        )
+        in_b = front1.select(
+            "query_id", "neighbor_id", F.lit(1).alias("flag_b")
         )
         pn = dims_p.groupBy("vec_id").agg(
             F.sum(F.col("xi") * F.col("xi")).cast("double").alias("cc")
@@ -5095,31 +5114,63 @@ def two_hop_expansion_ceiling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("xi").alias("ni"),
         )
         dotg = (
-            stages.join(dq, "query_id")
+            pairs_c.join(dq, "query_id")
             .join(
                 dn,
                 (F.col("pos_n") == F.col("pos"))
                 & (F.col("nb") == F.col("neighbor_id")),
             )
-            .groupBy("stage", "query_id", "neighbor_id")
+            .groupBy("query_id", "neighbor_id")
             .agg(F.sum(F.col("qi") * F.col("ni")).cast("double").alias("dot"))
         )
-        wr = Window.partitionBy("stage", "query_id").orderBy(
-            F.when(F.col("cc") == 0, F.lit(-2.0))
-            .otherwise(F.col("dot") / F.sqrt("cc"))
-            .desc(),
-            "neighbor_id",
-        )
-        ranked = (
+        scored = (
             dotg.join(pn.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
-            .withColumn("rnk", F.row_number().over(wr))
-            .filter(F.col("rnk") <= TOP_K)
+            .join(F.broadcast(in_a), ["query_id", "neighbor_id"], "left")
+            .join(F.broadcast(in_b), ["query_id", "neighbor_id"], "left")
+            .withColumn(
+                "sim",
+                F.when(F.col("cc") == 0, F.lit(-2.0)).otherwise(
+                    F.col("dot") / F.sqrt("cc")
+                ),
+            )
         )
         truth = knn_bruteforce(spark, sf_dir).select(
             "query_id", "neighbor_id", F.lit(1).alias("is_true")
         )
-        vol = stages.groupBy("stage").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+
+        # ONE window ranks all three stages: because the sets nest, a
+        # row's rank WITHIN stage s is the running count of s-members
+        # at or above it in the shared (sim DESC, neighbor_id) order —
+        # three running sums over one window spec instead of three
+        # windows over three filtered frames.
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), "neighbor_id"
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        flagged = scored.select(
+            "query_id",
+            "neighbor_id",
+            (F.sum(F.coalesce("flag_a", F.lit(0))).over(w)).alias("rnk_a"),
+            (F.sum(F.coalesce("flag_b", F.lit(0))).over(w)).alias("rnk_b"),
+            F.count(F.lit(1)).over(w).alias("rnk_c"),
+            F.coalesce("flag_a", F.lit(0)).alias("fa"),
+            F.coalesce("flag_b", F.lit(0)).alias("fb"),
+        )
+        ranked = flagged.select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                f"stack(3, "
+                f"'a_lsh',  fa = 1 AND rnk_a <= {TOP_K}, "
+                f"'b_1hop', fb = 1 AND rnk_b <= {TOP_K}, "
+                f"'c_2hop', rnk_c <= {TOP_K}) AS (stage, in_top)"
+            ),
+        ).filter(F.col("in_top")).select("stage", "query_id", "neighbor_id")
+        vol = (
+            cand.select(F.lit("a_lsh").alias("stage"))
+            .unionByName(front1.select(F.lit("b_1hop").alias("stage")))
+            .unionByName(pairs_c.select(F.lit("c_2hop").alias("stage")))
+            .groupBy("stage")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
         )
         hits = (
             ranked.join(truth, ["query_id", "neighbor_id"], "left")

@@ -207,3 +207,20 @@ def test_pruning_curve_monotone(spark):
     # fall as the cut deepens
     mean_score = pdf.kept_score_e6 / pdf.n_docs_kept
     assert mean_score.is_monotonic_increasing
+
+
+def test_threshold_pruning_gates_and_consistency(spark, duck):
+    """The sketch gate booleans must be TRUE (contract held) and the
+    exact columns must agree with the exact curve: the exact kept
+    count at cut f can exceed the nominal cut only by threshold
+    ties."""
+    fn, _ = STAGED["quality_threshold_pruning"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("drop_frac_ppm")
+    assert pdf.sketch_rank_ok.all() and pdf.kept_gap_ok.all()
+    curve_fn, _ = STAGED["quality_pruning_curve"]
+    curve = curve_fn(spark, SF_DIR).toPandas().set_index("drop_frac_ppm")
+    for f in pdf.index:
+        nominal = pdf.loc[f, "n_total"] - (pdf.loc[f, "n_total"] * f) // 1_000_000
+        assert pdf.loc[f, "n_kept_exact"] >= nominal
+        # the rank-based curve keeps EXACTLY the nominal count
+        assert curve.loc[f, "n_docs_kept"] == nominal
