@@ -2549,3 +2549,131 @@ ROUND11_STAGED: dict[str, tuple] = {
         _CONTAM_CROSSTAB_ORACLE,
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplicate flow (ROADMAP round-12, pulled forward):
+# for every unordered source pair, how many DISTINCT aligned
+# fixed-width text chunks appear in both — the mirror/scraper/
+# boilerplate-flow census that tells a curation team which sources
+# copy from which (and therefore which pair's overlap should be
+# deduplicated by priority rather than rediscovered per run). Chunk
+# granularity (the chunk_dedup_corpus contract, W=100 aligned
+# windows) rather than whole-text equality: partial copying and
+# shared boilerplate flow between sources long before full documents
+# do (whole-text overlap is literally ZERO on the sf0.01 fixture
+# while chunk overlap spans 22 source pairs — the driver row must
+# carry content).
+# Output per (src_lo, src_hi): shared distinct chunks and the overlap
+# share relative to the smaller side's distinct-chunk count (ppm).
+# Scale: one (chunk, source) distinct shuffle, then pairs are emitted
+# per chunk from its distinct source SET via a bounded in-JVM
+# combination expand (sources per chunk <= |sources| = 20, so at most
+# C(20,2) rows per chunk — no chunk-to-chunk join, no all-pairs
+# anywhere). At 100 TB group on xxhash64(chunk) (the
+# substring_dedup_prod payload contract).
+# --------------------------------------------------------------------------
+_XSRC_W = 100
+
+_XSRC_FLOW_ORACLE = f"""
+    WITH ch AS (
+      SELECT DISTINCT source,
+             substr(text, (u.i - 1) * {_XSRC_W} + 1, {_XSRC_W}) AS chunk
+      FROM documents
+      CROSS JOIN UNNEST(range(1,
+        CAST(ceil(length(text) * 1.0 / {_XSRC_W}) AS BIGINT) + 1)) u(i)
+      WHERE length(substr(text, (u.i - 1) * {_XSRC_W} + 1, {_XSRC_W}))
+            = {_XSRC_W}
+    ),
+    per_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks
+      FROM ch GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.chunk, a.source AS src_lo, b.source AS src_hi
+      FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.source < b.source
+    )
+    SELECT p.src_lo, p.src_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_chunks,
+           CAST(ROUND(COUNT(*) * 1000000.0 /
+                      LEAST(sl.n_chunks, sh.n_chunks)) AS BIGINT)
+             AS overlap_ppm_of_smaller
+    FROM pairs p
+    JOIN per_src sl ON sl.source = p.src_lo
+    JOIN per_src sh ON sh.source = p.src_hi
+    GROUP BY p.src_lo, p.src_hi, sl.n_chunks, sh.n_chunks
+    ORDER BY src_lo, src_hi
+    """
+
+
+def cross_source_duplicate_flow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(src_lo, src_hi) shared-chunk flow census (see block comment).
+    Pairs come from each chunk\'s distinct-source ARRAY via a bounded
+    combination expand — one chunk-keyed shuffle, never a chunk-to-
+    chunk join."""
+    W = _XSRC_W
+    docs = _docs(spark, sf_dir).select("text", "source")
+    # parallelism before the chunk explode (the substring_dedup
+    # single-split lesson)
+    pre = docs.repartition(spark.sparkContext.defaultParallelism)
+    ch = (
+        pre.select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, CAST(ceil(length(text) / {W}.0)"
+                    f" AS INT)), i -> substring(text, (i-1)*{W}+1, {W}))"
+                )
+            ).alias("chunk"),
+        )
+        .filter(F.length("chunk") == W)
+        .distinct()
+    )
+    per_src = ch.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    per_chunk = ch.groupBy("chunk").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    ).filter(F.size("srcs") >= 2)
+    pairs = per_chunk.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (a, i) -> "
+                "transform(slice(srcs, i + 2, size(srcs)), "
+                "b -> struct(a AS src_lo, b AS src_hi))))"
+            )
+        ).alias("p")
+    ).select("p.src_lo", "p.src_hi")
+    lo = per_src.select(
+        F.col("source").alias("src_lo"), F.col("n_chunks").alias("c_lo")
+    )
+    hi = per_src.select(
+        F.col("source").alias("src_hi"), F.col("n_chunks").alias("c_hi")
+    )
+    return (
+        pairs.groupBy("src_lo", "src_hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_chunks"))
+        .join(F.broadcast(lo), "src_lo")
+        .join(F.broadcast(hi), "src_hi")
+        .select(
+            "src_lo",
+            "src_hi",
+            "n_shared_chunks",
+            F.round(
+                F.col("n_shared_chunks")
+                * 1000000.0
+                / F.least("c_lo", "c_hi")
+            )
+            .cast("bigint")
+            .alias("overlap_ppm_of_smaller"),
+        )
+        .orderBy("src_lo", "src_hi")
+    )
+
+
+ROUND11_STAGED["cross_source_duplicate_flow"] = (
+    cross_source_duplicate_flow,
+    _XSRC_FLOW_ORACLE,
+)

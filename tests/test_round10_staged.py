@@ -224,3 +224,12 @@ def test_threshold_pruning_gates_and_consistency(spark, duck):
         assert pdf.loc[f, "n_kept_exact"] >= nominal
         # the rank-based curve keeps EXACTLY the nominal count
         assert curve.loc[f, "n_docs_kept"] == nominal
+
+
+def test_cross_source_flow_invariants(spark):
+    fn, _ = STAGED["cross_source_duplicate_flow"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert len(pdf) > 0  # chunk granularity must carry content at sf0.01
+    assert (pdf.src_lo < pdf.src_hi).all()
+    assert (pdf.n_shared_chunks >= 1).all()
+    assert (pdf.overlap_ppm_of_smaller <= 1_000_000).all()
