@@ -5210,3 +5210,78 @@ ROUND11_STAGED: dict[str, tuple] = {
         .replace("{KNN_TRUTH}", _ORACLES["knn_bruteforce"]),
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# Quantization pareto table (ROADMAP round-12, pulled forward): the
+# serving-config decision table — bytes per vector vs recall@5 —
+# assembled from the verified quantization family on ONE axis:
+# float32 prefixes (matryoshka d=8/16/32 -> 32/64/128 B), sign-bit
+# symmetric Hamming (8 B), sign-bit asymmetric scoring (8 B, the
+# query stays full precision), and the full-precision anchor
+# (256 B, recall 1.0 against itself by definition). A platform reads
+# this row set to pick an index layout; every recall number is the
+# SAME differential-verified computation its source operator runs
+# (the oracle composes those oracles verbatim).
+# Scale: pure composition — each source op's audit contract applies;
+# the assembly itself is a unionByName of one-row/three-row frames.
+# --------------------------------------------------------------------------
+def _pareto_oracle() -> str:
+    asym = _ASYM_BINQ_ORACLE.replace(
+        "{KNN_TRUTH}", _ORACLES["knn_bruteforce"]
+    )
+    matry = _MATRYOSHKA_ORACLE.replace(
+        "{KNN_TRUTH}", _ORACLES["knn_bruteforce"]
+    )
+    return f"""
+    WITH m AS ({matry}), a AS ({asym})
+    SELECT config, bytes_per_vec, recall_at_5 FROM (
+      SELECT 'a_full_f32' AS config, CAST(256 AS BIGINT) AS bytes_per_vec,
+             CAST(1.0 AS DOUBLE) AS recall_at_5
+      UNION ALL
+      SELECT 'b_matryoshka_d' || CAST(d_prefix AS VARCHAR),
+             CAST(d_prefix * 4 AS BIGINT), recall_at_5
+      FROM m
+      UNION ALL
+      SELECT 'c_binary_asym', CAST(8 AS BIGINT), recall_asym FROM a
+      UNION ALL
+      SELECT 'd_binary_sym', CAST(8 AS BIGINT), recall_sym FROM a
+    ) ORDER BY config
+    """
+
+
+def quantization_pareto_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bytes/vector vs recall@5 across the verified quantization
+    family (see block comment)."""
+    m = matryoshka_recall_sweep(spark, sf_dir).select(
+        F.concat(
+            F.lit("b_matryoshka_d"), F.col("d_prefix").cast("string")
+        ).alias("config"),
+        (F.col("d_prefix") * 4).cast("bigint").alias("bytes_per_vec"),
+        "recall_at_5",
+    )
+    a = asymmetric_binary_retrieval(spark, sf_dir)
+    asym = a.select(
+        F.lit("c_binary_asym").alias("config"),
+        F.lit(8).cast("bigint").alias("bytes_per_vec"),
+        F.col("recall_asym").alias("recall_at_5"),
+    )
+    sym = a.select(
+        F.lit("d_binary_sym").alias("config"),
+        F.lit(8).cast("bigint").alias("bytes_per_vec"),
+        F.col("recall_sym").alias("recall_at_5"),
+    )
+    anchor = spark.createDataFrame(
+        [("a_full_f32", 256, 1.0)],
+        "config string, bytes_per_vec long, recall_at_5 double",
+    )
+    return (
+        anchor.unionByName(m).unionByName(asym).unionByName(sym)
+        .orderBy("config")
+    )
+
+
+ROUND11_STAGED["quantization_pareto_table"] = (
+    quantization_pareto_table,
+    _pareto_oracle(),
+)

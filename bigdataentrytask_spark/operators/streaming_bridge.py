@@ -1287,3 +1287,135 @@ ROUND11_STAGED: dict[str, tuple] = {
         _LATENESS_SWEEP_ORACLE,
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# Trigger x lateness joint cost (ROADMAP round-12, pulled forward):
+# the two per-axis advisors (trigger_interval_advisor,
+# allowed_lateness_sweep) bound update-mode churn separately; this
+# table counts the ACTUAL re-emissions for each (trigger, delay)
+# candidate. In update mode a minute window writes once per
+# micro-batch in which it receives any surviving row, so with
+# batch := the running event-time FRONT (arrival order = event_id,
+# the module's deterministic processing-order proxy) truncated to the
+# trigger interval:
+#   total_emits = COUNT(DISTINCT (batch, window)) over kept rows,
+#   re_emits    = total_emits - n_windows  (every window fires once),
+#   write_amp   = total_emits / n_windows  (the sink's churn factor).
+# Longer triggers batch late rows into fewer re-fires; longer delays
+# keep more late rows alive to re-fire at all — the joint table is
+# where the two knobs trade off.
+# Scale: the front is the same per-shard prefix computation as
+# watermark_lag_histogram; one stacked pass over (trigger x delay)
+# candidates, two domain-bounded distinct aggregations.
+# --------------------------------------------------------------------------
+_JOINT_TRIGGERS_S = [60, 300]
+_JOINT_DELAYS_US = [("a_0s", 0), ("b_5s", 5_000_000), ("c_30s", 30_000_000)]
+
+_TRIGGER_LATENESS_ORACLE = f"""
+    WITH lagged AS (
+      SELECT event_id, ts,
+             date_trunc('minute', ts) AS win,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS front
+      FROM events
+    ),
+    tr(trigger_s) AS (VALUES {", ".join(f"({t})" for t in _JOINT_TRIGGERS_S)}),
+    dl(delay_label, delay_us) AS (VALUES
+      {", ".join(f"('{lbl}', {us})" for lbl, us in _JOINT_DELAYS_US)}
+    ),
+    kept AS (
+      SELECT tr.trigger_s, dl.delay_label, dl.delay_us,
+             CAST(FLOOR(epoch(l.front) / tr.trigger_s) AS BIGINT) AS b,
+             l.win
+      FROM lagged l CROSS JOIN tr CROSS JOIN dl
+      WHERE epoch_us(l.front) - epoch_us(l.ts) <= dl.delay_us
+    ),
+    emits AS (
+      SELECT trigger_s, delay_label, delay_us,
+             CAST(COUNT(DISTINCT (b, win)) AS BIGINT) AS total_emits,
+             CAST(COUNT(DISTINCT win) AS BIGINT) AS n_windows,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY 1, 2, 3
+    )
+    SELECT CAST(trigger_s AS BIGINT) AS trigger_s,
+           delay_label,
+           n_kept, n_windows, total_emits,
+           total_emits - n_windows AS re_emits,
+           CAST(ROUND(total_emits * 1000000.0 / n_windows) AS BIGINT)
+             AS write_amp_ppm
+    FROM emits
+    ORDER BY trigger_s, delay_label
+    """
+
+
+def trigger_lateness_joint_cost(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Update-mode re-emission count per (trigger, delay) candidate
+    (see block comment)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lagged = ev.select(
+        "ts",
+        F.date_trunc("minute", "ts").alias("win"),
+        F.max("ts").over(w).alias("front"),
+    )
+    tr = spark.createDataFrame(
+        [(t,) for t in _JOINT_TRIGGERS_S], "trigger_s long"
+    )
+    dl = spark.createDataFrame(
+        _JOINT_DELAYS_US, "delay_label string, delay_us long"
+    )
+    kept = (
+        lagged.crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(dl))
+        .filter(
+            F.unix_micros(F.col("front")) - F.unix_micros(F.col("ts"))
+            <= F.col("delay_us")
+        )
+        .select(
+            "trigger_s",
+            "delay_label",
+            F.floor(
+                F.unix_seconds(F.col("front")) / F.col("trigger_s")
+            ).alias("b"),
+            "win",
+        )
+    )
+    emits = kept.groupBy("trigger_s", "delay_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.count_distinct("win").cast("bigint").alias("n_windows"),
+        F.count_distinct("b", "win").cast("bigint").alias("total_emits"),
+    )
+    return (
+        emits.select(
+            F.col("trigger_s").cast("bigint").alias("trigger_s"),
+            "delay_label",
+            "n_kept",
+            "n_windows",
+            "total_emits",
+            (F.col("total_emits") - F.col("n_windows"))
+            .cast("bigint")
+            .alias("re_emits"),
+            F.round(
+                F.col("total_emits") * 1000000.0 / F.col("n_windows")
+            )
+            .cast("bigint")
+            .alias("write_amp_ppm"),
+        )
+        .orderBy("trigger_s", "delay_label")
+    )
+
+
+ROUND11_STAGED["trigger_lateness_joint_cost"] = (
+    trigger_lateness_joint_cost,
+    _TRIGGER_LATENESS_ORACLE,
+)

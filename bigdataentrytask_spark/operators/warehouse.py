@@ -4344,3 +4344,110 @@ ROUND11_STAGED: dict[str, tuple] = {
         _PART_ADVISOR_ORACLE,
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# Compaction planner (ROADMAP round-12, pulled forward):
+# partition_size_advisor says WHICH partitioning has a small-file
+# problem; this emits the actual merge schedule for the
+# month(o_orderdate) layout — which adjacent months coalesce into
+# which output file so every file meets the size floor. The
+# assignment rule is DEFINED (not a heuristic solver): walk months in
+# calendar order and assign each to group FLOOR(rows_before / TARGET)
+# — the prefix-sum bin-packing every compaction job can reproduce
+# deterministically and incrementally (a new month only ever appends
+# to the last group). Adjacency preserved -> month-range pruning
+# still works on the compacted files.
+# Scale: one month-domain aggregation + one window over ~|months|
+# rows. TARGET is the fixture stand-in for the ~1 GB file target.
+# --------------------------------------------------------------------------
+_COMPACT_TARGET_ROWS = 400
+
+_COMPACTION_ORACLE = f"""
+    WITH per AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT m, n,
+             COALESCE(SUM(n) OVER (ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM per
+    ),
+    grouped AS (
+      SELECT CAST(FLOOR(before / {_COMPACT_TARGET_ROWS}) AS BIGINT)
+               AS group_id,
+             m, n, before
+      FROM cum
+    )
+    SELECT group_id,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(strftime(MIN(m), '%Y-%m') AS VARCHAR) AS first_month,
+           CAST(strftime(MAX(m), '%Y-%m') AS VARCHAR) AS last_month,
+           SUM(n) < {_COMPACT_TARGET_ROWS} AS under_target,
+           MIN(before) > group_id * {_COMPACT_TARGET_ROWS}
+             AS spans_from_prev
+    FROM grouped
+    GROUP BY group_id
+    ORDER BY group_id
+    """
+
+
+def compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge schedule for the month(o_orderdate) partitioning (see
+    block comment: deterministic prefix-sum bin-packing)."""
+    od = _t(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    )
+    per = od.groupBy("m").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = (
+        Window.orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per.select(
+        "m", "n", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("before")
+    )
+    grouped = cum.select(
+        F.floor(F.col("before") / _COMPACT_TARGET_ROWS)
+        .cast("bigint")
+        .alias("group_id"),
+        "m",
+        "n",
+        "before",
+    )
+    # under_target marks groups below the file floor; spans_from_prev
+    # explains WHY (an oversized month overshot this bucket's range —
+    # the floor rule's only under-fill mode, pinned by test): the
+    # compaction job merges those two flags' groups with a neighbor.
+    return (
+        grouped.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.date_format(F.min("m"), "yyyy-MM").alias("first_month"),
+            F.date_format(F.max("m"), "yyyy-MM").alias("last_month"),
+            F.min("before").alias("start_before"),
+        )
+        .select(
+            "group_id",
+            "n_partitions",
+            "n_rows",
+            "first_month",
+            "last_month",
+            (F.col("n_rows") < _COMPACT_TARGET_ROWS).alias("under_target"),
+            (
+                F.col("start_before")
+                > F.col("group_id") * _COMPACT_TARGET_ROWS
+            ).alias("spans_from_prev"),
+        )
+        .orderBy("group_id")
+    )
+
+
+ROUND11_STAGED["compaction_planner"] = (
+    compaction_planner,
+    _COMPACTION_ORACLE,
+)

@@ -233,3 +233,68 @@ def test_cross_source_flow_invariants(spark):
     assert (pdf.src_lo < pdf.src_hi).all()
     assert (pdf.n_shared_chunks >= 1).all()
     assert (pdf.overlap_ppm_of_smaller <= 1_000_000).all()
+
+
+def test_trigger_lateness_joint_invariants(spark):
+    fn, _ = STAGED["trigger_lateness_joint_cost"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert (pdf.total_emits >= pdf.n_windows).all()
+    assert (pdf.re_emits == pdf.total_emits - pdf.n_windows).all()
+    # zero allowed lateness -> in-order-front rows only; a window can
+    # still span trigger batches, but emits can never exceed kept rows
+    assert (pdf.total_emits <= pdf.n_kept).all()
+    # longer trigger batches late rows into fewer or equal re-fires
+    for lbl in pdf.delay_label.unique():
+        sub = pdf[pdf.delay_label == lbl].sort_values("trigger_s")
+        assert sub.re_emits.is_monotonic_decreasing or (
+            sub.re_emits.iloc[0] == sub.re_emits.iloc[-1]
+        )
+    # longer delay keeps more rows
+    for t in pdf.trigger_s.unique():
+        sub = pdf[pdf.trigger_s == t].sort_values("delay_label")
+        assert sub.n_kept.is_monotonic_increasing
+
+
+def test_compaction_planner_invariants(spark, duck):
+    fn, _ = STAGED["compaction_planner"]
+    pdf = fn(spark, SF_DIR).toPandas().sort_values("group_id").reset_index(
+        drop=True
+    )
+    # the floor rule's only under-fill mode: a group below the file
+    # floor must either follow an oversized month's overshoot
+    # (spans_from_prev) or be the final group
+    under = pdf[pdf.under_target]
+    last_gid = pdf.group_id.iloc[-1]
+    assert (
+        under.spans_from_prev | (under.group_id == last_gid)
+    ).all()
+    # adjacency: group month ranges must not interleave
+    assert (
+        pdf.last_month.iloc[:-1].values <= pdf.first_month.iloc[1:].values
+    ).all()
+    # conservation vs the raw table
+    total = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    assert pdf.n_rows.sum() == total
+
+
+def test_pareto_table_consistency(spark):
+    """The pareto rows must equal their source operators' numbers and
+    be self-consistent (the full-precision anchor dominates)."""
+    fn, _ = STAGED["quantization_pareto_table"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("config")
+    assert pdf.loc["a_full_f32", "recall_at_5"] == 1.0
+    assert (pdf.recall_at_5 <= 1.0).all()
+    # asymmetric scoring beats symmetric at identical bytes
+    assert (
+        pdf.loc["c_binary_asym", "recall_at_5"]
+        >= pdf.loc["d_binary_sym", "recall_at_5"]
+    )
+    m_fn, _ = STAGED["matryoshka_recall_sweep"] if "matryoshka_recall_sweep" in STAGED else (None, None)
+    from bigdataentrytask_spark.operators.staging import ROUND10_ACTIVATED
+    m_fn, _ = ROUND10_ACTIVATED["matryoshka_recall_sweep"]
+    m = m_fn(spark, SF_DIR).toPandas().set_index("d_prefix")
+    for d in (8, 16, 32):
+        assert (
+            pdf.loc[f"b_matryoshka_d{d}", "recall_at_5"]
+            == m.loc[d, "recall_at_5"]
+        )
