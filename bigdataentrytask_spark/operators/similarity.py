@@ -5285,3 +5285,242 @@ ROUND11_STAGED["quantization_pareto_table"] = (
     quantization_pareto_table,
     _pareto_oracle(),
 )
+
+
+# --------------------------------------------------------------------------
+# Multiprobe schedule advisor (ROADMAP round-12, pulled forward): the
+# probe/recall dial behind knn_lsh_multiprobe, emitted as the
+# schedule a query planner reads — per probe radius r (hamming
+# distance between sign codes, r = 0/1/2): mean candidate volume and
+# recall@5 against the brute-force truth. Radius-r candidate sets
+# NEST (r=0 ⊆ r<=1 ⊆ r<=2), so the exact dots are computed ONCE over
+# the r<=2 superset and each radius ranks its membership subset via
+# running sums in ONE window (the two_hop_expansion_ceiling pattern).
+# Per-pair membership comes from d_min = MIN over tables of
+# bit_count(code_q XOR code_c) — bit-identical across engines via the
+# shared hyperplane constants.
+# Scale: the (query x corpus x table) code join is N_QUERIES-bounded
+# on the probe side (the corpus side carries one row per (vector,
+# table), the knn_lsh_multiprobe posture); dots follow the audit
+# contract of the other recall sweeps.
+# --------------------------------------------------------------------------
+_PROBE_RADII = [0, 1, 2]
+
+_PROBE_SCHEDULE_ORACLE = f"""
+    WITH {{SQL_PLANES}},
+    {{SQL_CODES}},
+    dmin AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             MIN(bit_count(xor(q.code, c.code))) AS d_min
+      FROM codes q JOIN codes c ON q.t = c.t AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY 1, 2
+    ),
+    cand AS (SELECT * FROM dmin WHERE d_min <= {max(_PROBE_RADII)}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    dims AS (
+      SELECT vec_id, generate_subscripts(e, 1) AS pos,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+      FROM v
+    ),
+    pn AS (
+      SELECT vec_id, CAST(SUM(xi * xi) AS DOUBLE) AS cc
+      FROM dims GROUP BY 1
+    ),
+    dotg AS (
+      SELECT s.query_id, s.neighbor_id, s.d_min,
+             CAST(SUM(dq.xi * dn.xi) AS DOUBLE) AS dot
+      FROM cand s
+      JOIN dims dq ON dq.vec_id = s.query_id
+      JOIN dims dn ON dn.vec_id = s.neighbor_id AND dn.pos = dq.pos
+      GROUP BY 1, 2, 3
+    ),
+    rr(probe_radius) AS (VALUES
+      {", ".join(f"({r})" for r in _PROBE_RADII)}
+    ),
+    ranked AS (
+      SELECT rr.probe_radius, d.query_id, d.neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY rr.probe_radius, d.query_id
+               ORDER BY CASE WHEN p.cc = 0 THEN CAST(-2.0 AS DOUBLE)
+                        ELSE d.dot / sqrt(p.cc) END DESC,
+                        d.neighbor_id) AS rnk
+      FROM dotg d
+      JOIN pn p ON p.vec_id = d.neighbor_id
+      JOIN rr ON d.d_min <= rr.probe_radius
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM ({{KNN_TRUTH}})
+    ),
+    vol AS (
+      SELECT rr.probe_radius, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM dmin d JOIN rr ON d.d_min <= rr.probe_radius
+      GROUP BY 1
+    ),
+    hits AS (
+      SELECT r.probe_radius,
+             CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT) AS n_hits
+      FROM ranked r
+      LEFT JOIN truth t ON t.query_id = r.query_id
+                       AND t.neighbor_id = r.neighbor_id
+      WHERE r.rnk <= {TOP_K}
+      GROUP BY 1
+    )
+    SELECT CAST(h.probe_radius AS BIGINT) AS probe_radius,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           ROUND(CAST(v.n_candidates AS DOUBLE) / {N_QUERIES}, 6)
+             AS mean_candidates,
+           h.n_hits,
+           ROUND(CAST(h.n_hits AS DOUBLE) / ({N_QUERIES} * {TOP_K}), 6)
+             AS recall_at_5
+    FROM hits h JOIN vol v ON v.probe_radius = h.probe_radius
+    ORDER BY probe_radius
+    """
+
+
+def multiprobe_schedule_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Probe-radius / recall schedule (see block comment: superset
+    dots once, nested radii ranked in one window)."""
+    from bigdataentrytask_spark.operators import materialize, with_persisted
+
+    e = _emb(spark, sf_dir)
+    bucketed = _bucketed(e)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), grid.alias("xi"))
+    with with_persisted(dims) as dims_p:
+        qc = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("bucket.t").alias("t"),
+            F.col("bucket.code").alias("qcode"),
+        )
+        cc_ = bucketed.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("bucket.t").alias("t"),
+            F.col("bucket.code").alias("ccode"),
+        )
+        dmin = materialize(
+            F.broadcast(qc)
+            .join(cc_, "t")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.min(
+                    F.bit_count(
+                        F.col("qcode").bitwiseXOR(F.col("ccode"))
+                    )
+                ).alias("d_min")
+            )
+        )
+        rmax = max(_PROBE_RADII)
+        cand = dmin.filter(F.col("d_min") <= rmax)
+        dq = dims_p.select(
+            F.col("vec_id").alias("query_id"), "pos", F.col("xi").alias("qi")
+        )
+        dn = dims_p.select(
+            F.col("vec_id").alias("nb"),
+            F.col("pos").alias("pos_n"),
+            F.col("xi").alias("ni"),
+        )
+        pn = dims_p.groupBy("vec_id").agg(
+            F.sum(F.col("xi") * F.col("xi")).cast("double").alias("cc")
+        )
+        dotg = (
+            cand.join(dq, "query_id")
+            .join(
+                dn,
+                (F.col("pos_n") == F.col("pos"))
+                & (F.col("nb") == F.col("neighbor_id")),
+            )
+            .groupBy("query_id", "neighbor_id", "d_min")
+            .agg(F.sum(F.col("qi") * F.col("ni")).cast("double").alias("dot"))
+        )
+        scored = dotg.join(
+            pn.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        ).withColumn(
+            "sim",
+            F.when(F.col("cc") == 0, F.lit(-2.0)).otherwise(
+                F.col("dot") / F.sqrt("cc")
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), "neighbor_id"
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        flags = scored.select(
+            "query_id",
+            "neighbor_id",
+            *[
+                F.sum((F.col("d_min") <= r).cast("long"))
+                .over(w)
+                .alias(f"rnk_{r}")
+                for r in _PROBE_RADII
+            ],
+            *[
+                (F.col("d_min") <= r).cast("int").alias(f"in_{r}")
+                for r in _PROBE_RADII
+            ],
+        )
+        stack_expr = ", ".join(
+            f"CAST({r} AS BIGINT), in_{r} = 1 AND rnk_{r} <= {TOP_K}"
+            for r in _PROBE_RADII
+        )
+        ranked = flags.select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                f"stack({len(_PROBE_RADII)}, {stack_expr})"
+                " AS (probe_radius, in_top)"
+            ),
+        ).filter(F.col("in_top")).select(
+            "probe_radius", "query_id", "neighbor_id"
+        )
+        truth = knn_bruteforce(spark, sf_dir).select(
+            "query_id", "neighbor_id", F.lit(1).alias("is_true")
+        )
+        rr = spark.createDataFrame(
+            [(r,) for r in _PROBE_RADII], "probe_radius long"
+        )
+        vol = (
+            dmin.crossJoin(F.broadcast(rr))
+            .filter(F.col("d_min") <= F.col("probe_radius"))
+            .groupBy("probe_radius")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        )
+        hits = (
+            ranked.join(truth, ["query_id", "neighbor_id"], "left")
+            .groupBy("probe_radius")
+            .agg(
+                F.sum(F.coalesce("is_true", F.lit(0)))
+                .cast("bigint")
+                .alias("n_hits")
+            )
+        )
+        return materialize(
+            hits.join(vol, "probe_radius")
+            .select(
+                F.col("probe_radius").cast("bigint").alias("probe_radius"),
+                F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+                F.round(
+                    F.col("n_candidates").cast("double") / N_QUERIES, 6
+                ).alias("mean_candidates"),
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double") / (N_QUERIES * TOP_K), 6
+                ).alias("recall_at_5"),
+            )
+            .orderBy("probe_radius")
+        )
+
+
+ROUND11_STAGED["multiprobe_schedule_advisor"] = (
+    multiprobe_schedule_advisor,
+    _PROBE_SCHEDULE_ORACLE.replace("{SQL_PLANES}", _sql_planes())
+    .replace("{SQL_CODES}", _SQL_CODES)
+    .replace("{KNN_TRUTH}", _ORACLES["knn_bruteforce"]),
+)

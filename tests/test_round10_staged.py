@@ -298,3 +298,19 @@ def test_pareto_table_consistency(spark):
             pdf.loc[f"b_matryoshka_d{d}", "recall_at_5"]
             == m.loc[d, "recall_at_5"]
         )
+
+
+def test_probe_schedule_monotone(spark):
+    """Nested radii: volume and recall can only grow with the probe
+    radius; radius 0 must equal the plain LSH bucket recall (same
+    candidate set as graph-expansion stage a)."""
+    fn, _ = STAGED["multiprobe_schedule_advisor"]
+    pdf = fn(spark, SF_DIR).toPandas().sort_values("probe_radius")
+    assert pdf.mean_candidates.is_monotonic_increasing
+    assert pdf.n_hits.is_monotonic_increasing
+    assert (pdf.n_hits <= pdf.n_queries * 5).all()
+    fn2, _ = STAGED["two_hop_expansion_ceiling"]
+    a = fn2(spark, SF_DIR).toPandas().set_index("stage").loc["a_lsh"]
+    r0 = pdf[pdf.probe_radius == 0].iloc[0]
+    assert r0.n_hits == a.n_hits
+    assert r0.mean_candidates == a.mean_candidates
