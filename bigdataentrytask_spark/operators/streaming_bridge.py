@@ -1419,3 +1419,152 @@ ROUND11_STAGED["trigger_lateness_joint_cost"] = (
     trigger_lateness_joint_cost,
     _TRIGGER_LATENESS_ORACLE,
 )
+
+
+# --------------------------------------------------------------------------
+# Session-gap state cost (ROADMAP round-12, pulled forward): the
+# session-window sibling of stream_state_projection. For each gap
+# candidate G, per-user sessions form by event-time islands
+# (gap > G splits); a session OCCUPIES state-store memory from its
+# first event until watermark passes last_event + G — so the
+# capacity-planning number is the MAX CONCURRENT open sessions over
+# the whole timeline, computed by the classic endpoint sweep:
+# +1 at session start, -1 at (end + G), running sum over a DEFINED
+# total order (time, starts-before-ends, session id) so boundary
+# ties resolve identically in both engines.
+# Scale: islands are per-user windows (keyed state, bounded); the
+# sweep is a global running sum over 2 x n_sessions DOMAIN rows —
+# the audit-scale census form; at 100 TB the same sweep runs
+# per-shard and takes the max of shard maxima (a session never spans
+# users, so sharding by user is exact).
+# --------------------------------------------------------------------------
+_SESSION_GAPS_S = [300, 1800]
+
+_SESSION_STATE_ORACLE = f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS t FROM events
+    ),
+    gp(gap_s) AS (VALUES {", ".join(f"({g})" for g in _SESSION_GAPS_S)}),
+    lagged AS (
+      SELECT gp.gap_s, e.user_id, e.t,
+             LAG(e.t) OVER (PARTITION BY gp.gap_s, e.user_id
+                            ORDER BY e.t) AS prev_t
+      FROM ev e CROSS JOIN gp
+    ),
+    isl AS (
+      SELECT gap_s, user_id, t,
+             SUM(CASE WHEN prev_t IS NULL
+                       OR t - prev_t > gap_s * 1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY gap_s, user_id ORDER BY t) AS sid
+      FROM lagged
+    ),
+    sess AS (
+      SELECT gap_s, user_id, sid,
+             MIN(t) AS t0, MAX(t) AS t1,
+             CAST(COUNT(*) AS BIGINT) AS n_ev
+      FROM isl GROUP BY 1, 2, 3
+    ),
+    pts AS (
+      SELECT gap_s, t0 AS t, 1 AS delta, user_id, sid FROM sess
+      UNION ALL
+      SELECT gap_s, t1 + gap_s * 1000000, -1, user_id, sid FROM sess
+    ),
+    sweep AS (
+      SELECT gap_s,
+             SUM(delta) OVER (PARTITION BY gap_s
+                              ORDER BY t, delta DESC, user_id, sid
+                              ROWS UNBOUNDED PRECEDING) AS open_now
+      FROM pts
+    )
+    SELECT CAST(s.gap_s AS BIGINT) AS gap_s,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sess
+             WHERE sess.gap_s = s.gap_s) AS n_sessions,
+           (SELECT CAST(ROUND(AVG(n_ev) * 1000000) AS BIGINT) FROM sess
+             WHERE sess.gap_s = s.gap_s) AS mean_events_ppm,
+           (SELECT CAST(ROUND(AVG((t1 - t0) / 1000000.0) * 1000000)
+                   AS BIGINT) FROM sess
+             WHERE sess.gap_s = s.gap_s) AS mean_span_s_ppm,
+           CAST(MAX(s.open_now) AS BIGINT) AS max_concurrent_state
+    FROM sweep s
+    GROUP BY s.gap_s
+    ORDER BY gap_s
+    """
+
+
+def session_gap_state_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-concurrent-session state census per gap candidate (see
+    block comment)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t")
+    )
+    gp = spark.createDataFrame(
+        [(g,) for g in _SESSION_GAPS_S], "gap_s long"
+    )
+    j = ev.crossJoin(F.broadcast(gp))
+    wl = Window.partitionBy("gap_s", "user_id").orderBy("t")
+    isl = j.withColumn("prev_t", F.lag("t").over(wl)).withColumn(
+        "sid",
+        F.sum(
+            F.when(
+                F.col("prev_t").isNull()
+                | (F.col("t") - F.col("prev_t") > F.col("gap_s") * 1_000_000),
+                1,
+            ).otherwise(0)
+        ).over(wl),
+    )
+    sess = isl.groupBy("gap_s", "user_id", "sid").agg(
+        F.min("t").alias("t0"),
+        F.max("t").alias("t1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+    )
+    pts = sess.select(
+        "gap_s", F.col("t0").alias("t"), F.lit(1).alias("delta"),
+        "user_id", "sid",
+    ).unionByName(
+        sess.select(
+            "gap_s",
+            (F.col("t1") + F.col("gap_s") * 1_000_000).alias("t"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "sid",
+        )
+    )
+    ws = Window.partitionBy("gap_s").orderBy(
+        "t", F.col("delta").desc(), "user_id", "sid"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sweep = pts.select("gap_s", F.sum("delta").over(ws).alias("open_now"))
+    peak = sweep.groupBy("gap_s").agg(
+        F.max("open_now").cast("bigint").alias("max_concurrent_state")
+    )
+    stats = sess.groupBy("gap_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.round(F.avg("n_ev") * 1_000_000).cast("bigint").alias(
+            "mean_events_ppm"
+        ),
+        F.round(F.avg((F.col("t1") - F.col("t0")) / 1_000_000.0) * 1_000_000)
+        .cast("bigint")
+        .alias("mean_span_s_ppm"),
+    )
+    return (
+        stats.join(peak, "gap_s")
+        .select(
+            F.col("gap_s").cast("bigint").alias("gap_s"),
+            "n_sessions",
+            "mean_events_ppm",
+            "mean_span_s_ppm",
+            "max_concurrent_state",
+        )
+        .orderBy("gap_s")
+    )
+
+
+ROUND11_STAGED["session_gap_state_cost"] = (
+    session_gap_state_cost,
+    _SESSION_STATE_ORACLE,
+)

@@ -314,3 +314,24 @@ def test_probe_schedule_monotone(spark):
     r0 = pdf[pdf.probe_radius == 0].iloc[0]
     assert r0.n_hits == a.n_hits
     assert r0.mean_candidates == a.mean_candidates
+
+
+def test_session_state_cost_invariants(spark, duck):
+    fn, _ = STAGED["session_gap_state_cost"]
+    pdf = fn(spark, SF_DIR).toPandas().sort_values("gap_s")
+    # a larger gap merges sessions: fewer sessions, each longer
+    assert pdf.n_sessions.is_monotonic_decreasing
+    assert pdf.mean_events_ppm.is_monotonic_increasing
+    assert (pdf.max_concurrent_state >= 1).all()
+    assert (pdf.max_concurrent_state <= pdf.n_sessions).all()
+    # state ceiling: never more open sessions than distinct users
+    n_users = duck.execute(
+        "SELECT COUNT(DISTINCT user_id) FROM events"
+    ).fetchone()[0]
+    assert (pdf.max_concurrent_state <= n_users).all()
+    # event conservation across sessionizations
+    n_ev = duck.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    assert (
+        (pdf.n_sessions * pdf.mean_events_ppm / 1_000_000).round()
+        == n_ev
+    ).all()
