@@ -4451,3 +4451,120 @@ ROUND11_STAGED["compaction_planner"] = (
     compaction_planner,
     _COMPACTION_ORACLE,
 )
+
+
+# --------------------------------------------------------------------------
+# Bucket x sort joint advisor (ROADMAP round-12, pulled forward):
+# bucketed_join_planning prices the shuffle a bucket layout SAVES;
+# this table prices what it COSTS the sort side: bucketing lineitem
+# by l_orderkey % B and sorting WITHIN buckets by l_shipdate (the
+# bucketBy + sortBy DDL) splinters the global date clustering across
+# B files — every bucket contains almost every ship date, so total
+# shipdate runs grow ~Bx and RLE/zone-map effectiveness falls
+# accordingly. Per candidate B (1 = unbucketed baseline, tying the
+# row to sort_order_advisor's global number): total runs summed over
+# buckets, average run length, and the largest bucket (the slowest
+# writer/join task). The pair (shuffle saved, runs lost) is the real
+# bucket-count decision.
+# Scale: one stacked pass; the run count is a window PARTITIONED BY
+# (candidate, bucket) — bounded state per task, no global sort for
+# any B >= 2 (the B = 1 baseline row is the only global window, the
+# sort_order_advisor audit contract).
+# --------------------------------------------------------------------------
+_BS_JOINT_BUCKETS = [1, 8, 32]
+
+_BS_JOINT_ORACLE = f"""
+    WITH cand(b) AS (VALUES {", ".join(f"({b})" for b in _BS_JOINT_BUCKETS)}),
+    rows_ AS (
+      SELECT cand.b, l.l_orderkey % cand.b AS bucket,
+             CAST(CAST(l.l_shipdate AS DATE) AS VARCHAR) AS val,
+             l.l_shipdate, l.l_orderkey, l.l_linenumber
+      FROM lineitem l CROSS JOIN cand
+    ),
+    chg AS (
+      SELECT b, bucket,
+             CASE WHEN LAG(val) OVER w IS NULL
+                       OR val <> LAG(val) OVER w THEN 1 ELSE 0 END AS c
+      FROM rows_
+      WINDOW w AS (PARTITION BY b, bucket
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    ),
+    per_bucket AS (
+      SELECT b, bucket, CAST(SUM(c) AS BIGINT) AS runs,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM chg GROUP BY 1, 2
+    )
+    SELECT CAST(b AS BIGINT) AS bucket_count,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(runs) AS BIGINT) AS n_runs_shipdate,
+           CAST(ROUND(SUM(n) * 1000000.0 / SUM(runs)) AS BIGINT)
+             AS avg_run_len_ppm,
+           CAST(MAX(n) AS BIGINT) AS max_bucket_rows
+    FROM per_bucket GROUP BY b
+    ORDER BY bucket_count
+    """
+
+
+def bucket_sort_joint_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shipdate run-length cost of a bucketBy(B) + sortBy(shipdate)
+    layout, per candidate B (see block comment)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    cand = F.array(*[F.lit(b) for b in _BS_JOINT_BUCKETS])
+    rows_ = li.select(
+        F.explode(cand).alias("b"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+    ).select(
+        "b",
+        (F.col("l_orderkey") % F.col("b")).alias("bucket"),
+        F.col("l_shipdate").cast("date").cast("string").alias("val"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("b", "bucket").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    chg = F.when(
+        F.lag("val").over(w).isNull()
+        | (F.col("val") != F.lag("val").over(w)),
+        1,
+    ).otherwise(0)
+    per_bucket = (
+        rows_.withColumn("c", chg)
+        .groupBy("b", "bucket")
+        .agg(
+            F.sum("c").cast("bigint").alias("runs"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    return (
+        per_bucket.groupBy("b")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.sum("runs").cast("bigint").alias("n_runs_shipdate"),
+            F.round(F.sum("n") * 1000000.0 / F.sum("runs"))
+            .cast("bigint")
+            .alias("avg_run_len_ppm"),
+            F.max("n").cast("bigint").alias("max_bucket_rows"),
+        )
+        .select(
+            F.col("b").cast("bigint").alias("bucket_count"),
+            "n_rows",
+            "n_runs_shipdate",
+            "avg_run_len_ppm",
+            "max_bucket_rows",
+        )
+        .orderBy("bucket_count")
+    )
+
+
+ROUND11_STAGED["bucket_sort_joint_advisor"] = (
+    bucket_sort_joint_advisor,
+    _BS_JOINT_ORACLE,
+)

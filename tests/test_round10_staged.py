@@ -335,3 +335,24 @@ def test_session_state_cost_invariants(spark, duck):
         (pdf.n_sessions * pdf.mean_events_ppm / 1_000_000).round()
         == n_ev
     ).all()
+
+
+def test_bucket_sort_joint_invariants(spark):
+    """Bucketing splinters date clustering: runs grow with B, and the
+    B=1 baseline equals the global shipdate-sort run count the
+    sort-order advisor reports."""
+    fn, _ = STAGED["bucket_sort_joint_advisor"]
+    pdf = fn(spark, SF_DIR).toPandas().sort_values("bucket_count")
+    assert pdf.n_rows.nunique() == 1
+    assert pdf.n_runs_shipdate.is_monotonic_increasing
+    assert pdf.avg_run_len_ppm.is_monotonic_decreasing
+    from bigdataentrytask_spark.operators.staging import ROUND10_ACTIVATED
+
+    g_fn, _ = ROUND10_ACTIVATED["sort_order_advisor"]
+    g = (
+        g_fn(spark, SF_DIR)
+        .toPandas()
+        .set_index(["ordering", "col_name"])
+        .loc[("shipdate", "l_shipdate"), "n_runs"]
+    )
+    assert pdf[pdf.bucket_count == 1].n_runs_shipdate.iloc[0] == g
