@@ -5524,3 +5524,221 @@ ROUND11_STAGED["multiprobe_schedule_advisor"] = (
     .replace("{SQL_CODES}", _SQL_CODES)
     .replace("{KNN_TRUTH}", _ORACLES["knn_bruteforce"]),
 )
+
+
+# --------------------------------------------------------------------------
+# PQ asymmetric-distance recall (ROADMAP round-12, pulled forward;
+# completes the quantization family): corpus vectors compress to
+# their PQ codes (embedding_pq_assign's codebook + assignment — 4
+# subspaces x 4 bits = 2 bytes/vector), queries stay full precision,
+# and retrieval ranks by ADC — sum over subspaces of ||q_sub -
+# centroid(code)||^2, the table-lookup distance IVFADC serves
+# (Jegou et al. 2011). Recall@5 against the EXACT L2 truth (the
+# canonical ADC benchmark; the cosine-truth family row lives in
+# quantization_pareto_table). All distances are exact grid-integer
+# sums; ranking ties break on neighbor_id. Audit-scale: quadratic
+# truth bounded by N_QUERIES, the recall-sweep contract.
+# --------------------------------------------------------------------------
+_PQ_ADC_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id,
+             ((generate_subscripts(e, 1) - 1) * {_PQ_SUB}) // {_PQ_DIM}
+               AS sub,
+             generate_subscripts(e, 1) AS pos,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+      FROM v
+    ),
+    codebook AS (
+      SELECT vec_id AS code, ((pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             pos, xi AS ci
+      FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos,
+                   CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+            FROM v WHERE vec_id < {_PQ_K}) t
+    ),
+    dist AS (
+      SELECT d.vec_id, d.sub, cb.code,
+             CAST(SUM((d.xi - cb.ci) * (d.xi - cb.ci)) AS BIGINT) AS dd
+      FROM dims d
+      JOIN codebook cb ON cb.pos = d.pos AND cb.sub = d.sub
+      GROUP BY 1, 2, 3
+    ),
+    assigned AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             CAST(SUM((q.xi - cb.ci) * (q.xi - cb.ci)) AS BIGINT) AS dd
+      FROM assigned a
+      JOIN codebook cb ON cb.sub = a.sub AND cb.code = a.code
+      JOIN dims q ON q.pos = cb.pos AND q.vec_id <> a.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY 1, 2
+    ),
+    top_adc AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dd, neighbor_id) AS rnk
+        FROM adc
+      ) WHERE rnk <= {TOP_K}
+    ),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS dd
+      FROM dims q
+      JOIN dims c ON c.pos = q.pos AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dd, neighbor_id) AS rnk
+        FROM exact
+      ) WHERE rnk <= {TOP_K}
+    )
+    SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           CAST(2 AS BIGINT) AS bytes_per_vec,
+           CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT) AS n_hits,
+           ROUND(CAST(count_if(t.neighbor_id IS NOT NULL) AS DOUBLE)
+                 / ({N_QUERIES} * {TOP_K}), 6) AS recall_at_5
+    FROM top_adc a
+    LEFT JOIN truth t ON t.query_id = a.query_id
+                     AND t.neighbor_id = a.neighbor_id
+    """
+
+
+def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ table-lookup (ADC) retrieval vs exact-L2 truth (see block
+    comment). The dims frame feeds the assignment, the query side,
+    and the exact truth -> with_persisted + materialize."""
+    from bigdataentrytask_spark.operators import materialize, with_persisted
+
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long").alias("sub"),
+        (F.col("pos0") + 1).alias("pos"),
+        grid.alias("xi"),
+    )
+    with with_persisted(dims) as dims_p:
+        codebook = (
+            e.filter(F.col("vec_id") < _PQ_K)
+            .select(
+                F.col("vec_id").alias("cb_code"),
+                F.posexplode(
+                    F.transform("embedding", lambda x: x.cast("double"))
+                ).alias("pos0", "x"),
+            )
+            .select(
+                "cb_code",
+                ((F.col("pos0") * _PQ_SUB) / _PQ_DIM)
+                .cast("long")
+                .alias("cb_sub"),
+                (F.col("pos0") + 1).alias("cb_pos"),
+                grid.alias("ci"),
+            )
+        )
+        diff = F.col("xi") - F.col("ci")
+        dist = (
+            dims_p.join(
+                F.broadcast(codebook),
+                (F.col("cb_pos") == F.col("pos"))
+                & (F.col("cb_sub") == F.col("sub")),
+            )
+            .groupBy("vec_id", "sub", F.col("cb_code").alias("code"))
+            .agg(F.sum(diff * diff).cast("bigint").alias("dd"))
+        )
+        wa = Window.partitionBy("vec_id", "sub").orderBy("dd", "code")
+        assigned = materialize(
+            dist.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sub", "code")
+        )
+        qd = dims_p.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("pos").alias("q_pos"),
+            F.col("xi").alias("qi"),
+        )
+        adc = (
+            assigned.join(
+                F.broadcast(codebook),
+                (F.col("cb_sub") == F.col("sub"))
+                & (F.col("cb_code") == F.col("code")),
+            )
+            .join(
+                F.broadcast(qd),
+                (F.col("q_pos") == F.col("cb_pos"))
+                & (F.col("query_id") != F.col("vec_id")),
+            )
+            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+            .agg(
+                F.sum((F.col("qi") - F.col("ci")) * (F.col("qi") - F.col("ci")))
+                .cast("bigint")
+                .alias("dd")
+            )
+        )
+        wr = Window.partitionBy("query_id").orderBy("dd", "neighbor_id")
+        top_adc = adc.withColumn("rnk", F.row_number().over(wr)).filter(
+            F.col("rnk") <= TOP_K
+        )
+        qx = dims_p.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "pos", F.col("xi").alias("qi")
+        )
+        cx = dims_p.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("pos").alias("pos_c"),
+            F.col("xi").alias("ci2"),
+        )
+        exact = (
+            F.broadcast(qx)
+            .join(cx, F.col("pos_c") == F.col("pos"))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.sum(
+                    (F.col("qi") - F.col("ci2")) * (F.col("qi") - F.col("ci2"))
+                )
+                .cast("bigint")
+                .alias("dd")
+            )
+        )
+        truth = (
+            exact.withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id", F.lit(1).alias("is_true"))
+        )
+        return materialize(
+            top_adc.join(truth, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.sum(F.coalesce("is_true", F.lit(0)))
+                .cast("bigint")
+                .alias("n_hits")
+            )
+            .select(
+                F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+                F.lit(2).cast("bigint").alias("bytes_per_vec"),
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double") / (N_QUERIES * TOP_K), 6
+                ).alias("recall_at_5"),
+            )
+        )
+
+
+ROUND11_STAGED["pq_adc_recall"] = (pq_adc_recall, _PQ_ADC_ORACLE)

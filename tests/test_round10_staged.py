@@ -356,3 +356,13 @@ def test_bucket_sort_joint_invariants(spark):
         .loc[("shipdate", "l_shipdate"), "n_runs"]
     )
     assert pdf[pdf.bucket_count == 1].n_runs_shipdate.iloc[0] == g
+
+
+def test_pq_adc_recall_invariants(spark):
+    fn, _ = STAGED["pq_adc_recall"]
+    row = fn(spark, SF_DIR).toPandas().iloc[0]
+    assert row.bytes_per_vec == 2
+    assert 0 <= row.n_hits <= row.n_queries * 5
+    # 16-dim subspace quantization must retain SOME signal: strictly
+    # better than random (random recall ~ 5/499 ~ 0.01)
+    assert row.recall_at_5 >= 0.05
