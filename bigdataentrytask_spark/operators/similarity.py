@@ -5742,3 +5742,351 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROUND11_STAGED["pq_adc_recall"] = (pq_adc_recall, _PQ_ADC_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# IVF-ADC end-to-end (ROADMAP round-12, pulled forward; the capstone
+# composition of the serving stack): coarse IVF cell probe (the
+# kmeans_step seed convention) + PQ table-lookup ADC ranking inside
+# the probed cells (the pq_adc_recall machinery) — i.e. IVFADC
+# proper (Jegou et al. 2011), the index layout a billion-vector
+# platform actually serves. Per nprobe in {1, 2, 4}: mean candidate
+# volume and recall@5 against the exact-L2 truth, isolating the
+# COMPOUND loss (cell miss x quantization) that neither
+# ivf_nprobe_recall_sweep (exact ranking in probed cells) nor
+# pq_adc_recall (ADC over ALL cells) shows alone.
+# Determinism: a pair's "probe level needed" = the rank of the
+# neighbor's cell in the query's cell-distance ordering — computed
+# ONCE per pair; nprobe sets NEST, so ONE superset ADC pass and ONE
+# rank window with running membership sums serve all rows (the
+# multiprobe_schedule_advisor pattern). All distances exact
+# grid-integer sums; ties on neighbor_id. Audit-scale: quadratic
+# truth bounded by N_QUERIES.
+#
+# Plan posture (staged audit, round 10): ~17 exchanges — high for the
+# registry but each stage runs ONCE on a bounded/materialized frame:
+# the coarse cell assignment, the PQ codebook assignment, the need-
+# probe pair table, one superset ADC pass, one rank window, and the
+# composed exact-L2 truth. Observed content is an HONEST NEGATIVE on
+# this corpus: recall FALLS with nprobe (0.36 -> 0.32) because the
+# 16-centroid toy codebook's quantization noise admits imposters as
+# the pool widens — pinned in pytest as a regime detector.
+# --------------------------------------------------------------------------
+_IVF_ADC_PROBES = [1, 2, 4]
+
+_IVF_ADC_ORACLE = f"""
+    WITH {{IVF_CTES}},
+    codebook AS (
+      SELECT vec_id AS code, ((pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             pos, xi AS ci
+      FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos,
+                   CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+            FROM v WHERE vec_id < {_PQ_K}) t
+    ),
+    pq_dist AS (
+      SELECT d.vec_id, ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             cb.code,
+             CAST(SUM((d.xi - cb.ci) * (d.xi - cb.ci)) AS BIGINT) AS dd
+      FROM dims d
+      JOIN codebook cb ON cb.pos = d.pos
+                      AND cb.sub = ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM}
+      GROUP BY 1, 2, 3
+    ),
+    pq_assigned AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM pq_dist
+      ) WHERE rn = 1
+    ),
+    qcells AS (
+      SELECT vec_id AS query_id, k,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dd, k) AS cell_rnk
+      FROM dist WHERE vec_id < {N_QUERIES}
+    ),
+    need AS (
+      SELECT qc.query_id, ac.vec_id AS neighbor_id,
+             MIN(qc.cell_rnk) AS need_probe
+      FROM qcells qc
+      JOIN assigned ac ON ac.k = qc.k
+      WHERE ac.vec_id <> qc.query_id
+      GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT n.query_id, n.neighbor_id, n.need_probe,
+             CAST(SUM((q.xi - cb.ci) * (q.xi - cb.ci)) AS BIGINT) AS dd
+      FROM need n
+      JOIN pq_assigned a ON a.vec_id = n.neighbor_id
+      JOIN codebook cb ON cb.sub = a.sub AND cb.code = a.code
+      JOIN dims q ON q.vec_id = n.query_id AND q.pos = cb.pos
+      WHERE n.need_probe <= {max(_IVF_ADC_PROBES)}
+      GROUP BY 1, 2, 3
+    ),
+    pr(nprobe) AS (VALUES {", ".join(f"({p})" for p in _IVF_ADC_PROBES)}),
+    ranked AS (
+      SELECT pr.nprobe, a.query_id, a.neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY pr.nprobe, a.query_id
+                                ORDER BY a.dd, a.neighbor_id) AS rnk
+      FROM adc a JOIN pr ON a.need_probe <= pr.nprobe
+    ),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS dd
+      FROM dims q
+      JOIN dims c ON c.pos = q.pos AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dd, neighbor_id) AS rnk
+        FROM exact
+      ) WHERE rnk <= {TOP_K}
+    ),
+    vol AS (
+      SELECT pr.nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM need n JOIN pr ON n.need_probe <= pr.nprobe
+      GROUP BY 1
+    ),
+    hits AS (
+      SELECT r.nprobe,
+             CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT) AS n_hits
+      FROM ranked r
+      LEFT JOIN truth t ON t.query_id = r.query_id
+                       AND t.neighbor_id = r.neighbor_id
+      WHERE r.rnk <= {TOP_K}
+      GROUP BY 1
+    )
+    SELECT CAST(h.nprobe AS BIGINT) AS nprobe,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           ROUND(CAST(v.n_candidates AS DOUBLE) / {N_QUERIES}, 6)
+             AS mean_candidates,
+           h.n_hits,
+           ROUND(CAST(h.n_hits AS DOUBLE) / ({N_QUERIES} * {TOP_K}), 6)
+             AS recall_at_5
+    FROM hits h JOIN vol v ON v.nprobe = h.nprobe
+    ORDER BY nprobe
+    """
+
+
+def ivf_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC: coarse cell probe + PQ table-lookup ranking (see block
+    comment — one superset ADC pass, nested nprobe levels in one
+    window)."""
+    from bigdataentrytask_spark.operators import materialize, with_persisted
+
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long").alias("sub"),
+        (F.col("pos0") + 1).alias("pos"),
+        grid.alias("xi"),
+    )
+    with with_persisted(dims) as dims_p:
+        seeds = dims_p.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("k"),
+            F.col("pos").alias("s_pos"),
+            F.col("xi").alias("si"),
+        )
+        cdist = (
+            dims_p.join(F.broadcast(seeds), F.col("s_pos") == F.col("pos"))
+            .groupBy("vec_id", "k")
+            .agg(
+                F.sum((F.col("xi") - F.col("si")) * (F.col("xi") - F.col("si")))
+                .cast("bigint")
+                .alias("dd")
+            )
+        )
+        wc = Window.partitionBy("vec_id").orderBy("dd", "k")
+        cell_rank = cdist.withColumn("rn", F.row_number().over(wc))
+        assigned_cell = materialize(
+            cell_rank.filter(F.col("rn") == 1).select("vec_id", "k")
+        )
+        qcells = materialize(
+            cell_rank.filter(F.col("vec_id") < N_QUERIES).select(
+                F.col("vec_id").alias("query_id"),
+                "k",
+                F.col("rn").alias("cell_rnk"),
+            )
+        )
+        need = materialize(
+            qcells.join(
+                assigned_cell.withColumnRenamed("vec_id", "neighbor_id"), "k"
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.min("cell_rnk").alias("need_probe"))
+        )
+        codebook = (
+            e.filter(F.col("vec_id") < _PQ_K)
+            .select(
+                F.col("vec_id").alias("cb_code"),
+                F.posexplode(
+                    F.transform("embedding", lambda x: x.cast("double"))
+                ).alias("pos0", "x"),
+            )
+            .select(
+                "cb_code",
+                ((F.col("pos0") * _PQ_SUB) / _PQ_DIM)
+                .cast("long")
+                .alias("cb_sub"),
+                (F.col("pos0") + 1).alias("cb_pos"),
+                grid.alias("ci"),
+            )
+        )
+        pq_dist = (
+            dims_p.join(
+                F.broadcast(codebook),
+                (F.col("cb_pos") == F.col("pos"))
+                & (F.col("cb_sub") == F.col("sub")),
+            )
+            .groupBy("vec_id", "sub", F.col("cb_code").alias("code"))
+            .agg(
+                F.sum((F.col("xi") - F.col("ci")) * (F.col("xi") - F.col("ci")))
+                .cast("bigint")
+                .alias("dd")
+            )
+        )
+        wp = Window.partitionBy("vec_id", "sub").orderBy("dd", "code")
+        pq_assigned = materialize(
+            pq_dist.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sub", "code")
+        )
+        rmax = max(_IVF_ADC_PROBES)
+        qd = dims_p.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_qid"),
+            F.col("pos").alias("q_pos"),
+            F.col("xi").alias("qi"),
+        )
+        adc = (
+            need.filter(F.col("need_probe") <= rmax)
+            .join(
+                pq_assigned.withColumnRenamed("vec_id", "neighbor_id"),
+                "neighbor_id",
+            )
+            .join(
+                F.broadcast(codebook),
+                (F.col("cb_sub") == F.col("sub"))
+                & (F.col("cb_code") == F.col("code")),
+            )
+            .join(
+                F.broadcast(qd),
+                (F.col("q_pos") == F.col("cb_pos"))
+                & (F.col("q_qid") == F.col("query_id")),
+            )
+            .groupBy("query_id", "neighbor_id", "need_probe")
+            .agg(
+                F.sum((F.col("qi") - F.col("ci")) * (F.col("qi") - F.col("ci")))
+                .cast("bigint")
+                .alias("dd")
+            )
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            "dd", "neighbor_id"
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        flags = adc.select(
+            "query_id",
+            "neighbor_id",
+            *[
+                F.sum((F.col("need_probe") <= p).cast("long"))
+                .over(wr)
+                .alias(f"rnk_{p}")
+                for p in _IVF_ADC_PROBES
+            ],
+            *[
+                (F.col("need_probe") <= p).cast("int").alias(f"in_{p}")
+                for p in _IVF_ADC_PROBES
+            ],
+        )
+        stack_expr = ", ".join(
+            f"CAST({p} AS BIGINT), in_{p} = 1 AND rnk_{p} <= {TOP_K}"
+            for p in _IVF_ADC_PROBES
+        )
+        ranked = flags.select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                f"stack({len(_IVF_ADC_PROBES)}, {stack_expr})"
+                " AS (nprobe, in_top)"
+            ),
+        ).filter(F.col("in_top")).select("nprobe", "query_id", "neighbor_id")
+        cx = dims_p.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("pos").alias("pos_c"),
+            F.col("xi").alias("ci2"),
+        )
+        exact = (
+            F.broadcast(
+                dims_p.filter(F.col("vec_id") < N_QUERIES).select(
+                    F.col("vec_id").alias("query_id"),
+                    "pos",
+                    F.col("xi").alias("qi"),
+                )
+            )
+            .join(cx, F.col("pos_c") == F.col("pos"))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.sum(
+                    (F.col("qi") - F.col("ci2")) * (F.col("qi") - F.col("ci2"))
+                )
+                .cast("bigint")
+                .alias("dd")
+            )
+        )
+        wt = Window.partitionBy("query_id").orderBy("dd", "neighbor_id")
+        truth = (
+            exact.withColumn("rnk", F.row_number().over(wt))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id", F.lit(1).alias("is_true"))
+        )
+        pr = spark.createDataFrame(
+            [(p,) for p in _IVF_ADC_PROBES], "nprobe long"
+        )
+        vol = (
+            need.crossJoin(F.broadcast(pr))
+            .filter(F.col("need_probe") <= F.col("nprobe"))
+            .groupBy("nprobe")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        )
+        hits = (
+            ranked.join(truth, ["query_id", "neighbor_id"], "left")
+            .groupBy("nprobe")
+            .agg(
+                F.sum(F.coalesce("is_true", F.lit(0)))
+                .cast("bigint")
+                .alias("n_hits")
+            )
+        )
+        return materialize(
+            hits.join(vol, "nprobe")
+            .select(
+                F.col("nprobe").cast("bigint").alias("nprobe"),
+                F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+                F.round(
+                    F.col("n_candidates").cast("double") / N_QUERIES, 6
+                ).alias("mean_candidates"),
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double") / (N_QUERIES * TOP_K), 6
+                ).alias("recall_at_5"),
+            )
+            .orderBy("nprobe")
+        )
+
+
+ROUND11_STAGED["ivf_adc_recall"] = (
+    ivf_adc_recall,
+    _IVF_ADC_ORACLE.replace("{IVF_CTES}", _IVF_CTES),
+)

@@ -366,3 +366,24 @@ def test_pq_adc_recall_invariants(spark):
     # 16-dim subspace quantization must retain SOME signal: strictly
     # better than random (random recall ~ 5/499 ~ 0.01)
     assert row.recall_at_5 >= 0.05
+
+
+def test_ivf_adc_invariants(spark):
+    """Volume grows with nprobe by construction. Recall FALLS here
+    (0.36 -> 0.32): with a 16-centroid toy codebook, widening the
+    candidate pool admits quantization-error imposters that displace
+    true hits from the ADC top-5 — the classic weak-codebook IVFADC
+    regime (probes only buy recall when the quantizer is strong).
+    Pinned as a regime detector (the residual_pq honest-negative
+    pattern); a flip means the corpus or codebook regime changed."""
+    fn, _ = STAGED["ivf_adc_recall"]
+    pdf = fn(spark, SF_DIR).toPandas().sort_values("nprobe")
+    assert pdf.mean_candidates.is_monotonic_increasing
+    assert (pdf.n_hits <= pdf.n_queries * 5).all()
+    assert pdf.n_hits.is_monotonic_decreasing
+    # nprobe=1 ADC recall cannot beat the all-cells ADC ceiling by
+    # more than quantization noise allows: cross-check against
+    # pq_adc_recall (same codebook, no cell filter)
+    pq_fn, _ = STAGED["pq_adc_recall"]
+    pq = pq_fn(spark, SF_DIR).toPandas().iloc[0]
+    assert abs(int(pdf.n_hits.iloc[0]) - int(pq.n_hits)) <= 5
