@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdataentrytask_spark.catalog import load_table
-from bigdataentrytask_spark.operators import operator
+from bigdataentrytask_spark.operators import materialize, operator
 from bigdataentrytask_spark.session import ensure_session_confs
 
 
@@ -240,7 +240,7 @@ def first_seen_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fs.event_id").cast("bigint").alias("first_event_id"),
             F.col("fs.event_type").alias("first_event_type"),
         ).orderBy("user_id")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

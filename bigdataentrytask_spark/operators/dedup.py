@@ -2341,11 +2341,15 @@ def substring_dedup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
 # construction — but the KEEPER IDENTITY (which doc_id survives) is
 # not. This table quantifies the difference between two deterministic
 # keeper policies: id-order (min doc_id per text — what a stable-scan
-# pipeline does) vs length-order (max n_chars, doc_id tiebreak — a
-# quality-biased survivorship). Downstream lineage, per-source quota
-# accounting, and license attribution all key on the keeper doc_id, so
-# "how many keepers flip if we re-rank survivorship" is a real
-# migration-risk number.
+# pipeline does) vs source-priority (lexicographic min source, doc_id
+# tiebreak — "prefer the curated mirror over the crawl" survivorship).
+# ADVICE r10: the original policy-B ranked on n_chars, which is
+# constant within an exact-text group (n_chars == length(text)), so
+# the drift was provably 0; source genuinely varies within duplicate
+# groups (sf0.1: 8/8 dup groups are multi-source and 4 keepers flip).
+# Downstream lineage, per-source quota accounting, and license
+# attribution all key on the keeper doc_id, so "how many keepers flip
+# if we re-rank survivorship" is a real migration-risk number.
 # Scale: two aggregations over the same text-hash shuffle; outputs are
 # one summary row. At 100 TB group on xxhash64(text) instead of the
 # raw text (the minhash/chunk payload contract).
@@ -2355,48 +2359,45 @@ _DEDUP_ORDER_ORACLE = """
       SELECT text,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              MIN(doc_id) AS keeper_by_id,
-             (SELECT d2.doc_id FROM documents d2
-              WHERE d2.text = d.text
-              ORDER BY d2.n_chars DESC, d2.doc_id
-              LIMIT 1) AS keeper_by_len
+             (array_agg(doc_id ORDER BY source, doc_id))[1]
+               AS keeper_by_src
       FROM documents d GROUP BY text
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_texts,
            CAST(SUM(n_docs) AS BIGINT) AS n_docs,
            CAST(count_if(n_docs >= 2) AS BIGINT) AS n_dup_groups,
-           CAST(count_if(keeper_by_id = keeper_by_len) AS BIGINT)
+           CAST(count_if(keeper_by_id = keeper_by_src) AS BIGINT)
              AS n_keeper_same,
-           CAST(count_if(keeper_by_id <> keeper_by_len) AS BIGINT)
+           CAST(count_if(keeper_by_id <> keeper_by_src) AS BIGINT)
              AS n_keeper_diff
     FROM g
     """
 
 
 def dedup_order_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keeper-identity drift between id-order and length-order exact
-    dedup (see block comment). One text-group shuffle computes both
-    keeper policies via min over ordered structs."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    """Keeper-identity drift between id-order and source-priority
+    exact dedup (see block comment). One text-group shuffle computes
+    both keeper policies via min over ordered structs."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
     g = docs.groupBy("text").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.min("doc_id").alias("keeper_by_id"),
-        # max over (n_chars, -doc_id) == longest text, smallest doc_id
+        # min over (source, doc_id) == first preferred source, doc_id
         # tiebreak — struct ordering is lexicographic in both engines
-        F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg")))[
-            "neg"
-        ].alias("neg_keeper"),
+        F.min(F.struct(F.col("source"), F.col("doc_id")))["doc_id"].alias(
+            "keeper_by_src"
+        ),
     )
-    g = g.withColumn("keeper_by_len", -F.col("neg_keeper"))
     return g.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_texts"),
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         F.sum((F.col("n_docs") >= 2).cast("long"))
         .cast("bigint")
         .alias("n_dup_groups"),
-        F.sum((F.col("keeper_by_id") == F.col("keeper_by_len")).cast("long"))
+        F.sum((F.col("keeper_by_id") == F.col("keeper_by_src")).cast("long"))
         .cast("bigint")
         .alias("n_keeper_same"),
-        F.sum((F.col("keeper_by_id") != F.col("keeper_by_len")).cast("long"))
+        F.sum((F.col("keeper_by_id") != F.col("keeper_by_src")).cast("long"))
         .cast("bigint")
         .alias("n_keeper_diff"),
     )
@@ -2621,10 +2622,15 @@ def cross_source_duplicate_flow(
     ch = (
         pre.select(
             "source",
+            # ADVICE r10: guard the sequence — for empty text Spark's
+            # sequence(1, 0) yields a DESCENDING [1, 0], whose spurious
+            # rows only the length(chunk)==W filter happened to drop.
             F.explode(
                 F.expr(
+                    f"CASE WHEN length(text) >= 1 THEN "
                     f"transform(sequence(1, CAST(ceil(length(text) / {W}.0)"
-                    f" AS INT)), i -> substring(text, (i-1)*{W}+1, {W}))"
+                    f" AS INT)), i -> substring(text, (i-1)*{W}+1, {W})) "
+                    f"ELSE array() END"
                 )
             ).alias("chunk"),
         )

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdataentrytask_spark.catalog import load_table
-from bigdataentrytask_spark.operators import operator
+from bigdataentrytask_spark.operators import materialize, operator
 from bigdataentrytask_spark.session import ensure_session_confs
 from bigdataentrytask_spark.sources.jdbc import read_jdbc_table, write_jdbc_table
 from bigdataentrytask_spark.sources.writers import (
@@ -330,7 +330,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         formats.write_csv(orders, f"{root}/orders")
         back = formats.read_csv(spark, f"{root}/orders", SCHEMAS["orders"])
         out = _roundtrip_summary(back)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -352,7 +352,7 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         formats.write_jsonl(orders, f"{root}/orders")
         back = formats.read_jsonl(spark, f"{root}/orders", SCHEMAS["orders"])
         out = _roundtrip_summary(back)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -406,7 +406,7 @@ def partitioned_write_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("m")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -540,6 +540,6 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("yr")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -3,7 +3,9 @@ through round 9 (VERDICT r8 items 2/6), so operators built then lived
 in per-module ROUND10_STAGED dicts and registered only via
 register_all(). ACTIVATED at the round-10 boundary (VERDICT r9
 item 1): operators.load_all() now calls register_all(), so every
-staged operator is live in the registry (415 + 17 = 432).
+staged operator is live in the registry (415 + 17 = 432). Round-11
+boundary (VERDICT r10 item 1) activated the 22 ROUND11_STAGED ops the
+same way (432 + 22 = 454).
 
 The dicts stay as the registration vehicle (their entries are the
 single source for name -> (fn, oracle)); future rounds that stage
@@ -54,9 +56,9 @@ ROUND10_ACTIVATED: dict[str, tuple] = {
     **_WAREHOUSE_STAGED,
 }
 
-# PENDING set — staged for the NEXT round boundary, NOT registered.
-# preverify --staged / layout_scan --staged / roundcheck's staged
-# steps read this; per-module ROUND11_STAGED dicts feed it.
+# Round-11 set — ACTIVATED at the round-11 boundary (VERDICT r10
+# item 1): the 22 operators staged during round 10 (per-module
+# ROUND11_STAGED dicts) now register via register_all() below.
 from bigdataentrytask_spark.operators.dedup import (  # noqa: E402
     ROUND11_STAGED as _DEDUP_R11,
 )
@@ -76,7 +78,7 @@ from bigdataentrytask_spark.operators.curation import (  # noqa: E402
     ROUND11_STAGED as _CURATION_R11,
 )
 
-STAGED: dict[str, tuple] = {
+ROUND11_ACTIVATED: dict[str, tuple] = {
     **_CURATION_R11,
     **_DEDUP_R11,
     **_SIMILARITY_R11,
@@ -85,12 +87,19 @@ STAGED: dict[str, tuple] = {
     **_WAREHOUSE_R11,
 }
 
+# PENDING set — staged for the NEXT round boundary, NOT registered.
+# preverify --staged / layout_scan --staged / roundcheck's staged
+# steps read this; per-module ROUND12_STAGED dicts will feed it.
+STAGED: dict[str, tuple] = {}
+
 
 def register_all() -> None:
     """Register every ACTIVATED operator (idempotent — the @operator
     decorator tolerates re-registration of the same function).
     Entries in STAGED are pending and deliberately NOT registered."""
     for name, (fn, osql) in ROUND10_ACTIVATED.items():
+        operator(name, oracle=osql)(fn)
+    for name, (fn, osql) in ROUND11_ACTIVATED.items():
         operator(name, oracle=osql)(fn)
 
 

@@ -440,11 +440,13 @@ _CMS_EPS, _CMS_CONF, _CMS_SEED = 0.001, 0.99, 42
 )
 def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    sk_bytes = ev.agg(
-        F.count_min_sketch(
-            "user_id", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
-        ).alias("sk")
-    ).collect()[0].sk
+    sk_bytes = collect_bounded(
+        ev.agg(
+            F.count_min_sketch(
+                "user_id", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
+            ).alias("sk")
+        )
+    )[0].sk
     jvm = spark._jvm
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         bytes(sk_bytes)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bigdataentrytask_spark.operators import operator
+from bigdataentrytask_spark.operators import collect_bounded, materialize, operator
 from bigdataentrytask_spark.streaming import jobs
 
 
@@ -635,7 +635,7 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize the (event-type-sized) summary BEFORE the temp
         # dirs are removed — the caller collects lazily after return
-        return spark.createDataFrame(agg.collect(), agg.schema)
+        return materialize(agg)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -700,7 +700,7 @@ def stream_latest_image_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .select("user_id", "s.*")
             )
-            for r in top.collect():
+            for r in collect_bounded(top):
                 cur = state.get(r["user_id"])
                 if cur is None or (r["ts"], r["event_id"]) > (
                     cur["ts"],

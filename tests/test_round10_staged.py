@@ -1,7 +1,8 @@
 """Round-11 staged operators (VERDICT r9 item 6): implemented and
-differential-tested DURING round 10; zero registry delta until the
-round-11 boundary activates them (CONTRIBUTING.md §"Staging operators
-during a registry freeze" — the canonical procedure).
+differential-tested DURING round 10; ACTIVATED at the round-11
+boundary (VERDICT r10 item 1 — registry 432 -> 454) via
+staging.register_all(), per CONTRIBUTING.md §"Staging operators
+during a registry freeze".
 
 Differentials go through DuckDB's PANDAS path with the dtype check
 (the preverify gate) so the HUGEINT class is covered before any op
@@ -13,7 +14,9 @@ from __future__ import annotations
 import pytest
 
 from bigdataentrytask_spark.operators import REGISTRY, load_all
-from bigdataentrytask_spark.operators.staging import STAGED
+from bigdataentrytask_spark.operators.staging import (
+    ROUND11_ACTIVATED as STAGED,
+)
 
 from .conftest import SF_DIR, assert_matches_oracle
 
@@ -22,12 +25,15 @@ load_all()
 STAGED_NAMES = sorted(STAGED)
 
 
-def test_round11_staged_not_registered():
-    """The stage-then-activate contract: pending ops contribute ZERO
-    registry delta until the round-11 boundary."""
-    assert len(STAGED) >= 10
-    for name in STAGED:
-        assert name not in REGISTRY
+def test_round11_activation_complete():
+    """VERDICT r10 item 1: the 22 round-10-staged operators are LIVE —
+    register_all() covers ROUND11_ACTIVATED, so the registry is 454
+    and every staged name resolves to its staged function object
+    (not a shadowing duplicate)."""
+    assert len(STAGED) == 22
+    assert len(REGISTRY) == 454
+    for name, (fn, _osql) in STAGED.items():
+        assert REGISTRY[name] is fn
 
 
 def test_round11_staged_all_have_oracles():
@@ -79,6 +85,36 @@ def test_dedup_order_sensitivity_partition(spark):
     assert row.n_dup_groups <= row.n_texts <= row.n_docs
     # keepers can only differ inside duplicate groups
     assert row.n_keeper_diff <= row.n_dup_groups
+
+
+def test_dedup_order_sensitivity_nonzero_drift(spark, tmp_path):
+    """ADVICE r10: the original policy B ranked on n_chars, constant
+    within an exact-text group, so drift was provably 0. Pin the
+    repaired source-priority policy on a corpus where it MUST flip a
+    keeper: doc 1 (crawl) and doc 2 (curated) share a text — id-order
+    keeps 1, source-order keeps 2."""
+    import pandas as pd
+
+    rows = [
+        (1, "the same text", "en", "crawl", 13),
+        (2, "the same text", "en", "archive", 13),
+        (3, "another text entirely", "en", "crawl", 21),
+        (4, "another text entirely", "en", "crawl", 21),
+        (5, "a unique document", "en", "wiki", 17),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet"
+    )
+    fn, _ = STAGED["dedup_order_sensitivity"]
+    row = fn(spark, sf).toPandas().iloc[0]
+    assert row.n_texts == 3 and row.n_docs == 5 and row.n_dup_groups == 2
+    # group "the same text": id policy -> 1, source policy -> 2 (diff)
+    # group "another text entirely": same source, tiebreak agrees
+    assert row.n_keeper_diff == 1 and row.n_keeper_same == 2
 
 
 def test_contamination_crosstab_invariants(spark):
@@ -289,7 +325,6 @@ def test_pareto_table_consistency(spark):
         pdf.loc["c_binary_asym", "recall_at_5"]
         >= pdf.loc["d_binary_sym", "recall_at_5"]
     )
-    m_fn, _ = STAGED["matryoshka_recall_sweep"] if "matryoshka_recall_sweep" in STAGED else (None, None)
     from bigdataentrytask_spark.operators.staging import ROUND10_ACTIVATED
     m_fn, _ = ROUND10_ACTIVATED["matryoshka_recall_sweep"]
     m = m_fn(spark, SF_DIR).toPandas().set_index("d_prefix")

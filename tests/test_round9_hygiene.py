@@ -122,3 +122,31 @@ def test_count_exchanges_real_plan_unchanged(spark):
     df = spark.range(100).selectExpr("id % 7 as k").groupBy("k").count()
     df.collect()
     assert plans.count_exchanges(df) == 1
+
+
+# ------------------------------------------------- static collect scan
+
+
+def test_no_raw_collect_in_package_source():
+    """VERDICT r10 item 5: every driver-side collect in the operator
+    library must route through collect_bounded (which materialize
+    wraps), so the 100k loud-failure contract is universal. Sanctioned
+    raw sites: the guard's own implementation (operators/__init__.py)
+    the declared sink edge (sinks.py foreachBatch upsert, where the
+    micro-batch is the unit of delivery), and the plan auditor's
+    execute-to-get-the-final-AQE-plan step (plans/audit.py)."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / (
+        "bigdataentrytask_spark"
+    )
+    allowed = {"operators/__init__.py", "sinks.py", "plans/audit.py"}
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        rel = py.relative_to(pkg).as_posix()
+        if rel in allowed:
+            continue
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if ".collect()" in line and not line.lstrip().startswith("#"):
+                offenders.append(f"{rel}:{i}: {line.strip()}")
+    assert offenders == [], offenders

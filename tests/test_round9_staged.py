@@ -33,9 +33,10 @@ STAGED_NAMES = sorted(STAGED)
 def test_round10_activation_complete():
     """VERDICT r9 item 1: the 17 round-9-staged operators are LIVE —
     staging.register_all() is wired into operators.load_all(), so the
-    registry is 432 and every staged name resolves to its staged
-    function object (not a shadowing duplicate)."""
-    assert len(REGISTRY) == 432
+    registry holds them and every staged name resolves to its staged
+    function object (not a shadowing duplicate). Registry total moved
+    432 -> 454 at the round-11 activation (VERDICT r10 item 1)."""
+    assert len(REGISTRY) == 454
     for name, (fn, _osql) in STAGED.items():
         assert REGISTRY[name] is fn
 
