@@ -2683,3 +2683,132 @@ ROUND11_STAGED["cross_source_duplicate_flow"] = (
     cross_source_duplicate_flow,
     _XSRC_FLOW_ORACLE,
 )
+
+
+# ==========================================================================
+# ROUND-12 STAGED (VERDICT r10 item 7; zero registry delta until the
+# round-12 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Duplicate-decay mixture (ROADMAP round-12 "Curation"): the
+# dedup-aware sibling of domain_mix_planner, computed at the CHUNK
+# grain (the fixed 10-word unit chunk_dedup_corpus dedups on — the
+# corpus has no exact whole-text duplicates at the correctness SF, so
+# whole-text decay would be a one-row degenerate table; chunk-grain
+# decay is also the formulation C4/RefinedWeb-style pipelines
+# actually reweight on). A chunk occurring k times corpus-wide
+# contributes k copies of its words to the raw token budget; a
+# keep-one-copy (1/k-decay) mix keeps that mass ONCE. Per k: distinct
+# chunks, occurrences, raw vs decayed token mass, ppm shares, and the
+# tokens a chunk-dedup pass reclaims — the mix planner's budget delta
+# BEFORE the dedup itself runs.
+# Exact math: all duplicate occurrences of a chunk string have the
+# same word count, so decayed mass = word count summed once per
+# distinct chunk — integer arithmetic throughout.
+# Scale: one chunk-keyed shuffle (md5/xxhash64 keys at 100 TB — the
+# chunk_dedup_corpus payload contract) + a |k|-domain rollup.
+# Reference parity: the reference has no dedup surface (extension per
+# VERDICT r8 item 6).
+# --------------------------------------------------------------------------
+_DECAY_MIX_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT array_to_string(w[i:i+{_CHUNK_WORDS - 1}], ' ') AS chunk,
+             CAST(len(w[i:i+{_CHUNK_WORDS - 1}]) AS BIGINT) AS wc
+      FROM toks, LATERAL unnest(range(1, len(w) + 1, {_CHUNK_WORDS})) AS t(i)
+    ),
+    clus AS (
+      SELECT chunk, CAST(COUNT(*) AS BIGINT) AS k, MIN(wc) AS wc
+      FROM chunks GROUP BY chunk
+    ),
+    byk AS (
+      SELECT k,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(k) AS BIGINT) AS n_occurrences,
+             CAST(SUM(k * wc) AS BIGINT) AS raw_tokens,
+             CAST(SUM(wc) AS BIGINT) AS decayed_tokens
+      FROM clus GROUP BY k
+    ),
+    tot AS (
+      SELECT SUM(raw_tokens) AS raw_total,
+             SUM(decayed_tokens) AS dec_total
+      FROM byk
+    )
+    SELECT b.k AS cluster_size, b.n_chunks, b.n_occurrences,
+           b.raw_tokens, b.decayed_tokens,
+           CAST(ROUND(b.raw_tokens * 1000000.0 / t.raw_total) AS BIGINT)
+             AS raw_share_ppm,
+           CAST(ROUND(b.decayed_tokens * 1000000.0 / t.dec_total)
+                AS BIGINT) AS decayed_share_ppm,
+           CAST(b.raw_tokens - b.decayed_tokens AS BIGINT)
+             AS tokens_reclaimed
+    FROM byk b CROSS JOIN tot t
+    ORDER BY cluster_size
+    """
+
+
+def duplicate_decay_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per duplicate-cluster-size token-mass reweighting table at the
+    10-word-chunk grain (see block comment): raw vs keep-one-copy
+    token budgets by occurrence count k."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    n_chunks = F.floor((F.size("w") - 1) / F.lit(_CHUNK_WORDS)).cast("int")
+    chunk_at = lambda i: F.slice(  # noqa: E731
+        "w", i * _CHUNK_WORDS + 1, _CHUNK_WORDS
+    )
+    chunks = d.select(
+        F.explode(
+            F.transform(F.sequence(F.lit(0), n_chunks), chunk_at)
+        ).alias("cw")
+    ).select(
+        F.array_join("cw", " ").alias("chunk"),
+        F.size("cw").cast("bigint").alias("wc"),
+    )
+    clus = chunks.groupBy("chunk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.min("wc").alias("wc"),
+    )
+    byk = clus.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("k").cast("bigint").alias("n_occurrences"),
+        F.sum(F.col("k") * F.col("wc")).cast("bigint").alias("raw_tokens"),
+        F.sum("wc").cast("bigint").alias("decayed_tokens"),
+    )
+    tot = byk.agg(
+        F.sum("raw_tokens").alias("raw_total"),
+        F.sum("decayed_tokens").alias("dec_total"),
+    )
+    return (
+        byk.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").alias("cluster_size"),
+            "n_chunks",
+            "n_occurrences",
+            "raw_tokens",
+            "decayed_tokens",
+            F.round(F.col("raw_tokens") * 1000000.0 / F.col("raw_total"))
+            .cast("bigint")
+            .alias("raw_share_ppm"),
+            F.round(
+                F.col("decayed_tokens") * 1000000.0 / F.col("dec_total")
+            )
+            .cast("bigint")
+            .alias("decayed_share_ppm"),
+            (F.col("raw_tokens") - F.col("decayed_tokens"))
+            .cast("bigint")
+            .alias("tokens_reclaimed"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# name -> (fn, oracle); aggregated by operators/staging.py STAGED
+# (the PENDING round-12 set).
+ROUND12_STAGED: dict[str, tuple] = {
+    "duplicate_decay_mixture": (duplicate_decay_mixture, _DECAY_MIX_ORACLE),
+}
