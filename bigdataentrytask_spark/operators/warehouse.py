@@ -4568,3 +4568,346 @@ ROUND11_STAGED["bucket_sort_joint_advisor"] = (
     bucket_sort_joint_advisor,
     _BS_JOINT_ORACLE,
 )
+
+
+# ==========================================================================
+# ROUND-12 STAGED (VERDICT r10 item 7; zero registry delta until the
+# round-12 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Compacted-layout zone pruning (ROADMAP round-12 "Warehouse"):
+# compaction_planner emits the month->merge-group schedule; this
+# prices what the merge COSTS the scan side. After compaction the
+# pruning unit is the GROUP (its zone map spans min..max month of its
+# members), so a day-granularity predicate that used to touch one
+# month now scans every month in that group. Per reference predicate:
+# rows matched, what the per-month layout scans (parts + rows), what
+# the compacted layout scans (groups + rows), and both read
+# amplifications — the small-files-vs-read-amp trade quantified on
+# the SAME schedule the planner emits (group assignment reuses the
+# planner's exact prefix-sum rule, _COMPACT_TARGET_ROWS).
+# Predicates are fixed day-granularity literals inside the fixture's
+# 1995-2001 span: one-month, one-quarter, half-year straddling a year
+# boundary, and a single day (the pathological read-amp case).
+# Scale: the month census is one domain-sized aggregation; predicate
+# evaluation is one stacked pass (|orders| x 4 conditional agg) and
+# two domain-sized overlap joins. Exact timestamp comparisons only.
+# --------------------------------------------------------------------------
+_CZP_PREDS = [
+    ("p1_month", "1996-03-10", "1996-04-10"),
+    ("p2_quarter", "1997-01-01", "1997-04-01"),
+    ("p3_halfyear", "1998-06-15", "1998-12-15"),
+    ("p4_day", "1999-07-04", "1999-07-05"),
+]
+
+_CZP_ORACLE = f"""
+    WITH per AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT m, n,
+             COALESCE(SUM(n) OVER (ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM per
+    ),
+    grp AS (
+      SELECT CAST(FLOOR(before / {_COMPACT_TARGET_ROWS}) AS BIGINT)
+               AS group_id,
+             MIN(m) AS g_lo,
+             MAX(m) + INTERVAL 1 MONTH AS g_hi,
+             CAST(SUM(n) AS BIGINT) AS n_rows
+      FROM cum GROUP BY 1
+    ),
+    preds(pred_id, lo, hi) AS (VALUES
+      {", ".join(f"('{p}', TIMESTAMP '{lo}', TIMESTAMP '{hi}')"
+                 for p, lo, hi in _CZP_PREDS)}
+    ),
+    matched AS (
+      SELECT p.pred_id, CAST(COUNT(*) AS BIGINT) AS rows_matched
+      FROM orders o CROSS JOIN preds p
+      WHERE o.o_orderdate >= p.lo AND o.o_orderdate < p.hi
+      GROUP BY 1
+    ),
+    mscan AS (
+      SELECT p.pred_id,
+             CAST(COUNT(*) AS BIGINT) AS n_parts_month,
+             CAST(SUM(c.n) AS BIGINT) AS rows_scanned_month
+      FROM per c CROSS JOIN preds p
+      WHERE p.lo < c.m + INTERVAL 1 MONTH AND p.hi > c.m
+      GROUP BY 1
+    ),
+    gscan AS (
+      SELECT p.pred_id,
+             CAST(COUNT(*) AS BIGINT) AS n_groups_scanned,
+             CAST(SUM(g.n_rows) AS BIGINT) AS rows_scanned_compacted
+      FROM grp g CROSS JOIN preds p
+      WHERE p.lo < g.g_hi AND p.hi > g.g_lo
+      GROUP BY 1
+    )
+    SELECT m.pred_id, m.rows_matched,
+           s.n_parts_month, s.rows_scanned_month,
+           g.n_groups_scanned, g.rows_scanned_compacted,
+           CAST(ROUND(s.rows_scanned_month * 1000000.0 / m.rows_matched)
+                AS BIGINT) AS read_amp_month_ppm,
+           CAST(ROUND(g.rows_scanned_compacted * 1000000.0
+                      / m.rows_matched) AS BIGINT)
+             AS read_amp_compacted_ppm
+    FROM matched m JOIN mscan s USING (pred_id)
+    JOIN gscan g USING (pred_id)
+    ORDER BY pred_id
+    """
+
+
+def compacted_zone_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-amplification of the compacted month layout vs the
+    per-month layout for a fixed day-granularity predicate set (see
+    block comment; group rule = compaction_planner's prefix sum)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderdate")
+    per = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "m", "n", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("before")
+    )
+    grp = (
+        cum.groupBy(
+            F.floor(F.col("before") / _COMPACT_TARGET_ROWS)
+            .cast("bigint")
+            .alias("group_id")
+        )
+        .agg(
+            F.min("m").alias("g_lo"),
+            (F.max("m") + F.expr("INTERVAL 1 MONTH")).alias("g_hi"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+        )
+    )
+    preds = spark.createDataFrame(
+        [(p, lo, hi) for p, lo, hi in _CZP_PREDS],
+        "pred_id string, lo_s string, hi_s string",
+    ).select(
+        "pred_id",
+        F.to_timestamp("lo_s").alias("lo"),
+        F.to_timestamp("hi_s").alias("hi"),
+    )
+    matched = (
+        o.crossJoin(F.broadcast(preds))
+        .filter(
+            (F.col("o_orderdate") >= F.col("lo"))
+            & (F.col("o_orderdate") < F.col("hi"))
+        )
+        .groupBy("pred_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows_matched"))
+    )
+    mscan = (
+        per.crossJoin(F.broadcast(preds))
+        .filter(
+            (F.col("lo") < F.col("m") + F.expr("INTERVAL 1 MONTH"))
+            & (F.col("hi") > F.col("m"))
+        )
+        .groupBy("pred_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts_month"),
+            F.sum("n").cast("bigint").alias("rows_scanned_month"),
+        )
+    )
+    gscan = (
+        grp.crossJoin(F.broadcast(preds))
+        .filter((F.col("lo") < F.col("g_hi")) & (F.col("hi") > F.col("g_lo")))
+        .groupBy("pred_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups_scanned"),
+            F.sum("n_rows").cast("bigint").alias("rows_scanned_compacted"),
+        )
+    )
+    return (
+        matched.join(mscan, "pred_id")
+        .join(gscan, "pred_id")
+        .select(
+            "pred_id",
+            "rows_matched",
+            "n_parts_month",
+            "rows_scanned_month",
+            "n_groups_scanned",
+            "rows_scanned_compacted",
+            F.round(
+                F.col("rows_scanned_month") * 1000000.0
+                / F.col("rows_matched")
+            )
+            .cast("bigint")
+            .alias("read_amp_month_ppm"),
+            F.round(
+                F.col("rows_scanned_compacted") * 1000000.0
+                / F.col("rows_matched")
+            )
+            .cast("bigint")
+            .alias("read_amp_compacted_ppm"),
+        )
+        .orderBy("pred_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort-key benefit ranking (ROADMAP round-12 "Warehouse"): pick the
+# table's ONE sort key from the scan workload, not folklore. For each
+# candidate sort column the orders fact is laid out in that order,
+# split into fixed 500-row "row groups" (the zone_map_skipping_stats
+# unit), and every group's min/max footer stats are tested against a
+# fixed 4-predicate reference workload (date range / custkey range /
+# totalprice band / priority equality). Output: one row per candidate
+# layout with the zone-map prune fraction per predicate, the workload
+# mean, and the resulting rank — sorting by a column prunes its own
+# predicate near-perfectly and (absent correlation) nothing else, so
+# the mean column is the actual decision number.
+# Determinism: min/max and comparisons only (no float arithmetic);
+# ties in each layout order are broken by o_orderkey.
+# Scale: |cands| stacked row_number passes (global window = the
+# audit-scale contract; the per-range production variant is
+# sort_order_advisor_ranged's pattern) + one domain-sized rollup.
+# --------------------------------------------------------------------------
+_SKB_RG_ROWS = 500
+_SKB_CANDS = ["o_orderdate", "o_custkey", "o_totalprice", "o_orderpriority"]
+# (pred_id, column, lo, hi) — hi exclusive for ranges; equality preds
+# have lo == hi and test min <= v <= max overlap.
+_SKB_PRED_SQL = {
+    "pr_date": ("o_orderdate",
+                "TIMESTAMP '1997-01-01'", "TIMESTAMP '1997-07-01'"),
+    "pr_cust": ("o_custkey", "100", "200"),
+    "pr_price": ("o_totalprice", "100000.0", "150000.0"),
+    "pr_prio": ("o_orderpriority", "'1-URGENT'", None),  # equality
+}
+
+
+def _skb_overlap_sql(col: str, lo: str, hi: str | None) -> str:
+    """Row-group [min,max] overlap test for a range (hi-exclusive) or
+    equality (hi None) predicate on `col`."""
+    if hi is None:
+        return f"(mn_{col} <= {lo} AND mx_{col} >= {lo})"
+    return f"(mn_{col} < {hi} AND mx_{col} >= {lo})"
+
+
+_SKB_ORACLE = f"""
+    WITH stacked AS (
+      {" UNION ALL ".join(
+        f'''SELECT '{c}' AS sort_col,
+               ROW_NUMBER() OVER (ORDER BY {c}, o_orderkey) AS rn,
+               o_orderdate, o_custkey, o_totalprice, o_orderpriority
+        FROM orders''' for c in _SKB_CANDS)}
+    ),
+    rg AS (
+      SELECT sort_col, (rn - 1) // {_SKB_RG_ROWS} AS rg_id,
+             {", ".join(
+               f"MIN({c}) AS mn_{c}, MAX({c}) AS mx_{c}"
+               for c in ["o_orderdate", "o_custkey", "o_totalprice",
+                         "o_orderpriority"])}
+      FROM stacked GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT sort_col,
+             CAST(COUNT(*) AS BIGINT) AS n_row_groups,
+             {", ".join(
+               f'''CAST(ROUND((1.0 - count_if(
+                     {_skb_overlap_sql(*_SKB_PRED_SQL[p])})
+                     / CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS {p}_prune_ppm''' for p in _SKB_PRED_SQL)}
+      FROM rg GROUP BY 1
+    ),
+    scored AS (
+      SELECT *,
+             CAST(ROUND(({" + ".join(f"{p}_prune_ppm"
+                                     for p in _SKB_PRED_SQL)})
+                        / {len(_SKB_PRED_SQL)}.0) AS BIGINT)
+               AS mean_prune_ppm
+      FROM per
+    )
+    SELECT sort_col, n_row_groups,
+           {", ".join(f"{p}_prune_ppm" for p in _SKB_PRED_SQL)},
+           mean_prune_ppm,
+           CAST(ROW_NUMBER() OVER (ORDER BY mean_prune_ppm DESC, sort_col)
+                AS BIGINT) AS rank
+    FROM scored
+    ORDER BY rank
+    """
+
+
+def sort_key_benefit_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map prune fraction per candidate sort key against a fixed
+    reference predicate workload, ranked (see block comment)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_custkey", "o_totalprice",
+        "o_orderpriority",
+    )
+    pcols = ["o_orderdate", "o_custkey", "o_totalprice", "o_orderpriority"]
+    stacked = None
+    for c in _SKB_CANDS:
+        lay = o.select(
+            F.lit(c).alias("sort_col"),
+            F.row_number()
+            .over(Window.orderBy(F.col(c), F.col("o_orderkey")))
+            .alias("rn"),
+            *pcols,
+        )
+        stacked = lay if stacked is None else stacked.unionByName(lay)
+    rg = stacked.groupBy(
+        "sort_col",
+        F.floor((F.col("rn") - 1) / _SKB_RG_ROWS).alias("rg_id"),
+    ).agg(
+        *[
+            a
+            for c in pcols
+            for a in (
+                F.min(c).alias(f"mn_{c}"),
+                F.max(c).alias(f"mx_{c}"),
+            )
+        ]
+    )
+    per = rg.groupBy("sort_col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_row_groups"),
+        *[
+            F.round(
+                (
+                    1.0
+                    - F.sum(
+                        F.expr(_skb_overlap_sql(*_SKB_PRED_SQL[p])).cast(
+                            "long"
+                        )
+                    )
+                    / F.count(F.lit(1)).cast("double")
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias(f"{p}_prune_ppm")
+            for p in _SKB_PRED_SQL
+        ],
+    )
+    scored = per.withColumn(
+        "mean_prune_ppm",
+        F.round(
+            sum(F.col(f"{p}_prune_ppm") for p in _SKB_PRED_SQL)
+            / float(len(_SKB_PRED_SQL))
+        ).cast("bigint"),
+    )
+    return scored.select(
+        "sort_col",
+        "n_row_groups",
+        *[f"{p}_prune_ppm" for p in _SKB_PRED_SQL],
+        "mean_prune_ppm",
+        F.row_number()
+        .over(Window.orderBy(F.col("mean_prune_ppm").desc(), "sort_col"))
+        .cast("bigint")
+        .alias("rank"),
+    ).orderBy("rank")
+
+
+ROUND12_STAGED: dict[str, tuple] = {
+    "compacted_zone_pruning": (compacted_zone_pruning, _CZP_ORACLE),
+    "sort_key_benefit_ranking": (
+        sort_key_benefit_ranking,
+        _SKB_ORACLE,
+    ),
+}
