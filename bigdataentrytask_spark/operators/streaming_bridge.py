@@ -1568,3 +1568,372 @@ ROUND11_STAGED["session_gap_state_cost"] = (
     session_gap_state_cost,
     _SESSION_STATE_ORACLE,
 )
+
+
+# ==========================================================================
+# ROUND-12 STAGED (VERDICT r10 item 7; zero registry delta until the
+# round-12 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Session state at batch boundaries (ROADMAP round-12 "Streaming"):
+# session_gap_state_cost's continuous endpoint sweep gives the true
+# state peak, but a micro-batch engine only OBSERVES (checkpoints,
+# reports, evicts) state at trigger boundaries — so the operational
+# number a state-store dashboard shows is the peak SAMPLED at batch
+# times. Per (gap, trigger): open sessions counted at every sample
+# time s*T over the job's lifetime, with the max and the grid mean.
+# Sampled peak <= continuous peak always (pinned in tests via the
+# verified session_gap_state_cost row); the gap between them is the
+# burst a trigger choice hides.
+# Session occupancy [t0, t1 + G) sampled at s*T uses the keyed
+# explode-to-covering-samples pattern (stream_state_projection) —
+# integer floor/ceil arithmetic on BIGINT microseconds, no theta
+# join; the zero-state grid comes back via a left join from a FRESH
+# bounds frame (the BroadcastNestedLoopJoin trap note at
+# stream_state_projection applies verbatim).
+# Scale: islands are per-user keyed windows; sample hits shuffle on
+# (gap, trigger, s) — bounded by lifetime/T rows per combo.
+# --------------------------------------------------------------------------
+_BATCH_PEAK_TRIGGERS_S = [60, 300]
+
+_BATCH_PEAKS_ORACLE = f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS t FROM events
+    ),
+    gp(gap_s) AS (VALUES {", ".join(f"({g})" for g in _SESSION_GAPS_S)}),
+    tr(trigger_s) AS (VALUES
+      {", ".join(f"({t})" for t in _BATCH_PEAK_TRIGGERS_S)}),
+    lagged AS (
+      SELECT gp.gap_s, e.user_id, e.t,
+             LAG(e.t) OVER (PARTITION BY gp.gap_s, e.user_id
+                            ORDER BY e.t) AS prev_t
+      FROM ev e CROSS JOIN gp
+    ),
+    isl AS (
+      SELECT gap_s, user_id, t,
+             SUM(CASE WHEN prev_t IS NULL
+                       OR t - prev_t > gap_s * 1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY gap_s, user_id ORDER BY t) AS sid
+      FROM lagged
+    ),
+    sess AS (
+      SELECT gap_s, user_id, sid, MIN(t) AS t0, MAX(t) AS t1
+      FROM isl GROUP BY 1, 2, 3
+    ),
+    spans AS (
+      SELECT s.gap_s, tr.trigger_s,
+             (s.t0 + tr.trigger_s * 1000000 - 1)
+               // (tr.trigger_s * 1000000) AS s_lo,
+             (s.t1 + s.gap_s * 1000000 - 1)
+               // (tr.trigger_s * 1000000) AS s_hi
+      FROM sess s CROSS JOIN tr
+    ),
+    hits AS (
+      SELECT gap_s, trigger_s, u.s, CAST(COUNT(*) AS BIGINT) AS state
+      FROM spans, LATERAL unnest(range(s_lo, s_hi + 1)) AS u(s)
+      GROUP BY 1, 2, 3
+    ),
+    bounds AS (
+      SELECT gap_s, MIN(t0) AS mn_t0, MAX(t1) AS mx_t1
+      FROM sess GROUP BY 1
+    ),
+    grid AS (
+      SELECT b.gap_s, tr.trigger_s, u.s
+      FROM bounds b CROSS JOIN tr, LATERAL unnest(range(
+        (b.mn_t0 + tr.trigger_s * 1000000 - 1)
+          // (tr.trigger_s * 1000000),
+        (b.mx_t1 + b.gap_s * 1000000 - 1)
+          // (tr.trigger_s * 1000000) + 1)) AS u(s)
+    ),
+    st AS (
+      SELECT g.gap_s, g.trigger_s, g.s,
+             COALESCE(h.state, 0) AS state
+      FROM grid g
+      LEFT JOIN hits h ON h.gap_s = g.gap_s
+                      AND h.trigger_s = g.trigger_s AND h.s = g.s
+    )
+    SELECT CAST(gap_s AS BIGINT) AS gap_s,
+           CAST(trigger_s AS BIGINT) AS trigger_s,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(MAX(state) AS BIGINT) AS max_state_at_batch,
+           CAST(ROUND(SUM(state) * 1000000.0 / COUNT(*)) AS BIGINT)
+             AS mean_state_ppm
+    FROM st
+    GROUP BY 1, 2
+    ORDER BY gap_s, trigger_s
+    """
+
+
+def session_state_batch_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-session state sampled at trigger-batch boundaries per
+    (gap, trigger) candidate (see block comment)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t")
+    )
+    gp = spark.createDataFrame(
+        [(g,) for g in _SESSION_GAPS_S], "gap_s long"
+    )
+    wl = Window.partitionBy("gap_s", "user_id").orderBy("t")
+    isl = (
+        ev.crossJoin(F.broadcast(gp))
+        .withColumn("prev_t", F.lag("t").over(wl))
+        .withColumn(
+            "sid",
+            F.sum(
+                F.when(
+                    F.col("prev_t").isNull()
+                    | (
+                        F.col("t") - F.col("prev_t")
+                        > F.col("gap_s") * 1_000_000
+                    ),
+                    1,
+                ).otherwise(0)
+            ).over(wl),
+        )
+    )
+    sess = isl.groupBy("gap_s", "user_id", "sid").agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    )
+    tr = spark.createDataFrame(
+        [(t,) for t in _BATCH_PEAK_TRIGGERS_S], "trigger_s long"
+    )
+    p_us = F.col("trigger_s") * 1_000_000
+    spans = sess.crossJoin(F.broadcast(tr)).select(
+        "gap_s",
+        "trigger_s",
+        F.floor((F.col("t0") + p_us - 1) / p_us).alias("s_lo"),
+        F.floor(
+            (F.col("t1") + F.col("gap_s") * 1_000_000 - 1) / p_us
+        ).alias("s_hi"),
+    )
+    # guard the explode: a session shorter than the distance to the
+    # next sample point has s_hi < s_lo, and Spark's sequence() would
+    # DESCEND (the cross_source_duplicate_flow lesson) — emit nothing
+    hits = (
+        spans.select(
+            "gap_s",
+            "trigger_s",
+            F.explode(
+                F.when(
+                    F.col("s_hi") >= F.col("s_lo"),
+                    F.sequence(F.col("s_lo"), F.col("s_hi")),
+                ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+            ).alias("s"),
+        )
+        .groupBy("gap_s", "trigger_s", "s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("state"))
+    )
+    bounds = sess.groupBy("gap_s").agg(
+        F.min("t0").alias("mn_t0"), F.max("t1").alias("mx_t1")
+    )
+    # independent trigger frame for the grid side (BNLJ trap note)
+    tr_grid = spark.createDataFrame(
+        [(t,) for t in _BATCH_PEAK_TRIGGERS_S], "trigger_s long"
+    )
+    pg_us = F.col("trigger_s") * 1_000_000
+    grid = bounds.crossJoin(F.broadcast(tr_grid)).select(
+        "gap_s",
+        "trigger_s",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("mn_t0") + pg_us - 1) / pg_us),
+                F.floor(
+                    (F.col("mx_t1") + F.col("gap_s") * 1_000_000 - 1)
+                    / pg_us
+                ),
+            )
+        ).alias("s"),
+    )
+    st = grid.join(hits, ["gap_s", "trigger_s", "s"], "left").select(
+        "gap_s",
+        "trigger_s",
+        F.coalesce("state", F.lit(0)).alias("state"),
+    )
+    return (
+        st.groupBy("gap_s", "trigger_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.max("state").cast("bigint").alias("max_state_at_batch"),
+            F.round(F.sum("state") * 1000000.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_state_ppm"),
+        )
+        .select(
+            F.col("gap_s").cast("bigint").alias("gap_s"),
+            F.col("trigger_s").cast("bigint").alias("trigger_s"),
+            "n_batches",
+            "max_state_at_batch",
+            "mean_state_ppm",
+        )
+        .orderBy("gap_s", "trigger_s")
+    )
+
+
+# --------------------------------------------------------------------------
+# Watermark-vs-state joint projection (ROADMAP round-12 "Streaming"):
+# allowed_lateness_sweep prices a delay D in dropped/re-emitted ROWS;
+# this prices it in STATE BYTES — the dimension that actually sizes
+# executors. Under watermark delay D a minute window's aggregation
+# state is created at its first KEPT arrival (front <= ts + D
+# guarantees creation strictly before expiry) and evicted when the
+# watermark (front - D) passes the window end, i.e. at front
+# = win_end + D. Max simultaneously-open windows over the arrival
+# timeline comes from the endpoint sweep (+1 at the window's first
+# kept arrival front, -1 at win_end + D), in FRONT coordinates —
+# arrival order is event_id (the module's deterministic processing-
+# order proxy, see watermark_lag_histogram). peak_state_bytes uses
+# the _WIN_STATE_BYTES projection constant (window key + count/sum
+# aggregation record) — a projection, not a measurement.
+# Scale: one running-max prefix (per-shard at 100 TB, as
+# watermark_lag_histogram documents), one (delay, win) keyed agg, and
+# a domain-sized sweep over 2 x n_windows endpoint rows per delay.
+# --------------------------------------------------------------------------
+_WIN_STATE_BYTES = 40  # 8 B window-start key + 32 B agg record
+
+_WM_STATE_ORACLE = f"""
+    WITH lagged AS (
+      SELECT epoch_us(date_trunc('minute', ts)) AS win_us,
+             epoch_us(ts) AS t_us,
+             epoch_us(MAX(ts) OVER (ORDER BY event_id
+                                    ROWS UNBOUNDED PRECEDING)) AS front_us
+      FROM events
+    ),
+    cands(delay_label, delay_us) AS (VALUES
+      {", ".join(f"('{lbl}', {us})" for lbl, us in _LATENESS_CANDIDATES_US)}
+    ),
+    wins AS (
+      SELECT c.delay_label, c.delay_us, l.win_us,
+             MIN(l.front_us) AS open_t,
+             MIN(l.win_us) + 60000000 + c.delay_us AS close_t
+      FROM lagged l CROSS JOIN cands c
+      WHERE l.front_us - l.t_us <= c.delay_us
+      GROUP BY 1, 2, 3
+    ),
+    pts AS (
+      SELECT delay_label, open_t AS t, 1 AS delta, win_us FROM wins
+      UNION ALL
+      SELECT delay_label, close_t, -1, win_us FROM wins
+    ),
+    sweep AS (
+      SELECT delay_label,
+             SUM(delta) OVER (PARTITION BY delay_label
+                              ORDER BY t, delta DESC, win_us
+                              ROWS UNBOUNDED PRECEDING) AS open_now
+      FROM pts
+    )
+    SELECT w.delay_label,
+           CAST(MAX(w.delay_us) AS BIGINT) AS delay_us,
+           CAST(COUNT(*) AS BIGINT) AS n_windows_open,
+           (SELECT CAST(MAX(open_now) AS BIGINT) FROM sweep s
+             WHERE s.delay_label = w.delay_label) AS max_open_windows,
+           CAST(ROUND(AVG((w.close_t - w.open_t) / 1000000.0) * 1000000)
+                AS BIGINT) AS mean_open_span_s_ppm,
+           (SELECT CAST(MAX(open_now) * {_WIN_STATE_BYTES} AS BIGINT)
+              FROM sweep s WHERE s.delay_label = w.delay_label)
+             AS peak_state_bytes
+    FROM wins w
+    GROUP BY w.delay_label
+    ORDER BY w.delay_label
+    """
+
+
+def watermark_state_bytes_joint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Projected peak windowed-aggregation state per watermark-delay
+    candidate (see block comment: endpoint sweep over window
+    open/evict times in front coordinates)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lagged = ev.select(
+        F.unix_micros(F.date_trunc("minute", "ts")).alias("win_us"),
+        F.unix_micros("ts").alias("t_us"),
+        F.unix_micros(F.max("ts").over(w)).alias("front_us"),
+    )
+    dl = spark.createDataFrame(
+        _LATENESS_CANDIDATES_US, "delay_label string, delay_us long"
+    )
+    wins = (
+        lagged.crossJoin(F.broadcast(dl))
+        .filter(F.col("front_us") - F.col("t_us") <= F.col("delay_us"))
+        .groupBy("delay_label", "delay_us", "win_us")
+        .agg(F.min("front_us").alias("open_t"))
+        .select(
+            "delay_label",
+            "delay_us",
+            "win_us",
+            "open_t",
+            (F.col("win_us") + 60_000_000 + F.col("delay_us")).alias(
+                "close_t"
+            ),
+        )
+    )
+    pts = wins.select(
+        "delay_label", F.col("open_t").alias("t"),
+        F.lit(1).alias("delta"), "win_us",
+    ).unionByName(
+        wins.select(
+            "delay_label", F.col("close_t").alias("t"),
+            F.lit(-1).alias("delta"), "win_us",
+        )
+    )
+    ws = Window.partitionBy("delay_label").orderBy(
+        "t", F.col("delta").desc(), "win_us"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    peak = (
+        pts.select(
+            "delay_label", F.sum("delta").over(ws).alias("open_now")
+        )
+        .groupBy("delay_label")
+        .agg(F.max("open_now").cast("bigint").alias("max_open_windows"))
+    )
+    stats = wins.groupBy("delay_label").agg(
+        F.max("delay_us").cast("bigint").alias("delay_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_windows_open"),
+        F.round(
+            F.avg((F.col("close_t") - F.col("open_t")) / 1000000.0)
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("mean_open_span_s_ppm"),
+    )
+    return (
+        stats.join(peak, "delay_label")
+        .select(
+            "delay_label",
+            "delay_us",
+            "n_windows_open",
+            "max_open_windows",
+            "mean_open_span_s_ppm",
+            (F.col("max_open_windows") * _WIN_STATE_BYTES)
+            .cast("bigint")
+            .alias("peak_state_bytes"),
+        )
+        .orderBy("delay_label")
+    )
+
+
+ROUND12_STAGED: dict[str, tuple] = {
+    "session_state_batch_peaks": (
+        session_state_batch_peaks,
+        _BATCH_PEAKS_ORACLE,
+    ),
+    "watermark_state_bytes_joint": (
+        watermark_state_bytes_joint,
+        _WM_STATE_ORACLE,
+    ),
+}
