@@ -3670,3 +3670,199 @@ ROUND11_STAGED: dict[str, tuple] = {
     ),
     "domain_mix_planner": (domain_mix_planner, _DOMAIN_MIX_ORACLE),
 }
+
+
+# ==========================================================================
+# ROUND-12 STAGED (VERDICT r10 item 7; zero registry delta until the
+# round-12 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Perplexity pruning gate (ROADMAP round-12 "Curation"): the
+# quality_threshold_pruning pattern on the LANGUAGE-MODEL axis, per
+# SOURCE — CCNet prunes each source/shard at a percentile of its own
+# LM score, not at one global threshold, so "cut the worst 10% per
+# source" is the release-gate shape a trainer actually deploys.
+# Scores are the verified add-one-smoothed bigram logprobs
+# (bigram_lm_logprob's exact 1e6-grid arithmetic, rescored over ALL
+# docs — its registry twin caps scoring at doc_id < 100 for the
+# audit slice). Per source: the exact discrete 10% threshold (the
+# (k+1)-th smallest score, k = floor(n/10)), pruned count, and the
+# percentile_approx sketch rank-contract boolean — the production
+# path is sketch + filter (no global sort), the exact columns are
+# the audit content, per the column_quantile_sketch_gate pattern.
+# Scale: the LM counts shuffle on the bigram key (one pass); the
+# per-source window is keyed (bounded state per task); the sketch is
+# a mergeable single aggregate.
+# --------------------------------------------------------------------------
+_PPG_FRAC_PPM = 100_000  # prune the worst 10% of each source
+_PPG_ACC = 1000          # percentile_approx accuracy knob
+
+_PPG_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+      FROM (
+        SELECT doc_id,
+               UNNEST({sql_tokens('text')}) AS tok,
+               UNNEST(range(len({sql_tokens('text')}))) AS pos
+        FROM documents
+      )
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             tok AS w2
+      FROM toks
+      QUALIFY w1 IS NOT NULL
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2
+           FROM bigrams GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1
+           FROM bigrams GROUP BY 1),
+    v  AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM toks),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(ROUND(SUM(CAST(ROUND(ln((c2.n2 + 1)
+                                / CAST(c1.n1 + v.vsz AS DOUBLE))
+                                * 1000000) AS BIGINT))
+                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+               AS score_e6
+      FROM bigrams b
+      JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+      JOIN c1 ON c1.w1 = b.w1
+      CROSS JOIN v
+      GROUP BY 1
+    ),
+    tagged AS (
+      SELECT d.source, s.score_e6,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+                                ORDER BY s.score_e6, s.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY d.source) AS n_src
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    cut AS (
+      SELECT source, CAST(MAX(n_src) AS BIGINT) AS n_scored,
+             MIN(CASE WHEN rn > n_src * {_PPG_FRAC_PPM} // 1000000
+                      THEN score_e6 END) AS exact_thresh_e6
+      FROM tagged GROUP BY source
+    )
+    SELECT c.source, c.n_scored,
+           CAST(c.exact_thresh_e6 AS BIGINT) AS exact_thresh_e6,
+           (SELECT CAST(count_if(t.score_e6 < c.exact_thresh_e6)
+                        AS BIGINT)
+              FROM tagged t WHERE t.source = c.source) AS n_pruned,
+           (SELECT CAST(ROUND(count_if(t.score_e6 < c.exact_thresh_e6)
+                              * 1000000.0 / c.n_scored) AS BIGINT)
+              FROM tagged t WHERE t.source = c.source) AS prune_ppm,
+           TRUE AS sketch_rank_ok
+    FROM cut c
+    ORDER BY c.source
+    """
+
+
+def perplexity_pruning_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 10%-percentile LM-score pruning gate (see block
+    comment): exact discrete thresholds as audit content, plus the
+    percentile_approx sketch rank-contract boolean the production
+    filter relies on."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.lag("tok").over(w).alias("w1"),
+            F.col("tok").alias("w2"),
+        )
+        .filter(F.col("w1").isNotNull())
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = toks.agg(F.count_distinct("tok").alias("vsz"))
+    lp_g = F.round(
+        F.log(
+            (F.col("n2") + 1) / (F.col("n1") + F.col("vsz")).cast("double")
+        )
+        * 1000000
+    ).cast("bigint")
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(lp_g) / F.count(F.lit(1)).cast("double"))
+            .cast("bigint")
+            .alias("score_e6")
+        )
+    )
+    tagged = scored.join(
+        d.select("doc_id", "source"), "doc_id"
+    ).select("source", "doc_id", "score_e6")
+    ws = Window.partitionBy("source").orderBy("score_e6", "doc_id")
+    ranked = tagged.select(
+        "source",
+        "score_e6",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .alias("n_src"),
+    )
+    cut = ranked.groupBy("source").agg(
+        F.max("n_src").cast("bigint").alias("n_scored"),
+        F.min(
+            F.when(
+                F.col("rn")
+                > F.floor(F.col("n_src") * _PPG_FRAC_PPM / 1000000),
+                F.col("score_e6"),
+            )
+        ).alias("exact_thresh_e6"),
+        # production sketch: one mergeable percentile_approx per source
+        F.percentile_approx(
+            "score_e6", _PPG_FRAC_PPM / 1e6, _PPG_ACC
+        ).alias("sketch_t"),
+    )
+    gates = (
+        ranked.join(F.broadcast(cut), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                (F.col("score_e6") < F.col("exact_thresh_e6")).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_pruned"),
+            F.sum((F.col("score_e6") < F.col("sketch_t")).cast("long"))
+            .alias("n_lt_sketch"),
+            F.sum((F.col("score_e6") <= F.col("sketch_t")).cast("long"))
+            .alias("n_le_sketch"),
+        )
+    )
+    err = F.ceil(F.col("n_scored") / _PPG_ACC)
+    target = F.col("n_scored") * _PPG_FRAC_PPM / 1000000.0
+    return (
+        cut.join(gates, "source")
+        .select(
+            "source",
+            "n_scored",
+            F.col("exact_thresh_e6").cast("bigint").alias(
+                "exact_thresh_e6"
+            ),
+            "n_pruned",
+            F.round(F.col("n_pruned") * 1000000.0 / F.col("n_scored"))
+            .cast("bigint")
+            .alias("prune_ppm"),
+            (
+                (F.col("n_lt_sketch") <= target + err)
+                & (F.col("n_le_sketch") >= target - err)
+            ).alias("sketch_rank_ok"),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND12_STAGED: dict[str, tuple] = {
+    "perplexity_pruning_gate": (perplexity_pruning_gate, _PPG_ORACLE),
+}
