@@ -6090,3 +6090,490 @@ ROUND11_STAGED["ivf_adc_recall"] = (
     ivf_adc_recall,
     _IVF_ADC_ORACLE.replace("{IVF_CTES}", _IVF_CTES),
 )
+
+
+# ==========================================================================
+# ROUND-12 STAGED (VERDICT r10 item 7; zero registry delta until the
+# round-12 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# IVF cell-balance audit (ROADMAP round-12 "Retrieval"): the
+# retrieval twin of partition_skew_report. IVFADC's cost model
+# assumes roughly uniform cell populations; a skewed coarse quantizer
+# makes nprobe=1 either scan a giant cell (latency) or miss most of
+# the corpus (recall) — it is the mechanism BEHIND ivf_adc_recall's
+# pinned honest negative, surfaced as a table: per cell (empties
+# included), population, share, size rank, and the cumulative share
+# of the top-r cells — read row r as "probing the r largest cells
+# scans this fraction of the corpus". Assignment is the verified
+# knn_ivf_kmeans coarse quantizer (first-K seeds, exact grid-integer
+# distances).
+# Scale: one broadcast seed join + one keyed argmin window + a
+# K-domain rollup; the audit is O(n * K) with K fixed.
+# --------------------------------------------------------------------------
+_CELL_BALANCE_ORACLE = f"""
+    WITH {_IVF_CTES},
+    counts AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM assigned GROUP BY k
+    ),
+    cells AS (
+      SELECT UNNEST(range(0, {KMEANS_K})) AS cell
+    ),
+    full_c AS (
+      SELECT c.cell, COALESCE(t.n_vecs, 0) AS n_vecs,
+             (SELECT SUM(n_vecs) FROM counts) AS n_total
+      FROM cells c LEFT JOIN counts t ON t.k = c.cell
+    ),
+    ranked AS (
+      SELECT cell, n_vecs, n_total,
+             ROW_NUMBER() OVER (ORDER BY n_vecs DESC, cell) AS size_rank,
+             SUM(n_vecs) OVER (ORDER BY n_vecs DESC, cell
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM full_c
+    )
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(ROUND(n_vecs * 1000000.0 / n_total) AS BIGINT)
+             AS share_ppm,
+           CAST(size_rank AS BIGINT) AS size_rank,
+           CAST(ROUND(cum * 1000000.0 / n_total) AS BIGINT)
+             AS cum_share_ppm
+    FROM ranked
+    ORDER BY cell
+    """
+
+
+def ivf_cell_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell population census of the IVF coarse quantizer (see
+    block comment): skew here is the mechanism behind nprobe recall
+    pathologies."""
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), grid.alias("xi"))
+    seeds = (
+        e.filter(F.col("vec_id") < KMEANS_K)
+        .select(
+            F.col("vec_id").alias("k"),
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("pos0", "x"),
+        )
+        .select("k", (F.col("pos0") + 1).alias("pos"), grid.alias("si"))
+    )
+    diff = F.col("xi") - F.col("si")
+    dist = (
+        dims.join(F.broadcast(seeds), "pos")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(diff * diff).cast("bigint").alias("dd"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy("dd", "k")
+    assigned = (
+        dist.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "k")
+    )
+    counts = assigned.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    cells = spark.createDataFrame(
+        [(c,) for c in range(KMEANS_K)], "cell long"
+    )
+    tot = counts.agg(F.sum("n_vecs").alias("n_total"))
+    full_c = (
+        cells.join(counts.withColumnRenamed("k", "cell"), "cell", "left")
+        .select("cell", F.coalesce("n_vecs", F.lit(0)).alias("n_vecs"))
+        .crossJoin(F.broadcast(tot))
+    )
+    wr = Window.orderBy(F.col("n_vecs").desc(), "cell")
+    ranked = full_c.select(
+        "cell",
+        "n_vecs",
+        "n_total",
+        F.row_number().over(wr).alias("size_rank"),
+        F.sum("n_vecs")
+        .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    return ranked.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.round(F.col("n_vecs") * 1000000.0 / F.col("n_total"))
+        .cast("bigint")
+        .alias("share_ppm"),
+        F.col("size_rank").cast("bigint").alias("size_rank"),
+        F.round(F.col("cum") * 1000000.0 / F.col("n_total"))
+        .cast("bigint")
+        .alias("cum_share_ppm"),
+    ).orderBy("cell")
+
+
+# --------------------------------------------------------------------------
+# PQ codebook Lloyd refinement (ROADMAP round-12 "Retrieval"; the
+# learned-codebook-quality advisor VERDICT r10 item 7 asked for):
+# ivf_adc_recall pinned an honest negative — recall FALLS with nprobe
+# under the toy first-K-vectors codebook — and ivf_cell_balance_audit
+# shows the coarse cells are balanced, so the defect is subspace
+# codebook DISTORTION. This operator runs exactly ONE Lloyd step on
+# the PQ codebook (assign -> per-(sub, code) centroid update ->
+# re-assign; empty codes keep their old centroid) and prices both
+# codebooks on the same table: total assignment distortion, dead
+# codes, and end-to-end ADC recall@5 vs exact-L2 truth. The update
+# arithmetic is exact: centroids snap back onto the 1e6 integer grid
+# via ROUND(SUM/COUNT) (sums < 2^53, so the double division is the
+# same on both engines); distances stay grid-integer BIGINTs.
+# Plan shape: dims feeds both assignment passes, the ADC query side,
+# and the exact truth -> with_persisted; the two variants stack into
+# ONE tagged assignment/codebook frame so the ADC ranking pipeline
+# runs once over both (the ivf_adc_recall composition lesson —
+# score the superset once, rank per variant in one window).
+# --------------------------------------------------------------------------
+_LLOYD_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id,
+             ((generate_subscripts(e, 1) - 1) * {_PQ_SUB}) // {_PQ_DIM}
+               AS sub,
+             generate_subscripts(e, 1) AS pos,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+      FROM v
+    ),
+    cb0 AS (
+      SELECT vec_id AS code, ((pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             pos, xi AS ci
+      FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos,
+                   CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+            FROM v WHERE vec_id < {_PQ_K}) t
+    ),
+    d0 AS (
+      SELECT d.vec_id, d.sub, cb.code,
+             CAST(SUM((d.xi - cb.ci) * (d.xi - cb.ci)) AS BIGINT) AS dd
+      FROM dims d
+      JOIN cb0 cb ON cb.pos = d.pos AND cb.sub = d.sub
+      GROUP BY 1, 2, 3
+    ),
+    a0 AS (
+      SELECT vec_id, sub, code, dd FROM (
+        SELECT vec_id, sub, code, dd,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM d0
+      ) WHERE rn = 1
+    ),
+    refined AS (
+      SELECT a.sub, a.code, d.pos,
+             CAST(ROUND(SUM(d.xi) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+               AS ci
+      FROM a0 a
+      JOIN dims d ON d.vec_id = a.vec_id AND d.sub = a.sub
+      GROUP BY 1, 2, 3
+    ),
+    cb1 AS (
+      SELECT c.code, c.sub, c.pos, COALESCE(r.ci, c.ci) AS ci
+      FROM cb0 c
+      LEFT JOIN refined r ON r.sub = c.sub AND r.code = c.code
+                         AND r.pos = c.pos
+    ),
+    d1 AS (
+      SELECT d.vec_id, d.sub, cb.code,
+             CAST(SUM((d.xi - cb.ci) * (d.xi - cb.ci)) AS BIGINT) AS dd
+      FROM dims d
+      JOIN cb1 cb ON cb.pos = d.pos AND cb.sub = d.sub
+      GROUP BY 1, 2, 3
+    ),
+    a1 AS (
+      SELECT vec_id, sub, code, dd FROM (
+        SELECT vec_id, sub, code, dd,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    a AS (
+      SELECT 'a_toy' AS variant, * FROM a0
+      UNION ALL
+      SELECT 'b_lloyd1', * FROM a1
+    ),
+    cb AS (
+      SELECT 'a_toy' AS variant, * FROM cb0
+      UNION ALL
+      SELECT 'b_lloyd1', * FROM cb1
+    ),
+    adc AS (
+      SELECT a.variant, q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             CAST(SUM((q.xi - cb.ci) * (q.xi - cb.ci)) AS BIGINT) AS dd
+      FROM a
+      JOIN cb ON cb.variant = a.variant AND cb.sub = a.sub
+             AND cb.code = a.code
+      JOIN dims q ON q.pos = cb.pos AND q.vec_id <> a.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY 1, 2, 3
+    ),
+    top_adc AS (
+      SELECT variant, query_id, neighbor_id FROM (
+        SELECT variant, query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY variant, query_id
+                                  ORDER BY dd, neighbor_id) AS rnk
+        FROM adc
+      ) WHERE rnk <= {TOP_K}
+    ),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS dd
+      FROM dims q
+      JOIN dims c ON c.pos = q.pos AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dd, neighbor_id) AS rnk
+        FROM exact
+      ) WHERE rnk <= {TOP_K}
+    ),
+    hits AS (
+      SELECT a.variant,
+             CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT)
+               AS n_hits
+      FROM top_adc a
+      LEFT JOIN truth t ON t.query_id = a.query_id
+                       AND t.neighbor_id = a.neighbor_id
+      GROUP BY 1
+    ),
+    dist_tot AS (
+      SELECT variant, CAST(SUM(dd) AS BIGINT) AS total_distortion,
+             CAST({_PQ_SUB * _PQ_K} - COUNT(DISTINCT (sub, code))
+                  AS BIGINT) AS n_dead_codes
+      FROM a GROUP BY 1
+    )
+    SELECT d.variant, d.total_distortion, d.n_dead_codes,
+           h.n_hits,
+           ROUND(CAST(h.n_hits AS DOUBLE)
+                 / ({N_QUERIES} * {TOP_K}), 6) AS recall_at_5
+    FROM dist_tot d JOIN hits h ON h.variant = d.variant
+    ORDER BY d.variant
+    """
+
+
+def pq_lloyd_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd step on the PQ subspace codebook, priced end-to-end
+    (see block comment): distortion, dead codes, and ADC recall for
+    the toy vs refined codebook on one tagged pipeline."""
+    from bigdataentrytask_spark.operators import materialize, with_persisted
+
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long").alias("sub"),
+        (F.col("pos0") + 1).alias("pos"),
+        grid.alias("xi"),
+    )
+    with with_persisted(dims) as dims_p:
+        cb0 = (
+            e.filter(F.col("vec_id") < _PQ_K)
+            .select(
+                F.col("vec_id").alias("code"),
+                F.posexplode(
+                    F.transform("embedding", lambda x: x.cast("double"))
+                ).alias("pos0", "x"),
+            )
+            .select(
+                "code",
+                ((F.col("pos0") * _PQ_SUB) / _PQ_DIM)
+                .cast("long")
+                .alias("sub"),
+                (F.col("pos0") + 1).alias("pos"),
+                grid.alias("ci"),
+            )
+        )
+
+        def _assign(cb):
+            diff = F.col("xi") - F.col("ci")
+            dist = (
+                dims_p.join(
+                    F.broadcast(cb),
+                    (F.col("cb_pos") == F.col("pos"))
+                    & (F.col("cb_sub") == F.col("sub")),
+                )
+                .groupBy("vec_id", "sub", "code")
+                .agg(F.sum(diff * diff).cast("bigint").alias("dd"))
+            )
+            wa = Window.partitionBy("vec_id", "sub").orderBy("dd", "code")
+            return materialize(
+                dist.withColumn("rn", F.row_number().over(wa))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "sub", "code", "dd")
+            )
+
+        def _cb_joinable(cb):
+            return cb.select(
+                "code",
+                F.col("sub").alias("cb_sub"),
+                F.col("pos").alias("cb_pos"),
+                "ci",
+            )
+
+        a0 = _assign(_cb_joinable(cb0))
+        refined = (
+            a0.select(
+                F.col("vec_id").alias("a_vid"),
+                F.col("sub").alias("a_sub"),
+                "code",
+            )
+            .join(
+                dims_p,
+                (F.col("a_vid") == F.col("vec_id"))
+                & (F.col("a_sub") == F.col("sub")),
+            )
+            .groupBy(F.col("a_sub").alias("g_sub"), "code", "pos")
+            .agg(
+                F.round(F.sum("xi") / F.count(F.lit(1)).cast("double"))
+                .cast("bigint")
+                .alias("r_ci")
+            )
+            .withColumnRenamed("g_sub", "sub")
+        )
+        cb1 = (
+            cb0.join(refined, ["sub", "code", "pos"], "left")
+            .select(
+                "code",
+                "sub",
+                "pos",
+                F.coalesce("r_ci", "ci").alias("ci"),
+            )
+        )
+        a1 = _assign(_cb_joinable(cb1))
+        a = a0.select(F.lit("a_toy").alias("variant"), "*").unionByName(
+            a1.select(F.lit("b_lloyd1").alias("variant"), "*")
+        )
+        cbs = cb0.select(
+            F.lit("a_toy").alias("variant"), "code", "sub", "pos", "ci"
+        ).unionByName(
+            cb1.select(
+                F.lit("b_lloyd1").alias("variant"), "code", "sub", "pos",
+                "ci",
+            )
+        )
+        qd = dims_p.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("pos").alias("q_pos"),
+            F.col("xi").alias("qi"),
+        )
+        adc = (
+            a.join(
+                F.broadcast(
+                    cbs.withColumnRenamed("sub", "cb_sub")
+                    .withColumnRenamed("pos", "cb_pos")
+                ),
+                ["variant", "code"],
+            )
+            .filter(F.col("cb_sub") == F.col("sub"))
+            .join(
+                F.broadcast(qd),
+                (F.col("q_pos") == F.col("cb_pos"))
+                & (F.col("query_id") != F.col("vec_id")),
+            )
+            .groupBy(
+                "variant", "query_id", F.col("vec_id").alias("neighbor_id")
+            )
+            .agg(
+                F.sum(
+                    (F.col("qi") - F.col("ci"))
+                    * (F.col("qi") - F.col("ci"))
+                )
+                .cast("bigint")
+                .alias("qdd")
+            )
+        )
+        wr = Window.partitionBy("variant", "query_id").orderBy(
+            "qdd", "neighbor_id"
+        )
+        top_adc = adc.withColumn("rnk", F.row_number().over(wr)).filter(
+            F.col("rnk") <= TOP_K
+        )
+        qx = dims_p.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "pos",
+            F.col("xi").alias("qi"),
+        )
+        cx = dims_p.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("pos").alias("pos_c"),
+            F.col("xi").alias("ci2"),
+        )
+        exact = (
+            F.broadcast(qx)
+            .join(cx, F.col("pos_c") == F.col("pos"))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.sum(
+                    (F.col("qi") - F.col("ci2"))
+                    * (F.col("qi") - F.col("ci2"))
+                )
+                .cast("bigint")
+                .alias("edd")
+            )
+        )
+        wt = Window.partitionBy("query_id").orderBy("edd", "neighbor_id")
+        truth = (
+            exact.withColumn("rnk", F.row_number().over(wt))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id", F.lit(1).alias("is_true"))
+        )
+        hits = (
+            top_adc.join(truth, ["query_id", "neighbor_id"], "left")
+            .groupBy("variant")
+            .agg(
+                F.sum(F.coalesce("is_true", F.lit(0)))
+                .cast("bigint")
+                .alias("n_hits")
+            )
+        )
+        dist_tot = a.groupBy("variant").agg(
+            F.sum("dd").cast("bigint").alias("total_distortion"),
+            (
+                F.lit(_PQ_SUB * _PQ_K)
+                - F.count_distinct("sub", "code")
+            )
+            .cast("bigint")
+            .alias("n_dead_codes"),
+        )
+        return materialize(
+            dist_tot.join(hits, "variant")
+            .select(
+                "variant",
+                "total_distortion",
+                "n_dead_codes",
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double") / (N_QUERIES * TOP_K),
+                    6,
+                ).alias("recall_at_5"),
+            )
+            .orderBy("variant")
+        )
+
+
+ROUND12_STAGED: dict[str, tuple] = {
+    "ivf_cell_balance_audit": (
+        ivf_cell_balance_audit,
+        _CELL_BALANCE_ORACLE,
+    ),
+    "pq_lloyd_refinement": (pq_lloyd_refinement, _LLOYD_ORACLE),
+}
