@@ -6570,10 +6570,329 @@ def pq_lloyd_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+# --------------------------------------------------------------------------
+# Candidate-budget recall (ROADMAP round-12 "Retrieval"): the
+# apples-to-apples index selector. ivf_nprobe_recall_sweep and
+# two_hop_expansion_ceiling each vary their OWN knob, so their rows
+# are not comparable — this table fixes the one resource that costs
+# money (exact-scoring candidates per query) and asks which index
+# family spends it better. Per (method, budget): LSH candidates are
+# truncated in neighbor_id order (the scan-order contract — scoring
+# order would defeat the budget), IVF candidates in (cell-distance
+# rank, neighbor_id) order (probe order — the order a real IVF scan
+# discovers them); the kept set is exact-cosine scored and its top-5
+# compared to the brute-force truth.
+# Plan shape: the two methods' kept sets (budget = max budget;
+# smaller budgets are prefixes by construction) merge via one full
+# outer join into a superset pair frame; dots are computed ONCE over
+# it and every (method, budget) ranks via conditional running counts
+# over ONE shared window (the two_hop single-window lesson).
+# Zero-norm sentinel: cc = 0 -> sim -2.0 on both engines (ADVICE r9).
+# --------------------------------------------------------------------------
+_CBR_BUDGETS = [10, 50]
+
+_CBR_ORACLE = f"""
+    WITH {{SQL_PLANES}},
+    {{SQL_CODES}},
+    {{IVF_CTES}},
+    lsh0 AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM codes q JOIN codes c ON q.t = c.t AND q.code = c.code
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    lshc AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY neighbor_id) AS rn
+      FROM lsh0
+    ),
+    qrank AS (
+      SELECT vec_id AS query_id, k,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dd, k) AS cell_rank
+      FROM dist WHERE vec_id < {N_QUERIES}
+    ),
+    ivf0 AS (
+      SELECT qr.query_id, a.vec_id AS neighbor_id, qr.cell_rank
+      FROM qrank qr JOIN assigned a ON a.k = qr.k
+      WHERE a.vec_id <> qr.query_id
+    ),
+    ivfc AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cell_rank, neighbor_id) AS rn
+      FROM ivf0
+    ),
+    sup AS (
+      SELECT COALESCE(l.query_id, i.query_id) AS query_id,
+             COALESCE(l.neighbor_id, i.neighbor_id) AS neighbor_id,
+             l.rn AS rn_lsh, i.rn AS rn_ivf
+      FROM (SELECT * FROM lshc WHERE rn <= {max(_CBR_BUDGETS)}) l
+      FULL JOIN (SELECT * FROM ivfc WHERE rn <= {max(_CBR_BUDGETS)}) i
+        ON i.query_id = l.query_id AND i.neighbor_id = l.neighbor_id
+    ),
+    pn AS (
+      SELECT vec_id, CAST(SUM(xi * xi) AS DOUBLE) AS cc
+      FROM dims GROUP BY 1
+    ),
+    dotg AS (
+      SELECT s.query_id, s.neighbor_id, s.rn_lsh, s.rn_ivf,
+             CAST(SUM(dq.xi * dn.xi) AS DOUBLE) AS dot
+      FROM sup s
+      JOIN dims dq ON dq.vec_id = s.query_id
+      JOIN dims dn ON dn.vec_id = s.neighbor_id AND dn.pos = dq.pos
+      GROUP BY 1, 2, 3, 4
+    ),
+    ranked AS (
+      SELECT d.query_id, d.neighbor_id, d.rn_lsh, d.rn_ivf,
+             {", ".join(
+               f'''SUM(CASE WHEN d.rn_{m} <= {b} THEN 1 ELSE 0 END)
+                     OVER w AS rk_{m}{b}'''
+               for m in ("lsh", "ivf") for b in _CBR_BUDGETS)}
+      FROM dotg d JOIN pn p ON p.vec_id = d.neighbor_id
+      WINDOW w AS (PARTITION BY d.query_id
+                   ORDER BY CASE WHEN p.cc = 0
+                                 THEN CAST(-2.0 AS DOUBLE)
+                            ELSE d.dot / sqrt(p.cc) END DESC,
+                            d.neighbor_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    picks AS (
+      {" UNION ALL ".join(
+        f'''SELECT '{'a_lsh' if m == 'lsh' else 'b_ivf'}' AS method,
+               {b} AS budget, query_id, neighbor_id
+        FROM ranked WHERE rn_{m} <= {b} AND rk_{m}{b} <= {TOP_K}'''
+        for m in ("lsh", "ivf") for b in _CBR_BUDGETS)}
+    ),
+    vol AS (
+      {" UNION ALL ".join(
+        f'''SELECT '{'a_lsh' if m == 'lsh' else 'b_ivf'}' AS method,
+               {b} AS budget, CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM {m}c WHERE rn <= {b}'''
+        for m in ("lsh", "ivf") for b in _CBR_BUDGETS)}
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM ({{KNN_TRUTH}})
+    ),
+    hits AS (
+      SELECT p.method, p.budget,
+             CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT)
+               AS n_hits
+      FROM picks p
+      LEFT JOIN truth t ON t.query_id = p.query_id
+                       AND t.neighbor_id = p.neighbor_id
+      GROUP BY 1, 2
+    )
+    SELECT h.method, CAST(h.budget AS BIGINT) AS budget,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           ROUND(CAST(v.n_kept AS DOUBLE) / {N_QUERIES}, 6)
+             AS mean_candidates,
+           h.n_hits,
+           ROUND(CAST(h.n_hits AS DOUBLE) / ({N_QUERIES} * {TOP_K}), 6)
+             AS recall_at_5
+    FROM hits h JOIN vol v ON v.method = h.method AND v.budget = h.budget
+    ORDER BY h.method, h.budget
+    """
+
+
+def candidate_budget_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH vs IVF recall at a FIXED exact-scoring candidate budget
+    (see block comment): superset pairs scored once, every
+    (method, budget) ranked in one shared window."""
+    from bigdataentrytask_spark.operators import materialize, with_persisted
+
+    bmax = max(_CBR_BUDGETS)
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), grid.alias("xi"))
+    bucketed = _bucketed(e)
+    with with_persisted(dims) as dims_p:
+        qb = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "bucket"
+        )
+        cb = bucketed.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+        wl = Window.partitionBy("query_id").orderBy("neighbor_id")
+        lshc = materialize(
+            qb.join(cb, "bucket")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+            .withColumn("rn", F.row_number().over(wl))
+            .filter(F.col("rn") <= bmax)
+        )
+        seeds = (
+            e.filter(F.col("vec_id") < KMEANS_K)
+            .select(
+                F.col("vec_id").alias("k"),
+                F.posexplode(
+                    F.transform("embedding", lambda x: x.cast("double"))
+                ).alias("pos0", "x"),
+            )
+            .select("k", (F.col("pos0") + 1).alias("pos"), grid.alias("si"))
+        )
+        diff = F.col("xi") - F.col("si")
+        dist = (
+            dims_p.join(F.broadcast(seeds), "pos")
+            .groupBy("vec_id", "k")
+            .agg(F.sum(diff * diff).cast("bigint").alias("dd"))
+        )
+        wa = Window.partitionBy("vec_id").orderBy("dd", "k")
+        assigned = (
+            dist.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "k")
+        )
+        qrank = (
+            dist.filter(F.col("vec_id") < N_QUERIES)
+            .withColumn("cell_rank", F.row_number().over(wa))
+            .select(F.col("vec_id").alias("query_id"), "k", "cell_rank")
+        )
+        wi = Window.partitionBy("query_id").orderBy(
+            "cell_rank", "neighbor_id"
+        )
+        ivfc = materialize(
+            qrank.join(
+                assigned.select(
+                    F.col("vec_id").alias("neighbor_id"), "k"
+                ),
+                "k",
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("rn", F.row_number().over(wi))
+            .filter(F.col("rn") <= bmax)
+            .select("query_id", "neighbor_id", "rn")
+        )
+        sup = lshc.select(
+            "query_id", "neighbor_id", F.col("rn").alias("rn_lsh")
+        ).join(
+            ivfc.select(
+                "query_id", "neighbor_id", F.col("rn").alias("rn_ivf")
+            ),
+            ["query_id", "neighbor_id"],
+            "full",
+        )
+        pn = dims_p.groupBy("vec_id").agg(
+            F.sum(F.col("xi") * F.col("xi")).cast("double").alias("cc")
+        )
+        dq = dims_p.select(
+            F.col("vec_id").alias("query_id"), "pos",
+            F.col("xi").alias("qi"),
+        )
+        dn = dims_p.select(
+            F.col("vec_id").alias("nb"),
+            F.col("pos").alias("pos_n"),
+            F.col("xi").alias("ni"),
+        )
+        dotg = (
+            sup.join(dq, "query_id")
+            .join(
+                dn,
+                (F.col("pos_n") == F.col("pos"))
+                & (F.col("nb") == F.col("neighbor_id")),
+            )
+            .groupBy("query_id", "neighbor_id", "rn_lsh", "rn_ivf")
+            .agg(
+                F.sum(F.col("qi") * F.col("ni")).cast("double").alias("dot")
+            )
+        )
+        scored = dotg.join(
+            pn.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        ).withColumn(
+            "sim",
+            F.when(F.col("cc") == 0, F.lit(-2.0)).otherwise(
+                F.col("dot") / F.sqrt("cc")
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), "neighbor_id"
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rank_cols = [
+            F.sum(
+                F.when(F.col(f"rn_{m}") <= b, 1).otherwise(0)
+            )
+            .over(w)
+            .alias(f"rk_{m}{b}")
+            for m in ("lsh", "ivf")
+            for b in _CBR_BUDGETS
+        ]
+        flagged = scored.select(
+            "query_id", "neighbor_id", "rn_lsh", "rn_ivf", *rank_cols
+        )
+        stack_args = ", ".join(
+            f"'{'a_lsh' if m == 'lsh' else 'b_ivf'}', {b}, "
+            f"rn_{m} IS NOT NULL AND rn_{m} <= {b} AND rk_{m}{b} <= {TOP_K}"
+            for m in ("lsh", "ivf")
+            for b in _CBR_BUDGETS
+        )
+        picks = (
+            flagged.select(
+                "query_id",
+                "neighbor_id",
+                F.expr(
+                    f"stack({2 * len(_CBR_BUDGETS)}, {stack_args})"
+                    " AS (method, budget, in_top)"
+                ),
+            )
+            .filter(F.col("in_top"))
+            .select("method", "budget", "query_id", "neighbor_id")
+        )
+        vol = None
+        for m, frame in (("a_lsh", lshc), ("b_ivf", ivfc)):
+            for b in _CBR_BUDGETS:
+                arm = frame.filter(F.col("rn") <= b).agg(
+                    F.lit(m).alias("method"),
+                    F.lit(b).alias("budget"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+                )
+                vol = arm if vol is None else vol.unionByName(arm)
+        truth = knn_bruteforce(spark, sf_dir).select(
+            "query_id", "neighbor_id", F.lit(1).alias("is_true")
+        )
+        hits = (
+            picks.join(truth, ["query_id", "neighbor_id"], "left")
+            .groupBy("method", "budget")
+            .agg(
+                F.sum(F.coalesce("is_true", F.lit(0)))
+                .cast("bigint")
+                .alias("n_hits")
+            )
+        )
+        return materialize(
+            hits.join(vol, ["method", "budget"])
+            .select(
+                "method",
+                F.col("budget").cast("bigint").alias("budget"),
+                F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+                F.round(
+                    F.col("n_kept").cast("double") / N_QUERIES, 6
+                ).alias("mean_candidates"),
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double") / (N_QUERIES * TOP_K), 6
+                ).alias("recall_at_5"),
+            )
+            .orderBy("method", "budget")
+        )
+
+
+from bigdataentrytask_spark.operators import ORACLES as _REG_ORACLES  # noqa: E402
+
 ROUND12_STAGED: dict[str, tuple] = {
     "ivf_cell_balance_audit": (
         ivf_cell_balance_audit,
         _CELL_BALANCE_ORACLE,
     ),
     "pq_lloyd_refinement": (pq_lloyd_refinement, _LLOYD_ORACLE),
+    "candidate_budget_recall": (
+        candidate_budget_recall,
+        _CBR_ORACLE.replace("{SQL_PLANES}", _sql_planes())
+        .replace("{SQL_CODES}", _SQL_CODES.strip())
+        .replace("{IVF_CTES}", _IVF_CTES)
+        .replace("{KNN_TRUTH}", _REG_ORACLES["knn_bruteforce"]),
+    ),
 }
