@@ -89,8 +89,30 @@ ROUND11_ACTIVATED: dict[str, tuple] = {
 
 # PENDING set — staged for the NEXT round boundary, NOT registered.
 # preverify --staged / layout_scan --staged / roundcheck's staged
-# steps read this; per-module ROUND12_STAGED dicts will feed it.
-STAGED: dict[str, tuple] = {}
+# steps read this; fed by the per-module ROUND12_STAGED dicts.
+from bigdataentrytask_spark.operators.dedup import (  # noqa: E402
+    ROUND12_STAGED as _DEDUP_R12,
+)
+from bigdataentrytask_spark.operators.similarity import (  # noqa: E402
+    ROUND12_STAGED as _SIMILARITY_R12,
+)
+from bigdataentrytask_spark.operators.streaming_bridge import (  # noqa: E402
+    ROUND12_STAGED as _STREAMING_R12,
+)
+from bigdataentrytask_spark.operators.text_analysis import (  # noqa: E402
+    ROUND12_STAGED as _TEXT_R12,
+)
+from bigdataentrytask_spark.operators.warehouse import (  # noqa: E402
+    ROUND12_STAGED as _WAREHOUSE_R12,
+)
+
+STAGED: dict[str, tuple] = {
+    **_DEDUP_R12,
+    **_SIMILARITY_R12,
+    **_STREAMING_R12,
+    **_TEXT_R12,
+    **_WAREHOUSE_R12,
+}
 
 
 def register_all() -> None:

@@ -1,0 +1,239 @@
+"""Round-12 staged operators (VERDICT r10 item 7): implemented and
+differential-tested DURING round 11; zero registry delta until the
+round-12 boundary activates them via staging.register_all(), per
+CONTRIBUTING.md §"Staging operators during a registry freeze".
+
+Differentials go through DuckDB's PANDAS path with the dtype check
+(the preverify gate) so the HUGEINT class is covered before any op
+reaches the driver.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdataentrytask_spark.operators import REGISTRY, load_all
+from bigdataentrytask_spark.operators.staging import STAGED
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+load_all()
+
+STAGED_NAMES = sorted(STAGED)
+
+
+def test_round12_staged_not_registered():
+    """The freeze: 9 staged round-12 ops, none registered, registry
+    still exactly 454. Flip this to an activation assertion (registry
+    == 463, identity per name) at the round-12 boundary."""
+    assert len(STAGED) == 9
+    assert len(REGISTRY) == 454
+    for name in STAGED:
+        assert name not in REGISTRY
+
+
+def test_round12_staged_all_have_oracles():
+    for name, (fn, osql) in STAGED.items():
+        assert callable(fn) and isinstance(osql, str) and "SELECT" in osql
+        assert "{" not in osql, f"{name}: unexpanded template in oracle"
+
+
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_staged_matches_oracle(spark, duck, name):
+    fn, osql = STAGED[name]
+    assert_matches_oracle(fn(spark, SF_DIR), duck, osql, name)
+
+
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_staged_pandas_dtype_parity(spark, duck, name):
+    """The preverify gate: DuckDB's pandas fetch must not coerce an
+    integral column to float64 (HUGEINT fingerprint) while the Spark
+    side stays integral."""
+    fn, osql = STAGED[name]
+    spdf = fn(spark, SF_DIR).toPandas()
+    odf = duck.execute(osql).fetch_df()
+    assert sorted(spdf.columns) == sorted(odf.columns)
+    for c in odf.columns:
+        if spdf[c].dtype.kind in "iu":
+            assert odf[c].dtype.kind in "iu", (
+                f"{name}.{c}: oracle {odf[c].dtype} vs spark {spdf[c].dtype}"
+            )
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def test_duplicate_decay_mixture_invariants(spark):
+    fn, _ = STAGED["duplicate_decay_mixture"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("cluster_size")
+    # the k = 1 band reclaims nothing; every k >= 2 band reclaims
+    assert pdf.loc[1, "tokens_reclaimed"] == 0
+    multi = pdf[pdf.index >= 2]
+    assert len(multi) >= 1, "fixture must have duplicate chunks"
+    assert (multi.tokens_reclaimed > 0).all()
+    # exact identities of the decay rule
+    assert (pdf.n_occurrences == pdf.index * pdf.n_chunks).all()
+    assert (
+        pdf.tokens_reclaimed == pdf.raw_tokens - pdf.decayed_tokens
+    ).all()
+    assert (pdf.raw_tokens >= pdf.decayed_tokens).all()
+    # shares are a partition of the budget (ppm rounding slack)
+    assert abs(pdf.raw_share_ppm.sum() - 1_000_000) <= len(pdf)
+    assert abs(pdf.decayed_share_ppm.sum() - 1_000_000) <= len(pdf)
+
+
+# ------------------------------------------------------------- curation
+
+
+def test_perplexity_pruning_gate_invariants(spark):
+    fn, _ = STAGED["perplexity_pruning_gate"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    # the sketch rank contract must hold on every source
+    assert pdf.sketch_rank_ok.all()
+    # strict-below-threshold pruning can never exceed the 10% target
+    assert (pdf.n_pruned <= pdf.n_scored // 10).all()
+    assert (pdf.prune_ppm <= 100_000).all()
+    # every source is scored (docs with >= 2 tokens exist everywhere)
+    assert len(pdf) == 20
+    # thresholds are genuine per-source values, not one global number
+    assert pdf.exact_thresh_e6.nunique() > 1
+
+
+# ------------------------------------------------------------ warehouse
+
+
+def test_compacted_zone_pruning_invariants(spark):
+    fn, _ = STAGED["compacted_zone_pruning"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("pred_id")
+    # scanning is a superset of matching on both layouts
+    assert (pdf.rows_scanned_month >= pdf.rows_matched).all()
+    assert (pdf.rows_scanned_compacted >= pdf.rows_scanned_month).all()
+    # merge groups are month supersets -> fewer-or-equal units touched
+    assert (pdf.n_groups_scanned <= pdf.n_parts_month).all()
+    assert (pdf.read_amp_month_ppm >= 1_000_000).all()
+    assert (
+        pdf.read_amp_compacted_ppm >= pdf.read_amp_month_ppm
+    ).all()
+    # the single-day predicate is the pathological read-amp case
+    assert pdf.read_amp_compacted_ppm.idxmax() == "p4_day"
+
+
+def test_sort_key_benefit_ranking_invariants(spark):
+    fn, _ = STAGED["sort_key_benefit_ranking"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("sort_col")
+    assert sorted(pdf["rank"]) == [1, 2, 3, 4]
+    own = {
+        "o_orderdate": "pr_date_prune_ppm",
+        "o_custkey": "pr_cust_prune_ppm",
+        "o_totalprice": "pr_price_prune_ppm",
+        "o_orderpriority": "pr_prio_prune_ppm",
+    }
+    pcols = list(own.values())
+    for col, own_pred in own.items():
+        row = pdf.loc[col]
+        # sorting by a column makes its own predicate prunable...
+        assert row[own_pred] >= 500_000, (col, own_pred, row[own_pred])
+        # ...and (these columns being uncorrelated) dominates the row
+        assert row[own_pred] == max(row[p] for p in pcols)
+        # the mean column is the exact mean of the per-predicate ppms
+        assert row["mean_prune_ppm"] == round(
+            sum(row[p] for p in pcols) / len(pcols)
+        )
+
+
+# ------------------------------------------------------------ streaming
+
+
+def test_session_batch_peaks_bounded_by_continuous_sweep(spark):
+    """The sampled peak can never exceed the continuous endpoint
+    sweep's peak; and the 300 s sample grid is a SUBSET of the 60 s
+    grid (300 = 5 x 60), so its peak is <= the 60 s peak."""
+    from bigdataentrytask_spark.operators.streaming_bridge import (
+        session_gap_state_cost,
+    )
+
+    fn, _ = STAGED["session_state_batch_peaks"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    cont = (
+        session_gap_state_cost(spark, SF_DIR)
+        .toPandas()
+        .set_index("gap_s")["max_concurrent_state"]
+    )
+    for _, r in pdf.iterrows():
+        assert r.max_state_at_batch <= cont[r.gap_s]
+    by_gap = pdf.set_index(["gap_s", "trigger_s"])["max_state_at_batch"]
+    for g in pdf.gap_s.unique():
+        assert by_gap[(g, 300)] <= by_gap[(g, 60)]
+    # the coarse grid holds ~1/5 the samples of the fine grid
+    nb = pdf.set_index(["gap_s", "trigger_s"])["n_batches"]
+    for g in pdf.gap_s.unique():
+        assert abs(nb[(g, 60)] - 5 * nb[(g, 300)]) <= 5
+
+
+def test_watermark_state_bytes_monotone_in_delay(spark):
+    fn, _ = STAGED["watermark_state_bytes_joint"]
+    pdf = fn(spark, SF_DIR).toPandas().sort_values("delay_us")
+    # longer retention -> peaks and spans can only grow
+    assert pdf.max_open_windows.is_monotonic_increasing
+    assert pdf.mean_open_span_s_ppm.is_monotonic_increasing
+    assert pdf.n_windows_open.is_monotonic_increasing
+    assert (pdf.peak_state_bytes == pdf.max_open_windows * 40).all()
+    # delay 0 still holds the in-flight window
+    assert pdf.max_open_windows.iloc[0] >= 1
+
+
+# ------------------------------------------------------------ retrieval
+
+
+def test_ivf_cell_balance_invariants(spark):
+    fn, _ = STAGED["ivf_cell_balance_audit"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert pdf.n_vecs.sum() == 500
+    assert sorted(pdf.size_rank) == list(range(1, len(pdf) + 1))
+    assert abs(pdf.share_ppm.sum() - 1_000_000) <= len(pdf)
+    assert (
+        pdf.sort_values("size_rank").cum_share_ppm.iloc[-1] == 1_000_000
+    )
+    # the diagnostic this table exists for: the coarse quantizer is
+    # BALANCED on this corpus (max cell ~14%), so ivf_adc_recall's
+    # honest negative is codebook distortion, not cell skew
+    assert pdf.share_ppm.max() < 300_000
+
+
+def test_pq_lloyd_refinement_regime(spark):
+    """The Lloyd guarantee and the honest regime note: one
+    assign/update/reassign step cuts total distortion (~28% here)
+    while ADC recall@5 on the 10-query slice DIPS 0.34 -> 0.30 —
+    reconstruction distortion and retrieval rank decouple at this
+    codebook size. The distortion inequality is the pinned law; the
+    recall pair is the pinned fixture regime."""
+    fn, _ = STAGED["pq_lloyd_refinement"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("variant")
+    assert (
+        pdf.loc["b_lloyd1", "total_distortion"]
+        < pdf.loc["a_toy", "total_distortion"]
+    )
+    assert (pdf.n_dead_codes == 0).all()
+    assert pdf.loc["a_toy", "recall_at_5"] == 0.34
+    assert pdf.loc["b_lloyd1", "recall_at_5"] == 0.30
+
+
+def test_candidate_budget_recall_invariants(spark):
+    fn, _ = STAGED["candidate_budget_recall"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index(["method", "budget"])
+    # recall grows with budget within each method
+    for m in ("a_lsh", "b_ivf"):
+        assert (
+            pdf.loc[(m, 50), "recall_at_5"]
+            >= pdf.loc[(m, 10), "recall_at_5"]
+        )
+    # the budget is respected
+    for (m, b), r in pdf.iterrows():
+        assert r.mean_candidates <= b
+        assert r.recall_at_5 <= 1.0
+    # the selector's answer on this corpus: probe-ordered IVF beats
+    # scan-ordered LSH at the same exact-scoring spend (0.60 vs 0.12)
+    assert (
+        pdf.loc[("b_ivf", 50), "recall_at_5"]
+        > pdf.loc[("a_lsh", 50), "recall_at_5"]
+    )
