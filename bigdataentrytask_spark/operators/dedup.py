@@ -2807,8 +2807,140 @@ def duplicate_decay_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Chunk-decay source mix (ROADMAP round-13, pulled forward): the
+# mix planner's ACTUAL input. duplicate_decay_mixture says how much
+# token mass chunk-dedup reclaims per cluster size; this attributes
+# the post-dedup mass per SOURCE under the pipeline's real keeper
+# rule (first occurrence = min doc_id, the chunk_dedup_corpus
+# convention): every distinct chunk's mass counts ONCE, at its
+# keeper's source. A source full of late copies of other sources'
+# content loses share; the shift column is the signed re-mix a
+# dedup pass applies to the sampling weights before any reweighting
+# policy runs.
+# Exact math: keeper source via min(struct(doc_id, source)) — source
+# is functionally determined by doc_id, so the struct min is the
+# arg-min; all masses are integer word counts.
+# Scale: one chunk-keyed shuffle (hash the chunk at 100 TB) + two
+# source-domain rollups.
+# --------------------------------------------------------------------------
+_DECAY_SRC_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             array_to_string(w[i:i+{_CHUNK_WORDS - 1}], ' ') AS chunk,
+             CAST(len(w[i:i+{_CHUNK_WORDS - 1}]) AS BIGINT) AS wc
+      FROM toks, LATERAL unnest(range(1, len(w) + 1, {_CHUNK_WORDS})) AS t(i)
+    ),
+    raw AS (
+      SELECT source,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(SUM(wc) AS BIGINT) AS raw_tokens
+      FROM chunks GROUP BY source
+    ),
+    keepers AS (
+      SELECT chunk,
+             (array_agg(source ORDER BY doc_id, source))[1]
+               AS keeper_source,
+             MIN(wc) AS wc
+      FROM chunks GROUP BY chunk
+    ),
+    kept AS (
+      SELECT keeper_source AS source, CAST(SUM(wc) AS BIGINT)
+               AS kept_tokens
+      FROM keepers GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT SUM(raw_tokens) FROM raw) AS raw_total,
+             (SELECT SUM(kept_tokens) FROM kept) AS kept_total
+    )
+    SELECT r.source, r.n_docs, r.raw_tokens,
+           CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(ROUND(r.raw_tokens * 1000000.0 / t.raw_total) AS BIGINT)
+             AS raw_share_ppm,
+           CAST(ROUND(COALESCE(k.kept_tokens, 0) * 1000000.0
+                      / t.kept_total) AS BIGINT) AS kept_share_ppm,
+           CAST(ROUND(COALESCE(k.kept_tokens, 0) * 1000000.0
+                      / t.kept_total)
+                - ROUND(r.raw_tokens * 1000000.0 / t.raw_total)
+                AS BIGINT) AS shift_ppm
+    FROM raw r
+    LEFT JOIN kept k ON k.source = r.source
+    CROSS JOIN tot t
+    ORDER BY r.source
+    """
+
+
+def chunk_decay_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token share before vs after first-occurrence chunk
+    dedup (see block comment): the signed mix shift a dedup pass
+    applies to sampling weights."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    n_chunks = F.floor((F.size("w") - 1) / F.lit(_CHUNK_WORDS)).cast("int")
+    chunk_at = lambda i: F.slice(  # noqa: E731
+        "w", i * _CHUNK_WORDS + 1, _CHUNK_WORDS
+    )
+    chunks = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(F.sequence(F.lit(0), n_chunks), chunk_at)
+        ).alias("cw"),
+    ).select(
+        "doc_id",
+        "source",
+        F.array_join("cw", " ").alias("chunk"),
+        F.size("cw").cast("bigint").alias("wc"),
+    )
+    raw = chunks.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("wc").cast("bigint").alias("raw_tokens"),
+    )
+    keepers = chunks.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "source"))["source"].alias(
+            "keeper_source"
+        ),
+        F.min("wc").alias("wc"),
+    )
+    kept = keepers.groupBy(
+        F.col("keeper_source").alias("source")
+    ).agg(F.sum("wc").cast("bigint").alias("kept_tokens"))
+    tot = raw.agg(F.sum("raw_tokens").alias("raw_total")).crossJoin(
+        kept.agg(F.sum("kept_tokens").alias("kept_total"))
+    )
+    raw_share = F.round(
+        F.col("raw_tokens") * 1000000.0 / F.col("raw_total")
+    ).cast("bigint")
+    kept_share = F.round(
+        F.coalesce("kept_tokens", F.lit(0))
+        * 1000000.0
+        / F.col("kept_total")
+    ).cast("bigint")
+    return (
+        raw.join(kept, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "raw_tokens",
+            F.coalesce("kept_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            raw_share.alias("raw_share_ppm"),
+            kept_share.alias("kept_share_ppm"),
+            (kept_share - raw_share).cast("bigint").alias("shift_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 # name -> (fn, oracle); aggregated by operators/staging.py STAGED
 # (the PENDING round-12 set).
 ROUND12_STAGED: dict[str, tuple] = {
     "duplicate_decay_mixture": (duplicate_decay_mixture, _DECAY_MIX_ORACLE),
+    "chunk_decay_source_mix": (chunk_decay_source_mix, _DECAY_SRC_ORACLE),
 }

@@ -6880,6 +6880,189 @@ def candidate_budget_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+# --------------------------------------------------------------------------
+# Seed-spread advisor (ROADMAP round-13, pulled forward): the cheap
+# fix the weak-codebook regime suggests trying FIRST. The verified
+# coarse quantizer seeds on the first K vectors (knn_ivf_kmeans);
+# k-means++ intuition says spread seeds beat adjacent ones. This
+# table prices two deterministic seeding policies — a_first (vec_id
+# < K) vs b_strided (every floor(n/K)-th vec_id) — on the numbers a
+# quantizer owner reads: min pairwise seed distance (the spread),
+# total assignment distortion, and the largest cell share. Both
+# policies assign in ONE stacked pass (seeds tagged by policy; the
+# per-policy argmin windows share a shuffle).
+# Exact math: grid-integer L2 throughout; stride = n // K from an
+# exact count.
+# --------------------------------------------------------------------------
+_SEED_SPREAD_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, generate_subscripts(e, 1) AS pos,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+      FROM v
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    seeds AS (
+      SELECT 'a_first' AS policy, vec_id AS k, pos, xi
+      FROM dims WHERE vec_id < {KMEANS_K}
+      UNION ALL
+      SELECT 'b_strided', CAST(vec_id / (nn.n // {KMEANS_K}) AS BIGINT),
+             pos, xi
+      FROM dims CROSS JOIN nn
+      WHERE vec_id % (nn.n // {KMEANS_K}) = 0
+        AND vec_id < {KMEANS_K} * (nn.n // {KMEANS_K})
+    ),
+    spread AS (
+      SELECT a.policy,
+             CAST(MIN(p.dd) AS BIGINT) AS min_seed_dist
+      FROM (SELECT DISTINCT policy FROM seeds) a
+      JOIN (
+        SELECT s1.policy, s1.k AS k1, s2.k AS k2,
+               CAST(SUM((s1.xi - s2.xi) * (s1.xi - s2.xi)) AS BIGINT)
+                 AS dd
+        FROM seeds s1
+        JOIN seeds s2 ON s2.policy = s1.policy AND s2.pos = s1.pos
+                     AND s2.k > s1.k
+        GROUP BY 1, 2, 3
+      ) p ON p.policy = a.policy
+      GROUP BY 1
+    ),
+    dist AS (
+      SELECT s.policy, d.vec_id, s.k,
+             CAST(SUM((d.xi - s.xi) * (d.xi - s.xi)) AS BIGINT) AS dd
+      FROM dims d JOIN seeds s ON s.pos = d.pos
+      GROUP BY 1, 2, 3
+    ),
+    assigned AS (
+      SELECT policy, vec_id, k, dd FROM (
+        SELECT policy, vec_id, k, dd,
+               ROW_NUMBER() OVER (PARTITION BY policy, vec_id
+                                  ORDER BY dd, k) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    cells AS (
+      SELECT policy, k, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM assigned GROUP BY 1, 2
+    )
+    SELECT a.policy,
+           s.min_seed_dist,
+           CAST(SUM(a.dd) AS BIGINT) AS total_distortion,
+           (SELECT CAST(ROUND(MAX(c.n_vecs * 1000000.0 / nn.n))
+                        AS BIGINT)
+              FROM cells c CROSS JOIN nn
+             WHERE c.policy = a.policy) AS max_cell_share_ppm
+    FROM assigned a JOIN spread s ON s.policy = a.policy
+    GROUP BY a.policy, s.min_seed_dist
+    ORDER BY a.policy
+    """
+
+
+def seed_spread_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-K vs strided-K coarse-quantizer seeding, priced as seed
+    spread, assignment distortion, and max cell share (see block
+    comment); both policies share one stacked assignment pass."""
+    from bigdataentrytask_spark.operators import collect_bounded
+
+    e = _emb(spark, sf_dir)
+    n = int(collect_bounded(e.agg(F.count(F.lit(1)).alias("n")))[0].n)
+    stride = n // KMEANS_K
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), grid.alias("xi"))
+    seeds = (
+        dims.filter(F.col("vec_id") < KMEANS_K)
+        .select(
+            F.lit("a_first").alias("policy"),
+            F.col("vec_id").alias("k"),
+            "pos",
+            "xi",
+        )
+        .unionByName(
+            dims.filter(
+                (F.col("vec_id") % stride == 0)
+                & (F.col("vec_id") < KMEANS_K * stride)
+            ).select(
+                F.lit("b_strided").alias("policy"),
+                (F.col("vec_id") / stride).cast("bigint").alias("k"),
+                "pos",
+                "xi",
+            )
+        )
+    )
+    s1 = seeds.select(
+        "policy", F.col("k").alias("k1"), "pos", F.col("xi").alias("x1")
+    )
+    s2 = seeds.select(
+        "policy",
+        F.col("k").alias("k2"),
+        F.col("pos").alias("pos2"),
+        F.col("xi").alias("x2"),
+    )
+    sd = F.col("x1") - F.col("x2")
+    spread = (
+        s1.join(
+            s2,
+            (F.col("pos2") == F.col("pos"))
+            & (s1.policy == s2.policy)
+            & (F.col("k2") > F.col("k1")),
+        )
+        .drop(s2.policy)
+        .groupBy("policy", "k1", "k2")
+        .agg(F.sum(sd * sd).cast("bigint").alias("dd"))
+        .groupBy("policy")
+        .agg(F.min("dd").cast("bigint").alias("min_seed_dist"))
+    )
+    diff = F.col("xi") - F.col("sx")
+    dist = (
+        dims.join(
+            F.broadcast(
+                seeds.select(
+                    "policy",
+                    "k",
+                    F.col("pos").alias("s_pos"),
+                    F.col("xi").alias("sx"),
+                )
+            ),
+            F.col("s_pos") == F.col("pos"),
+        )
+        .groupBy("policy", "vec_id", "k")
+        .agg(F.sum(diff * diff).cast("bigint").alias("dd"))
+    )
+    wa = Window.partitionBy("policy", "vec_id").orderBy("dd", "k")
+    assigned = (
+        dist.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("policy", "vec_id", "k", "dd")
+    )
+    cells = assigned.groupBy("policy", "k").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    maxshare = cells.groupBy("policy").agg(
+        F.round(F.max("n_vecs") * 1000000.0 / n)
+        .cast("bigint")
+        .alias("max_cell_share_ppm")
+    )
+    tot = assigned.groupBy("policy").agg(
+        F.sum("dd").cast("bigint").alias("total_distortion")
+    )
+    return (
+        tot.join(spread, "policy")
+        .join(maxshare, "policy")
+        .select(
+            "policy", "min_seed_dist", "total_distortion",
+            "max_cell_share_ppm",
+        )
+        .orderBy("policy")
+    )
+
+
 from bigdataentrytask_spark.operators import ORACLES as _REG_ORACLES  # noqa: E402
 
 ROUND12_STAGED: dict[str, tuple] = {
@@ -6895,4 +7078,5 @@ ROUND12_STAGED: dict[str, tuple] = {
         .replace("{IVF_CTES}", _IVF_CTES)
         .replace("{KNN_TRUTH}", _REG_ORACLES["knn_bruteforce"]),
     ),
+    "seed_spread_advisor": (seed_spread_advisor, _SEED_SPREAD_ORACLE),
 }

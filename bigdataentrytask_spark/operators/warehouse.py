@@ -4904,10 +4904,173 @@ def sort_key_benefit_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+# --------------------------------------------------------------------------
+# Compaction floor sweep (ROADMAP round-13, pulled forward): the
+# knob itself. compacted_zone_pruning prices ONE floor
+# (_COMPACT_TARGET_ROWS); this sweeps three candidate floors through
+# the same prefix-sum schedule and the same predicate workload, so a
+# platform reads the small-files-vs-read-amp frontier off one table:
+# per (floor, predicate) the group count, under-floor group count
+# (the small-file residue), rows scanned and read amplification.
+# The month census and the per-predicate match counts are computed
+# ONCE; only the domain-sized group assignment is per-floor.
+# Scale: one month-domain aggregation + |floors| window passes over
+# ~|months| rows + domain-sized overlap joins.
+# --------------------------------------------------------------------------
+_CFS_FLOORS = [200, 400, 800]
+
+_CFS_ORACLE = f"""
+    WITH per AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT m, n,
+             COALESCE(SUM(n) OVER (ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM per
+    ),
+    fl(floor_rows) AS (VALUES
+      {", ".join(f"({x})" for x in _CFS_FLOORS)}),
+    grp AS (
+      SELECT fl.floor_rows,
+             CAST(FLOOR(c.before / fl.floor_rows) AS BIGINT) AS group_id,
+             MIN(c.m) AS g_lo,
+             MAX(c.m) + INTERVAL 1 MONTH AS g_hi,
+             CAST(SUM(c.n) AS BIGINT) AS n_rows
+      FROM cum c CROSS JOIN fl
+      GROUP BY 1, 2
+    ),
+    gstat AS (
+      SELECT floor_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(count_if(n_rows < floor_rows) AS BIGINT)
+               AS n_under_floor
+      FROM grp GROUP BY 1
+    ),
+    preds(pred_id, lo, hi) AS (VALUES
+      {", ".join(f"('{p}', TIMESTAMP '{lo}', TIMESTAMP '{hi}')"
+                 for p, lo, hi in _CZP_PREDS)}
+    ),
+    matched AS (
+      SELECT p.pred_id, CAST(COUNT(*) AS BIGINT) AS rows_matched
+      FROM orders o CROSS JOIN preds p
+      WHERE o.o_orderdate >= p.lo AND o.o_orderdate < p.hi
+      GROUP BY 1
+    ),
+    gscan AS (
+      SELECT g.floor_rows, p.pred_id,
+             CAST(COUNT(*) AS BIGINT) AS n_groups_scanned,
+             CAST(SUM(g.n_rows) AS BIGINT) AS rows_scanned
+      FROM grp g CROSS JOIN preds p
+      WHERE p.lo < g.g_hi AND p.hi > g.g_lo
+      GROUP BY 1, 2
+    )
+    SELECT CAST(s.floor_rows AS BIGINT) AS floor_rows,
+           s.pred_id,
+           g.n_groups, g.n_under_floor,
+           s.n_groups_scanned, s.rows_scanned, m.rows_matched,
+           CAST(ROUND(s.rows_scanned * 1000000.0 / m.rows_matched)
+                AS BIGINT) AS read_amp_ppm
+    FROM gscan s
+    JOIN gstat g ON g.floor_rows = s.floor_rows
+    JOIN matched m ON m.pred_id = s.pred_id
+    ORDER BY s.floor_rows, s.pred_id
+    """
+
+
+def compaction_floor_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files-vs-read-amp frontier across candidate compaction
+    floors (see block comment; schedule rule = compaction_planner's
+    prefix sum, predicates = compacted_zone_pruning's workload)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderdate")
+    per = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "m", "n", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("before")
+    )
+    fl = spark.createDataFrame(
+        [(x,) for x in _CFS_FLOORS], "floor_rows long"
+    )
+    grp = (
+        cum.crossJoin(F.broadcast(fl))
+        .groupBy(
+            "floor_rows",
+            F.floor(F.col("before") / F.col("floor_rows"))
+            .cast("bigint")
+            .alias("group_id"),
+        )
+        .agg(
+            F.min("m").alias("g_lo"),
+            (F.max("m") + F.expr("INTERVAL 1 MONTH")).alias("g_hi"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+        )
+    )
+    gstat = grp.groupBy("floor_rows").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum((F.col("n_rows") < F.col("floor_rows")).cast("long"))
+        .cast("bigint")
+        .alias("n_under_floor"),
+    )
+    preds = spark.createDataFrame(
+        [(p, lo, hi) for p, lo, hi in _CZP_PREDS],
+        "pred_id string, lo_s string, hi_s string",
+    ).select(
+        "pred_id",
+        F.to_timestamp("lo_s").alias("lo"),
+        F.to_timestamp("hi_s").alias("hi"),
+    )
+    matched = (
+        o.crossJoin(F.broadcast(preds))
+        .filter(
+            (F.col("o_orderdate") >= F.col("lo"))
+            & (F.col("o_orderdate") < F.col("hi"))
+        )
+        .groupBy("pred_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows_matched"))
+    )
+    gscan = (
+        grp.crossJoin(F.broadcast(preds))
+        .filter((F.col("lo") < F.col("g_hi")) & (F.col("hi") > F.col("g_lo")))
+        .groupBy("floor_rows", "pred_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups_scanned"),
+            F.sum("n_rows").cast("bigint").alias("rows_scanned"),
+        )
+    )
+    return (
+        gscan.join(gstat, "floor_rows")
+        .join(matched, "pred_id")
+        .select(
+            F.col("floor_rows").cast("bigint").alias("floor_rows"),
+            "pred_id",
+            "n_groups",
+            "n_under_floor",
+            "n_groups_scanned",
+            "rows_scanned",
+            "rows_matched",
+            F.round(
+                F.col("rows_scanned") * 1000000.0 / F.col("rows_matched")
+            )
+            .cast("bigint")
+            .alias("read_amp_ppm"),
+        )
+        .orderBy("floor_rows", "pred_id")
+    )
+
+
 ROUND12_STAGED: dict[str, tuple] = {
     "compacted_zone_pruning": (compacted_zone_pruning, _CZP_ORACLE),
     "sort_key_benefit_ranking": (
         sort_key_benefit_ranking,
         _SKB_ORACLE,
+    ),
+    "compaction_floor_sweep": (
+        compaction_floor_sweep,
+        _CFS_ORACLE,
     ),
 }

@@ -23,10 +23,10 @@ STAGED_NAMES = sorted(STAGED)
 
 
 def test_round12_staged_not_registered():
-    """The freeze: 9 staged round-12 ops, none registered, registry
+    """The freeze: 12 staged round-12 ops, none registered, registry
     still exactly 454. Flip this to an activation assertion (registry
-    == 463, identity per name) at the round-12 boundary."""
-    assert len(STAGED) == 9
+    == 466, identity per name) at the round-12 boundary."""
+    assert len(STAGED) == 12
     assert len(REGISTRY) == 454
     for name in STAGED:
         assert name not in REGISTRY
@@ -80,6 +80,24 @@ def test_duplicate_decay_mixture_invariants(spark):
     # shares are a partition of the budget (ppm rounding slack)
     assert abs(pdf.raw_share_ppm.sum() - 1_000_000) <= len(pdf)
     assert abs(pdf.decayed_share_ppm.sum() - 1_000_000) <= len(pdf)
+
+
+def test_chunk_decay_source_mix_invariants(spark):
+    """Keeper attribution is a sub-multiset of each source's own
+    occurrences, and the kept total IS duplicate_decay_mixture's
+    decayed total (same distinct-chunk mass, different grouping)."""
+    fn, _ = STAGED["chunk_decay_source_mix"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert (pdf.kept_tokens <= pdf.raw_tokens).all()
+    # shares are partitions of their budgets; shifts cancel
+    assert abs(pdf.raw_share_ppm.sum() - 1_000_000) <= len(pdf)
+    assert abs(pdf.kept_share_ppm.sum() - 1_000_000) <= len(pdf)
+    assert abs(pdf.shift_ppm.sum()) <= 2 * len(pdf)
+    # dedup genuinely re-mixes: some source moves by > 0.1%
+    assert pdf.shift_ppm.abs().max() > 1_000
+    dm_fn, _ = STAGED["duplicate_decay_mixture"]
+    decayed_total = dm_fn(spark, SF_DIR).toPandas().decayed_tokens.sum()
+    assert pdf.kept_tokens.sum() == decayed_total
 
 
 # ------------------------------------------------------------- curation
@@ -139,6 +157,30 @@ def test_sort_key_benefit_ranking_invariants(spark):
         assert row["mean_prune_ppm"] == round(
             sum(row[p] for p in pcols) / len(pcols)
         )
+
+
+def test_compaction_floor_sweep_frontier(spark):
+    """The knob's frontier: bigger floors mean fewer groups and less
+    small-file residue but never less data scanned per predicate; the
+    400-row column must reproduce compacted_zone_pruning's table."""
+    fn, _ = STAGED["compaction_floor_sweep"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    g = pdf.groupby("floor_rows").first().sort_index()
+    assert g.n_groups.is_monotonic_decreasing
+    assert g.n_under_floor.is_monotonic_decreasing
+    for p in pdf.pred_id.unique():
+        sub = pdf[pdf.pred_id == p].sort_values("floor_rows")
+        assert sub.rows_scanned.is_monotonic_increasing
+        assert (sub.read_amp_ppm >= 1_000_000).all()
+    czp_fn, _ = STAGED["compacted_zone_pruning"]
+    czp = (
+        czp_fn(spark, SF_DIR).toPandas().set_index("pred_id")
+    )
+    at400 = pdf[pdf.floor_rows == 400].set_index("pred_id")
+    assert (
+        at400.rows_scanned == czp.rows_scanned_compacted
+    ).all()
+    assert (at400.read_amp_ppm == czp.read_amp_compacted_ppm).all()
 
 
 # ------------------------------------------------------------ streaming
@@ -237,3 +279,21 @@ def test_candidate_budget_recall_invariants(spark):
         pdf.loc[("b_ivf", 50), "recall_at_5"]
         > pdf.loc[("a_lsh", 50), "recall_at_5"]
     )
+
+
+def test_seed_spread_advisor_regime(spark):
+    """Strided seeds genuinely spread more (+8% min pairwise
+    distance, pinned as an inequality) — and the honest regime note:
+    on this isotropic synthetic corpus the assignment distortion is
+    UNCHANGED to within 0.1%, i.e. seed spread alone does not fix a
+    weak coarse quantizer here (the Lloyd step is the lever that
+    moves distortion; see pq_lloyd_refinement)."""
+    fn, _ = STAGED["seed_spread_advisor"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("policy")
+    a, b = pdf.loc["a_first"], pdf.loc["b_strided"]
+    assert b.min_seed_dist > a.min_seed_dist
+    rel = abs(int(b.total_distortion) - int(a.total_distortion)) / int(
+        a.total_distortion
+    )
+    assert rel < 0.001
+    assert (pdf.max_cell_share_ppm < 300_000).all()
