@@ -7063,6 +7063,232 @@ def seed_spread_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# PQ Lloyd convergence curve (ROADMAP round-13, pulled forward):
+# pq_lloyd_refinement prices ONE step; this runs the loop one step
+# further and emits the distortion trajectory (step 0 = toy seeds,
+# 1, 2), per-step gain, and dead codes — the diminishing-returns
+# curve a 100 TB codebook trainer reads to decide when to stop
+# (training cost per Lloyd pass at scale is a full corpus sweep).
+# The first step's gain dwarfs the second's (28% vs <5% here,
+# pinned): the plateau arrives immediately on this corpus.
+# Exact math: same grid-snapped ROUND(SUM/COUNT) centroid update and
+# grid-integer distances as pq_lloyd_refinement; the per-step
+# distortion chain is monotone non-increasing (pinned — the Lloyd
+# update+reassign argument, robust here to the 1e-6 grid snap).
+# Plan: dims persisted once; each step is one broadcast-codebook
+# assignment pass + one domain-sized centroid update.
+# --------------------------------------------------------------------------
+_LLOYD_STEPS = 2
+
+
+def _sql_lloyd_chain() -> str:
+    """CTE chain cb0/a0 -> cb1/a1 -> ... for _LLOYD_STEPS updates."""
+    parts = [f"""
+    cb0 AS (
+      SELECT vec_id AS code, ((pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             pos, xi AS ci
+      FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos,
+                   CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+            FROM v WHERE vec_id < {_PQ_K}) t
+    )"""]
+    for s in range(_LLOYD_STEPS + 1):
+        parts.append(f"""
+    d{s} AS (
+      SELECT d.vec_id, d.sub, cb.code,
+             CAST(SUM((d.xi - cb.ci) * (d.xi - cb.ci)) AS BIGINT) AS dd
+      FROM dims d
+      JOIN cb{s} cb ON cb.pos = d.pos AND cb.sub = d.sub
+      GROUP BY 1, 2, 3
+    ),
+    a{s} AS (
+      SELECT vec_id, sub, code, dd FROM (
+        SELECT vec_id, sub, code, dd,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM d{s}
+      ) WHERE rn = 1
+    )""")
+        if s < _LLOYD_STEPS:
+            parts.append(f"""
+    ref{s + 1} AS (
+      SELECT a.sub, a.code, d.pos,
+             CAST(ROUND(SUM(d.xi) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+               AS ci
+      FROM a{s} a
+      JOIN dims d ON d.vec_id = a.vec_id AND d.sub = a.sub
+      GROUP BY 1, 2, 3
+    ),
+    cb{s + 1} AS (
+      SELECT c.code, c.sub, c.pos, COALESCE(r.ci, c.ci) AS ci
+      FROM cb{s} c
+      LEFT JOIN ref{s + 1} r ON r.sub = c.sub AND r.code = c.code
+                            AND r.pos = c.pos
+    )""")
+    return ",".join(parts)
+
+
+_LLOYD_CONV_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id,
+             ((generate_subscripts(e, 1) - 1) * {_PQ_SUB}) // {_PQ_DIM}
+               AS sub,
+             generate_subscripts(e, 1) AS pos,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+      FROM v
+    ),
+    {_sql_lloyd_chain()},
+    steps AS (
+      {" UNION ALL ".join(
+        f'''SELECT {s} AS step,
+               CAST(SUM(dd) AS BIGINT) AS total_distortion,
+               CAST({_PQ_SUB * _PQ_K} - COUNT(DISTINCT (sub, code))
+                    AS BIGINT) AS n_dead_codes
+        FROM a{s}''' for s in range(_LLOYD_STEPS + 1))}
+    )
+    SELECT CAST(step AS BIGINT) AS step, total_distortion, n_dead_codes,
+           CAST(COALESCE(LAG(total_distortion) OVER (ORDER BY step)
+                         - total_distortion, 0) AS BIGINT) AS gain,
+           CAST(ROUND(COALESCE(LAG(total_distortion) OVER (ORDER BY step)
+                               - total_distortion, 0) * 1000000.0
+                      / MAX(total_distortion) OVER ()) AS BIGINT)
+             AS gain_ppm_of_step0
+    FROM steps
+    ORDER BY step
+    """
+
+
+def pq_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distortion trajectory over _LLOYD_STEPS Lloyd iterations of the
+    PQ codebook (see block comment): the diminishing-returns curve."""
+    from bigdataentrytask_spark.operators import materialize, with_persisted
+
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long").alias("sub"),
+        (F.col("pos0") + 1).alias("pos"),
+        grid.alias("xi"),
+    )
+    with with_persisted(dims) as dims_p:
+        cb = (
+            e.filter(F.col("vec_id") < _PQ_K)
+            .select(
+                F.col("vec_id").alias("code"),
+                F.posexplode(
+                    F.transform("embedding", lambda x: x.cast("double"))
+                ).alias("pos0", "x"),
+            )
+            .select(
+                "code",
+                ((F.col("pos0") * _PQ_SUB) / _PQ_DIM)
+                .cast("long")
+                .alias("sub"),
+                (F.col("pos0") + 1).alias("pos"),
+                grid.alias("ci"),
+            )
+        )
+
+        def assign(cbf):
+            j = cbf.select(
+                "code",
+                F.col("sub").alias("cb_sub"),
+                F.col("pos").alias("cb_pos"),
+                "ci",
+            )
+            diff = F.col("xi") - F.col("ci")
+            dist = (
+                dims_p.join(
+                    F.broadcast(j),
+                    (F.col("cb_pos") == F.col("pos"))
+                    & (F.col("cb_sub") == F.col("sub")),
+                )
+                .groupBy("vec_id", "sub", "code")
+                .agg(F.sum(diff * diff).cast("bigint").alias("dd"))
+            )
+            wa = Window.partitionBy("vec_id", "sub").orderBy("dd", "code")
+            return materialize(
+                dist.withColumn("rn", F.row_number().over(wa))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "sub", "code", "dd")
+            )
+
+        def update(cbf, a):
+            refined = (
+                a.select(
+                    F.col("vec_id").alias("a_vid"),
+                    F.col("sub").alias("a_sub"),
+                    "code",
+                )
+                .join(
+                    dims_p,
+                    (F.col("a_vid") == F.col("vec_id"))
+                    & (F.col("a_sub") == F.col("sub")),
+                )
+                .groupBy(F.col("a_sub").alias("g_sub"), "code", "pos")
+                .agg(
+                    F.round(
+                        F.sum("xi") / F.count(F.lit(1)).cast("double")
+                    )
+                    .cast("bigint")
+                    .alias("r_ci")
+                )
+                .withColumnRenamed("g_sub", "sub")
+            )
+            return cbf.join(refined, ["sub", "code", "pos"], "left").select(
+                "code", "sub", "pos",
+                F.coalesce("r_ci", "ci").alias("ci"),
+            )
+
+        rows = None
+        a = assign(cb)
+        for s in range(_LLOYD_STEPS + 1):
+            stat = a.agg(
+                F.lit(s).cast("bigint").alias("step"),
+                F.sum("dd").cast("bigint").alias("total_distortion"),
+                (
+                    F.lit(_PQ_SUB * _PQ_K) - F.count_distinct("sub", "code")
+                )
+                .cast("bigint")
+                .alias("n_dead_codes"),
+            )
+            rows = stat if rows is None else rows.unionByName(stat)
+            if s < _LLOYD_STEPS:
+                cb = update(cb, a)
+                a = assign(cb)
+        w0 = Window.orderBy("step")
+        gain = F.coalesce(
+            F.lag("total_distortion").over(w0) - F.col("total_distortion"),
+            F.lit(0),
+        )
+        return materialize(
+            rows.select(
+                "step",
+                "total_distortion",
+                "n_dead_codes",
+                gain.cast("bigint").alias("gain"),
+                F.round(
+                    gain
+                    * 1000000.0
+                    / F.max("total_distortion").over(
+                        Window.partitionBy()
+                    )
+                )
+                .cast("bigint")
+                .alias("gain_ppm_of_step0"),
+            ).orderBy("step")
+        )
+
+
 from bigdataentrytask_spark.operators import ORACLES as _REG_ORACLES  # noqa: E402
 
 ROUND12_STAGED: dict[str, tuple] = {
@@ -7079,4 +7305,5 @@ ROUND12_STAGED: dict[str, tuple] = {
         .replace("{KNN_TRUTH}", _REG_ORACLES["knn_bruteforce"]),
     ),
     "seed_spread_advisor": (seed_spread_advisor, _SEED_SPREAD_ORACLE),
+    "pq_lloyd_convergence": (pq_lloyd_convergence, _LLOYD_CONV_ORACLE),
 }

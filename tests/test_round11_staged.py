@@ -23,10 +23,10 @@ STAGED_NAMES = sorted(STAGED)
 
 
 def test_round12_staged_not_registered():
-    """The freeze: 12 staged round-12 ops, none registered, registry
+    """The freeze: 13 staged round-12 ops, none registered, registry
     still exactly 454. Flip this to an activation assertion (registry
-    == 466, identity per name) at the round-12 boundary."""
-    assert len(STAGED) == 12
+    == 467, identity per name) at the round-12 boundary."""
+    assert len(STAGED) == 13
     assert len(REGISTRY) == 454
     for name in STAGED:
         assert name not in REGISTRY
@@ -297,3 +297,27 @@ def test_seed_spread_advisor_regime(spark):
     )
     assert rel < 0.001
     assert (pdf.max_cell_share_ppm < 300_000).all()
+
+
+def test_pq_lloyd_convergence_plateau(spark):
+    """The trajectory is monotone non-increasing and the plateau is
+    immediate: step-1 gain (28.1% of step-0 distortion) dwarfs
+    step-2's (2.1%) by more than 5x. Steps 0/1 cross-pin to
+    pq_lloyd_refinement's a_toy/b_lloyd1 totals — same arithmetic,
+    independent implementations."""
+    fn, _ = STAGED["pq_lloyd_convergence"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("step")
+    assert pdf.total_distortion.is_monotonic_decreasing
+    assert (pdf.n_dead_codes == 0).all()
+    assert pdf.loc[1, "gain"] > 5 * pdf.loc[2, "gain"]
+    assert pdf.loc[0, "gain"] == 0
+    ref_fn, _ = STAGED["pq_lloyd_refinement"]
+    ref = ref_fn(spark, SF_DIR).toPandas().set_index("variant")
+    assert (
+        pdf.loc[0, "total_distortion"]
+        == ref.loc["a_toy", "total_distortion"]
+    )
+    assert (
+        pdf.loc[1, "total_distortion"]
+        == ref.loc["b_lloyd1", "total_distortion"]
+    )
