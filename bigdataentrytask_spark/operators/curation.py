@@ -1277,3 +1277,147 @@ def _register_quality_threshold_pruning() -> dict[str, tuple]:
 
 
 ROUND11_STAGED.update(_register_quality_threshold_pruning())
+
+
+# ==========================================================================
+# ROUND-12 STAGED (VERDICT r10 item 7; zero registry delta until the
+# round-12 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Shard-mix uniformity (round-11 addition to the LLM-pipeline north
+# star): partition_skew_report checks shard SIZES; training quality
+# also needs shard COMPOSITION — every shard of a shuffled corpus
+# should look like the corpus (IID batches), and a source-clustered
+# layout silently feeds the model hour-long single-source phases.
+# For each candidate shard count S the docs are assigned by the
+# salted-md5 convention (hash_split_assignment's), and each shard's
+# source distribution is compared to the global one by total
+# variation distance. ALL-INTEGER determinism: TV is accumulated as
+# SUM |n_{shard,src} * n_total - n_src * n_shard| over the source
+# domain (exact BIGINTs; the fixture's magnitudes cap at ~500 * 500
+# * 20 << 2^63) and divided once at the end — no float accumulation
+# order to diverge between engines.
+# Scale: one doc-keyed pass to (S, shard, source) counts (domain-
+# sized output), then domain-only arithmetic.
+# --------------------------------------------------------------------------
+_SHARD_COUNTS = [4, 16]
+_SHARD_SALT = "shard:"
+
+_SHARD_MIX_ORACLE = f"""
+    WITH assigned AS (
+      SELECT source,
+             ('0x' || substr(md5('{_SHARD_SALT}' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS h
+      FROM documents
+    ),
+    sc(shard_count) AS (VALUES
+      {", ".join(f"({s})" for s in _SHARD_COUNTS)}),
+    tagged AS (
+      SELECT sc.shard_count, a.h % sc.shard_count AS shard, a.source
+      FROM assigned a CROSS JOIN sc
+    ),
+    cell AS (
+      SELECT shard_count, shard, source,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM tagged GROUP BY 1, 2, 3
+    ),
+    gsrc AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+      FROM documents GROUP BY source
+    ),
+    per_shard AS (
+      SELECT shard_count, shard, CAST(SUM(n) AS BIGINT) AS n_docs
+      FROM cell GROUP BY 1, 2
+    ),
+    tv AS (
+      SELECT p.shard_count, p.shard, p.n_docs, g.n_total,
+             CAST(SUM(ABS(COALESCE(c.n, 0) * g.n_total
+                          - g.n_src * p.n_docs)) AS BIGINT) AS tv_num
+      FROM per_shard p
+      CROSS JOIN gsrc g
+      LEFT JOIN cell c ON c.shard_count = p.shard_count
+                      AND c.shard = p.shard AND c.source = g.source
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(shard_count AS BIGINT) AS shard_count,
+           CAST(shard AS BIGINT) AS shard,
+           n_docs,
+           CAST(ROUND(tv_num * 1000000.0 / (2.0 * n_docs * n_total))
+                AS BIGINT) AS tv_ppm
+    FROM tv
+    ORDER BY shard_count, shard
+    """
+
+
+def shard_mix_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard source-composition deviation (total variation, ppm)
+    for candidate shard counts under the salted-hash assignment (see
+    block comment: all-integer TV accumulation)."""
+    from bigdataentrytask_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(_SHARD_SALT), F.col("doc_id").cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sc = spark.createDataFrame(
+        [(s,) for s in _SHARD_COUNTS], "shard_count long"
+    )
+    tagged = d.select("source", h.alias("h")).crossJoin(F.broadcast(sc))
+    cell = tagged.groupBy(
+        "shard_count", (F.col("h") % F.col("shard_count")).alias("shard"),
+        "source",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    glob = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_src")
+    )
+    glob = glob.crossJoin(
+        F.broadcast(d.agg(F.count(F.lit(1)).cast("bigint").alias("n_total")))
+    )
+    per_shard = cell.groupBy("shard_count", "shard").agg(
+        F.sum("n").cast("bigint").alias("n_docs")
+    )
+    tv = (
+        per_shard.crossJoin(F.broadcast(glob))
+        .join(cell, ["shard_count", "shard", "source"], "left")
+        .groupBy("shard_count", "shard", "n_docs", "n_total")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.coalesce("n", F.lit(0)) * F.col("n_total")
+                    - F.col("n_src") * F.col("n_docs")
+                )
+            )
+            .cast("bigint")
+            .alias("tv_num")
+        )
+    )
+    return (
+        tv.select(
+            F.col("shard_count").cast("bigint").alias("shard_count"),
+            F.col("shard").cast("bigint").alias("shard"),
+            "n_docs",
+            F.round(
+                F.col("tv_num")
+                * 1000000.0
+                / (2.0 * F.col("n_docs") * F.col("n_total"))
+            )
+            .cast("bigint")
+            .alias("tv_ppm"),
+        )
+        .orderBy("shard_count", "shard")
+    )
+
+
+ROUND12_STAGED: dict[str, tuple] = {
+    "shard_mix_uniformity": (shard_mix_uniformity, _SHARD_MIX_ORACLE),
+}

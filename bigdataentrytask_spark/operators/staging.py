@@ -105,8 +105,12 @@ from bigdataentrytask_spark.operators.text_analysis import (  # noqa: E402
 from bigdataentrytask_spark.operators.warehouse import (  # noqa: E402
     ROUND12_STAGED as _WAREHOUSE_R12,
 )
+from bigdataentrytask_spark.operators.curation import (  # noqa: E402
+    ROUND12_STAGED as _CURATION_R12,
+)
 
 STAGED: dict[str, tuple] = {
+    **_CURATION_R12,
     **_DEDUP_R12,
     **_SIMILARITY_R12,
     **_STREAMING_R12,

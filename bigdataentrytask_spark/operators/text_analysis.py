@@ -3863,6 +3863,149 @@ def perplexity_pruning_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Pack-length sweep (ROADMAP round-13 family, pulled forward): the
+# context-length decision table. sequence_pack packs at ONE budget;
+# this sweeps candidate context lengths through the same per-source
+# continuous-flow rule and reports, per candidate: sequences
+# produced, fill ratio (tail waste is the only waste under
+# continuous flow — each source's last sequence), and how many
+# documents STRADDLE a sequence boundary (the coherence cost of
+# small contexts: a straddled doc is split across training
+# sequences). Fill rises and straddling falls as L shrinks — the
+# trade a pretraining config picks L against.
+# Exact math: BPE-ish token counts (the llm_token_estimate regex),
+# integer cumsum offsets, integer boundary tests; the only division
+# is the final ppm.
+# Scale: per-source windows (keyed, bounded state), a |L|-stack of
+# column expressions over one cumsum — no per-candidate rescan.
+# --------------------------------------------------------------------------
+_PACK_SWEEP_LENS = [128, 512, 2048]
+
+_PACK_SWEEP_ORACLE = f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(regexp_extract_all(lower(text), '{_BPEISH_RE}')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, tok,
+             SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - tok AS start_off
+      FROM t
+    ),
+    lens(context_len) AS (VALUES
+      {", ".join(f"({x})" for x in _PACK_SWEEP_LENS)}),
+    per_src AS (
+      SELECT source, SUM(tok) AS src_tok FROM t GROUP BY source
+    ),
+    seqs AS (
+      SELECT l.context_len,
+             CAST(SUM(CAST(CEIL(p.src_tok * 1.0 / l.context_len)
+                           AS BIGINT)) AS BIGINT) AS n_seqs,
+             CAST(SUM(p.src_tok) AS BIGINT) AS total_tok
+      FROM per_src p CROSS JOIN lens l
+      GROUP BY 1
+    ),
+    straddle AS (
+      SELECT l.context_len,
+             CAST(count_if(c.tok > 0 AND
+                   FLOOR(c.start_off / l.context_len)
+                   <> FLOOR((c.start_off + c.tok - 1) / l.context_len))
+                  AS BIGINT) AS n_docs_straddling,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM c CROSS JOIN lens l
+      GROUP BY 1
+    )
+    SELECT CAST(s.context_len AS BIGINT) AS context_len,
+           s.n_seqs, s.total_tok,
+           CAST(ROUND(s.total_tok * 1000000.0
+                      / (s.n_seqs * s.context_len)) AS BIGINT)
+             AS fill_ppm,
+           st.n_docs_straddling,
+           CAST(ROUND(st.n_docs_straddling * 1000000.0 / st.n_docs)
+                AS BIGINT) AS straddle_ppm
+    FROM seqs s JOIN straddle st ON st.context_len = s.context_len
+    ORDER BY s.context_len
+    """
+
+
+def pack_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill vs doc-straddling per candidate context length under the
+    sequence_pack continuous-flow rule (see block comment)."""
+    d = _docs(spark, sf_dir)
+    tok = F.regexp_count(F.lower("text"), F.lit(_BPEISH_RE))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select("source", "doc_id", tok.alias("tok")).withColumn(
+        "start_off", F.sum("tok").over(w) - F.col("tok")
+    )
+    lens = spark.createDataFrame(
+        [(x,) for x in _PACK_SWEEP_LENS], "context_len long"
+    )
+    per_src = c.groupBy("source").agg(F.sum("tok").alias("src_tok"))
+    seqs = (
+        per_src.crossJoin(F.broadcast(lens))
+        .groupBy("context_len")
+        .agg(
+            F.sum(
+                F.ceil(F.col("src_tok") * 1.0 / F.col("context_len"))
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_seqs"),
+            F.sum("src_tok").cast("bigint").alias("total_tok"),
+        )
+    )
+    straddle = (
+        c.crossJoin(F.broadcast(lens))
+        .groupBy("context_len")
+        .agg(
+            F.sum(
+                (
+                    (F.col("tok") > 0)
+                    & (
+                        F.floor(F.col("start_off") / F.col("context_len"))
+                        != F.floor(
+                            (F.col("start_off") + F.col("tok") - 1)
+                            / F.col("context_len")
+                        )
+                    )
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_docs_straddling"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+    )
+    return (
+        seqs.join(straddle, "context_len")
+        .select(
+            F.col("context_len").cast("bigint").alias("context_len"),
+            "n_seqs",
+            "total_tok",
+            F.round(
+                F.col("total_tok")
+                * 1000000.0
+                / (F.col("n_seqs") * F.col("context_len"))
+            )
+            .cast("bigint")
+            .alias("fill_ppm"),
+            "n_docs_straddling",
+            F.round(
+                F.col("n_docs_straddling") * 1000000.0 / F.col("n_docs")
+            )
+            .cast("bigint")
+            .alias("straddle_ppm"),
+        )
+        .orderBy("context_len")
+    )
+
+
 ROUND12_STAGED: dict[str, tuple] = {
     "perplexity_pruning_gate": (perplexity_pruning_gate, _PPG_ORACLE),
+    "pack_length_sweep": (pack_length_sweep, _PACK_SWEEP_ORACLE),
 }

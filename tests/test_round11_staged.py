@@ -23,10 +23,10 @@ STAGED_NAMES = sorted(STAGED)
 
 
 def test_round12_staged_not_registered():
-    """The freeze: 13 staged round-12 ops, none registered, registry
+    """The freeze: 15 staged round-12 ops, none registered, registry
     still exactly 454. Flip this to an activation assertion (registry
-    == 467, identity per name) at the round-12 boundary."""
-    assert len(STAGED) == 13
+    == 469, identity per name) at the round-12 boundary."""
+    assert len(STAGED) == 15
     assert len(REGISTRY) == 454
     for name in STAGED:
         assert name not in REGISTRY
@@ -321,3 +321,34 @@ def test_pq_lloyd_convergence_plateau(spark):
         pdf.loc[1, "total_distortion"]
         == ref.loc["b_lloyd1", "total_distortion"]
     )
+
+
+def test_pack_length_sweep_tradeoff(spark):
+    """The context-length trade, pinned from both sides: shrinking L
+    improves fill (tail waste amortizes over more sequences) but
+    raises the share of documents straddling a sequence boundary —
+    both columns are strictly monotone across the candidate grid
+    (0.96/0.86/0.66 fill, 39%/8%/0% straddle at sf0.01)."""
+    fn, _ = STAGED["pack_length_sweep"]
+    pdf = fn(spark, SF_DIR).toPandas().sort_values("context_len")
+    assert pdf.fill_ppm.is_monotonic_decreasing
+    assert pdf.straddle_ppm.is_monotonic_decreasing
+    assert pdf.total_tok.nunique() == 1  # same corpus, every L
+    # sequences shrink at least proportionally to L growth
+    assert pdf.n_seqs.is_monotonic_decreasing
+    assert (pdf.fill_ppm <= 1_000_000).all()
+
+
+def test_shard_mix_uniformity_invariants(spark):
+    """Shards partition the corpus; TV is a [0, 1e6] ppm; finer
+    sharding has WORSE per-shard composition on a fixed corpus (the
+    IID-shards-need-volume story): mean TV at S=16 exceeds S=4."""
+    fn, _ = STAGED["shard_mix_uniformity"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    for s, grp in pdf.groupby("shard_count"):
+        assert grp.n_docs.sum() == 500
+        assert len(grp) == s
+        assert (grp.tv_ppm <= 1_000_000).all()
+        assert (grp.tv_ppm >= 0).all()
+    m = pdf.groupby("shard_count").tv_ppm.mean()
+    assert m[16] > m[4]
