@@ -7289,6 +7289,409 @@ def pq_lloyd_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+# --------------------------------------------------------------------------
+# IVFADC with the Lloyd-refined PQ codebook (ROADMAP round-13,
+# pulled forward — "Stronger-codebook IVFADC", the direct attempt to
+# flip ivf_adc_recall's pinned honest negative). The diagnostic
+# chain so far: cells are balanced (ivf_cell_balance_audit), the
+# toy codebook's distortion is the defect (pq_lloyd_refinement cuts
+# it 28% in one step), and one step is where the gains live
+# (pq_lloyd_convergence). This operator re-runs the IVFADC
+# nprobe sweep with the ONE-STEP-REFINED subspace codebook —
+# identical coarse probe, identical superset-ADC/nested-rank plan —
+# so the row-by-row diff against ivf_adc_recall isolates the
+# codebook's effect on end-to-end retrieval. The regime answer is
+# pinned in tests, whichever way it lands.
+# --------------------------------------------------------------------------
+_IVF_ADC_LLOYD_ORACLE = f"""
+    WITH {{IVF_CTES}},
+    cb0 AS (
+      SELECT vec_id AS code, ((pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             pos, xi AS ci
+      FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos,
+                   CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+            FROM v WHERE vec_id < {_PQ_K}) t
+    ),
+    pq_dist0 AS (
+      SELECT d.vec_id, ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             cb.code,
+             CAST(SUM((d.xi - cb.ci) * (d.xi - cb.ci)) AS BIGINT) AS dd
+      FROM dims d
+      JOIN cb0 cb ON cb.pos = d.pos
+                 AND cb.sub = ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM}
+      GROUP BY 1, 2, 3
+    ),
+    pq_assigned0 AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM pq_dist0
+      ) WHERE rn = 1
+    ),
+    refined AS (
+      SELECT a.sub, a.code, d.pos,
+             CAST(ROUND(SUM(d.xi) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+               AS ci
+      FROM pq_assigned0 a
+      JOIN dims d ON d.vec_id = a.vec_id
+                 AND ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} = a.sub
+      GROUP BY 1, 2, 3
+    ),
+    codebook AS (
+      SELECT c.code, c.sub, c.pos, COALESCE(r.ci, c.ci) AS ci
+      FROM cb0 c
+      LEFT JOIN refined r ON r.sub = c.sub AND r.code = c.code
+                         AND r.pos = c.pos
+    ),
+    pq_dist AS (
+      SELECT d.vec_id, ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             cb.code,
+             CAST(SUM((d.xi - cb.ci) * (d.xi - cb.ci)) AS BIGINT) AS dd
+      FROM dims d
+      JOIN codebook cb ON cb.pos = d.pos
+                      AND cb.sub = ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM}
+      GROUP BY 1, 2, 3
+    ),
+    pq_assigned AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM pq_dist
+      ) WHERE rn = 1
+    ),
+    qcells AS (
+      SELECT vec_id AS query_id, k,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dd, k) AS cell_rnk
+      FROM dist WHERE vec_id < {N_QUERIES}
+    ),
+    need AS (
+      SELECT qc.query_id, ac.vec_id AS neighbor_id,
+             MIN(qc.cell_rnk) AS need_probe
+      FROM qcells qc
+      JOIN assigned ac ON ac.k = qc.k
+      WHERE ac.vec_id <> qc.query_id
+      GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT n.query_id, n.neighbor_id, n.need_probe,
+             CAST(SUM((q.xi - cb.ci) * (q.xi - cb.ci)) AS BIGINT) AS dd
+      FROM need n
+      JOIN pq_assigned a ON a.vec_id = n.neighbor_id
+      JOIN codebook cb ON cb.sub = a.sub AND cb.code = a.code
+      JOIN dims q ON q.vec_id = n.query_id AND q.pos = cb.pos
+      WHERE n.need_probe <= {max(_IVF_ADC_PROBES)}
+      GROUP BY 1, 2, 3
+    ),
+    pr(nprobe) AS (VALUES {", ".join(f"({p})" for p in _IVF_ADC_PROBES)}),
+    ranked AS (
+      SELECT pr.nprobe, a.query_id, a.neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY pr.nprobe, a.query_id
+                                ORDER BY a.dd, a.neighbor_id) AS rnk
+      FROM adc a JOIN pr ON a.need_probe <= pr.nprobe
+    ),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS dd
+      FROM dims q
+      JOIN dims c ON c.pos = q.pos AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dd, neighbor_id) AS rnk
+        FROM exact
+      ) WHERE rnk <= {TOP_K}
+    ),
+    vol AS (
+      SELECT pr.nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM need n JOIN pr ON n.need_probe <= pr.nprobe
+      GROUP BY 1
+    ),
+    hits AS (
+      SELECT r.nprobe,
+             CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT) AS n_hits
+      FROM ranked r
+      LEFT JOIN truth t ON t.query_id = r.query_id
+                       AND t.neighbor_id = r.neighbor_id
+      WHERE r.rnk <= {TOP_K}
+      GROUP BY 1
+    )
+    SELECT CAST(h.nprobe AS BIGINT) AS nprobe,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           ROUND(CAST(v.n_candidates AS DOUBLE) / {N_QUERIES}, 6)
+             AS mean_candidates,
+           h.n_hits,
+           ROUND(CAST(h.n_hits AS DOUBLE) / ({N_QUERIES} * {TOP_K}), 6)
+             AS recall_at_5
+    FROM hits h JOIN vol v ON v.nprobe = h.nprobe
+    ORDER BY nprobe
+    """
+
+
+def ivf_adc_lloyd_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC nprobe sweep under the one-Lloyd-step PQ codebook (see
+    block comment; plan identical to ivf_adc_recall plus the
+    assignment/update refinement stage)."""
+    from bigdataentrytask_spark.operators import materialize, with_persisted
+
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long").alias("sub"),
+        (F.col("pos0") + 1).alias("pos"),
+        grid.alias("xi"),
+    )
+    with with_persisted(dims) as dims_p:
+        seeds = dims_p.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("k"),
+            F.col("pos").alias("s_pos"),
+            F.col("xi").alias("si"),
+        )
+        cdist = (
+            dims_p.join(F.broadcast(seeds), F.col("s_pos") == F.col("pos"))
+            .groupBy("vec_id", "k")
+            .agg(
+                F.sum(
+                    (F.col("xi") - F.col("si")) * (F.col("xi") - F.col("si"))
+                )
+                .cast("bigint")
+                .alias("dd")
+            )
+        )
+        wc = Window.partitionBy("vec_id").orderBy("dd", "k")
+        cell_rank = cdist.withColumn("rn", F.row_number().over(wc))
+        assigned_cell = materialize(
+            cell_rank.filter(F.col("rn") == 1).select("vec_id", "k")
+        )
+        qcells = materialize(
+            cell_rank.filter(F.col("vec_id") < N_QUERIES).select(
+                F.col("vec_id").alias("query_id"),
+                "k",
+                F.col("rn").alias("cell_rnk"),
+            )
+        )
+        need = materialize(
+            qcells.join(
+                assigned_cell.withColumnRenamed("vec_id", "neighbor_id"),
+                "k",
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.min("cell_rnk").alias("need_probe"))
+        )
+        cb0 = (
+            e.filter(F.col("vec_id") < _PQ_K)
+            .select(
+                F.col("vec_id").alias("cb_code"),
+                F.posexplode(
+                    F.transform("embedding", lambda x: x.cast("double"))
+                ).alias("pos0", "x"),
+            )
+            .select(
+                "cb_code",
+                ((F.col("pos0") * _PQ_SUB) / _PQ_DIM)
+                .cast("long")
+                .alias("cb_sub"),
+                (F.col("pos0") + 1).alias("cb_pos"),
+                grid.alias("ci"),
+            )
+        )
+
+        def pq_assign(cbf):
+            dist0 = (
+                dims_p.join(
+                    F.broadcast(cbf),
+                    (F.col("cb_pos") == F.col("pos"))
+                    & (F.col("cb_sub") == F.col("sub")),
+                )
+                .groupBy("vec_id", "sub", F.col("cb_code").alias("code"))
+                .agg(
+                    F.sum(
+                        (F.col("xi") - F.col("ci"))
+                        * (F.col("xi") - F.col("ci"))
+                    )
+                    .cast("bigint")
+                    .alias("dd")
+                )
+            )
+            wp = Window.partitionBy("vec_id", "sub").orderBy("dd", "code")
+            return materialize(
+                dist0.withColumn("rn", F.row_number().over(wp))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "sub", "code")
+            )
+
+        a0 = pq_assign(cb0)
+        refined = (
+            a0.select(
+                F.col("vec_id").alias("a_vid"),
+                F.col("sub").alias("a_sub"),
+                "code",
+            )
+            .join(
+                dims_p,
+                (F.col("a_vid") == F.col("vec_id"))
+                & (F.col("a_sub") == F.col("sub")),
+            )
+            .groupBy(
+                F.col("a_sub").alias("cb_sub"),
+                F.col("code").alias("cb_code"),
+                F.col("pos").alias("cb_pos"),
+            )
+            .agg(
+                F.round(F.sum("xi") / F.count(F.lit(1)).cast("double"))
+                .cast("bigint")
+                .alias("r_ci")
+            )
+        )
+        codebook = (
+            cb0.join(refined, ["cb_sub", "cb_code", "cb_pos"], "left")
+            .select(
+                "cb_code",
+                "cb_sub",
+                "cb_pos",
+                F.coalesce("r_ci", "ci").alias("ci"),
+            )
+        )
+        pq_assigned = pq_assign(codebook)
+        rmax = max(_IVF_ADC_PROBES)
+        qd = dims_p.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_qid"),
+            F.col("pos").alias("q_pos"),
+            F.col("xi").alias("qi"),
+        )
+        adc = (
+            need.filter(F.col("need_probe") <= rmax)
+            .join(
+                pq_assigned.withColumnRenamed("vec_id", "neighbor_id"),
+                "neighbor_id",
+            )
+            .join(
+                F.broadcast(codebook),
+                (F.col("cb_sub") == F.col("sub"))
+                & (F.col("cb_code") == F.col("code")),
+            )
+            .join(
+                F.broadcast(qd),
+                (F.col("q_pos") == F.col("cb_pos"))
+                & (F.col("q_qid") == F.col("query_id")),
+            )
+            .groupBy("query_id", "neighbor_id", "need_probe")
+            .agg(
+                F.sum(
+                    (F.col("qi") - F.col("ci")) * (F.col("qi") - F.col("ci"))
+                )
+                .cast("bigint")
+                .alias("dd")
+            )
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            "dd", "neighbor_id"
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        flags = adc.select(
+            "query_id",
+            "neighbor_id",
+            *[
+                F.sum((F.col("need_probe") <= p).cast("long"))
+                .over(wr)
+                .alias(f"rnk_{p}")
+                for p in _IVF_ADC_PROBES
+            ],
+            *[
+                (F.col("need_probe") <= p).cast("int").alias(f"in_{p}")
+                for p in _IVF_ADC_PROBES
+            ],
+        )
+        stack_expr = ", ".join(
+            f"CAST({p} AS BIGINT), in_{p} = 1 AND rnk_{p} <= {TOP_K}"
+            for p in _IVF_ADC_PROBES
+        )
+        ranked = flags.select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                f"stack({len(_IVF_ADC_PROBES)}, {stack_expr})"
+                " AS (nprobe, in_top)"
+            ),
+        ).filter(F.col("in_top")).select("nprobe", "query_id", "neighbor_id")
+        cx = dims_p.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("pos").alias("pos_c"),
+            F.col("xi").alias("ci2"),
+        )
+        exact = (
+            F.broadcast(
+                dims_p.filter(F.col("vec_id") < N_QUERIES).select(
+                    F.col("vec_id").alias("query_id"),
+                    "pos",
+                    F.col("xi").alias("qi"),
+                )
+            )
+            .join(cx, F.col("pos_c") == F.col("pos"))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.sum(
+                    (F.col("qi") - F.col("ci2"))
+                    * (F.col("qi") - F.col("ci2"))
+                )
+                .cast("bigint")
+                .alias("dd")
+            )
+        )
+        wt = Window.partitionBy("query_id").orderBy("dd", "neighbor_id")
+        truth = (
+            exact.withColumn("rnk", F.row_number().over(wt))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id", F.lit(1).alias("is_true"))
+        )
+        pr = spark.createDataFrame(
+            [(p,) for p in _IVF_ADC_PROBES], "nprobe long"
+        )
+        vol = (
+            need.crossJoin(F.broadcast(pr))
+            .filter(F.col("need_probe") <= F.col("nprobe"))
+            .groupBy("nprobe")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        )
+        hits = (
+            ranked.join(truth, ["query_id", "neighbor_id"], "left")
+            .groupBy("nprobe")
+            .agg(
+                F.sum(F.coalesce("is_true", F.lit(0)))
+                .cast("bigint")
+                .alias("n_hits")
+            )
+        )
+        return materialize(
+            hits.join(vol, "nprobe")
+            .select(
+                F.col("nprobe").cast("bigint").alias("nprobe"),
+                F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+                F.round(
+                    F.col("n_candidates").cast("double") / N_QUERIES, 6
+                ).alias("mean_candidates"),
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double") / (N_QUERIES * TOP_K), 6
+                ).alias("recall_at_5"),
+            )
+            .orderBy("nprobe")
+        )
+
+
 from bigdataentrytask_spark.operators import ORACLES as _REG_ORACLES  # noqa: E402
 
 ROUND12_STAGED: dict[str, tuple] = {
@@ -7306,4 +7709,8 @@ ROUND12_STAGED: dict[str, tuple] = {
     ),
     "seed_spread_advisor": (seed_spread_advisor, _SEED_SPREAD_ORACLE),
     "pq_lloyd_convergence": (pq_lloyd_convergence, _LLOYD_CONV_ORACLE),
+    "ivf_adc_lloyd_recall": (
+        ivf_adc_lloyd_recall,
+        _IVF_ADC_LLOYD_ORACLE.replace("{IVF_CTES}", _IVF_CTES),
+    ),
 }

@@ -23,10 +23,10 @@ STAGED_NAMES = sorted(STAGED)
 
 
 def test_round12_staged_not_registered():
-    """The freeze: 15 staged round-12 ops, none registered, registry
+    """The freeze: 16 staged round-12 ops, none registered, registry
     still exactly 454. Flip this to an activation assertion (registry
-    == 469, identity per name) at the round-12 boundary."""
-    assert len(STAGED) == 15
+    == 470, identity per name) at the round-12 boundary."""
+    assert len(STAGED) == 16
     assert len(REGISTRY) == 454
     for name in STAGED:
         assert name not in REGISTRY
@@ -352,3 +352,32 @@ def test_shard_mix_uniformity_invariants(spark):
         assert (grp.tv_ppm >= 0).all()
     m = pdf.groupby("shard_count").tv_ppm.mean()
     assert m[16] > m[4]
+
+
+def test_ivf_adc_lloyd_breaks_falling_regime(spark):
+    """The diagnostic chain's payoff. ivf_adc_recall pinned the
+    weak-codebook regime: recall STRICTLY FALLS with nprobe
+    (0.36/0.34/0.32) because the toy codebook mis-ranks far
+    candidates above near ones as probing widens the pool. Under the
+    one-Lloyd-step codebook the falling regime is BROKEN: the widest
+    probe is the best row (0.36) and beats the toy codebook's widest
+    probe (0.32). Candidate volumes are identical by construction
+    (same coarse probe)."""
+    import __spark_entry__ as e
+
+    fn, _ = STAGED["ivf_adc_lloyd_recall"]
+    lloyd = fn(spark, SF_DIR).toPandas().set_index("nprobe")
+    toy = (
+        e.queries()["ivf_adc_recall"](spark, SF_DIR)
+        .toPandas()
+        .set_index("nprobe")
+    )
+    # same coarse probe -> identical candidate budgets row-for-row
+    assert (lloyd.mean_candidates == toy.mean_candidates).all()
+    # the toy regime detector still fires...
+    assert toy.recall_at_5.is_monotonic_decreasing
+    # ...and the refined codebook clears it
+    assert not lloyd.recall_at_5.is_monotonic_decreasing
+    pmax = lloyd.index.max()
+    assert lloyd.loc[pmax, "recall_at_5"] > toy.loc[pmax, "recall_at_5"]
+    assert lloyd.recall_at_5.idxmax() == pmax
