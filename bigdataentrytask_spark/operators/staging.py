@@ -87,9 +87,9 @@ ROUND11_ACTIVATED: dict[str, tuple] = {
     **_WAREHOUSE_R11,
 }
 
-# PENDING set — staged for the NEXT round boundary, NOT registered.
-# preverify --staged / layout_scan --staged / roundcheck's staged
-# steps read this; fed by the per-module ROUND12_STAGED dicts.
+# Round-12 set — ACTIVATED at the round-12 boundary (VERDICT r11
+# item 1): the 16 operators staged during round 11 (per-module
+# ROUND12_STAGED dicts) now register via register_all() below.
 from bigdataentrytask_spark.operators.dedup import (  # noqa: E402
     ROUND12_STAGED as _DEDUP_R12,
 )
@@ -109,7 +109,7 @@ from bigdataentrytask_spark.operators.curation import (  # noqa: E402
     ROUND12_STAGED as _CURATION_R12,
 )
 
-STAGED: dict[str, tuple] = {
+ROUND12_ACTIVATED: dict[str, tuple] = {
     **_CURATION_R12,
     **_DEDUP_R12,
     **_SIMILARITY_R12,
@@ -117,6 +117,12 @@ STAGED: dict[str, tuple] = {
     **_TEXT_R12,
     **_WAREHOUSE_R12,
 }
+
+# PENDING set — staged for the NEXT round boundary, NOT registered.
+# preverify --staged / layout_scan --staged / roundcheck's staged
+# steps read this; fed by per-module ROUND13_STAGED dicts as round-12
+# work stages new operators.
+STAGED: dict[str, tuple] = {}
 
 
 def register_all() -> None:
@@ -126,6 +132,8 @@ def register_all() -> None:
     for name, (fn, osql) in ROUND10_ACTIVATED.items():
         operator(name, oracle=osql)(fn)
     for name, (fn, osql) in ROUND11_ACTIVATED.items():
+        operator(name, oracle=osql)(fn)
+    for name, (fn, osql) in ROUND12_ACTIVATED.items():
         operator(name, oracle=osql)(fn)
 
 

@@ -19,13 +19,19 @@ import pytest
 from bigdataentrytask_spark.operators.staging import (
     ROUND10_ACTIVATED,
     ROUND11_ACTIVATED,
+    ROUND12_ACTIVATED,
     STAGED as _PENDING,
 )
 
 # every staged-then-activated generation + the pending set — all go
 # through the same adversarial-input differential (activation must
 # not silently drop an op out of this suite)
-STAGED = {**ROUND10_ACTIVATED, **ROUND11_ACTIVATED, **_PENDING}
+STAGED = {
+    **ROUND10_ACTIVATED,
+    **ROUND11_ACTIVATED,
+    **ROUND12_ACTIVATED,
+    **_PENDING,
+}
 
 from .conftest import assert_matches_oracle
 

@@ -27,11 +27,11 @@ STAGED_NAMES = sorted(STAGED)
 
 def test_round11_activation_complete():
     """VERDICT r10 item 1: the 22 round-10-staged operators are LIVE —
-    register_all() covers ROUND11_ACTIVATED, so the registry is 454
-    and every staged name resolves to its staged function object
+    register_all() covers ROUND11_ACTIVATED; the registry stands at
+    470 after the round-12 activation, and every staged name resolves to its staged function object
     (not a shadowing duplicate)."""
     assert len(STAGED) == 22
-    assert len(REGISTRY) == 454
+    assert len(REGISTRY) == 470
     for name, (fn, _osql) in STAGED.items():
         assert REGISTRY[name] is fn
 

@@ -1,7 +1,8 @@
 """Round-12 staged operators (VERDICT r10 item 7): implemented and
-differential-tested DURING round 11; zero registry delta until the
-round-12 boundary activates them via staging.register_all(), per
-CONTRIBUTING.md §"Staging operators during a registry freeze".
+differential-tested DURING round 11; ACTIVATED at the round-12
+boundary (VERDICT r11 item 1 — registry 454 -> 470) via
+staging.register_all(), per CONTRIBUTING.md §"Staging operators
+during a registry freeze".
 
 Differentials go through DuckDB's PANDAS path with the dtype check
 (the preverify gate) so the HUGEINT class is covered before any op
@@ -13,7 +14,9 @@ from __future__ import annotations
 import pytest
 
 from bigdataentrytask_spark.operators import REGISTRY, load_all
-from bigdataentrytask_spark.operators.staging import STAGED
+from bigdataentrytask_spark.operators.staging import (
+    ROUND12_ACTIVATED as STAGED,
+)
 
 from .conftest import SF_DIR, assert_matches_oracle
 
@@ -22,14 +25,15 @@ load_all()
 STAGED_NAMES = sorted(STAGED)
 
 
-def test_round12_staged_not_registered():
-    """The freeze: 16 staged round-12 ops, none registered, registry
-    still exactly 454. Flip this to an activation assertion (registry
-    == 470, identity per name) at the round-12 boundary."""
+def test_round12_activation_complete():
+    """VERDICT r11 item 1: the 16 round-11-staged operators are LIVE —
+    register_all() covers ROUND12_ACTIVATED, so the registry is 470
+    and every staged name resolves to its staged function object
+    (not a shadowing duplicate)."""
     assert len(STAGED) == 16
-    assert len(REGISTRY) == 454
-    for name in STAGED:
-        assert name not in REGISTRY
+    assert len(REGISTRY) == 470
+    for name, (fn, _osql) in STAGED.items():
+        assert REGISTRY[name] is fn
 
 
 def test_round12_staged_all_have_oracles():
