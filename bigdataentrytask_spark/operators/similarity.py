@@ -6908,11 +6908,11 @@ _SEED_SPREAD_ORACLE = f"""
       SELECT 'a_first' AS policy, vec_id AS k, pos, xi
       FROM dims WHERE vec_id < {KMEANS_K}
       UNION ALL
-      SELECT 'b_strided', CAST(vec_id / (nn.n // {KMEANS_K}) AS BIGINT),
+      SELECT 'b_strided', CAST(vec_id / GREATEST(1, nn.n // {KMEANS_K}) AS BIGINT),
              pos, xi
       FROM dims CROSS JOIN nn
-      WHERE vec_id % (nn.n // {KMEANS_K}) = 0
-        AND vec_id < {KMEANS_K} * (nn.n // {KMEANS_K})
+      WHERE vec_id % GREATEST(1, nn.n // {KMEANS_K}) = 0
+        AND vec_id < {KMEANS_K} * GREATEST(1, nn.n // {KMEANS_K})
     ),
     spread AS (
       SELECT a.policy,
@@ -6968,7 +6968,10 @@ def seed_spread_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir)
     n = int(collect_bounded(e.agg(F.count(F.lit(1)).alias("n")))[0].n)
-    stride = n // KMEANS_K
+    # clamp (ADVICE r11): n < KMEANS_K would make stride 0 — Spark
+    # % 0 yields NULLs while DuckDB's % 0 errors; with stride 1 the
+    # b_strided arm degrades to a_first's seed set in BOTH engines.
+    stride = max(1, n // KMEANS_K)
     grid = F.round(F.col("x") * 1000000).cast("bigint")
     dims = e.select(
         "vec_id",

@@ -1738,16 +1738,21 @@ def session_state_batch_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(t,) for t in _BATCH_PEAK_TRIGGERS_S], "trigger_s long"
     )
     pg_us = F.col("trigger_s") * 1_000_000
+    # same descending-sequence guard as the hits side (ADVICE r11):
+    # DuckDB's range() is empty when hi < lo, Spark's sequence()
+    # DESCENDS — safe today only because min(gap) >= max(trigger)
+    # guarantees a sample point, but a longer trigger candidate must
+    # degrade to an empty grid in BOTH engines, not diverge.
+    g_lo = F.floor((F.col("mn_t0") + pg_us - 1) / pg_us)
+    g_hi = F.floor(
+        (F.col("mx_t1") + F.col("gap_s") * 1_000_000 - 1) / pg_us
+    )
     grid = bounds.crossJoin(F.broadcast(tr_grid)).select(
         "gap_s",
         "trigger_s",
         F.explode(
-            F.sequence(
-                F.floor((F.col("mn_t0") + pg_us - 1) / pg_us),
-                F.floor(
-                    (F.col("mx_t1") + F.col("gap_s") * 1_000_000 - 1)
-                    / pg_us
-                ),
+            F.when(g_hi >= g_lo, F.sequence(g_lo, g_hi)).otherwise(
+                F.expr("CAST(array() AS array<bigint>)")
             )
         ).alias("s"),
     )
@@ -1833,7 +1838,7 @@ _WM_STATE_ORACLE = f"""
            CAST(COUNT(*) AS BIGINT) AS n_windows_open,
            (SELECT CAST(MAX(open_now) AS BIGINT) FROM sweep s
              WHERE s.delay_label = w.delay_label) AS max_open_windows,
-           CAST(ROUND(AVG((w.close_t - w.open_t) / 1000000.0) * 1000000)
+           CAST(ROUND(SUM(w.close_t - w.open_t) * 1.0 / COUNT(*))
                 AS BIGINT) AS mean_open_span_s_ppm,
            (SELECT CAST(MAX(open_now) * {_WIN_STATE_BYTES} AS BIGINT)
               FROM sweep s WHERE s.delay_label = w.delay_label)
@@ -1904,9 +1909,15 @@ def watermark_state_bytes_joint(
     stats = wins.groupBy("delay_label").agg(
         F.max("delay_us").cast("bigint").alias("delay_us"),
         F.count(F.lit(1)).cast("bigint").alias("n_windows_open"),
+        # exact-integer accumulation (ADVICE r11): sum the integral
+        # microsecond spans first, divide once — per-row division
+        # makes non-representable doubles whose sum is accumulation-
+        # order-dependent (Spark partial aggs vs DuckDB sequential);
+        # span_us IS span_s expressed in ppm, so no unit factor.
         F.round(
-            F.avg((F.col("close_t") - F.col("open_t")) / 1000000.0)
-            * 1000000
+            F.sum(F.col("close_t") - F.col("open_t"))
+            * 1.0
+            / F.count(F.lit(1))
         )
         .cast("bigint")
         .alias("mean_open_span_s_ppm"),

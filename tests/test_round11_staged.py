@@ -303,6 +303,50 @@ def test_seed_spread_advisor_regime(spark):
     assert (pdf.max_cell_share_ppm < 300_000).all()
 
 
+def test_seed_spread_degenerate_tiny_corpus(spark, tmp_path):
+    """ADVICE r11 regression: with fewer embeddings than KMEANS_K (8)
+    the stride clamps to 1 in BOTH engines (pre-fix: Spark % 0 gave
+    NULLs while DuckDB's % 0 errored) — b_strided degrades to
+    a_first's seed set and the differential still holds."""
+    import random
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(7)
+    n = 5  # < KMEANS_K
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(n)),
+            "embedding": pa.array(
+                [
+                    [rng.uniform(-0.6, 0.6) for _ in range(64)]
+                    for _ in range(n)
+                ],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([i % 3 for i in range(n)], type=pa.int32()),
+        }
+    )
+    pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet'"
+    )
+    fn, osql = STAGED["seed_spread_advisor"]
+    assert_matches_oracle(
+        fn(spark, str(tmp_path)), con, osql, "seed_spread_tiny"
+    )
+    pdf = fn(spark, str(tmp_path)).toPandas().set_index("policy")
+    # stride 1 -> identical seed sets -> identical numbers
+    assert (
+        pdf.loc["a_first"].tolist() == pdf.loc["b_strided"].tolist()
+    )
+    con.close()
+
+
 def test_pq_lloyd_convergence_plateau(spark):
     """The trajectory is monotone non-increasing and the plateau is
     immediate: step-1 gain (28.1% of step-0 distortion) dwarfs
