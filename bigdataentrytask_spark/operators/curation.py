@@ -1421,3 +1421,209 @@ def shard_mix_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROUND12_STAGED: dict[str, tuple] = {
     "shard_mix_uniformity": (shard_mix_uniformity, _SHARD_MIX_ORACLE),
 }
+
+
+# ==========================================================================
+# ROUND-13 STAGED (VERDICT r11 item 6; zero registry delta until the
+# round-13 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Stratified shard assignment twin (ROADMAP round-13, the fix
+# shard_mix_uniformity motivates): that audit pinned the problem —
+# salted-hash sharding leaves per-shard source composition drifting
+# from the corpus mix, and FINER sharding drifts worse (mean TV at
+# S=16 > S=4). The standard fix is stratified assignment: round-robin
+# WITHIN each source (shard = rank-within-source mod S), which by
+# construction places floor/ceil(n_src/S) docs of every source in
+# every shard. This table prices both policies on the same TV yard-
+# stick, aggregated per (shard_count, policy): mean and max per-shard
+# TV ppm. Pinned regime: stratified mean TV is a small fraction of
+# hashed mean TV at BOTH shard counts (the per-shard cell error is
+# <= 1 doc per source under round-robin).
+# Exact math: the same all-integer |n_cell*n_total - n_src*n_docs|
+# TV numerator as shard_mix_uniformity; per-shard tv_ppm is the one
+# double rounding, and the mean re-accumulates those BIGINTs exactly
+# (SUM/COUNT, one ROUND) per the module convention.
+# Scale: rank-within-source is a keyed window (bounded per-source
+# state); everything downstream is the same bounded
+# (shard_count x S x source) rollup as the audit. At 100 TB the
+# round-robin rank is per-shard-prefix counts (the deterministic
+# manifest contract), not a global sort.
+# --------------------------------------------------------------------------
+_STRAT_TWIN_ORACLE = f"""
+    WITH sc(shard_count) AS (VALUES
+      {", ".join(f"({s})" for s in _SHARD_COUNTS)}),
+    hashed AS (
+      SELECT source,
+             ('0x' || substr(md5('{_SHARD_SALT}' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS h
+      FROM documents
+    ),
+    strat AS (
+      SELECT source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1
+               AS rk
+      FROM documents
+    ),
+    tagged AS (
+      SELECT sc.shard_count, 'a_hashed' AS policy,
+             h % sc.shard_count AS shard, source
+      FROM hashed CROSS JOIN sc
+      UNION ALL
+      SELECT sc.shard_count, 'b_stratified',
+             rk % sc.shard_count, source
+      FROM strat CROSS JOIN sc
+    ),
+    cell AS (
+      SELECT shard_count, policy, shard, source,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM tagged GROUP BY 1, 2, 3, 4
+    ),
+    gsrc AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+      FROM documents GROUP BY source
+    ),
+    per_shard AS (
+      SELECT shard_count, policy, shard, CAST(SUM(n) AS BIGINT) AS n_docs
+      FROM cell GROUP BY 1, 2, 3
+    ),
+    tv AS (
+      SELECT p.shard_count, p.policy, p.shard, p.n_docs, g.n_total,
+             CAST(SUM(ABS(COALESCE(c.n, 0) * g.n_total
+                          - g.n_src * p.n_docs)) AS BIGINT) AS tv_num
+      FROM per_shard p
+      CROSS JOIN gsrc g
+      LEFT JOIN cell c ON c.shard_count = p.shard_count
+                      AND c.policy = p.policy
+                      AND c.shard = p.shard AND c.source = g.source
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    shard_tv AS (
+      SELECT shard_count, policy,
+             CAST(ROUND(tv_num * 1000000.0 / (2.0 * n_docs * n_total))
+                  AS BIGINT) AS tv_ppm,
+             n_docs
+      FROM tv
+    )
+    SELECT CAST(shard_count AS BIGINT) AS shard_count,
+           policy,
+           CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(ROUND(SUM(tv_ppm) * 1.0 / COUNT(*)) AS BIGINT)
+             AS mean_tv_ppm,
+           CAST(MAX(tv_ppm) AS BIGINT) AS max_tv_ppm
+    FROM shard_tv
+    GROUP BY 1, 2
+    ORDER BY shard_count, policy
+    """
+
+
+def shard_stratified_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-hash vs round-robin-per-source shard assignment, priced
+    as per-(shard_count, policy) mean/max total-variation ppm against
+    the corpus source mix (see block comment; same all-integer TV
+    numerator as shard_mix_uniformity)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sc = spark.createDataFrame(
+        [(s,) for s in _SHARD_COUNTS], "shard_count long"
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(_SHARD_SALT), F.col("doc_id").cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = d.select("source", h.alias("k")).crossJoin(
+        F.broadcast(sc)
+    ).select(
+        "shard_count",
+        F.lit("a_hashed").alias("policy"),
+        (F.col("k") % F.col("shard_count")).alias("shard"),
+        "source",
+    )
+    rk = (
+        F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+        - 1
+    )
+    strat = d.select("source", rk.alias("rk")).crossJoin(
+        F.broadcast(sc)
+    ).select(
+        "shard_count",
+        F.lit("b_stratified").alias("policy"),
+        (F.col("rk") % F.col("shard_count")).alias("shard"),
+        "source",
+    )
+    tagged = hashed.unionByName(strat)
+    cell = tagged.groupBy("shard_count", "policy", "shard", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    glob = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_src")
+    )
+    glob = glob.crossJoin(
+        F.broadcast(d.agg(F.count(F.lit(1)).cast("bigint").alias("n_total")))
+    )
+    per_shard = cell.groupBy("shard_count", "policy", "shard").agg(
+        F.sum("n").cast("bigint").alias("n_docs")
+    )
+    tv = (
+        per_shard.crossJoin(F.broadcast(glob))
+        .join(cell, ["shard_count", "policy", "shard", "source"], "left")
+        .groupBy("shard_count", "policy", "shard", "n_docs", "n_total")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.coalesce("n", F.lit(0)) * F.col("n_total")
+                    - F.col("n_src") * F.col("n_docs")
+                )
+            )
+            .cast("bigint")
+            .alias("tv_num")
+        )
+    )
+    shard_tv = tv.select(
+        "shard_count",
+        "policy",
+        F.round(
+            F.col("tv_num")
+            * 1000000.0
+            / (2.0 * F.col("n_docs") * F.col("n_total"))
+        )
+        .cast("bigint")
+        .alias("tv_ppm"),
+        "n_docs",
+    )
+    return (
+        shard_tv.groupBy("shard_count", "policy")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.round(F.sum("tv_ppm") * 1.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_tv_ppm"),
+            F.max("tv_ppm").cast("bigint").alias("max_tv_ppm"),
+        )
+        .select(
+            F.col("shard_count").cast("bigint").alias("shard_count"),
+            "policy",
+            "n_shards",
+            "n_docs",
+            "mean_tv_ppm",
+            "max_tv_ppm",
+        )
+        .orderBy("shard_count", "policy")
+    )
+
+
+ROUND13_STAGED: dict[str, tuple] = {
+    "shard_stratified_twin": (shard_stratified_twin, _STRAT_TWIN_ORACLE),
+}

@@ -2944,3 +2944,180 @@ ROUND12_STAGED: dict[str, tuple] = {
     "duplicate_decay_mixture": (duplicate_decay_mixture, _DECAY_MIX_ORACLE),
     "chunk_decay_source_mix": (chunk_decay_source_mix, _DECAY_SRC_ORACLE),
 }
+
+
+# ==========================================================================
+# ROUND-13 STAGED (VERDICT r11 item 6; zero registry delta until the
+# round-13 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Quality-priority dedup survivorship (ROADMAP round-13 "Curation"):
+# dedup_order_sensitivity priced keeper drift between id-order and
+# source-priority policies on EXACT-text groups — where any
+# content-derived score is constant within a group by construction
+# (the r10 n_chars lesson), so quality ranking cannot move keepers
+# there. The policy axis someone actually deploys — "keep the
+# highest-quality copy of each near-duplicate" — needs clusters
+# whose members DIFFER: here the LSH band-0 bucket (the first-band
+# candidate group of the verified minhash pipeline; docs sharing
+# their band-0 signature are near-duplicate candidates with
+# genuinely different texts and therefore different
+# quality_classifier_score values). Per multi-doc bucket the table
+# compares keeper = min doc_id (stable-scan) vs keeper = best
+# quality score (doc_id tiebreak), and prices the migration: keeper
+# flips, and the exact kept-quality mass under each policy (scores
+# on the 1e6 integer grid, so the gain is an exact integer and is
+# >= 0 BY CONSTRUCTION — max >= first).
+# Composition: scores from the registered quality_classifier_score
+# (broadcast-weight linear model, exact integer per-doc sums);
+# signatures from the verified minhash machinery (same
+# MINHASH_A/B/MERSENNE_P constants and distinct-token hashing).
+# Scale: one tokenize->hash->min pass (4 of the 32 sketches), one
+# bucket-key shuffle, one doc_id join with the score frame; the
+# summary is a single-row rollup. No pair enumeration anywhere —
+# survivorship needs buckets, not pairs.
+# --------------------------------------------------------------------------
+from bigdataentrytask_spark.operators import ORACLES as _ORACLES_D13
+
+
+def _qsurv_oracle() -> str:
+    rpb = _ROWS_PER_BAND
+    mh_cols = ",\n             ".join(
+        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MERSENNE_P})"
+        f" AS mh{i}"
+        for i in range(rpb)
+    )
+    bkey = " || ':' || ".join(f"CAST(mh{i} AS VARCHAR)" for i in range(rpb))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_distinct({sql_tokens('text')})) AS tok
+      FROM documents
+    ),
+    hashes AS (SELECT doc_id, {sql_token_hash('tok')} AS h FROM toks),
+    b0 AS (
+      SELECT doc_id,
+             {mh_cols}
+      FROM hashes GROUP BY doc_id
+    ),
+    qs AS ({_ORACLES_D13["quality_classifier_score"]}),
+    member AS (
+      SELECT b.doc_id, ({bkey}) AS bkey,
+             CAST(ROUND(q.score * 1000000) AS BIGINT) AS score_e6
+      FROM b0 b JOIN qs q ON q.doc_id = b.doc_id
+    ),
+    cl AS (
+      SELECT bkey,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             MIN(doc_id) AS keeper_by_id,
+             (array_agg(score_e6 ORDER BY doc_id))[1]
+               AS id_keeper_score_e6,
+             (array_agg(doc_id ORDER BY score_e6 DESC, doc_id))[1]
+               AS keeper_by_q,
+             MAX(score_e6) AS q_keeper_score_e6
+      FROM member GROUP BY bkey
+      HAVING COUNT(*) >= 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs_clustered,
+           CAST(count_if(keeper_by_q <> keeper_by_id) AS BIGINT)
+             AS n_flips,
+           CAST(ROUND(count_if(keeper_by_q <> keeper_by_id)
+                      * 1000000.0 / COUNT(*)) AS BIGINT) AS flip_ppm,
+           CAST(SUM(id_keeper_score_e6) AS BIGINT)
+             AS kept_score_id_e6,
+           CAST(SUM(q_keeper_score_e6) AS BIGINT) AS kept_score_q_e6,
+           CAST(SUM(q_keeper_score_e6 - id_keeper_score_e6) AS BIGINT)
+             AS gain_e6
+    FROM cl
+    """
+
+
+def dedup_quality_survivorship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keeper migration from id-order to quality-priority
+    survivorship over LSH band-0 near-duplicate buckets (see block
+    comment): flips and exact kept-quality mass under both policies."""
+    from bigdataentrytask_spark.operators import REGISTRY
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    hashes = toks.select("doc_id", token_hash("tok").alias("h"))
+    rpb = _ROWS_PER_BAND
+    b0 = hashes.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+                % MERSENNE_P
+            ).alias(f"mh{i}")
+            for i in range(rpb)
+        ]
+    )
+    qs = REGISTRY["quality_classifier_score"](spark, sf_dir).select(
+        "doc_id", F.round(F.col("score") * 1000000).cast("bigint").alias(
+            "score_e6"
+        )
+    )
+    member = b0.join(qs, "doc_id").select(
+        "doc_id",
+        F.concat_ws(
+            ":", *[F.col(f"mh{i}").cast("string") for i in range(rpb)]
+        ).alias("bkey"),
+        "score_e6",
+    )
+    cl = (
+        member.groupBy("bkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keeper_by_id"),
+            # struct min orders by doc_id first -> first doc's score
+            F.min(F.struct("doc_id", "score_e6"))["score_e6"].alias(
+                "id_keeper_score_e6"
+            ),
+            # argmax score, doc_id tiebreak
+            F.min(F.struct(-F.col("score_e6"), F.col("doc_id")))[
+                "doc_id"
+            ].alias("keeper_by_q"),
+            F.max("score_e6").alias("q_keeper_score_e6"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return cl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("n_docs").cast("bigint").alias("n_docs_clustered"),
+        F.sum((F.col("keeper_by_q") != F.col("keeper_by_id")).cast("long"))
+        .cast("bigint")
+        .alias("n_flips"),
+        F.round(
+            F.sum(
+                (F.col("keeper_by_q") != F.col("keeper_by_id")).cast(
+                    "long"
+                )
+            )
+            * 1000000.0
+            / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("flip_ppm"),
+        F.sum("id_keeper_score_e6").cast("bigint").alias(
+            "kept_score_id_e6"
+        ),
+        F.sum("q_keeper_score_e6").cast("bigint").alias(
+            "kept_score_q_e6"
+        ),
+        F.sum(
+            F.col("q_keeper_score_e6") - F.col("id_keeper_score_e6")
+        )
+        .cast("bigint")
+        .alias("gain_e6"),
+    )
+
+
+ROUND13_STAGED: dict[str, tuple] = {
+    "dedup_quality_survivorship": (
+        dedup_quality_survivorship,
+        _qsurv_oracle(),
+    ),
+}

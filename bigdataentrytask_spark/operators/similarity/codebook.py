@@ -1760,3 +1760,317 @@ ROUND12_STAGED: dict[str, tuple] = {
         _IVF_ADC_LLOYD_ORACLE.replace("{IVF_CTES}", _IVF_CTES),
     ),
 }
+
+
+# ==========================================================================
+# ROUND-13 STAGED (VERDICT r11 item 6; zero registry delta until the
+# round-13 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Coarse-quantizer (cell-seed) Lloyd refinement (ROADMAP round-13
+# "Retrieval", the chain's coarse side): ivf_adc_lloyd_recall refined
+# the PQ CODEBOOK under the toy coarse quantizer and broke the
+# falling-recall regime; this op refines the COARSE CELLS themselves
+# (one Lloyd step on the KMEANS_K first-K seeds: per-cell per-dim
+# integer-grid mean, reassign) and prices what the coarse side alone
+# buys, per (variant, nprobe): the true-neighbor CELL COVERAGE — the
+# fraction of brute-force top-5 neighbors living in the query's top-
+# nprobe cells, i.e. the recall CEILING any in-cell scorer inherits —
+# plus the probed-candidate volume, with the per-variant Lloyd
+# yardsticks (total coarse distortion, max cell share) alongside.
+# Exact math: integer-grid distances throughout; refined centroids
+# are ROUND(SUM(xi)/n) on exact integer sums (both engines round the
+# identical double, away-from-zero on ties); coverage and candidate
+# ratios are the only two final roundings.
+# Scale posture: the seed/centroid side is K x dim rows (broadcast);
+# assignment is one keyed argmin window per variant over dimension
+# rows; coverage is a TOP_K x N_QUERIES-domain join. One stacked
+# pass computes both variants (the seed_spread_advisor pattern).
+# --------------------------------------------------------------------------
+_CELL_PROBES = [1, 2, 4]
+
+_CELL_LLOYD_ORACLE = f"""
+    WITH {{IVF_CTES}},
+    cent AS (
+      SELECT a.k, d.pos,
+             CAST(ROUND(SUM(d.xi) * 1.0 / COUNT(*)) AS BIGINT) AS si
+      FROM assigned a JOIN dims d ON d.vec_id = a.vec_id
+      GROUP BY a.k, d.pos
+    ),
+    dist2 AS (
+      SELECT d.vec_id, c.k,
+             CAST(SUM((d.xi - c.si) * (d.xi - c.si)) AS BIGINT) AS dd
+      FROM dims d JOIN cent c ON c.pos = d.pos
+      GROUP BY d.vec_id, c.k
+    ),
+    alldist AS (
+      SELECT 'a_toy' AS variant, vec_id, k, dd FROM dist
+      UNION ALL
+      SELECT 'b_lloyd1', vec_id, k, dd FROM dist2
+    ),
+    asg AS (
+      SELECT variant, vec_id, k, dd FROM (
+        SELECT variant, vec_id, k, dd,
+               ROW_NUMBER() OVER (PARTITION BY variant, vec_id
+                                  ORDER BY dd, k) AS rn
+        FROM alldist
+      ) WHERE rn = 1
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+           FROM dims),
+    cells AS (
+      SELECT variant, k, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM asg GROUP BY 1, 2
+    ),
+    vstats AS (
+      SELECT a.variant,
+             CAST(SUM(a.dd) AS BIGINT) AS total_distortion,
+             (SELECT CAST(ROUND(MAX(c.n_vecs * 1000000.0 / nn.n))
+                          AS BIGINT)
+                FROM cells c CROSS JOIN nn
+               WHERE c.variant = a.variant) AS max_cell_share_ppm
+      FROM asg a GROUP BY a.variant
+    ),
+    qrank AS (
+      SELECT variant, vec_id AS query_id, k,
+             ROW_NUMBER() OVER (PARTITION BY variant, vec_id
+                                ORDER BY dd, k) AS cell_rank
+      FROM alldist WHERE vec_id < {N_QUERIES}
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM ({{KNN_TRUTH}})
+    ),
+    tcell AS (
+      SELECT t.query_id, t.neighbor_id, an.variant,
+             qr.cell_rank
+      FROM truth t
+      JOIN asg an ON an.vec_id = t.neighbor_id
+      JOIN qrank qr ON qr.variant = an.variant
+                   AND qr.query_id = t.query_id AND qr.k = an.k
+    ),
+    pr(nprobe) AS (VALUES {", ".join(f"({p})" for p in _CELL_PROBES)}),
+    cand AS (
+      SELECT qr.variant, pr.nprobe,
+             CAST(SUM(c.n_vecs) AS BIGINT) AS n_probed_vecs
+      FROM qrank qr
+      CROSS JOIN pr
+      JOIN cells c ON c.variant = qr.variant AND c.k = qr.k
+      WHERE qr.cell_rank <= pr.nprobe
+      GROUP BY qr.variant, pr.nprobe
+    )
+    SELECT v.variant,
+           CAST(pr.nprobe AS BIGINT) AS nprobe,
+           CAST(ROUND((SELECT count_if(tc.cell_rank <= pr.nprobe)
+                         FROM tcell tc
+                        WHERE tc.variant = v.variant) * 1000000.0
+                      / ({N_QUERIES} * {TOP_K})) AS BIGINT)
+             AS coverage_ppm,
+           (SELECT CAST(ROUND((ca.n_probed_vecs - {N_QUERIES}) * 1.0
+                              / {N_QUERIES}) AS BIGINT)
+              FROM cand ca
+             WHERE ca.variant = v.variant AND ca.nprobe = pr.nprobe)
+             AS mean_candidates,
+           v.total_distortion,
+           v.max_cell_share_ppm
+    FROM vstats v CROSS JOIN pr
+    ORDER BY v.variant, nprobe
+    """
+
+
+def ivf_cell_lloyd_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toy vs one-Lloyd-step coarse quantizer, priced as per-nprobe
+    true-neighbor cell coverage (the recall ceiling), candidate
+    volume, and the Lloyd yardsticks (see block comment)."""
+    from bigdataentrytask_spark.operators import REGISTRY
+
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), grid.alias("xi"))
+    with with_persisted(dims) as dims_p:
+        seeds = dims_p.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("k"), "pos", F.col("xi").alias("si")
+        )
+        dist = (
+            dims_p.join(seeds, "pos")
+            .groupBy("vec_id", "k")
+            .agg(
+                F.sum(
+                    (F.col("xi") - F.col("si"))
+                    * (F.col("xi") - F.col("si"))
+                )
+                .cast("bigint")
+                .alias("dd")
+            )
+        )
+        wv = Window.partitionBy("vec_id").orderBy("dd", "k")
+        assigned = (
+            dist.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "k")
+        )
+        cent = (
+            assigned.join(dims_p, "vec_id")
+            .groupBy("k", "pos")
+            .agg(
+                F.round(F.sum("xi") * 1.0 / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("si")
+            )
+        )
+        dist2 = (
+            dims_p.join(cent, "pos")
+            .groupBy("vec_id", "k")
+            .agg(
+                F.sum(
+                    (F.col("xi") - F.col("si"))
+                    * (F.col("xi") - F.col("si"))
+                )
+                .cast("bigint")
+                .alias("dd")
+            )
+        )
+        alldist = dist.select(
+            F.lit("a_toy").alias("variant"), "vec_id", "k", "dd"
+        ).unionByName(
+            dist2.select(
+                F.lit("b_lloyd1").alias("variant"), "vec_id", "k", "dd"
+            )
+        )
+        with with_persisted(alldist) as ad:
+            wva = Window.partitionBy("variant", "vec_id").orderBy(
+                "dd", "k"
+            )
+            asg = (
+                ad.withColumn("rn", F.row_number().over(wva))
+                .filter(F.col("rn") == 1)
+                .select("variant", "vec_id", "k", "dd")
+            )
+            with with_persisted(asg) as asg_p:
+                nn = dims_p.agg(F.count_distinct("vec_id").alias("n"))
+                cells = asg_p.groupBy("variant", "k").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+                )
+                vstats = (
+                    asg_p.groupBy("variant")
+                    .agg(
+                        F.sum("dd")
+                        .cast("bigint")
+                        .alias("total_distortion")
+                    )
+                    .join(
+                        cells.crossJoin(F.broadcast(nn))
+                        .groupBy("variant")
+                        .agg(
+                            F.round(
+                                F.max(
+                                    F.col("n_vecs")
+                                    * 1000000.0
+                                    / F.col("n")
+                                )
+                            )
+                            .cast("bigint")
+                            .alias("max_cell_share_ppm")
+                        ),
+                        "variant",
+                    )
+                )
+                qrank = (
+                    ad.filter(F.col("vec_id") < N_QUERIES)
+                    .withColumn(
+                        "cell_rank",
+                        F.row_number().over(
+                            Window.partitionBy(
+                                "variant", "vec_id"
+                            ).orderBy("dd", "k")
+                        ),
+                    )
+                    .select(
+                        "variant",
+                        F.col("vec_id").alias("query_id"),
+                        "k",
+                        "cell_rank",
+                    )
+                )
+                truth = REGISTRY["knn_bruteforce"](spark, sf_dir).select(
+                    "query_id", "neighbor_id"
+                )
+                tcell = truth.join(
+                    asg_p.select(
+                        "variant",
+                        F.col("vec_id").alias("neighbor_id"),
+                        "k",
+                    ),
+                    "neighbor_id",
+                ).join(
+                    qrank.select(
+                        "variant", "query_id", "k", "cell_rank"
+                    ),
+                    ["variant", "query_id", "k"],
+                )
+                pr = spark.createDataFrame(
+                    [(p,) for p in _CELL_PROBES], "nprobe long"
+                )
+                cov = (
+                    tcell.crossJoin(F.broadcast(pr))
+                    .groupBy("variant", "nprobe")
+                    .agg(
+                        F.sum(
+                            (
+                                F.col("cell_rank") <= F.col("nprobe")
+                            ).cast("long")
+                        ).alias("n_covered")
+                    )
+                )
+                cand = (
+                    qrank.crossJoin(F.broadcast(pr))
+                    .filter(F.col("cell_rank") <= F.col("nprobe"))
+                    .join(cells, ["variant", "k"])
+                    .groupBy("variant", "nprobe")
+                    .agg(
+                        F.sum("n_vecs")
+                        .cast("bigint")
+                        .alias("n_probed_vecs")
+                    )
+                )
+                out = (
+                    vstats.crossJoin(F.broadcast(pr))
+                    .join(cov, ["variant", "nprobe"])
+                    .join(cand, ["variant", "nprobe"])
+                    .select(
+                        "variant",
+                        F.col("nprobe").cast("bigint").alias("nprobe"),
+                        F.round(
+                            F.col("n_covered")
+                            * 1000000.0
+                            / (N_QUERIES * TOP_K)
+                        )
+                        .cast("bigint")
+                        .alias("coverage_ppm"),
+                        F.round(
+                            (F.col("n_probed_vecs") - N_QUERIES)
+                            * 1.0
+                            / N_QUERIES
+                        )
+                        .cast("bigint")
+                        .alias("mean_candidates"),
+                        "total_distortion",
+                        "max_cell_share_ppm",
+                    )
+                    .orderBy("variant", "nprobe")
+                )
+                return materialize(out)
+
+
+ROUND13_STAGED: dict[str, tuple] = {
+    "ivf_cell_lloyd_probe": (
+        ivf_cell_lloyd_probe,
+        _CELL_LLOYD_ORACLE.replace("{IVF_CTES}", _IVF_CTES)
+        .replace("{KNN_TRUTH}", _REG_ORACLES["knn_bruteforce"]),
+    ),
+}

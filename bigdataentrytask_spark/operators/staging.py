@@ -120,9 +120,34 @@ ROUND12_ACTIVATED: dict[str, tuple] = {
 
 # PENDING set — staged for the NEXT round boundary, NOT registered.
 # preverify --staged / layout_scan --staged / roundcheck's staged
-# steps read this; fed by per-module ROUND13_STAGED dicts as round-12
-# work stages new operators.
-STAGED: dict[str, tuple] = {}
+# steps read this; fed by the per-module ROUND13_STAGED dicts.
+from bigdataentrytask_spark.operators.curation import (  # noqa: E402
+    ROUND13_STAGED as _CURATION_R13,
+)
+from bigdataentrytask_spark.operators.dedup import (  # noqa: E402
+    ROUND13_STAGED as _DEDUP_R13,
+)
+from bigdataentrytask_spark.operators.similarity.codebook import (  # noqa: E402
+    ROUND13_STAGED as _SIMILARITY_R13,
+)
+from bigdataentrytask_spark.operators.streaming_bridge import (  # noqa: E402
+    ROUND13_STAGED as _STREAMING_R13,
+)
+from bigdataentrytask_spark.operators.text_analysis import (  # noqa: E402
+    ROUND13_STAGED as _TEXT_R13,
+)
+from bigdataentrytask_spark.operators.warehouse import (  # noqa: E402
+    ROUND13_STAGED as _WAREHOUSE_R13,
+)
+
+STAGED: dict[str, tuple] = {
+    **_CURATION_R13,
+    **_DEDUP_R13,
+    **_SIMILARITY_R13,
+    **_STREAMING_R13,
+    **_TEXT_R13,
+    **_WAREHOUSE_R13,
+}
 
 
 def register_all() -> None:

@@ -1948,3 +1948,521 @@ ROUND12_STAGED: dict[str, tuple] = {
         _WM_STATE_ORACLE,
     ),
 }
+
+
+# ==========================================================================
+# ROUND-13 STAGED (VERDICT r11 item 6; zero registry delta until the
+# round-13 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Stateful-dedup TTL state projection (ROADMAP round-13 "Streaming"):
+# the dedup sibling of the state-sizing family. An exactly-once
+# streaming dedup keeps one state row per key and answers "seen
+# already?"; the knob is the key-retention TTL, and the trade it
+# prices is state bytes vs duplicates leaked. This table sweeps TTL
+# candidates under SLIDING-TTL semantics (every hit refreshes
+# retention — the cache-style policy; a run of occurrences each
+# within TTL of the last is ONE admission): per TTL, keys, events,
+# admissions (state inserts), duplicates caught, re-admissions of a
+# previously-evicted key, peak simultaneously-retained keys from the
+# endpoint sweep over [first_hit, last_hit + TTL) retention
+# intervals, and the projected peak state bytes. Sliding-TTL islands
+# are the per-key gap sessionization (gap > TTL starts a new
+# admission) in event time, so both engines share the closed form;
+# the fixed-TTL (no-refresh) variant is a jump recurrence with no
+# single-pass form and is documented as the kernel-based follow-up.
+# Dedup key = (user_id, event_type): the at-least-once redelivery
+# unit this corpus actually repeats.
+# Pinned frontier, both directions monotone in TTL: admissions and
+# re-admissions fall (longer memory catches more repeats), peak
+# retained keys and caught-duplicate share rise.
+# Exact math: integer microseconds throughout; the only doubles are
+# the two final ppm roundings of exact integer ratios.
+# Scale: per-key lag/island windows are keyed (bounded state); the
+# endpoint sweep is the module's documented global-prefix audit form
+# (per-shard at 100 TB, as watermark_lag_histogram records);
+# everything else is a |TTL|-keyed domain rollup.
+# --------------------------------------------------------------------------
+_DEDUP_TTL_CANDS_S = [300, 1800, 7200]
+_DEDUP_KEY_BYTES = 48  # 8 B user + ~24 B type + 8 B ts + row overhead
+
+_DEDUP_TTL_ORACLE = f"""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS t
+      FROM events
+    ),
+    ttl(ttl_s) AS (VALUES
+      {", ".join(f"({s})" for s in _DEDUP_TTL_CANDS_S)}),
+    lagged AS (
+      SELECT ttl.ttl_s, e.user_id, e.event_type, e.t, e.event_id,
+             LAG(e.t) OVER (PARTITION BY ttl.ttl_s, e.user_id,
+                                         e.event_type
+                            ORDER BY e.t, e.event_id) AS prev_t
+      FROM ev e CROSS JOIN ttl
+    ),
+    isl AS (
+      SELECT ttl_s, user_id, event_type, t,
+             SUM(CASE WHEN prev_t IS NULL
+                       OR t - prev_t > CAST(ttl_s AS BIGINT) * 1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY ttl_s, user_id, event_type
+                     ORDER BY t, event_id) AS aid
+      FROM lagged
+    ),
+    adm AS (
+      SELECT ttl_s, user_id, event_type, aid,
+             MIN(t) AS t0, MAX(t) AS t1,
+             CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM isl GROUP BY 1, 2, 3, 4
+    ),
+    pts AS (
+      SELECT ttl_s, t0 AS t, 1 AS delta FROM adm
+      UNION ALL
+      SELECT ttl_s, t1 + CAST(ttl_s AS BIGINT) * 1000000, -1 FROM adm
+    ),
+    sweep AS (
+      SELECT ttl_s,
+             SUM(delta) OVER (PARTITION BY ttl_s
+                              ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS open_now
+      FROM pts
+    ),
+    keys AS (
+      SELECT ttl_s, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n_adm) AS BIGINT) AS n_admitted,
+             CAST(SUM(n_ev) AS BIGINT) AS n_events
+      FROM (
+        SELECT ttl_s, user_id, event_type,
+               CAST(COUNT(DISTINCT aid) AS BIGINT) AS n_adm,
+               CAST(COUNT(*) AS BIGINT) AS n_ev
+        FROM isl GROUP BY 1, 2, 3
+      ) GROUP BY ttl_s
+    )
+    SELECT CAST(k.ttl_s AS BIGINT) AS ttl_s,
+           k.n_keys, k.n_events, k.n_admitted,
+           k.n_events - k.n_admitted AS dups_caught,
+           k.n_admitted - k.n_keys AS readmissions,
+           CAST(ROUND((k.n_events - k.n_admitted) * 1000000.0
+                      / k.n_events) AS BIGINT) AS caught_ppm,
+           (SELECT CAST(MAX(open_now) AS BIGINT) FROM sweep s
+             WHERE s.ttl_s = k.ttl_s) AS peak_state_keys,
+           (SELECT CAST(MAX(open_now) * {_DEDUP_KEY_BYTES} AS BIGINT)
+              FROM sweep s WHERE s.ttl_s = k.ttl_s)
+             AS peak_state_bytes
+    FROM keys k
+    ORDER BY ttl_s
+    """
+
+
+def dedup_ttl_state_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding-TTL streaming-dedup state/leakage frontier per TTL
+    candidate (see block comment: per-key gap islands in event time,
+    endpoint sweep over retention intervals)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("t"),
+    )
+    ttl = spark.createDataFrame(
+        [(s,) for s in _DEDUP_TTL_CANDS_S], "ttl_s long"
+    )
+    wl = Window.partitionBy("ttl_s", "user_id", "event_type").orderBy(
+        "t", "event_id"
+    )
+    lagged = ev.crossJoin(F.broadcast(ttl)).withColumn(
+        "prev_t", F.lag("t").over(wl)
+    )
+    # island-sum tiebreak on event_id, NOT prev_t: prev_t is NULL on
+    # first rows and the engines disagree on NULL sort position
+    wi = Window.partitionBy("ttl_s", "user_id", "event_type").orderBy(
+        "t", "event_id"
+    )
+    isl = lagged.withColumn(
+        "aid",
+        F.sum(
+            F.when(
+                F.col("prev_t").isNull()
+                | (F.col("t") - F.col("prev_t") > F.col("ttl_s") * 1_000_000),
+                1,
+            ).otherwise(0)
+        ).over(wi),
+    )
+    adm = isl.groupBy("ttl_s", "user_id", "event_type", "aid").agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    )
+    pts = adm.select(
+        "ttl_s", F.col("t0").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        adm.select(
+            "ttl_s",
+            (F.col("t1") + F.col("ttl_s") * 1_000_000).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    ws = Window.partitionBy("ttl_s").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    peak = (
+        pts.select("ttl_s", F.sum("delta").over(ws).alias("open_now"))
+        .groupBy("ttl_s")
+        .agg(F.max("open_now").cast("bigint").alias("peak_state_keys"))
+    )
+    per_key = isl.groupBy("ttl_s", "user_id", "event_type").agg(
+        F.count_distinct("aid").alias("n_adm"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    keys = per_key.groupBy("ttl_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n_adm").cast("bigint").alias("n_admitted"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+    )
+    return (
+        keys.join(peak, "ttl_s")
+        .select(
+            F.col("ttl_s").cast("bigint").alias("ttl_s"),
+            "n_keys",
+            "n_events",
+            "n_admitted",
+            (F.col("n_events") - F.col("n_admitted")).alias("dups_caught"),
+            (F.col("n_admitted") - F.col("n_keys")).alias("readmissions"),
+            F.round(
+                (F.col("n_events") - F.col("n_admitted"))
+                * 1000000.0
+                / F.col("n_events")
+            )
+            .cast("bigint")
+            .alias("caught_ppm"),
+            "peak_state_keys",
+            (F.col("peak_state_keys") * _DEDUP_KEY_BYTES)
+            .cast("bigint")
+            .alias("peak_state_bytes"),
+        )
+        .orderBy("ttl_s")
+    )
+
+
+# --------------------------------------------------------------------------
+# Trigger x gap x delay three-way state joint (ROADMAP round-13
+# "Streaming"): session_state_batch_peaks sizes the SESSION store per
+# (gap, trigger); watermark_state_bytes_joint sizes the WINDOW-AGG
+# store per delay. A real job runs both operators in one topology
+# against one state backend, and the executor must be sized for the
+# JOINT peak — which is <= the sum of the marginal peaks exactly when
+# the two stores peak at different times. This table samples BOTH
+# stores on one shared trigger grid per (gap_s, trigger_s,
+# delay_label): session intervals are the per-user gap islands
+# [t0, t1 + gap) (the batch-peaks convention), window intervals are
+# the watermark op's [first_kept_front, win_end + delay) rows, and
+# every batch point carries sess_rows * 56 B + win_rows * 40 B. Reported: marginal sampled peaks for both stores, the joint
+# peak bytes, and the co-scheduling slack (sum-of-marginals minus
+# joint — the bytes a sum-sized executor over-provisions).
+# Cross-pins: peak_session_rows equals session_state_batch_peaks'
+# max_state_at_batch on the shared (gap, trigger) grid (same phase,
+# superset span, zeros beyond); peak_window_rows is bounded above by
+# watermark_state_bytes_joint's continuous max_open_windows.
+# Scale: three keyed windows (per-user lag, arrival running max),
+# two bounded interval explodes onto the trigger grid, one
+# (gap, trigger, delay, s)-keyed rollup. Grid rows are span/trigger
+# per combo — domain-sized, not data-sized.
+# --------------------------------------------------------------------------
+_SESS_STATE_BYTES = 56  # 8 B user key + 16 B session window + 32 B agg
+
+_THREEWAY_ORACLE = f"""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+    ),
+    gp(gap_s) AS (VALUES {", ".join(f"({g})" for g in _SESSION_GAPS_S)}),
+    tr(trigger_s) AS (VALUES
+      {", ".join(f"({t})" for t in _BATCH_PEAK_TRIGGERS_S)}),
+    cands(delay_label, delay_us) AS (VALUES
+      {", ".join(f"('{lbl}', {us})" for lbl, us in _LATENESS_CANDIDATES_US)}
+    ),
+    lagged AS (
+      SELECT gp.gap_s, e.user_id, e.t,
+             LAG(e.t) OVER (PARTITION BY gp.gap_s, e.user_id
+                            ORDER BY e.t, e.event_id) AS prev_t
+      FROM ev e CROSS JOIN gp
+    ),
+    isl AS (
+      SELECT gap_s, user_id, t,
+             SUM(CASE WHEN prev_t IS NULL
+                       OR t - prev_t > gap_s * 1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY gap_s, user_id ORDER BY t) AS sid
+      FROM lagged
+    ),
+    sess AS (
+      SELECT gap_s, user_id, sid, MIN(t) AS t0, MAX(t) AS t1
+      FROM isl GROUP BY 1, 2, 3
+    ),
+    fr AS (
+      SELECT epoch_us(date_trunc('minute', ts)) AS win_us,
+             epoch_us(ts) AS t_us,
+             epoch_us(MAX(ts) OVER (ORDER BY event_id
+                                    ROWS UNBOUNDED PRECEDING)) AS front_us
+      FROM events
+    ),
+    wins AS (
+      SELECT c.delay_label, c.delay_us, l.win_us,
+             MIN(l.front_us) AS open_t,
+             MIN(l.win_us) + 60000000 + c.delay_us AS close_t
+      FROM fr l CROSS JOIN cands c
+      WHERE l.front_us - l.t_us <= c.delay_us
+      GROUP BY 1, 2, 3
+    ),
+    shits AS (
+      SELECT s.gap_s, tr.trigger_s, u.s,
+             CAST(COUNT(*) AS BIGINT) AS sess_rows
+      FROM sess s CROSS JOIN tr, LATERAL unnest(range(
+        (s.t0 + tr.trigger_s * 1000000 - 1)
+          // (tr.trigger_s * 1000000),
+        (s.t1 + s.gap_s * 1000000 - 1)
+          // (tr.trigger_s * 1000000) + 1)) AS u(s)
+      GROUP BY 1, 2, 3
+    ),
+    whits AS (
+      SELECT w.delay_label, tr.trigger_s, u.s,
+             CAST(COUNT(*) AS BIGINT) AS win_rows
+      FROM wins w CROSS JOIN tr, LATERAL unnest(range(
+        (w.open_t + tr.trigger_s * 1000000 - 1)
+          // (tr.trigger_s * 1000000),
+        (w.close_t - 1) // (tr.trigger_s * 1000000) + 1)) AS u(s)
+      GROUP BY 1, 2, 3
+    ),
+    sb AS (
+      SELECT gap_s, MIN(t0) AS mn_s, MAX(t1 + gap_s * 1000000 - 1) AS mx_s
+      FROM sess GROUP BY 1
+    ),
+    wb AS (
+      SELECT delay_label, MIN(open_t) AS mn_w, MAX(close_t - 1) AS mx_w
+      FROM wins GROUP BY 1
+    ),
+    grid AS (
+      SELECT sb.gap_s, tr.trigger_s, wb.delay_label, u.s
+      FROM sb CROSS JOIN wb CROSS JOIN tr,
+      LATERAL unnest(range(
+        (LEAST(sb.mn_s, wb.mn_w) + tr.trigger_s * 1000000 - 1)
+          // (tr.trigger_s * 1000000),
+        GREATEST(sb.mx_s, wb.mx_w) // (tr.trigger_s * 1000000) + 1))
+        AS u(s)
+    ),
+    joint AS (
+      SELECT g.gap_s, g.trigger_s, g.delay_label,
+             COALESCE(sh.sess_rows, 0) AS sess_rows,
+             COALESCE(wh.win_rows, 0) AS win_rows
+      FROM grid g
+      LEFT JOIN shits sh ON sh.gap_s = g.gap_s
+                        AND sh.trigger_s = g.trigger_s AND sh.s = g.s
+      LEFT JOIN whits wh ON wh.delay_label = g.delay_label
+                        AND wh.trigger_s = g.trigger_s AND wh.s = g.s
+    )
+    SELECT CAST(gap_s AS BIGINT) AS gap_s,
+           CAST(trigger_s AS BIGINT) AS trigger_s,
+           delay_label,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(MAX(sess_rows) AS BIGINT) AS peak_session_rows,
+           CAST(MAX(win_rows) AS BIGINT) AS peak_window_rows,
+           CAST(MAX(sess_rows * {_SESS_STATE_BYTES}
+                    + win_rows * {_WIN_STATE_BYTES}) AS BIGINT)
+             AS peak_total_bytes,
+           CAST(MAX(sess_rows) * {_SESS_STATE_BYTES}
+                + MAX(win_rows) * {_WIN_STATE_BYTES}
+                - MAX(sess_rows * {_SESS_STATE_BYTES}
+                      + win_rows * {_WIN_STATE_BYTES}) AS BIGINT)
+             AS slack_bytes
+    FROM joint
+    GROUP BY 1, 2, 3
+    ORDER BY gap_s, trigger_s, delay_label
+    """
+
+
+def state_sizing_threeway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint session-store + window-store state sampled on one
+    trigger grid per (gap, trigger, delay): marginal sampled peaks,
+    the joint peak bytes, and the co-scheduling slack (see block
+    comment)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t")
+    )
+    gp = spark.createDataFrame(
+        [(g,) for g in _SESSION_GAPS_S], "gap_s long"
+    )
+    tr = spark.createDataFrame(
+        [(t,) for t in _BATCH_PEAK_TRIGGERS_S], "trigger_s long"
+    )
+    dl = spark.createDataFrame(
+        _LATENESS_CANDIDATES_US, "delay_label string, delay_us long"
+    )
+    wl = Window.partitionBy("gap_s", "user_id").orderBy("t", "event_id")
+    wi = Window.partitionBy("gap_s", "user_id").orderBy("t")
+    isl = (
+        ev.crossJoin(F.broadcast(gp))
+        .withColumn("prev_t", F.lag("t").over(wl))
+        .withColumn(
+            "sid",
+            F.sum(
+                F.when(
+                    F.col("prev_t").isNull()
+                    | (
+                        F.col("t") - F.col("prev_t")
+                        > F.col("gap_s") * 1_000_000
+                    ),
+                    1,
+                ).otherwise(0)
+            ).over(wi),
+        )
+    )
+    sess = isl.groupBy("gap_s", "user_id", "sid").agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    )
+    evm = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    wf = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fr = evm.select(
+        F.unix_micros(F.date_trunc("minute", "ts")).alias("win_us"),
+        F.unix_micros("ts").alias("t_us"),
+        F.unix_micros(F.max("ts").over(wf)).alias("front_us"),
+    )
+    wins = (
+        fr.crossJoin(F.broadcast(dl))
+        .filter(F.col("front_us") - F.col("t_us") <= F.col("delay_us"))
+        .groupBy("delay_label", "delay_us", "win_us")
+        .agg(F.min("front_us").alias("open_t"))
+        .select(
+            "delay_label",
+            "open_t",
+            (F.col("win_us") + 60_000_000 + F.col("delay_us")).alias(
+                "close_t"
+            ),
+        )
+    )
+    p_us = F.col("trigger_s") * 1_000_000
+    s_lo = F.floor((F.col("t0") + p_us - 1) / p_us)
+    s_hi = F.floor((F.col("t1") + F.col("gap_s") * 1_000_000 - 1) / p_us)
+    shits = (
+        sess.crossJoin(F.broadcast(tr))
+        .select(
+            "gap_s",
+            "trigger_s",
+            F.explode(
+                F.when(s_hi >= s_lo, F.sequence(s_lo, s_hi)).otherwise(
+                    F.expr("CAST(array() AS array<bigint>)")
+                )
+            ).alias("s"),
+        )
+        .groupBy("gap_s", "trigger_s", "s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sess_rows"))
+    )
+    w_lo = F.floor((F.col("open_t") + p_us - 1) / p_us)
+    w_hi = F.floor((F.col("close_t") - 1) / p_us)
+    whits = (
+        wins.crossJoin(F.broadcast(tr))
+        .select(
+            "delay_label",
+            "trigger_s",
+            F.explode(
+                F.when(w_hi >= w_lo, F.sequence(w_lo, w_hi)).otherwise(
+                    F.expr("CAST(array() AS array<bigint>)")
+                )
+            ).alias("s"),
+        )
+        .groupBy("delay_label", "trigger_s", "s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("win_rows"))
+    )
+    sb = sess.groupBy("gap_s").agg(
+        F.min("t0").alias("mn_s"),
+        F.max(F.col("t1") + F.col("gap_s") * 1_000_000 - 1).alias("mx_s"),
+    )
+    wb = wins.groupBy("delay_label").agg(
+        F.min("open_t").alias("mn_w"),
+        F.max(F.col("close_t") - 1).alias("mx_w"),
+    )
+    tr_grid = spark.createDataFrame(
+        [(t,) for t in _BATCH_PEAK_TRIGGERS_S], "trigger_s long"
+    )
+    pg_us = F.col("trigger_s") * 1_000_000
+    g_lo = F.floor(
+        (F.least("mn_s", "mn_w") + pg_us - 1) / pg_us
+    )
+    g_hi = F.floor(F.greatest("mx_s", "mx_w") / pg_us)
+    grid = (
+        sb.crossJoin(wb)
+        .crossJoin(F.broadcast(tr_grid))
+        .select(
+            "gap_s",
+            "trigger_s",
+            "delay_label",
+            F.explode(
+                F.when(g_hi >= g_lo, F.sequence(g_lo, g_hi)).otherwise(
+                    F.expr("CAST(array() AS array<bigint>)")
+                )
+            ).alias("s"),
+        )
+    )
+    joint = (
+        grid.join(shits, ["gap_s", "trigger_s", "s"], "left")
+        .join(whits, ["delay_label", "trigger_s", "s"], "left")
+        .select(
+            "gap_s",
+            "trigger_s",
+            "delay_label",
+            F.coalesce("sess_rows", F.lit(0)).alias("sess_rows"),
+            F.coalesce("win_rows", F.lit(0)).alias("win_rows"),
+        )
+    )
+    total = (
+        F.col("sess_rows") * _SESS_STATE_BYTES
+        + F.col("win_rows") * _WIN_STATE_BYTES
+    )
+    return (
+        joint.groupBy("gap_s", "trigger_s", "delay_label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.max("sess_rows").cast("bigint").alias("peak_session_rows"),
+            F.max("win_rows").cast("bigint").alias("peak_window_rows"),
+            F.max(total).cast("bigint").alias("peak_total_bytes"),
+            (
+                F.max("sess_rows") * _SESS_STATE_BYTES
+                + F.max("win_rows") * _WIN_STATE_BYTES
+                - F.max(total)
+            )
+            .cast("bigint")
+            .alias("slack_bytes"),
+        )
+        .select(
+            F.col("gap_s").cast("bigint").alias("gap_s"),
+            F.col("trigger_s").cast("bigint").alias("trigger_s"),
+            "delay_label",
+            "n_batches",
+            "peak_session_rows",
+            "peak_window_rows",
+            "peak_total_bytes",
+            "slack_bytes",
+        )
+        .orderBy("gap_s", "trigger_s", "delay_label")
+    )
+
+
+ROUND13_STAGED: dict[str, tuple] = {
+    "dedup_ttl_state_projection": (
+        dedup_ttl_state_projection,
+        _DEDUP_TTL_ORACLE,
+    ),
+    "state_sizing_threeway": (
+        state_sizing_threeway,
+        _THREEWAY_ORACLE,
+    ),
+}

@@ -4009,3 +4009,384 @@ ROUND12_STAGED: dict[str, tuple] = {
     "perplexity_pruning_gate": (perplexity_pruning_gate, _PPG_ORACLE),
     "pack_length_sweep": (pack_length_sweep, _PACK_SWEEP_ORACLE),
 }
+
+
+# ==========================================================================
+# ROUND-13 STAGED (VERDICT r11 item 6; zero registry delta until the
+# round-13 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Language x source perplexity gate (ROADMAP round-13 "Curation"):
+# the CCNet regime proper. perplexity_pruning_gate prunes the worst
+# 10% PER SOURCE; CCNet's actual unit is per-LANGUAGE (each language
+# gets its own LM and its own percentile cut), and a multilingual
+# multi-source corpus needs the crossed grid — a source whose German
+# slice is bottom-decile German should lose that slice even when its
+# English slice is pristine. Same verified scored frame (add-one-
+# smoothed bigram logprobs on the exact 1e6 grid), same exact
+# discrete threshold ((k+1)-th smallest, k = floor(n/10)) and
+# percentile_approx rank contract — re-keyed on (lang, source).
+# Group sizes here are ~25x smaller than the per-source gate's, so
+# the table also pins the small-n degradation honestly: groups with
+# n < 10 have k = 0, threshold = their minimum score, zero pruned.
+# Scale: identical posture to perplexity_pruning_gate — one
+# bigram-key shuffle for the LM counts, keyed windows on the
+# (lang, source) grid (bounded state), one mergeable sketch per
+# group.
+# --------------------------------------------------------------------------
+_PPGL_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+      FROM (
+        SELECT doc_id,
+               UNNEST({sql_tokens('text')}) AS tok,
+               UNNEST(range(len({sql_tokens('text')}))) AS pos
+        FROM documents
+      )
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             tok AS w2
+      FROM toks
+      QUALIFY w1 IS NOT NULL
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2
+           FROM bigrams GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1
+           FROM bigrams GROUP BY 1),
+    v  AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM toks),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(ROUND(SUM(CAST(ROUND(ln((c2.n2 + 1)
+                                / CAST(c1.n1 + v.vsz AS DOUBLE))
+                                * 1000000) AS BIGINT))
+                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+               AS score_e6
+      FROM bigrams b
+      JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+      JOIN c1 ON c1.w1 = b.w1
+      CROSS JOIN v
+      GROUP BY 1
+    ),
+    tagged AS (
+      SELECT d.lang, d.source, s.score_e6,
+             ROW_NUMBER() OVER (PARTITION BY d.lang, d.source
+                                ORDER BY s.score_e6, s.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY d.lang, d.source) AS n_grp
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    cut AS (
+      SELECT lang, source, CAST(MAX(n_grp) AS BIGINT) AS n_scored,
+             MIN(CASE WHEN rn > n_grp * {_PPG_FRAC_PPM} // 1000000
+                      THEN score_e6 END) AS exact_thresh_e6
+      FROM tagged GROUP BY lang, source
+    )
+    SELECT c.lang, c.source, c.n_scored,
+           CAST(c.exact_thresh_e6 AS BIGINT) AS exact_thresh_e6,
+           (SELECT CAST(count_if(t.score_e6 < c.exact_thresh_e6)
+                        AS BIGINT)
+              FROM tagged t
+             WHERE t.lang = c.lang AND t.source = c.source) AS n_pruned,
+           (SELECT CAST(ROUND(count_if(t.score_e6 < c.exact_thresh_e6)
+                              * 1000000.0 / c.n_scored) AS BIGINT)
+              FROM tagged t
+             WHERE t.lang = c.lang AND t.source = c.source)
+             AS prune_ppm,
+           TRUE AS sketch_rank_ok
+    FROM cut c
+    ORDER BY c.lang, c.source
+    """
+
+
+def perplexity_gate_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-(lang, source) 10%-percentile LM-score pruning gate (see
+    block comment): perplexity_pruning_gate's exact-threshold +
+    sketch-contract shape on the CCNet per-language grid."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.lag("tok").over(w).alias("w1"),
+            F.col("tok").alias("w2"),
+        )
+        .filter(F.col("w1").isNotNull())
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = toks.agg(F.count_distinct("tok").alias("vsz"))
+    lp_g = F.round(
+        F.log(
+            (F.col("n2") + 1) / (F.col("n1") + F.col("vsz")).cast("double")
+        )
+        * 1000000
+    ).cast("bigint")
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(lp_g) / F.count(F.lit(1)).cast("double"))
+            .cast("bigint")
+            .alias("score_e6")
+        )
+    )
+    tagged = scored.join(
+        d.select("doc_id", "lang", "source"), "doc_id"
+    ).select("lang", "source", "doc_id", "score_e6")
+    ws = Window.partitionBy("lang", "source").orderBy(
+        "score_e6", "doc_id"
+    )
+    ranked = tagged.select(
+        "lang",
+        "source",
+        "score_e6",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang", "source"))
+        .alias("n_grp"),
+    )
+    cut = ranked.groupBy("lang", "source").agg(
+        F.max("n_grp").cast("bigint").alias("n_scored"),
+        F.min(
+            F.when(
+                F.col("rn")
+                > F.floor(F.col("n_grp") * _PPG_FRAC_PPM / 1000000),
+                F.col("score_e6"),
+            )
+        ).alias("exact_thresh_e6"),
+        F.percentile_approx(
+            "score_e6", _PPG_FRAC_PPM / 1e6, _PPG_ACC
+        ).alias("sketch_t"),
+    )
+    gates = (
+        ranked.join(F.broadcast(cut), ["lang", "source"])
+        .groupBy("lang", "source")
+        .agg(
+            F.sum(
+                (F.col("score_e6") < F.col("exact_thresh_e6")).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_pruned"),
+            F.sum((F.col("score_e6") < F.col("sketch_t")).cast("long"))
+            .alias("n_lt_sketch"),
+            F.sum((F.col("score_e6") <= F.col("sketch_t")).cast("long"))
+            .alias("n_le_sketch"),
+        )
+    )
+    err = F.ceil(F.col("n_scored") / _PPG_ACC)
+    target = F.col("n_scored") * _PPG_FRAC_PPM / 1000000.0
+    return (
+        cut.join(gates, ["lang", "source"])
+        .select(
+            "lang",
+            "source",
+            "n_scored",
+            F.col("exact_thresh_e6").cast("bigint").alias(
+                "exact_thresh_e6"
+            ),
+            "n_pruned",
+            F.round(F.col("n_pruned") * 1000000.0 / F.col("n_scored"))
+            .cast("bigint")
+            .alias("prune_ppm"),
+            (
+                (F.col("n_lt_sketch") <= target + err)
+                & (F.col("n_le_sketch") >= target - err)
+            ).alias("sketch_rank_ok"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Padding-mode pack sweep (ROADMAP round-13 "Curation"): the
+# no-straddle variant of pack_length_sweep. Continuous flow maximizes
+# fill but splits documents across training sequences; padding mode
+# keeps every document inside one sequence (a doc that does not fit
+# in the current sequence's remainder pads it out and starts the
+# next), trading fill for coherence — only OVERSIZE docs (token
+# count > L) still have to span sequences. The greedy per-source
+# cursor is a genuine sequential recurrence (each doc's start
+# depends on the padded position of everything before it), so this
+# is one of the repo's few sanctioned Arrow-kernel operators: an
+# applyInPandas walk per source (parallel across sources — exactly a
+# packer's shard-local loop), mirrored by a recursive CTE on the
+# oracle side. Reported per candidate L: sequences, exact pad-token
+# waste, fill, and the oversize count, cross-pinnable against
+# pack_length_sweep (same total_tok; pad-mode fill <= flow fill;
+# oversize docs <= flow's straddling docs).
+# Exact math: integer token counts and cursors end-to-end; the two
+# ppm columns are the only divisions.
+# Scale: the kernel is O(docs-per-source x |L|) with integer state —
+# at 100 TB the per-source groups are the packer's shard units and
+# the rollup is |L|-keyed.
+# --------------------------------------------------------------------------
+_PAD_SWEEP_ORACLE = f"""
+    WITH RECURSIVE t AS (
+      SELECT source, doc_id,
+             len(regexp_extract_all(lower(text), '{_BPEISH_RE}')) AS tok
+      FROM documents
+    ),
+    lens(context_len) AS (VALUES
+      {", ".join(f"({x})" for x in _PACK_SWEEP_LENS)}),
+    dl AS (
+      SELECT t.source, l.context_len, t.tok,
+             ROW_NUMBER() OVER (PARTITION BY t.source, l.context_len
+                                ORDER BY t.doc_id) AS rn
+      FROM t CROSS JOIN lens l
+      WHERE t.tok > 0
+    ),
+    walk AS (
+      SELECT source, context_len, rn, tok AS pos,
+             CASE WHEN tok > context_len THEN 1 ELSE 0 END AS n_over
+      FROM dl WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.context_len, d.rn,
+             CASE WHEN (w.pos % d.context_len) = 0
+                       OR d.tok <= d.context_len
+                                   - (w.pos % d.context_len)
+                  THEN w.pos + d.tok
+                  ELSE w.pos + (d.context_len
+                                - (w.pos % d.context_len)) + d.tok
+             END,
+             w.n_over + CASE WHEN d.tok > d.context_len
+                             THEN 1 ELSE 0 END
+      FROM walk w
+      JOIN dl d ON d.source = w.source
+               AND d.context_len = w.context_len AND d.rn = w.rn + 1
+    ),
+    fin AS (
+      SELECT source, context_len, pos, n_over
+      FROM (
+        SELECT source, context_len, pos, n_over,
+               ROW_NUMBER() OVER (PARTITION BY source, context_len
+                                  ORDER BY rn DESC) AS r
+        FROM walk
+      ) WHERE r = 1
+    ),
+    per_src AS (
+      SELECT f.source, f.context_len,
+             CAST(CEIL(f.pos * 1.0 / f.context_len) AS BIGINT)
+               AS n_seqs,
+             f.n_over,
+             (SELECT CAST(SUM(t.tok) AS BIGINT) FROM t
+               WHERE t.source = f.source) AS src_tok
+      FROM fin f
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM t)
+    SELECT CAST(p.context_len AS BIGINT) AS context_len,
+           CAST(SUM(p.n_seqs) AS BIGINT) AS n_seqs,
+           CAST(SUM(p.src_tok) AS BIGINT) AS total_tok,
+           CAST(SUM(p.n_seqs * p.context_len - p.src_tok) AS BIGINT)
+             AS pad_tokens,
+           CAST(ROUND(SUM(p.src_tok) * 1000000.0
+                      / (SUM(p.n_seqs) * p.context_len)) AS BIGINT)
+             AS fill_ppm,
+           CAST(SUM(p.n_over) AS BIGINT) AS n_oversize,
+           CAST(ROUND(SUM(p.n_over) * 1000000.0 / MAX(nd.n_docs))
+                AS BIGINT) AS oversize_ppm
+    FROM per_src p CROSS JOIN nd
+    GROUP BY p.context_len
+    ORDER BY context_len
+    """
+
+
+def _pad_pack_kernel(lens: list[int]):
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        src = pdf["source"].iloc[0]
+        toks = [int(x) for x in pdf["tok"] if x > 0]
+        src_tok = sum(toks)
+        rows = []
+        for L in lens:
+            pos, n_over = 0, 0
+            for tok in toks:
+                rem = L - (pos % L)
+                if (pos % L) != 0 and tok > rem:
+                    pos += rem
+                pos += tok
+                if tok > L:
+                    n_over += 1
+            n_seqs = -(-pos // L) if pos else 0
+            rows.append((src, L, n_seqs, src_tok, n_over))
+        return pd.DataFrame(
+            rows,
+            columns=["source", "context_len", "n_seqs", "src_tok",
+                     "n_over"],
+        )
+
+    return kernel
+
+
+def pack_padding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-straddle (padding-mode) packing per candidate context
+    length: sequences, exact pad waste, fill, oversize docs (see
+    block comment; sequential per-source cursor via an Arrow
+    kernel)."""
+    d = _docs(spark, sf_dir)
+    tok = F.regexp_count(F.lower("text"), F.lit(_BPEISH_RE))
+    t = d.select("source", "doc_id", tok.alias("tok"))
+    per_src = (
+        t.groupBy("source")
+        .applyInPandas(
+            _pad_pack_kernel(_PACK_SWEEP_LENS),
+            schema=(
+                "source string, context_len long, n_seqs long, "
+                "src_tok long, n_over long"
+            ),
+        )
+    )
+    nd = t.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        per_src.crossJoin(F.broadcast(nd))
+        .groupBy("context_len")
+        .agg(
+            F.sum("n_seqs").cast("bigint").alias("n_seqs"),
+            F.sum("src_tok").cast("bigint").alias("total_tok"),
+            F.sum(
+                F.col("n_seqs") * F.col("context_len") - F.col("src_tok")
+            )
+            .cast("bigint")
+            .alias("pad_tokens"),
+            F.round(
+                F.sum("src_tok")
+                * 1000000.0
+                / (F.sum("n_seqs") * F.first("context_len"))
+            )
+            .cast("bigint")
+            .alias("fill_ppm"),
+            F.sum("n_over").cast("bigint").alias("n_oversize"),
+            F.round(
+                F.sum("n_over") * 1000000.0 / F.max("n_docs")
+            )
+            .cast("bigint")
+            .alias("oversize_ppm"),
+        )
+        .select(
+            F.col("context_len").cast("bigint").alias("context_len"),
+            "n_seqs",
+            "total_tok",
+            "pad_tokens",
+            "fill_ppm",
+            "n_oversize",
+            "oversize_ppm",
+        )
+        .orderBy("context_len")
+    )
+
+
+ROUND13_STAGED: dict[str, tuple] = {
+    "perplexity_gate_by_lang": (perplexity_gate_by_lang, _PPGL_ORACLE),
+    "pack_padding_sweep": (pack_padding_sweep, _PAD_SWEEP_ORACLE),
+}

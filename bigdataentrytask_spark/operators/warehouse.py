@@ -5074,3 +5074,198 @@ ROUND12_STAGED: dict[str, tuple] = {
         _CFS_ORACLE,
     ),
 }
+
+
+# ==========================================================================
+# ROUND-13 STAGED (VERDICT r11 item 6; zero registry delta until the
+# round-13 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Workload-weighted sort advisor (ROADMAP round-13 "Warehouse"):
+# sort_key_benefit_ranking scores candidate sort keys by the UNIFORM
+# mean of per-predicate zone-map prune fractions — the right call
+# when nothing is known about the workload. Real query logs are never
+# uniform; the advisor that matters weights each predicate by its
+# observed frequency. This table re-scores the same four layouts
+# under a fixed date-dominated workload mix (_WSA_WEIGHT_PCT: 55%
+# date-range, 25% customer-range, 15% price-range, 5% priority
+# equality — integer percents summing to 100 so the weighted sum is
+# EXACT integer arithmetic before its single rounding) and reports
+# both rankings side by side with a moved flag per layout.
+# Pinned regime on this corpus: the weighted and uniform rankings
+# DISAGREE below the top row — weighting is not a no-op (the prio
+# layout's strong own-predicate score stops carrying it once the
+# workload says priority queries are 5% of traffic).
+# Scale posture identical to sort_key_benefit_ranking: |cands|
+# window passes (each a total sort at audit scale, a per-file
+# zone-map read at 100 TB), one domain-sized rollup; weights are
+# compile-time constants folded into the aggregate.
+# --------------------------------------------------------------------------
+_WSA_WEIGHT_PCT = {
+    "pr_date": 55,
+    "pr_cust": 25,
+    "pr_price": 15,
+    "pr_prio": 5,
+}
+assert sum(_WSA_WEIGHT_PCT.values()) == 100
+
+_WSA_ORACLE = f"""
+    WITH stacked AS (
+      {" UNION ALL ".join(
+        f'''SELECT '{c}' AS sort_col,
+               ROW_NUMBER() OVER (ORDER BY {c}, o_orderkey) AS rn,
+               o_orderdate, o_custkey, o_totalprice, o_orderpriority
+        FROM orders''' for c in _SKB_CANDS)}
+    ),
+    rg AS (
+      SELECT sort_col, (rn - 1) // {_SKB_RG_ROWS} AS rg_id,
+             {", ".join(
+               f"MIN({c}) AS mn_{c}, MAX({c}) AS mx_{c}"
+               for c in ["o_orderdate", "o_custkey", "o_totalprice",
+                         "o_orderpriority"])}
+      FROM stacked GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT sort_col,
+             CAST(COUNT(*) AS BIGINT) AS n_row_groups,
+             {", ".join(
+               f'''CAST(ROUND((1.0 - count_if(
+                     {_skb_overlap_sql(*_SKB_PRED_SQL[p])})
+                     / CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS {p}_prune_ppm''' for p in _SKB_PRED_SQL)}
+      FROM rg GROUP BY 1
+    ),
+    scored AS (
+      SELECT *,
+             CAST(ROUND(({" + ".join(f"{p}_prune_ppm"
+                                     for p in _SKB_PRED_SQL)})
+                        / {len(_SKB_PRED_SQL)}.0) AS BIGINT)
+               AS mean_prune_ppm,
+             CAST(ROUND(({" + ".join(
+                 f"{_WSA_WEIGHT_PCT[p]} * {p}_prune_ppm"
+                 for p in _SKB_PRED_SQL)}) / 100.0) AS BIGINT)
+               AS weighted_prune_ppm
+      FROM per
+    ),
+    ranked AS (
+      SELECT sort_col, n_row_groups, mean_prune_ppm, weighted_prune_ppm,
+             CAST(ROW_NUMBER() OVER (ORDER BY mean_prune_ppm DESC,
+                                     sort_col) AS BIGINT) AS rank_uniform,
+             CAST(ROW_NUMBER() OVER (ORDER BY weighted_prune_ppm DESC,
+                                     sort_col) AS BIGINT) AS rank_weighted
+      FROM scored
+    )
+    SELECT sort_col, n_row_groups, mean_prune_ppm, weighted_prune_ppm,
+           rank_uniform, rank_weighted,
+           (rank_weighted <> rank_uniform) AS rank_moved
+    FROM ranked
+    ORDER BY rank_weighted
+    """
+
+
+def workload_weighted_sort_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Candidate sort keys re-ranked under the fixed date-dominated
+    predicate-frequency mix, uniform ranking alongside (see block
+    comment; exact integer weighted sum, one rounding)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_custkey", "o_totalprice",
+        "o_orderpriority",
+    )
+    pcols = ["o_orderdate", "o_custkey", "o_totalprice", "o_orderpriority"]
+    stacked = None
+    for c in _SKB_CANDS:
+        lay = o.select(
+            F.lit(c).alias("sort_col"),
+            F.row_number()
+            .over(Window.orderBy(F.col(c), F.col("o_orderkey")))
+            .alias("rn"),
+            *pcols,
+        )
+        stacked = lay if stacked is None else stacked.unionByName(lay)
+    rg = stacked.groupBy(
+        "sort_col",
+        F.floor((F.col("rn") - 1) / _SKB_RG_ROWS).alias("rg_id"),
+    ).agg(
+        *[
+            a
+            for c in pcols
+            for a in (
+                F.min(c).alias(f"mn_{c}"),
+                F.max(c).alias(f"mx_{c}"),
+            )
+        ]
+    )
+    per = rg.groupBy("sort_col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_row_groups"),
+        *[
+            F.round(
+                (
+                    1.0
+                    - F.sum(
+                        F.expr(_skb_overlap_sql(*_SKB_PRED_SQL[p])).cast(
+                            "long"
+                        )
+                    )
+                    / F.count(F.lit(1)).cast("double")
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias(f"{p}_prune_ppm")
+            for p in _SKB_PRED_SQL
+        ],
+    )
+    scored = per.withColumn(
+        "mean_prune_ppm",
+        F.round(
+            sum(F.col(f"{p}_prune_ppm") for p in _SKB_PRED_SQL)
+            / float(len(_SKB_PRED_SQL))
+        ).cast("bigint"),
+    ).withColumn(
+        "weighted_prune_ppm",
+        F.round(
+            sum(
+                _WSA_WEIGHT_PCT[p] * F.col(f"{p}_prune_ppm")
+                for p in _SKB_PRED_SQL
+            )
+            / 100.0
+        ).cast("bigint"),
+    )
+    ranked = scored.select(
+        "sort_col",
+        "n_row_groups",
+        "mean_prune_ppm",
+        "weighted_prune_ppm",
+        F.row_number()
+        .over(Window.orderBy(F.col("mean_prune_ppm").desc(), "sort_col"))
+        .cast("bigint")
+        .alias("rank_uniform"),
+        F.row_number()
+        .over(
+            Window.orderBy(F.col("weighted_prune_ppm").desc(), "sort_col")
+        )
+        .cast("bigint")
+        .alias("rank_weighted"),
+    )
+    return ranked.select(
+        "sort_col",
+        "n_row_groups",
+        "mean_prune_ppm",
+        "weighted_prune_ppm",
+        "rank_uniform",
+        "rank_weighted",
+        (F.col("rank_weighted") != F.col("rank_uniform")).alias(
+            "rank_moved"
+        ),
+    ).orderBy("rank_weighted")
+
+
+ROUND13_STAGED: dict[str, tuple] = {
+    "workload_weighted_sort_advisor": (
+        workload_weighted_sort_advisor,
+        _WSA_ORACLE,
+    ),
+}

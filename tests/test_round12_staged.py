@@ -1,0 +1,291 @@
+"""Round-13 staged operators (VERDICT r11 item 6): implemented and
+differential-tested DURING round 12; zero registry delta until the
+round-13 boundary activates them via staging.register_all(), per
+CONTRIBUTING.md §"Staging operators during a registry freeze".
+
+Differentials go through DuckDB's PANDAS path with the dtype check
+(the preverify gate) so the HUGEINT class is covered before any op
+reaches the driver.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdataentrytask_spark.operators import REGISTRY, load_all
+from bigdataentrytask_spark.operators.staging import STAGED
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+load_all()
+
+STAGED_NAMES = sorted(STAGED)
+
+
+def test_round13_staged_not_registered():
+    """The freeze: 8 staged round-13 ops, none registered, registry
+    still exactly 470. Flip this to an activation assertion (registry
+    == 478, identity per name) at the round-13 boundary."""
+    assert len(STAGED) == 8
+    assert len(REGISTRY) == 470
+    for name in STAGED:
+        assert name not in REGISTRY
+
+
+def test_round13_staged_all_have_oracles():
+    for name, (fn, osql) in STAGED.items():
+        assert callable(fn) and isinstance(osql, str) and "SELECT" in osql
+        assert "{" not in osql, f"{name}: unexpanded template in oracle"
+
+
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_staged_matches_oracle(spark, duck, name):
+    fn, osql = STAGED[name]
+    assert_matches_oracle(fn(spark, SF_DIR), duck, osql, name)
+
+
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_staged_pandas_dtype_parity(spark, duck, name):
+    """The preverify gate: DuckDB's pandas fetch must not coerce an
+    integral column to float64 (HUGEINT fingerprint) while the Spark
+    side stays integral."""
+    fn, osql = STAGED[name]
+    spdf = fn(spark, SF_DIR).toPandas()
+    odf = duck.execute(osql).fetch_df()
+    assert sorted(spdf.columns) == sorted(odf.columns)
+    for c in odf.columns:
+        if spdf[c].dtype.kind in "iu":
+            assert odf[c].dtype.kind in "iu", (
+                f"{name}.{c}: oracle {odf[c].dtype} vs spark {spdf[c].dtype}"
+            )
+
+
+# ------------------------------------------------------------- curation
+
+
+def test_shard_stratified_twin_dominates_hashing(spark):
+    """The fix the shard_mix_uniformity audit motivates: round-robin
+    within each source beats salted hashing on per-shard composition
+    at EVERY candidate shard count — and on this equal-sized-sources
+    fixture the stratified TV is exactly zero (floor/ceil placement
+    is exactly proportional when 20 sources have 25 docs each)."""
+    fn, _ = STAGED["shard_stratified_twin"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index(["shard_count", "policy"])
+    for s in (4, 16):
+        strat = pdf.loc[(s, "b_stratified")]
+        hashed = pdf.loc[(s, "a_hashed")]
+        assert strat.mean_tv_ppm < hashed.mean_tv_ppm
+        assert strat.max_tv_ppm <= hashed.max_tv_ppm
+        assert strat.n_docs == hashed.n_docs == 500
+        assert strat.n_shards == s
+    assert pdf.loc[(4, "b_stratified"), "mean_tv_ppm"] == 0
+    assert pdf.loc[(16, "b_stratified"), "mean_tv_ppm"] == 0
+    # shard_mix_uniformity's pinned pathology reproduces on the
+    # hashed side: finer sharding has worse mean composition
+    assert (
+        pdf.loc[(16, "a_hashed"), "mean_tv_ppm"]
+        > pdf.loc[(4, "a_hashed"), "mean_tv_ppm"]
+    )
+
+
+def test_perplexity_gate_by_lang_refines_source_gate(spark):
+    fn, _ = STAGED["perplexity_gate_by_lang"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    # the (lang, source) grid genuinely refines the 20-source gate
+    assert len(pdf) > 20
+    assert pdf.sketch_rank_ok.all()
+    # strict-below-threshold pruning can never exceed the 10% target
+    assert (pdf.n_pruned <= pdf.n_scored // 10).all()
+    assert (pdf.prune_ppm <= 100_000).all()
+    # the pinned small-n degradation: groups under 10 docs have k=0,
+    # threshold = their own minimum, zero pruned
+    small = pdf[pdf.n_scored < 10]
+    assert len(small) > 0 and (small.n_pruned == 0).all()
+    # and big groups do prune
+    assert (pdf[pdf.n_scored >= 10].n_pruned > 0).any()
+    # scored mass partitions the per-source gate's: same total docs
+    from bigdataentrytask_spark.operators import REGISTRY as REG
+
+    src = REG["perplexity_pruning_gate"](spark, SF_DIR).toPandas()
+    assert pdf.n_scored.sum() == src.n_scored.sum()
+
+
+def test_pack_padding_sweep_vs_flow(spark):
+    """Pad-mode can only lose fill vs continuous flow, and only
+    oversize docs still span sequences (none at sf0.01); pinned
+    non-monotone fill shape: the mid L is the pad-mode sweet spot."""
+    from bigdataentrytask_spark.operators import REGISTRY as REG
+
+    fn, _ = STAGED["pack_padding_sweep"]
+    pad = fn(spark, SF_DIR).toPandas().set_index("context_len")
+    flow = (
+        REG["pack_length_sweep"](spark, SF_DIR)
+        .toPandas()
+        .set_index("context_len")
+    )
+    assert (pad.total_tok == flow.total_tok).all()
+    for L in pad.index:
+        assert pad.loc[L, "fill_ppm"] <= flow.loc[L, "fill_ppm"]
+        assert pad.loc[L, "n_oversize"] <= flow.loc[L, "n_docs_straddling"]
+    # exact pad accounting
+    assert (
+        pad.pad_tokens == pad.n_seqs * pad.index - pad.total_tok
+    ).all()
+    assert (pad.n_oversize == 0).all()
+    # the sweet spot: L=512 fills better than both neighbors under
+    # padding, while flow fill is strictly decreasing in L
+    assert pad.loc[512, "fill_ppm"] > pad.loc[128, "fill_ppm"]
+    assert pad.loc[512, "fill_ppm"] > pad.loc[2048, "fill_ppm"]
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def test_dedup_quality_survivorship_invariants(spark):
+    fn, _ = STAGED["dedup_quality_survivorship"]
+    r = fn(spark, SF_DIR).toPandas().iloc[0]
+    # clusters are multi-doc by construction
+    assert r.n_docs_clustered >= 2 * r.n_clusters
+    assert 0 <= r.n_flips <= r.n_clusters
+    # quality-keeper mass dominates by construction (max >= first)
+    assert r.gain_e6 == r.kept_score_q_e6 - r.kept_score_id_e6
+    assert r.gain_e6 >= 0
+    # the policy axis is real on this corpus: most keepers flip
+    assert r.n_flips > 0 and r.gain_e6 > 0
+    assert r.flip_ppm == round(r.n_flips * 1e6 / r.n_clusters)
+
+
+def test_dedup_ttl_state_projection_frontier(spark):
+    """Both directions of the TTL trade are monotone, and the
+    accounting identities are exact."""
+    fn, _ = STAGED["dedup_ttl_state_projection"]
+    pdf = fn(spark, SF_DIR).toPandas().sort_values("ttl_s")
+    assert pdf.n_keys.nunique() == 1  # key domain is TTL-independent
+    assert pdf.n_events.nunique() == 1
+    assert pdf.n_admitted.is_monotonic_decreasing
+    assert pdf.dups_caught.is_monotonic_increasing
+    assert pdf.readmissions.is_monotonic_decreasing
+    assert pdf.peak_state_keys.is_monotonic_increasing
+    assert (pdf.dups_caught == pdf.n_events - pdf.n_admitted).all()
+    assert (pdf.readmissions == pdf.n_admitted - pdf.n_keys).all()
+    assert (pdf.peak_state_bytes == pdf.peak_state_keys * 48).all()
+    # state peak can never exceed the key domain
+    assert (pdf.peak_state_keys <= pdf.n_keys).all()
+
+
+# ------------------------------------------------------------ streaming
+
+
+def test_state_sizing_threeway_cross_pins(spark):
+    """The joint table must agree with both parents: session peaks
+    reproduce session_state_batch_peaks row-for-row on the shared
+    (gap, trigger) grid; sampled window peaks are bounded by the
+    continuous endpoint-sweep peaks per delay; and the joint peak
+    never exceeds the sum of the marginals."""
+    from bigdataentrytask_spark.operators.staging import (
+        ROUND12_ACTIVATED,
+    )
+
+    fn, _ = STAGED["state_sizing_threeway"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    sess = (
+        ROUND12_ACTIVATED["session_state_batch_peaks"][0](spark, SF_DIR)
+        .toPandas()
+        .set_index(["gap_s", "trigger_s"])["max_state_at_batch"]
+    )
+    wm = (
+        ROUND12_ACTIVATED["watermark_state_bytes_joint"][0](spark, SF_DIR)
+        .toPandas()
+        .set_index("delay_label")["max_open_windows"]
+    )
+    for _, r in pdf.iterrows():
+        assert r.peak_session_rows == sess[(r.gap_s, r.trigger_s)]
+        assert r.peak_window_rows <= wm[r.delay_label]
+        assert (
+            r.peak_total_bytes
+            <= r.peak_session_rows * 56 + r.peak_window_rows * 40
+        )
+        assert r.slack_bytes == (
+            r.peak_session_rows * 56
+            + r.peak_window_rows * 40
+            - r.peak_total_bytes
+        )
+        assert r.slack_bytes >= 0
+    # window peaks grow with delay on every (gap, trigger)
+    for (g, t), grp in pdf.groupby(["gap_s", "trigger_s"]):
+        s = grp.sort_values("delay_label")
+        assert s.peak_window_rows.is_monotonic_increasing
+    # the co-scheduling story is non-trivial on this corpus
+    assert (pdf.slack_bytes > 0).any()
+
+
+# ------------------------------------------------------------ warehouse
+
+
+def test_workload_weighted_sort_advisor_flips_top(spark):
+    """The uniform advisor picks the WRONG key for a date-dominated
+    workload on this corpus: o_custkey wins the uniform mean but
+    o_orderdate wins the weighted one — pinned, with exact weighted
+    arithmetic re-derivable from sort_key_benefit_ranking's row."""
+    from bigdataentrytask_spark.operators.staging import (
+        ROUND12_ACTIVATED,
+    )
+
+    fn, _ = STAGED["workload_weighted_sort_advisor"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("sort_col")
+    assert pdf.loc["o_orderdate", "rank_weighted"] == 1
+    assert pdf.loc["o_custkey", "rank_uniform"] == 1
+    assert pdf.loc["o_orderdate", "rank_moved"]
+    assert sorted(pdf.rank_weighted) == [1, 2, 3, 4]
+    assert sorted(pdf.rank_uniform) == [1, 2, 3, 4]
+    # exact cross-pin of the weighted sum against the parent table
+    skb = (
+        ROUND12_ACTIVATED["sort_key_benefit_ranking"][0](spark, SF_DIR)
+        .toPandas()
+        .set_index("sort_col")
+    )
+    w = {"pr_date": 55, "pr_cust": 25, "pr_price": 15, "pr_prio": 5}
+    for col in pdf.index:
+        expect = round(
+            sum(w[p] * skb.loc[col, f"{p}_prune_ppm"] for p in w) / 100
+        )
+        assert pdf.loc[col, "weighted_prune_ppm"] == expect
+        assert pdf.loc[col, "mean_prune_ppm"] == skb.loc[col, "mean_prune_ppm"]
+
+
+# ------------------------------------------------------------ retrieval
+
+
+def test_ivf_cell_lloyd_probe_regime(spark):
+    """The coarse side of the Lloyd chain: one cell-Lloyd step cuts
+    coarse distortion by >40% and raises the multi-probe coverage
+    ceiling (nprobe >= 2) at near-identical candidate volume — while
+    the nprobe=1 coverage DIPS slightly (0.78 -> 0.76), the honest
+    single-probe nuance. Coverage is monotone in nprobe within each
+    variant by construction."""
+    fn, _ = STAGED["ivf_cell_lloyd_probe"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index(["variant", "nprobe"])
+    toy_d = pdf.loc[("a_toy", 1), "total_distortion"]
+    ref_d = pdf.loc[("b_lloyd1", 1), "total_distortion"]
+    assert ref_d < toy_d * 0.6
+    for v in ("a_toy", "b_lloyd1"):
+        cov = pdf.loc[v].sort_index().coverage_ppm
+        assert cov.is_monotonic_increasing
+        assert (pdf.loc[v].max_cell_share_ppm < 300_000).all()
+    for p in (2, 4):
+        assert (
+            pdf.loc[("b_lloyd1", p), "coverage_ppm"]
+            > pdf.loc[("a_toy", p), "coverage_ppm"]
+        )
+        # candidate volumes stay within a few vectors of each other
+        assert (
+            abs(
+                int(pdf.loc[("b_lloyd1", p), "mean_candidates"])
+                - int(pdf.loc[("a_toy", p), "mean_candidates"])
+            )
+            <= 10
+        )
+    assert (
+        pdf.loc[("b_lloyd1", 1), "coverage_ppm"]
+        < pdf.loc[("a_toy", 1), "coverage_ppm"]
+    )
