@@ -2456,10 +2456,192 @@ def state_sizing_threeway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Fixed-TTL dedup twin (the follow-up dedup_ttl_state_projection's
+# block comment documents): Spark's dropDuplicates-with-watermark
+# keeps a key's state row anchored at its FIRST kept arrival and
+# evicts at first_seen + TTL regardless of later hits — a jump
+# recurrence (each admission is the first occurrence beyond the
+# previous admission's horizon) with no single-pass closed form, so
+# this is a sanctioned Arrow-kernel op: an applyInPandas walk per
+# (user_id, event_type) key emits the admitted arrivals, and the
+# distributed endpoint sweep over their fixed [admit, admit + TTL)
+# retention intervals prices the state exactly as the sliding twin
+# does. Oracle side mirrors the walk with a recursive CTE (max
+# occurrences per key at audit scale: 24).
+# Pinned against the sliding twin per TTL: fixed admits AT LEAST as
+# many (no refresh means earlier horizons), so it catches fewer
+# duplicates — the policy delta a dedup owner prices TTL against.
+# Scale: the kernel is O(occurrences-per-key) integer state over
+# keyed groups (exactly the streaming state machine, replayed); the
+# sweep and rollups are the module's standard audit forms.
+# --------------------------------------------------------------------------
+_DEDUP_FIXED_ORACLE = f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS t
+      FROM events
+    ),
+    ttl(ttl_s) AS (VALUES
+      {", ".join(f"({s})" for s in _DEDUP_TTL_CANDS_S)}),
+    occ AS (
+      SELECT ttl.ttl_s, e.user_id, e.event_type, e.t,
+             ROW_NUMBER() OVER (PARTITION BY ttl.ttl_s, e.user_id,
+                                             e.event_type
+                                ORDER BY e.t, e.event_id) AS rn
+      FROM ev e CROSS JOIN ttl
+    ),
+    walk AS (
+      SELECT ttl_s, user_id, event_type, rn, t AS cur_admit,
+             TRUE AS admitted
+      FROM occ WHERE rn = 1
+      UNION ALL
+      SELECT o.ttl_s, o.user_id, o.event_type, o.rn,
+             CASE WHEN o.t - w.cur_admit
+                       > CAST(o.ttl_s AS BIGINT) * 1000000
+                  THEN o.t ELSE w.cur_admit END,
+             o.t - w.cur_admit > CAST(o.ttl_s AS BIGINT) * 1000000
+      FROM walk w
+      JOIN occ o ON o.ttl_s = w.ttl_s AND o.user_id = w.user_id
+                AND o.event_type = w.event_type AND o.rn = w.rn + 1
+    ),
+    adm AS (
+      SELECT ttl_s, user_id, event_type, cur_admit AS t0
+      FROM walk WHERE admitted
+    ),
+    pts AS (
+      SELECT ttl_s, t0 AS t, 1 AS delta FROM adm
+      UNION ALL
+      SELECT ttl_s, t0 + CAST(ttl_s AS BIGINT) * 1000000, -1 FROM adm
+    ),
+    sweep AS (
+      SELECT ttl_s,
+             SUM(delta) OVER (PARTITION BY ttl_s
+                              ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS open_now
+      FROM pts
+    ),
+    keys AS (
+      SELECT ttl_s,
+             CAST(COUNT(DISTINCT (user_id, event_type)) AS BIGINT)
+               AS n_keys,
+             CAST(COUNT(*) AS BIGINT) AS n_admitted
+      FROM adm GROUP BY ttl_s
+    ),
+    nev AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM ev)
+    SELECT CAST(k.ttl_s AS BIGINT) AS ttl_s,
+           k.n_keys, nev.n_events, k.n_admitted,
+           nev.n_events - k.n_admitted AS dups_caught,
+           k.n_admitted - k.n_keys AS readmissions,
+           CAST(ROUND((nev.n_events - k.n_admitted) * 1000000.0
+                      / nev.n_events) AS BIGINT) AS caught_ppm,
+           (SELECT CAST(MAX(open_now) AS BIGINT) FROM sweep s
+             WHERE s.ttl_s = k.ttl_s) AS peak_state_keys,
+           (SELECT CAST(MAX(open_now) * {_DEDUP_KEY_BYTES} AS BIGINT)
+              FROM sweep s WHERE s.ttl_s = k.ttl_s)
+             AS peak_state_bytes
+    FROM keys k CROSS JOIN nev
+    ORDER BY ttl_s
+    """
+
+
+def _fixed_ttl_kernel(ttls_s: list[int]):
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "event_id"])
+        uid = pdf["user_id"].iloc[0]
+        etype = pdf["event_type"].iloc[0]
+        ts = [int(x) for x in pdf["t"]]
+        rows = []
+        for ttl_s in ttls_s:
+            ttl_us = ttl_s * 1_000_000
+            admit_t = None
+            for t in ts:
+                if admit_t is None or t - admit_t > ttl_us:
+                    admit_t = t
+                    rows.append((ttl_s, uid, etype, t))
+        return pd.DataFrame(
+            rows, columns=["ttl_s", "user_id", "event_type", "t0"]
+        )
+
+    return kernel
+
+
+def dedup_ttl_fixed_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-TTL (first-seen-anchored, no refresh) streaming-dedup
+    state/leakage frontier per TTL candidate (see block comment:
+    Arrow-kernel jump walk per key, distributed endpoint sweep)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("t"),
+    )
+    adm = ev.groupBy("user_id", "event_type").applyInPandas(
+        _fixed_ttl_kernel(_DEDUP_TTL_CANDS_S),
+        schema="ttl_s long, user_id long, event_type string, t0 long",
+    )
+    pts = adm.select(
+        "ttl_s", F.col("t0").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        adm.select(
+            "ttl_s",
+            (F.col("t0") + F.col("ttl_s") * 1_000_000).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    ws = Window.partitionBy("ttl_s").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    peak = (
+        pts.select("ttl_s", F.sum("delta").over(ws).alias("open_now"))
+        .groupBy("ttl_s")
+        .agg(F.max("open_now").cast("bigint").alias("peak_state_keys"))
+    )
+    keys = adm.groupBy("ttl_s").agg(
+        F.count_distinct("user_id", "event_type")
+        .cast("bigint")
+        .alias("n_keys"),
+        F.count(F.lit(1)).cast("bigint").alias("n_admitted"),
+    )
+    nev = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return (
+        keys.crossJoin(F.broadcast(nev))
+        .join(peak, "ttl_s")
+        .select(
+            F.col("ttl_s").cast("bigint").alias("ttl_s"),
+            "n_keys",
+            "n_events",
+            "n_admitted",
+            (F.col("n_events") - F.col("n_admitted")).alias("dups_caught"),
+            (F.col("n_admitted") - F.col("n_keys")).alias("readmissions"),
+            F.round(
+                (F.col("n_events") - F.col("n_admitted"))
+                * 1000000.0
+                / F.col("n_events")
+            )
+            .cast("bigint")
+            .alias("caught_ppm"),
+            "peak_state_keys",
+            (F.col("peak_state_keys") * _DEDUP_KEY_BYTES)
+            .cast("bigint")
+            .alias("peak_state_bytes"),
+        )
+        .orderBy("ttl_s")
+    )
+
+
 ROUND13_STAGED: dict[str, tuple] = {
     "dedup_ttl_state_projection": (
         dedup_ttl_state_projection,
         _DEDUP_TTL_ORACLE,
+    ),
+    "dedup_ttl_fixed_twin": (
+        dedup_ttl_fixed_twin,
+        _DEDUP_FIXED_ORACLE,
     ),
     "state_sizing_threeway": (
         state_sizing_threeway,

@@ -23,10 +23,10 @@ STAGED_NAMES = sorted(STAGED)
 
 
 def test_round13_staged_not_registered():
-    """The freeze: 8 staged round-13 ops, none registered, registry
+    """The freeze: 9 staged round-13 ops, none registered, registry
     still exactly 470. Flip this to an activation assertion (registry
-    == 478, identity per name) at the round-13 boundary."""
-    assert len(STAGED) == 8
+    == 479, identity per name) at the round-13 boundary."""
+    assert len(STAGED) == 9
     assert len(REGISTRY) == 470
     for name in STAGED:
         assert name not in REGISTRY
@@ -171,6 +171,28 @@ def test_dedup_ttl_state_projection_frontier(spark):
     assert (pdf.peak_state_bytes == pdf.peak_state_keys * 48).all()
     # state peak can never exceed the key domain
     assert (pdf.peak_state_keys <= pdf.n_keys).all()
+
+
+def test_dedup_ttl_fixed_vs_sliding(spark):
+    """The policy delta: a fixed (first-seen-anchored) TTL never
+    refreshes, so its horizons sit earlier and it re-admits at least
+    as often as the sliding twin at every TTL — catching fewer or
+    equal duplicates. Same key domain, same accounting identities."""
+    fx_fn, _ = STAGED["dedup_ttl_fixed_twin"]
+    sl_fn, _ = STAGED["dedup_ttl_state_projection"]
+    fx = fx_fn(spark, SF_DIR).toPandas().set_index("ttl_s")
+    sl = sl_fn(spark, SF_DIR).toPandas().set_index("ttl_s")
+    assert (fx.n_keys == sl.n_keys).all()
+    assert (fx.n_events == sl.n_events).all()
+    assert (fx.n_admitted >= sl.n_admitted).all()
+    assert (fx.dups_caught <= sl.dups_caught).all()
+    # the refresh genuinely matters somewhere on this corpus
+    assert (fx.n_admitted > sl.n_admitted).any()
+    assert (fx.dups_caught == fx.n_events - fx.n_admitted).all()
+    assert (fx.readmissions == fx.n_admitted - fx.n_keys).all()
+    assert fx.n_admitted.is_monotonic_decreasing
+    assert fx.peak_state_keys.is_monotonic_increasing
+    assert (fx.peak_state_bytes == fx.peak_state_keys * 48).all()
 
 
 # ------------------------------------------------------------ streaming
