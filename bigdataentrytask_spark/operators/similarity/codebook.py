@@ -2074,3 +2074,273 @@ ROUND13_STAGED: dict[str, tuple] = {
         .replace("{KNN_TRUTH}", _REG_ORACLES["knn_bruteforce"]),
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# Budget-normalized quantization pareto (ROADMAP round-13
+# "Retrieval"): quantization_pareto_table prices bytes/vector vs
+# recall with each codec ranking the WHOLE corpus; a serving system
+# instead spends a fixed exact-scoring budget B — the codec's cheap
+# score picks B candidates, the f32 vectors re-rank them, and recall
+# is whatever survives the funnel. This table crosses three
+# candidate generators (a_exact_f32 256 B — the calibration row
+# whose funnel is lossless by construction once B >= TOP_K;
+# b_matryoshka_d16 64 B prefix cosine; c_binary_asym 8 B sign-dot)
+# with the candidate budgets, all sharing ONE exact-cosine rerank
+# and ONE brute-force truth. Read it as recall-per-byte at equal
+# exact-scoring spend — the number that actually sizes a two-stage
+# retrieval tier.
+# Exact math: grid-integer dots everywhere (the binary cheap score
+# is an exact INTEGER — query grid ints times sign bits); the only
+# doubles are the two norm divisions (identical expressions both
+# engines) and the final recall rounding.
+# Scale: scores are query-domain x corpus rows (N_QUERIES bounded);
+# at index scale the cheap-score scan is the codec's compressed
+# sweep and the rerank touches exactly B f32 rows per query.
+# --------------------------------------------------------------------------
+_QBP_BUDGETS = [10, 50]
+_QBP_PREFIX = 16  # matryoshka prefix dims (b_matryoshka_d16)
+
+_QBP_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, generate_subscripts(e, 1) AS pos,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+      FROM v
+    ),
+    cc AS (
+      SELECT vec_id, CAST(SUM(xi * xi) AS DOUBLE) AS cc,
+             CAST(SUM(CASE WHEN pos <= {_QBP_PREFIX}
+                           THEN xi * xi ELSE 0 END) AS DOUBLE) AS cc16
+      FROM dims GROUP BY vec_id
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(q.xi * c.xi) AS BIGINT) AS dot,
+             CAST(SUM(CASE WHEN q.pos <= {_QBP_PREFIX}
+                           THEN q.xi * c.xi ELSE 0 END) AS BIGINT)
+               AS dot16,
+             CAST(SUM(q.xi * CASE WHEN c.xi >= 0 THEN 1 ELSE -1 END)
+                  AS BIGINT) AS sdot
+      FROM dims q
+      JOIN dims c ON c.pos = q.pos AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.query_id, p.neighbor_id,
+             CASE WHEN n.cc = 0 THEN -2.0
+                  ELSE p.dot / sqrt(n.cc) END AS s_exact,
+             CASE WHEN n.cc16 = 0 THEN -2.0
+                  ELSE p.dot16 / sqrt(n.cc16) END AS s_m16,
+             CAST(p.sdot AS DOUBLE) AS s_bin
+      FROM pairs p JOIN cc n ON n.vec_id = p.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, s_exact,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY s_exact DESC, neighbor_id)
+               AS r_exact,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY s_m16 DESC, neighbor_id)
+               AS r_m16,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY s_bin DESC, neighbor_id)
+               AS r_bin
+      FROM scored
+    ),
+    bud(budget) AS (VALUES {", ".join(f"({b})" for b in _QBP_BUDGETS)}),
+    cfg(config, bytes_per_vec, rcol) AS (VALUES
+      ('a_exact_f32', 256, 'r_exact'),
+      ('b_matryoshka_d16', {_QBP_PREFIX * 4}, 'r_m16'),
+      ('c_binary_asym', 8, 'r_bin')),
+    funnel AS (
+      SELECT cf.config, cf.bytes_per_vec, b.budget,
+             r.query_id, r.neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY cf.config, b.budget,
+                                             r.query_id
+                                ORDER BY r.s_exact DESC, r.neighbor_id)
+               AS rr
+      FROM ranked r
+      CROSS JOIN bud b
+      JOIN cfg cf ON (CASE cf.rcol WHEN 'r_exact' THEN r.r_exact
+                                   WHEN 'r_m16' THEN r.r_m16
+                                   ELSE r.r_bin END) <= b.budget
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM ({{KNN_TRUTH}})
+    )
+    SELECT f.config, CAST(f.bytes_per_vec AS BIGINT) AS bytes_per_vec,
+           CAST(f.budget AS BIGINT) AS budget,
+           CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT)
+             AS n_hits,
+           ROUND(CAST(count_if(t.neighbor_id IS NOT NULL) AS DOUBLE)
+                 / ({N_QUERIES} * {TOP_K}), 6) AS recall_at_5
+    FROM (SELECT * FROM funnel WHERE rr <= {TOP_K}) f
+    LEFT JOIN truth t ON t.query_id = f.query_id
+                     AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.config, f.bytes_per_vec, f.budget
+    ORDER BY f.config, f.budget
+    """
+
+
+def quantization_budget_pareto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Three candidate generators x candidate budgets through one
+    exact-cosine rerank funnel against one brute-force truth (see
+    block comment): bytes/vector vs recall at equal exact-scoring
+    spend."""
+    from bigdataentrytask_spark.operators import REGISTRY
+
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), grid.alias("xi"))
+    with with_persisted(dims) as dims_p:
+        cc = dims_p.groupBy("vec_id").agg(
+            F.sum(F.col("xi") * F.col("xi")).cast("double").alias("cc"),
+            F.sum(
+                F.when(
+                    F.col("pos") <= _QBP_PREFIX,
+                    F.col("xi") * F.col("xi"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("double")
+            .alias("cc16"),
+        )
+        q = dims_p.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            "pos",
+            F.col("xi").alias("qx"),
+        )
+        c = dims_p.select(
+            F.col("vec_id").alias("neighbor_id"),
+            "pos",
+            F.col("xi").alias("cx"),
+        )
+        pairs = (
+            q.join(c, "pos")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.sum(F.col("qx") * F.col("cx"))
+                .cast("bigint")
+                .alias("dot"),
+                F.sum(
+                    F.when(
+                        F.col("pos") <= _QBP_PREFIX,
+                        F.col("qx") * F.col("cx"),
+                    ).otherwise(F.lit(0))
+                )
+                .cast("bigint")
+                .alias("dot16"),
+                F.sum(
+                    F.col("qx")
+                    * F.when(F.col("cx") >= 0, 1).otherwise(-1)
+                )
+                .cast("bigint")
+                .alias("sdot"),
+            )
+        )
+        scored = pairs.join(
+            cc.select(
+                F.col("vec_id").alias("neighbor_id"), "cc", "cc16"
+            ),
+            "neighbor_id",
+        ).select(
+            "query_id",
+            "neighbor_id",
+            F.when(F.col("cc") == 0, F.lit(-2.0))
+            .otherwise(F.col("dot") / F.sqrt("cc"))
+            .alias("s_exact"),
+            F.when(F.col("cc16") == 0, F.lit(-2.0))
+            .otherwise(F.col("dot16") / F.sqrt("cc16"))
+            .alias("s_m16"),
+            F.col("sdot").cast("double").alias("s_bin"),
+        )
+        wq = Window.partitionBy("query_id")
+        ranked = scored.select(
+            "query_id",
+            "neighbor_id",
+            "s_exact",
+            F.row_number()
+            .over(wq.orderBy(F.col("s_exact").desc(), "neighbor_id"))
+            .alias("r_exact"),
+            F.row_number()
+            .over(wq.orderBy(F.col("s_m16").desc(), "neighbor_id"))
+            .alias("r_m16"),
+            F.row_number()
+            .over(wq.orderBy(F.col("s_bin").desc(), "neighbor_id"))
+            .alias("r_bin"),
+        )
+        with with_persisted(ranked) as ranked_p:
+            bud = spark.createDataFrame(
+                [(b,) for b in _QBP_BUDGETS], "budget long"
+            )
+            cfg = spark.createDataFrame(
+                [
+                    ("a_exact_f32", 256, "r_exact"),
+                    ("b_matryoshka_d16", _QBP_PREFIX * 4, "r_m16"),
+                    ("c_binary_asym", 8, "r_bin"),
+                ],
+                "config string, bytes_per_vec long, rcol string",
+            )
+            cheap_rank = (
+                F.when(F.col("rcol") == "r_exact", F.col("r_exact"))
+                .when(F.col("rcol") == "r_m16", F.col("r_m16"))
+                .otherwise(F.col("r_bin"))
+            )
+            funnel = (
+                ranked_p.crossJoin(F.broadcast(bud))
+                .crossJoin(F.broadcast(cfg))
+                .filter(cheap_rank <= F.col("budget"))
+                .withColumn(
+                    "rr",
+                    F.row_number().over(
+                        Window.partitionBy(
+                            "config", "budget", "query_id"
+                        ).orderBy(F.col("s_exact").desc(), "neighbor_id")
+                    ),
+                )
+                .filter(F.col("rr") <= TOP_K)
+            )
+            truth = REGISTRY["knn_bruteforce"](spark, sf_dir).select(
+                "query_id", "neighbor_id", F.lit(1).alias("hit")
+            )
+            out = (
+                funnel.join(truth, ["query_id", "neighbor_id"], "left")
+                .groupBy("config", "bytes_per_vec", "budget")
+                .agg(
+                    F.sum(F.coalesce("hit", F.lit(0)))
+                    .cast("bigint")
+                    .alias("n_hits")
+                )
+                .select(
+                    "config",
+                    F.col("bytes_per_vec")
+                    .cast("bigint")
+                    .alias("bytes_per_vec"),
+                    F.col("budget").cast("bigint").alias("budget"),
+                    "n_hits",
+                    F.round(
+                        F.col("n_hits")
+                        / F.lit(float(N_QUERIES * TOP_K)),
+                        6,
+                    ).alias("recall_at_5"),
+                )
+                .orderBy("config", "budget")
+            )
+            return materialize(out)
+
+
+ROUND13_STAGED["quantization_budget_pareto"] = (
+    quantization_budget_pareto,
+    _QBP_ORACLE.replace("{KNN_TRUTH}", _REG_ORACLES["knn_bruteforce"]),
+)

@@ -23,10 +23,10 @@ STAGED_NAMES = sorted(STAGED)
 
 
 def test_round13_staged_not_registered():
-    """The freeze: 9 staged round-13 ops, none registered, registry
+    """The freeze: 10 staged round-13 ops, none registered, registry
     still exactly 470. Flip this to an activation assertion (registry
-    == 479, identity per name) at the round-13 boundary."""
-    assert len(STAGED) == 9
+    == 480, identity per name) at the round-13 boundary."""
+    assert len(STAGED) == 10
     assert len(REGISTRY) == 470
     for name in STAGED:
         assert name not in REGISTRY
@@ -276,6 +276,30 @@ def test_workload_weighted_sort_advisor_flips_top(spark):
 
 
 # ------------------------------------------------------------ retrieval
+
+
+def test_quantization_budget_pareto_regime(spark):
+    """The budget funnel's calibration and its honest finding: the
+    exact generator is lossless at any budget >= TOP_K; recall is
+    monotone in budget within every config; and on this ISOTROPIC
+    corpus the 8-byte sign code beats the 64-byte matryoshka-16
+    prefix at BOTH budgets (prefix truncation keeps 1/4 of the
+    energy, sign bits keep all 64 dims' directions) — the check-
+    isotropy-before-matryoshka serving advisory, pinned."""
+    fn, _ = STAGED["quantization_budget_pareto"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index(["config", "budget"])
+    for b in (10, 50):
+        assert pdf.loc[("a_exact_f32", b), "recall_at_5"] == 1.0
+        assert (
+            pdf.loc[("c_binary_asym", b), "recall_at_5"]
+            > pdf.loc[("b_matryoshka_d16", b), "recall_at_5"]
+        )
+    for cfgname in ("a_exact_f32", "b_matryoshka_d16", "c_binary_asym"):
+        sub = pdf.loc[cfgname].sort_index()
+        assert sub.recall_at_5.is_monotonic_increasing
+        assert (sub.n_hits <= 50).all()
+    assert pdf.loc[("b_matryoshka_d16", 10), "bytes_per_vec"] == 64
+    assert pdf.loc[("c_binary_asym", 10), "bytes_per_vec"] == 8
 
 
 def test_ivf_cell_lloyd_probe_regime(spark):
