@@ -3115,9 +3115,172 @@ def dedup_quality_survivorship(
     )
 
 
+# --------------------------------------------------------------------------
+# LSH band-width sweep (round-12 original; the knob the verified
+# pipeline fixes): minhash_dedup runs ONE banding (8 bands x 4 rows
+# over 32 hashes). The (bands, rows-per-band) split is the S-curve
+# every LSH deployment tunes — more, narrower bands catch more true
+# pairs but explode the candidate volume. This table re-bands the
+# SAME 32 verified minhash sketches into (16 x 2), (8 x 4), (4 x 8)
+# and prices each against the exact Jaccard truth (jaccard_pairs,
+# threshold 0.7): candidate pairs, truth recall, and precision.
+# Pinned frontier, both directions monotone across the three
+# configs: narrower bands => candidates and recall both rise,
+# precision falls.
+# Scale: candidate-pair DISTINCT enumeration is quadratic in cluster
+# size — the audit-scale contract jaccard_pairs already carries; the
+# production path for the chosen config is minhash_dedup's
+# canonical-band tiled kernel (this table is the tuning audit run
+# before that index is built).
+# --------------------------------------------------------------------------
+_BAND_SWEEP_CONFIGS = [(16, 2), (8, 4), (4, 8)]  # (bands, rows)
+
+
+def _band_sweep_oracle() -> str:
+    def band_eq(b: int, r: int, i: int) -> str:
+        cols = range(i * r, (i + 1) * r)
+        return "(" + " AND ".join(f"a.mh{c} = b.mh{c}" for c in cols) + ")"
+
+    arms = []
+    for nb, r in _BAND_SWEEP_CONFIGS:
+        pred = " OR ".join(band_eq(nb, r, i) for i in range(nb))
+        arms.append(f"""
+      SELECT {nb} AS bands, {r} AS rows_per_band,
+             a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM mh a JOIN mh b ON a.doc_id < b.doc_id
+      WHERE ({pred})""")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_distinct({sql_tokens('text')})) AS tok
+      FROM documents
+    ),
+    hashes AS (SELECT doc_id, {sql_token_hash('tok')} AS h FROM toks),
+    mh AS (
+      SELECT doc_id,
+             {_sql_minhash_cols()}
+      FROM hashes GROUP BY doc_id
+    ),
+    cand AS ({" UNION ALL ".join(arms)}),
+    truth AS (
+      SELECT doc_a, doc_b FROM ({{JACCARD_TRUTH}})
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth)
+    SELECT CAST(c.bands AS BIGINT) AS bands,
+           CAST(c.rows_per_band AS BIGINT) AS rows_per_band,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           MAX(nt.n_true) AS n_true,
+           CAST(count_if(t.doc_a IS NOT NULL) AS BIGINT)
+             AS n_true_caught,
+           CAST(ROUND(count_if(t.doc_a IS NOT NULL) * 1000000.0
+                      / MAX(nt.n_true)) AS BIGINT) AS recall_ppm,
+           CAST(ROUND(count_if(t.doc_a IS NOT NULL) * 1000000.0
+                      / COUNT(*)) AS BIGINT) AS precision_ppm
+    FROM cand c
+    CROSS JOIN nt
+    LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    GROUP BY c.bands, c.rows_per_band
+    ORDER BY bands DESC
+    """
+
+
+def lsh_band_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-band the verified 32-sketch minhash signatures into three
+    (bands, rows) splits and price candidate volume vs exact-Jaccard
+    recall and precision (see block comment)."""
+    from bigdataentrytask_spark.operators import REGISTRY
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    hashes = toks.select("doc_id", token_hash("tok").alias("h"))
+    mh = hashes.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+                % MERSENNE_P
+            ).alias(f"mh{i}")
+            for i in range(NUM_HASHES)
+        ]
+    )
+    cand = None
+    for nb, r in _BAND_SWEEP_CONFIGS:
+        bkeys = F.array(
+            *[
+                F.concat_ws(
+                    ":",
+                    F.lit(i),
+                    *[F.col(f"mh{j}") for j in range(i * r, (i + 1) * r)],
+                )
+                for i in range(nb)
+            ]
+        )
+        bands = mh.select(
+            "doc_id", F.explode(bkeys).alias("bkey")
+        )
+        a = bands.alias("a")
+        b = bands.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.lit(nb).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    truth = REGISTRY["jaccard_pairs"](spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    return (
+        cand.join(truth, ["doc_a", "doc_b"], "left")
+        .crossJoin(F.broadcast(nt))
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.max("n_true").alias("n_true"),
+            F.sum(F.coalesce("hit", F.lit(0)))
+            .cast("bigint")
+            .alias("n_true_caught"),
+        )
+        .select(
+            F.col("bands").cast("bigint").alias("bands"),
+            F.col("rows_per_band").cast("bigint").alias("rows_per_band"),
+            "n_candidates",
+            "n_true",
+            "n_true_caught",
+            F.round(
+                F.col("n_true_caught") * 1000000.0 / F.col("n_true")
+            )
+            .cast("bigint")
+            .alias("recall_ppm"),
+            F.round(
+                F.col("n_true_caught")
+                * 1000000.0
+                / F.col("n_candidates")
+            )
+            .cast("bigint")
+            .alias("precision_ppm"),
+        )
+        .orderBy(F.col("bands").desc())
+    )
+
+
 ROUND13_STAGED: dict[str, tuple] = {
     "dedup_quality_survivorship": (
         dedup_quality_survivorship,
         _qsurv_oracle(),
+    ),
+    "lsh_band_width_sweep": (
+        lsh_band_width_sweep,
+        _band_sweep_oracle().replace(
+            "{JACCARD_TRUTH}", _ORACLES_D13["jaccard_pairs"]
+        ),
     ),
 }

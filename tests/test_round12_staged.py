@@ -23,10 +23,10 @@ STAGED_NAMES = sorted(STAGED)
 
 
 def test_round13_staged_not_registered():
-    """The freeze: 10 staged round-13 ops, none registered, registry
+    """The freeze: 11 staged round-13 ops, none registered, registry
     still exactly 470. Flip this to an activation assertion (registry
-    == 480, identity per name) at the round-13 boundary."""
-    assert len(STAGED) == 10
+    == 481, identity per name) at the round-13 boundary."""
+    assert len(STAGED) == 11
     assert len(REGISTRY) == 470
     for name in STAGED:
         assert name not in REGISTRY
@@ -153,6 +153,28 @@ def test_dedup_quality_survivorship_invariants(spark):
     # the policy axis is real on this corpus: most keepers flip
     assert r.n_flips > 0 and r.gain_e6 > 0
     assert r.flip_ppm == round(r.n_flips * 1e6 / r.n_clusters)
+
+
+def test_lsh_band_width_sweep_s_curve(spark):
+    """The banding S-curve on the shared 32-sketch signatures:
+    narrower bands monotonically buy recall with candidate volume
+    and pay in precision; the verified pipeline's own (8 x 4) config
+    sits at the knee (>99% recall at ~2/3 the widest volume)."""
+    fn, _ = STAGED["lsh_band_width_sweep"]
+    pdf = fn(spark, SF_DIR).toPandas().sort_values(
+        "bands", ascending=False
+    )
+    assert list(pdf.bands) == [16, 8, 4]
+    assert (pdf.bands * pdf.rows_per_band == 32).all()
+    assert pdf.n_candidates.is_monotonic_decreasing
+    assert pdf.recall_ppm.is_monotonic_decreasing
+    assert pdf.precision_ppm.is_monotonic_increasing
+    assert pdf.n_true.nunique() == 1
+    assert (pdf.n_true_caught <= pdf.n_true).all()
+    knee = pdf.set_index("bands")
+    assert knee.loc[8, "recall_ppm"] > 990_000
+    assert knee.loc[16, "recall_ppm"] == 1_000_000
+    assert knee.loc[4, "recall_ppm"] < 800_000
 
 
 def test_dedup_ttl_state_projection_frontier(spark):
