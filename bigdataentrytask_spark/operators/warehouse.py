@@ -5263,9 +5263,203 @@ def workload_weighted_sort_advisor(
     ).orderBy("rank_weighted")
 
 
+# --------------------------------------------------------------------------
+# Compaction write amplification (round-12 original; the cost side
+# compaction_floor_sweep leaves implicit): merging month parts into
+# floor-sized groups REWRITES every row that lands in a multi-part
+# group — the write bill a compactor pays for the small-file and
+# zone-pruning benefits the sweep prices. Per candidate floor:
+# parts in, groups out, merged (>= 2-part) groups, exact rows
+# rewritten, write amplification, and the workload-mean read
+# amplification alongside — so the full three-way frontier (file
+# count down vs write amp up vs read amp up as floors grow) reads
+# off one table.
+# Exact math: the same prefix-sum schedule and overlap joins as
+# compaction_floor_sweep; write-amp and the mean read-amp are exact
+# integer ratios with one rounding each (the mean re-accumulates the
+# per-predicate BIGINT ppms, module convention).
+# Scale: identical posture to compaction_floor_sweep — one
+# month-domain aggregation, |floors| window passes, domain-sized
+# overlap joins; the write-amp side adds only a group-domain rollup.
+# --------------------------------------------------------------------------
+_CWA_ORACLE = f"""
+    WITH per AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT m, n,
+             COALESCE(SUM(n) OVER (ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM per
+    ),
+    fl(floor_rows) AS (VALUES
+      {", ".join(f"({x})" for x in _CFS_FLOORS)}),
+    grp AS (
+      SELECT fl.floor_rows,
+             CAST(FLOOR(c.before / fl.floor_rows) AS BIGINT) AS group_id,
+             MIN(c.m) AS g_lo,
+             MAX(c.m) + INTERVAL 1 MONTH AS g_hi,
+             CAST(SUM(c.n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM cum c CROSS JOIN fl
+      GROUP BY 1, 2
+    ),
+    wamp AS (
+      SELECT floor_rows,
+             CAST(SUM(n_parts) AS BIGINT) AS n_parts_in,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(count_if(n_parts >= 2) AS BIGINT) AS n_merged_groups,
+             CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+             CAST(SUM(CASE WHEN n_parts >= 2 THEN n_rows ELSE 0 END)
+                  AS BIGINT) AS rows_rewritten
+      FROM grp GROUP BY 1
+    ),
+    preds(pred_id, lo, hi) AS (VALUES
+      {", ".join(f"('{p}', TIMESTAMP '{lo}', TIMESTAMP '{hi}')"
+                 for p, lo, hi in _CZP_PREDS)}
+    ),
+    matched AS (
+      SELECT p.pred_id, CAST(COUNT(*) AS BIGINT) AS rows_matched
+      FROM orders o CROSS JOIN preds p
+      WHERE o.o_orderdate >= p.lo AND o.o_orderdate < p.hi
+      GROUP BY 1
+    ),
+    gscan AS (
+      SELECT g.floor_rows, p.pred_id,
+             CAST(SUM(g.n_rows) AS BIGINT) AS rows_scanned
+      FROM grp g CROSS JOIN preds p
+      WHERE p.lo < g.g_hi AND p.hi > g.g_lo
+      GROUP BY 1, 2
+    ),
+    ramp AS (
+      SELECT s.floor_rows,
+             CAST(ROUND(SUM(CAST(ROUND(s.rows_scanned * 1000000.0
+                                       / m.rows_matched) AS BIGINT))
+                        * 1.0 / COUNT(*)) AS BIGINT)
+               AS mean_read_amp_ppm
+      FROM gscan s JOIN matched m ON m.pred_id = s.pred_id
+      GROUP BY 1
+    )
+    SELECT CAST(w.floor_rows AS BIGINT) AS floor_rows,
+           w.n_parts_in, w.n_groups, w.n_merged_groups,
+           w.rows_total, w.rows_rewritten,
+           CAST(ROUND(w.rows_rewritten * 1000000.0 / w.rows_total)
+                AS BIGINT) AS write_amp_ppm,
+           r.mean_read_amp_ppm
+    FROM wamp w JOIN ramp r ON r.floor_rows = w.floor_rows
+    ORDER BY w.floor_rows
+    """
+
+
+def compaction_write_amp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows rewritten (write amplification) per candidate compaction
+    floor, with the workload-mean read amplification alongside (see
+    block comment; same prefix-sum schedule as compaction_floor_
+    sweep)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderdate")
+    per = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "m", "n", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("before")
+    )
+    fl = spark.createDataFrame(
+        [(x,) for x in _CFS_FLOORS], "floor_rows long"
+    )
+    grp = (
+        cum.crossJoin(F.broadcast(fl))
+        .groupBy(
+            "floor_rows",
+            F.floor(F.col("before") / F.col("floor_rows")).alias(
+                "group_id"
+            ),
+        )
+        .agg(
+            F.min("m").alias("g_lo"),
+            F.expr("MAX(m) + INTERVAL 1 MONTH").alias("g_hi"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        )
+    )
+    wamp = grp.groupBy("floor_rows").agg(
+        F.sum("n_parts").cast("bigint").alias("n_parts_in"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum((F.col("n_parts") >= 2).cast("long"))
+        .cast("bigint")
+        .alias("n_merged_groups"),
+        F.sum("n_rows").cast("bigint").alias("rows_total"),
+        F.sum(F.when(F.col("n_parts") >= 2, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_rewritten"),
+    )
+    preds = spark.createDataFrame(
+        [(p, lo, hi) for p, lo, hi in _CZP_PREDS],
+        "pred_id string, lo string, hi string",
+    ).select(
+        "pred_id",
+        F.col("lo").cast("timestamp").alias("lo"),
+        F.col("hi").cast("timestamp").alias("hi"),
+    )
+    matched = (
+        o.crossJoin(F.broadcast(preds))
+        .filter(
+            (F.col("o_orderdate") >= F.col("lo"))
+            & (F.col("o_orderdate") < F.col("hi"))
+        )
+        .groupBy("pred_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows_matched"))
+    )
+    gscan = (
+        grp.crossJoin(F.broadcast(preds))
+        .filter((F.col("lo") < F.col("g_hi")) & (F.col("hi") > F.col("g_lo")))
+        .groupBy("floor_rows", "pred_id")
+        .agg(F.sum("n_rows").cast("bigint").alias("rows_scanned"))
+    )
+    ramp = (
+        gscan.join(matched, "pred_id")
+        .select(
+            "floor_rows",
+            F.round(
+                F.col("rows_scanned") * 1000000.0 / F.col("rows_matched")
+            )
+            .cast("bigint")
+            .alias("ra_ppm"),
+        )
+        .groupBy("floor_rows")
+        .agg(
+            F.round(F.sum("ra_ppm") * 1.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_read_amp_ppm")
+        )
+    )
+    return (
+        wamp.join(ramp, "floor_rows")
+        .select(
+            F.col("floor_rows").cast("bigint").alias("floor_rows"),
+            "n_parts_in",
+            "n_groups",
+            "n_merged_groups",
+            "rows_total",
+            "rows_rewritten",
+            F.round(
+                F.col("rows_rewritten") * 1000000.0 / F.col("rows_total")
+            )
+            .cast("bigint")
+            .alias("write_amp_ppm"),
+            "mean_read_amp_ppm",
+        )
+        .orderBy("floor_rows")
+    )
+
+
 ROUND13_STAGED: dict[str, tuple] = {
     "workload_weighted_sort_advisor": (
         workload_weighted_sort_advisor,
         _WSA_ORACLE,
     ),
+    "compaction_write_amp": (compaction_write_amp, _CWA_ORACLE),
 }

@@ -23,10 +23,10 @@ STAGED_NAMES = sorted(STAGED)
 
 
 def test_round13_staged_not_registered():
-    """The freeze: 11 staged round-13 ops, none registered, registry
+    """The freeze: 12 staged round-13 ops, none registered, registry
     still exactly 470. Flip this to an activation assertion (registry
-    == 481, identity per name) at the round-13 boundary."""
-    assert len(STAGED) == 11
+    == 482, identity per name) at the round-13 boundary."""
+    assert len(STAGED) == 12
     assert len(REGISTRY) == 470
     for name in STAGED:
         assert name not in REGISTRY
@@ -295,6 +295,42 @@ def test_workload_weighted_sort_advisor_flips_top(spark):
         )
         assert pdf.loc[col, "weighted_prune_ppm"] == expect
         assert pdf.loc[col, "mean_prune_ppm"] == skb.loc[col, "mean_prune_ppm"]
+
+
+def test_compaction_write_amp_frontier(spark):
+    """The compactor's three-way frontier: growing floors shrink the
+    group count (the ops win) but monotonically raise both the rows
+    rewritten and the workload-mean read amplification; accounting
+    identities exact; the 400-row column cross-pins
+    compaction_floor_sweep's group census."""
+    from bigdataentrytask_spark.operators.staging import (
+        ROUND12_ACTIVATED,
+    )
+
+    fn, _ = STAGED["compaction_write_amp"]
+    pdf = fn(spark, SF_DIR).toPandas().sort_values("floor_rows")
+    assert pdf.n_parts_in.nunique() == 1
+    assert pdf.rows_total.nunique() == 1
+    assert pdf.n_groups.is_monotonic_decreasing
+    assert pdf.rows_rewritten.is_monotonic_increasing
+    assert pdf.mean_read_amp_ppm.is_monotonic_increasing
+    assert (pdf.n_merged_groups <= pdf.n_groups).all()
+    assert (pdf.rows_rewritten <= pdf.rows_total).all()
+    assert (
+        pdf.write_amp_ppm
+        == (pdf.rows_rewritten * 1e6 / pdf.rows_total).round()
+    ).all()
+    cfs = (
+        ROUND12_ACTIVATED["compaction_floor_sweep"][0](spark, SF_DIR)
+        .toPandas()
+        .groupby("floor_rows")
+        .first()
+    )
+    for fr in pdf.floor_rows:
+        assert (
+            pdf.set_index("floor_rows").loc[fr, "n_groups"]
+            == cfs.loc[fr, "n_groups"]
+        )
 
 
 # ------------------------------------------------------------ retrieval
