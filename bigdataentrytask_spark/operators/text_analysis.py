@@ -4386,7 +4386,230 @@ def pack_padding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Quality-prune mix shift (round-12 original; the mix ledger of the
+# per-language gate): chunk_decay_source_mix prices how DEDUP
+# re-mixes the corpus; this is the same ledger for the perplexity
+# gate — when each (lang, source) cell loses its bottom decile by LM
+# score, token mass does not leave uniformly, so the post-gate
+# source mix drifts from the raw mix. Per source: docs, pruned docs,
+# raw and kept token mass, both shares, and the signed shift — the
+# number a mixture planner must re-balance after quality filtering.
+# Docs too short to score (under 2 tokens, no bigram) are never
+# pruned and keep their mass, matching the production gate's
+# pass-through for unscorable rows.
+# Exact math: integer token sums; shares and shift are the final ppm
+# roundings of exact integer ratios.
+# Scale: the LM scoring shuffle is shared with the gate; the ledger
+# adds one doc_id join and a source-domain rollup.
+# --------------------------------------------------------------------------
+_QPMS_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+      FROM (
+        SELECT doc_id,
+               UNNEST({sql_tokens('text')}) AS tok,
+               UNNEST(range(len({sql_tokens('text')}))) AS pos
+        FROM documents
+      )
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             tok AS w2
+      FROM toks
+      QUALIFY w1 IS NOT NULL
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2
+           FROM bigrams GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1
+           FROM bigrams GROUP BY 1),
+    v  AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM toks),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(ROUND(SUM(CAST(ROUND(ln((c2.n2 + 1)
+                                / CAST(c1.n1 + v.vsz AS DOUBLE))
+                                * 1000000) AS BIGINT))
+                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+               AS score_e6
+      FROM bigrams b
+      JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+      JOIN c1 ON c1.w1 = b.w1
+      CROSS JOIN v
+      GROUP BY 1
+    ),
+    tagged AS (
+      SELECT d.lang, d.source, s.doc_id, s.score_e6,
+             ROW_NUMBER() OVER (PARTITION BY d.lang, d.source
+                                ORDER BY s.score_e6, s.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY d.lang, d.source) AS n_grp
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    cut AS (
+      SELECT lang, source,
+             MIN(CASE WHEN rn > n_grp * {_PPG_FRAC_PPM} // 1000000
+                      THEN score_e6 END) AS exact_thresh_e6
+      FROM tagged GROUP BY lang, source
+    ),
+    pruned AS (
+      SELECT t.doc_id
+      FROM tagged t JOIN cut c ON c.lang = t.lang
+                               AND c.source = t.source
+      WHERE t.score_e6 < c.exact_thresh_e6
+    ),
+    mass AS (
+      SELECT d.source, d.doc_id,
+             CAST(len({sql_tokens('text')}) AS BIGINT) AS tok,
+             (p.doc_id IS NOT NULL) AS is_pruned
+      FROM documents d LEFT JOIN pruned p ON p.doc_id = d.doc_id
+    ),
+    per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(count_if(is_pruned) AS BIGINT) AS n_pruned,
+             CAST(SUM(tok) AS BIGINT) AS raw_tokens,
+             CAST(SUM(CASE WHEN is_pruned THEN 0 ELSE tok END)
+                  AS BIGINT) AS kept_tokens
+      FROM mass GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(raw_tokens) AS BIGINT) AS t_raw,
+             CAST(SUM(kept_tokens) AS BIGINT) AS t_kept
+      FROM per
+    )
+    SELECT p.source, p.n_docs, p.n_pruned, p.raw_tokens, p.kept_tokens,
+           CAST(ROUND(p.raw_tokens * 1000000.0 / t.t_raw) AS BIGINT)
+             AS raw_share_ppm,
+           CAST(ROUND(p.kept_tokens * 1000000.0 / t.t_kept) AS BIGINT)
+             AS kept_share_ppm,
+           CAST(ROUND(p.kept_tokens * 1000000.0 / t.t_kept)
+                - ROUND(p.raw_tokens * 1000000.0 / t.t_raw) AS BIGINT)
+             AS shift_ppm
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.source
+    """
+
+
+def quality_prune_mix_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source token-mix ledger of the per-(lang, source)
+    perplexity gate: raw vs kept mass, shares, and the signed shift
+    (see block comment)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.lag("tok").over(w).alias("w1"),
+            F.col("tok").alias("w2"),
+        )
+        .filter(F.col("w1").isNotNull())
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = toks.agg(F.count_distinct("tok").alias("vsz"))
+    lp_g = F.round(
+        F.log(
+            (F.col("n2") + 1) / (F.col("n1") + F.col("vsz")).cast("double")
+        )
+        * 1000000
+    ).cast("bigint")
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(lp_g) / F.count(F.lit(1)).cast("double"))
+            .cast("bigint")
+            .alias("score_e6")
+        )
+    )
+    tagged = scored.join(
+        d.select("doc_id", "lang", "source"), "doc_id"
+    ).select("lang", "source", "doc_id", "score_e6")
+    ws = Window.partitionBy("lang", "source").orderBy(
+        "score_e6", "doc_id"
+    )
+    ranked = tagged.select(
+        "lang",
+        "source",
+        "doc_id",
+        "score_e6",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang", "source"))
+        .alias("n_grp"),
+    )
+    cut = ranked.groupBy("lang", "source").agg(
+        F.min(
+            F.when(
+                F.col("rn")
+                > F.floor(F.col("n_grp") * _PPG_FRAC_PPM / 1000000),
+                F.col("score_e6"),
+            )
+        ).alias("exact_thresh_e6")
+    )
+    pruned = (
+        ranked.join(F.broadcast(cut), ["lang", "source"])
+        .filter(F.col("score_e6") < F.col("exact_thresh_e6"))
+        .select("doc_id", F.lit(True).alias("is_pruned"))
+    )
+    mass = d.select(
+        "source",
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("tok"),
+    ).join(pruned, "doc_id", "left").select(
+        "source",
+        "tok",
+        F.coalesce("is_pruned", F.lit(False)).alias("is_pruned"),
+    )
+    per = mass.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("is_pruned").cast("long"))
+        .cast("bigint")
+        .alias("n_pruned"),
+        F.sum("tok").cast("bigint").alias("raw_tokens"),
+        F.sum(F.when(F.col("is_pruned"), 0).otherwise(F.col("tok")))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+    tot = per.agg(
+        F.sum("raw_tokens").cast("bigint").alias("t_raw"),
+        F.sum("kept_tokens").cast("bigint").alias("t_kept"),
+    )
+    raw_share = F.round(
+        F.col("raw_tokens") * 1000000.0 / F.col("t_raw")
+    ).cast("bigint")
+    kept_share = F.round(
+        F.col("kept_tokens") * 1000000.0 / F.col("t_kept")
+    ).cast("bigint")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_pruned",
+            "raw_tokens",
+            "kept_tokens",
+            raw_share.alias("raw_share_ppm"),
+            kept_share.alias("kept_share_ppm"),
+            (kept_share - raw_share).alias("shift_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 ROUND13_STAGED: dict[str, tuple] = {
     "perplexity_gate_by_lang": (perplexity_gate_by_lang, _PPGL_ORACLE),
     "pack_padding_sweep": (pack_padding_sweep, _PAD_SWEEP_ORACLE),
+    "quality_prune_mix_shift": (
+        quality_prune_mix_shift,
+        _QPMS_ORACLE,
+    ),
 }

@@ -23,10 +23,10 @@ STAGED_NAMES = sorted(STAGED)
 
 
 def test_round13_staged_not_registered():
-    """The freeze: 12 staged round-13 ops, none registered, registry
+    """The freeze: 13 staged round-13 ops, none registered, registry
     still exactly 470. Flip this to an activation assertion (registry
-    == 482, identity per name) at the round-13 boundary."""
-    assert len(STAGED) == 12
+    == 483, identity per name) at the round-13 boundary."""
+    assert len(STAGED) == 13
     assert len(REGISTRY) == 470
     for name in STAGED:
         assert name not in REGISTRY
@@ -136,6 +136,25 @@ def test_pack_padding_sweep_vs_flow(spark):
     # padding, while flow fill is strictly decreasing in L
     assert pad.loc[512, "fill_ppm"] > pad.loc[128, "fill_ppm"]
     assert pad.loc[512, "fill_ppm"] > pad.loc[2048, "fill_ppm"]
+
+
+def test_quality_prune_mix_shift_ledger(spark):
+    """The gate's mix ledger balances exactly: shares partition their
+    budgets, shifts cancel up to rounding, kept mass never exceeds
+    raw, pruned docs match the (lang, source) gate's total, and the
+    gate genuinely re-mixes (some source moves)."""
+    fn, _ = STAGED["quality_prune_mix_shift"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert len(pdf) == 20
+    assert (pdf.kept_tokens <= pdf.raw_tokens).all()
+    assert abs(pdf.raw_share_ppm.sum() - 1_000_000) <= len(pdf)
+    assert abs(pdf.kept_share_ppm.sum() - 1_000_000) <= len(pdf)
+    assert abs(pdf.shift_ppm.sum()) <= 2 * len(pdf)
+    assert pdf.shift_ppm.abs().max() > 0
+    assert (pdf.n_pruned <= pdf.n_docs // 10).all()
+    gate_fn, _ = STAGED["perplexity_gate_by_lang"]
+    gate = gate_fn(spark, SF_DIR).toPandas()
+    assert pdf.n_pruned.sum() == gate.n_pruned.sum()
 
 
 # ---------------------------------------------------------------- dedup
