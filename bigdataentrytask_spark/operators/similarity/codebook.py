@@ -2344,3 +2344,169 @@ ROUND13_STAGED["quantization_budget_pareto"] = (
     quantization_budget_pareto,
     _QBP_ORACLE.replace("{KNN_TRUTH}", _REG_ORACLES["knn_bruteforce"]),
 )
+
+
+# --------------------------------------------------------------------------
+# Coarse-cell Lloyd convergence (round-12 original; completes the
+# Lloyd chain's symmetry — PQ side has pq_lloyd_refinement +
+# pq_lloyd_convergence, the coarse side has ivf_cell_lloyd_probe +
+# THIS): the stop-decision curve for the cell trainer. Steps 0/1/2
+# of Lloyd on the KMEANS_K coarse seeds, each step's total
+# assignment distortion, per-step gain, and live-cell count. Step 0
+# and step 1 cross-pin ivf_cell_lloyd_probe's a_toy/b_lloyd1 totals
+# (same arithmetic, independent implementation). At 100 TB each
+# Lloyd pass is a full corpus sweep over the dimension rows — this
+# curve says when to stop paying for them.
+# Exact math: grid-integer distances; centroids ROUND(SUM/n) on
+# exact integer sums per step, so every step's distortion is an
+# exact integer in any accumulation order.
+# Scale: |steps| keyed argmin windows over dimension rows with
+# K x dim broadcast centroids — the kmeans_step posture iterated a
+# fixed, bounded number of times.
+# --------------------------------------------------------------------------
+_CELL_CONV_STEPS = 2
+
+
+def _cell_conv_oracle() -> str:
+    # unrolled fixed-step Lloyd: dist0 uses the first-K seeds; each
+    # subsequent step recomputes integer-grid centroids from the
+    # previous assignment and re-measures
+    ctes = [f"""{_IVF_CTES},
+    asg0 AS (
+      SELECT vec_id, k, dd FROM (
+        SELECT vec_id, k, dd,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, k) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    )"""]
+    for s in range(1, _CELL_CONV_STEPS + 1):
+        ctes.append(f"""
+    cent{s} AS (
+      SELECT a.k, d.pos,
+             CAST(ROUND(SUM(d.xi) * 1.0 / COUNT(*)) AS BIGINT) AS si
+      FROM asg{s - 1} a JOIN dims d ON d.vec_id = a.vec_id
+      GROUP BY a.k, d.pos
+    ),
+    dist{s} AS (
+      SELECT d.vec_id, c.k,
+             CAST(SUM((d.xi - c.si) * (d.xi - c.si)) AS BIGINT) AS dd
+      FROM dims d JOIN cent{s} c ON c.pos = d.pos
+      GROUP BY d.vec_id, c.k
+    ),
+    asg{s} AS (
+      SELECT vec_id, k, dd FROM (
+        SELECT vec_id, k, dd,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, k) AS rn
+        FROM dist{s}
+      ) WHERE rn = 1
+    )""")
+    steps_union = " UNION ALL ".join(
+        f"""SELECT {s} AS step,
+               CAST(SUM(dd) AS BIGINT) AS total_distortion,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS n_cells_used
+        FROM asg{s}"""
+        for s in range(_CELL_CONV_STEPS + 1)
+    )
+    return f"""
+    WITH {",".join(ctes)},
+    steps AS ({steps_union})
+    SELECT CAST(step AS BIGINT) AS step, total_distortion,
+           n_cells_used,
+           CAST(COALESCE(LAG(total_distortion)
+                           OVER (ORDER BY step)
+                         - total_distortion, 0) AS BIGINT) AS gain
+    FROM steps
+    ORDER BY step
+    """
+
+
+def ivf_cell_lloyd_convergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distortion trajectory of 0/1/2 Lloyd steps on the coarse cell
+    seeds with per-step gains and live-cell counts (see block
+    comment)."""
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), grid.alias("xi"))
+    with with_persisted(dims) as dims_p:
+        seeds = dims_p.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("k"), "pos", F.col("xi").alias("si")
+        )
+
+        def assign(cent):
+            dist = (
+                dims_p.join(cent, "pos")
+                .groupBy("vec_id", "k")
+                .agg(
+                    F.sum(
+                        (F.col("xi") - F.col("si"))
+                        * (F.col("xi") - F.col("si"))
+                    )
+                    .cast("bigint")
+                    .alias("dd")
+                )
+            )
+            wv = Window.partitionBy("vec_id").orderBy("dd", "k")
+            return (
+                dist.withColumn("rn", F.row_number().over(wv))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "k", "dd")
+            )
+
+        def recenter(asg):
+            return (
+                asg.join(dims_p, "vec_id")
+                .groupBy("k", "pos")
+                .agg(
+                    F.round(F.sum("xi") * 1.0 / F.count(F.lit(1)))
+                    .cast("bigint")
+                    .alias("si")
+                )
+            )
+
+        steps = None
+        asg = assign(seeds)
+        for s in range(_CELL_CONV_STEPS + 1):
+            stat = asg.agg(
+                F.lit(s).alias("step"),
+                F.sum("dd").cast("bigint").alias("total_distortion"),
+                F.count_distinct("k").cast("bigint").alias(
+                    "n_cells_used"
+                ),
+            )
+            steps = stat if steps is None else steps.unionByName(stat)
+            if s < _CELL_CONV_STEPS:
+                asg = assign(recenter(asg))
+        wlag = Window.orderBy("step")
+        out = (
+            steps.withColumn(
+                "gain",
+                F.coalesce(
+                    F.lag("total_distortion").over(wlag)
+                    - F.col("total_distortion"),
+                    F.lit(0),
+                ).cast("bigint"),
+            )
+            .select(
+                F.col("step").cast("bigint").alias("step"),
+                "total_distortion",
+                "n_cells_used",
+                "gain",
+            )
+            .orderBy("step")
+        )
+        return materialize(out)
+
+
+ROUND13_STAGED["ivf_cell_lloyd_convergence"] = (
+    ivf_cell_lloyd_convergence,
+    _cell_conv_oracle(),
+)

@@ -23,10 +23,10 @@ STAGED_NAMES = sorted(STAGED)
 
 
 def test_round13_staged_not_registered():
-    """The freeze: 13 staged round-13 ops, none registered, registry
+    """The freeze: 14 staged round-13 ops, none registered, registry
     still exactly 470. Flip this to an activation assertion (registry
-    == 483, identity per name) at the round-13 boundary."""
-    assert len(STAGED) == 13
+    == 484, identity per name) at the round-13 boundary."""
+    assert len(STAGED) == 14
     assert len(REGISTRY) == 470
     for name in STAGED:
         assert name not in REGISTRY
@@ -411,4 +411,30 @@ def test_ivf_cell_lloyd_probe_regime(spark):
     assert (
         pdf.loc[("b_lloyd1", 1), "coverage_ppm"]
         < pdf.loc[("a_toy", 1), "coverage_ppm"]
+    )
+
+
+def test_ivf_cell_lloyd_convergence_plateau(spark):
+    """The coarse trainer's stop curve: monotone non-increasing
+    distortion, no dead cells, an immediate plateau (step-1 gain
+    dwarfs step-2's by far more than 5x), and steps 0/1 cross-pin
+    ivf_cell_lloyd_probe's a_toy/b_lloyd1 totals exactly — same
+    arithmetic, independent implementations."""
+    fn, _ = STAGED["ivf_cell_lloyd_convergence"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("step")
+    assert pdf.total_distortion.is_monotonic_decreasing
+    assert (pdf.n_cells_used == 8).all()
+    assert pdf.loc[0, "gain"] == 0
+    assert pdf.loc[1, "gain"] > 5 * pdf.loc[2, "gain"]
+    probe_fn, _ = STAGED["ivf_cell_lloyd_probe"]
+    probe = (
+        probe_fn(spark, SF_DIR).toPandas().set_index(["variant", "nprobe"])
+    )
+    assert (
+        pdf.loc[0, "total_distortion"]
+        == probe.loc[("a_toy", 1), "total_distortion"]
+    )
+    assert (
+        pdf.loc[1, "total_distortion"]
+        == probe.loc[("b_lloyd1", 1), "total_distortion"]
     )
