@@ -3123,10 +3123,16 @@ def dedup_quality_survivorship(
 # pairs but explode the candidate volume. This table re-bands the
 # SAME 32 verified minhash sketches into (16 x 2), (8 x 4), (4 x 8)
 # and prices each against the exact Jaccard truth (jaccard_pairs,
-# threshold 0.7): candidate pairs, truth recall, and precision.
+# threshold 0.7): candidate pairs, truth recall, and precision —
+# recall/precision estimated on the deterministic 1-in-20 doc_a
+# slice (the decontaminate_ngram eval-slice convention; the sliced
+# truth pushes its predicate into the quadratic self-join's probe
+# side, 108s -> 10s at sf0.1, while the candidate VOLUME column
+# stays exact over the full corpus).
 # Pinned frontier, both directions monotone across the three
 # configs: narrower bands => candidates and recall both rise,
-# precision falls.
+# precision falls (recall monotonicity is STRUCTURAL — the
+# candidate sets nest).
 # Scale: candidate-pair DISTINCT enumeration is quadratic in cluster
 # size — the audit-scale contract jaccard_pairs already carries; the
 # production path for the chosen config is minhash_dedup's
@@ -3163,18 +3169,25 @@ def _band_sweep_oracle() -> str:
     cand AS ({" UNION ALL ".join(arms)}),
     truth AS (
       SELECT doc_a, doc_b FROM ({{JACCARD_TRUTH}})
+      WHERE doc_a % 20 = 0
     ),
-    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth)
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_slice FROM truth)
     SELECT CAST(c.bands AS BIGINT) AS bands,
            CAST(c.rows_per_band AS BIGINT) AS rows_per_band,
            CAST(COUNT(*) AS BIGINT) AS n_candidates,
-           MAX(nt.n_true) AS n_true,
+           CAST(count_if(c.doc_a % 20 = 0) AS BIGINT) AS n_cand_slice,
+           MAX(nt.n_true_slice) AS n_true_slice,
            CAST(count_if(t.doc_a IS NOT NULL) AS BIGINT)
-             AS n_true_caught,
-           CAST(ROUND(count_if(t.doc_a IS NOT NULL) * 1000000.0
-                      / MAX(nt.n_true)) AS BIGINT) AS recall_ppm,
-           CAST(ROUND(count_if(t.doc_a IS NOT NULL) * 1000000.0
-                      / COUNT(*)) AS BIGINT) AS precision_ppm
+             AS n_caught_slice,
+           CAST(CASE WHEN MAX(nt.n_true_slice) > 0
+                     THEN ROUND(count_if(t.doc_a IS NOT NULL)
+                                * 1000000.0 / MAX(nt.n_true_slice))
+                END AS BIGINT) AS recall_ppm,
+           CAST(CASE WHEN count_if(c.doc_a % 20 = 0) > 0
+                     THEN ROUND(count_if(t.doc_a IS NOT NULL)
+                                * 1000000.0
+                                / count_if(c.doc_a % 20 = 0))
+                END AS BIGINT) AS precision_ppm
     FROM cand c
     CROSS JOIN nt
     LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
@@ -3185,91 +3198,171 @@ def _band_sweep_oracle() -> str:
 
 def lsh_band_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-band the verified 32-sketch minhash signatures into three
-    (bands, rows) splits and price candidate volume vs exact-Jaccard
-    recall and precision (see block comment)."""
-    from bigdataentrytask_spark.operators import REGISTRY
+    (bands, rows) splits and price candidate volume vs sliced exact-
+    Jaccard recall and precision (see block comment).
+
+    Scale shape — three structural choices carry the op: (1) band
+    NESTING: equality on a 4-row band implies equality on both its
+    2-row halves, so the candidate sets nest ((4,8) subset of (8,4)
+    subset of (16,2)) and ONE distinct-pair enumeration on the
+    finest banding covers every config, with membership in the
+    coarser bandings a per-PAIR slice check (the doc-level signature
+    frame joins back broadcast — it is KBs); (2) the exact-Jaccard
+    truth is evaluated on the 1-in-20 doc_a slice, which Catalyst
+    pushes into the quadratic self-join's probe side (108s -> 10s at
+    sf0.1); (3) the flagged pair frame is persisted across the three
+    config arms so the enumeration lineage runs once."""
+    from bigdataentrytask_spark.operators import (
+        REGISTRY,
+        materialize,
+        with_persisted,
+    )
 
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
     )
     hashes = toks.select("doc_id", token_hash("tok").alias("h"))
     mh = hashes.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min(
+                    (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+                    % MERSENNE_P
+                )
+                for i in range(NUM_HASHES)
+            ]
+        ).alias("sig")
+    )
+    nb_f, r_f = _BAND_SWEEP_CONFIGS[0]  # finest banding (16, 2)
+    bkeys = F.array(
         *[
-            F.min(
-                (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
-                % MERSENNE_P
-            ).alias(f"mh{i}")
-            for i in range(NUM_HASHES)
+            F.concat_ws(
+                ":",
+                F.lit(i),
+                *[F.col("sig")[j] for j in range(i * r_f, (i + 1) * r_f)],
+            )
+            for i in range(nb_f)
         ]
     )
-    cand = None
-    for nb, r in _BAND_SWEEP_CONFIGS:
-        bkeys = F.array(
-            *[
-                F.concat_ws(
-                    ":",
-                    F.lit(i),
-                    *[F.col(f"mh{j}") for j in range(i * r, (i + 1) * r)],
-                )
+    truth = (
+        REGISTRY["jaccard_pairs"](spark, sf_dir)
+        .filter(F.col("doc_a") % 20 == 0)
+        .select("doc_a", "doc_b", F.lit(1).alias("hit"))
+    )
+
+    def in_config(nb: int, r: int):
+        # static OR of per-band slice equalities, NOT a higher-order
+        # exists() lambda: the flags evaluate on every candidate pair
+        # and the interpreted HOF was the hot path (~30s of the op at
+        # sf0.1); unrolled comparisons stay inside whole-stage codegen
+        return F.expr(
+            " OR ".join(
+                f"(slice(sa, {i * r + 1}, {r})"
+                f" = slice(sb, {i * r + 1}, {r}))"
                 for i in range(nb)
-            ]
+            )
         )
-        bands = mh.select(
-            "doc_id", F.explode(bkeys).alias("bkey")
-        )
+
+    with with_persisted(mh) as mh_p:
+        bands = mh_p.select("doc_id", F.explode(bkeys).alias("bkey"))
         a = bands.alias("a")
         b = bands.alias("b")
-        pairs = (
+        pairs16 = (
             a.join(
                 b,
                 (F.col("a.bkey") == F.col("b.bkey"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
             .select(
-                F.lit(nb).alias("bands"),
-                F.lit(r).alias("rows_per_band"),
                 F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
             )
             .distinct()
         )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    truth = REGISTRY["jaccard_pairs"](spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit(1).alias("hit")
-    )
-    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
-    return (
-        cand.join(truth, ["doc_a", "doc_b"], "left")
-        .crossJoin(F.broadcast(nt))
-        .groupBy("bands", "rows_per_band")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
-            F.max("n_true").alias("n_true"),
-            F.sum(F.coalesce("hit", F.lit(0)))
-            .cast("bigint")
-            .alias("n_true_caught"),
+        sa = mh_p.select(
+            F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")
         )
-        .select(
-            F.col("bands").cast("bigint").alias("bands"),
-            F.col("rows_per_band").cast("bigint").alias("rows_per_band"),
-            "n_candidates",
-            "n_true",
-            "n_true_caught",
-            F.round(
-                F.col("n_true_caught") * 1000000.0 / F.col("n_true")
-            )
-            .cast("bigint")
-            .alias("recall_ppm"),
-            F.round(
-                F.col("n_true_caught")
-                * 1000000.0
-                / F.col("n_candidates")
-            )
-            .cast("bigint")
-            .alias("precision_ppm"),
+        sb = mh_p.select(
+            F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")
         )
-        .orderBy(F.col("bands").desc())
-    )
+        flagged = (
+            pairs16.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .join(truth, ["doc_a", "doc_b"], "left")
+            .select(
+                (F.col("doc_a") % 20 == 0).alias("in_slice"),
+                F.coalesce("hit", F.lit(0)).alias("hit"),
+                *[
+                    in_config(nb, r).alias(f"in_{nb}_{r}")
+                    for nb, r in _BAND_SWEEP_CONFIGS[1:]
+                ],
+            )
+        )
+        with with_persisted(flagged, truth) as (flagged_p, truth_p):
+            arms = flagged_p.select(
+                F.lit(_BAND_SWEEP_CONFIGS[0][0]).alias("bands"),
+                F.lit(_BAND_SWEEP_CONFIGS[0][1]).alias("rows_per_band"),
+                "in_slice",
+                "hit",
+            )
+            for nb, r in _BAND_SWEEP_CONFIGS[1:]:
+                arms = arms.unionByName(
+                    flagged_p.filter(F.col(f"in_{nb}_{r}")).select(
+                        F.lit(nb).alias("bands"),
+                        F.lit(r).alias("rows_per_band"),
+                        "in_slice",
+                        "hit",
+                    )
+                )
+            nt = truth_p.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_true_slice")
+            )
+            out = (
+                arms.crossJoin(F.broadcast(nt))
+                .groupBy("bands", "rows_per_band")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+                    F.sum(F.col("in_slice").cast("long"))
+                    .cast("bigint")
+                    .alias("n_cand_slice"),
+                    F.max("n_true_slice").alias("n_true_slice"),
+                    F.sum("hit").cast("bigint").alias("n_caught_slice"),
+                )
+                .select(
+                    F.col("bands").cast("bigint").alias("bands"),
+                    F.col("rows_per_band")
+                    .cast("bigint")
+                    .alias("rows_per_band"),
+                    "n_candidates",
+                    "n_cand_slice",
+                    "n_true_slice",
+                    "n_caught_slice",
+                    # NULL, not a /0 error, when the random-input
+                    # eval slice is empty (ANSI mode throws)
+                    F.when(
+                        F.col("n_true_slice") > 0,
+                        F.round(
+                            F.col("n_caught_slice")
+                            * 1000000.0
+                            / F.col("n_true_slice")
+                        ),
+                    )
+                    .cast("bigint")
+                    .alias("recall_ppm"),
+                    F.when(
+                        F.col("n_cand_slice") > 0,
+                        F.round(
+                            F.col("n_caught_slice")
+                            * 1000000.0
+                            / F.col("n_cand_slice")
+                        ),
+                    )
+                    .cast("bigint")
+                    .alias("precision_ppm"),
+                )
+                .orderBy(F.col("bands").desc())
+            )
+            return materialize(out)
 
 
 ROUND13_STAGED: dict[str, tuple] = {

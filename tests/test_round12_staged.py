@@ -177,8 +177,10 @@ def test_dedup_quality_survivorship_invariants(spark):
 def test_lsh_band_width_sweep_s_curve(spark):
     """The banding S-curve on the shared 32-sketch signatures:
     narrower bands monotonically buy recall with candidate volume
-    and pay in precision; the verified pipeline's own (8 x 4) config
-    sits at the knee (>99% recall at ~2/3 the widest volume)."""
+    and pay in precision (recall monotonicity is STRUCTURAL — the
+    candidate sets nest); the verified pipeline's own (8 x 4) config
+    sits at the knee (>99% sliced recall at ~2/3 the widest
+    volume)."""
     fn, _ = STAGED["lsh_band_width_sweep"]
     pdf = fn(spark, SF_DIR).toPandas().sort_values(
         "bands", ascending=False
@@ -186,10 +188,12 @@ def test_lsh_band_width_sweep_s_curve(spark):
     assert list(pdf.bands) == [16, 8, 4]
     assert (pdf.bands * pdf.rows_per_band == 32).all()
     assert pdf.n_candidates.is_monotonic_decreasing
+    assert pdf.n_cand_slice.is_monotonic_decreasing
     assert pdf.recall_ppm.is_monotonic_decreasing
     assert pdf.precision_ppm.is_monotonic_increasing
-    assert pdf.n_true.nunique() == 1
-    assert (pdf.n_true_caught <= pdf.n_true).all()
+    assert pdf.n_true_slice.nunique() == 1
+    assert (pdf.n_caught_slice <= pdf.n_true_slice).all()
+    assert (pdf.n_cand_slice <= pdf.n_candidates).all()
     knee = pdf.set_index("bands")
     assert knee.loc[8, "recall_ppm"] > 990_000
     assert knee.loc[16, "recall_ppm"] == 1_000_000
