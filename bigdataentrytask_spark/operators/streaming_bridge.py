@@ -2548,18 +2548,21 @@ def _fixed_ttl_kernel(ttls_s: list[int]):
     import pandas as pd
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["t", "event_id"])
+        # one Arrow batch per USER, each event_type's run walked
+        # inside (a (user, type)-grained grouping costs a kernel
+        # invocation per tiny group — ~750 calls for ~200 users)
+        pdf = pdf.sort_values(["event_type", "t", "event_id"])
         uid = pdf["user_id"].iloc[0]
-        etype = pdf["event_type"].iloc[0]
-        ts = [int(x) for x in pdf["t"]]
         rows = []
-        for ttl_s in ttls_s:
-            ttl_us = ttl_s * 1_000_000
-            admit_t = None
-            for t in ts:
-                if admit_t is None or t - admit_t > ttl_us:
-                    admit_t = t
-                    rows.append((ttl_s, uid, etype, t))
+        for etype, grp in pdf.groupby("event_type", sort=False):
+            ts = [int(x) for x in grp["t"]]
+            for ttl_s in ttls_s:
+                ttl_us = ttl_s * 1_000_000
+                admit_t = None
+                for t in ts:
+                    if admit_t is None or t - admit_t > ttl_us:
+                        admit_t = t
+                        rows.append((ttl_s, uid, etype, t))
         return pd.DataFrame(
             rows, columns=["ttl_s", "user_id", "event_type", "t0"]
         )
@@ -2580,7 +2583,7 @@ def dedup_ttl_fixed_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "event_id",
         F.unix_micros("ts").alias("t"),
     )
-    adm = ev.groupBy("user_id", "event_type").applyInPandas(
+    adm = ev.groupBy("user_id").applyInPandas(
         _fixed_ttl_kernel(_DEDUP_TTL_CANDS_S),
         schema="ttl_s long, user_id long, event_type string, t0 long",
     )
