@@ -2978,6 +2978,10 @@ ROUND12_STAGED: dict[str, tuple] = {
 # summary is a single-row rollup. No pair enumeration anywhere —
 # survivorship needs buckets, not pairs.
 # --------------------------------------------------------------------------
+# _qsurv_oracle composes curation's quality_classifier_score oracle at
+# import time; import curation explicitly so a direct `import dedup`
+# (outside load_all's canonical order) still finds it registered.
+from bigdataentrytask_spark.operators import curation as _curation_d13  # noqa: F401
 from bigdataentrytask_spark.operators import ORACLES as _ORACLES_D13
 
 

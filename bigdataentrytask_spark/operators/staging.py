@@ -118,9 +118,9 @@ ROUND12_ACTIVATED: dict[str, tuple] = {
     **_WAREHOUSE_R12,
 }
 
-# PENDING set — staged for the NEXT round boundary, NOT registered.
-# preverify --staged / layout_scan --staged / roundcheck's staged
-# steps read this; fed by the per-module ROUND13_STAGED dicts.
+# Round-13 set — ACTIVATED at the round-13 boundary (memory:
+# round13-activation): the 14 operators staged during round 12
+# (per-module ROUND13_STAGED dicts) now register via register_all().
 from bigdataentrytask_spark.operators.curation import (  # noqa: E402
     ROUND13_STAGED as _CURATION_R13,
 )
@@ -140,7 +140,7 @@ from bigdataentrytask_spark.operators.warehouse import (  # noqa: E402
     ROUND13_STAGED as _WAREHOUSE_R13,
 )
 
-STAGED: dict[str, tuple] = {
+ROUND13_ACTIVATED: dict[str, tuple] = {
     **_CURATION_R13,
     **_DEDUP_R13,
     **_SIMILARITY_R13,
@@ -148,6 +148,12 @@ STAGED: dict[str, tuple] = {
     **_TEXT_R13,
     **_WAREHOUSE_R13,
 }
+
+# PENDING set — staged for the NEXT round boundary, NOT registered.
+# preverify --staged / layout_scan --staged / roundcheck's staged
+# steps read this; fed by per-module ROUND14_STAGED dicts when
+# round-13 work stages operators for round 14.
+STAGED: dict[str, tuple] = {}
 
 
 def register_all() -> None:
@@ -159,6 +165,8 @@ def register_all() -> None:
     for name, (fn, osql) in ROUND11_ACTIVATED.items():
         operator(name, oracle=osql)(fn)
     for name, (fn, osql) in ROUND12_ACTIVATED.items():
+        operator(name, oracle=osql)(fn)
+    for name, (fn, osql) in ROUND13_ACTIVATED.items():
         operator(name, oracle=osql)(fn)
 
 

@@ -20,6 +20,7 @@ from bigdataentrytask_spark.operators.staging import (
     ROUND10_ACTIVATED,
     ROUND11_ACTIVATED,
     ROUND12_ACTIVATED,
+    ROUND13_ACTIVATED,
     STAGED as _PENDING,
 )
 
@@ -30,6 +31,7 @@ STAGED = {
     **ROUND10_ACTIVATED,
     **ROUND11_ACTIVATED,
     **ROUND12_ACTIVATED,
+    **ROUND13_ACTIVATED,
     **_PENDING,
 }
 

@@ -28,10 +28,10 @@ STAGED_NAMES = sorted(STAGED)
 def test_round11_activation_complete():
     """VERDICT r10 item 1: the 22 round-10-staged operators are LIVE —
     register_all() covers ROUND11_ACTIVATED; the registry stands at
-    470 after the round-12 activation, and every staged name resolves to its staged function object
+    484 after the round-13 activation, and every staged name resolves to its staged function object
     (not a shadowing duplicate)."""
     assert len(STAGED) == 22
-    assert len(REGISTRY) == 470
+    assert len(REGISTRY) == 484
     for name, (fn, _osql) in STAGED.items():
         assert REGISTRY[name] is fn
 

@@ -1,6 +1,6 @@
 """Round-13 staged operators (VERDICT r11 item 6): implemented and
-differential-tested DURING round 12; zero registry delta until the
-round-13 boundary activates them via staging.register_all(), per
+differential-tested DURING round 12; ACTIVATED at the round-13
+boundary via staging.register_all() (registry 470 -> 484), per
 CONTRIBUTING.md §"Staging operators during a registry freeze".
 
 Differentials go through DuckDB's PANDAS path with the dtype check
@@ -13,7 +13,9 @@ from __future__ import annotations
 import pytest
 
 from bigdataentrytask_spark.operators import REGISTRY, load_all
-from bigdataentrytask_spark.operators.staging import STAGED
+from bigdataentrytask_spark.operators.staging import (
+    ROUND13_ACTIVATED as STAGED,
+)
 
 from .conftest import SF_DIR, assert_matches_oracle
 
@@ -22,14 +24,15 @@ load_all()
 STAGED_NAMES = sorted(STAGED)
 
 
-def test_round13_staged_not_registered():
-    """The freeze: 14 staged round-13 ops, none registered, registry
-    still exactly 470. Flip this to an activation assertion (registry
-    == 484, identity per name) at the round-13 boundary."""
+def test_round13_activation_complete():
+    """The activation: all 14 round-13 staged ops registered, registry
+    exactly 484, and each registered entry IS the staged function
+    object (identity — register_all must not wrap or copy)."""
     assert len(STAGED) == 14
-    assert len(REGISTRY) == 470
-    for name in STAGED:
-        assert name not in REGISTRY
+    assert len(REGISTRY) == 484
+    for name, (fn, _osql) in STAGED.items():
+        assert name in REGISTRY
+        assert REGISTRY[name] is fn
 
 
 def test_round13_staged_all_have_oracles():

@@ -36,8 +36,9 @@ def test_round10_activation_complete():
     registry holds them and every staged name resolves to its staged
     function object (not a shadowing duplicate). Registry total moved
     432 -> 454 at the round-11 activation (VERDICT r10 item 1),
-    454 -> 470 at the round-12 activation (VERDICT r11 item 1)."""
-    assert len(REGISTRY) == 470
+    454 -> 470 at the round-12 activation (VERDICT r11 item 1),
+    470 -> 484 at the round-13 activation."""
+    assert len(REGISTRY) == 484
     for name, (fn, _osql) in STAGED.items():
         assert REGISTRY[name] is fn
 
