@@ -1627,3 +1627,285 @@ def shard_stratified_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROUND13_STAGED: dict[str, tuple] = {
     "shard_stratified_twin": (shard_stratified_twin, _STRAT_TWIN_ORACLE),
 }
+
+
+# ==========================================================================
+# ROUND-14 STAGED (ROADMAP §"Round 14+"; zero registry delta until the
+# round-14 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Gate-stacking ledger (ROADMAP round-14 "Curation"): the single-gate
+# ops price each filter in isolation; a pretraining corpus passes a
+# FUNNEL — exact dedup, then the per-(lang, source) perplexity gate,
+# then the quality classifier — and per-source attrition compounds
+# differently than any one gate suggests. This ledger applies the
+# three gates in sequence and reports the surviving doc and token
+# mass per source after each stage:
+#   stage 1 — exact dedup: dedup_exact's convention (keep MIN doc_id
+#             per md5(normalized text) group).
+#   stage 2 — perplexity gate: the full-corpus bigram-LM score
+#             (perplexity_gate_by_lang's exact 1e6-grid arithmetic),
+#             but the 10% percentile threshold is computed over the
+#             STAGE-1 SURVIVORS per (lang, source) — a funnel gates
+#             the population it actually receives. Unscored docs
+#             (< 2 tokens) pass untouched, matching the single-gate
+#             convention.
+#   stage 3 — quality classifier: quality_classifier_score's
+#             absolute keep (score > 0.5) on stage-2 survivors
+#             (unclassifiable docs pass).
+# Token mass = tokens() count (quality_prune_mix_shift's convention).
+# Pinned shape: per source, n_raw >= n_dedup >= n_ppl >= n_quality
+# (monotone funnel) and likewise for token mass.
+# Exact math: the LM scores are the module's verified integer-grid
+# sums; thresholds are exact discrete percentiles; the two ppm
+# columns are the only doubles.
+# Scale: one fingerprint shuffle (dedup), the bigram-LM's two count
+# joins, one (lang, source)-keyed rank, three doc_id-keyed left
+# joins, one per-source rollup — no pair enumeration, no collect.
+# --------------------------------------------------------------------------
+_GSL_FRAC_PPM = 100_000  # pins text_analysis._PPG_FRAC_PPM (worst 10%)
+
+_GSL_ORACLE = f"""
+    WITH fp AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id, md5({{GSL_NORM}}) AS fp FROM documents)
+      GROUP BY fp
+    ),
+    toks AS (
+      SELECT doc_id, tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+      FROM (
+        SELECT doc_id,
+               UNNEST({sql_tokens('text')}) AS tok,
+               UNNEST(range(len({sql_tokens('text')}))) AS pos
+        FROM documents
+      )
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             tok AS w2
+      FROM toks
+      QUALIFY w1 IS NOT NULL
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2
+           FROM bigrams GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1
+           FROM bigrams GROUP BY 1),
+    v  AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM toks),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(ROUND(SUM(CAST(ROUND(ln((c2.n2 + 1)
+                                / CAST(c1.n1 + v.vsz AS DOUBLE))
+                                * 1000000) AS BIGINT))
+                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+               AS score_e6
+      FROM bigrams b
+      JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+      JOIN c1 ON c1.w1 = b.w1
+      CROSS JOIN v
+      GROUP BY 1
+    ),
+    tagged AS (
+      SELECT d2.lang, d2.source, s.doc_id, s.score_e6,
+             ROW_NUMBER() OVER (PARTITION BY d2.lang, d2.source
+                                ORDER BY s.score_e6, s.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY d2.lang, d2.source) AS n_grp
+      FROM scored s
+      JOIN fp ON fp.doc_id = s.doc_id
+      JOIN documents d2 ON d2.doc_id = s.doc_id
+    ),
+    cut AS (
+      SELECT lang, source,
+             MIN(CASE WHEN rn > n_grp * {_GSL_FRAC_PPM} // 1000000
+                      THEN score_e6 END) AS th
+      FROM tagged GROUP BY 1, 2
+    ),
+    pr2 AS (
+      SELECT t.doc_id
+      FROM tagged t
+      JOIN cut c ON c.lang = t.lang AND c.source = t.source
+      WHERE t.score_e6 < c.th
+    ),
+    q AS ({{GSL_QUALITY}}),
+    flags AS (
+      SELECT d.source,
+             CAST(len({sql_tokens('text')}) AS BIGINT) AS tok,
+             (fp.doc_id IS NOT NULL) AS f1,
+             (fp.doc_id IS NOT NULL AND pr2.doc_id IS NULL) AS f2,
+             (fp.doc_id IS NOT NULL AND pr2.doc_id IS NULL
+              AND COALESCE(q.keep, TRUE)) AS f3
+      FROM documents d
+      LEFT JOIN fp ON fp.doc_id = d.doc_id
+      LEFT JOIN pr2 ON pr2.doc_id = d.doc_id
+      LEFT JOIN q ON q.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(SUM(tok) AS BIGINT) AS tok_raw,
+           CAST(count_if(f1) AS BIGINT) AS n_dedup,
+           CAST(SUM(CASE WHEN f1 THEN tok ELSE 0 END) AS BIGINT)
+             AS tok_dedup,
+           CAST(count_if(f2) AS BIGINT) AS n_ppl,
+           CAST(SUM(CASE WHEN f2 THEN tok ELSE 0 END) AS BIGINT)
+             AS tok_ppl,
+           CAST(count_if(f3) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN f3 THEN tok ELSE 0 END) AS BIGINT)
+             AS tok_quality,
+           CAST(ROUND(count_if(f3) * 1000000.0 / COUNT(*)) AS BIGINT)
+             AS kept_docs_ppm,
+           CAST(ROUND(SUM(CASE WHEN f3 THEN tok ELSE 0 END) * 1000000.0
+                      / SUM(tok)) AS BIGINT) AS kept_tokens_ppm
+    FROM flags
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+def _gsl_oracle() -> str:
+    """Late-compose the dedup fingerprint + quality CTE (ORACLES is
+    populated by the decorators above in this module; the normalize
+    helper lives in functions.text)."""
+    from bigdataentrytask_spark.functions.text import sql_normalize_text
+    from bigdataentrytask_spark.operators import ORACLES
+
+    return _GSL_ORACLE.replace(
+        "{GSL_NORM}", sql_normalize_text("text")
+    ).replace("{GSL_QUALITY}", ORACLES["quality_classifier_score"])
+
+
+def gate_stacking_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc/token survivorship through the stacked corpus
+    funnel: exact dedup -> per-(lang, source) perplexity gate ->
+    quality classifier (see block comment)."""
+    from pyspark.sql import Window
+
+    from bigdataentrytask_spark.functions.text import normalize_text
+    from bigdataentrytask_spark.operators import REGISTRY
+
+    d = _docs(spark, sf_dir)
+    keep1 = (
+        d.select("doc_id", F.md5(normalize_text("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("s1"))
+    )
+    toks = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.select(
+        "doc_id",
+        F.lag("tok").over(w).alias("w1"),
+        F.col("tok").alias("w2"),
+    ).filter(F.col("w1").isNotNull())
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = toks.agg(F.count_distinct("tok").alias("vsz"))
+    lp_g = F.round(
+        F.log(
+            (F.col("n2") + 1) / (F.col("n1") + F.col("vsz")).cast("double")
+        )
+        * 1000000
+    ).cast("bigint")
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(lp_g) / F.count(F.lit(1)).cast("double"))
+            .cast("bigint")
+            .alias("score_e6")
+        )
+    )
+    ws = Window.partitionBy("lang", "source").orderBy(
+        "score_e6", "doc_id"
+    )
+    ranked = (
+        scored.join(keep1.select("doc_id"), "doc_id")
+        .join(d.select("doc_id", "lang", "source"), "doc_id")
+        .select(
+            "lang",
+            "source",
+            "doc_id",
+            "score_e6",
+            F.row_number().over(ws).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("lang", "source"))
+            .alias("n_grp"),
+        )
+    )
+    cut = ranked.groupBy("lang", "source").agg(
+        F.min(
+            F.when(
+                F.col("rn")
+                > F.floor(F.col("n_grp") * _GSL_FRAC_PPM / 1000000),
+                F.col("score_e6"),
+            )
+        ).alias("th")
+    )
+    pruned2 = (
+        ranked.join(F.broadcast(cut), ["lang", "source"])
+        .filter(F.col("score_e6") < F.col("th"))
+        .select("doc_id", F.lit(True).alias("p2"))
+    )
+    qk = REGISTRY["quality_classifier_score"](spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("qkeep")
+    )
+    f1 = F.coalesce("s1", F.lit(False))
+    f2 = f1 & ~F.coalesce("p2", F.lit(False))
+    f3 = f2 & F.coalesce("qkeep", F.lit(True))
+    flags = (
+        d.select(
+            "source",
+            "doc_id",
+            F.size(tokens("text")).cast("bigint").alias("tok"),
+        )
+        .join(keep1, "doc_id", "left")
+        .join(pruned2, "doc_id", "left")
+        .join(qk, "doc_id", "left")
+        .select(
+            "source",
+            "tok",
+            f1.alias("f1"),
+            f2.alias("f2"),
+            f3.alias("f3"),
+        )
+    )
+    kept_tok = F.sum(F.when(F.col("f3"), F.col("tok")).otherwise(0))
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+            F.sum("tok").cast("bigint").alias("tok_raw"),
+            F.sum(F.col("f1").cast("long")).cast("bigint").alias("n_dedup"),
+            F.sum(F.when(F.col("f1"), F.col("tok")).otherwise(0))
+            .cast("bigint")
+            .alias("tok_dedup"),
+            F.sum(F.col("f2").cast("long")).cast("bigint").alias("n_ppl"),
+            F.sum(F.when(F.col("f2"), F.col("tok")).otherwise(0))
+            .cast("bigint")
+            .alias("tok_ppl"),
+            F.sum(F.col("f3").cast("long"))
+            .cast("bigint")
+            .alias("n_quality"),
+            kept_tok.cast("bigint").alias("tok_quality"),
+            F.round(
+                F.sum(F.col("f3").cast("long")) * 1000000.0
+                / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("kept_docs_ppm"),
+            F.round(kept_tok * 1000000.0 / F.sum("tok"))
+            .cast("bigint")
+            .alias("kept_tokens_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND14_STAGED: dict[str, tuple] = {
+    "gate_stacking_ledger": (gate_stacking_ledger, _gsl_oracle()),
+}

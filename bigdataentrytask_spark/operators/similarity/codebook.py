@@ -2510,3 +2510,820 @@ ROUND13_STAGED["ivf_cell_lloyd_convergence"] = (
     ivf_cell_lloyd_convergence,
     _cell_conv_oracle(),
 )
+
+
+# ==========================================================================
+# ROUND-14 STAGED (ROADMAP §"Round 14+"; zero registry delta until the
+# round-14 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# IVFADC 2x2 completion — refined cells x refined codebook (ROADMAP
+# round-14 "Retrieval"): the refinement chain priced each axis alone
+# (ivf_adc_lloyd_recall: toy cells + 1-Lloyd-step PQ codebook;
+# ivf_cell_lloyd_probe: 1-Lloyd-step cells, coverage-only). This op
+# fills the missing quadrant: ONE Lloyd step on the COARSE CELLS
+# (toy assign -> per-cell per-dim integer-grid mean -> reassign) AND
+# the one-step-refined PQ codebook, then the identical superset-ADC /
+# nested-rank nprobe sweep — so row-by-row diffs against
+# ivf_adc_recall (toy x toy) and ivf_adc_lloyd_recall (toy cells x
+# refined codebook) pin whether the two refinements COMPOSE or
+# overlap. Output schema matches both siblings exactly (nprobe,
+# n_queries, mean_candidates, n_hits, recall_at_5).
+# Exact math: grid-integer distances end to end; refined centroids
+# and codewords are ROUND(mean) on exact integer sums (both engines
+# round the identical double); the only other doubles are the two
+# final ratio roundings.
+# Scale posture: identical to ivf_adc_lloyd_recall plus one extra
+# assignment pass (the cell Lloyd step) — centroid/codebook sides
+# stay K x dim broadcast rows, candidate work stays
+# need_probe-bounded.
+# --------------------------------------------------------------------------
+_IVF_ADC_2X2_ORACLE = f"""
+    WITH {{IVF_CTES}},
+    cent AS (
+      SELECT a.k, d.pos,
+             CAST(ROUND(SUM(d.xi) * 1.0 / COUNT(*)) AS BIGINT) AS si
+      FROM assigned a JOIN dims d ON d.vec_id = a.vec_id
+      GROUP BY a.k, d.pos
+    ),
+    dist2 AS (
+      SELECT d.vec_id, c.k,
+             CAST(SUM((d.xi - c.si) * (d.xi - c.si)) AS BIGINT) AS dd
+      FROM dims d JOIN cent c ON c.pos = d.pos
+      GROUP BY d.vec_id, c.k
+    ),
+    assigned2 AS (
+      SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, k) AS rn
+        FROM dist2
+      ) WHERE rn = 1
+    ),
+    cb0 AS (
+      SELECT vec_id AS code, ((pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             pos, xi AS ci
+      FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos,
+                   CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+            FROM v WHERE vec_id < {_PQ_K}) t
+    ),
+    pq_dist0 AS (
+      SELECT d.vec_id, ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             cb.code,
+             CAST(SUM((d.xi - cb.ci) * (d.xi - cb.ci)) AS BIGINT) AS dd
+      FROM dims d
+      JOIN cb0 cb ON cb.pos = d.pos
+                 AND cb.sub = ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM}
+      GROUP BY 1, 2, 3
+    ),
+    pq_assigned0 AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM pq_dist0
+      ) WHERE rn = 1
+    ),
+    refined AS (
+      SELECT a.sub, a.code, d.pos,
+             CAST(ROUND(SUM(d.xi) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+               AS ci
+      FROM pq_assigned0 a
+      JOIN dims d ON d.vec_id = a.vec_id
+                 AND ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} = a.sub
+      GROUP BY 1, 2, 3
+    ),
+    codebook AS (
+      SELECT c.code, c.sub, c.pos, COALESCE(r.ci, c.ci) AS ci
+      FROM cb0 c
+      LEFT JOIN refined r ON r.sub = c.sub AND r.code = c.code
+                         AND r.pos = c.pos
+    ),
+    pq_dist AS (
+      SELECT d.vec_id, ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             cb.code,
+             CAST(SUM((d.xi - cb.ci) * (d.xi - cb.ci)) AS BIGINT) AS dd
+      FROM dims d
+      JOIN codebook cb ON cb.pos = d.pos
+                      AND cb.sub = ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM}
+      GROUP BY 1, 2, 3
+    ),
+    pq_assigned AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM pq_dist
+      ) WHERE rn = 1
+    ),
+    qcells AS (
+      SELECT vec_id AS query_id, k,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dd, k) AS cell_rnk
+      FROM dist2 WHERE vec_id < {N_QUERIES}
+    ),
+    need AS (
+      SELECT qc.query_id, ac.vec_id AS neighbor_id,
+             MIN(qc.cell_rnk) AS need_probe
+      FROM qcells qc
+      JOIN assigned2 ac ON ac.k = qc.k
+      WHERE ac.vec_id <> qc.query_id
+      GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT n.query_id, n.neighbor_id, n.need_probe,
+             CAST(SUM((q.xi - cb.ci) * (q.xi - cb.ci)) AS BIGINT) AS dd
+      FROM need n
+      JOIN pq_assigned a ON a.vec_id = n.neighbor_id
+      JOIN codebook cb ON cb.sub = a.sub AND cb.code = a.code
+      JOIN dims q ON q.vec_id = n.query_id AND q.pos = cb.pos
+      WHERE n.need_probe <= {max(_IVF_ADC_PROBES)}
+      GROUP BY 1, 2, 3
+    ),
+    pr(nprobe) AS (VALUES {", ".join(f"({p})" for p in _IVF_ADC_PROBES)}),
+    ranked AS (
+      SELECT pr.nprobe, a.query_id, a.neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY pr.nprobe, a.query_id
+                                ORDER BY a.dd, a.neighbor_id) AS rnk
+      FROM adc a JOIN pr ON a.need_probe <= pr.nprobe
+    ),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS dd
+      FROM dims q
+      JOIN dims c ON c.pos = q.pos AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dd, neighbor_id) AS rnk
+        FROM exact
+      ) WHERE rnk <= {TOP_K}
+    ),
+    vol AS (
+      SELECT pr.nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM need n JOIN pr ON n.need_probe <= pr.nprobe
+      GROUP BY 1
+    ),
+    hits AS (
+      SELECT r.nprobe,
+             CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT) AS n_hits
+      FROM ranked r
+      LEFT JOIN truth t ON t.query_id = r.query_id
+                       AND t.neighbor_id = r.neighbor_id
+      WHERE r.rnk <= {TOP_K}
+      GROUP BY 1
+    )
+    SELECT CAST(h.nprobe AS BIGINT) AS nprobe,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           ROUND(CAST(v.n_candidates AS DOUBLE) / {N_QUERIES}, 6)
+             AS mean_candidates,
+           h.n_hits,
+           ROUND(CAST(h.n_hits AS DOUBLE) / ({N_QUERIES} * {TOP_K}), 6)
+             AS recall_at_5
+    FROM hits h JOIN vol v ON v.nprobe = h.nprobe
+    ORDER BY nprobe
+    """
+
+
+def ivf_adc_refined_joint_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVFADC nprobe sweep under BOTH one-Lloyd-step refinements —
+    coarse cells and PQ codebook — completing the 2x2 (see block
+    comment; plan = ivf_adc_lloyd_recall plus one cell reassignment
+    pass)."""
+    from bigdataentrytask_spark.operators import materialize, with_persisted
+
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long").alias("sub"),
+        (F.col("pos0") + 1).alias("pos"),
+        grid.alias("xi"),
+    )
+    with with_persisted(dims) as dims_p:
+        seeds = dims_p.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("k"),
+            F.col("pos").alias("s_pos"),
+            F.col("xi").alias("si"),
+        )
+        cdist0 = (
+            dims_p.join(F.broadcast(seeds), F.col("s_pos") == F.col("pos"))
+            .groupBy("vec_id", "k")
+            .agg(
+                F.sum(
+                    (F.col("xi") - F.col("si")) * (F.col("xi") - F.col("si"))
+                )
+                .cast("bigint")
+                .alias("dd")
+            )
+        )
+        wc = Window.partitionBy("vec_id").orderBy("dd", "k")
+        assigned0 = (
+            cdist0.withColumn("rn", F.row_number().over(wc))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "k")
+        )
+        cent = (
+            assigned0.join(dims_p, "vec_id")
+            .groupBy("k", F.col("pos").alias("s_pos"))
+            .agg(
+                F.round(F.sum("xi") * 1.0 / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("si")
+            )
+        )
+        cdist = (
+            dims_p.join(F.broadcast(cent), F.col("s_pos") == F.col("pos"))
+            .groupBy("vec_id", "k")
+            .agg(
+                F.sum(
+                    (F.col("xi") - F.col("si")) * (F.col("xi") - F.col("si"))
+                )
+                .cast("bigint")
+                .alias("dd")
+            )
+        )
+        cell_rank = cdist.withColumn("rn", F.row_number().over(wc))
+        assigned_cell = materialize(
+            cell_rank.filter(F.col("rn") == 1).select("vec_id", "k")
+        )
+        qcells = materialize(
+            cell_rank.filter(F.col("vec_id") < N_QUERIES).select(
+                F.col("vec_id").alias("query_id"),
+                "k",
+                F.col("rn").alias("cell_rnk"),
+            )
+        )
+        need = materialize(
+            qcells.join(
+                assigned_cell.withColumnRenamed("vec_id", "neighbor_id"),
+                "k",
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.min("cell_rnk").alias("need_probe"))
+        )
+        cb0 = (
+            e.filter(F.col("vec_id") < _PQ_K)
+            .select(
+                F.col("vec_id").alias("cb_code"),
+                F.posexplode(
+                    F.transform("embedding", lambda x: x.cast("double"))
+                ).alias("pos0", "x"),
+            )
+            .select(
+                "cb_code",
+                ((F.col("pos0") * _PQ_SUB) / _PQ_DIM)
+                .cast("long")
+                .alias("cb_sub"),
+                (F.col("pos0") + 1).alias("cb_pos"),
+                grid.alias("ci"),
+            )
+        )
+
+        def pq_assign(cbf):
+            dist0 = (
+                dims_p.join(
+                    F.broadcast(cbf),
+                    (F.col("cb_pos") == F.col("pos"))
+                    & (F.col("cb_sub") == F.col("sub")),
+                )
+                .groupBy("vec_id", "sub", F.col("cb_code").alias("code"))
+                .agg(
+                    F.sum(
+                        (F.col("xi") - F.col("ci"))
+                        * (F.col("xi") - F.col("ci"))
+                    )
+                    .cast("bigint")
+                    .alias("dd")
+                )
+            )
+            wp = Window.partitionBy("vec_id", "sub").orderBy("dd", "code")
+            return materialize(
+                dist0.withColumn("rn", F.row_number().over(wp))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "sub", "code")
+            )
+
+        a0 = pq_assign(cb0)
+        refined = (
+            a0.select(
+                F.col("vec_id").alias("a_vid"),
+                F.col("sub").alias("a_sub"),
+                "code",
+            )
+            .join(
+                dims_p,
+                (F.col("a_vid") == F.col("vec_id"))
+                & (F.col("a_sub") == F.col("sub")),
+            )
+            .groupBy(
+                F.col("a_sub").alias("cb_sub"),
+                F.col("code").alias("cb_code"),
+                F.col("pos").alias("cb_pos"),
+            )
+            .agg(
+                F.round(F.sum("xi") / F.count(F.lit(1)).cast("double"))
+                .cast("bigint")
+                .alias("r_ci")
+            )
+        )
+        codebook = (
+            cb0.join(refined, ["cb_sub", "cb_code", "cb_pos"], "left")
+            .select(
+                "cb_code",
+                "cb_sub",
+                "cb_pos",
+                F.coalesce("r_ci", "ci").alias("ci"),
+            )
+        )
+        pq_assigned = pq_assign(codebook)
+        rmax = max(_IVF_ADC_PROBES)
+        adc = (
+            need.filter(F.col("need_probe") <= rmax)
+            .join(
+                pq_assigned.select(
+                    F.col("vec_id").alias("neighbor_id"), "sub", "code"
+                ),
+                "neighbor_id",
+            )
+            .join(
+                F.broadcast(
+                    codebook.select(
+                        F.col("cb_sub").alias("sub"),
+                        F.col("cb_code").alias("code"),
+                        F.col("cb_pos").alias("pos"),
+                        "ci",
+                    )
+                ),
+                ["sub", "code"],
+            )
+            .join(
+                dims_p.select(
+                    F.col("vec_id").alias("query_id"), "pos", "xi"
+                ),
+                ["query_id", "pos"],
+            )
+            .groupBy("query_id", "neighbor_id", "need_probe")
+            .agg(
+                F.sum(
+                    (F.col("xi") - F.col("ci")) * (F.col("xi") - F.col("ci"))
+                )
+                .cast("bigint")
+                .alias("dd")
+            )
+        )
+        pr = spark.createDataFrame(
+            [(p,) for p in _IVF_ADC_PROBES], "nprobe long"
+        )
+        ranked = (
+            adc.crossJoin(F.broadcast(pr))
+            .filter(F.col("need_probe") <= F.col("nprobe"))
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("nprobe", "query_id").orderBy(
+                        "dd", "neighbor_id"
+                    )
+                ),
+            )
+            .filter(F.col("rnk") <= TOP_K)
+        )
+        exact = (
+            dims_p.filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("query_id"), "pos", "xi")
+            .join(
+                dims_p.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    "pos",
+                    F.col("xi").alias("ci"),
+                ),
+                "pos",
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.sum(
+                    (F.col("xi") - F.col("ci")) * (F.col("xi") - F.col("ci"))
+                )
+                .cast("bigint")
+                .alias("dd")
+            )
+        )
+        wt = Window.partitionBy("query_id").orderBy("dd", "neighbor_id")
+        truth = (
+            exact.withColumn("rnk", F.row_number().over(wt))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id", F.lit(1).alias("is_true"))
+        )
+        vol = (
+            need.crossJoin(F.broadcast(pr))
+            .filter(F.col("need_probe") <= F.col("nprobe"))
+            .groupBy("nprobe")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        )
+        hits = (
+            ranked.join(truth, ["query_id", "neighbor_id"], "left")
+            .groupBy("nprobe")
+            .agg(
+                F.sum(F.coalesce("is_true", F.lit(0)))
+                .cast("bigint")
+                .alias("n_hits")
+            )
+        )
+        return materialize(
+            hits.join(vol, "nprobe")
+            .select(
+                F.col("nprobe").cast("bigint").alias("nprobe"),
+                F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+                F.round(
+                    F.col("n_candidates").cast("double") / N_QUERIES, 6
+                ).alias("mean_candidates"),
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double") / (N_QUERIES * TOP_K), 6
+                ).alias("recall_at_5"),
+            )
+            .orderBy("nprobe")
+        )
+
+
+ROUND14_STAGED: dict[str, tuple] = {
+    "ivf_adc_refined_joint_recall": (
+        ivf_adc_refined_joint_recall,
+        _IVF_ADC_2X2_ORACLE.replace("{IVF_CTES}", _IVF_CTES),
+    ),
+}
+
+
+# --------------------------------------------------------------------------
+# Residual-PQ under refined cells (ROADMAP round-14 "Retrieval"):
+# residual_pq_distortion pinned an honest NEGATIVE gain — two-level
+# quantization loses to flat PQ on this near-isotropic corpus — but
+# its residuals came from the WEAK first-K coarse seeds. One cell-
+# Lloyd step shrinks the coarse distortion (ivf_cell_lloyd_probe
+# prices it), which shrinks residual variance; this op re-prices the
+# residual-vs-flat trade under the REFINED cells and answers the
+# queued question directly: does the sign flip? Per subspace: flat-PQ
+# error (the unchanged baseline), the toy-seed residual error (the
+# original op's column, recomputed in the same pass for a same-query
+# diff), the refined-cell residual error, both gains, and the
+# sign_flipped flag (toy gain <= 0 < refined gain).
+# Exact math: refined centroids are ROUND(mean) on exact integer
+# sums, so refined residuals stay grid integers and every distance
+# is exact; per-subspace sums go through the module's canonical
+# decimal(19,0) before the final double casts.
+# Scale posture: residual_pq_distortion's plan plus one extra
+# assignment pass and one extra residual branch — dimension-level
+# rows, broadcast codebooks, bounded argmin windows.
+# --------------------------------------------------------------------------
+_RPQ_REFINED_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, generate_subscripts(e, 1) AS pos,
+             ((generate_subscripts(e, 1) - 1) * {_PQ_SUB}) // {_PQ_DIM}
+               AS sub,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+      FROM v
+    ),
+    seeds AS (
+      SELECT vec_id AS k, generate_subscripts(e, 1) AS pos,
+             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS si
+      FROM v WHERE vec_id < {KMEANS_K}
+    ),
+    cdist AS (
+      SELECT d.vec_id, se.k,
+             CAST(SUM((d.xi - se.si) * (d.xi - se.si)) AS BIGINT) AS dd
+      FROM dims d JOIN seeds se ON se.pos = d.pos
+      GROUP BY 1, 2
+    ),
+    cassign AS (
+      SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, k) AS rn
+        FROM cdist
+      ) WHERE rn = 1
+    ),
+    cent AS (
+      SELECT a.k, d.pos,
+             CAST(ROUND(SUM(d.xi) * 1.0 / COUNT(*)) AS BIGINT) AS si
+      FROM cassign a JOIN dims d ON d.vec_id = a.vec_id
+      GROUP BY a.k, d.pos
+    ),
+    cdist2 AS (
+      SELECT d.vec_id, c.k,
+             CAST(SUM((d.xi - c.si) * (d.xi - c.si)) AS BIGINT) AS dd
+      FROM dims d JOIN cent c ON c.pos = d.pos
+      GROUP BY d.vec_id, c.k
+    ),
+    cassign2 AS (
+      SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, k) AS rn
+        FROM cdist2
+      ) WHERE rn = 1
+    ),
+    resid AS (
+      SELECT d.vec_id, d.pos, d.sub, d.xi - se.si AS ri
+      FROM dims d
+      JOIN cassign a ON a.vec_id = d.vec_id
+      JOIN seeds se ON se.k = a.k AND se.pos = d.pos
+    ),
+    resid2 AS (
+      SELECT d.vec_id, d.pos, d.sub, d.xi - c.si AS ri
+      FROM dims d
+      JOIN cassign2 a ON a.vec_id = d.vec_id
+      JOIN cent c ON c.k = a.k AND c.pos = d.pos
+    ),
+    rcode AS (
+      SELECT vec_id AS code, sub, pos, ri AS ci
+      FROM resid WHERE vec_id < {_PQ_K}
+    ),
+    rcode2 AS (
+      SELECT vec_id AS code, sub, pos, ri AS ci
+      FROM resid2 WHERE vec_id < {_PQ_K}
+    ),
+    rdist AS (
+      SELECT r.vec_id, r.sub, c.code,
+             CAST(SUM((r.ri - c.ci) * (r.ri - c.ci)) AS BIGINT) AS dd
+      FROM resid r JOIN rcode c ON c.pos = r.pos AND c.sub = r.sub
+      GROUP BY 1, 2, 3
+    ),
+    rdist2 AS (
+      SELECT r.vec_id, r.sub, c.code,
+             CAST(SUM((r.ri - c.ci) * (r.ri - c.ci)) AS BIGINT) AS dd
+      FROM resid2 r JOIN rcode2 c ON c.pos = r.pos AND c.sub = r.sub
+      GROUP BY 1, 2, 3
+    ),
+    rbest AS (
+      SELECT vec_id, sub, dd FROM (
+        SELECT vec_id, sub, dd,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM rdist
+      ) WHERE rn = 1
+    ),
+    rbest2 AS (
+      SELECT vec_id, sub, dd FROM (
+        SELECT vec_id, sub, dd,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM rdist2
+      ) WHERE rn = 1
+    ),
+    fcode AS (
+      SELECT vec_id AS code, sub, pos, xi AS ci
+      FROM dims WHERE vec_id < {_PQ_K}
+    ),
+    fdist AS (
+      SELECT d.vec_id, d.sub, c.code,
+             CAST(SUM((d.xi - c.ci) * (d.xi - c.ci)) AS BIGINT) AS dd
+      FROM dims d JOIN fcode c ON c.pos = d.pos AND c.sub = d.sub
+      GROUP BY 1, 2, 3
+    ),
+    fbest AS (
+      SELECT vec_id, sub, dd FROM (
+        SELECT vec_id, sub, dd,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM fdist
+      ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT f.sub,
+             COUNT(*) AS n_vecs,
+             SUM(f.dd::HUGEINT) AS flat_g,
+             SUM(r.dd::HUGEINT) AS res_toy_g,
+             SUM(r2.dd::HUGEINT) AS res_lloyd_g
+      FROM fbest f
+      JOIN rbest r ON r.vec_id = f.vec_id AND r.sub = f.sub
+      JOIN rbest2 r2 ON r2.vec_id = f.vec_id AND r2.sub = f.sub
+      GROUP BY 1
+    )
+    SELECT CAST(sub AS BIGINT) AS sub,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           ROUND(CAST(flat_g AS DOUBLE) / 1e12, 4) AS flat_sq_error,
+           ROUND(CAST(res_toy_g AS DOUBLE) / 1e12, 4)
+             AS resid_toy_sq_error,
+           ROUND(CAST(res_lloyd_g AS DOUBLE) / 1e12, 4)
+             AS resid_lloyd_sq_error,
+           CAST(ROUND((CAST(flat_g AS DOUBLE) - CAST(res_toy_g AS DOUBLE))
+                      * 1000000.0 / CAST(flat_g AS DOUBLE)) AS BIGINT)
+             AS gain_toy_ppm,
+           CAST(ROUND((CAST(flat_g AS DOUBLE)
+                       - CAST(res_lloyd_g AS DOUBLE))
+                      * 1000000.0 / CAST(flat_g AS DOUBLE)) AS BIGINT)
+             AS gain_lloyd_ppm,
+           (CAST(ROUND((CAST(flat_g AS DOUBLE)
+                        - CAST(res_toy_g AS DOUBLE))
+                       * 1000000.0 / CAST(flat_g AS DOUBLE)) AS BIGINT)
+              <= 0
+            AND CAST(ROUND((CAST(flat_g AS DOUBLE)
+                            - CAST(res_lloyd_g AS DOUBLE))
+                           * 1000000.0 / CAST(flat_g AS DOUBLE))
+                     AS BIGINT) > 0) AS sign_flipped
+    FROM agg ORDER BY sub
+    """
+
+
+def residual_pq_refined_cells(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Residual-PQ distortion under one-Lloyd-step coarse cells, with
+    the toy-seed residual and flat-PQ baselines in the same pass and
+    the sign-flip verdict per subspace (see block comment)."""
+    from bigdataentrytask_spark.operators import materialize, with_persisted
+
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    sub_of = ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        sub_of.alias("sub"),
+        grid.alias("xi"),
+    )
+    d19 = "decimal(19,0)"
+    with with_persisted(dims) as dims_p:
+        seeds = dims_p.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("k"),
+            F.col("pos").alias("s_pos"),
+            F.col("xi").alias("si"),
+        )
+        sqd = (F.col("xi") - F.col("si")) * (F.col("xi") - F.col("si"))
+        cdist = (
+            dims_p.join(F.broadcast(seeds), F.col("s_pos") == F.col("pos"))
+            .groupBy("vec_id", "k")
+            .agg(F.sum(sqd).cast("bigint").alias("dd"))
+        )
+        wv = Window.partitionBy("vec_id").orderBy("dd", "k")
+        cassign = (
+            cdist.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("k").alias("ck"))
+        )
+        cent = (
+            cassign.join(dims_p, "vec_id")
+            .groupBy(F.col("ck").alias("k"), F.col("pos").alias("s_pos"))
+            .agg(
+                F.round(F.sum("xi") * 1.0 / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("si")
+            )
+        )
+        cdist2 = (
+            dims_p.join(F.broadcast(cent), F.col("s_pos") == F.col("pos"))
+            .groupBy("vec_id", "k")
+            .agg(F.sum(sqd).cast("bigint").alias("dd"))
+        )
+        cassign2 = (
+            cdist2.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("k").alias("ck"))
+        )
+
+        def resid_of(assign_df, cent_df):
+            return (
+                dims_p.join(assign_df, "vec_id")
+                .join(
+                    F.broadcast(cent_df),
+                    (F.col("s_pos") == F.col("pos"))
+                    & (F.col("k") == F.col("ck")),
+                )
+                .select(
+                    "vec_id", "pos", "sub",
+                    (F.col("xi") - F.col("si")).alias("ri"),
+                )
+            )
+
+        def best_of(resid_p):
+            rcode = resid_p.filter(F.col("vec_id") < _PQ_K).select(
+                F.col("vec_id").alias("code"),
+                F.col("sub").alias("c_sub"),
+                F.col("pos").alias("c_pos"),
+                F.col("ri").alias("ci"),
+            )
+            rdiff = F.col("ri") - F.col("ci")
+            rdist = (
+                resid_p.join(
+                    F.broadcast(rcode),
+                    (F.col("c_pos") == F.col("pos"))
+                    & (F.col("c_sub") == F.col("sub")),
+                )
+                .groupBy("vec_id", "sub", "code")
+                .agg(F.sum(rdiff * rdiff).cast("bigint").alias("dd"))
+            )
+            ws = Window.partitionBy("vec_id", "sub").orderBy("dd", "code")
+            return (
+                rdist.withColumn("rn", F.row_number().over(ws))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "sub", "dd")
+            )
+
+        seeds_c = seeds.select(
+            "k", "s_pos", "si"
+        )
+        with with_persisted(resid_of(cassign, seeds_c)) as resid_toy:
+            with with_persisted(resid_of(cassign2, cent)) as resid_ll:
+                rbest = best_of(resid_toy).select(
+                    "vec_id", "sub", F.col("dd").alias("rdd")
+                )
+                rbest2 = best_of(resid_ll).select(
+                    "vec_id", "sub", F.col("dd").alias("r2dd")
+                )
+                fcode = dims_p.filter(F.col("vec_id") < _PQ_K).select(
+                    F.col("vec_id").alias("code"),
+                    F.col("sub").alias("c_sub"),
+                    F.col("pos").alias("c_pos"),
+                    F.col("xi").alias("ci"),
+                )
+                fdiff = F.col("xi") - F.col("ci")
+                fdist = (
+                    dims_p.join(
+                        F.broadcast(fcode),
+                        (F.col("c_pos") == F.col("pos"))
+                        & (F.col("c_sub") == F.col("sub")),
+                    )
+                    .groupBy("vec_id", "sub", "code")
+                    .agg(F.sum(fdiff * fdiff).cast("bigint").alias("dd"))
+                )
+                wsb = Window.partitionBy("vec_id", "sub").orderBy(
+                    "dd", "code"
+                )
+                fbest = (
+                    fdist.withColumn("rn", F.row_number().over(wsb))
+                    .filter(F.col("rn") == 1)
+                    .select("vec_id", "sub", F.col("dd").alias("fdd"))
+                )
+                agg = (
+                    fbest.join(rbest, ["vec_id", "sub"])
+                    .join(rbest2, ["vec_id", "sub"])
+                    .groupBy("sub")
+                    .agg(
+                        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                        F.sum(F.col("fdd").cast(d19))
+                        .cast("double")
+                        .alias("flat_g"),
+                        F.sum(F.col("rdd").cast(d19))
+                        .cast("double")
+                        .alias("res_toy_g"),
+                        F.sum(F.col("r2dd").cast(d19))
+                        .cast("double")
+                        .alias("res_lloyd_g"),
+                    )
+                )
+                gain_toy = F.round(
+                    (F.col("flat_g") - F.col("res_toy_g"))
+                    * 1000000.0
+                    / F.col("flat_g")
+                ).cast("bigint")
+                gain_ll = F.round(
+                    (F.col("flat_g") - F.col("res_lloyd_g"))
+                    * 1000000.0
+                    / F.col("flat_g")
+                ).cast("bigint")
+                return materialize(
+                    agg.select(
+                        F.col("sub").cast("bigint").alias("sub"),
+                        "n_vecs",
+                        F.round(F.col("flat_g") / 1e12, 4).alias(
+                            "flat_sq_error"
+                        ),
+                        F.round(F.col("res_toy_g") / 1e12, 4).alias(
+                            "resid_toy_sq_error"
+                        ),
+                        F.round(F.col("res_lloyd_g") / 1e12, 4).alias(
+                            "resid_lloyd_sq_error"
+                        ),
+                        gain_toy.alias("gain_toy_ppm"),
+                        gain_ll.alias("gain_lloyd_ppm"),
+                        ((gain_toy <= 0) & (gain_ll > 0)).alias(
+                            "sign_flipped"
+                        ),
+                    ).orderBy("sub")
+                )
+
+
+ROUND14_STAGED["residual_pq_refined_cells"] = (
+    residual_pq_refined_cells,
+    _RPQ_REFINED_ORACLE,
+)

@@ -151,9 +151,30 @@ ROUND13_ACTIVATED: dict[str, tuple] = {
 
 # PENDING set — staged for the NEXT round boundary, NOT registered.
 # preverify --staged / layout_scan --staged / roundcheck's staged
-# steps read this; fed by per-module ROUND14_STAGED dicts when
-# round-13 work stages operators for round 14.
-STAGED: dict[str, tuple] = {}
+# steps read this; fed by the per-module ROUND14_STAGED dicts.
+from bigdataentrytask_spark.operators.curation import (  # noqa: E402
+    ROUND14_STAGED as _CURATION_R14,
+)
+from bigdataentrytask_spark.operators.similarity.codebook import (  # noqa: E402
+    ROUND14_STAGED as _SIMILARITY_R14,
+)
+from bigdataentrytask_spark.operators.streaming_bridge import (  # noqa: E402
+    ROUND14_STAGED as _STREAMING_R14,
+)
+from bigdataentrytask_spark.operators.text_analysis import (  # noqa: E402
+    ROUND14_STAGED as _TEXT_R14,
+)
+from bigdataentrytask_spark.operators.warehouse import (  # noqa: E402
+    ROUND14_STAGED as _WAREHOUSE_R14,
+)
+
+STAGED: dict[str, tuple] = {
+    **_CURATION_R14,
+    **_SIMILARITY_R14,
+    **_STREAMING_R14,
+    **_TEXT_R14,
+    **_WAREHOUSE_R14,
+}
 
 
 def register_all() -> None:

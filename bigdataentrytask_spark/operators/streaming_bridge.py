@@ -2651,3 +2651,327 @@ ROUND13_STAGED: dict[str, tuple] = {
         _THREEWAY_ORACLE,
     ),
 }
+
+
+# ==========================================================================
+# ROUND-14 STAGED (ROADMAP §"Round 14+"; zero registry delta until the
+# round-14 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Sliding-vs-fixed TTL joint state bytes (ROADMAP round-14
+# "Streaming"): the two dedup-TTL twins price their stores with
+# CONTINUOUS endpoint sweeps, each on its own retention intervals —
+# numbers a capacity planner cannot subtract, because the peaks land
+# at different instants. This table puts BOTH policies on ONE sampled
+# trigger grid per (ttl_s, trigger_s) — state_sizing_threeway's
+# pattern applied to the dedup store — so the policy comparison is
+# pointwise: sliding retention intervals are the gap islands
+# [t0, t1 + ttl) (dedup_ttl_state_projection's convention), fixed
+# intervals are the kernel walk's anchored [t0, t0 + ttl), and every
+# batch point carries rows * 48 B for each store. Reported per
+# (ttl, trigger): sampled peaks and bytes for both policies, the
+# signed peak-bytes delta (fixed - sliding; the bill for losing
+# refresh semantics), and the max POINTWISE gap in rows both ways —
+# fixed_over_sliding can exceed the peak delta (fixed admits more,
+# earlier anchors) while sliding_over_fixed > 0 proves the stores
+# also cross (a sliding island's refreshed tail outlives the fixed
+# anchor's horizon), which is exactly why marginal peaks don't
+# subtract.
+# Cross-pins: per ttl, max over triggers of peak_sliding_rows <=
+# dedup_ttl_state_projection.peak_state_keys and likewise for the
+# fixed twin (sampling never exceeds the continuous sweep; equality
+# on this corpus at the 60 s trigger is asserted in the staged test).
+# Exact math: integer microseconds; grid ids by integer floor-div;
+# the only arithmetic is interval-cover counting.
+# Scale: the kernel is the fixed twin's per-user batched walk;
+# interval explodes are span/trigger per combo (domain-sized); the
+# grid rollup is |ttl| x |trigger| keyed. At 100 TB the grid explode
+# shards per key-range exactly as the threeway op documents.
+# --------------------------------------------------------------------------
+_TTL_JOINT_ORACLE = f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS t
+      FROM events
+    ),
+    ttl(ttl_s) AS (VALUES
+      {", ".join(f"({s})" for s in _DEDUP_TTL_CANDS_S)}),
+    tr(trigger_s) AS (VALUES
+      {", ".join(f"({t})" for t in _BATCH_PEAK_TRIGGERS_S)}),
+    lagged AS (
+      SELECT ttl.ttl_s, e.user_id, e.event_type, e.t, e.event_id,
+             LAG(e.t) OVER (PARTITION BY ttl.ttl_s, e.user_id,
+                                         e.event_type
+                            ORDER BY e.t, e.event_id) AS prev_t
+      FROM ev e CROSS JOIN ttl
+    ),
+    isl AS (
+      SELECT ttl_s, user_id, event_type, t,
+             SUM(CASE WHEN prev_t IS NULL
+                       OR t - prev_t > CAST(ttl_s AS BIGINT) * 1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY ttl_s, user_id, event_type
+                     ORDER BY t, event_id) AS aid
+      FROM lagged
+    ),
+    sl AS (
+      SELECT ttl_s, MIN(t) AS t0,
+             MAX(t) + CAST(ttl_s AS BIGINT) * 1000000 AS t_end
+      FROM isl GROUP BY ttl_s, user_id, event_type, aid
+    ),
+    occ AS (
+      SELECT ttl.ttl_s, e.user_id, e.event_type, e.t,
+             ROW_NUMBER() OVER (PARTITION BY ttl.ttl_s, e.user_id,
+                                             e.event_type
+                                ORDER BY e.t, e.event_id) AS rn
+      FROM ev e CROSS JOIN ttl
+    ),
+    walk AS (
+      SELECT ttl_s, user_id, event_type, rn, t AS cur_admit,
+             TRUE AS admitted
+      FROM occ WHERE rn = 1
+      UNION ALL
+      SELECT o.ttl_s, o.user_id, o.event_type, o.rn,
+             CASE WHEN o.t - w.cur_admit
+                       > CAST(o.ttl_s AS BIGINT) * 1000000
+                  THEN o.t ELSE w.cur_admit END,
+             o.t - w.cur_admit > CAST(o.ttl_s AS BIGINT) * 1000000
+      FROM walk w
+      JOIN occ o ON o.ttl_s = w.ttl_s AND o.user_id = w.user_id
+                AND o.event_type = w.event_type AND o.rn = w.rn + 1
+    ),
+    fx AS (
+      SELECT ttl_s, cur_admit AS t0,
+             cur_admit + CAST(ttl_s AS BIGINT) * 1000000 AS t_end
+      FROM walk WHERE admitted
+    ),
+    shits AS (
+      SELECT s.ttl_s, tr.trigger_s, u.g,
+             CAST(COUNT(*) AS BIGINT) AS sliding_rows
+      FROM sl s CROSS JOIN tr, LATERAL unnest(range(
+        (s.t0 + tr.trigger_s * 1000000 - 1) // (tr.trigger_s * 1000000),
+        (s.t_end - 1) // (tr.trigger_s * 1000000) + 1)) AS u(g)
+      GROUP BY 1, 2, 3
+    ),
+    fhits AS (
+      SELECT f.ttl_s, tr.trigger_s, u.g,
+             CAST(COUNT(*) AS BIGINT) AS fixed_rows
+      FROM fx f CROSS JOIN tr, LATERAL unnest(range(
+        (f.t0 + tr.trigger_s * 1000000 - 1) // (tr.trigger_s * 1000000),
+        (f.t_end - 1) // (tr.trigger_s * 1000000) + 1)) AS u(g)
+      GROUP BY 1, 2, 3
+    ),
+    bnd AS (
+      SELECT s.ttl_s,
+             LEAST(s.mn, f.mn) AS mn, GREATEST(s.mx, f.mx) AS mx
+      FROM (SELECT ttl_s, MIN(t0) AS mn, MAX(t_end - 1) AS mx
+            FROM sl GROUP BY 1) s
+      JOIN (SELECT ttl_s, MIN(t0) AS mn, MAX(t_end - 1) AS mx
+            FROM fx GROUP BY 1) f ON f.ttl_s = s.ttl_s
+    ),
+    grid AS (
+      SELECT b.ttl_s, tr.trigger_s, u.g
+      FROM bnd b CROSS JOIN tr, LATERAL unnest(range(
+        (b.mn + tr.trigger_s * 1000000 - 1) // (tr.trigger_s * 1000000),
+        b.mx // (tr.trigger_s * 1000000) + 1)) AS u(g)
+    ),
+    joint AS (
+      SELECT g.ttl_s, g.trigger_s,
+             COALESCE(sh.sliding_rows, 0) AS sliding_rows,
+             COALESCE(fh.fixed_rows, 0) AS fixed_rows
+      FROM grid g
+      LEFT JOIN shits sh ON sh.ttl_s = g.ttl_s
+                        AND sh.trigger_s = g.trigger_s AND sh.g = g.g
+      LEFT JOIN fhits fh ON fh.ttl_s = g.ttl_s
+                        AND fh.trigger_s = g.trigger_s AND fh.g = g.g
+    )
+    SELECT CAST(ttl_s AS BIGINT) AS ttl_s,
+           CAST(trigger_s AS BIGINT) AS trigger_s,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(MAX(sliding_rows) AS BIGINT) AS peak_sliding_rows,
+           CAST(MAX(fixed_rows) AS BIGINT) AS peak_fixed_rows,
+           CAST(MAX(sliding_rows) * {_DEDUP_KEY_BYTES} AS BIGINT)
+             AS peak_sliding_bytes,
+           CAST(MAX(fixed_rows) * {_DEDUP_KEY_BYTES} AS BIGINT)
+             AS peak_fixed_bytes,
+           CAST((MAX(fixed_rows) - MAX(sliding_rows))
+                * {_DEDUP_KEY_BYTES} AS BIGINT) AS delta_peak_bytes,
+           CAST(MAX(fixed_rows - sliding_rows) AS BIGINT)
+             AS max_fixed_over_sliding,
+           CAST(MAX(sliding_rows - fixed_rows) AS BIGINT)
+             AS max_sliding_over_fixed
+    FROM joint
+    GROUP BY 1, 2
+    ORDER BY ttl_s, trigger_s
+    """
+
+
+def dedup_ttl_policy_joint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding-vs-fixed dedup-TTL state sampled on one shared trigger
+    grid per (ttl, trigger): per-policy sampled peaks and bytes, the
+    signed peak delta, and both pointwise crossing gaps (see block
+    comment)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("t"),
+    )
+    ttl = spark.createDataFrame(
+        [(s,) for s in _DEDUP_TTL_CANDS_S], "ttl_s long"
+    )
+    tr = spark.createDataFrame(
+        [(t,) for t in _BATCH_PEAK_TRIGGERS_S], "trigger_s long"
+    )
+    # sliding intervals: gap islands, [t0, t1 + ttl)
+    wl = Window.partitionBy("ttl_s", "user_id", "event_type").orderBy(
+        "t", "event_id"
+    )
+    isl = (
+        ev.crossJoin(F.broadcast(ttl))
+        .withColumn("prev_t", F.lag("t").over(wl))
+        .withColumn(
+            "aid",
+            F.sum(
+                F.when(
+                    F.col("prev_t").isNull()
+                    | (
+                        F.col("t") - F.col("prev_t")
+                        > F.col("ttl_s") * 1_000_000
+                    ),
+                    1,
+                ).otherwise(0)
+            ).over(wl),
+        )
+    )
+    sl = isl.groupBy("ttl_s", "user_id", "event_type", "aid").agg(
+        F.min("t").alias("t0"),
+        (F.max("t") + F.col("ttl_s") * 1_000_000).alias("t_end"),
+    ).select("ttl_s", "t0", "t_end")
+    # fixed intervals: the twin's kernel walk, [t0, t0 + ttl)
+    fx = (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            _fixed_ttl_kernel(_DEDUP_TTL_CANDS_S),
+            schema="ttl_s long, user_id long, event_type string, t0 long",
+        )
+        .select(
+            "ttl_s",
+            "t0",
+            (F.col("t0") + F.col("ttl_s") * 1_000_000).alias("t_end"),
+        )
+    )
+    p_us = F.col("trigger_s") * 1_000_000
+    g_lo = F.floor((F.col("t0") + p_us - 1) / p_us)
+    g_hi = F.floor((F.col("t_end") - 1) / p_us)
+
+    def hits(iv, out):
+        return (
+            iv.crossJoin(F.broadcast(tr))
+            .select(
+                "ttl_s",
+                "trigger_s",
+                F.explode(
+                    F.when(g_hi >= g_lo, F.sequence(g_lo, g_hi)).otherwise(
+                        F.expr("CAST(array() AS array<bigint>)")
+                    )
+                ).alias("g"),
+            )
+            .groupBy("ttl_s", "trigger_s", "g")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    shits = hits(sl, "sliding_rows")
+    fhits = hits(fx, "fixed_rows")
+    bnd = (
+        sl.groupBy("ttl_s")
+        .agg(
+            F.min("t0").alias("s_mn"),
+            F.max(F.col("t_end") - 1).alias("s_mx"),
+        )
+        .join(
+            fx.groupBy("ttl_s").agg(
+                F.min("t0").alias("f_mn"),
+                F.max(F.col("t_end") - 1).alias("f_mx"),
+            ),
+            "ttl_s",
+        )
+        .select(
+            "ttl_s",
+            F.least("s_mn", "f_mn").alias("mn"),
+            F.greatest("s_mx", "f_mx").alias("mx"),
+        )
+    )
+    b_lo = F.floor((F.col("mn") + p_us - 1) / p_us)
+    b_hi = F.floor(F.col("mx") / p_us)
+    grid = bnd.crossJoin(F.broadcast(tr)).select(
+        "ttl_s",
+        "trigger_s",
+        F.explode(
+            F.when(b_hi >= b_lo, F.sequence(b_lo, b_hi)).otherwise(
+                F.expr("CAST(array() AS array<bigint>)")
+            )
+        ).alias("g"),
+    )
+    joint = (
+        grid.join(shits, ["ttl_s", "trigger_s", "g"], "left")
+        .join(fhits, ["ttl_s", "trigger_s", "g"], "left")
+        .select(
+            "ttl_s",
+            "trigger_s",
+            F.coalesce("sliding_rows", F.lit(0)).alias("sliding_rows"),
+            F.coalesce("fixed_rows", F.lit(0)).alias("fixed_rows"),
+        )
+    )
+    return (
+        joint.groupBy("ttl_s", "trigger_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.max("sliding_rows").cast("bigint").alias("peak_sliding_rows"),
+            F.max("fixed_rows").cast("bigint").alias("peak_fixed_rows"),
+            (F.max("sliding_rows") * _DEDUP_KEY_BYTES)
+            .cast("bigint")
+            .alias("peak_sliding_bytes"),
+            (F.max("fixed_rows") * _DEDUP_KEY_BYTES)
+            .cast("bigint")
+            .alias("peak_fixed_bytes"),
+            (
+                (F.max("fixed_rows") - F.max("sliding_rows"))
+                * _DEDUP_KEY_BYTES
+            )
+            .cast("bigint")
+            .alias("delta_peak_bytes"),
+            F.max(F.col("fixed_rows") - F.col("sliding_rows"))
+            .cast("bigint")
+            .alias("max_fixed_over_sliding"),
+            F.max(F.col("sliding_rows") - F.col("fixed_rows"))
+            .cast("bigint")
+            .alias("max_sliding_over_fixed"),
+        )
+        .select(
+            F.col("ttl_s").cast("bigint").alias("ttl_s"),
+            F.col("trigger_s").cast("bigint").alias("trigger_s"),
+            "n_batches",
+            "peak_sliding_rows",
+            "peak_fixed_rows",
+            "peak_sliding_bytes",
+            "peak_fixed_bytes",
+            "delta_peak_bytes",
+            "max_fixed_over_sliding",
+            "max_sliding_over_fixed",
+        )
+        .orderBy("ttl_s", "trigger_s")
+    )
+
+
+ROUND14_STAGED: dict[str, tuple] = {
+    "dedup_ttl_policy_joint": (
+        dedup_ttl_policy_joint,
+        _TTL_JOINT_ORACLE,
+    ),
+}

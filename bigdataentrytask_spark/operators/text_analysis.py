@@ -4613,3 +4613,255 @@ ROUND13_STAGED: dict[str, tuple] = {
         _QPMS_ORACLE,
     ),
 }
+
+
+# ==========================================================================
+# ROUND-14 STAGED (ROADMAP §"Round 14+"; zero registry delta until the
+# round-14 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Post-gate mixture re-balancer (ROADMAP round-14 "Curation"):
+# quality_prune_mix_shift proves the perplexity gate MOVES the
+# per-source token mix; this op closes the loop the shift table
+# motivates — re-run domain_mix_planner's uniform-rebalance weights
+# on the POST-GATE corpus and report how much each source's sampling
+# weight must move to keep the trained mixture on target after
+# gating. Per source: kept docs and kept token mass (split-on-space,
+# domain_mix_planner's mass convention; the GATE itself stays on the
+# tokens() LM grid — the two conventions price different things and
+# are both module-pinned), kept token share, the clamped uniform
+# weight on the RAW corpus, the clamped uniform weight on the KEPT
+# corpus, the signed weight shift, and the kept-side clamp flag.
+# Pinned shape: weight_shift_ppm > 0 exactly for sources the gate cut
+# HARDER than average (their kept mass shrank relative to the new
+# uniform target), so the shift column is the re-balancing order a
+# mixture owner actually applies.
+# Exact math: the gate is the verified integer-grid bigram LM with
+# exact discrete thresholds; weights are single-rounded doubles
+# clamped at the module cap (domain_mix_planner's convention).
+# Scale: the gate's two count joins + one (lang, source) rank, one
+# doc_id-keyed anti-join, two source-domain rollups; weight algebra
+# is |sources|-sized.
+# --------------------------------------------------------------------------
+_PGM_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+      FROM (
+        SELECT doc_id,
+               UNNEST({sql_tokens('text')}) AS tok,
+               UNNEST(range(len({sql_tokens('text')}))) AS pos
+        FROM documents
+      )
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             tok AS w2
+      FROM toks
+      QUALIFY w1 IS NOT NULL
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2
+           FROM bigrams GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1
+           FROM bigrams GROUP BY 1),
+    v  AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM toks),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(ROUND(SUM(CAST(ROUND(ln((c2.n2 + 1)
+                                / CAST(c1.n1 + v.vsz AS DOUBLE))
+                                * 1000000) AS BIGINT))
+                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+               AS score_e6
+      FROM bigrams b
+      JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+      JOIN c1 ON c1.w1 = b.w1
+      CROSS JOIN v
+      GROUP BY 1
+    ),
+    tagged AS (
+      SELECT d.lang, d.source, s.doc_id, s.score_e6,
+             ROW_NUMBER() OVER (PARTITION BY d.lang, d.source
+                                ORDER BY s.score_e6, s.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY d.lang, d.source) AS n_grp
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    cut AS (
+      SELECT lang, source,
+             MIN(CASE WHEN rn > n_grp * {_PPG_FRAC_PPM} // 1000000
+                      THEN score_e6 END) AS exact_thresh_e6
+      FROM tagged GROUP BY lang, source
+    ),
+    pruned AS (
+      SELECT t.doc_id
+      FROM tagged t JOIN cut c ON c.lang = t.lang
+                               AND c.source = t.source
+      WHERE t.score_e6 < c.exact_thresh_e6
+    ),
+    raw_per AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    raw_tot AS (SELECT SUM(n_tokens) AS t, COUNT(*) AS s FROM raw_per),
+    kept_per AS (
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT)
+               AS n_tokens
+      FROM documents d LEFT JOIN pruned p ON p.doc_id = d.doc_id
+      WHERE p.doc_id IS NULL
+      GROUP BY d.source
+    ),
+    kept_tot AS (SELECT SUM(n_tokens) AS t, COUNT(*) AS s
+                 FROM kept_per)
+    SELECT k.source,
+           k.n_docs AS n_docs_kept,
+           k.n_tokens AS n_tokens_kept,
+           CAST(ROUND(k.n_tokens * 1000000.0 / kt.t) AS BIGINT)
+             AS token_share_kept_ppm,
+           CAST(LEAST(
+             ROUND((rt.t * 1.0 / rt.s) / r.n_tokens * 1000000.0),
+             {_MIX_MAX_WEIGHT_PPM}) AS BIGINT) AS weight_raw_ppm,
+           CAST(LEAST(
+             ROUND((kt.t * 1.0 / kt.s) / k.n_tokens * 1000000.0),
+             {_MIX_MAX_WEIGHT_PPM}) AS BIGINT) AS weight_kept_ppm,
+           CAST(LEAST(
+             ROUND((kt.t * 1.0 / kt.s) / k.n_tokens * 1000000.0),
+             {_MIX_MAX_WEIGHT_PPM}) AS BIGINT)
+           - CAST(LEAST(
+             ROUND((rt.t * 1.0 / rt.s) / r.n_tokens * 1000000.0),
+             {_MIX_MAX_WEIGHT_PPM}) AS BIGINT) AS weight_shift_ppm,
+           ROUND((kt.t * 1.0 / kt.s) / k.n_tokens * 1000000.0)
+             > {_MIX_MAX_WEIGHT_PPM} AS weight_clamped
+    FROM kept_per k
+    JOIN raw_per r ON r.source = k.source
+    CROSS JOIN raw_tot rt CROSS JOIN kept_tot kt
+    ORDER BY k.source
+    """
+
+
+def post_gate_mix_rebalance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Uniform-rebalance sampling weights recomputed on the post-
+    perplexity-gate corpus, with the signed per-source weight shift
+    vs the raw corpus (see block comment)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.lag("tok").over(w).alias("w1"),
+            F.col("tok").alias("w2"),
+        )
+        .filter(F.col("w1").isNotNull())
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = toks.agg(F.count_distinct("tok").alias("vsz"))
+    lp_g = F.round(
+        F.log(
+            (F.col("n2") + 1) / (F.col("n1") + F.col("vsz")).cast("double")
+        )
+        * 1000000
+    ).cast("bigint")
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(lp_g) / F.count(F.lit(1)).cast("double"))
+            .cast("bigint")
+            .alias("score_e6")
+        )
+    )
+    ws = Window.partitionBy("lang", "source").orderBy(
+        "score_e6", "doc_id"
+    )
+    ranked = (
+        scored.join(d.select("doc_id", "lang", "source"), "doc_id")
+        .select(
+            "lang",
+            "source",
+            "doc_id",
+            "score_e6",
+            F.row_number().over(ws).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("lang", "source"))
+            .alias("n_grp"),
+        )
+    )
+    cut = ranked.groupBy("lang", "source").agg(
+        F.min(
+            F.when(
+                F.col("rn")
+                > F.floor(F.col("n_grp") * _PPG_FRAC_PPM / 1000000),
+                F.col("score_e6"),
+            )
+        ).alias("th")
+    )
+    pruned = (
+        ranked.join(F.broadcast(cut), ["lang", "source"])
+        .filter(F.col("score_e6") < F.col("th"))
+        .select("doc_id", F.lit(True).alias("is_pruned"))
+    )
+    mass = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("tok"),
+    ).join(pruned, "doc_id", "left")
+    raw_per = mass.groupBy("source").agg(
+        F.sum("tok").cast("bigint").alias("r_tokens")
+    )
+    raw_tot = raw_per.agg(
+        F.sum("r_tokens").alias("rt"), F.count(F.lit(1)).alias("rs")
+    )
+    kept_per = (
+        mass.filter(F.col("is_pruned").isNull())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+            F.sum("tok").cast("bigint").alias("k_tokens"),
+        )
+    )
+    kept_tot = kept_per.agg(
+        F.sum("k_tokens").alias("kt"), F.count(F.lit(1)).alias("ks")
+    )
+    raw_w = F.round(
+        (F.col("rt") / F.col("rs")) / F.col("r_tokens") * 1000000.0
+    )
+    kept_w = F.round(
+        (F.col("kt") / F.col("ks")) / F.col("k_tokens") * 1000000.0
+    )
+    raw_wc = F.least(raw_w, F.lit(_MIX_MAX_WEIGHT_PPM)).cast("bigint")
+    kept_wc = F.least(kept_w, F.lit(_MIX_MAX_WEIGHT_PPM)).cast("bigint")
+    return (
+        kept_per.join(raw_per, "source")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(kept_tot))
+        .select(
+            "source",
+            "n_docs_kept",
+            F.col("k_tokens").alias("n_tokens_kept"),
+            F.round(F.col("k_tokens") * 1000000.0 / F.col("kt"))
+            .cast("bigint")
+            .alias("token_share_kept_ppm"),
+            raw_wc.alias("weight_raw_ppm"),
+            kept_wc.alias("weight_kept_ppm"),
+            (kept_wc - raw_wc).alias("weight_shift_ppm"),
+            (kept_w > _MIX_MAX_WEIGHT_PPM).alias("weight_clamped"),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND14_STAGED: dict[str, tuple] = {
+    "post_gate_mix_rebalance": (post_gate_mix_rebalance, _PGM_ORACLE),
+}

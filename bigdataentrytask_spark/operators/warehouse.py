@@ -5463,3 +5463,239 @@ ROUND13_STAGED: dict[str, tuple] = {
     ),
     "compaction_write_amp": (compaction_write_amp, _CWA_ORACLE),
 }
+
+
+# ==========================================================================
+# ROUND-14 STAGED (ROADMAP §"Round 14+"; zero registry delta until the
+# round-14 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Compaction schedule amortizer (ROADMAP round-14 "Warehouse"):
+# compaction_write_amp prices the END-STATE rewrite bill per floor;
+# this op prices the SCHEDULE — month parts arrive in order and the
+# compactor chooses WHEN to merge, which moves both the write bill
+# and how long small files linger. Three schedules per floor, all on
+# the same prefix-sum group layout:
+#   eager    — merge-on-arrival: every part lands in its group's open
+#              file immediately (part i >= 2 of a group rewrites the
+#              accumulated prefix including itself); live files after
+#              any arrival = closed groups + the one open file.
+#   on_close — compact a group once, the moment it closes: rewrite =
+#              multi-part groups' rows once (compaction_write_amp's
+#              number); live files = closed groups (1 file each) +
+#              open group's loose parts.
+#   at_end   — one compaction after the last arrival: same rewrite
+#              bill as on_close but every part stays loose for the
+#              whole stream (live files after arrival t = t).
+# Reported per (floor, policy): ingested rows, rewritten rows, write
+# amp, and the OPERATING cost the end-state view hides — mean live
+# files across the T monthly observation points (measured just after
+# each arrival and any compaction it triggers, x1000) and the max.
+# Pinned shape: rewritten(eager) >= rewritten(on_close) =
+# rewritten(at_end); mean_live(eager) <= mean_live(on_close) <=
+# mean_live(at_end) — the write-bill / file-count trade read as a
+# schedule, not a floor.
+# Exact math: all integer sums over the month domain; the two ppm/e3
+# roundings are the only doubles (module convention).
+# Scale: everything after the one month-domain aggregation is
+# domain-sized (|months| x |floors| rows); the policy unpivot is a
+# 3-way union of one-row-per-floor aggregates.
+# --------------------------------------------------------------------------
+_CSA_ORACLE = f"""
+    WITH per AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT m, n,
+             COALESCE(SUM(n) OVER (ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before,
+             ROW_NUMBER() OVER (ORDER BY m) AS t
+      FROM per
+    ),
+    fl(floor_rows) AS (VALUES
+      {", ".join(f"({x})" for x in _CFS_FLOORS)}),
+    sched AS (
+      SELECT fl.floor_rows, c.t, c.n,
+             CAST(FLOOR(c.before / fl.floor_rows) AS BIGINT) AS gid,
+             ROW_NUMBER() OVER (
+               PARTITION BY fl.floor_rows,
+                            FLOOR(c.before / fl.floor_rows)
+               ORDER BY c.m) AS pidx,
+             SUM(c.n) OVER (
+               PARTITION BY fl.floor_rows,
+                            FLOOR(c.before / fl.floor_rows)
+               ORDER BY c.m ROWS UNBOUNDED PRECEDING) AS pfx
+      FROM cum c CROSS JOIN fl
+    ),
+    base AS (
+      SELECT floor_rows,
+             CAST(MAX(t) AS BIGINT) AS n_months,
+             CAST(SUM(n) AS BIGINT) AS rows_ingested,
+             CAST(SUM(CASE WHEN pidx >= 2 THEN pfx ELSE 0 END)
+                  AS BIGINT) AS eager_rw,
+             CAST(SUM(gid + 1) AS BIGINT) AS ls_eager,
+             CAST(MAX(gid + 1) AS BIGINT) AS lm_eager,
+             CAST(SUM(gid + pidx) AS BIGINT) AS ls_close,
+             CAST(MAX(gid + pidx) AS BIGINT) AS lm_close,
+             CAST(SUM(t) AS BIGINT) AS ls_end,
+             CAST(MAX(t) AS BIGINT) AS lm_end
+      FROM sched GROUP BY 1
+    ),
+    closed AS (
+      SELECT floor_rows,
+             CAST(SUM(CASE WHEN n_parts >= 2 THEN n_rows ELSE 0 END)
+                  AS BIGINT) AS close_rw
+      FROM (
+        SELECT floor_rows, gid, SUM(n) AS n_rows,
+               COUNT(*) AS n_parts
+        FROM sched GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    pol AS (
+      SELECT b.floor_rows, 'eager' AS policy, b.rows_ingested,
+             b.eager_rw AS rows_rewritten, b.n_months,
+             b.ls_eager AS live_sum, b.lm_eager AS max_live_files
+      FROM base b
+      UNION ALL
+      SELECT b.floor_rows, 'on_close', b.rows_ingested, c.close_rw,
+             b.n_months, b.ls_close, b.lm_close
+      FROM base b JOIN closed c ON c.floor_rows = b.floor_rows
+      UNION ALL
+      SELECT b.floor_rows, 'at_end', b.rows_ingested, c.close_rw,
+             b.n_months, b.ls_end, b.lm_end
+      FROM base b JOIN closed c ON c.floor_rows = b.floor_rows
+    )
+    SELECT CAST(floor_rows AS BIGINT) AS floor_rows, policy,
+           rows_ingested, rows_rewritten,
+           CAST(ROUND(rows_rewritten * 1000000.0 / rows_ingested)
+                AS BIGINT) AS write_amp_ppm,
+           CAST(ROUND(live_sum * 1000.0 / n_months) AS BIGINT)
+             AS mean_live_files_e3,
+           max_live_files
+    FROM pol
+    ORDER BY floor_rows, policy
+    """
+
+
+def compaction_schedule_amortizer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Write bill and small-file lifetime per (compaction floor,
+    schedule policy) under in-order month-part arrivals: eager
+    merge-on-arrival vs compact-on-group-close vs once-at-end (see
+    block comment)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderdate")
+    per = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wb = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "m",
+        "n",
+        F.coalesce(F.sum("n").over(wb), F.lit(0)).alias("before"),
+        F.row_number().over(Window.orderBy("m")).alias("t"),
+    )
+    fl = spark.createDataFrame(
+        [(x,) for x in _CFS_FLOORS], "floor_rows long"
+    )
+    wg = Window.partitionBy("floor_rows", "gid").orderBy("m")
+    sched = (
+        cum.crossJoin(F.broadcast(fl))
+        .withColumn(
+            "gid", F.floor(F.col("before") / F.col("floor_rows"))
+        )
+        .withColumn("pidx", F.row_number().over(wg))
+        .withColumn(
+            "pfx",
+            F.sum("n").over(
+                wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    base = sched.groupBy("floor_rows").agg(
+        F.max("t").cast("bigint").alias("n_months"),
+        F.sum("n").cast("bigint").alias("rows_ingested"),
+        F.sum(F.when(F.col("pidx") >= 2, F.col("pfx")).otherwise(0))
+        .cast("bigint")
+        .alias("eager_rw"),
+        F.sum(F.col("gid") + 1).cast("bigint").alias("ls_eager"),
+        F.max(F.col("gid") + 1).cast("bigint").alias("lm_eager"),
+        F.sum(F.col("gid") + F.col("pidx")).cast("bigint").alias("ls_close"),
+        F.max(F.col("gid") + F.col("pidx")).cast("bigint").alias("lm_close"),
+        F.sum("t").cast("bigint").alias("ls_end"),
+        F.max("t").cast("bigint").alias("lm_end"),
+    )
+    closed = (
+        sched.groupBy("floor_rows", "gid")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .groupBy("floor_rows")
+        .agg(
+            F.sum(
+                F.when(F.col("n_parts") >= 2, F.col("n_rows")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("close_rw")
+        )
+    )
+    bc = base.join(closed, "floor_rows")
+    pol = (
+        bc.select(
+            "floor_rows",
+            F.lit("eager").alias("policy"),
+            "rows_ingested",
+            F.col("eager_rw").alias("rows_rewritten"),
+            "n_months",
+            F.col("ls_eager").alias("live_sum"),
+            F.col("lm_eager").alias("max_live_files"),
+        )
+        .unionByName(
+            bc.select(
+                "floor_rows",
+                F.lit("on_close").alias("policy"),
+                "rows_ingested",
+                F.col("close_rw").alias("rows_rewritten"),
+                "n_months",
+                F.col("ls_close").alias("live_sum"),
+                F.col("lm_close").alias("max_live_files"),
+            )
+        )
+        .unionByName(
+            bc.select(
+                "floor_rows",
+                F.lit("at_end").alias("policy"),
+                "rows_ingested",
+                F.col("close_rw").alias("rows_rewritten"),
+                "n_months",
+                F.col("ls_end").alias("live_sum"),
+                F.col("lm_end").alias("max_live_files"),
+            )
+        )
+    )
+    return pol.select(
+        F.col("floor_rows").cast("bigint").alias("floor_rows"),
+        "policy",
+        "rows_ingested",
+        "rows_rewritten",
+        F.round(F.col("rows_rewritten") * 1000000.0 / F.col("rows_ingested"))
+        .cast("bigint")
+        .alias("write_amp_ppm"),
+        F.round(F.col("live_sum") * 1000.0 / F.col("n_months"))
+        .cast("bigint")
+        .alias("mean_live_files_e3"),
+        "max_live_files",
+    ).orderBy("floor_rows", "policy")
+
+
+ROUND14_STAGED: dict[str, tuple] = {
+    "compaction_schedule_amortizer": (
+        compaction_schedule_amortizer,
+        _CSA_ORACLE,
+    ),
+}

@@ -1,0 +1,280 @@
+"""Round-14 staged operators (ROADMAP §"Round 14+"): implemented and
+differential-tested DURING round 13; zero registry delta until the
+round-14 boundary activates them via staging.register_all(), per
+CONTRIBUTING.md §"Staging operators during a registry freeze".
+
+Differentials go through DuckDB's PANDAS path with the dtype check
+(the preverify gate) so the HUGEINT class is covered before any op
+reaches the driver.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdataentrytask_spark.operators import REGISTRY, load_all
+from bigdataentrytask_spark.operators.staging import STAGED
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+load_all()
+
+STAGED_NAMES = sorted(STAGED)
+
+
+def test_round14_staged_not_registered():
+    """The freeze: 6 staged round-14 ops, none registered, registry
+    still exactly 484. Flip this to an activation assertion (registry
+    == 490, identity per name) at the round-14 boundary."""
+    assert len(STAGED) == 6
+    assert len(REGISTRY) == 484
+    for name in STAGED:
+        assert name not in REGISTRY
+
+
+def test_round14_staged_all_have_oracles():
+    for name, (fn, osql) in STAGED.items():
+        assert callable(fn) and isinstance(osql, str) and "SELECT" in osql
+        assert "{" not in osql, f"{name}: unexpanded template in oracle"
+
+
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_staged_matches_oracle(spark, duck, name):
+    fn, osql = STAGED[name]
+    assert_matches_oracle(fn(spark, SF_DIR), duck, osql, name)
+
+
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_staged_pandas_dtype_parity(spark, duck, name):
+    """The preverify gate: DuckDB's pandas fetch must not coerce an
+    integral column to float64 (HUGEINT fingerprint) while the Spark
+    side stays integral."""
+    fn, osql = STAGED[name]
+    spdf = fn(spark, SF_DIR).toPandas()
+    odf = duck.execute(osql).fetch_df()
+    assert sorted(spdf.columns) == sorted(odf.columns)
+    for c in odf.columns:
+        if spdf[c].dtype.kind in "iu":
+            assert odf[c].dtype.kind in "iu", (
+                f"{name}.{c}: oracle {odf[c].dtype} vs spark {spdf[c].dtype}"
+            )
+
+
+# ------------------------------------------------------------ warehouse
+
+
+def test_compaction_schedule_amortizer_frontier(spark):
+    """The pinned schedule frontier: eager pays the largest write
+    bill but holds the fewest live files; at_end pays the on_close
+    bill but keeps every part loose; on_close sits between on BOTH
+    axes. The on_close rewrite bill is exactly compaction_write_amp's
+    end-state number per floor."""
+    fn, _ = STAGED["compaction_schedule_amortizer"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index(["floor_rows", "policy"])
+    from bigdataentrytask_spark.operators.staging import ROUND13_ACTIVATED
+
+    wa = (
+        ROUND13_ACTIVATED["compaction_write_amp"][0](spark, SF_DIR)
+        .toPandas()
+        .set_index("floor_rows")
+    )
+    for f in wa.index:
+        eager = pdf.loc[(f, "eager")]
+        close = pdf.loc[(f, "on_close")]
+        end = pdf.loc[(f, "at_end")]
+        # one ingest total, all policies
+        assert eager.rows_ingested == close.rows_ingested == end.rows_ingested
+        # write bill: eager >= on_close == at_end (== the end-state op)
+        assert eager.rows_rewritten >= close.rows_rewritten
+        assert close.rows_rewritten == end.rows_rewritten
+        assert close.rows_rewritten == wa.loc[f, "rows_rewritten"]
+        assert close.rows_ingested == wa.loc[f, "rows_total"]
+        assert close.write_amp_ppm == wa.loc[f, "write_amp_ppm"]
+        # file-count cost: eager <= on_close <= at_end, strictly at
+        # the ends (multi-part groups exist at every audited floor)
+        assert eager.mean_live_files_e3 < close.mean_live_files_e3
+        assert close.mean_live_files_e3 < end.mean_live_files_e3
+        assert eager.max_live_files <= close.max_live_files
+        assert close.max_live_files <= end.max_live_files
+    # at_end's live-file trajectory is schedule-independent: the same
+    # (n_months) max at every floor
+    ends = pdf.xs("at_end", level="policy")
+    assert ends.max_live_files.nunique() == 1
+    # larger floors merge more aggressively on arrival: eager's write
+    # bill grows with the floor
+    eagers = pdf.xs("eager", level="policy").sort_index()
+    assert eagers.rows_rewritten.is_monotonic_increasing
+
+
+# ------------------------------------------------------------ streaming
+
+
+def test_dedup_ttl_policy_joint_cross_pins(spark):
+    """Sampling never exceeds the continuous endpoint sweep: per TTL,
+    the sampled per-policy peaks are bounded by the twins' continuous
+    peak_state_keys — and on this corpus the 60 s trigger samples
+    densely enough to HIT both continuous peaks exactly."""
+    fn, _ = STAGED["dedup_ttl_policy_joint"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    from bigdataentrytask_spark.operators.staging import ROUND13_ACTIVATED
+
+    sl = (
+        ROUND13_ACTIVATED["dedup_ttl_state_projection"][0](spark, SF_DIR)
+        .toPandas()
+        .set_index("ttl_s")
+    )
+    fx = (
+        ROUND13_ACTIVATED["dedup_ttl_fixed_twin"][0](spark, SF_DIR)
+        .toPandas()
+        .set_index("ttl_s")
+    )
+    for _, r in pdf.iterrows():
+        assert r.peak_sliding_rows <= sl.loc[r.ttl_s, "peak_state_keys"]
+        assert r.peak_fixed_rows <= fx.loc[r.ttl_s, "peak_state_keys"]
+        assert r.peak_sliding_bytes == r.peak_sliding_rows * 48
+        assert r.peak_fixed_bytes == r.peak_fixed_rows * 48
+        assert (
+            r.delta_peak_bytes
+            == r.peak_fixed_bytes - r.peak_sliding_bytes
+        )
+    # the 60 s trigger samples densely enough to sit within one key
+    # of the continuous peak everywhere, and to HIT it at most TTLs
+    # (the ttl=1800 peak lives between ticks on this corpus — the
+    # honest sampling gap the joint table exists to make visible)
+    at60 = pdf[pdf.trigger_s == 60].set_index("ttl_s")
+    s_gap = sl.loc[at60.index, "peak_state_keys"] - at60.peak_sliding_rows
+    f_gap = fx.loc[at60.index, "peak_state_keys"] - at60.peak_fixed_rows
+    assert ((s_gap >= 0) & (s_gap <= 1)).all()
+    assert ((f_gap >= 0) & (f_gap <= 1)).all()
+    assert (s_gap == 0).sum() >= 2
+    assert (f_gap == 0).sum() >= 2
+    # denser trigger -> more batches, never fewer peak rows
+    for ttl in at60.index:
+        a, b = (
+            pdf[(pdf.ttl_s == ttl) & (pdf.trigger_s == 60)].iloc[0],
+            pdf[(pdf.ttl_s == ttl) & (pdf.trigger_s == 300)].iloc[0],
+        )
+        assert a.n_batches > b.n_batches
+        assert a.peak_sliding_rows >= b.peak_sliding_rows
+        assert a.peak_fixed_rows >= b.peak_fixed_rows
+    # the stores genuinely CROSS (why marginal peaks don't subtract):
+    # some batch has sliding retention outliving the fixed anchor
+    assert (pdf.max_sliding_over_fixed > 0).any()
+    # longer memory, bigger store — both policies monotone in TTL
+    for tr in (60, 300):
+        sub = pdf[pdf.trigger_s == tr].sort_values("ttl_s")
+        assert sub.peak_sliding_rows.is_monotonic_increasing
+        assert sub.peak_fixed_rows.is_monotonic_increasing
+
+
+# ------------------------------------------------------------- curation
+
+
+def test_gate_stacking_ledger_funnel(spark):
+    """Monotone funnel per source on both axes, with stage totals
+    pinned against the standalone gates: stage-1 survivors are
+    exactly dedup_exact's group count, and the raw mass is exactly
+    the documents table."""
+    fn, _ = STAGED["gate_stacking_ledger"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert (pdf.n_raw >= pdf.n_dedup).all()
+    assert (pdf.n_dedup >= pdf.n_ppl).all()
+    assert (pdf.n_ppl >= pdf.n_quality).all()
+    assert (pdf.tok_raw >= pdf.tok_dedup).all()
+    assert (pdf.tok_dedup >= pdf.tok_ppl).all()
+    assert (pdf.tok_ppl >= pdf.tok_quality).all()
+    assert (pdf.kept_docs_ppm <= 1_000_000).all()
+    assert (pdf.kept_tokens_ppm <= 1_000_000).all()
+    dexact = REGISTRY["dedup_exact"](spark, SF_DIR).toPandas()
+    # dedup_exact's dup_cnt partitions the corpus; its group count is
+    # exactly the stage-1 survivor total
+    assert pdf.n_raw.sum() == dexact.dup_cnt.sum()
+    assert pdf.n_dedup.sum() == len(dexact)
+    # every gate bites somewhere on this corpus
+    assert pdf.n_ppl.sum() < pdf.n_dedup.sum()
+    assert pdf.n_quality.sum() < pdf.n_ppl.sum()
+
+
+def test_post_gate_mix_rebalance_closes_the_loop(spark):
+    """The raw-side weights are EXACTLY domain_mix_planner's (same
+    clamp, same rounding), kept mass never exceeds raw mass, the
+    kept shares re-normalize to ~1e6, and the shift column is the
+    signed difference it claims to be."""
+    fn, _ = STAGED["post_gate_mix_rebalance"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("source")
+    mix = (
+        REGISTRY["domain_mix_planner"](spark, SF_DIR)
+        .toPandas()
+        .set_index("source")
+    )
+    assert set(pdf.index) == set(mix.index)
+    for s in pdf.index:
+        assert (
+            pdf.loc[s, "weight_raw_ppm"]
+            == mix.loc[s, "uniform_weight_ppm"]
+        )
+        assert pdf.loc[s, "n_tokens_kept"] <= mix.loc[s, "n_tokens"]
+        assert (
+            pdf.loc[s, "weight_shift_ppm"]
+            == pdf.loc[s, "weight_kept_ppm"] - pdf.loc[s, "weight_raw_ppm"]
+        )
+    assert abs(pdf.token_share_kept_ppm.sum() - 1_000_000) <= len(pdf)
+    # the gate moved the mix, so at least one weight had to move
+    assert (pdf.weight_shift_ppm != 0).any()
+    # and re-balancing is zero-ish-sum: shifts can't all point one way
+    assert (pdf.weight_shift_ppm > 0).any()
+    assert (pdf.weight_shift_ppm < 0).any()
+
+
+# ----------------------------------------------------------- similarity
+
+
+def test_ivf_adc_refined_joint_completes_2x2(spark):
+    """The missing quadrant's schema matches both siblings row-for-
+    row on the sweep axis, its candidate volumes stay sane, and the
+    refined coarse quantizer genuinely moves the candidate sets (the
+    two refinements are not redundant)."""
+    fn, _ = STAGED["ivf_adc_refined_joint_recall"]
+    joint = fn(spark, SF_DIR).toPandas().set_index("nprobe")
+    lloyd = (
+        REGISTRY["ivf_adc_lloyd_recall"](spark, SF_DIR)
+        .toPandas()
+        .set_index("nprobe")
+    )
+    assert list(joint.columns) == list(lloyd.columns)
+    assert list(joint.index) == list(lloyd.index) == [1, 2, 4]
+    assert (joint.n_queries == 10).all()
+    assert ((joint.recall_at_5 >= 0) & (joint.recall_at_5 <= 1)).all()
+    assert joint.mean_candidates.is_monotonic_increasing
+    assert (joint.n_hits <= 10 * 5).all()
+    # refined cells re-shape the inverted lists: candidate volume
+    # differs from the toy-cell sweep somewhere
+    assert (joint.mean_candidates != lloyd.mean_candidates).any()
+
+
+def test_residual_pq_refined_cells_sign_flips(spark):
+    """The queued question, answered and pinned: the toy-seed
+    residual trade is NEGATIVE in every subspace (the original op's
+    honest negative, recomputed bit-for-bit), and ONE cell-Lloyd
+    step flips it POSITIVE in every subspace — residual variance
+    drops below raw variance once the coarse centroids are real."""
+    fn, _ = STAGED["residual_pq_refined_cells"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("sub")
+    base = (
+        REGISTRY["residual_pq_distortion"](spark, SF_DIR)
+        .toPandas()
+        .set_index("sub")
+    )
+    for s in pdf.index:
+        assert pdf.loc[s, "flat_sq_error"] == base.loc[s, "flat_sq_error"]
+        assert (
+            pdf.loc[s, "resid_toy_sq_error"]
+            == base.loc[s, "residual_sq_error"]
+        )
+        assert pdf.loc[s, "gain_toy_ppm"] == base.loc[s, "gain_ppm"]
+    assert (pdf.gain_toy_ppm < 0).all()
+    assert (pdf.gain_lloyd_ppm > 0).all()
+    assert pdf.sign_flipped.all()
+    # the refined residual beats BOTH baselines outright
+    assert (pdf.resid_lloyd_sq_error < pdf.flat_sq_error).all()
+    assert (pdf.resid_lloyd_sq_error < pdf.resid_toy_sq_error).all()
