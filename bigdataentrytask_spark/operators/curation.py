@@ -1909,3 +1909,289 @@ def gate_stacking_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROUND14_STAGED: dict[str, tuple] = {
     "gate_stacking_ledger": (gate_stacking_ledger, _gsl_oracle()),
 }
+
+
+# --------------------------------------------------------------------------
+# Funnel-order sensitivity (round-15 queue item, pulled forward):
+# gate_stacking_ledger fixes the funnel order (dedup -> perplexity ->
+# quality). The quality cut is ABSOLUTE (score > 0.5), so re-ordering
+# it cannot change WHICH docs it rejects — but it changes the
+# POPULATION the perplexity percentile ranks over, which moves every
+# (lang, source) threshold, which moves the final corpus. This table
+# prices exactly that: order A = ppl-gate the dedup survivors, then
+# quality (the ledger's order); order B = quality-cut the dedup
+# survivors, then ppl-gate what remains. Per source: final doc/token
+# mass under each order, the docs kept by exactly one order (both
+# directions — thresholds move both ways), and the signed token
+# delta as ppm of the raw mass. A release pipeline whose output
+# moves under re-ordering needs its order pinned in config; this op
+# is the audit that says whether yours does.
+# Exact math: one LM scoring pass (the module's integer-grid bigram
+# sums), two exact discrete thresholds per (lang, source), integer
+# mass everywhere; the one ppm column is the only double.
+# Scale: gate_stacking_ledger's plan plus ONE extra (lang, source)
+# rank over the quality-kept survivor subset — no new fact-scale
+# shuffles.
+# --------------------------------------------------------------------------
+_FOS_ORACLE = f"""
+    WITH fp AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id, md5({{FOS_NORM}}) AS fp FROM documents)
+      GROUP BY fp
+    ),
+    toks AS (
+      SELECT doc_id, tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+      FROM (
+        SELECT doc_id,
+               UNNEST({sql_tokens('text')}) AS tok,
+               UNNEST(range(len({sql_tokens('text')}))) AS pos
+        FROM documents
+      )
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             tok AS w2
+      FROM toks
+      QUALIFY w1 IS NOT NULL
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2
+           FROM bigrams GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1
+           FROM bigrams GROUP BY 1),
+    v  AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM toks),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(ROUND(SUM(CAST(ROUND(ln((c2.n2 + 1)
+                                / CAST(c1.n1 + v.vsz AS DOUBLE))
+                                * 1000000) AS BIGINT))
+                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+               AS score_e6
+      FROM bigrams b
+      JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+      JOIN c1 ON c1.w1 = b.w1
+      CROSS JOIN v
+      GROUP BY 1
+    ),
+    q AS ({{FOS_QUALITY}}),
+    tagged_a AS (
+      SELECT d2.lang, d2.source, s.doc_id, s.score_e6,
+             ROW_NUMBER() OVER (PARTITION BY d2.lang, d2.source
+                                ORDER BY s.score_e6, s.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY d2.lang, d2.source) AS n_grp
+      FROM scored s
+      JOIN fp ON fp.doc_id = s.doc_id
+      JOIN documents d2 ON d2.doc_id = s.doc_id
+    ),
+    cut_a AS (
+      SELECT lang, source,
+             MIN(CASE WHEN rn > n_grp * {_GSL_FRAC_PPM} // 1000000
+                      THEN score_e6 END) AS th
+      FROM tagged_a GROUP BY 1, 2
+    ),
+    pr_a AS (
+      SELECT t.doc_id
+      FROM tagged_a t
+      JOIN cut_a c ON c.lang = t.lang AND c.source = t.source
+      WHERE t.score_e6 < c.th
+    ),
+    tagged_b AS (
+      SELECT d2.lang, d2.source, s.doc_id, s.score_e6,
+             ROW_NUMBER() OVER (PARTITION BY d2.lang, d2.source
+                                ORDER BY s.score_e6, s.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY d2.lang, d2.source) AS n_grp
+      FROM scored s
+      JOIN fp ON fp.doc_id = s.doc_id
+      JOIN q ON q.doc_id = s.doc_id AND q.keep
+      JOIN documents d2 ON d2.doc_id = s.doc_id
+    ),
+    cut_b AS (
+      SELECT lang, source,
+             MIN(CASE WHEN rn > n_grp * {_GSL_FRAC_PPM} // 1000000
+                      THEN score_e6 END) AS th
+      FROM tagged_b GROUP BY 1, 2
+    ),
+    pr_b AS (
+      SELECT t.doc_id
+      FROM tagged_b t
+      JOIN cut_b c ON c.lang = t.lang AND c.source = t.source
+      WHERE t.score_e6 < c.th
+    ),
+    flags AS (
+      SELECT d.source,
+             CAST(len({sql_tokens('text')}) AS BIGINT) AS tok,
+             (fp.doc_id IS NOT NULL AND pa.doc_id IS NULL
+              AND COALESCE(q.keep, TRUE)) AS fa,
+             (fp.doc_id IS NOT NULL AND COALESCE(q.keep, TRUE)
+              AND pb.doc_id IS NULL) AS fb
+      FROM documents d
+      LEFT JOIN fp ON fp.doc_id = d.doc_id
+      LEFT JOIN pr_a pa ON pa.doc_id = d.doc_id
+      LEFT JOIN pr_b pb ON pb.doc_id = d.doc_id
+      LEFT JOIN q ON q.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(count_if(fa) AS BIGINT) AS n_final_a,
+           CAST(count_if(fb) AS BIGINT) AS n_final_b,
+           CAST(count_if(fa AND NOT fb) AS BIGINT) AS only_a,
+           CAST(count_if(fb AND NOT fa) AS BIGINT) AS only_b,
+           CAST(SUM(CASE WHEN fa THEN tok ELSE 0 END) AS BIGINT)
+             AS tok_final_a,
+           CAST(SUM(CASE WHEN fb THEN tok ELSE 0 END) AS BIGINT)
+             AS tok_final_b,
+           CAST(ROUND((SUM(CASE WHEN fa THEN tok ELSE 0 END)
+                       - SUM(CASE WHEN fb THEN tok ELSE 0 END))
+                      * 1000000.0 / SUM(tok)) AS BIGINT)
+             AS order_delta_ppm
+    FROM flags
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+def _fos_oracle() -> str:
+    from bigdataentrytask_spark.functions.text import sql_normalize_text
+    from bigdataentrytask_spark.operators import ORACLES
+
+    return _FOS_ORACLE.replace(
+        "{FOS_NORM}", sql_normalize_text("text")
+    ).replace("{FOS_QUALITY}", ORACLES["quality_classifier_score"])
+
+
+def funnel_order_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Final per-source corpus mass under the two funnel orders —
+    ppl-then-quality vs quality-then-ppl — with the docs each order
+    uniquely keeps and the signed token delta (see block comment)."""
+    from pyspark.sql import Window
+
+    from bigdataentrytask_spark.functions.text import normalize_text
+    from bigdataentrytask_spark.operators import REGISTRY
+
+    d = _docs(spark, sf_dir)
+    keep1 = (
+        d.select("doc_id", F.md5(normalize_text("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("s1"))
+    )
+    toks = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.select(
+        "doc_id",
+        F.lag("tok").over(w).alias("w1"),
+        F.col("tok").alias("w2"),
+    ).filter(F.col("w1").isNotNull())
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = toks.agg(F.count_distinct("tok").alias("vsz"))
+    lp_g = F.round(
+        F.log(
+            (F.col("n2") + 1) / (F.col("n1") + F.col("vsz")).cast("double")
+        )
+        * 1000000
+    ).cast("bigint")
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(lp_g) / F.count(F.lit(1)).cast("double"))
+            .cast("bigint")
+            .alias("score_e6")
+        )
+    )
+    qk = REGISTRY["quality_classifier_score"](spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("qkeep")
+    )
+
+    def pruned_over(pop):
+        ws = Window.partitionBy("lang", "source").orderBy(
+            "score_e6", "doc_id"
+        )
+        ranked = pop.select(
+            "lang",
+            "source",
+            "doc_id",
+            "score_e6",
+            F.row_number().over(ws).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("lang", "source"))
+            .alias("n_grp"),
+        )
+        cut = ranked.groupBy("lang", "source").agg(
+            F.min(
+                F.when(
+                    F.col("rn")
+                    > F.floor(F.col("n_grp") * _GSL_FRAC_PPM / 1000000),
+                    F.col("score_e6"),
+                )
+            ).alias("th")
+        )
+        return (
+            ranked.join(F.broadcast(cut), ["lang", "source"])
+            .filter(F.col("score_e6") < F.col("th"))
+            .select("doc_id")
+        )
+
+    base = scored.join(keep1.select("doc_id"), "doc_id").join(
+        d.select("doc_id", "lang", "source"), "doc_id"
+    )
+    pr_a = pruned_over(base).select("doc_id", F.lit(True).alias("pa"))
+    pr_b = pruned_over(
+        base.join(qk.filter(F.col("qkeep")).select("doc_id"), "doc_id")
+    ).select("doc_id", F.lit(True).alias("pb"))
+    fa = (
+        F.coalesce("s1", F.lit(False))
+        & ~F.coalesce("pa", F.lit(False))
+        & F.coalesce("qkeep", F.lit(True))
+    )
+    fb = (
+        F.coalesce("s1", F.lit(False))
+        & F.coalesce("qkeep", F.lit(True))
+        & ~F.coalesce("pb", F.lit(False))
+    )
+    flags = (
+        d.select(
+            "source",
+            "doc_id",
+            F.size(tokens("text")).cast("bigint").alias("tok"),
+        )
+        .join(keep1, "doc_id", "left")
+        .join(pr_a, "doc_id", "left")
+        .join(pr_b, "doc_id", "left")
+        .join(qk, "doc_id", "left")
+        .select("source", "tok", fa.alias("fa"), fb.alias("fb"))
+    )
+    tok_a = F.sum(F.when(F.col("fa"), F.col("tok")).otherwise(0))
+    tok_b = F.sum(F.when(F.col("fb"), F.col("tok")).otherwise(0))
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.sum(F.col("fa").cast("long")).cast("bigint").alias("n_final_a"),
+            F.sum(F.col("fb").cast("long")).cast("bigint").alias("n_final_b"),
+            F.sum((F.col("fa") & ~F.col("fb")).cast("long"))
+            .cast("bigint")
+            .alias("only_a"),
+            F.sum((F.col("fb") & ~F.col("fa")).cast("long"))
+            .cast("bigint")
+            .alias("only_b"),
+            tok_a.cast("bigint").alias("tok_final_a"),
+            tok_b.cast("bigint").alias("tok_final_b"),
+            F.round((tok_a - tok_b) * 1000000.0 / F.sum("tok"))
+            .cast("bigint")
+            .alias("order_delta_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+ROUND14_STAGED["funnel_order_sensitivity"] = (
+    funnel_order_sensitivity,
+    _fos_oracle(),
+)

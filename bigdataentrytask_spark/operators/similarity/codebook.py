@@ -3327,3 +3327,396 @@ ROUND14_STAGED["residual_pq_refined_cells"] = (
     residual_pq_refined_cells,
     _RPQ_REFINED_ORACLE,
 )
+
+
+# --------------------------------------------------------------------------
+# Residual-ADC end-to-end recall — true IVF-PQ (round-15 queue item,
+# pulled forward): residual_pq_refined_cells flipped the DISTORTION
+# sign under refined cells; the serving question is whether that win
+# survives the ADC funnel. This is the real IVF-PQ layout: refined
+# coarse cells, per-vector RESIDUAL codes (x - centroid(cell),
+# quantized against the refined-residual codebook drawn from the
+# first _PQ_K refined residuals), and ASYMMETRIC distances — the
+# query re-centers against each CANDIDATE's cell centroid before the
+# table lookup, so the scored geometry matches what a FAISS IVF-PQ
+# scan computes. Output schema matches the sweep family
+# (ivf_adc_recall / ivf_adc_lloyd_recall /
+# ivf_adc_refined_joint_recall) so the codebook story reads as one
+# four-row diff per nprobe: toy x toy, toy x lloyd, refined x lloyd,
+# refined x residual.
+# Exact math: residuals and refined centroids are grid integers
+# (ROUND(mean) on exact sums), so every coarse, code-assignment, and
+# ADC distance is an exact BIGINT; the two final ratio roundings are
+# the only doubles.
+# Scale posture: the 2x2 plan plus one residual encode pass; the ADC
+# join re-centers per (query, candidate-cell) — still need_probe-
+# bounded, with the centroid side a K x dim broadcast.
+# --------------------------------------------------------------------------
+_RESIDUAL_ADC_ORACLE = f"""
+    WITH {{IVF_CTES}},
+    cent AS (
+      SELECT a.k, d.pos,
+             CAST(ROUND(SUM(d.xi) * 1.0 / COUNT(*)) AS BIGINT) AS si
+      FROM assigned a JOIN dims d ON d.vec_id = a.vec_id
+      GROUP BY a.k, d.pos
+    ),
+    dist2 AS (
+      SELECT d.vec_id, c.k,
+             CAST(SUM((d.xi - c.si) * (d.xi - c.si)) AS BIGINT) AS dd
+      FROM dims d JOIN cent c ON c.pos = d.pos
+      GROUP BY d.vec_id, c.k
+    ),
+    assigned2 AS (
+      SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, k) AS rn
+        FROM dist2
+      ) WHERE rn = 1
+    ),
+    resid2 AS (
+      SELECT d.vec_id, d.pos,
+             ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             d.xi - c.si AS ri
+      FROM dims d
+      JOIN assigned2 a ON a.vec_id = d.vec_id
+      JOIN cent c ON c.k = a.k AND c.pos = d.pos
+    ),
+    rcode2 AS (
+      SELECT vec_id AS code, sub, pos, ri AS ci
+      FROM resid2 WHERE vec_id < {_PQ_K}
+    ),
+    rdist2 AS (
+      SELECT r.vec_id, r.sub, c.code,
+             CAST(SUM((r.ri - c.ci) * (r.ri - c.ci)) AS BIGINT) AS dd
+      FROM resid2 r JOIN rcode2 c ON c.pos = r.pos AND c.sub = r.sub
+      GROUP BY 1, 2, 3
+    ),
+    rassign2 AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM rdist2
+      ) WHERE rn = 1
+    ),
+    qcells AS (
+      SELECT vec_id AS query_id, k,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dd, k) AS cell_rnk
+      FROM dist2 WHERE vec_id < {N_QUERIES}
+    ),
+    need AS (
+      SELECT qc.query_id, ac.vec_id AS neighbor_id, ac.k AS n_cell,
+             MIN(qc.cell_rnk) AS need_probe
+      FROM qcells qc
+      JOIN assigned2 ac ON ac.k = qc.k
+      WHERE ac.vec_id <> qc.query_id
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT n.query_id, n.neighbor_id, n.need_probe,
+             CAST(SUM(((q.xi - ct.si) - cb.ci)
+                      * ((q.xi - ct.si) - cb.ci)) AS BIGINT) AS dd
+      FROM need n
+      JOIN rassign2 a ON a.vec_id = n.neighbor_id
+      JOIN rcode2 cb ON cb.sub = a.sub AND cb.code = a.code
+      JOIN cent ct ON ct.k = n.n_cell AND ct.pos = cb.pos
+      JOIN dims q ON q.vec_id = n.query_id AND q.pos = cb.pos
+      WHERE n.need_probe <= {max(_IVF_ADC_PROBES)}
+      GROUP BY 1, 2, 3
+    ),
+    pr(nprobe) AS (VALUES {", ".join(f"({p})" for p in _IVF_ADC_PROBES)}),
+    ranked AS (
+      SELECT pr.nprobe, a.query_id, a.neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY pr.nprobe, a.query_id
+                                ORDER BY a.dd, a.neighbor_id) AS rnk
+      FROM adc a JOIN pr ON a.need_probe <= pr.nprobe
+    ),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS dd
+      FROM dims q
+      JOIN dims c ON c.pos = q.pos AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dd, neighbor_id) AS rnk
+        FROM exact
+      ) WHERE rnk <= {TOP_K}
+    ),
+    vol AS (
+      SELECT pr.nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM need n JOIN pr ON n.need_probe <= pr.nprobe
+      GROUP BY 1
+    ),
+    hits AS (
+      SELECT r.nprobe,
+             CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT) AS n_hits
+      FROM ranked r
+      LEFT JOIN truth t ON t.query_id = r.query_id
+                       AND t.neighbor_id = r.neighbor_id
+      WHERE r.rnk <= {TOP_K}
+      GROUP BY 1
+    )
+    SELECT CAST(h.nprobe AS BIGINT) AS nprobe,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           ROUND(CAST(v.n_candidates AS DOUBLE) / {N_QUERIES}, 6)
+             AS mean_candidates,
+           h.n_hits,
+           ROUND(CAST(h.n_hits AS DOUBLE) / ({N_QUERIES} * {TOP_K}), 6)
+             AS recall_at_5
+    FROM hits h JOIN vol v ON v.nprobe = h.nprobe
+    ORDER BY nprobe
+    """
+
+
+def residual_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True IVF-PQ nprobe sweep: refined coarse cells, residual codes,
+    asymmetric query-recentered ADC (see block comment)."""
+    from bigdataentrytask_spark.operators import materialize, with_persisted
+
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long").alias("sub"),
+        (F.col("pos0") + 1).alias("pos"),
+        grid.alias("xi"),
+    )
+    with with_persisted(dims) as dims_p:
+        seeds = dims_p.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("k"),
+            F.col("pos").alias("s_pos"),
+            F.col("xi").alias("si"),
+        )
+        sqd = (F.col("xi") - F.col("si")) * (F.col("xi") - F.col("si"))
+        cdist0 = (
+            dims_p.join(F.broadcast(seeds), F.col("s_pos") == F.col("pos"))
+            .groupBy("vec_id", "k")
+            .agg(F.sum(sqd).cast("bigint").alias("dd"))
+        )
+        wc = Window.partitionBy("vec_id").orderBy("dd", "k")
+        assigned0 = (
+            cdist0.withColumn("rn", F.row_number().over(wc))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "k")
+        )
+        cent = (
+            assigned0.join(dims_p, "vec_id")
+            .groupBy("k", F.col("pos").alias("s_pos"))
+            .agg(
+                F.round(F.sum("xi") * 1.0 / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("si")
+            )
+        )
+        cdist = (
+            dims_p.join(F.broadcast(cent), F.col("s_pos") == F.col("pos"))
+            .groupBy("vec_id", "k")
+            .agg(F.sum(sqd).cast("bigint").alias("dd"))
+        )
+        cell_rank = cdist.withColumn("rn", F.row_number().over(wc))
+        assigned2 = materialize(
+            cell_rank.filter(F.col("rn") == 1).select("vec_id", "k")
+        )
+        qcells = materialize(
+            cell_rank.filter(F.col("vec_id") < N_QUERIES).select(
+                F.col("vec_id").alias("query_id"),
+                "k",
+                F.col("rn").alias("cell_rnk"),
+            )
+        )
+        need = materialize(
+            qcells.join(
+                assigned2.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("k"),
+                ),
+                "k",
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id", "neighbor_id", F.col("k").alias("n_cell"))
+            .agg(F.min("cell_rnk").alias("need_probe"))
+        )
+        resid2 = (
+            dims_p.join(
+                assigned2.select("vec_id", F.col("k").alias("v_cell")),
+                "vec_id",
+            )
+            .join(
+                F.broadcast(cent),
+                (F.col("s_pos") == F.col("pos"))
+                & (F.col("k") == F.col("v_cell")),
+            )
+            .select(
+                "vec_id", "pos", "sub",
+                (F.col("xi") - F.col("si")).alias("ri"),
+            )
+        )
+        with with_persisted(resid2) as resid_p:
+            rcode2 = resid_p.filter(F.col("vec_id") < _PQ_K).select(
+                F.col("vec_id").alias("code"),
+                F.col("sub").alias("c_sub"),
+                F.col("pos").alias("c_pos"),
+                F.col("ri").alias("ci"),
+            )
+            rdiff = F.col("ri") - F.col("ci")
+            rdist2 = (
+                resid_p.join(
+                    F.broadcast(rcode2),
+                    (F.col("c_pos") == F.col("pos"))
+                    & (F.col("c_sub") == F.col("sub")),
+                )
+                .groupBy("vec_id", "sub", "code")
+                .agg(F.sum(rdiff * rdiff).cast("bigint").alias("dd"))
+            )
+            wp = Window.partitionBy("vec_id", "sub").orderBy("dd", "code")
+            rassign2 = materialize(
+                rdist2.withColumn("rn", F.row_number().over(wp))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "sub", "code")
+            )
+            rmax = max(_IVF_ADC_PROBES)
+            adc = (
+                need.filter(F.col("need_probe") <= rmax)
+                .join(
+                    rassign2.select(
+                        F.col("vec_id").alias("neighbor_id"), "sub", "code"
+                    ),
+                    "neighbor_id",
+                )
+                .join(
+                    F.broadcast(
+                        rcode2.select(
+                            F.col("c_sub").alias("sub"),
+                            "code",
+                            F.col("c_pos").alias("pos"),
+                            "ci",
+                        )
+                    ),
+                    ["sub", "code"],
+                )
+                .join(
+                    F.broadcast(
+                        cent.select(
+                            F.col("k").alias("n_cell"),
+                            F.col("s_pos").alias("pos"),
+                            "si",
+                        )
+                    ),
+                    ["n_cell", "pos"],
+                )
+                .join(
+                    dims_p.select(
+                        F.col("vec_id").alias("query_id"), "pos", "xi"
+                    ),
+                    ["query_id", "pos"],
+                )
+                .groupBy("query_id", "neighbor_id", "need_probe")
+                .agg(
+                    F.sum(
+                        ((F.col("xi") - F.col("si")) - F.col("ci"))
+                        * ((F.col("xi") - F.col("si")) - F.col("ci"))
+                    )
+                    .cast("bigint")
+                    .alias("dd")
+                )
+            )
+            pr = spark.createDataFrame(
+                [(p,) for p in _IVF_ADC_PROBES], "nprobe long"
+            )
+            ranked = (
+                adc.crossJoin(F.broadcast(pr))
+                .filter(F.col("need_probe") <= F.col("nprobe"))
+                .withColumn(
+                    "rnk",
+                    F.row_number().over(
+                        Window.partitionBy("nprobe", "query_id").orderBy(
+                            "dd", "neighbor_id"
+                        )
+                    ),
+                )
+                .filter(F.col("rnk") <= TOP_K)
+            )
+            exact = (
+                dims_p.filter(F.col("vec_id") < N_QUERIES)
+                .select(F.col("vec_id").alias("query_id"), "pos", "xi")
+                .join(
+                    dims_p.select(
+                        F.col("vec_id").alias("neighbor_id"),
+                        "pos",
+                        F.col("xi").alias("ci"),
+                    ),
+                    "pos",
+                )
+                .filter(F.col("neighbor_id") != F.col("query_id"))
+                .groupBy("query_id", "neighbor_id")
+                .agg(
+                    F.sum(
+                        (F.col("xi") - F.col("ci"))
+                        * (F.col("xi") - F.col("ci"))
+                    )
+                    .cast("bigint")
+                    .alias("dd")
+                )
+            )
+            wt = Window.partitionBy("query_id").orderBy(
+                "dd", "neighbor_id"
+            )
+            truth = (
+                exact.withColumn("rnk", F.row_number().over(wt))
+                .filter(F.col("rnk") <= TOP_K)
+                .select(
+                    "query_id", "neighbor_id", F.lit(1).alias("is_true")
+                )
+            )
+            vol = (
+                need.crossJoin(F.broadcast(pr))
+                .filter(F.col("need_probe") <= F.col("nprobe"))
+                .groupBy("nprobe")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+                )
+            )
+            hits = (
+                ranked.join(truth, ["query_id", "neighbor_id"], "left")
+                .groupBy("nprobe")
+                .agg(
+                    F.sum(F.coalesce("is_true", F.lit(0)))
+                    .cast("bigint")
+                    .alias("n_hits")
+                )
+            )
+            return materialize(
+                hits.join(vol, "nprobe")
+                .select(
+                    F.col("nprobe").cast("bigint").alias("nprobe"),
+                    F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+                    F.round(
+                        F.col("n_candidates").cast("double") / N_QUERIES, 6
+                    ).alias("mean_candidates"),
+                    "n_hits",
+                    F.round(
+                        F.col("n_hits").cast("double")
+                        / (N_QUERIES * TOP_K),
+                        6,
+                    ).alias("recall_at_5"),
+                )
+                .orderBy("nprobe")
+            )
+
+
+ROUND14_STAGED["residual_adc_recall"] = (
+    residual_adc_recall,
+    _RESIDUAL_ADC_ORACLE.replace("{IVF_CTES}", _IVF_CTES),
+)

@@ -2975,3 +2975,254 @@ ROUND14_STAGED: dict[str, tuple] = {
         _TTL_JOINT_ORACLE,
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# Trigger sampling-deficit audit (round-15 queue item, pulled
+# forward): dedup_ttl_policy_joint's staged test pinned a real gap —
+# at ttl=1800 the 60 s trigger's sampled peak misses the continuous
+# peak by one key (the peak lives between ticks). This op prices the
+# trigger choice as a MEASUREMENT-ERROR knob across the whole grid:
+# per (ttl_s, trigger_s, policy), the CONTINUOUS endpoint-sweep peak
+# (the true high-water mark an unsampled monitor would report), the
+# grid-sampled peak (what a trigger-aligned metrics pipeline
+# actually sees), and the deficit in keys and ppm. Policies are the
+# two dedup stores (a_sliding gap islands, b_fixed kernel-walk
+# anchors) so the audit covers both retention geometries.
+# Pinned shape: deficit >= 0 always (sampling can only miss);
+# deficit is non-decreasing in trigger_s per (ttl, policy) — a
+# coarser trigger can only miss more.
+# Exact math: integer microseconds; both peaks are interval-cover
+# maxima (one over event endpoints, one over grid ticks).
+# Scale: the joint op's interval frames re-used; the continuous
+# sweep is the module's documented global-prefix audit form
+# (per-shard at 100 TB), the grid side is span/trigger rows.
+# --------------------------------------------------------------------------
+_TSD_ORACLE = f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS t
+      FROM events
+    ),
+    ttl(ttl_s) AS (VALUES
+      {", ".join(f"({s})" for s in _DEDUP_TTL_CANDS_S)}),
+    tr(trigger_s) AS (VALUES
+      {", ".join(f"({t})" for t in _BATCH_PEAK_TRIGGERS_S)}),
+    lagged AS (
+      SELECT ttl.ttl_s, e.user_id, e.event_type, e.t, e.event_id,
+             LAG(e.t) OVER (PARTITION BY ttl.ttl_s, e.user_id,
+                                         e.event_type
+                            ORDER BY e.t, e.event_id) AS prev_t
+      FROM ev e CROSS JOIN ttl
+    ),
+    isl AS (
+      SELECT ttl_s, user_id, event_type, t,
+             SUM(CASE WHEN prev_t IS NULL
+                       OR t - prev_t > CAST(ttl_s AS BIGINT) * 1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY ttl_s, user_id, event_type
+                     ORDER BY t, event_id) AS aid
+      FROM lagged
+    ),
+    occ AS (
+      SELECT ttl.ttl_s, e.user_id, e.event_type, e.t,
+             ROW_NUMBER() OVER (PARTITION BY ttl.ttl_s, e.user_id,
+                                             e.event_type
+                                ORDER BY e.t, e.event_id) AS rn
+      FROM ev e CROSS JOIN ttl
+    ),
+    walk AS (
+      SELECT ttl_s, user_id, event_type, rn, t AS cur_admit,
+             TRUE AS admitted
+      FROM occ WHERE rn = 1
+      UNION ALL
+      SELECT o.ttl_s, o.user_id, o.event_type, o.rn,
+             CASE WHEN o.t - w.cur_admit
+                       > CAST(o.ttl_s AS BIGINT) * 1000000
+                  THEN o.t ELSE w.cur_admit END,
+             o.t - w.cur_admit > CAST(o.ttl_s AS BIGINT) * 1000000
+      FROM walk w
+      JOIN occ o ON o.ttl_s = w.ttl_s AND o.user_id = w.user_id
+                AND o.event_type = w.event_type AND o.rn = w.rn + 1
+    ),
+    iv AS (
+      SELECT 'a_sliding' AS policy, ttl_s, MIN(t) AS t0,
+             MAX(t) + CAST(ttl_s AS BIGINT) * 1000000 AS t_end
+      FROM isl GROUP BY ttl_s, user_id, event_type, aid
+      UNION ALL
+      SELECT 'b_fixed', ttl_s, cur_admit,
+             cur_admit + CAST(ttl_s AS BIGINT) * 1000000
+      FROM walk WHERE admitted
+    ),
+    pts AS (
+      SELECT policy, ttl_s, t0 AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT policy, ttl_s, t_end, -1 FROM iv
+    ),
+    cont AS (
+      SELECT policy, ttl_s, CAST(MAX(open_now) AS BIGINT) AS cont_peak
+      FROM (
+        SELECT policy, ttl_s,
+               SUM(delta) OVER (PARTITION BY policy, ttl_s
+                                ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS open_now
+        FROM pts
+      ) GROUP BY 1, 2
+    ),
+    hits AS (
+      SELECT i.policy, i.ttl_s, tr.trigger_s, u.g,
+             CAST(COUNT(*) AS BIGINT) AS rows_at
+      FROM iv i CROSS JOIN tr, LATERAL unnest(range(
+        (i.t0 + tr.trigger_s * 1000000 - 1) // (tr.trigger_s * 1000000),
+        (i.t_end - 1) // (tr.trigger_s * 1000000) + 1)) AS u(g)
+      GROUP BY 1, 2, 3, 4
+    ),
+    samp AS (
+      SELECT policy, ttl_s, trigger_s,
+             CAST(MAX(rows_at) AS BIGINT) AS sampled_peak
+      FROM hits GROUP BY 1, 2, 3
+    )
+    SELECT CAST(s.ttl_s AS BIGINT) AS ttl_s,
+           CAST(s.trigger_s AS BIGINT) AS trigger_s,
+           s.policy AS policy,
+           c.cont_peak AS cont_peak_keys,
+           s.sampled_peak AS sampled_peak_keys,
+           c.cont_peak - s.sampled_peak AS deficit_keys,
+           CAST(ROUND((c.cont_peak - s.sampled_peak) * 1000000.0
+                      / c.cont_peak) AS BIGINT) AS deficit_ppm
+    FROM samp s
+    JOIN cont c ON c.policy = s.policy AND c.ttl_s = s.ttl_s
+    ORDER BY ttl_s, trigger_s, policy
+    """
+
+
+def trigger_sampling_deficit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous vs trigger-sampled peak state keys per
+    (ttl, trigger, dedup policy): the measurement error a
+    trigger-aligned metrics pipeline bakes into its high-water marks
+    (see block comment)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("t"),
+    )
+    ttl = spark.createDataFrame(
+        [(s,) for s in _DEDUP_TTL_CANDS_S], "ttl_s long"
+    )
+    tr = spark.createDataFrame(
+        [(t,) for t in _BATCH_PEAK_TRIGGERS_S], "trigger_s long"
+    )
+    wl = Window.partitionBy("ttl_s", "user_id", "event_type").orderBy(
+        "t", "event_id"
+    )
+    isl = (
+        ev.crossJoin(F.broadcast(ttl))
+        .withColumn("prev_t", F.lag("t").over(wl))
+        .withColumn(
+            "aid",
+            F.sum(
+                F.when(
+                    F.col("prev_t").isNull()
+                    | (
+                        F.col("t") - F.col("prev_t")
+                        > F.col("ttl_s") * 1_000_000
+                    ),
+                    1,
+                ).otherwise(0)
+            ).over(wl),
+        )
+    )
+    sl = (
+        isl.groupBy("ttl_s", "user_id", "event_type", "aid")
+        .agg(
+            F.min("t").alias("t0"),
+            (F.max("t") + F.col("ttl_s") * 1_000_000).alias("t_end"),
+        )
+        .select(F.lit("a_sliding").alias("policy"), "ttl_s", "t0", "t_end")
+    )
+    fx = (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            _fixed_ttl_kernel(_DEDUP_TTL_CANDS_S),
+            schema="ttl_s long, user_id long, event_type string, t0 long",
+        )
+        .select(
+            F.lit("b_fixed").alias("policy"),
+            "ttl_s",
+            "t0",
+            (F.col("t0") + F.col("ttl_s") * 1_000_000).alias("t_end"),
+        )
+    )
+    iv = sl.unionByName(fx)
+    pts = iv.select(
+        "policy", "ttl_s", F.col("t0").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(
+            "policy",
+            "ttl_s",
+            F.col("t_end").alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    ws = Window.partitionBy("policy", "ttl_s").orderBy(
+        "t", "delta"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cont = (
+        pts.select(
+            "policy", "ttl_s", F.sum("delta").over(ws).alias("open_now")
+        )
+        .groupBy("policy", "ttl_s")
+        .agg(F.max("open_now").cast("bigint").alias("cont_peak"))
+    )
+    p_us = F.col("trigger_s") * 1_000_000
+    g_lo = F.floor((F.col("t0") + p_us - 1) / p_us)
+    g_hi = F.floor((F.col("t_end") - 1) / p_us)
+    samp = (
+        iv.crossJoin(F.broadcast(tr))
+        .select(
+            "policy",
+            "ttl_s",
+            "trigger_s",
+            F.explode(
+                F.when(g_hi >= g_lo, F.sequence(g_lo, g_hi)).otherwise(
+                    F.expr("CAST(array() AS array<bigint>)")
+                )
+            ).alias("g"),
+        )
+        .groupBy("policy", "ttl_s", "trigger_s", "g")
+        .agg(F.count(F.lit(1)).alias("rows_at"))
+        .groupBy("policy", "ttl_s", "trigger_s")
+        .agg(F.max("rows_at").cast("bigint").alias("sampled_peak"))
+    )
+    return (
+        samp.join(cont, ["policy", "ttl_s"])
+        .select(
+            F.col("ttl_s").cast("bigint").alias("ttl_s"),
+            F.col("trigger_s").cast("bigint").alias("trigger_s"),
+            "policy",
+            F.col("cont_peak").alias("cont_peak_keys"),
+            F.col("sampled_peak").alias("sampled_peak_keys"),
+            (F.col("cont_peak") - F.col("sampled_peak")).alias(
+                "deficit_keys"
+            ),
+            F.round(
+                (F.col("cont_peak") - F.col("sampled_peak"))
+                * 1000000.0
+                / F.col("cont_peak")
+            )
+            .cast("bigint")
+            .alias("deficit_ppm"),
+        )
+        .orderBy("ttl_s", "trigger_s", "policy")
+    )
+
+
+ROUND14_STAGED["trigger_sampling_deficit"] = (
+    trigger_sampling_deficit,
+    _TSD_ORACLE,
+)

@@ -5699,3 +5699,312 @@ ROUND14_STAGED: dict[str, tuple] = {
         _CSA_ORACLE,
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# Compaction schedule read-bill (round-15 queue item, pulled
+# forward): compaction_schedule_amortizer prices live FILE COUNT per
+# schedule; this op prices what those interim layouts actually COST
+# the workload — after every arrival (and any compaction it
+# triggers), the _CZP_PREDS workload runs against the current
+# layout, and a file is scanned iff its month-range overlaps the
+# predicate. Per (floor, policy): observation count, total rows
+# scanned across all (arrival, predicate) points, total rows matched
+# (policy-independent — the data is the data), the stream read
+# amplification, and the mean scan per observation. Read with the
+# amortizer's write bill, the schedule triple is fully priced:
+# eager buys the lowest read amp with rewrites, at_end the opposite,
+# on_close between.
+# Layout per policy at observation t (the amortizer's convention):
+# at_end = every arrived part loose; on_close = closed groups merged
+# (full-range files) + open-group parts loose; eager = closed groups
+# merged + ONE open file spanning [group_lo, month(t) + 1 mo) with
+# the accumulated prefix rows.
+# Exact math: all integer row sums over the month domain; the two
+# final roundings are the only doubles.
+# Scale: obs x parts / obs x groups joins are month-domain-sized
+# (T^2/2 x |preds| x |floors| ~ 40k rows at any data scale — the
+# fact table is touched once for the month rollup and once for the
+# per-(month, pred) matched counts).
+# --------------------------------------------------------------------------
+_CRB_ORACLE = f"""
+    WITH per AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT m, n,
+             COALESCE(SUM(n) OVER (ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before,
+             ROW_NUMBER() OVER (ORDER BY m) AS t
+      FROM per
+    ),
+    fl(floor_rows) AS (VALUES
+      {", ".join(f"({x})" for x in _CFS_FLOORS)}),
+    sched AS (
+      SELECT fl.floor_rows, c.t, c.m, c.n,
+             CAST(FLOOR(c.before / fl.floor_rows) AS BIGINT) AS gid,
+             SUM(c.n) OVER (
+               PARTITION BY fl.floor_rows,
+                            FLOOR(c.before / fl.floor_rows)
+               ORDER BY c.m ROWS UNBOUNDED PRECEDING) AS pfx
+      FROM cum c CROSS JOIN fl
+    ),
+    grp AS (
+      SELECT floor_rows, gid, MIN(m) AS g_lo,
+             MAX(m) + INTERVAL 1 MONTH AS g_hi,
+             CAST(SUM(n) AS BIGINT) AS n_rows
+      FROM sched GROUP BY 1, 2
+    ),
+    preds(pred_id, lo, hi) AS (VALUES
+      {", ".join(f"('{p}', TIMESTAMP '{lo}', TIMESTAMP '{hi}')"
+                 for p, lo, hi in _CZP_PREDS)}
+    ),
+    mm AS (
+      SELECT p.pred_id, date_trunc('month', o.o_orderdate) AS m,
+             CAST(COUNT(*) AS BIGINT) AS rows_in
+      FROM orders o JOIN preds p
+        ON o.o_orderdate >= p.lo AND o.o_orderdate < p.hi
+      GROUP BY 1, 2
+    ),
+    loose_end AS (
+      SELECT o.floor_rows, CAST(SUM(p.n) AS BIGINT) AS sc
+      FROM sched o
+      JOIN sched p ON p.floor_rows = o.floor_rows AND p.t <= o.t
+      JOIN preds pr ON pr.lo < p.m + INTERVAL 1 MONTH AND pr.hi > p.m
+      GROUP BY 1
+    ),
+    loose_open AS (
+      SELECT o.floor_rows, CAST(SUM(p.n) AS BIGINT) AS sc
+      FROM sched o
+      JOIN sched p ON p.floor_rows = o.floor_rows AND p.t <= o.t
+                  AND p.gid = o.gid
+      JOIN preds pr ON pr.lo < p.m + INTERVAL 1 MONTH AND pr.hi > p.m
+      GROUP BY 1
+    ),
+    merged AS (
+      SELECT o.floor_rows, CAST(SUM(g.n_rows) AS BIGINT) AS sc
+      FROM sched o
+      JOIN grp g ON g.floor_rows = o.floor_rows AND g.gid < o.gid
+      JOIN preds pr ON pr.lo < g.g_hi AND pr.hi > g.g_lo
+      GROUP BY 1
+    ),
+    eopen AS (
+      SELECT o.floor_rows, CAST(SUM(o.pfx) AS BIGINT) AS sc
+      FROM sched o
+      JOIN grp g ON g.floor_rows = o.floor_rows AND g.gid = o.gid
+      JOIN preds pr ON pr.lo < o.m + INTERVAL 1 MONTH AND pr.hi > g.g_lo
+      GROUP BY 1
+    ),
+    matched AS (
+      SELECT o.floor_rows, CAST(SUM(mm.rows_in) AS BIGINT) AS mt,
+             CAST(MAX(o.t) AS BIGINT) AS n_obs
+      FROM sched o
+      JOIN sched p ON p.floor_rows = o.floor_rows AND p.t <= o.t
+      JOIN mm ON mm.m = p.m
+      GROUP BY 1
+    ),
+    pol AS (
+      SELECT m.floor_rows, 'at_end' AS policy, m.n_obs,
+             COALESCE(le.sc, 0) AS scanned, m.mt
+      FROM matched m
+      LEFT JOIN loose_end le ON le.floor_rows = m.floor_rows
+      UNION ALL
+      SELECT m.floor_rows, 'on_close', m.n_obs,
+             COALESCE(mg.sc, 0) + COALESCE(lo.sc, 0), m.mt
+      FROM matched m
+      LEFT JOIN merged mg ON mg.floor_rows = m.floor_rows
+      LEFT JOIN loose_open lo ON lo.floor_rows = m.floor_rows
+      UNION ALL
+      SELECT m.floor_rows, 'eager', m.n_obs,
+             COALESCE(mg.sc, 0) + COALESCE(eo.sc, 0), m.mt
+      FROM matched m
+      LEFT JOIN merged mg ON mg.floor_rows = m.floor_rows
+      LEFT JOIN eopen eo ON eo.floor_rows = m.floor_rows
+    )
+    SELECT CAST(floor_rows AS BIGINT) AS floor_rows, policy, n_obs,
+           scanned AS rows_scanned_total,
+           mt AS rows_matched_total,
+           CAST(ROUND(scanned * 1000000.0 / mt) AS BIGINT)
+             AS read_amp_ppm,
+           CAST(ROUND(scanned * 1.0 / n_obs) AS BIGINT)
+             AS mean_scan_per_obs
+    FROM pol
+    ORDER BY floor_rows, policy
+    """
+
+
+def compaction_read_bill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream read amplification per (compaction floor, schedule
+    policy): the workload re-run against every interim layout the
+    schedule leaves behind (see block comment)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderdate")
+    per = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wb = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "m",
+        "n",
+        F.coalesce(F.sum("n").over(wb), F.lit(0)).alias("before"),
+        F.row_number().over(Window.orderBy("m")).alias("t"),
+    )
+    fl = spark.createDataFrame(
+        [(x,) for x in _CFS_FLOORS], "floor_rows long"
+    )
+    wg = Window.partitionBy("floor_rows", "gid").orderBy("m")
+    sched = (
+        cum.crossJoin(F.broadcast(fl))
+        .withColumn("gid", F.floor(F.col("before") / F.col("floor_rows")))
+        .withColumn(
+            "pfx",
+            F.sum("n").over(
+                wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .select("floor_rows", "t", "m", "n", "gid", "pfx")
+    )
+    grp = sched.groupBy("floor_rows", "gid").agg(
+        F.min("m").alias("g_lo"),
+        F.expr("MAX(m) + INTERVAL 1 MONTH").alias("g_hi"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )
+    preds = spark.createDataFrame(
+        [(p, lo, hi) for p, lo, hi in _CZP_PREDS],
+        "pred_id string, lo string, hi string",
+    ).select(
+        "pred_id",
+        F.col("lo").cast("timestamp").alias("lo"),
+        F.col("hi").cast("timestamp").alias("hi"),
+    )
+    mm = (
+        o.crossJoin(F.broadcast(preds))
+        .filter(
+            (F.col("o_orderdate") >= F.col("lo"))
+            & (F.col("o_orderdate") < F.col("hi"))
+        )
+        .groupBy("pred_id", F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows_in"))
+    )
+    obs = sched.select(
+        "floor_rows",
+        F.col("t").alias("o_t"),
+        F.col("m").alias("o_m"),
+        F.col("gid").alias("o_gid"),
+        F.col("pfx").alias("o_pfx"),
+    )
+    p_end = F.expr("m + INTERVAL 1 MONTH")
+    loose_end = (
+        obs.join(sched, "floor_rows")
+        .filter(F.col("t") <= F.col("o_t"))
+        .join(
+            F.broadcast(preds),
+            (F.col("lo") < p_end) & (F.col("hi") > F.col("m")),
+        )
+        .groupBy("floor_rows")
+        .agg(F.sum("n").cast("bigint").alias("sc_end"))
+    )
+    loose_open = (
+        obs.join(sched, "floor_rows")
+        .filter((F.col("t") <= F.col("o_t")) & (F.col("gid") == F.col("o_gid")))
+        .join(
+            F.broadcast(preds),
+            (F.col("lo") < p_end) & (F.col("hi") > F.col("m")),
+        )
+        .groupBy("floor_rows")
+        .agg(F.sum("n").cast("bigint").alias("sc_open"))
+    )
+    merged = (
+        obs.join(grp, "floor_rows")
+        .filter(F.col("gid") < F.col("o_gid"))
+        .join(
+            F.broadcast(preds),
+            (F.col("lo") < F.col("g_hi")) & (F.col("hi") > F.col("g_lo")),
+        )
+        .groupBy("floor_rows")
+        .agg(F.sum("n_rows").cast("bigint").alias("sc_merged"))
+    )
+    o_end = F.expr("o_m + INTERVAL 1 MONTH")
+    eopen = (
+        obs.join(grp, "floor_rows")
+        .filter(F.col("gid") == F.col("o_gid"))
+        .join(
+            F.broadcast(preds),
+            (F.col("lo") < o_end) & (F.col("hi") > F.col("g_lo")),
+        )
+        .groupBy("floor_rows")
+        .agg(F.sum("o_pfx").cast("bigint").alias("sc_eopen"))
+    )
+    matched = (
+        obs.join(sched, "floor_rows")
+        .filter(F.col("t") <= F.col("o_t"))
+        .join(mm, "m")
+        .groupBy("floor_rows")
+        .agg(
+            F.sum("rows_in").cast("bigint").alias("mt"),
+            F.max("o_t").cast("bigint").alias("n_obs"),
+        )
+    )
+    base = (
+        matched.join(loose_end, "floor_rows", "left")
+        .join(loose_open, "floor_rows", "left")
+        .join(merged, "floor_rows", "left")
+        .join(eopen, "floor_rows", "left")
+        .select(
+            "floor_rows",
+            "n_obs",
+            "mt",
+            F.coalesce("sc_end", F.lit(0)).alias("sc_end"),
+            F.coalesce("sc_open", F.lit(0)).alias("sc_open"),
+            F.coalesce("sc_merged", F.lit(0)).alias("sc_merged"),
+            F.coalesce("sc_eopen", F.lit(0)).alias("sc_eopen"),
+        )
+    )
+    pol = (
+        base.select(
+            "floor_rows",
+            F.lit("at_end").alias("policy"),
+            "n_obs",
+            F.col("sc_end").alias("scanned"),
+            "mt",
+        )
+        .unionByName(
+            base.select(
+                "floor_rows",
+                F.lit("on_close").alias("policy"),
+                "n_obs",
+                (F.col("sc_merged") + F.col("sc_open")).alias("scanned"),
+                "mt",
+            )
+        )
+        .unionByName(
+            base.select(
+                "floor_rows",
+                F.lit("eager").alias("policy"),
+                "n_obs",
+                (F.col("sc_merged") + F.col("sc_eopen")).alias("scanned"),
+                "mt",
+            )
+        )
+    )
+    return pol.select(
+        F.col("floor_rows").cast("bigint").alias("floor_rows"),
+        "policy",
+        "n_obs",
+        F.col("scanned").alias("rows_scanned_total"),
+        F.col("mt").alias("rows_matched_total"),
+        F.round(F.col("scanned") * 1000000.0 / F.col("mt"))
+        .cast("bigint")
+        .alias("read_amp_ppm"),
+        F.round(F.col("scanned") * 1.0 / F.col("n_obs"))
+        .cast("bigint")
+        .alias("mean_scan_per_obs"),
+    ).orderBy("floor_rows", "policy")
+
+
+ROUND14_STAGED["compaction_read_bill"] = (
+    compaction_read_bill,
+    _CRB_ORACLE,
+)

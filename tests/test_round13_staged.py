@@ -23,10 +23,10 @@ STAGED_NAMES = sorted(STAGED)
 
 
 def test_round14_staged_not_registered():
-    """The freeze: 6 staged round-14 ops, none registered, registry
+    """The freeze: 10 staged round-14 ops, none registered, registry
     still exactly 484. Flip this to an activation assertion (registry
-    == 490, identity per name) at the round-14 boundary."""
-    assert len(STAGED) == 6
+    == 494, identity per name) at the round-14 boundary."""
+    assert len(STAGED) == 10
     assert len(REGISTRY) == 484
     for name in STAGED:
         assert name not in REGISTRY
@@ -278,3 +278,111 @@ def test_residual_pq_refined_cells_sign_flips(spark):
     # the refined residual beats BOTH baselines outright
     assert (pdf.resid_lloyd_sq_error < pdf.flat_sq_error).all()
     assert (pdf.resid_lloyd_sq_error < pdf.resid_toy_sq_error).all()
+
+
+def test_funnel_order_sensitivity_is_real(spark):
+    """The absolute quality cut means only the ppl THRESHOLDS move
+    under re-ordering — but they do move, and both directions of
+    unique keeps occur on this corpus. Consistency: n_final_a is
+    exactly gate_stacking_ledger's n_quality (order A IS the
+    ledger's funnel)."""
+    fn, _ = STAGED["funnel_order_sensitivity"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index("source")
+    ledger_fn, _ = STAGED["gate_stacking_ledger"]
+    ledger = ledger_fn(spark, SF_DIR).toPandas().set_index("source")
+    for s in pdf.index:
+        assert pdf.loc[s, "n_final_a"] == ledger.loc[s, "n_quality"]
+        assert pdf.loc[s, "tok_final_a"] == ledger.loc[s, "tok_quality"]
+        # unique-keep columns decompose the count delta exactly
+        assert (
+            pdf.loc[s, "n_final_a"] - pdf.loc[s, "n_final_b"]
+            == pdf.loc[s, "only_a"] - pdf.loc[s, "only_b"]
+        )
+    # the sf0.01 verdict, pinned: this corpus is order-INSENSITIVE —
+    # no (lang, source) threshold crosses a kept doc's score when the
+    # quality-cut docs leave the ranking population. That "certified
+    # insensitive" answer is the audit's product; the machinery's
+    # ability to detect real divergence is exercised by the
+    # adversarial random-input differential suite (and sf0.001, where
+    # src15 diverges by one doc / -43544 ppm).
+    assert (pdf.only_a + pdf.only_b).sum() == 0
+    assert (pdf.order_delta_ppm == 0).all()
+    assert (pdf.n_final_a == pdf.n_final_b).all()
+
+
+def test_trigger_sampling_deficit_monotone(spark):
+    """Sampling can only miss: deficit >= 0 everywhere, non-
+    decreasing in trigger_s per (ttl, policy), and the joint table's
+    pinned ttl=1800 one-key miss reproduces on both policies."""
+    fn, _ = STAGED["trigger_sampling_deficit"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert (pdf.deficit_keys >= 0).all()
+    assert (
+        pdf.sampled_peak_keys + pdf.deficit_keys == pdf.cont_peak_keys
+    ).all()
+    for (ttl, pol), sub in pdf.groupby(["ttl_s", "policy"]):
+        sub = sub.sort_values("trigger_s")
+        assert sub.deficit_keys.is_monotonic_increasing, (ttl, pol)
+    m1800 = pdf[pdf.ttl_s == 1800]
+    assert (m1800.deficit_keys == 1).all()
+    # the continuous peaks pin to the TTL twins' columns
+    from bigdataentrytask_spark.operators.staging import ROUND13_ACTIVATED
+
+    sl = (
+        ROUND13_ACTIVATED["dedup_ttl_state_projection"][0](spark, SF_DIR)
+        .toPandas()
+        .set_index("ttl_s")
+    )
+    fx = (
+        ROUND13_ACTIVATED["dedup_ttl_fixed_twin"][0](spark, SF_DIR)
+        .toPandas()
+        .set_index("ttl_s")
+    )
+    for _, r in pdf.iterrows():
+        twin = sl if r.policy == "a_sliding" else fx
+        assert r.cont_peak_keys == twin.loc[r.ttl_s, "peak_state_keys"]
+
+
+def test_residual_adc_recall_vs_raw_codebook(spark):
+    """True IVF-PQ under refined cells: the candidate funnel is
+    IDENTICAL to the raw-codebook 2x2 (same cells -> same need sets,
+    exactly equal mean_candidates) — only the in-cell scorer differs.
+    The distortion win does NOT automatically carry to recall; both
+    directions stay pinned by the shared schema for the row diff."""
+    fn, _ = STAGED["residual_adc_recall"]
+    res = fn(spark, SF_DIR).toPandas().set_index("nprobe")
+    joint_fn, _ = STAGED["ivf_adc_refined_joint_recall"]
+    joint = joint_fn(spark, SF_DIR).toPandas().set_index("nprobe")
+    assert list(res.columns) == list(joint.columns)
+    assert list(res.index) == list(joint.index)
+    for p in res.index:
+        assert res.loc[p, "mean_candidates"] == joint.loc[p, "mean_candidates"]
+        assert res.loc[p, "n_queries"] == 10
+    assert ((res.recall_at_5 >= 0) & (res.recall_at_5 <= 1)).all()
+    assert (res.n_hits <= 10 * 5).all()
+
+
+def test_compaction_read_bill_prunes_loose_parts(spark):
+    """The honest inversion the read bill exposes: LOOSE month parts
+    zone-prune better than merged wide-range files, so at_end's
+    stream read bill is the LOWEST and eager's open-file layout the
+    highest — merging buys file count (the amortizer's axis), not
+    scanned rows. at_end's bill is floor-independent (no merging
+    ever happens), and merged policies' bills grow with the floor."""
+    fn, _ = STAGED["compaction_read_bill"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index(["floor_rows", "policy"])
+    floors = sorted({f for f, _ in pdf.index})
+    for f in floors:
+        end = pdf.loc[(f, "at_end")]
+        close = pdf.loc[(f, "on_close")]
+        eager = pdf.loc[(f, "eager")]
+        assert end.rows_matched_total == close.rows_matched_total
+        assert close.rows_matched_total == eager.rows_matched_total
+        assert end.rows_scanned_total <= close.rows_scanned_total
+        assert close.rows_scanned_total <= eager.rows_scanned_total
+        assert end.n_obs == close.n_obs == eager.n_obs
+    ends = pdf.xs("at_end", level="policy")
+    assert ends.rows_scanned_total.nunique() == 1
+    for pol in ("on_close", "eager"):
+        sub = pdf.xs(pol, level="policy").sort_index()
+        assert sub.rows_scanned_total.is_monotonic_increasing
