@@ -2195,3 +2195,279 @@ ROUND14_STAGED["funnel_order_sensitivity"] = (
     funnel_order_sensitivity,
     _fos_oracle(),
 )
+
+
+# --------------------------------------------------------------------------
+# Funnel threshold provenance (round-15 queue item, pulled forward):
+# funnel_order_sensitivity reports the ORDER's effect on final mass
+# and certified sf0.01 order-insensitive — but it aggregates away
+# the mechanism. This table exposes it: per (lang, source), the
+# ranked population and the exact 10% threshold under order A (ppl
+# ranks dedup survivors) vs order B (ppl ranks dedup-AND-quality
+# survivors), the pruned counts, the signed threshold shift on the
+# 1e6 log-prob grid, and the population the quality cut removed
+# from the ranking. Groups must be rankable under BOTH orders (inner
+# join; a group the quality cut empties has no order-B gate to
+# compare). An owner reads this to see WHICH segments' gates move
+# when the pipeline is reordered even when the final corpus doesn't
+# — thresholds shifting under a stable output is exactly the
+# fragility a config pin protects against.
+# Exact math: one LM scoring pass, two exact discrete thresholds per
+# group, all-integer output.
+# Scale: funnel_order_sensitivity's plan minus the final-mass joins.
+# --------------------------------------------------------------------------
+_FTP_ORACLE = f"""
+    WITH fp AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id, md5({{FTP_NORM}}) AS fp FROM documents)
+      GROUP BY fp
+    ),
+    toks AS (
+      SELECT doc_id, tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+      FROM (
+        SELECT doc_id,
+               UNNEST({sql_tokens('text')}) AS tok,
+               UNNEST(range(len({sql_tokens('text')}))) AS pos
+        FROM documents
+      )
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             tok AS w2
+      FROM toks
+      QUALIFY w1 IS NOT NULL
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2
+           FROM bigrams GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1
+           FROM bigrams GROUP BY 1),
+    v  AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM toks),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(ROUND(SUM(CAST(ROUND(ln((c2.n2 + 1)
+                                / CAST(c1.n1 + v.vsz AS DOUBLE))
+                                * 1000000) AS BIGINT))
+                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+               AS score_e6
+      FROM bigrams b
+      JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+      JOIN c1 ON c1.w1 = b.w1
+      CROSS JOIN v
+      GROUP BY 1
+    ),
+    q AS ({{FTP_QUALITY}}),
+    gate_a AS (
+      SELECT lang, source,
+             CAST(MAX(n_grp) AS BIGINT) AS n_pop,
+             CAST(MIN(CASE WHEN rn > n_grp * {_GSL_FRAC_PPM} // 1000000
+                           THEN score_e6 END) AS BIGINT) AS th,
+             CAST(count_if(
+               score_e6 < (SELECT MIN(CASE WHEN t2.rn > t2.n_grp
+                                  * {_GSL_FRAC_PPM} // 1000000
+                                THEN t2.score_e6 END)
+                           FROM (
+                             SELECT s2.score_e6,
+                                    ROW_NUMBER() OVER (
+                                      PARTITION BY d3.lang, d3.source
+                                      ORDER BY s2.score_e6, s2.doc_id)
+                                      AS rn,
+                                    COUNT(*) OVER (
+                                      PARTITION BY d3.lang, d3.source)
+                                      AS n_grp,
+                                    d3.lang AS lg, d3.source AS sc
+                             FROM scored s2
+                             JOIN fp f2 ON f2.doc_id = s2.doc_id
+                             JOIN documents d3 ON d3.doc_id = s2.doc_id
+                           ) t2
+                           WHERE t2.lg = t.lang AND t2.sc = t.source))
+               AS BIGINT) AS n_pruned
+      FROM (
+        SELECT d2.lang, d2.source, s.score_e6,
+               ROW_NUMBER() OVER (PARTITION BY d2.lang, d2.source
+                                  ORDER BY s.score_e6, s.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY d2.lang, d2.source) AS n_grp
+        FROM scored s
+        JOIN fp ON fp.doc_id = s.doc_id
+        JOIN documents d2 ON d2.doc_id = s.doc_id
+      ) t
+      GROUP BY lang, source
+    ),
+    tb AS (
+      SELECT d2.lang, d2.source, s.score_e6,
+             ROW_NUMBER() OVER (PARTITION BY d2.lang, d2.source
+                                ORDER BY s.score_e6, s.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY d2.lang, d2.source) AS n_grp
+      FROM scored s
+      JOIN fp ON fp.doc_id = s.doc_id
+      JOIN q ON q.doc_id = s.doc_id AND q.keep
+      JOIN documents d2 ON d2.doc_id = s.doc_id
+    ),
+    gate_b AS (
+      SELECT lang, source,
+             CAST(MAX(n_grp) AS BIGINT) AS n_pop,
+             CAST(MIN(CASE WHEN rn > n_grp * {_GSL_FRAC_PPM} // 1000000
+                           THEN score_e6 END) AS BIGINT) AS th
+      FROM tb GROUP BY lang, source
+    ),
+    prb AS (
+      SELECT t.lang, t.source,
+             CAST(count_if(t.score_e6 < g.th) AS BIGINT) AS n_pruned
+      FROM tb t JOIN gate_b g ON g.lang = t.lang AND g.source = t.source
+      GROUP BY 1, 2
+    )
+    SELECT a.lang, a.source,
+           a.n_pop AS n_pop_a, a.th AS th_a_e6, a.n_pruned AS n_pruned_a,
+           b.n_pop AS n_pop_b, b.th AS th_b_e6,
+           pb.n_pruned AS n_pruned_b,
+           b.th - a.th AS th_shift_e6,
+           a.n_pop - b.n_pop AS pop_drop
+    FROM gate_a a
+    JOIN gate_b b ON b.lang = a.lang AND b.source = a.source
+    JOIN prb pb ON pb.lang = a.lang AND pb.source = a.source
+    ORDER BY a.lang, a.source
+    """
+
+
+def _ftp_oracle() -> str:
+    from bigdataentrytask_spark.functions.text import sql_normalize_text
+    from bigdataentrytask_spark.operators import ORACLES
+
+    return _FTP_ORACLE.replace(
+        "{FTP_NORM}", sql_normalize_text("text")
+    ).replace("{FTP_QUALITY}", ORACLES["quality_classifier_score"])
+
+
+def funnel_threshold_provenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-(lang, source) ppl-gate populations, exact thresholds, and
+    pruned counts under both funnel orders, with the signed threshold
+    shift (see block comment)."""
+    from pyspark.sql import Window
+
+    from bigdataentrytask_spark.functions.text import normalize_text
+    from bigdataentrytask_spark.operators import REGISTRY
+
+    d = _docs(spark, sf_dir)
+    keep1 = (
+        d.select("doc_id", F.md5(normalize_text("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    toks = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.select(
+        "doc_id",
+        F.lag("tok").over(w).alias("w1"),
+        F.col("tok").alias("w2"),
+    ).filter(F.col("w1").isNotNull())
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = toks.agg(F.count_distinct("tok").alias("vsz"))
+    lp_g = F.round(
+        F.log(
+            (F.col("n2") + 1) / (F.col("n1") + F.col("vsz")).cast("double")
+        )
+        * 1000000
+    ).cast("bigint")
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(lp_g) / F.count(F.lit(1)).cast("double"))
+            .cast("bigint")
+            .alias("score_e6")
+        )
+    )
+    qk = REGISTRY["quality_classifier_score"](spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("qkeep")
+    )
+
+    def gate_of(pop):
+        ws = Window.partitionBy("lang", "source").orderBy(
+            "score_e6", "doc_id"
+        )
+        ranked = pop.select(
+            "lang",
+            "source",
+            "score_e6",
+            F.row_number().over(ws).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("lang", "source"))
+            .alias("n_grp"),
+        )
+        cut = ranked.groupBy("lang", "source").agg(
+            F.max("n_grp").cast("bigint").alias("n_pop"),
+            F.min(
+                F.when(
+                    F.col("rn")
+                    > F.floor(F.col("n_grp") * _GSL_FRAC_PPM / 1000000),
+                    F.col("score_e6"),
+                )
+            )
+            .cast("bigint")
+            .alias("th"),
+        )
+        pruned = (
+            ranked.join(F.broadcast(cut), ["lang", "source"])
+            .groupBy("lang", "source")
+            .agg(
+                F.sum((F.col("score_e6") < F.col("th")).cast("long"))
+                .cast("bigint")
+                .alias("n_pruned")
+            )
+        )
+        return cut.join(pruned, ["lang", "source"])
+
+    base = scored.join(keep1, "doc_id").join(
+        d.select("doc_id", "lang", "source"), "doc_id"
+    )
+    ga = gate_of(base)
+    gb = gate_of(
+        base.join(qk.filter(F.col("qkeep")).select("doc_id"), "doc_id")
+    )
+    return (
+        ga.select(
+            "lang",
+            "source",
+            F.col("n_pop").alias("n_pop_a"),
+            F.col("th").alias("th_a_e6"),
+            F.col("n_pruned").alias("n_pruned_a"),
+        )
+        .join(
+            gb.select(
+                "lang",
+                "source",
+                F.col("n_pop").alias("n_pop_b"),
+                F.col("th").alias("th_b_e6"),
+                F.col("n_pruned").alias("n_pruned_b"),
+            ),
+            ["lang", "source"],
+        )
+        .select(
+            "lang",
+            "source",
+            "n_pop_a",
+            "th_a_e6",
+            "n_pruned_a",
+            "n_pop_b",
+            "th_b_e6",
+            "n_pruned_b",
+            (F.col("th_b_e6") - F.col("th_a_e6")).alias("th_shift_e6"),
+            (F.col("n_pop_a") - F.col("n_pop_b")).alias("pop_drop"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+ROUND14_STAGED["funnel_threshold_provenance"] = (
+    funnel_threshold_provenance,
+    _ftp_oracle(),
+)

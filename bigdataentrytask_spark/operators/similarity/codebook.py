@@ -3720,3 +3720,868 @@ ROUND14_STAGED["residual_adc_recall"] = (
     residual_adc_recall,
     _RESIDUAL_ADC_ORACLE.replace("{IVF_CTES}", _IVF_CTES),
 )
+
+
+# --------------------------------------------------------------------------
+# Residual-code utilization audit (round-15 queue item, pulled
+# forward): residual_adc_recall pinned an honest no-gain-on-recall
+# despite the distortion flip; the first diagnostic a codebook owner
+# reaches for is WHERE the codes collapse. Per (codebook, sub):
+# codes actually used, dead codes, and the max single-code share —
+# for the FLAT codebook (raw first-K codewords over raw vectors) and
+# the REFINED-RESIDUAL codebook (refined-cell residuals quantized
+# against refined-residual codewords, residual_adc_recall's encode
+# path, bit-identical construction). A residual codebook whose
+# assignments concentrate (fewer live codes, fatter max share)
+# explains a distortion win that fails to separate NEIGHBORS —
+# everything lands in the same few cells of quantized space.
+# Exact math: grid-integer assignment distances end to end; the max
+# share is the only rounded ratio.
+# Scale: two bounded argmin passes over dimension rows (broadcast
+# codebooks), two (codebook, sub, code)-keyed rollups.
+# --------------------------------------------------------------------------
+_RCU_ORACLE = f"""
+    WITH {{IVF_CTES}},
+    cent AS (
+      SELECT a.k, d.pos,
+             CAST(ROUND(SUM(d.xi) * 1.0 / COUNT(*)) AS BIGINT) AS si
+      FROM assigned a JOIN dims d ON d.vec_id = a.vec_id
+      GROUP BY a.k, d.pos
+    ),
+    dist2 AS (
+      SELECT d.vec_id, c.k,
+             CAST(SUM((d.xi - c.si) * (d.xi - c.si)) AS BIGINT) AS dd
+      FROM dims d JOIN cent c ON c.pos = d.pos
+      GROUP BY d.vec_id, c.k
+    ),
+    assigned2 AS (
+      SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, k) AS rn
+        FROM dist2
+      ) WHERE rn = 1
+    ),
+    resid2 AS (
+      SELECT d.vec_id, d.pos,
+             ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             d.xi - c.si AS ri
+      FROM dims d
+      JOIN assigned2 a ON a.vec_id = d.vec_id
+      JOIN cent c ON c.k = a.k AND c.pos = d.pos
+    ),
+    rcode2 AS (
+      SELECT vec_id AS code, sub, pos, ri AS ci
+      FROM resid2 WHERE vec_id < {_PQ_K}
+    ),
+    rdist2 AS (
+      SELECT r.vec_id, r.sub, c.code,
+             CAST(SUM((r.ri - c.ci) * (r.ri - c.ci)) AS BIGINT) AS dd
+      FROM resid2 r JOIN rcode2 c ON c.pos = r.pos AND c.sub = r.sub
+      GROUP BY 1, 2, 3
+    ),
+    fdims AS (
+      SELECT vec_id, pos,
+             ((pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub, xi
+      FROM dims
+    ),
+    fcode AS (
+      SELECT vec_id AS code, sub, pos, xi AS ci
+      FROM fdims WHERE vec_id < {_PQ_K}
+    ),
+    fdist AS (
+      SELECT d.vec_id, d.sub, c.code,
+             CAST(SUM((d.xi - c.ci) * (d.xi - c.ci)) AS BIGINT) AS dd
+      FROM fdims d JOIN fcode c ON c.pos = d.pos AND c.sub = d.sub
+      GROUP BY 1, 2, 3
+    ),
+    asg AS (
+      SELECT 'a_flat' AS codebook, vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM fdist
+      ) WHERE rn = 1
+      UNION ALL
+      SELECT 'b_residual', vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM rdist2
+      ) WHERE rn = 1
+    ),
+    percode AS (
+      SELECT codebook, sub, code, CAST(COUNT(*) AS BIGINT) AS n
+      FROM asg GROUP BY 1, 2, 3
+    )
+    SELECT codebook, CAST(sub AS BIGINT) AS sub,
+           CAST(SUM(n) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) AS BIGINT) AS n_codes_used,
+           CAST({_PQ_K} - COUNT(*) AS BIGINT) AS n_dead,
+           CAST(ROUND(MAX(n) * 1000000.0 / SUM(n)) AS BIGINT)
+             AS max_share_ppm
+    FROM percode
+    GROUP BY 1, 2
+    ORDER BY codebook, sub
+    """
+
+
+def residual_code_utilization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Code-usage histogram rollup per (codebook, subspace): live
+    codes, dead codes, max single-code share — flat vs refined-
+    residual codebooks on identical encode paths (see block
+    comment)."""
+    from bigdataentrytask_spark.operators import materialize, with_persisted
+
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long").alias("sub"),
+        (F.col("pos0") + 1).alias("pos"),
+        grid.alias("xi"),
+    )
+    with with_persisted(dims) as dims_p:
+        seeds = dims_p.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("k"),
+            F.col("pos").alias("s_pos"),
+            F.col("xi").alias("si"),
+        )
+        sqd = (F.col("xi") - F.col("si")) * (F.col("xi") - F.col("si"))
+        cdist0 = (
+            dims_p.join(F.broadcast(seeds), F.col("s_pos") == F.col("pos"))
+            .groupBy("vec_id", "k")
+            .agg(F.sum(sqd).cast("bigint").alias("dd"))
+        )
+        wc = Window.partitionBy("vec_id").orderBy("dd", "k")
+        assigned0 = (
+            cdist0.withColumn("rn", F.row_number().over(wc))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "k")
+        )
+        cent = (
+            assigned0.join(dims_p, "vec_id")
+            .groupBy("k", F.col("pos").alias("s_pos"))
+            .agg(
+                F.round(F.sum("xi") * 1.0 / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("si")
+            )
+        )
+        cdist2 = (
+            dims_p.join(F.broadcast(cent), F.col("s_pos") == F.col("pos"))
+            .groupBy("vec_id", "k")
+            .agg(F.sum(sqd).cast("bigint").alias("dd"))
+        )
+        assigned2 = (
+            cdist2.withColumn("rn", F.row_number().over(wc))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("k").alias("v_cell"))
+        )
+        resid2 = (
+            dims_p.join(assigned2, "vec_id")
+            .join(
+                F.broadcast(cent),
+                (F.col("s_pos") == F.col("pos"))
+                & (F.col("k") == F.col("v_cell")),
+            )
+            .select(
+                "vec_id", "pos", "sub",
+                (F.col("xi") - F.col("si")).alias("ri"),
+            )
+        )
+
+        def assign(frame, val):
+            code = frame.filter(F.col("vec_id") < _PQ_K).select(
+                F.col("vec_id").alias("code"),
+                F.col("sub").alias("c_sub"),
+                F.col("pos").alias("c_pos"),
+                F.col(val).alias("ci"),
+            )
+            diff = F.col(val) - F.col("ci")
+            dist = (
+                frame.join(
+                    F.broadcast(code),
+                    (F.col("c_pos") == F.col("pos"))
+                    & (F.col("c_sub") == F.col("sub")),
+                )
+                .groupBy("vec_id", "sub", "code")
+                .agg(F.sum(diff * diff).cast("bigint").alias("dd"))
+            )
+            ws = Window.partitionBy("vec_id", "sub").orderBy("dd", "code")
+            return (
+                dist.withColumn("rn", F.row_number().over(ws))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "sub", "code")
+            )
+
+        with with_persisted(resid2) as resid_p:
+            asg = assign(dims_p, "xi").select(
+                F.lit("a_flat").alias("codebook"), "vec_id", "sub", "code"
+            ).unionByName(
+                assign(resid_p, "ri").select(
+                    F.lit("b_residual").alias("codebook"),
+                    "vec_id",
+                    "sub",
+                    "code",
+                )
+            )
+            percode = asg.groupBy("codebook", "sub", "code").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n")
+            )
+            return materialize(
+                percode.groupBy("codebook", "sub")
+                .agg(
+                    F.sum("n").cast("bigint").alias("n_vecs"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_codes_used"),
+                    (F.lit(_PQ_K) - F.count(F.lit(1)))
+                    .cast("bigint")
+                    .alias("n_dead"),
+                    F.round(F.max("n") * 1000000.0 / F.sum("n"))
+                    .cast("bigint")
+                    .alias("max_share_ppm"),
+                )
+                .select(
+                    "codebook",
+                    F.col("sub").cast("bigint").alias("sub"),
+                    "n_vecs",
+                    "n_codes_used",
+                    "n_dead",
+                    "max_share_ppm",
+                )
+                .orderBy("codebook", "sub")
+            )
+
+
+ROUND14_STAGED["residual_code_utilization"] = (
+    residual_code_utilization,
+    _RCU_ORACLE.replace("{IVF_CTES}", _IVF_CTES),
+)
+
+
+# --------------------------------------------------------------------------
+# ADC per-query recall tail (round-15 queue item, pulled forward):
+# every sweep row reports MEAN recall over the 10 query vectors; a
+# serving SLO is set on the TAIL. This table re-runs the two
+# refined-cell scorers — b_joint (the 2x2's refined RAW codebook)
+# and c_residual (true IVF-PQ residual codes) — over their SHARED
+# candidate funnel and reports per (variant, nprobe) the per-query
+# hit distribution: min, lower-median (5th smallest of 10), max,
+# and the mean as recall ppm. The funnel is computed ONCE (same
+# refined cells -> same need sets), so any tail difference is the
+# in-cell scorer alone — the column that says whether a codebook
+# fixes the worst query or just the average.
+# Exact math: grid-integer distances; hit counts are integers; the
+# lower median is an exact order statistic (no interpolation); the
+# one ppm rounding is the only double.
+# Scale posture: the 2x2 plan + the residual encode, sharing one
+# need computation; the tail rollup is a (variant, nprobe, query)-
+# domain aggregation.
+# --------------------------------------------------------------------------
+_ART_ORACLE = f"""
+    WITH {{IVF_CTES}},
+    cent AS (
+      SELECT a.k, d.pos,
+             CAST(ROUND(SUM(d.xi) * 1.0 / COUNT(*)) AS BIGINT) AS si
+      FROM assigned a JOIN dims d ON d.vec_id = a.vec_id
+      GROUP BY a.k, d.pos
+    ),
+    dist2 AS (
+      SELECT d.vec_id, c.k,
+             CAST(SUM((d.xi - c.si) * (d.xi - c.si)) AS BIGINT) AS dd
+      FROM dims d JOIN cent c ON c.pos = d.pos
+      GROUP BY d.vec_id, c.k
+    ),
+    assigned2 AS (
+      SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, k) AS rn
+        FROM dist2
+      ) WHERE rn = 1
+    ),
+    qcells AS (
+      SELECT vec_id AS query_id, k,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dd, k) AS cell_rnk
+      FROM dist2 WHERE vec_id < {N_QUERIES}
+    ),
+    need AS (
+      SELECT qc.query_id, ac.vec_id AS neighbor_id, ac.k AS n_cell,
+             MIN(qc.cell_rnk) AS need_probe
+      FROM qcells qc
+      JOIN assigned2 ac ON ac.k = qc.k
+      WHERE ac.vec_id <> qc.query_id
+      GROUP BY 1, 2, 3
+    ),
+    cb0 AS (
+      SELECT vec_id AS code, ((pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             pos, xi AS ci
+      FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos,
+                   CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+            FROM v WHERE vec_id < {_PQ_K}) t
+    ),
+    pq_dist0 AS (
+      SELECT d.vec_id, ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             cb.code,
+             CAST(SUM((d.xi - cb.ci) * (d.xi - cb.ci)) AS BIGINT) AS dd
+      FROM dims d
+      JOIN cb0 cb ON cb.pos = d.pos
+                 AND cb.sub = ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM}
+      GROUP BY 1, 2, 3
+    ),
+    pq_assigned0 AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM pq_dist0
+      ) WHERE rn = 1
+    ),
+    refined AS (
+      SELECT a.sub, a.code, d.pos,
+             CAST(ROUND(SUM(d.xi) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+               AS ci
+      FROM pq_assigned0 a
+      JOIN dims d ON d.vec_id = a.vec_id
+                 AND ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} = a.sub
+      GROUP BY 1, 2, 3
+    ),
+    codebook AS (
+      SELECT c.code, c.sub, c.pos, COALESCE(r.ci, c.ci) AS ci
+      FROM cb0 c
+      LEFT JOIN refined r ON r.sub = c.sub AND r.code = c.code
+                         AND r.pos = c.pos
+    ),
+    pq_dist AS (
+      SELECT d.vec_id, ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             cb.code,
+             CAST(SUM((d.xi - cb.ci) * (d.xi - cb.ci)) AS BIGINT) AS dd
+      FROM dims d
+      JOIN codebook cb ON cb.pos = d.pos
+                      AND cb.sub = ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM}
+      GROUP BY 1, 2, 3
+    ),
+    pq_assigned AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM pq_dist
+      ) WHERE rn = 1
+    ),
+    resid2 AS (
+      SELECT d.vec_id, d.pos,
+             ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             d.xi - c.si AS ri
+      FROM dims d
+      JOIN assigned2 a ON a.vec_id = d.vec_id
+      JOIN cent c ON c.k = a.k AND c.pos = d.pos
+    ),
+    rcode2 AS (
+      SELECT vec_id AS code, sub, pos, ri AS ci
+      FROM resid2 WHERE vec_id < {_PQ_K}
+    ),
+    rdist2 AS (
+      SELECT r.vec_id, r.sub, c.code,
+             CAST(SUM((r.ri - c.ci) * (r.ri - c.ci)) AS BIGINT) AS dd
+      FROM resid2 r JOIN rcode2 c ON c.pos = r.pos AND c.sub = r.sub
+      GROUP BY 1, 2, 3
+    ),
+    rassign2 AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM rdist2
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT 'b_joint' AS variant, n.query_id, n.neighbor_id,
+             n.need_probe,
+             CAST(SUM((q.xi - cb.ci) * (q.xi - cb.ci)) AS BIGINT) AS dd
+      FROM need n
+      JOIN pq_assigned a ON a.vec_id = n.neighbor_id
+      JOIN codebook cb ON cb.sub = a.sub AND cb.code = a.code
+      JOIN dims q ON q.vec_id = n.query_id AND q.pos = cb.pos
+      WHERE n.need_probe <= {max(_IVF_ADC_PROBES)}
+      GROUP BY 2, 3, 4
+      UNION ALL
+      SELECT 'c_residual', n.query_id, n.neighbor_id, n.need_probe,
+             CAST(SUM(((q.xi - ct.si) - cb.ci)
+                      * ((q.xi - ct.si) - cb.ci)) AS BIGINT) AS dd
+      FROM need n
+      JOIN rassign2 a ON a.vec_id = n.neighbor_id
+      JOIN rcode2 cb ON cb.sub = a.sub AND cb.code = a.code
+      JOIN cent ct ON ct.k = n.n_cell AND ct.pos = cb.pos
+      JOIN dims q ON q.vec_id = n.query_id AND q.pos = cb.pos
+      WHERE n.need_probe <= {max(_IVF_ADC_PROBES)}
+      GROUP BY 2, 3, 4
+    ),
+    pr(nprobe) AS (VALUES {", ".join(f"({p})" for p in _IVF_ADC_PROBES)}),
+    ranked AS (
+      SELECT a.variant, pr.nprobe, a.query_id, a.neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY a.variant, pr.nprobe,
+                                             a.query_id
+                                ORDER BY a.dd, a.neighbor_id) AS rnk
+      FROM adc a JOIN pr ON a.need_probe <= pr.nprobe
+    ),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS dd
+      FROM dims q
+      JOIN dims c ON c.pos = q.pos AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dd, neighbor_id) AS rnk
+        FROM exact
+      ) WHERE rnk <= {TOP_K}
+    ),
+    qdom AS (SELECT vec_id AS query_id FROM v
+             WHERE vec_id < {N_QUERIES}),
+    vp(variant) AS (VALUES ('b_joint'), ('c_residual')),
+    perq AS (
+      SELECT g.variant, g.nprobe, g.query_id,
+             COALESCE(h.n_hits, 0) AS n_hits
+      FROM (SELECT vp.variant, pr.nprobe, q.query_id
+            FROM vp CROSS JOIN pr CROSS JOIN qdom q) g
+      LEFT JOIN (
+        SELECT r.variant, r.nprobe, r.query_id,
+               CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT)
+                 AS n_hits
+        FROM ranked r
+        LEFT JOIN truth t ON t.query_id = r.query_id
+                         AND t.neighbor_id = r.neighbor_id
+        WHERE r.rnk <= {TOP_K}
+        GROUP BY 1, 2, 3
+      ) h ON h.variant = g.variant AND h.nprobe = g.nprobe
+         AND h.query_id = g.query_id
+    ),
+    ordd AS (
+      SELECT variant, nprobe, n_hits,
+             ROW_NUMBER() OVER (PARTITION BY variant, nprobe
+                                ORDER BY n_hits, query_id) AS rn
+      FROM perq
+    )
+    SELECT variant, CAST(nprobe AS BIGINT) AS nprobe,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           CAST(MIN(n_hits) AS BIGINT) AS min_hits,
+           CAST(MIN(CASE WHEN rn = {(N_QUERIES + 1) // 2}
+                         THEN n_hits END) AS BIGINT) AS p50_hits,
+           CAST(MAX(n_hits) AS BIGINT) AS max_hits,
+           CAST(ROUND(SUM(n_hits) * 1000000.0
+                      / ({N_QUERIES} * {TOP_K})) AS BIGINT)
+             AS recall_ppm
+    FROM ordd
+    GROUP BY 1, 2
+    ORDER BY variant, nprobe
+    """
+
+
+def adc_recall_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query hit distribution (min / lower-median / max / mean
+    ppm) per (variant, nprobe) for the two refined-cell ADC scorers
+    over their shared candidate funnel (see block comment)."""
+    from bigdataentrytask_spark.operators import materialize, with_persisted
+
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long").alias("sub"),
+        (F.col("pos0") + 1).alias("pos"),
+        grid.alias("xi"),
+    )
+    with with_persisted(dims) as dims_p:
+        seeds = dims_p.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("k"),
+            F.col("pos").alias("s_pos"),
+            F.col("xi").alias("si"),
+        )
+        sqd = (F.col("xi") - F.col("si")) * (F.col("xi") - F.col("si"))
+        cdist0 = (
+            dims_p.join(F.broadcast(seeds), F.col("s_pos") == F.col("pos"))
+            .groupBy("vec_id", "k")
+            .agg(F.sum(sqd).cast("bigint").alias("dd"))
+        )
+        wc = Window.partitionBy("vec_id").orderBy("dd", "k")
+        assigned0 = (
+            cdist0.withColumn("rn", F.row_number().over(wc))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "k")
+        )
+        cent = (
+            assigned0.join(dims_p, "vec_id")
+            .groupBy("k", F.col("pos").alias("s_pos"))
+            .agg(
+                F.round(F.sum("xi") * 1.0 / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("si")
+            )
+        )
+        cdist = (
+            dims_p.join(F.broadcast(cent), F.col("s_pos") == F.col("pos"))
+            .groupBy("vec_id", "k")
+            .agg(F.sum(sqd).cast("bigint").alias("dd"))
+        )
+        cell_rank = cdist.withColumn("rn", F.row_number().over(wc))
+        assigned2 = materialize(
+            cell_rank.filter(F.col("rn") == 1).select("vec_id", "k")
+        )
+        qcells = materialize(
+            cell_rank.filter(F.col("vec_id") < N_QUERIES).select(
+                F.col("vec_id").alias("query_id"),
+                "k",
+                F.col("rn").alias("cell_rnk"),
+            )
+        )
+        need = materialize(
+            qcells.join(
+                assigned2.select(
+                    F.col("vec_id").alias("neighbor_id"), F.col("k")
+                ),
+                "k",
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id", "neighbor_id", F.col("k").alias("n_cell"))
+            .agg(F.min("cell_rnk").alias("need_probe"))
+        )
+        # refined RAW codebook (the 2x2's scorer)
+        cb0 = (
+            e.filter(F.col("vec_id") < _PQ_K)
+            .select(
+                F.col("vec_id").alias("cb_code"),
+                F.posexplode(
+                    F.transform("embedding", lambda x: x.cast("double"))
+                ).alias("pos0", "x"),
+            )
+            .select(
+                "cb_code",
+                ((F.col("pos0") * _PQ_SUB) / _PQ_DIM)
+                .cast("long")
+                .alias("cb_sub"),
+                (F.col("pos0") + 1).alias("cb_pos"),
+                grid.alias("ci"),
+            )
+        )
+
+        def pq_assign(cbf):
+            dist0 = (
+                dims_p.join(
+                    F.broadcast(cbf),
+                    (F.col("cb_pos") == F.col("pos"))
+                    & (F.col("cb_sub") == F.col("sub")),
+                )
+                .groupBy("vec_id", "sub", F.col("cb_code").alias("code"))
+                .agg(
+                    F.sum(
+                        (F.col("xi") - F.col("ci"))
+                        * (F.col("xi") - F.col("ci"))
+                    )
+                    .cast("bigint")
+                    .alias("dd")
+                )
+            )
+            wp = Window.partitionBy("vec_id", "sub").orderBy("dd", "code")
+            return materialize(
+                dist0.withColumn("rn", F.row_number().over(wp))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "sub", "code")
+            )
+
+        a0 = pq_assign(cb0)
+        refined = (
+            a0.select(
+                F.col("vec_id").alias("a_vid"),
+                F.col("sub").alias("a_sub"),
+                "code",
+            )
+            .join(
+                dims_p,
+                (F.col("a_vid") == F.col("vec_id"))
+                & (F.col("a_sub") == F.col("sub")),
+            )
+            .groupBy(
+                F.col("a_sub").alias("cb_sub"),
+                F.col("code").alias("cb_code"),
+                F.col("pos").alias("cb_pos"),
+            )
+            .agg(
+                F.round(F.sum("xi") / F.count(F.lit(1)).cast("double"))
+                .cast("bigint")
+                .alias("r_ci")
+            )
+        )
+        codebook = cb0.join(
+            refined, ["cb_sub", "cb_code", "cb_pos"], "left"
+        ).select(
+            "cb_code", "cb_sub", "cb_pos",
+            F.coalesce("r_ci", "ci").alias("ci"),
+        )
+        pq_assigned = pq_assign(codebook)
+        # residual codebook (true IVF-PQ scorer)
+        resid2 = (
+            dims_p.join(
+                assigned2.select("vec_id", F.col("k").alias("v_cell")),
+                "vec_id",
+            )
+            .join(
+                F.broadcast(cent),
+                (F.col("s_pos") == F.col("pos"))
+                & (F.col("k") == F.col("v_cell")),
+            )
+            .select(
+                "vec_id", "pos", "sub",
+                (F.col("xi") - F.col("si")).alias("ri"),
+            )
+        )
+        with with_persisted(resid2) as resid_p:
+            rcode2 = resid_p.filter(F.col("vec_id") < _PQ_K).select(
+                F.col("vec_id").alias("code"),
+                F.col("sub").alias("c_sub"),
+                F.col("pos").alias("c_pos"),
+                F.col("ri").alias("ci"),
+            )
+            rdiff = F.col("ri") - F.col("ci")
+            rdist2 = (
+                resid_p.join(
+                    F.broadcast(rcode2),
+                    (F.col("c_pos") == F.col("pos"))
+                    & (F.col("c_sub") == F.col("sub")),
+                )
+                .groupBy("vec_id", "sub", "code")
+                .agg(F.sum(rdiff * rdiff).cast("bigint").alias("dd"))
+            )
+            wp2 = Window.partitionBy("vec_id", "sub").orderBy(
+                "dd", "code"
+            )
+            rassign2 = materialize(
+                rdist2.withColumn("rn", F.row_number().over(wp2))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "sub", "code")
+            )
+            rmax = max(_IVF_ADC_PROBES)
+            nf = need.filter(F.col("need_probe") <= rmax)
+            adc_raw = (
+                nf.join(
+                    pq_assigned.select(
+                        F.col("vec_id").alias("neighbor_id"), "sub", "code"
+                    ),
+                    "neighbor_id",
+                )
+                .join(
+                    F.broadcast(
+                        codebook.select(
+                            F.col("cb_sub").alias("sub"),
+                            F.col("cb_code").alias("code"),
+                            F.col("cb_pos").alias("pos"),
+                            "ci",
+                        )
+                    ),
+                    ["sub", "code"],
+                )
+                .join(
+                    dims_p.select(
+                        F.col("vec_id").alias("query_id"), "pos", "xi"
+                    ),
+                    ["query_id", "pos"],
+                )
+                .groupBy("query_id", "neighbor_id", "need_probe")
+                .agg(
+                    F.sum(
+                        (F.col("xi") - F.col("ci"))
+                        * (F.col("xi") - F.col("ci"))
+                    )
+                    .cast("bigint")
+                    .alias("dd")
+                )
+                .select(
+                    F.lit("b_joint").alias("variant"),
+                    "query_id",
+                    "neighbor_id",
+                    "need_probe",
+                    "dd",
+                )
+            )
+            adc_res = (
+                nf.join(
+                    rassign2.select(
+                        F.col("vec_id").alias("neighbor_id"), "sub", "code"
+                    ),
+                    "neighbor_id",
+                )
+                .join(
+                    F.broadcast(
+                        rcode2.select(
+                            F.col("c_sub").alias("sub"),
+                            "code",
+                            F.col("c_pos").alias("pos"),
+                            "ci",
+                        )
+                    ),
+                    ["sub", "code"],
+                )
+                .join(
+                    F.broadcast(
+                        cent.select(
+                            F.col("k").alias("n_cell"),
+                            F.col("s_pos").alias("pos"),
+                            "si",
+                        )
+                    ),
+                    ["n_cell", "pos"],
+                )
+                .join(
+                    dims_p.select(
+                        F.col("vec_id").alias("query_id"), "pos", "xi"
+                    ),
+                    ["query_id", "pos"],
+                )
+                .groupBy("query_id", "neighbor_id", "need_probe")
+                .agg(
+                    F.sum(
+                        ((F.col("xi") - F.col("si")) - F.col("ci"))
+                        * ((F.col("xi") - F.col("si")) - F.col("ci"))
+                    )
+                    .cast("bigint")
+                    .alias("dd")
+                )
+                .select(
+                    F.lit("c_residual").alias("variant"),
+                    "query_id",
+                    "neighbor_id",
+                    "need_probe",
+                    "dd",
+                )
+            )
+            adc = adc_raw.unionByName(adc_res)
+            pr = spark.createDataFrame(
+                [(p,) for p in _IVF_ADC_PROBES], "nprobe long"
+            )
+            ranked = (
+                adc.crossJoin(F.broadcast(pr))
+                .filter(F.col("need_probe") <= F.col("nprobe"))
+                .withColumn(
+                    "rnk",
+                    F.row_number().over(
+                        Window.partitionBy(
+                            "variant", "nprobe", "query_id"
+                        ).orderBy("dd", "neighbor_id")
+                    ),
+                )
+                .filter(F.col("rnk") <= TOP_K)
+            )
+            exact = (
+                dims_p.filter(F.col("vec_id") < N_QUERIES)
+                .select(F.col("vec_id").alias("query_id"), "pos", "xi")
+                .join(
+                    dims_p.select(
+                        F.col("vec_id").alias("neighbor_id"),
+                        "pos",
+                        F.col("xi").alias("ci"),
+                    ),
+                    "pos",
+                )
+                .filter(F.col("neighbor_id") != F.col("query_id"))
+                .groupBy("query_id", "neighbor_id")
+                .agg(
+                    F.sum(
+                        (F.col("xi") - F.col("ci"))
+                        * (F.col("xi") - F.col("ci"))
+                    )
+                    .cast("bigint")
+                    .alias("dd")
+                )
+            )
+            wt = Window.partitionBy("query_id").orderBy(
+                "dd", "neighbor_id"
+            )
+            truth = (
+                exact.withColumn("rnk", F.row_number().over(wt))
+                .filter(F.col("rnk") <= TOP_K)
+                .select(
+                    "query_id", "neighbor_id", F.lit(1).alias("is_true")
+                )
+            )
+            qdom = e.filter(F.col("vec_id") < N_QUERIES).select(
+                F.col("vec_id").alias("query_id")
+            )
+            vp = spark.createDataFrame(
+                [("b_joint",), ("c_residual",)], "variant string"
+            )
+            hcounts = (
+                ranked.join(truth, ["query_id", "neighbor_id"], "left")
+                .groupBy("variant", "nprobe", "query_id")
+                .agg(
+                    F.sum(F.coalesce("is_true", F.lit(0)))
+                    .cast("bigint")
+                    .alias("n_hits")
+                )
+            )
+            perq = (
+                vp.crossJoin(F.broadcast(pr))
+                .crossJoin(qdom)
+                .join(hcounts, ["variant", "nprobe", "query_id"], "left")
+                .select(
+                    "variant",
+                    "nprobe",
+                    "query_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                )
+            )
+            wo = Window.partitionBy("variant", "nprobe").orderBy(
+                "n_hits", "query_id"
+            )
+            ordd = perq.withColumn("rn", F.row_number().over(wo))
+            p50_rn = (N_QUERIES + 1) // 2
+            return materialize(
+                ordd.groupBy("variant", "nprobe")
+                .agg(
+                    F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+                    F.min("n_hits").cast("bigint").alias("min_hits"),
+                    F.min(
+                        F.when(F.col("rn") == p50_rn, F.col("n_hits"))
+                    )
+                    .cast("bigint")
+                    .alias("p50_hits"),
+                    F.max("n_hits").cast("bigint").alias("max_hits"),
+                    F.round(
+                        F.sum("n_hits") * 1000000.0 / (N_QUERIES * TOP_K)
+                    )
+                    .cast("bigint")
+                    .alias("recall_ppm"),
+                )
+                .select(
+                    "variant",
+                    F.col("nprobe").cast("bigint").alias("nprobe"),
+                    "n_queries",
+                    "min_hits",
+                    "p50_hits",
+                    "max_hits",
+                    "recall_ppm",
+                )
+                .orderBy("variant", "nprobe")
+            )
+
+
+ROUND14_STAGED["adc_recall_tail"] = (
+    adc_recall_tail,
+    _ART_ORACLE.replace("{IVF_CTES}", _IVF_CTES),
+)

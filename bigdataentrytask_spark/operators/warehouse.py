@@ -6008,3 +6008,118 @@ ROUND14_STAGED["compaction_read_bill"] = (
     compaction_read_bill,
     _CRB_ORACLE,
 )
+
+
+# --------------------------------------------------------------------------
+# Compaction policy pareto face (round-15 queue item, pulled
+# forward): the amortizer prices (write amp, live files) and the
+# read bill prices read amp — a compaction owner tunes against all
+# three AT ONCE, and the only rows that matter are the undominated
+# ones. This table joins the two schedules' metrics per (floor,
+# policy) and flags dominance across the full 9-row candidate set:
+# a row is dominated iff some other row is <= on write_amp_ppm,
+# mean_live_files_e3 AND read_amp_ppm with at least one strict <.
+# n_dominators counts them (0 = on the pareto face). The face is
+# SCALE-DEPENDENT — the finding the staged test pins: at sf0.001
+# (small months, merging common) at_end sits ON the face via the
+# zone-pruning inversion; at sf0.01 (months large vs every floor,
+# merging rare) at_end is DOMINATED at every floor because eager@200
+# matches its write and read bills while holding fewer live files.
+# eager stays on the face at every scale via the live-files axis.
+# The actionable reading: a compaction face tuned at one corpus
+# scale does not transfer — re-run the table, don't port the verdict.
+# Exact math: a pure self-join over 9 integer rows; no new rounding.
+# Scale: both parents' plans + one domain-sized self-join.
+# --------------------------------------------------------------------------
+_CPP_ORACLE = f"""
+    WITH amort AS ({_CSA_ORACLE.strip()}),
+    rb AS ({_CRB_ORACLE.strip()}),
+    m AS (
+      SELECT a.floor_rows, a.policy, a.write_amp_ppm,
+             a.mean_live_files_e3, r.read_amp_ppm
+      FROM amort a
+      JOIN rb r ON r.floor_rows = a.floor_rows
+               AND r.policy = a.policy
+    )
+    SELECT m.floor_rows, m.policy, m.write_amp_ppm,
+           m.mean_live_files_e3, m.read_amp_ppm,
+           CAST((SELECT COUNT(*) FROM m o
+                 WHERE o.write_amp_ppm <= m.write_amp_ppm
+                   AND o.mean_live_files_e3 <= m.mean_live_files_e3
+                   AND o.read_amp_ppm <= m.read_amp_ppm
+                   AND (o.write_amp_ppm < m.write_amp_ppm
+                        OR o.mean_live_files_e3 < m.mean_live_files_e3
+                        OR o.read_amp_ppm < m.read_amp_ppm))
+                AS BIGINT) AS n_dominators,
+           (SELECT COUNT(*) FROM m o
+            WHERE o.write_amp_ppm <= m.write_amp_ppm
+              AND o.mean_live_files_e3 <= m.mean_live_files_e3
+              AND o.read_amp_ppm <= m.read_amp_ppm
+              AND (o.write_amp_ppm < m.write_amp_ppm
+                   OR o.mean_live_files_e3 < m.mean_live_files_e3
+                   OR o.read_amp_ppm < m.read_amp_ppm)) > 0
+             AS dominated
+    FROM m
+    ORDER BY m.floor_rows, m.policy
+    """
+
+
+def compaction_policy_pareto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The (floor, policy) grid scored on all three compaction axes
+    with pareto-dominance flags (see block comment; composes the
+    amortizer and the read bill)."""
+    a = compaction_schedule_amortizer(spark, sf_dir).select(
+        "floor_rows", "policy", "write_amp_ppm", "mean_live_files_e3"
+    )
+    r = compaction_read_bill(spark, sf_dir).select(
+        "floor_rows", "policy", "read_amp_ppm"
+    )
+    m = a.join(r, ["floor_rows", "policy"])
+    o = m.select(
+        F.col("write_amp_ppm").alias("o_w"),
+        F.col("mean_live_files_e3").alias("o_l"),
+        F.col("read_amp_ppm").alias("o_r"),
+    )
+    dom = (
+        m.join(
+            F.broadcast(o),
+            (F.col("o_w") <= F.col("write_amp_ppm"))
+            & (F.col("o_l") <= F.col("mean_live_files_e3"))
+            & (F.col("o_r") <= F.col("read_amp_ppm"))
+            & (
+                (F.col("o_w") < F.col("write_amp_ppm"))
+                | (F.col("o_l") < F.col("mean_live_files_e3"))
+                | (F.col("o_r") < F.col("read_amp_ppm"))
+            ),
+            "left",
+        )
+        .groupBy(
+            "floor_rows",
+            "policy",
+            "write_amp_ppm",
+            "mean_live_files_e3",
+            "read_amp_ppm",
+        )
+        .agg(
+            F.sum(F.when(F.col("o_w").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dominators")
+        )
+    )
+    return dom.select(
+        "floor_rows",
+        "policy",
+        "write_amp_ppm",
+        "mean_live_files_e3",
+        "read_amp_ppm",
+        "n_dominators",
+        (F.col("n_dominators") > 0).alias("dominated"),
+    ).orderBy("floor_rows", "policy")
+
+
+ROUND14_STAGED["compaction_policy_pareto"] = (
+    compaction_policy_pareto,
+    _CPP_ORACLE,
+)

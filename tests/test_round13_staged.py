@@ -23,10 +23,10 @@ STAGED_NAMES = sorted(STAGED)
 
 
 def test_round14_staged_not_registered():
-    """The freeze: 10 staged round-14 ops, none registered, registry
+    """The freeze: 14 staged round-14 ops, none registered, registry
     still exactly 484. Flip this to an activation assertion (registry
-    == 494, identity per name) at the round-14 boundary."""
-    assert len(STAGED) == 10
+    == 498, identity per name) at the round-14 boundary."""
+    assert len(STAGED) == 14
     assert len(REGISTRY) == 484
     for name in STAGED:
         assert name not in REGISTRY
@@ -386,3 +386,112 @@ def test_compaction_read_bill_prunes_loose_parts(spark):
     for pol in ("on_close", "eager"):
         sub = pdf.xs(pol, level="policy").sort_index()
         assert sub.rows_scanned_total.is_monotonic_increasing
+
+
+def test_residual_code_utilization_not_collapsed(spark):
+    """The diagnostic behind residual_adc_recall's honest negative:
+    the refined-residual codebook is NOT collapsing — all 16 codes
+    live in every subspace for both codebooks, and the max share
+    stays far from degeneracy. The no-recall-gain is corpus isotropy,
+    not encode pathology."""
+    fn, _ = STAGED["residual_code_utilization"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert set(pdf.codebook) == {"a_flat", "b_residual"}
+    assert (pdf.n_codes_used == 16).all()
+    assert (pdf.n_dead == 0).all()
+    # no single code owns even half a subspace
+    assert (pdf.max_share_ppm < 500_000).all()
+    assert (pdf.n_vecs == pdf.n_vecs.iloc[0]).all()
+
+
+def test_funnel_threshold_provenance_mechanism(spark):
+    """The mechanism behind the order-(in)sensitivity verdict: the
+    order-B population is the order-A population minus the quality-
+    cut docs, thresholds move only where population dropped, and
+    pruned counts respect the 10% ceiling in both orders."""
+    fn, _ = STAGED["funnel_threshold_provenance"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    assert (pdf.pop_drop >= 0).all()
+    assert (pdf.n_pop_b + pdf.pop_drop == pdf.n_pop_a).all()
+    assert (pdf.n_pruned_a <= pdf.n_pop_a // 10).all()
+    assert (pdf.n_pruned_b <= pdf.n_pop_b // 10).all()
+    # where nothing left the population, the gate is bit-identical
+    same = pdf[pdf.pop_drop == 0]
+    assert (same.th_shift_e6 == 0).all()
+    # the sf0.01 mechanism, pinned: the quality cut DOES shrink two
+    # ranking populations (pop_drop > 0), but neither dropped doc sat
+    # at a decile boundary, so every threshold — and therefore every
+    # pruned set — is bit-identical across orders. This is the
+    # per-group WHY behind funnel_order_sensitivity's certified
+    # order-insensitivity on this corpus.
+    assert (pdf.pop_drop > 0).any()
+    assert (pdf.th_shift_e6 == 0).all()
+    assert (pdf.n_pruned_a == pdf.n_pruned_b).all()
+
+
+def test_compaction_policy_pareto_face(spark):
+    """Metrics columns bit-identical to the parents', dominance flag
+    consistent with the count — and the sf0.01 face pinned exactly.
+    The face is SCALE-DEPENDENT (the honest headline): at sf0.01 the
+    months are large relative to every floor, merging is rare, and
+    at_end is DOMINATED at every floor (eager@200 matches its write
+    and read bills while holding fewer live files); at sf0.001 the
+    same op puts at_end ON the face (merging is common and the
+    zone-pruning inversion bites). A compaction owner cannot reuse a
+    face across corpus scales — which is why the op exists."""
+    fn, _ = STAGED["compaction_policy_pareto"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index(["floor_rows", "policy"])
+    am_fn, _ = STAGED["compaction_schedule_amortizer"]
+    am = am_fn(spark, SF_DIR).toPandas().set_index(["floor_rows", "policy"])
+    rb_fn, _ = STAGED["compaction_read_bill"]
+    rb = rb_fn(spark, SF_DIR).toPandas().set_index(["floor_rows", "policy"])
+    for idx in pdf.index:
+        assert pdf.loc[idx, "write_amp_ppm"] == am.loc[idx, "write_amp_ppm"]
+        assert (
+            pdf.loc[idx, "mean_live_files_e3"]
+            == am.loc[idx, "mean_live_files_e3"]
+        )
+        assert pdf.loc[idx, "read_amp_ppm"] == rb.loc[idx, "read_amp_ppm"]
+        assert pdf.loc[idx, "dominated"] == (
+            pdf.loc[idx, "n_dominators"] > 0
+        )
+    # eager is on the face at every floor (live-files axis)
+    for f in sorted({f for f, _ in pdf.index}):
+        assert not pdf.loc[(f, "eager"), "dominated"]
+        assert pdf.loc[(f, "at_end"), "dominated"]
+    assert pdf.loc[(200, "on_close"), "dominated"]
+    assert not pdf.loc[(400, "on_close"), "dominated"]
+    assert not pdf.loc[(800, "on_close"), "dominated"]
+
+
+def test_adc_recall_tail_ties_to_sweeps(spark):
+    """The tail table's mean column is bit-consistent with the two
+    sweeps it decomposes (b_joint == ivf_adc_refined_joint_recall,
+    c_residual == residual_adc_recall), and the tail is the story:
+    BOTH scorers strand at least one query at zero hits at every
+    nprobe — the mean hides a worst-query SLO violation."""
+    fn, _ = STAGED["adc_recall_tail"]
+    pdf = fn(spark, SF_DIR).toPandas().set_index(["variant", "nprobe"])
+    joint = (
+        STAGED["ivf_adc_refined_joint_recall"][0](spark, SF_DIR)
+        .toPandas()
+        .set_index("nprobe")
+    )
+    res = (
+        STAGED["residual_adc_recall"][0](spark, SF_DIR)
+        .toPandas()
+        .set_index("nprobe")
+    )
+    for p in joint.index:
+        assert (
+            pdf.loc[("b_joint", p), "recall_ppm"]
+            == round(joint.loc[p, "recall_at_5"] * 1_000_000)
+        )
+        assert (
+            pdf.loc[("c_residual", p), "recall_ppm"]
+            == round(res.loc[p, "recall_at_5"] * 1_000_000)
+        )
+    assert (pdf.min_hits <= pdf.p50_hits).all()
+    assert (pdf.p50_hits <= pdf.max_hits).all()
+    assert (pdf.max_hits <= 5).all()
+    assert (pdf.min_hits == 0).all()
