@@ -149,9 +149,9 @@ ROUND13_ACTIVATED: dict[str, tuple] = {
     **_WAREHOUSE_R13,
 }
 
-# PENDING set — staged for the NEXT round boundary, NOT registered.
-# preverify --staged / layout_scan --staged / roundcheck's staged
-# steps read this; fed by the per-module ROUND14_STAGED dicts.
+# Round-14 set — ACTIVATED at the round-14 boundary (VERDICT r13
+# item 1): the 14 operators staged during round 13 (per-module
+# ROUND14_STAGED dicts) now register via register_all() below.
 from bigdataentrytask_spark.operators.curation import (  # noqa: E402
     ROUND14_STAGED as _CURATION_R14,
 )
@@ -168,13 +168,19 @@ from bigdataentrytask_spark.operators.warehouse import (  # noqa: E402
     ROUND14_STAGED as _WAREHOUSE_R14,
 )
 
-STAGED: dict[str, tuple] = {
+ROUND14_ACTIVATED: dict[str, tuple] = {
     **_CURATION_R14,
     **_SIMILARITY_R14,
     **_STREAMING_R14,
     **_TEXT_R14,
     **_WAREHOUSE_R14,
 }
+
+# PENDING set — staged for the NEXT round boundary, NOT registered.
+# preverify --staged / layout_scan --staged / roundcheck's staged
+# steps read this; refilled by per-module ROUND15_STAGED dicts as
+# round-14 work stages them.
+STAGED: dict[str, tuple] = {}
 
 
 def register_all() -> None:
@@ -188,6 +194,8 @@ def register_all() -> None:
     for name, (fn, osql) in ROUND12_ACTIVATED.items():
         operator(name, oracle=osql)(fn)
     for name, (fn, osql) in ROUND13_ACTIVATED.items():
+        operator(name, oracle=osql)(fn)
+    for name, (fn, osql) in ROUND14_ACTIVATED.items():
         operator(name, oracle=osql)(fn)
 
 

@@ -21,6 +21,7 @@ from bigdataentrytask_spark.operators.staging import (
     ROUND11_ACTIVATED,
     ROUND12_ACTIVATED,
     ROUND13_ACTIVATED,
+    ROUND14_ACTIVATED,
     STAGED as _PENDING,
 )
 
@@ -32,6 +33,7 @@ STAGED = {
     **ROUND11_ACTIVATED,
     **ROUND12_ACTIVATED,
     **ROUND13_ACTIVATED,
+    **ROUND14_ACTIVATED,
     **_PENDING,
 }
 

@@ -28,10 +28,10 @@ STAGED_NAMES = sorted(STAGED)
 def test_round11_activation_complete():
     """VERDICT r10 item 1: the 22 round-10-staged operators are LIVE —
     register_all() covers ROUND11_ACTIVATED; the registry stands at
-    484 after the round-13 activation, and every staged name resolves to its staged function object
+    498 after the round-14 activation, and every staged name resolves to its staged function object
     (not a shadowing duplicate)."""
     assert len(STAGED) == 22
-    assert len(REGISTRY) == 484
+    assert len(REGISTRY) == 498
     for name, (fn, _osql) in STAGED.items():
         assert REGISTRY[name] is fn
 

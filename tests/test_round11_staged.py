@@ -27,11 +27,11 @@ STAGED_NAMES = sorted(STAGED)
 
 def test_round12_activation_complete():
     """VERDICT r11 item 1: the 16 round-11-staged operators are LIVE —
-    register_all() covers ROUND12_ACTIVATED (registry now 484 after the round-13 activation)
+    register_all() covers ROUND12_ACTIVATED (registry now 498 after the round-14 activation)
     and every staged name resolves to its staged function object
     (not a shadowing duplicate)."""
     assert len(STAGED) == 16
-    assert len(REGISTRY) == 484
+    assert len(REGISTRY) == 498
     for name, (fn, _osql) in STAGED.items():
         assert REGISTRY[name] is fn
 

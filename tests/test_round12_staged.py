@@ -1,6 +1,6 @@
 """Round-13 staged operators (VERDICT r11 item 6): implemented and
 differential-tested DURING round 12; ACTIVATED at the round-13
-boundary via staging.register_all() (registry 470 -> 484), per
+boundary via staging.register_all() (registry 470 -> 484 -> 498), per
 CONTRIBUTING.md §"Staging operators during a registry freeze".
 
 Differentials go through DuckDB's PANDAS path with the dtype check
@@ -26,10 +26,10 @@ STAGED_NAMES = sorted(STAGED)
 
 def test_round13_activation_complete():
     """The activation: all 14 round-13 staged ops registered, registry
-    exactly 484, and each registered entry IS the staged function
+    exactly 498, and each registered entry IS the staged function
     object (identity — register_all must not wrap or copy)."""
     assert len(STAGED) == 14
-    assert len(REGISTRY) == 484
+    assert len(REGISTRY) == 498
     for name, (fn, _osql) in STAGED.items():
         assert name in REGISTRY
         assert REGISTRY[name] is fn

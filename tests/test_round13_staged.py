@@ -13,7 +13,7 @@ from __future__ import annotations
 import pytest
 
 from bigdataentrytask_spark.operators import REGISTRY, load_all
-from bigdataentrytask_spark.operators.staging import STAGED
+from bigdataentrytask_spark.operators.staging import ROUND14_ACTIVATED as STAGED
 
 from .conftest import SF_DIR, assert_matches_oracle
 
@@ -22,14 +22,16 @@ load_all()
 STAGED_NAMES = sorted(STAGED)
 
 
-def test_round14_staged_not_registered():
-    """The freeze: 14 staged round-14 ops, none registered, registry
-    still exactly 484. Flip this to an activation assertion (registry
-    == 498, identity per name) at the round-14 boundary."""
+def test_round14_activation_complete():
+    """Round-14 boundary activation (VERDICT r13 item 1): the 14
+    round-14 ops are registered, the registry is exactly 498, and
+    each registered entry IS the staged function object (identity —
+    register_all must not wrap or replace)."""
     assert len(STAGED) == 14
-    assert len(REGISTRY) == 484
-    for name in STAGED:
-        assert name not in REGISTRY
+    assert len(REGISTRY) == 498
+    for name, (fn, _osql) in STAGED.items():
+        assert name in REGISTRY
+        assert REGISTRY[name] is fn
 
 
 def test_round14_staged_all_have_oracles():

@@ -37,8 +37,8 @@ def test_round10_activation_complete():
     function object (not a shadowing duplicate). Registry total moved
     432 -> 454 at the round-11 activation (VERDICT r10 item 1),
     454 -> 470 at the round-12 activation (VERDICT r11 item 1),
-    470 -> 484 at the round-13 activation."""
-    assert len(REGISTRY) == 484
+    470 -> 484 -> 498 at the round-14 activation."""
+    assert len(REGISTRY) == 498
     for name, (fn, _osql) in STAGED.items():
         assert REGISTRY[name] is fn
 
