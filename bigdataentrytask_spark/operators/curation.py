@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 
 from bigdataentrytask_spark.catalog import load_table
 from bigdataentrytask_spark.functions.text import (
+    LM_SCORED_CTES,
+    lm_doc_scores,
     sql_token_hash,
     sql_tokens,
     token_hash,
@@ -1672,42 +1674,7 @@ _GSL_ORACLE = f"""
       FROM (SELECT doc_id, md5({{GSL_NORM}}) AS fp FROM documents)
       GROUP BY fp
     ),
-    toks AS (
-      SELECT doc_id, tok,
-             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
-      FROM (
-        SELECT doc_id,
-               UNNEST({sql_tokens('text')}) AS tok,
-               UNNEST(range(len({sql_tokens('text')}))) AS pos
-        FROM documents
-      )
-    ),
-    bigrams AS (
-      SELECT doc_id,
-             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
-             tok AS w2
-      FROM toks
-      QUALIFY w1 IS NOT NULL
-    ),
-    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2
-           FROM bigrams GROUP BY 1, 2),
-    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1
-           FROM bigrams GROUP BY 1),
-    v  AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM toks),
-    scored AS (
-      SELECT b.doc_id,
-             CAST(ROUND(SUM(CAST(ROUND(ln((c2.n2 + 1)
-                                / CAST(c1.n1 + v.vsz AS DOUBLE))
-                                * 1000000) AS BIGINT))
-                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
-               AS score_e6
-      FROM bigrams b
-      JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
-      JOIN c1 ON c1.w1 = b.w1
-      CROSS JOIN v
-      GROUP BY 1
-    ),
-    tagged AS (
+    {LM_SCORED_CTES}    tagged AS (
       SELECT d2.lang, d2.source, s.doc_id, s.score_e6,
              ROW_NUMBER() OVER (PARTITION BY d2.lang, d2.source
                                 ORDER BY s.score_e6, s.doc_id) AS rn,
@@ -1791,35 +1758,7 @@ def gate_stacking_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", F.lit(True).alias("s1"))
     )
-    toks = d.select(
-        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bigrams = toks.select(
-        "doc_id",
-        F.lag("tok").over(w).alias("w1"),
-        F.col("tok").alias("w2"),
-    ).filter(F.col("w1").isNotNull())
-    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
-    v = toks.agg(F.count_distinct("tok").alias("vsz"))
-    lp_g = F.round(
-        F.log(
-            (F.col("n2") + 1) / (F.col("n1") + F.col("vsz")).cast("double")
-        )
-        * 1000000
-    ).cast("bigint")
-    scored = (
-        bigrams.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
-        .crossJoin(F.broadcast(v))
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum(lp_g) / F.count(F.lit(1)).cast("double"))
-            .cast("bigint")
-            .alias("score_e6")
-        )
-    )
+    scored = lm_doc_scores(d)
     ws = Window.partitionBy("lang", "source").orderBy(
         "score_e6", "doc_id"
     )
@@ -1939,42 +1878,7 @@ _FOS_ORACLE = f"""
       FROM (SELECT doc_id, md5({{FOS_NORM}}) AS fp FROM documents)
       GROUP BY fp
     ),
-    toks AS (
-      SELECT doc_id, tok,
-             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
-      FROM (
-        SELECT doc_id,
-               UNNEST({sql_tokens('text')}) AS tok,
-               UNNEST(range(len({sql_tokens('text')}))) AS pos
-        FROM documents
-      )
-    ),
-    bigrams AS (
-      SELECT doc_id,
-             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
-             tok AS w2
-      FROM toks
-      QUALIFY w1 IS NOT NULL
-    ),
-    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2
-           FROM bigrams GROUP BY 1, 2),
-    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1
-           FROM bigrams GROUP BY 1),
-    v  AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM toks),
-    scored AS (
-      SELECT b.doc_id,
-             CAST(ROUND(SUM(CAST(ROUND(ln((c2.n2 + 1)
-                                / CAST(c1.n1 + v.vsz AS DOUBLE))
-                                * 1000000) AS BIGINT))
-                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
-               AS score_e6
-      FROM bigrams b
-      JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
-      JOIN c1 ON c1.w1 = b.w1
-      CROSS JOIN v
-      GROUP BY 1
-    ),
-    q AS ({{FOS_QUALITY}}),
+    {LM_SCORED_CTES}    q AS ({{FOS_QUALITY}}),
     tagged_a AS (
       SELECT d2.lang, d2.source, s.doc_id, s.score_e6,
              ROW_NUMBER() OVER (PARTITION BY d2.lang, d2.source
@@ -2077,35 +1981,7 @@ def funnel_order_sensitivity(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", F.lit(True).alias("s1"))
     )
-    toks = d.select(
-        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bigrams = toks.select(
-        "doc_id",
-        F.lag("tok").over(w).alias("w1"),
-        F.col("tok").alias("w2"),
-    ).filter(F.col("w1").isNotNull())
-    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
-    v = toks.agg(F.count_distinct("tok").alias("vsz"))
-    lp_g = F.round(
-        F.log(
-            (F.col("n2") + 1) / (F.col("n1") + F.col("vsz")).cast("double")
-        )
-        * 1000000
-    ).cast("bigint")
-    scored = (
-        bigrams.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
-        .crossJoin(F.broadcast(v))
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum(lp_g) / F.count(F.lit(1)).cast("double"))
-            .cast("bigint")
-            .alias("score_e6")
-        )
-    )
+    scored = lm_doc_scores(d)
     qk = REGISTRY["quality_classifier_score"](spark, sf_dir).select(
         "doc_id", F.col("keep").alias("qkeep")
     )
@@ -2222,42 +2098,7 @@ _FTP_ORACLE = f"""
       FROM (SELECT doc_id, md5({{FTP_NORM}}) AS fp FROM documents)
       GROUP BY fp
     ),
-    toks AS (
-      SELECT doc_id, tok,
-             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
-      FROM (
-        SELECT doc_id,
-               UNNEST({sql_tokens('text')}) AS tok,
-               UNNEST(range(len({sql_tokens('text')}))) AS pos
-        FROM documents
-      )
-    ),
-    bigrams AS (
-      SELECT doc_id,
-             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
-             tok AS w2
-      FROM toks
-      QUALIFY w1 IS NOT NULL
-    ),
-    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2
-           FROM bigrams GROUP BY 1, 2),
-    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1
-           FROM bigrams GROUP BY 1),
-    v  AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM toks),
-    scored AS (
-      SELECT b.doc_id,
-             CAST(ROUND(SUM(CAST(ROUND(ln((c2.n2 + 1)
-                                / CAST(c1.n1 + v.vsz AS DOUBLE))
-                                * 1000000) AS BIGINT))
-                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
-               AS score_e6
-      FROM bigrams b
-      JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
-      JOIN c1 ON c1.w1 = b.w1
-      CROSS JOIN v
-      GROUP BY 1
-    ),
-    q AS ({{FTP_QUALITY}}),
+    {LM_SCORED_CTES}    q AS ({{FTP_QUALITY}}),
     gate_a AS (
       SELECT lang, source,
              CAST(MAX(n_grp) AS BIGINT) AS n_pop,
@@ -2357,35 +2198,7 @@ def funnel_threshold_provenance(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    toks = d.select(
-        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bigrams = toks.select(
-        "doc_id",
-        F.lag("tok").over(w).alias("w1"),
-        F.col("tok").alias("w2"),
-    ).filter(F.col("w1").isNotNull())
-    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
-    v = toks.agg(F.count_distinct("tok").alias("vsz"))
-    lp_g = F.round(
-        F.log(
-            (F.col("n2") + 1) / (F.col("n1") + F.col("vsz")).cast("double")
-        )
-        * 1000000
-    ).cast("bigint")
-    scored = (
-        bigrams.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
-        .crossJoin(F.broadcast(v))
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum(lp_g) / F.count(F.lit(1)).cast("double"))
-            .cast("bigint")
-            .alias("score_e6")
-        )
-    )
+    scored = lm_doc_scores(d)
     qk = REGISTRY["quality_classifier_score"](spark, sf_dir).select(
         "doc_id", F.col("keep").alias("qkeep")
     )

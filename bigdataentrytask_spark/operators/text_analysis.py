@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 
 from bigdataentrytask_spark.catalog import load_table
 from bigdataentrytask_spark.functions.text import (
+    LM_SCORED_CTES,
+    lm_doc_scores,
     normalize_text,
     sql_normalize_text,
     sql_token_hash,
@@ -3699,42 +3701,7 @@ _PPG_FRAC_PPM = 100_000  # prune the worst 10% of each source
 _PPG_ACC = 1000          # percentile_approx accuracy knob
 
 _PPG_ORACLE = f"""
-    WITH toks AS (
-      SELECT doc_id, tok,
-             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
-      FROM (
-        SELECT doc_id,
-               UNNEST({sql_tokens('text')}) AS tok,
-               UNNEST(range(len({sql_tokens('text')}))) AS pos
-        FROM documents
-      )
-    ),
-    bigrams AS (
-      SELECT doc_id,
-             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
-             tok AS w2
-      FROM toks
-      QUALIFY w1 IS NOT NULL
-    ),
-    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2
-           FROM bigrams GROUP BY 1, 2),
-    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1
-           FROM bigrams GROUP BY 1),
-    v  AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM toks),
-    scored AS (
-      SELECT b.doc_id,
-             CAST(ROUND(SUM(CAST(ROUND(ln((c2.n2 + 1)
-                                / CAST(c1.n1 + v.vsz AS DOUBLE))
-                                * 1000000) AS BIGINT))
-                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
-               AS score_e6
-      FROM bigrams b
-      JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
-      JOIN c1 ON c1.w1 = b.w1
-      CROSS JOIN v
-      GROUP BY 1
-    ),
-    tagged AS (
+    WITH {LM_SCORED_CTES}    tagged AS (
       SELECT d.source, s.score_e6,
              ROW_NUMBER() OVER (PARTITION BY d.source
                                 ORDER BY s.score_e6, s.doc_id) AS rn,
@@ -3767,38 +3734,7 @@ def perplexity_pruning_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_approx sketch rank-contract boolean the production
     filter relies on."""
     d = _docs(spark, sf_dir)
-    toks = d.select(
-        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bigrams = (
-        toks.select(
-            "doc_id",
-            F.lag("tok").over(w).alias("w1"),
-            F.col("tok").alias("w2"),
-        )
-        .filter(F.col("w1").isNotNull())
-    )
-    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
-    v = toks.agg(F.count_distinct("tok").alias("vsz"))
-    lp_g = F.round(
-        F.log(
-            (F.col("n2") + 1) / (F.col("n1") + F.col("vsz")).cast("double")
-        )
-        * 1000000
-    ).cast("bigint")
-    scored = (
-        bigrams.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
-        .crossJoin(F.broadcast(v))
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum(lp_g) / F.count(F.lit(1)).cast("double"))
-            .cast("bigint")
-            .alias("score_e6")
-        )
-    )
+    scored = lm_doc_scores(d)
     tagged = scored.join(
         d.select("doc_id", "source"), "doc_id"
     ).select("source", "doc_id", "score_e6")
@@ -4036,42 +3972,7 @@ ROUND12_STAGED: dict[str, tuple] = {
 # group.
 # --------------------------------------------------------------------------
 _PPGL_ORACLE = f"""
-    WITH toks AS (
-      SELECT doc_id, tok,
-             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
-      FROM (
-        SELECT doc_id,
-               UNNEST({sql_tokens('text')}) AS tok,
-               UNNEST(range(len({sql_tokens('text')}))) AS pos
-        FROM documents
-      )
-    ),
-    bigrams AS (
-      SELECT doc_id,
-             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
-             tok AS w2
-      FROM toks
-      QUALIFY w1 IS NOT NULL
-    ),
-    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2
-           FROM bigrams GROUP BY 1, 2),
-    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1
-           FROM bigrams GROUP BY 1),
-    v  AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM toks),
-    scored AS (
-      SELECT b.doc_id,
-             CAST(ROUND(SUM(CAST(ROUND(ln((c2.n2 + 1)
-                                / CAST(c1.n1 + v.vsz AS DOUBLE))
-                                * 1000000) AS BIGINT))
-                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
-               AS score_e6
-      FROM bigrams b
-      JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
-      JOIN c1 ON c1.w1 = b.w1
-      CROSS JOIN v
-      GROUP BY 1
-    ),
-    tagged AS (
+    WITH {LM_SCORED_CTES}    tagged AS (
       SELECT d.lang, d.source, s.score_e6,
              ROW_NUMBER() OVER (PARTITION BY d.lang, d.source
                                 ORDER BY s.score_e6, s.doc_id) AS rn,
@@ -4108,38 +4009,7 @@ def perplexity_gate_by_lang(
     block comment): perplexity_pruning_gate's exact-threshold +
     sketch-contract shape on the CCNet per-language grid."""
     d = _docs(spark, sf_dir)
-    toks = d.select(
-        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bigrams = (
-        toks.select(
-            "doc_id",
-            F.lag("tok").over(w).alias("w1"),
-            F.col("tok").alias("w2"),
-        )
-        .filter(F.col("w1").isNotNull())
-    )
-    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
-    v = toks.agg(F.count_distinct("tok").alias("vsz"))
-    lp_g = F.round(
-        F.log(
-            (F.col("n2") + 1) / (F.col("n1") + F.col("vsz")).cast("double")
-        )
-        * 1000000
-    ).cast("bigint")
-    scored = (
-        bigrams.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
-        .crossJoin(F.broadcast(v))
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum(lp_g) / F.count(F.lit(1)).cast("double"))
-            .cast("bigint")
-            .alias("score_e6")
-        )
-    )
+    scored = lm_doc_scores(d)
     tagged = scored.join(
         d.select("doc_id", "lang", "source"), "doc_id"
     ).select("lang", "source", "doc_id", "score_e6")
@@ -4404,42 +4274,7 @@ def pack_padding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # adds one doc_id join and a source-domain rollup.
 # --------------------------------------------------------------------------
 _QPMS_ORACLE = f"""
-    WITH toks AS (
-      SELECT doc_id, tok,
-             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
-      FROM (
-        SELECT doc_id,
-               UNNEST({sql_tokens('text')}) AS tok,
-               UNNEST(range(len({sql_tokens('text')}))) AS pos
-        FROM documents
-      )
-    ),
-    bigrams AS (
-      SELECT doc_id,
-             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
-             tok AS w2
-      FROM toks
-      QUALIFY w1 IS NOT NULL
-    ),
-    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2
-           FROM bigrams GROUP BY 1, 2),
-    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1
-           FROM bigrams GROUP BY 1),
-    v  AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM toks),
-    scored AS (
-      SELECT b.doc_id,
-             CAST(ROUND(SUM(CAST(ROUND(ln((c2.n2 + 1)
-                                / CAST(c1.n1 + v.vsz AS DOUBLE))
-                                * 1000000) AS BIGINT))
-                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
-               AS score_e6
-      FROM bigrams b
-      JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
-      JOIN c1 ON c1.w1 = b.w1
-      CROSS JOIN v
-      GROUP BY 1
-    ),
-    tagged AS (
+    WITH {LM_SCORED_CTES}    tagged AS (
       SELECT d.lang, d.source, s.doc_id, s.score_e6,
              ROW_NUMBER() OVER (PARTITION BY d.lang, d.source
                                 ORDER BY s.score_e6, s.doc_id) AS rn,
@@ -4498,38 +4333,7 @@ def quality_prune_mix_shift(
     perplexity gate: raw vs kept mass, shares, and the signed shift
     (see block comment)."""
     d = _docs(spark, sf_dir)
-    toks = d.select(
-        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bigrams = (
-        toks.select(
-            "doc_id",
-            F.lag("tok").over(w).alias("w1"),
-            F.col("tok").alias("w2"),
-        )
-        .filter(F.col("w1").isNotNull())
-    )
-    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
-    v = toks.agg(F.count_distinct("tok").alias("vsz"))
-    lp_g = F.round(
-        F.log(
-            (F.col("n2") + 1) / (F.col("n1") + F.col("vsz")).cast("double")
-        )
-        * 1000000
-    ).cast("bigint")
-    scored = (
-        bigrams.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
-        .crossJoin(F.broadcast(v))
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum(lp_g) / F.count(F.lit(1)).cast("double"))
-            .cast("bigint")
-            .alias("score_e6")
-        )
-    )
+    scored = lm_doc_scores(d)
     tagged = scored.join(
         d.select("doc_id", "lang", "source"), "doc_id"
     ).select("lang", "source", "doc_id", "score_e6")
@@ -4645,42 +4449,7 @@ ROUND13_STAGED: dict[str, tuple] = {
 # is |sources|-sized.
 # --------------------------------------------------------------------------
 _PGM_ORACLE = f"""
-    WITH toks AS (
-      SELECT doc_id, tok,
-             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
-      FROM (
-        SELECT doc_id,
-               UNNEST({sql_tokens('text')}) AS tok,
-               UNNEST(range(len({sql_tokens('text')}))) AS pos
-        FROM documents
-      )
-    ),
-    bigrams AS (
-      SELECT doc_id,
-             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
-             tok AS w2
-      FROM toks
-      QUALIFY w1 IS NOT NULL
-    ),
-    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2
-           FROM bigrams GROUP BY 1, 2),
-    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1
-           FROM bigrams GROUP BY 1),
-    v  AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM toks),
-    scored AS (
-      SELECT b.doc_id,
-             CAST(ROUND(SUM(CAST(ROUND(ln((c2.n2 + 1)
-                                / CAST(c1.n1 + v.vsz AS DOUBLE))
-                                * 1000000) AS BIGINT))
-                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
-               AS score_e6
-      FROM bigrams b
-      JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
-      JOIN c1 ON c1.w1 = b.w1
-      CROSS JOIN v
-      GROUP BY 1
-    ),
-    tagged AS (
+    WITH {LM_SCORED_CTES}    tagged AS (
       SELECT d.lang, d.source, s.doc_id, s.score_e6,
              ROW_NUMBER() OVER (PARTITION BY d.lang, d.source
                                 ORDER BY s.score_e6, s.doc_id) AS rn,
@@ -4750,38 +4519,7 @@ def post_gate_mix_rebalance(
     perplexity-gate corpus, with the signed per-source weight shift
     vs the raw corpus (see block comment)."""
     d = _docs(spark, sf_dir)
-    toks = d.select(
-        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bigrams = (
-        toks.select(
-            "doc_id",
-            F.lag("tok").over(w).alias("w1"),
-            F.col("tok").alias("w2"),
-        )
-        .filter(F.col("w1").isNotNull())
-    )
-    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
-    v = toks.agg(F.count_distinct("tok").alias("vsz"))
-    lp_g = F.round(
-        F.log(
-            (F.col("n2") + 1) / (F.col("n1") + F.col("vsz")).cast("double")
-        )
-        * 1000000
-    ).cast("bigint")
-    scored = (
-        bigrams.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
-        .crossJoin(F.broadcast(v))
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum(lp_g) / F.count(F.lit(1)).cast("double"))
-            .cast("bigint")
-            .alias("score_e6")
-        )
-    )
+    scored = lm_doc_scores(d)
     ws = Window.partitionBy("lang", "source").orderBy(
         "score_e6", "doc_id"
     )
