@@ -178,9 +178,26 @@ ROUND14_ACTIVATED: dict[str, tuple] = {
 
 # PENDING set — staged for the NEXT round boundary, NOT registered.
 # preverify --staged / layout_scan --staged / roundcheck's staged
-# steps read this; refilled by per-module ROUND15_STAGED dicts as
-# round-14 work stages them.
-STAGED: dict[str, tuple] = {}
+# steps read this; fed by the per-module ROUND15_STAGED dicts.
+from bigdataentrytask_spark.operators.curation import (  # noqa: E402
+    ROUND15_STAGED as _CURATION_R15,
+)
+from bigdataentrytask_spark.operators.similarity.probes import (  # noqa: E402
+    ROUND15_STAGED as _SIMILARITY_R15,
+)
+from bigdataentrytask_spark.operators.streaming_bridge import (  # noqa: E402
+    ROUND15_STAGED as _STREAMING_R15,
+)
+from bigdataentrytask_spark.operators.warehouse.compaction import (  # noqa: E402
+    ROUND15_STAGED as _WAREHOUSE_R15,
+)
+
+STAGED: dict[str, tuple] = {
+    **_CURATION_R15,
+    **_SIMILARITY_R15,
+    **_STREAMING_R15,
+    **_WAREHOUSE_R15,
+}
 
 
 def register_all() -> None:

@@ -10,7 +10,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bigdataentrytask_spark.operators import collect_bounded, materialize, operator
+from bigdataentrytask_spark.operators import (
+    collect_bounded,
+    materialize,
+    operator,
+    with_persisted,
+)
 from bigdataentrytask_spark.streaming import jobs
 
 
@@ -3226,3 +3231,368 @@ ROUND14_STAGED["trigger_sampling_deficit"] = (
     trigger_sampling_deficit,
     _TSD_ORACLE,
 )
+
+
+# ==========================================================================
+# ROUND-15 STAGED (ROADMAP §"Round 15+"; zero registry delta until the
+# round-15 boundary). Aggregated by operators/staging.py STAGED.
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# Deficit-vs-cost frontier (ROADMAP round-15 "Streaming"):
+# trigger_sampling_deficit prices the trigger as a measurement-error
+# knob; this op closes the loop it motivates by joining that error
+# to what the monitoring actually COSTS — the number of trigger
+# ticks a metrics pipeline evaluates over the store's whole lifetime
+# span. Per (ttl_s, policy, trigger_s) on an op-local 4-point
+# trigger grid (60 s .. 3600 s, wider than the parent's 2-point
+# grid so the frontier has shape): the tick count (n_batches), the
+# continuous and sampled peaks, the deficit in keys and ppm, and a
+# dominated flag computed WITHIN each (ttl, policy) across triggers
+# (dominated iff some other trigger costs <= ticks AND misses <=
+# keys, one strict — with monotone deficit and strictly decreasing
+# tick counts this marks exactly the coarser-trigger-same-deficit
+# rows, so the frontier is the cheapest trigger per distinct
+# deficit level).
+# Pinned regime (staged test): deficit_keys is non-decreasing and
+# n_batches strictly decreasing in trigger_s per (ttl, policy);
+# every (ttl, policy) keeps >= 1 undominated row; and wherever two
+# adjacent triggers tie on deficit the finer one is dominated —
+# monitoring resolution beyond the store's own variability is free
+# to give up.
+# Exact math: integer microseconds; interval-cover maxima; tick
+# counts by integer floor-div; the one ppm rounding.
+# Scale: the parent ops' interval frames re-used (islands window +
+# the per-user batched kernel walk); ticks per combo are O(span /
+# trigger) integers; the frontier flag is a |triggers|-sized
+# self-join per (ttl, policy).
+# --------------------------------------------------------------------------
+_DCF_TRIGGERS_S = [60, 300, 900, 3600]
+
+_DCF_ORACLE = f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS t
+      FROM events
+    ),
+    ttl(ttl_s) AS (VALUES
+      {", ".join(f"({s})" for s in _DEDUP_TTL_CANDS_S)}),
+    tr(trigger_s) AS (VALUES
+      {", ".join(f"({t})" for t in _DCF_TRIGGERS_S)}),
+    lagged AS (
+      SELECT ttl.ttl_s, e.user_id, e.event_type, e.t, e.event_id,
+             LAG(e.t) OVER (PARTITION BY ttl.ttl_s, e.user_id,
+                                         e.event_type
+                            ORDER BY e.t, e.event_id) AS prev_t
+      FROM ev e CROSS JOIN ttl
+    ),
+    isl AS (
+      SELECT ttl_s, user_id, event_type, t,
+             SUM(CASE WHEN prev_t IS NULL
+                       OR t - prev_t > CAST(ttl_s AS BIGINT) * 1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY ttl_s, user_id, event_type
+                     ORDER BY t, event_id) AS aid
+      FROM lagged
+    ),
+    occ AS (
+      SELECT ttl.ttl_s, e.user_id, e.event_type, e.t,
+             ROW_NUMBER() OVER (PARTITION BY ttl.ttl_s, e.user_id,
+                                             e.event_type
+                                ORDER BY e.t, e.event_id) AS rn
+      FROM ev e CROSS JOIN ttl
+    ),
+    walk AS (
+      SELECT ttl_s, user_id, event_type, rn, t AS cur_admit,
+             TRUE AS admitted
+      FROM occ WHERE rn = 1
+      UNION ALL
+      SELECT o.ttl_s, o.user_id, o.event_type, o.rn,
+             CASE WHEN o.t - w.cur_admit
+                       > CAST(o.ttl_s AS BIGINT) * 1000000
+                  THEN o.t ELSE w.cur_admit END,
+             o.t - w.cur_admit > CAST(o.ttl_s AS BIGINT) * 1000000
+      FROM walk w
+      JOIN occ o ON o.ttl_s = w.ttl_s AND o.user_id = w.user_id
+                AND o.event_type = w.event_type AND o.rn = w.rn + 1
+    ),
+    iv AS (
+      SELECT 'a_sliding' AS policy, ttl_s, MIN(t) AS t0,
+             MAX(t) + CAST(ttl_s AS BIGINT) * 1000000 AS t_end
+      FROM isl GROUP BY ttl_s, user_id, event_type, aid
+      UNION ALL
+      SELECT 'b_fixed', ttl_s, cur_admit,
+             cur_admit + CAST(ttl_s AS BIGINT) * 1000000
+      FROM walk WHERE admitted
+    ),
+    pts AS (
+      SELECT policy, ttl_s, t0 AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT policy, ttl_s, t_end, -1 FROM iv
+    ),
+    cont AS (
+      SELECT policy, ttl_s, CAST(MAX(open_now) AS BIGINT) AS cont_peak
+      FROM (
+        SELECT policy, ttl_s,
+               SUM(delta) OVER (PARTITION BY policy, ttl_s
+                                ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS open_now
+        FROM pts
+      ) GROUP BY 1, 2
+    ),
+    hits AS (
+      SELECT i.policy, i.ttl_s, tr.trigger_s, u.g,
+             CAST(COUNT(*) AS BIGINT) AS rows_at
+      FROM iv i CROSS JOIN tr, LATERAL unnest(range(
+        (i.t0 + CAST(tr.trigger_s AS BIGINT) * 1000000 - 1) // (CAST(tr.trigger_s AS BIGINT) * 1000000),
+        (i.t_end - 1) // (CAST(tr.trigger_s AS BIGINT) * 1000000) + 1)) AS u(g)
+      GROUP BY 1, 2, 3, 4
+    ),
+    samp AS (
+      SELECT policy, ttl_s, trigger_s,
+             CAST(MAX(rows_at) AS BIGINT) AS sampled_peak
+      FROM hits GROUP BY 1, 2, 3
+    ),
+    bspan AS (
+      SELECT policy, ttl_s, MIN(t0) AS mn, MAX(t_end - 1) AS mx
+      FROM iv GROUP BY 1, 2
+    ),
+    nb AS (
+      SELECT b.policy, b.ttl_s, tr.trigger_s,
+             CAST(GREATEST(
+               b.mx // (CAST(tr.trigger_s AS BIGINT) * 1000000)
+               - (b.mn + CAST(tr.trigger_s AS BIGINT) * 1000000 - 1)
+                 // (CAST(tr.trigger_s AS BIGINT) * 1000000) + 1, 0) AS BIGINT)
+               AS n_batches
+      FROM bspan b CROSS JOIN tr
+    ),
+    m AS (
+      SELECT s.ttl_s, s.policy, s.trigger_s,
+             nb.n_batches, c.cont_peak,
+             s.sampled_peak,
+             c.cont_peak - s.sampled_peak AS deficit_keys
+      FROM samp s
+      JOIN cont c ON c.policy = s.policy AND c.ttl_s = s.ttl_s
+      JOIN nb ON nb.policy = s.policy AND nb.ttl_s = s.ttl_s
+             AND nb.trigger_s = s.trigger_s
+    )
+    SELECT CAST(m.ttl_s AS BIGINT) AS ttl_s, m.policy,
+           CAST(m.trigger_s AS BIGINT) AS trigger_s,
+           m.n_batches,
+           m.cont_peak AS cont_peak_keys,
+           m.sampled_peak AS sampled_peak_keys,
+           m.deficit_keys,
+           CAST(ROUND(m.deficit_keys * 1000000.0 / m.cont_peak)
+                AS BIGINT) AS deficit_ppm,
+           (SELECT COUNT(*) FROM m o
+            WHERE o.ttl_s = m.ttl_s AND o.policy = m.policy
+              AND o.n_batches <= m.n_batches
+              AND o.deficit_keys <= m.deficit_keys
+              AND (o.n_batches < m.n_batches
+                   OR o.deficit_keys < m.deficit_keys)) > 0
+             AS dominated
+    FROM m
+    ORDER BY ttl_s, policy, trigger_s
+    """
+
+
+def deficit_cost_frontier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monitoring error (sampling deficit) vs monitoring cost
+    (trigger ticks over the store's lifetime span) per (ttl, policy,
+    trigger), with within-group pareto-dominance flags (see block
+    comment)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdataentrytask_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("t"),
+    )
+    ttl = spark.createDataFrame(
+        [(s,) for s in _DEDUP_TTL_CANDS_S], "ttl_s long"
+    )
+    tr = spark.createDataFrame(
+        [(t,) for t in _DCF_TRIGGERS_S], "trigger_s long"
+    )
+    wl = Window.partitionBy("ttl_s", "user_id", "event_type").orderBy(
+        "t", "event_id"
+    )
+    isl = (
+        ev.crossJoin(F.broadcast(ttl))
+        .withColumn("prev_t", F.lag("t").over(wl))
+        .withColumn(
+            "aid",
+            F.sum(
+                F.when(
+                    F.col("prev_t").isNull()
+                    | (
+                        F.col("t") - F.col("prev_t")
+                        > F.col("ttl_s") * 1_000_000
+                    ),
+                    1,
+                ).otherwise(0)
+            ).over(wl),
+        )
+    )
+    sl = (
+        isl.groupBy("ttl_s", "user_id", "event_type", "aid")
+        .agg(
+            F.min("t").alias("t0"),
+            (F.max("t") + F.col("ttl_s") * 1_000_000).alias("t_end"),
+        )
+        .select(F.lit("a_sliding").alias("policy"), "ttl_s", "t0", "t_end")
+    )
+    fx = (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            _fixed_ttl_kernel(_DEDUP_TTL_CANDS_S),
+            schema="ttl_s long, user_id long, event_type string, t0 long",
+        )
+        .select(
+            F.lit("b_fixed").alias("policy"),
+            "ttl_s",
+            "t0",
+            (F.col("t0") + F.col("ttl_s") * 1_000_000).alias("t_end"),
+        )
+    )
+    iv = sl.unionByName(fx)
+    with with_persisted(iv) as iv_p:
+        pts = iv_p.select(
+            "policy", "ttl_s", F.col("t0").alias("t"),
+            F.lit(1).alias("delta"),
+        ).unionByName(
+            iv_p.select(
+                "policy",
+                "ttl_s",
+                F.col("t_end").alias("t"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        ws = Window.partitionBy("policy", "ttl_s").orderBy(
+            "t", "delta"
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cont = (
+            pts.select(
+                "policy", "ttl_s",
+                F.sum("delta").over(ws).alias("open_now"),
+            )
+            .groupBy("policy", "ttl_s")
+            .agg(F.max("open_now").cast("bigint").alias("cont_peak"))
+        )
+        p_us = F.col("trigger_s") * 1_000_000
+        g_lo = F.floor((F.col("t0") + p_us - 1) / p_us)
+        g_hi = F.floor((F.col("t_end") - 1) / p_us)
+        samp = (
+            iv_p.crossJoin(F.broadcast(tr))
+            .select(
+                "policy",
+                "ttl_s",
+                "trigger_s",
+                F.explode(
+                    F.when(
+                        g_hi >= g_lo, F.sequence(g_lo, g_hi)
+                    ).otherwise(
+                        F.expr("CAST(array() AS array<bigint>)")
+                    )
+                ).alias("g"),
+            )
+            .groupBy("policy", "ttl_s", "trigger_s", "g")
+            .agg(F.count(F.lit(1)).alias("rows_at"))
+            .groupBy("policy", "ttl_s", "trigger_s")
+            .agg(F.max("rows_at").cast("bigint").alias("sampled_peak"))
+        )
+        nb = (
+            iv_p.groupBy("policy", "ttl_s")
+            .agg(
+                F.min("t0").alias("mn"),
+                F.max(F.col("t_end") - 1).alias("mx"),
+            )
+            .crossJoin(F.broadcast(tr))
+            .select(
+                "policy",
+                "ttl_s",
+                "trigger_s",
+                F.greatest(
+                    F.floor(F.col("mx") / p_us)
+                    - F.floor((F.col("mn") + p_us - 1) / p_us)
+                    + 1,
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_batches"),
+            )
+        )
+        m = (
+            samp.join(cont, ["policy", "ttl_s"])
+            .join(nb, ["policy", "ttl_s", "trigger_s"])
+            .select(
+                "ttl_s",
+                "policy",
+                "trigger_s",
+                "n_batches",
+                F.col("cont_peak").alias("cont_peak_keys"),
+                F.col("sampled_peak").alias("sampled_peak_keys"),
+                (F.col("cont_peak") - F.col("sampled_peak")).alias(
+                    "deficit_keys"
+                ),
+            )
+        )
+        o = m.select(
+            F.col("ttl_s").alias("o_ttl"),
+            F.col("policy").alias("o_pol"),
+            F.col("n_batches").alias("o_nb"),
+            F.col("deficit_keys").alias("o_dk"),
+        )
+        dom = (
+            m.join(
+                F.broadcast(o),
+                (F.col("o_ttl") == F.col("ttl_s"))
+                & (F.col("o_pol") == F.col("policy"))
+                & (F.col("o_nb") <= F.col("n_batches"))
+                & (F.col("o_dk") <= F.col("deficit_keys"))
+                & (
+                    (F.col("o_nb") < F.col("n_batches"))
+                    | (F.col("o_dk") < F.col("deficit_keys"))
+                ),
+                "left",
+            )
+            .groupBy(
+                "ttl_s",
+                "policy",
+                "trigger_s",
+                "n_batches",
+                "cont_peak_keys",
+                "sampled_peak_keys",
+                "deficit_keys",
+            )
+            .agg(
+                F.sum(
+                    F.when(F.col("o_nb").isNotNull(), 1).otherwise(0)
+                ).alias("n_dom")
+            )
+        )
+        out = dom.select(
+            F.col("ttl_s").cast("bigint").alias("ttl_s"),
+            "policy",
+            F.col("trigger_s").cast("bigint").alias("trigger_s"),
+            "n_batches",
+            "cont_peak_keys",
+            "sampled_peak_keys",
+            "deficit_keys",
+            F.round(
+                F.col("deficit_keys") * 1000000.0
+                / F.col("cont_peak_keys")
+            )
+            .cast("bigint")
+            .alias("deficit_ppm"),
+            (F.col("n_dom") > 0).alias("dominated"),
+        ).orderBy("ttl_s", "policy", "trigger_s")
+        return materialize(out)
+
+
+ROUND15_STAGED: dict[str, tuple] = {
+    "deficit_cost_frontier": (deficit_cost_frontier, _DCF_ORACLE),
+}

@@ -168,5 +168,9 @@ from bigdataentrytask_spark.operators.warehouse.compaction import (  # noqa: F40
     compaction_read_bill,
     _CPP_ORACLE,
     compaction_policy_pareto,
+    _CFT_SCALES,
+    _CFT_ORACLE,
+    compaction_face_transfer,
+    ROUND15_STAGED,
 )
 
