@@ -12,6 +12,15 @@ item 7 — mechanical, zero behavior change):
 * codebook     — round-12 staged codebook diagnostic chain (cell
                  balance, Lloyd refinement/convergence, candidate
                  budgets, seed spread, IVFADC-under-Lloyd).
+* lloyd        — round-13 staged coarse-quantizer (cell-side) Lloyd
+                 chain (split from codebook.py at its round-section
+                 boundary — mechanical, zero behavior change).
+* residual     — round-14 staged residual-PQ 2x2 completion (same
+                 split).
+* probes       — round-15 staged probe-schedule / cell-geometry
+                 diagnostics (imported by staging.py directly; not
+                 part of the registered-surface import chain until
+                 activation).
 
 Submodules import in this exact order so @operator registration order
 (and therefore ORACLES composition order) is byte-identical to the
@@ -149,4 +158,32 @@ from bigdataentrytask_spark.operators.similarity.codebook import (  # noqa: F401
     _IVF_ADC_LLOYD_ORACLE,
     ivf_adc_lloyd_recall,
     ROUND12_STAGED,
+)
+
+from bigdataentrytask_spark.operators.similarity.lloyd import (  # noqa: F401,E402
+    _CELL_PROBES,
+    _CELL_LLOYD_ORACLE,
+    ivf_cell_lloyd_probe,
+    ROUND13_STAGED,
+    _QBP_BUDGETS,
+    _QBP_PREFIX,
+    _QBP_ORACLE,
+    quantization_budget_pareto,
+    _CELL_CONV_STEPS,
+    _cell_conv_oracle,
+    ivf_cell_lloyd_convergence,
+)
+
+from bigdataentrytask_spark.operators.similarity.residual import (  # noqa: F401,E402
+    _IVF_ADC_2X2_ORACLE,
+    ivf_adc_refined_joint_recall,
+    ROUND14_STAGED,
+    _RPQ_REFINED_ORACLE,
+    residual_pq_refined_cells,
+    _RESIDUAL_ADC_ORACLE,
+    residual_adc_recall,
+    _RCU_ORACLE,
+    residual_code_utilization,
+    _ART_ORACLE,
+    adc_recall_tail,
 )

@@ -1762,2826 +1762,3 @@ ROUND12_STAGED: dict[str, tuple] = {
 }
 
 
-# ==========================================================================
-# ROUND-13 STAGED (VERDICT r11 item 6; zero registry delta until the
-# round-13 boundary). Aggregated by operators/staging.py STAGED.
-# ==========================================================================
-
-# --------------------------------------------------------------------------
-# Coarse-quantizer (cell-seed) Lloyd refinement (ROADMAP round-13
-# "Retrieval", the chain's coarse side): ivf_adc_lloyd_recall refined
-# the PQ CODEBOOK under the toy coarse quantizer and broke the
-# falling-recall regime; this op refines the COARSE CELLS themselves
-# (one Lloyd step on the KMEANS_K first-K seeds: per-cell per-dim
-# integer-grid mean, reassign) and prices what the coarse side alone
-# buys, per (variant, nprobe): the true-neighbor CELL COVERAGE — the
-# fraction of brute-force top-5 neighbors living in the query's top-
-# nprobe cells, i.e. the recall CEILING any in-cell scorer inherits —
-# plus the probed-candidate volume, with the per-variant Lloyd
-# yardsticks (total coarse distortion, max cell share) alongside.
-# Exact math: integer-grid distances throughout; refined centroids
-# are ROUND(SUM(xi)/n) on exact integer sums (both engines round the
-# identical double, away-from-zero on ties); coverage and candidate
-# ratios are the only two final roundings.
-# Scale posture: the seed/centroid side is K x dim rows (broadcast);
-# assignment is one keyed argmin window per variant over dimension
-# rows; coverage is a TOP_K x N_QUERIES-domain join. One stacked
-# pass computes both variants (the seed_spread_advisor pattern).
-# --------------------------------------------------------------------------
-_CELL_PROBES = [1, 2, 4]
-
-_CELL_LLOYD_ORACLE = f"""
-    WITH {{IVF_CTES}},
-    cent AS (
-      SELECT a.k, d.pos,
-             CAST(ROUND(SUM(d.xi) * 1.0 / COUNT(*)) AS BIGINT) AS si
-      FROM assigned a JOIN dims d ON d.vec_id = a.vec_id
-      GROUP BY a.k, d.pos
-    ),
-    dist2 AS (
-      SELECT d.vec_id, c.k,
-             CAST(SUM((d.xi - c.si) * (d.xi - c.si)) AS BIGINT) AS dd
-      FROM dims d JOIN cent c ON c.pos = d.pos
-      GROUP BY d.vec_id, c.k
-    ),
-    alldist AS (
-      SELECT 'a_toy' AS variant, vec_id, k, dd FROM dist
-      UNION ALL
-      SELECT 'b_lloyd1', vec_id, k, dd FROM dist2
-    ),
-    asg AS (
-      SELECT variant, vec_id, k, dd FROM (
-        SELECT variant, vec_id, k, dd,
-               ROW_NUMBER() OVER (PARTITION BY variant, vec_id
-                                  ORDER BY dd, k) AS rn
-        FROM alldist
-      ) WHERE rn = 1
-    ),
-    nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
-           FROM dims),
-    cells AS (
-      SELECT variant, k, CAST(COUNT(*) AS BIGINT) AS n_vecs
-      FROM asg GROUP BY 1, 2
-    ),
-    vstats AS (
-      SELECT a.variant,
-             CAST(SUM(a.dd) AS BIGINT) AS total_distortion,
-             (SELECT CAST(ROUND(MAX(c.n_vecs * 1000000.0 / nn.n))
-                          AS BIGINT)
-                FROM cells c CROSS JOIN nn
-               WHERE c.variant = a.variant) AS max_cell_share_ppm
-      FROM asg a GROUP BY a.variant
-    ),
-    qrank AS (
-      SELECT variant, vec_id AS query_id, k,
-             ROW_NUMBER() OVER (PARTITION BY variant, vec_id
-                                ORDER BY dd, k) AS cell_rank
-      FROM alldist WHERE vec_id < {N_QUERIES}
-    ),
-    truth AS (
-      SELECT query_id, neighbor_id FROM ({{KNN_TRUTH}})
-    ),
-    tcell AS (
-      SELECT t.query_id, t.neighbor_id, an.variant,
-             qr.cell_rank
-      FROM truth t
-      JOIN asg an ON an.vec_id = t.neighbor_id
-      JOIN qrank qr ON qr.variant = an.variant
-                   AND qr.query_id = t.query_id AND qr.k = an.k
-    ),
-    pr(nprobe) AS (VALUES {", ".join(f"({p})" for p in _CELL_PROBES)}),
-    cand AS (
-      SELECT qr.variant, pr.nprobe,
-             CAST(SUM(c.n_vecs) AS BIGINT) AS n_probed_vecs
-      FROM qrank qr
-      CROSS JOIN pr
-      JOIN cells c ON c.variant = qr.variant AND c.k = qr.k
-      WHERE qr.cell_rank <= pr.nprobe
-      GROUP BY qr.variant, pr.nprobe
-    )
-    SELECT v.variant,
-           CAST(pr.nprobe AS BIGINT) AS nprobe,
-           CAST(ROUND((SELECT count_if(tc.cell_rank <= pr.nprobe)
-                         FROM tcell tc
-                        WHERE tc.variant = v.variant) * 1000000.0
-                      / ({N_QUERIES} * {TOP_K})) AS BIGINT)
-             AS coverage_ppm,
-           (SELECT CAST(ROUND((ca.n_probed_vecs - {N_QUERIES}) * 1.0
-                              / {N_QUERIES}) AS BIGINT)
-              FROM cand ca
-             WHERE ca.variant = v.variant AND ca.nprobe = pr.nprobe)
-             AS mean_candidates,
-           v.total_distortion,
-           v.max_cell_share_ppm
-    FROM vstats v CROSS JOIN pr
-    ORDER BY v.variant, nprobe
-    """
-
-
-def ivf_cell_lloyd_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Toy vs one-Lloyd-step coarse quantizer, priced as per-nprobe
-    true-neighbor cell coverage (the recall ceiling), candidate
-    volume, and the Lloyd yardsticks (see block comment)."""
-    from bigdataentrytask_spark.operators import REGISTRY
-
-    e = _emb(spark, sf_dir)
-    grid = F.round(F.col("x") * 1000000).cast("bigint")
-    dims = e.select(
-        "vec_id",
-        F.posexplode(
-            F.transform("embedding", lambda x: x.cast("double"))
-        ).alias("pos0", "x"),
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), grid.alias("xi"))
-    with with_persisted(dims) as dims_p:
-        seeds = dims_p.filter(F.col("vec_id") < KMEANS_K).select(
-            F.col("vec_id").alias("k"), "pos", F.col("xi").alias("si")
-        )
-        dist = (
-            dims_p.join(seeds, "pos")
-            .groupBy("vec_id", "k")
-            .agg(
-                F.sum(
-                    (F.col("xi") - F.col("si"))
-                    * (F.col("xi") - F.col("si"))
-                )
-                .cast("bigint")
-                .alias("dd")
-            )
-        )
-        wv = Window.partitionBy("vec_id").orderBy("dd", "k")
-        assigned = (
-            dist.withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "k")
-        )
-        cent = (
-            assigned.join(dims_p, "vec_id")
-            .groupBy("k", "pos")
-            .agg(
-                F.round(F.sum("xi") * 1.0 / F.count(F.lit(1)))
-                .cast("bigint")
-                .alias("si")
-            )
-        )
-        dist2 = (
-            dims_p.join(cent, "pos")
-            .groupBy("vec_id", "k")
-            .agg(
-                F.sum(
-                    (F.col("xi") - F.col("si"))
-                    * (F.col("xi") - F.col("si"))
-                )
-                .cast("bigint")
-                .alias("dd")
-            )
-        )
-        alldist = dist.select(
-            F.lit("a_toy").alias("variant"), "vec_id", "k", "dd"
-        ).unionByName(
-            dist2.select(
-                F.lit("b_lloyd1").alias("variant"), "vec_id", "k", "dd"
-            )
-        )
-        with with_persisted(alldist) as ad:
-            wva = Window.partitionBy("variant", "vec_id").orderBy(
-                "dd", "k"
-            )
-            asg = (
-                ad.withColumn("rn", F.row_number().over(wva))
-                .filter(F.col("rn") == 1)
-                .select("variant", "vec_id", "k", "dd")
-            )
-            with with_persisted(asg) as asg_p:
-                nn = dims_p.agg(F.count_distinct("vec_id").alias("n"))
-                cells = asg_p.groupBy("variant", "k").agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_vecs")
-                )
-                vstats = (
-                    asg_p.groupBy("variant")
-                    .agg(
-                        F.sum("dd")
-                        .cast("bigint")
-                        .alias("total_distortion")
-                    )
-                    .join(
-                        cells.crossJoin(F.broadcast(nn))
-                        .groupBy("variant")
-                        .agg(
-                            F.round(
-                                F.max(
-                                    F.col("n_vecs")
-                                    * 1000000.0
-                                    / F.col("n")
-                                )
-                            )
-                            .cast("bigint")
-                            .alias("max_cell_share_ppm")
-                        ),
-                        "variant",
-                    )
-                )
-                qrank = (
-                    ad.filter(F.col("vec_id") < N_QUERIES)
-                    .withColumn(
-                        "cell_rank",
-                        F.row_number().over(
-                            Window.partitionBy(
-                                "variant", "vec_id"
-                            ).orderBy("dd", "k")
-                        ),
-                    )
-                    .select(
-                        "variant",
-                        F.col("vec_id").alias("query_id"),
-                        "k",
-                        "cell_rank",
-                    )
-                )
-                truth = REGISTRY["knn_bruteforce"](spark, sf_dir).select(
-                    "query_id", "neighbor_id"
-                )
-                tcell = truth.join(
-                    asg_p.select(
-                        "variant",
-                        F.col("vec_id").alias("neighbor_id"),
-                        "k",
-                    ),
-                    "neighbor_id",
-                ).join(
-                    qrank.select(
-                        "variant", "query_id", "k", "cell_rank"
-                    ),
-                    ["variant", "query_id", "k"],
-                )
-                pr = spark.createDataFrame(
-                    [(p,) for p in _CELL_PROBES], "nprobe long"
-                )
-                cov = (
-                    tcell.crossJoin(F.broadcast(pr))
-                    .groupBy("variant", "nprobe")
-                    .agg(
-                        F.sum(
-                            (
-                                F.col("cell_rank") <= F.col("nprobe")
-                            ).cast("long")
-                        ).alias("n_covered")
-                    )
-                )
-                cand = (
-                    qrank.crossJoin(F.broadcast(pr))
-                    .filter(F.col("cell_rank") <= F.col("nprobe"))
-                    .join(cells, ["variant", "k"])
-                    .groupBy("variant", "nprobe")
-                    .agg(
-                        F.sum("n_vecs")
-                        .cast("bigint")
-                        .alias("n_probed_vecs")
-                    )
-                )
-                out = (
-                    vstats.crossJoin(F.broadcast(pr))
-                    .join(cov, ["variant", "nprobe"])
-                    .join(cand, ["variant", "nprobe"])
-                    .select(
-                        "variant",
-                        F.col("nprobe").cast("bigint").alias("nprobe"),
-                        F.round(
-                            F.col("n_covered")
-                            * 1000000.0
-                            / (N_QUERIES * TOP_K)
-                        )
-                        .cast("bigint")
-                        .alias("coverage_ppm"),
-                        F.round(
-                            (F.col("n_probed_vecs") - N_QUERIES)
-                            * 1.0
-                            / N_QUERIES
-                        )
-                        .cast("bigint")
-                        .alias("mean_candidates"),
-                        "total_distortion",
-                        "max_cell_share_ppm",
-                    )
-                    .orderBy("variant", "nprobe")
-                )
-                return materialize(out)
-
-
-ROUND13_STAGED: dict[str, tuple] = {
-    "ivf_cell_lloyd_probe": (
-        ivf_cell_lloyd_probe,
-        _CELL_LLOYD_ORACLE.replace("{IVF_CTES}", _IVF_CTES)
-        .replace("{KNN_TRUTH}", _REG_ORACLES["knn_bruteforce"]),
-    ),
-}
-
-
-# --------------------------------------------------------------------------
-# Budget-normalized quantization pareto (ROADMAP round-13
-# "Retrieval"): quantization_pareto_table prices bytes/vector vs
-# recall with each codec ranking the WHOLE corpus; a serving system
-# instead spends a fixed exact-scoring budget B — the codec's cheap
-# score picks B candidates, the f32 vectors re-rank them, and recall
-# is whatever survives the funnel. This table crosses three
-# candidate generators (a_exact_f32 256 B — the calibration row
-# whose funnel is lossless by construction once B >= TOP_K;
-# b_matryoshka_d16 64 B prefix cosine; c_binary_asym 8 B sign-dot)
-# with the candidate budgets, all sharing ONE exact-cosine rerank
-# and ONE brute-force truth. Read it as recall-per-byte at equal
-# exact-scoring spend — the number that actually sizes a two-stage
-# retrieval tier.
-# Exact math: grid-integer dots everywhere (the binary cheap score
-# is an exact INTEGER — query grid ints times sign bits); the only
-# doubles are the two norm divisions (identical expressions both
-# engines) and the final recall rounding.
-# Scale: scores are query-domain x corpus rows (N_QUERIES bounded);
-# at index scale the cheap-score scan is the codec's compressed
-# sweep and the rerank touches exactly B f32 rows per query.
-# --------------------------------------------------------------------------
-_QBP_BUDGETS = [10, 50]
-_QBP_PREFIX = 16  # matryoshka prefix dims (b_matryoshka_d16)
-
-_QBP_ORACLE = f"""
-    WITH v AS (
-      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-    ),
-    dims AS (
-      SELECT vec_id, generate_subscripts(e, 1) AS pos,
-             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
-      FROM v
-    ),
-    cc AS (
-      SELECT vec_id, CAST(SUM(xi * xi) AS DOUBLE) AS cc,
-             CAST(SUM(CASE WHEN pos <= {_QBP_PREFIX}
-                           THEN xi * xi ELSE 0 END) AS DOUBLE) AS cc16
-      FROM dims GROUP BY vec_id
-    ),
-    pairs AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             CAST(SUM(q.xi * c.xi) AS BIGINT) AS dot,
-             CAST(SUM(CASE WHEN q.pos <= {_QBP_PREFIX}
-                           THEN q.xi * c.xi ELSE 0 END) AS BIGINT)
-               AS dot16,
-             CAST(SUM(q.xi * CASE WHEN c.xi >= 0 THEN 1 ELSE -1 END)
-                  AS BIGINT) AS sdot
-      FROM dims q
-      JOIN dims c ON c.pos = q.pos AND c.vec_id <> q.vec_id
-      WHERE q.vec_id < {N_QUERIES}
-      GROUP BY 1, 2
-    ),
-    scored AS (
-      SELECT p.query_id, p.neighbor_id,
-             CASE WHEN n.cc = 0 THEN -2.0
-                  ELSE p.dot / sqrt(n.cc) END AS s_exact,
-             CASE WHEN n.cc16 = 0 THEN -2.0
-                  ELSE p.dot16 / sqrt(n.cc16) END AS s_m16,
-             CAST(p.sdot AS DOUBLE) AS s_bin
-      FROM pairs p JOIN cc n ON n.vec_id = p.neighbor_id
-    ),
-    ranked AS (
-      SELECT query_id, neighbor_id, s_exact,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY s_exact DESC, neighbor_id)
-               AS r_exact,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY s_m16 DESC, neighbor_id)
-               AS r_m16,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY s_bin DESC, neighbor_id)
-               AS r_bin
-      FROM scored
-    ),
-    bud(budget) AS (VALUES {", ".join(f"({b})" for b in _QBP_BUDGETS)}),
-    cfg(config, bytes_per_vec, rcol) AS (VALUES
-      ('a_exact_f32', 256, 'r_exact'),
-      ('b_matryoshka_d16', {_QBP_PREFIX * 4}, 'r_m16'),
-      ('c_binary_asym', 8, 'r_bin')),
-    funnel AS (
-      SELECT cf.config, cf.bytes_per_vec, b.budget,
-             r.query_id, r.neighbor_id,
-             ROW_NUMBER() OVER (PARTITION BY cf.config, b.budget,
-                                             r.query_id
-                                ORDER BY r.s_exact DESC, r.neighbor_id)
-               AS rr
-      FROM ranked r
-      CROSS JOIN bud b
-      JOIN cfg cf ON (CASE cf.rcol WHEN 'r_exact' THEN r.r_exact
-                                   WHEN 'r_m16' THEN r.r_m16
-                                   ELSE r.r_bin END) <= b.budget
-    ),
-    truth AS (
-      SELECT query_id, neighbor_id FROM ({{KNN_TRUTH}})
-    )
-    SELECT f.config, CAST(f.bytes_per_vec AS BIGINT) AS bytes_per_vec,
-           CAST(f.budget AS BIGINT) AS budget,
-           CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT)
-             AS n_hits,
-           ROUND(CAST(count_if(t.neighbor_id IS NOT NULL) AS DOUBLE)
-                 / ({N_QUERIES} * {TOP_K}), 6) AS recall_at_5
-    FROM (SELECT * FROM funnel WHERE rr <= {TOP_K}) f
-    LEFT JOIN truth t ON t.query_id = f.query_id
-                     AND t.neighbor_id = f.neighbor_id
-    GROUP BY f.config, f.bytes_per_vec, f.budget
-    ORDER BY f.config, f.budget
-    """
-
-
-def quantization_budget_pareto(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Three candidate generators x candidate budgets through one
-    exact-cosine rerank funnel against one brute-force truth (see
-    block comment): bytes/vector vs recall at equal exact-scoring
-    spend."""
-    from bigdataentrytask_spark.operators import REGISTRY
-
-    e = _emb(spark, sf_dir)
-    grid = F.round(F.col("x") * 1000000).cast("bigint")
-    dims = e.select(
-        "vec_id",
-        F.posexplode(
-            F.transform("embedding", lambda x: x.cast("double"))
-        ).alias("pos0", "x"),
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), grid.alias("xi"))
-    with with_persisted(dims) as dims_p:
-        cc = dims_p.groupBy("vec_id").agg(
-            F.sum(F.col("xi") * F.col("xi")).cast("double").alias("cc"),
-            F.sum(
-                F.when(
-                    F.col("pos") <= _QBP_PREFIX,
-                    F.col("xi") * F.col("xi"),
-                ).otherwise(F.lit(0))
-            )
-            .cast("double")
-            .alias("cc16"),
-        )
-        q = dims_p.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            "pos",
-            F.col("xi").alias("qx"),
-        )
-        c = dims_p.select(
-            F.col("vec_id").alias("neighbor_id"),
-            "pos",
-            F.col("xi").alias("cx"),
-        )
-        pairs = (
-            q.join(c, "pos")
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .groupBy("query_id", "neighbor_id")
-            .agg(
-                F.sum(F.col("qx") * F.col("cx"))
-                .cast("bigint")
-                .alias("dot"),
-                F.sum(
-                    F.when(
-                        F.col("pos") <= _QBP_PREFIX,
-                        F.col("qx") * F.col("cx"),
-                    ).otherwise(F.lit(0))
-                )
-                .cast("bigint")
-                .alias("dot16"),
-                F.sum(
-                    F.col("qx")
-                    * F.when(F.col("cx") >= 0, 1).otherwise(-1)
-                )
-                .cast("bigint")
-                .alias("sdot"),
-            )
-        )
-        scored = pairs.join(
-            cc.select(
-                F.col("vec_id").alias("neighbor_id"), "cc", "cc16"
-            ),
-            "neighbor_id",
-        ).select(
-            "query_id",
-            "neighbor_id",
-            F.when(F.col("cc") == 0, F.lit(-2.0))
-            .otherwise(F.col("dot") / F.sqrt("cc"))
-            .alias("s_exact"),
-            F.when(F.col("cc16") == 0, F.lit(-2.0))
-            .otherwise(F.col("dot16") / F.sqrt("cc16"))
-            .alias("s_m16"),
-            F.col("sdot").cast("double").alias("s_bin"),
-        )
-        wq = Window.partitionBy("query_id")
-        ranked = scored.select(
-            "query_id",
-            "neighbor_id",
-            "s_exact",
-            F.row_number()
-            .over(wq.orderBy(F.col("s_exact").desc(), "neighbor_id"))
-            .alias("r_exact"),
-            F.row_number()
-            .over(wq.orderBy(F.col("s_m16").desc(), "neighbor_id"))
-            .alias("r_m16"),
-            F.row_number()
-            .over(wq.orderBy(F.col("s_bin").desc(), "neighbor_id"))
-            .alias("r_bin"),
-        )
-        with with_persisted(ranked) as ranked_p:
-            bud = spark.createDataFrame(
-                [(b,) for b in _QBP_BUDGETS], "budget long"
-            )
-            cfg = spark.createDataFrame(
-                [
-                    ("a_exact_f32", 256, "r_exact"),
-                    ("b_matryoshka_d16", _QBP_PREFIX * 4, "r_m16"),
-                    ("c_binary_asym", 8, "r_bin"),
-                ],
-                "config string, bytes_per_vec long, rcol string",
-            )
-            cheap_rank = (
-                F.when(F.col("rcol") == "r_exact", F.col("r_exact"))
-                .when(F.col("rcol") == "r_m16", F.col("r_m16"))
-                .otherwise(F.col("r_bin"))
-            )
-            funnel = (
-                ranked_p.crossJoin(F.broadcast(bud))
-                .crossJoin(F.broadcast(cfg))
-                .filter(cheap_rank <= F.col("budget"))
-                .withColumn(
-                    "rr",
-                    F.row_number().over(
-                        Window.partitionBy(
-                            "config", "budget", "query_id"
-                        ).orderBy(F.col("s_exact").desc(), "neighbor_id")
-                    ),
-                )
-                .filter(F.col("rr") <= TOP_K)
-            )
-            truth = REGISTRY["knn_bruteforce"](spark, sf_dir).select(
-                "query_id", "neighbor_id", F.lit(1).alias("hit")
-            )
-            out = (
-                funnel.join(truth, ["query_id", "neighbor_id"], "left")
-                .groupBy("config", "bytes_per_vec", "budget")
-                .agg(
-                    F.sum(F.coalesce("hit", F.lit(0)))
-                    .cast("bigint")
-                    .alias("n_hits")
-                )
-                .select(
-                    "config",
-                    F.col("bytes_per_vec")
-                    .cast("bigint")
-                    .alias("bytes_per_vec"),
-                    F.col("budget").cast("bigint").alias("budget"),
-                    "n_hits",
-                    F.round(
-                        F.col("n_hits")
-                        / F.lit(float(N_QUERIES * TOP_K)),
-                        6,
-                    ).alias("recall_at_5"),
-                )
-                .orderBy("config", "budget")
-            )
-            return materialize(out)
-
-
-ROUND13_STAGED["quantization_budget_pareto"] = (
-    quantization_budget_pareto,
-    _QBP_ORACLE.replace("{KNN_TRUTH}", _REG_ORACLES["knn_bruteforce"]),
-)
-
-
-# --------------------------------------------------------------------------
-# Coarse-cell Lloyd convergence (round-12 original; completes the
-# Lloyd chain's symmetry — PQ side has pq_lloyd_refinement +
-# pq_lloyd_convergence, the coarse side has ivf_cell_lloyd_probe +
-# THIS): the stop-decision curve for the cell trainer. Steps 0/1/2
-# of Lloyd on the KMEANS_K coarse seeds, each step's total
-# assignment distortion, per-step gain, and live-cell count. Step 0
-# and step 1 cross-pin ivf_cell_lloyd_probe's a_toy/b_lloyd1 totals
-# (same arithmetic, independent implementation). At 100 TB each
-# Lloyd pass is a full corpus sweep over the dimension rows — this
-# curve says when to stop paying for them.
-# Exact math: grid-integer distances; centroids ROUND(SUM/n) on
-# exact integer sums per step, so every step's distortion is an
-# exact integer in any accumulation order.
-# Scale: |steps| keyed argmin windows over dimension rows with
-# K x dim broadcast centroids — the kmeans_step posture iterated a
-# fixed, bounded number of times.
-# --------------------------------------------------------------------------
-_CELL_CONV_STEPS = 2
-
-
-def _cell_conv_oracle() -> str:
-    # unrolled fixed-step Lloyd: dist0 uses the first-K seeds; each
-    # subsequent step recomputes integer-grid centroids from the
-    # previous assignment and re-measures
-    ctes = [f"""{_IVF_CTES},
-    asg0 AS (
-      SELECT vec_id, k, dd FROM (
-        SELECT vec_id, k, dd,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY dd, k) AS rn
-        FROM dist
-      ) WHERE rn = 1
-    )"""]
-    for s in range(1, _CELL_CONV_STEPS + 1):
-        ctes.append(f"""
-    cent{s} AS (
-      SELECT a.k, d.pos,
-             CAST(ROUND(SUM(d.xi) * 1.0 / COUNT(*)) AS BIGINT) AS si
-      FROM asg{s - 1} a JOIN dims d ON d.vec_id = a.vec_id
-      GROUP BY a.k, d.pos
-    ),
-    dist{s} AS (
-      SELECT d.vec_id, c.k,
-             CAST(SUM((d.xi - c.si) * (d.xi - c.si)) AS BIGINT) AS dd
-      FROM dims d JOIN cent{s} c ON c.pos = d.pos
-      GROUP BY d.vec_id, c.k
-    ),
-    asg{s} AS (
-      SELECT vec_id, k, dd FROM (
-        SELECT vec_id, k, dd,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY dd, k) AS rn
-        FROM dist{s}
-      ) WHERE rn = 1
-    )""")
-    steps_union = " UNION ALL ".join(
-        f"""SELECT {s} AS step,
-               CAST(SUM(dd) AS BIGINT) AS total_distortion,
-               CAST(COUNT(DISTINCT k) AS BIGINT) AS n_cells_used
-        FROM asg{s}"""
-        for s in range(_CELL_CONV_STEPS + 1)
-    )
-    return f"""
-    WITH {",".join(ctes)},
-    steps AS ({steps_union})
-    SELECT CAST(step AS BIGINT) AS step, total_distortion,
-           n_cells_used,
-           CAST(COALESCE(LAG(total_distortion)
-                           OVER (ORDER BY step)
-                         - total_distortion, 0) AS BIGINT) AS gain
-    FROM steps
-    ORDER BY step
-    """
-
-
-def ivf_cell_lloyd_convergence(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Distortion trajectory of 0/1/2 Lloyd steps on the coarse cell
-    seeds with per-step gains and live-cell counts (see block
-    comment)."""
-    e = _emb(spark, sf_dir)
-    grid = F.round(F.col("x") * 1000000).cast("bigint")
-    dims = e.select(
-        "vec_id",
-        F.posexplode(
-            F.transform("embedding", lambda x: x.cast("double"))
-        ).alias("pos0", "x"),
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), grid.alias("xi"))
-    with with_persisted(dims) as dims_p:
-        seeds = dims_p.filter(F.col("vec_id") < KMEANS_K).select(
-            F.col("vec_id").alias("k"), "pos", F.col("xi").alias("si")
-        )
-
-        def assign(cent):
-            dist = (
-                dims_p.join(cent, "pos")
-                .groupBy("vec_id", "k")
-                .agg(
-                    F.sum(
-                        (F.col("xi") - F.col("si"))
-                        * (F.col("xi") - F.col("si"))
-                    )
-                    .cast("bigint")
-                    .alias("dd")
-                )
-            )
-            wv = Window.partitionBy("vec_id").orderBy("dd", "k")
-            return (
-                dist.withColumn("rn", F.row_number().over(wv))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "k", "dd")
-            )
-
-        def recenter(asg):
-            return (
-                asg.join(dims_p, "vec_id")
-                .groupBy("k", "pos")
-                .agg(
-                    F.round(F.sum("xi") * 1.0 / F.count(F.lit(1)))
-                    .cast("bigint")
-                    .alias("si")
-                )
-            )
-
-        steps = None
-        asg = assign(seeds)
-        for s in range(_CELL_CONV_STEPS + 1):
-            stat = asg.agg(
-                F.lit(s).alias("step"),
-                F.sum("dd").cast("bigint").alias("total_distortion"),
-                F.count_distinct("k").cast("bigint").alias(
-                    "n_cells_used"
-                ),
-            )
-            steps = stat if steps is None else steps.unionByName(stat)
-            if s < _CELL_CONV_STEPS:
-                asg = assign(recenter(asg))
-        wlag = Window.orderBy("step")
-        out = (
-            steps.withColumn(
-                "gain",
-                F.coalesce(
-                    F.lag("total_distortion").over(wlag)
-                    - F.col("total_distortion"),
-                    F.lit(0),
-                ).cast("bigint"),
-            )
-            .select(
-                F.col("step").cast("bigint").alias("step"),
-                "total_distortion",
-                "n_cells_used",
-                "gain",
-            )
-            .orderBy("step")
-        )
-        return materialize(out)
-
-
-ROUND13_STAGED["ivf_cell_lloyd_convergence"] = (
-    ivf_cell_lloyd_convergence,
-    _cell_conv_oracle(),
-)
-
-
-# ==========================================================================
-# ROUND-14 STAGED (ROADMAP §"Round 14+"; zero registry delta until the
-# round-14 boundary). Aggregated by operators/staging.py STAGED.
-# ==========================================================================
-
-# --------------------------------------------------------------------------
-# IVFADC 2x2 completion — refined cells x refined codebook (ROADMAP
-# round-14 "Retrieval"): the refinement chain priced each axis alone
-# (ivf_adc_lloyd_recall: toy cells + 1-Lloyd-step PQ codebook;
-# ivf_cell_lloyd_probe: 1-Lloyd-step cells, coverage-only). This op
-# fills the missing quadrant: ONE Lloyd step on the COARSE CELLS
-# (toy assign -> per-cell per-dim integer-grid mean -> reassign) AND
-# the one-step-refined PQ codebook, then the identical superset-ADC /
-# nested-rank nprobe sweep — so row-by-row diffs against
-# ivf_adc_recall (toy x toy) and ivf_adc_lloyd_recall (toy cells x
-# refined codebook) pin whether the two refinements COMPOSE or
-# overlap. Output schema matches both siblings exactly (nprobe,
-# n_queries, mean_candidates, n_hits, recall_at_5).
-# Exact math: grid-integer distances end to end; refined centroids
-# and codewords are ROUND(mean) on exact integer sums (both engines
-# round the identical double); the only other doubles are the two
-# final ratio roundings.
-# Scale posture: identical to ivf_adc_lloyd_recall plus one extra
-# assignment pass (the cell Lloyd step) — centroid/codebook sides
-# stay K x dim broadcast rows, candidate work stays
-# need_probe-bounded.
-# --------------------------------------------------------------------------
-_IVF_ADC_2X2_ORACLE = f"""
-    WITH {{IVF_CTES}},
-    cent AS (
-      SELECT a.k, d.pos,
-             CAST(ROUND(SUM(d.xi) * 1.0 / COUNT(*)) AS BIGINT) AS si
-      FROM assigned a JOIN dims d ON d.vec_id = a.vec_id
-      GROUP BY a.k, d.pos
-    ),
-    dist2 AS (
-      SELECT d.vec_id, c.k,
-             CAST(SUM((d.xi - c.si) * (d.xi - c.si)) AS BIGINT) AS dd
-      FROM dims d JOIN cent c ON c.pos = d.pos
-      GROUP BY d.vec_id, c.k
-    ),
-    assigned2 AS (
-      SELECT vec_id, k FROM (
-        SELECT vec_id, k,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY dd, k) AS rn
-        FROM dist2
-      ) WHERE rn = 1
-    ),
-    cb0 AS (
-      SELECT vec_id AS code, ((pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
-             pos, xi AS ci
-      FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos,
-                   CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
-            FROM v WHERE vec_id < {_PQ_K}) t
-    ),
-    pq_dist0 AS (
-      SELECT d.vec_id, ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
-             cb.code,
-             CAST(SUM((d.xi - cb.ci) * (d.xi - cb.ci)) AS BIGINT) AS dd
-      FROM dims d
-      JOIN cb0 cb ON cb.pos = d.pos
-                 AND cb.sub = ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM}
-      GROUP BY 1, 2, 3
-    ),
-    pq_assigned0 AS (
-      SELECT vec_id, sub, code FROM (
-        SELECT vec_id, sub, code,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-                                  ORDER BY dd, code) AS rn
-        FROM pq_dist0
-      ) WHERE rn = 1
-    ),
-    refined AS (
-      SELECT a.sub, a.code, d.pos,
-             CAST(ROUND(SUM(d.xi) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
-               AS ci
-      FROM pq_assigned0 a
-      JOIN dims d ON d.vec_id = a.vec_id
-                 AND ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} = a.sub
-      GROUP BY 1, 2, 3
-    ),
-    codebook AS (
-      SELECT c.code, c.sub, c.pos, COALESCE(r.ci, c.ci) AS ci
-      FROM cb0 c
-      LEFT JOIN refined r ON r.sub = c.sub AND r.code = c.code
-                         AND r.pos = c.pos
-    ),
-    pq_dist AS (
-      SELECT d.vec_id, ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
-             cb.code,
-             CAST(SUM((d.xi - cb.ci) * (d.xi - cb.ci)) AS BIGINT) AS dd
-      FROM dims d
-      JOIN codebook cb ON cb.pos = d.pos
-                      AND cb.sub = ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM}
-      GROUP BY 1, 2, 3
-    ),
-    pq_assigned AS (
-      SELECT vec_id, sub, code FROM (
-        SELECT vec_id, sub, code,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-                                  ORDER BY dd, code) AS rn
-        FROM pq_dist
-      ) WHERE rn = 1
-    ),
-    qcells AS (
-      SELECT vec_id AS query_id, k,
-             ROW_NUMBER() OVER (PARTITION BY vec_id
-                                ORDER BY dd, k) AS cell_rnk
-      FROM dist2 WHERE vec_id < {N_QUERIES}
-    ),
-    need AS (
-      SELECT qc.query_id, ac.vec_id AS neighbor_id,
-             MIN(qc.cell_rnk) AS need_probe
-      FROM qcells qc
-      JOIN assigned2 ac ON ac.k = qc.k
-      WHERE ac.vec_id <> qc.query_id
-      GROUP BY 1, 2
-    ),
-    adc AS (
-      SELECT n.query_id, n.neighbor_id, n.need_probe,
-             CAST(SUM((q.xi - cb.ci) * (q.xi - cb.ci)) AS BIGINT) AS dd
-      FROM need n
-      JOIN pq_assigned a ON a.vec_id = n.neighbor_id
-      JOIN codebook cb ON cb.sub = a.sub AND cb.code = a.code
-      JOIN dims q ON q.vec_id = n.query_id AND q.pos = cb.pos
-      WHERE n.need_probe <= {max(_IVF_ADC_PROBES)}
-      GROUP BY 1, 2, 3
-    ),
-    pr(nprobe) AS (VALUES {", ".join(f"({p})" for p in _IVF_ADC_PROBES)}),
-    ranked AS (
-      SELECT pr.nprobe, a.query_id, a.neighbor_id,
-             ROW_NUMBER() OVER (PARTITION BY pr.nprobe, a.query_id
-                                ORDER BY a.dd, a.neighbor_id) AS rnk
-      FROM adc a JOIN pr ON a.need_probe <= pr.nprobe
-    ),
-    exact AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS dd
-      FROM dims q
-      JOIN dims c ON c.pos = q.pos AND c.vec_id <> q.vec_id
-      WHERE q.vec_id < {N_QUERIES}
-      GROUP BY 1, 2
-    ),
-    truth AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY dd, neighbor_id) AS rnk
-        FROM exact
-      ) WHERE rnk <= {TOP_K}
-    ),
-    vol AS (
-      SELECT pr.nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
-      FROM need n JOIN pr ON n.need_probe <= pr.nprobe
-      GROUP BY 1
-    ),
-    hits AS (
-      SELECT r.nprobe,
-             CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT) AS n_hits
-      FROM ranked r
-      LEFT JOIN truth t ON t.query_id = r.query_id
-                       AND t.neighbor_id = r.neighbor_id
-      WHERE r.rnk <= {TOP_K}
-      GROUP BY 1
-    )
-    SELECT CAST(h.nprobe AS BIGINT) AS nprobe,
-           CAST({N_QUERIES} AS BIGINT) AS n_queries,
-           ROUND(CAST(v.n_candidates AS DOUBLE) / {N_QUERIES}, 6)
-             AS mean_candidates,
-           h.n_hits,
-           ROUND(CAST(h.n_hits AS DOUBLE) / ({N_QUERIES} * {TOP_K}), 6)
-             AS recall_at_5
-    FROM hits h JOIN vol v ON v.nprobe = h.nprobe
-    ORDER BY nprobe
-    """
-
-
-def ivf_adc_refined_joint_recall(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """IVFADC nprobe sweep under BOTH one-Lloyd-step refinements —
-    coarse cells and PQ codebook — completing the 2x2 (see block
-    comment; plan = ivf_adc_lloyd_recall plus one cell reassignment
-    pass)."""
-    from bigdataentrytask_spark.operators import materialize, with_persisted
-
-    e = _emb(spark, sf_dir)
-    grid = F.round(F.col("x") * 1000000).cast("bigint")
-    dims = e.select(
-        "vec_id",
-        F.posexplode(
-            F.transform("embedding", lambda x: x.cast("double"))
-        ).alias("pos0", "x"),
-    ).select(
-        "vec_id",
-        ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long").alias("sub"),
-        (F.col("pos0") + 1).alias("pos"),
-        grid.alias("xi"),
-    )
-    with with_persisted(dims) as dims_p:
-        seeds = dims_p.filter(F.col("vec_id") < KMEANS_K).select(
-            F.col("vec_id").alias("k"),
-            F.col("pos").alias("s_pos"),
-            F.col("xi").alias("si"),
-        )
-        cdist0 = (
-            dims_p.join(F.broadcast(seeds), F.col("s_pos") == F.col("pos"))
-            .groupBy("vec_id", "k")
-            .agg(
-                F.sum(
-                    (F.col("xi") - F.col("si")) * (F.col("xi") - F.col("si"))
-                )
-                .cast("bigint")
-                .alias("dd")
-            )
-        )
-        wc = Window.partitionBy("vec_id").orderBy("dd", "k")
-        assigned0 = (
-            cdist0.withColumn("rn", F.row_number().over(wc))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "k")
-        )
-        cent = (
-            assigned0.join(dims_p, "vec_id")
-            .groupBy("k", F.col("pos").alias("s_pos"))
-            .agg(
-                F.round(F.sum("xi") * 1.0 / F.count(F.lit(1)))
-                .cast("bigint")
-                .alias("si")
-            )
-        )
-        cdist = (
-            dims_p.join(F.broadcast(cent), F.col("s_pos") == F.col("pos"))
-            .groupBy("vec_id", "k")
-            .agg(
-                F.sum(
-                    (F.col("xi") - F.col("si")) * (F.col("xi") - F.col("si"))
-                )
-                .cast("bigint")
-                .alias("dd")
-            )
-        )
-        cell_rank = cdist.withColumn("rn", F.row_number().over(wc))
-        assigned_cell = materialize(
-            cell_rank.filter(F.col("rn") == 1).select("vec_id", "k")
-        )
-        qcells = materialize(
-            cell_rank.filter(F.col("vec_id") < N_QUERIES).select(
-                F.col("vec_id").alias("query_id"),
-                "k",
-                F.col("rn").alias("cell_rnk"),
-            )
-        )
-        need = materialize(
-            qcells.join(
-                assigned_cell.withColumnRenamed("vec_id", "neighbor_id"),
-                "k",
-            )
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .groupBy("query_id", "neighbor_id")
-            .agg(F.min("cell_rnk").alias("need_probe"))
-        )
-        cb0 = (
-            e.filter(F.col("vec_id") < _PQ_K)
-            .select(
-                F.col("vec_id").alias("cb_code"),
-                F.posexplode(
-                    F.transform("embedding", lambda x: x.cast("double"))
-                ).alias("pos0", "x"),
-            )
-            .select(
-                "cb_code",
-                ((F.col("pos0") * _PQ_SUB) / _PQ_DIM)
-                .cast("long")
-                .alias("cb_sub"),
-                (F.col("pos0") + 1).alias("cb_pos"),
-                grid.alias("ci"),
-            )
-        )
-
-        def pq_assign(cbf):
-            dist0 = (
-                dims_p.join(
-                    F.broadcast(cbf),
-                    (F.col("cb_pos") == F.col("pos"))
-                    & (F.col("cb_sub") == F.col("sub")),
-                )
-                .groupBy("vec_id", "sub", F.col("cb_code").alias("code"))
-                .agg(
-                    F.sum(
-                        (F.col("xi") - F.col("ci"))
-                        * (F.col("xi") - F.col("ci"))
-                    )
-                    .cast("bigint")
-                    .alias("dd")
-                )
-            )
-            wp = Window.partitionBy("vec_id", "sub").orderBy("dd", "code")
-            return materialize(
-                dist0.withColumn("rn", F.row_number().over(wp))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "sub", "code")
-            )
-
-        a0 = pq_assign(cb0)
-        refined = (
-            a0.select(
-                F.col("vec_id").alias("a_vid"),
-                F.col("sub").alias("a_sub"),
-                "code",
-            )
-            .join(
-                dims_p,
-                (F.col("a_vid") == F.col("vec_id"))
-                & (F.col("a_sub") == F.col("sub")),
-            )
-            .groupBy(
-                F.col("a_sub").alias("cb_sub"),
-                F.col("code").alias("cb_code"),
-                F.col("pos").alias("cb_pos"),
-            )
-            .agg(
-                F.round(F.sum("xi") / F.count(F.lit(1)).cast("double"))
-                .cast("bigint")
-                .alias("r_ci")
-            )
-        )
-        codebook = (
-            cb0.join(refined, ["cb_sub", "cb_code", "cb_pos"], "left")
-            .select(
-                "cb_code",
-                "cb_sub",
-                "cb_pos",
-                F.coalesce("r_ci", "ci").alias("ci"),
-            )
-        )
-        pq_assigned = pq_assign(codebook)
-        rmax = max(_IVF_ADC_PROBES)
-        adc = (
-            need.filter(F.col("need_probe") <= rmax)
-            .join(
-                pq_assigned.select(
-                    F.col("vec_id").alias("neighbor_id"), "sub", "code"
-                ),
-                "neighbor_id",
-            )
-            .join(
-                F.broadcast(
-                    codebook.select(
-                        F.col("cb_sub").alias("sub"),
-                        F.col("cb_code").alias("code"),
-                        F.col("cb_pos").alias("pos"),
-                        "ci",
-                    )
-                ),
-                ["sub", "code"],
-            )
-            .join(
-                dims_p.select(
-                    F.col("vec_id").alias("query_id"), "pos", "xi"
-                ),
-                ["query_id", "pos"],
-            )
-            .groupBy("query_id", "neighbor_id", "need_probe")
-            .agg(
-                F.sum(
-                    (F.col("xi") - F.col("ci")) * (F.col("xi") - F.col("ci"))
-                )
-                .cast("bigint")
-                .alias("dd")
-            )
-        )
-        pr = spark.createDataFrame(
-            [(p,) for p in _IVF_ADC_PROBES], "nprobe long"
-        )
-        ranked = (
-            adc.crossJoin(F.broadcast(pr))
-            .filter(F.col("need_probe") <= F.col("nprobe"))
-            .withColumn(
-                "rnk",
-                F.row_number().over(
-                    Window.partitionBy("nprobe", "query_id").orderBy(
-                        "dd", "neighbor_id"
-                    )
-                ),
-            )
-            .filter(F.col("rnk") <= TOP_K)
-        )
-        exact = (
-            dims_p.filter(F.col("vec_id") < N_QUERIES)
-            .select(F.col("vec_id").alias("query_id"), "pos", "xi")
-            .join(
-                dims_p.select(
-                    F.col("vec_id").alias("neighbor_id"),
-                    "pos",
-                    F.col("xi").alias("ci"),
-                ),
-                "pos",
-            )
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .groupBy("query_id", "neighbor_id")
-            .agg(
-                F.sum(
-                    (F.col("xi") - F.col("ci")) * (F.col("xi") - F.col("ci"))
-                )
-                .cast("bigint")
-                .alias("dd")
-            )
-        )
-        wt = Window.partitionBy("query_id").orderBy("dd", "neighbor_id")
-        truth = (
-            exact.withColumn("rnk", F.row_number().over(wt))
-            .filter(F.col("rnk") <= TOP_K)
-            .select("query_id", "neighbor_id", F.lit(1).alias("is_true"))
-        )
-        vol = (
-            need.crossJoin(F.broadcast(pr))
-            .filter(F.col("need_probe") <= F.col("nprobe"))
-            .groupBy("nprobe")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
-        )
-        hits = (
-            ranked.join(truth, ["query_id", "neighbor_id"], "left")
-            .groupBy("nprobe")
-            .agg(
-                F.sum(F.coalesce("is_true", F.lit(0)))
-                .cast("bigint")
-                .alias("n_hits")
-            )
-        )
-        return materialize(
-            hits.join(vol, "nprobe")
-            .select(
-                F.col("nprobe").cast("bigint").alias("nprobe"),
-                F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
-                F.round(
-                    F.col("n_candidates").cast("double") / N_QUERIES, 6
-                ).alias("mean_candidates"),
-                "n_hits",
-                F.round(
-                    F.col("n_hits").cast("double") / (N_QUERIES * TOP_K), 6
-                ).alias("recall_at_5"),
-            )
-            .orderBy("nprobe")
-        )
-
-
-ROUND14_STAGED: dict[str, tuple] = {
-    "ivf_adc_refined_joint_recall": (
-        ivf_adc_refined_joint_recall,
-        _IVF_ADC_2X2_ORACLE.replace("{IVF_CTES}", _IVF_CTES),
-    ),
-}
-
-
-# --------------------------------------------------------------------------
-# Residual-PQ under refined cells (ROADMAP round-14 "Retrieval"):
-# residual_pq_distortion pinned an honest NEGATIVE gain — two-level
-# quantization loses to flat PQ on this near-isotropic corpus — but
-# its residuals came from the WEAK first-K coarse seeds. One cell-
-# Lloyd step shrinks the coarse distortion (ivf_cell_lloyd_probe
-# prices it), which shrinks residual variance; this op re-prices the
-# residual-vs-flat trade under the REFINED cells and answers the
-# queued question directly: does the sign flip? Per subspace: flat-PQ
-# error (the unchanged baseline), the toy-seed residual error (the
-# original op's column, recomputed in the same pass for a same-query
-# diff), the refined-cell residual error, both gains, and the
-# sign_flipped flag (toy gain <= 0 < refined gain).
-# Exact math: refined centroids are ROUND(mean) on exact integer
-# sums, so refined residuals stay grid integers and every distance
-# is exact; per-subspace sums go through the module's canonical
-# decimal(19,0) before the final double casts.
-# Scale posture: residual_pq_distortion's plan plus one extra
-# assignment pass and one extra residual branch — dimension-level
-# rows, broadcast codebooks, bounded argmin windows.
-# --------------------------------------------------------------------------
-_RPQ_REFINED_ORACLE = f"""
-    WITH v AS (
-      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-    ),
-    dims AS (
-      SELECT vec_id, generate_subscripts(e, 1) AS pos,
-             ((generate_subscripts(e, 1) - 1) * {_PQ_SUB}) // {_PQ_DIM}
-               AS sub,
-             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
-      FROM v
-    ),
-    seeds AS (
-      SELECT vec_id AS k, generate_subscripts(e, 1) AS pos,
-             CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS si
-      FROM v WHERE vec_id < {KMEANS_K}
-    ),
-    cdist AS (
-      SELECT d.vec_id, se.k,
-             CAST(SUM((d.xi - se.si) * (d.xi - se.si)) AS BIGINT) AS dd
-      FROM dims d JOIN seeds se ON se.pos = d.pos
-      GROUP BY 1, 2
-    ),
-    cassign AS (
-      SELECT vec_id, k FROM (
-        SELECT vec_id, k,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, k) AS rn
-        FROM cdist
-      ) WHERE rn = 1
-    ),
-    cent AS (
-      SELECT a.k, d.pos,
-             CAST(ROUND(SUM(d.xi) * 1.0 / COUNT(*)) AS BIGINT) AS si
-      FROM cassign a JOIN dims d ON d.vec_id = a.vec_id
-      GROUP BY a.k, d.pos
-    ),
-    cdist2 AS (
-      SELECT d.vec_id, c.k,
-             CAST(SUM((d.xi - c.si) * (d.xi - c.si)) AS BIGINT) AS dd
-      FROM dims d JOIN cent c ON c.pos = d.pos
-      GROUP BY d.vec_id, c.k
-    ),
-    cassign2 AS (
-      SELECT vec_id, k FROM (
-        SELECT vec_id, k,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, k) AS rn
-        FROM cdist2
-      ) WHERE rn = 1
-    ),
-    resid AS (
-      SELECT d.vec_id, d.pos, d.sub, d.xi - se.si AS ri
-      FROM dims d
-      JOIN cassign a ON a.vec_id = d.vec_id
-      JOIN seeds se ON se.k = a.k AND se.pos = d.pos
-    ),
-    resid2 AS (
-      SELECT d.vec_id, d.pos, d.sub, d.xi - c.si AS ri
-      FROM dims d
-      JOIN cassign2 a ON a.vec_id = d.vec_id
-      JOIN cent c ON c.k = a.k AND c.pos = d.pos
-    ),
-    rcode AS (
-      SELECT vec_id AS code, sub, pos, ri AS ci
-      FROM resid WHERE vec_id < {_PQ_K}
-    ),
-    rcode2 AS (
-      SELECT vec_id AS code, sub, pos, ri AS ci
-      FROM resid2 WHERE vec_id < {_PQ_K}
-    ),
-    rdist AS (
-      SELECT r.vec_id, r.sub, c.code,
-             CAST(SUM((r.ri - c.ci) * (r.ri - c.ci)) AS BIGINT) AS dd
-      FROM resid r JOIN rcode c ON c.pos = r.pos AND c.sub = r.sub
-      GROUP BY 1, 2, 3
-    ),
-    rdist2 AS (
-      SELECT r.vec_id, r.sub, c.code,
-             CAST(SUM((r.ri - c.ci) * (r.ri - c.ci)) AS BIGINT) AS dd
-      FROM resid2 r JOIN rcode2 c ON c.pos = r.pos AND c.sub = r.sub
-      GROUP BY 1, 2, 3
-    ),
-    rbest AS (
-      SELECT vec_id, sub, dd FROM (
-        SELECT vec_id, sub, dd,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-                                  ORDER BY dd, code) AS rn
-        FROM rdist
-      ) WHERE rn = 1
-    ),
-    rbest2 AS (
-      SELECT vec_id, sub, dd FROM (
-        SELECT vec_id, sub, dd,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-                                  ORDER BY dd, code) AS rn
-        FROM rdist2
-      ) WHERE rn = 1
-    ),
-    fcode AS (
-      SELECT vec_id AS code, sub, pos, xi AS ci
-      FROM dims WHERE vec_id < {_PQ_K}
-    ),
-    fdist AS (
-      SELECT d.vec_id, d.sub, c.code,
-             CAST(SUM((d.xi - c.ci) * (d.xi - c.ci)) AS BIGINT) AS dd
-      FROM dims d JOIN fcode c ON c.pos = d.pos AND c.sub = d.sub
-      GROUP BY 1, 2, 3
-    ),
-    fbest AS (
-      SELECT vec_id, sub, dd FROM (
-        SELECT vec_id, sub, dd,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-                                  ORDER BY dd, code) AS rn
-        FROM fdist
-      ) WHERE rn = 1
-    ),
-    agg AS (
-      SELECT f.sub,
-             COUNT(*) AS n_vecs,
-             SUM(f.dd::HUGEINT) AS flat_g,
-             SUM(r.dd::HUGEINT) AS res_toy_g,
-             SUM(r2.dd::HUGEINT) AS res_lloyd_g
-      FROM fbest f
-      JOIN rbest r ON r.vec_id = f.vec_id AND r.sub = f.sub
-      JOIN rbest2 r2 ON r2.vec_id = f.vec_id AND r2.sub = f.sub
-      GROUP BY 1
-    )
-    SELECT CAST(sub AS BIGINT) AS sub,
-           CAST(n_vecs AS BIGINT) AS n_vecs,
-           ROUND(CAST(flat_g AS DOUBLE) / 1e12, 4) AS flat_sq_error,
-           ROUND(CAST(res_toy_g AS DOUBLE) / 1e12, 4)
-             AS resid_toy_sq_error,
-           ROUND(CAST(res_lloyd_g AS DOUBLE) / 1e12, 4)
-             AS resid_lloyd_sq_error,
-           CAST(ROUND((CAST(flat_g AS DOUBLE) - CAST(res_toy_g AS DOUBLE))
-                      * 1000000.0 / CAST(flat_g AS DOUBLE)) AS BIGINT)
-             AS gain_toy_ppm,
-           CAST(ROUND((CAST(flat_g AS DOUBLE)
-                       - CAST(res_lloyd_g AS DOUBLE))
-                      * 1000000.0 / CAST(flat_g AS DOUBLE)) AS BIGINT)
-             AS gain_lloyd_ppm,
-           (CAST(ROUND((CAST(flat_g AS DOUBLE)
-                        - CAST(res_toy_g AS DOUBLE))
-                       * 1000000.0 / CAST(flat_g AS DOUBLE)) AS BIGINT)
-              <= 0
-            AND CAST(ROUND((CAST(flat_g AS DOUBLE)
-                            - CAST(res_lloyd_g AS DOUBLE))
-                           * 1000000.0 / CAST(flat_g AS DOUBLE))
-                     AS BIGINT) > 0) AS sign_flipped
-    FROM agg ORDER BY sub
-    """
-
-
-def residual_pq_refined_cells(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Residual-PQ distortion under one-Lloyd-step coarse cells, with
-    the toy-seed residual and flat-PQ baselines in the same pass and
-    the sign-flip verdict per subspace (see block comment)."""
-    from bigdataentrytask_spark.operators import materialize, with_persisted
-
-    e = _emb(spark, sf_dir)
-    grid = F.round(F.col("x") * 1000000).cast("bigint")
-    sub_of = ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long")
-    dims = e.select(
-        "vec_id",
-        F.posexplode(
-            F.transform("embedding", lambda x: x.cast("double"))
-        ).alias("pos0", "x"),
-    ).select(
-        "vec_id",
-        (F.col("pos0") + 1).alias("pos"),
-        sub_of.alias("sub"),
-        grid.alias("xi"),
-    )
-    d19 = "decimal(19,0)"
-    with with_persisted(dims) as dims_p:
-        seeds = dims_p.filter(F.col("vec_id") < KMEANS_K).select(
-            F.col("vec_id").alias("k"),
-            F.col("pos").alias("s_pos"),
-            F.col("xi").alias("si"),
-        )
-        sqd = (F.col("xi") - F.col("si")) * (F.col("xi") - F.col("si"))
-        cdist = (
-            dims_p.join(F.broadcast(seeds), F.col("s_pos") == F.col("pos"))
-            .groupBy("vec_id", "k")
-            .agg(F.sum(sqd).cast("bigint").alias("dd"))
-        )
-        wv = Window.partitionBy("vec_id").orderBy("dd", "k")
-        cassign = (
-            cdist.withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("k").alias("ck"))
-        )
-        cent = (
-            cassign.join(dims_p, "vec_id")
-            .groupBy(F.col("ck").alias("k"), F.col("pos").alias("s_pos"))
-            .agg(
-                F.round(F.sum("xi") * 1.0 / F.count(F.lit(1)))
-                .cast("bigint")
-                .alias("si")
-            )
-        )
-        cdist2 = (
-            dims_p.join(F.broadcast(cent), F.col("s_pos") == F.col("pos"))
-            .groupBy("vec_id", "k")
-            .agg(F.sum(sqd).cast("bigint").alias("dd"))
-        )
-        cassign2 = (
-            cdist2.withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("k").alias("ck"))
-        )
-
-        def resid_of(assign_df, cent_df):
-            return (
-                dims_p.join(assign_df, "vec_id")
-                .join(
-                    F.broadcast(cent_df),
-                    (F.col("s_pos") == F.col("pos"))
-                    & (F.col("k") == F.col("ck")),
-                )
-                .select(
-                    "vec_id", "pos", "sub",
-                    (F.col("xi") - F.col("si")).alias("ri"),
-                )
-            )
-
-        def best_of(resid_p):
-            rcode = resid_p.filter(F.col("vec_id") < _PQ_K).select(
-                F.col("vec_id").alias("code"),
-                F.col("sub").alias("c_sub"),
-                F.col("pos").alias("c_pos"),
-                F.col("ri").alias("ci"),
-            )
-            rdiff = F.col("ri") - F.col("ci")
-            rdist = (
-                resid_p.join(
-                    F.broadcast(rcode),
-                    (F.col("c_pos") == F.col("pos"))
-                    & (F.col("c_sub") == F.col("sub")),
-                )
-                .groupBy("vec_id", "sub", "code")
-                .agg(F.sum(rdiff * rdiff).cast("bigint").alias("dd"))
-            )
-            ws = Window.partitionBy("vec_id", "sub").orderBy("dd", "code")
-            return (
-                rdist.withColumn("rn", F.row_number().over(ws))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "sub", "dd")
-            )
-
-        seeds_c = seeds.select(
-            "k", "s_pos", "si"
-        )
-        with with_persisted(resid_of(cassign, seeds_c)) as resid_toy:
-            with with_persisted(resid_of(cassign2, cent)) as resid_ll:
-                rbest = best_of(resid_toy).select(
-                    "vec_id", "sub", F.col("dd").alias("rdd")
-                )
-                rbest2 = best_of(resid_ll).select(
-                    "vec_id", "sub", F.col("dd").alias("r2dd")
-                )
-                fcode = dims_p.filter(F.col("vec_id") < _PQ_K).select(
-                    F.col("vec_id").alias("code"),
-                    F.col("sub").alias("c_sub"),
-                    F.col("pos").alias("c_pos"),
-                    F.col("xi").alias("ci"),
-                )
-                fdiff = F.col("xi") - F.col("ci")
-                fdist = (
-                    dims_p.join(
-                        F.broadcast(fcode),
-                        (F.col("c_pos") == F.col("pos"))
-                        & (F.col("c_sub") == F.col("sub")),
-                    )
-                    .groupBy("vec_id", "sub", "code")
-                    .agg(F.sum(fdiff * fdiff).cast("bigint").alias("dd"))
-                )
-                wsb = Window.partitionBy("vec_id", "sub").orderBy(
-                    "dd", "code"
-                )
-                fbest = (
-                    fdist.withColumn("rn", F.row_number().over(wsb))
-                    .filter(F.col("rn") == 1)
-                    .select("vec_id", "sub", F.col("dd").alias("fdd"))
-                )
-                agg = (
-                    fbest.join(rbest, ["vec_id", "sub"])
-                    .join(rbest2, ["vec_id", "sub"])
-                    .groupBy("sub")
-                    .agg(
-                        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-                        F.sum(F.col("fdd").cast(d19))
-                        .cast("double")
-                        .alias("flat_g"),
-                        F.sum(F.col("rdd").cast(d19))
-                        .cast("double")
-                        .alias("res_toy_g"),
-                        F.sum(F.col("r2dd").cast(d19))
-                        .cast("double")
-                        .alias("res_lloyd_g"),
-                    )
-                )
-                gain_toy = F.round(
-                    (F.col("flat_g") - F.col("res_toy_g"))
-                    * 1000000.0
-                    / F.col("flat_g")
-                ).cast("bigint")
-                gain_ll = F.round(
-                    (F.col("flat_g") - F.col("res_lloyd_g"))
-                    * 1000000.0
-                    / F.col("flat_g")
-                ).cast("bigint")
-                return materialize(
-                    agg.select(
-                        F.col("sub").cast("bigint").alias("sub"),
-                        "n_vecs",
-                        F.round(F.col("flat_g") / 1e12, 4).alias(
-                            "flat_sq_error"
-                        ),
-                        F.round(F.col("res_toy_g") / 1e12, 4).alias(
-                            "resid_toy_sq_error"
-                        ),
-                        F.round(F.col("res_lloyd_g") / 1e12, 4).alias(
-                            "resid_lloyd_sq_error"
-                        ),
-                        gain_toy.alias("gain_toy_ppm"),
-                        gain_ll.alias("gain_lloyd_ppm"),
-                        ((gain_toy <= 0) & (gain_ll > 0)).alias(
-                            "sign_flipped"
-                        ),
-                    ).orderBy("sub")
-                )
-
-
-ROUND14_STAGED["residual_pq_refined_cells"] = (
-    residual_pq_refined_cells,
-    _RPQ_REFINED_ORACLE,
-)
-
-
-# --------------------------------------------------------------------------
-# Residual-ADC end-to-end recall — true IVF-PQ (round-15 queue item,
-# pulled forward): residual_pq_refined_cells flipped the DISTORTION
-# sign under refined cells; the serving question is whether that win
-# survives the ADC funnel. This is the real IVF-PQ layout: refined
-# coarse cells, per-vector RESIDUAL codes (x - centroid(cell),
-# quantized against the refined-residual codebook drawn from the
-# first _PQ_K refined residuals), and ASYMMETRIC distances — the
-# query re-centers against each CANDIDATE's cell centroid before the
-# table lookup, so the scored geometry matches what a FAISS IVF-PQ
-# scan computes. Output schema matches the sweep family
-# (ivf_adc_recall / ivf_adc_lloyd_recall /
-# ivf_adc_refined_joint_recall) so the codebook story reads as one
-# four-row diff per nprobe: toy x toy, toy x lloyd, refined x lloyd,
-# refined x residual.
-# Exact math: residuals and refined centroids are grid integers
-# (ROUND(mean) on exact sums), so every coarse, code-assignment, and
-# ADC distance is an exact BIGINT; the two final ratio roundings are
-# the only doubles.
-# Scale posture: the 2x2 plan plus one residual encode pass; the ADC
-# join re-centers per (query, candidate-cell) — still need_probe-
-# bounded, with the centroid side a K x dim broadcast.
-# --------------------------------------------------------------------------
-_RESIDUAL_ADC_ORACLE = f"""
-    WITH {{IVF_CTES}},
-    cent AS (
-      SELECT a.k, d.pos,
-             CAST(ROUND(SUM(d.xi) * 1.0 / COUNT(*)) AS BIGINT) AS si
-      FROM assigned a JOIN dims d ON d.vec_id = a.vec_id
-      GROUP BY a.k, d.pos
-    ),
-    dist2 AS (
-      SELECT d.vec_id, c.k,
-             CAST(SUM((d.xi - c.si) * (d.xi - c.si)) AS BIGINT) AS dd
-      FROM dims d JOIN cent c ON c.pos = d.pos
-      GROUP BY d.vec_id, c.k
-    ),
-    assigned2 AS (
-      SELECT vec_id, k FROM (
-        SELECT vec_id, k,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY dd, k) AS rn
-        FROM dist2
-      ) WHERE rn = 1
-    ),
-    resid2 AS (
-      SELECT d.vec_id, d.pos,
-             ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
-             d.xi - c.si AS ri
-      FROM dims d
-      JOIN assigned2 a ON a.vec_id = d.vec_id
-      JOIN cent c ON c.k = a.k AND c.pos = d.pos
-    ),
-    rcode2 AS (
-      SELECT vec_id AS code, sub, pos, ri AS ci
-      FROM resid2 WHERE vec_id < {_PQ_K}
-    ),
-    rdist2 AS (
-      SELECT r.vec_id, r.sub, c.code,
-             CAST(SUM((r.ri - c.ci) * (r.ri - c.ci)) AS BIGINT) AS dd
-      FROM resid2 r JOIN rcode2 c ON c.pos = r.pos AND c.sub = r.sub
-      GROUP BY 1, 2, 3
-    ),
-    rassign2 AS (
-      SELECT vec_id, sub, code FROM (
-        SELECT vec_id, sub, code,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-                                  ORDER BY dd, code) AS rn
-        FROM rdist2
-      ) WHERE rn = 1
-    ),
-    qcells AS (
-      SELECT vec_id AS query_id, k,
-             ROW_NUMBER() OVER (PARTITION BY vec_id
-                                ORDER BY dd, k) AS cell_rnk
-      FROM dist2 WHERE vec_id < {N_QUERIES}
-    ),
-    need AS (
-      SELECT qc.query_id, ac.vec_id AS neighbor_id, ac.k AS n_cell,
-             MIN(qc.cell_rnk) AS need_probe
-      FROM qcells qc
-      JOIN assigned2 ac ON ac.k = qc.k
-      WHERE ac.vec_id <> qc.query_id
-      GROUP BY 1, 2, 3
-    ),
-    adc AS (
-      SELECT n.query_id, n.neighbor_id, n.need_probe,
-             CAST(SUM(((q.xi - ct.si) - cb.ci)
-                      * ((q.xi - ct.si) - cb.ci)) AS BIGINT) AS dd
-      FROM need n
-      JOIN rassign2 a ON a.vec_id = n.neighbor_id
-      JOIN rcode2 cb ON cb.sub = a.sub AND cb.code = a.code
-      JOIN cent ct ON ct.k = n.n_cell AND ct.pos = cb.pos
-      JOIN dims q ON q.vec_id = n.query_id AND q.pos = cb.pos
-      WHERE n.need_probe <= {max(_IVF_ADC_PROBES)}
-      GROUP BY 1, 2, 3
-    ),
-    pr(nprobe) AS (VALUES {", ".join(f"({p})" for p in _IVF_ADC_PROBES)}),
-    ranked AS (
-      SELECT pr.nprobe, a.query_id, a.neighbor_id,
-             ROW_NUMBER() OVER (PARTITION BY pr.nprobe, a.query_id
-                                ORDER BY a.dd, a.neighbor_id) AS rnk
-      FROM adc a JOIN pr ON a.need_probe <= pr.nprobe
-    ),
-    exact AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS dd
-      FROM dims q
-      JOIN dims c ON c.pos = q.pos AND c.vec_id <> q.vec_id
-      WHERE q.vec_id < {N_QUERIES}
-      GROUP BY 1, 2
-    ),
-    truth AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY dd, neighbor_id) AS rnk
-        FROM exact
-      ) WHERE rnk <= {TOP_K}
-    ),
-    vol AS (
-      SELECT pr.nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
-      FROM need n JOIN pr ON n.need_probe <= pr.nprobe
-      GROUP BY 1
-    ),
-    hits AS (
-      SELECT r.nprobe,
-             CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT) AS n_hits
-      FROM ranked r
-      LEFT JOIN truth t ON t.query_id = r.query_id
-                       AND t.neighbor_id = r.neighbor_id
-      WHERE r.rnk <= {TOP_K}
-      GROUP BY 1
-    )
-    SELECT CAST(h.nprobe AS BIGINT) AS nprobe,
-           CAST({N_QUERIES} AS BIGINT) AS n_queries,
-           ROUND(CAST(v.n_candidates AS DOUBLE) / {N_QUERIES}, 6)
-             AS mean_candidates,
-           h.n_hits,
-           ROUND(CAST(h.n_hits AS DOUBLE) / ({N_QUERIES} * {TOP_K}), 6)
-             AS recall_at_5
-    FROM hits h JOIN vol v ON v.nprobe = h.nprobe
-    ORDER BY nprobe
-    """
-
-
-def residual_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True IVF-PQ nprobe sweep: refined coarse cells, residual codes,
-    asymmetric query-recentered ADC (see block comment)."""
-    from bigdataentrytask_spark.operators import materialize, with_persisted
-
-    e = _emb(spark, sf_dir)
-    grid = F.round(F.col("x") * 1000000).cast("bigint")
-    dims = e.select(
-        "vec_id",
-        F.posexplode(
-            F.transform("embedding", lambda x: x.cast("double"))
-        ).alias("pos0", "x"),
-    ).select(
-        "vec_id",
-        ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long").alias("sub"),
-        (F.col("pos0") + 1).alias("pos"),
-        grid.alias("xi"),
-    )
-    with with_persisted(dims) as dims_p:
-        seeds = dims_p.filter(F.col("vec_id") < KMEANS_K).select(
-            F.col("vec_id").alias("k"),
-            F.col("pos").alias("s_pos"),
-            F.col("xi").alias("si"),
-        )
-        sqd = (F.col("xi") - F.col("si")) * (F.col("xi") - F.col("si"))
-        cdist0 = (
-            dims_p.join(F.broadcast(seeds), F.col("s_pos") == F.col("pos"))
-            .groupBy("vec_id", "k")
-            .agg(F.sum(sqd).cast("bigint").alias("dd"))
-        )
-        wc = Window.partitionBy("vec_id").orderBy("dd", "k")
-        assigned0 = (
-            cdist0.withColumn("rn", F.row_number().over(wc))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "k")
-        )
-        cent = (
-            assigned0.join(dims_p, "vec_id")
-            .groupBy("k", F.col("pos").alias("s_pos"))
-            .agg(
-                F.round(F.sum("xi") * 1.0 / F.count(F.lit(1)))
-                .cast("bigint")
-                .alias("si")
-            )
-        )
-        cdist = (
-            dims_p.join(F.broadcast(cent), F.col("s_pos") == F.col("pos"))
-            .groupBy("vec_id", "k")
-            .agg(F.sum(sqd).cast("bigint").alias("dd"))
-        )
-        cell_rank = cdist.withColumn("rn", F.row_number().over(wc))
-        assigned2 = materialize(
-            cell_rank.filter(F.col("rn") == 1).select("vec_id", "k")
-        )
-        qcells = materialize(
-            cell_rank.filter(F.col("vec_id") < N_QUERIES).select(
-                F.col("vec_id").alias("query_id"),
-                "k",
-                F.col("rn").alias("cell_rnk"),
-            )
-        )
-        need = materialize(
-            qcells.join(
-                assigned2.select(
-                    F.col("vec_id").alias("neighbor_id"),
-                    F.col("k"),
-                ),
-                "k",
-            )
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .groupBy("query_id", "neighbor_id", F.col("k").alias("n_cell"))
-            .agg(F.min("cell_rnk").alias("need_probe"))
-        )
-        resid2 = (
-            dims_p.join(
-                assigned2.select("vec_id", F.col("k").alias("v_cell")),
-                "vec_id",
-            )
-            .join(
-                F.broadcast(cent),
-                (F.col("s_pos") == F.col("pos"))
-                & (F.col("k") == F.col("v_cell")),
-            )
-            .select(
-                "vec_id", "pos", "sub",
-                (F.col("xi") - F.col("si")).alias("ri"),
-            )
-        )
-        with with_persisted(resid2) as resid_p:
-            rcode2 = resid_p.filter(F.col("vec_id") < _PQ_K).select(
-                F.col("vec_id").alias("code"),
-                F.col("sub").alias("c_sub"),
-                F.col("pos").alias("c_pos"),
-                F.col("ri").alias("ci"),
-            )
-            rdiff = F.col("ri") - F.col("ci")
-            rdist2 = (
-                resid_p.join(
-                    F.broadcast(rcode2),
-                    (F.col("c_pos") == F.col("pos"))
-                    & (F.col("c_sub") == F.col("sub")),
-                )
-                .groupBy("vec_id", "sub", "code")
-                .agg(F.sum(rdiff * rdiff).cast("bigint").alias("dd"))
-            )
-            wp = Window.partitionBy("vec_id", "sub").orderBy("dd", "code")
-            rassign2 = materialize(
-                rdist2.withColumn("rn", F.row_number().over(wp))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "sub", "code")
-            )
-            rmax = max(_IVF_ADC_PROBES)
-            adc = (
-                need.filter(F.col("need_probe") <= rmax)
-                .join(
-                    rassign2.select(
-                        F.col("vec_id").alias("neighbor_id"), "sub", "code"
-                    ),
-                    "neighbor_id",
-                )
-                .join(
-                    F.broadcast(
-                        rcode2.select(
-                            F.col("c_sub").alias("sub"),
-                            "code",
-                            F.col("c_pos").alias("pos"),
-                            "ci",
-                        )
-                    ),
-                    ["sub", "code"],
-                )
-                .join(
-                    F.broadcast(
-                        cent.select(
-                            F.col("k").alias("n_cell"),
-                            F.col("s_pos").alias("pos"),
-                            "si",
-                        )
-                    ),
-                    ["n_cell", "pos"],
-                )
-                .join(
-                    dims_p.select(
-                        F.col("vec_id").alias("query_id"), "pos", "xi"
-                    ),
-                    ["query_id", "pos"],
-                )
-                .groupBy("query_id", "neighbor_id", "need_probe")
-                .agg(
-                    F.sum(
-                        ((F.col("xi") - F.col("si")) - F.col("ci"))
-                        * ((F.col("xi") - F.col("si")) - F.col("ci"))
-                    )
-                    .cast("bigint")
-                    .alias("dd")
-                )
-            )
-            pr = spark.createDataFrame(
-                [(p,) for p in _IVF_ADC_PROBES], "nprobe long"
-            )
-            ranked = (
-                adc.crossJoin(F.broadcast(pr))
-                .filter(F.col("need_probe") <= F.col("nprobe"))
-                .withColumn(
-                    "rnk",
-                    F.row_number().over(
-                        Window.partitionBy("nprobe", "query_id").orderBy(
-                            "dd", "neighbor_id"
-                        )
-                    ),
-                )
-                .filter(F.col("rnk") <= TOP_K)
-            )
-            exact = (
-                dims_p.filter(F.col("vec_id") < N_QUERIES)
-                .select(F.col("vec_id").alias("query_id"), "pos", "xi")
-                .join(
-                    dims_p.select(
-                        F.col("vec_id").alias("neighbor_id"),
-                        "pos",
-                        F.col("xi").alias("ci"),
-                    ),
-                    "pos",
-                )
-                .filter(F.col("neighbor_id") != F.col("query_id"))
-                .groupBy("query_id", "neighbor_id")
-                .agg(
-                    F.sum(
-                        (F.col("xi") - F.col("ci"))
-                        * (F.col("xi") - F.col("ci"))
-                    )
-                    .cast("bigint")
-                    .alias("dd")
-                )
-            )
-            wt = Window.partitionBy("query_id").orderBy(
-                "dd", "neighbor_id"
-            )
-            truth = (
-                exact.withColumn("rnk", F.row_number().over(wt))
-                .filter(F.col("rnk") <= TOP_K)
-                .select(
-                    "query_id", "neighbor_id", F.lit(1).alias("is_true")
-                )
-            )
-            vol = (
-                need.crossJoin(F.broadcast(pr))
-                .filter(F.col("need_probe") <= F.col("nprobe"))
-                .groupBy("nprobe")
-                .agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_candidates")
-                )
-            )
-            hits = (
-                ranked.join(truth, ["query_id", "neighbor_id"], "left")
-                .groupBy("nprobe")
-                .agg(
-                    F.sum(F.coalesce("is_true", F.lit(0)))
-                    .cast("bigint")
-                    .alias("n_hits")
-                )
-            )
-            return materialize(
-                hits.join(vol, "nprobe")
-                .select(
-                    F.col("nprobe").cast("bigint").alias("nprobe"),
-                    F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
-                    F.round(
-                        F.col("n_candidates").cast("double") / N_QUERIES, 6
-                    ).alias("mean_candidates"),
-                    "n_hits",
-                    F.round(
-                        F.col("n_hits").cast("double")
-                        / (N_QUERIES * TOP_K),
-                        6,
-                    ).alias("recall_at_5"),
-                )
-                .orderBy("nprobe")
-            )
-
-
-ROUND14_STAGED["residual_adc_recall"] = (
-    residual_adc_recall,
-    _RESIDUAL_ADC_ORACLE.replace("{IVF_CTES}", _IVF_CTES),
-)
-
-
-# --------------------------------------------------------------------------
-# Residual-code utilization audit (round-15 queue item, pulled
-# forward): residual_adc_recall pinned an honest no-gain-on-recall
-# despite the distortion flip; the first diagnostic a codebook owner
-# reaches for is WHERE the codes collapse. Per (codebook, sub):
-# codes actually used, dead codes, and the max single-code share —
-# for the FLAT codebook (raw first-K codewords over raw vectors) and
-# the REFINED-RESIDUAL codebook (refined-cell residuals quantized
-# against refined-residual codewords, residual_adc_recall's encode
-# path, bit-identical construction). A residual codebook whose
-# assignments concentrate (fewer live codes, fatter max share)
-# explains a distortion win that fails to separate NEIGHBORS —
-# everything lands in the same few cells of quantized space.
-# Exact math: grid-integer assignment distances end to end; the max
-# share is the only rounded ratio.
-# Scale: two bounded argmin passes over dimension rows (broadcast
-# codebooks), two (codebook, sub, code)-keyed rollups.
-# --------------------------------------------------------------------------
-_RCU_ORACLE = f"""
-    WITH {{IVF_CTES}},
-    cent AS (
-      SELECT a.k, d.pos,
-             CAST(ROUND(SUM(d.xi) * 1.0 / COUNT(*)) AS BIGINT) AS si
-      FROM assigned a JOIN dims d ON d.vec_id = a.vec_id
-      GROUP BY a.k, d.pos
-    ),
-    dist2 AS (
-      SELECT d.vec_id, c.k,
-             CAST(SUM((d.xi - c.si) * (d.xi - c.si)) AS BIGINT) AS dd
-      FROM dims d JOIN cent c ON c.pos = d.pos
-      GROUP BY d.vec_id, c.k
-    ),
-    assigned2 AS (
-      SELECT vec_id, k FROM (
-        SELECT vec_id, k,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY dd, k) AS rn
-        FROM dist2
-      ) WHERE rn = 1
-    ),
-    resid2 AS (
-      SELECT d.vec_id, d.pos,
-             ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
-             d.xi - c.si AS ri
-      FROM dims d
-      JOIN assigned2 a ON a.vec_id = d.vec_id
-      JOIN cent c ON c.k = a.k AND c.pos = d.pos
-    ),
-    rcode2 AS (
-      SELECT vec_id AS code, sub, pos, ri AS ci
-      FROM resid2 WHERE vec_id < {_PQ_K}
-    ),
-    rdist2 AS (
-      SELECT r.vec_id, r.sub, c.code,
-             CAST(SUM((r.ri - c.ci) * (r.ri - c.ci)) AS BIGINT) AS dd
-      FROM resid2 r JOIN rcode2 c ON c.pos = r.pos AND c.sub = r.sub
-      GROUP BY 1, 2, 3
-    ),
-    fdims AS (
-      SELECT vec_id, pos,
-             ((pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub, xi
-      FROM dims
-    ),
-    fcode AS (
-      SELECT vec_id AS code, sub, pos, xi AS ci
-      FROM fdims WHERE vec_id < {_PQ_K}
-    ),
-    fdist AS (
-      SELECT d.vec_id, d.sub, c.code,
-             CAST(SUM((d.xi - c.ci) * (d.xi - c.ci)) AS BIGINT) AS dd
-      FROM fdims d JOIN fcode c ON c.pos = d.pos AND c.sub = d.sub
-      GROUP BY 1, 2, 3
-    ),
-    asg AS (
-      SELECT 'a_flat' AS codebook, vec_id, sub, code FROM (
-        SELECT vec_id, sub, code,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-                                  ORDER BY dd, code) AS rn
-        FROM fdist
-      ) WHERE rn = 1
-      UNION ALL
-      SELECT 'b_residual', vec_id, sub, code FROM (
-        SELECT vec_id, sub, code,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-                                  ORDER BY dd, code) AS rn
-        FROM rdist2
-      ) WHERE rn = 1
-    ),
-    percode AS (
-      SELECT codebook, sub, code, CAST(COUNT(*) AS BIGINT) AS n
-      FROM asg GROUP BY 1, 2, 3
-    )
-    SELECT codebook, CAST(sub AS BIGINT) AS sub,
-           CAST(SUM(n) AS BIGINT) AS n_vecs,
-           CAST(COUNT(*) AS BIGINT) AS n_codes_used,
-           CAST({_PQ_K} - COUNT(*) AS BIGINT) AS n_dead,
-           CAST(ROUND(MAX(n) * 1000000.0 / SUM(n)) AS BIGINT)
-             AS max_share_ppm
-    FROM percode
-    GROUP BY 1, 2
-    ORDER BY codebook, sub
-    """
-
-
-def residual_code_utilization(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Code-usage histogram rollup per (codebook, subspace): live
-    codes, dead codes, max single-code share — flat vs refined-
-    residual codebooks on identical encode paths (see block
-    comment)."""
-    from bigdataentrytask_spark.operators import materialize, with_persisted
-
-    e = _emb(spark, sf_dir)
-    grid = F.round(F.col("x") * 1000000).cast("bigint")
-    dims = e.select(
-        "vec_id",
-        F.posexplode(
-            F.transform("embedding", lambda x: x.cast("double"))
-        ).alias("pos0", "x"),
-    ).select(
-        "vec_id",
-        ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long").alias("sub"),
-        (F.col("pos0") + 1).alias("pos"),
-        grid.alias("xi"),
-    )
-    with with_persisted(dims) as dims_p:
-        seeds = dims_p.filter(F.col("vec_id") < KMEANS_K).select(
-            F.col("vec_id").alias("k"),
-            F.col("pos").alias("s_pos"),
-            F.col("xi").alias("si"),
-        )
-        sqd = (F.col("xi") - F.col("si")) * (F.col("xi") - F.col("si"))
-        cdist0 = (
-            dims_p.join(F.broadcast(seeds), F.col("s_pos") == F.col("pos"))
-            .groupBy("vec_id", "k")
-            .agg(F.sum(sqd).cast("bigint").alias("dd"))
-        )
-        wc = Window.partitionBy("vec_id").orderBy("dd", "k")
-        assigned0 = (
-            cdist0.withColumn("rn", F.row_number().over(wc))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "k")
-        )
-        cent = (
-            assigned0.join(dims_p, "vec_id")
-            .groupBy("k", F.col("pos").alias("s_pos"))
-            .agg(
-                F.round(F.sum("xi") * 1.0 / F.count(F.lit(1)))
-                .cast("bigint")
-                .alias("si")
-            )
-        )
-        cdist2 = (
-            dims_p.join(F.broadcast(cent), F.col("s_pos") == F.col("pos"))
-            .groupBy("vec_id", "k")
-            .agg(F.sum(sqd).cast("bigint").alias("dd"))
-        )
-        assigned2 = (
-            cdist2.withColumn("rn", F.row_number().over(wc))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("k").alias("v_cell"))
-        )
-        resid2 = (
-            dims_p.join(assigned2, "vec_id")
-            .join(
-                F.broadcast(cent),
-                (F.col("s_pos") == F.col("pos"))
-                & (F.col("k") == F.col("v_cell")),
-            )
-            .select(
-                "vec_id", "pos", "sub",
-                (F.col("xi") - F.col("si")).alias("ri"),
-            )
-        )
-
-        def assign(frame, val):
-            code = frame.filter(F.col("vec_id") < _PQ_K).select(
-                F.col("vec_id").alias("code"),
-                F.col("sub").alias("c_sub"),
-                F.col("pos").alias("c_pos"),
-                F.col(val).alias("ci"),
-            )
-            diff = F.col(val) - F.col("ci")
-            dist = (
-                frame.join(
-                    F.broadcast(code),
-                    (F.col("c_pos") == F.col("pos"))
-                    & (F.col("c_sub") == F.col("sub")),
-                )
-                .groupBy("vec_id", "sub", "code")
-                .agg(F.sum(diff * diff).cast("bigint").alias("dd"))
-            )
-            ws = Window.partitionBy("vec_id", "sub").orderBy("dd", "code")
-            return (
-                dist.withColumn("rn", F.row_number().over(ws))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "sub", "code")
-            )
-
-        with with_persisted(resid2) as resid_p:
-            asg = assign(dims_p, "xi").select(
-                F.lit("a_flat").alias("codebook"), "vec_id", "sub", "code"
-            ).unionByName(
-                assign(resid_p, "ri").select(
-                    F.lit("b_residual").alias("codebook"),
-                    "vec_id",
-                    "sub",
-                    "code",
-                )
-            )
-            percode = asg.groupBy("codebook", "sub", "code").agg(
-                F.count(F.lit(1)).cast("bigint").alias("n")
-            )
-            return materialize(
-                percode.groupBy("codebook", "sub")
-                .agg(
-                    F.sum("n").cast("bigint").alias("n_vecs"),
-                    F.count(F.lit(1)).cast("bigint").alias("n_codes_used"),
-                    (F.lit(_PQ_K) - F.count(F.lit(1)))
-                    .cast("bigint")
-                    .alias("n_dead"),
-                    F.round(F.max("n") * 1000000.0 / F.sum("n"))
-                    .cast("bigint")
-                    .alias("max_share_ppm"),
-                )
-                .select(
-                    "codebook",
-                    F.col("sub").cast("bigint").alias("sub"),
-                    "n_vecs",
-                    "n_codes_used",
-                    "n_dead",
-                    "max_share_ppm",
-                )
-                .orderBy("codebook", "sub")
-            )
-
-
-ROUND14_STAGED["residual_code_utilization"] = (
-    residual_code_utilization,
-    _RCU_ORACLE.replace("{IVF_CTES}", _IVF_CTES),
-)
-
-
-# --------------------------------------------------------------------------
-# ADC per-query recall tail (round-15 queue item, pulled forward):
-# every sweep row reports MEAN recall over the 10 query vectors; a
-# serving SLO is set on the TAIL. This table re-runs the two
-# refined-cell scorers — b_joint (the 2x2's refined RAW codebook)
-# and c_residual (true IVF-PQ residual codes) — over their SHARED
-# candidate funnel and reports per (variant, nprobe) the per-query
-# hit distribution: min, lower-median (5th smallest of 10), max,
-# and the mean as recall ppm. The funnel is computed ONCE (same
-# refined cells -> same need sets), so any tail difference is the
-# in-cell scorer alone — the column that says whether a codebook
-# fixes the worst query or just the average.
-# Exact math: grid-integer distances; hit counts are integers; the
-# lower median is an exact order statistic (no interpolation); the
-# one ppm rounding is the only double.
-# Scale posture: the 2x2 plan + the residual encode, sharing one
-# need computation; the tail rollup is a (variant, nprobe, query)-
-# domain aggregation.
-# --------------------------------------------------------------------------
-_ART_ORACLE = f"""
-    WITH {{IVF_CTES}},
-    cent AS (
-      SELECT a.k, d.pos,
-             CAST(ROUND(SUM(d.xi) * 1.0 / COUNT(*)) AS BIGINT) AS si
-      FROM assigned a JOIN dims d ON d.vec_id = a.vec_id
-      GROUP BY a.k, d.pos
-    ),
-    dist2 AS (
-      SELECT d.vec_id, c.k,
-             CAST(SUM((d.xi - c.si) * (d.xi - c.si)) AS BIGINT) AS dd
-      FROM dims d JOIN cent c ON c.pos = d.pos
-      GROUP BY d.vec_id, c.k
-    ),
-    assigned2 AS (
-      SELECT vec_id, k FROM (
-        SELECT vec_id, k,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY dd, k) AS rn
-        FROM dist2
-      ) WHERE rn = 1
-    ),
-    qcells AS (
-      SELECT vec_id AS query_id, k,
-             ROW_NUMBER() OVER (PARTITION BY vec_id
-                                ORDER BY dd, k) AS cell_rnk
-      FROM dist2 WHERE vec_id < {N_QUERIES}
-    ),
-    need AS (
-      SELECT qc.query_id, ac.vec_id AS neighbor_id, ac.k AS n_cell,
-             MIN(qc.cell_rnk) AS need_probe
-      FROM qcells qc
-      JOIN assigned2 ac ON ac.k = qc.k
-      WHERE ac.vec_id <> qc.query_id
-      GROUP BY 1, 2, 3
-    ),
-    cb0 AS (
-      SELECT vec_id AS code, ((pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
-             pos, xi AS ci
-      FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos,
-                   CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
-            FROM v WHERE vec_id < {_PQ_K}) t
-    ),
-    pq_dist0 AS (
-      SELECT d.vec_id, ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
-             cb.code,
-             CAST(SUM((d.xi - cb.ci) * (d.xi - cb.ci)) AS BIGINT) AS dd
-      FROM dims d
-      JOIN cb0 cb ON cb.pos = d.pos
-                 AND cb.sub = ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM}
-      GROUP BY 1, 2, 3
-    ),
-    pq_assigned0 AS (
-      SELECT vec_id, sub, code FROM (
-        SELECT vec_id, sub, code,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-                                  ORDER BY dd, code) AS rn
-        FROM pq_dist0
-      ) WHERE rn = 1
-    ),
-    refined AS (
-      SELECT a.sub, a.code, d.pos,
-             CAST(ROUND(SUM(d.xi) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
-               AS ci
-      FROM pq_assigned0 a
-      JOIN dims d ON d.vec_id = a.vec_id
-                 AND ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} = a.sub
-      GROUP BY 1, 2, 3
-    ),
-    codebook AS (
-      SELECT c.code, c.sub, c.pos, COALESCE(r.ci, c.ci) AS ci
-      FROM cb0 c
-      LEFT JOIN refined r ON r.sub = c.sub AND r.code = c.code
-                         AND r.pos = c.pos
-    ),
-    pq_dist AS (
-      SELECT d.vec_id, ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
-             cb.code,
-             CAST(SUM((d.xi - cb.ci) * (d.xi - cb.ci)) AS BIGINT) AS dd
-      FROM dims d
-      JOIN codebook cb ON cb.pos = d.pos
-                      AND cb.sub = ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM}
-      GROUP BY 1, 2, 3
-    ),
-    pq_assigned AS (
-      SELECT vec_id, sub, code FROM (
-        SELECT vec_id, sub, code,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-                                  ORDER BY dd, code) AS rn
-        FROM pq_dist
-      ) WHERE rn = 1
-    ),
-    resid2 AS (
-      SELECT d.vec_id, d.pos,
-             ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
-             d.xi - c.si AS ri
-      FROM dims d
-      JOIN assigned2 a ON a.vec_id = d.vec_id
-      JOIN cent c ON c.k = a.k AND c.pos = d.pos
-    ),
-    rcode2 AS (
-      SELECT vec_id AS code, sub, pos, ri AS ci
-      FROM resid2 WHERE vec_id < {_PQ_K}
-    ),
-    rdist2 AS (
-      SELECT r.vec_id, r.sub, c.code,
-             CAST(SUM((r.ri - c.ci) * (r.ri - c.ci)) AS BIGINT) AS dd
-      FROM resid2 r JOIN rcode2 c ON c.pos = r.pos AND c.sub = r.sub
-      GROUP BY 1, 2, 3
-    ),
-    rassign2 AS (
-      SELECT vec_id, sub, code FROM (
-        SELECT vec_id, sub, code,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-                                  ORDER BY dd, code) AS rn
-        FROM rdist2
-      ) WHERE rn = 1
-    ),
-    adc AS (
-      SELECT 'b_joint' AS variant, n.query_id, n.neighbor_id,
-             n.need_probe,
-             CAST(SUM((q.xi - cb.ci) * (q.xi - cb.ci)) AS BIGINT) AS dd
-      FROM need n
-      JOIN pq_assigned a ON a.vec_id = n.neighbor_id
-      JOIN codebook cb ON cb.sub = a.sub AND cb.code = a.code
-      JOIN dims q ON q.vec_id = n.query_id AND q.pos = cb.pos
-      WHERE n.need_probe <= {max(_IVF_ADC_PROBES)}
-      GROUP BY 2, 3, 4
-      UNION ALL
-      SELECT 'c_residual', n.query_id, n.neighbor_id, n.need_probe,
-             CAST(SUM(((q.xi - ct.si) - cb.ci)
-                      * ((q.xi - ct.si) - cb.ci)) AS BIGINT) AS dd
-      FROM need n
-      JOIN rassign2 a ON a.vec_id = n.neighbor_id
-      JOIN rcode2 cb ON cb.sub = a.sub AND cb.code = a.code
-      JOIN cent ct ON ct.k = n.n_cell AND ct.pos = cb.pos
-      JOIN dims q ON q.vec_id = n.query_id AND q.pos = cb.pos
-      WHERE n.need_probe <= {max(_IVF_ADC_PROBES)}
-      GROUP BY 2, 3, 4
-    ),
-    pr(nprobe) AS (VALUES {", ".join(f"({p})" for p in _IVF_ADC_PROBES)}),
-    ranked AS (
-      SELECT a.variant, pr.nprobe, a.query_id, a.neighbor_id,
-             ROW_NUMBER() OVER (PARTITION BY a.variant, pr.nprobe,
-                                             a.query_id
-                                ORDER BY a.dd, a.neighbor_id) AS rnk
-      FROM adc a JOIN pr ON a.need_probe <= pr.nprobe
-    ),
-    exact AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS dd
-      FROM dims q
-      JOIN dims c ON c.pos = q.pos AND c.vec_id <> q.vec_id
-      WHERE q.vec_id < {N_QUERIES}
-      GROUP BY 1, 2
-    ),
-    truth AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY dd, neighbor_id) AS rnk
-        FROM exact
-      ) WHERE rnk <= {TOP_K}
-    ),
-    qdom AS (SELECT vec_id AS query_id FROM v
-             WHERE vec_id < {N_QUERIES}),
-    vp(variant) AS (VALUES ('b_joint'), ('c_residual')),
-    perq AS (
-      SELECT g.variant, g.nprobe, g.query_id,
-             COALESCE(h.n_hits, 0) AS n_hits
-      FROM (SELECT vp.variant, pr.nprobe, q.query_id
-            FROM vp CROSS JOIN pr CROSS JOIN qdom q) g
-      LEFT JOIN (
-        SELECT r.variant, r.nprobe, r.query_id,
-               CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT)
-                 AS n_hits
-        FROM ranked r
-        LEFT JOIN truth t ON t.query_id = r.query_id
-                         AND t.neighbor_id = r.neighbor_id
-        WHERE r.rnk <= {TOP_K}
-        GROUP BY 1, 2, 3
-      ) h ON h.variant = g.variant AND h.nprobe = g.nprobe
-         AND h.query_id = g.query_id
-    ),
-    ordd AS (
-      SELECT variant, nprobe, n_hits,
-             ROW_NUMBER() OVER (PARTITION BY variant, nprobe
-                                ORDER BY n_hits, query_id) AS rn
-      FROM perq
-    )
-    SELECT variant, CAST(nprobe AS BIGINT) AS nprobe,
-           CAST({N_QUERIES} AS BIGINT) AS n_queries,
-           CAST(MIN(n_hits) AS BIGINT) AS min_hits,
-           CAST(MIN(CASE WHEN rn = {(N_QUERIES + 1) // 2}
-                         THEN n_hits END) AS BIGINT) AS p50_hits,
-           CAST(MAX(n_hits) AS BIGINT) AS max_hits,
-           CAST(ROUND(SUM(n_hits) * 1000000.0
-                      / ({N_QUERIES} * {TOP_K})) AS BIGINT)
-             AS recall_ppm
-    FROM ordd
-    GROUP BY 1, 2
-    ORDER BY variant, nprobe
-    """
-
-
-def adc_recall_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query hit distribution (min / lower-median / max / mean
-    ppm) per (variant, nprobe) for the two refined-cell ADC scorers
-    over their shared candidate funnel (see block comment)."""
-    from bigdataentrytask_spark.operators import materialize, with_persisted
-
-    e = _emb(spark, sf_dir)
-    grid = F.round(F.col("x") * 1000000).cast("bigint")
-    dims = e.select(
-        "vec_id",
-        F.posexplode(
-            F.transform("embedding", lambda x: x.cast("double"))
-        ).alias("pos0", "x"),
-    ).select(
-        "vec_id",
-        ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long").alias("sub"),
-        (F.col("pos0") + 1).alias("pos"),
-        grid.alias("xi"),
-    )
-    with with_persisted(dims) as dims_p:
-        seeds = dims_p.filter(F.col("vec_id") < KMEANS_K).select(
-            F.col("vec_id").alias("k"),
-            F.col("pos").alias("s_pos"),
-            F.col("xi").alias("si"),
-        )
-        sqd = (F.col("xi") - F.col("si")) * (F.col("xi") - F.col("si"))
-        cdist0 = (
-            dims_p.join(F.broadcast(seeds), F.col("s_pos") == F.col("pos"))
-            .groupBy("vec_id", "k")
-            .agg(F.sum(sqd).cast("bigint").alias("dd"))
-        )
-        wc = Window.partitionBy("vec_id").orderBy("dd", "k")
-        assigned0 = (
-            cdist0.withColumn("rn", F.row_number().over(wc))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "k")
-        )
-        cent = (
-            assigned0.join(dims_p, "vec_id")
-            .groupBy("k", F.col("pos").alias("s_pos"))
-            .agg(
-                F.round(F.sum("xi") * 1.0 / F.count(F.lit(1)))
-                .cast("bigint")
-                .alias("si")
-            )
-        )
-        cdist = (
-            dims_p.join(F.broadcast(cent), F.col("s_pos") == F.col("pos"))
-            .groupBy("vec_id", "k")
-            .agg(F.sum(sqd).cast("bigint").alias("dd"))
-        )
-        cell_rank = cdist.withColumn("rn", F.row_number().over(wc))
-        assigned2 = materialize(
-            cell_rank.filter(F.col("rn") == 1).select("vec_id", "k")
-        )
-        qcells = materialize(
-            cell_rank.filter(F.col("vec_id") < N_QUERIES).select(
-                F.col("vec_id").alias("query_id"),
-                "k",
-                F.col("rn").alias("cell_rnk"),
-            )
-        )
-        need = materialize(
-            qcells.join(
-                assigned2.select(
-                    F.col("vec_id").alias("neighbor_id"), F.col("k")
-                ),
-                "k",
-            )
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .groupBy("query_id", "neighbor_id", F.col("k").alias("n_cell"))
-            .agg(F.min("cell_rnk").alias("need_probe"))
-        )
-        # refined RAW codebook (the 2x2's scorer)
-        cb0 = (
-            e.filter(F.col("vec_id") < _PQ_K)
-            .select(
-                F.col("vec_id").alias("cb_code"),
-                F.posexplode(
-                    F.transform("embedding", lambda x: x.cast("double"))
-                ).alias("pos0", "x"),
-            )
-            .select(
-                "cb_code",
-                ((F.col("pos0") * _PQ_SUB) / _PQ_DIM)
-                .cast("long")
-                .alias("cb_sub"),
-                (F.col("pos0") + 1).alias("cb_pos"),
-                grid.alias("ci"),
-            )
-        )
-
-        def pq_assign(cbf):
-            dist0 = (
-                dims_p.join(
-                    F.broadcast(cbf),
-                    (F.col("cb_pos") == F.col("pos"))
-                    & (F.col("cb_sub") == F.col("sub")),
-                )
-                .groupBy("vec_id", "sub", F.col("cb_code").alias("code"))
-                .agg(
-                    F.sum(
-                        (F.col("xi") - F.col("ci"))
-                        * (F.col("xi") - F.col("ci"))
-                    )
-                    .cast("bigint")
-                    .alias("dd")
-                )
-            )
-            wp = Window.partitionBy("vec_id", "sub").orderBy("dd", "code")
-            return materialize(
-                dist0.withColumn("rn", F.row_number().over(wp))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "sub", "code")
-            )
-
-        a0 = pq_assign(cb0)
-        refined = (
-            a0.select(
-                F.col("vec_id").alias("a_vid"),
-                F.col("sub").alias("a_sub"),
-                "code",
-            )
-            .join(
-                dims_p,
-                (F.col("a_vid") == F.col("vec_id"))
-                & (F.col("a_sub") == F.col("sub")),
-            )
-            .groupBy(
-                F.col("a_sub").alias("cb_sub"),
-                F.col("code").alias("cb_code"),
-                F.col("pos").alias("cb_pos"),
-            )
-            .agg(
-                F.round(F.sum("xi") / F.count(F.lit(1)).cast("double"))
-                .cast("bigint")
-                .alias("r_ci")
-            )
-        )
-        codebook = cb0.join(
-            refined, ["cb_sub", "cb_code", "cb_pos"], "left"
-        ).select(
-            "cb_code", "cb_sub", "cb_pos",
-            F.coalesce("r_ci", "ci").alias("ci"),
-        )
-        pq_assigned = pq_assign(codebook)
-        # residual codebook (true IVF-PQ scorer)
-        resid2 = (
-            dims_p.join(
-                assigned2.select("vec_id", F.col("k").alias("v_cell")),
-                "vec_id",
-            )
-            .join(
-                F.broadcast(cent),
-                (F.col("s_pos") == F.col("pos"))
-                & (F.col("k") == F.col("v_cell")),
-            )
-            .select(
-                "vec_id", "pos", "sub",
-                (F.col("xi") - F.col("si")).alias("ri"),
-            )
-        )
-        with with_persisted(resid2) as resid_p:
-            rcode2 = resid_p.filter(F.col("vec_id") < _PQ_K).select(
-                F.col("vec_id").alias("code"),
-                F.col("sub").alias("c_sub"),
-                F.col("pos").alias("c_pos"),
-                F.col("ri").alias("ci"),
-            )
-            rdiff = F.col("ri") - F.col("ci")
-            rdist2 = (
-                resid_p.join(
-                    F.broadcast(rcode2),
-                    (F.col("c_pos") == F.col("pos"))
-                    & (F.col("c_sub") == F.col("sub")),
-                )
-                .groupBy("vec_id", "sub", "code")
-                .agg(F.sum(rdiff * rdiff).cast("bigint").alias("dd"))
-            )
-            wp2 = Window.partitionBy("vec_id", "sub").orderBy(
-                "dd", "code"
-            )
-            rassign2 = materialize(
-                rdist2.withColumn("rn", F.row_number().over(wp2))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "sub", "code")
-            )
-            rmax = max(_IVF_ADC_PROBES)
-            nf = need.filter(F.col("need_probe") <= rmax)
-            adc_raw = (
-                nf.join(
-                    pq_assigned.select(
-                        F.col("vec_id").alias("neighbor_id"), "sub", "code"
-                    ),
-                    "neighbor_id",
-                )
-                .join(
-                    F.broadcast(
-                        codebook.select(
-                            F.col("cb_sub").alias("sub"),
-                            F.col("cb_code").alias("code"),
-                            F.col("cb_pos").alias("pos"),
-                            "ci",
-                        )
-                    ),
-                    ["sub", "code"],
-                )
-                .join(
-                    dims_p.select(
-                        F.col("vec_id").alias("query_id"), "pos", "xi"
-                    ),
-                    ["query_id", "pos"],
-                )
-                .groupBy("query_id", "neighbor_id", "need_probe")
-                .agg(
-                    F.sum(
-                        (F.col("xi") - F.col("ci"))
-                        * (F.col("xi") - F.col("ci"))
-                    )
-                    .cast("bigint")
-                    .alias("dd")
-                )
-                .select(
-                    F.lit("b_joint").alias("variant"),
-                    "query_id",
-                    "neighbor_id",
-                    "need_probe",
-                    "dd",
-                )
-            )
-            adc_res = (
-                nf.join(
-                    rassign2.select(
-                        F.col("vec_id").alias("neighbor_id"), "sub", "code"
-                    ),
-                    "neighbor_id",
-                )
-                .join(
-                    F.broadcast(
-                        rcode2.select(
-                            F.col("c_sub").alias("sub"),
-                            "code",
-                            F.col("c_pos").alias("pos"),
-                            "ci",
-                        )
-                    ),
-                    ["sub", "code"],
-                )
-                .join(
-                    F.broadcast(
-                        cent.select(
-                            F.col("k").alias("n_cell"),
-                            F.col("s_pos").alias("pos"),
-                            "si",
-                        )
-                    ),
-                    ["n_cell", "pos"],
-                )
-                .join(
-                    dims_p.select(
-                        F.col("vec_id").alias("query_id"), "pos", "xi"
-                    ),
-                    ["query_id", "pos"],
-                )
-                .groupBy("query_id", "neighbor_id", "need_probe")
-                .agg(
-                    F.sum(
-                        ((F.col("xi") - F.col("si")) - F.col("ci"))
-                        * ((F.col("xi") - F.col("si")) - F.col("ci"))
-                    )
-                    .cast("bigint")
-                    .alias("dd")
-                )
-                .select(
-                    F.lit("c_residual").alias("variant"),
-                    "query_id",
-                    "neighbor_id",
-                    "need_probe",
-                    "dd",
-                )
-            )
-            adc = adc_raw.unionByName(adc_res)
-            pr = spark.createDataFrame(
-                [(p,) for p in _IVF_ADC_PROBES], "nprobe long"
-            )
-            ranked = (
-                adc.crossJoin(F.broadcast(pr))
-                .filter(F.col("need_probe") <= F.col("nprobe"))
-                .withColumn(
-                    "rnk",
-                    F.row_number().over(
-                        Window.partitionBy(
-                            "variant", "nprobe", "query_id"
-                        ).orderBy("dd", "neighbor_id")
-                    ),
-                )
-                .filter(F.col("rnk") <= TOP_K)
-            )
-            exact = (
-                dims_p.filter(F.col("vec_id") < N_QUERIES)
-                .select(F.col("vec_id").alias("query_id"), "pos", "xi")
-                .join(
-                    dims_p.select(
-                        F.col("vec_id").alias("neighbor_id"),
-                        "pos",
-                        F.col("xi").alias("ci"),
-                    ),
-                    "pos",
-                )
-                .filter(F.col("neighbor_id") != F.col("query_id"))
-                .groupBy("query_id", "neighbor_id")
-                .agg(
-                    F.sum(
-                        (F.col("xi") - F.col("ci"))
-                        * (F.col("xi") - F.col("ci"))
-                    )
-                    .cast("bigint")
-                    .alias("dd")
-                )
-            )
-            wt = Window.partitionBy("query_id").orderBy(
-                "dd", "neighbor_id"
-            )
-            truth = (
-                exact.withColumn("rnk", F.row_number().over(wt))
-                .filter(F.col("rnk") <= TOP_K)
-                .select(
-                    "query_id", "neighbor_id", F.lit(1).alias("is_true")
-                )
-            )
-            qdom = e.filter(F.col("vec_id") < N_QUERIES).select(
-                F.col("vec_id").alias("query_id")
-            )
-            vp = spark.createDataFrame(
-                [("b_joint",), ("c_residual",)], "variant string"
-            )
-            hcounts = (
-                ranked.join(truth, ["query_id", "neighbor_id"], "left")
-                .groupBy("variant", "nprobe", "query_id")
-                .agg(
-                    F.sum(F.coalesce("is_true", F.lit(0)))
-                    .cast("bigint")
-                    .alias("n_hits")
-                )
-            )
-            perq = (
-                vp.crossJoin(F.broadcast(pr))
-                .crossJoin(qdom)
-                .join(hcounts, ["variant", "nprobe", "query_id"], "left")
-                .select(
-                    "variant",
-                    "nprobe",
-                    "query_id",
-                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-                )
-            )
-            wo = Window.partitionBy("variant", "nprobe").orderBy(
-                "n_hits", "query_id"
-            )
-            ordd = perq.withColumn("rn", F.row_number().over(wo))
-            p50_rn = (N_QUERIES + 1) // 2
-            return materialize(
-                ordd.groupBy("variant", "nprobe")
-                .agg(
-                    F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
-                    F.min("n_hits").cast("bigint").alias("min_hits"),
-                    F.min(
-                        F.when(F.col("rn") == p50_rn, F.col("n_hits"))
-                    )
-                    .cast("bigint")
-                    .alias("p50_hits"),
-                    F.max("n_hits").cast("bigint").alias("max_hits"),
-                    F.round(
-                        F.sum("n_hits") * 1000000.0 / (N_QUERIES * TOP_K)
-                    )
-                    .cast("bigint")
-                    .alias("recall_ppm"),
-                )
-                .select(
-                    "variant",
-                    F.col("nprobe").cast("bigint").alias("nprobe"),
-                    "n_queries",
-                    "min_hits",
-                    "p50_hits",
-                    "max_hits",
-                    "recall_ppm",
-                )
-                .orderBy("variant", "nprobe")
-            )
-
-
-ROUND14_STAGED["adc_recall_tail"] = (
-    adc_recall_tail,
-    _ART_ORACLE.replace("{IVF_CTES}", _IVF_CTES),
-)

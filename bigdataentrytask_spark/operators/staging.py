@@ -127,7 +127,7 @@ from bigdataentrytask_spark.operators.curation import (  # noqa: E402
 from bigdataentrytask_spark.operators.dedup import (  # noqa: E402
     ROUND13_STAGED as _DEDUP_R13,
 )
-from bigdataentrytask_spark.operators.similarity.codebook import (  # noqa: E402
+from bigdataentrytask_spark.operators.similarity.lloyd import (  # noqa: E402
     ROUND13_STAGED as _SIMILARITY_R13,
 )
 from bigdataentrytask_spark.operators.streaming_bridge import (  # noqa: E402
@@ -155,7 +155,7 @@ ROUND13_ACTIVATED: dict[str, tuple] = {
 from bigdataentrytask_spark.operators.curation import (  # noqa: E402
     ROUND14_STAGED as _CURATION_R14,
 )
-from bigdataentrytask_spark.operators.similarity.codebook import (  # noqa: E402
+from bigdataentrytask_spark.operators.similarity.residual import (  # noqa: E402
     ROUND14_STAGED as _SIMILARITY_R14,
 )
 from bigdataentrytask_spark.operators.streaming_bridge import (  # noqa: E402
