@@ -48,11 +48,15 @@ from bigdataentrytask_spark.operators import (
 from bigdataentrytask_spark.operators.similarity.core import (
     _IVF_CTES,
     _PQ_DIM,
+    _PQ_K,
     _PQ_SUB,
     KMEANS_K,
     N_QUERIES,
     TOP_K,
     _emb,
+)
+from bigdataentrytask_spark.operators.similarity.quantization import (
+    _IVF_ADC_PROBES,
 )
 
 # importing core above registers knn_bruteforce, so the truth oracle
@@ -787,3 +791,535 @@ ROUND15_STAGED: dict[str, tuple] = {
         .replace("{KNN_TRUTH}", _REG_ORACLES["knn_bruteforce"]),
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# ADC rerank-depth recall (ROADMAP round-16 "Retrieval", pulled
+# forward — the scorer-side tail repair tail_probe_schedule calls
+# for): reachability is NOT the tail's binding constraint (every
+# query reaches truth at nprobe=1), so the fix must be scorer-side —
+# keep the cheap ADC score for candidate GENERATION but re-rank the
+# top-B ADC candidates with exact f32 (grid-integer) distance before
+# taking the final TOP_K. One scorer (the 2x2's b_joint: refined
+# cells + refined raw codebook), fixed nprobe = max(_IVF_ADC_PROBES)
+# = the realistic probe budget, swept over the rerank budget B.
+# Reported per B: the per-query hit distribution (min / lower-median
+# / max), recall, and the mean number of candidates actually
+# reranked (the exact-scoring bill per query).
+# Pinned regime (staged test): the B = TOP_K row is EXACTLY
+# adc_recall_tail's b_joint @ nprobe=4 hit distribution (reranking
+# the top-5 by exact distance permutes, never changes, the returned
+# set); recall and min_hits are non-decreasing in B; and at the
+# largest swept B (>= every candidate list) recall equals the
+# nprobe=4 reachability ceiling — the tail query recovers exactly
+# when B first covers its ADC-misranked true neighbors.
+# Exact math: grid-integer ADC and exact distances end to end; the
+# two final roundings (recall ppm, mean reranked) are the only
+# doubles.
+# Scale: adc_recall_tail's chassis minus the residual branch plus
+# one row_number stage; the rerank join touches candidate pairs
+# only (need_probe-bounded), never all pairs — the all-pairs exact
+# frame exists solely as the audit-scale truth, identical to every
+# sibling's declared contract.
+# --------------------------------------------------------------------------
+_ARD_BUDGETS = [5, 10, 25, 100, 1000]
+_ARD_NPROBE = max(_IVF_ADC_PROBES)
+
+_ARD_ORACLE = f"""
+    WITH {{IVF_CTES}},
+    cent AS (
+      SELECT a.k, d.pos,
+             CAST(ROUND(SUM(d.xi) * 1.0 / COUNT(*)) AS BIGINT) AS si
+      FROM assigned a JOIN dims d ON d.vec_id = a.vec_id
+      GROUP BY a.k, d.pos
+    ),
+    dist2 AS (
+      SELECT d.vec_id, c.k,
+             CAST(SUM((d.xi - c.si) * (d.xi - c.si)) AS BIGINT) AS dd
+      FROM dims d JOIN cent c ON c.pos = d.pos
+      GROUP BY d.vec_id, c.k
+    ),
+    assigned2 AS (
+      SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, k) AS rn
+        FROM dist2
+      ) WHERE rn = 1
+    ),
+    qcells AS (
+      SELECT vec_id AS query_id, k,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dd, k) AS cell_rnk
+      FROM dist2 WHERE vec_id < {N_QUERIES}
+    ),
+    need AS (
+      SELECT qc.query_id, ac.vec_id AS neighbor_id,
+             MIN(qc.cell_rnk) AS need_probe
+      FROM qcells qc
+      JOIN assigned2 ac ON ac.k = qc.k
+      WHERE ac.vec_id <> qc.query_id
+      GROUP BY 1, 2
+    ),
+    cb0 AS (
+      SELECT vec_id AS code, ((pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             pos, xi AS ci
+      FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos,
+                   CAST(ROUND(UNNEST(e) * 1000000) AS BIGINT) AS xi
+            FROM v WHERE vec_id < {_PQ_K}) t
+    ),
+    pq_dist0 AS (
+      SELECT d.vec_id, ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             cb.code,
+             CAST(SUM((d.xi - cb.ci) * (d.xi - cb.ci)) AS BIGINT) AS dd
+      FROM dims d
+      JOIN cb0 cb ON cb.pos = d.pos
+                 AND cb.sub = ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM}
+      GROUP BY 1, 2, 3
+    ),
+    pq_assigned0 AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM pq_dist0
+      ) WHERE rn = 1
+    ),
+    refined AS (
+      SELECT a.sub, a.code, d.pos,
+             CAST(ROUND(SUM(d.xi) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+               AS ci
+      FROM pq_assigned0 a
+      JOIN dims d ON d.vec_id = a.vec_id
+                 AND ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} = a.sub
+      GROUP BY 1, 2, 3
+    ),
+    codebook AS (
+      SELECT c.code, c.sub, c.pos, COALESCE(r.ci, c.ci) AS ci
+      FROM cb0 c
+      LEFT JOIN refined r ON r.sub = c.sub AND r.code = c.code
+                         AND r.pos = c.pos
+    ),
+    pq_dist AS (
+      SELECT d.vec_id, ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM} AS sub,
+             cb.code,
+             CAST(SUM((d.xi - cb.ci) * (d.xi - cb.ci)) AS BIGINT) AS dd
+      FROM dims d
+      JOIN codebook cb ON cb.pos = d.pos
+                      AND cb.sub = ((d.pos - 1) * {_PQ_SUB}) // {_PQ_DIM}
+      GROUP BY 1, 2, 3
+    ),
+    pq_assigned AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM pq_dist
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT n.query_id, n.neighbor_id,
+             CAST(SUM((q.xi - cb.ci) * (q.xi - cb.ci)) AS BIGINT) AS dd
+      FROM need n
+      JOIN pq_assigned a ON a.vec_id = n.neighbor_id
+      JOIN codebook cb ON cb.sub = a.sub AND cb.code = a.code
+      JOIN dims q ON q.vec_id = n.query_id AND q.pos = cb.pos
+      WHERE n.need_probe <= {_ARD_NPROBE}
+      GROUP BY 1, 2
+    ),
+    adcr AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dd, neighbor_id) AS adc_rnk
+      FROM adc
+    ),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS dd
+      FROM dims q
+      JOIN dims c ON c.pos = q.pos AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dd, neighbor_id) AS rnk
+        FROM exact
+      ) WHERE rnk <= {TOP_K}
+    ),
+    bb(budget) AS (VALUES
+      {", ".join(f"({b})" for b in _ARD_BUDGETS)}),
+    sel AS (
+      SELECT bb.budget, a.query_id, a.neighbor_id, e.dd
+      FROM adcr a
+      JOIN bb ON a.adc_rnk <= bb.budget
+      JOIN exact e ON e.query_id = a.query_id
+                  AND e.neighbor_id = a.neighbor_id
+    ),
+    fin AS (
+      SELECT budget, query_id, neighbor_id FROM (
+        SELECT budget, query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY budget, query_id
+                                  ORDER BY dd, neighbor_id) AS rnk
+        FROM sel
+      ) WHERE rnk <= {TOP_K}
+    ),
+    qdom AS (SELECT vec_id AS query_id FROM v
+             WHERE vec_id < {N_QUERIES}),
+    perq AS (
+      SELECT g.budget, g.query_id, COALESCE(h.n_hits, 0) AS n_hits
+      FROM (SELECT bb.budget, q.query_id
+            FROM bb CROSS JOIN qdom q) g
+      LEFT JOIN (
+        SELECT f.budget, f.query_id,
+               CAST(count_if(t.neighbor_id IS NOT NULL) AS BIGINT)
+                 AS n_hits
+        FROM fin f
+        LEFT JOIN truth t ON t.query_id = f.query_id
+                         AND t.neighbor_id = f.neighbor_id
+        GROUP BY 1, 2
+      ) h ON h.budget = g.budget AND h.query_id = g.query_id
+    ),
+    ordd AS (
+      SELECT budget, n_hits,
+             ROW_NUMBER() OVER (PARTITION BY budget
+                                ORDER BY n_hits, query_id) AS rn
+      FROM perq
+    ),
+    rr AS (
+      SELECT budget, CAST(COUNT(*) AS BIGINT) AS n_sel
+      FROM sel GROUP BY 1
+    )
+    SELECT CAST(o.budget AS BIGINT) AS budget,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           CAST(MIN(o.n_hits) AS BIGINT) AS min_hits,
+           CAST(MIN(CASE WHEN o.rn = {(N_QUERIES + 1) // 2}
+                         THEN o.n_hits END) AS BIGINT) AS p50_hits,
+           CAST(MAX(o.n_hits) AS BIGINT) AS max_hits,
+           CAST(ROUND(SUM(o.n_hits) * 1000000.0
+                      / ({N_QUERIES} * {TOP_K})) AS BIGINT)
+             AS recall_ppm,
+           (SELECT CAST(ROUND(r.n_sel * 1.0 / {N_QUERIES}) AS BIGINT)
+              FROM rr r WHERE r.budget = o.budget)
+             AS mean_reranked
+    FROM ordd o
+    GROUP BY o.budget
+    ORDER BY budget
+    """
+
+
+def adc_rerank_depth_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-rerank of the top-B ADC candidates (refined cells +
+    refined codebook, nprobe fixed) swept over B: the per-query hit
+    distribution, recall, and the exact-scoring bill (see block
+    comment)."""
+    e = _emb(spark, sf_dir)
+    grid = F.round(F.col("x") * 1000000).cast("bigint")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        ((F.col("pos0") * _PQ_SUB) / _PQ_DIM).cast("long").alias("sub"),
+        (F.col("pos0") + 1).alias("pos"),
+        grid.alias("xi"),
+    )
+    with with_persisted(dims) as dims_p:
+        seeds = dims_p.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("k"),
+            F.col("pos").alias("s_pos"),
+            F.col("xi").alias("si"),
+        )
+        sqd = (F.col("xi") - F.col("si")) * (F.col("xi") - F.col("si"))
+        cdist0 = (
+            dims_p.join(F.broadcast(seeds), F.col("s_pos") == F.col("pos"))
+            .groupBy("vec_id", "k")
+            .agg(F.sum(sqd).cast("bigint").alias("dd"))
+        )
+        wc = Window.partitionBy("vec_id").orderBy("dd", "k")
+        assigned0 = (
+            cdist0.withColumn("rn", F.row_number().over(wc))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "k")
+        )
+        cent = (
+            assigned0.join(dims_p, "vec_id")
+            .groupBy("k", F.col("pos").alias("s_pos"))
+            .agg(
+                F.round(F.sum("xi") * 1.0 / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("si")
+            )
+        )
+        cdist = (
+            dims_p.join(F.broadcast(cent), F.col("s_pos") == F.col("pos"))
+            .groupBy("vec_id", "k")
+            .agg(F.sum(sqd).cast("bigint").alias("dd"))
+        )
+        cell_rank = cdist.withColumn("rn", F.row_number().over(wc))
+        assigned2 = materialize(
+            cell_rank.filter(F.col("rn") == 1).select("vec_id", "k")
+        )
+        qcells = materialize(
+            cell_rank.filter(F.col("vec_id") < N_QUERIES).select(
+                F.col("vec_id").alias("query_id"),
+                "k",
+                F.col("rn").alias("cell_rnk"),
+            )
+        )
+        # need is (queries x reachable vecs) — corpus-scale under the
+        # 8x stress corpus, so it stays LAZY (materialize would trip
+        # the bounded-summary guard by design); the funnel filter
+        # below is what bounds the scored work.
+        need = (
+            qcells.join(
+                assigned2.select(
+                    F.col("vec_id").alias("neighbor_id"), F.col("k")
+                ),
+                "k",
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.min("cell_rnk").alias("need_probe"))
+        )
+        cb0 = (
+            e.filter(F.col("vec_id") < _PQ_K)
+            .select(
+                F.col("vec_id").alias("cb_code"),
+                F.posexplode(
+                    F.transform("embedding", lambda x: x.cast("double"))
+                ).alias("pos0", "x"),
+            )
+            .select(
+                "cb_code",
+                ((F.col("pos0") * _PQ_SUB) / _PQ_DIM)
+                .cast("long")
+                .alias("cb_sub"),
+                (F.col("pos0") + 1).alias("cb_pos"),
+                grid.alias("ci"),
+            )
+        )
+
+        def pq_assign(cbf):
+            dist0 = (
+                dims_p.join(
+                    F.broadcast(cbf),
+                    (F.col("cb_pos") == F.col("pos"))
+                    & (F.col("cb_sub") == F.col("sub")),
+                )
+                .groupBy("vec_id", "sub", F.col("cb_code").alias("code"))
+                .agg(
+                    F.sum(
+                        (F.col("xi") - F.col("ci"))
+                        * (F.col("xi") - F.col("ci"))
+                    )
+                    .cast("bigint")
+                    .alias("dd")
+                )
+            )
+            wp = Window.partitionBy("vec_id", "sub").orderBy("dd", "code")
+            return materialize(
+                dist0.withColumn("rn", F.row_number().over(wp))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "sub", "code")
+            )
+
+        a0 = pq_assign(cb0)
+        refined = (
+            a0.select(
+                F.col("vec_id").alias("a_vid"),
+                F.col("sub").alias("a_sub"),
+                "code",
+            )
+            .join(
+                dims_p,
+                (F.col("a_vid") == F.col("vec_id"))
+                & (F.col("a_sub") == F.col("sub")),
+            )
+            .groupBy(
+                F.col("a_sub").alias("cb_sub"),
+                F.col("code").alias("cb_code"),
+                F.col("pos").alias("cb_pos"),
+            )
+            .agg(
+                F.round(F.sum("xi") / F.count(F.lit(1)).cast("double"))
+                .cast("bigint")
+                .alias("r_ci")
+            )
+        )
+        codebook = cb0.join(
+            refined, ["cb_sub", "cb_code", "cb_pos"], "left"
+        ).select(
+            "cb_code", "cb_sub", "cb_pos",
+            F.coalesce("r_ci", "ci").alias("ci"),
+        )
+        pq_assigned = pq_assign(codebook)
+        nf = need.filter(F.col("need_probe") <= _ARD_NPROBE)
+        adc = (
+            nf.join(
+                pq_assigned.select(
+                    F.col("vec_id").alias("neighbor_id"), "sub", "code"
+                ),
+                "neighbor_id",
+            )
+            .join(
+                F.broadcast(
+                    codebook.select(
+                        F.col("cb_sub").alias("sub"),
+                        F.col("cb_code").alias("code"),
+                        F.col("cb_pos").alias("pos"),
+                        "ci",
+                    )
+                ),
+                ["sub", "code"],
+            )
+            .join(
+                dims_p.select(
+                    F.col("vec_id").alias("query_id"), "pos", "xi"
+                ),
+                ["query_id", "pos"],
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.sum(
+                    (F.col("xi") - F.col("ci"))
+                    * (F.col("xi") - F.col("ci"))
+                )
+                .cast("bigint")
+                .alias("dd")
+            )
+        )
+        adcr = adc.withColumn(
+            "adc_rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    "dd", "neighbor_id"
+                )
+            ),
+        ).select("query_id", "neighbor_id", "adc_rnk")
+        exact = (
+            dims_p.filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("query_id"), "pos", "xi")
+            .join(
+                dims_p.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    "pos",
+                    F.col("xi").alias("ci"),
+                ),
+                "pos",
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.sum(
+                    (F.col("xi") - F.col("ci"))
+                    * (F.col("xi") - F.col("ci"))
+                )
+                .cast("bigint")
+                .alias("dd")
+            )
+        )
+        with with_persisted(exact) as exact_p:
+            wt = Window.partitionBy("query_id").orderBy(
+                "dd", "neighbor_id"
+            )
+            truth = (
+                exact_p.withColumn("rnk", F.row_number().over(wt))
+                .filter(F.col("rnk") <= TOP_K)
+                .select(
+                    "query_id", "neighbor_id", F.lit(1).alias("is_true")
+                )
+            )
+            bb = spark.createDataFrame(
+                [(b,) for b in _ARD_BUDGETS], "budget long"
+            )
+            sel = (
+                adcr.crossJoin(F.broadcast(bb))
+                .filter(F.col("adc_rnk") <= F.col("budget"))
+                .join(exact_p, ["query_id", "neighbor_id"])
+            )
+            fin = (
+                sel.withColumn(
+                    "rnk",
+                    F.row_number().over(
+                        Window.partitionBy("budget", "query_id").orderBy(
+                            "dd", "neighbor_id"
+                        )
+                    ),
+                )
+                .filter(F.col("rnk") <= TOP_K)
+                .select("budget", "query_id", "neighbor_id")
+            )
+            qdom = e.filter(F.col("vec_id") < N_QUERIES).select(
+                F.col("vec_id").alias("query_id")
+            )
+            hcounts = (
+                fin.join(truth, ["query_id", "neighbor_id"], "left")
+                .groupBy("budget", "query_id")
+                .agg(
+                    F.sum(F.coalesce("is_true", F.lit(0)))
+                    .cast("bigint")
+                    .alias("n_hits")
+                )
+            )
+            perq = (
+                bb.crossJoin(qdom)
+                .join(hcounts, ["budget", "query_id"], "left")
+                .select(
+                    "budget",
+                    "query_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                )
+            )
+            rr = sel.groupBy("budget").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_sel")
+            )
+            wo = Window.partitionBy("budget").orderBy(
+                "n_hits", "query_id"
+            )
+            ordd = perq.withColumn("rn", F.row_number().over(wo))
+            p50_rn = (N_QUERIES + 1) // 2
+            out = (
+                ordd.groupBy("budget")
+                .agg(
+                    F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+                    F.min("n_hits").cast("bigint").alias("min_hits"),
+                    F.min(
+                        F.when(F.col("rn") == p50_rn, F.col("n_hits"))
+                    )
+                    .cast("bigint")
+                    .alias("p50_hits"),
+                    F.max("n_hits").cast("bigint").alias("max_hits"),
+                    F.round(
+                        F.sum("n_hits") * 1000000.0 / (N_QUERIES * TOP_K)
+                    )
+                    .cast("bigint")
+                    .alias("recall_ppm"),
+                )
+                .join(rr, "budget")
+                .select(
+                    F.col("budget").cast("bigint").alias("budget"),
+                    "n_queries",
+                    "min_hits",
+                    "p50_hits",
+                    "max_hits",
+                    "recall_ppm",
+                    F.round(F.col("n_sel") * 1.0 / N_QUERIES)
+                    .cast("bigint")
+                    .alias("mean_reranked"),
+                )
+                .orderBy("budget")
+            )
+            return materialize(out)
+
+
+ROUND15_STAGED["adc_rerank_depth_recall"] = (
+    adc_rerank_depth_recall,
+    _ARD_ORACLE.replace("{IVF_CTES}", _IVF_CTES),
+)

@@ -3269,8 +3269,10 @@ ROUND14_STAGED["trigger_sampling_deficit"] = (
 # --------------------------------------------------------------------------
 _DCF_TRIGGERS_S = [60, 300, 900, 3600]
 
-_DCF_ORACLE = f"""
-    WITH RECURSIVE ev AS (
+# The shared interval/peak/tick CTE chain — one source of truth for
+# deficit_cost_frontier AND deficit_knee_advisor (the ADVICE r13
+# factoring lesson applied at birth). Ends at the m(...) metric CTE.
+_DCF_CTES = f"""ev AS (
       SELECT user_id, event_type, event_id, epoch_us(ts) AS t
       FROM events
     ),
@@ -3374,7 +3376,10 @@ _DCF_ORACLE = f"""
       JOIN cont c ON c.policy = s.policy AND c.ttl_s = s.ttl_s
       JOIN nb ON nb.policy = s.policy AND nb.ttl_s = s.ttl_s
              AND nb.trigger_s = s.trigger_s
-    )
+    )"""
+
+_DCF_ORACLE = f"""
+    WITH RECURSIVE {_DCF_CTES}
     SELECT CAST(m.ttl_s AS BIGINT) AS ttl_s, m.policy,
            CAST(m.trigger_s AS BIGINT) AS trigger_s,
            m.n_batches,
@@ -3596,3 +3601,117 @@ def deficit_cost_frontier(
 ROUND15_STAGED: dict[str, tuple] = {
     "deficit_cost_frontier": (deficit_cost_frontier, _DCF_ORACLE),
 }
+
+
+# --------------------------------------------------------------------------
+# Frontier knee advisor (ROADMAP round-16 "Streaming", pulled
+# forward): deficit_cost_frontier prices every (trigger) point; the
+# monitoring owner needs ONE row per (ttl, policy) — the KNEE: the
+# coarsest trigger whose sampled peak still equals the continuous
+# peak (deficit 0), i.e. the cheapest monitoring that is still
+# exact. Reported per (ttl, policy): the knee trigger (NULL when no
+# swept trigger is exact — the honest outcome for ttl=1800 on this
+# corpus, where the continuous peak lives between even the 60 s
+# ticks), the tick bill at the knee, the 60 s-baseline bill, and the
+# saving in ppm. Composes the frontier op directly (the
+# compaction_policy_pareto composition pattern): Spark reduces the
+# parent's frame; the oracle shares the parent's CTE chain via
+# _DCF_CTES — one source of truth for the interval machinery
+# (ADVICE r13's factoring lesson applied at birth).
+# Pinned regime (staged test, the honest asymmetry): exact
+# monitoring is mostly NOT free on this corpus — per (ttl, policy)
+# the knee either does not exist (ttl=1800: the continuous peak
+# lives between even 60 s ticks for BOTH stores) or sits at the
+# finest swept trigger (savings 0). The one real knee is the FIXED
+# store at ttl=7200 (knee 3600 s, savings 983355 ppm): anchored
+# intervals align the peak onto coarse ticks, while the sliding
+# store's refreshed tails keep its peak between them — the policy
+# choice, not the trigger, decides whether cheap-and-exact
+# monitoring exists. Knee rows agree pointwise with the parent
+# (deficit 0 at the knee; NULL knee iff the group has no deficit-0
+# row).
+# Exact math: integer ticks; one ppm rounding.
+# Scale: the parent's plan + a |ttl|x|policy|-sized reduction.
+# --------------------------------------------------------------------------
+_DKA_ORACLE = f"""
+    WITH RECURSIVE {{DCF_CTES}},
+    base AS (
+      SELECT ttl_s, policy, n_batches AS baseline_batches
+      FROM m WHERE trigger_s = {_DCF_TRIGGERS_S[0]}
+    ),
+    kn AS (
+      SELECT ttl_s, policy,
+             MAX(trigger_s) AS knee_trigger_s
+      FROM m WHERE deficit_keys = 0
+      GROUP BY 1, 2
+    ),
+    knb AS (
+      SELECT k.ttl_s, k.policy, k.knee_trigger_s,
+             mm.n_batches AS knee_batches
+      FROM kn k
+      JOIN m mm ON mm.ttl_s = k.ttl_s AND mm.policy = k.policy
+               AND mm.trigger_s = k.knee_trigger_s
+    )
+    SELECT CAST(b.ttl_s AS BIGINT) AS ttl_s, b.policy,
+           CAST(kb.knee_trigger_s AS BIGINT) AS knee_trigger_s,
+           kb.knee_batches,
+           b.baseline_batches,
+           CAST(ROUND((b.baseline_batches - kb.knee_batches)
+                      * 1000000.0 / b.baseline_batches) AS BIGINT)
+             AS savings_ppm
+    FROM base b
+    LEFT JOIN knb kb ON kb.ttl_s = b.ttl_s AND kb.policy = b.policy
+    ORDER BY b.ttl_s, b.policy
+    """
+
+
+def deficit_knee_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One row per (ttl, policy): the coarsest still-exact monitoring
+    trigger, its tick bill, and the saving vs the 60 s baseline
+    (composes deficit_cost_frontier; see block comment)."""
+    from pyspark.sql import functions as F
+
+    dcf = deficit_cost_frontier(spark, sf_dir)
+    base = dcf.filter(
+        F.col("trigger_s") == _DCF_TRIGGERS_S[0]
+    ).select("ttl_s", "policy", F.col("n_batches").alias("baseline_batches"))
+    kn = (
+        dcf.filter(F.col("deficit_keys") == 0)
+        .groupBy("ttl_s", "policy")
+        .agg(F.max("trigger_s").alias("knee_trigger_s"))
+    )
+    knb = kn.join(
+        dcf.select(
+            "ttl_s",
+            "policy",
+            F.col("trigger_s").alias("knee_trigger_s"),
+            F.col("n_batches").alias("knee_batches"),
+        ),
+        ["ttl_s", "policy", "knee_trigger_s"],
+    )
+    return (
+        base.join(knb, ["ttl_s", "policy"], "left")
+        .select(
+            F.col("ttl_s").cast("bigint").alias("ttl_s"),
+            "policy",
+            F.col("knee_trigger_s").cast("bigint").alias("knee_trigger_s"),
+            "knee_batches",
+            "baseline_batches",
+            F.round(
+                (F.col("baseline_batches") - F.col("knee_batches"))
+                * 1000000.0
+                / F.col("baseline_batches")
+            )
+            .cast("bigint")
+            .alias("savings_ppm"),
+        )
+        .orderBy("ttl_s", "policy")
+    )
+
+
+ROUND15_STAGED["deficit_knee_advisor"] = (
+    deficit_knee_advisor,
+    _DKA_ORACLE.replace("{DCF_CTES}", _DCF_CTES),
+)

@@ -23,10 +23,10 @@ STAGED_NAMES = sorted(STAGED)
 
 
 def test_round15_staged_not_registered():
-    """The freeze: 9 staged round-15 ops, none registered, registry
+    """The freeze: 11 staged round-15 ops, none registered, registry
     still exactly 498. Flip this to an activation assertion (registry
-    == 507, identity per name) at the round-15 boundary."""
-    assert len(STAGED) == 9
+    == 509, identity per name) at the round-15 boundary."""
+    assert len(STAGED) == 11
     assert len(REGISTRY) == 498
     for name in STAGED:
         assert name not in REGISTRY
@@ -282,3 +282,65 @@ def test_face_transfer_crossover(spark):
         assert g.mean_live_files_e3.nunique() == 1
         assert g.read_amp_ppm.nunique() == 1
         assert (~g.dominated).all()
+
+
+def test_rerank_depth_recovers_the_tail(spark):
+    """The scorer-side repair: the B = TOP_K row is exactly
+    adc_recall_tail's b_joint @ nprobe=4 hit distribution (reranking
+    top-5 by exact distance permutes, never changes, the set);
+    recall and min_hits are non-decreasing in B; the tail recovers
+    (min_hits 0 at B=5, >= 1 at the ceiling B) but NOT fully — the
+    residue at full exact rerank is the reachability bound
+    (min_hits < TOP_K and mean_reranked < B at the largest budget)."""
+    from bigdataentrytask_spark.operators.similarity.core import TOP_K
+
+    fn, _ = STAGED["adc_rerank_depth_recall"]
+    pdf = fn(spark, SF_DIR).toPandas().sort_values("budget")
+    assert (pdf.recall_ppm.diff().dropna() >= 0).all()
+    assert (pdf.min_hits.diff().dropna() >= 0).all()
+    b5 = pdf[pdf.budget == TOP_K].iloc[0]
+    assert b5.min_hits == 0
+    from bigdataentrytask_spark.operators.staging import ROUND14_ACTIVATED
+
+    art = (
+        ROUND14_ACTIVATED["adc_recall_tail"][0](spark, SF_DIR)
+        .toPandas()
+        .query("variant == 'b_joint' and nprobe == nprobe.max()")
+        .iloc[0]
+    )
+    for col in ("min_hits", "p50_hits", "max_hits", "recall_ppm"):
+        assert b5[col] == art[col], col
+    top = pdf.iloc[-1]
+    assert 1 <= top.min_hits < TOP_K
+    assert top.mean_reranked < top.budget
+
+
+def test_knee_advisor_cross_pinned(spark):
+    """Knee rows agree pointwise with deficit_cost_frontier: the knee
+    trigger has deficit 0 in the parent; a NULL knee means the group
+    has no deficit-0 row; savings are 0 exactly when the knee is the
+    finest trigger; and the honest asymmetry holds — at the longest
+    ttl the fixed store has a coarse knee while the sliding store's
+    knee stays at the finest trigger."""
+    fn, _ = STAGED["deficit_knee_advisor"]
+    kn = fn(spark, SF_DIR).toPandas().set_index(["ttl_s", "policy"])
+    dcf = (
+        STAGED["deficit_cost_frontier"][0](spark, SF_DIR)
+        .toPandas()
+    )
+    for (ttl, pol), row in kn.iterrows():
+        g = dcf[(dcf.ttl_s == ttl) & (dcf.policy == pol)]
+        zero = g[g.deficit_keys == 0]
+        if zero.empty:
+            assert row.isna().knee_trigger_s
+        else:
+            assert row.knee_trigger_s == zero.trigger_s.max()
+            assert (
+                row.knee_batches
+                == g[g.trigger_s == row.knee_trigger_s].n_batches.iloc[0]
+            )
+    tmax = int(kn.reset_index().ttl_s.max())
+    fixed = kn.loc[(tmax, "b_fixed")]
+    sliding = kn.loc[(tmax, "a_sliding")]
+    assert fixed.knee_trigger_s > sliding.knee_trigger_s
+    assert fixed.savings_ppm > 900_000 and sliding.savings_ppm == 0

@@ -39,13 +39,17 @@ _REF_RE = re.compile(r"ORACLES\[[\"'](\w+)[\"']\]")
 def _composed_oracle_refs() -> dict[str, set[str]]:
     """module basename -> set of base-oracle names it interpolates."""
     refs: dict[str, set[str]] = {}
-    for path in glob.glob(os.path.join(_OPS_DIR, "*.py")):
+    # recursive: the operator surface is now partly packages
+    # (similarity/, warehouse/, text_analysis/ — the r11/r14 splits)
+    for path in glob.glob(
+        os.path.join(_OPS_DIR, "**", "*.py"), recursive=True
+    ):
         if os.path.basename(path) == "__init__.py":
             continue
         with open(path) as fh:
             names = set(_REF_RE.findall(fh.read()))
         if names:
-            refs[os.path.basename(path)] = names
+            refs[os.path.relpath(path, _OPS_DIR)] = names
     return refs
 
 
