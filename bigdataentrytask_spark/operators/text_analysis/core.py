@@ -315,7 +315,12 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df re-derived from tf, not from a second pass over toks: tf is
+    # exactly one row per (doc, term), so the per-term row count IS the
+    # distinct-doc count. This drops the second tokenize+explode scan
+    # and turns the expensive countDistinct agg into a plain count over
+    # the (already shuffled) tf frame.
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df_), "term")
         .join(F.broadcast(nd))

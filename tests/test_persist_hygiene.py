@@ -25,6 +25,11 @@ from .conftest import SF_DIR_SMALL
 load_all()
 
 # Every operator that persists internally (the with_persisted users).
+# knn_lsh and heavy_hitter_tokens left this list in the round-15
+# optimization pass (they no longer persist: recompute of their narrow
+# shared frames measured cheaper than the persist round-trip) but stay
+# parameterized — the no-lingering-cache property must keep holding
+# for them trivially.
 PERSISTING_OPS = [
     "dbscan_core_census",
     "neardup_transitivity_audit",
