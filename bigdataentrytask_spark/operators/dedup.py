@@ -281,7 +281,8 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same trick as the simhash kernel): one Python invocation owns
     # ~a dozen tile groups and walks them with pandas groupby — the
     # shuffle volume is identical but the per-group Arrow round-trip
-    # is amortized.
+    # is amortized. Lane count tracks the session's parallelism
+    # (A/B/A-measured at sf0.1: 32 lanes 2.8-3.4s vs 128 lanes 3.6s).
     memb = F.expr(
         "concat("
         " array(named_struct('ti', c, 'tj', c, 'side', 0)),"
@@ -303,9 +304,9 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.ti").alias("ti"),
         F.col("m.tj").alias("tj"),
         F.col("m.side").alias("side"),
-        F.pmod(F.xxhash64("bkey", "m.ti", "m.tj"), F.lit(_MINHASH_LANES)).alias(
-            "lane"
-        ),
+        F.pmod(
+            F.xxhash64("bkey", "m.ti", "m.tj"), F.lit(_kernel_lanes(spark))
+        ).alias("lane"),
         *[f"m{i}" for i in range(NUM_HASHES)],
     )
     min_cnt = int(-(-MINHASH_THRESHOLD * NUM_HASHES // 1))
@@ -319,12 +320,10 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TILE_DOCS = 512  # max docs per tile side; bounds per-task compare work
-# Kernel lanes: tile groups hash onto _MINHASH_LANES Arrow groups, so
-# Python invocations = lanes (~4 per core at local[32]), not one per
-# tile group. Sized like _SIMHASH_LANES but x4 because heavy tile
-# groups (the big dup cluster's ~21 tiles per band) need spreading.
-_MINHASH_LANES = 128
+# Max docs per tile side; bounds per-task compare work. 1024 measured
+# WORSE at sf0.1 (5.1s vs 3.2s: the per-tile eq tensor outgrows cache
+# and the heavy cluster's work concentrates in fewer lanes).
+_TILE_DOCS = 512
 
 
 def _minhash_lane_kernel(min_cnt: int):
@@ -462,14 +461,20 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("h"),
         )
     )
+    # Bit sums in the cheaper algebra: s_i = 2*S_i - n where S_i is the
+    # plain bit-i count and n the per-doc token count — so the per-row
+    # work per bit is one shift+AND (no multiply/subtract), and the
+    # sign test s_i > 0 becomes 2*S_i > n on integers. Identical
+    # signature bits by construction (integer arithmetic, same values).
     bitsums = hashes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(2 * F.shiftright("h", i).bitwiseAND(F.lit(1)) - 1).alias(f"s{i}")
+            F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"S{i}")
             for i in range(SIMHASH_BITS)
-        ]
+        ],
     )
     sig = sum(
-        F.when(F.col(f"s{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+        F.when(2 * F.col(f"S{i}") > F.col("n"), F.lit(2**i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         for i in range(SIMHASH_BITS)
@@ -509,19 +514,20 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk"),
     )
-    # Arrow groups are COARSENED to (c, hash(v) % _SIMHASH_LANES): one pandas
+    # Arrow groups are COARSENED to (c, hash(v) % lanes): one pandas
     # invocation owns ~dozens of buckets and walks them with numpy
     # slicing. Grouping by the exact bucket key paid one Python/Arrow
     # round-trip per bucket — with ~16k mostly-singleton buckets at
     # sf0.1 that overhead alone was ~16s; the coarse grouping is the
-    # same shuffle volume with ~1000 invocations.
+    # same shuffle volume with SIMHASH_CHUNKS * lanes invocations.
+    lanes = _kernel_lanes(spark, SIMHASH_CHUNKS)
     pairs = (
         chunks.select(
             "doc_id",
             "sig",
             "chunk.c",
             "chunk.v",
-            F.pmod(F.xxhash64("chunk.v"), F.lit(_SIMHASH_LANES)).alias("g"),
+            F.pmod(F.xxhash64("chunk.v"), F.lit(lanes)).alias("g"),
         )
         .groupBy("c", "g")
         .applyInPandas(
@@ -532,10 +538,16 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
-# Arrow-group lanes for the simhash kernel: tasks = SIMHASH_CHUNKS *
-# lanes. Sized to keep every core busy while amortizing the per-group
-# pandas invocation cost; on a cluster, set ~= executor cores.
-_SIMHASH_LANES = 32
+def _kernel_lanes(spark: SparkSession, groups_per_lane: int = 1, floor: int = 8) -> int:
+    """Arrow-kernel lane count, derived from the session's parallelism
+    so kernel tasks ~= available cores at ANY deployment size (a fixed
+    constant is wrong on both ends: at local[32] over-laning pays one
+    Python invocation per extra group — measured 0.3-0.5s per operator
+    at 128 vs 32 lanes — and on a big cluster under-laning idles
+    executors). `groups_per_lane` divides when the grouping key already
+    multiplies lanes (e.g. simhash groups by (chunk, lane))."""
+    par = spark.sparkContext.defaultParallelism
+    return max(floor, par // groups_per_lane)
 
 
 def _simhash_bucket_kernel():

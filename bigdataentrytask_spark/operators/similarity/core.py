@@ -126,13 +126,16 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
-    sim = cosine("q_emb", "c_emb")
+    # cosine_seq (the Arrow kernel twin, IEEE-identical accumulation
+    # order — functions/vector.py) instead of the interpreted HOF fold:
+    # N_QUERIES x N pair dots are exactly the volume where per-element
+    # lambda interpretation loses (measured 0.95s -> 0.46s at sf0.1)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", sim)
+        .withColumn("sim", cosine_seq("q_emb", "c_emb"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "rnk", "neighbor_id", F.round("sim", 6).alias("cosine"))
@@ -189,7 +192,8 @@ def knn_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         q.join(c, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine("q_emb", "c_emb"))
+        # Arrow cosine twin, same rationale as knn_bruteforce
+        .withColumn("sim", cosine_seq("q_emb", "c_emb"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "rnk", "neighbor_id", F.round("sim", 6).alias("cosine"))
