@@ -467,38 +467,39 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select(
         "vec_id", "embedding", F.pmod(F.hash("vec_id"), F.lit(g)).alias("g")
     )
-    a = base.select(
+    # Tile membership as ONE side-tagged frame (the same rewrite the
+    # minhash pair stage got this round): a row in group g is side 0
+    # of the diagonal tile (g, g) — emitted ONCE where the cogroup
+    # form shipped it on both sides — side 1 (A) of tiles (g, tj>g),
+    # side 2 (B) of tiles (ti<g, g). One exchange and one Arrow stream
+    # instead of two of each; each tile's N^2/G^2 pair dots still
+    # happen in-kernel as vectorized outer-product accumulations — NOT
+    # as a 1KB-per-pair join stream (the original pair-join
+    # formulation shipped both embeddings through Arrow for every
+    # pair: ~12 GB at sf0.1, measured 15.4s vs 2.2s for the tiling).
+    # Cross-group pairs meet in exactly one tile (ti < tj); same-group
+    # pairs meet in tile (g, g), deduped in-kernel by id order. The
+    # single-frame form also removes the cogroup attribute-conflation
+    # hazard the B-side aliases used to work around.
+    memb = F.expr(
+        "concat("
+        " array(named_struct('ti', g, 'tj', g, 'side', 0)),"
+        f" transform(filter(sequence(0, {g - 1}), t -> t > g),"
+        "           t -> named_struct('ti', g, 'tj', t, 'side', 1)),"
+        f" transform(filter(sequence(0, {g - 1}), t -> t < g),"
+        "           t -> named_struct('ti', t, 'tj', g, 'side', 2)))"
+    )
+    tiled = base.select(
+        "vec_id", "embedding", F.explode(memb).alias("m")
+    ).select(
         "vec_id",
         "embedding",
-        F.col("g").alias("ti"),
-        F.explode(F.expr(f"sequence(g, {g - 1})")).alias("tj"),
+        F.col("m.ti").alias("ti"),
+        F.col("m.tj").alias("tj"),
+        F.col("m.side").alias("side"),
     )
-    # B side carries RENAMED payload columns: both sides derive from
-    # the same scan, and Spark's cogroup attribute deduplication can
-    # conflate same-exprId payload columns across sides — observed at
-    # the 8x stress corpus as the right-side Arrow batch arriving with
-    # only the key columns (KeyError: 'vec_id' in the kernel). Fresh
-    # aliases force distinct attributes on the B side.
-    b = base.select(
-        F.col("vec_id").alias("b_vec_id"),
-        F.col("embedding").alias("b_embedding"),
-        F.explode(F.expr("sequence(0, g)")).alias("ti"),
-        F.col("g").alias("tj"),
-    )
-    # Each tile is ONE cogroup: its A rows and B rows cross Arrow once
-    # (O(N*G) vectors move, ~N/G per tile), and the N^2/G^2 pair dots
-    # happen inside the tile kernel as G^2 vectorized outer-product
-    # accumulations — NOT as a 1KB-per-pair join stream (the previous
-    # pair-join formulation shipped both embeddings through Arrow for
-    # every pair: ~12 GB at sf0.1, measured 15.4s vs 2.2s for this).
-    # Cross-group pairs meet in exactly one tile (ti < tj); same-group
-    # pairs meet in tile (g, g), deduped inside the kernel by id order.
-    pairs = (
-        a.groupBy("ti", "tj")
-        .cogroup(b.groupBy("ti", "tj"))
-        .applyInPandas(
-            _neardup_tile(NEARDUP_COS), schema="vec_a long, vec_b long, raw double"
-        )
+    pairs = tiled.groupBy("ti", "tj").applyInPandas(
+        _neardup_tile(NEARDUP_COS), schema="vec_a long, vec_b long, raw double"
     )
     # The kernel pre-filters on the RAW cosine with a one-ulp-safe
     # margin; the contractual boundary decision stays JVM-side on the
@@ -511,7 +512,9 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _neardup_tile(tau: float):
-    """Tile kernel: all qualifying A x B cosines for one (ti, tj) tile.
+    """Tile kernel: all qualifying A x B cosines for one (ti, tj) tile
+    of the side-tagged frame (diagonal tiles hold one member set,
+    side 0; off-diagonal tiles pair the side-1 rows against side-2).
 
     The dot matrix accumulates column-sequentially
     (``D += X[:, j] outer Y[:, j]`` for j in order) so every pairwise
@@ -523,7 +526,7 @@ def _neardup_tile(tau: float):
     """
     margin = tau - 1e-6
 
-    def fn(left, right):
+    def fn(pdf):
         import numpy as np
         import pandas as pd
 
@@ -534,23 +537,30 @@ def _neardup_tile(tau: float):
                 "raw": pd.Series(dtype="float64"),
             }
         )
-        if len(left) == 0 or len(right) == 0:
+        if len(pdf) == 0:
             return empty
-        ti = int(left["ti"].iloc[0])
-        tj = int(left["tj"].iloc[0])
+        same_chunk = int(pdf["ti"].iloc[0]) == int(pdf["tj"].iloc[0])
+        if same_chunk:
+            left = right = pdf
+        else:
+            sides = pdf["side"].to_numpy()
+            left = pdf[sides == 1]
+            right = pdf[sides == 2]
+            if len(left) == 0 or len(right) == 0:
+                return empty
         ia = left["vec_id"].to_numpy()
-        ib = right["b_vec_id"].to_numpy()
+        ib = right["vec_id"].to_numpy()
         X = stack_f64(left["embedding"])
-        Y = stack_f64(right["b_embedding"])
+        Y = X if same_chunk else stack_f64(right["embedding"])
         D = np.zeros((len(ia), len(ib)))
         for j in range(X.shape[1]):
             D += X[:, j][:, None] * Y[:, j][None, :]
         na = np.sqrt(seq_dot(X, X))
-        nb = np.sqrt(seq_dot(Y, Y))
+        nb = na if same_chunk else np.sqrt(seq_dot(Y, Y))
         with np.errstate(invalid="ignore", divide="ignore"):
             C = D / (na[:, None] * nb[None, :])
             mask = C >= margin
-        if ti == tj:
+        if same_chunk:
             mask &= ia[:, None] < ib[None, :]
         ii, jj = np.nonzero(mask)
         if not len(ii):
