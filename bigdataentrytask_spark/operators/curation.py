@@ -292,7 +292,7 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidates into the count pass (the pre-r15 shape, VERDICT r15
     # item 4 / ADVICE r15).
     grouped = summaries.groupBy("tok").agg(F.sum("batch_n").alias("n"))
-    agg_rows = grouped.limit(_HH_INSET_MAX + 2).collect()
+    agg_rows = collect_bounded(grouped.limit(_HH_INSET_MAX + 2))
     if len(agg_rows) <= _HH_INSET_MAX + 1:  # complete set: cands + tally
         total = sum(r.n for r in agg_rows if r.tok is None)
         cands = [r.tok for r in agg_rows if r.tok is not None]

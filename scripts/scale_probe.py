@@ -49,12 +49,11 @@ def build(repl: int) -> None:
     # replicate unchanged (same token distribution, so kernel work per
     # row is representative). Offsets are multiples of 10^9 so derived
     # ids can never collide with fixture ids.
-    docs_sql = " UNION ALL ".join(
-        f"SELECT doc_id + {i}000000000 AS doc_id, text, lang, source, n_chars "
-        f"FROM read_parquet('{SRC}/documents.parquet')"
-        for i in range(repl)
-    )
-    con.execute(f"COPY ({docs_sql}) TO '{DST}/documents.parquet' (FORMAT PARQUET)")
+    # PER_THREAD_OUTPUT writes a DIRECTORY of parquet files — a
+    # single-file table gives Spark a one-task scan (2.9 MB << the
+    # 128 MB split size), which would serialize every map stage and
+    # fake "no core scaling" for scan-bound operators.
+    slices = 8  # files per replica -> repl*slices files per table
     emb_cols = [
         r[0]
         for r in con.execute(
@@ -62,12 +61,19 @@ def build(repl: int) -> None:
         ).fetchall()
     ]
     rest = ", ".join(c for c in emb_cols if c != "vec_id")
-    emb_sql = " UNION ALL ".join(
-        f"SELECT vec_id + {i}000000000 AS vec_id, {rest} "
-        f"FROM read_parquet('{SRC}/embeddings.parquet')"
-        for i in range(repl)
-    )
-    con.execute(f"COPY ({emb_sql}) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)")
+    for t, key, proj in (
+        ("documents", "doc_id", "text, lang, source, n_chars"),
+        ("embeddings", "vec_id", rest),
+    ):
+        os.makedirs(f"{DST}/{t}.parquet", exist_ok=True)
+        for i in range(repl):
+            for s in range(slices):
+                con.execute(
+                    f"COPY (SELECT {key} + {i}000000000 AS {key}, {proj} "
+                    f"      FROM read_parquet('{SRC}/{t}.parquet') "
+                    f"      WHERE {key} % {slices} = {s}) "
+                    f"TO '{DST}/{t}.parquet/part_{i}_{s}.parquet' (FORMAT PARQUET)"
+                )
     # tables the loaders may touch but the probed ops don't scan get a
     # passthrough copy so load_table() finds them
     for t in (

@@ -39,6 +39,10 @@ STAGED = {
 
 from .conftest import assert_matches_oracle
 
+# Staged-slate suite: excluded from the default driver gate (see
+# pytest.ini); run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 SEEDS = [0, 1]
 
 

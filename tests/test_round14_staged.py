@@ -17,6 +17,10 @@ from bigdataentrytask_spark.operators.staging import STAGED
 
 from .conftest import SF_DIR, assert_matches_oracle
 
+# Staged-slate suite: excluded from the default driver gate (see
+# pytest.ini); run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 load_all()
 
 STAGED_NAMES = sorted(STAGED)

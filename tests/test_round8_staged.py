@@ -11,6 +11,10 @@ from bigdataentrytask_spark.operators import ORACLES, REGISTRY, load_all
 
 from .conftest import SF_DIR, assert_matches_oracle
 
+# Staged-slate suite: excluded from the default driver gate (see
+# pytest.ini); run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 load_all()
 
 ROUND8_STAGED = [
